@@ -1,0 +1,203 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Scalar kernels shared by interpreted `nullSafeEval` and generated code.
+  *
+  * All vector kernels accumulate in **float32** to reproduce the reference
+  * engine's NumPy float32 arithmetic (reference: vector_store.py:291 —
+  * `np.linalg.norm(index["vec"] - q, ord=2, axis=1)` over float32 slabs;
+  * golden values in test/tests.py:223-224 are exact `np.float32` literals).
+  *
+  * Kernels take Catalyst `ArrayData` directly so generated code stays
+  * allocation-free (no boxing / WrappedArray conversion as a Scala UDF
+  * would incur) and remains inside whole-stage codegen.
+  */
+object Kernels {
+
+  /** Euclidean (L2) distance in float32. */
+  def l2(a: ArrayData, b: ArrayData): Float = {
+    val n = a.numElements()
+    var s = 0f
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i) - b.getFloat(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s.toDouble).toFloat
+  }
+
+  /** Squared L2 — cheaper for top-k ranking (monotone in l2). */
+  def l2Sq(a: ArrayData, b: ArrayData): Float = {
+    val n = a.numElements()
+    var s = 0f
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i) - b.getFloat(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Float = {
+    val n = a.numElements()
+    var s = 0f
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i) * b.getFloat(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Cosine similarity in float32; 0 when either norm is 0. */
+  def cosine(a: ArrayData, b: ArrayData): Float = {
+    val n = a.numElements()
+    var d = 0f; var na = 0f; var nb = 0f
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val den = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (den == 0.0) 0f else (d / den).toFloat
+  }
+
+  /** Length of the Longest Common Subsequence (classic 2-row DP). */
+  def lcsLen(a: String, b: String): Int = {
+    val m = a.length; val n = b.length
+    if (m == 0 || n == 0) return 0
+    // iterate over the longer string in the outer loop to keep rows small
+    val (s, t) = if (m >= n) (a, b) else (b, a)
+    val w = t.length
+    var prev = new Array[Int](w + 1)
+    var cur = new Array[Int](w + 1)
+    var i = 1
+    while (i <= s.length) {
+      val si = s.charAt(i - 1)
+      var j = 1
+      while (j <= w) {
+        cur(j) =
+          if (si == t.charAt(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(w)
+  }
+
+  /** Indel distance (insert/delete-only edit distance) = |a|+|b| − 2·LCS.
+    * This is rapidfuzz's `Indel.distance` (reference scorer
+    * `rapidfuzz.fuzz.ratio`, vector_store.py:377-382).
+    */
+  def indelDistance(a: String, b: String): Int =
+    a.length + b.length - 2 * lcsLen(a, b)
+
+  /** rapidfuzz `fuzz.ratio` parity: 100·(1 − indel/(|a|+|b|)); 100 for two
+    * empty strings. Evaluation order matters for double-parity with the
+    * goldens (test/tests.py:561: 9.090909090909093).
+    */
+  def indelSimilarity(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) 100.0
+    else 100.0 * (1.0 - indelDistance(a, b).toDouble / total.toDouble)
+  }
+
+  /** FNV-1a 64-bit hash of a string (public-domain constants). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= (s.charAt(i) & 0xffffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** FNV-1a 64-bit with a seed mixed in first — used to derive the k
+    * independent hash functions for MinHash signatures.
+    */
+  def fnv1a64Seeded(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= (s.charAt(i) & 0xffffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    // final avalanche (splitmix64 finalizer) for better bit diffusion
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** MinHash signature: for each of k seeded hash functions, the minimum
+    * hash over the token set. Empty input → Long.MaxValue entries.
+    */
+  def minHashSignature(tokens: ArrayData, k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i).toString
+        var j = 0
+        while (j < k) {
+          val h = fnv1a64Seeded(t, j.toLong * 0x9e3779b97f4a7c15L)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over a token array: bitwise majority vote of the
+    * tokens' 64-bit hashes.
+    */
+  def simHash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i).toString)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Rolling polynomial fingerprint (Rabin-Karp style, base 257 mod 2^64)
+    * of the whole string — a cheap order-sensitive document fingerprint.
+    */
+  def fingerprint64(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = h * 257L + (s.charAt(i) & 0xffffL)
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `array<float>`.
+  *
+  * These replace what the reference does with NumPy kernels over a
+  * contiguous float32 slab (reference: vector_store.py:291). A native
+  * expression (vs a Scala UDF) avoids per-row boxing/decoding and keeps
+  * the operator inside whole-stage codegen; float32 accumulation matches
+  * the reference goldens (test/tests.py:223-224).
+  */
+abstract class BinaryVectorExpression extends BinaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  protected def kernelName: String
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def evalKernel(a: ArrayData, b: ArrayData): Any
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.$kernelName($a, $b)")
+}
+
+/** Euclidean distance in float32 (reference vector_store.py:291). */
+case class L2Distance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def dataType: DataType = FloatType
+  override protected def kernelName: String = "l2"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = Kernels.l2(a, b)
+  override def prettyName: String = "l2_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Squared Euclidean distance — monotone in L2, cheaper for ranking. */
+case class L2SqDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def dataType: DataType = FloatType
+  override protected def kernelName: String = "l2Sq"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = Kernels.l2Sq(a, b)
+  override def prettyName: String = "l2_sq_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def dataType: DataType = FloatType
+  override protected def kernelName: String = "dot"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = Kernels.dot(a, b)
+  override def prettyName: String = "dot_product"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity; 0 when either vector has zero norm. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def dataType: DataType = FloatType
+  override protected def kernelName: String = "cosine"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = Kernels.cosine(a, b)
+  override def prettyName: String = "cosine_similarity"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.{Column, SparkSession}
+
+import graft.expressions._
+
+/** Column-API entry points for graft's native expressions, plus SQL
+  * registration. Mirrors the layout of `org.apache.spark.sql.functions`.
+  */
+object functions {
+  private def c(e: Expression): Column = GraftShim.column(e)
+  private def e(col: Column): Expression = GraftShim.expression(col)
+
+  /** Float32 Euclidean distance between two `array<float>` columns. */
+  def l2_distance(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
+
+  /** Squared Euclidean distance (monotone in L2; cheaper for top-k). */
+  def l2_sq_distance(a: Column, b: Column): Column = c(L2SqDistance(e(a), e(b)))
+
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+
+  def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** rapidfuzz `fuzz.ratio`-compatible normalized Indel similarity ∈ [0,100]. */
+  def indel_similarity(a: Column, b: Column): Column = c(IndelSimilarity(e(a), e(b)))
+
+  /** `100 - indel_similarity` — the reference's fuzzy-search distance. */
+  def indel_distance(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.lit(100.0) - indel_similarity(a, b)
+
+  def minhash_signature(tokens: Column, k: Int): Column = c(MinHashSignature(e(tokens), k))
+
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+
+  def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
+
+  def fingerprint64(s: Column): Column = c(Fingerprint64(e(s)))
+
+  /** SQL function descriptors (name → builder) for all graft expressions. */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "l2_distance" -> (args => L2Distance(args(0), args(1))),
+    "l2_sq_distance" -> (args => L2SqDistance(args(0), args(1))),
+    "dot_product" -> (args => DotProduct(args(0), args(1))),
+    "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
+    "indel_similarity" -> (args => IndelSimilarity(args(0), args(1))),
+    "minhash_signature" -> (args =>
+      MinHashSignature(args(0), args(1).eval().asInstanceOf[Int])),
+    "simhash64" -> (args => SimHash64(args(0))),
+    "hamming64" -> (args => Hamming64(args(0), args(1))),
+    "fingerprint64" -> (args => Fingerprint64(args(0))),
+  )
+
+  /** Register all graft functions in a session's function registry so they
+    * are usable from `spark.sql(...)` / `expr(...)`.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+  /** Descriptors for `SparkSessionExtensions.injectFunction`. */
+  private[graft] def extensionFunctions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    sqlFunctions.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft.expressions", name), builder)
+    }
+}

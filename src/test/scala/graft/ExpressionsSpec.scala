@@ -1,0 +1,91 @@
+package graft
+
+import graft.expressions.Kernels
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+/** Golden-value parity with the reference engine's kernels.
+  * Goldens from /root/reference/test/tests.py (cited per test).
+  */
+class ExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def eye(n: Int): Seq[Array[Float]] =
+    (0 until n).map(i => Array.tabulate(n)(j => if (i == j) 1f else 0f))
+
+  test("l2_distance reproduces float32 goldens (tests.py:195-224)") {
+    val query = Array(0f, 0f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0f, 1f)
+    val df = eye(10).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val got = df
+      .select($"id", l2_distance($"vec", lit(query)).as("d"))
+      .orderBy($"d", $"id")
+      .limit(2)
+      .as[(Long, Float)]
+      .collect()
+    assert(got(0) == (9L, 0.5f))
+    assert(got(1)._1 == 3L)
+    assert(got(1)._2 == 1.118034f) // exact np.float32 golden
+  }
+
+  test("indel_similarity reproduces rapidfuzz goldens (tests.py:545-565)") {
+    // distance = 100 - similarity; golden best distance 9.090909090909093
+    val docs = (0 until 5).map(n => (n.toLong, s"""{"k$n": "v$n"}"""))
+    val df = docs.toDF("id", "doc")
+    val q = """{"1": "1"}"""
+    val got = df
+      .select($"id", (lit(100.0) - indel_similarity($"doc", lit(q))).as("dist"))
+      .orderBy($"dist", $"id")
+      .as[(Long, Double)]
+      .collect()
+    assert(got.head._1 == 1L)
+    assert(got.head._2 == 9.090909090909093)
+    assert(got(1)._2 == 27.272727272727266) // all others tie at this golden
+    assert(got.tail.forall(_._2 == 27.272727272727266))
+  }
+
+  test("indel kernel edge cases") {
+    assert(Kernels.indelSimilarity("", "") == 100.0)
+    assert(Kernels.indelSimilarity("abc", "abc") == 100.0)
+    assert(Kernels.indelSimilarity("abc", "") == 0.0)
+    assert(Kernels.lcsLen("XMJYAUZ", "MZJAWXU") == 4) // classic LCS example
+  }
+
+  test("SQL registration: graft functions callable from spark.sql") {
+    val out = spark
+      .sql("SELECT l2_distance(array(1.0F, 0.0F), array(0.0F, 0.0F)) AS d, " +
+        "indel_similarity('ab', 'ab') AS s, fingerprint64('x') AS f, " +
+        "hamming64(7L, 0L) AS h")
+      .collect()
+      .head
+    assert(out.getFloat(0) == 1.0f)
+    assert(out.getDouble(1) == 100.0)
+    assert(out.getInt(3) == 3)
+  }
+
+  test("implicit casts: double arrays accepted") {
+    val got = spark
+      .sql("SELECT l2_distance(array(3.0D, 0.0D), array(0.0D, 4.0D)) AS d")
+      .collect()
+      .head
+      .getFloat(0)
+    assert(got == 5.0f)
+  }
+
+  test("cosine / dot / simhash / minhash kernels behave") {
+    val row = spark
+      .sql(
+        "SELECT cosine_similarity(array(1.0F,0.0F), array(1.0F,0.0F)) AS c, " +
+          "dot_product(array(1.0F,2.0F), array(3.0F,4.0F)) AS dp, " +
+          "simhash64(array('a','b','a')) AS sh, " +
+          "minhash_signature(array('a','b'), 4) AS mh")
+      .collect()
+      .head
+    assert(row.getFloat(0) == 1.0f)
+    assert(row.getFloat(1) == 11.0f)
+    assert(row.getSeq[Long](3).length == 4)
+    // minhash of identical token sets must be identical
+    val Seq(m1, m2) = Seq("x", "x").map(s =>
+      spark.sql(s"SELECT minhash_signature(array('$s','y'), 8) AS m").collect().head.getSeq[Long](0))
+    assert(m1 == m2)
+  }
+}
