@@ -1,0 +1,268 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{indel_similarity, l2_distance}
+
+/** Row shapes of the public API (reference: vector_store.py:13-25). */
+case class SelectRecord(id: Long, vec: Array[Float], doc: String)
+case class SearchRecord(id: Long, vec: Array[Float], doc: String, distance: Float)
+/** Fuzzy doc search distances are float64 (reference: vector_store.py:386-387). */
+case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: Double)
+
+/** Spark-native re-implementation of the reference engine's single-table
+  * vector store (reference: vector_store.py:29-404).
+  *
+  * Semantics preserved (see SURVEY.md §1-2): contiguous 0-based id
+  * assignment with never-reused holes, float32 L2 brute-force search with
+  * insertion-order tie-breaks, JSON doc column with null⇒`{}` defaults,
+  * fuzzy Indel-distance doc search, silent-missing select, warning-missing
+  * delete, `k>n` error in `search` vs `k>n` cap in `searchByDoc`.
+  *
+  * Architecture differences (Spark-first, not a port):
+  *   - Parquet at rest; the reference's in-memory NumPy `(id, vec)` slab
+  *     becomes a cached column-pruned DataFrame projection.
+  *   - Search is a broadcast cross-join + native codegen L2 expression +
+  *     per-query top-k window, instead of a per-query Python loop
+  *     (vector_store.py:290, `TODO: vectorize` — Spark parallelizes both
+  *     across queries and across index partitions).
+  *   - Single-writer assumption retained (the reference reads max-id and
+  *     inserts in two separate transactions, vector_store.py:195-225).
+  */
+class VectorStore private (
+    val spark: SparkSession,
+    val path: String,
+    val dim: Int,
+    storage: StorageLayer) extends Logging {
+  import spark.implicits._
+
+  private var indexDf: DataFrame = _
+  refreshIndex()
+
+  /** Cached `(id, vec)` projection — the analogue of the reference's
+    * in-memory structured-array index (vector_store.py:64-67). Parquet
+    * column pruning makes this a 2-column scan; caching pins it for the
+    * repeated-search hot path.
+    */
+  private def refreshIndex(): Unit = {
+    if (indexDf != null) indexDf.unpersist()
+    indexDf = storage.read().select("id", "vec").cache()
+  }
+
+  private def table: DataFrame = storage.read()
+
+  def count(): Long = table.count()
+
+  private def maxId(): Long =
+    table.agg(max($"id")).as[Option[Long]].head().getOrElse(-1L)
+
+  /** `ORDER BY id LIMIT n` (reference: vector_store.py:144-161). */
+  def head(n: Int = 5): Seq[SelectRecord] =
+    if (n <= 0) Seq.empty
+    else table.orderBy($"id").limit(n).as[SelectRecord].collect().toSeq
+
+  /** Batch insert with contiguous id assignment (reference:
+    * vector_store.py:183-234). Returns the assigned ids.
+    */
+  def insert(vecs: Seq[Array[Float]], docs: Seq[String] = null): Seq[Long] = {
+    require(vecs.nonEmpty, "insert requires at least one vector")
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      if (v.length != dim)
+        throw new IllegalArgumentException(
+          s"vector $i has dimension ${v.length}, store dimension is $dim")
+    }
+    val effDocs: Seq[String] =
+      if (docs == null) Seq.fill(vecs.size)("{}")
+      else {
+        if (docs.size != vecs.size)
+          throw new IllegalArgumentException(
+            s"got ${vecs.size} vectors but ${docs.size} docs")
+        docs.map(d => if (d == null) "{}" else d)
+      }
+    val start = maxId() + 1
+    val ids = vecs.indices.map(i => start + i)
+    val rows = ids.lazyZip(vecs).lazyZip(effDocs).map((i, v, d) => Row(i, v.toSeq, d))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
+      VectorStore.schema)
+    storage.append(df)
+    refreshIndex()
+    ids
+  }
+
+  /** Distributed batch insert: contiguous ids assigned in the input's
+    * partition-then-row order via `zipWithIndex` (stable, unlike
+    * `monotonically_increasing_id`). For pipelines feeding from another
+    * Dataset — the reference has no analogue (its API is driver-side
+    * arrays only).
+    */
+  def insertDF(batch: DataFrame): Long = {
+    val cols = batch.columns.toSet
+    require(cols.contains("vec"), "insertDF requires a 'vec' column")
+    val withDoc =
+      if (cols.contains("doc")) batch.select($"vec", coalesce($"doc", lit("{}")).as("doc"))
+      else batch.select($"vec", lit("{}").as("doc"))
+    val start = maxId() + 1
+    val assigned = withDoc
+      .select($"vec".cast(ArrayType(FloatType)).as("vec"), $"doc")
+      .rdd.zipWithIndex()
+      .map { case (r, i) => Row(start + i, r.getSeq[Float](0), r.getString(1)) }
+    val df = spark.createDataFrame(assigned, VectorStore.schema)
+    val n = df.count()
+    storage.append(df)
+    refreshIndex()
+    n
+  }
+
+  /** Delete by id; ids not present are skipped with a warning (reference:
+    * vector_store.py:236-254). Returns the number of rows deleted.
+    * Parquet is immutable → read-antijoin-rewrite; see [[StorageLayer]]
+    * for the scale-out path.
+    */
+  def delete(ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val idsDf = ids.toDF("id")
+    val present = table.join(broadcast(idsDf), Seq("id"), "left_semi").count()
+    val distinctIds = ids.distinct.size
+    if (present < distinctIds)
+      logWarning(s"delete: ${distinctIds - present} of $distinctIds ids not present in store")
+    val remaining = table.join(broadcast(idsDf), Seq("id"), "left_anti")
+    storage.overwrite(remaining)
+    refreshIndex()
+    present
+  }
+
+  /** Select by ids, ascending id; unknown ids silently absent (reference:
+    * vector_store.py:256-273, test/tests.py:508-514).
+    */
+  def selectIds(ids: Seq[Long]): Seq[SelectRecord] = {
+    if (ids.isEmpty) return Seq.empty
+    table
+      .join(broadcast(ids.toDF("id")), Seq("id"), "left_semi")
+      .orderBy($"id")
+      .as[SelectRecord].collect().toSeq
+  }
+
+  /** Exact brute-force k-NN by float32 L2 distance (reference:
+    * vector_store.py:275-332). Ties break toward the earlier-inserted
+    * (lower-id) row, matching argsort-by-position (SURVEY.md §2.4).
+    * `k > count` raises (reference :279-284).
+    */
+  def search(queries: Seq[Array[Float]], k: Int): Seq[Seq[SearchRecord]] = {
+    val n = count()
+    if (k > n)
+      throw new IllegalArgumentException(
+        s"k ($k) is larger than the number of stored vectors ($n)")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"query $i has dimension ${q.length}, store dimension is $dim")
+    }
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    val w = Window.partitionBy($"qid").orderBy($"distance", $"id")
+    val hits = indexDf
+      .crossJoin(broadcast(qdf))
+      .withColumn("distance", l2_distance($"vec", $"qvec"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"id", $"distance")
+      // fetch join for doc (+vec) — the reference's dedup'd second-phase
+      // fetch (vector_store.py:303-320) expressed as a broadcast join
+      .join(table.select($"id", $"vec", $"doc"), Seq("id"))
+      .select($"qid", $"rn", $"id", $"vec", $"doc", $"distance")
+      .collect()
+    assemble(hits, queries.size)(r =>
+      SearchRecord(r.getLong(2), r.getSeq[Float](3).toArray, r.getString(4), r.getFloat(5)))
+  }
+
+  /** Fuzzy doc search: top-k by Indel distance over the raw JSON text
+    * (reference: vector_store.py:358-401). `k <= 0` raises; `k > n` caps
+    * at n (the reference's documented asymmetry, test/tests.py:609-617).
+    */
+  def searchByDoc(queryDocs: Seq[String], k: Int): Seq[Seq[DocSearchRecord]] = {
+    if (k <= 0)
+      throw new IllegalArgumentException(s"k must be a positive integer, got $k")
+    val qdf = queryDocs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qdoc")
+    val w = Window.partitionBy($"qid").orderBy($"distance", $"id")
+    val hits = table
+      .crossJoin(broadcast(qdf))
+      .withColumn("distance", lit(100.0) - indel_similarity($"doc", $"qdoc"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"id", $"vec", $"doc", $"distance")
+      .collect()
+    assemble(hits, queryDocs.size)(r =>
+      DocSearchRecord(r.getLong(2), r.getSeq[Float](3).toArray, r.getString(4), r.getDouble(5)))
+  }
+
+  private def assemble[T](rows: Array[Row], numQueries: Int)(mk: Row => T): Seq[Seq[T]] = {
+    val byQuery = rows.groupBy(_.getInt(0))
+    (0 until numQueries).map { qid =>
+      byQuery.getOrElse(qid, Array.empty[Row]).sortBy(_.getInt(1)).toSeq.map(mk)
+    }
+  }
+
+  /** JSON-path filter (reference: vector_store.py:334-356): rows whose
+    * `doc` JSON value at `$.path` is in `values`. Values compare as
+    * strings (SQLite's typed `json_extract` vs Spark's string-valued
+    * `get_json_object` — SURVEY.md §2 R9).
+    */
+  def queryByDoc(pathSteps: Seq[String], values: Seq[Any]): Seq[SelectRecord] = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    val jsonPath = "$." + pathSteps.mkString(".")
+    table
+      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
+      .orderBy($"id")
+      .as[SelectRecord].collect().toSeq
+  }
+
+  /** All vectors in insertion (= ascending id) order (reference:
+    * vector_store.py:403-404).
+    */
+  def dumpVecs(): Array[Array[Float]] =
+    indexDf.orderBy($"id").select($"vec").as[Array[Float]].collect()
+
+  /** The store as a DataFrame — the Spark-native view for composing with
+    * arbitrary DataFrame operators (no reference analogue).
+    */
+  def toDF: DataFrame = table
+
+  override def toString: String = s"VectorStore(path=$path, dim=$dim)"
+}
+
+object VectorStore {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("doc", StringType, nullable = true)))
+
+  /** Open an existing store (validating its recorded dimension) or create
+    * an empty one (reference: vector_store.py:29-77).
+    */
+  def openOrCreate(spark: SparkSession, path: String, dim: Int): VectorStore = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    graft.functions.registerAll(spark)
+    val storage = new ParquetStorage(spark, path)
+    val metaPath = new Path(path, "dim.meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (storage.exists) {
+      val stored = {
+        val in = fs.open(metaPath)
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      }
+      if (stored != dim)
+        throw new IllegalArgumentException(
+          s"store at $path has dimension $stored, requested $dim")
+    } else {
+      storage.initialize(schema)
+      val out = fs.create(metaPath, true)
+      try out.write(dim.toString.getBytes("UTF-8")) finally out.close()
+    }
+    new VectorStore(spark, path, dim, storage)
+  }
+}

@@ -1,0 +1,233 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.store.{VectorStore, SelectRecord}
+import org.scalatest.BeforeAndAfterEach
+
+/** Parity suite ported from the reference's unit tests
+  * (/root/reference/test/tests.py — cited per test). Golden literals are
+  * preserved exactly.
+  */
+class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
+
+  private var dir: String = _
+  private def freshStore(dim: Int = 10): VectorStore =
+    VectorStore.openOrCreate(spark, dir, dim)
+
+  override def beforeEach(): Unit = {
+    dir = Files.createTempDirectory("graft-vs").toString + "/store"
+  }
+
+  private def eye(n: Int): Seq[Array[Float]] =
+    (0 until n).map(i => Array.tabulate(n)(j => if (i == j) 1f else 0f))
+
+  private def genDocs(ns: Range): Seq[String] = ns.map(n => s"""{"k$n": "v$n"}""")
+
+  test("fresh store is empty (tests.py:19)") {
+    assert(freshStore().count() == 0)
+  }
+
+  test("insert single / batch / multi-batch (tests.py:32-48)") {
+    val s = freshStore()
+    val ids1 = s.insert(Seq(Array.fill(10)(0.5f)))
+    assert(ids1 == Seq(0L) && s.count() == 1)
+    val ids2 = s.insert(eye(10))
+    assert(ids2 == (1L to 10L) && s.count() == 11)
+    val ids3 = s.insert(eye(10))
+    assert(ids3 == (11L to 20L) && s.count() == 21)
+  }
+
+  test("insert shape errors (tests.py:50-60)") {
+    val s = freshStore()
+    intercept[IllegalArgumentException](s.insert(Seq(Array.fill(9)(1f))))
+    intercept[IllegalArgumentException](s.insert(Seq(Array.fill(11)(1f))))
+    intercept[IllegalArgumentException](
+      s.insert(Seq(Array.fill(10)(1f)), Seq("{}", "{}")))
+  }
+
+  test("head: n=0, n=1, n=5 round-trip (tests.py:162-193)") {
+    val s = freshStore()
+    s.insert(eye(10), genDocs(0 until 10))
+    assert(s.head(0).isEmpty)
+    val h1 = s.head(1)
+    assert(h1 == Seq(SelectRecord(0L, null, null)).map(_ => h1.head)) // structural
+    assert(h1.head.id == 0L && h1.head.doc == """{"k0": "v0"}""")
+    assert(h1.head.vec.toSeq == eye(10).head.toSeq)
+    val h5 = s.head()
+    assert(h5.map(_.id) == (0L until 5L))
+    assert(h5.map(_.doc) == genDocs(0 until 5))
+    h5.zipWithIndex.foreach { case (r, i) => assert(r.vec.toSeq == eye(10)(i).toSeq) }
+  }
+
+  test("search goldens (tests.py:195-224)") {
+    val s = freshStore()
+    s.insert(eye(10), genDocs(0 until 10))
+    val hits = s.search(Seq(Array(0f, 0f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0f, 1f)), k = 2)
+    assert(hits.size == 1)
+    val top = hits.head
+    assert(top.map(_.id) == Seq(9L, 3L))
+    assert(top(0).distance == 0.5f)
+    assert(top(1).distance == 1.118034f) // exact np.float32 golden
+    assert(top(0).doc == """{"k9": "v9"}""")
+  }
+
+  test("search multi-query (tests.py:226-275)") {
+    val s = freshStore()
+    s.insert(eye(10), genDocs(0 until 10))
+    val q1 = Array(0f, 0f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0f, 1f)
+    val q2 = eye(10)(7)
+    val hits = s.search(Seq(q1, q2), k = 2)
+    assert(hits.size == 2)
+    assert(hits(0).map(_.id) == Seq(9L, 3L))
+    assert(hits(1).head.id == 7L && hits(1).head.distance == 0f)
+  }
+
+  test("zero-distance self match (tests.py:296-309)") {
+    val s = freshStore()
+    s.insert(eye(10))
+    val hits = s.search(Seq(eye(10)(4)), k = 1)
+    assert(hits.head.head.id == 4L && hits.head.head.distance == 0.0f)
+  }
+
+  test("all-ties break toward earlier-inserted ids (tests.py:311-338)") {
+    val s = freshStore()
+    s.insert(eye(10))
+    // zero query: every unit vector is at distance 1.0 — argsort keeps
+    // position order, i.e. ascending id
+    val hits = s.search(Seq(Array.fill(10)(0f)), k = 3)
+    assert(hits.head.map(_.id) == Seq(0L, 1L, 2L))
+    assert(hits.head.forall(_.distance == 1.0f))
+  }
+
+  test("search k > n raises (tests.py:279-284)") {
+    val s = freshStore()
+    s.insert(eye(10))
+    intercept[IllegalArgumentException](s.search(Seq(eye(10)(0)), k = 11))
+  }
+
+  test("persistence: reopen from existing path (tests.py:277-294)") {
+    val s = freshStore()
+    s.insert(eye(10), genDocs(0 until 10))
+    val reopened = VectorStore.openOrCreate(spark, dir, 10)
+    assert(reopened.count() == 10)
+    val hits = reopened.search(Seq(eye(10)(3)), k = 1)
+    assert(hits.head.head.id == 3L)
+    intercept[IllegalArgumentException](VectorStore.openOrCreate(spark, dir, 7))
+  }
+
+  test("delete single / subset / all (tests.py:340-381)") {
+    val s = freshStore()
+    s.insert(eye(10))
+    assert(s.delete(Seq(3L)) == 1L && s.count() == 9)
+    assert(s.delete(Seq(0L, 9L)) == 2L && s.count() == 7)
+    assert(s.delete((0L to 9L).toSeq) == 7L && s.count() == 0)
+  }
+
+  test("delete leaves id holes; later inserts continue from max (tests.py:383-407)") {
+    val s = freshStore()
+    s.insert(eye(10).take(5).map(_.take(10)))
+    s.delete(Seq(2L))
+    s.insert(eye(10).take(3))
+    assert(s.toDF.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 3L, 4L, 5L, 6L, 7L))
+    // index and durable store agree
+    assert(s.dumpVecs().length == 7)
+  }
+
+  test("delete missing ids warns but deletes the present ones (tests.py:245-251)") {
+    val s = freshStore()
+    s.insert(eye(10))
+    assert(s.delete(Seq(5L, 42L)) == 1L)
+    assert(s.count() == 9)
+  }
+
+  test("selectIds: ascending order, missing ids silently absent (tests.py:493-514)") {
+    val s = freshStore()
+    s.insert(eye(10), genDocs(0 until 10))
+    val got = s.selectIds(Seq(7L, 2L, 99L))
+    assert(got.map(_.id) == Seq(2L, 7L))
+    assert(got.head.doc == """{"k2": "v2"}""")
+    assert(s.selectIds(Seq.empty).isEmpty)
+  }
+
+  test("dumpVecs: insertion order, consistent after delete (tests.py:516-543)") {
+    val s = freshStore()
+    s.insert(eye(10))
+    val all = s.dumpVecs()
+    assert(all.length == 10)
+    all.zipWithIndex.foreach { case (v, i) => assert(v.toSeq == eye(10)(i).toSeq) }
+    s.delete(Seq(4L))
+    val after = s.dumpVecs()
+    assert(after.length == 9)
+    // order preserved: position 4 now holds the former id-5 vector
+    assert(after(4).toSeq == eye(10)(5).toSeq)
+  }
+
+  test("queryByDoc: string and typed int values (tests.py:466-486)") {
+    val s = freshStore()
+    s.insert(eye(10).take(3), Seq("""{"k": "v1", "n": 1}""", """{"k": "v2", "n": 2}""", """{"k": "v3", "n": 3}"""))
+    val byStr = s.queryByDoc(Seq("k"), Seq("v2"))
+    assert(byStr.map(_.id) == Seq(1L))
+    val byInt = s.queryByDoc(Seq("n"), Seq(1, 3))
+    assert(byInt.map(_.id) == Seq(0L, 2L))
+    // nested path
+    val s2 = freshStore2()
+    s2.insert(eye(10).take(2), Seq("""{"a": {"b": "x"}}""", """{"a": {"b": "y"}}"""))
+    assert(s2.queryByDoc(Seq("a", "b"), Seq("y")).map(_.id) == Seq(1L))
+  }
+
+  private def freshStore2(): VectorStore =
+    VectorStore.openOrCreate(spark, Files.createTempDirectory("graft-vs2").toString + "/store", 10)
+
+  test("searchByDoc goldens (tests.py:545-565)") {
+    val s = freshStore()
+    s.insert(eye(10).take(5), genDocs(0 until 5))
+    val hits = s.searchByDoc(Seq("""{"1": "1"}"""), k = 5)
+    val top = hits.head
+    assert(top.head.id == 1L)
+    assert(top.head.distance == 9.090909090909093) // exact float64 golden
+    assert(top.tail.forall(_.distance == 27.272727272727266))
+    // rapidfuzz scan-order tie-break: remaining ids ascending
+    assert(top.tail.map(_.id) == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("searchByDoc multi-query (tests.py:567-598)") {
+    val s = freshStore()
+    s.insert(eye(10).take(5), genDocs(0 until 5))
+    val hits = s.searchByDoc(Seq("""{"1": "1"}""", """{"k3": "v3"}"""), k = 2)
+    assert(hits.size == 2)
+    assert(hits(0).head.id == 1L)
+    assert(hits(1).head.id == 3L && hits(1).head.distance == 0.0)
+  }
+
+  test("searchByDoc k<=0 raises; k>n caps (tests.py:600-617)") {
+    val s = freshStore()
+    s.insert(eye(10).take(3), genDocs(0 until 3))
+    intercept[IllegalArgumentException](s.searchByDoc(Seq("{}"), k = 0))
+    intercept[IllegalArgumentException](s.searchByDoc(Seq("{}"), k = -2))
+    val hits = s.searchByDoc(Seq("""{"k1": "v1"}"""), k = 10)
+    assert(hits.head.size == 3) // capped at n, no error
+  }
+
+  test("null docs default to {} (vector_store.py:126-137, 213-215)") {
+    val s = freshStore()
+    s.insert(Seq(eye(10)(0), eye(10)(1)), Seq(null, """{"x": 1}"""))
+    assert(s.head(1).head.doc == "{}")
+    val noDocs = freshStore2()
+    noDocs.insert(eye(10).take(2))
+    assert(noDocs.head(2).forall(_.doc == "{}"))
+  }
+
+  test("insertDF assigns contiguous ids after existing max") {
+    import spark.implicits._
+    val s = freshStore()
+    s.insert(eye(10).take(3))
+    val batch = Seq(
+      (Array.fill(10)(0.1f), """{"b": 1}"""),
+      (Array.fill(10)(0.2f), """{"b": 2}""")).toDF("vec", "doc")
+    assert(s.insertDF(batch) == 2L)
+    assert(s.toDF.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L to 4L))
+  }
+}
