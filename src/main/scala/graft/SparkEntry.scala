@@ -1,13 +1,503 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, fingerprint64, indel_similarity, simhash64}
+import graft.operators.{Dedup, SimilarityJoin, TextAnalysis, TopKAggregator}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the large-scale pipeline operators; `oracleSql`
+  * gives the DuckDB-equivalent SQL for the hash-compare gate (omitted
+  * only for operators whose kernels DuckDB lacks — those get the
+  * rows-only check).
+  *
+  * Conventions for oracle parity: every query ends in an ORDER BY on its
+  * output keys; float aggregates are rounded (4-6 digits) on BOTH sides;
+  * column names are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark's
+    * reader rejects; read nanos as long and convert via integer division
+    * (double division would lose precision above 2^53 ns).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: brute-force
+    * L2 k-NN of 3 query vectors over the embeddings table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    knnQuery(spark, "/root/testdata/sf0.001")
+
+  private def knnScored(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    e.crossJoin(broadcast(queries))
+      .withColumn("distance", graft.functions.l2_distance(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("distance"))
+  }
+
+  private def knnQuery(s: SparkSession, dir: String): DataFrame =
+    SimilarityJoin.topKByDistance(knnScored(s, dir), "qid", "vec_id", "distance", k = 5)
+      .select(col("qid"), col("vec_id"), col("rn"),
+        round(col("distance").cast("double"), 4).as("dist"))
+      .orderBy("qid", "rn")
+
+  private val knnOracle: String = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.qid, e.vec_id, list_distance(e.embedding, q.qvec) AS distance
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT qid, vec_id, distance,
+             row_number() OVER (PARTITION BY qid ORDER BY distance, vec_id) AS rn
+      FROM scored)
+    SELECT qid, vec_id, rn, round(CAST(distance AS DOUBLE), 4) AS dist
+    FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  // ---------------------------------------------------------------- //
+  // Relational coverage (scans, filters, joins, aggs, windows, sets) //
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1 count + R3 max-id (reference vector_store.py:139-142, 195-203)
+    "vs_count" -> ((s, dir) =>
+      T(s, dir, "embeddings").agg(count(lit(1)).as("n"))),
+    "vs_max_id" -> ((s, dir) =>
+      T(s, dir, "embeddings").agg(max(col("vec_id")).as("max_id"))),
+
+    // R2 head: ORDER BY id LIMIT n (vector_store.py:144-161)
+    "vs_head" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(5)
+        .select(col("vec_id"), col("label"),
+          round(element_at(col("embedding"), 1).cast("double"), 5).as("e0"))),
+
+    // R7 select-by-ids semi-join, missing ids silently absent
+    "vs_select_ids" -> ((s, dir) => {
+      val ids = Seq(3L, 5L, 7L, 11L, 400L, 999999L)
+      import s.implicits._
+      T(s, dir, "embeddings")
+        .join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
+    // R6 delete-by-ids as anti-join (vector_store.py:236-254)
+    "vs_delete_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      T(s, dir, "embeddings")
+        .join(broadcast(Seq(0L, 1L, 2L, 3L, 4L).toDF("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
+    // R11 dump vectors in insertion order (projection of components)
+    "vs_dump_vecs" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .orderBy("vec_id")
+        .select(col("vec_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 5).as("e0"),
+          round(element_at(col("embedding"), 2).cast("double"), 5).as("e1"),
+          round(element_at(col("embedding"), 64).cast("double"), 5).as("e63"))),
+
+    // R8 k-NN search: window top-k and aggregator top-k (same oracle)
+    "vs_knn" -> ((s, dir) => knnQuery(s, dir)),
+    "vs_knn_agg" -> ((s, dir) =>
+      TopKAggregator.topKRows(knnScored(s, dir), "qid", "vec_id", "distance", k = 5)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          round(col("distance"), 4).as("dist"))
+        .orderBy("qid", "rn")),
+
+    // R8 variant: cosine top-k
+    "vs_knn_cosine" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val scored = e.crossJoin(broadcast(queries))
+        .withColumn("sim", cosine_similarity(col("embedding"), col("qvec")))
+        .withColumn("neg_sim", -col("sim"))
+        .select(col("qid"), col("vec_id"), col("sim"), col("neg_sim"))
+      SimilarityJoin.topKByDistance(scored, "qid", "vec_id", "neg_sim", k = 4)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          round(col("sim").cast("double"), 4).as("sim"))
+        .orderBy("qid", "rn")
+    }),
+
+    // R10 fuzzy doc search (Indel distance — no DuckDB equivalent,
+    // rows-only check; golden-value parity covered in ScalaTest)
+    "vs_search_by_doc" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      import s.implicits._
+      val queryDocs = Seq((0, "the quick data table scan"), (1, "spark group query row"))
+        .toDF("qid", "qtext")
+      val scored = d.crossJoin(broadcast(queryDocs))
+        .withColumn("distance", lit(100.0) - indel_similarity(col("text"), col("qtext")))
+        .select(col("qid"), col("doc_id"), col("distance"))
+      SimilarityJoin.topKByDistance(scored, "qid", "doc_id", "distance", k = 3)
+        .select(col("qid"), col("doc_id"), col("rn"), round(col("distance"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
+    // R9 JSON-path filter (vector_store.py:334-356)
+    "vs_query_by_doc" -> ((s, dir) =>
+      events(s, dir)
+        .filter(get_json_object(col("props"), "$.k").isin("1", "2", "3"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")),
+
+    // TPC-H Q1-style aggregation
+    "q1_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // filter + projection pushdown
+    "q2_filter" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // broadcast join + agg
+    "q3_join_agg" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    // multi-join through the star schema
+    "q4_multi_join" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")),
+
+    // global top-k (TakeOrderedAndProject)
+    "q5_topk" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // window function: per-customer top-3 orders
+    "q6_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // set op: INTERSECT
+    "q7_intersect" -> ((s, dir) =>
+      T(s, dir, "orders").select(col("o_custkey").as("key"))
+        .intersect(
+          T(s, dir, "customer").filter(col("c_acctbal") > 1000)
+            .select(col("c_custkey").as("key")))
+        .orderBy("key")),
+
+    // semi join (EXISTS)
+    "q8_semi" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // anti join (NOT EXISTS)
+    "q9_anti" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")),
+
+    // rollup grouping sets
+    "q10_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // distinct aggregation
+    "q11_distinct_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // time-bucketed aggregation over the events stream table
+    "q12_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // -------------------- dedup operators -------------------------- //
+    "dd_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+    "dd_exact_keep" -> ((s, dir) =>
+      Dedup.exactDedup(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+    "dd_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+          T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text", 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")),
+    "dd_minhash_lsh" -> ((s, dir) => // custom hash family — rows-only check
+      Dedup.minHashLshPairs(
+          T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+          numHashes = 32, bands = 8, verifyThreshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")),
+    "dd_simhash" -> ((s, dir) => // custom hash family — rows-only check
+      Dedup.simHashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("a_id", "b_id")),
+    "dd_embed_neardup" -> ((s, dir) =>
+      SimilarityJoin.cosineNearDupPairs(
+          T(s, dir, "embeddings").filter(col("vec_id") < 400), "vec_id", "embedding", 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"))
+        .orderBy("a_id", "b_id")),
+
+    // -------------------- text analysis ---------------------------- //
+    "tx_token_stats" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+          round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+    "tx_quality" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")),
+    "tx_langid" -> ((s, dir) => {
+      val ratios = TextAnalysis.langRatios(col("text"))
+      T(s, dir, "documents")
+        .select(
+          (col("doc_id") +: TextAnalysis.langId(col("text")).as("lang_guess") +:
+            ratios.map { case (n, c) => round(c, 4).as(n) }): _*)
+        .orderBy("doc_id")
+    }),
+    "tx_fingerprint" -> ((s, dir) => // custom 64-bit hashes — rows-only check
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          fingerprint64(col("text")).as("fp"),
+          simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+        .orderBy("doc_id")),
+  )
+
+  // ---------------------------------------------------------------- //
+
+  def oracleSql: Map[String, String] = Map(
+    "vs_count" -> "SELECT count(*) AS n FROM embeddings",
+    "vs_max_id" -> "SELECT max(vec_id) AS max_id FROM embeddings",
+    "vs_head" -> """
+      SELECT vec_id, label, round(CAST(embedding[1] AS DOUBLE), 5) AS e0
+      FROM embeddings ORDER BY vec_id LIMIT 5""",
+    "vs_select_ids" -> """
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id IN (3, 5, 7, 11, 400, 999999) ORDER BY vec_id""",
+    "vs_delete_antijoin" -> """
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id NOT IN (0, 1, 2, 3, 4) ORDER BY vec_id""",
+    "vs_dump_vecs" -> """
+      SELECT vec_id,
+             round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
+             round(CAST(embedding[2] AS DOUBLE), 5) AS e1,
+             round(CAST(embedding[64] AS DOUBLE), 5) AS e63
+      FROM embeddings ORDER BY vec_id""",
+    "vs_knn" -> knnOracle,
+    "vs_knn_agg" -> knnOracle,
+    "vs_knn_cosine" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 2),
+      scored AS (
+        SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding, q.qvec) AS sim
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY -sim, vec_id) AS rn
+        FROM scored)
+      SELECT qid, vec_id, rn, round(CAST(sim AS DOUBLE), 4) AS sim
+      FROM ranked WHERE rn <= 4 ORDER BY qid, rn""",
+    "vs_query_by_doc" -> """
+      SELECT event_id, user_id, event_type FROM events
+      WHERE json_extract_string(props, '$.k') IN ('1', '2', '3')
+      ORDER BY event_id""",
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_quantity > 45
+      ORDER BY l_orderkey, l_linenumber""",
+    "q3_join_agg" -> """
+      SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q4_multi_join" -> """
+      SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q5_topk" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q6_window" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q7_intersect" -> """
+      SELECT key FROM (
+        SELECT o_custkey AS key FROM orders
+        INTERSECT
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > 1000) t
+      ORDER BY key""",
+    "q8_semi" -> """
+      SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q9_anti" -> """
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q10_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag, l_linestatus""",
+    "q11_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q12_events_hourly" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "dd_exact_groups" -> """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dd_exact_keep" -> """
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      ORDER BY doc_id""",
+    "dd_jaccard_pairs" -> """
+      WITH d AS (
+        SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+        FROM documents WHERE doc_id < 150)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+               AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+      ORDER BY a_id, b_id""",
+    "dd_embed_neardup" -> """
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 400 AND b.vec_id < 400
+        AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
+      ORDER BY a_id, b_id""",
+    "tx_token_stats" -> """
+      WITH t AS (SELECT doc_id, n_chars,
+                        string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+      SELECT doc_id, len(toks) AS n_tokens,
+             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks), 4) AS mean_tok_len,
+             n_chars
+      FROM t ORDER BY doc_id""",
+    "tx_quality" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+               len(text) AS nc FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / len(toks) AS sw,
+          CAST(nc - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / nc AS pr,
+          CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS ml
+        FROM t)
+      SELECT doc_id, round(sw, 4) AS stopword_ratio, round(pr, 4) AS punct_ratio,
+             round(least(1.0, greatest(0.0,
+               (sw * 2.0 + (1.0 - pr) + CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 / 3.0)), 4) AS quality
+      FROM m ORDER BY doc_id""",
+    "tx_langid" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      r AS (
+        SELECT doc_id,
+          CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist','ein'))) AS DOUBLE) / len(toks) AS de_ratio,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS DOUBLE) / len(toks) AS en_ratio,
+          CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','de','un','es'))) AS DOUBLE) / len(toks) AS es_ratio,
+          CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','de','un','est'))) AS DOUBLE) / len(toks) AS fr_ratio
+        FROM t)
+      SELECT doc_id,
+        CASE WHEN greatest(de_ratio, en_ratio, es_ratio, fr_ratio) = 0.0 THEN 'und'
+             WHEN de_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'de'
+             WHEN en_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'en'
+             WHEN es_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'es'
+             WHEN fr_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'fr'
+             ELSE 'und' END AS lang_guess,
+        round(de_ratio, 4) AS de_ratio, round(en_ratio, 4) AS en_ratio,
+        round(es_ratio, 4) AS es_ratio, round(fr_ratio, 4) AS fr_ratio
+      FROM r ORDER BY doc_id""",
+  )
 }

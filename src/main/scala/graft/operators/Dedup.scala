@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{hamming64, minhash_signature, simhash64}
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * fuzzy. All are shuffle-on-key designs: candidate generation buckets
+  * rows by a short key (hash / band / simhash prefix) so the expensive
+  * pairwise verification only runs inside buckets — the standard shape
+  * that survives 100 TB (no global O(n²)).
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * surviving (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows surviving exact dedup (minimum id per content hash). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** All pairs (a < b) with distinct-token Jaccard ≥ threshold.
+    * O(n²) verification — use [[minHashLshPairs]] at scale; this exact
+    * variant doubles as its verification oracle.
+    */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val withTok = df.select(
+      col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenSet(col(textCol)).as("toks"))
+    val a = withTok.select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = withTok.select(col("id").as("b_id"), col("toks").as("b_toks"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: signature → bands → bucket join
+    * → exact Jaccard verification inside buckets.
+    *
+    * Candidate generation is a self-join on (band index, band hash) —
+    * a hash-partitioned equi-join, no cross join anywhere. `numHashes`
+    * must be divisible by `bands`; rows per band r = numHashes/bands
+    * gives the standard S-curve threshold ≈ (1/bands)^(1/r).
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, verifyThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(
+      col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenSet(col(textCol)).as("toks"),
+      minhash_signature(TextAnalysis.tokenSet(col(textCol)), numHashes).as("sig"))
+    // explode signature into (band, bandHash) keys
+    val banded = withSig.select(
+      col("id"), col("toks"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))
+      ).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("b_id"), col("toks").as("b_toks"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_toks"), col("b_toks"))
+      .dropDuplicates("a_id", "b_id") // candidates may collide in >1 band
+      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signatures compared within
+    * buckets keyed by 16-bit signature quarters (any pair within Hamming
+    * distance ≤ 3 of the full hash shares at least one identical quarter
+    * — pigeonhole over 4 blocks).
+    */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "quarter-block LSH guarantees recall only for maxHamming <= 3")
+    val withSig = df.select(
+      col(idCol).cast("long").as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val blocked = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array(
+        (0 until 4).map(q =>
+          shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xffffL))): _*
+      )).as(Seq("block", "block_val")))
+    val a = blocked.select(col("block"), col("block_val"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = blocked.select(col("block"), col("block_val"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("block", "block_val"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamming64(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: token
+  * statistics, quality scoring, and n-gram-heuristic language ID.
+  * All pure `functions._` compositions — codegen'd, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct-word shingle set for Jaccard-style comparisons. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    filter(
+      transform(ts, (_, i) => concat_ws(" ", slice(ts, i + 1, lit(n)))),
+      (_, i) => i <= size(ts) - n)
+  }
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Stopword ratio: fraction of tokens that are common English stopwords
+    * — a standard cheap quality signal for corpus filtering.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      size(filter(ts, t => t.isInCollection(enStop))).cast("double") / size(ts))
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+        / length(text))
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * moderate token length, penalizes punctuation noise.
+    */
+  def qualityScore(text: Column): Column = {
+    val sw = stopwordRatio(text)
+    val pr = punctRatio(text)
+    val ml = meanTokenLen(text)
+    val lenOk = when(ml >= 3.0 && ml <= 10.0, 1.0).otherwise(0.5)
+    least(lit(1.0), greatest(lit(0.0), (sw * 2.0 + (lit(1.0) - pr) + lenOk) / 3.0))
+  }
+
+  private val langLexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "es"))
+
+  /** Per-language stopword-hit ratio columns, e.g. `en_ratio`. */
+  def langRatios(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    langLexicons.toSeq.sortBy(_._1).map { case (lang, lex) =>
+      val ratio = when(size(ts) === 0, 0.0).otherwise(
+        size(filter(ts, t => t.isInCollection(lex))).cast("double") / size(ts))
+      s"${lang}_ratio" -> ratio
+    }
+  }
+
+  /** Argmax language guess over the lexicon ratios ("und" if all zero). */
+  def langId(text: Column): Column = {
+    val ratios = langRatios(text)
+    val best = greatest(ratios.map(_._2): _*)
+    ratios.foldLeft(when(best === 0.0, "und")) { case (acc, (name, r)) =>
+      acc.when(r === best, name.stripSuffix("_ratio"))
+    }.otherwise("und")
+  }
+}
