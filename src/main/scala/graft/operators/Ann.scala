@@ -1,0 +1,141 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, dot_product, l2_distance}
+
+/** Approximate nearest-neighbor search: the scale path beyond
+  * brute-force (reference is exact-only, vector_store.py:291 — these are
+  * the beyond-reference operators for 100 TB corpora).
+  *
+  * Two standard families:
+  *   - Random-hyperplane LSH for cosine: bucket by sign-pattern, search
+  *     only same-bucket candidates. Candidate generation is an equi-join
+  *     on the bucket key — shuffle-by-key, no cross join.
+  *   - IVF (inverted-file): Lloyd-iteration centroids, index rows
+  *     assigned to nearest centroid; queries probe the `nProbe` nearest
+  *     cells. The 100 TB layout: partition (or bucket) the index by
+  *     `centroid_id` so a probe touches only matching partitions.
+  */
+object Ann {
+
+  /** Deterministic random hyperplanes (rows: nBits × dim). */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Sign-pattern bucket id of a vector column under `nBits` seeded
+    * hyperplanes — vectors with small cosine distance agree on most bits.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    require(nBits <= 62, "bucket fits in a long")
+    val planes = hyperplanes(dim, nBits, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot_product(vec, lit(p)) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate cosine top-k via LSH bucketing: candidates = index rows
+    * sharing the query's bucket (NOT exhaustive — recall < 1 by design;
+    * measure against [[SimilarityJoin.knnCosine]]).
+    */
+  def lshCosineTopK(
+      index: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val bIndex = index.withColumn("bucket", hyperplaneBucket(col(vecCol), dim, nBits, seed))
+    val bQueries = queries.withColumn("bucket", hyperplaneBucket(col(qvecCol), dim, nBits, seed))
+    val scored = bIndex
+      .join(broadcast(bQueries), Seq("bucket"))
+      .withColumn("sim", cosine_similarity(col(vecCol), col(qvecCol)))
+      .withColumn("neg_sim", -col("sim"))
+      .select(col(qidCol), col(idCol), col("sim"), col("neg_sim"))
+    SimilarityJoin.topKByDistance(scored, qidCol, idCol, "neg_sim", k).drop("neg_sim")
+  }
+
+  /** Lloyd k-means over an `array<float>` column, all DataFrame ops.
+    * Deterministic: initial centroids are the `nCentroids` lowest-id
+    * rows' vectors. Returns (centroid_id, centroid).
+    *
+    * Each iteration: broadcast centroids → assign (argmin distance) →
+    * per-dimension mean via posexplode + two-level aggregation. Both
+    * stages are shuffle-on-key; nothing driver-side scales with n.
+    */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var centroids = df.orderBy(col(idCol)).limit(nCentroids)
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
+      .select(col("centroid_id"), col(vecCol).as("centroid"))
+      .cache()
+    (0 until iters).foreach { _ =>
+      val next = assign(df, idCol, vecCol, centroids)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("mean"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("dims"))
+        .select(col("centroid_id"),
+          transform(col("dims"), d => d.getField("mean").cast("float")).as("centroid"))
+      val materialized = next.cache()
+      materialized.count()
+      centroids.unpersist()
+      centroids = materialized
+    }
+    centroids
+  }
+
+  /** Assign each row to its nearest centroid (broadcast argmin). */
+  def assign(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_cdist").asc, col("centroid_id").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("_cdist", l2_distance(col(vecCol), col("centroid")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "centroid", "_cdist")
+  }
+
+  /** IVF index: rows tagged with their centroid cell. At cluster scale,
+    * write this out partitioned/bucketed by `centroid_id` so probes
+    * prune partitions at the source.
+    */
+  def ivfBuild(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5): (DataFrame, DataFrame) = {
+    val centroids = kmeans(df, idCol, vecCol, nCentroids, iters)
+    (assign(df, idCol, vecCol, centroids), centroids)
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, brute-force
+    * only within probed cells. Exact within recall limits of the probe
+    * set; nProbe = nCentroids degenerates to exact search.
+    */
+  def ivfSearchL2(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    // rank cells per query (small: queries × centroids)
+    val probed = SimilarityJoin.topKByDistance(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("cdist", l2_distance(col(qvecCol), col("centroid")))
+        .select(col(qidCol), col(qvecCol), col("centroid_id"), col("cdist")),
+      qidCol, "centroid_id", "cdist", nProbe)
+      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+    // candidates: equi-join on cell id — prunes the index scan
+    val scored = indexed
+      .join(broadcast(probed), Seq("centroid_id"))
+      .withColumn("distance", l2_distance(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("distance"))
+    SimilarityJoin.topKByDistance(scored, qidCol, idCol, "distance", k)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A row of the `events` table as a stream element. */
+case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** A closed user session emitted by [[EventStreams.sessionize]]. */
+case class UserSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+private case class SessionState(
+    start: Long, last: Long, n: Long, total: Double)
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.6) — this module
+  * is part of the beyond-reference pipeline scope. Designs are the
+  * standard scale shapes: watermark + windowed aggregation (state store
+  * bounded by the watermark horizon) and `flatMapGroupsWithState`
+  * sessionization (state keyed by user, evicted on event-time timeout).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * bounded state and late-data tolerance.
+    */
+  def hourlyAggregates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Event-time sessionization: a session closes after `gapMinutes` of
+    * user inactivity (enforced via event-time timeout so it works in
+    * replay/backfill, not just wall-clock).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def flush(userId: Long, st: SessionState): UserSession =
+      UserSession(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last <= gapMs =>
+                  cur = Some(SessionState(st.start, math.max(st.last, t), st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  closed ::= flush(userId, st)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics — the windowed
+    * lag/cumsum formulation, usable for backfill and for validating the
+    * streaming path on finite data.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60L * 1000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs).cast("int"))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("session_no")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Ann, SimilarityJoin}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private lazy val queries = emb.filter($"vec_id" < 10)
+    .select($"vec_id".as("qid"), $"embedding".as("qvec")).cache()
+
+  test("kmeans converges to stable centroid count and assignment covers all rows") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 3)
+    assert(centroids.count() == 8)
+    assert(indexed.count() == emb.count())
+    assert(indexed.select("centroid_id").distinct().count() <= 8)
+    // deterministic across runs
+    val (_, c2) = Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 3)
+    val a = centroids.orderBy("centroid_id").as[(Long, Array[Float])].collect()
+    val b = c2.orderBy("centroid_id").as[(Long, Array[Float])].collect()
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    a.zip(b).foreach { case ((_, v1), (_, v2)) => assert(v1.toSeq == v2.toSeq) }
+  }
+
+  test("IVF search: exact when probing all cells; good recall at nProbe=3") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 3)
+    val exact = SimilarityJoin.knnL2(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val full = Ann.ivfSearchL2(indexed, "vec_id", "embedding", centroids,
+        queries, "qid", "qvec", k = 5, nProbe = 8)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact) // nProbe = nCentroids degenerates to exact
+    val approx = Ann.ivfSearchL2(indexed, "vec_id", "embedding", centroids,
+        queries, "qid", "qvec", k = 5, nProbe = 3)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = approx.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall $recall too low") // self-match alone gives 0.2
+  }
+
+  test("LSH cosine top-k: self-match always found, candidates bucket-pruned") {
+    val got = Ann.lshCosineTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 3, dim = 64, nBits = 6)
+    val bySelf = got.filter($"rn" === 1)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+    // rank-1 hit for each query is the query vector itself (same bucket,
+    // cosine 1.0)
+    assert(bySelf.forall { case (q, id) => q == id })
+    assert(got.count() > 0 && got.count() <= 30)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStreams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyAggregates: windowed counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStreams.hourlyAggregates(input.toDF())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 10, "click", 1.0),
+        Event(2, ts(20), 11, "click", 2.0),
+        Event(3, ts(70), 10, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select($"hour", $"event_type", $"n", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().sortBy(r => (r._1.getTime, r._2))
+      assert(rows.toSeq == Seq(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "click", 2L, 3.0),
+        (Timestamp.valueOf("2024-01-01 01:00:00"), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions close on inactivity gap (event-time)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMinutes = 30, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 90 min gap
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(100), 1, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time the second session out
+      input.addData(Event(4, ts(600), 2, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(1200), 2, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter($"user_id" === 1)
+        .orderBy($"session_start")
+        .collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      assert(got.length == 2)
+      assert(got(0) == (ts(0), ts(10), 2L, 3.0))
+      assert(got(1) == (ts(100), ts(100), 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch matches streaming semantics on the events table") {
+    // events.parquet has nanos timestamps; use the long-read path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = EventStreams.sessionizeBatch(ev, gapMinutes = 30)
+    val n = sessions.count()
+    assert(n > 0)
+    // session invariants: start <= end, n_events >= 1, no user has
+    // overlapping sessions
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"session_start")
+    val bad = sessions
+      .withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull &&
+        unix_millis($"session_start") - unix_millis($"prev_end") <= 30 * 60 * 1000L)
+      .count()
+    assert(bad == 0)
+    assert(sessions.filter($"session_start" > $"session_end").count() == 0)
+  }
+}
