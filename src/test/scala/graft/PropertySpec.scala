@@ -1,0 +1,93 @@
+package graft
+
+import graft.expressions.Kernels
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks of the kernels (SURVEY.md §5: property tests
+  * alongside the ported golden suite).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under the default 100-case regime. */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiStr = for {
+    n <- Gen.chooseNum(0, 30)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  /** Reference LCS via exhaustive DP (independent implementation). */
+  private def lcsNaive(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("lcsLen matches an independent DP implementation") {
+    check(Prop.forAll(asciiStr, asciiStr) { (a, b) =>
+      Kernels.lcsLen(a, b) == lcsNaive(a, b)
+    })
+  }
+
+  test("indel distance is a metric: identity, symmetry, triangle inequality") {
+    check(Prop.forAll(asciiStr, asciiStr, asciiStr) { (a, b, c) =>
+      val dab = Kernels.indelDistance(a, b)
+      val dba = Kernels.indelDistance(b, a)
+      val dac = Kernels.indelDistance(a, c)
+      val dcb = Kernels.indelDistance(c, b)
+      Kernels.indelDistance(a, a) == 0 && dab == dba && dab <= dac + dcb &&
+        dab >= 0 && dab <= a.length + b.length
+    })
+  }
+
+  test("indel similarity bounded in [0, 100]; 100 iff equal strings") {
+    check(Prop.forAll(asciiStr, asciiStr) { (a, b) =>
+      val s = Kernels.indelSimilarity(a, b)
+      s >= 0.0 && s <= 100.0 && ((s == 100.0) == (a == b || (a + b).isEmpty))
+    })
+  }
+
+  test("fnv/fingerprint hashes are deterministic and input-sensitive") {
+    check(Prop.forAll(asciiStr, asciiStr) { (a, b) =>
+      (Kernels.fingerprint64(a) == Kernels.fingerprint64(a)) &&
+        (a == b || Kernels.fnv1a64(a + "x") != Kernels.fnv1a64(a))
+    })
+  }
+
+  test("minhash signature equality rate approximates Jaccard (statistical)") {
+    // fixed vocab, deterministic: identical sets -> identical signatures;
+    // disjoint sets -> (almost surely) different signatures
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Seq[String]) = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    val s1 = Kernels.minHashSignature(arr(Seq("a", "b", "c")), 32)
+    val s2 = Kernels.minHashSignature(arr(Seq("c", "b", "a", "a")), 32) // same set
+    val s3 = Kernels.minHashSignature(arr(Seq("x", "y", "z")), 32)
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.toSeq != s3.toSeq)
+    // ~50% overlap sets agree on roughly half the components
+    val h1 = Kernels.minHashSignature(arr(Seq("a", "b", "c", "d")), 64)
+    val h2 = Kernels.minHashSignature(arr(Seq("c", "d", "e", "f")), 64)
+    val agree = h1.zip(h2).count { case (x, y) => x == y }
+    assert(agree > 5 && agree < 40, s"agreement $agree implausible for J=1/3")
+  }
+
+  test("float32 L2 kernel: zero iff identical; symmetric; scales correctly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Seq[Float]) = new GenericArrayData(xs.toArray)
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10f, 10f))
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val d1 = Kernels.l2(arr(a), arr(b))
+      val d2 = Kernels.l2(arr(b), arr(a))
+      d1 == d2 && d1 >= 0f && Kernels.l2(arr(a), arr(a)) == 0f &&
+        math.abs(Kernels.l2Sq(arr(a), arr(b)) - d1 * d1) <= 1e-2f * (1f + d1 * d1)
+    })
+  }
+}
