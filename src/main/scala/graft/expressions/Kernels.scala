@@ -66,29 +66,69 @@ object Kernels {
     if (den == 0.0) 0f else (d / den).toFloat
   }
 
-  /** Length of the Longest Common Subsequence (classic 2-row DP). */
+  /** Length of the Longest Common Subsequence.
+    *
+    * Bit-parallel Allison–Dix/Hyyrö formulation: O(⌈m/64⌉·n) word ops
+    * instead of the classic O(m·n) cell DP — ~64× fewer operations on
+    * the fuzzy-search hot path (the reference's own bottleneck is the
+    * equivalent scoring loop, vector_store.py:377-382).
+    */
   def lcsLen(a: String, b: String): Int = {
     val m = a.length; val n = b.length
     if (m == 0 || n == 0) return 0
-    // iterate over the longer string in the outer loop to keep rows small
-    val (s, t) = if (m >= n) (a, b) else (b, a)
-    val w = t.length
-    var prev = new Array[Int](w + 1)
-    var cur = new Array[Int](w + 1)
-    var i = 1
-    while (i <= s.length) {
-      val si = s.charAt(i - 1)
-      var j = 1
-      while (j <= w) {
-        cur(j) =
-          if (si == t.charAt(j - 1)) prev(j - 1) + 1
-          else math.max(prev(j), cur(j - 1))
-        j += 1
-      }
-      val tmp = prev; prev = cur; cur = tmp
+    // bitmask rows over the shorter string to minimize word count
+    val (s, t) = if (m <= n) (a, b) else (b, a)
+    val w = (s.length + 63) >>> 6
+    // per-character match masks for the pattern string s
+    val masks = new java.util.HashMap[Character, Array[Long]]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      var arr = masks.get(c)
+      if (arr == null) { arr = new Array[Long](w); masks.put(c, arr) }
+      arr(i >>> 6) |= 1L << (i & 63)
       i += 1
     }
-    prev(w)
+    // V starts all-ones; each text char c: U = V & M[c];
+    // V = (V + U) | (V - U)  with carry/borrow across words
+    val v = Array.fill(w)(-1L)
+    val zeros = new Array[Long](w)
+    var j = 0
+    while (j < t.length) {
+      val mask = masks.getOrDefault(t.charAt(j), zeros)
+      var carry = 0L   // addition carry
+      var borrow = 0L  // subtraction borrow
+      var k = 0
+      while (k < w) {
+        val vk = v(k)
+        val u = vk & mask(k)
+        val sum = vk + u + carry
+        carry = if (carryOut(vk, u, carry)) 1L else 0L
+        val diffFull = vk - u - borrow
+        borrow = if (java.lang.Long.compareUnsigned(vk, u) < 0 ||
+          (borrow == 1L && vk == u)) 1L else 0L
+        v(k) = sum | diffFull
+        k += 1
+      }
+      j += 1
+    }
+    // LCS = number of zero bits in V within the first |s| positions
+    var zerosCount = 0
+    var k = 0
+    while (k < w) {
+      val limit = math.min(64, s.length - (k << 6))
+      val maskBits = if (limit == 64) -1L else (1L << limit) - 1
+      zerosCount += java.lang.Long.bitCount(~v(k) & maskBits)
+      k += 1
+    }
+    zerosCount
+  }
+
+  private def carryOut(x: Long, y: Long, cin: Long): Boolean = {
+    val sum = x + y
+    val c1 = java.lang.Long.compareUnsigned(sum, x) < 0
+    val sum2 = sum + cin
+    c1 || java.lang.Long.compareUnsigned(sum2, sum) < 0
   }
 
   /** Indel distance (insert/delete-only edit distance) = |a|+|b| − 2·LCS.

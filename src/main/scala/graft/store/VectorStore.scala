@@ -207,6 +207,24 @@ class VectorStore private (
     }
   }
 
+  /** Distributed batch k-NN: queries as a DataFrame (`qid`, `qvec`),
+    * result as a DataFrame `(qid, id, distance, rn)` — the pipeline-
+    * facing variant of [[search]] that never collects to the driver.
+    *
+    * Uses the aggregator top-k ([[graft.operators.TopKAggregator]]) so
+    * each partition reduces to ≤ k candidates per query before the
+    * shuffle; shuffle volume is independent of store size. No reference
+    * analogue (its API is driver arrays only); semantics match [[search]]
+    * modulo the float64 distance column the aggregator buffer uses.
+    */
+  def searchDF(queries: DataFrame, k: Int): DataFrame = {
+    val scored = indexDf
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .withColumn("distance", l2_distance($"vec", $"qvec"))
+      .select($"qid", $"id", $"distance")
+    graft.operators.TopKAggregator.topKRows(scored, "qid", "id", "distance", k)
+  }
+
   /** JSON-path filter (reference: vector_store.py:334-356): rows whose
     * `doc` JSON value at `$.path` is in `values`. Values compare as
     * strings (SQLite's typed `json_extract` vs Spark's string-valued

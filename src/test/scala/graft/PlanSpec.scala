@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression tests: the scale properties SCALE.md claims
+  * (pushdown, pruning, broadcast, partial top-k, codegen) asserted
+  * against the actual physical plans, so a refactor that silently
+  * de-optimizes a query fails CI.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2_filter: predicates pushed to parquet, schema pruned") {
+    val s = planString("q2_filter")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected shipdate pushdown in:\n$s")
+    assert(s.contains("(l_quantity#") && s.contains("> 45.0"), "quantity filter present")
+    // 4 of 11 columns read (3 projected + the filtered shipdate)
+    assert(s.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate"),
+      "expected pruned read schema")
+  }
+
+  test("q5_topk plans as TakeOrderedAndProject (no global sort)") {
+    val s = planString("q5_topk")
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("q3_join_agg uses a broadcast hash join") {
+    val s = planString("q3_join_agg")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("vs_knn: query side broadcast, index side streamed") {
+    val s = planString("vs_knn")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+    // the distance expression is codegen'd, not a fallback row eval
+    assert(s.contains("l2_distance"), s)
+    assert(!s.toLowerCase.contains("codegenfallback"), "kernel fell out of codegen")
+  }
+
+  test("vs_select_ids / vs_delete_antijoin: broadcast semi/anti joins") {
+    assert(planString("vs_select_ids").contains("LeftSemi, BuildRight"))
+    assert(planString("vs_delete_antijoin").contains("LeftAnti, BuildRight"))
+  }
+
+  test("vs_knn_agg: partial aggregation before the shuffle") {
+    val df = SparkEntry.queries("vs_knn_agg")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    // typed-aggregator top-k must plan as two-phase hash/object agg
+    // (partial map-side, final after exchange)
+    val aggCount = "(?i)aggregate".r.findAllIn(s).length
+    assert(aggCount >= 2, s"expected two-phase aggregation:\n$s")
+    assert(s.contains("Exchange hashpartitioning(qid"), s)
+  }
+
+  test("dedup exact groups: map-side partial aggregation on content hash") {
+    val df = graft.operators.Dedup.exactGroups(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val s = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(s).length >= 2, s)
+  }
+
+  test("minhash LSH candidates: equi-join on band key, no cross join") {
+    val df = graft.operators.Dedup.minHashLshPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation must not be a cross join:\n$s")
+  }
+}

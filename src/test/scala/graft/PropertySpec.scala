@@ -36,6 +36,17 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("lcsLen multi-word path (strings > 64 chars, small alphabet)") {
+    // small alphabet maximizes matches → exercises carry/borrow chains
+    val longStr = for {
+      n <- Gen.chooseNum(0, 300)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    check(Prop.forAll(longStr, longStr) { (a, b) =>
+      Kernels.lcsLen(a, b) == lcsNaive(a, b)
+    })
+  }
+
   test("indel distance is a metric: identity, symmetry, triangle inequality") {
     check(Prop.forAll(asciiStr, asciiStr, asciiStr) { (a, b, c) =>
       val dab = Kernels.indelDistance(a, b)

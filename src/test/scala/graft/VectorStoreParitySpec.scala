@@ -219,6 +219,18 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(noDocs.head(2).forall(_.doc == "{}"))
   }
 
+  test("searchDF matches search results without collecting the index") {
+    import spark.implicits._
+    val s = freshStore()
+    s.insert(eye(10), genDocs(0 until 10))
+    val queries = Seq(
+      (0L, Array(0f, 0f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0f, 1f)),
+      (1L, eye(10)(7))).toDF("qid", "qvec")
+    val got = s.searchDF(queries, k = 2)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((0L, 9L, 1), (0L, 3L, 2), (1L, 7L, 1), (1L, 0L, 2)))
+  }
+
   test("insertDF assigns contiguous ids after existing max") {
     import spark.implicits._
     val s = freshStore()
