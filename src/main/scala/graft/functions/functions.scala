@@ -39,6 +39,10 @@ object functions {
 
   def fingerprint64(s: Column): Column = c(Fingerprint64(e(s)))
 
+  /** Reference-format blob codec: LE float32 bytes ↔ `array<float>`. */
+  def float_blob_decode(b: Column): Column = c(FloatBlobDecode(e(b)))
+  def float_blob_encode(v: Column): Column = c(FloatBlobEncode(e(v)))
+
   /** SQL function descriptors (name → builder) for all graft expressions. */
   private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "l2_distance" -> (args => L2Distance(args(0), args(1))),
@@ -51,6 +55,8 @@ object functions {
     "simhash64" -> (args => SimHash64(args(0))),
     "hamming64" -> (args => Hamming64(args(0), args(1))),
     "fingerprint64" -> (args => Fingerprint64(args(0))),
+    "float_blob_decode" -> (args => FloatBlobDecode(args(0))),
+    "float_blob_encode" -> (args => FloatBlobEncode(args(0))),
   )
 
   /** Register all graft functions in a session's function registry so they

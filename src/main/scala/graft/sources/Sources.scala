@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.store.VectorStore
+
+/** Source/sink helpers beyond the native Parquet path.
+  *
+  * The reference supports exactly one source — its SQLite file (SURVEY.md
+  * §2.1). graft is Parquet-native; these helpers cover the practical
+  * import/export surfaces a store migration needs: CSV/JSON ingestion
+  * into the store schema, and the reference's raw-blob vector encoding
+  * (`FloatBlobDecode`/`Encode`) for lossless interchange with its BLOBs.
+  */
+object Sources {
+
+  /** Read CSV with an explicit schema (never infer in production paths —
+    * schema inference is a full extra pass over the data).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Read newline-delimited JSON with an explicit schema. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Import rows shaped like the reference's table — `(id, vec BLOB,
+    * doc)` with little-endian float32 blob vectors — into a graft store
+    * DataFrame ready for [[VectorStore.insertDF]].
+    */
+  def fromReferenceBlobs(blobs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    import graft.expressions.FloatBlobDecode
+    blobs.select(
+      GraftShim.column(FloatBlobDecode(GraftShim.expression(col("vec")))).as("vec"),
+      coalesce(col("doc"), lit("{}")).as("doc"))
+  }
+
+  /** Export a store's rows with vectors re-encoded as the reference's
+    * blob format.
+    */
+  def toReferenceBlobs(store: VectorStore): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    import graft.expressions.FloatBlobEncode
+    store.toDF.select(
+      col("id"),
+      GraftShim.column(FloatBlobEncode(GraftShim.expression(col("vec")))).as("vec"),
+      col("doc"))
+  }
+}

@@ -24,6 +24,14 @@ trait StorageLayer {
   def append(df: DataFrame): Unit
   /** Atomically replace the table contents (stage → swap). */
   def overwrite(df: DataFrame): Unit
+
+  /** Remove rows whose `id` appears in `ids`. Default strategy: full
+    * read-antijoin-rewrite (correct anywhere, O(table) IO). Layouts with
+    * a cheaper path (tombstones) override.
+    */
+  def delete(ids: DataFrame): Unit =
+    overwrite(read().join(
+      org.apache.spark.sql.functions.broadcast(ids.select("id")), Seq("id"), "left_anti"))
 }
 
 /** Parquet directory layout: parquet part-files under `<root>/data`.
@@ -56,4 +64,53 @@ final class ParquetStorage(spark: SparkSession, root: String) extends StorageLay
     fs.rename(staging, dataPath)
     if (fs.exists(backup)) fs.delete(backup, true)
   }
+}
+
+/** Tombstone-log layout: `<root>/data` is append-only; deletes append the
+  * dead ids to `<root>/tombstones` and reads anti-join them out.
+  *
+  * This is the 100 TB delete path: a delete batch costs O(batch) IO
+  * instead of rewriting the table, at the price of an anti-join per read
+  * (broadcast — the tombstone set is small relative to data) until
+  * [[compact]] folds tombstones into a rewrite. Same single-writer model
+  * as the rest of the store.
+  */
+final class TombstoneStorage(spark: SparkSession, root: String) extends StorageLayer {
+  private val inner = new ParquetStorage(spark, root)
+  private val tombPath = new Path(root, "tombstones")
+  private def fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def exists: Boolean = inner.exists
+  override def initialize(schema: StructType): Unit = inner.initialize(schema)
+  override def append(df: DataFrame): Unit = inner.append(df)
+
+  private def tombstones(): Option[DataFrame] =
+    if (fs.exists(tombPath)) Some(spark.read.parquet(tombPath.toString)) else None
+
+  override def read(): DataFrame = {
+    val data = inner.read()
+    tombstones() match {
+      case Some(t) =>
+        data.join(org.apache.spark.sql.functions.broadcast(t), Seq("id"), "left_anti")
+      case None => data
+    }
+  }
+
+  override def delete(ids: DataFrame): Unit =
+    ids.select("id").write.mode("append").parquet(tombPath.toString)
+
+  /** Rewrite minus tombstones, then clear the tombstone log. */
+  def compact(): Unit = {
+    inner.overwrite(read())
+    if (fs.exists(tombPath)) fs.delete(tombPath, true)
+  }
+
+  /** Overwrite folds any pending tombstones (they described the old data). */
+  override def overwrite(df: DataFrame): Unit = {
+    inner.overwrite(df)
+    if (fs.exists(tombPath)) fs.delete(tombPath, true)
+  }
+
+  /** Number of tombstoned ids (monitoring / compaction policy input). */
+  def tombstoneCount(): Long = tombstones().map(_.count()).getOrElse(0L)
 }

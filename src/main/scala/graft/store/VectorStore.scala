@@ -110,6 +110,12 @@ class VectorStore private (
     val start = maxId() + 1
     val assigned = withDoc
       .select($"vec".cast(ArrayType(FloatType)).as("vec"), $"doc")
+      // per-row dimension guard evaluated inside the write job (no extra
+      // pass) — mirrors the driver-side insert validation
+      .withColumn("_dim_ok",
+        assert_true(size($"vec") === dim,
+          lit(s"insertDF: vector dimension must be $dim")))
+      .drop("_dim_ok")
       .rdd.zipWithIndex()
       .map { case (r, i) => Row(start + i, r.getSeq[Float](0), r.getString(1)) }
     val df = spark.createDataFrame(assigned, VectorStore.schema)
@@ -131,10 +137,21 @@ class VectorStore private (
     val distinctIds = ids.distinct.size
     if (present < distinctIds)
       logWarning(s"delete: ${distinctIds - present} of $distinctIds ids not present in store")
-    val remaining = table.join(broadcast(idsDf), Seq("id"), "left_anti")
-    storage.overwrite(remaining)
+    storage.delete(idsDf)
     refreshIndex()
     present
+  }
+
+  /** Fold any pending tombstones into a rewrite (no-op on the plain
+    * Parquet layout). Run when the tombstone set grows large enough that
+    * the per-read anti-join matters.
+    */
+  def compact(): Unit = {
+    storage match {
+      case t: TombstoneStorage => t.compact()
+      case _ => ()
+    }
+    refreshIndex()
   }
 
   /** Select by ids, ascending id; unknown ids silently absent (reference:
@@ -261,11 +278,19 @@ object VectorStore {
 
   /** Open an existing store (validating its recorded dimension) or create
     * an empty one (reference: vector_store.py:29-77).
+    *
+    * `tombstoneDeletes = true` selects the [[TombstoneStorage]] layout:
+    * O(batch) deletes with periodic [[VectorStore.compact]], the layout
+    * for tables too large to rewrite per delete.
     */
-  def openOrCreate(spark: SparkSession, path: String, dim: Int): VectorStore = {
+  def openOrCreate(
+      spark: SparkSession, path: String, dim: Int,
+      tombstoneDeletes: Boolean = false): VectorStore = {
     require(dim > 0, s"dim must be positive, got $dim")
     graft.functions.registerAll(spark)
-    val storage = new ParquetStorage(spark, path)
+    val storage: StorageLayer =
+      if (tombstoneDeletes) new TombstoneStorage(spark, path)
+      else new ParquetStorage(spark, path)
     val metaPath = new Path(path, "dim.meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (storage.exists) {

@@ -48,6 +48,9 @@ class PlanSpec extends SparkSuite {
     // the distance expression is codegen'd, not a fallback row eval
     assert(s.contains("l2_distance"), s)
     assert(!s.toLowerCase.contains("codegenfallback"), "kernel fell out of codegen")
+    // per-partition top-k prune BEFORE the shuffle (bounded shuffle volume)
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"expected partial window group limit:\n$s")
   }
 
   test("vs_select_ids / vs_delete_antijoin: broadcast semi/anti joins") {

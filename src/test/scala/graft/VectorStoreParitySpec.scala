@@ -231,6 +231,28 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(got == Set((0L, 9L, 1), (0L, 3L, 2), (1L, 7L, 1), (1L, 0L, 2)))
   }
 
+  test("tombstone layout: identical delete semantics, O(batch) deletes, compaction") {
+    val dir2 = Files.createTempDirectory("graft-ts").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir2, 10, tombstoneDeletes = true)
+    s.insert(eye(10))
+    assert(s.delete(Seq(2L, 42L)) == 1L) // missing id warns, not errors
+    assert(s.count() == 9)
+    s.insert(eye(10).take(2))
+    // holes + continuation identical to the rewrite layout
+    assert(s.toDF.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (Seq(0L, 1L) ++ (3L to 11L)))
+    // search works through the tombstone anti-join
+    assert(s.search(Seq(eye(10)(5)), k = 1).head.head.id == 5L)
+    // compact folds tombstones, contents unchanged
+    s.compact()
+    assert(s.count() == 11)
+    assert(s.toDF.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (Seq(0L, 1L) ++ (3L to 11L)))
+    // reopening the tombstone store sees the same data
+    val re = VectorStore.openOrCreate(spark, dir2, 10, tombstoneDeletes = true)
+    assert(re.count() == 11)
+  }
+
   test("insertDF assigns contiguous ids after existing max") {
     import spark.implicits._
     val s = freshStore()
@@ -241,5 +263,14 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(s.insertDF(batch) == 2L)
     assert(s.toDF.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ==
       (0L to 4L))
+  }
+
+  test("insertDF rejects wrong-dimension vectors (job fails, store unchanged)") {
+    import spark.implicits._
+    val s = freshStore()
+    s.insert(eye(10).take(2))
+    val bad = Seq(Tuple1(Array.fill(7)(1f))).toDF("vec")
+    intercept[Exception](s.insertDF(bad))
+    assert(s.count() == 2)
   }
 }
