@@ -416,6 +416,66 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // grouping-sets: CUBE
+    "q16_cube" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("revenue"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // scalar string functions
+    "q17_string_funcs" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"))
+        .orderBy("c_custkey")),
+
+    // scalar math functions
+    "q18_math_funcs" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(pow(col("l_discount"), lit(2)), 8).as("disc_sq"),
+          round(log(col("l_extendedprice") + 1), 6).as("ln_price"),
+          abs(col("l_quantity") - 25).cast("double").as("qty_dev"),
+          ceil(col("l_quantity") / 7).as("qty_ceil"),
+          floor(col("l_extendedprice") / 1000).as("price_k"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // conditional expressions
+    "q19_case_when" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("terminal")).as("status_class"))
+        .groupBy(col("bucket"), col("status_class"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket", "status_class")),
+
+    // date/time extraction functions
+    "q20_date_funcs" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(dayofmonth(col("o_orderdate"))).as("active_days"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("y", "m")),
+
     // multimodal stub pipeline — rows-only check (deterministic features)
     "mm_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.fromBinary(
@@ -657,5 +717,41 @@ object SparkEntry {
              round(sum(value), 2) AS total_value
       FROM g GROUP BY user_id, sno
       ORDER BY user_id, session_start""",
+    "q16_cube" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+             coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority""",
+    "q17_string_funcs" -> """
+      SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
+             len(c_name) AS name_len,
+             concat_ws('|', c_mktsegment, c_name) AS joined,
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked
+      FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
+    "q18_math_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(sqrt(l_extendedprice), 6) AS sqrt_price,
+             round(pow(l_discount, 2), 8) AS disc_sq,
+             round(ln(l_extendedprice + 1), 6) AS ln_price,
+             CAST(abs(l_quantity - 25) AS DOUBLE) AS qty_dev,
+             CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
+      FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""",
+    "q19_case_when" -> """
+      SELECT bucket, status_class, count(*) AS n FROM (
+        SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS bucket,
+               coalesce(nullif(o_orderstatus, 'O'), 'terminal') AS status_class
+        FROM orders) t
+      GROUP BY bucket, status_class ORDER BY bucket, status_class""",
+    "q20_date_funcs" -> """
+      SELECT EXTRACT(year FROM o_orderdate) AS y, EXTRACT(month FROM o_orderdate) AS m,
+             count(*) AS n,
+             count(DISTINCT EXTRACT(day FROM o_orderdate)) AS active_days,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2 ORDER BY y, m""",
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Recall/containment checks for the approximate dedup operators against
+  * their exact counterparts on real document data.
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .filter($"doc_id" < 200).cache()
+
+  test("minhash-LSH pairs are a subset of exact Jaccard pairs (precision 1.0)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, verifyThreshold = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // verification step guarantees precision 1.0
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh.diff(exact).take(5)}")
+    // banding at (8 bands × 4 rows) has S-curve threshold ~0.59; at
+    // J >= 0.7 candidate recall should be high
+    val strong = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    if (strong.nonEmpty) {
+      val recall = lsh.intersect(strong).size.toDouble / strong.size
+      assert(recall >= 0.8, s"recall $recall on ${strong.size} strong pairs")
+    }
+  }
+
+  test("simhash pairs all satisfy the hamming bound and are symmetric-free") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
+    // no duplicate pairs from multi-block collisions
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+  }
+
+  test("exact dedup is idempotent and loses no distinct content") {
+    val once = Dedup.exactDedup(docs, "doc_id", "text").cache()
+    val twice = Dedup.exactDedup(once, "doc_id", "text")
+    assert(once.count() == twice.count())
+    assert(once.select(md5($"text")).distinct().count() ==
+      docs.select(md5($"text")).distinct().count())
+  }
+}
