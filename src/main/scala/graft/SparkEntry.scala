@@ -27,9 +27,16 @@ object SparkEntry {
     * (double division would lose precision above 2^53 ns).
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // schema inference happens eagerly at load — scope the legacy flag
+    // to this read instead of leaving it flipped on the shared session
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: brute-force
@@ -38,17 +45,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     knnQuery(spark, "/root/testdata/sf0.001")
 
+  private def knnQueries(s: SparkSession, dir: String, n: Int): DataFrame =
+    T(s, dir, "embeddings").filter(col("vec_id") < n)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** The canonical operator ([[SimilarityJoin.knnL2]]) IS the driver
+    * query — no inline re-implementation, so PlanSpec and the oracle
+    * exercise the same code path users call.
+    */
   private def knnScored(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    val queries = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    e.crossJoin(broadcast(queries))
+    e.crossJoin(broadcast(knnQueries(s, dir, 3)))
       .withColumn("distance", graft.functions.l2_distance(col("embedding"), col("qvec")))
       .select(col("qid"), col("vec_id"), col("distance"))
   }
 
   private def knnQuery(s: SparkSession, dir: String): DataFrame =
-    SimilarityJoin.topKByDistance(knnScored(s, dir), "qid", "vec_id", "distance", k = 5)
+    SimilarityJoin.knnL2(T(s, dir, "embeddings"), "vec_id", "embedding",
+        knnQueries(s, dir, 3), "qid", "qvec", k = 5)
       .select(col("qid"), col("vec_id"), col("rn"),
         round(col("distance").cast("double"), 4).as("dist"))
       .orderBy("qid", "rn")
@@ -120,20 +134,13 @@ object SparkEntry {
           round(col("distance"), 4).as("dist"))
         .orderBy("qid", "rn")),
 
-    // R8 variant: cosine top-k
-    "vs_knn_cosine" -> ((s, dir) => {
-      val e = T(s, dir, "embeddings")
-      val queries = e.filter(col("vec_id") < 2)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val scored = e.crossJoin(broadcast(queries))
-        .withColumn("sim", cosine_similarity(col("embedding"), col("qvec")))
-        .withColumn("neg_sim", -col("sim"))
-        .select(col("qid"), col("vec_id"), col("sim"), col("neg_sim"))
-      SimilarityJoin.topKByDistance(scored, "qid", "vec_id", "neg_sim", k = 4)
+    // R8 variant: cosine top-k (canonical operator, not re-implemented)
+    "vs_knn_cosine" -> ((s, dir) =>
+      SimilarityJoin.knnCosine(T(s, dir, "embeddings"), "vec_id", "embedding",
+          knnQueries(s, dir, 2), "qid", "qvec", k = 4)
         .select(col("qid"), col("vec_id"), col("rn"),
           round(col("sim").cast("double"), 4).as("sim"))
-        .orderBy("qid", "rn")
-    }),
+        .orderBy("qid", "rn")),
 
     // R10 fuzzy doc search (Indel distance — no DuckDB equivalent,
     // rows-only check; golden-value parity covered in ScalaTest)
@@ -173,7 +180,9 @@ object SparkEntry {
     // filter + projection pushdown
     "q2_filter" -> ((s, dir) =>
       T(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+        // session-timezone literal (java.sql.Timestamp.valueOf would
+        // parse in the JVM default zone and shift vs the naive oracle)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01 00:00:00"))
           && col("l_quantity") > 45)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -476,6 +485,17 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("y", "m")),
 
+    // skew-safe salted aggregation — must equal the plain GROUP BY
+    "q21_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountSum(
+          T(s, dir, "lineitem"), "l_returnflag", "l_quantity", saltBuckets = 16)
+        .select(col("l_returnflag"), col("n"), round(col("total"), 2).as("total_qty"))
+        .orderBy("l_returnflag")),
+    "q22_salted_distinct" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountDistinct(
+          T(s, dir, "lineitem"), "l_returnflag", "l_partkey", saltBuckets = 16)
+        .orderBy("l_returnflag")),
+
     // multimodal stub pipeline — rows-only check (deterministic features)
     "mm_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.fromBinary(
@@ -753,5 +773,11 @@ object SparkEntry {
              count(DISTINCT EXTRACT(day FROM o_orderdate)) AS active_days,
              round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "q21_salted_agg" -> """
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_salted_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -75,14 +75,20 @@ object Ann {
       .select(col("centroid_id"), col(vecCol).as("centroid"))
       .cache()
     (0 until iters).foreach { _ =>
-      val next = assign(df, idCol, vecCol, centroids)
+      val recentered = assign(df, idCol, vecCol, centroids)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("x")).as("mean"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("dims"))
         .select(col("centroid_id"),
-          transform(col("dims"), d => d.getField("mean").cast("float")).as("centroid"))
+          transform(col("dims"), d => d.getField("mean").cast("float")).as("new_centroid"))
+      // a cell that won no rows keeps its previous centroid instead of
+      // silently vanishing (callers rely on exactly nCentroids cells)
+      val next = centroids
+        .join(recentered, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
       val materialized = next.cache()
       materialized.count()
       centroids.unpersist()

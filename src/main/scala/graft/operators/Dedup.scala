@@ -64,33 +64,42 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, verifyThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(
+    val withTok = df.select(
       col(idCol).cast("long").as("id"),
-      TextAnalysis.tokenSet(col(textCol)).as("toks"),
-      minhash_signature(TextAnalysis.tokenSet(col(textCol)), numHashes).as("sig"))
-    // explode signature into (band, bandHash) keys
-    val banded = withSig.select(
-      col("id"), col("toks"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))
-      ).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("b_id"), col("toks").as("b_toks"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_toks"), col("b_toks"))
-      .dropDuplicates("a_id", "b_id") // candidates may collide in >1 band
-      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn(
-        "jaccard",
-        col("n_common").cast("double") /
-          (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
-      .filter(col("jaccard") >= verifyThreshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      TextAnalysis.tokenSet(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // band keys only — the candidate self-join shuffles slim
+      // (id, band, band_hash) rows, NOT the token arrays (which would
+      // multiply corpus token data by `bands` through the exchange)
+      val banded = withTok.select(
+        col("id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(minhash_signature(col("toks"), numHashes),
+              b * rowsPerBand + 1, lit(rowsPerBand)), b))
+        ).as(Seq("band", "band_hash")))
+      val a = banded.select(col("band"), col("band_hash"), col("id").as("a_id"))
+      val b = banded.select(col("band"), col("band_hash"), col("id").as("b_id"))
+      val candidates = a.join(b, Seq("band", "band_hash"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .dropDuplicates("a_id", "b_id") // candidates may collide in >1 band
+      // token sets re-join once, only for surviving candidate pairs
+      val verified = candidates
+        .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+        .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
+        .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))))
+        .withColumn(
+          "jaccard",
+          col("n_common").cast("double") /
+            (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
+        .filter(col("jaccard") >= verifyThreshold)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+      // materialize before unpersisting the token cache
+      verified.localCheckpoint(eager = true)
+    } finally withTok.unpersist()
   }
 
   /** SimHash near-duplicate pairs: 64-bit signatures compared within

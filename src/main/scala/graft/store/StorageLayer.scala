@@ -60,8 +60,15 @@ final class ParquetStorage(spark: SparkSession, root: String) extends StorageLay
     val staging = new Path(root, s"_staging-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(staging.toString)
     val backup = new Path(root, s"_old-${java.util.UUID.randomUUID()}")
-    if (fs.exists(dataPath)) fs.rename(dataPath, backup)
-    fs.rename(staging, dataPath)
+    // Hadoop rename signals most failures by returning false, not
+    // throwing — check every step and roll back rather than risk
+    // deleting the only surviving copy of the data.
+    if (fs.exists(dataPath) && !fs.rename(dataPath, backup))
+      throw new java.io.IOException(s"overwrite: could not move $dataPath aside")
+    if (!fs.rename(staging, dataPath)) {
+      if (fs.exists(backup)) fs.rename(backup, dataPath) // restore
+      throw new java.io.IOException(s"overwrite: could not activate $staging")
+    }
     if (fs.exists(backup)) fs.delete(backup, true)
   }
 }

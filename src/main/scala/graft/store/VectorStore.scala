@@ -118,11 +118,17 @@ class VectorStore private (
       .drop("_dim_ok")
       .rdd.zipWithIndex()
       .map { case (r, i) => Row(start + i, r.getSeq[Float](0), r.getString(1)) }
+    // persist: count() and append() must see the SAME materialization —
+    // re-running zipWithIndex lineage twice would double the compute and
+    // could assign different ids for non-deterministic inputs
     val df = spark.createDataFrame(assigned, VectorStore.schema)
-    val n = df.count()
-    storage.append(df)
-    refreshIndex()
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = df.count()
+      storage.append(df)
+      refreshIndex()
+      n
+    } finally df.unpersist()
   }
 
   /** Delete by id; ids not present are skipped with a warning (reference:
