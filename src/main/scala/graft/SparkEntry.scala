@@ -22,22 +22,9 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark's
-    * reader rejects; read nanos as long and convert via integer division
-    * (double division would lose precision above 2^53 ns).
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    // schema inference happens eagerly at load — scope the legacy flag
-    // to this read instead of leaving it flipped on the shared session
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  /** The events table stores TIMESTAMP(NANOS) parquet. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.nanosTimestampParquet(s, s"$dir/events.parquet", "ts")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: brute-force
     * L2 k-NN of 3 query vectors over the embeddings table.

@@ -3,6 +3,7 @@ package graft.operators
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{cosine_similarity, dot_product, l2_distance}
@@ -68,7 +69,6 @@ object Ann {
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var centroids = df.orderBy(col(idCol)).limit(nCentroids)
       .withColumn("centroid_id",
         row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
@@ -100,7 +100,6 @@ object Ann {
   /** Assign each row to its nearest centroid (broadcast argmin). */
   def assign(
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_cdist").asc, col("centroid_id").asc)
     df.crossJoin(broadcast(centroids))

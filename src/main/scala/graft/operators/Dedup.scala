@@ -26,6 +26,19 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Shared verification step: score candidate pairs carrying
+    * `a_toks`/`b_toks` set columns with exact Jaccard and filter.
+    */
+  private def verifiedJaccard(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+
   /** All pairs (a < b) with distinct-token Jaccard ≥ threshold.
     * O(n²) verification — use [[minHashLshPairs]] at scale; this exact
     * variant doubles as its verification oracle.
@@ -41,14 +54,7 @@ object Dedup {
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     val a = withTok.select(col("id").as("a_id"), col("toks").as("a_toks"))
     val b = withTok.select(col("id").as("b_id"), col("toks").as("b_toks"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn(
-        "jaccard",
-        col("n_common").cast("double") /
-          (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    verifiedJaccard(a.join(b, col("a_id") < col("b_id")), threshold)
   }
 
   /** MinHash + LSH near-duplicate pairs: signature → bands → bucket join
@@ -87,16 +93,11 @@ object Dedup {
         .select(col("a_id"), col("b_id"))
         .dropDuplicates("a_id", "b_id") // candidates may collide in >1 band
       // token sets re-join once, only for surviving candidate pairs
-      val verified = candidates
-        .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
-        .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
-        .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))))
-        .withColumn(
-          "jaccard",
-          col("n_common").cast("double") /
-            (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
-        .filter(col("jaccard") >= verifyThreshold)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
+      val verified = verifiedJaccard(
+        candidates
+          .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+          .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id")),
+        verifyThreshold)
       // materialize before unpersisting the token cache
       verified.localCheckpoint(eager = true)
     } finally withTok.unpersist()

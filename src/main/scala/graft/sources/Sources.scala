@@ -32,6 +32,26 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Read a parquet file containing TIMESTAMP(NANOS) columns, which
+    * Spark's reader rejects by default: scope the `nanosAsLong` legacy
+    * flag to the read (schema is captured eagerly at load) and convert
+    * the named columns to microsecond timestamps via integer division
+    * (double division loses precision above 2^53 ns).
+    */
+  def nanosTimestampParquet(spark: SparkSession, path: String, tsCols: String*): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      tsCols.foldLeft(spark.read.parquet(path)) { (df, c) =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Import rows shaped like the reference's table — `(id, vec BLOB,
     * doc)` with little-endian float32 blob vectors — into a graft store
     * DataFrame ready for [[VectorStore.insertDF]].

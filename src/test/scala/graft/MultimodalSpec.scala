@@ -8,8 +8,7 @@ class MultimodalSpec extends SparkSuite {
 
   private def mediaFixture = {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
-    Multimodal.fromBinary(
-      docs.withColumn("kind_src", element_at(split($"source", ""), 4)), "doc_id", "text", "image")
+    Multimodal.fromBinary(docs, "doc_id", "text", "image")
   }
 
   test("fromBinary produces the canonical media schema") {

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Plan-shape regression tests: the scale properties SCALE.md claims
   * (pushdown, pruning, broadcast, partial top-k, codegen) asserted
@@ -12,8 +9,6 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 class PlanSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
-
-  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
 
   private def planString(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -63,10 +63,8 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("sessionizeBatch matches streaming semantics on the events table") {
-    // events.parquet has nanos timestamps; use the long-read path
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Sources.nanosTimestampParquet(
+      spark, "/root/testdata/sf0.001/events.parquet", "ts")
     val sessions = EventStreams.sessionizeBatch(ev, gapMinutes = 30)
     val n = sessions.count()
     assert(n > 0)
