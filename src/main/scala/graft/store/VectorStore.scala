@@ -104,6 +104,14 @@ class VectorStore private (
   def insertDF(batch: DataFrame): Long = {
     val cols = batch.columns.toSet
     require(cols.contains("vec"), "insertDF requires a 'vec' column")
+    // C1 parity (vector_store.py:104-112 + tests.py:93-108): numeric
+    // element types are accepted (cast to float32); non-numeric reject —
+    // a blind cast would silently null out string/bool elements instead
+    batch.schema("vec").dataType match {
+      case ArrayType(_: NumericType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"vec must be an array of a numeric type, got $other")
+    }
     val withDoc =
       if (cols.contains("doc")) batch.select($"vec", coalesce($"doc", lit("{}")).as("doc"))
       else batch.select($"vec", lit("{}").as("doc"))

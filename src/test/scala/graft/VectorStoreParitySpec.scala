@@ -265,6 +265,21 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       (0L to 4L))
   }
 
+  test("insertDF dtype gate: numeric arrays cast to float32, non-numeric rejected (tests.py:62-160)") {
+    import spark.implicits._
+    val s = freshStore()
+    // accepted-with-cast: int and double element types
+    s.insertDF(Seq(Tuple1(Array.fill(10)(1))).toDF("vec"))
+    s.insertDF(Seq(Tuple1(Array.fill(10)(0.5d))).toDF("vec"))
+    assert(s.count() == 2)
+    assert(s.head(2).map(_.vec.head) == Seq(1f, 0.5f))
+    // rejected: string element type
+    val bad = Seq(Tuple1(Array.fill(10)("x"))).toDF("vec")
+    val e = intercept[IllegalArgumentException](s.insertDF(bad))
+    assert(e.getMessage.contains("numeric"))
+    assert(s.count() == 2)
+  }
+
   test("insertDF rejects wrong-dimension vectors (job fails, store unchanged)") {
     import spark.implicits._
     val s = freshStore()
