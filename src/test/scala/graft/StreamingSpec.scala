@@ -62,6 +62,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: events parquet driven through readStream") {
+    // the nanos ts column streams as long (schema must be provided for
+    // file sources); conversion happens in the stream transform
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // file streams require a directory source — stage a link dir
+    val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = EventStreams.hourlyAggregates(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("file_stream_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; all but the
+      // final watermark-straddling hours of the fixture must be out
+      val n = spark.table("file_stream_out").count()
+      assert(n > 0, "no closed windows emitted")
+      // spot-check against the batch equivalent for an early hour
+      val batch = graft.sources.Sources.nanosTimestampParquet(
+        spark, "/root/testdata/sf0.001/events.parquet", "ts")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val firstHour = batch.orderBy("hour").select("hour").limit(1)
+        .collect().head.getTimestamp(0)
+      val streamed = spark.table("file_stream_out")
+        .filter($"hour" === firstHour).select($"event_type", $"n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val expected = batch.filter($"hour" === firstHour)
+        .select($"event_type", $"n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == expected)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
   test("sessionizeBatch matches streaming semantics on the events table") {
     val ev = graft.sources.Sources.nanosTimestampParquet(
       spark, "/root/testdata/sf0.001/events.parquet", "ts")
