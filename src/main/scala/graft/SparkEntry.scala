@@ -379,6 +379,22 @@ object SparkEntry {
         .distinct()
         .orderBy("key")),
 
+    // as-of join: each event annotated with the user's latest prior
+    // purchase value (operator Spark lacks; DuckDB ASOF JOIN oracle)
+    "st_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      graft.operators.AsOfJoin.joinAsOf(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+          purchases,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+          payloadCols = Seq("last_purchase_value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("last_purchase_value"), 2).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // batch sessionization (streaming semantics, lag/cumsum formulation)
     "st_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30)
@@ -760,6 +776,14 @@ object SparkEntry {
              count(DISTINCT EXTRACT(day FROM o_orderdate)) AS active_days,
              round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "st_asof_join" -> """
+      WITH purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id, e.event_type,
+             round(p.value, 2) AS last_purchase_value
+      FROM events e
+      ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id""",
     "q21_salted_agg" -> """
       SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
