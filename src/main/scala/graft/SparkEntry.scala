@@ -488,6 +488,15 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("y", "m")),
 
+    // exact interpolated percentiles (holistic aggregate)
+    "q23_percentiles" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag")),
+
     // skew-safe salted aggregation — must equal the plain GROUP BY
     "q21_salted_agg" -> ((s, dir) =>
       graft.operators.Skew.saltedCountSum(
@@ -784,6 +793,11 @@ object SparkEntry {
       FROM events e
       ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
       ORDER BY e.event_id""",
+    "q23_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q21_salted_agg" -> """
       SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
