@@ -7,8 +7,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.extensionFunctions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofL2Distance)
+  }
 }
 
 /** Builder for a graft-configured local session. Defaults are sized for
