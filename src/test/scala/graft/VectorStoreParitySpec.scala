@@ -72,15 +72,24 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(top(0).doc == """{"k9": "v9"}""")
   }
 
-  test("search multi-query (tests.py:226-275)") {
+  test("search multi-query goldens (tests.py:226-275)") {
     val s = freshStore()
     s.insert(eye(10), genDocs(0 until 10))
-    val q1 = Array(0f, 0f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0f, 1f)
-    val q2 = eye(10)(7)
+    val q1 = Array(1f, 0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val q2 = Array(0f, 1f, 0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
     val hits = s.search(Seq(q1, q2), k = 2)
-    assert(hits.size == 2)
-    assert(hits(0).map(_.id) == Seq(9L, 3L))
-    assert(hits(1).head.id == 7L && hits(1).head.distance == 0f)
+    assert(hits.size == 2 && hits.forall(_.size == 2))
+    // exact reference goldens: ids, vecs, docs, np.float32 distances
+    assert(hits(0).map(_.id) == Seq(0L, 1L))
+    assert(hits(1).map(_.id) == Seq(1L, 2L))
+    hits(0).zip(Seq(0, 1)).foreach { case (r, bv) =>
+      assert(r.vec.toSeq == eye(10)(bv).toSeq)
+      assert(r.doc == s"""{"k$bv": "v$bv"}""")
+    }
+    Seq(hits(0), hits(1)).foreach { h =>
+      assert(h(0).distance == 0.5f)
+      assert(h(1).distance == 1.118034f)
+    }
   }
 
   test("zero-distance self match (tests.py:296-309)") {
@@ -192,13 +201,21 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(top.tail.map(_.id) == Seq(0L, 2L, 3L, 4L))
   }
 
-  test("searchByDoc multi-query (tests.py:567-598)") {
+  test("searchByDoc multi-query goldens (tests.py:567-598)") {
     val s = freshStore()
-    s.insert(eye(10).take(5), genDocs(0 until 5))
-    val hits = s.searchByDoc(Seq("""{"1": "1"}""", """{"k3": "v3"}"""), k = 2)
-    assert(hits.size == 2)
-    assert(hits(0).head.id == 1L)
-    assert(hits(1).head.id == 3L && hits(1).head.distance == 0.0)
+    // reference uses all-ones vectors; docs {"k0":"v0"}..{"k4":"v4"}
+    s.insert(Seq.fill(5)(Array.fill(10)(1f)), genDocs(0 until 5))
+    // query 0 is a dict json-dumped; query 1 a bare string str()'d
+    val hits = s.searchByDoc(Seq("""{"k1": ""}""", "v4"), k = 3)
+    assert(hits.size == 2 && hits.forall(_.size == 3))
+    assert(hits(0)(0).id == 1L)
+    assert(hits(0)(0).doc == """{"k1": "v1"}""")
+    assert(hits(0)(0).distance == 9.090909090909093)  // exact float64 goldens
+    assert(hits(0)(1).distance == 18.181818181818187)
+    assert(hits(1)(0).id == 4L)
+    assert(hits(1)(0).doc == """{"k4": "v4"}""")
+    assert(hits(1)(0).distance == 71.42857142857143)
+    assert(hits(1)(1).distance == 85.71428571428571)
   }
 
   test("searchByDoc k<=0 raises; k>n caps (tests.py:600-617)") {
