@@ -488,6 +488,44 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("y", "m")),
 
+    // outer joins: per-customer order stats with never-ordered customers
+    "q24_outer_join" -> ((s, dir) =>
+      // join against big-ticket orders only, so a real subset of
+      // customers exercises the outer null path
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").filter(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
+        .orderBy("c_custkey")),
+
+    // generator/explode: corpus-wide token frequencies
+    "tx_token_freq" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)),
+
+    // pivot: event-type counts per user bucket
+    "q26_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("bucket")),
+
+    // collection aggregate: sorted distinct sample per group
+    "q28_collect" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",",
+          slice(sort_array(collect_set(col("o_custkey"))), 1, 5)).as("first5"))
+        .orderBy("o_orderpriority")),
+
     // exact interpolated percentiles (holistic aggregate)
     "q23_percentiles" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -793,6 +831,32 @@ object SparkEntry {
       FROM events e
       ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
       ORDER BY e.event_id""",
+    "q24_outer_join" -> """
+      SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+      FROM customer LEFT OUTER JOIN (
+        SELECT * FROM orders WHERE o_totalprice > 250000) o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""",
+    "tx_token_freq" -> """
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents) t
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "q26_pivot" -> """
+      SELECT user_id % 10 AS bucket,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      FROM events GROUP BY 1 ORDER BY bucket""",
+    "q28_collect" -> """
+      SELECT o_orderpriority,
+             array_to_string(
+               list_sort(list_distinct(list(CAST(o_custkey AS BIGINT))))[1:5], ',')
+               AS first5
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q23_percentiles" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
