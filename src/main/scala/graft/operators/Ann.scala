@@ -58,6 +58,28 @@ object Ann {
     SimilarityJoin.topKByDistance(scored, qidCol, idCol, "neg_sim", k).drop("neg_sim")
   }
 
+  /** LSH-bucketed cosine near-duplicate pairs: the scale path for
+    * [[SimilarityJoin.cosineNearDupPairs]]. Pairs are generated only
+    * within hyperplane buckets (equi-join self-join, no cross join) and
+    * then verified against the exact threshold — precision 1.0 by
+    * construction; recall grows as `nBits` shrinks (fewer, larger
+    * buckets) at quadratic in-bucket cost.
+    */
+  def lshCosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), dim, nBits, seed).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("a_id"), col("v").as("a_vec"))
+    val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_vec"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine_similarity(col("a_vec"), col("b_vec")))
+      .filter(col("sim") > threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   /** Lloyd k-means over an `array<float>` column, all DataFrame ops.
     * Deterministic: initial centroids are the `nCentroids` lowest-id
     * rows' vectors. Returns (centroid_id, centroid).

@@ -70,8 +70,8 @@ object SimilarityJoin {
 
   /** All pairs (a < b) above a cosine-similarity threshold — embedding
     * near-duplicate detection. O(n²) scoring parallelized over the join;
-    * for the 100 TB path see [[Ann.lshCosineCandidates]] which buckets
-    * by random-hyperplane signature first.
+    * for the 100 TB path see [[Ann.lshCosineNearDupPairs]] which buckets
+    * by random-hyperplane signature first (equi-join, no cross join).
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {

@@ -40,6 +40,20 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low") // self-match alone gives 0.2
   }
 
+  test("LSH near-dup pairs: precision 1.0 subset of the exact O(n²) pairs") {
+    val exact = SimilarityJoin.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshCosineNearDupPairs(emb, "vec_id", "embedding", 0.35, dim = 64, nBits = 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"non-pairs: ${lsh.diff(exact).take(3)}")
+    if (exact.nonEmpty) {
+      // 4-bit buckets on 64-d random vectors: recall is partial but
+      // must find a meaningful share of true pairs
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall > 0.0, s"LSH found none of ${exact.size} true pairs")
+    }
+  }
+
   test("LSH cosine top-k: self-match always found, candidates bucket-pruned") {
     val got = Ann.lshCosineTopK(emb, "vec_id", "embedding",
       queries, "qid", "qvec", k = 3, dim = 64, nBits = 6)
