@@ -36,27 +36,38 @@ object AsOfJoin {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
     require(payloadCols.intersect(left.columns.toSeq).isEmpty,
       s"payload columns ${payloadCols.intersect(left.columns.toSeq)} clash with left")
+    val internal = Seq("_ts", "_side", "_payload")
+    require(internal.intersect(left.columns.toSeq ++ right.columns.toSeq).isEmpty,
+      s"columns named ${internal.mkString("/")} are reserved by joinAsOf")
 
     // leftTsCol travels as `_ts` (renamed back at the end) — it must not
     // ALSO ride along in the passthrough columns or the output would
     // carry a duplicate column name
     val leftCols = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTsCol)
-    val rightSchema = right.schema
     val leftSchema = left.schema
 
-    // harmonized union: left rows carry null payloads, right rows carry
-    // null left-columns; `_side` orders right (0) before left (1) at
-    // equal timestamps so equal-ts matches are inclusive
+    // harmonized union. The whole right payload rides in ONE non-null
+    // struct per right row so (a) a genuinely NULL payload value on the
+    // matching row stays NULL (never shadowed by an older row) and
+    // (b) staleness and payload always come from the same matched row.
+    // `_side` orders right (0) before left (1) at equal timestamps so
+    // equal-ts matches are inclusive. Right rows with NULL keys are
+    // dropped — equi-join semantics never match NULL keys.
+    val payloadStruct = struct(
+      (col(rightTsCol).as("_matched_ts") +: payloadCols.map(col)): _*)
+    val taggedRight = right
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++
+          Seq(col(rightTsCol).as("_ts"), lit(0).as("_side")) ++
+          leftCols.map(c => lit(null).cast(leftSchema(c).dataType).as(c)) :+
+          payloadStruct.as("_payload"): _*)
+    val payloadType = taggedRight.schema("_payload").dataType
     val taggedLeft = left.select(
       keyCols.map(col) ++
         Seq(col(leftTsCol).as("_ts"), lit(1).as("_side")) ++
-        leftCols.map(col) ++
-        payloadCols.map(c => lit(null).cast(rightSchema(c).dataType).as(c)): _*)
-    val taggedRight = right.select(
-      keyCols.map(col) ++
-        Seq(col(rightTsCol).as("_ts"), lit(0).as("_side")) ++
-        leftCols.map(c => lit(null).cast(leftSchema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("_payload"): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
@@ -64,25 +75,22 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedLeft.unionByName(taggedRight)
-      .select(
-        (keyCols.map(col) ++ Seq(col("_ts"), col("_side")) ++ leftCols.map(col) ++
-          payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-          last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w)
-            .as("_matched_ts")): _*)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
-    val withTolerance = toleranceMs match {
+    val matched = toleranceMs match {
       case Some(tol) =>
-        val stale = col("_matched_ts").isNull ||
-          unix_millis(col("_ts")) - unix_millis(col("_matched_ts")) > tol
-        payloadCols.foldLeft(carried) { (df, c) =>
-          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
-        }
+        val stale = col("_payload").isNull ||
+          unix_millis(col("_ts")) - unix_millis(col("_payload._matched_ts")) > tol
+        carried.withColumn("_payload",
+          when(stale, lit(null).cast(payloadType)).otherwise(col("_payload")))
       case None => carried
     }
 
-    withTolerance
+    payloadCols.foldLeft(matched) { (df, c) =>
+        df.withColumn(c, col(s"_payload.$c"))
+      }
       .withColumnRenamed("_ts", leftTsCol)
-      .drop("_side", "_matched_ts")
+      .drop("_side", "_payload")
   }
 }

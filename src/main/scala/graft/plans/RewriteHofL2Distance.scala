@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.expressions.L2SqDistance
 
@@ -65,10 +65,41 @@ object RewriteHofL2Distance extends Rule[LogicalPlan] {
     }
   }
 
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def mayHaveNullElements(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  /** `exists(arr, x -> isnull(x))` built post-analysis. */
+  private def hasNullElement(arr: Expression): Expression = {
+    val x = NamedLambdaVariable("x", FloatType, nullable = true)
+    ArrayExists(arr, LambdaFunction(IsNull(x), Seq(x)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // only array<float> (the kernel is float32; rewriting double arrays
+    // would change results and produce an unresolved plan)
     case Sqrt(MaybeDoubleCast(ArrayAggregate(ZipWith(a, b, zipFn), zero, merge, finish)))
-        if isSquaredDiff(zipFn) && isZeroLit(zero) &&
+        if isFloatArray(a) && isFloatArray(b) &&
+          isSquaredDiff(zipFn) && isZeroLit(zero) &&
           isPlainSum(merge) && isIdentity(finish) =>
-      Sqrt(Cast(L2SqDistance(a, b), DoubleType))
+      // the HOF yields NULL for mismatched lengths (zip_with null-pads)
+      // or null elements — guard so the kernel only runs on the clean
+      // case and NULL semantics are preserved exactly
+      val sameLen: Expression = EqualTo(Size(a), Size(b))
+      val clean: Expression =
+        (mayHaveNullElements(a), mayHaveNullElements(b)) match {
+          case (false, false) => sameLen
+          case (true, false) => And(sameLen, Not(hasNullElement(a)))
+          case (false, true) => And(sameLen, Not(hasNullElement(b)))
+          case (true, true) =>
+            And(sameLen, And(Not(hasNullElement(a)), Not(hasNullElement(b))))
+        }
+      If(clean, Sqrt(Cast(L2SqDistance(a, b), DoubleType)), Literal(null, DoubleType))
   }
 }

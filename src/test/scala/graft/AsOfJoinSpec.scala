@@ -51,6 +51,33 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.columns.distinct.length == out.columns.length)
   }
 
+  test("NULL payload on the matching row stays NULL (not shadowed by older rows)") {
+    val l = Seq((1L, ts(6), "t")).toDF("acct", "ts", "trade")
+    val r = Seq((1L, ts(0), Some(10.0)), (1L, ts(5), None))
+      .toDF("acct", "qts", "px")
+    val got = AsOfJoin.joinAsOf(l, r, Seq("acct"), "ts", "qts", Seq("px"))
+      .select($"px").collect().head
+    assert(got.isNullAt(0), s"expected NULL from the ts=5 match, got ${got.get(0)}")
+  }
+
+  test("NULL keys never match (equi-join semantics)") {
+    val l = Seq((Option.empty[Long], ts(6), "t"), (Some(1L), ts(6), "u"))
+      .toDF("acct", "ts", "trade")
+    val r = Seq((Option.empty[Long], ts(0), 10.0), (Some(1L), ts(0), 20.0))
+      .toDF("acct", "qts", "px")
+    val got = AsOfJoin.joinAsOf(l, r, Seq("acct"), "ts", "qts", Seq("px"))
+      .select($"trade", $"px")
+      .collect().map(row => row.getString(0) -> Option(row.get(1))).toMap
+    assert(got("t").isEmpty, "NULL-key left row must not match NULL-key right row")
+    assert(got("u") == Some(20.0))
+  }
+
+  test("reserved internal column names rejected") {
+    intercept[IllegalArgumentException](
+      AsOfJoin.joinAsOf(trades.withColumn("_side", lit(1)), quotes,
+        Seq("acct"), "ts", "qts", Seq("px")))
+  }
+
   test("payload-name clash rejected") {
     intercept[IllegalArgumentException](
       AsOfJoin.joinAsOf(trades, quotes.withColumnRenamed("px", "trade"),

@@ -43,6 +43,34 @@ class RewriteRuleSpec extends SparkSuite {
     assert(viaRule == manual)
   }
 
+  test("double arrays are NOT rewritten (kernel is float32) and still work") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = emb
+      .select($"vec_id",
+        $"embedding".cast("array<double>").as("vec"),
+        $"embedding".cast("array<double>").as("qvec"))
+      .selectExpr("vec_id",
+        "sqrt(aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (acc, z) -> acc + z)) AS d")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("l2_sq_distance"))
+    assert(df.filter($"d" =!= 0.0).count() == 0) // runs fine, self-dist 0
+  }
+
+  test("mismatched lengths / null elements preserve the HOF's NULL result") {
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f), Array(4f, 6f)),                    // length mismatch
+      (2L, Array(1f, 2f), Array(4f, 6f)))                        // clean
+      .toDF("id", "vec", "qvec")
+    // file-backed to defeat constant folding
+    val dir = java.nio.file.Files.createTempDirectory("rw-null").toString
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).selectExpr("id", s"$hofSql AS d")
+    assert(back.queryExecution.optimizedPlan.toString.contains("l2_sq_distance"))
+    val got = back.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).isEmpty, "mismatched lengths must stay NULL")
+    assert(got(2L) == Some(5.0))
+  }
+
   test("near-miss formulas are NOT rewritten (substitution would be wrong)") {
     // abs instead of square — must keep the HOF
     val miss = Seq((Array(1f, 2f), Array(4f, 6f))).toDF("vec", "qvec")
