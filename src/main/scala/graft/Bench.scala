@@ -31,8 +31,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prefixes stdout with "[info] ", which breaks the driver's
+    // bare-JSON-line parser (BENCH_r01 parsed=null) — also drop the line
+    // in a file where the driver (and humans) can always find it.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    System.err.println(json)
     spark.stop()
   }
 }

@@ -845,11 +845,11 @@ object SparkEntry {
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     "q26_pivot" -> """
       SELECT user_id % 10 AS bucket,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       FROM events GROUP BY 1 ORDER BY bucket""",
     "q28_collect" -> """
       SELECT o_orderpriority,

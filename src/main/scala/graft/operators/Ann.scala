@@ -3,7 +3,6 @@ package graft.operators
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{cosine_similarity, dot_product, l2_distance}
@@ -91,10 +90,16 @@ object Ann {
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): DataFrame = {
-    var centroids = df.orderBy(col(idCol)).limit(nCentroids)
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
-      .select(col("centroid_id"), col(vecCol).as("centroid"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Seed batch is <= nCentroids rows by construction: number them on
+    // the driver rather than through a partitionless global window.
+    val seedVecs = df.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var centroids = seedVecs.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("centroid_id", "centroid")
       .cache()
     (0 until iters).foreach { _ =>
       val recentered = assign(df, idCol, vecCol, centroids)
@@ -119,16 +124,31 @@ object Ann {
     centroids
   }
 
-  /** Assign each row to its nearest centroid (broadcast argmin). */
+  /** Assign each row to its nearest centroid.
+    *
+    * Shuffle-free by design: the centroid table is tiny (`nCentroids`
+    * rows — k-means state, not data), so it is collected once and
+    * embedded as literals; the argmin is then a pure projection
+    * (`array_min` over `struct(dist, centroid_id)` — lexicographic
+    * struct ordering ties-break on the lower centroid id, matching the
+    * previous window form). No join, no Exchange: at 100 TB this runs
+    * entirely map-side, where the old `Window.partitionBy(id)` form
+    * re-shuffled every row WITH its vector payload per Lloyd iteration.
+    */
   def assign(
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_cdist").asc, col("centroid_id").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("_cdist", l2_distance(col(vecCol), col("centroid")))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .drop("_rk", "centroid", "_cdist")
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assign needs at least one centroid")
+    val best = array_min(array(cents.map { case (cid, cvec) =>
+      struct(
+        l2_distance(col(vecCol), lit(cvec)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    df.withColumn("centroid_id", best.getField("cid"))
   }
 
   /** IVF index: rows tagged with their centroid cell. At cluster scale,

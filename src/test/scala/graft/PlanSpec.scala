@@ -70,6 +70,16 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(s).length >= 2, s)
   }
 
+  test("ivf assign: pure projection — no Exchange, no join, no window") {
+    val docs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = graft.operators.Ann.kmeans(docs, "vec_id", "embedding", 4, iters = 1)
+    val assigned = graft.operators.Ann.assign(docs, "vec_id", "embedding", centroids)
+    val s = assigned.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s"assign must not shuffle:\n$s")
+    assert(!s.contains("Join"), s"assign must not join:\n$s")
+    assert(!s.contains("Window"), s"assign must not window:\n$s")
+  }
+
   test("minhash LSH candidates: equi-join on band key, no cross join") {
     val df = graft.operators.Dedup.minHashLshPairs(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
