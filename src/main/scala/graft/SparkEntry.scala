@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{cosine_similarity, fingerprint64, indel_similarity, simhash64}
-import graft.operators.{Dedup, SimilarityJoin, TextAnalysis, TopKAggregator}
+import graft.operators.{Ann, Dedup, SimilarityJoin, TextAnalysis, TopKAggregator}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the large-scale pipeline operators; `oracleSql`
@@ -291,6 +291,39 @@ object SparkEntry {
           T(s, dir, "embeddings").filter(col("vec_id") < 400), "vec_id", "embedding", 0.4)
         .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"))
         .orderBy("a_id", "b_id")),
+    // Hash-checkable containment proof for the 100 TB LSH path: every
+    // minHashLshPairs result must appear (same ids, same rounded score)
+    // in the exact O(n²) pair set that dd_jaccard_pairs independently
+    // hash-verifies against DuckDB — precision 1.0, non-vacuous via
+    // has_pairs (zero LSH pairs would yield (null, false) and fail).
+    "dd_lsh_containment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 150)
+      val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, verifyThreshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"),
+          lit(1).as("ok"))
+      lsh.join(exact, Seq("a_id", "b_id", "jaccard"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("false_positives"),
+          (count(lit(1)) > 0).as("has_pairs"))
+    }),
+    // Same containment proof for the hyperplane-LSH cosine path vs the
+    // exact pair set dd_embed_neardup hash-verifies.
+    "ann_lsh_containment" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      val lsh = Ann.lshCosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, dim = 64, nBits = 4)
+        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"))
+      val exact = SimilarityJoin.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"),
+          lit(1).as("ok"))
+      lsh.join(exact, Seq("a_id", "b_id", "sim"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("false_positives"),
+          (count(lit(1)) > 0).as("has_pairs"))
+    }),
 
     // -------------------- text analysis ---------------------------- //
     "tx_token_stats" -> ((s, dir) =>
@@ -685,6 +718,14 @@ object SparkEntry {
       WHERE a.vec_id < 400 AND b.vec_id < 400
         AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
       ORDER BY a_id, b_id""",
+    // The LSH hash families have no DuckDB analogue; what IS checkable is
+    // the containment invariant itself. The exact pair sets these anti-
+    // join against are hash-verified by dd_jaccard_pairs /
+    // dd_embed_neardup, so (0, true) here proves LSH ⊆ exact.
+    "dd_lsh_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "ann_lsh_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     "tx_token_stats" -> """
       WITH t AS (SELECT doc_id, n_chars,
                         string_split_regex(lower(text), '\s+') AS toks
