@@ -44,6 +44,19 @@ class VectorStore private (
   private var indexDf: DataFrame = _
   refreshIndex()
 
+  /** Last dtype-coercion warning emitted by [[insertDF]] — the testing
+    * hook for the reference's `assertWarns(UserWarning)` dtype-matrix
+    * parity (test/tests.py:62-160); cleared at the start of each insert.
+    */
+  private[graft] var lastCoercionWarning: Option[String] = None
+
+  private def warnCoercion(got: String): Unit = {
+    val msg = s"Expected an array with a dtype of float32, but got an " +
+      s"array of $got. Coercing to float32"
+    lastCoercionWarning = Some(msg)
+    logWarning(msg)
+  }
+
   /** Cached `(id, vec)` projection — the analogue of the reference's
     * in-memory structured-array index (vector_store.py:64-67). Parquet
     * column pruning makes this a 2-column scan; caching pins it for the
@@ -95,6 +108,35 @@ class VectorStore private (
     ids
   }
 
+  /** Row-shaped insert (reference `insert_dicts`,
+    * vector_store.py:163-181): each record is a map with a required
+    * `"vec"` (Array[Float]) and an optional `"doc"` whose value is
+    * JSON-serialized here. Non-serializable docs fail the WHOLE batch
+    * up front with a clear error — the reference's TypeError contract
+    * (test/tests.py:426-429) — before anything is written.
+    *
+    * A record without a doc stores `{}` (the store-wide null default),
+    * not the literal `"null"` the reference happens to write on this
+    * path (json.dumps(None), vector_store.py:215) — its own read path
+    * parses that back to an empty-ish doc and no reference test
+    * observes the difference.
+    */
+  def insertDicts(records: Seq[Map[String, Any]]): Seq[Long] = {
+    require(records.nonEmpty, "insertDicts requires at least one record")
+    val vecs = records.zipWithIndex.map {
+      case (r, i) => r.get("vec") match {
+        case Some(v: Array[Float]) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"record $i: 'vec' must be an Array[Float], got ${other.getClass.getName}")
+        case None => throw new IllegalArgumentException(
+          s"record $i: missing required 'vec'")
+      }
+    }
+    // serialize (and thereby validate) every doc before any write
+    val docs = records.map(_.get("doc").map(VectorStore.jsonDump).orNull)
+    insert(vecs, docs)
+  }
+
   /** Distributed batch insert: contiguous ids assigned in the input's
     * partition-then-row order via `zipWithIndex` (stable, unlike
     * `monotonically_increasing_id`). For pipelines feeding from another
@@ -104,17 +146,28 @@ class VectorStore private (
   def insertDF(batch: DataFrame): Long = {
     val cols = batch.columns.toSet
     require(cols.contains("vec"), "insertDF requires a 'vec' column")
-    // C1 parity (vector_store.py:104-112 + tests.py:93-108): numeric
-    // element types are accepted (cast to float32); non-numeric reject —
-    // a blind cast would silently null out string/bool elements instead
-    batch.schema("vec").dataType match {
-      case ArrayType(_: NumericType, _) => ()
+    // C1 parity (vector_store.py:34-55,104-112 + tests.py:62-160): the
+    // accepted-input matrix is bool plus every int/float width — coerced
+    // to float32 WITH a warning, as the reference's float32_row_vecs
+    // does; anything else (string/binary/struct/nested — the analogue of
+    // np.void/str_/complex/bytes_/object_) rejects with an error. Bool
+    // needs an explicit 1f/0f projection: a blind cast would null it.
+    lastCoercionWarning = None
+    val vecExpr = batch.schema("vec").dataType match {
+      case ArrayType(FloatType, _) => $"vec"
+      case ArrayType(BooleanType, _) =>
+        warnCoercion("array<boolean>")
+        transform($"vec", e => when(e, lit(1f)).otherwise(lit(0f)))
+      case ArrayType(et: NumericType, _) =>
+        warnCoercion(s"array<${et.simpleString}>")
+        $"vec".cast(ArrayType(FloatType))
       case other => throw new IllegalArgumentException(
-        s"vec must be an array of a numeric type, got $other")
+        s"input vectors of type ${other.simpleString} are not supported")
     }
     val withDoc =
-      if (cols.contains("doc")) batch.select($"vec", coalesce($"doc", lit("{}")).as("doc"))
-      else batch.select($"vec", lit("{}").as("doc"))
+      if (cols.contains("doc"))
+        batch.select(vecExpr.as("vec"), coalesce($"doc", lit("{}")).as("doc"))
+      else batch.select(vecExpr.as("vec"), lit("{}").as("doc"))
     val start = maxId() + 1
     val assigned = withDoc
       .select($"vec".cast(ArrayType(FloatType)).as("vec"), $"doc")
@@ -289,6 +342,56 @@ object VectorStore {
     StructField("id", LongType, nullable = false),
     StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
     StructField("doc", StringType, nullable = true)))
+
+  /** Minimal JSON writer matching Python `json.dumps`' default
+    * formatting (`", "` / `": "` separators) for the doc value types the
+    * reference round-trips (vector_store.py:133-137): null, strings,
+    * booleans, integer and floating numbers, and nested string-keyed
+    * maps / sequences thereof. Anything else raises — this is
+    * `insert_dicts`' serializability contract (vector_store.py:163-181,
+    * test/tests.py:426-429).
+    */
+  private[graft] def jsonDump(v: Any): String = v match {
+    case null => "null"
+    case s: String => jsonQuote(s)
+    case b: Boolean => if (b) "true" else "false"
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case f: Float => jsonDump(f.toDouble)
+    case d: Double =>
+      if (d.isNaN || d.isInfinite)
+        throw new IllegalArgumentException(
+          s"docs must be JSON serializable: $d is not valid JSON")
+      else if (d == d.floor && math.abs(d) < 1e15) f"$d%.1f"
+      else d.toString
+    case bd: BigDecimal => bd.toString
+    case m: scala.collection.Map[_, _] =>
+      m.map {
+        case (k: String, value) => jsonQuote(k) + ": " + jsonDump(value)
+        case (k, _) => throw new IllegalArgumentException(
+          s"docs must be JSON serializable: non-string key $k")
+      }.mkString("{", ", ", "}")
+    case s: scala.collection.Seq[_] => s.map(jsonDump).mkString("[", ", ", "]")
+    case a: Array[_] => a.map(jsonDump).mkString("[", ", ", "]")
+    case other => throw new IllegalArgumentException(
+      "docs must be JSON serializable: Object of type " +
+        s"${other.getClass.getName} is not JSON serializable")
+  }
+
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   /** Open an existing store (validating its recorded dimension) or create
     * an empty one (reference: vector_store.py:29-77).

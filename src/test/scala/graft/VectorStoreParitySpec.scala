@@ -282,19 +282,99 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       (0L to 4L))
   }
 
-  test("insertDF dtype gate: numeric arrays cast to float32, non-numeric rejected (tests.py:62-160)") {
+  test("insertDF dtype matrix: bool + every numeric width coerces with a warning; " +
+      "string/binary/nested reject (tests.py:62-160)") {
     import spark.implicits._
     val s = freshStore()
-    // accepted-with-cast: int and double element types
-    s.insertDF(Seq(Tuple1(Array.fill(10)(1))).toDF("vec"))
-    s.insertDF(Seq(Tuple1(Array.fill(10)(0.5d))).toDF("vec"))
-    assert(s.count() == 2)
-    assert(s.head(2).map(_.vec.head) == Seq(1f, 0.5f))
-    // rejected: string element type
-    val bad = Seq(Tuple1(Array.fill(10)("x"))).toDF("vec")
-    val e = intercept[IllegalArgumentException](s.insertDF(bad))
-    assert(e.getMessage.contains("numeric"))
-    assert(s.count() == 2)
+    var total = 0L
+    // accepted-with-warning, single row then a 3-row batch per dtype —
+    // the Spark analogue of the reference's working_dtypes loop
+    // (bool_ + int8/16/32/64 + float64; float16/uint have no Spark type)
+    val working: Seq[org.apache.spark.sql.DataFrame] = Seq(
+      Seq(Tuple1(Seq.fill(10)(true))).toDF("vec"),
+      Seq(Tuple1(Seq.fill(10)(1.toByte))).toDF("vec"),
+      Seq(Tuple1(Seq.fill(10)(1.toShort))).toDF("vec"),
+      Seq(Tuple1(Seq.fill(10)(1))).toDF("vec"),
+      Seq(Tuple1(Seq.fill(10)(1L))).toDF("vec"),
+      Seq(Tuple1(Seq.fill(10)(1.0d))).toDF("vec"))
+    working.foreach { df =>
+      total += s.insertDF(df)
+      assert(s.lastCoercionWarning.isDefined, s"expected a coercion warning for ${df.schema}")
+      total += s.insertDF(df.union(df).union(df)) // insert_many variant
+      assert(s.count() == total)
+    }
+    assert(total == 24)
+    // every coerced row stores float32 ones
+    assert(s.dumpVecs().forall(_.forall(_ == 1f)))
+    // native float32: accepted WITHOUT a warning (reference skips vec_dtype)
+    total += s.insertDF(Seq(Tuple1(Seq.fill(10)(1f))).toDF("vec"))
+    assert(s.lastCoercionWarning.isEmpty)
+    // rejected (analogue of void/str_/complex/bytes_/object_):
+    // string, binary, nested array, struct element types
+    val rejected = Seq(
+      Seq(Tuple1(Seq.fill(10)("x"))).toDF("vec"),
+      Seq(Tuple1(Array.fill(10)(1.toByte))).toDF("vec"), // Array[Byte] = BinaryType
+      Seq(Tuple1(Seq(Seq.fill(10)(1f)))).toDF("vec"),
+      Seq(Tuple1(Seq.fill(10)((1, 2)))).toDF("vec"))
+    rejected.foreach { df =>
+      val e = intercept[IllegalArgumentException](s.insertDF(df))
+      assert(e.getMessage.contains("not supported"), e.getMessage)
+    }
+    assert(s.count() == total)
+  }
+
+  test("insertDF bool vectors coerce to 1f/0f, not null (bool_ acceptance)") {
+    import spark.implicits._
+    val s = freshStore()
+    s.insertDF(Seq(Tuple1((0 until 10).map(_ % 2 == 0))).toDF("vec"))
+    assert(s.head(1).head.vec.toSeq ==
+      (0 until 10).map(i => if (i % 2 == 0) 1f else 0f))
+  }
+
+  test("insertDicts: vec-only single and batch (tests.py:430-445)") {
+    val s = freshStore()
+    assert(s.insertDicts(Seq(Map("vec" -> Array.fill(10)(1f)))) == Seq(0L))
+    assert(s.count() == 1)
+    assert(s.insertDicts(
+      (0 until 5).map(_ => Map[String, Any]("vec" -> Array.fill(10)(1f)))) ==
+      (1L to 5L))
+    assert(s.count() == 6)
+    // missing doc stores the {} default
+    assert(s.selectIds(Seq(0L)).head.doc == "{}")
+  }
+
+  test("insertDicts with docs serializes maps like json.dumps (tests.py:447-464)") {
+    val s = freshStore()
+    s.insertDicts(Seq(Map(
+      "vec" -> Array.fill(10)(1f),
+      "doc" -> Map("k0" -> "v0"))))
+    assert(s.count() == 1)
+    assert(s.selectIds(Seq(0L)).head.doc == """{"k0": "v0"}""")
+    // ListMap: insertion-ordered like a Python dict, so the dumped key
+    // order is deterministic
+    s.insertDicts((1 until 5).map(i => Map(
+      "vec" -> Array.fill(10)(1f),
+      "doc" -> scala.collection.immutable.ListMap(
+        s"k$i" -> s"v$i", "n" -> i, "f" -> 0.5d, "ok" -> true,
+        "tags" -> Seq("a", "b"), "nested" -> Map("x" -> 1)))))
+    assert(s.count() == 5)
+    assert(s.selectIds(Seq(2L)).head.doc ==
+      """{"k2": "v2", "n": 2, "f": 0.5, "ok": true, "tags": ["a", "b"], "nested": {"x": 1}}""")
+  }
+
+  test("insertDicts rejects non-serializable docs before writing (tests.py:426-429)") {
+    val s = freshStore()
+    val e = intercept[IllegalArgumentException](s.insertDicts(Seq(
+      Map("vec" -> Array.fill(10)(1f), "doc" -> new Object))))
+    assert(e.getMessage.contains("JSON serializable"), e.getMessage)
+    // nested non-serializable value fails too, and nothing was written
+    intercept[IllegalArgumentException](s.insertDicts(Seq(
+      Map("vec" -> Array.fill(10)(1f), "doc" -> Map("k" -> ((x: Int) => x))))))
+    assert(s.count() == 0)
+    // missing vec
+    val e2 = intercept[IllegalArgumentException](s.insertDicts(Seq(
+      Map("doc" -> Map("a" -> 1)))))
+    assert(e2.getMessage.contains("vec"))
   }
 
   test("insertDF rejects wrong-dimension vectors (job fails, store unchanged)") {
