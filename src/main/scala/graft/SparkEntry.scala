@@ -580,13 +580,46 @@ object SparkEntry {
         .orderBy("l_returnflag")),
 
     // multimodal stub pipeline — rows-only check (deterministic features)
+    // Real decode path, hash-checked: synthesize a valid 6x3 BMP per doc
+    // (solid shade = doc_id*7 % 251) distributed, decode it with the
+    // ImageIO codec, and emit integer-exact decoded fields (width,
+    // height, mean shade rescaled to 0..255) that DuckDB recomputes
+    // from doc_id alone. A decoder that misread the header or pixel
+    // data would hash-mismatch immediately.
     "mm_features" -> ((s, dir) => {
-      val media = graft.multimodal.Multimodal.fromBinary(
-        T(s, dir, "documents"), "doc_id", "text", "image")
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val shade = (id * 7 % 251).toInt.toByte
+          (id, "image",
+            graft.multimodal.Multimodal.Codecs.encodeBmp(6, 3, Array.fill(54)(shade)))
+        }).toDF("media_id", "kind", "payload")
       graft.multimodal.Multimodal.extractFeatures(media, dim = 16).toDF()
-        .select(col("media_id"), col("kind"),
-          round(element_at(col("feature"), 1).cast("double"), 5).as("f0"),
-          round(element_at(col("feature"), 2).cast("double"), 5).as("f1"))
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("bigint").as("width"),
+          element_at(col("feature"), 2).cast("bigint").as("height"),
+          round(element_at(col("feature"), 3) * 255).cast("bigint").as("mean_r_255"))
+        .orderBy("media_id")
+    }),
+    // Same proof for the WAV/RIFF parser: per-doc PCM-16 WAV with a
+    // doc_id-derived rate and constant amplitude; the decoded sample
+    // rate, frame count, and RMS (rescaled to raw amplitude) must match
+    // DuckDB's closed-form recomputation.
+    "mm_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = 8000 + (id % 5).toInt * 1000
+          val amp = ((id % 100 + 1) * 300).toShort
+          (id, "audio",
+            graft.multimodal.Multimodal.Codecs.encodeWavPcm16(
+              rate, 1, Array.fill(200)(amp)))
+        }).toDF("media_id", "kind", "payload")
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("bigint").as("sample_rate"),
+          element_at(col("feature"), 3).cast("bigint").as("n_samples"),
+          round(element_at(col("feature"), 4) * 32768).cast("bigint").as("rms_amp"))
         .orderBy("media_id")
     }),
   )
@@ -726,6 +759,20 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    // the mm_ payloads are synthesized from doc_id alone, so DuckDB can
+    // recompute every decoded field in closed form
+    "mm_features" -> """
+      SELECT doc_id AS media_id,
+             CAST(6 AS BIGINT) AS width,
+             CAST(3 AS BIGINT) AS height,
+             CAST(doc_id * 7 % 251 AS BIGINT) AS mean_r_255
+      FROM documents ORDER BY media_id""",
+    "mm_audio" -> """
+      SELECT doc_id AS media_id,
+             CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+             CAST(200 AS BIGINT) AS n_samples,
+             CAST((doc_id % 100 + 1) * 300 AS BIGINT) AS rms_amp
+      FROM documents ORDER BY media_id""",
     "tx_token_stats" -> """
       WITH t AS (SELECT doc_id, n_chars,
                         string_split_regex(lower(text), '\s+') AS toks

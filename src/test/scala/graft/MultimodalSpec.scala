@@ -48,6 +48,60 @@ class MultimodalSpec extends SparkSuite {
       .as[Int].collect().toSeq == Seq(0, 1, 2))
   }
 
+  test("BMP round-trip: ImageIO decode recovers header fields and pixel stats") {
+    import Multimodal.Codecs
+    // 4x2 image: top row solid red, bottom row solid blue
+    val rgb = Array.fill(4 * 2 * 3)(0.toByte)
+    (0 until 4).foreach { x => rgb((0 * 4 + x) * 3) = 0xff.toByte }      // red row
+    (0 until 4).foreach { x => rgb((1 * 4 + x) * 3 + 2) = 0xff.toByte } // blue row
+    val d = Codecs.decodeImage(Codecs.encodeBmp(4, 2, rgb)).get
+    assert(d.width == 4 && d.height == 2)
+    assert(math.abs(d.meanR - 0.5f) < 1e-6f) // half the pixels fully red
+    assert(math.abs(d.meanB - 0.5f) < 1e-6f)
+    assert(d.meanG == 0f)
+    // luma: red=76, blue=29 -> bins 2 and 0, half the mass each
+    assert(d.grayHist(2) == 0.5f && d.grayHist(0) == 0.5f)
+    // and through the feature layout
+    val f = Codecs.imageFeature(Codecs.encodeBmp(4, 2, rgb), dim = 16)
+    assert(f(0) == 4f && f(1) == 2f && f(2) == d.meanR && f(13) == 0f)
+  }
+
+  test("WAV round-trip: RIFF parser recovers rate, channels, samples, rms") {
+    import Multimodal.Codecs
+    // constant half-scale amplitude -> rms = 0.5, all mass in bin 4
+    val samples = Array.fill(800)(16384.toShort)
+    val d = Codecs.decodeWav(Codecs.encodeWavPcm16(8000, 1, samples)).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.nSamples == 800)
+    assert(math.abs(d.rms - 0.5f) < 1e-6f)
+    assert(d.ampHist(4) == 1.0f && d.ampHist(0) == 0f)
+    // stereo: nSamples counts frames, not interleaved samples
+    val st = Codecs.decodeWav(Codecs.encodeWavPcm16(44100, 2, samples)).get
+    assert(st.sampleRate == 44100 && st.channels == 2 && st.nSamples == 400)
+  }
+
+  test("undecodable payloads fall back to the deterministic pseudo-feature") {
+    import Multimodal.Codecs
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(Codecs.decodeImage(junk).isEmpty && Codecs.decodeWav(junk).isEmpty)
+    val f1 = Codecs.imageFeature(junk, 16)
+    assert(f1.toSeq == Codecs.imageFeature(junk, 16).toSeq)
+    assert(f1.forall(v => v >= -0.5f && v <= 0.5f))
+  }
+
+  test("extractFeatures decodes real BMP payloads distributed (header fields in features)") {
+    val media = (0L until 20L).map { id =>
+      val shade = (id * 12 % 256).toInt.toByte
+      (id, "image", Multimodal.Codecs.encodeBmp(6, 3, Array.fill(6 * 3 * 3)(shade)))
+    }.toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.feature(0) == 6f && f.feature(1) == 3f) // decoded header dims
+      val expected = ((f.media_id * 12 % 256) & 0xff) / 255f
+      assert(math.abs(f.feature(2) - expected) < 1e-6f) // decoded pixel mean
+    }
+  }
+
   test("features feed downstream ANN (cosine near-dup over media features)") {
     val media = mediaFixture
     val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
