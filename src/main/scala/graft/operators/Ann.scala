@@ -79,13 +79,18 @@ object Ann {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
-  /** Lloyd k-means over an `array<float>` column, all DataFrame ops.
-    * Deterministic: initial centroids are the `nCentroids` lowest-id
-    * rows' vectors. Returns (centroid_id, centroid).
+  /** Lloyd k-means over an `array<float>` column. Deterministic: initial
+    * centroids are the `nCentroids` lowest-id rows' vectors. Returns
+    * (centroid_id, centroid).
     *
-    * Each iteration: broadcast centroids → assign (argmin distance) →
-    * per-dimension mean via posexplode + two-level aggregation. Both
-    * stages are shuffle-on-key; nothing driver-side scales with n.
+    * Centroids are k-means STATE (k × dim floats), not data — they live
+    * on the driver (exactly like Spark MLlib's KMeans keeps its cluster
+    * centers). Each Lloyd iteration is then ONE distributed job: a
+    * shuffle-free argmin projection (see [[assign]]) feeding a single
+    * partially-aggregated `groupBy(centroid_id)` whose shuffle volume is
+    * bounded at partitions × k × (dim + 1) values regardless of n. The
+    * old form re-shuffled n × dim posexploded rows through TWO exchanges
+    * plus a cache/count/join per iteration.
     */
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
@@ -94,34 +99,27 @@ object Ann {
     import spark.implicits._
     // Seed batch is <= nCentroids rows by construction: number them on
     // the driver rather than through a partitionless global window.
-    val seedVecs = df.orderBy(col(idCol)).limit(nCentroids)
+    var cents: Array[(Long, Array[Float])] = df
+      .orderBy(col(idCol)).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
-    var centroids = seedVecs.zipWithIndex.toSeq
+      .zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
-      .toDF("centroid_id", "centroid")
-      .cache()
+    require(cents.nonEmpty, "kmeans needs at least one seed row")
+    val dim = cents.head._2.length
     (0 until iters).foreach { _ =>
-      val recentered = assign(df, idCol, vecCol, centroids)
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("mean"))
+      val means = assignTo(df, vecCol, cents)
         .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("dims"))
-        .select(col("centroid_id"),
-          transform(col("dims"), d => d.getField("mean").cast("float")).as("new_centroid"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col(vecCol), i + 1)).cast("float")): _*).as("mean"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .toMap
       // a cell that won no rows keeps its previous centroid instead of
       // silently vanishing (callers rely on exactly nCentroids cells)
-      val next = centroids
-        .join(recentered, Seq("centroid_id"), "left_outer")
-        .select(col("centroid_id"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
-      val materialized = next.cache()
-      materialized.count()
-      centroids.unpersist()
-      centroids = materialized
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    centroids
+    cents.toSeq.toDF("centroid_id", "centroid")
   }
 
   /** Assign each row to its nearest centroid.
@@ -142,6 +140,14 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    assignTo(df, vecCol, cents)
+  }
+
+  /** Argmin projection over driver-held centroids (the literal form both
+    * [[assign]] and [[kmeans]] share).
+    */
+  private def assignTo(
+      df: DataFrame, vecCol: String, cents: Array[(Long, Array[Float])]): DataFrame = {
     require(cents.nonEmpty, "assign needs at least one centroid")
     val best = array_min(array(cents.map { case (cid, cvec) =>
       struct(
