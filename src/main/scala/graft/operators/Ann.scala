@@ -168,6 +168,51 @@ object Ann {
     (assign(df, idCol, vecCol, centroids), centroids)
   }
 
+  /** Persist an IVF index in the 100 TB layout: the indexed rows are
+    * written PARTITIONED BY `centroid_id`, so a probe that touches
+    * nProbe of k cells reads nProbe/k of the data at the source (see
+    * [[ivfSearchL2Pruned]]), not a full scan followed by a filter.
+    */
+  def writeIvfIndex(indexed: DataFrame, centroids: DataFrame, path: String): Unit = {
+    indexed.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** IVF search against a [[writeIvfIndex]] layout with SOURCE-LEVEL
+    * partition pruning: the probed cell set (≤ queries × nProbe ids —
+    * planner state, like the centroids themselves) becomes a static
+    * `IN` filter on the partition column, so the parquet scan's
+    * `PartitionFilters` skips every unprobed cell's files. Results are
+    * identical to [[ivfSearchL2]] over the full index (asserted in
+    * AnnSpec); only the scanned volume changes.
+    */
+  def ivfSearchL2Pruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = SimilarityJoin.topKByDistance(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("cdist", l2_distance(col(qvecCol), col("centroid")))
+        .select(col(qidCol), col(qvecCol), col("centroid_id"), col("cdist")),
+      qidCol, "centroid_id", "cdist", nProbe)
+      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+    // ≤ queries × nProbe cell ids — planner state, like the centroids
+    val cells = probed.select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val indexed = spark.read.parquet(s"$path/index")
+      .filter(col("centroid_id").isin(cells: _*)) // → PartitionFilters
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val scored = indexed
+      .join(broadcast(probed.withColumn("centroid_id", col("centroid_id").cast("long"))),
+        Seq("centroid_id"))
+      .withColumn("distance", l2_distance(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("distance"))
+    SimilarityJoin.topKByDistance(scored, qidCol, idCol, "distance", k)
+  }
+
   /** IVF search: probe the `nProbe` nearest cells per query, brute-force
     * only within probed cells. Exact within recall limits of the probe
     * set; nProbe = nCentroids degenerates to exact search.

@@ -52,6 +52,17 @@ object Sources {
     }
   }
 
+  /** Write a table bucketed (and sorted) by a join key. Two tables
+    * bucketed the same way join WITHOUT an Exchange on either side —
+    * the co-located fact-fact join layout for keys too large to
+    * broadcast: at 100 TB, pre-bucketing lineitem-sized tables on their
+    * join key turns every recurring join into a map-side zip of
+    * matching buckets (asserted exchange-free in SourcesSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Import rows shaped like the reference's table — `(id, vec BLOB,
     * doc)` with little-endian float32 blob vectors — into a graft store
     * DataFrame ready for [[VectorStore.insertDF]].

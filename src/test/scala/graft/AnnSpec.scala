@@ -40,6 +40,26 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low") // self-match alone gives 0.2
   }
 
+  test("partitioned IVF layout: pruned probe matches full search, scan prunes partitions") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.writeIvfIndex(indexed, centroids, path)
+    val full = Ann.ivfSearchL2(indexed, "vec_id", "embedding", centroids,
+        queries, "qid", "qvec", k = 5, nProbe = 3)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val pruned = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nProbe = 3)
+    val prunedSet = pruned
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(prunedSet == full, "pruned search must equal full-index search")
+    // the probe reaches the SOURCE: partition filters on centroid_id in
+    // the parquet scan, so unprobed cells' files are never read
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = "(?s)PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*in[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"expected an IN partition filter on centroid_id in:\n$plan")
+  }
+
   test("LSH near-dup pairs: precision 1.0 subset of the exact O(n²) pairs") {
     val exact = SimilarityJoin.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet

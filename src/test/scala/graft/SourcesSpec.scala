@@ -51,6 +51,37 @@ class SourcesSpec extends SparkSuite {
     assert(exported.map(_._2.toSeq).toSeq == vecs.map(enc(_).toSeq))
   }
 
+  test("bucketed tables join with no Exchange on either side (co-located join)") {
+    val sf = "/root/testdata/sf0.001"
+    Sources.writeBucketed(
+      spark.read.parquet(s"$sf/orders.parquet"), "b_orders", "o_orderkey", 8)
+    Sources.writeBucketed(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the ONLY exchange allowed is the final tiny groupBy-priority one;
+      // the join itself must read co-located buckets shuffle-free
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // sanity: same result as the plain parquet join
+      val plain = spark.read.parquet(s"$sf/orders.parquet")
+        .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+      assert(joined.orderBy("o_orderpriority").collect().toSeq ==
+        plain.orderBy("o_orderpriority").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv and jsonLines ingestion with explicit schemas") {
     val dir = Files.createTempDirectory("graft-csv")
     val csvPath = dir.resolve("in.csv")
