@@ -57,6 +57,35 @@ object Ann {
     SimilarityJoin.topKByDistance(scored, qidCol, idCol, "neg_sim", k).drop("neg_sim")
   }
 
+  /** Multi-probe LSH cosine top-k (Lv et al., VLDB '07): each query
+    * probes its own bucket PLUS the `nBits` buckets at Hamming
+    * distance 1 (one sign bit flipped) — recall approaching more hash
+    * tables without building any, at (nBits+1)× probe cost. The
+    * expansion happens on the small broadcast QUERY side only; the
+    * index is bucketed once, identically to [[lshCosineTopK]], so the
+    * candidate join stays an equi-join on the bucket key.
+    */
+  def lshCosineTopKMultiProbe(
+      index: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val bIndex = index.withColumn("bucket", hyperplaneBucket(col(vecCol), dim, nBits, seed))
+    val probes = queries
+      .withColumn("bucket0", hyperplaneBucket(col(qvecCol), dim, nBits, seed))
+      .withColumn("flip",
+        explode(array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)))
+      .withColumn("bucket", col("bucket0").bitwiseXOR(col("flip")))
+      .drop("bucket0", "flip")
+    val scored = bIndex
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("sim", cosine_similarity(col(vecCol), col(qvecCol)))
+      .withColumn("neg_sim", -col("sim"))
+      .select(col(qidCol), col(idCol), col("sim"), col("neg_sim"))
+      // the same candidate can surface through several probes
+      .dropDuplicates(qidCol, idCol)
+    SimilarityJoin.topKByDistance(scored, qidCol, idCol, "neg_sim", k).drop("neg_sim")
+  }
+
   /** LSH-bucketed cosine near-duplicate pairs: the scale path for
     * [[SimilarityJoin.cosineNearDupPairs]]. Pairs are generated only
     * within hyperplane buckets (equi-join self-join, no cross join) and

@@ -96,6 +96,26 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact content dedup: the first-seen row per `md5(text)`
+    * survives; later duplicates are dropped. The streaming form of
+    * [[graft.operators.Dedup.exactDedup]] for continuous ingestion.
+    *
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    * distinct keys seen within the watermark horizon — not by stream
+    * length — which is the only state contract that survives an
+    * unbounded firehose. The trade: a duplicate arriving later than
+    * the horizon after its original is re-admitted (downstream batch
+    * [[graft.operators.Dedup.exactGroups]] over the sink remains the
+    * exact backstop).
+    */
+  def streamingContentDedup(
+      docs: DataFrame, tsCol: String = "ts", textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Batch-mode sessionization with identical semantics — the windowed
     * lag/cumsum formulation, usable for backfill and for validating the
     * streaming path on finite data.

@@ -74,6 +74,26 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("multi-probe LSH: recall >= single-probe, still bucket-pruned") {
+    val exact = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val single = recallOf(Ann.lshCosineTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, dim = 64, nBits = 6))
+    val multi = recallOf(Ann.lshCosineTopKMultiProbe(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, dim = 64, nBits = 6))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi > single, s"1-bit probes must add candidates on random vectors ($multi)")
+    // still approximate: candidates pruned to (nBits+1) of 2^nBits buckets
+    val full = recallOf(SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5))
+    assert(full == 1.0)
+  }
+
   test("LSH cosine top-k: self-match always found, candidates bucket-pruned") {
     val got = Ann.lshCosineTopK(emb, "vec_id", "embedding",
       queries, "qid", "qvec", k = 3, dim = 64, nBits = 6)

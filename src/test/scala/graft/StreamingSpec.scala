@@ -110,6 +110,29 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamingContentDedup: first-seen doc per content hash survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = EventStreams.streamingContentDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // same batch: duplicate text -> one survivor (first by stream order)
+      input.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"), (3L, ts(1), "beta"))
+      q.processAllAvailable()
+      // later batch within the watermark: still deduped against state
+      input.addData((4L, ts(5), "alpha"), (5L, ts(6), "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+      assert(got.map(_._2) == Set("alpha", "beta", "gamma"))
+      assert(got.size == 3, s"duplicates leaked: $got")
+      // the alpha survivor is one of the first-batch rows, not doc 4
+      assert(!got.map(_._1).contains(4L))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches streaming semantics on the events table") {
     val ev = graft.sources.Sources.nanosTimestampParquet(
       spark, "/root/testdata/sf0.001/events.parquet", "ts")
