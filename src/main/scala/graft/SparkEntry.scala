@@ -533,6 +533,29 @@ object SparkEntry {
           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
         .orderBy("c_custkey")),
 
+    // correlated EXISTS as a broadcast-able semi join: orders with at
+    // least one returned line item
+    "q25_exists" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .join(
+          T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_returned_orders"))
+        .orderBy("o_orderpriority")),
+
+    // time-range window frame: per-user rolling 1h sum over event time
+    "q27_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      events(s, dir).filter(col("user_id") < 50)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("rolling_1h", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("rolling_1h"))
+        .orderBy("event_id")
+    }),
+
     // generator/explode: corpus-wide token frequencies
     "tx_token_freq" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -926,6 +949,19 @@ object SparkEntry {
         SELECT * FROM orders WHERE o_totalprice > 250000) o
         ON c_custkey = o_custkey
       GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""",
+    "q25_exists" -> """
+      SELECT o_orderpriority, count(*) AS n_returned_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q27_range_window" -> """
+      SELECT event_id, user_id,
+             round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+      FROM events WHERE user_id < 50
+      ORDER BY event_id""",
     "tx_token_freq" -> """
       SELECT tok, count(*) AS n FROM (
         SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
