@@ -53,6 +53,17 @@ class SourcesSpec extends SparkSuite {
 
   test("bucketed tables join with no Exchange on either side (co-located join)") {
     val sf = "/root/testdata/sf0.001"
+    // the warehouse directory outlives the in-memory catalog between
+    // JVM runs; clear both so overwrite can re-create the tables
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Sources.writeBucketed(
       spark.read.parquet(s"$sf/orders.parquet"), "b_orders", "o_orderkey", 8)
     Sources.writeBucketed(
