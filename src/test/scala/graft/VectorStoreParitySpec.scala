@@ -377,6 +377,11 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(e2.getMessage.contains("vec"))
   }
 
+  test("repr names the path and dimension (tests.py:488-491)") {
+    val s = freshStore()
+    assert(s.toString == s"VectorStore(path=$dir, dim=10)")
+  }
+
   test("insertDF rejects wrong-dimension vectors (job fails, store unchanged)") {
     import spark.implicits._
     val s = freshStore()
