@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -20,27 +18,74 @@ object TopKAggregator {
 
   case class Cand(id: Long, dist: Double)
 
-  /** Bounded max-heap buffer: keeps the k smallest (dist, id) pairs. */
-  private final class TopKAgg(k: Int)
-      extends Aggregator[Cand, mutable.PriorityQueue[Cand], Seq[Cand]] {
-    private val ord: Ordering[Cand] = Ordering.by(c => (c.dist, c.id))
-    override def zero: mutable.PriorityQueue[Cand] = mutable.PriorityQueue.empty(ord)
-    override def reduce(b: mutable.PriorityQueue[Cand], a: Cand): mutable.PriorityQueue[Cand] = {
-      b.enqueue(a)
-      while (b.size > k) b.dequeue()
-      b
+  /** Aggregation buffer: the current top-k as parallel primitive arrays
+    * in ascending (dist, id) order. A product type over primitive
+    * arrays serializes through Spark's native unsafe-row encoder
+    * (codegen'd, no kryo reflection) — the buffer serde is what
+    * dominates this aggregator's cost at small n.
+    */
+  case class TopKBuf(ids: Array[Long], dists: Array[Double])
+
+  /** Bounded sorted-array buffer keeping the k smallest (dist, id)
+    * pairs. After the buffer fills, most rows fail the O(1) bound check
+    * against the current worst; accepted rows pay one O(k) insertion.
+    */
+  private final class TopKAgg(k: Int) extends Aggregator[Cand, TopKBuf, Seq[Cand]] {
+
+    override def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray)
+
+    private def beats(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+      d1 < d2 || (d1 == d2 && i1 < i2)
+
+    override def reduce(b: TopKBuf, a: Cand): TopKBuf = {
+      val n = b.ids.length
+      if (n == k && !beats(a.dist, a.id, b.dists(n - 1), b.ids(n - 1))) return b
+      // position of the first element the candidate beats
+      var pos = n
+      var i = 0
+      var found = false
+      while (i < n && !found) {
+        if (beats(a.dist, a.id, b.dists(i), b.ids(i))) { pos = i; found = true }
+        i += 1
+      }
+      val outN = math.min(k, n + 1)
+      val ids = new Array[Long](outN)
+      val dists = new Array[Double](outN)
+      System.arraycopy(b.ids, 0, ids, 0, pos)
+      System.arraycopy(b.dists, 0, dists, 0, pos)
+      if (pos < outN) {
+        ids(pos) = a.id; dists(pos) = a.dist
+        val tail = outN - pos - 1
+        if (tail > 0) {
+          System.arraycopy(b.ids, pos, ids, pos + 1, tail)
+          System.arraycopy(b.dists, pos, dists, pos + 1, tail)
+        }
+      }
+      TopKBuf(ids, dists)
     }
-    override def merge(
-        b1: mutable.PriorityQueue[Cand],
-        b2: mutable.PriorityQueue[Cand]): mutable.PriorityQueue[Cand] = {
-      b2.foreach(b1.enqueue(_))
-      while (b1.size > k) b1.dequeue()
-      b1
+
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      val (n1, n2) = (b1.ids.length, b2.ids.length)
+      if (n2 == 0) return b1
+      if (n1 == 0) return b2
+      val outN = math.min(k, n1 + n2)
+      val ids = new Array[Long](outN)
+      val dists = new Array[Double](outN)
+      var (i, j, o) = (0, 0, 0)
+      while (o < outN) {
+        val takeLeft = j >= n2 ||
+          (i < n1 && beats(b1.dists(i), b1.ids(i), b2.dists(j), b2.ids(j)))
+        if (takeLeft) { ids(o) = b1.ids(i); dists(o) = b1.dists(i); i += 1 }
+        else { ids(o) = b2.ids(j); dists(o) = b2.dists(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(ids, dists)
     }
-    override def finish(b: mutable.PriorityQueue[Cand]): Seq[Cand] =
-      b.toSeq.sortBy(c => (c.dist, c.id))
-    override def bufferEncoder: Encoder[mutable.PriorityQueue[Cand]] =
-      Encoders.kryo[mutable.PriorityQueue[Cand]]
+
+    override def finish(b: TopKBuf): Seq[Cand] =
+      b.ids.indices.map(i => Cand(b.ids(i), b.dists(i)))
+
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[Seq[Cand]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Cand]]()
   }

@@ -60,6 +60,20 @@ class AnnSpec extends SparkSuite {
       s"expected an IN partition filter on centroid_id in:\n$plan")
   }
 
+  test("TopKAggregator matches the window top-k on tie-heavy random data") {
+    val rnd = new scala.util.Random(7)
+    // coarse distances force (dist, id) tie-breaks on most comparisons
+    val rows = (0 until 5000).map(i => (i % 7L, i.toLong, rnd.nextInt(40) / 10.0))
+    val df = rows.toDF("qid", "id", "dist").repartition(13)
+    val win = SimilarityJoin.topKByDistance(df, "qid", "id", "dist", 5)
+      .select($"qid", $"id", $"dist", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val agg = graft.operators.TopKAggregator.topKRows(df, "qid", "id", "dist", 5)
+      .select($"qid", $"id", $"dist", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg == win)
+  }
+
   test("LSH near-dup pairs: precision 1.0 subset of the exact O(n²) pairs") {
     val exact = SimilarityJoin.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
