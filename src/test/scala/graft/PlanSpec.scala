@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.when
 
 /** Plan-shape regression tests: the scale properties SCALE.md claims
   * (pushdown, pruning, broadcast, partial top-k, codegen) asserted
@@ -78,6 +79,34 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("Exchange"), s"assign must not shuffle:\n$s")
     assert(!s.contains("Join"), s"assign must not join:\n$s")
     assert(!s.contains("Window"), s"assign must not window:\n$s")
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one heavy-hitter key (~80% of rows) against a uniform dim side
+      val left = spark.range(100000)
+        .select(when($"id" < 80000, 0L).otherwise($"id" % 128).as("k"), $"id".as("v"))
+      val right = spark.range(128).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (count() would plan a new one) so
+      // the adaptive plan finalizes
+      joined.queryExecution.toRdd.count()
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$s")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("minhash LSH candidates: equi-join on band key, no cross join") {
