@@ -556,6 +556,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // deterministic hash sampling: same rows in any engine, any run,
+    // at any parallelism (md5-prefix predicate, no RNG)
+    "sm_hash_sample" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(
+          T(s, dir, "documents"), "doc_id", 0.2, salt = "graft")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // generator/explode: corpus-wide token frequencies
     "tx_token_freq" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -962,6 +970,13 @@ object SparkEntry {
                RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
       FROM events WHERE user_id < 50
       ORDER BY event_id""",
+    // same md5-prefix predicate, same threshold constant — sampling
+    // membership is engine-portable by construction
+    "sm_hash_sample" -> s"""
+      SELECT doc_id, n_chars FROM documents
+      WHERE md5(concat_ws('|', 'graft', CAST(doc_id AS VARCHAR)))
+            < '${graft.operators.Sampling.thresholdHex(0.2)}'
+      ORDER BY doc_id""",
     "tx_token_freq" -> """
       SELECT tok, count(*) AS n FROM (
         SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok

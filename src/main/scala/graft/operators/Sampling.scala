@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * Rows are kept when `md5(key)` falls below `fraction` of the 128-bit
+  * hash space — a pure per-row predicate (no shuffle, no RNG state, no
+  * partition sensitivity) that yields the SAME sample in any engine
+  * with md5 (hash-matched against DuckDB on the gate), on any run, at
+  * any parallelism. That reproducibility is what a 100 TB corpus
+  * needs: re-running a pipeline (or re-sharding the input) must not
+  * change which documents were sampled, and train/test membership must
+  * be derivable from the key alone — `rand()`-based sampling gives
+  * neither. A salt string decorrelates independent samples over the
+  * same keys.
+  */
+object Sampling {
+
+  /** 32-hex-char threshold at `fraction` of the md5 space — public so
+    * external systems (and the DuckDB oracle) can reproduce membership.
+    */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    val space = BigDecimal(BigInt(1) << 128)
+    val t = (space * fraction).toBigInt.min((BigInt(1) << 128) - 1)
+    val hex = t.toString(16)
+    "0" * (32 - hex.length) + hex
+  }
+
+  private def keyHash(keyCol: Column, salt: String): Column =
+    md5(concat_ws("|", lit(salt), keyCol.cast("string")))
+
+  /** Keep ~`fraction` of rows, chosen deterministically by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(keyHash(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Disjoint, exhaustive (train, test) split by key hash: every row
+    * lands in exactly one side, and membership is a pure function of
+    * (key, salt) — stable across runs, partitionings, and engines.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, testFraction: Double,
+      salt: String = ""): (DataFrame, DataFrame) = {
+    val isTest = keyHash(col(keyCol), salt) < lit(thresholdHex(testFraction))
+    (df.filter(!isTest), df.filter(isTest))
+  }
+
+  /** Per-class fractions (stratified): `fractions` maps class value →
+    * keep fraction; classes not listed are dropped, matching
+    * `DataFrameStatFunctions.sampleBy` semantics — but deterministic in
+    * the key, not the RNG.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, classCol: String,
+      fractions: Map[String, Double], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "need at least one class fraction")
+    val h = keyHash(col(keyCol), salt)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (cls, f)) =>
+      acc || (col(classCol).cast("string") === cls && h < lit(thresholdHex(f)))
+    }
+    df.filter(keep)
+  }
+}
