@@ -556,6 +556,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // benchmark decontamination: n-gram overlap between a corpus slice
+    // and a "benchmark" slice (string shingle keys here for oracle
+    // parity; the hashed-key scale path is asserted equal in DedupSpec)
+    "dd_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.ngramContamination(
+          docs.filter(col("doc_id") >= 20 && col("doc_id") < 200), "doc_id", "text",
+          docs.filter(col("doc_id") < 20), "doc_id", "text",
+          n = 3, minOverlapFraction = 0.05, hashKeys = false)
+        .orderBy("corpus_id", "bench_id")
+    }),
+
     // deterministic hash sampling: same rows in any engine, any run,
     // at any parallelism (md5-prefix predicate, no RNG)
     "sm_hash_sample" -> ((s, dir) =>
@@ -970,6 +982,27 @@ object SparkEntry {
                RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
       FROM events WHERE user_id < 50
       ORDER BY event_id""",
+    "dd_contamination" -> """
+      WITH ctoks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                     FROM documents WHERE doc_id >= 20 AND doc_id < 200),
+           c AS (SELECT doc_id AS corpus_id,
+                        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+                 FROM ctoks),
+           btoks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                     FROM documents WHERE doc_id < 20),
+           bsh AS (SELECT doc_id AS bench_id,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+2], ' '))) AS shs
+                   FROM btoks),
+           b AS (SELECT bench_id, len(shs) AS bsize, unnest(shs) AS sh FROM bsh)
+      SELECT c.corpus_id, b.bench_id,
+             CAST(count(*) AS BIGINT) AS n_overlap,
+             round(CAST(count(*) AS DOUBLE) / any_value(b.bsize), 4) AS frac
+      FROM c JOIN b USING (sh)
+      GROUP BY c.corpus_id, b.bench_id
+      HAVING round(CAST(count(*) AS DOUBLE) / any_value(b.bsize), 4) >= 0.05
+      ORDER BY corpus_id, bench_id""",
     // same md5-prefix predicate, same threshold constant — sampling
     // membership is engine-portable by construction
     "sm_hash_sample" -> s"""

@@ -103,6 +103,50 @@ object Dedup {
     } finally withTok.unpersist()
   }
 
+  /** Benchmark decontamination: for each (corpus doc, benchmark doc)
+    * pair, the count and fraction of the benchmark's distinct word
+    * n-gram shingles that the corpus doc contains — the standard
+    * n-gram-overlap test for evaluation-set leakage in training data.
+    * Returns rows `(corpus_id, bench_id, n_overlap, frac)` with
+    * `frac ≥ minOverlapFraction`.
+    *
+    * Shape: shingle-explode both sides, hash-partitioned equi-join on
+    * the shingle key, count per pair — no cross join; the shuffle
+    * carries (id, shingle-key) rows only. With `hashKeys = true`
+    * (default) the join key is a 64-bit fingerprint instead of the
+    * shingle string, shrinking shuffle bytes several-fold at a
+    * collision risk of ~n²/2⁶⁴ (gate parity uses string keys, and
+    * DedupSpec asserts both keyings agree on the fixture).
+    */
+  def ngramContamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 3, minOverlapFraction: Double = 0.5,
+      hashKeys: Boolean = true): DataFrame = {
+    def shingled(df: DataFrame, idCol: String, textCol: String, outId: String) = {
+      val base = df.select(
+        col(idCol).cast("long").as(outId),
+        array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("shs"))
+      val key =
+        if (hashKeys) graft.functions.fingerprint64(col("sh"))
+        else col("sh")
+      base.select(col(outId), size(col("shs")).as(s"${outId}_size"),
+          explode(col("shs")).as("sh"))
+        .select(col(outId), col(s"${outId}_size"), key.as("shk"))
+    }
+    val c = shingled(corpus, corpusId, corpusText, "corpus_id")
+      .select(col("corpus_id"), col("shk"))
+    val b = shingled(bench, benchId, benchText, "bench_id")
+    c.join(b, Seq("shk"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        first(col("bench_id_size")).as("_bsize"))
+      .withColumn("frac",
+        round(col("n_overlap").cast("double") / col("_bsize"), 4))
+      .filter(col("frac") >= minOverlapFraction)
+      .select(col("corpus_id"), col("bench_id"), col("n_overlap"), col("frac"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures compared within
     * buckets keyed by 16-bit signature quarters (any pair within Hamming
     * distance ≤ 3 of the full hash shares at least one identical quarter

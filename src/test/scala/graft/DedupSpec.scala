@@ -39,6 +39,26 @@ class DedupSpec extends SparkSuite {
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
 
+  test("ngramContamination: hashed and string shingle keys agree; self-contamination is total") {
+    val corpus = docs.filter($"doc_id" >= 20 && $"doc_id" < 100)
+    val bench = docs.filter($"doc_id" < 20)
+    def rows(hashKeys: Boolean) = Dedup.ngramContamination(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        n = 3, minOverlapFraction = 0.3, hashKeys = hashKeys)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val str = rows(hashKeys = false)
+    val hsh = rows(hashKeys = true)
+    assert(str == hsh, "64-bit shingle fingerprints must not change the result")
+    assert(str.nonEmpty, "fixture slices must overlap")
+    // a benchmark doc checked against itself overlaps on every shingle
+    val self = Dedup.ngramContamination(
+        bench, "doc_id", "text", bench, "doc_id", "text",
+        n = 3, minOverlapFraction = 0.99)
+      .filter($"corpus_id" === $"bench_id")
+    assert(self.count() == bench.count())
+    assert(self.filter($"frac" =!= 1.0).count() == 0)
+  }
+
   test("exact dedup is idempotent and loses no distinct content") {
     val once = Dedup.exactDedup(docs, "doc_id", "text").cache()
     val twice = Dedup.exactDedup(once, "doc_id", "text")
