@@ -340,6 +340,11 @@ object SparkEntry {
           round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
           round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
         .orderBy("doc_id")),
+    "tx_repetition" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.repetitionRatio(col("text")), 4).as("rep_ratio"))
+        .orderBy("doc_id")),
     "tx_langid" -> ((s, dir) => {
       val ratios = TextAnalysis.langRatios(col("text"))
       T(s, dir, "documents")
@@ -824,6 +829,14 @@ object SparkEntry {
              round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
                / len(toks), 4) AS mean_tok_len,
              n_chars
+      FROM t ORDER BY doc_id""",
+    "tx_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 4)
+               AS rep_ratio
       FROM t ORDER BY doc_id""",
     "tx_quality" -> """
       WITH t AS (

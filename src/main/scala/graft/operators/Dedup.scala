@@ -127,6 +127,11 @@ object Dedup {
       val base = df.select(
         col(idCol).cast("long").as(outId),
         array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("shs"))
+        // materialize the shingle arrays behind an exchange before
+        // exploding (same pattern as jaccardPairs): the downstream
+        // join/agg stages then consume pre-built arrays instead of
+        // re-deriving them through the collapsed projection
+        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       val key =
         if (hashKeys) graft.functions.fingerprint64(col("sh"))
         else col("sh")

@@ -15,12 +15,28 @@ object TextAnalysis {
   /** Distinct-word shingle set for Jaccard-style comparisons. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  /** Word n-gram shingles (n consecutive tokens joined by a space).
+    *
+    * Built by zipping the token array with its own 1..n-1 shifts:
+    * `zip_with` evaluates each ARGUMENT once and only the tiny lambda
+    * per element. The previous `transform(ts, i => slice(ts, ...))`
+    * form embedded the token-split inside the lambda, so the
+    * interpreted HOF re-ran the regex split per element — O(tokens²)
+    * splits per row, and worse under explode(), whose implicit
+    * `size(...) > 0` filter duplicates the whole chain into the scan.
+    * Trailing zip pads are nulls (concat null-propagates) and are
+    * filtered, giving exactly max(size - n + 1, 0) shingles.
+    */
   def wordShingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     val ts = tokens(text)
-    filter(
-      transform(ts, (_, i) => concat_ws(" ", slice(ts, i + 1, lit(n)))),
-      (_, i) => i <= size(ts) - n)
+    if (n == 1) ts
+    else {
+      val joined = (1 until n).foldLeft(ts) { (acc, k) =>
+        zip_with(acc, slice(ts, lit(k + 1), size(ts)), (a, b) => concat(a, lit(" "), b))
+      }
+      filter(joined, x => x.isNotNull)
+    }
   }
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -45,6 +61,16 @@ object TextAnalysis {
     val ts = tokens(text)
     when(size(ts) === 0, 0.0).otherwise(
       aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Token repetition ratio in [0,1): fraction of tokens that are
+    * repeats of an earlier token — high values flag boilerplate/spam
+    * (a standard pretraining corpus filter).
+    */
+  def repetitionRatio(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
   }
 
   /** Composite quality score in [0,1]: rewards stopword presence and
