@@ -561,6 +561,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // near-dup pairs chained into dedup GROUPS (connected components),
+    // summarized per cluster — checked against a DuckDB recursive-CTE
+    // label propagation over the identical edge set
+    "dd_neardup_clusters" -> ((s, dir) => {
+      val d = T(s, dir, "documents").filter(col("doc_id") < 150)
+      Dedup.nearDupClusters(d, "doc_id", "text", 0.5)
+        .groupBy(col("comp").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_rep")
+    }),
+
     // benchmark decontamination: n-gram overlap between a corpus slice
     // and a "benchmark" slice (string shingle keys here for oracle
     // parity; the hashed-key scale path is asserted equal in DedupSpec)
@@ -995,6 +1006,22 @@ object SparkEntry {
                RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
       FROM events WHERE user_id < 50
       ORDER BY event_id""",
+    "dd_neardup_clusters" -> """
+      WITH RECURSIVE
+      d AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+            FROM documents WHERE doc_id < 150),
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+      lbl(id, l) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 150
+        UNION
+        SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst)
+      SELECT comp AS cluster_rep, CAST(count(*) AS BIGINT) AS n_members
+      FROM (SELECT id, min(l) AS comp FROM lbl GROUP BY id)
+      GROUP BY comp ORDER BY cluster_rep""",
     "dd_contamination" -> """
       WITH ctoks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                      FROM documents WHERE doc_id >= 20 AND doc_id < 200),

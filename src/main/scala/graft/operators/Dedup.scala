@@ -103,6 +103,69 @@ object Dedup {
     } finally withTok.unpersist()
   }
 
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns pairwise matches into dedup groups (pairs alone cannot
+    * say which docs form one cluster when matches chain a–b, b–c).
+    *
+    * Min-label propagation, DataFrame-only: every node starts labeled
+    * with itself; each round takes the min of its own and its
+    * neighbors' labels until a fixpoint. Rounds = cluster diameter —
+    * small for near-dup graphs (dense clusters) — and each round is
+    * one equi-join + groupBy, so the shuffle carries (node, label)
+    * pairs only, never the text. `maxIter` is a runaway bound; hitting
+    * it throws rather than returning unconverged labels.
+    *
+    * Returns (id, comp) where comp = the cluster's minimum node id;
+    * `nodes` rows absent from any pair keep themselves (singletons).
+    */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      var changed = 1L
+      var i = 0
+      while (changed > 0) {
+        require(i < maxIter, s"connectedComponents did not converge in $maxIter rounds")
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("dst_comp")).as("nbr_comp"))
+        val next = labels
+          .join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+          .filter(col("comp") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      // cut lineage before unpersisting the iteration caches
+      labels.localCheckpoint(eager = true)
+    } finally edges.unpersist()
+  }
+
+  /** Near-duplicate dedup end to end: exact-Jaccard pairs → connected
+    * components → keep the minimum id per cluster. The grouping, not
+    * just the pairing, is what a dedup pipeline actually applies.
+    */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, threshold)
+    connectedComponents(df, idCol, pairs)
+  }
+
   /** Benchmark decontamination: for each (corpus doc, benchmark doc)
     * pair, the count and fraction of the benchmark's distinct word
     * n-gram shingles that the corpus doc contains — the standard

@@ -59,6 +59,23 @@ class DedupSpec extends SparkSuite {
     assert(self.filter($"frac" =!= 1.0).count() == 0)
   }
 
+  test("connectedComponents matches an independent union-find") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+    val edges = pairs.select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val ids = docs.select($"doc_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap // root = component min by construction
+    val got = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.size == ids.length, "every node labeled, singletons included")
+  }
+
   test("exact dedup is idempotent and loses no distinct content") {
     val once = Dedup.exactDedup(docs, "doc_id", "text").cache()
     val twice = Dedup.exactDedup(once, "doc_id", "text")
