@@ -14,9 +14,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
 
-    // warm-up: JVM + codegen + parquet footer caches (untimed)
+    // warm-up: JVM + codegen + parquet footer caches (untimed). The
+    // array-kernel path (intersect/minhash) pays ~4 s of one-time C2
+    // JIT — warm it here so the first array-heavy TIMED query (the
+    // alphabetical accident of the round) measures steady-state work
+    // rather than absorbing the JIT for every later query.
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
     SparkEntry.queries("vs_knn")(spark, sfDir).count()
+    SparkEntry.queries("dd_minhash_lsh")(spark, sfDir).count()
+    SparkEntry.queries("ann_lsh_topk")(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

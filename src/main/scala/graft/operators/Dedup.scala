@@ -127,13 +127,18 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // convergence check: labels only ever decrease, so the exact sum
+      // of labels is strictly decreasing until the fixpoint — one
+      // aggregate per round detects it, no second join
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
         .withColumn("comp", col("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      var changed = 1L
+      var prevSum = labelSum(labels)
+      var converged = false
       var i = 0
-      while (changed > 0) {
+      while (!converged) {
         require(i < maxIter, s"connectedComponents did not converge in $maxIter rounds")
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
@@ -144,8 +149,9 @@ object Dedup {
           .select(col("id"),
             least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-          .filter(col("comp") =!= col("old")).count()
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         labels.unpersist()
         labels = next
         i += 1
