@@ -50,6 +50,25 @@ class ExpressionsSpec extends SparkSuite {
     assert(Kernels.lcsLen("XMJYAUZ", "MZJAWXU") == 4) // classic LCS example
   }
 
+  test("wordShingles edge cases (zip_with form)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    def sh(s: String, n: Int): Seq[String] =
+      Seq(Tuple1(s)).toDF("text")
+        .select(TextAnalysis.wordShingles(col("text"), n).as("s"))
+        .as[Seq[String]].head()
+    assert(sh("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(sh("a b c", 3) == Seq("a b c"))
+    assert(sh("a b", 3) == Seq.empty) // fewer tokens than n
+    assert(sh("a b c", 1) == Seq("a", "b", "c"))
+    assert(sh("a b c", 2) == Seq("a b", "b c"))
+    assert(sh("", 3) == Seq.empty)
+    // repeated whitespace collapses into single separators
+    assert(sh("a   b\t c", 2) == Seq("a b", "b c"))
+    // exactly max(size - n + 1, 0) shingles on a longer input
+    assert(sh((1 to 50).map("t" + _).mkString(" "), 3).size == 48)
+  }
+
   test("SQL registration: graft functions callable from spark.sql") {
     val out = spark
       .sql("SELECT l2_distance(array(1.0F, 0.0F), array(0.0F, 0.0F)) AS d, " +
