@@ -561,6 +561,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // cosine IVF at full probe must reproduce the exact cosine top-k
+    // (which vs_knn_cosine hash-verifies) — row-for-row, rank-for-rank
+    "ann_ivfc_exactness" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (indexed, cents) =
+        Ann.ivfBuildCosine(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
+      val ivf = Ann.ivfSearchCosine(indexed, "vec_id", "embedding", cents,
+          qs, "qid", "qvec", k = 5, nProbe = 8)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      val exact = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 5)
+        .select(col("qid"), col("vec_id"), col("rn"), lit(1).as("ok"))
+      ivf.join(exact, Seq("qid", "vec_id", "rn"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
+          (count(lit(1)) === 50).as("complete"))
+    }),
+
     // near-dup pairs chained into dedup GROUPS (connected components),
     // summarized per cluster — checked against a DuckDB recursive-CTE
     // label propagation over the identical edge set
@@ -816,6 +836,8 @@ object SparkEntry {
     // dd_embed_neardup, so (0, true) here proves LSH ⊆ exact.
     "dd_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "ann_ivfc_exactness" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     // the mm_ payloads are synthesized from doc_id alone, so DuckDB can

@@ -197,6 +197,93 @@ object Ann {
     (assign(df, idCol, vecCol, centroids), centroids)
   }
 
+  /** Spherical k-means (cosine analogue of [[kmeans]]): assignment by
+    * maximum cosine similarity, recentering by per-dimension mean
+    * followed by re-normalization of each centroid — done on the
+    * driver, where the k × dim centroid state already lives. Same
+    * one-job-per-iteration shape as the L2 variant.
+    */
+  def kmeansCosine(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }
+    var cents: Array[(Long, Array[Float])] = df
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(r => normalize(r.getSeq[Float](0).toArray))
+      .zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    require(cents.nonEmpty, "kmeansCosine needs at least one seed row")
+    val dim = cents.head._2.length
+    (0 until iters).foreach { _ =>
+      val means = assignToCosine(df, vecCol, cents)
+        .groupBy(col("centroid_id"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col(vecCol), i + 1)).cast("float")): _*).as("mean"))
+        .collect()
+        .map(r => r.getLong(0) -> normalize(r.getSeq[Float](1).toArray))
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents.toSeq.toDF("centroid_id", "centroid")
+  }
+
+  /** Shuffle-free cosine argmin twin of [[assignTo]]: highest cosine
+    * similarity wins, ties to the lower centroid id (array_min over
+    * struct(-sim, cid)).
+    */
+  private def assignToCosine(
+      df: DataFrame, vecCol: String, cents: Array[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assign needs at least one centroid")
+    val best = array_min(array(cents.map { case (cid, cvec) =>
+      struct(
+        (-cosine_similarity(col(vecCol), lit(cvec))).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    df.withColumn("centroid_id", best.getField("cid"))
+  }
+
+  /** Cosine IVF build: rows tagged with their max-cosine cell. */
+  def ivfBuildCosine(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5): (DataFrame, DataFrame) = {
+    val centroids = kmeansCosine(df, idCol, vecCol, nCentroids, iters)
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    (assignToCosine(df, vecCol, cents), centroids)
+  }
+
+  /** Cosine IVF search: probe the `nProbe` most-similar cells per
+    * query, score by cosine only within probed cells. nProbe =
+    * nCentroids degenerates to exact cosine top-k.
+    */
+  def ivfSearchCosine(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val probed = SimilarityJoin.topKByDistance(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("cdist", -cosine_similarity(col(qvecCol), col("centroid")))
+        .select(col(qidCol), col(qvecCol), col("centroid_id"), col("cdist")),
+      qidCol, "centroid_id", "cdist", nProbe)
+      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+    val scored = indexed
+      .join(broadcast(probed), Seq("centroid_id"))
+      .withColumn("sim", cosine_similarity(col(vecCol), col(qvecCol)))
+      .withColumn("neg_sim", -col("sim"))
+      .select(col(qidCol), col(idCol), col("sim"), col("neg_sim"))
+    SimilarityJoin.topKByDistance(scored, qidCol, idCol, "neg_sim", k).drop("neg_sim")
+  }
+
   /** Persist an IVF index in the 100 TB layout: the indexed rows are
     * written PARTITIONED BY `centroid_id`, so a probe that touches
     * nProbe of k cells reads nProbe/k of the data at the source (see

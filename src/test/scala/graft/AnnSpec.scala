@@ -40,6 +40,27 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low") // self-match alone gives 0.2
   }
 
+  test("cosine IVF: exact at full probe; assignment shuffle-free") {
+    val (indexed, centroids) = Ann.ivfBuildCosine(emb, "vec_id", "embedding", nCentroids = 8, iters = 3)
+    assert(centroids.count() == 8)
+    val exact = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val full = Ann.ivfSearchCosine(indexed, "vec_id", "embedding", centroids,
+        queries, "qid", "qvec", k = 5, nProbe = 8)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact, "nProbe = nCentroids must degenerate to exact cosine top-k")
+    val approx = Ann.ivfSearchCosine(indexed, "vec_id", "embedding", centroids,
+        queries, "qid", "qvec", k = 5, nProbe = 3)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.4, s"cosine IVF recall $recall too low")
+    // same no-shuffle assign contract as the L2 variant
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") && !plan.contains("Window"),
+      s"cosine assign must be a pure projection:\n$plan")
+  }
+
   test("partitioned IVF layout: pruned probe matches full search, scan prunes partitions") {
     val (indexed, centroids) = Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
