@@ -477,6 +477,18 @@ object SparkEntry {
           col("n"), col("revenue"))
         .orderBy("o_orderstatus", "o_orderpriority")),
 
+    // explicit GROUPING SETS with grouping_id disambiguation (cube and
+    // rollup are gated separately; this is the irregular-sets form)
+    "q29_grouping_sets" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           |       count(*) AS n
+           |FROM parquet.`$dir/orders.parquet`
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)),
+
     // scalar string functions
     "q17_string_funcs" -> ((s, dir) =>
       T(s, dir, "customer")
@@ -970,6 +982,14 @@ object SparkEntry {
              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus, o_orderpriority""",
+    "q29_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+             coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus, o_orderpriority""",
     "q17_string_funcs" -> """
       SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
              len(c_name) AS name_len,
