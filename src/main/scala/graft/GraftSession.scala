@@ -10,6 +10,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.extensionFunctions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofL2Distance)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }
 

@@ -71,6 +71,54 @@ class RewriteRuleSpec extends SparkSuite {
     assert(got(2L) == Some(5.0))
   }
 
+  private val dotSql =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0 as float), (acc, z) -> acc + z)"
+
+  test("HOF dot-product building block is rewritten — cosine spelling accelerates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cosine =
+      s"${dotSql.format("vec", "qvec")} / " +
+        s"(sqrt(${dotSql.format("vec", "vec")}) * sqrt(${dotSql.format("qvec", "qvec")}))"
+    val df = emb
+      .select($"vec_id", $"embedding".as("vec"), $"embedding".as("qvec"))
+      .selectExpr("vec_id", s"$cosine AS c")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dot_product"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("aggregate("), s"HOF survived:\n$plan")
+    // cosine of a vector with itself is 1 (within float rounding)
+    assert(df.filter(abs($"c" - 1.0) > 1e-6).count() == 0)
+  }
+
+  test("dot rewrite is bitwise result-preserving vs the un-rewritten HOF") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 1).select($"embedding").as[Array[Float]].head()
+    val viaRule = emb
+      .select($"vec_id", lit(q).as("qvec"), $"embedding".as("vec"))
+      .selectExpr("vec_id", s"${dotSql.format("vec", "qvec")} AS d")
+      .as[(Long, Float)].collect().toMap
+    val manual = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        var s = 0f
+        v.indices.foreach(i => s += v(i) * q(i))
+        id -> s
+      }.toMap
+    assert(viaRule == manual)
+  }
+
+  test("dot near-misses are NOT rewritten") {
+    // x + y instead of x * y
+    val miss = Seq((Array(1f, 2f), Array(4f, 6f))).toDF("vec", "qvec")
+      .selectExpr("aggregate(zip_with(vec, qvec, (x, y) -> x + y), " +
+        "cast(0 as float), (acc, z) -> acc + z) AS d")
+    assert(!miss.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    assert(miss.as[Float].head() == 13f)
+    // double accumulator — different accumulation arithmetic, keep HOF
+    val dbl = Seq((Array(1f, 2f), Array(4f, 6f))).toDF("vec", "qvec")
+      .selectExpr("aggregate(zip_with(vec, qvec, (x, y) -> x * y), " +
+        "cast(0 as double), (acc, z) -> acc + z) AS d")
+    assert(!dbl.queryExecution.optimizedPlan.toString.contains("dot_product"))
+  }
+
   test("near-miss formulas are NOT rewritten (substitution would be wrong)") {
     // abs instead of square — must keep the HOF
     val miss = Seq((Array(1f, 2f), Array(4f, 6f))).toDF("vec", "qvec")
