@@ -1,0 +1,79 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** End-to-end corpus preparation: the standard LLM training-data
+  * sequence composed from the verified operators, each stage a
+  * DataFrame → DataFrame function so any prefix runs at any scale.
+  *
+  * Stage order matters and mirrors production pipelines: cheap per-row
+  * filters first (pure projections — shrink before any shuffle), exact
+  * dedup before fuzzy (the md5 groupBy removes byte-identical copies at
+  * one shuffle), near-dup clustering on the survivors, decontamination
+  * against the benchmark corpus, then deterministic sampling/splitting
+  * last (membership stays stable as upstream stages evolve only if the
+  * key, not the row set, decides it).
+  */
+object TrainingDataPipeline {
+
+  /** Tunables; defaults are the standard-ish pretraining knobs. */
+  case class Config(
+      minQuality: Double = 0.3,
+      maxRepetition: Double = 0.5,
+      minTokens: Int = 5,
+      nearDupJaccard: Double = 0.8,
+      contaminationNgram: Int = 3,
+      maxContamination: Double = 0.5,
+      sampleFraction: Double = 1.0,
+      testFraction: Double = 0.05,
+      salt: String = "graft")
+
+  /** Per-row quality gate: pure codegen projections, zero shuffle. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    docs.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality &&
+        TextAnalysis.repetitionRatio(col(textCol)) <= cfg.maxRepetition &&
+        size(TextAnalysis.tokens(col(textCol))) >= cfg.minTokens)
+
+  /** Exact then fuzzy dedup: md5 keep-min, then one survivor per
+    * near-duplicate cluster (minimum id, like the exact stage).
+    */
+  def dedup(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val exact = Dedup.exactDedup(docs, idCol, textCol)
+    val comps = Dedup.nearDupClusters(exact, idCol, textCol, cfg.nearDupJaccard)
+    // the component label IS the cluster's minimum id — survivors are
+    // exactly the distinct labels
+    exact.join(
+      comps.select(col("comp").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+  }
+
+  /** Drop docs overlapping the benchmark corpus above the threshold. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val contaminated = Dedup.ngramContamination(
+        docs, idCol, textCol, bench, benchIdCol, benchTextCol,
+        n = cfg.contaminationNgram, minOverlapFraction = cfg.maxContamination)
+      .select(col("corpus_id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Full sequence → (train, test). */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val cleaned = decontaminate(
+      dedup(qualityFilter(docs, idCol, textCol, cfg), idCol, textCol, cfg),
+      idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+    val sampled =
+      if (cfg.sampleFraction >= 1.0) cleaned
+      else Sampling.hashSample(cleaned, idCol, cfg.sampleFraction, cfg.salt)
+    Sampling.hashSplit(sampled, idCol, cfg.testFraction, cfg.salt)
+  }
+}
