@@ -32,6 +32,23 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Read ORC (Spark-native columnar, same pushdown/pruning as
+    * parquet) with an explicit schema.
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Raw-corpus ingestion: one row per text line, tagged with its
+    * source file — the entry format of a crawl/dump before any
+    * structure exists. Line order within a file is not a contract at
+    * scale (files split across tasks); the source path is.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        input_file_name().as("source_file"),
+        col("value").as("text"))
+
   /** Read a parquet file containing TIMESTAMP(NANOS) columns, which
     * Spark's reader rejects by default: scope the `nanosAsLong` legacy
     * flag to the read (schema is captured eagerly at load) and convert

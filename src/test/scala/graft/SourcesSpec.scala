@@ -93,6 +93,24 @@ class SourcesSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("orc round-trip and textLines raw-corpus ingestion") {
+    val dir = Files.createTempDirectory("graft-orc")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.write.orc(dir.resolve("docs.orc").toString)
+    val back = Sources.orc(spark, dir.resolve("docs.orc").toString, docs.schema)
+    assert(back.count() == 50)
+    assert(back.select("doc_id").as[Long].collect().toSet ==
+      docs.select("doc_id").as[Long].collect().toSet)
+
+    Files.writeString(dir.resolve("a.txt"), "line one\nline two\n")
+    Files.writeString(dir.resolve("b.txt"), "other corpus\n")
+    val lines = Sources.textLines(spark, dir.toString + "/*.txt")
+    assert(lines.count() == 3)
+    val byFile = lines.groupBy("source_file").count()
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(byFile == Map("a.txt" -> 2L, "b.txt" -> 1L))
+  }
+
   test("csv and jsonLines ingestion with explicit schemas") {
     val dir = Files.createTempDirectory("graft-csv")
     val csvPath = dir.resolve("in.csv")
