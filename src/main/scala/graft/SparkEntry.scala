@@ -573,6 +573,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // stream-stream-shaped interval join (batch form): click→purchase
+    // funnel pairs per user within 30 minutes
+    "st_funnel" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnelPairs(
+          events(s, dir).filter(col("user_id") < 100), "click", "purchase",
+          withinMinutes = 30)
+        .select(col("user_id"), col("first_id"), col("then_id"))
+        .orderBy("user_id", "first_id", "then_id")),
+
     // cosine IVF at full probe must reproduce the exact cosine top-k
     // (which vs_knn_cosine hash-verifies) — row-for-row, rank-for-rank
     "ann_ivfc_exactness" -> ((s, dir) => {
@@ -850,6 +859,14 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     "ann_ivfc_exactness" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "st_funnel" -> """
+      SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      WHERE a.user_id < 100
+      ORDER BY a.user_id, first_id, then_id""",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     // the mm_ payloads are synthesized from doc_id alone, so DuckDB can

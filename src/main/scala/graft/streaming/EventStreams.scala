@@ -96,6 +96,36 @@ object EventStreams {
       }
   }
 
+  /** Funnel pairs via an event-time interval join: every (first, then)
+    * event pair for the same user where `then` follows `first` by at
+    * most `withinMinutes` — e.g. click → purchase attribution.
+    *
+    * The join condition (equi-key AND bounded time range) is exactly
+    * the shape Structured Streaming requires for a STREAM-STREAM join
+    * with bounded state: with watermarked inputs, each side's buffer
+    * is evicted once the watermark passes its possible-match window.
+    * The same function works on batch frames (where it plans as a
+    * range-predicated equi-join) — the batch form is the gate oracle
+    * (`st_funnel`), the streaming form is exercised in StreamingSpec.
+    */
+  def funnelPairs(
+      events: DataFrame, firstType: String, thenType: String,
+      withinMinutes: Int, watermark: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === firstType)
+      .select(col("user_id"), col("event_id").as("first_id"), col("ts").as("first_ts"))
+      .withWatermark("first_ts", watermark)
+    val b = events.filter(col("event_type") === thenType)
+      .select(col("user_id").as("b_user_id"), col("event_id").as("then_id"),
+        col("ts").as("then_ts"))
+      .withWatermark("then_ts", watermark)
+    a.join(b,
+        col("user_id") === col("b_user_id") &&
+          col("then_ts") >= col("first_ts") &&
+          col("then_ts") <= col("first_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("first_id"), col("then_id"),
+        col("first_ts"), col("then_ts"))
+  }
+
   /** Streaming exact content dedup: the first-seen row per `md5(text)`
     * survives; later duplicates are dropped. The streaming form of
     * [[graft.operators.Dedup.exactDedup]] for continuous ingestion.

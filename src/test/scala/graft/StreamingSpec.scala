@@ -133,6 +133,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnelPairs: stream-stream interval join with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val funnel = EventStreams.funnelPairs(
+      input.toDF(), "click", "purchase", withinMinutes = 30, watermark = "0 seconds")
+    val q = funnel.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "purchase", 5.0),  // within 30 min -> pair
+        Event(3, ts(50), 1, "purchase", 7.0),  // 50 min after click -> no pair
+        Event(4, ts(5), 2, "purchase", 9.0))   // different user's purchase
+      q.processAllAvailable()
+      // advance the watermark so matched pairs are emitted
+      input.addData(Event(9, ts(600), 9, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(1200), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .select($"user_id", $"first_id", $"then_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 2L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("funnelPairs batch form matches a plain SQL interval self-join") {
+    val ev = graft.sources.Sources.nanosTimestampParquet(
+      spark, "/root/testdata/sf0.001/events.parquet", "ts")
+    val viaOp = EventStreams.funnelPairs(ev, "click", "purchase", 30)
+      .select($"user_id", $"first_id", $"then_id")
+      .as[(Long, Long, Long)].collect().toSet
+    ev.createOrReplaceTempView("ev_funnel")
+    val viaSql = spark.sql(
+      """SELECT a.user_id, a.event_id, b.event_id
+        |FROM ev_funnel a JOIN ev_funnel b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaOp == viaSql && viaOp.nonEmpty)
+  }
+
   test("sessionizeBatch matches streaming semantics on the events table") {
     val ev = graft.sources.Sources.nanosTimestampParquet(
       spark, "/root/testdata/sf0.001/events.parquet", "ts")
