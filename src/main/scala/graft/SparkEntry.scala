@@ -272,6 +272,9 @@ object SparkEntry {
       Dedup.exactDedup(T(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")),
+    "dd_norm_groups" -> ((s, dir) =>
+      Dedup.normalizedGroups(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
     "dd_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
           T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text", 0.5)
@@ -827,6 +830,10 @@ object SparkEntry {
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "dd_exact_groups" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dd_norm_groups" -> """
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+             min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY content_hash""",
     "dd_exact_keep" -> """
       SELECT doc_id, n_chars FROM documents

@@ -26,6 +26,19 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Normalized-exact dedup key: casefolded, whitespace-collapsed,
+    * trimmed — catches re-encodings of the same content that byte-exact
+    * hashing misses, still one map-side-combined groupBy. The standard
+    * first fuzzy rung before MinHash.
+    */
+  def normalizedContentHash(textCol: Column): Column =
+    md5(trim(regexp_replace(lower(textCol), "\\s+", " ")))
+
+  /** [[exactGroups]] over the normalized key. */
+  def normalizedGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(normalizedContentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Shared verification step: score candidate pairs carrying
     * `a_toks`/`b_toks` set columns with exact Jaccard and filter.
     */

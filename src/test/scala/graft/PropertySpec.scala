@@ -90,6 +90,18 @@ class PropertySpec extends AnyFunSuite {
     assert(agree > 5 && agree < 40, s"agreement $agree implausible for J=1/3")
   }
 
+  test("sampling thresholdHex: bounds, monotone, proportional") {
+    import graft.operators.Sampling.thresholdHex
+    assert(thresholdHex(0.0) == "0" * 32)
+    assert(thresholdHex(1.0) == "f" * 32)
+    assert(thresholdHex(0.5) == "8" + "0" * 31)
+    check(Prop.forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (f1, f2) =>
+      val (t1, t2) = (thresholdHex(f1), thresholdHex(f2))
+      t1.length == 32 && t1.forall(c => c.isDigit || ('a' to 'f').contains(c)) &&
+        ((f1 <= f2) == (t1 <= t2) || f1 == f2 || t1 == t2) // string order = numeric order
+    })
+  }
+
   test("float32 L2 kernel: zero iff identical; symmetric; scales correctly") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def arr(xs: Seq[Float]) = new GenericArrayData(xs.toArray)
