@@ -178,7 +178,7 @@ object Ann {
   private def assignTo(
       df: DataFrame, vecCol: String, cents: Array[(Long, Array[Float])]): DataFrame = {
     require(cents.nonEmpty, "assign needs at least one centroid")
-    val best = array_min(array(cents.map { case (cid, cvec) =>
+    val best = array_min(array(cents.toIndexedSeq.map { case (cid, cvec) =>
       struct(
         l2_distance(col(vecCol), lit(cvec)).as("d"),
         lit(cid).as("cid"))
@@ -240,7 +240,7 @@ object Ann {
   private def assignToCosine(
       df: DataFrame, vecCol: String, cents: Array[(Long, Array[Float])]): DataFrame = {
     require(cents.nonEmpty, "assign needs at least one centroid")
-    val best = array_min(array(cents.map { case (cid, cvec) =>
+    val best = array_min(array(cents.toIndexedSeq.map { case (cid, cvec) =>
       struct(
         (-cosine_similarity(col(vecCol), lit(cvec))).as("d"),
         lit(cid).as("cid"))
@@ -319,7 +319,7 @@ object Ann {
     val cells = probed.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val indexed = spark.read.parquet(s"$path/index")
-      .filter(col("centroid_id").isin(cells: _*)) // → PartitionFilters
+      .filter(col("centroid_id").isin(cells.toIndexedSeq: _*)) // → PartitionFilters
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     val scored = indexed
       .join(broadcast(probed.withColumn("centroid_id", col("centroid_id").cast("long"))),
