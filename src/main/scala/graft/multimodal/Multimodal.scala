@@ -171,6 +171,7 @@ object Multimodal {
         while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
           val id = new String(payload, pos, 4, "US-ASCII")
           val size = buf.getInt(pos + 4)
+          if (size < 0) return None // corrupt size would stall the walk
           if (id == "fmt " && size >= 16) {
             val audioFormat = buf.getShort(pos + 8).toInt
             if (audioFormat != 1) return None // PCM only

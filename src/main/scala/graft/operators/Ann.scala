@@ -123,7 +123,19 @@ object Ann {
     */
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 5): DataFrame = {
+      nCentroids: Int, iters: Int = 5): DataFrame =
+    kmeansCore(df, idCol, vecCol, nCentroids, iters,
+      (v, c) => l2_distance(v, lit(c)), identity)
+
+  /** Shared Lloyd loop: `score` is the smaller-is-better per-centroid
+    * score; `post` post-processes each recentred mean (identity for L2,
+    * re-normalization for spherical/cosine).
+    */
+  private def kmeansCore(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int,
+      score: (Column, Array[Float]) => Column,
+      post: Array[Float] => Array[Float]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Seed batch is <= nCentroids rows by construction: number them on
@@ -131,18 +143,18 @@ object Ann {
     var cents: Array[(Long, Array[Float])] = df
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(r => post(r.getSeq[Float](0).toArray))
       .zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
     require(cents.nonEmpty, "kmeans needs at least one seed row")
     val dim = cents.head._2.length
     (0 until iters).foreach { _ =>
-      val means = assignTo(df, vecCol, cents)
+      val means = assignTo(df, vecCol, cents, score)
         .groupBy(col("centroid_id"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col(vecCol), i + 1)).cast("float")): _*).as("mean"))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .map(r => r.getLong(0) -> post(r.getSeq[Float](1).toArray))
         .toMap
       // a cell that won no rows keeps its previous centroid instead of
       // silently vanishing (callers rely on exactly nCentroids cells)
@@ -169,18 +181,20 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    assignTo(df, vecCol, cents)
+    assignTo(df, vecCol, cents, (v, c) => l2_distance(v, lit(c)))
   }
 
-  /** Argmin projection over driver-held centroids (the literal form both
-    * [[assign]] and [[kmeans]] share).
+  /** Arg-best projection over driver-held centroids (the literal form
+    * every assign/kmeans variant shares); `score` is smaller-is-better,
+    * ties to the lower centroid id via lexicographic struct order.
     */
   private def assignTo(
-      df: DataFrame, vecCol: String, cents: Array[(Long, Array[Float])]): DataFrame = {
+      df: DataFrame, vecCol: String, cents: Array[(Long, Array[Float])],
+      score: (Column, Array[Float]) => Column): DataFrame = {
     require(cents.nonEmpty, "assign needs at least one centroid")
     val best = array_min(array(cents.toIndexedSeq.map { case (cid, cvec) =>
       struct(
-        l2_distance(col(vecCol), lit(cvec)).as("d"),
+        score(col(vecCol), cvec).as("d"),
         lit(cid).as("cid"))
     }: _*))
     df.withColumn("centroid_id", best.getField("cid"))
@@ -205,47 +219,16 @@ object Ann {
     */
   def kmeansCosine(
       df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    def normalize(v: Array[Float]): Array[Float] = {
-      val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)).toFloat
-      if (n == 0f) v else v.map(_ / n)
-    }
-    var cents: Array[(Long, Array[Float])] = df
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .map(r => normalize(r.getSeq[Float](0).toArray))
-      .zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }
-    require(cents.nonEmpty, "kmeansCosine needs at least one seed row")
-    val dim = cents.head._2.length
-    (0 until iters).foreach { _ =>
-      val means = assignToCosine(df, vecCol, cents)
-        .groupBy(col("centroid_id"))
-        .agg(array((0 until dim).map(i =>
-          avg(element_at(col(vecCol), i + 1)).cast("float")): _*).as("mean"))
-        .collect()
-        .map(r => r.getLong(0) -> normalize(r.getSeq[Float](1).toArray))
-        .toMap
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-    }
-    cents.toSeq.toDF("centroid_id", "centroid")
-  }
+      nCentroids: Int, iters: Int = 5): DataFrame =
+    kmeansCore(df, idCol, vecCol, nCentroids, iters, cosineScore, normalize)
 
-  /** Shuffle-free cosine argmin twin of [[assignTo]]: highest cosine
-    * similarity wins, ties to the lower centroid id (array_min over
-    * struct(-sim, cid)).
-    */
-  private def assignToCosine(
-      df: DataFrame, vecCol: String, cents: Array[(Long, Array[Float])]): DataFrame = {
-    require(cents.nonEmpty, "assign needs at least one centroid")
-    val best = array_min(array(cents.toIndexedSeq.map { case (cid, cvec) =>
-      struct(
-        (-cosine_similarity(col(vecCol), lit(cvec))).as("d"),
-        lit(cid).as("cid"))
-    }: _*))
-    df.withColumn("centroid_id", best.getField("cid"))
+  /** Smaller-is-better cosine score (negated similarity). */
+  private def cosineScore(v: Column, c: Array[Float]): Column =
+    -cosine_similarity(v, lit(c))
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)).toFloat
+    if (n == 0f) v else v.map(_ / n)
   }
 
   /** Cosine IVF build: rows tagged with their max-cosine cell. */
@@ -258,7 +241,7 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    (assignToCosine(df, vecCol, cents), centroids)
+    (assignTo(df, vecCol, cents, cosineScore), centroids)
   }
 
   /** Cosine IVF search: probe the `nProbe` most-similar cells per
@@ -270,12 +253,8 @@ object Ann {
       centroids: DataFrame,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int): DataFrame = {
-    val probed = SimilarityJoin.topKByDistance(
-      queries.crossJoin(broadcast(centroids))
-        .withColumn("cdist", -cosine_similarity(col(qvecCol), col("centroid")))
-        .select(col(qidCol), col(qvecCol), col("centroid_id"), col("cdist")),
-      qidCol, "centroid_id", "cdist", nProbe)
-      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+    val probed = probeCells(queries, qidCol, qvecCol, centroids,
+      (q, c) => -cosine_similarity(q, c), nProbe)
     val scored = indexed
       .join(broadcast(probed), Seq("centroid_id"))
       .withColumn("sim", cosine_similarity(col(vecCol), col(qvecCol)))
@@ -309,12 +288,8 @@ object Ann {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    val probed = SimilarityJoin.topKByDistance(
-      queries.crossJoin(broadcast(centroids))
-        .withColumn("cdist", l2_distance(col(qvecCol), col("centroid")))
-        .select(col(qidCol), col(qvecCol), col("centroid_id"), col("cdist")),
-      qidCol, "centroid_id", "cdist", nProbe)
-      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+    val probed = probeCells(queries, qidCol, qvecCol, centroids,
+      (q, c) => l2_distance(q, c), nProbe)
     // ≤ queries × nProbe cell ids — planner state, like the centroids
     val cells = probed.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -329,6 +304,21 @@ object Ann {
     SimilarityJoin.topKByDistance(scored, qidCol, idCol, "distance", k)
   }
 
+  /** Rank cells per query (small: queries × centroids) and keep the
+    * `nProbe` best — the probe stage every IVF search variant shares.
+    * `cellScore` is smaller-is-better over (query vec, centroid).
+    */
+  private def probeCells(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: DataFrame, cellScore: (Column, Column) => Column,
+      nProbe: Int): DataFrame =
+    SimilarityJoin.topKByDistance(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("cdist", cellScore(col(qvecCol), col("centroid")))
+        .select(col(qidCol), col(qvecCol), col("centroid_id"), col("cdist")),
+      qidCol, "centroid_id", "cdist", nProbe)
+      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+
   /** IVF search: probe the `nProbe` nearest cells per query, brute-force
     * only within probed cells. Exact within recall limits of the probe
     * set; nProbe = nCentroids degenerates to exact search.
@@ -339,12 +329,8 @@ object Ann {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int): DataFrame = {
     // rank cells per query (small: queries × centroids)
-    val probed = SimilarityJoin.topKByDistance(
-      queries.crossJoin(broadcast(centroids))
-        .withColumn("cdist", l2_distance(col(qvecCol), col("centroid")))
-        .select(col(qidCol), col(qvecCol), col("centroid_id"), col("cdist")),
-      qidCol, "centroid_id", "cdist", nProbe)
-      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+    val probed = probeCells(queries, qidCol, qvecCol, centroids,
+      (q, c) => l2_distance(q, c), nProbe)
     // candidates: equi-join on cell id — prunes the index scan
     val scored = indexed
       .join(broadcast(probed), Seq("centroid_id"))

@@ -143,13 +143,17 @@ object Dedup {
       // convergence check: labels only ever decrease, so the exact sum
       // of labels is strictly decreasing until the fixpoint — one
       // aggregate per round detects it, no second join
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      // sum() over zero rows is SQL NULL — an empty node set is already
+      // converged (compareTo on null would NPE)
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+        if (s == null) java.math.BigDecimal.ZERO else s
+      }
       var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
         .withColumn("comp", col("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var prevSum = labelSum(labels)
-      var converged = false
+      var converged = labels.isEmpty
       var i = 0
       while (!converged) {
         require(i < maxIter, s"connectedComponents did not converge in $maxIter rounds")
@@ -169,8 +173,11 @@ object Dedup {
         labels = next
         i += 1
       }
-      // cut lineage before unpersisting the iteration caches
-      labels.localCheckpoint(eager = true)
+      // cut lineage (eager), then release the last iteration's cache —
+      // the checkpoint holds the data from here on
+      val result = labels.localCheckpoint(eager = true)
+      labels.unpersist()
+      result
     } finally edges.unpersist()
   }
 

@@ -39,6 +39,7 @@ object TopKAggregator {
 
     override def reduce(b: TopKBuf, a: Cand): TopKBuf = {
       val n = b.ids.length
+      if (k <= 0) return b // k = 0: empty result, like the window form's rn <= 0
       if (n == k && !beats(a.dist, a.id, b.dists(n - 1), b.ids(n - 1))) return b
       // position of the first element the candidate beats
       var pos = n

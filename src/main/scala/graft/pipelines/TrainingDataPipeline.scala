@@ -71,9 +71,12 @@ object TrainingDataPipeline {
     val cleaned = decontaminate(
       dedup(qualityFilter(docs, idCol, textCol, cfg), idCol, textCol, cfg),
       idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+    // distinct derived salts: sampling and splitting from the SAME hash
+    // would correlate membership (testFraction of the sample would be
+    // testFraction/sampleFraction, up to an empty train side)
     val sampled =
       if (cfg.sampleFraction >= 1.0) cleaned
-      else Sampling.hashSample(cleaned, idCol, cfg.sampleFraction, cfg.salt)
-    Sampling.hashSplit(sampled, idCol, cfg.testFraction, cfg.salt)
+      else Sampling.hashSample(cleaned, idCol, cfg.sampleFraction, cfg.salt + "|sample")
+    Sampling.hashSplit(sampled, idCol, cfg.testFraction, cfg.salt + "|split")
   }
 }

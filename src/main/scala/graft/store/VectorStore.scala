@@ -157,7 +157,9 @@ class VectorStore private (
       case ArrayType(FloatType, _) => $"vec"
       case ArrayType(BooleanType, _) =>
         warnCoercion("array<boolean>")
-        transform($"vec", e => when(e, lit(1f)).otherwise(lit(0f)))
+        // null-propagating (a bare otherwise(0f) would fabricate data
+        // from null elements; the numeric cast branch keeps them null)
+        transform($"vec", e => when(e, lit(1f)).when(!e, lit(0f)))
       case ArrayType(et: NumericType, _) =>
         warnCoercion(s"array<${et.simpleString}>")
         $"vec".cast(ArrayType(FloatType))
@@ -170,7 +172,7 @@ class VectorStore private (
       else batch.select(vecExpr.as("vec"), lit("{}").as("doc"))
     val start = maxId() + 1
     val assigned = withDoc
-      .select($"vec".cast(ArrayType(FloatType)).as("vec"), $"doc")
+      .select($"vec", $"doc") // vecExpr already produced float32
       // per-row dimension guard evaluated inside the write job (no extra
       // pass) — mirrors the driver-side insert validation
       .withColumn("_dim_ok",
@@ -361,8 +363,7 @@ object VectorStore {
       if (d.isNaN || d.isInfinite)
         throw new IllegalArgumentException(
           s"docs must be JSON serializable: $d is not valid JSON")
-      else if (d == d.floor && math.abs(d) < 1e15) f"$d%.1f"
-      else d.toString
+      else pythonDouble(d)
     case bd: BigDecimal => bd.toString
     case m: scala.collection.Map[_, _] =>
       m.map {
@@ -375,6 +376,28 @@ object VectorStore {
     case other => throw new IllegalArgumentException(
       "docs must be JSON serializable: Object of type " +
         s"${other.getClass.getName} is not JSON serializable")
+  }
+
+  /** Python `repr`-compatible float rendering (json.dumps delegates to
+    * it): fixed notation for 1e-4 ≤ |d| < 1e16, else `me±XX` exponent
+    * form (lowercase e, signed, ≥2 exponent digits) — Java's toString
+    * switches to scientific at different thresholds in both directions.
+    */
+  private def pythonDouble(d: Double): String = {
+    val ad = math.abs(d)
+    if (d == 0.0) (if (1 / d < 0) "-0.0" else "0.0")
+    else if (ad >= 1e16 || ad < 1e-4) {
+      val Array(m0, e0) = d.toString.split("E")
+      val m = if (m0.endsWith(".0")) m0.dropRight(2) else m0
+      val e = e0.toInt
+      f"${m}e${if (e < 0) "-" else "+"}${math.abs(e)}%02d"
+    } else if (d == d.floor) f"$d%.1f"
+    else {
+      val s = d.toString
+      // Java goes scientific below 1e-3 and at/above 1e7; Python stays
+      // fixed in this range — expand via the exact decimal string
+      if (s.contains("E")) new java.math.BigDecimal(s).toPlainString else s
+    }
   }
 
   private def jsonQuote(s: String): String = {

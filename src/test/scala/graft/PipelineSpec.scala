@@ -43,10 +43,18 @@ class PipelineSpec extends SparkSuite {
       corpus, "doc_id", "text", bench, "doc_id", "text", cfg)
     assert(train2.select($"doc_id").as[Long].collect().toSet == tr)
     assert(test2.select($"doc_id").as[Long].collect().toSet == te)
-    // test membership is a pure function of (id, salt)
+    // test membership is a pure function of (id, derived split salt) —
+    // re-applying the same predicate to the test side keeps every row
     te.foreach { id =>
-      assert(Sampling.hashSample(test, "doc_id", cfg.testFraction, cfg.salt)
+      assert(Sampling.hashSample(test, "doc_id", cfg.testFraction, cfg.salt + "|split")
         .filter($"doc_id" === id).count() == 1)
     }
+    // and the split salt is decorrelated from the sampling salt: at
+    // sampleFraction = testFraction the train side must NOT be empty
+    // (the old same-salt bug made test swallow the whole sample)
+    val tiny = cfg.copy(sampleFraction = 0.5, testFraction = 0.5)
+    val (tr2, te2) = TrainingDataPipeline.prepare(
+      corpus, "doc_id", "text", bench, "doc_id", "text", tiny)
+    assert(tr2.count() > 0 && te2.count() > 0)
   }
 }

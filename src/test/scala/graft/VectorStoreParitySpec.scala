@@ -362,6 +362,21 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       """{"k2": "v2", "n": 2, "f": 0.5, "ok": true, "tags": ["a", "b"], "nested": {"x": 1}}""")
   }
 
+  test("jsonDump float rendering matches Python json.dumps across notation thresholds") {
+    import graft.store.VectorStore.jsonDump
+    assert(jsonDump(1.0e16) == "1e+16")
+    assert(jsonDump(1.5e-7) == "1.5e-07")
+    assert(jsonDump(9.99e-5) == "9.99e-05")
+    assert(jsonDump(0.00012) == "0.00012")
+    assert(jsonDump(12345678.5) == "12345678.5")
+    assert(jsonDump(1.0e15) == "1000000000000000.0")
+    assert(jsonDump(2.0) == "2.0")
+    assert(jsonDump(0.5) == "0.5")
+    assert(jsonDump(-1.23e100) == "-1.23e+100")
+    assert(jsonDump(0.0) == "0.0")
+    assert(jsonDump(-0.0) == "-0.0")
+  }
+
   test("insertDicts rejects non-serializable docs before writing (tests.py:426-429)") {
     val s = freshStore()
     val e = intercept[IllegalArgumentException](s.insertDicts(Seq(
