@@ -343,6 +343,8 @@ object SparkEntry {
           round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
           round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
         .orderBy("doc_id")),
+    "tx_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(T(s, dir, "documents"), "text")),
     "tx_repetition" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -899,6 +901,45 @@ object SparkEntry {
                / len(toks), 4) AS mean_tok_len,
              n_chars
       FROM t ORDER BY doc_id""",
+    // per-row expressions identical to the tx_quality / tx_repetition /
+    // tx_langid oracles, aggregated to one row
+    "tx_corpus_stats" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+               len(text) AS nc FROM documents),
+      m AS (
+        SELECT doc_id, len(toks) AS ntok,
+          CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / len(toks) AS sw,
+          CAST(nc - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / nc AS pr,
+          CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS ml,
+          1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS rep,
+          CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist','ein'))) AS DOUBLE) / len(toks) AS de_ratio,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS DOUBLE) / len(toks) AS en_ratio,
+          CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','de','un','es'))) AS DOUBLE) / len(toks) AS es_ratio,
+          CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','de','un','est'))) AS DOUBLE) / len(toks) AS fr_ratio
+        FROM t),
+      l AS (
+        SELECT *, CASE WHEN greatest(de_ratio, en_ratio, es_ratio, fr_ratio) = 0.0 THEN 'und'
+               WHEN de_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'de'
+               WHEN en_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'en'
+               WHEN es_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'es'
+               WHEN fr_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'fr'
+               ELSE 'und' END AS lang,
+          least(1.0, greatest(0.0,
+            (sw * 2.0 + (1.0 - pr) + CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.5 END)
+              / 3.0)) AS quality
+        FROM m)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             round(avg(quality), 4) AS mean_quality,
+             round(avg(rep), 4) AS mean_repetition,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+             CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+             CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+             CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+      FROM l""",
     "tx_repetition" -> """
       WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                  FROM documents)

@@ -100,6 +100,25 @@ object TextAnalysis {
     }
   }
 
+  /** One-pass corpus report (a single partially-aggregated reduce to
+    * one row — no shuffle of document data): doc/token totals, mean
+    * quality and repetition, and the language mix. The summary a
+    * pipeline run ends with, at any corpus size.
+    */
+  def corpusStats(docs: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val lang = langId(t)
+    def nLang(l: String) =
+      sum(when(lang === l, 1).otherwise(0)).cast("long").as(s"n_$l")
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(t))).cast("long").as("total_tokens"),
+      round(avg(qualityScore(t)), 4).as("mean_quality"),
+      round(avg(repetitionRatio(t)), 4).as("mean_repetition"),
+      nLang("en"), nLang("de"), nLang("es"), nLang("fr"), nLang("und"))
+  }
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)
