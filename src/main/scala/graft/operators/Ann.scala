@@ -124,8 +124,17 @@ object Ann {
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): DataFrame =
-    kmeansCore(df, idCol, vecCol, nCentroids, iters,
-      (v, c) => l2_distance(v, lit(c)), identity)
+    centsToDF(df, kmeansCore(df, idCol, vecCol, nCentroids, iters,
+      l2Score, identity))
+
+  private def l2Score(v: Column, c: Array[Float]): Column =
+    l2_distance(v, lit(c))
+
+  private def centsToDF(df: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("centroid_id", "centroid")
+  }
 
   /** Shared Lloyd loop: `score` is the smaller-is-better per-centroid
     * score; `post` post-processes each recentred mean (identity for L2,
@@ -135,9 +144,7 @@ object Ann {
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int,
       score: (Column, Array[Float]) => Column,
-      post: Array[Float] => Array[Float]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+      post: Array[Float] => Array[Float]): Array[(Long, Array[Float])] = {
     // Seed batch is <= nCentroids rows by construction: number them on
     // the driver rather than through a partitionless global window.
     var cents: Array[(Long, Array[Float])] = df
@@ -160,7 +167,7 @@ object Ann {
       // silently vanishing (callers rely on exactly nCentroids cells)
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    cents.toSeq.toDF("centroid_id", "centroid")
+    cents
   }
 
   /** Assign each row to its nearest centroid.
@@ -181,7 +188,7 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    assignTo(df, vecCol, cents, (v, c) => l2_distance(v, lit(c)))
+    assignTo(df, vecCol, cents, l2Score)
   }
 
   /** Arg-best projection over driver-held centroids (the literal form
@@ -207,8 +214,10 @@ object Ann {
   def ivfBuild(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): (DataFrame, DataFrame) = {
-    val centroids = kmeans(df, idCol, vecCol, nCentroids, iters)
-    (assign(df, idCol, vecCol, centroids), centroids)
+    // the centroid array never leaves the driver: assign directly from
+    // it rather than round-tripping through a DataFrame + collect
+    val cents = kmeansCore(df, idCol, vecCol, nCentroids, iters, l2Score, identity)
+    (assignTo(df, vecCol, cents, l2Score), centsToDF(df, cents))
   }
 
   /** Spherical k-means (cosine analogue of [[kmeans]]): assignment by
@@ -220,7 +229,8 @@ object Ann {
   def kmeansCosine(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): DataFrame =
-    kmeansCore(df, idCol, vecCol, nCentroids, iters, cosineScore, normalize)
+    centsToDF(df, kmeansCore(df, idCol, vecCol, nCentroids, iters,
+      cosineScore, normalize))
 
   /** Smaller-is-better cosine score (negated similarity). */
   private def cosineScore(v: Column, c: Array[Float]): Column =
@@ -235,13 +245,8 @@ object Ann {
   def ivfBuildCosine(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): (DataFrame, DataFrame) = {
-    val centroids = kmeansCosine(df, idCol, vecCol, nCentroids, iters)
-    val cents = centroids
-      .select(col("centroid_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    (assignTo(df, vecCol, cents, cosineScore), centroids)
+    val cents = kmeansCore(df, idCol, vecCol, nCentroids, iters, cosineScore, normalize)
+    (assignTo(df, vecCol, cents, cosineScore), centsToDF(df, cents))
   }
 
   /** Cosine IVF search: probe the `nProbe` most-similar cells per

@@ -156,7 +156,11 @@ object Dedup {
       var converged = labels.isEmpty
       var i = 0
       while (!converged) {
-        require(i < maxIter, s"connectedComponents did not converge in $maxIter rounds")
+        if (i >= maxIter) {
+          labels.unpersist() // don't leak the iteration cache on failure
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds")
+        }
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
           .groupBy(col("src").as("id"))

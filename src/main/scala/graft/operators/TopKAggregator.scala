@@ -34,8 +34,15 @@ object TopKAggregator {
 
     override def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray)
 
-    private def beats(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
-      d1 < d2 || (d1 == d2 && i1 < i2)
+    // SQL comparison semantics, matching the window form exactly:
+    // NaN sorts greater than everything and equal to itself; -0.0 and
+    // 0.0 are equal (raw < / == would make every NaN comparison false,
+    // letting NaN candidates block finite ones)
+    private def sqlNorm(d: Double): Double = if (d == 0.0) 0.0 else d
+    private def beats(d1: Double, i1: Long, d2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(sqlNorm(d1), sqlNorm(d2))
+      c < 0 || (c == 0 && i1 < i2)
+    }
 
     override def reduce(b: TopKBuf, a: Cand): TopKBuf = {
       val n = b.ids.length

@@ -390,8 +390,10 @@ object VectorStore {
       val Array(m0, e0) = d.toString.split("E")
       val m = if (m0.endsWith(".0")) m0.dropRight(2) else m0
       val e = e0.toInt
-      f"${m}e${if (e < 0) "-" else "+"}${math.abs(e)}%02d"
-    } else if (d == d.floor) f"$d%.1f"
+      val digits = math.abs(e).toString
+      val padded = if (digits.length < 2) "0" + digits else digits
+      s"${m}e${if (e < 0) "-" else "+"}$padded"
+    } else if (d == d.floor) s"${d.toLong}.0" // locale-free (f"%.1f" is not)
     else {
       val s = d.toString
       // Java goes scientific below 1e-3 and at/above 1e7; Python stays
@@ -410,7 +412,10 @@ object VectorStore {
       case '\t' => sb.append("\\t")
       case '\b' => sb.append("\\b")
       case '\f' => sb.append("\\f")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      // json.dumps defaults to ensure_ascii=True: everything outside
+      // printable ASCII escapes as \uXXXX (UTF-16 units, so astral
+      // chars become surrogate pairs exactly like CPython emits them)
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }
     sb.append('"').toString

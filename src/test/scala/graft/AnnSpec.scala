@@ -76,9 +76,24 @@ class AnnSpec extends SparkSuite {
     // the probe reaches the SOURCE: partition filters on centroid_id in
     // the parquet scan, so unprobed cells' files are never read
     val plan = pruned.queryExecution.executedPlan.toString
-    val pf = "(?s)PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*in[^\\]]*\\]".r
+    // uppercase "IN (" — a lowercase 'in' would also match 'bigint'
+    val pf = "(?s)PartitionFilters: \\[[^\\]]*centroid_id[^\\]]* IN \\(".r
     assert(pf.findFirstIn(plan).isDefined,
       s"expected an IN partition filter on centroid_id in:\n$plan")
+  }
+
+  test("TopKAggregator matches the window top-k when NaN distances occur") {
+    // SQL semantics: NaN sorts last and equals itself — raw Double
+    // comparisons would let buffered NaNs block finite candidates
+    val rows = Seq(
+      (0L, 1L, Double.NaN), (0L, 2L, 1.0), (0L, 3L, Double.NaN), (0L, 4L, 0.5),
+      (1L, 5L, Double.NaN), (1L, 6L, Double.NaN), (2L, 7L, 2.0))
+    val df = rows.toDF("qid", "id", "dist").repartition(3)
+    val win = SimilarityJoin.topKByDistance(df, "qid", "id", "dist", 2)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val agg = graft.operators.TopKAggregator.topKRows(df, "qid", "id", "dist", 2)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(agg == win, s"agg=$agg win=$win")
   }
 
   test("TopKAggregator matches the window top-k on tie-heavy random data") {

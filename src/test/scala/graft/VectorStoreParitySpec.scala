@@ -375,6 +375,10 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(jsonDump(-1.23e100) == "-1.23e+100")
     assert(jsonDump(0.0) == "0.0")
     assert(jsonDump(-0.0) == "-0.0")
+    // ensure_ascii parity: non-ASCII escapes as \uXXXX (surrogate
+    // pairs for astral chars, exactly like CPython)
+    assert(jsonDump("café") == "\"caf\\u00e9\"")
+    assert(jsonDump("😀") == "\"\\ud83d\\ude00\"")
   }
 
   test("insertDicts rejects non-serializable docs before writing (tests.py:426-429)") {
