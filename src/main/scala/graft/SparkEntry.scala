@@ -630,6 +630,30 @@ object SparkEntry {
         .orderBy("corpus_id", "bench_id")
     }),
 
+    // approximate distinct (HLL++): the sketch itself has no cross-
+    // engine analogue, so the gate checks the tolerance invariant —
+    // exact count hash-matched, approx within 5%
+    "q30_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_approx"))
+        .select(col("n_exact"),
+          (abs(col("_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_5pct"))),
+
+    // window-function breadth: lag/lead/ntile/cume_dist in one pass
+    "q31_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      T(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // deterministic hash sampling: same rows in any engine, any run,
     // at any parallelism (md5-prefix predicate, no RNG)
     "sm_hash_sample" -> ((s, dir) =>
@@ -1150,6 +1174,19 @@ object SparkEntry {
       GROUP BY c.corpus_id, b.bench_id
       HAVING round(CAST(count(*) AS DOUBLE) / any_value(b.bsize), 4) >= 0.05
       ORDER BY corpus_id, bench_id""",
+    "q30_approx_distinct" -> """
+      SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+             true AS within_5pct
+      FROM lineitem""",
+    "q31_window_suite" -> """
+      SELECT o_custkey, o_orderkey,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_totalprice, 1) OVER w AS next_price,
+             ntile(4) OVER w AS quartile,
+             round(cume_dist() OVER w, 4) AS cd
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
     // same md5-prefix predicate, same threshold constant — sampling
     // membership is engine-portable by construction
     "sm_hash_sample" -> s"""
