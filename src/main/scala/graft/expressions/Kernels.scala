@@ -240,4 +240,45 @@ object Kernels {
     }
     h
   }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Float]]()
+
+  /** Seeded hyperplane matrix (row-major nBits × dim), cached per
+    * (dim, nBits, seed) — identical generation order to the previous
+    * per-plane `Array.fill(nBits)(Array.fill(dim)(nextGaussian))`.
+    */
+  private def planes(dim: Int, nBits: Int, seed: Long): Array[Float] = {
+    val key = (dim, nBits, seed)
+    val cached = planeCache.get(key)
+    if (cached != null) cached
+    else {
+      val rnd = new scala.util.Random(seed)
+      val p = new Array[Float](nBits * dim)
+      var i = 0
+      while (i < p.length) { p(i) = rnd.nextGaussian().toFloat; i += 1 }
+      planeCache.putIfAbsent(key, p)
+      planeCache.get(key)
+    }
+  }
+
+  /** Sign-pattern LSH bucket: all `nBits` hyperplane dot products in ONE
+    * pass over the vector (the composed `when(dot_product(...))` form
+    * re-read the vector per plane). Float32 accumulation in element
+    * order per plane — bit-identical to the composed form's kernel.
+    */
+  def hyperplaneBucket(vec: ArrayData, dim: Int, nBits: Int, seed: Long): Long = {
+    val p = planes(dim, nBits, seed)
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      val off = b * dim
+      var s = 0f
+      var i = 0
+      while (i < dim) { s += vec.getFloat(i) * p(off + i); i += 1 }
+      if (s > 0f) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
 }

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -61,4 +61,22 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
   override def prettyName: String = "cosine_similarity"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** One-pass sign-pattern LSH bucket over seeded hyperplanes (see
+  * [[Kernels.hyperplaneBucket]]); replaces nBits composed dot-product
+  * calls with a single vector read.
+  */
+case class HyperplaneBucket(child: Expression, dim: Int, nBits: Int, seed: Long)
+    extends UnaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  require(nBits > 0 && nBits <= 62, "bucket fits in a long")
+  override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.hyperplaneBucket(vec.asInstanceOf[ArrayData], dim, nBits, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.Kernels.hyperplaneBucket($v, $dim, $nBits, ${seed}L)")
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

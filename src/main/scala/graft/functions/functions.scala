@@ -39,6 +39,10 @@ object functions {
 
   def fingerprint64(s: Column): Column = c(Fingerprint64(e(s)))
 
+  /** One-pass hyperplane LSH bucket (see [[graft.expressions.HyperplaneBucket]]). */
+  def hyperplane_bucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
+    c(HyperplaneBucket(e(vec), dim, nBits, seed))
+
   /** Reference-format blob codec: LE float32 bytes ↔ `array<float>`. */
   def float_blob_decode(b: Column): Column = c(FloatBlobDecode(e(b)))
   def float_blob_encode(v: Column): Column = c(FloatBlobEncode(e(v)))
@@ -55,6 +59,9 @@ object functions {
     "simhash64" -> (args => SimHash64(args(0))),
     "hamming64" -> (args => Hamming64(args(0), args(1))),
     "fingerprint64" -> (args => Fingerprint64(args(0))),
+    "hyperplane_bucket" -> (args => HyperplaneBucket(args(0),
+      args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
+      args(3).eval().asInstanceOf[Number].longValue())),
     "float_blob_decode" -> (args => FloatBlobDecode(args(0))),
     "float_blob_encode" -> (args => FloatBlobEncode(args(0))),
   )

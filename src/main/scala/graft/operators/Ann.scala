@@ -1,11 +1,9 @@
 package graft.operators
 
-import scala.util.Random
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, dot_product, l2_distance}
+import graft.functions.{cosine_similarity, l2_distance}
 
 /** Approximate nearest-neighbor search: the scale path beyond
   * brute-force (reference is exact-only, vector_store.py:291 — these are
@@ -22,22 +20,11 @@ import graft.functions.{cosine_similarity, dot_product, l2_distance}
   */
 object Ann {
 
-  /** Deterministic random hyperplanes (rows: nBits × dim). */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] = {
-    val rnd = new Random(seed)
-    Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
-  }
-
   /** Sign-pattern bucket id of a vector column under `nBits` seeded
     * hyperplanes — vectors with small cosine distance agree on most bits.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    require(nBits <= 62, "bucket fits in a long")
-    val planes = hyperplanes(dim, nBits, seed)
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot_product(vec, lit(p)) > 0f, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
+    graft.functions.hyperplane_bucket(vec, dim, nBits, seed)
 
   /** Approximate cosine top-k via LSH bucketing: candidates = index rows
     * sharing the query's bucket (NOT exhaustive — recall < 1 by design;

@@ -69,6 +69,27 @@ class ExpressionsSpec extends SparkSuite {
     assert(sh((1 to 50).map("t" + _).mkString(" "), 3).size == 48)
   }
 
+  test("hyperplane_bucket kernel is bit-identical to the composed dot-product form") {
+    import org.apache.spark.sql.functions.{col, lit, when, sum}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(6)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val composed = planes.zipWithIndex.map { case (p, i) =>
+      when(functions.dot_product(col("embedding"), lit(p)) > 0f, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val df = emb.select(col("vec_id"),
+      functions.hyperplane_bucket(col("embedding"), 64, 6, 42L).as("fused"),
+      composed.as("composed"))
+    assert(df.filter(col("fused") =!= col("composed")).count() == 0)
+    // and through the SQL registry
+    emb.createOrReplaceTempView("hb_emb")
+    val viaSql = spark
+      .sql("SELECT sum(hyperplane_bucket(embedding, 64, 6, 42)) AS s FROM hb_emb")
+      .as[Long].head()
+    assert(viaSql == df.agg(sum(col("fused"))).head().getLong(0))
+  }
+
   test("SQL registration: graft functions callable from spark.sql") {
     val out = spark
       .sql("SELECT l2_distance(array(1.0F, 0.0F), array(0.0F, 0.0F)) AS d, " +
