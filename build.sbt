@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through undecorated: sbt's default
+// logger prefixes every line ("[info] " on stdout, "[error] " on
+// stderr), which breaks any consumer expecting a bare JSON line from
+// `runMain graft.Bench` (BENCH r1 and r2 both failed to parse).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

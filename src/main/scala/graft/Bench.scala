@@ -1,17 +1,26 @@
 package graft
 
+import java.util.Locale
 
 /** Per-round benchmark: runs every SparkEntry query on
   * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line.
   *
   * Timing = full query execution to a count() action (result
   * materialization without driver-side collect). One untimed JVM/codegen
-  * warm-up query precedes the timed loop.
+  * warm-up block precedes the timed loop.
+  *
+  * Isolation: queries share one JVM, so without care a heavy query
+  * poisons the heap for everything after it (r2 showed unchanged
+  * queries regressing 3-9x from GC churn alone). Between timed queries
+  * we clear the SQL cache and give the collector a breather; each query
+  * reports the min of `SPARK_GRAFT_BENCH_REPS` (default 2) runs so a
+  * one-off GC pause doesn't masquerade as a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
 
     // warm-up: JVM + codegen + parquet footer caches (untimed). The
@@ -24,29 +33,32 @@ object Bench {
     SparkEntry.queries("dd_minhash_lsh")(spark, sfDir).count()
     SparkEntry.queries("ann_lsh_topk")(spark, sfDir).count()
 
+    def jnum(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_sec","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // sbt prefixes stdout with "[info] ", which breaks the driver's
-    // bare-JSON-line parser (BENCH_r01 parsed=null) — also drop the line
-    // in a file where the driver (and humans) can always find it.
+    // Belt-and-braces: also drop the line in a file where the driver
+    // (and humans) can always find it, whatever the log decoration.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    System.err.println(json)
     spark.stop()
   }
 }

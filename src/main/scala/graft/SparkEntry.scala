@@ -365,7 +365,9 @@ object SparkEntry {
           simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
         .orderBy("doc_id")),
 
-    // BPE-ish regex token counting (words / numbers / punctuation marks)
+    // Regex pre-tokenization (word/number/punct splitting — the split a
+    // BPE tokenizer would apply BEFORE merges; not byte-pair encoding
+    // itself). Query name kept for gate continuity.
     "tx_bpe_tokens" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),

@@ -268,6 +268,10 @@ object Kernels {
     * order per plane — bit-identical to the composed form's kernel.
     */
   def hyperplaneBucket(vec: ArrayData, dim: Int, nBits: Int, seed: Long): Long = {
+    if (vec.numElements() < dim) {
+      throw new IllegalArgumentException(
+        s"hyperplane_bucket: vector has ${vec.numElements()} elements, expected >= $dim")
+    }
     val p = planes(dim, nBits, seed)
     var bucket = 0L
     var b = 0

@@ -47,6 +47,24 @@ object functions {
   def float_blob_decode(b: Column): Column = c(FloatBlobDecode(e(b)))
   def float_blob_encode(v: Column): Column = c(FloatBlobEncode(e(v)))
 
+  /** Evaluate a SQL-registry argument that must be a foldable integer
+    * literal (e.g. `hyperplane_bucket(v, 16, 16, 42)`): accepts any
+    * integral literal width (INT and BIGINT both appear depending on the
+    * SQL writer) and raises a clear analysis-time error for non-foldable
+    * arguments instead of an opaque eval-time ClassCastException.
+    */
+  private def foldableInt(arg: Expression, fn: String, param: String): Int = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> fn, "paramName" -> param, "paramType" -> "integer literal"))
+    if (!arg.foldable) fail()
+    arg.eval() match {
+      case n: Number => n.intValue()
+      case _ => fail()
+    }
+  }
+
   /** SQL function descriptors (name → builder) for all graft expressions. */
   private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "l2_distance" -> (args => L2Distance(args(0), args(1))),
@@ -55,13 +73,14 @@ object functions {
     "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
     "indel_similarity" -> (args => IndelSimilarity(args(0), args(1))),
     "minhash_signature" -> (args =>
-      MinHashSignature(args(0), args(1).eval().asInstanceOf[Int])),
+      MinHashSignature(args(0), foldableInt(args(1), "minhash_signature", "num_hashes"))),
     "simhash64" -> (args => SimHash64(args(0))),
     "hamming64" -> (args => Hamming64(args(0), args(1))),
     "fingerprint64" -> (args => Fingerprint64(args(0))),
     "hyperplane_bucket" -> (args => HyperplaneBucket(args(0),
-      args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
-      args(3).eval().asInstanceOf[Number].longValue())),
+      foldableInt(args(1), "hyperplane_bucket", "dim"),
+      foldableInt(args(2), "hyperplane_bucket", "n_bits"),
+      foldableInt(args(3), "hyperplane_bucket", "seed").toLong)),
     "float_blob_decode" -> (args => FloatBlobDecode(args(0))),
     "float_blob_encode" -> (args => FloatBlobEncode(args(0))),
   )

@@ -60,6 +60,10 @@ object Multimodal {
     */
   object Codecs {
 
+    // One-time per-JVM ImageIO config (no temp-file cache in executors);
+    // a lazy val so the static mutation happens once, not per decoded row.
+    private lazy val imageIoConfigured: Unit = javax.imageio.ImageIO.setUseCache(false)
+
     /** Feature layout (zero-padded / truncated to `dim`):
       * image → [width, height, meanR, meanG, meanB, grayHist×8].
       */
@@ -96,7 +100,7 @@ object Multimodal {
       */
     def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
       try {
-        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+        imageIoConfigured // one-time static config, not per-row
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img == null) None
         else {

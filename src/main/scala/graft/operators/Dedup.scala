@@ -120,13 +120,21 @@ object Dedup {
     * that turns pairwise matches into dedup groups (pairs alone cannot
     * say which docs form one cluster when matches chain a–b, b–c).
     *
-    * Min-label propagation, DataFrame-only: every node starts labeled
-    * with itself; each round takes the min of its own and its
-    * neighbors' labels until a fixpoint. Rounds = cluster diameter —
-    * small for near-dup graphs (dense clusters) — and each round is
-    * one equi-join + groupBy, so the shuffle carries (node, label)
-    * pairs only, never the text. `maxIter` is a runaway bound; hitting
-    * it throws rather than returning unconverged labels.
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), DataFrame-only.
+    * Each round rewires edges toward the component minimum:
+    * large-star points every above-parent neighbor at the local min,
+    * small-star contracts the below-parent neighborhood. The edge set
+    * converges to stars centered at each component's minimum id in
+    * O(log n) rounds — unlike min-label propagation's O(diameter),
+    * which made chain-shaped graphs (and the per-round job overhead)
+    * the slowest execution shape in the repo. Every shuffle carries
+    * (long, long) edges only, never payload columns, and the iterative
+    * frames are repartitioned to match their actual size (a handful of
+    * partitions locally; `spark.sql.shuffle.partitions` once the edge
+    * set is large) so tiny rounds are not 32-partition scheduling
+    * storms. `maxIter` is a runaway bound; hitting it throws rather
+    * than returning unconverged labels.
     *
     * Returns (id, comp) where comp = the cluster's minimum node id;
     * `nodes` rows absent from any pair keep themselves (singletons).
@@ -134,55 +142,90 @@ object Dedup {
   def connectedComponents(
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-      maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(nodes, idCol, pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds executed —
+    * exposed so tests can assert the O(log n) convergence bound.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = nodes.sparkSession
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    // iterative frames sized to the data: ~100k edges per partition,
+    // capped at the session's shuffle parallelism
+    def parts(n: Long): Int =
+      math.max(1L, math.min(shuffleParts.toLong, n / 100000L + 1L)).toInt
+
+    // canonical undirected edges, larger endpoint first. Each round's
+    // frame is localCheckpoint-ed (eager): the star operations reference
+    // their input many times, so carrying raw lineage across rounds
+    // grows the logical plan exponentially (explain/event strings alone
+    // OOM'd the driver) — the checkpoint both caches the data and cuts
+    // the plan back to a leaf.
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // convergence check: labels only ever decrease, so the exact sum
-      // of labels is strictly decreasing until the fixpoint — one
-      // aggregate per round detects it, no second join
-      // sum() over zero rows is SQL NULL — an empty node set is already
-      // converged (compareTo on null would NPE)
-      def labelSum(df: DataFrame): java.math.BigDecimal = {
-        val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-        if (s == null) java.math.BigDecimal.ZERO else s
+      .localCheckpoint(true)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
+    var rounds = 0
+    while (!converged) {
+      if (rounds >= maxIter) {
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
       }
-      var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
-        .withColumn("comp", col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var prevSum = labelSum(labels)
-      var converged = labels.isEmpty
-      var i = 0
-      while (!converged) {
-        if (i >= maxIter) {
-          labels.unpersist() // don't leak the iteration cache on failure
-          throw new IllegalStateException(
-            s"connectedComponents did not converge in $maxIter rounds")
-        }
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("dst_comp")).as("nbr_comp"))
-        val next = labels
-          .join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
-        labels.unpersist()
-        labels = next
-        i += 1
-      }
-      // cut lineage (eager), then release the last iteration's cache —
-      // the checkpoint holds the data from here on
-      val result = labels.localCheckpoint(eager = true)
-      labels.unpersist()
-      result
-    } finally edges.unpersist()
+      val p = parts(edgeCount)
+      // large-star: for each node u (seen from both endpoints), let
+      // m = min(neighbors(u) ∪ {u}); every neighbor v > u re-attaches
+      // to m. Output keeps the first-endpoint-larger orientation
+      // (v > u >= m).
+      val bidir = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(p, col("u"))
+        .persist(disk)
+      val lsMin = bidir.groupBy("u").agg(min(col("v")).as("mv"))
+      val ls = bidir.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star: group by the larger endpoint u (all its listed
+      // neighbors are smaller); m = min neighborhood; every neighbor
+      // except m, plus u itself, attaches to m.
+      val ssNbr = ls.repartition(p, col("u")).persist(disk)
+      val ssMin = ssNbr.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ssNbr.join(ssMin, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      // both sets are distinct, so equal count + empty one-way except
+      // ⇒ set equality ⇒ star fixpoint (check short-circuits when the
+      // counts already differ)
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      bidir.unpersist(); ssNbr.unpersist()
+      edges = next
+      edgeCount = nextCount
+      rounds += 1
+    }
+    // at the fixpoint every component is a star: edges = (member, root)
+    // for each non-root member, root = component minimum
+    val labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    // checkpointed-frame blocks are released by the ContextCleaner once
+    // unreferenced; the eager checkpoint here makes the result
+    // self-contained before `edges` goes out of scope
+    (labels.localCheckpoint(true), rounds)
   }
 
   /** Near-duplicate dedup end to end: exact-Jaccard pairs → connected

@@ -123,11 +123,28 @@ class VectorStore private (
     */
   def insertDicts(records: Seq[Map[String, Any]]): Seq[Long] = {
     require(records.nonEmpty, "insertDicts requires at least one record")
+    // C1 coercion matrix applies here too: the reference's insert_dicts
+    // delegates to insert's float32 coercion-with-warning path, so every
+    // working dtype (e.g. default float64 np.ones) is accepted, not just
+    // float32 (tests.py:426-464 + vector_store.py:163-181).
+    lastCoercionWarning = None
     val vecs = records.zipWithIndex.map {
       case (r, i) => r.get("vec") match {
         case Some(v: Array[Float]) => v
+        case Some(v: Array[Double]) =>
+          warnCoercion("array<double>"); v.map(_.toFloat)
+        case Some(v: Array[Int]) =>
+          warnCoercion("array<int>"); v.map(_.toFloat)
+        case Some(v: Array[Long]) =>
+          warnCoercion("array<bigint>"); v.map(_.toFloat)
+        case Some(v: Array[Short]) =>
+          warnCoercion("array<smallint>"); v.map(_.toFloat)
+        case Some(v: Array[Byte]) =>
+          warnCoercion("array<tinyint>"); v.map(_.toFloat)
+        case Some(v: Array[Boolean]) =>
+          warnCoercion("array<boolean>"); v.map(b => if (b) 1f else 0f)
         case Some(other) => throw new IllegalArgumentException(
-          s"record $i: 'vec' must be an Array[Float], got ${other.getClass.getName}")
+          s"record $i: 'vec' must be a numeric array, got ${other.getClass.getName}")
         case None => throw new IllegalArgumentException(
           s"record $i: missing required 'vec'")
       }
@@ -336,7 +353,9 @@ class VectorStore private (
     */
   def toDF: DataFrame = table
 
-  override def toString: String = s"VectorStore(path=$path, dim=$dim)"
+  // `db_path=` matches the reference repr exactly (vector_store.py /
+  // tests.py:488-491), even though the field here is `path`.
+  override def toString: String = s"VectorStore(db_path=$path, dim=$dim)"
 }
 
 object VectorStore {

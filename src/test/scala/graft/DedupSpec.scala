@@ -76,6 +76,23 @@ class DedupSpec extends SparkSuite {
     assert(got.size == ids.length, "every node labeled, singletons included")
   }
 
+  test("connectedComponents converges in O(log n) rounds on a chain graph") {
+    // a 256-node path is the worst case for min-label propagation
+    // (rounds = diameter = 255); alternating large-star/small-star must
+    // collapse it logarithmically
+    val n = 256
+    val chain = spark.range(0, n - 1)
+      .selectExpr("id AS a_id", "id + 1 AS b_id")
+    val nodes = spark.range(0, n).selectExpr("id AS doc_id")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(nodes, "doc_id", chain)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "one component rooted at the minimum id")
+    assert(rounds <= 2 * (math.log(n) / math.log(2)).ceil.toInt + 2,
+      s"expected O(log n) rounds, got $rounds for a $n-node chain")
+  }
+
   test("exact dedup is idempotent and loses no distinct content") {
     val once = Dedup.exactDedup(docs, "doc_id", "text").cache()
     val twice = Dedup.exactDedup(once, "doc_id", "text")

@@ -398,7 +398,8 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
 
   test("repr names the path and dimension (tests.py:488-491)") {
     val s = freshStore()
-    assert(s.toString == s"VectorStore(path=$dir, dim=10)")
+    // reference formats `db_path=` — match it exactly
+    assert(s.toString == s"VectorStore(db_path=$dir, dim=10)")
   }
 
   test("insertDF rejects wrong-dimension vectors (job fails, store unchanged)") {
