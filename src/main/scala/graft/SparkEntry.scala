@@ -609,6 +609,85 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // The 100 TB dedup composition end to end: MinHash-LSH candidate
+    // pairs → connected components. Containment proof: LSH edges ⊆
+    // exact edges (dd_lsh_containment), so every LSH cluster must lie
+    // INSIDE one exact-pairs cluster — an LSH cluster spanning two
+    // exact clusters (split_clusters > 0) would mean CC merged nodes
+    // no edge connects. Non-vacuous via has_multi (mutation-checked:
+    // tightening the exact threshold to 0.6 makes split_clusters > 0).
+    "dd_lsh_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 150)
+      val lshLabels = Dedup.connectedComponents(docs, "doc_id",
+        Dedup.minHashLshPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, verifyThreshold = 0.5))
+      val exactLabels = Dedup
+        .connectedComponents(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", 0.5))
+        .select(col("id"), col("comp").as("exact_comp"))
+      lshLabels.join(exactLabels, "id")
+        .groupBy("comp")
+        .agg(countDistinct(col("exact_comp")).as("n_exact"),
+          count(lit(1)).as("n_members"))
+        .agg(
+          sum(when(col("n_exact") > 1, 1).otherwise(0)).cast("long")
+            .as("split_clusters"),
+          (sum(when(col("n_members") > 1, 1).otherwise(0)) > 0).as("has_multi"))
+    }),
+
+    // Partitioned-IVF layout round trip: write the index partitioned by
+    // centroid_id, then the partition-PRUNED probe must equal the
+    // in-memory unpruned probe row-for-row, rank-for-rank (both sides
+    // probe the same cells; only the scanned volume differs).
+    "ann_ivf_pruned" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (indexed, cents) =
+        Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_gate").toString
+      Ann.writeIvfIndex(indexed, cents, path)
+      val pruned = Ann.ivfSearchL2Pruned(s, path, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 5, nProbe = 3)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      val full = Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
+          qs, "qid", "qvec", k = 5, nProbe = 3)
+        .select(col("qid"), col("vec_id"), col("rn"), lit(1).as("ok"))
+      pruned.join(full, Seq("qid", "vec_id", "rn"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
+          (count(lit(1)) === 50).as("complete"))
+    }),
+
+    // Multi-probe LSH dominance proof: expanding the probe set can only
+    // IMPROVE each rank's similarity (top-k over a candidate superset),
+    // and no candidate-subset top-k can beat the exact top-k at any
+    // rank. Checked per (query, rank) on the raw float32 sims — the
+    // kernels are shared, so equal candidates give equal sims.
+    "ann_multiprobe" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val mp = Ann.lshCosineTopKMultiProbe(e, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 3, dim = 64, nBits = 6)
+        .select(col("qid"), col("rn"), col("sim").as("mp_sim"))
+      val sp = Ann.lshCosineTopK(e, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 3, dim = 64, nBits = 6)
+        .select(col("qid"), col("rn"), col("sim").as("sp_sim"))
+      val exact = SimilarityJoin.knnCosine(e, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 3)
+        .select(col("qid"), col("rn"), col("sim").as("ex_sim"))
+      mp.join(sp, Seq("qid", "rn"), "left_outer")
+        .join(exact, Seq("qid", "rn"))
+        .agg(
+          sum(when(col("mp_sim") < col("sp_sim"), 1).otherwise(0)).cast("long")
+            .as("worse_than_single"),
+          sum(when(col("mp_sim") > col("ex_sim"), 1).otherwise(0)).cast("long")
+            .as("better_than_exact"),
+          (count(lit(1)) === 15).as("complete"))
+    }),
+
     // near-dup pairs chained into dedup GROUPS (connected components),
     // summarized per cluster — checked against a DuckDB recursive-CTE
     // label propagation over the identical edge set
@@ -892,8 +971,16 @@ object SparkEntry {
     // dd_embed_neardup, so (0, true) here proves LSH ⊆ exact.
     "dd_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "dd_lsh_clusters" ->
+      "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
     "ann_ivfc_exactness" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "ann_ivf_pruned" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "ann_multiprobe" -> """
+      SELECT CAST(0 AS BIGINT) AS worse_than_single,
+             CAST(0 AS BIGINT) AS better_than_exact,
+             true AS complete""",
     "st_funnel" -> """
       SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
       FROM events a JOIN events b
