@@ -589,6 +589,42 @@ object SparkEntry {
         .select(col("user_id"), col("first_id"), col("then_id"))
         .orderBy("user_id", "first_id", "then_id")),
 
+    // A REAL Structured Streaming run on the gate: documents (first 100
+    // duplicated in-stream) flow through a file streaming source →
+    // watermark → dropDuplicatesWithinWatermark → memory sink, one
+    // AvailableNow pass. Exactly the distinct content hashes must come
+    // out — 100 duplicate admissions would fail the row count, a
+    // dropped original would fail the hash compare. DuckDB verifies
+    // against batch DISTINCT md5(text).
+    "st_stream_dedup" -> ((s, dir) => {
+      val batch = T(s, dir, "documents")
+      // deterministic synthetic event time: 2 s per doc, +1 s for the
+      // duplicate copy (all inside any SF's watermark horizon)
+      val base = to_timestamp(lit("2026-01-01 00:00:00"))
+      // documents.parquet is a single FILE: FileStreamSource force-sets
+      // basePath to the source path unless it is a glob, then rejects it
+      // for not being a directory — the one-character glob class keeps
+      // the same single match while routing around that injection
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents.[p]arquet")
+        .withColumn("copy",
+          explode(when(col("doc_id") < 100, array(lit(0), lit(1)))
+            .otherwise(array(lit(0)))))
+        .withColumn("ts", timestamp_seconds(
+          unix_timestamp(base) + col("doc_id") * 2 + col("copy")))
+      val deduped = graft.streaming.EventStreams
+        .streamingContentDedup(stream, "ts", "text", watermark = "48 hours")
+        .select(col("content_hash"))
+      s.catalog.dropTempView("st_stream_dedup_tbl") // stale sink from a prior rep
+      val q = deduped.writeStream.format("memory")
+        .queryName("st_stream_dedup_tbl")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("st_stream_dedup_tbl").orderBy("content_hash")
+    }),
+
     // cosine IVF at full probe must reproduce the exact cosine top-k
     // (which vs_knn_cosine hash-verifies) — row-for-row, rank-for-rank
     "ann_ivfc_exactness" -> ((s, dir) => {
@@ -973,6 +1009,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     "dd_lsh_clusters" ->
       "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
+    "st_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
     "ann_ivfc_exactness" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_ivf_pruned" ->
