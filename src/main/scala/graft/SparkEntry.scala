@@ -868,6 +868,27 @@ object SparkEntry {
           round(element_at(col("feature"), 4) * 32768).cast("bigint").as("rms_amp"))
         .orderBy("media_id")
     }),
+    // Same decode proof for the AVI demuxer + frame sampler: per doc, a
+    // real 2-frame AVI of solid-shade 6x3 BMP frames (shades doc_id*7
+    // and doc_id*11 mod 251), demuxed and per-frame-decoded by the real
+    // codec path; width/height/per-frame mean must match DuckDB's
+    // closed-form recomputation from doc_id.
+    "mm_video" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val codecs = graft.multimodal.Multimodal.Codecs
+          val frames = Seq((id * 7 % 251).toInt, (id * 11 % 251).toInt)
+            .map(sh => codecs.encodeBmp(6, 3, Array.fill(54)(sh.toByte)))
+          (id, "video", codecs.encodeAvi(6, 3, 40000, frames))
+        }).toDF("media_id", "kind", "payload")
+      graft.multimodal.Multimodal.sampleFrames(media, nFrames = 2, dim = 16)
+        .select(col("media_id"), col("frame_no"),
+          element_at(col("feature"), 1).cast("bigint").as("width"),
+          element_at(col("feature"), 2).cast("bigint").as("height"),
+          round(element_at(col("feature"), 3) * 255).cast("bigint").as("mean_r_255"))
+        .orderBy("media_id", "frame_no")
+    }),
   )
 
   // ---------------------------------------------------------------- //
@@ -1043,6 +1064,14 @@ object SparkEntry {
              CAST(200 AS BIGINT) AS n_samples,
              CAST((doc_id % 100 + 1) * 300 AS BIGINT) AS rms_amp
       FROM documents ORDER BY media_id""",
+    "mm_video" -> """
+      SELECT doc_id AS media_id, f.frame_no,
+             CAST(6 AS BIGINT) AS width,
+             CAST(3 AS BIGINT) AS height,
+             CAST(CASE WHEN f.frame_no = 0 THEN doc_id * 7 % 251
+                       ELSE doc_id * 11 % 251 END AS BIGINT) AS mean_r_255
+      FROM documents, (SELECT 0 AS frame_no UNION ALL SELECT 1) f
+      ORDER BY media_id, f.frame_no""",
     "tx_token_stats" -> """
       WITH t AS (SELECT doc_id, n_chars,
                         string_split_regex(lower(text), '\s+') AS toks

@@ -8,15 +8,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition in bounded
   * batches.
   *
-  * The image and audio decoders are REAL pure-JVM codecs ([[Codecs]]):
-  * images go through `javax.imageio.ImageIO` (BMP/PNG/GIF/JPEG, all
-  * bundled with the JDK) and WAV through a hand-rolled RIFF/PCM parser.
-  * Payloads that fail to decode fall back to a deterministic hash
-  * feature so heterogeneous corpora never poison a batch. Only video
-  * remains a documented stub (no pure-JVM video codec exists); swapping
-  * it for an FFmpeg JNI call changes one function. Everything
-  * Spark-side — schema, partition-parallel execution shape, batch
-  * signature, feature-vector contract — is real and tested.
+  * The image, audio, and video decoders are REAL pure-JVM codecs
+  * ([[Codecs]]): images go through `javax.imageio.ImageIO`
+  * (BMP/PNG/GIF/JPEG, all bundled with the JDK), WAV through a
+  * hand-rolled RIFF/PCM parser, and video through a hand-rolled AVI
+  * demuxer covering the MJPEG/DIB profile (per-frame decode reuses
+  * ImageIO — MJPEG frames are baseline JPEGs). Codecs beyond that
+  * profile (H.264 etc.) would need an FFmpeg JNI swap of one
+  * function. Payloads that fail to decode fall back to a
+  * deterministic hash feature so heterogeneous corpora never poison a
+  * batch. Everything Spark-side — schema, partition-parallel
+  * execution shape, batch signature, feature-vector contract — is
+  * real and tested.
   */
 object Multimodal {
 
@@ -50,6 +53,14 @@ object Multimodal {
     */
   case class DecodedAudio(sampleRate: Int, channels: Int, nSamples: Int,
       rms: Float, ampHist: Array[Float])
+
+  /** Demuxed AVI summary: main-header fields plus the per-frame image
+    * statistics of every frame that decoded. `nFramesDeclared` is the
+    * container's `avih.dwTotalFrames`; `frames.length` is what actually
+    * decoded.
+    */
+  case class DecodedVideo(width: Int, height: Int, microSecPerFrame: Int,
+      nFramesDeclared: Int, frames: IndexedSeq[DecodedImage])
 
   /** Pure-JVM media codecs. Image decode is `javax.imageio.ImageIO`
     * (JDK-bundled readers: BMP, PNG, GIF, JPEG); WAV decode is a
@@ -86,13 +97,146 @@ object Multimodal {
         case None => pseudoFeature(payload, dim, seed = 0xbeefL)
       }
 
-    /** STUB: no pure-JVM video codec exists — frame features are a
-      * deterministic hash expansion of the payload. A real deployment
-      * swaps this for an FFmpeg/JavaCV frame grab; the per-partition
-      * execution shape in [[sampleFrames]] is unchanged by that swap.
+    /** Frame features for AVI video payloads: demux the container
+      * ([[decodeAvi]]), sample up to `nFrames` frames evenly across the
+      * stream, and emit per-frame image statistics in the
+      * [[imageFeature]] layout ([width, height, meanR, meanG, meanB,
+      * grayHist×8]). Non-AVI / undecodable payloads fall back to the
+      * deterministic hash feature (exactly `nFrames` rows) so foreign
+      * payloads never fail a batch.
       */
     def videoFrameSample(payload: Array[Byte], nFrames: Int, dim: Int): Seq[Array[Float]] =
-      (0 until nFrames).map(f => pseudoFeature(payload, dim, seed = 0xf00dL + f))
+      decodeAvi(payload) match {
+        case Some(v) =>
+          val idx =
+            if (nFrames >= v.frames.length) v.frames.indices
+            else (0 until nFrames).map(i => i * v.frames.length / nFrames)
+          idx.map { i =>
+            val f = v.frames(i)
+            pack(dim, Array(f.width.toFloat, f.height.toFloat,
+              f.meanR, f.meanG, f.meanB) ++ f.grayHist)
+          }
+        case None =>
+          (0 until nFrames).map(f => pseudoFeature(payload, dim, seed = 0xf00dL + f))
+      }
+
+    /** Whole-video feature: container header plus first-frame pixel
+      * statistics — [width, height, nFramesDecoded, meanR, meanG,
+      * meanB, grayHist×8] of frame 0.
+      */
+    def videoFeature(payload: Array[Byte], dim: Int): Array[Float] =
+      decodeAvi(payload) match {
+        case Some(v) =>
+          val f = v.frames.head
+          pack(dim, Array(v.width.toFloat, v.height.toFloat,
+            v.frames.length.toFloat, f.meanR, f.meanG, f.meanB) ++ f.grayHist)
+        case None => pseudoFeature(payload, dim, seed = 0xf00dL)
+      }
+
+    /** AVI (RIFF) demuxer for the MJPEG/DIB profile: walks the chunk
+      * tree for the `avih` main header (LIST/hdrl) and the frame chunks
+      * (`##dc`/`##db` inside LIST/movi), then decodes each frame
+      * through [[decodeImage]] — MJPEG frames ARE baseline JPEGs, and
+      * the JDK's ImageIO reads those (and DIB/BMP frames) natively.
+      * Frames that fail image decode are skipped; a payload with no
+      * readable header or zero decodable frames returns None.
+      */
+    def decodeAvi(payload: Array[Byte]): Option[DecodedVideo] =
+      try {
+        if (payload.length < 24 ||
+          payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+          payload(8) != 'A' || payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
+          return None
+        val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(at: Int) = new String(payload, at, 4, "US-ASCII")
+        var width = -1; var height = -1; var uspf = -1; var declared = -1
+        val frames = Vector.newBuilder[DecodedImage]
+        var pos = 12
+        while (pos + 8 <= payload.length) {
+          val id = fourcc(pos)
+          val size = buf.getInt(pos + 4)
+          if (size < 0 || pos + 8 + size > payload.length) return None // corrupt
+          if (id == "LIST" && size >= 4) {
+            val sub = fourcc(pos + 8)
+            val end = pos + 8 + size
+            if (sub == "hdrl") {
+              // 'avih': µs/frame(0) … totalFrames(16) … width(32) height(36);
+              // nested LIST/strl chunks advance over as ordinary chunks
+              var p = pos + 12
+              while (p + 8 <= end) {
+                val cid = fourcc(p)
+                val csz = buf.getInt(p + 4)
+                if (csz < 0 || p + 8 + csz > payload.length) return None
+                if (cid == "avih" && csz >= 40) {
+                  uspf = buf.getInt(p + 8)
+                  declared = buf.getInt(p + 8 + 16)
+                  width = buf.getInt(p + 8 + 32)
+                  height = buf.getInt(p + 8 + 36)
+                }
+                p += 8 + csz + (csz & 1)
+              }
+            } else if (sub == "movi") {
+              var p = pos + 12
+              while (p + 8 <= end) {
+                val cid = fourcc(p)
+                val csz = buf.getInt(p + 4)
+                if (csz < 0 || p + 8 + csz > payload.length) return None
+                if (cid(2) == 'd' && (cid(3) == 'c' || cid(3) == 'b') && csz > 0) {
+                  decodeImage(java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz))
+                    .foreach(frames += _)
+                }
+                p += 8 + csz + (csz & 1)
+              }
+            }
+          }
+          pos += 8 + size + (size & 1)
+        }
+        val fs = frames.result()
+        if (width <= 0 || height <= 0 || fs.isEmpty) None
+        else Some(DecodedVideo(width, height, uspf, declared, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Minimal AVI writer for the profile [[decodeAvi]] reads:
+      * RIFF/AVI → LIST/hdrl(avih + LIST/strl(strh,strf)) → LIST/movi
+      * with one `00dc` chunk per already-encoded frame (JPEG for
+      * MJPEG; BMP/DIB payloads for the uncompressed profile). The
+      * synthesis counterpart for pipelines and decode-proof tests.
+      */
+    def encodeAvi(w: Int, h: Int, microSecPerFrame: Int,
+        frames: Seq[Array[Byte]], handler: String = "MJPG"): Array[Byte] = {
+      require(frames.nonEmpty, "encodeAvi requires at least one frame")
+      val framesPadded = frames.map(f => 8 + f.length + (f.length & 1))
+      val moviSize = 4 + framesPadded.sum
+      val strlSize = 4 + (8 + 56) + (8 + 40)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String) = buf.put(s.getBytes("US-ASCII"))
+      cc("RIFF"); buf.putInt(riffSize); cc("AVI ")
+      cc("LIST"); buf.putInt(hdrlSize); cc("hdrl")
+      cc("avih"); buf.putInt(56)
+      buf.putInt(microSecPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      cc("LIST"); buf.putInt(strlSize); cc("strl")
+      cc("strh"); buf.putInt(56)
+      cc("vids"); cc(handler)
+      buf.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(microSecPerFrame).putInt(1000000) // scale/rate = fps
+        .putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      cc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      cc(handler)
+      buf.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      cc("LIST"); buf.putInt(moviSize); cc("movi")
+      frames.foreach { f =>
+        cc("00dc"); buf.putInt(f.length); buf.put(f)
+        if ((f.length & 1) == 1) buf.put(0.toByte)
+      }
+      buf.array()
+    }
 
     /** Decode any JDK-supported image format (sniffed by magic bytes,
       * not metadata). Pixel statistics subsample large images with a
@@ -256,11 +400,11 @@ object Multimodal {
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init of a (stub) codec happens here, once
+        // per-partition codec init happens here, once
         rows.map { case (id, kind, payload) =>
           val feat = kind match {
             case "audio" => Codecs.audioFeature(payload, dim)
-            case "video" => Codecs.videoFrameSample(payload, 1, dim).head
+            case "video" => Codecs.videoFeature(payload, dim)
             case _ => Codecs.imageFeature(payload, dim)
           }
           MediaFeature(id, kind, feat)

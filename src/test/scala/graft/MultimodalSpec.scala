@@ -48,6 +48,57 @@ class MultimodalSpec extends SparkSuite {
       .as[Int].collect().toSeq == Seq(0, 1, 2))
   }
 
+  test("AVI round-trip (DIB profile): demux recovers header and per-frame stats") {
+    import Multimodal.Codecs
+    // two solid-shade 6x3 BMP frames wrapped in a real AVI container
+    val frames = Seq(40, 200).map(sh => Codecs.encodeBmp(6, 3, Array.fill(54)(sh.toByte)))
+    val v = Codecs.decodeAvi(Codecs.encodeAvi(6, 3, 40000, frames)).get
+    assert(v.width == 6 && v.height == 3)
+    assert(v.microSecPerFrame == 40000 && v.nFramesDeclared == 2)
+    assert(v.frames.length == 2)
+    assert(math.abs(v.frames(0).meanR - 40f / 255f) < 1e-6f)
+    assert(math.abs(v.frames(1).meanR - 200f / 255f) < 1e-6f)
+    // frame sampling: more requested than present caps at what decoded
+    val sampled = Codecs.videoFrameSample(Codecs.encodeAvi(6, 3, 40000, frames), 5, 16)
+    assert(sampled.length == 2 && sampled(0)(0) == 6f)
+    // whole-video feature carries the frame count
+    val feat = Codecs.videoFeature(Codecs.encodeAvi(6, 3, 40000, frames), 16)
+    assert(feat(0) == 6f && feat(1) == 3f && feat(2) == 2f)
+  }
+
+  test("AVI round-trip (MJPEG profile): JPEG frames demux and decode") {
+    import Multimodal.Codecs
+    // real baseline JPEGs via ImageIO — the frames an actual MJPEG AVI carries
+    def jpegFrame(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade, shade))
+      g.fillRect(0, 0, 8, 4); g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val v = Codecs.decodeAvi(Codecs.encodeAvi(8, 4, 33367, Seq(
+      jpegFrame(64), jpegFrame(192)))).get
+    assert(v.width == 8 && v.height == 4 && v.frames.length == 2)
+    assert(v.frames.forall(f => f.width == 8 && f.height == 4))
+    // JPEG is lossy but a solid gray decodes within a few shades
+    assert(math.abs(v.frames(0).meanR * 255f - 64f) < 4f)
+    assert(math.abs(v.frames(1).meanR * 255f - 192f) < 4f)
+  }
+
+  test("AVI demuxer rejects corrupt and non-AVI payloads") {
+    import Multimodal.Codecs
+    assert(Codecs.decodeAvi(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codecs.decodeAvi(
+      Codecs.encodeWavPcm16(8000, 1, Array.fill(10)(5.toShort))).isEmpty)
+    // truncated container: declared chunk size overruns the payload
+    val frames = Seq(Codecs.encodeBmp(6, 3, Array.fill(54)(9.toByte)))
+    val avi = Codecs.encodeAvi(6, 3, 40000, frames)
+    assert(Codecs.decodeAvi(avi.take(avi.length - 10)).isEmpty)
+  }
+
   test("BMP round-trip: ImageIO decode recovers header fields and pixel stats") {
     import Multimodal.Codecs
     // 4x2 image: top row solid red, bottom row solid blue
