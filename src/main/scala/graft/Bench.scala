@@ -36,16 +36,23 @@ object Bench {
     def jnum(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // min over successful reps; stop repeating after a failure (a
+      // deterministic failure would just fail `reps` times over), and
+      // report -1 only when NO rep succeeded
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
         }
+        r += 1
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) }

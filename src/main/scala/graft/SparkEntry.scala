@@ -681,8 +681,11 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val (indexed, cents) =
         Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_gate").toString
+      // fixed scratch location, overwritten per run (a fresh temp dir
+      // per invocation would pile up parquet indexes across bench reps
+      // and verify rounds); writeIvfIndex writes mode=overwrite
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_gate").getPath
       Ann.writeIvfIndex(indexed, cents, path)
       val pruned = Ann.ivfSearchL2Pruned(s, path, "vec_id", "embedding",
           qs, "qid", "qvec", k = 5, nProbe = 3)

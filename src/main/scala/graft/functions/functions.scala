@@ -53,16 +53,32 @@ object functions {
     * SQL writer) and raises a clear analysis-time error for non-foldable
     * arguments instead of an opaque eval-time ClassCastException.
     */
-  private def foldableInt(arg: Expression, fn: String, param: String): Int = {
+  private def foldableLong(arg: Expression, fn: String, param: String): Long = {
     def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
       errorClass = "NON_FOLDABLE_ARGUMENT",
       messageParameters = Map(
         "funcName" -> fn, "paramName" -> param, "paramType" -> "integer literal"))
     if (!arg.foldable) fail()
+    // integral widths only — a fractional literal silently truncating
+    // (2.9 → 2) would change results instead of failing the typo
     arg.eval() match {
-      case n: Number => n.intValue()
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
       case _ => fail()
     }
+  }
+
+  private def foldableInt(arg: Expression, fn: String, param: String): Int = {
+    val l = foldableLong(arg, fn, param)
+    if (l < Int.MinValue || l > Int.MaxValue) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> fn, "paramName" -> param, "paramType" -> "32-bit integer literal"))
+    }
+    l.toInt
   }
 
   /** SQL function descriptors (name → builder) for all graft expressions. */
@@ -80,7 +96,7 @@ object functions {
     "hyperplane_bucket" -> (args => HyperplaneBucket(args(0),
       foldableInt(args(1), "hyperplane_bucket", "dim"),
       foldableInt(args(2), "hyperplane_bucket", "n_bits"),
-      foldableInt(args(3), "hyperplane_bucket", "seed").toLong)),
+      foldableLong(args(3), "hyperplane_bucket", "seed"))),
     "float_blob_decode" -> (args => FloatBlobDecode(args(0))),
     "float_blob_encode" -> (args => FloatBlobEncode(args(0))),
   )

@@ -176,17 +176,30 @@ object Multimodal {
                 p += 8 + csz + (csz & 1)
               }
             } else if (sub == "movi") {
-              var p = pos + 12
-              while (p + 8 <= end) {
-                val cid = fourcc(p)
-                val csz = buf.getInt(p + 4)
-                if (csz < 0 || p + 8 + csz > payload.length) return None
-                if (cid(2) == 'd' && (cid(3) == 'c' || cid(3) == 'b') && csz > 0) {
-                  decodeImage(java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz))
-                    .foreach(frames += _)
+              // frame chunks may sit directly in movi or be grouped in
+              // 'LIST rec ' sub-lists (the interleaved layout many
+              // muxers emit) — walk one level into those
+              var ok = true
+              def walkFrames(from: Int, to: Int, depth: Int): Unit = {
+                var p = from
+                while (ok && p + 8 <= to) {
+                  val cid = fourcc(p)
+                  val csz = buf.getInt(p + 4)
+                  if (csz < 0 || p + 8 + csz > payload.length) { ok = false }
+                  else {
+                    if (cid == "LIST" && csz >= 4 && depth == 0 &&
+                      fourcc(p + 8) == "rec ") {
+                      walkFrames(p + 12, p + 8 + csz, depth + 1)
+                    } else if (cid(2) == 'd' && (cid(3) == 'c' || cid(3) == 'b') && csz > 0) {
+                      decodeImage(java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz))
+                        .foreach(frames += _)
+                    }
+                    p += 8 + csz + (csz & 1)
+                  }
                 }
-                p += 8 + csz + (csz & 1)
               }
+              walkFrames(pos + 12, end, 0)
+              if (!ok) return None
             }
           }
           pos += 8 + size + (size & 1)

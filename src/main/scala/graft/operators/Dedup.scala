@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 
 import graft.functions.{hamming64, minhash_signature, simhash64}
 
@@ -160,7 +161,11 @@ object Dedup {
     def parts(n: Long): Int =
       math.max(1L, math.min(shuffleParts.toLong, n / 100000L + 1L)).toInt
 
-    // canonical undirected edges, larger endpoint first. Each round's
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    // canonical undirected edges, larger endpoint first, restricted to
+    // endpoints present in `nodes` (contract: components and labels are
+    // over the node set — an edge mentioning a foreign id must neither
+    // bridge two components nor donate its id as a label). Each round's
     // frame is localCheckpoint-ed (eager): the star operations reference
     // their input many times, so carrying raw lineage across rounds
     // grows the logical plan exponentially (explain/event strings alone
@@ -169,6 +174,8 @@ object Dedup {
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
+      .join(nodeIds.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
@@ -213,19 +220,24 @@ object Dedup {
       // counts already differ)
       converged = nextCount == edgeCount && next.except(edges).isEmpty
       bidir.unpersist(); ssNbr.unpersist()
+      // the previous round's checkpoint blocks have no remaining
+      // consumer (`next` is already materialized; the except above was
+      // the last read) — release them now rather than waiting for GC
+      GraftShim.unpersistLocalCheckpoint(edges)
       edges = next
       edgeCount = nextCount
       rounds += 1
     }
     // at the fixpoint every component is a star: edges = (member, root)
     // for each non-root member, root = component minimum
-    val labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    val labels = nodeIds
       .join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    // checkpointed-frame blocks are released by the ContextCleaner once
-    // unreferenced; the eager checkpoint here makes the result
-    // self-contained before `edges` goes out of scope
-    (labels.localCheckpoint(true), rounds)
+    // the eager checkpoint makes the result self-contained, after which
+    // the final edge frame's blocks can go too
+    val result = labels.localCheckpoint(true)
+    GraftShim.unpersistLocalCheckpoint(edges)
+    (result, rounds)
   }
 
   /** Near-duplicate dedup end to end: exact-Jaccard pairs → connected

@@ -14,6 +14,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind an EAGER
+    * `Dataset.localCheckpoint` once the data is no longer needed.
+    * `Dataset.unpersist` cannot do this (the checkpoint is an RDD-level
+    * persist, invisible to the SQL cache manager), and waiting for the
+    * ContextCleaner ties the storage footprint of iterative algorithms
+    * to driver GC timing. Safe ONLY after every consumer of the
+    * checkpointed frame has run — the blocks are the data.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
 
 /** `AbstractDataType` is `private[sql]`, so expressions outside the Spark

@@ -93,6 +93,16 @@ class DedupSpec extends SparkSuite {
       s"expected O(log n) rounds, got $rounds for a $n-node chain")
   }
 
+  test("connectedComponents ignores pair ids absent from the node set") {
+    // edges through a foreign id (3) must neither bridge the two nodes
+    // nor donate 3 as a label — the contract is over `nodes` only
+    val nodes = Seq(5L, 6L).toDF("doc_id")
+    val pairs = Seq((5L, 3L), (3L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 6L))
+  }
+
   test("exact dedup is idempotent and loses no distinct content") {
     val once = Dedup.exactDedup(docs, "doc_id", "text").cache()
     val twice = Dedup.exactDedup(once, "doc_id", "text")

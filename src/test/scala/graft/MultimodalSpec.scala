@@ -88,6 +88,42 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(v.frames(1).meanR * 255f - 192f) < 4f)
   }
 
+  test("AVI demuxer finds frames grouped in LIST/rec sub-lists") {
+    import Multimodal.Codecs
+    // the interleaved layout many muxers emit: each frame chunk wrapped
+    // in its own 'LIST rec ' inside movi — built by hand since
+    // encodeAvi writes the flat layout
+    val frames = Seq(30, 90).map(sh => Codecs.encodeBmp(6, 3, Array.fill(54)(sh.toByte)))
+    val flat = Codecs.encodeAvi(6, 3, 40000, frames)
+    // splice: reuse the header from the flat container, rebuild movi
+    val recChunks = frames.map { f =>
+      val pad = f.length & 1
+      val b = java.nio.ByteBuffer.allocate(12 + 8 + f.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + f.length + pad)
+        .put("rec ".getBytes("US-ASCII"))
+      b.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if (pad == 1) b.put(0.toByte)
+      b.array()
+    }
+    val hdrlEnd = 12 + 8 + 192 // RIFF(12) + LIST hdrl chunk (8 + 192)
+    val moviSize = 4 + recChunks.map(_.length).sum
+    val out = java.nio.ByteBuffer
+      .allocate(hdrlEnd + 8 + moviSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(flat, 0, hdrlEnd)
+    out.put("LIST".getBytes("US-ASCII")).putInt(moviSize).put("movi".getBytes("US-ASCII"))
+    recChunks.foreach(out.put)
+    val avi = out.array()
+    // patch the RIFF size to the rebuilt payload
+    java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, avi.length - 8)
+    val v = Codecs.decodeAvi(avi).get
+    assert(v.frames.length == 2)
+    assert(math.abs(v.frames(0).meanR - 30f / 255f) < 1e-6f)
+    assert(math.abs(v.frames(1).meanR - 90f / 255f) < 1e-6f)
+  }
+
   test("AVI demuxer rejects corrupt and non-AVI payloads") {
     import Multimodal.Codecs
     assert(Codecs.decodeAvi(Array[Byte](1, 2, 3)).isEmpty)
