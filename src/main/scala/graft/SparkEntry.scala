@@ -589,6 +589,26 @@ object SparkEntry {
         .select(col("user_id"), col("first_id"), col("then_id"))
         .orderBy("user_id", "first_id", "then_id")),
 
+    // Bucketized range join: Spark would plan the bare BETWEEN predicate
+    // as a BroadcastNestedLoopJoin; RangeJoin.pointInInterval rides a
+    // bucket equi-join instead (the 100 TB shape — plan-asserted in
+    // RangeJoinSpec). Customer balances (in cents) against overlapping
+    // per-nation bands; DuckDB verifies with the naive range predicate.
+    "q32_range_join" -> ((s, dir) => {
+      val pts = T(s, dir, "customer")
+        // c_acctbal is stored as double: 551.31*100 = 55130.999…, so
+        // round before the long cast (matches DuckDB's exact decimal)
+        .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val bands = T(s, dir, "nation")
+        .select(col("n_nationkey"),
+          (col("n_nationkey") * 40000L - 100000L).as("band_lo"))
+        .withColumn("band_hi", col("band_lo") + 59999L)
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "cents", bands, "band_lo", "band_hi", bucketWidth = 50000L)
+        .select(col("c_custkey"), col("cents"), col("n_nationkey"))
+        .orderBy("c_custkey", "n_nationkey")
+    }),
+
     // A REAL Structured Streaming run on the gate: documents (first 100
     // duplicated in-stream) flow through a file streaming source →
     // watermark → dropDuplicatesWithinWatermark → memory sink, one
@@ -1035,6 +1055,15 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
     "st_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "q32_range_join" -> """
+      SELECT c.c_custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,
+             n.n_nationkey
+      FROM customer c JOIN nation n
+        ON CAST(round(c.c_acctbal * 100) AS BIGINT)
+             BETWEEN n.n_nationkey * 40000 - 100000
+                 AND n.n_nationkey * 40000 - 100000 + 59999
+      ORDER BY c_custkey, n_nationkey""",
     "ann_ivfc_exactness" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_ivf_pruned" ->
