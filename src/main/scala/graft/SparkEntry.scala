@@ -589,6 +589,40 @@ object SparkEntry {
         .select(col("user_id"), col("first_id"), col("then_id"))
         .orderBy("user_id", "first_id", "then_id")),
 
+    // Count-Min sketch heavy-hitter audit: the sketch builds as merged
+    // per-partition partials; per-key rows carry the EXACT count (hash-
+    // verified by DuckDB) plus the CMS contract booleans — estimate
+    // dominates truth and stays within eps·N (the q30 tolerance-gate
+    // pattern for sketches with no cross-engine analogue).
+    "sk_countmin" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val est = graft.operators.Sketches.countMinEstimates(
+        li, "l_returnflag", Seq("A", "N", "R"),
+        eps = 0.0001, confidence = 0.99, seed = 42)
+      val slack = math.ceil(0.0001 * li.count()).toLong // eps·N, planner state
+      li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .join(est, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("est") >= col("n")).as("ge_ok"),
+          (col("est") <= col("n") + slack).as("eps_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Bloom-prefiltered semi join: identical RESULT to a plain semi
+    // join (no false negatives), but the probe side sheds non-matching
+    // rows inside the scan before the exchange — DuckDB verifies the
+    // exact equivalence, SketchesSpec asserts the plan shape.
+    "sk_bloom_semi" -> ((s, dir) => {
+      val bigOrders = T(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      graft.operators.Sketches.bloomPrefilteredSemiJoin(
+          T(s, dir, "lineitem"), "l_orderkey",
+          bigOrders.select(col("o_orderkey")), "o_orderkey",
+          expectedItems = 200000L, fpp = 0.01)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")
+    }),
+
     // Bucketized range join: Spark would plan the bare BETWEEN predicate
     // as a BroadcastNestedLoopJoin; RangeJoin.pointInInterval rides a
     // bucket equi-join instead (the 100 TB shape — plan-asserted in
@@ -1055,6 +1089,16 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
     "st_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "sk_countmin" -> """
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             true AS ge_ok, true AS eps_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sk_bloom_semi" -> """
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_orderkey = l_orderkey AND o_totalprice > 150000)
+      GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q32_range_join" -> """
       SELECT c.c_custkey,
              CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,
