@@ -180,7 +180,24 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var edgeCount = edges.count()
-    var converged = edgeCount == 0
+    // Terminal-state test, checked BEFORE each round: the edge set is a
+    // disjoint union of min-rooted stars iff every member id `u` appears
+    // exactly once AND no id is both a member and a root (u>v
+    // orientation already forces root < members, and a component that IS
+    // a star is necessarily rooted at its minimum). Large-star and
+    // small-star both map stars to themselves, so this is exactly the
+    // fixpoint — detecting it structurally saves the redundant
+    // confirm-nothing-changed round a before/after set compare needs.
+    def isStarFixpoint(): Boolean = {
+      if (edgeCount == 0) return true
+      val r = edges.agg(
+        count(lit(1)).as("n"), countDistinct(col("u")).as("nu")).head()
+      r.getLong(0) == r.getLong(1) &&
+        edges.select(col("u"))
+          .join(edges.select(col("v").as("u")), Seq("u"), "left_semi")
+          .isEmpty
+    }
+    var converged = isStarFixpoint()
     var rounds = 0
     while (!converged) {
       if (rounds >= maxIter) {
@@ -215,18 +232,15 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val nextCount = next.count()
-      // both sets are distinct, so equal count + empty one-way except
-      // ⇒ set equality ⇒ star fixpoint (check short-circuits when the
-      // counts already differ)
-      converged = nextCount == edgeCount && next.except(edges).isEmpty
       bidir.unpersist(); ssNbr.unpersist()
       // the previous round's checkpoint blocks have no remaining
-      // consumer (`next` is already materialized; the except above was
-      // the last read) — release them now rather than waiting for GC
+      // consumer (`next` is already materialized) — release them now
+      // rather than waiting for GC
       GraftShim.unpersistLocalCheckpoint(edges)
       edges = next
       edgeCount = nextCount
       rounds += 1
+      converged = isStarFixpoint()
     }
     // at the fixpoint every component is a star: edges = (member, root)
     // for each non-root member, root = component minimum
