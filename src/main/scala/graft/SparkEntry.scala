@@ -589,6 +589,27 @@ object SparkEntry {
         .select(col("user_id"), col("first_id"), col("then_id"))
         .orderBy("user_id", "first_id", "then_id")),
 
+    // The WHOLE training-data pipeline on the gate: quality filter →
+    // exact dedup → near-dup clustering → benchmark decontamination →
+    // deterministic split, every stage recomputed by DuckDB from the
+    // same closed-form definitions the per-stage gates already verify.
+    // Output = surviving (doc_id, split) assignments.
+    "pp_prepare" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") >= 20 && col("doc_id") < 250)
+      val bench = T(s, dir, "documents").filter(col("doc_id") < 20)
+      val cfg = graft.pipelines.TrainingDataPipeline.Config(
+        minQuality = 0.3, maxRepetition = 0.5, minTokens = 5,
+        nearDupJaccard = 0.8, contaminationNgram = 3,
+        maxContamination = 0.05, sampleFraction = 1.0,
+        testFraction = 0.25, salt = "graft")
+      val (train, test) = graft.pipelines.TrainingDataPipeline.prepare(
+        docs, "doc_id", "text", bench, "doc_id", "text", cfg)
+      train.select(col("doc_id"), lit("train").as("split"))
+        .union(test.select(col("doc_id"), lit("test").as("split")))
+        .orderBy("doc_id")
+    }),
+
     // Count-Min sketch heavy-hitter audit: the sketch builds as merged
     // per-partition partials; per-key rows carry the EXACT count (hash-
     // verified by DuckDB) plus the CMS contract booleans — estimate
@@ -1089,6 +1110,80 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
     "st_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "pp_prepare" -> s"""
+      WITH RECURSIVE
+      qt AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(text), '\\s+') AS toks,
+               len(text) AS nc
+        FROM documents WHERE doc_id >= 20 AND doc_id < 250),
+      qm AS (
+        SELECT doc_id, text, toks,
+          CAST(len(list_filter(toks,
+            x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / len(toks) AS sw,
+          CAST(nc - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            / nc AS pr,
+          CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+            / len(toks) AS ml,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+          END AS rep
+        FROM qt),
+      qf AS (
+        SELECT doc_id, text, toks FROM qm
+        WHERE least(1.0, greatest(0.0,
+                (sw * 2.0 + (1.0 - pr)
+                 + CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.5 END)
+                  / 3.0)) >= 0.3
+          AND rep <= 0.5
+          AND len(toks) >= 5),
+      ed AS (
+        SELECT doc_id, text, toks FROM qf
+        WHERE doc_id IN (SELECT min(doc_id) FROM qf GROUP BY md5(text))),
+      dt AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM ed),
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM dt a JOIN dt b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.dtoks, b.dtoks)) AS DOUBLE)
+            / (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks)))
+            >= 0.8),
+      lbl(id, l) AS (
+        SELECT doc_id, doc_id FROM dt
+        UNION
+        SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst),
+      nd AS (
+        SELECT d.doc_id, d.text FROM ed d
+        WHERE d.doc_id IN (
+          SELECT DISTINCT comp FROM
+            (SELECT id, min(l) AS comp FROM lbl GROUP BY id))),
+      ctoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM nd),
+      csh AS (SELECT doc_id AS corpus_id,
+                     unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+              FROM ctoks),
+      btoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents WHERE doc_id < 20),
+      bsh AS (SELECT doc_id AS bench_id,
+                     list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shs
+              FROM btoks),
+      b AS (SELECT bench_id, len(shs) AS bsize, unnest(shs) AS sh FROM bsh),
+      contaminated AS (
+        SELECT DISTINCT corpus_id FROM (
+          SELECT c.corpus_id, b.bench_id
+          FROM csh c JOIN b USING (sh)
+          GROUP BY c.corpus_id, b.bench_id, b.bsize
+          HAVING round(CAST(count(*) AS DOUBLE) / b.bsize, 4) >= 0.05)),
+      clean AS (
+        SELECT doc_id FROM nd
+        WHERE doc_id NOT IN (SELECT corpus_id FROM contaminated))
+      SELECT doc_id,
+             CASE WHEN md5(concat_ws('|', 'graft|split', CAST(doc_id AS VARCHAR)))
+                       < '${graft.operators.Sampling.thresholdHex(0.25)}'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM clean ORDER BY doc_id""",
     "sk_countmin" -> """
       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              true AS ge_ok, true AS eps_ok
