@@ -589,6 +589,29 @@ object SparkEntry {
         .select(col("user_id"), col("first_id"), col("then_id"))
         .orderBy("user_id", "first_id", "then_id")),
 
+    // Embedding int8 quantization + L2 normalization: the scale
+    // (max|x|/127, computed in double — bit-reproducible cross-engine)
+    // is hash-verified by DuckDB per vector; the reconstruction-error
+    // bound (≤ scale/2 per element) and unit-norm property ride as
+    // per-row booleans.
+    "vq_int8" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
+      val q = graft.operators.VectorOps.withInt8Quantized(emb, "vec", "codes", "scale")
+      val n = graft.operators.VectorOps.withL2Normalized(q, "vec", "nv")
+      n.withColumn("recon", graft.operators.VectorOps.dequantizedInt8(col("codes"), col("scale")))
+        .withColumn("max_err",
+          aggregate(zip_with(col("vec"), col("recon"), (a, b) => abs(a - b)),
+            lit(0.0d), (acc, e) => greatest(acc, e.cast("double"))))
+        .withColumn("nnorm",
+          sqrt(aggregate(col("nv"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          (col("max_err") <= col("scale") / 2 * 1.000001).as("err_ok"),
+          (abs(col("nnorm") - 1.0d) < 1e-6 || col("nnorm") === 0.0d).as("norm_ok"))
+        .orderBy("vec_id")
+    }),
+
     // The WHOLE training-data pipeline on the gate: quality filter →
     // exact dedup → near-dup clustering → benchmark decontamination →
     // deterministic split, every stage recomputed by DuckDB from the
@@ -1110,6 +1133,12 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
     "st_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "vq_int8" -> """
+      SELECT vec_id,
+             round(list_max(list_transform(embedding,
+               y -> abs(CAST(y AS DOUBLE)))) / 127, 6) AS scale_r,
+             true AS err_ok, true AS norm_ok
+      FROM embeddings ORDER BY vec_id""",
     "pp_prepare" -> s"""
       WITH RECURSIVE
       qt AS (

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities for training-data pipelines: L2
+  * normalization and symmetric int8 quantization (the standard 4×
+  * storage/bandwidth cut before large-scale similarity work).
+  *
+  * All pure per-row projections — zero shuffle, codegen'd HOFs. Scalar
+  * statistics (norm, scale) are materialized as columns FIRST and only
+  * referenced inside the per-element lambdas: a lambda that recomputes
+  * an aggregate per element turns O(d) into O(d²) (the HOF
+  * re-evaluation hazard).
+  */
+object VectorOps {
+
+  /** Norm and scale are computed in double — float inputs widen
+    * exactly, so the result is bit-reproducible in any engine that
+    * computes in IEEE double (the gate's DuckDB oracle does).
+    */
+  private def l2NormD(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def absMaxD(v: Column): Column =
+    aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Add `outCol` = L2-normalized `vecCol` (unit norm; zero vectors
+    * pass through unchanged).
+    */
+  def withL2Normalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_norm", l2NormD(col(vecCol)))
+      .withColumn(outCol,
+        when(col("_norm") === 0.0d, col(vecCol))
+          .otherwise(transform(col(vecCol),
+            x => (x.cast("double") / col("_norm")).cast("float"))))
+      .drop("_norm")
+
+  /** Symmetric int8 quantization: `outCol` = round(x / scale) as
+    * tinyint with scale = max|x| / 127 (`scaleCol`), so values span
+    * [-127, 127] and reconstruction error is bounded by scale/2 per
+    * element. Zero vectors get scale 0 and all-zero codes.
+    */
+  def withInt8Quantized(df: DataFrame, vecCol: String,
+      outCol: String, scaleCol: String): DataFrame =
+    df.withColumn(scaleCol, absMaxD(col(vecCol)) / 127.0d)
+      .withColumn(outCol,
+        when(col(scaleCol) === 0.0d,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") / col(scaleCol)).cast("tinyint"))))
+
+  /** Reconstruct float vectors from int8 codes + scale. */
+  def dequantizedInt8(codes: Column, scale: Column): Column =
+    transform(codes, q => (q.cast("double") * scale).cast("float"))
+}
