@@ -598,10 +598,14 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
       val q = graft.operators.VectorOps.withInt8Quantized(emb, "vec", "codes", "scale")
       val n = graft.operators.VectorOps.withL2Normalized(q, "vec", "nv")
-      n.withColumn("recon", graft.operators.VectorOps.dequantizedInt8(col("codes"), col("scale")))
-        .withColumn("max_err",
-          aggregate(zip_with(col("vec"), col("recon"), (a, b) => abs(a - b)),
-            lit(0.0d), (acc, e) => greatest(acc, e.cast("double"))))
+      // error check in DOUBLE end to end: dequantizedInt8's float32
+      // output adds up to ~2^-24·|q|·scale of cast rounding, which would
+      // overwhelm the scale/2 bound's tiny slack
+      n.withColumn("max_err",
+          aggregate(
+            zip_with(col("vec"), col("codes"),
+              (x, q) => abs(q.cast("double") * col("scale") - x.cast("double"))),
+            lit(0.0d), (acc, e) => greatest(acc, e)))
         .withColumn("nnorm",
           sqrt(aggregate(col("nv"), lit(0.0d),
             (acc, x) => acc + x.cast("double") * x.cast("double"))))
@@ -640,10 +644,11 @@ object SparkEntry {
     // pattern for sketches with no cross-engine analogue).
     "sk_countmin" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
-      val est = graft.operators.Sketches.countMinEstimates(
+      val (est, total) = graft.operators.Sketches.countMinEstimatesWithTotal(
         li, "l_returnflag", Seq("A", "N", "R"),
         eps = 0.0001, confidence = 0.99, seed = 42)
-      val slack = math.ceil(0.0001 * li.count()).toLong // eps·N, planner state
+      // eps·N from the sketch's own item total — no extra count scan
+      val slack = math.ceil(0.0001 * total).toLong
       li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .join(est, "l_returnflag")
         .select(col("l_returnflag"), col("n"),

@@ -34,6 +34,7 @@ object RangeJoin {
       intervals: DataFrame, sCol: String, eCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireDisjoint(points, intervals)
     val p = points.withColumn("_bucket", floorDiv(col(pCol), bucketWidth))
     val iv = intervals
       .where(col(sCol) <= col(eCol))
@@ -56,6 +57,7 @@ object RangeJoin {
       right: DataFrame, rsCol: String, reCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireDisjoint(left, right)
     def bucketed(df: DataFrame, s: String, e: String) = df
       .where(col(s) <= col(e))
       .withColumn("_first", floorDiv(col(s), bucketWidth))
@@ -67,6 +69,19 @@ object RangeJoin {
       .where(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol))
       .where(col("_bucket") === greatest(col("_a_first"), col("_b_first")))
       .drop("_bucket", "_a_first", "_b_first")
+  }
+
+  // Output = both sides' columns joined, so shared names would be
+  // ambiguous after the bucket join — and the internal working columns
+  // must not collide with (and silently clobber) user data.
+  private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
+    val shared = a.columns.toSet intersect b.columns.toSet
+    require(shared.isEmpty,
+      s"range join requires disjoint column names across sides; shared: ${shared.mkString(", ")}")
+    val reserved = Set("_bucket", "_first", "_a_first", "_b_first")
+    val clash = (a.columns.toSet ++ b.columns.toSet) intersect reserved
+    require(clash.isEmpty,
+      s"range join reserves ${clash.mkString(", ")} as working column names; rename the input column")
   }
 
   // Integer floor division rounding toward -Infinity, in exact long

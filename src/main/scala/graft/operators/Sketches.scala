@@ -25,11 +25,22 @@ object Sketches {
   def countMinEstimates(
       df: DataFrame, keyCol: String, candidates: Seq[String],
       eps: Double = 0.0001, confidence: Double = 0.99,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42): DataFrame =
+    countMinEstimatesWithTotal(df, keyCol, candidates, eps, confidence, seed)._1
+
+  /** [[countMinEstimates]] plus the sketch's own item total — the N in
+    * the eps·N error bound, read off the merged sketch rather than paid
+    * for with a separate count scan.
+    */
+  def countMinEstimatesWithTotal(
+      df: DataFrame, keyCol: String, candidates: Seq[String],
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): (DataFrame, Long) = {
     val cms = df.stat.countMinSketch(keyCol, eps, confidence, seed)
     val spark = df.sparkSession
     import spark.implicits._
-    candidates.map(k => (k, cms.estimateCount(k))).toDF(keyCol, "est")
+    (candidates.map(k => (k, cms.estimateCount(k))).toDF(keyCol, "est"),
+      cms.totalCount)
   }
 
   /** Semi join with a Bloom pre-filter: build a Bloom filter over the

@@ -11,18 +11,21 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
   private lazy val skewed = spark.range(0, 20000)
     .select(
       col("id"),
-      // zipf-ish: key 0 huge, long tail
-      (col("id") % 100 * (col("id") % 100)).cast("long").mod(977).cast("string").as("key"))
+      // genuinely skewed: key 0 holds half the rows (the heavy hitter
+      // a CMS audit exists for), the rest spread over a 500-key tail
+      when(col("id") < 10000, lit("0"))
+        .otherwise((col("id") % 500).cast("string")).as("key"))
     .cache()
 
   test("count-min estimates dominate true counts and respect the eps bound") {
-    val candidates = Seq("0", "1", "42", "976", "no_such_key")
-    val est = Sketches.countMinEstimates(skewed, "key", candidates,
+    val candidates = Seq("0", "1", "42", "499", "no_such_key")
+    val (estDf, total) = Sketches.countMinEstimatesWithTotal(skewed, "key", candidates,
       eps = 0.001, confidence = 0.99, seed = 7)
-      .as[(String, Long)].collect().toMap
+    val est = estDf.as[(String, Long)].collect().toMap
     val exact = skewed.groupBy("key").count().as[(String, Long)].collect().toMap
-    val n = skewed.count()
-    val slack = math.ceil(0.001 * n).toLong
+    assert(total == skewed.count(), "sketch totalCount = item count")
+    val slack = math.ceil(0.001 * total).toLong
+    assert(est("0") >= 10000L, "the heavy hitter must register at its true mass")
     candidates.foreach { k =>
       val truth = exact.getOrElse(k, 0L)
       assert(est(k) >= truth, s"CMS must overestimate: key=$k est=${est(k)} true=$truth")

@@ -45,16 +45,20 @@ class VectorOpsSpec extends AnyFunSuite with SparkSuite {
   test("dequantize round-trips within the error bound on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding".as("vec"))
+    // per-element error in double (the float32 recon cast would add
+    // ~2^-24·|q|·scale of rounding on top of the quantization residual)
     val q = VectorOps.withInt8Quantized(emb, "vec", "codes", "scale")
-      .withColumn("recon", VectorOps.dequantizedInt8($"codes", $"scale"))
-      .withColumn("max_err",
-        aggregate(zip_with($"vec", $"recon", (a, b) => abs(a - b)),
-          lit(0.0d), (acc, e) => greatest(acc, e.cast("double"))))
-    val bad = q.filter($"max_err" > $"scale" / 2 * 1.000001).count()
-    assert(bad == 0)
-    // quantization must preserve neighborhood structure well enough for
-    // cosine work: mean relative error under 1%
-    val meanRel = q.select(avg($"max_err" / $"scale")).head().getDouble(0)
-    assert(meanRel <= 0.5 + 1e-6) // max_err/scale <= 0.5 by construction
+      .withColumn("errs",
+        zip_with($"vec", $"codes",
+          (x, c) => abs(c.cast("double") * $"scale" - x.cast("double"))))
+      .withColumn("max_err", aggregate($"errs", lit(0.0d), (a, e) => greatest(a, e)))
+      .withColumn("mean_err",
+        aggregate($"errs", lit(0.0d), (a, e) => a + e) / size($"errs"))
+    assert(q.filter($"max_err" > $"scale" / 2 * 1.000001).count() == 0)
+    // rounding-to-nearest leaves residuals ~uniform in [0, scale/2]:
+    // the per-element MEAN error should sit near scale/4, nowhere near
+    // the scale/2 worst case (catches a biased/truncating rounder)
+    val meanRel = q.select(avg($"mean_err" / $"scale")).head().getDouble(0)
+    assert(meanRel > 0.15 && meanRel < 0.35, s"mean residual $meanRel of scale")
   }
 }
