@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-stress smoke for the 100 TB-shaped paths: replicates the sf0.1
+  * fixtures ~20-50× into /tmp (100k near-duplicate documents, 100k
+  * embeddings), then times the operators whose execution shape is the
+  * scale story — LSH candidate generation, star-contraction connected
+  * components over ~1M edges, brute-force and IVF k-NN over 100k
+  * vectors. Numbers land in SCALE.md.
+  *
+  * {{{ sbt "runMain graft.ScaleSmoke" }}}
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = "/tmp/graft_scale_smoke"
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
+    import spark.implicits._
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SMOKE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ---- synthesize: 20x documents (near-dup replicas, one differing
+    // token per replica so exact dedup does NOT collapse them but
+    // near-dup at jaccard 0.5 must), 50x embeddings -------------------
+    val docReps = 20
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    timed("synthesize documents x20") {
+      docs.crossJoin(spark.range(docReps).select(col("id").as("rep")))
+        .select(
+          (col("doc_id") * docReps + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" replicatoken"), col("rep")).as("text"))
+        .write.mode("overwrite").parquet(s"$base/documents")
+    }
+    val embReps = 50
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    timed("synthesize embeddings x50") {
+      emb.crossJoin(spark.range(embReps).select(col("id").as("rep")))
+        .select(
+          (col("vec_id") * embReps + col("rep")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("rep").cast("float") * lit(1e-4f)).as("embedding"))
+        .write.mode("overwrite").parquet(s"$base/embeddings")
+    }
+
+    val bigDocs = spark.read.parquet(s"$base/documents")
+    val bigEmb = spark.read.parquet(s"$base/embeddings")
+    println(s"SMOKE corpus: ${bigDocs.count()} docs, ${bigEmb.count()} vectors")
+
+    // ---- dedup scale paths ------------------------------------------
+    timed("exactGroups (md5 groupBy)") {
+      graft.operators.Dedup.exactGroups(bigDocs, "doc_id", "text").count()
+    }
+    // 4 bands x 8 rows: S-curve threshold ~(1/4)^(1/8) = 0.84, tuned to
+    // the ~0.98-Jaccard replica groups. Even so, this templated corpus
+    // has a brutal bucket histogram (measured: 4 buckets of 16-32k rows
+    // = ~2B all-pairs, plus ~50 of 1-4k = ~220M) — without the
+    // giant-bucket hub-star backstop ONE task ground quadratically for
+    // 15+ min. The 512 threshold bounds candidates at ~25M while the
+    // exact verify keeps precision 1.0.
+    val pairs = timed("minHashLshPairs candidates") {
+      val p = graft.operators.Dedup.minHashLshPairs(
+        bigDocs, "doc_id", "text", numHashes = 32, bands = 4,
+        verifyThreshold = 0.8, giantBucketThreshold = 512)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"SMOKE   lsh pairs: ${p.count()}")
+      p
+    }
+    timed("connectedComponents (stars)") {
+      val (labels, rounds) = graft.operators.Dedup.connectedComponentsWithRounds(
+        bigDocs, "doc_id", pairs)
+      val nClusters = labels.select(countDistinct(col("comp"))).head().getLong(0)
+      println(s"SMOKE   rounds=$rounds clusters=$nClusters")
+    }
+    pairs.unpersist()
+
+    // ---- similarity scale paths -------------------------------------
+    val qs = bigEmb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    timed("brute-force knn (10q, k=10)") {
+      graft.operators.SimilarityJoin.knnL2(
+        bigEmb, "vec_id", "embedding", qs, "qid", "qvec", k = 10).count()
+    }
+    timed("ivfBuild (32 cells)") {
+      val (indexed, cents) = graft.operators.Ann.ivfBuild(
+        bigEmb, "vec_id", "embedding", nCentroids = 32, iters = 2)
+      timed("ivfSearchL2 (nProbe=4)") {
+        graft.operators.Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
+          qs, "qid", "qvec", k = 10, nProbe = 4).count()
+      }
+    }
+
+    // ---- quantization at volume -------------------------------------
+    timed("int8 quantize 100k vecs") {
+      graft.operators.VectorOps.withInt8Quantized(bigEmb, "embedding", "codes", "scale")
+        .agg(sum(element_at(col("codes"), 1).cast("long"))).head()
+    }
+    spark.stop()
+  }
+}

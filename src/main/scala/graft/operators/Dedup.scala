@@ -79,10 +79,29 @@ object Dedup {
     * must be divisible by `bands`; rows per band r = numHashes/bands
     * gives the standard S-curve threshold ≈ (1/bands)^(1/r).
     */
+  /** MinHash + LSH near-duplicate pairs with bounded per-bucket work.
+    *
+    * `giantBucketThreshold` is the skew backstop: a bucket of size m
+    * normally contributes O(m²) candidate pairs through the self-join,
+    * and ONE mega-bucket (a near-identical template cluster — common in
+    * scraped corpora) turns into a single task grinding hundreds of
+    * millions of rows. Buckets above the threshold instead emit
+    * hub-star candidates — every member paired with the bucket's
+    * minimum id, O(m) rows, no join — which still merge the cluster in
+    * the downstream connected components once verified. Precision
+    * stays 1.0 (every candidate is exact-verified); the trade is
+    * recall for a member that fails verification against the hub but
+    * would have matched a different member — at the similarity levels
+    * that produce giant buckets (near-identical text agreeing on a
+    * whole band of minhashes) that loss is marginal, and the work
+    * bound it buys is what survives a pathological corpus.
+    */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8, verifyThreshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, verifyThreshold: Double = 0.5,
+      giantBucketThreshold: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(giantBucketThreshold >= 2, "giantBucketThreshold must be >= 2")
     val rowsPerBand = numHashes / bands
     val withTok = df.select(
       col(idCol).cast("long").as("id"),
@@ -100,11 +119,21 @@ object Dedup {
             b => hash(slice(minhash_signature(col("toks"), numHashes),
               b * rowsPerBand + 1, lit(rowsPerBand)), b))
         ).as(Seq("band", "band_hash")))
-      val a = banded.select(col("band"), col("band_hash"), col("id").as("a_id"))
-      val b = banded.select(col("band"), col("band_hash"), col("id").as("b_id"))
-      val candidates = a.join(b, Seq("band", "band_hash"))
+      // bucket sizes + hub (min id): one slim agg; the re-join keys on
+      // the bucket, where the size table has exactly one row per bucket
+      val sizes = banded.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("_bsz"), min(col("id")).as("_hub"))
+      val keyed = banded.join(sizes, Seq("band", "band_hash"))
+      val small = keyed.filter(col("_bsz") <= giantBucketThreshold)
+      val a = small.select(col("band"), col("band_hash"), col("id").as("a_id"))
+      val b = small.select(col("band"), col("band_hash"), col("id").as("b_id"))
+      val smallPairs = a.join(b, Seq("band", "band_hash"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
+      val hubPairs = keyed.filter(col("_bsz") > giantBucketThreshold)
+        .filter(col("id") =!= col("_hub")) // hub = bucket min, so a_id < b_id holds
+        .select(col("_hub").as("a_id"), col("id").as("b_id"))
+      val candidates = smallPairs.union(hubPairs)
         .dropDuplicates("a_id", "b_id") // candidates may collide in >1 band
       // token sets re-join once, only for surviving candidate pairs
       val verified = verifiedJaccard(

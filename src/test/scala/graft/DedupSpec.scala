@@ -59,6 +59,33 @@ class DedupSpec extends SparkSuite {
     assert(self.filter($"frac" =!= 1.0).count() == 0)
   }
 
+  test("giant LSH buckets emit bounded hub-star candidates, cluster intact") {
+    // 500 near-identical docs (one varying token) + a distinct tail:
+    // the identical group lands in one bucket per band, which above the
+    // threshold must produce O(m) hub links instead of O(m^2) pairs
+    val giant = spark.range(0, 500)
+      .selectExpr("id AS doc_id",
+        "concat('alpha beta gamma delta epsilon zeta eta theta iota kappa rep', id % 3) AS text")
+    val tail = spark.range(500, 560)
+      .selectExpr("id AS doc_id",
+        "concat('totally different content number ', id, ' with unique words w', id) AS text")
+    val docs = giant.union(tail)
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, verifyThreshold = 0.5,
+      giantBucketThreshold = 100)
+    val n = pairs.count()
+    // all-pairs would be ~125k; hub-star bounds it near m per band
+    assert(n >= 499, s"hub links must cover the giant group, got $n")
+    assert(n < 5000, s"candidates must stay O(m), got $n")
+    // the giant group still collapses to ONE component via the hub
+    val comps = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val giantComps = comps.filter($"id" < 500)
+      .select("comp").distinct().count()
+    assert(giantComps == 1, "hub links must keep the giant cluster connected")
+    // precision 1.0: every emitted pair really clears the threshold
+    assert(pairs.filter($"jaccard" < 0.5).count() == 0)
+  }
+
   test("connectedComponents matches an independent union-find") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
     val edges = pairs.select($"a_id", $"b_id").as[(Long, Long)].collect()
