@@ -64,11 +64,12 @@ object ScaleSmoke {
     // giant-bucket hub-star backstop ONE task ground quadratically for
     // 15+ min. The 512 threshold bounds candidates at ~25M while the
     // exact verify keeps precision 1.0.
+    // minHashLshPairs returns an eager localCheckpoint — already
+    // materialized, no extra persist needed
     val pairs = timed("minHashLshPairs candidates") {
       val p = graft.operators.Dedup.minHashLshPairs(
         bigDocs, "doc_id", "text", numHashes = 32, bands = 4,
         verifyThreshold = 0.8, giantBucketThreshold = 512)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"SMOKE   lsh pairs: ${p.count()}")
       p
     }
@@ -78,7 +79,6 @@ object ScaleSmoke {
       val nClusters = labels.select(countDistinct(col("comp"))).head().getLong(0)
       println(s"SMOKE   rounds=$rounds clusters=$nClusters")
     }
-    pairs.unpersist()
 
     // ---- similarity scale paths -------------------------------------
     val qs = bigEmb.filter(col("vec_id") < 10)
@@ -87,13 +87,13 @@ object ScaleSmoke {
       graft.operators.SimilarityJoin.knnL2(
         bigEmb, "vec_id", "embedding", qs, "qid", "qvec", k = 10).count()
     }
-    timed("ivfBuild (32 cells)") {
-      val (indexed, cents) = graft.operators.Ann.ivfBuild(
+    val (indexed, cents) = timed("ivfBuild (32 cells)") {
+      graft.operators.Ann.ivfBuild(
         bigEmb, "vec_id", "embedding", nCentroids = 32, iters = 2)
-      timed("ivfSearchL2 (nProbe=4)") {
-        graft.operators.Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
-          qs, "qid", "qvec", k = 10, nProbe = 4).count()
-      }
+    }
+    timed("ivfSearchL2 (nProbe=4)") {
+      graft.operators.Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
+        qs, "qid", "qvec", k = 10, nProbe = 4).count()
     }
 
     // ---- quantization at volume -------------------------------------

@@ -72,14 +72,13 @@ object Dedup {
   }
 
   /** MinHash + LSH near-duplicate pairs: signature → bands → bucket join
-    * → exact Jaccard verification inside buckets.
+    * → exact Jaccard verification inside buckets, with bounded
+    * per-bucket work.
     *
     * Candidate generation is a self-join on (band index, band hash) —
     * a hash-partitioned equi-join, no cross join anywhere. `numHashes`
     * must be divisible by `bands`; rows per band r = numHashes/bands
     * gives the standard S-curve threshold ≈ (1/bands)^(1/r).
-    */
-  /** MinHash + LSH near-duplicate pairs with bounded per-bucket work.
     *
     * `giantBucketThreshold` is the skew backstop: a bucket of size m
     * normally contributes O(m²) candidate pairs through the self-join,
@@ -110,7 +109,11 @@ object Dedup {
     try {
       // band keys only — the candidate self-join shuffles slim
       // (id, band, band_hash) rows, NOT the token arrays (which would
-      // multiply corpus token data by `bands` through the exchange)
+      // multiply corpus token data by `bands` through the exchange).
+      // Materialized once (eager checkpoint): four downstream plan
+      // references (giant-key agg, anti-join, self-join sides, hub
+      // join) would otherwise each recompute the minhash signatures —
+      // broadcast joins leave no exchange for subplan reuse to share.
       val banded = withTok.select(
         col("id"),
         posexplode(
@@ -119,18 +122,25 @@ object Dedup {
             b => hash(slice(minhash_signature(col("toks"), numHashes),
               b * rowsPerBand + 1, lit(rowsPerBand)), b))
         ).as(Seq("band", "band_hash")))
-      // bucket sizes + hub (min id): one slim agg; the re-join keys on
-      // the bucket, where the size table has exactly one row per bucket
-      val sizes = banded.groupBy("band", "band_hash")
+        .localCheckpoint(true)
+      // giant-bucket keys + hub (min id): one slim agg, then ONLY the
+      // oversized buckets survive the filter — provably ≤ n·bands /
+      // threshold rows, so they broadcast. The common path is then a
+      // broadcast anti-join (no wide sizes-to-banded shuffle, and the
+      // banded set is consumed without a triple-referenced join plan).
+      val giantKeys = banded.groupBy("band", "band_hash")
         .agg(count(lit(1)).as("_bsz"), min(col("id")).as("_hub"))
-      val keyed = banded.join(sizes, Seq("band", "band_hash"))
-      val small = keyed.filter(col("_bsz") <= giantBucketThreshold)
+        .filter(col("_bsz") > giantBucketThreshold)
+        .select(col("band"), col("band_hash"), col("_hub"))
+      val small = banded.join(
+        broadcast(giantKeys.select("band", "band_hash")),
+        Seq("band", "band_hash"), "left_anti")
       val a = small.select(col("band"), col("band_hash"), col("id").as("a_id"))
       val b = small.select(col("band"), col("band_hash"), col("id").as("b_id"))
       val smallPairs = a.join(b, Seq("band", "band_hash"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
-      val hubPairs = keyed.filter(col("_bsz") > giantBucketThreshold)
+      val hubPairs = banded.join(broadcast(giantKeys), Seq("band", "band_hash"))
         .filter(col("id") =!= col("_hub")) // hub = bucket min, so a_id < b_id holds
         .select(col("_hub").as("a_id"), col("id").as("b_id"))
       val candidates = smallPairs.union(hubPairs)
