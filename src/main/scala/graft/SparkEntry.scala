@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{cosine_similarity, fingerprint64, indel_similarity, simhash64}
-import graft.operators.{Ann, Dedup, SimilarityJoin, TextAnalysis, TopKAggregator}
+import graft.operators.{Ann, Bm25, Dedup, Pii, SemDedup, SimilarityJoin, TextAnalysis, TopKAggregator}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the large-scale pipeline operators; `oracleSql`
@@ -312,6 +312,24 @@ object SparkEntry {
           sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("false_positives"),
           (count(lit(1)) > 0).as("has_pairs"))
     }),
+    // SemDeDup (cluster-bounded semantic dedup): within-cluster pairs
+    // must be contained (same ids, same rounded sim) in the exact pair
+    // set dd_embed_neardup hash-verifies — precision 1.0; recall is the
+    // documented cross-cluster trade. Non-vacuous via has_pairs.
+    "dd_semdedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      val sem = SemDedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, nClusters = 8, iters = 3)
+        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"))
+      val exact = SimilarityJoin.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"),
+          lit(1).as("ok"))
+      sem.join(exact, Seq("a_id", "b_id", "sim"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("false_positives"),
+          (count(lit(1)) > 0).as("has_pairs"))
+    }),
+
     // Same containment proof for the hyperplane-LSH cosine path vs the
     // exact pair set dd_embed_neardup hash-verifies.
     "ann_lsh_containment" -> ((s, dir) => {
@@ -358,6 +376,42 @@ object SparkEntry {
             ratios.map { case (n, c) => round(c, 4).as(n) }): _*)
         .orderBy("doc_id")
     }),
+    // BM25 lexical retrieval: per-term tf as a projection, corpus stats
+    // (N, avgdl, df) as one partially-aggregated row of driver state,
+    // idf embedded as literals — two map-side jobs, no text shuffle.
+    "tx_bm25" -> ((s, dir) =>
+      Bm25.topK(T(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge", "vector"), k = 20)),
+
+    // Gopher-style quality rules: per-rule booleans + the keep/drop
+    // conjunction, all pure projections.
+    "tx_gopher" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextAnalysis.gopherRules(col("text")).map { case (n, c) => c.as(n) } :+
+          TextAnalysis.gopherPass(col("text")).as("passes"): _*)
+        .orderBy("doc_id")),
+
+    // PII detect/redact: the corpus text is pure [a-z ] word-salad, so
+    // PII is synthesized deterministically from doc_id on BOTH sides
+    // (the mm_* decode-proof pattern) — the gate then checks the real
+    // cross-engine regex behavior (Java regex vs DuckDB RE2), counts
+    // and full redacted strings hash-compared.
+    "tx_pii" -> ((s, dir) => {
+      val txt = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0, lit(" cc admin@corp.io")).otherwise(lit("")),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"), lit(".0.1"),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" ssn 078-05-1120")).otherwise(lit("")))
+      T(s, dir, "documents")
+        .select(col("doc_id") +:
+          Pii.counts(txt).map { case (n, c) => c.cast("long").as(n) } :+
+          Pii.redact(txt).as("redacted"): _*)
+        .orderBy("doc_id")
+    }),
+
     "tx_fingerprint" -> ((s, dir) => // custom 64-bit hashes — rows-only check
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -1376,6 +1430,88 @@ object SparkEntry {
              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
              len(string_split_regex(lower(text), '\s+')) AS n_words
       FROM documents ORDER BY doc_id""",
+    // e-notation (2.2e0) forces DOUBLE literals — bare 2.2 parses as
+    // DECIMAL in DuckDB and its exact arithmetic would diverge from
+    // the double math Spark runs.
+    "tx_bm25" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      f AS (
+        SELECT doc_id, len(toks) AS dl,
+               len(list_filter(toks, x -> x = 'spark'))  AS tf0,
+               len(list_filter(toks, x -> x = 'window')) AS tf1,
+               len(list_filter(toks, x -> x = 'merge'))  AS tf2,
+               len(list_filter(toks, x -> x = 'vector')) AS tf3
+        FROM t),
+      s AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        FROM f),
+      sc AS (
+        SELECT doc_id, round(
+            ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * tf0 * 2.2e0
+              / (tf0 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df1 + 0.5e0)/(df1 + 0.5e0)) * tf1 * 2.2e0
+              / (tf1 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df2 + 0.5e0)/(df2 + 0.5e0)) * tf2 * 2.2e0
+              / (tf2 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df3 + 0.5e0)/(df3 + 0.5e0)) * tf3 * 2.2e0
+              / (tf3 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl)), 4) AS bm25
+        FROM f, s)
+      SELECT doc_id, bm25 FROM sc WHERE bm25 > 0e0
+      ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "tx_gopher" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, len(toks) AS wc,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) AS mwl,
+               (len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) / 3 AS nsym,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+               len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is','it'))) AS nstop
+        FROM t),
+      r AS (
+        SELECT doc_id,
+               (wc >= 50 AND wc <= 100000) AS wc_ok,
+               (mwl >= 3.0e0 AND mwl <= 10.0e0) AS mwl_ok,
+               (CAST(nsym AS DOUBLE) / wc < 0.1e0) AS symbol_ok,
+               (CAST(nalpha AS DOUBLE) / wc > 0.8e0) AS alpha_ok,
+               (nstop >= 2) AS stop_ok
+        FROM m)
+      SELECT doc_id, wc_ok, mwl_ok, symbol_ok, alpha_ok, stop_ok,
+             (wc_ok AND mwl_ok AND symbol_ok AND alpha_ok AND stop_ok) AS passes
+      FROM r ORDER BY doc_id""",
+    "tx_pii" -> """
+      WITH t AS (
+        SELECT doc_id, text
+          || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+          || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+          || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN ' ssn 078-05-1120' ELSE '' END AS txt
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(txt,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+      FROM t ORDER BY doc_id""",
+    "dd_semdedup" ->
+      "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     "dd_shingle_jaccard" -> """
       WITH d AS (
         SELECT doc_id,

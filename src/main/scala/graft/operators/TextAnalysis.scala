@@ -84,6 +84,34 @@ object TextAnalysis {
     least(lit(1.0), greatest(lit(0.0), (sw * 2.0 + (lit(1.0) - pr) + lenOk) / 3.0))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1
+    * subset): per-rule booleans a pipeline can threshold or ablate.
+    * All pure projections — no shuffle, scan-speed at any corpus size.
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    val wc = size(ts)
+    val mwl = meanTokenLen(text)
+    // '#' and '...' occurrences per word (symbol-to-word ratio)
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEllipsis = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val symFrac = when(wc === 0, 1.0)
+      .otherwise((nHash + nEllipsis).cast("double") / wc)
+    val alphaFrac = when(wc === 0, 0.0)
+      .otherwise(size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / wc)
+    val stopHits = size(filter(ts, t => t.isInCollection(enStop)))
+    Seq(
+      "wc_ok" -> (wc >= 50 && wc <= 100000),
+      "mwl_ok" -> (mwl >= 3.0 && mwl <= 10.0),
+      "symbol_ok" -> (symFrac < 0.1),
+      "alpha_ok" -> (alphaFrac > 0.8),
+      "stop_ok" -> (stopHits >= 2))
+  }
+
+  /** Conjunction of all [[gopherRules]] — the keep/drop filter. */
+  def gopherPass(text: Column): Column =
+    gopherRules(text).map(_._2).reduce(_ && _)
+
   private val langLexicons: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),

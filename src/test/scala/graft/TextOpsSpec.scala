@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, Pii, SemDedup, SimilarityJoin, TextAnalysis}
+
+/** BM25 retrieval, PII redaction, Gopher quality rules, and semantic
+  * (cluster-bounded) dedup.
+  */
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------- BM25 -------------------------------- //
+
+  test("bm25: hand-computed scores on a tiny corpus") {
+    val docs = Seq(
+      (0L, "spark is fast"),
+      (1L, "spark spark joins"),
+      (2L, "rows only here")).toDF("id", "text")
+    val out = Bm25.score(docs, "id", "text", Seq("spark"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    // N=3, df=2, idf=ln(1+(3-2+0.5)/2.5)=ln(1.6); dl=3=avgdl so the
+    // length norm is exactly k1: score = idf * tf*(k1+1)/(tf+k1)
+    val idf = math.log(1.6)
+    assert(math.abs(out(0L) - idf * 1 * 2.2 / (1 + 1.2)) < 1e-12)
+    assert(math.abs(out(1L) - idf * 2 * 2.2 / (2 + 1.2)) < 1e-12)
+    assert(out(2L) == 0.0)
+  }
+
+  test("bm25: multi-term scores add and absent terms contribute zero") {
+    val docs = Seq((0L, "spark window"), (1L, "spark")).toDF("id", "text")
+    val both = Bm25.score(docs, "id", "text", Seq("spark", "window"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    val sOnly = Bm25.score(docs, "id", "text", Seq("spark"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    val wOnly = Bm25.score(docs, "id", "text", Seq("window"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(math.abs(both(0L) - (sOnly(0L) + wOnly(0L))) < 1e-12)
+    assert(math.abs(both(1L) - sOnly(1L)) < 1e-12) // no 'window' in doc 1
+  }
+
+  test("bm25: topK orders by rounded score desc with id tie-break") {
+    val docs = Seq(
+      (3L, "spark spark"), (1L, "spark other"), (2L, "spark other"),
+      (4L, "nothing")).toDF("id", "text")
+    val top = Bm25.topK(docs, "id", "text", Seq("spark"), k = 3)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(3L, 1L, 2L)) // 1 before 2 on tie
+    assert(top(1)._2 == top(2)._2)
+    assert(top.forall(_._2 > 0.0)) // doc 4 never appears
+  }
+
+  test("bm25: empty corpus returns empty frame, not NPE") {
+    val docs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Bm25.score(docs, "id", "text", Seq("spark")).count() == 0L)
+  }
+
+  // ------------------------------- PII --------------------------------- //
+
+  test("pii: counts and redaction over all four categories") {
+    val txt = "mail a@b.io and c.d+e@corp.example.com ip 10.0.0.1 " +
+      "call 555-123-4567 ssn 078-05-1120 done"
+    val df = Seq((1L, txt)).toDF("id", "text")
+      .select(Pii.counts(col("text")).map { case (n, c) => c.as(n) } :+
+        Pii.redact(col("text")).as("red"): _*)
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(r.getString(4) ==
+      "mail [EMAIL] and [EMAIL] ip [IP] call [PHONE] ssn [SSN] done")
+  }
+
+  test("pii: ssn shape is not claimed by phone and vice versa") {
+    val df = Seq((1L, "p 555-123-4567 s 078-05-1120")).toDF("id", "text")
+    val r = df.select(Pii.redact(col("text"))).as[String].collect()(0)
+    assert(r == "p [PHONE] s [SSN]")
+  }
+
+  test("pii: clean text is untouched and hasPii is false") {
+    val df = Seq((1L, "plain words with no identifiers at all")).toDF("id", "text")
+    val r = df.select(Pii.redact(col("text")).as("red"), Pii.hasPii(col("text")).as("has"))
+      .as[(String, Boolean)].collect()(0)
+    assert(r._1 == "plain words with no identifiers at all" && !r._2)
+  }
+
+  // --------------------------- Gopher rules ---------------------------- //
+
+  test("gopher rules: each rule fires on its crafted violation") {
+    val good = (Seq.fill(30)("the quick fox") :+ "ran").mkString(" ") // 91 words
+    val docs = Seq(
+      (0L, good),
+      (1L, "too short the a"),                               // wc_ok=false
+      (2L, (Seq.fill(60)("a b# ## #x the is") :+ "").mkString(" ")), // symbols
+      (3L, (Seq.fill(60)("77 88 99 11 22 the is") :+ "").mkString(" ")) // non-alpha
+    ).toDF("id", "text")
+    val out = docs.select(col("id") +:
+        TextAnalysis.gopherRules(col("text")).map { case (n, c) => c.as(n) } :+
+        TextAnalysis.gopherPass(col("text")).as("pass"): _*)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(out(0L)._7, "good doc passes all rules")
+    assert(!out(1L)._2 && !out(1L)._7, "short doc fails wc_ok")
+    assert(!out(2L)._4 && !out(2L)._7, "symbol-heavy doc fails symbol_ok")
+    assert(!out(3L)._5 && !out(3L)._7, "digit-word doc fails alpha_ok")
+  }
+
+  // ---------------------------- SemDedup ------------------------------- //
+
+  private def embFixture = {
+    val rnd = new scala.util.Random(7)
+    // two tight point clouds + uniform noise so near-dup pairs exist
+    (0 until 60).map { i =>
+      val base = if (i % 3 == 0) Array.fill(8)(1.0f)
+        else if (i % 3 == 1) Array.fill(8)(-1.0f)
+        else Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("id", "vec")
+  }
+
+  test("semdedup: nClusters=1 degenerates to the exact pair set") {
+    val emb = embFixture
+    val sem = SemDedup.semanticNearDupPairs(emb, "id", "vec", 0.9, nClusters = 1)
+      .select($"a_id", $"b_id", round($"sim".cast("double"), 5).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = SimilarityJoin.cosineNearDupPairs(emb, "id", "vec", 0.9)
+      .select($"a_id", $"b_id", round($"sim".cast("double"), 5).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sem == exact && exact.nonEmpty)
+  }
+
+  test("semdedup: clustered pairs are a subset of exact pairs, same sims") {
+    val emb = embFixture
+    val sem = SemDedup.semanticNearDupPairs(emb, "id", "vec", 0.9, nClusters = 4)
+      .select($"a_id", $"b_id", round($"sim".cast("double"), 5).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = SimilarityJoin.cosineNearDupPairs(emb, "id", "vec", 0.9)
+      .select($"a_id", $"b_id", round($"sim".cast("double"), 5).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sem.nonEmpty && sem.subsetOf(exact))
+  }
+
+  test("semdedup: keep drops exactly the higher id of each surviving pair") {
+    val emb = embFixture
+    val kept = SemDedup.semanticDedupKeep(emb, "id", "vec", 0.9, nClusters = 4)
+      .select("id").as[Long].collect().toSet
+    val pairs = SemDedup.semanticNearDupPairs(emb, "id", "vec", 0.9, nClusters = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val dropped = pairs.map(_._2).toSet
+    assert(kept == (0L until 60L).toSet -- dropped)
+    assert(pairs.map(_._1).exists(kept), "at least one pair's keeper survives")
+  }
+}
