@@ -412,6 +412,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: two-level prefix sum (bucket-local window +
+    // tiny bucket-base window + broadcast join) — the scalable form of
+    // sum() OVER (ORDER BY id), which DuckDB recomputes directly.
+    // bucketSize=64 forces 8 buckets at sf0.01 so the composition is
+    // genuinely exercised.
+    "pk_spans" -> ((s, dir) =>
+      operators.Packing.tokenSpans(T(s, dir, "documents"), "doc_id", "text",
+          seqLen = 512, bucketSize = 64)
+        .orderBy("doc_id")),
+
+    // Mixture-balanced sampling: per-source keep rates from one tiny
+    // agg (binding source rate = exactly 1.0 on this uniform corpus —
+    // exercises the keep-all branch), membership via the 60-bit
+    // md5-prefix threshold both engines print with %015x.
+    "sm_mixture" -> ((s, dir) =>
+      operators.Mixture.mixtureSample(T(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          salt = "mix")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     "tx_fingerprint" -> ((s, dir) => // custom 64-bit hashes — rows-only check
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -1512,6 +1533,37 @@ object SparkEntry {
       FROM t ORDER BY doc_id""",
     "dd_semdedup" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "pk_spans" -> """
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      s AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                 AS BIGINT) AS start_tok
+        FROM t)
+      SELECT doc_id, n_tokens, start_tok,
+             start_tok // 512 AS first_seq,
+             (start_tok + greatest(n_tokens - 1, 0)) // 512 AS last_seq,
+             start_tok % 512 AS seq_offset
+      FROM s ORDER BY doc_id""",
+    "sm_mixture" -> """
+      WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+               CASE source WHEN 'src0' THEN 0.4e0 WHEN 'src1' THEN 0.3e0
+                           WHEN 'src2' THEN 0.2e0 WHEN 'src3' THEN 0.1e0 END AS share
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+      t AS (SELECT min(cnt / share) AS feasible FROM c),
+      r AS (SELECT source, least(1e0, feasible * share / cnt) AS rate FROM c, t)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE rate >= 1e0
+         OR substr(md5(concat_ws('|', 'mix', CAST(d.doc_id AS VARCHAR))), 1, 15)
+            < printf('%015x', CAST(floor(rate * 1152921504606846976e0) AS BIGINT))
+      ORDER BY d.doc_id""",
     "dd_shingle_jaccard" -> """
       WITH d AS (
         SELECT doc_id,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.util.Locale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mixture-balanced sampling: pick per-class keep rates so the sampled
+  * corpus hits a target class mixture (e.g. language or source
+  * proportions) at the largest feasible size, then decide membership
+  * per row with the deterministic md5-threshold predicate of
+  * [[Sampling]].
+  *
+  * The rates come from ONE tiny aggregate (class → count) collected as
+  * driver state; membership is then a pure scan predicate — no
+  * shuffle, engine-portable, reproducible under re-sharding. The
+  * feasible total is `T = min_s(count_s / share_s)`: the binding class
+  * keeps everything (rate exactly 1), every other class downsamples to
+  * `T * share_s` rows in expectation.
+  */
+object Mixture {
+
+  /** Per-class keep rates for the target `shares` (class → proportion,
+    * must sum to 1). Classes outside `shares` are dropped; every listed
+    * class must have at least one row.
+    */
+  def mixtureRates(
+      df: DataFrame, classCol: String, shares: Map[String, Double]): Map[String, Double] = {
+    require(shares.nonEmpty, "need at least one class share")
+    require(shares.values.forall(_ > 0.0), s"shares must be positive: $shares")
+    require(math.abs(shares.values.sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${shares.values.sum}")
+    val counts: Map[String, Long] = df
+      .filter(col(classCol).cast("string").isInCollection(shares.keys.toSeq))
+      .groupBy(col(classCol).cast("string").as("cls")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = shares.keySet -- counts.keySet
+    require(missing.isEmpty, s"classes with no rows: ${missing.toSeq.sorted}")
+    val t = shares.map { case (s, sh) => counts(s).toDouble / sh }.min
+    shares.map { case (s, sh) => s -> math.min(1.0, t * sh / counts(s)) }
+  }
+
+  /** Deterministic mixture sample: rows kept iff the 60-bit prefix of
+    * `md5(salt|key)` falls under `rate_class * 2^60`. The 15-hex-digit
+    * prefix keeps the threshold in exact 64-bit integer range, so any
+    * engine with md5 + printf reproduces membership bit-for-bit
+    * (rate >= 1 short-circuits to keep-all — its threshold would need a
+    * 16th hex digit).
+    */
+  def mixtureSample(
+      df: DataFrame, keyCol: String, classCol: String,
+      shares: Map[String, Double], salt: String = ""): DataFrame = {
+    val rates = mixtureRates(df, classCol, shares)
+    val h = substring(md5(concat_ws("|", lit(salt), col(keyCol).cast("string"))), 1, 15)
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (acc, (cls, r)) =>
+      val pred = if (r >= 1.0) lit(true) else h < lit(prefixThresholdHex(r))
+      acc || (col(classCol).cast("string") === cls && pred)
+    }
+    df.filter(keep)
+  }
+
+  /** 15-hex-digit membership threshold at `rate` of the 2^60 space —
+    * public so external systems (and the DuckDB oracle) can reproduce
+    * membership: `printf('%015x', floor(rate * 2^60))`.
+    */
+  def prefixThresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate < 1.0, s"rate must be in [0,1) for a 15-hex threshold: $rate")
+    String.format(Locale.ROOT, "%015x",
+      java.lang.Long.valueOf(math.floor(rate * 1152921504606846976.0).toLong))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing (GPT-style concat-and-chunk): lay every document's
+  * tokens end-to-end in id order and cut the stream into fixed-length
+  * training sequences; each document gets its global token span and its
+  * first/last sequence coordinates.
+  *
+  * The core is a corpus-wide prefix sum. A bare
+  * `sum() over (order by id)` window has NO partition key, so Spark
+  * plans the whole corpus into ONE window task — the classic
+  * single-reducer bottleneck. This implementation is the standard
+  * two-level scalable prefix sum instead:
+  *   1. bucket docs by `id div bucketSize` — per-bucket local cumsum
+  *      runs as a parallel window over bounded partitions;
+  *   2. per-bucket totals (n/bucketSize rows — tiny) take the global
+  *      cumsum on a single task over TINY data;
+  *   3. bucket base offsets broadcast-join back (no shuffle of docs).
+  * Only presentation ORDER BY touches the full corpus order.
+  */
+object Packing {
+
+  /** Per-document span + sequence coordinates. Output columns:
+    * (doc_id, n_tokens, start_tok, first_seq, last_seq, seq_offset).
+    * Ids must be unique; order is ascending id, like the reference
+    * store's insertion order.
+    */
+  def tokenSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, bucketSize: Long = 1 << 20): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val nTok = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      nTok.as("n_tokens"),
+      intDiv(col(idCol).cast("long"), bucketSize).as("_bkt"))
+
+    val local = base.withColumn("_local_end",
+      sum(col("n_tokens")).over(Window.partitionBy("_bkt").orderBy("doc_id")))
+
+    // bucket totals: n/bucketSize rows — driver-scale, single-task
+    // window over tiny data is intentional here
+    val bases = base.groupBy("_bkt").agg(sum(col("n_tokens")).as("_tot"))
+      .withColumn("_base", sum(col("_tot")).over(Window.orderBy("_bkt")) - col("_tot"))
+      .select("_bkt", "_base")
+
+    val start = col("_base") + col("_local_end") - col("n_tokens")
+    local.join(broadcast(bases), Seq("_bkt"))
+      .withColumn("start_tok", start)
+      .withColumn("first_seq", intDiv(col("start_tok"), seqLen))
+      // empty docs degenerate to last_seq == first_seq
+      .withColumn("last_seq",
+        intDiv(col("start_tok") + greatest(col("n_tokens") - 1, lit(0L)), seqLen))
+      .withColumn("seq_offset", pmod(col("start_tok"), lit(seqLen)))
+      .select("doc_id", "n_tokens", "start_tok", "first_seq", "last_seq", "seq_offset")
+  }
+
+  /** Total number of fixed-length sequences the packed corpus yields
+    * (ceil(total_tokens / seqLen)) — one partially-aggregated reduce.
+    */
+  def sequenceCount(docs: DataFrame, textCol: String, seqLen: Long): Long = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val total = docs
+      .agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")))
+      .head().get(0)
+    if (total == null) 0L
+    else Math.addExact(total.asInstanceOf[Long], seqLen - 1) / seqLen
+  }
+
+  // Exact long integer division (IntegralDivide); operands here are
+  // nonnegative so truncation == floor. A double round-trip would lose
+  // exactness past 2^53.
+  private def intDiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim.{column, expression}
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(c), expression(lit(w))))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Mixture, Packing}
+
+/** Sequence packing (two-level prefix sum) and mixture-balanced
+  * sampling.
+  */
+class PackingMixtureSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "a b c"),          // 3 tokens, start 0
+    (1L, "d e"),            // 2 tokens, start 3
+    (2L, "f g h i j"),      // 5 tokens, start 5
+    (3L, "k"),              // 1 token,  start 10
+    (4L, "l m n o")         // 4 tokens, start 11 .. 14
+  ).toDF("id", "text")
+
+  test("packing: spans match the hand cumsum and seq coordinates (seqLen=4)") {
+    val out = Packing.tokenSpans(corpus, "id", "text", seqLen = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_tok", "first_seq", "last_seq", "seq_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 0L, 0L, 0L, 0L),   // tokens 0-2 in seq 0
+      (1L, 2L, 3L, 0L, 1L, 3L),   // tokens 3-4 straddle seqs 0-1
+      (2L, 5L, 5L, 1L, 2L, 1L),   // tokens 5-9 straddle seqs 1-2
+      (3L, 1L, 10L, 2L, 2L, 2L),
+      (4L, 4L, 11L, 2L, 3L, 3L)))
+  }
+
+  test("packing: bucketed prefix sum is invariant to bucketSize") {
+    val big = Packing.tokenSpans(corpus, "id", "text", 4, bucketSize = 1 << 20)
+      .orderBy("doc_id").collect().toSeq
+    val tiny = Packing.tokenSpans(corpus, "id", "text", 4, bucketSize = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(big == tiny)
+  }
+
+  test("packing: spans tile the token stream exactly (real corpus, many buckets)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Packing.tokenSpans(docs, "doc_id", "text", 512, bucketSize = 64)
+      .orderBy("doc_id")
+      .select("start_tok", "n_tokens").as[(Long, Long)].collect()
+    out.sliding(2).foreach {
+      case Array((s0, n0), (s1, _)) => assert(s1 == s0 + n0, "contiguous spans")
+      case _ =>
+    }
+    assert(out.head._1 == 0L)
+  }
+
+  test("packing: sequenceCount is ceil(total/seqLen); empty corpus is 0") {
+    assert(Packing.sequenceCount(corpus, "text", 4) == 4L) // 15 tokens / 4
+    assert(Packing.sequenceCount(corpus, "text", 15) == 1L)
+    assert(Packing.sequenceCount(corpus, "text", 16) == 1L)
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Packing.sequenceCount(empty, "text", 4) == 0L)
+  }
+
+  private def mixDf = (0L until 200L).map { i =>
+    (i, s"cls${(i % 4).toInt}")
+  }.toDF("id", "cls") // 50 rows per class
+
+  test("mixture: rates give the binding class exactly 1.0, others proportional") {
+    val rates = Mixture.mixtureRates(mixDf,
+      "cls", Map("cls0" -> 0.4, "cls1" -> 0.3, "cls2" -> 0.2, "cls3" -> 0.1))
+    // uniform 50s: T = 50/0.4 = 125 → rates 1.0, .75, .5, .25
+    assert(rates("cls0") == 1.0)
+    assert(math.abs(rates("cls1") - 0.75) < 1e-12)
+    assert(math.abs(rates("cls2") - 0.5) < 1e-12)
+    assert(math.abs(rates("cls3") - 0.25) < 1e-12)
+  }
+
+  test("mixture: binding class fully kept, unlisted classes dropped, deterministic") {
+    val shares = Map("cls0" -> 0.5, "cls1" -> 0.5) // cls2/cls3 unlisted
+    val out = Mixture.mixtureSample(mixDf, "id", "cls", shares, salt = "s")
+    val kept = out.select("id", "cls").as[(Long, String)].collect().toSet
+    assert(kept.forall { case (_, c) => c == "cls0" || c == "cls1" })
+    // uniform counts + equal shares → both classes bind at rate 1.0
+    assert(kept.size == 100)
+    val again = Mixture.mixtureSample(mixDf, "id", "cls", shares, salt = "s")
+      .select("id", "cls").as[(Long, String)].collect().toSet
+    assert(kept == again)
+  }
+
+  test("mixture: sampled class ratio tracks the target shares") {
+    val skew = Map("cls0" -> 0.1, "cls1" -> 0.9)
+    val out = Mixture.mixtureSample(mixDf, "id", "cls", skew, salt = "r")
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    // T = 50/0.9 = 55.6 → cls1 keeps all 50, cls0 expects ~5.6
+    assert(out("cls1") == 50)
+    assert(out.getOrElse("cls0", 0L) <= 15, s"cls0 kept ${out.get("cls0")}")
+  }
+
+  test("mixture: validation — shares must sum to 1, classes must exist") {
+    intercept[IllegalArgumentException] {
+      Mixture.mixtureRates(mixDf, "cls", Map("cls0" -> 0.5, "cls1" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.mixtureRates(mixDf, "cls", Map("nope" -> 1.0))
+    }
+  }
+
+  test("mixture: prefixThresholdHex matches printf('%015x') semantics") {
+    assert(Mixture.prefixThresholdHex(0.5) == "800000000000000")
+    assert(Mixture.prefixThresholdHex(0.0) == "000000000000000")
+    intercept[IllegalArgumentException](Mixture.prefixThresholdHex(1.0))
+  }
+}
