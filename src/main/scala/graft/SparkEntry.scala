@@ -1557,7 +1557,10 @@ object SparkEntry {
         FROM documents
         WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
       t AS (SELECT min(cnt / share) AS feasible FROM c),
-      r AS (SELECT source, least(1e0, feasible * share / cnt) AS rate FROM c, t)
+      r AS (SELECT source,
+                   CASE WHEN cnt / share = feasible THEN 1e0
+                        ELSE least(1e0, feasible * share / cnt) END AS rate
+            FROM c, t)
       SELECT d.doc_id, d.source
       FROM documents d JOIN r ON d.source = r.source
       WHERE rate >= 1e0

@@ -25,15 +25,22 @@ object Bm25 {
       docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    // the tokenizer lowercases, so match terms in lowercase too — an
+    // uppercase query term would otherwise silently score 0 everywhere
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(qTerms.distinct.size == qTerms.size,
+      s"duplicate query terms (after lowercasing): $terms")
 
     val toks = TextAnalysis.tokens(col(textCol))
     // tf per term: lambda references only the lambda var and a literal,
     // so the token split evaluates once per row (HOF-embedding hazard).
+    // coalesce(0): NULL text must contribute dl=0/tf=0, not poison the
+    // corpus stats into SQL NULL (and an NPE on the stats reads below).
     val withTf = docs.select(
-      col(idCol) +: size(toks).as("dl") +: terms.zipWithIndex.map { case (t, i) =>
-        size(filter(toks, x => x === lit(t))).as(s"tf_$i")
-      }: _*)
+      col(idCol) +: coalesce(size(toks), lit(0)).as("dl") +:
+        qTerms.zipWithIndex.map { case (t, i) =>
+          coalesce(size(filter(toks, x => x === lit(t))), lit(0)).as(s"tf_$i")
+        }: _*)
 
     // One partially-aggregated reduce to a single stats row (driver
     // state, like k-means centroids): N, avgdl, df per term.

@@ -36,8 +36,17 @@ object Mixture {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = shares.keySet -- counts.keySet
     require(missing.isEmpty, s"classes with no rows: ${missing.toSeq.sorted}")
-    val t = shares.map { case (s, sh) => counts(s).toDouble / sh }.min
-    shares.map { case (s, sh) => s -> math.min(1.0, t * sh / counts(s)) }
+    // Pin the binding class (argmin of count/share) to exactly 1.0:
+    // the (c/s)*s/c round-trip is not guaranteed to return 1.0 in
+    // floating point, and a 1-1ulp rate would wrongly send the binding
+    // class through the threshold path. The argmin test is an exact
+    // double comparison (t IS one of the ratios), so an external SQL
+    // oracle can mirror it verbatim.
+    val ratios = shares.map { case (s, sh) => s -> counts(s).toDouble / sh }
+    val t = ratios.values.min
+    shares.map { case (s, sh) =>
+      s -> (if (ratios(s) == t) 1.0 else math.min(1.0, t * sh / counts(s)))
+    }
   }
 
   /** Deterministic mixture sample: rows kept iff the 60-bit prefix of
@@ -51,7 +60,7 @@ object Mixture {
       df: DataFrame, keyCol: String, classCol: String,
       shares: Map[String, Double], salt: String = ""): DataFrame = {
     val rates = mixtureRates(df, classCol, shares)
-    val h = substring(md5(concat_ws("|", lit(salt), col(keyCol).cast("string"))), 1, 15)
+    val h = substring(Sampling.keyHash(col(keyCol), salt), 1, 15)
     val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (acc, (cls, r)) =>
       val pred = if (r >= 1.0) lit(true) else h < lit(prefixThresholdHex(r))
       acc || (col(classCol).cast("string") === cls && pred)

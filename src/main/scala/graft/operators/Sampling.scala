@@ -29,7 +29,17 @@ object Sampling {
     "0" * (32 - hex.length) + hex
   }
 
-  private def keyHash(keyCol: Column, salt: String): Column =
+  /** The shared membership hash: `md5(salt|key)` as 32 lowercase hex
+    * chars. Every deterministic-sampling operator ([[hashSample]],
+    * [[hashSplit]], [[stratifiedHashSample]], [[Mixture]]) derives
+    * membership from this one definition. Two threshold encodings sit
+    * on top: the full 32-hex compare against [[thresholdHex]] (for
+    * fractions known at authoring time) and [[Mixture]]'s 15-hex /
+    * 60-bit prefix compare (for data-dependent rates an external SQL
+    * engine must be able to print from a double) — the same hash, at
+    * different threshold precision.
+    */
+  def keyHash(keyCol: Column, salt: String): Column =
     md5(concat_ws("|", lit(salt), keyCol.cast("string")))
 
   /** Keep ~`fraction` of rows, chosen deterministically by key hash. */

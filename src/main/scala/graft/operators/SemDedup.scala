@@ -38,14 +38,16 @@ object SemDedup {
 
   /** Survivor ids after semantic dedup: for every near-dup pair the
     * higher id is dropped (keep-lowest, matching [[Dedup.exactDedup]]'s
-    * keep-min convention). Broadcast anti-join: the drop list is at most
-    * one id per duplicate pair.
+    * keep-min convention). Plain anti-join — on a duplicate-heavy
+    * corpus the drop list is O(n), far past any broadcast bound, so
+    * strategy choice is left to the planner/AQE (same shape as
+    * [[Dedup.exactDedup]]'s keep join).
     */
   def semanticDedupKeep(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nClusters: Int, iters: Int = 3): DataFrame = {
     val drops = semanticNearDupPairs(df, idCol, vecCol, threshold, nClusters, iters)
       .select(col("b_id").as(idCol)).distinct()
-    df.join(broadcast(drops), Seq(idCol), "left_anti")
+    df.join(drops, Seq(idCol), "left_anti")
   }
 }

@@ -55,6 +55,22 @@ class TextOpsSpec extends SparkSuite {
     assert(Bm25.score(docs, "id", "text", Seq("spark")).count() == 0L)
   }
 
+  test("bm25: uppercase query terms match the lowercased tokens") {
+    val docs = Seq((0L, "Spark is fast"), (1L, "no match")).toDF("id", "text")
+    val upper = Bm25.score(docs, "id", "text", Seq("SPARK"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    val lower = Bm25.score(docs, "id", "text", Seq("spark"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(upper == lower && upper(0L) > 0.0)
+  }
+
+  test("bm25: NULL text rows score 0 and do not poison the corpus stats") {
+    val docs = Seq((0L, "spark rows"), (1L, null)).toDF("id", "text")
+    val out = Bm25.score(docs, "id", "text", Seq("spark"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0 && out(0L) > 0.0)
+  }
+
   // ------------------------------- PII --------------------------------- //
 
   test("pii: counts and redaction over all four categories") {
