@@ -101,6 +101,38 @@ object ScaleSmoke {
       graft.operators.VectorOps.withInt8Quantized(bigEmb, "embedding", "codes", "scale")
         .agg(sum(element_at(col("codes"), 1).cast("long"))).head()
     }
+
+    // ---- semantic dedup: within-cluster pairs only (vs 5G all-pairs) --
+    timed("semanticNearDupPairs (64 cl)") {
+      val p = graft.operators.SemDedup.semanticNearDupPairs(
+        bigEmb, "vec_id", "embedding", threshold = 0.95, nClusters = 64, iters = 2)
+      println(s"SMOKE   semantic pairs: ${p.count()}")
+    }
+
+    // ---- text pipeline projections + packing prefix sum at 100k docs --
+    timed("bm25 topK over 100k docs") {
+      graft.operators.Bm25.topK(bigDocs, "doc_id", "text",
+        Seq("spark", "window", "merge", "vector"), k = 20).count()
+    }
+    timed("pii redact 100k docs") {
+      bigDocs.agg(sum(length(graft.operators.Pii.redact(col("text"))))).head()
+    }
+    timed("gopher rules 100k docs") {
+      bigDocs.agg(sum(graft.operators.TextAnalysis.gopherPass(col("text"))
+        .cast("long"))).head()
+    }
+    timed("tokenSpans (bucketed cumsum)") {
+      graft.operators.Packing.tokenSpans(bigDocs, "doc_id", "text", seqLen = 2048)
+        .agg(max(col("last_seq"))).head()
+    }
+    timed("mixtureSample 100k docs") {
+      // synthesize a 4-way class column from the id; rates from one agg
+      val classed = bigDocs.withColumn("cls",
+        concat(lit("c"), (col("doc_id") % 4).cast("string")))
+      graft.operators.Mixture.mixtureSample(classed, "doc_id", "cls",
+        Map("c0" -> 0.4, "c1" -> 0.3, "c2" -> 0.2, "c3" -> 0.1), salt = "smoke")
+        .count()
+    }
     spark.stop()
   }
 }
