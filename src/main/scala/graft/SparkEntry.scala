@@ -312,6 +312,29 @@ object SparkEntry {
           sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("false_positives"),
           (count(lit(1)) > 0).as("has_pairs"))
     }),
+    // Incremental exact dedup (new batch vs standing corpus). The
+    // corpus has no natural duplicates, so both drop paths are
+    // synthesized deterministically on BOTH sides: doc_id%5==0 batch
+    // rows take the text of corpus doc (doc_id-400) — corpus-collision
+    // drops — and doc_id%5==3 rows take the text of batch doc
+    // (doc_id-1), whose own row keeps its original text — observable
+    // in-batch keep-min drops that a corpus check alone would miss.
+    "dd_incremental" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400)
+      val o1 = d.select(col("doc_id").as("o1_id"), col("text").as("o1_text"))
+      val o2 = d.select(col("doc_id").as("o2_id"), col("text").as("o2_text"))
+      val batch = d.filter(col("doc_id") >= 400)
+        .join(o1, col("o1_id") === col("doc_id") - 400)
+        .join(o2, col("o2_id") === col("doc_id") - 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, col("o1_text"))
+            .when(col("doc_id") % 5 === 3, col("o2_text"))
+            .otherwise(col("text")).as("text"))
+      Dedup.incrementalExactDedup(corpus, batch, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // SemDeDup (cluster-bounded semantic dedup): within-cluster pairs
     // must be contained (same ids, same rounded sim) in the exact pair
     // set dd_embed_neardup hash-verifies — precision 1.0; recall is the
@@ -432,6 +455,22 @@ object SparkEntry {
           salt = "mix")
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // Composition of the round's new text ops as one chain: synthesize
+    // PII → redact → Gopher keep/drop filter → sequence-packing spans
+    // over the survivors. DuckDB recomputes the whole chain.
+    "pp_redact_pack" -> ((s, dir) => {
+      val txt = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"), lit(".0.1"))
+      val red = T(s, dir, "documents")
+        .select(col("doc_id"), Pii.redact(txt).as("text"))
+      val kept = red.filter(TextAnalysis.gopherPass(col("text")))
+      operators.Packing.tokenSpans(kept, "doc_id", "text",
+          seqLen = 512, bucketSize = 64)
+        .orderBy("doc_id")
+    }),
 
     "tx_fingerprint" -> ((s, dir) => // custom 64-bit hashes — rows-only check
       T(s, dir, "documents")
@@ -1533,6 +1572,63 @@ object SparkEntry {
       FROM t ORDER BY doc_id""",
     "dd_semdedup" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "dd_incremental" -> """
+      WITH o AS (SELECT doc_id AS o_id, text AS o_text FROM documents),
+      b AS (
+        SELECT n.doc_id,
+               CASE WHEN n.doc_id % 5 = 0 THEN o1.o_text
+                    WHEN n.doc_id % 5 = 3 THEN o2.o_text
+                    ELSE n.text END AS text
+        FROM documents n
+        JOIN o o1 ON o1.o_id = n.doc_id - 400
+        JOIN o o2 ON o2.o_id = n.doc_id - 1
+        WHERE n.doc_id >= 400),
+      keepmin AS (SELECT min(doc_id) AS doc_id FROM b GROUP BY md5(text)),
+      corpus_h AS (
+        SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 400)
+      SELECT b.doc_id FROM b
+      JOIN keepmin USING (doc_id)
+      WHERE md5(b.text) NOT IN (SELECT content_hash FROM corpus_h)
+      ORDER BY doc_id""",
+    "pp_redact_pack" -> """
+      WITH t AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+        FROM documents),
+      m AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+        FROM t),
+      r AS (
+        SELECT doc_id, toks, len(toks) AS wc,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) AS mwl,
+               (len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) / 3 AS nsym,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+               len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is','it'))) AS nstop
+        FROM m),
+      k AS (
+        SELECT doc_id, CAST(wc AS BIGINT) AS n_tokens
+        FROM r
+        WHERE (wc >= 50 AND wc <= 100000) AND (mwl >= 3.0e0 AND mwl <= 10.0e0)
+          AND (CAST(nsym AS DOUBLE) / wc < 0.1e0)
+          AND (CAST(nalpha AS DOUBLE) / wc > 0.8e0) AND nstop >= 2),
+      s AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                 AS BIGINT) AS start_tok
+        FROM k)
+      SELECT doc_id, n_tokens, start_tok,
+             start_tok // 512 AS first_seq,
+             (start_tok + greatest(n_tokens - 1, 0)) // 512 AS last_seq,
+             start_tok % 512 AS seq_offset
+      FROM s ORDER BY doc_id""",
     "pk_spans" -> """
       WITH t AS (
         SELECT doc_id, CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)

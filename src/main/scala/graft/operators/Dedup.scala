@@ -27,6 +27,25 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Incremental exact dedup: the rows of `batch` that survive against
+    * an already-ingested `corpus` — the production shape where the
+    * standing corpus was deduped once and each new crawl batch only
+    * resolves (a) its in-batch duplicates (keep-min, like
+    * [[exactDedup]]) and (b) collisions with corpus content. The
+    * corpus side reduces to its DISTINCT 16-byte content hashes before
+    * the anti-join, so at 100 TB that side shuffles one hash per
+    * distinct document and never re-reads or re-shuffles corpus text;
+    * nothing is ever recomputed over corpus×corpus.
+    */
+  def incrementalExactDedup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+    exactDedup(batch, idCol, textCol)
+      .withColumn("content_hash", md5(col(textCol)))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+  }
+
   /** Normalized-exact dedup key: casefolded, whitespace-collapsed,
     * trimmed — catches re-encodings of the same content that byte-exact
     * hashing misses, still one map-side-combined groupBy. The standard

@@ -119,6 +119,33 @@ class TextOpsSpec extends SparkSuite {
     assert(!out(3L)._5 && !out(3L)._7, "digit-word doc fails alpha_ok")
   }
 
+  // ----------------------- incremental dedup --------------------------- //
+
+  test("incrementalExactDedup: drops corpus collisions and in-batch dups") {
+    import graft.operators.Dedup
+    val corpus = Seq((0L, "alpha"), (1L, "beta")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // collides with corpus → dropped
+      (11L, "gamma"),  // fresh → kept
+      (12L, "gamma"),  // in-batch dup of 11 → dropped (keep-min)
+      (13L, "delta")   // fresh → kept
+    ).toDF("id", "text")
+    val kept = Dedup.incrementalExactDedup(corpus, batch, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("incrementalExactDedup: empty corpus degenerates to exactDedup") {
+    import graft.operators.Dedup
+    val corpus = Seq.empty[(Long, String)].toDF("id", "text")
+    val batch = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
+    val kept = Dedup.incrementalExactDedup(corpus, batch, "id", "text")
+      .select("id").as[Long].collect().toSet
+    val plain = Dedup.exactDedup(batch, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == plain && kept == Set(1L, 3L))
+  }
+
   // ---------------------------- SemDedup ------------------------------- //
 
   private def embFixture = {
