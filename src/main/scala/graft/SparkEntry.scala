@@ -456,6 +456,23 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Unigram-LM perplexity (CCNet-style quality signal): the model is
+    // fit in one token-count aggregation, lives as driver state, and
+    // scores as a shuffle-free literal-map projection. vocabSize=20 <
+    // the corpus vocabulary, so the OOV floor path is exercised.
+    "tx_perplexity" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val lm = operators.LangModel.fitUnigram(d, "text", vocabSize = 20, alpha = 1.0)
+      operators.LangModel.perplexity(d, "doc_id", "text", lm)
+        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
+    // Inverted index: token -> sorted posting list + document frequency.
+    "tx_inverted" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("token")),
+
     // Composition of the round's new text ops as one chain: synthesize
     // PII → redact → Gopher keep/drop filter → sequence-packing spans
     // over the survivors. DuckDB recomputes the whole chain.
@@ -1572,6 +1589,31 @@ object SparkEntry {
       FROM t ORDER BY doc_id""",
     "dd_semdedup" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "tx_perplexity" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        FROM documents),
+      cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+      voc AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 20),
+      vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+      lp AS (SELECT voc.t, ln((voc.c + 1e0) / (tot.total + 1e0 * (vv.v + 1))) AS logp
+             FROM voc, tot, vv),
+      oov AS (SELECT ln(1e0 / (tot.total + 1e0 * (vv.v + 1))) AS o FROM tot, vv),
+      sc AS (
+        SELECT tok.doc_id, avg(coalesce(lp.logp, oov.o)) AS mean_lp
+        FROM tok LEFT JOIN lp ON tok.t = lp.t CROSS JOIN oov
+        GROUP BY tok.doc_id)
+      SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
+      FROM sc ORDER BY doc_id""",
+    "tx_inverted" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS token
+        FROM documents)
+      SELECT token, list_sort(list(doc_id)) AS postings,
+             CAST(count(*) AS BIGINT) AS df
+      FROM tok GROUP BY token ORDER BY token""",
     "dd_incremental" -> """
       WITH o AS (SELECT doc_id AS o_id, text AS o_text FROM documents),
       b AS (

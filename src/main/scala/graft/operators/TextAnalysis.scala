@@ -147,6 +147,21 @@ object TextAnalysis {
       nLang("en"), nLang("de"), nLang("es"), nLang("fr"), nLang("und"))
   }
 
+  /** Inverted index: token → sorted posting list of containing doc ids
+    * plus document frequency. One explode shuffle bounded by distinct
+    * (token, doc) pairs; lists are sorted so the index is byte-stable.
+    * At open-vocabulary scale a stop-like token's posting list is O(n)
+    * in one row — shard postings by doc-id range (partitionBy on a
+    * range key before this groupBy) when lists outgrow a task.
+    */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokenSet(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(
+        sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)

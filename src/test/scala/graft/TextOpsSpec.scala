@@ -119,6 +119,64 @@ class TextOpsSpec extends SparkSuite {
     assert(!out(3L)._5 && !out(3L)._7, "digit-word doc fails alpha_ok")
   }
 
+  // --------------------------- unigram LM ------------------------------ //
+
+  test("langmodel: hand-computed smoothed probs and perplexity") {
+    import graft.operators.LangModel
+    // corpus tokens: a a a b  →  total=4
+    val docs = Seq((0L, "a a a b")).toDF("id", "text")
+    val lm = LangModel.fitUnigram(docs, "text", vocabSize = 2, alpha = 1.0)
+    // denom = 4 + 1*(2+1) = 7; p(a)=4/7, p(b)=2/7, oov=1/7
+    assert(math.abs(lm.logProbs("a") - math.log(4.0 / 7)) < 1e-12)
+    assert(math.abs(lm.logProbs("b") - math.log(2.0 / 7)) < 1e-12)
+    assert(math.abs(lm.oovLogProb - math.log(1.0 / 7)) < 1e-12)
+    // doc "a b": ppl = exp(-(ln(4/7)+ln(2/7))/2) = 1/sqrt(8/49)
+    val ppl = LangModel.perplexity(Seq((1L, "a b")).toDF("id", "text"), "id", "text", lm)
+      .select("perplexity").as[Double].collect()(0)
+    assert(math.abs(ppl - 1.0 / math.sqrt(8.0 / 49)) < 1e-12)
+  }
+
+  test("langmodel: OOV floor applies, in-vocab text scores lower ppl than noise") {
+    import graft.operators.LangModel
+    val corpus = Seq((0L, "the cat sat on the mat"), (1L, "the dog sat")).toDF("id", "text")
+    val lm = LangModel.fitUnigram(corpus, "text", vocabSize = 4)
+    val scored = LangModel.perplexity(
+      Seq((0L, "the cat sat"), (1L, "zz qq ww")).toDF("id", "text"), "id", "text", lm)
+      .select("id", "perplexity").as[(Long, Double)].collect().toMap
+    assert(scored(0L) < scored(1L), s"in-vocab should be lower: $scored")
+  }
+
+  test("langmodel: vocab selection is deterministic under count ties") {
+    import graft.operators.LangModel
+    val docs = Seq((0L, "b a d c")).toDF("id", "text") // all counts tie at 1
+    val lm = LangModel.fitUnigram(docs, "text", vocabSize = 2)
+    assert(lm.logProbs.keySet == Set("a", "b"), "tie-break by token asc")
+  }
+
+  test("langmodel: NULL text scores NULL; empty string is one empty token (OOV)") {
+    import graft.operators.LangModel
+    val lm = LangModel.fitUnigram(Seq((0L, "a b")).toDF("id", "text"), "text", 2)
+    val rows = LangModel.perplexity(
+      Seq((1L, null), (2L, "")).toDF("id", "text"), "id", "text", lm)
+      .orderBy("id").select("perplexity").collect()
+    assert(rows(0).isNullAt(0))
+    // split("") == [""] (matches DuckDB string_split_regex): one OOV token
+    assert(math.abs(rows(1).getDouble(0) - math.exp(-lm.oovLogProb)) < 1e-12)
+  }
+
+  // ------------------------- inverted index ----------------------------- //
+
+  test("inverted index: sorted postings of distinct containment, df counts") {
+    val docs = Seq((2L, "b a b"), (0L, "a c"), (1L, "a")).toDF("id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "id", "text")
+      .orderBy("token")
+      .as[(String, Seq[Long], Long)].collect().toSeq
+    assert(idx == Seq(
+      ("a", Seq(0L, 1L, 2L), 3L),  // distinct containment, sorted ids
+      ("b", Seq(2L), 1L),          // in-doc repeat counted once
+      ("c", Seq(0L), 1L)))
+  }
+
   // ----------------------- incremental dedup --------------------------- //
 
   test("incrementalExactDedup: drops corpus collisions and in-batch dups") {
