@@ -315,10 +315,13 @@ object SparkEntry {
     // Incremental exact dedup (new batch vs standing corpus). The
     // corpus has no natural duplicates, so both drop paths are
     // synthesized deterministically on BOTH sides: doc_id%5==0 batch
-    // rows take the text of corpus doc (doc_id-400) — corpus-collision
-    // drops — and doc_id%5==3 rows take the text of batch doc
-    // (doc_id-1), whose own row keeps its original text — observable
-    // in-batch keep-min drops that a corpus check alone would miss.
+    // rows take the text of doc (doc_id-400) — a CORPUS doc (and thus
+    // a corpus-collision drop) for doc_id < 800, another batch doc's
+    // original text (a survivor) beyond that, so corpus-collision
+    // coverage is the 400..795 stripe at every SF — and doc_id%5==3
+    // rows take the text of batch doc (doc_id-1), whose own row keeps
+    // its original text — observable in-batch keep-min drops at every
+    // doc_id that a corpus check alone would miss.
     "dd_incremental" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val corpus = d.filter(col("doc_id") < 400)
@@ -461,7 +464,10 @@ object SparkEntry {
     // scores as a shuffle-free literal-map projection. vocabSize=20 <
     // the corpus vocabulary, so the OOV floor path is exercised.
     "tx_perplexity" -> ((s, dir) => {
-      val d = T(s, dir, "documents")
+      // text IS NOT NULL keeps the row sets aligned if the fixture ever
+      // gains NULL texts: Spark would emit (id, NULL) where the
+      // oracle's unnest drops the document entirely.
+      val d = T(s, dir, "documents").filter(col("text").isNotNull)
       val lm = operators.LangModel.fitUnigram(d, "text", vocabSize = 20, alpha = 1.0)
       operators.LangModel.perplexity(d, "doc_id", "text", lm)
         .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))

@@ -27,24 +27,42 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** The DISTINCT content-hash frame of a standing corpus — the thing
+    * an incremental-dedup deployment PERSISTS between ingests (16
+    * bytes per distinct document) so each batch pays batch-sized cost:
+    * write it out once, append each surviving batch's hashes, and feed
+    * it to [[incrementalExactDedup]] instead of re-hashing corpus text
+    * on every ingest.
+    */
+  def corpusContentHashes(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+
   /** Incremental exact dedup: the rows of `batch` that survive against
-    * an already-ingested `corpus` — the production shape where the
+    * an already-ingested corpus represented by its
+    * [[corpusContentHashes]] frame — the production shape where the
     * standing corpus was deduped once and each new crawl batch only
     * resolves (a) its in-batch duplicates (keep-min, like
-    * [[exactDedup]]) and (b) collisions with corpus content. The
-    * corpus side reduces to its DISTINCT 16-byte content hashes before
-    * the anti-join, so at 100 TB that side shuffles one hash per
-    * distinct document and never re-reads or re-shuffles corpus text;
-    * nothing is ever recomputed over corpus×corpus.
+    * [[exactDedup]]) and (b) collisions with corpus content via an
+    * anti-join on the 16-byte hashes. With the hash frame persisted
+    * across ingests, per-batch cost is batch-sized; corpus text is
+    * never re-read and corpus×corpus work is never repeated.
     */
-  def incrementalExactDedup(
-      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val seen = corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+  def incrementalExactDedupByHashes(
+      corpusHashes: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame =
     exactDedup(batch, idCol, textCol)
       .withColumn("content_hash", md5(col(textCol)))
-      .join(seen, Seq("content_hash"), "left_anti")
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
       .drop("content_hash")
-  }
+
+  /** Convenience form that derives the hash frame from raw corpus text
+    * — one corpus scan per call; prefer
+    * [[incrementalExactDedupByHashes]] with a persisted hash frame for
+    * repeated ingests.
+    */
+  def incrementalExactDedup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    incrementalExactDedupByHashes(
+      corpusContentHashes(corpus, textCol), batch, idCol, textCol)
 
   /** Normalized-exact dedup key: casefolded, whitespace-collapsed,
     * trimmed — catches re-encodings of the same content that byte-exact

@@ -33,19 +33,27 @@ object LangModel {
       alpha: Double = 1.0): UnigramLM = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    // persisted: BOTH the total and the top-V collect consume this
+    // frame — without it the corpus-wide explode+aggregate runs twice
     val counts = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    // total over ALL tokens (pruned mass stays in the denominator so
-    // probabilities remain honest), vocab = deterministic top-V
-    val total = counts.agg(sum(col("c"))).head().getLong(0)
-    val vocab = counts.orderBy(col("c").desc, col("t")).limit(vocabSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val v = vocab.length
-    val denom = total + alpha * (v + 1)
-    UnigramLM(
-      vocab.map { case (t, c) => t -> math.log((c + alpha) / denom) }.toMap,
-      math.log(alpha / denom))
+      .persist()
+    try {
+      // total over ALL tokens (pruned mass stays in the denominator so
+      // probabilities remain honest), vocab = deterministic top-V.
+      // sum over zero rows is SQL NULL: an empty/all-NULL corpus yields
+      // the degenerate all-OOV model (empty vocab, p_oov = 1), not NPE.
+      val totalRow = counts.agg(sum(col("c"))).head()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val vocab = counts.orderBy(col("c").desc, col("t")).limit(vocabSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val v = vocab.length
+      val denom = total + alpha * (v + 1)
+      UnigramLM(
+        vocab.map { case (t, c) => t -> math.log((c + alpha) / denom) }.toMap,
+        math.log(alpha / denom))
+    } finally counts.unpersist()
   }
 
   /** Perplexity column `exp(-mean log p(token))` for a token-array

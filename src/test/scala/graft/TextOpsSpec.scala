@@ -193,6 +193,26 @@ class TextOpsSpec extends SparkSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("langmodel: empty corpus fits the degenerate all-OOV model, not NPE") {
+    import graft.operators.LangModel
+    val lm = LangModel.fitUnigram(
+      Seq.empty[(Long, String)].toDF("id", "text"), "text", 5)
+    assert(lm.logProbs.isEmpty)
+    assert(lm.oovLogProb == 0.0) // p_oov = alpha/(0 + alpha*1) = 1
+  }
+
+  test("incrementalExactDedupByHashes: persisted hash frame gives the same result") {
+    import graft.operators.Dedup
+    val corpus = Seq((0L, "alpha"), (1L, "beta")).toDF("id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "text")
+    val hashes = Dedup.corpusContentHashes(corpus, "text")
+    val viaHashes = Dedup.incrementalExactDedupByHashes(hashes, batch, "id", "text")
+      .select("id").as[Long].collect().toSet
+    val viaText = Dedup.incrementalExactDedup(corpus, batch, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(viaHashes == viaText && viaHashes == Set(11L))
+  }
+
   test("incrementalExactDedup: empty corpus degenerates to exactDedup") {
     import graft.operators.Dedup
     val corpus = Seq.empty[(Long, String)].toDF("id", "text")
