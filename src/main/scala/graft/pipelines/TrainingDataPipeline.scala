@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, LangModel, Packing, Pii, Sampling, TextAnalysis}
 
 /** End-to-end corpus preparation: the standard LLM training-data
   * sequence composed from the verified operators, each stage a
@@ -63,6 +63,37 @@ object TrainingDataPipeline {
       .select(col("corpus_id").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** PII redaction stage: pure regex projection (see [[Pii]]); run it
+    * FIRST so no later stage (or sink) ever sees raw identifiers, at
+    * the cost of hashing redacted text in the dedup stages — the
+    * standard compliance ordering.
+    */
+  def redact(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol, Pii.redact(col(textCol)))
+
+  /** Stricter rule-based gate than [[qualityFilter]]: the Gopher rule
+    * conjunction (word count, word length, symbol/alpha ratios,
+    * stopword presence). Still a pure projection.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(TextAnalysis.gopherPass(col(textCol)))
+
+  /** Model-based quality gate: drop documents whose unigram perplexity
+    * under a reference model exceeds `maxPerplexity` (CCNet-style).
+    * The model is fitted once (ideally on a trusted reference corpus)
+    * and scores as a shuffle-free projection.
+    */
+  def perplexityFilter(docs: DataFrame, textCol: String,
+      lm: LangModel.UnigramLM, maxPerplexity: Double): DataFrame =
+    docs.filter(
+      LangModel.perplexityCol(lm, TextAnalysis.tokens(col(textCol))) <= maxPerplexity)
+
+  /** Terminal packing stage: fixed-length training-sequence coordinates
+    * for the surviving corpus (see [[Packing.tokenSpans]]).
+    */
+  def pack(docs: DataFrame, idCol: String, textCol: String, seqLen: Long): DataFrame =
+    Packing.tokenSpans(docs, idCol, textCol, seqLen)
 
   /** Full sequence → (train, test). */
   def prepare(docs: DataFrame, idCol: String, textCol: String,

@@ -31,6 +31,37 @@ class PipelineSpec extends SparkSuite {
       cfg.contaminationNgram, cfg.maxContamination).count() == 0)
   }
 
+  test("new stages: redact removes PII, filters enforce their gates, pack tiles") {
+    import graft.operators.{LangModel, Pii, Packing}
+    // seed PII into a copy so redact has something to remove
+    val dirty = corpus.withColumn("text",
+      concat($"text", lit(" contact owner"), $"doc_id", lit("@example.com")))
+    val red = TrainingDataPipeline.redact(dirty, "text")
+    assert(red.filter(Pii.hasPii($"text")).count() == 0)
+    assert(red.filter($"text".contains("[EMAIL]")).count() == dirty.count())
+
+    val g = TrainingDataPipeline.gopherFilter(red, "text")
+    assert(g.count() > 0 && g.count() < red.count())
+    assert(g.filter(!TextAnalysis.gopherPass($"text")).count() == 0)
+
+    val lm = LangModel.fitUnigram(g, "text", vocabSize = 30)
+    val maxPpl = 40.0
+    val p = TrainingDataPipeline.perplexityFilter(g, "text", lm, maxPpl)
+    assert(p.count() > 0 && p.count() <= g.count())
+    assert(LangModel.perplexity(p, "doc_id", "text", lm)
+      .filter($"perplexity" > maxPpl).count() == 0)
+
+    val packed = TrainingDataPipeline.pack(p, "doc_id", "text", seqLen = 256)
+    val spans = packed.orderBy("doc_id")
+      .select("start_tok", "n_tokens").as[(Long, Long)].collect()
+    spans.sliding(2).foreach {
+      case Array((s0, n0), (s1, _)) => assert(s1 == s0 + n0)
+      case _ =>
+    }
+    assert(Packing.sequenceCount(p, "text", 256) ==
+      (spans.last._1 + spans.last._2 + 255) / 256)
+  }
+
   test("prepare: train/test disjoint, exhaustive over the cleaned set, deterministic") {
     val cfg = Config(nearDupJaccard = 0.5, maxContamination = 0.3, testFraction = 0.25)
     val (train, test) = TrainingDataPipeline.prepare(
