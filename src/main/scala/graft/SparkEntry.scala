@@ -495,6 +495,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted deterministic sampling: keep probability = the doc's
+    // (rounded) quality score, per-row 60-bit md5-prefix threshold.
+    // Rounding the weight to 4 digits first pins both engines to the
+    // identical double (tx_quality proves 4-digit agreement).
+    "sm_weighted" -> ((s, dir) =>
+      operators.Sampling.weightedHashSample(
+          T(s, dir, "documents"), "doc_id",
+          round(TextAnalysis.qualityScore(col("text")), 4), salt = "wq")
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     "tx_fingerprint" -> ((s, dir) => // custom 64-bit hashes — rows-only check
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -1595,6 +1606,28 @@ object SparkEntry {
       FROM t ORDER BY doc_id""",
     "dd_semdedup" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "sm_weighted" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+               len(text) AS nc FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / len(toks) AS sw,
+          CAST(nc - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / nc AS pr,
+          CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS ml
+        FROM t),
+      q AS (
+        SELECT doc_id, round(least(1.0e0, greatest(0.0e0,
+          (sw * 2.0e0 + (1.0e0 - pr)
+            + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+            / 3.0e0)), 4) AS w
+        FROM m)
+      SELECT doc_id FROM q
+      WHERE w >= 1e0
+         OR substr(md5(concat_ws('|', 'wq', CAST(doc_id AS VARCHAR))), 1, 15)
+            < printf('%015x', CAST(floor(w * 1152921504606846976e0) AS BIGINT))
+      ORDER BY doc_id""",
     "tx_perplexity" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t

@@ -57,6 +57,28 @@ object Sampling {
     (df.filter(!isTest), df.filter(isTest))
   }
 
+  /** Per-row 15-hex membership threshold for a rate COLUMN in [0,1) —
+    * the column form of [[Mixture.prefixThresholdHex]]: any engine
+    * with md5 + printf('%015x') reproduces membership bit-for-bit.
+    */
+  def prefixThreshold(rateCol: Column): Column =
+    format_string("%015x", floor(rateCol * lit(1152921504606846976.0)).cast("long"))
+
+  /** Weighted deterministic sampling: each row kept with probability
+    * `weightCol` (clamped to [0,1]), decided by its own 60-bit
+    * md5-prefix threshold — importance sampling (e.g. keep ∝ quality
+    * score) that stays a pure scan predicate: reproducible across
+    * runs, re-shardings, and engines, no RNG state. weight >= 1
+    * short-circuits to keep-all (its threshold would need a 16th hex
+    * digit and break the 15-char lexicographic compare).
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: Column,
+      salt: String = ""): DataFrame = {
+    val w = least(greatest(weightCol, lit(0.0)), lit(1.0))
+    val h = substring(keyHash(col(keyCol), salt), 1, 15)
+    df.filter(w >= 1.0 || h < prefixThreshold(w))
+  }
+
   /** Per-class fractions (stratified): `fractions` maps class value →
     * keep fraction; classes not listed are dropped, matching
     * `DataFrameStatFunctions.sampleBy` semantics — but deterministic in

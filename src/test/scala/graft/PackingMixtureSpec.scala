@@ -108,4 +108,26 @@ class PackingMixtureSpec extends SparkSuite {
     assert(Mixture.prefixThresholdHex(0.0) == "000000000000000")
     intercept[IllegalArgumentException](Mixture.prefixThresholdHex(1.0))
   }
+
+  test("weightedHashSample: weight 0 drops all, 1 keeps all, mid tracks rate") {
+    import graft.operators.Sampling
+    val df = spark.range(2000).toDF("id")
+    assert(Sampling.weightedHashSample(df, "id", lit(0.0)).count() == 0L)
+    assert(Sampling.weightedHashSample(df, "id", lit(1.0)).count() == 2000L)
+    assert(Sampling.weightedHashSample(df, "id", lit(1.5)).count() == 2000L) // clamp
+    val mid = Sampling.weightedHashSample(df, "id", lit(0.3), "s").count()
+    assert(mid > 450 && mid < 750, s"~600 expected, got $mid")
+  }
+
+  test("weightedHashSample: per-row column threshold matches scalar semantics") {
+    import graft.operators.{Mixture, Sampling}
+    val df = spark.range(1000).toDF("id")
+    // constant column weight must reproduce the scalar-threshold sample
+    val viaCol = Sampling.weightedHashSample(df, "id", lit(0.25), "t")
+      .select("id").as[Long].collect().toSet
+    val h = substring(Sampling.keyHash(col("id"), "t"), 1, 15)
+    val viaScalar = df.filter(h < lit(Mixture.prefixThresholdHex(0.25)))
+      .select("id").as[Long].collect().toSet
+    assert(viaCol == viaScalar && viaCol.nonEmpty)
+  }
 }
