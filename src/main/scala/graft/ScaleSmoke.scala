@@ -133,6 +133,21 @@ object ScaleSmoke {
         Map("c0" -> 0.4, "c1" -> 0.3, "c2" -> 0.2, "c3" -> 0.1), salt = "smoke")
         .count()
     }
+    timed("weightedHashSample 100k docs") {
+      graft.operators.Sampling.weightedHashSample(bigDocs, "doc_id",
+        graft.operators.TextAnalysis.qualityScore(col("text")), salt = "smoke").count()
+    }
+    val lm = timed("fitUnigram (vocab 1k)") {
+      graft.operators.LangModel.fitUnigram(bigDocs, "text", vocabSize = 1000)
+    }
+    timed("perplexity score 100k docs") {
+      graft.operators.LangModel.perplexity(bigDocs, "doc_id", "text", lm)
+        .agg(avg(col("perplexity"))).head()
+    }
+    timed("invertedIndex 100k docs") {
+      graft.operators.TextAnalysis.invertedIndex(bigDocs, "doc_id", "text")
+        .agg(sum(col("df"))).head()
+    }
     spark.stop()
   }
 }

