@@ -448,6 +448,14 @@ object SparkEntry {
           seqLen = 512, bucketSize = 64)
         .orderBy("doc_id")),
 
+    // Sliding-window chunking (RAG-style): explode-generator
+    // projection, clipped full-length tail window. chunkLen=64 <
+    // many docs' token count so multi-chunk fan-out is exercised.
+    "pk_chunks" -> ((s, dir) =>
+      operators.Packing.chunkSpans(T(s, dir, "documents"), "doc_id", "text",
+          chunkLen = 64, stride = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     // Mixture-balanced sampling: per-source keep rates from one tiny
     // agg (binding source rate = exactly 1.0 on this uniform corpus —
     // exercises the keep-all branch), membership via the 60-bit
@@ -1726,6 +1734,20 @@ object SparkEntry {
              (start_tok + greatest(n_tokens - 1, 0)) // 512 AS last_seq,
              start_tok % 512 AS seq_offset
       FROM s ORDER BY doc_id""",
+    "pk_chunks" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      k AS (
+        SELECT doc_id, n,
+               unnest(range(0, CASE WHEN n <= 64 THEN 0
+                                    ELSE (n - 64 + 15) // 16 END + 1)) AS chunk_id
+        FROM t WHERE n > 0)
+      SELECT doc_id, chunk_id,
+             least(chunk_id * 16, greatest(n - 64, 0)) AS tok_start,
+             least(64, n - least(chunk_id * 16, greatest(n - 64, 0))) AS tok_len
+      FROM k ORDER BY doc_id, chunk_id""",
     "sm_mixture" -> """
       WITH c AS (
         SELECT source, CAST(count(*) AS BIGINT) AS cnt,

@@ -59,6 +59,35 @@ object Packing {
       .select("doc_id", "n_tokens", "start_tok", "first_seq", "last_seq", "seq_offset")
   }
 
+  /** Sliding-window chunk coordinates per document (RAG-style):
+    * windows of `chunkLen` tokens advancing by `stride`
+    * (overlap = chunkLen − stride), the last window clipped back so it
+    * is full-length and ends exactly at the document's last token
+    * (documents shorter than `chunkLen` yield one short chunk).
+    * Emits (doc_id, chunk_id, tok_start, tok_len) — a pure
+    * explode-generator projection whose fan-out per row is bounded by
+    * n_tokens/stride; empty/NULL documents yield no chunks.
+    */
+  def chunkSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be >= 1, got $chunkLen")
+    require(stride >= 1 && stride <= chunkLen,
+      s"stride must be in [1, chunkLen], got $stride")
+    val n = coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0)).cast("long")
+    val lastK = when(n <= chunkLen, lit(0L))
+      .otherwise(intDiv(n - chunkLen + (stride - 1), stride))
+    val start = least(col("k") * stride, greatest(col("n") - chunkLen, lit(0L)))
+    docs.select(col(idCol).as("doc_id"), n.as("n"), lastK.as("last_k"))
+      .filter(col("n") > 0)
+      .withColumn("k", explode(sequence(lit(0L), col("last_k"))))
+      .select(
+        col("doc_id"),
+        col("k").as("chunk_id"),
+        start.as("tok_start"),
+        least(lit(chunkLen.toLong), col("n") - start).as("tok_len"))
+  }
+
   /** Total number of fixed-length sequences the packed corpus yields
     * (ceil(total_tokens / seqLen)) — one partially-aggregated reduce.
     */

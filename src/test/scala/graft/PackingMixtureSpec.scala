@@ -59,6 +59,49 @@ class PackingMixtureSpec extends SparkSuite {
     assert(Packing.sequenceCount(empty, "text", 4) == 0L)
   }
 
+  test("chunking: hand-checked windows, clipped full-length tail") {
+    // 10 tokens, chunkLen=4, stride=3 → starts 0,3,6 (6 = 10-4 exactly)
+    val d1 = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("id", "text")
+    val out1 = Packing.chunkSpans(d1, "id", "text", chunkLen = 4, stride = 3)
+      .select("chunk_id", "tok_start", "tok_len")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out1 == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    // 9 tokens, chunkLen=4, stride=3 → starts 0,3,then clip 6→5 (full 4)
+    val d2 = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8")).toDF("id", "text")
+    val out2 = Packing.chunkSpans(d2, "id", "text", 4, 3)
+      .select("chunk_id", "tok_start", "tok_len")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out2 == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 5L, 4L)))
+    // short doc: one clipped chunk; null text: no chunks
+    val d3 = Seq((0L, "a b"), (1L, null)).toDF("id", "text")
+    val out3 = Packing.chunkSpans(d3, "id", "text", 4, 3)
+      .select("doc_id", "chunk_id", "tok_start", "tok_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out3 == Seq((0L, 0L, 0L, 2L)))
+  }
+
+  test("chunking: every token is covered and windows stay in bounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = Packing.chunkSpans(docs, "doc_id", "text", 64, 16)
+      .select("doc_id", "tok_start", "tok_len").as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+    val nTok = docs.select($"doc_id",
+        size(graft.operators.TextAnalysis.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    chunks.foreach { case (id, cs) =>
+      val n = nTok(id)
+      assert(cs.forall { case (_, s, l) => s >= 0 && l >= 1 && s + l <= n })
+      assert(cs.head._2 == 0, "first window starts at 0")
+      assert(cs.map(c => c._2 + c._3).max == n, "last window ends at n")
+      // successive windows overlap or abut — no token gap
+      val sorted = cs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s0, l0), (_, s1, _)) => assert(s1 <= s0 + l0)
+        case _ =>
+      }
+    }
+  }
+
   private def mixDf = (0L until 200L).map { i =>
     (i, s"cls${(i % 4).toInt}")
   }.toDF("id", "cls") // 50 rows per class
