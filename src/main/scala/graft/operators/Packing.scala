@@ -66,7 +66,10 @@ object Packing {
     * (documents shorter than `chunkLen` yield one short chunk).
     * Emits (doc_id, chunk_id, tok_start, tok_len) — a pure
     * explode-generator projection whose fan-out per row is bounded by
-    * n_tokens/stride; empty/NULL documents yield no chunks.
+    * n_tokens/stride. NULL documents yield no chunks; an empty-string
+    * document tokenizes to [""] (split("") convention, matching
+    * engines like DuckDB) and so yields one 1-token chunk like any
+    * other single-token document.
     */
   def chunkSpans(
       docs: DataFrame, idCol: String, textCol: String,

@@ -57,13 +57,6 @@ object Sampling {
     (df.filter(!isTest), df.filter(isTest))
   }
 
-  /** Per-row 15-hex membership threshold for a rate COLUMN in [0,1) —
-    * the column form of [[Mixture.prefixThresholdHex]]: any engine
-    * with md5 + printf('%015x') reproduces membership bit-for-bit.
-    */
-  def prefixThreshold(rateCol: Column): Column =
-    format_string("%015x", floor(rateCol * lit(1152921504606846976.0)).cast("long"))
-
   /** Weighted deterministic sampling: each row kept with probability
     * `weightCol` (clamped to [0,1]), decided by its own 60-bit
     * md5-prefix threshold — importance sampling (e.g. keep ∝ quality
