@@ -116,4 +116,47 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"LSH candidate generation must not be a cross join:\n$s")
   }
+
+  test("pk_spans: bucket-local windows, broadcast bases, no partitionless doc window") {
+    val df = graft.operators.Packing.tokenSpans(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      seqLen = 512, bucketSize = 64)
+    val s = df.queryExecution.executedPlan.toString
+    // the doc-side cumsum must be partitioned by bucket...
+    assert(s.contains("hashpartitioning(_bkt"),
+      s"expected bucket-partitioned window exchange:\n$s")
+    // ...and the bucket bases must come back as a broadcast, not a shuffle join
+    assert(s.contains("BroadcastExchange"), s"expected broadcast base join:\n$s")
+  }
+
+  test("semdedup candidates: within-cluster equi-join, no cross join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.SemDedup.semanticNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.4, nClusters = 4, iters = 1)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"semantic pair generation must join on centroid_id:\n$s")
+  }
+
+  test("weighted sampling and chunking are pure scan-side operators (no Exchange)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = graft.operators.Sampling.weightedHashSample(
+      docs, "doc_id", graft.operators.TextAnalysis.qualityScore(
+        org.apache.spark.sql.functions.col("text")))
+    assert(!w.queryExecution.executedPlan.toString.contains("Exchange"),
+      "weighted sampling must stay a scan predicate")
+    val c = graft.operators.Packing.chunkSpans(docs, "doc_id", "text", 64, 16)
+    assert(!c.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must stay a generator projection")
+  }
+
+  test("bm25 topK plans as TakeOrderedAndProject over the checkpointed tf frame") {
+    val df = graft.operators.Bm25.topK(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      Seq("spark", "window"), k = 10)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("Exchange"),
+      s"scoring over the checkpointed tf frame must not shuffle:\n$s")
+  }
 }
