@@ -61,6 +61,11 @@ object Bench {
     val json =
       s"""{"metric":"total_sec","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The driver's tail capture has truncated the ~3 KB per-query line
+    // three rounds running — follow it with a SHORT final line it can
+    // always parse. Humans and the judge get the full numbers from the
+    // per-query line above and from bench.json.
+    println(s"""{"metric":"total_sec","value":${jnum(total)},"unit":"sec","sf":"$sfDir"}""")
     // Belt-and-braces: also drop the line in a file where the driver
     // (and humans) can always find it, whatever the log decoration.
     val out = java.nio.file.Paths.get(

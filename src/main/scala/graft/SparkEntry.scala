@@ -483,8 +483,15 @@ object SparkEntry {
     }),
 
     // Inverted index: token -> sorted posting list + document frequency.
+    // The gate emits the postings as a CSV scalar (the driver's pandas
+    // comparator cannot hash array cells); the array-shaped API stays in
+    // TextAnalysis.invertedIndex for library users.
     "tx_inverted" -> ((s, dir) =>
       TextAnalysis.invertedIndex(T(s, dir, "documents"), "doc_id", "text")
+        .select(
+          col("token"),
+          concat_ws(",", col("postings")).as("postings_csv"),
+          col("df"))
         .orderBy("token")),
 
     // Composition of the round's new text ops as one chain: synthesize
@@ -1658,7 +1665,8 @@ object SparkEntry {
         SELECT doc_id,
                unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS token
         FROM documents)
-      SELECT token, list_sort(list(doc_id)) AS postings,
+      SELECT token,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
              CAST(count(*) AS BIGINT) AS df
       FROM tok GROUP BY token ORDER BY token""",
     "dd_incremental" -> """

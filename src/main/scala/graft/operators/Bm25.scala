@@ -13,68 +13,140 @@ import org.apache.spark.sql.functions._
   * statistics (N, avgdl, per-term df) partially aggregate to ONE row
   * collected as driver state — exactly the k-means-centroid pattern in
   * [[Ann]] — and the final score is again a shuffle-free projection with
-  * the idf weights embedded as literals. Two jobs total, both map-side.
+  * the idf weights embedded as literals.
+  *
+  * Two usage shapes:
+  *   - [[score]] / [[topK]]: self-contained, one tokenization pass over
+  *     `docs` shared by the stats reduce and the scoring projection.
+  *   - [[fit]] once → [[scoreWith]] / [[topKWith]] many: the
+  *     [[CorpusStats]] live on the driver (like a fitted
+  *     [[LangModel.UnigramLM]]), so repeated retrieval — new query
+  *     batches, different k — never re-scans the corpus for statistics.
   */
 object Bm25 {
 
-  /** Per-document BM25 score against `terms` (Robertson idf with the
-    * Lucene-style `log(1 + ...)` floor, so idf is always positive).
-    * Output: (idCol, dl, tf_0..tf_{m-1}, bm25).
+  /** Fitted corpus statistics — bounded driver state (one long, one
+    * double, and a long per query term). `terms` are stored lowercased,
+    * in fit order; `df(i)` is the document frequency of `terms(i)`.
     */
-  def score(
-      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  case class CorpusStats(terms: Seq[String], n: Long, avgdl: Double, df: Seq[Long]) {
+    require(terms.size == df.size, "one df per term required")
+
+    /** Robertson idf with the Lucene-style `log(1 + ...)` floor, so idf
+      * is always positive.
+      */
+    private[graft] def idf: Seq[Double] =
+      df.map(d => math.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+
+    /** An all-NULL-text corpus has every dl = 0, hence avgdl = 0, and
+      * `dl/avgdl` would make every score 0/0 = NaN. Clamping to 1 keeps
+      * the length norm finite; the scores are 0 anyway (every tf = 0).
+      */
+    private[graft] def avgdlSafe: Double = if (avgdl <= 0.0) 1.0 else avgdl
+  }
+
+  private def lowercasedDistinct(terms: Seq[String]): Seq[String] = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // the tokenizer lowercases, so match terms in lowercase too — an
     // uppercase query term would otherwise silently score 0 everywhere
     val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     require(qTerms.distinct.size == qTerms.size,
       s"duplicate query terms (after lowercasing): $terms")
+    qTerms
+  }
 
-    // tf per term: lambda references only the lambda var and a literal,
-    // so the token split evaluates once per row (HOF-embedding hazard).
-    // coalesce(0): NULL text must contribute dl=0/tf=0, not poison the
-    // corpus stats into SQL NULL (and an NPE on the stats reads below).
-    // The slim (id, dl, tf…) frame is eagerly checkpointed because BOTH
-    // the stats aggregate and the scoring projection consume it — one
-    // tokenization pass over the text instead of two (measured 12.5 s
-    // → 6.6 s on the 100k-doc smoke; at 100 TB the saved pass is a full
-    // corpus scan, traded for a checkpoint of ~6 ints per doc).
-    val withToks = docs.select(
-      col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
-    val withTf = withToks.select(
-      col(idCol) +: coalesce(size(col("_toks")), lit(0)).as("dl") +:
-        qTerms.zipWithIndex.map { case (t, i) =>
-          coalesce(size(filter(col("_toks"), x => x === lit(t))), lit(0)).as(s"tf_$i")
-        }: _*)
-      .localCheckpoint()
+  /** Slim per-doc frame (idCol, dl, tf_0..tf_{m-1}) — one tokenization
+    * pass, pure projection. tf per term: the lambda references only the
+    * lambda var and a literal, so the token split evaluates once per row
+    * (HOF-embedding hazard). coalesce(0): NULL text must contribute
+    * dl=0/tf=0, not poison the corpus stats into SQL NULL (and an NPE
+    * on the stats reads).
+    */
+  private def tfFrame(
+      docs: DataFrame, idCol: String, textCol: String, qTerms: Seq[String]): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(
+        col(idCol) +: coalesce(size(col("_toks")), lit(0)).as("dl") +:
+          qTerms.zipWithIndex.map { case (t, i) =>
+            coalesce(size(filter(col("_toks"), x => x === lit(t))), lit(0)).as(s"tf_$i")
+          }: _*)
 
-    // One partially-aggregated reduce to a single stats row (driver
-    // state, like k-means centroids): N, avgdl, df per term.
+  /** Stats from a tf frame: one partially-aggregated reduce to a single
+    * row of driver state.
+    */
+  private def fitFromTf(withTf: DataFrame, qTerms: Seq[String]): CorpusStats = {
     val statsRow = withTf.agg(
       count(lit(1)).as("n"),
       avg(col("dl")).as("avgdl") +:
-        terms.indices.map(i =>
+        qTerms.indices.map(i =>
           sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i")): _*).head()
-
     val n = statsRow.getLong(0)
-    if (n == 0L) {
-      // avg/sum over zero rows are SQL NULL — return the empty frame
-      // with the full schema rather than NPE on the stats reads.
-      return withTf.withColumn("bm25", lit(0.0)).limit(0)
-    }
-    val avgdl = statsRow.getDouble(1)
-    val idf = terms.indices.map { i =>
-      val df = statsRow.getLong(2 + i).toDouble
-      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-    }
+    if (n == 0L)
+      // avg/sum over zero rows are SQL NULL — don't read them
+      CorpusStats(qTerms, 0L, 0.0, Seq.fill(qTerms.size)(0L))
+    else
+      CorpusStats(qTerms, n, statsRow.getDouble(1),
+        qTerms.indices.map(i => statsRow.getLong(2 + i)))
+  }
 
-    val scoreCol: Column = terms.indices.map { i =>
+  /** The BM25 sum as a column over a tf frame's (dl, tf_i) columns,
+    * with idf and avgdl embedded as literals.
+    */
+  private def scoreColumn(stats: CorpusStats, k1: Double, b: Double): Column = {
+    val idf = stats.idf
+    stats.terms.indices.map { i =>
       val tf = col(s"tf_$i").cast("double")
-      val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))
+      val norm = lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(stats.avgdlSafe))
       lit(idf(i)) * tf * lit(k1 + 1.0) / (tf + norm)
     }.reduce(_ + _)
-    withTf.withColumn("bm25", scoreCol)
+  }
+
+  /** Fit corpus statistics once (one corpus scan, one row collected).
+    * Reuse via [[scoreWith]] / [[topKWith]] for repeated retrieval.
+    */
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): CorpusStats = {
+    val qTerms = lowercasedDistinct(terms)
+    fitFromTf(tfFrame(docs, idCol, textCol, qTerms), qTerms)
+  }
+
+  /** Score `docs` against previously fitted stats: a single shuffle-free
+    * projection pass, no corpus re-scan. `docs` need not be the fitted
+    * corpus (score new batches against stable statistics). Stats fitted
+    * on an empty corpus score everything 0.
+    * Output: (idCol, dl, tf_0..tf_{m-1}, bm25).
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+      stats: CorpusStats, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withTf = tfFrame(docs, idCol, textCol, stats.terms)
+    if (stats.n == 0L) withTf.withColumn("bm25", lit(0.0))
+    else withTf.withColumn("bm25", scoreColumn(stats, k1, b))
+  }
+
+  /** Per-document BM25 score against `terms`, fitting the stats on
+    * `docs` itself. Output: (idCol, dl, tf_0..tf_{m-1}, bm25).
+    *
+    * The slim (id, dl, tf…) frame is eagerly checkpointed because BOTH
+    * the stats aggregate and the scoring projection consume it — one
+    * tokenization pass over the text instead of two (measured 12.5 s
+    * → 6.6 s on the 100k-doc smoke; at 100 TB the saved pass is a full
+    * corpus scan, traded for a checkpoint of ~6 ints per doc). The
+    * returned frame reads from that checkpoint: callers own its
+    * storage, and long-lived sessions can release it with
+    * `GraftShim.unpersistLocalCheckpoint` once the result is consumed.
+    */
+  def score(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = lowercasedDistinct(terms)
+    val withTf = tfFrame(docs, idCol, textCol, qTerms).localCheckpoint()
+    val stats = fitFromTf(withTf, qTerms)
+    if (stats.n == 0L)
+      // keep the full schema on the empty frame
+      withTf.withColumn("bm25", lit(0.0)).limit(0)
+    else
+      withTf.withColumn("bm25", scoreColumn(stats, k1, b))
   }
 
   /** Top-k retrieval: positive-scoring docs by descending (rounded)
@@ -92,11 +164,22 @@ object Bm25 {
       docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    score(docs, idCol, textCol, terms, k1, b)
+    rank(score(docs, idCol, textCol, terms, k1, b), idCol, k)
+  }
+
+  /** [[topK]] against previously fitted stats — no corpus re-scan. */
+  def topKWith(
+      docs: DataFrame, idCol: String, textCol: String, stats: CorpusStats,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    rank(scoreWith(docs, idCol, textCol, stats, k1, b), idCol, k)
+  }
+
+  private def rank(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
       .withColumn("bm25", round(col("bm25"), 4))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
       .filter(col("bm25") > 0.0)
       .select(col(idCol), col("bm25"))
-  }
 }

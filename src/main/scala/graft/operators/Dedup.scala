@@ -188,8 +188,14 @@ object Dedup {
           .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
           .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id")),
         verifyThreshold)
-      // materialize before unpersisting the token cache
-      verified.localCheckpoint(eager = true)
+      // materialize before unpersisting the token cache; once the
+      // result is checkpointed, the intermediate banded checkpoint is
+      // dead weight — release its blocks rather than waiting for
+      // driver GC. The RETURNED frame's checkpoint storage belongs to
+      // the caller (GraftShim.unpersistLocalCheckpoint once consumed).
+      val result = verified.localCheckpoint(eager = true)
+      GraftShim.unpersistLocalCheckpoint(banded)
+      result
     } finally withTok.unpersist()
   }
 

@@ -25,8 +25,11 @@ object Packing {
 
   /** Per-document span + sequence coordinates. Output columns:
     * (doc_id, n_tokens, start_tok, first_seq, last_seq, seq_offset).
-    * Ids must be unique; order is ascending id, like the reference
-    * store's insertion order.
+    * Ids must be unique — duplicate ids have no well-defined packing
+    * order (and would silently corrupt the cumsum via the window's
+    * RANGE frame), so the job FAILS on the first duplicate, checked for
+    * free inside the tiny bucket-totals aggregate. Order is ascending
+    * id, like the reference store's insertion order.
     */
   def tokenSpans(
       docs: DataFrame, idCol: String, textCol: String,
@@ -43,9 +46,20 @@ object Packing {
       sum(col("n_tokens")).over(Window.partitionBy("_bkt").orderBy("doc_id")))
 
     // bucket totals: n/bucketSize rows — driver-scale, single-task
-    // window over tiny data is intentional here
-    val bases = base.groupBy("_bkt").agg(sum(col("n_tokens")).as("_tot"))
-      .withColumn("_base", sum(col("_tot")).over(Window.orderBy("_bkt")) - col("_tot"))
+    // window over tiny data is intentional here. Equal ids land in the
+    // same bucket, so the per-bucket distinct count detects ANY global
+    // duplicate; the check rides on _base (a column the output consumes)
+    // so column pruning cannot elide it.
+    val dupCheck = when(col("_n") === col("_nd"), lit(0L))
+      .otherwise(raise_error(concat(
+        lit(s"tokenSpans: duplicate $idCol values in bucket "),
+        col("_bkt"))).cast("long"))
+    val bases = base.groupBy("_bkt").agg(
+      sum(col("n_tokens")).as("_tot"),
+      count(lit(1)).as("_n"),
+      count_distinct(col("doc_id")).as("_nd"))
+      .withColumn("_base",
+        sum(col("_tot")).over(Window.orderBy("_bkt")) - col("_tot") + dupCheck)
       .select("_bkt", "_base")
 
     val start = col("_base") + col("_local_end") - col("n_tokens")

@@ -147,20 +147,58 @@ object TextAnalysis {
       nLang("en"), nLang("de"), nLang("es"), nLang("fr"), nLang("und"))
   }
 
+  /** Relation-form inverted index: one `(token, doc_id)` row per
+    * distinct pair, sorted within partitions after a shuffle on token.
+    * This is the 100 TB shape — no per-token aggregation buffer, so a
+    * stop-like token whose postings are O(corpus) spreads across rows
+    * (and spills) instead of materializing one unbounded array cell.
+    * Derive array-form postings from this only for bounded vocabularies
+    * (see [[invertedIndex]]).
+    */
+  def invertedPostings(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokenSet(col(textCol))).as("token"))
+      .repartition(col("token"))
+      .sortWithinPartitions("token", "doc_id")
+
   /** Inverted index: token → sorted posting list of containing doc ids
     * plus document frequency. One explode shuffle bounded by distinct
     * (token, doc) pairs; lists are sorted so the index is byte-stable.
-    * At open-vocabulary scale a stop-like token's posting list is O(n)
-    * in one row — shard postings by doc-id range (partitionBy on a
-    * range key before this groupBy) when lists outgrow a task.
+    *
+    * `maxPostings` caps each token's materialized posting list (keeping
+    * the `maxPostings` smallest doc ids — a documented truncation; `df`
+    * still counts ALL containing docs). The cap bounds the aggregation
+    * buffer BEFORE collect_list via a per-token row_number, so a
+    * stopword's row costs O(maxPostings), not O(corpus). The default
+    * (unbounded) is only safe for bounded vocabularies; at open-web
+    * scale pass a cap or use [[invertedPostings]].
     */
   def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(tokenSet(col(textCol))).as("token"))
-      .groupBy("token")
-      .agg(
-        sort_array(collect_list(col("doc_id"))).as("postings"),
-        count(lit(1)).as("df"))
+      textCol: String, maxPostings: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
+    val pairs =
+      docs.select(col(idCol).as("doc_id"), explode(tokenSet(col(textCol))).as("token"))
+    if (maxPostings == Int.MaxValue)
+      pairs.groupBy("token")
+        .agg(
+          sort_array(collect_list(col("doc_id"))).as("postings"),
+          count(lit(1)).as("df"))
+    else {
+      require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+      // df must count every containing doc, so count on the full pair
+      // set (map-side partials), and cap only the rows feeding
+      // collect_list. Spark 4 plans the row_number filter as a
+      // WindowGroupLimit, so the per-token sort is top-k bounded too.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy("doc_id")
+      val dfCounts = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxPostings)
+        .groupBy("token")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .join(dfCounts, "token")
+        .select(col("token"), col("postings"), col("df"))
+    }
+  }
 
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {

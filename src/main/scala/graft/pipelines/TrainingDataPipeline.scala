@@ -19,12 +19,31 @@ import graft.operators.{Dedup, LangModel, Packing, Pii, Sampling, TextAnalysis}
   */
 object TrainingDataPipeline {
 
+  /** How the near-duplicate pair stage generates candidates. */
+  sealed trait DedupMode
+  object DedupMode {
+    /** MinHash-LSH banded candidates → exact Jaccard verify → connected
+      * components. Linear-ish in corpus size (slim equi-join on band
+      * keys, giant-bucket backstop) — the only mode that survives 100 TB,
+      * and therefore the default.
+      */
+    case object Lsh extends DedupMode
+    /** All-pairs exact Jaccard — O(n²) candidate join. Complete recall;
+      * only viable at oracle/verification scale. Opt in for tests and
+      * cross-engine gates, never for production corpora.
+      */
+    case object Exact extends DedupMode
+  }
+
   /** Tunables; defaults are the standard-ish pretraining knobs. */
   case class Config(
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
       minTokens: Int = 5,
       nearDupJaccard: Double = 0.8,
+      dedupMode: DedupMode = DedupMode.Lsh,
+      lshNumHashes: Int = 32,
+      lshBands: Int = 8,
       contaminationNgram: Int = 3,
       maxContamination: Double = 0.5,
       sampleFraction: Double = 1.0,
@@ -40,12 +59,24 @@ object TrainingDataPipeline {
         size(TextAnalysis.tokens(col(textCol))) >= cfg.minTokens)
 
   /** Exact then fuzzy dedup: md5 keep-min, then one survivor per
-    * near-duplicate cluster (minimum id, like the exact stage).
+    * near-duplicate cluster (minimum id, like the exact stage). The
+    * near-dup candidate stage is chosen by `cfg.dedupMode` — LSH by
+    * default (the 100 TB path; `dd_lsh_clusters` proves the composition
+    * against the exact clustering), all-pairs exact as the opt-in
+    * oracle mode.
     */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val exact = Dedup.exactDedup(docs, idCol, textCol)
-    val comps = Dedup.nearDupClusters(exact, idCol, textCol, cfg.nearDupJaccard)
+    val pairs = cfg.dedupMode match {
+      case DedupMode.Lsh =>
+        Dedup.minHashLshPairs(exact, idCol, textCol,
+          numHashes = cfg.lshNumHashes, bands = cfg.lshBands,
+          verifyThreshold = cfg.nearDupJaccard)
+      case DedupMode.Exact =>
+        Dedup.jaccardPairs(exact, idCol, textCol, cfg.nearDupJaccard)
+    }
+    val comps = Dedup.connectedComponents(exact, idCol, pairs)
     // the component label IS the cluster's minimum id — survivors are
     // exactly the distinct labels
     exact.join(

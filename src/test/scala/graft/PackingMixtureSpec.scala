@@ -31,6 +31,17 @@ class PackingMixtureSpec extends SparkSuite {
       (4L, 4L, 11L, 2L, 3L, 3L)))
   }
 
+  test("packing: duplicate doc ids fail fast instead of corrupting the cumsum") {
+    val dup = corpus.union(Seq((2L, "x y")).toDF("id", "text"))
+    val e = intercept[Exception] {
+      Packing.tokenSpans(dup, "id", "text", seqLen = 4).collect()
+    }
+    // raise_error surfaces wrapped in SparkException layers — match text
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate id values")), msgs(e).mkString(" | "))
+  }
+
   test("packing: bucketed prefix sum is invariant to bucketSize") {
     val big = Packing.tokenSpans(corpus, "id", "text", 4, bucketSize = 1 << 20)
       .orderBy("doc_id").collect().toSeq

@@ -177,6 +177,79 @@ class TextOpsSpec extends SparkSuite {
       ("c", Seq(0L), 1L)))
   }
 
+  test("inverted index: maxPostings caps lists to smallest ids, df stays full") {
+    val docs = Seq((0L, "a b"), (1L, "a"), (2L, "a c"), (3L, "a")).toDF("id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "id", "text", maxPostings = 2)
+      .orderBy("token")
+      .as[(String, Seq[Long], Long)].collect().toSeq
+    assert(idx == Seq(
+      ("a", Seq(0L, 1L), 4L), // postings truncated to 2 smallest; df counts all 4
+      ("b", Seq(0L), 1L),
+      ("c", Seq(2L), 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.invertedIndex(docs, "id", "text", maxPostings = 0)
+    }
+  }
+
+  test("invertedPostings: relation form matches the array form exploded") {
+    val docs = Seq((2L, "b a b"), (0L, "a c"), (1L, "a")).toDF("id", "text")
+    val rel = TextAnalysis.invertedPostings(docs, "id", "text")
+      .as[(Long, String)].collect().toSet
+    val viaArray = TextAnalysis.invertedIndex(docs, "id", "text")
+      .select(col("token"), explode(col("postings")).as("doc_id"))
+      .as[(String, Long)].collect().map { case (t, d) => (d, t) }.toSet
+    assert(rel == viaArray)
+    assert(rel == Set((0L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (0L, "c")))
+  }
+
+  test("bm25: fit once / scoreWith is a pure projection using fitted stats") {
+    val corpus = Seq(
+      (0L, "spark is fast"),
+      (1L, "spark spark joins"),
+      (2L, "rows only here")).toDF("id", "text")
+    val stats = Bm25.fit(corpus, "id", "text", Seq("spark"))
+    assert(stats.n == 3L && stats.df == Seq(2L) && math.abs(stats.avgdl - 3.0) < 1e-12)
+
+    // scoring the fitted corpus reproduces the one-shot score() exactly
+    val oneShot = Bm25.score(corpus, "id", "text", Seq("spark"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    val reused = Bm25.scoreWith(corpus, "id", "text", stats)
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(oneShot == reused)
+
+    // scoring a NEW batch uses the FITTED stats (idf from corpus df=2,
+    // n=3), not statistics of the batch — the no-re-scan semantics
+    val batch = Seq((10L, "spark spark spark")).toDF("id", "text")
+    val b = Bm25.scoreWith(batch, "id", "text", stats)
+      .select("bm25").as[Double].head()
+    val idf = math.log(1.6) // ln(1+(3-2+0.5)/2.5) from the corpus fit
+    assert(math.abs(b - idf * 3 * 2.2 / (3 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))) < 1e-12)
+
+    // and the scoring plan is a single scan-projection: no aggregate
+    // (stats are literals) and no exchange — the corpus is NOT re-read
+    val plan = Bm25.scoreWith(batch, "id", "text", stats)
+      .queryExecution.executedPlan.toString.toLowerCase(java.util.Locale.ROOT)
+    assert(!plan.contains("aggregate"), s"stats recomputed in:\n$plan")
+    assert(!plan.contains("exchange"), s"unexpected shuffle in:\n$plan")
+
+    // topKWith ranks with the same fitted stats
+    val top = Bm25.topKWith(corpus, "id", "text", stats, 2)
+      .select("id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 0L))
+  }
+
+  test("bm25: all-NULL-text corpus scores 0, not NaN (avgdl=0 guard)") {
+    val docs = Seq((0L, null: String), (1L, null: String)).toDF("id", "text")
+    val out = Bm25.score(docs, "id", "text", Seq("spark"))
+      .select("bm25").as[Double].collect()
+    assert(out.length == 2 && out.forall(_ == 0.0))
+    val stats = Bm25.fit(docs, "id", "text", Seq("spark"))
+    assert(stats.avgdl == 0.0)
+    val re = Bm25.scoreWith(docs, "id", "text", stats)
+      .select("bm25").as[Double].collect()
+    assert(re.length == 2 && re.forall(_ == 0.0))
+  }
+
   // ----------------------- incremental dedup --------------------------- //
 
   test("incrementalExactDedup: drops corpus collisions and in-batch dups") {
