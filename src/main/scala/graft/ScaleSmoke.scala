@@ -148,6 +148,60 @@ object ScaleSmoke {
       graft.operators.TextAnalysis.invertedIndex(bigDocs, "doc_id", "text")
         .agg(sum(col("df"))).head()
     }
+    timed("invertedIndex capped (1024)") {
+      // bounded agg buffers: the widest posting row must honor the cap
+      // even though stop-like tokens contain O(corpus) docs
+      val r = graft.operators.TextAnalysis
+        .invertedIndex(bigDocs, "doc_id", "text", maxPostings = 1024)
+        .agg(max(size(col("postings"))).as("widest"), sum(col("df")).as("df"))
+        .head()
+      println(s"SMOKE   widest postings row: ${r.getInt(0)} (cap 1024)")
+      require(r.getInt(0) <= 1024)
+    }
+    timed("invertedPostings relation") {
+      graft.operators.TextAnalysis.invertedPostings(bigDocs, "doc_id", "text").count()
+    }
+
+    // ---- the whole pipeline, end-to-end, LSH-mode dedup (default) ----
+    // Stage-by-stage so SCALE.md records survivor counts; bands=4
+    // (r=8, S-curve ~0.84) matches the ~0.98-Jaccard replica corpus —
+    // the same knob any 100 TB run tunes to its dup profile.
+    {
+      val bench = bigDocs.filter(col("doc_id") < 200)
+      val corpus = bigDocs.filter(col("doc_id") >= 200)
+      val cfg = graft.pipelines.TrainingDataPipeline.Config(
+        nearDupJaccard = 0.8, lshBands = 4, maxContamination = 0.05,
+        testFraction = 0.05)
+      val t0 = System.nanoTime()
+      val q = timed("pipeline: qualityFilter") {
+        val f = graft.pipelines.TrainingDataPipeline
+          .qualityFilter(corpus, "doc_id", "text", cfg)
+          .localCheckpoint()
+        println(s"SMOKE   quality survivors: ${f.count()}")
+        f
+      }
+      val d = timed("pipeline: dedup (LSH+CC)") {
+        val f = graft.pipelines.TrainingDataPipeline
+          .dedup(q, "doc_id", "text", cfg).localCheckpoint()
+        println(s"SMOKE   dedup survivors: ${f.count()}")
+        f
+      }
+      val c = timed("pipeline: decontaminate") {
+        val f = graft.pipelines.TrainingDataPipeline
+          .decontaminate(d, "doc_id", "text", bench, "doc_id", "text", cfg)
+          .localCheckpoint()
+        println(s"SMOKE   decontaminated survivors: ${f.count()}")
+        f
+      }
+      timed("pipeline: split+pack") {
+        val (train, _) = graft.operators.Sampling.hashSplit(
+          c, "doc_id", cfg.testFraction, cfg.salt + "|split")
+        val spans = graft.pipelines.TrainingDataPipeline
+          .pack(train, "doc_id", "text", seqLen = 2048)
+        println(s"SMOKE   train spans: ${spans.count()}")
+      }
+      println(f"SMOKE pipeline TOTAL              ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     spark.stop()
   }
 }

@@ -289,6 +289,39 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) => // custom hash family — rows-only check
       Dedup.simHashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("a_id", "b_id")),
+    // Closes the dd_simhash oracle gap with two containments in one row:
+    // (1) pigeonhole exactness — the quarter-block LSH pair set must
+    // EQUAL the brute-force all-pairs Hamming<=3 set (4x16-bit blocks
+    // guarantee recall at <=3 flipped bits; the explicit hamming filter
+    // guarantees precision), counted missing AND extra; (2) cross-engine
+    // anchor — every simhash pair must appear in the exact token-Jaccard
+    // pair set at a loose 0.5 threshold, the same family DuckDB
+    // hash-verifies in dd_jaccard_pairs (observed floor on this corpus:
+    // jaccard 0.767 at Hamming<=3, so 0.5 is a wide margin). Mutation-
+    // checked: tightening the anchor to 0.8 produces escapes.
+    "dd_simhash_containment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select(col("a_id"), col("b_id"), col("hamming"), lit(1).as("s"))
+      val sigs = docs.select(col("doc_id").cast("long").as("id"),
+        graft.functions.simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
+      val brute = sigs.select(col("id").as("a_id"), col("sig").as("a_sig"))
+        .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")),
+          col("a_id") < col("b_id"))
+        .withColumn("hamming", graft.functions.hamming64(col("a_sig"), col("b_sig")))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"), lit(1).as("bk"))
+      val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+        .select(col("a_id"), col("b_id"), lit(1).as("jok"))
+      sim.join(brute, Seq("a_id", "b_id", "hamming"), "full_outer")
+        .join(jac, Seq("a_id", "b_id"), "left_outer")
+        .agg(
+          sum(when(col("s").isNull, 1).otherwise(0)).cast("long").as("pigeonhole_missed"),
+          sum(when(col("bk").isNull, 1).otherwise(0)).cast("long").as("false_pairs"),
+          sum(when(col("s").isNotNull && col("jok").isNull, 1).otherwise(0))
+            .cast("long").as("jaccard_escapes"),
+          (count(lit(1)) > 0).as("has_pairs"))
+    }),
     "dd_embed_neardup" -> ((s, dir) =>
       SimilarityJoin.cosineNearDupPairs(
           T(s, dir, "embeddings").filter(col("vec_id") < 400), "vec_id", "embedding", 0.4)
@@ -465,6 +498,35 @@ object SparkEntry {
           Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
           salt = "mix")
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Temperature-flattened sampling (alpha=0.5 over the language mix):
+    // rates derive from UNNORMALIZED sqrt weights so every float op in
+    // the chain is correctly rounded (sqrt, /, *, min) and DuckDB
+    // reproduces the 60-bit thresholds bit-for-bit — the normalizer
+    // would inject an order-sensitive float sum.
+    "sm_temperature" -> ((s, dir) =>
+      operators.Mixture.temperatureSample(T(s, dir, "documents"), "doc_id", "lang",
+          Seq("de", "en", "es", "fr", "zh"), alpha = 0.5, salt = "temp")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Per-source quota (C4-style domain cap): smallest-membership-hash
+    // winners, deterministic across engines; the row_number cap plans
+    // as WindowGroupLimit (bounded per-key top-k before the exchange).
+    "sm_source_cap" -> ((s, dir) =>
+      operators.Sampling.perKeyCap(T(s, dir, "documents"), "source", "doc_id",
+          cap = 5, salt = "cap")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Duplicated token-span stats (Lee-et-al substring-dedup signal):
+    // per-doc count/fraction of 8-token windows whose content occurs
+    // more than once in the corpus. hashKeys=false -> md5 window keys,
+    // which DuckDB recomputes from raw token slices.
+    "dd_substring" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(T(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 8, hashKeys = false)
         .orderBy("doc_id")),
 
     // Unigram-LM perplexity (CCNet-style quality signal): the model is
@@ -1299,6 +1361,11 @@ object SparkEntry {
     // dd_embed_neardup, so (0, true) here proves LSH ⊆ exact.
     "dd_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
+    "dd_simhash_containment" ->
+      """SELECT CAST(0 AS BIGINT) AS pigeonhole_missed,
+                CAST(0 AS BIGINT) AS false_pairs,
+                CAST(0 AS BIGINT) AS jaccard_escapes,
+                true AS has_pairs""",
     "dd_lsh_clusters" ->
       "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
     "st_stream_dedup" ->
@@ -1773,6 +1840,51 @@ object SparkEntry {
       WHERE rate >= 1e0
          OR substr(md5(concat_ws('|', 'mix', CAST(d.doc_id AS VARCHAR))), 1, 15)
             < printf('%015x', CAST(floor(rate * 1152921504606846976e0) AS BIGINT))
+      ORDER BY d.doc_id""",
+    "sm_temperature" -> """
+      WITH cnt AS (
+        SELECT lang AS cls, CAST(count(*) AS DOUBLE) AS n
+        FROM documents WHERE lang IN ('de', 'en', 'es', 'fr', 'zh') GROUP BY lang),
+      tot AS (SELECT sum(n) AS total FROM cnt),
+      raw AS (SELECT cls, n, sqrt(n / total) AS w FROM cnt, tot),
+      tmin AS (SELECT min(n / w) AS t FROM raw),
+      rt AS (SELECT cls,
+                    CASE WHEN n / w = t THEN 1e0
+                         ELSE least(1e0, t * w / n) END AS rate
+             FROM raw, tmin)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN rt ON rt.cls = d.lang
+      WHERE rate >= 1e0
+         OR substr(md5(concat_ws('|', 'temp', CAST(d.doc_id AS VARCHAR))), 1, 15)
+            < printf('%015x', CAST(floor(rate * 1152921504606846976e0) AS BIGINT))
+      ORDER BY d.doc_id""",
+    "sm_source_cap" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(concat_ws('|', 'cap', CAST(doc_id AS VARCHAR))), doc_id)
+                 AS rn
+        FROM documents)
+      WHERE rn <= 5 ORDER BY doc_id""",
+    "dd_substring" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      pos AS (
+        SELECT doc_id, unnest(range(1, greatest(len(ts) - 8 + 2, 1))) AS i, ts
+        FROM tok),
+      sh AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS sh FROM pos),
+      cnt AS (SELECT sh, count(*) AS n_occ FROM sh GROUP BY sh),
+      per AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+        FROM sh s JOIN cnt c USING (sh) GROUP BY s.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+             coalesce(round(p.dup_spans / CAST(p.n_spans AS DOUBLE), 4), 0e0) AS dup_frac
+      FROM documents d LEFT JOIN per p USING (doc_id)
       ORDER BY d.doc_id""",
     "dd_shingle_jaccard" -> """
       WITH d AS (

@@ -396,6 +396,65 @@ object Dedup {
       .select(col("corpus_id"), col("bench_id"), col("n_overlap"), col("frac"))
   }
 
+  /** Duplicated token-span detection (the substring-dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every `windowTokens`-token sliding window whose exact
+    * token sequence occurs more than once ANYWHERE in the corpus
+    * (another document or a repeat within the same one). Returns one
+    * row per duplicated window occurrence:
+    * `(doc_id, pos, n_occ)` — pos is the 0-based token offset, n_occ
+    * the corpus-wide occurrence count of that window's content.
+    *
+    * Scale shape: shingle rows shuffle once for the count aggregate and
+    * once for the count join — both hash-partitioned equi-ops on the
+    * window key, no cross join. With `hashKeys = true` the shuffled key
+    * is a 64-bit fingerprint instead of the W-token string (several-fold
+    * fewer shuffle bytes; collisions ~n²/2^64 — flag, don't delete, on
+    * that basis). Window arrays materialize behind a repartition so the
+    * explode consumes pre-built arrays (HOF-embedding hazard).
+    */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, hashKeys: Boolean = true): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.wordShingles(col(textCol), windowTokens).as("shs"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "sh")))
+    val keyed = base.select(col("doc_id"), col("pos"),
+      (if (hashKeys) graft.functions.fingerprint64(col("sh")) else md5(col("sh"))).as("shk"))
+    val dupCounts = keyed.groupBy("shk").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    keyed.join(dupCounts, Seq("shk"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_occ"))
+  }
+
+  /** Per-document roll-up of [[duplicatedSpans]]:
+    * `(doc_id, n_spans, dup_spans, dup_frac)` — the filter signal
+    * pipelines threshold on (docs made mostly of boilerplate windows).
+    * Documents too short to have a window (or with NULL text) keep a
+    * row with zero counts, so the output covers every input id.
+    */
+  def duplicatedSpanStats(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, hashKeys: Boolean = true): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, windowTokens, hashKeys)
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+    val totals = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(size(TextAnalysis.wordShingles(col(textCol), windowTokens)), lit(0))
+        .cast("long").as("n_spans"))
+    totals.join(spans, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+            col("n_spans"), 4)).as("dup_frac"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures compared within
     * buckets keyed by 16-bit signature quarters (any pair within Hamming
     * distance ≤ 3 of the full hash shares at least one identical quarter

@@ -94,4 +94,26 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Per-key row cap (C4/RefinedWeb-style domain quota): keep at most
+    * `cap` rows per `keyCol` value (source, domain, site), choosing the
+    * rows with the smallest membership hash — a deterministic "random"
+    * pick that is stable across runs, re-shardings, and engines, unlike
+    * take-first-per-partition. Id tie-break keeps the ordering total.
+    *
+    * Scale shape: one shuffle on the key; the `row_number <= cap`
+    * filter plans as WindowGroupLimit in Spark 4, so each task keeps a
+    * bounded top-`cap` heap per key BEFORE the exchange — a mega-domain
+    * with 10^8 rows never materializes a full sort buffer in one task.
+    */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, cap: Int,
+      salt: String = ""): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(keyHash(col(idCol), salt), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
 }

@@ -137,4 +137,40 @@ class DedupSpec extends SparkSuite {
     assert(once.select(md5($"text")).distinct().count() ==
       docs.select(md5($"text")).distinct().count())
   }
+
+  test("duplicatedSpans: flags cross-doc and within-doc window repeats") {
+    val d = Seq(
+      (0L, "a b c d e"),     // "a b c" shared with doc 1 at pos 0
+      (1L, "a b c x y"),
+      (2L, "p q p q p q p"), // within-doc repeats: "p q p" at 0,2 / "q p q" at 1,3
+      (3L, "solo text only")
+    ).toDF("id", "text")
+    val spans = Dedup.duplicatedSpans(d, "id", "text", windowTokens = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (0L, 0L, 2L), (1L, 0L, 2L),             // cross-doc pair
+      (2L, 0L, 3L), (2L, 2L, 3L), (2L, 4L, 3L), // "p q p" x3
+      (2L, 1L, 2L), (2L, 3L, 2L)))             // "q p q" x2
+    // hash keys and md5 keys flag the identical occurrence set
+    val hashed = Dedup.duplicatedSpans(d, "id", "text", 3, hashKeys = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hashed == spans)
+  }
+
+  test("duplicatedSpanStats: covers every id, zeroes for short/null docs") {
+    val d = Seq(
+      (0L, "a b c d"),       // 2 windows, both dup'd with doc 1
+      (1L, "a b c d"),       // exact copy
+      (2L, "x y"),           // too short for a window
+      (3L, null: String)     // null text
+    ).toDF("id", "text")
+    val got = Dedup.duplicatedSpanStats(d, "id", "text", windowTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1.0),
+      (1L, 2L, 2L, 1.0),
+      (2L, 0L, 0L, 0.0),
+      (3L, 0L, 0L, 0.0)))
+  }
 }

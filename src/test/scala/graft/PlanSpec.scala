@@ -159,4 +159,20 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("Exchange"),
       s"scoring over the checkpointed tf frame must not shuffle:\n$s")
   }
+
+  test("perKeyCap: per-key top-k bounded BEFORE the exchange (WindowGroupLimit)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = graft.operators.Sampling.perKeyCap(docs, "source", "doc_id", 5, "c")
+      .queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"expected partial window group limit:\n$s")
+  }
+
+  test("duplicatedSpans: equi-joins only — no cartesian, no sort-merge on strings") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"span counting must stay an equi-join:\n$s")
+  }
 }

@@ -48,4 +48,65 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == docs.count())
     assert(Sampling.thresholdHex(0.5) == "8" + "0" * 31)
   }
+
+  test("perKeyCap: bounded per key, deterministic, monotone in the cap") {
+    val c3 = Sampling.perKeyCap(docs, "source", "doc_id", cap = 3, salt = "c")
+    val perKey = c3.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perKey.values.forall(_ <= 3) && perKey.values.exists(_ == 3))
+    // keys with <= cap rows keep everything
+    val small = docs.groupBy("source").count().filter($"count" <= 3)
+      .as[(String, Long)].collect().toMap
+    small.foreach { case (k, n) => assert(perKey(k) == n) }
+    // deterministic and partition-independent
+    val again = Sampling.perKeyCap(docs.repartition(7), "source", "doc_id", 3, "c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == c3.select($"doc_id").as[Long].collect().toSet)
+    // a larger cap keeps a superset (smallest-hash winners are stable)
+    val c5 = Sampling.perKeyCap(docs, "source", "doc_id", 5, "c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again.subsetOf(c5))
+    intercept[IllegalArgumentException] {
+      Sampling.perKeyCap(docs, "source", "doc_id", 0)
+    }
+  }
+
+  test("temperatureSample: alpha=1 keeps all, alpha=0 equalizes expectations") {
+    import graft.operators.Mixture
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    // alpha=1: weights = natural shares -> every class binds -> rate 1
+    val nat = Mixture.temperatureSample(docs, "doc_id", "lang", langs, 1.0, "t")
+    assert(nat.count() == docs.filter($"lang".isInCollection(langs)).count())
+    // alpha=0: uniform weights -> every class downsamples to ~min count
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minN = langs.map(counts).min
+    val uni = Mixture.temperatureSample(docs, "doc_id", "lang", langs, 0.0, "t")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(uni(langs.minBy(counts)) == minN, "binding (smallest) class keeps all")
+    langs.foreach { l =>
+      assert(math.abs(uni(l) - minN.toDouble) <= 4 * math.sqrt(minN.toDouble),
+        s"$l: ${uni(l)} vs expected ~$minN")
+    }
+    // alpha=0.5 sits between: en (the head class) downsampled, tail kept
+    val half = Mixture.temperatureSample(docs, "doc_id", "lang", langs, 0.5, "t")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(half("en") < counts("en") && half("en") > uni("en"))
+  }
+
+  test("mixtureSampleWithRates: frozen rates apply to new batches without re-scan") {
+    import graft.operators.Mixture
+    val rates = Map("en" -> 1.0, "de" -> 0.5)
+    val batch = docs.filter($"doc_id" < 100)
+    val out = Mixture.mixtureSampleWithRates(batch, "doc_id", "lang", rates, "r")
+    // membership is decided per row: the same rows survive whether the
+    // rates were fit on this frame or anywhere else
+    val direct = batch.filter(
+      ($"lang" === "en") ||
+        ($"lang" === "de" &&
+          substring(Sampling.keyHash($"doc_id", "r"), 1, 15)
+            < Mixture.prefixThresholdHex(0.5)))
+    assert(out.select($"doc_id").as[Long].collect().toSet ==
+      direct.select($"doc_id").as[Long].collect().toSet)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase(java.util.Locale.ROOT).contains("aggregate"))
+  }
 }
