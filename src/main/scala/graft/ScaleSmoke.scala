@@ -101,6 +101,18 @@ object ScaleSmoke {
       graft.operators.VectorOps.withInt8Quantized(bigEmb, "embedding", "codes", "scale")
         .agg(sum(element_at(col("codes"), 1).cast("long"))).head()
     }
+    timed("pq fit(20k)+encode+adc 100k") {
+      // codebook from a 20k sample (standard practice), every vector
+      // encoded, one ADC top-k over all 100k codes
+      val cb = graft.operators.Pq.fit(
+        bigEmb.filter(col("vec_id") < 20000), "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2)
+      val coded = graft.operators.Pq.encode(bigEmb, "embedding", "pq_codes", cb)
+      val q = bigEmb.orderBy("vec_id").limit(1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.operators.Pq.adcTopK(coded, "vec_id", "pq_codes", cb,
+        Seq((0L, q)), k = 10).count()
+    }
 
     // ---- semantic dedup: within-cluster pairs only (vs 5G all-pairs) --
     timed("semanticNearDupPairs (64 cl)") {

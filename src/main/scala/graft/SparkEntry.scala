@@ -819,6 +819,36 @@ object SparkEntry {
     // is hash-verified by DuckDB per vector; the reconstruction-error
     // bound (≤ scale/2 per element) and unit-norm property ride as
     // per-row booleans.
+    // Product quantization ADC identity: the ADC lookup-table distance
+    // must equal (to 1e-9, in double) the L2 distance to the code's
+    // reconstruction computed independently element-by-element — the
+    // defining property of ADC. Codebook fitting, encoding, table
+    // build, and both distance paths all execute inside the query;
+    // codes_ok pins every code into [0, k).
+    "vq_pq_adc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cb = operators.Pq.fit(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 3)
+      val q: Array[Float] = emb.orderBy("vec_id").limit(1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val coded = operators.Pq.encode(emb, "embedding", "codes", cb)
+      val recon = operators.Pq.reconstructCol(col("codes"), cb)
+      val reconL2 = sqrt(aggregate(
+        zip_with(typedLit(q), recon,
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0d), (acc, x) => acc + x))
+      coded
+        .withColumn("adc", operators.Pq.adcDistanceCol(q, cb, col("codes")))
+        .withColumn("recon_l2", reconL2)
+        .agg(
+          sum(when(abs(col("adc") - col("recon_l2")) > 1e-9, 1).otherwise(0))
+            .cast("long").as("n_mismatch"),
+          (min(array_min(col("codes"))) >= 0 &&
+            max(array_max(col("codes"))) < 16).as("codes_ok"),
+          (count(lit(1)) > 0).as("has_rows"))
+    }),
+
     "vq_int8" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("vec"))
       val q = graft.operators.VectorOps.withInt8Quantized(emb, "vec", "codes", "scale")
@@ -1370,6 +1400,9 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS split_clusters, true AS has_multi",
     "st_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "vq_pq_adc" ->
+      """SELECT CAST(0 AS BIGINT) AS n_mismatch,
+                true AS codes_ok, true AS has_rows""",
     "vq_int8" -> """
       SELECT vec_id,
              round(list_max(list_transform(embedding,

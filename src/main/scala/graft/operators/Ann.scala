@@ -114,7 +114,7 @@ object Ann {
     centsToDF(df, kmeansCore(df, idCol, vecCol, nCentroids, iters,
       l2Score, identity))
 
-  private def l2Score(v: Column, c: Array[Float]): Column =
+  private[operators] def l2Score(v: Column, c: Array[Float]): Column =
     l2_distance(v, lit(c))
 
   private def centsToDF(df: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame = {
@@ -127,7 +127,7 @@ object Ann {
     * score; `post` post-processes each recentred mean (identity for L2,
     * re-normalization for spherical/cosine).
     */
-  private def kmeansCore(
+  private[operators] def kmeansCore(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int,
       score: (Column, Array[Float]) => Column,

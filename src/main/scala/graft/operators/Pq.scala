@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): split each vector into `m`
+  * subspaces, k-means each subspace independently, and store a vector
+  * as `m` small codes — `dim × 4` bytes compress to `m` bytes at
+  * k ≤ 256. Queries score compressed vectors with an ADC
+  * (asymmetric-distance) lookup table: the exact L2 distance between
+  * the query and the RECONSTRUCTION `concat_s(centroid_s(code_s))`,
+  * computed as a sum of `m` table lookups.
+  *
+  * Scale shape (100 TB): the codebook is bounded driver state
+  * (`m·k·(dim/m)` floats — the k-means-centroid pattern); fitting runs
+  * on a sample (standard practice — codebooks need ~100k vectors, not
+  * the corpus); encoding is a pure argmin-over-literals projection;
+  * ADC scoring is a pure projection summing `m` `element_at` lookups
+  * into per-query literal tables. No shuffle anywhere except the final
+  * top-k, which bounds per-partition via TakeOrdered.
+  *
+  * Beyond-reference operator (reference is exact-only brute force,
+  * vector_store.py:291); composes with [[Ann.ivfBuild]] for the
+  * classic IVF-PQ layout (partition by cell, scan codes).
+  */
+object Pq {
+
+  /** Fitted per-subspace codebooks: `centroids(s)(c)` is the `dim/m`
+    * subvector for code `c` of subspace `s`. Bounded driver state.
+    */
+  case class PqCodebook(dim: Int, m: Int, k: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(centroids.length == m && centroids.forall(_.length == k),
+      "codebook shape must be m x k")
+    def subDim: Int = dim / m
+  }
+
+  /** Fit per-subspace codebooks with the shared Lloyd loop (seeds and
+    * recentring exactly as [[Ann.kmeans]], run on each subvector
+    * slice). `df` may be a sample of the corpus; `k` cells per
+    * subspace, `m` subspaces.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, k: Int, iters: Int = 5): PqCodebook = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0 (got k=$k, iters=$iters)")
+    val subDim = dim / m
+    val cents = (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("_sub"))
+      Ann.kmeansCore(sub, idCol, "_sub", k, iters, Ann.l2Score, identity)
+        .sortBy(_._1).map(_._2)
+    }.toArray
+    PqCodebook(dim, m, k, cents)
+  }
+
+  /** Append `outCol`: the `m` nearest-subcentroid codes as
+    * `array<int>`. Pure projection — per subspace an argmin over `k`
+    * literal (distance, code) structs, the [[Ann]] assign pattern.
+    */
+  def encode(df: DataFrame, vecCol: String, outCol: String,
+      cb: PqCodebook): DataFrame = {
+    val codes = array((0 until cb.m).map { s =>
+      val sub = slice(col(vecCol), s * cb.subDim + 1, cb.subDim)
+      array_min(array((0 until cb.k).map { c =>
+        struct(
+          graft.functions.l2_distance(sub, lit(cb.centroids(s)(c))).as("d"),
+          lit(c).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+    df.withColumn(outCol, codes)
+  }
+
+  /** The reconstruction a code array stands for, as a literal lookup:
+    * `concat(centroids(0)(code_0), …, centroids(m-1)(code_m-1))`.
+    */
+  def reconstructCol(codesCol: Column, cb: PqCodebook): Column =
+    concat((0 until cb.m).map { s =>
+      // typedLit: plain lit() cannot build nested-array literals
+      element_at(typedLit(cb.centroids(s)), codesCol.getItem(s) + 1)
+    }: _*)
+
+  /** ADC lookup table for one query: `table(s)(c)` = squared L2 between
+    * the query's subvector `s` and centroid `c`, in double.
+    */
+  private def adcTable(q: Array[Float], cb: PqCodebook): Array[Array[Double]] = {
+    require(q.length == cb.dim, s"query dim ${q.length} != codebook dim ${cb.dim}")
+    Array.tabulate(cb.m, cb.k) { (s, c) =>
+      var acc = 0.0
+      var i = 0
+      while (i < cb.subDim) {
+        val d = q(s * cb.subDim + i).toDouble - cb.centroids(s)(c)(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** ADC distance of a code array to query `q`: the EXACT L2 distance
+    * to the reconstruction, as `sqrt` of `m` literal-table lookups —
+    * one projection, no vector arithmetic per row.
+    */
+  def adcDistanceCol(q: Array[Float], cb: PqCodebook, codesCol: Column): Column = {
+    val table = adcTable(q, cb)
+    sqrt((0 until cb.m).map { s =>
+      element_at(typedLit(table(s)), codesCol.getItem(s) + 1)
+    }.reduce(_ + _))
+  }
+
+  /** Approximate top-k for each query over a PQ-encoded index: rank by
+    * ADC distance (id tie-break). Accuracy is the PQ reconstruction
+    * trade — measure against [[SimilarityJoin.knnL2]]; raise `m`/`k`
+    * (or re-rank an ADC shortlist with true distances) to tighten.
+    */
+  def adcTopK(index: DataFrame, idCol: String, codesCol: String,
+      cb: PqCodebook, queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "need at least one query")
+    queries.map { case (qid, q) =>
+      index.select(
+        lit(qid).as("qid"),
+        col(idCol),
+        adcDistanceCol(q, cb, col(codesCol)).as("adc_dist"))
+        .orderBy(col("adc_dist"), col(idCol))
+        .limit(k)
+    }.reduce(_ unionAll _)
+  }
+}

@@ -154,4 +154,73 @@ class AnnSpec extends SparkSuite {
     assert(bySelf.forall { case (q, id) => q == id })
     assert(got.count() > 0 && got.count() <= 30)
   }
+
+  // ------------------------ product quantization ------------------------ //
+
+  test("pq: codebook shape, codes bounded, centroid vectors encode losslessly") {
+    import graft.operators.Pq
+    val cb = Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
+    assert(cb.centroids.length == 4 && cb.centroids.forall(_.length == 8))
+    assert(cb.subDim == 16)
+
+    val coded = Pq.encode(emb, "embedding", "codes", cb)
+    val codes = coded.select(explode($"codes")).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 8))
+
+    // a vector that IS a concatenation of subspace centroids must
+    // round-trip: its codes pick those centroids, recon == itself,
+    // and ADC distance from itself == 0
+    val synth = (0 until 4).flatMap(s => cb.centroids(s)(s % 8).toSeq).toArray
+    val one = Seq((0L, synth)).toDF("vec_id", "embedding")
+    val enc = Pq.encode(one, "embedding", "codes", cb)
+    val got = enc.select($"codes").as[Seq[Int]].head()
+    assert(got == Seq(0, 1, 2, 3))
+    val recon = enc.select(Pq.reconstructCol($"codes", cb)).as[Seq[Float]].head()
+    assert(recon == synth.toSeq)
+    val adc = enc.select(Pq.adcDistanceCol(synth, cb, $"codes")).as[Double].head()
+    assert(adc == 0.0)
+  }
+
+  test("pq: ADC distance equals recon distance; clustered data gets exact top-k") {
+    import graft.operators.Pq
+    // three tight clusters far apart in all subspaces
+    val base = Seq.tabulate(3)(c => Array.fill(8)(c * 10.0f))
+    val vecs = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, base(c).zipWithIndex.map { case (x, j) =>
+        x + ((i * 7 + j) % 5) * 0.01f })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Pq.fit(df, "vec_id", "embedding", dim = 8, m = 2, k = 3, iters = 4)
+    val coded = Pq.encode(df, "embedding", "codes", cb)
+
+    // ADC == independent double recomputation against the reconstruction
+    val q = vecs(1)._2
+    val recon = Pq.reconstructCol($"codes", cb)
+    val reconL2 = sqrt(aggregate(
+      zip_with(typedLit(q), recon,
+        (a, b) => (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0d), (acc, x) => acc + x))
+    val diffs = coded
+      .select(abs(Pq.adcDistanceCol(q, cb, $"codes") - reconL2)).as[Double].collect()
+    assert(diffs.forall(_ < 1e-9))
+
+    // cluster separation >> quantization error: ADC top-10 for a
+    // cluster-1 query is exactly the 10 cluster-1 members
+    val top = Pq.adcTopK(coded, "vec_id", "codes", cb, Seq((1L, q)), k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top == (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet)
+  }
+
+  test("pq: validation — m must divide dim, query dim must match") {
+    import graft.operators.Pq
+    intercept[IllegalArgumentException] {
+      Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 5, k = 4, iters = 1)
+    }
+    val cb = Pq.fit(emb.limit(50), "vec_id", "embedding", dim = 64, m = 4, k = 4, iters = 1)
+    intercept[IllegalArgumentException] {
+      Pq.adcDistanceCol(Array.fill(32)(0f), cb, $"codes")
+    }
+  }
 }
