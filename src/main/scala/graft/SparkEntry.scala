@@ -280,6 +280,44 @@ object SparkEntry {
           T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text", 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")),
+
+    // Incremental near-dup, exact oracle side: all batch-vs-corpus
+    // pairs >= 0.8 by the O(n*m) cross verifier. The batch is a
+    // deterministic mutation of the first 60 docs (one appended token
+    // -> jaccard n/(n+1) vs the source, plus whatever corpus near-dups
+    // of the source clear the bar) so both engines synthesize it.
+    "dd_incr_exact" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val batch = d.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xtoken"), col("doc_id").cast("string")).as("text"))
+      Dedup.jaccardPairsAcross(batch, "doc_id", "text", d, "doc_id", "text", 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Incremental near-dup via persisted corpus band signatures: every
+    // LSH-found pair must appear (same ids, same rounded jaccard) in
+    // the exact cross set dd_incr_exact hash-verifies — precision 1.0,
+    // non-vacuous via has_pairs. Mutation-checked: tightening the
+    // exact threshold to 0.9 yields false positives.
+    "dd_incr_neardup" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val batch = d.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xtoken"), col("doc_id").cast("string")).as("text"))
+      val lsh = Dedup.incrementalNearDupPairs(d, batch, "doc_id", "text",
+          numHashes = 32, bands = 8, verifyThreshold = 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      val exact = Dedup.jaccardPairsAcross(batch, "doc_id", "text",
+          d, "doc_id", "text", 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"),
+          lit(1).as("ok"))
+      lsh.join(exact, Seq("a_id", "b_id", "jaccard"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("false_positives"),
+          (count(lit(1)) > 0).as("has_pairs"))
+    }),
     "dd_minhash_lsh" -> ((s, dir) => // custom hash family — rows-only check
       Dedup.minHashLshPairs(
           T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
@@ -1378,6 +1416,26 @@ object SparkEntry {
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
       ORDER BY a_id, b_id""",
+    "dd_incr_exact" -> """
+      WITH b AS (
+        SELECT doc_id + 10000 AS id,
+               list_distinct(string_split_regex(
+                 lower(text || ' xtoken' || CAST(doc_id AS VARCHAR)), '\s+')) AS toks
+        FROM documents WHERE doc_id < 60),
+      c AS (
+        SELECT doc_id AS id,
+               list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+        FROM documents)
+      SELECT b.id AS a_id, c.id AS b_id,
+             round(CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+               / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks))), 4)
+               AS jaccard
+      FROM b, c
+      WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+          / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks))) >= 0.8
+      ORDER BY a_id, b_id""",
+    "dd_incr_neardup" ->
+      "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     "dd_embed_neardup" -> """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim

@@ -132,16 +132,35 @@ object Dedup {
     * whole band of minhashes) that loss is marginal, and the work
     * bound it buys is what survives a pathological corpus.
     */
+  /** Slim (id, toks) projection every pair stage starts from. */
+  private def tokFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenSet(col(textCol)).as("toks"))
+
+  /** LSH band keys from a (id, toks) frame: one (id, band, band_hash)
+    * row per band — the slim join-key relation of [[minHashLshPairs]].
+    */
+  private def bandedFromToks(
+      withTok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    withTok.select(
+      col("id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(minhash_signature(col("toks"), numHashes),
+            b * rowsPerBand + 1, lit(rowsPerBand)), b))
+      ).as(Seq("band", "band_hash")))
+  }
+
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, verifyThreshold: Double = 0.5,
       giantBucketThreshold: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(giantBucketThreshold >= 2, "giantBucketThreshold must be >= 2")
-    val rowsPerBand = numHashes / bands
-    val withTok = df.select(
-      col(idCol).cast("long").as("id"),
-      TextAnalysis.tokenSet(col(textCol)).as("toks"))
+    val withTok = tokFrame(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // band keys only — the candidate self-join shuffles slim
@@ -151,14 +170,7 @@ object Dedup {
       // references (giant-key agg, anti-join, self-join sides, hub
       // join) would otherwise each recompute the minhash signatures —
       // broadcast joins leave no exchange for subplan reuse to share.
-      val banded = withTok.select(
-        col("id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(minhash_signature(col("toks"), numHashes),
-              b * rowsPerBand + 1, lit(rowsPerBand)), b))
-        ).as(Seq("band", "band_hash")))
+      val banded = bandedFromToks(withTok, numHashes, bands)
         .localCheckpoint(true)
       // giant-bucket keys + hub (min id): one slim agg, then ONLY the
       // oversized buckets survive the filter — provably ≤ n·bands /
@@ -197,6 +209,103 @@ object Dedup {
       GraftShim.unpersistLocalCheckpoint(banded)
       result
     } finally withTok.unpersist()
+  }
+
+  /** The persisted-state half of incremental NEAR-dup detection: the
+    * corpus's slim LSH band relation (id, band, band_hash) — ~`bands`
+    * small rows per document, no text. Write it out once; each new
+    * batch then joins against it via
+    * [[incrementalNearDupPairsByBands]] without recomputing a single
+    * corpus minhash (the expensive part — the corpus text is touched
+    * again only for verification, and only on candidate rows). The
+    * [[incrementalExactDedup]] / `corpusContentHashes` pattern, for
+    * fuzzy matches.
+    */
+  def corpusBandSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    bandedFromToks(tokFrame(df, idCol, textCol), numHashes, bands)
+  }
+
+  /** Near-duplicate pairs between a new `batch` and a standing corpus,
+    * using the corpus's PERSISTED band signatures: candidates are a
+    * hash-partitioned equi-join of batch bands against `corpusBands`
+    * on (band, band_hash); each candidate is then exact-verified with
+    * distinct-token Jaccard, reading corpus text ONLY for candidate
+    * ids (semi-join first). Returns `(a_id [batch], b_id [corpus],
+    * jaccard ≥ verifyThreshold)`. Ids must be disjoint across frames,
+    * as in [[incrementalExactDedup]]. `numHashes`/`bands` must match
+    * the values `corpusBands` was built with.
+    *
+    * Skew note: a template band-bucket costs |batch∩bucket| ×
+    * |corpus∩bucket| candidate rows here — same hazard as the
+    * self-join path. The verify stage bounds the damage (slim rows,
+    * exact filter); if a corpus has known mega-templates, pre-split
+    * them or dedup the corpus first.
+    */
+  def incrementalNearDupPairsByBands(
+      corpusBands: DataFrame, corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      verifyThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val batchTok = tokFrame(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candidates = bandedFromToks(batchTok, numHashes, bands)
+        .select(col("band"), col("band_hash"), col("id").as("a_id"))
+        .join(corpusBands
+          .select(col("band"), col("band_hash"), col("id").as("b_id")),
+          Seq("band", "band_hash"))
+        .select(col("a_id"), col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+        .localCheckpoint(true)
+      // corpus text only for candidate ids: semi-join BEFORE tokenizing
+      val corpusToks = tokFrame(
+        corpus.join(
+          candidates.select(col("b_id").as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol)
+      val verified = verifiedJaccard(
+        candidates
+          .join(batchTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+          .join(corpusToks.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id")),
+        verifyThreshold)
+      val result = verified.localCheckpoint(eager = true)
+      GraftShim.unpersistLocalCheckpoint(candidates)
+      result
+    } finally batchTok.unpersist()
+  }
+
+  /** One-shot form of [[incrementalNearDupPairsByBands]], building the
+    * corpus bands inline (use the ByBands variant with persisted bands
+    * for repeated ingests).
+    */
+  def incrementalNearDupPairs(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      verifyThreshold: Double = 0.5): DataFrame =
+    incrementalNearDupPairsByBands(
+      corpusBandSignatures(corpus, idCol, textCol, numHashes, bands),
+      corpus, batch, idCol, textCol, numHashes, bands, verifyThreshold)
+
+  /** All cross-frame pairs with distinct-token Jaccard ≥ threshold —
+    * O(|left|·|right|) verification oracle for the incremental LSH
+    * path, exactly as [[jaccardPairs]] is for the self-join path.
+    * Returns `(a_id [left], b_id [right], jaccard)`.
+    */
+  def jaccardPairsAcross(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      threshold: Double): DataFrame = {
+    val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+    val a = tokFrame(left, leftId, leftText)
+      .select(col("id").as("a_id"), col("toks").as("a_toks"))
+      .repartition(parts)
+    val b = tokFrame(right, rightId, rightText)
+      .select(col("id").as("b_id"), col("toks").as("b_toks"))
+    verifiedJaccard(a.crossJoin(b), threshold)
   }
 
   /** Connected components over a near-duplicate pair list — the step

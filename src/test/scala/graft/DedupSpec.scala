@@ -138,6 +138,47 @@ class DedupSpec extends SparkSuite {
       docs.select(md5($"text")).distinct().count())
   }
 
+  test("incrementalNearDupPairs: batch matches corpus near-dups via persisted bands") {
+    val corpus = docs.filter($"doc_id" < 200)
+    // batch: near-copies of docs 0-19 (one appended token) + 20 docs
+    // that are NOT in the corpus slice (no high-jaccard partner)
+    val nearCopies = corpus.filter($"doc_id" < 20).select(
+      ($"doc_id" + 1000).as("doc_id"),
+      concat($"text", lit(" znew"), $"doc_id").as("text"))
+    val foreign = docs.filter($"doc_id" >= 400 && $"doc_id" < 420)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val batch = nearCopies.union(foreign)
+
+    val got = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", "text",
+      numHashes = 32, bands = 8, verifyThreshold = 0.8)
+    val pairs = got.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // every near-copy finds its source (jaccard n/(n+1) ~ 0.98: with
+    // 32/8 banding a miss needs all 8 bands to differ — the source
+    // pair is the non-vacuity anchor)
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i + 1000L, i.toLong)), s"missing source pair for $i")
+    }
+    // a_id is always a batch id, b_id always a corpus id
+    assert(pairs.forall { case (a, b) => a >= 1000 && b < 200 })
+
+    // persisted-bands path: write the corpus bands to parquet, reload,
+    // and get the identical verified pair set (no corpus minhash rerun)
+    val bandsPath = "/tmp/graft_test_corpus_bands"
+    Dedup.corpusBandSignatures(corpus, "doc_id", "text").write
+      .mode("overwrite").parquet(bandsPath)
+    val reloaded = spark.read.parquet(bandsPath)
+    val viaPersisted = Dedup.incrementalNearDupPairsByBands(
+      reloaded, corpus, batch, "doc_id", "text", 32, 8, 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(viaPersisted == pairs)
+
+    // precision 1.0: every emitted pair is in the exact cross set
+    val exact = Dedup.jaccardPairsAcross(batch, "doc_id", "text",
+      corpus, "doc_id", "text", 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact))
+  }
+
   test("duplicatedSpans: flags cross-doc and within-doc window repeats") {
     val d = Seq(
       (0L, "a b c d e"),     // "a b c" shared with doc 1 at pos 0
