@@ -594,6 +594,15 @@ object SparkEntry {
           col("df"))
         .orderBy("token")),
 
+    // TF-IDF keyword extraction: one tokenize pass → (doc,token) counts,
+    // df as a second map-side agg of that frame, idf join on token
+    // (AQE-broadcastable), per-doc top-3 bounded as WindowGroupLimit.
+    "tx_tfidf" -> ((s, dir) =>
+      operators.Tfidf.topTerms(T(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")),
+
     // Composition of the round's new text ops as one chain: synthesize
     // PII → redact → Gopher keep/drop filter → sequence-packing spans
     // over the survivors. DuckDB recomputes the whole chain.
@@ -1818,6 +1827,26 @@ object SparkEntry {
         GROUP BY tok.doc_id)
       SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
       FROM sc ORDER BY doc_id""",
+    "tx_tfidf" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token),
+      dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      n AS (SELECT count(*) AS n FROM documents),
+      w AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+               tf.tf * (ln((n.n + 1e0) / (dfc.df + 1e0)) + 1e0) AS tfidf
+        FROM tf JOIN dfc USING (token) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, token, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rank
+        FROM w)
+      SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf, rank
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "tx_inverted" -> """
       WITH tok AS (
         SELECT doc_id,

@@ -168,6 +168,15 @@ class PlanSpec extends SparkSuite {
       s"expected partial window group limit:\n$s")
   }
 
+  test("tfidf topTerms: per-doc top-k bounded as WindowGroupLimit, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = graft.operators.Tfidf.topTerms(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit"), s"expected window group limit:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"idf join must stay an equi-join:\n$s")
+  }
+
   test("duplicatedSpans: equi-joins only — no cartesian, no sort-merge on strings") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val s = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", 8)

@@ -202,6 +202,36 @@ class TextOpsSpec extends SparkSuite {
     assert(rel == Set((0L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (0L, "c")))
   }
 
+  // ------------------------------ tf-idf -------------------------------- //
+
+  test("tfidf: hand-computed weights (sklearn smooth idf) on a tiny corpus") {
+    val docs = Seq(
+      (0L, "a a b"),
+      (1L, "a c"),
+      (2L, "c c c")).toDF("id", "text")
+    val out = operators.Tfidf.tfidf(docs, "id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map { case (d, t, tf, df, w) => (d, t) -> ((tf, df, w)) }.toMap
+    def idf(df: Long) = math.log(4.0 / (df + 1.0)) + 1.0 // N=3
+    assert(out((0L, "a")) == ((2L, 2L, 2 * idf(2))))
+    assert(out((0L, "b")) == ((1L, 1L, 1 * idf(1))))
+    assert(out((1L, "a")) == ((1L, 2L, 1 * idf(2))))
+    assert(out((2L, "c")) == ((3L, 2L, 3 * idf(2))))
+    assert(out.size == 5)
+  }
+
+  test("tfidf topTerms: per-doc cap, tfidf-desc token-asc order") {
+    val docs = Seq((0L, "a a b b c"), (1L, "x")).toDF("id", "text")
+    val top = operators.Tfidf.topTerms(docs, "id", "text", k = 2)
+      .select("doc_id", "token", "rank")
+      .as[(Long, String, Int)].collect().toSet
+    // doc 0: a and b tie on tf=2/df=1 -> token asc breaks the tie
+    assert(top == Set((0L, "a", 1), (0L, "b", 2), (1L, "x", 1)))
+    intercept[IllegalArgumentException] {
+      operators.Tfidf.topTerms(docs, "id", "text", k = 0)
+    }
+  }
+
   test("bm25: fit once / scoreWith is a pure projection using fitted stats") {
     val corpus = Seq(
       (0L, "spark is fast"),
