@@ -594,6 +594,22 @@ object SparkEntry {
           col("df"))
         .orderBy("token")),
 
+    // Web-corpus cleanup: tags stripped, entities decoded (&amp; last,
+    // no double-decode), whitespace collapsed — markup synthesized
+    // deterministically from doc_id on BOTH sides (the tx_pii pattern),
+    // so the gate checks real cross-engine regex/replace behavior.
+    "tx_clean" -> ((s, dir) => {
+      val raw = concat(
+        lit("<div id=\""), col("doc_id").cast("string"), lit("\"> <p>"),
+        col("text"),
+        lit("</p> &amp;amp; x &lt;y&gt; &quot;z&quot;&#39; &nbsp; <br/>  tail</div>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.cleanText(raw).as("cleaned"),
+          length(TextAnalysis.cleanText(raw)).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: one tokenize pass → (doc,token) counts,
     // df as a second map-side agg of that frame, idf join on token
     // (AQE-broadcastable), per-doc top-3 bounded as WindowGroupLimit.
@@ -1827,6 +1843,22 @@ object SparkEntry {
         GROUP BY tok.doc_id)
       SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
       FROM sc ORDER BY doc_id""",
+    "tx_clean" -> """
+      WITH t AS (
+        SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text
+          || '</p> &amp;amp; x &lt;y&gt; &quot;z&quot;&#39; &nbsp; <br/>  tail</div>'
+          AS raw
+        FROM documents),
+      c AS (
+        SELECT doc_id, trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS cleaned
+        FROM t)
+      SELECT doc_id, cleaned, CAST(len(cleaned) AS BIGINT) AS n_chars
+      FROM c ORDER BY doc_id""",
     "tx_tfidf" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token

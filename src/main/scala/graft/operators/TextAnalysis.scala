@@ -200,6 +200,21 @@ object TextAnalysis {
     }
   }
 
+  /** Web-corpus text cleanup: strip HTML/XML tags, decode the common
+    * HTML entities, collapse runs of whitespace, trim. Pure
+    * regexp/replace projection — codegen'd, scan-speed at any corpus
+    * size. `&amp;` decodes LAST so entity-encoded entities
+    * (`&amp;lt;`) don't double-decode.
+    */
+  def cleanText(text: Column): Column = {
+    val untagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untagged) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)

@@ -202,6 +202,25 @@ class TextOpsSpec extends SparkSuite {
     assert(rel == Set((0L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (0L, "c")))
   }
 
+  // ---------------------------- text cleanup ---------------------------- //
+
+  test("cleanText: strips tags, decodes entities once, collapses whitespace") {
+    val rows = Seq(
+      (0L, "<p>hello <b>world</b></p>"),
+      (1L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y"),
+      (2L, "&amp;lt; stays encoded-once"), // no double decode
+      (3L, "  spaced\t\tout \n lines  "),
+      (4L, "<div class=\"x\" data-k='v'>attr soup</div>"))
+      .toDF("id", "text")
+    val out = rows.select($"id", TextAnalysis.cleanText($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "hello world")
+    assert(out(1L) == "a & b <tag> \"q\" 's' x y")
+    assert(out(2L) == "&lt; stays encoded-once")
+    assert(out(3L) == "spaced out lines")
+    assert(out(4L) == "attr soup")
+  }
+
   // ------------------------------ tf-idf -------------------------------- //
 
   test("tfidf: hand-computed weights (sklearn smooth idf) on a tiny corpus") {
