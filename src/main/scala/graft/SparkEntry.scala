@@ -582,6 +582,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Interpolated-bigram (Jelinek-Mercer) perplexity: one checkpointed
+    // tokenize pass fits unigram + pair counts; the model is bounded
+    // driver state (20 unigram probs + 50 pair ratios) scoring as a
+    // shuffle-free literal-map projection. First token scores unigram,
+    // the rest lambda*pML + (1-lambda)*pUni.
+    "tx_bigram_ppl" -> ((s, dir) => {
+      val d = T(s, dir, "documents").filter(col("text").isNotNull)
+      val lm = operators.LangModel.fitBigram(d, "text",
+        vocabSize = 20, maxPairs = 50, alpha = 1.0, lambda = 0.7)
+      operators.LangModel.bigramPerplexity(d, "doc_id", "text", lm)
+        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted index: token -> sorted posting list + document frequency.
     // The gate emits the postings as a CSV scalar (the driver's pandas
     // comparator cannot hash array cells); the array-shaped API stays in
@@ -1879,6 +1893,45 @@ object SparkEntry {
         FROM w)
       SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf, rank
       FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // lambda enters as 0.7e0 and its complement as (1e0 - 0.7e0): the
+    // bare 0.3e0 literal is a DIFFERENT double than Spark's 1.0 - 0.7.
+    // Pair tie-break concatenates with chr(1) to mirror Spark's
+    // single-string pair-key ordering exactly.
+    "tx_bigram_ppl" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t,
+               generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS ord
+        FROM documents),
+      cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+      voc AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 20),
+      vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+      up AS (SELECT voc.t, (voc.c + 1e0) / (tot.total + 1e0 * (vv.v + 1)) AS p
+             FROM voc, tot, vv),
+      oov AS (SELECT 1e0 / (tot.total + 1e0 * (vv.v + 1)) AS o FROM tot, vv),
+      pair AS (
+        SELECT a.doc_id, a.ord, a.t AS prev, b.t AS tk
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+      pc AS (SELECT prev, tk, CAST(count(*) AS BIGINT) AS c
+             FROM pair GROUP BY prev, tk),
+      topp AS (SELECT prev, tk, c FROM pc
+               ORDER BY c DESC, prev || chr(1) || tk LIMIT 50),
+      lc AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n FROM pc GROUP BY prev),
+      ratio AS (SELECT topp.prev, topp.tk, CAST(topp.c AS DOUBLE) / lc.n AS r
+                FROM topp JOIN lc USING (prev)),
+      sc AS (
+        SELECT tok.doc_id,
+               avg(CASE WHEN tok.ord = 1 THEN ln(coalesce(up.p, oov.o))
+                   ELSE ln(0.7e0 * coalesce(ratio.r, 0e0)
+                           + (1e0 - 0.7e0) * coalesce(up.p, oov.o)) END) AS mean_lp
+        FROM tok
+        LEFT JOIN up ON tok.t = up.t
+        CROSS JOIN oov
+        LEFT JOIN pair pv ON pv.doc_id = tok.doc_id AND pv.ord = tok.ord - 1
+        LEFT JOIN ratio ON ratio.prev = pv.prev AND ratio.tk = tok.t
+        GROUP BY tok.doc_id)
+      SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
+      FROM sc ORDER BY doc_id""",
     "tx_inverted" -> """
       WITH tok AS (
         SELECT doc_id,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 
 /** Unigram language-model perplexity scoring — the classic
   * CCNet/KenLM-style quality signal: documents whose token
@@ -76,4 +77,118 @@ object LangModel {
       docs: DataFrame, idCol: String, textCol: String, lm: UnigramLM): DataFrame =
     docs.select(col(idCol),
       perplexityCol(lm, TextAnalysis.tokens(col(textCol))).as("perplexity"))
+
+  // --------------------------- bigram model ---------------------------- //
+
+  /** Key separator for bigram map entries — a control char that survives
+    * neither whitespace tokenization nor the corpus alphabet.
+    */
+  private[graft] val PairSep = "\u0001"
+
+  /** A fitted interpolated bigram model (Jelinek-Mercer):
+    * `p(t | prev) = lambda * pML(t | prev) + (1 - lambda) * pUni(t)`
+    * where `pML` is the maximum-likelihood bigram ratio over the
+    * retained top-`maxPairs` pairs (a dropped or unseen pair scores 0,
+    * falling back to the unigram term — capping IS the unseen case),
+    * and `pUni` is Laplace-smoothed with an OOV floor. `pUni > 0`
+    * everywhere keeps every token's probability positive.
+    *
+    * Stored as direct probabilities (not logs) because interpolation
+    * adds in probability space.
+    */
+  final case class BigramLM(
+      pUni: Map[String, Double], pOov: Double,
+      ratios: Map[String, Double], lambda: Double)
+
+  /** Fit on a corpus: ONE tokenize pass (checkpointed token frame)
+    * feeds both the unigram counts and the consecutive-pair counts.
+    * Driver state is bounded: `vocabSize` unigram probs +
+    * `maxPairs` bigram ratios (top pairs by count desc, pair asc).
+    * Pair left-totals (`c(prev, *)`) come from the FULL pair frame, so
+    * retained ratios are honest ML estimates, not renormalized over
+    * the cap.
+    */
+  def fitBigram(
+      docs: DataFrame, textCol: String, vocabSize: Int, maxPairs: Int,
+      alpha: Double = 1.0, lambda: Double = 0.7): BigramLM = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val toks = docs
+      .select(TextAnalysis.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .localCheckpoint() // one corpus scan for both aggregations
+    try {
+      val counts = toks.select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c")).persist()
+      val (uniProbs, oov) =
+        try {
+          val totalRow = counts.agg(sum(col("c"))).head()
+          val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+          val vocab = counts.orderBy(col("c").desc, col("t")).limit(vocabSize)
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          val denom = total + alpha * (vocab.length + 1)
+          (vocab.map { case (t, c) => t -> ((c + alpha) / denom) }.toMap,
+            alpha / denom)
+        } finally counts.unpersist()
+      // consecutive pairs: zip the token array with its own shift — the
+      // wordShingles trick, with a non-text separator
+      val pairKeys = filter(
+        zip_with(col("ts"), slice(col("ts"), lit(2), size(col("ts"))),
+          (a, b) => concat(a, lit(PairSep), b)),
+        x => x.isNotNull)
+      val pairCounts = toks.select(explode(pairKeys).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c")).persist()
+      val ratios =
+        try {
+          val top = pairCounts.orderBy(col("c").desc, col("pair")).limit(maxPairs)
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          val prevs = top.map(_._1.split(PairSep, 2)(0)).distinct.toSeq
+          val lefts = pairCounts
+            .withColumn("prev", split(col("pair"), PairSep).getItem(0))
+            .filter(col("prev").isInCollection(prevs))
+            .groupBy("prev").agg(sum(col("c")).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          top.map { case (pair, c) =>
+            pair -> c.toDouble / lefts(pair.split(PairSep, 2)(0))
+          }.toMap
+        } finally pairCounts.unpersist()
+      BigramLM(uniProbs, oov, ratios, lambda)
+    } finally GraftShim.unpersistLocalCheckpoint(toks)
+  }
+
+  /** Interpolated-bigram perplexity for a token array: the first token
+    * scores `pUni`, every later token `lambda*pML + (1-lambda)*pUni`;
+    * `exp(-mean log p)` (empty/NULL arrays score NULL). Both model maps
+    * ride along as literal expressions — scoring never joins or
+    * shuffles, the tx_perplexity scale shape.
+    */
+  def bigramPerplexityCol(lm: BigramLM, toks: Column): Column = {
+    def litMap(m: Map[String, Double]): Column = {
+      val entries = m.toSeq.sortBy(_._1)
+      if (entries.isEmpty) typedLit(Map.empty[String, Double])
+      else map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    }
+    val mUni = litMap(lm.pUni)
+    val mBi = litMap(lm.ratios)
+    def pUni(t: Column) = coalesce(element_at(mUni, t), lit(lm.pOov))
+    val tail = slice(toks, lit(2), size(toks))
+    val pairKeys = filter(
+      zip_with(toks, tail, (a, b) => concat(a, lit(PairSep), b)),
+      x => x.isNotNull)
+    val restLp = aggregate(
+      zip_with(pairKeys, tail, (k, t) => log(
+        lit(lm.lambda) * coalesce(element_at(mBi, k), lit(0.0))
+          + lit(1.0 - lm.lambda) * pUni(t))),
+      lit(0.0), (acc, lp) => acc + lp)
+    val sumLp = log(pUni(element_at(toks, 1))) + restLp
+    when(size(toks) > 0, exp(-sumLp / size(toks)))
+  }
+
+  /** Per-document interpolated-bigram perplexity: (idCol, perplexity). */
+  def bigramPerplexity(
+      docs: DataFrame, idCol: String, textCol: String, lm: BigramLM): DataFrame =
+    docs.select(col(idCol),
+      bigramPerplexityCol(lm, TextAnalysis.tokens(col(textCol))).as("perplexity"))
 }

@@ -164,6 +164,50 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(rows(1).getDouble(0) - math.exp(-lm.oovLogProb)) < 1e-12)
   }
 
+  test("bigram lm: hand-computed interpolated perplexity on a tiny corpus") {
+    import graft.operators.LangModel
+    // corpus: "a b a b" + "a c" — pairs: (a,b)x2, (b,a)x1, (a,c)x1
+    val corpus = Seq((0L, "a b a b"), (1L, "a c")).toDF("id", "text")
+    val lm = LangModel.fitBigram(corpus, "text",
+      vocabSize = 10, maxPairs = 10, alpha = 1.0, lambda = 0.5)
+    // unigram: total=6, V=3, denom=6+4=10; p(a)=4/10? counts a=3,b=2,c=1
+    assert(lm.pUni == Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.2))
+    assert(lm.pOov == 0.1)
+    // left totals: a->3 (ab,ab,ac), b->1 (ba)
+    val sep = LangModel.PairSep
+    assert(lm.ratios == Map(
+      s"a${sep}b" -> 2.0 / 3, s"b${sep}a" -> 1.0, s"a${sep}c" -> 1.0 / 3))
+    val ppl = LangModel.bigramPerplexity(
+        Seq((0L, "a b")).toDF("id", "text"), "id", "text", lm)
+      .select("perplexity").as[Double].collect()(0)
+    // p(a)=0.4; p(b|a)=0.5*(2/3)+0.5*0.3
+    val expected = math.exp(-(math.log(0.4) + math.log(0.5 * (2.0 / 3) + 0.5 * 0.3)) / 2)
+    assert(math.abs(ppl - expected) < 1e-12)
+  }
+
+  test("bigram lm: maxPairs cap keeps top pairs, dropped pairs fall back to unigram") {
+    import graft.operators.LangModel
+    val corpus = Seq((0L, "a b a b a c")).toDF("id", "text")
+    val lm = LangModel.fitBigram(corpus, "text",
+      vocabSize = 10, maxPairs = 1, alpha = 1.0, lambda = 0.5)
+    val sep = LangModel.PairSep
+    assert(lm.ratios.keySet == Set(s"a${sep}b")) // (a,b) count 2 beats the 1s
+    // ratio uses the FULL left total: c(a,*) = 3, so p_ML(b|a) = 2/3
+    assert(lm.ratios(s"a${sep}b") == 2.0 / 3)
+  }
+
+  test("bigram lm: single-token and empty docs score unigram-only / NULL") {
+    import graft.operators.LangModel
+    val lm = LangModel.fitBigram(
+      Seq((0L, "a b")).toDF("id", "text"), "text", 5, 5, 1.0, 0.5)
+    val rows = LangModel.bigramPerplexity(
+        Seq((1L, "a"), (2L, null)).toDF("id", "text"), "id", "text", lm)
+      .orderBy("id").select("perplexity").collect()
+    // one token: pure unigram p(a) = (1+1)/(2+3) = 0.4
+    assert(math.abs(rows(0).getDouble(0) - 1.0 / 0.4) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+
   // ------------------------- inverted index ----------------------------- //
 
   test("inverted index: sorted postings of distinct containment, df counts") {
