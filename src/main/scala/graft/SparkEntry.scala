@@ -891,6 +891,16 @@ object SparkEntry {
         .select(col("user_id"), col("first_id"), col("then_id"))
         .orderBy("user_id", "first_id", "then_id")),
 
+    // Per-type z-score outliers: group stats as ONE tiny aggregate
+    // broadcast back (never a fact-table window), scoring a pure
+    // projection. Flagged rows only.
+    "st_outliers" -> ((s, dir) =>
+      operators.Outliers.zScores(events(s, dir), Seq("event_type"), "value",
+          threshold = 3.0)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+        .orderBy("event_id")),
+
     // Embedding int8 quantization + L2 normalization: the scale
     // (max|x|/127, computed in double — bit-reproducible cross-engine)
     // is hash-verified by DuckDB per vector; the reconstruction-error
@@ -1615,6 +1625,16 @@ object SparkEntry {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.user_id < 100
       ORDER BY a.user_id, first_id, then_id""",
+    "st_outliers" -> """
+      WITH s AS (
+        SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        FROM events GROUP BY event_type),
+      z AS (
+        SELECT e.event_id, e.event_type, (e.value - s.m) / s.sd AS z
+        FROM events e JOIN s USING (event_type)
+        WHERE s.sd IS NOT NULL AND s.sd > 0e0)
+      SELECT event_id, event_type, round(z, 4) AS z
+      FROM z WHERE abs(z) > 3e0 ORDER BY event_id""",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     // the mm_ payloads are synthesized from doc_id alone, so DuckDB can

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group outlier flagging for numeric telemetry (the events-table
+  * cleaning pass a pipeline runs before aggregating engagement
+  * signals).
+  *
+  * Scale shape: group stats are ONE map-side-combined aggregation to a
+  * `k`-groups frame (k = distinct group keys, orders of magnitude
+  * smaller than the fact table), broadcast-joined back; the z-score
+  * itself is a pure projection. Deliberately NOT a
+  * `Window.partitionBy(group)` — an unbounded-frame window shuffles
+  * and buffers every fact row per group, while this shape shuffles
+  * only the tiny stats frame.
+  *
+  * A group with fewer than 2 rows or zero variance yields NULL z
+  * (never NaN/Infinity), and such rows are never flagged.
+  */
+object Outliers {
+
+  /** Append `z` and `is_outlier` columns: `z = (value - mean) / stddev`
+    * per group (sample stddev), `is_outlier = |z| > threshold`.
+    */
+  def zScores(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    val keys = groupCols.map(col)
+    val stats = df.groupBy(keys: _*).agg(
+      avg(col(valueCol)).as("_mean"),
+      stddev_samp(col(valueCol)).as("_sd"))
+    val z = when(col("_sd").isNotNull && col("_sd") > 0.0,
+      (col(valueCol) - col("_mean")) / col("_sd"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z", z)
+      .withColumn("is_outlier", coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("_mean", "_sd")
+  }
+}

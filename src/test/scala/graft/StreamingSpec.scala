@@ -12,6 +12,26 @@ class StreamingSpec extends SparkSuite {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("outliers: hand-computed per-group z, degenerate groups never flag") {
+    val df = Seq(
+      ("a", 0.0), ("a", 10.0), ("a", 20.0), ("a", 100.0),
+      ("b", 5.0), // single row: sd undefined -> NULL z, never flagged
+      ("c", 7.0), ("c", 7.0)) // zero variance -> NULL z
+      .toDF("g", "value").withColumn("id", monotonically_increasing_id())
+    val out = graft.operators.Outliers.zScores(df, Seq("g"), "value", 1.2)
+      .select("g", "value", "z", "is_outlier")
+      .as[(String, Double, Option[Double], Boolean)].collect()
+    val m = 32.5
+    val sd = math.sqrt(Seq(0.0, 10, 20, 100).map(v => (v - m) * (v - m)).sum / 3)
+    out.foreach {
+      case ("a", v, Some(z), fl) =>
+        assert(math.abs(z - (v - m) / sd) < 1e-12)
+        assert(fl == (math.abs(z) > 1.2))
+      case (g, _, z, fl) => assert(z.isEmpty && !fl, s"degenerate group $g")
+    }
+    assert(out.count { case ("a", _, _, fl) => fl; case _ => false } == 1) // only 100.0
+  }
+
   test("hourlyAggregates: windowed counts over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
