@@ -1092,6 +1092,32 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // IVF-PQ composition: coarse cells prune the scan, PQ codes score
+    // by ADC projection. Exactness invariant: nProbe = nCells must
+    // reproduce flat ADC top-k exactly — same distances, same id
+    // tie-break (25 (qid,id,dist) triples equi-joined, zero misses).
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (indexed, cents, cb) = operators.Pq.ivfPqBuild(emb, "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, k = 8, iters = 2)
+      val flat = operators.Pq.adcTopK(
+          operators.Pq.encode(emb, "embedding", "codes", cb),
+          "vec_id", "codes", cb, queries, k = 5)
+        .select(col("qid"), col("vec_id"), round(col("adc_dist"), 6).as("d"),
+          lit(1).as("ok"))
+      val full = operators.Pq.ivfPqSearch(indexed, "vec_id", "codes", cents, cb,
+          queries, k = 5, nProbe = 8)
+        .select(col("qid"), col("vec_id"), round(col("adc_dist"), 6).as("d"))
+      full.join(flat, Seq("qid", "vec_id", "d"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
+          (count(lit(1)) === 25).as("complete"))
+    }),
+
     // The 100 TB dedup composition end to end: MinHash-LSH candidate
     // pairs → connected components. Containment proof: LSH edges ⊆
     // exact edges (dd_lsh_containment), so every LSH cluster must lie
@@ -1635,6 +1661,8 @@ object SparkEntry {
         WHERE s.sd IS NOT NULL AND s.sd > 0e0)
       SELECT event_id, event_type, round(z, 4) AS z
       FROM z WHERE abs(z) > 3e0 ORDER BY event_id""",
+    "ann_ivfpq" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     // the mm_ payloads are synthesized from doc_id alone, so DuckDB can

@@ -128,4 +128,61 @@ object Pq {
         .limit(k)
     }.reduce(_ unionAll _)
   }
+
+  // ------------------------------ IVF-PQ ------------------------------- //
+
+  /** IVF-PQ index: coarse IVF cells over the corpus plus PQ codes per
+    * row — the billion-scale ANN layout (FAISS `IVFx,PQy` without
+    * residual encoding: codes quantize the RAW vector, cells only
+    * prune the scan; one codebook serves every cell, so reconstruction
+    * and ADC tables stay cell-independent).
+    *
+    * Returns (indexed `(id, centroid_id, codes)`, centroids frame,
+    * codebook). The indexed frame drops the raw vector — at scale the
+    * index is `m` bytes/row + a partition column; persist it with
+    * [[Ann.writeIvfIndex]] for source-level partition pruning.
+    */
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nCells: Int, m: Int, k: Int, iters: Int = 5): (DataFrame, DataFrame, PqCodebook) = {
+    val (indexed, cents) = Ann.ivfBuild(df, idCol, vecCol, nCells, iters)
+    val cb = fit(df, idCol, vecCol, dim, m, k, iters)
+    (encode(indexed, vecCol, "codes", cb).select(col(idCol), col("centroid_id"), col("codes")),
+      cents, cb)
+  }
+
+  /** IVF-PQ search: rank cells per query ON THE DRIVER (both the query
+    * and the centroids are driver state — no probe job at all), then
+    * score only the probed cells' codes with the ADC projection and
+    * TakeOrdered the top-k. `nProbe = nCells` degenerates to
+    * [[adcTopK]] exactly (same distances, same id tie-break). Probe
+    * tie-break: lower centroid id, matching `Ann.probeCells`.
+    */
+  def ivfPqSearch(index: DataFrame, idCol: String, codesCol: String,
+      centroids: DataFrame, cb: PqCodebook,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(queries.nonEmpty, "need at least one query")
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    queries.map { case (qid, q) =>
+      val probed = cents.map { case (cid, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < math.min(q.length, c.length)) {
+          val d = q(i).toDouble - c(i).toDouble; acc += d * d; i += 1
+        }
+        (acc, cid)
+      }.sorted.take(nProbe).map(_._2).toSeq
+      index.filter(col("centroid_id").isInCollection(probed))
+        .select(
+          lit(qid).as("qid"),
+          col(idCol),
+          adcDistanceCol(q, cb, col(codesCol)).as("adc_dist"))
+        .orderBy(col("adc_dist"), col(idCol))
+        .limit(k)
+    }.reduce(_ unionAll _)
+  }
 }

@@ -213,6 +213,41 @@ class AnnSpec extends SparkSuite {
     assert(top == (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet)
   }
 
+  test("ivfpq: full probe equals flat ADC; pruned probe per-rank dominated") {
+    import graft.operators.Pq
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => (i, v.toArray) }.toSeq
+    val (indexed, cents, cb) = Pq.ivfPqBuild(emb, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, k = 8, iters = 2)
+    assert(indexed.columns.toSeq == Seq("vec_id", "centroid_id", "codes"))
+
+    val flat = Pq.adcTopK(
+        Pq.encode(emb, "embedding", "codes", cb), "vec_id", "codes", cb, queries, 5)
+      .select($"qid", $"vec_id", $"adc_dist").as[(Long, Long, Double)]
+      .collect().toSet
+    val full = Pq.ivfPqSearch(indexed, "vec_id", "codes", cents, cb,
+        queries, k = 5, nProbe = 8)
+      .select($"qid", $"vec_id", $"adc_dist").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(full == flat, "nProbe = nCells must degenerate to flat ADC")
+
+    // pruned probe: per-rank ADC distance can only get worse (the
+    // candidate set shrank), never better
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"adc_dist").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val pruned = ranked(Pq.ivfPqSearch(indexed, "vec_id", "codes", cents, cb,
+      queries, k = 5, nProbe = 2))
+    val fullR = ranked(Pq.ivfPqSearch(indexed, "vec_id", "codes", cents, cb,
+      queries, k = 5, nProbe = 8))
+    pruned.foreach { case (qid, ds) =>
+      ds.zip(fullR(qid)).foreach { case (p, f) =>
+        assert(p >= f - 1e-12, s"query $qid: pruned rank beat full probe")
+      }
+    }
+  }
+
   test("pq: validation — m must divide dim, query dim must match") {
     import graft.operators.Pq
     intercept[IllegalArgumentException] {
