@@ -1072,6 +1072,56 @@ object SparkEntry {
       s.table("st_stream_dedup_tbl").orderBy("content_hash")
     }),
 
+    // REAL streaming run of the flatMapGroupsWithState sessionizer:
+    // file source → event-time timeout state machine → memory sink,
+    // Trigger.AvailableNow. A far-future sentinel event (user -1)
+    // pushes the final watermark past every real session's timeout, so
+    // the closing no-data micro-batch flushes trailing sessions — the
+    // result must equal batch sessionization row-for-row (DuckDB
+    // recomputes it; st_sessions proves the batch form).
+    "st_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      // events.parquet carries TIMESTAMP(NANOS): stream it as raw longs
+      // under the scoped legacy flag (the nanosTimestampParquet pattern,
+      // held across the streaming run) and convert in the plan
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = s.readStream.schema(rawSchema)
+          .parquet(s"$dir/events.[p]arquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val real = src().filter(col("user_id") < 50)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val sentinel = src().filter(col("event_id") <= 3)
+          .select(col("event_id"),
+            (col("ts") + expr("INTERVAL 3650 DAYS")).as("ts"),
+            lit(-1L).as("user_id"), col("event_type"), col("value"))
+        val stream = real.unionByName(sentinel).as[graft.streaming.Event]
+        val sessions = graft.streaming.EventStreams
+          .sessionize(stream, gapMinutes = 30, watermark = "1 second")
+          .filter(col("user_id") >= 0)
+        s.catalog.dropTempView("st_stream_sessions_tbl") // stale prior rep
+        val q = sessions.writeStream.format("memory")
+          .queryName("st_stream_sessions_tbl")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st_stream_sessions_tbl")
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            col("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy("user_id", "session_start")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // cosine IVF at full probe must reproduce the exact cosine top-k
     // (which vs_knn_cosine hash-verifies) — row-for-row, rank-for-rank
     "ann_ivfc_exactness" -> ((s, dir) => {
@@ -2173,6 +2223,24 @@ object SparkEntry {
         UNION
         SELECT c_custkey AS key FROM customer) t
       ORDER BY key""",
+    "st_stream_sessions" -> """
+      WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sno
+        FROM s)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM g GROUP BY user_id, sno
+      ORDER BY user_id, session_start""",
     "st_sessions" -> """
       WITH s AS (
         SELECT user_id, ts, value,

@@ -22,6 +22,12 @@ case class UserSession(
     n_events: Long,
     total_value: Double)
 
+/** Session accumulator: `start`/`last` are event-time MICROSECONDS (so
+  * emitted timestamps keep full parquet precision — `Timestamp.getTime`
+  * alone would truncate to millis); gap/timeout decisions derive millis
+  * from them, matching [[EventStreams.sessionizeBatch]]'s `unix_millis`
+  * semantics exactly.
+  */
 private case class SessionState(
     start: Long, last: Long, n: Long, total: Double)
 
@@ -58,8 +64,17 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def ms(us: Long): Long = Math.floorDiv(us, 1000L)
+
     def flush(userId: Long, st: SessionState): UserSession =
-      UserSession(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+      UserSession(userId, toTs(st.start), toTs(st.last), st.n, st.total)
 
     events
       .withWatermark("ts", watermark)
@@ -72,13 +87,13 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val sorted = batch.toSeq.sortBy(e => micros(e.ts))
             var closed = List.empty[UserSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(st) if t - st.last <= gapMs =>
+                case Some(st) if ms(t) - ms(st.last) <= gapMs =>
                   cur = Some(SessionState(st.start, math.max(st.last, t), st.n + 1, st.total + e.value))
                 case Some(st) =>
                   closed ::= flush(userId, st)
@@ -89,7 +104,7 @@ object EventStreams {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.last + gapMs)
+              state.setTimeoutTimestamp(ms(st.last) + gapMs)
             }
             closed.reverseIterator
           }
