@@ -1142,6 +1142,20 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // Label-centroid analytics: mean-pool per label (one aggregation,
+    // labels×dim shuffle) then pairwise centroid cosine over the tiny
+    // k-row frame. Double math end-to-end, DuckDB recomputes both
+    // stages.
+    "vq_centroid_sim" -> ((s, dir) => {
+      val cents = operators.VectorOps.labelCentroids(
+        T(s, dir, "embeddings"), "label", "embedding", dim = 64)
+      operators.VectorOps.centroidCosines(cents)
+        .select(col("label_a").cast("long").as("label_a"),
+          col("label_b").cast("long").as("label_b"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("label_a", "label_b")
+    }),
+
     // IVF-PQ composition: coarse cells prune the scan, PQ codes score
     // by ADC projection. Exactness invariant: nProbe = nCells must
     // reproduce flat ADC top-k exactly — same distances, same id
@@ -1711,6 +1725,24 @@ object SparkEntry {
         WHERE s.sd IS NOT NULL AND s.sd > 0e0)
       SELECT event_id, event_type, round(z, 4) AS z
       FROM z WHERE abs(z) > 3e0 ORDER BY event_id""",
+    "vq_centroid_sim" -> """
+      WITH e AS (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings),
+      c AS (
+        SELECT label, ord, avg(CAST(x AS DOUBLE)) AS v
+        FROM e GROUP BY label, ord),
+      p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.v * b.v) AS dot,
+               sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+        FROM c a JOIN c b ON a.label < b.label AND a.ord = b.ord
+        GROUP BY a.label, b.label)
+      SELECT CAST(label_a AS BIGINT) AS label_a,
+             CAST(label_b AS BIGINT) AS label_b,
+             round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
+      FROM p ORDER BY label_a, label_b""",
     "ann_ivfpq" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_lsh_containment" ->

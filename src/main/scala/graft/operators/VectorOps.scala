@@ -53,4 +53,37 @@ object VectorOps {
   /** Reconstruct float vectors from int8 codes + scale. */
   def dequantizedInt8(codes: Column, scale: Column): Column =
     transform(codes, q => (q.cast("double") * scale).cast("float"))
+
+  // ------------------------ label centroids ---------------------------- //
+
+  /** Mean-pool embeddings per label: (label, centroid `array<double>`,
+    * n). ONE map-side-combined aggregation whose shuffle volume is
+    * `labels × dim` doubles regardless of corpus size — the class-level
+    * summary a pipeline uses for topic drift and mixture diagnostics.
+    */
+  def labelCentroids(
+      df: DataFrame, labelCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    df.groupBy(col(labelCol).as("label"))
+      .agg(
+        array((0 until dim).map(i => avg(element_at(col(vecCol), i + 1))): _*)
+          .as("centroid"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Pairwise cosine similarity between label centroids
+    * (label_a < label_b). The centroid frame is label-cardinality-sized
+    * — driver/broadcast scale — so the quadratic pair join is over k
+    * rows, never the corpus. Double math end-to-end.
+    */
+  def centroidCosines(centroids: DataFrame): DataFrame = {
+    val a = centroids.select(col("label").as("label_a"), col("centroid").as("_ca"))
+    val b = centroids.select(col("label").as("label_b"), col("centroid").as("_cb"))
+    val dot = aggregate(zip_with(col("_ca"), col("_cb"), _ * _), lit(0.0d), _ + _)
+    val na = aggregate(col("_ca"), lit(0.0d), (acc, x) => acc + x * x)
+    val nb = aggregate(col("_cb"), lit(0.0d), (acc, x) => acc + x * x)
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (dot / (sqrt(na) * sqrt(nb))).as("sim"))
+  }
 }

@@ -61,4 +61,26 @@ class VectorOpsSpec extends AnyFunSuite with SparkSuite {
     val meanRel = q.select(avg($"mean_err" / $"scale")).head().getDouble(0)
     assert(meanRel > 0.15 && meanRel < 0.35, s"mean residual $meanRel of scale")
   }
+
+  test("labelCentroids + centroidCosines: hand-computed means and cosines") {
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(3.0f, 0.0f)),   // centroid (2, 0)
+      (1, Seq(0.0f, 2.0f)),                          // centroid (0, 2)
+      (2, Seq(2.0f, 2.0f)))                          // centroid (2, 2)
+      .toDF("label", "vec")
+    val cents = VectorOps.labelCentroids(df, "label", "vec", dim = 2)
+    val got = cents.select($"label", $"centroid", $"n")
+      .as[(Int, Seq[Double], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0) == ((Seq(2.0, 0.0), 2L)))
+    assert(got(1) == ((Seq(0.0, 2.0), 1L)))
+    assert(got(2) == ((Seq(2.0, 2.0), 1L)))
+
+    val sims = VectorOps.centroidCosines(cents)
+      .select($"label_a", $"label_b", $"sim")
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(sims.size == 3)
+    assert(math.abs(sims((0, 1)) - 0.0) < 1e-12)                    // orthogonal
+    assert(math.abs(sims((0, 2)) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(sims((1, 2)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
 }
