@@ -608,6 +608,26 @@ object SparkEntry {
           col("df"))
         .orderBy("token")),
 
+    // URL canonicalization: scheme/host case, default ports, trailing
+    // slash, tracking params, fragments — synthesized URL variants from
+    // doc_id on BOTH sides; DuckDB mirrors every normalization step.
+    "tx_urlnorm" -> ((s, dir) => {
+      val raw = concat(
+        lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 4 === 0, lit(":443"))
+          .when(col("doc_id") % 4 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+        lit("#sec"), (col("doc_id") % 3).cast("string"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.Urls.normalize(raw).as("url_norm"),
+          operators.Urls.domain(raw).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // Web-corpus cleanup: tags stripped, entities decoded (&amp; last,
     // no double-decode), whitespace collapsed — markup synthesized
     // deterministically from doc_id on BOTH sides (the tx_pii pattern),
@@ -1035,6 +1055,19 @@ object SparkEntry {
         .select(col("c_custkey"), col("cents"), col("n_nationkey"))
         .orderBy("c_custkey", "n_nationkey")
     }),
+
+    // Correlation/covariance battery per group: Pearson corr plus
+    // sample/population covariance — the moment aggregates q18 didn't
+    // cover, all map-side-combinable.
+    "q33_corr" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 4).as("cov_p"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
 
     // A REAL Structured Streaming run on the gate: documents (first 100
     // duplicated in-stream) flow through a file streaming source →
@@ -1987,6 +2020,56 @@ object SparkEntry {
         GROUP BY tok.doc_id)
       SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
       FROM sc ORDER BY doc_id""",
+    "tx_urlnorm" -> """
+      WITH t AS (
+        SELECT doc_id,
+          'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+          || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                  WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+          || '/Path/' || CAST(doc_id AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+          || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+          || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=xyz' ELSE '' END
+          || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          lower(regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS sch,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2) AS auth,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS rawpath,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS rawq
+        FROM t),
+      q AS (
+        SELECT doc_id, sch,
+          lower(regexp_extract(auth, '^([^:]*)', 1)) AS hst,
+          regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+          CASE WHEN regexp_matches(rawpath, '^.+/$')
+               THEN substring(rawpath, 1, length(rawpath) - 1) ELSE rawpath END AS pth,
+          list_filter(string_split(regexp_replace(rawq, '^\?', ''), '&'),
+            x -> NOT regexp_matches(x, '^(utm_[A-Za-z0-9]+|fbclid|gclid)=')
+                 AND x <> '') AS kept
+        FROM p)
+      SELECT doc_id,
+        sch || '://' || hst
+          || CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+                    OR (sch = 'https' AND prt = '443')
+                  THEN '' ELSE ':' || prt END
+          || pth
+          || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                  ELSE '' END AS url_norm,
+        regexp_replace(hst, '^www\.', '') AS domain
+      FROM q ORDER BY doc_id""",
+    "q33_corr" -> """
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+             round(covar_pop(l_quantity, l_discount), 4) AS cov_p,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "tx_clean" -> """
       WITH t AS (
         SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text

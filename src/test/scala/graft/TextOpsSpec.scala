@@ -265,6 +265,28 @@ class TextOpsSpec extends SparkSuite {
     assert(out(4L) == "attr soup")
   }
 
+  // ---------------------------- url canonicalization -------------------- //
+
+  test("urls: normalize handles case, ports, slashes, tracking params, fragments") {
+    import graft.operators.Urls
+    val cases = Seq(
+      (0L, "HTTP://Example.COM:80/a/"),
+      (1L, "https://www.example.com:443/a?utm_source=x&q=1&gclid=z#top"),
+      (2L, "https://example.com:8443/A/B?b=2&a=1"),
+      (3L, "http://example.com/"),
+      (4L, "not a url"),
+      (5L, "ftp://Files.Example.com:21/x"))
+      .toDF("id", "url")
+    val out = cases.select($"id", Urls.normalize($"url").as("n"), Urls.domain($"url").as("d"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == (("http://example.com/a", "example.com")))
+    assert(out(1L) == (("https://www.example.com/a?q=1", "example.com")))
+    assert(out(2L) == (("https://example.com:8443/A/B?b=2&a=1", "example.com"))) // order kept
+    assert(out(3L) == (("http://example.com/", "example.com"))) // root slash survives
+    assert(out(4L)._1 == "")
+    assert(out(5L) == (("ftp://files.example.com:21/x", "files.example.com")))
+  }
+
   // ------------------------------ tf-idf -------------------------------- //
 
   test("tfidf: hand-computed weights (sklearn smooth idf) on a tiny corpus") {
