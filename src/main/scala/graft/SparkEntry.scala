@@ -608,6 +608,15 @@ object SparkEntry {
           col("df"))
         .orderBy("token")),
 
+    // Character entropy (gibberish signal): shuffle-free HOF fold,
+    // DuckDB recomputes via (doc, char) counts — different summation
+    // order, pinned by round(4).
+    "tx_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(
+          T(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+        .select(col("doc_id"), round(col("entropy"), 4).as("entropy"))
+        .orderBy("doc_id")),
+
     // URL canonicalization: scheme/host case, default ports, trailing
     // slash, tracking params, fragments — synthesized URL variants from
     // doc_id on BOTH sides; DuckDB mirrors every normalization step.
@@ -1054,6 +1063,39 @@ object SparkEntry {
         .pointInInterval(pts, "cents", bands, "band_lo", "band_hi", bucketWidth = 50000L)
         .select(col("c_custkey"), col("cents"), col("n_nationkey"))
         .orderBy("c_custkey", "n_nationkey")
+    }),
+
+    // REAL stream-stream interval join: click and purchase streams
+    // (same file source, two branches) watermarked and equi+range
+    // joined — the bounded-state streaming shape st_funnel proves in
+    // batch form. Inner-join matches emit as they arrive, so a single
+    // AvailableNow pass yields exactly the batch result.
+    "st_stream_funnel" -> ((s, dir) => {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = s.readStream.schema(rawSchema)
+          .parquet(s"$dir/events.[p]arquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("user_id") < 100)
+        val pairs = graft.streaming.EventStreams.funnelPairs(
+            src(), "click", "purchase", withinMinutes = 30)
+          .select(col("user_id"), col("first_id"), col("then_id"))
+        s.catalog.dropTempView("st_stream_funnel_tbl") // stale prior rep
+        val q = pairs.writeStream.format("memory")
+          .queryName("st_stream_funnel_tbl")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st_stream_funnel_tbl")
+          .orderBy("user_id", "first_id", "then_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }),
 
     // Correlation/covariance battery per group: Pearson corr plus
@@ -1740,6 +1782,14 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS worse_than_single,
              CAST(0 AS BIGINT) AS better_than_exact,
              true AS complete""",
+    "st_stream_funnel" -> """
+      SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      WHERE a.user_id < 100
+      ORDER BY a.user_id, first_id, then_id""",
     "st_funnel" -> """
       SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
       FROM events a JOIN events b
@@ -2020,6 +2070,19 @@ object SparkEntry {
         GROUP BY tok.doc_id)
       SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
       FROM sc ORDER BY doc_id""",
+    "tx_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE text IS NOT NULL),
+      cnt AS (
+        SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        FROM ch GROUP BY doc_id, c),
+      tot AS (
+        SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cnt GROUP BY doc_id)
+      SELECT cnt.doc_id,
+             round(-sum((k / n) * ln(k / n)), 4) AS entropy
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+      GROUP BY cnt.doc_id ORDER BY cnt.doc_id""",
     "tx_urlnorm" -> """
       WITH t AS (
         SELECT doc_id,

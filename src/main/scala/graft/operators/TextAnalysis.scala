@@ -215,6 +215,31 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Shannon character entropy (nats) — the classic gibberish /
+    * compression-junk signal: natural text sits near the language's
+    * character entropy, while repeated padding (low) and random bytes
+    * (high) fall outside it.
+    *
+    * Shuffle-free HOF form: O(distinct-chars × length) per row, fine
+    * for document-scale strings and scan-speed at any corpus size. The
+    * char array is materialized as a column FIRST so the per-unique
+    * filter passes don't re-run the regex split (the wordShingles HOF
+    * re-evaluation hazard); counts build once into an array, then one
+    * aggregate folds `-Σ p ln p`.
+    */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => c =!= "")
+    val base = docs.select(col(idCol).as("doc_id"), chars.as("_chars"))
+    val n = size(col("_chars")).cast("double")
+    val counts = transform(array_distinct(col("_chars")),
+      u => size(filter(col("_chars"), x => x === u)).cast("double"))
+    val ent = -aggregate(counts, lit(0.0d),
+      (acc, c) => acc + (c / n) * log(c / n))
+    base.select(col("doc_id"),
+      when(size(col("_chars")) > 0, ent).otherwise(lit(0.0d)).as("entropy"))
+  }
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)

@@ -265,6 +265,23 @@ class TextOpsSpec extends SparkSuite {
     assert(out(4L) == "attr soup")
   }
 
+  // ------------------------------ entropy ------------------------------- //
+
+  test("charEntropy: hand-computed nats; uniform > skewed > constant") {
+    val docs = Seq(
+      (0L, "aaaa"),         // one symbol: entropy 0
+      (1L, "abab"),         // two equiprobable: ln 2
+      (2L, "aab"),          // 2/3, 1/3
+      (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.charEntropy(docs, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) == 0.0)
+    assert(math.abs(out(1L) - math.log(2)) < 1e-12)
+    val p = Seq(2.0 / 3, 1.0 / 3)
+    assert(math.abs(out(2L) - -p.map(x => x * math.log(x)).sum) < 1e-12)
+    assert(out(3L) == 0.0)
+  }
+
   // ---------------------------- url canonicalization -------------------- //
 
   test("urls: normalize handles case, ports, slashes, tracking params, fragments") {
