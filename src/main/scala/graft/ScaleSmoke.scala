@@ -173,6 +173,40 @@ object ScaleSmoke {
     timed("invertedPostings relation") {
       graft.operators.TextAnalysis.invertedPostings(bigDocs, "doc_id", "text").count()
     }
+    timed("tfidf topTerms(3) 100k docs") {
+      graft.operators.Tfidf.topTerms(bigDocs, "doc_id", "text", 3).count()
+    }
+    val blm = timed("fitBigram (vocab 1k, 4k pairs)") {
+      graft.operators.LangModel.fitBigram(bigDocs, "text",
+        vocabSize = 1000, maxPairs = 4000)
+    }
+    timed("bigram ppl join-score 100k") {
+      // join form: the literal-map projection is O(vocab+pairs) PER
+      // TOKEN at this model size (41 s here); broadcast hash joins
+      // score the same model at probe cost
+      graft.operators.LangModel.bigramPerplexityJoin(bigDocs, "doc_id", "text", blm)
+        .agg(sum(col("perplexity"))).head()
+    }
+    timed("entropy+clean+urlnorm 100k") {
+      // the scan-side text battery in one pass: char entropy fold plus
+      // the cleanup/canonicalization projections
+      val url = concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:8080/Path/"), col("doc_id").cast("string"), lit("?utm_source=x&id=1#f"))
+      graft.operators.TextAnalysis.charEntropy(
+          bigDocs.withColumn("text",
+            concat(lit("<p>"), col("text"), lit("</p> &amp; "),
+              graft.operators.Urls.normalize(url))),
+          "doc_id", "text")
+        .agg(sum(col("entropy"))).head()
+    }
+    timed("ivfpq build+search 100k vecs") {
+      val (indexedPq, centsPq, cbPq) = graft.operators.Pq.ivfPqBuild(
+        bigEmb, "vec_id", "embedding", dim = 64, nCells = 32, m = 8, k = 16, iters = 2)
+      val q = bigEmb.orderBy("vec_id").limit(1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.operators.Pq.ivfPqSearch(indexedPq, "vec_id", "codes", centsPq, cbPq,
+        Seq((0L, q)), k = 10, nProbe = 4).count()
+    }
 
     // ---- the whole pipeline, end-to-end, LSH-mode dedup (default) ----
     // Stage-by-stage so SCALE.md records survivor counts; bands=4

@@ -2070,19 +2070,19 @@ object SparkEntry {
         GROUP BY tok.doc_id)
       SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
       FROM sc ORDER BY doc_id""",
+    // same algebraic form as the Spark agg: H = ln n - (sum c ln c)/n
     "tx_entropy" -> """
       WITH ch AS (
         SELECT doc_id, unnest(string_split(text, '')) AS c
         FROM documents WHERE text IS NOT NULL),
       cnt AS (
-        SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
-        FROM ch GROUP BY doc_id, c),
-      tot AS (
-        SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cnt GROUP BY doc_id)
-      SELECT cnt.doc_id,
-             round(-sum((k / n) * ln(k / n)), 4) AS entropy
-      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
-      GROUP BY cnt.doc_id ORDER BY cnt.doc_id""",
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+        FROM ch GROUP BY doc_id, c)
+      SELECT doc_id,
+             round(ln(CAST(sum(k) AS DOUBLE))
+               - sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
+                 / CAST(sum(k) AS DOUBLE), 4) AS entropy
+      FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "tx_urlnorm" -> """
       WITH t AS (
         SELECT doc_id,

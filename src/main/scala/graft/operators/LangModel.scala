@@ -186,9 +186,52 @@ object LangModel {
     when(size(toks) > 0, exp(-sumLp / size(toks)))
   }
 
-  /** Per-document interpolated-bigram perplexity: (idCol, perplexity). */
+  /** Per-document interpolated-bigram perplexity: (idCol, perplexity).
+    *
+    * Literal-map scoring: right for BOUNDED models (a few hundred
+    * entries) — `element_at` on a map literal is a LINEAR scan per
+    * lookup, so cost grows with `vocabSize + maxPairs` per token (the
+    * 1k-vocab/4k-pair smoke model scored 100k docs in 41 s this way).
+    * For open-vocabulary models use [[bigramPerplexityJoin]].
+    */
   def bigramPerplexity(
       docs: DataFrame, idCol: String, textCol: String, lm: BigramLM): DataFrame =
     docs.select(col(idCol),
       bigramPerplexityCol(lm, TextAnalysis.tokens(col(textCol))).as("perplexity"))
+
+  /** Join-form scoring — the open-vocabulary scale path: the model
+    * ships as two tiny frames hash-joined (broadcast) against the
+    * exploded token stream, so per-token cost is a hash probe, not a
+    * linear map scan. Shuffle volume = one (doc, pos, token) explode +
+    * the per-doc average. Same model semantics as
+    * [[bigramPerplexityCol]]; per-doc mean is a float sum in shuffle
+    * order rather than token order (differences O(1e-15) — round
+    * before hash-comparing). Docs with zero tokens produce no row.
+    */
+  def bigramPerplexityJoin(
+      docs: DataFrame, idCol: String, textCol: String, lm: BigramLM): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val uniDF = broadcast(lm.pUni.toSeq.toDF("t", "p_uni"))
+    val biDF = broadcast(lm.ratios.toSeq
+      .map { case (k, r) =>
+        val Array(prev, tok) = k.split(PairSep, 2); (prev, tok, r)
+      }
+      .toDF("b_prev", "b_tok", "r"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "t")))
+    val withPrev = toks.withColumn("prev",
+      lag(col("t"), 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")))
+    val scored = withPrev
+      .join(uniDF, Seq("t"), "left_outer")
+      .join(biDF,
+        col("prev") === col("b_prev") && col("t") === col("b_tok"), "left_outer")
+      .withColumn("p",
+        when(col("pos") === 0, coalesce(col("p_uni"), lit(lm.pOov)))
+          .otherwise(lit(lm.lambda) * coalesce(col("r"), lit(0.0))
+            + lit(1.0 - lm.lambda) * coalesce(col("p_uni"), lit(lm.pOov))))
+    scored.groupBy("doc_id")
+      .agg(exp(-avg(log(col("p")))).as("perplexity"))
+  }
 }

@@ -196,6 +196,20 @@ class TextOpsSpec extends SparkSuite {
     assert(lm.ratios(s"a${sep}b") == 2.0 / 3)
   }
 
+  test("bigram lm: join-form scoring matches the literal-map form") {
+    import graft.operators.LangModel
+    val corpus = Seq((0L, "a b a b c d"), (1L, "a c e"), (2L, "b b b a")).toDF("id", "text")
+    val lm = LangModel.fitBigram(corpus, "text", vocabSize = 4, maxPairs = 3, 1.0, 0.6)
+    val viaMap = LangModel.bigramPerplexity(corpus, "id", "text", lm)
+      .as[(Long, Double)].collect().toMap
+    val viaJoin = LangModel.bigramPerplexityJoin(corpus, "id", "text", lm)
+      .as[(Long, Double)].collect().toMap
+    assert(viaMap.keySet == viaJoin.keySet)
+    viaMap.foreach { case (id, p) =>
+      assert(math.abs(p - viaJoin(id)) < 1e-9, s"doc $id: $p vs ${viaJoin(id)}")
+    }
+  }
+
   test("bigram lm: single-token and empty docs score unigram-only / NULL") {
     import graft.operators.LangModel
     val lm = LangModel.fitBigram(
@@ -279,7 +293,7 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(out(1L) - math.log(2)) < 1e-12)
     val p = Seq(2.0 / 3, 1.0 / 3)
     assert(math.abs(out(2L) - -p.map(x => x * math.log(x)).sum) < 1e-12)
-    assert(out(3L) == 0.0)
+    assert(!out.contains(3L)) // zero characters -> no row (unnest semantics)
   }
 
   // ---------------------------- url canonicalization -------------------- //
