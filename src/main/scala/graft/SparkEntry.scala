@@ -930,6 +930,16 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
         .orderBy("event_id")),
 
+    // Winsorization: per-type [p1, p99] clipping — exact interpolated
+    // percentiles agree bit-for-bit with DuckDB quantile_cont (probed
+    // before gating), bounds broadcast back, clip is a projection.
+    "st_winsorize" -> ((s, dir) =>
+      operators.Outliers.winsorize(events(s, dir), Seq("event_type"), "value",
+          lo = 0.01, hi = 0.99)
+        .select(col("event_id"), col("event_type"),
+          round(col("clipped"), 4).as("clipped"), col("was_clipped"))
+        .orderBy("event_id")),
+
     // Embedding int8 quantization + L2 normalization: the scale
     // (max|x|/127, computed in double — bit-reproducible cross-engine)
     // is hash-verified by DuckDB per vector; the reconstruction-error
@@ -1798,6 +1808,17 @@ object SparkEntry {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.user_id < 100
       ORDER BY a.user_id, first_id, then_id""",
+    "st_winsorize" -> """
+      WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01e0) AS plo,
+               quantile_cont(value, 0.99e0) AS phi
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type,
+             round(least(greatest(e.value, b.plo), b.phi), 4) AS clipped,
+             least(greatest(e.value, b.plo), b.phi) <> e.value AS was_clipped
+      FROM events e JOIN b USING (event_type)
+      ORDER BY e.event_id""",
     "st_outliers" -> """
       WITH s AS (
         SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd

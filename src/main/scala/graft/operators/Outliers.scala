@@ -39,4 +39,26 @@ object Outliers {
       .withColumn("is_outlier", coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("_mean", "_sd")
   }
+
+  /** Winsorize: clip `valueCol` to its per-group [lo, hi] percentile
+    * band — the robust alternative to z-dropping when downstream wants
+    * every row kept. Same broadcast shape as [[zScores]]; the exact
+    * `percentile` aggregate buffers each group's values, so at
+    * open-web group sizes swap in `percentile_approx` (the bounds
+    * frame is k rows either way). Appends `clipped` and `was_clipped`.
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val keys = groupCols.map(col)
+    val bounds = df.groupBy(keys: _*).agg(
+      percentile(col(valueCol), lit(lo)).as("_plo"),
+      percentile(col(valueCol), lit(hi)).as("_phi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("clipped", least(greatest(col(valueCol), col("_plo")), col("_phi")))
+      .withColumn("was_clipped", col("clipped") =!= col(valueCol))
+      .drop("_plo", "_phi")
+  }
 }

@@ -32,6 +32,24 @@ class StreamingSpec extends SparkSuite {
     assert(out.count { case ("a", _, _, fl) => fl; case _ => false } == 1) // only 100.0
   }
 
+  test("winsorize: clips to per-group percentile band, flags clipped rows") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
+    val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
+      .select("value", "clipped", "was_clipped")
+      .as[(Double, Double, Boolean)].collect()
+    // exact interpolated percentiles of 1..100, via the same IEEE
+    // arithmetic the aggregate runs: pos = p*(n-1), linear interp
+    val (p10, p90) = (10 + (0.1 * 99 - 9), 90 + (0.9 * 99 - 89))
+    out.foreach { case (v, c, fl) =>
+      assert(c == math.min(math.max(v, p10), p90))
+      assert(fl == (c != v))
+    }
+    assert(out.count(_._3) == 20) // 10 below, 10 above
+    intercept[IllegalArgumentException] {
+      graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.9, 0.1)
+    }
+  }
+
   test("hourlyAggregates: windowed counts over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
