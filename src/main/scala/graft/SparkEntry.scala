@@ -930,6 +930,28 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
         .orderBy("event_id")),
 
+    // k-anonymity suppression over structured quasi-identifiers:
+    // group sizes equi-joined back (no broadcast assumption), nulling
+    // as a projection.
+    "tx_kanon" -> ((s, dir) =>
+      operators.Pii.kAnonymitySuppress(
+          events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"), k = 5)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("suppressed"))
+        .orderBy("event_id")),
+
+    // Hourly resample + forward fill per user: bucket last-values via
+    // bounded per-bucket top-1, grid explode bounded by keys×span,
+    // ffill windows only the grid. Raw doubles (no arithmetic) on both
+    // engines.
+    "st_resample" -> ((s, dir) =>
+      operators.Resample.hourlyFfill(
+          events(s, dir).filter(col("user_id") < 20), "user_id", "ts", "value")
+        .select(col("user_id"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v"), col("filled"), col("is_gap"))
+        .orderBy("user_id", "hour")),
+
     // Winsorization: per-type [p1, p99] clipping — exact interpolated
     // percentiles agree bit-for-bit with DuckDB quantile_cont (probed
     // before gating), bounds broadcast back, clip is a projection.
@@ -1808,6 +1830,34 @@ object SparkEntry {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.user_id < 100
       ORDER BY a.user_id, first_id, then_id""",
+    "tx_kanon" -> """
+      WITH g AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type)
+      SELECT e.event_id,
+             CASE WHEN g.n < 5 THEN NULL ELSE e.user_id END AS user_id,
+             CASE WHEN g.n < 5 THEN NULL ELSE e.event_type END AS event_type,
+             g.n < 5 AS suppressed
+      FROM events e JOIN g USING (user_id, event_type)
+      ORDER BY e.event_id""",
+    "st_resample" -> """
+      WITH h0 AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, value DESC) AS rn
+        FROM events WHERE user_id < 20),
+      h AS (SELECT user_id, hour, value AS v FROM h0 WHERE rn = 1),
+      s AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+            FROM h GROUP BY user_id),
+      g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM s),
+      j AS (SELECT g.user_id, g.hour, h.v
+            FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
+      SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+                                              ROWS UNBOUNDED PRECEDING) AS filled,
+             v IS NULL AS is_gap
+      FROM j ORDER BY user_id, hour""",
     "st_winsorize" -> """
       WITH b AS (
         SELECT event_type,

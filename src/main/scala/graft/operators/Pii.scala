@@ -43,4 +43,30 @@ object Pii {
   /** True when any PII category matches — the filter form. */
   def hasPii(text: Column): Column =
     counts(text).map { case (_, c) => c > 0 }.reduce(_ || _)
+
+  /** k-anonymity suppression: rows whose quasi-identifier combination
+    * occurs fewer than `k` times get those columns nulled (plus a
+    * `suppressed` flag) — the release-gate companion to [[redact]] for
+    * STRUCTURED columns, where rare attribute combinations re-identify
+    * even after free-text redaction.
+    *
+    * Scale shape: group sizes are one map-side-combined aggregate
+    * equi-joined back on the quasi columns (group count can be
+    * corpus-scale, so no broadcast assumption); suppression is a
+    * projection.
+    */
+  def kAnonymitySuppress(
+      df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      k: Long): org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sizes = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("_gn"))
+    val joined = df.join(sizes, quasiCols)
+    val suppressed = col("_gn") < k
+    quasiCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, when(suppressed, lit(null)).otherwise(col(c)))
+    }
+      .withColumn("suppressed", suppressed)
+      .drop("_gn")
+  }
 }

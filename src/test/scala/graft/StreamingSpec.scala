@@ -50,6 +50,67 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("hourlyFfill: grid covers min..max hours, gaps forward-filled") {
+    val df = Seq(
+      (1L, ts(10), 1.0),   // hour 0
+      (1L, ts(40), 2.0),   // hour 0 (later -> wins the bucket)
+      (1L, ts(185), 9.0),  // hour 3: hours 1,2 are gaps
+      (2L, ts(65), 5.0))   // single bucket key
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.Resample.hourlyFfill(df, "user_id", "ts", "value")
+      .select($"user_id", hour($"hour"), $"v", $"filled", $"is_gap")
+      .as[(Long, Int, Option[Double], Double, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0, Some(2.0), 2.0, false),
+      (1L, 1, None, 2.0, true),
+      (1L, 2, None, 2.0, true),
+      (1L, 3, Some(9.0), 9.0, false),
+      (2L, 1, Some(5.0), 5.0, false)))
+  }
+
+  test("kAnonymitySuppress: small groups nulled and flagged, k=1 keeps all") {
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
+      (4L, "b", "y")).toDF("id", "q1", "q2")
+    val out = graft.operators.Pii.kAnonymitySuppress(df, Seq("q1", "q2"), k = 2)
+      .select("id", "q1", "q2", "suppressed")
+      .as[(Long, Option[String], Option[String], Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, Some("a"), Some("x"), false),
+      (2L, Some("a"), Some("x"), false),
+      (3L, Some("a"), Some("x"), false),
+      (4L, None, None, true)))
+    val all = graft.operators.Pii.kAnonymitySuppress(df, Seq("q1", "q2"), k = 1)
+    assert(all.filter($"suppressed").count() == 0)
+  }
+
+  test("file-source checkpoint: a second AvailableNow run ingests only new files") {
+    // the continuous-ingestion contract: re-running the same sink with
+    // the same checkpoint is incremental (new files only) and
+    // exactly-once (no duplicates), which is what makes the streaming
+    // dedup/sessionize paths restartable mid-corpus
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val schema = spark.range(0).select($"id").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.range(0, 10).select($"id").coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == (0L until 10L))
+    spark.range(10, 15).select($"id").coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == (0L until 15L),
+      "second run must append exactly the new file's rows — no reprocessing, no loss")
+  }
+
   test("hourlyAggregates: windowed counts over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
