@@ -318,6 +318,38 @@ class TextOpsSpec extends SparkSuite {
     assert(out(5L) == (("ftp://files.example.com:21/x", "files.example.com")))
   }
 
+  test("urls: normalize is idempotent across a combinatorial URL space") {
+    import graft.operators.Urls
+    val variants = for {
+      scheme <- Seq("http", "HTTPS", "ftp")
+      host <- Seq("Example.com", "WWW.a-b.ORG", "x.io")
+      port <- Seq("", ":80", ":443", ":8080")
+      path <- Seq("", "/", "/A/b", "/A/b/")
+      query <- Seq("", "?utm_source=x", "?a=1&utm_medium=m&b=2", "?gclid=g")
+      frag <- Seq("", "#f")
+    } yield s"$scheme://$host$port$path$query$frag"
+    val df = variants.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val bad = df
+      .select(Urls.normalize($"url").as("once"))
+      .select($"once", Urls.normalize($"once").as("twice"))
+      .filter($"once" =!= $"twice")
+      .count()
+    assert(bad == 0, s"$bad of ${variants.size} URLs changed on re-normalization")
+  }
+
+  test("charEntropy bounds: 0 <= H <= ln(distinct chars) on real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+    val withBound = docs
+      .select($"doc_id",
+        size(array_distinct(filter(split($"text", ""), c => c =!= ""))).as("d"))
+      .join(ent, "doc_id")
+    val viol = withBound
+      .filter($"entropy" < -1e-12 || $"entropy" > log($"d".cast("double")) + 1e-12)
+      .count()
+    assert(viol == 0)
+  }
+
   // ------------------------------ tf-idf -------------------------------- //
 
   test("tfidf: hand-computed weights (sklearn smooth idf) on a tiny corpus") {
