@@ -930,6 +930,12 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
         .orderBy("event_id")),
 
+    // Per-source corpus report: corpusStats stratified by source — the
+    // mixture-diagnostics view, one map-side-combined aggregation.
+    "tx_source_stats" -> ((s, dir) =>
+      TextAnalysis.groupedStats(T(s, dir, "documents"), "source")
+        .orderBy("source")),
+
     // k-anonymity suppression over structured quasi-identifiers:
     // group sizes equi-joined back (no broadcast assumption), nulling
     // as a projection.
@@ -1830,6 +1836,27 @@ object SparkEntry {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.user_id < 100
       ORDER BY a.user_id, first_id, then_id""",
+    "tx_source_stats" -> """
+      WITH t AS (
+        SELECT source, text, string_split_regex(lower(text), '\s+') AS toks,
+               len(text) AS nc FROM documents),
+      m AS (
+        SELECT source, len(toks) AS ntok,
+          CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / len(toks) AS sw,
+          CAST(nc - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / nc AS pr,
+          CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS ml,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS rep
+        FROM t)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             round(avg(least(1.0e0, greatest(0.0e0,
+               (sw * 2.0e0 + (1.0e0 - pr)
+                 + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+                 / 3.0e0))), 4) AS mean_quality,
+             round(avg(rep), 4) AS mean_repetition
+      FROM m GROUP BY source ORDER BY source""",
     "tx_kanon" -> """
       WITH g AS (
         SELECT user_id, event_type, count(*) AS n

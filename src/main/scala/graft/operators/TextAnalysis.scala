@@ -147,6 +147,22 @@ object TextAnalysis {
       nLang("en"), nLang("de"), nLang("es"), nLang("fr"), nLang("und"))
   }
 
+  /** Per-group corpus report — [[corpusStats]] stratified by a grouping
+    * column (source, language, shard): doc/token volume plus mean
+    * quality and repetition per stratum, one map-side-combined
+    * aggregation. The mixture-diagnostics view a pipeline watches while
+    * rebalancing sources.
+    */
+  def groupedStats(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col("text")
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(t))).cast("long").as("total_tokens"),
+      round(avg(qualityScore(t)), 4).as("mean_quality"),
+      round(avg(repetitionRatio(t)), 4).as("mean_repetition"))
+  }
+
   /** Relation-form inverted index: one `(token, doc_id)` row per
     * distinct pair, sorted within partitions after a shuffle on token.
     * This is the 100 TB shape — no per-token aggregation buffer, so a

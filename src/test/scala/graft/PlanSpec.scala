@@ -177,6 +177,36 @@ class PlanSpec extends SparkSuite {
       s"idf join must stay an equi-join:\n$s")
   }
 
+  test("outlier z-scores and winsorize: stats broadcast back, fact table never windowed") {
+    val ev = graft.sources.Sources.nanosTimestampParquet(
+      spark, s"$sf/events.parquet", "ts")
+    for (df <- Seq(
+        graft.operators.Outliers.zScores(ev, Seq("event_type"), "value", 3.0),
+        graft.operators.Outliers.winsorize(ev, Seq("event_type"), "value", 0.01, 0.99))) {
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$s")
+      assert(!s.contains("Window"), s"no window over the fact table:\n$s")
+    }
+  }
+
+  test("kAnonymitySuppress: equi-join on quasi cols, no broadcast assumption, no BNLJ") {
+    val ev = graft.sources.Sources.nanosTimestampParquet(
+      spark, s"$sf/events.parquet", "ts")
+    val s = graft.operators.Pii.kAnonymitySuppress(
+        ev, Seq("user_id", "event_type"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
+  }
+
+  test("hourlyFfill: bucket top-1 bounded before exchange; ffill windows the grid only") {
+    val ev = graft.sources.Sources.nanosTimestampParquet(
+      spark, s"$sf/events.parquet", "ts")
+    val s = graft.operators.Resample.hourlyFfill(ev, "user_id", "ts", "value")
+      .queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit"), s"per-bucket last must be top-1 bounded:\n$s")
+    assert(s.contains("Generate"), s"grid must come from an explode, not a join:\n$s")
+  }
+
   test("duplicatedSpans: equi-joins only — no cartesian, no sort-merge on strings") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val s = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", 8)
