@@ -930,6 +930,40 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
         .orderBy("event_id")),
 
+    // Length-bucketed inference batching: deterministic (bucket,
+    // batch, slot) assignment, padding waste bounded by bucketWidth.
+    "pk_batches" -> ((s, dir) =>
+      operators.Packing.lengthBatches(T(s, dir, "documents"), "doc_id", "text",
+          bucketWidth = 32, batchSize = 8)
+        .orderBy("doc_id")),
+
+    // Corpus bigram frequency table (the n-gram analogue of
+    // tx_token_freq): one shingle explode, top-20 deterministic.
+    "tx_ngram_freq" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(TextAnalysis.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
+    // Funnel conversion rates: clicks per user vs clicks that convert
+    // to a purchase within 30 min (distinct first_id over the interval
+    // join) — the analytics composition over funnelPairs.
+    "st_conversion" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") < 100)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      val conv = graft.streaming.EventStreams
+        .funnelPairs(ev, "click", "purchase", withinMinutes = 30)
+        .groupBy("user_id").agg(countDistinct(col("first_id")).as("n_converted"))
+      clicks.join(conv, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("n_clicks"),
+          coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+          round(coalesce(col("n_converted"), lit(0L)).cast("double")
+            / col("n_clicks"), 4).as("conversion_rate"))
+        .orderBy("user_id")
+    }),
+
     // Per-source corpus report: corpusStats stratified by source — the
     // mixture-diagnostics view, one map-side-combined aggregation.
     "tx_source_stats" -> ((s, dir) =>
@@ -1836,6 +1870,49 @@ object SparkEntry {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.user_id < 100
       ORDER BY a.user_id, first_id, then_id""",
+    "pk_batches" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      b AS (
+        SELECT doc_id, n AS n_tokens, n // 32 AS bucket,
+               CAST(row_number() OVER (PARTITION BY n // 32 ORDER BY doc_id)
+                 AS BIGINT) AS rn
+        FROM t)
+      SELECT doc_id, n_tokens, bucket,
+             (rn - 1) // 8 AS batch_id, (rn - 1) % 8 AS slot
+      FROM b ORDER BY doc_id""",
+    "tx_ngram_freq" -> """
+      WITH tok AS (
+        SELECT string_split_regex(lower(text), '\s+') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      pos AS (
+        SELECT unnest(range(1, greatest(len(ts) - 2 + 2, 1))) AS i, ts FROM tok),
+      sh AS (SELECT array_to_string(ts[i:i+1], ' ') AS bigram FROM pos)
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n
+      FROM sh GROUP BY bigram
+      ORDER BY n DESC, bigram LIMIT 20""",
+    "st_conversion" -> """
+      WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+        FROM events WHERE event_type = 'click' AND user_id < 100
+        GROUP BY user_id),
+      p AS (
+        SELECT a.user_id,
+               CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_converted
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        WHERE a.user_id < 100
+        GROUP BY a.user_id)
+      SELECT c.user_id, c.n_clicks,
+             coalesce(p.n_converted, 0) AS n_converted,
+             round(coalesce(p.n_converted, 0) / CAST(c.n_clicks AS DOUBLE), 4)
+               AS conversion_rate
+      FROM c LEFT JOIN p USING (user_id)
+      ORDER BY c.user_id""",
     "tx_source_stats" -> """
       WITH t AS (
         SELECT source, text, string_split_regex(lower(text), '\s+') AS toks,

@@ -105,6 +105,33 @@ object Packing {
         least(lit(chunkLen.toLong), col("n") - start).as("tok_len"))
   }
 
+  /** Length-bucketed inference batching: group documents of similar
+    * token count (bucket = n_tokens div `bucketWidth`) and number
+    * deterministic batches of `batchSize` inside each bucket (by
+    * ascending id) — the dynamic-batching layout that keeps padding
+    * waste bounded by `bucketWidth` tokens per sequence.
+    *
+    * Emits (doc_id, n_tokens, bucket, batch_id, slot). The per-bucket
+    * row_number is a sort within the bucket's partitions — buckets are
+    * the parallelism unit, like `_bkt` in [[tokenSpans]]; at open-web
+    * scale add a salt column to the bucket key if one length class
+    * dominates.
+    */
+  def lengthBatches(
+      docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long, batchSize: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val n = coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0)).cast("long")
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    docs.select(col(idCol).cast("long").as("doc_id"), n.as("n_tokens"))
+      .withColumn("bucket", intDiv(col("n_tokens"), bucketWidth))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", intDiv(col("_rn") - 1, batchSize))
+      .withColumn("slot", pmod(col("_rn") - 1, lit(batchSize)))
+      .drop("_rn")
+  }
+
   /** Total number of fixed-length sequences the packed corpus yields
     * (ceil(total_tokens / seqLen)) — one partially-aggregated reduce.
     */

@@ -70,6 +70,26 @@ class PackingMixtureSpec extends SparkSuite {
     assert(Packing.sequenceCount(empty, "text", 4) == 0L)
   }
 
+  test("lengthBatches: same-width docs batch together, batches fill in id order") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "x y z"), (2L, "p q r"),      // bucket 1 (width 2)
+      (3L, "a"), (4L, "b"),                             // bucket 0
+      (5L, "one two three four five"))                  // bucket 2
+      .toDF("id", "text")
+    val out = Packing.lengthBatches(docs, "id", "text", bucketWidth = 2, batchSize = 2)
+      .select("doc_id", "bucket", "batch_id", "slot")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((1L, 0L, 0L)))
+    assert(out(1L) == ((1L, 0L, 1L)))
+    assert(out(2L) == ((1L, 1L, 0L))) // third 3-token doc overflows to batch 1
+    assert(out(3L) == ((0L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 1L)))
+    assert(out(5L) == ((2L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Packing.lengthBatches(docs, "id", "text", 0, 2)
+    }
+  }
+
   test("chunking: hand-checked windows, clipped full-length tail") {
     // 10 tokens, chunkLen=4, stride=3 → starts 0,3,6 (6 = 10-4 exactly)
     val d1 = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("id", "text")
