@@ -1137,6 +1137,40 @@ object SparkEntry {
         .orderBy("c_custkey", "n_nationkey")
     }),
 
+    // REAL streaming windowed aggregation: the watermarked
+    // tumbling-window counts/sums run as an AvailableNow streaming
+    // query in complete mode (every window emitted at end — no
+    // watermark-flush sentinel needed); results must equal the batch
+    // hourly rollup q12 proves.
+    "st_stream_hourly" -> ((s, dir) => {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(rawSchema)
+          .parquet(s"$dir/events.[p]arquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = graft.streaming.EventStreams.hourlyAggregates(src)
+        s.catalog.dropTempView("st_stream_hourly_tbl") // stale prior rep
+        val q = agg.writeStream.format("memory")
+          .queryName("st_stream_hourly_tbl")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st_stream_hourly_tbl")
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy("hour", "event_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // REAL stream-stream interval join: click and purchase streams
     // (same file source, two branches) watermarked and equi+range
     // joined — the bounded-state streaming shape st_funnel proves in
@@ -1854,6 +1888,10 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS worse_than_single,
              CAST(0 AS BIGINT) AS better_than_exact,
              true AS complete""",
+    "st_stream_hourly" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "st_stream_funnel" -> """
       SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
       FROM events a JOIN events b
