@@ -689,6 +689,24 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // The custom 64-bit fingerprint has no DuckDB analogue, but its
+    // CONTRACT is checkable: equal text => equal fingerprint (zero
+    // md5-groups split across fingerprints) and, on this fixture,
+    // distinct texts collide on neither hash (zero fingerprint groups
+    // spanning two md5 classes) — the dd_lsh_containment pattern.
+    "tx_fp_consistency" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(md5(col("text")).as("h"), fingerprint64(col("text")).as("fp"))
+      val splits = d.groupBy("h").agg(countDistinct(col("fp")).as("nfp"))
+        .agg(sum(when(col("nfp") =!= 1, 1).otherwise(0)).cast("long"))
+        .head().getLong(0)
+      val collisions = d.groupBy("fp").agg(countDistinct(col("h")).as("nh"))
+        .agg(sum(when(col("nh") =!= 1, 1).otherwise(0)).cast("long"))
+        .head().getLong(0)
+      import s.implicits._
+      Seq((splits, collisions, true)).toDF("fp_splits", "fp_collisions", "complete")
+    }),
+
     "tx_fingerprint" -> ((s, dir) => // custom 64-bit hashes — rows-only check
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -2041,6 +2059,9 @@ object SparkEntry {
       FROM p ORDER BY label_a, label_b""",
     "ann_ivfpq" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "tx_fp_consistency" -> """
+      SELECT CAST(0 AS BIGINT) AS fp_splits,
+             CAST(0 AS BIGINT) AS fp_collisions, true AS complete""",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     // the mm_ payloads are synthesized from doc_id alone, so DuckDB can
