@@ -26,6 +26,24 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.nanosTimestampParquet(s, s"$dir/events.parquet", "ts")
 
+  /** Run `body` with session confs temporarily set — the streaming
+    * gates hold the legacy nanos flag across their run and drop the
+    * state-store partition count (a streaming query spins up one state
+    * store instance per shuffle partition; 32 is right for the batch
+    * suite but pure setup overhead for gate-scale state).
+    */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  private val ShufKey = "spark.sql.shuffle.partitions"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: brute-force
     * L2 k-NN of 3 query vectors over the embeddings table.
     */
@@ -1160,11 +1178,8 @@ object SparkEntry {
     // query in complete mode (every window emitted at end — no
     // watermark-flush sentinel needed); results must equal the batch
     // hourly rollup q12 proves.
-    "st_stream_hourly" -> ((s, dir) => {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try {
+    "st_stream_hourly" -> ((s, dir) =>
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = s.readStream.schema(rawSchema)
           .parquet(s"$dir/events.[p]arquet")
@@ -1183,22 +1198,15 @@ object SparkEntry {
             col("event_type"), col("n"),
             round(col("total_value"), 2).as("total_value"))
           .orderBy("hour", "event_type")
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    }),
+      }),
 
     // REAL stream-stream interval join: click and purchase streams
     // (same file source, two branches) watermarked and equi+range
     // joined — the bounded-state streaming shape st_funnel proves in
     // batch form. Inner-join matches emit as they arrive, so a single
     // AvailableNow pass yields exactly the batch result.
-    "st_stream_funnel" -> ((s, dir) => {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try {
+    "st_stream_funnel" -> ((s, dir) =>
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src() = s.readStream.schema(rawSchema)
           .parquet(s"$dir/events.[p]arquet")
@@ -1216,11 +1224,7 @@ object SparkEntry {
         q.awaitTermination()
         s.table("st_stream_funnel_tbl")
           .orderBy("user_id", "first_id", "then_id")
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    }),
+      }),
 
     // Correlation/covariance battery per group: Pearson corr plus
     // sample/population covariance — the moment aggregates q18 didn't
@@ -1242,7 +1246,7 @@ object SparkEntry {
     // out — 100 duplicate admissions would fail the row count, a
     // dropped original would fail the hash compare. DuckDB verifies
     // against batch DISTINCT md5(text).
-    "st_stream_dedup" -> ((s, dir) => {
+    "st_stream_dedup" -> ((s, dir) => withConfs(s, ShufKey -> "8") {
       val batch = T(s, dir, "documents")
       // deterministic synthetic event time: 2 s per doc, +1 s for the
       // duplicate copy (all inside any SF's watermark horizon)
@@ -1283,10 +1287,7 @@ object SparkEntry {
       // events.parquet carries TIMESTAMP(NANOS): stream it as raw longs
       // under the scoped legacy flag (the nanosTimestampParquet pattern,
       // held across the streaming run) and convert in the plan
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try {
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src() = s.readStream.schema(rawSchema)
           .parquet(s"$dir/events.[p]arquet")
@@ -1315,9 +1316,6 @@ object SparkEntry {
             col("n_events"),
             round(col("total_value"), 2).as("total_value"))
           .orderBy("user_id", "session_start")
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
     }),
 
