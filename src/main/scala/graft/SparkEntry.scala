@@ -1028,6 +1028,16 @@ object SparkEntry {
           col("v"), col("filled"), col("is_gap"))
         .orderBy("user_id", "hour")),
 
+    // Per-user EMA: the order-dependent fold no window expresses —
+    // sequential on both engines (Spark aggregate HOF vs DuckDB
+    // list_reduce), first observation seeds the average.
+    "st_ema" -> ((s, dir) =>
+      operators.Resample.emaPerKey(
+          events(s, dir).filter(col("user_id") < 100), "user_id", "ts", "value",
+          alpha = 0.2)
+        .select(col("user_id"), round(col("ema"), 4).as("ema"), col("n_obs"))
+        .orderBy("user_id")),
+
     // Winsorization: per-type [p1, p99] clipping — exact interpolated
     // percentiles agree bit-for-bit with DuckDB quantile_cont (probed
     // before gating), bounds broadcast back, clip is a projection.
@@ -2016,6 +2026,17 @@ object SparkEntry {
                                               ROWS UNBOUNDED PRECEDING) AS filled,
              v IS NULL AS is_gap
       FROM j ORDER BY user_id, hour""",
+    // alpha complement spelled (1e0 - 0.2e0), matching Spark's
+    // 1.0 - 0.2 double exactly (the tx_bigram_ppl lesson)
+    "st_ema" -> """
+      WITH o AS (
+        SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vs
+        FROM events WHERE user_id < 100 GROUP BY user_id)
+      SELECT user_id,
+             round(list_reduce(vs,
+               (a, b) -> a * (1e0 - 0.2e0) + b * 0.2e0), 4) AS ema,
+             CAST(len(vs) AS BIGINT) AS n_obs
+      FROM o ORDER BY user_id""",
     "st_winsorize" -> """
       WITH b AS (
         SELECT event_type,

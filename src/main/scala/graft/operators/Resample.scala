@@ -45,4 +45,33 @@ object Resample {
       .withColumn("filled", last(col("v"), ignoreNulls = true).over(ffill))
       .withColumn("is_gap", col("v").isNull)
   }
+
+  /** Per-key exponential moving average over time-ordered values:
+    * `ema_1 = v_1`, `ema_i = (1-alpha)*ema_{i-1} + alpha*v_i` — the
+    * classic smoothed-feature fold no window function expresses
+    * (each step depends on the previous RESULT, not a frame of rows).
+    *
+    * Shape: one groupBy collects each key's (ts, value) series into a
+    * sorted array (bounded by per-key activity — document your key
+    * cardinality assumptions; for unbounded keys use the streaming
+    * sessionize-style state machine instead) and a sequential
+    * `aggregate` fold computes the EMA — deterministic order, ties on
+    * ts break by value. Emits (key, ema, n_obs).
+    */
+  def emaPerKey(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val vals = transform(
+      sort_array(collect_list(struct(col(tsCol), col(valueCol)))),
+      x => x.getField(valueCol).cast("double"))
+    events.groupBy(col(keyCol))
+      .agg(vals.as("_vs"))
+      .select(col(keyCol),
+        aggregate(
+          slice(col("_vs"), lit(2), size(col("_vs")) - 1),
+          element_at(col("_vs"), 1),
+          (acc, v) => acc * lit(1.0 - alpha) + v * lit(alpha)).as("ema"),
+        size(col("_vs")).cast("long").as("n_obs"))
+  }
 }

@@ -68,6 +68,22 @@ class StreamingSpec extends SparkSuite {
       (2L, 1, Some(5.0), 5.0, false)))
   }
 
+  test("emaPerKey: hand-computed fold, first value seeds, order by ts") {
+    val df = Seq(
+      (1L, ts(2), 10.0), (1L, ts(1), 0.0), (1L, ts(3), 20.0), // order: 0,10,20
+      (2L, ts(1), 7.0))
+      .toDF("user_id", "ts", "value")
+    // key 1: ema = ((0*0.5 + 10*0.5) = 5) * 0.5 + 20*0.5 = 12.5
+    val got = graft.operators.Resample.emaPerKey(df, "user_id", "ts", "value", 0.5)
+      .select("user_id", "ema", "n_obs").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((12.5, 3L)))
+    assert(got(2L) == ((7.0, 1L))) // single value: init only
+    intercept[IllegalArgumentException] {
+      graft.operators.Resample.emaPerKey(df, "user_id", "ts", "value", 0.0)
+    }
+  }
+
   test("kAnonymitySuppress: small groups nulled and flagged, k=1 keeps all") {
     val df = Seq(
       (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
