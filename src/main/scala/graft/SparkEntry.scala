@@ -1349,6 +1349,16 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // JL random projection 64→8: deterministic ±1 signs (md5 parity),
+    // sequential fold both engines, reciprocal-multiply normalization
+    // (x * (1/√k), bit-identical to the oracle's spelling).
+    "vq_randproj" -> ((s, dir) =>
+      operators.RandomProjection.project(
+          T(s, dir, "embeddings"), "embedding", salt = "rp4", dim = 64, k = 8)
+        .select(col("vec_id") +:
+          (1 to 8).map(j => round(col(s"rp$j"), 4).as(s"rp$j")): _*)
+        .orderBy("vec_id")),
+
     // Label-centroid analytics: mean-pool per label (one aggregation,
     // labels×dim shuffle) then pairwise centroid cosine over the tiny
     // k-row frame. Double math end-to-end, DuckDB recomputes both
@@ -2058,6 +2068,26 @@ object SparkEntry {
         WHERE s.sd IS NOT NULL AND s.sd > 0e0)
       SELECT event_id, event_type, round(z, 4) AS z
       FROM z WHERE abs(z) > 3e0 ORDER BY event_id""",
+    // the sign matrix is DERIVED state (md5 parity from the salt), so
+    // both engines share it as literals — the contract under test is
+    // the projection arithmetic, order and normalization included
+    "vq_randproj" -> {
+      val m = operators.RandomProjection.signs("rp4", 64, 8)
+      val cols = (1 to 8).map { j =>
+        val lst = (0 until 64)
+          .map(i => if (m(i)(j - 1) > 0) "1e0" else "-1e0")
+          .mkString("[", ",", "]")
+        // + 0e0 folds IEEE -0.0 to +0.0: DuckDB's float round keeps
+        // the zero sign, Spark's BigDecimal round normalizes it
+        s"""(round(list_sum(list_transform(range(1, 65),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i]))
+           |  * (1e0 / sqrt(8e0)), 4) + 0e0) AS rp$j""".stripMargin
+      }.mkString(",\n             ")
+      s"""
+      SELECT vec_id,
+             $cols
+      FROM embeddings ORDER BY vec_id"""
+    },
     "vq_centroid_sim" -> """
       WITH e AS (
         SELECT label, unnest(embedding) AS x,

@@ -62,6 +62,38 @@ class VectorOpsSpec extends AnyFunSuite with SparkSuite {
     assert(meanRel > 0.15 && meanRel < 0.35, s"mean residual $meanRel of scale")
   }
 
+  test("random projection: signs deterministic; JL distance ratios bounded") {
+    import graft.operators.RandomProjection
+    val m1 = RandomProjection.signs("s", 8, 4)
+    val m2 = RandomProjection.signs("s", 8, 4)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(RandomProjection.signs("other", 8, 4).map(_.toSeq).toSeq
+      != m1.map(_.toSeq).toSeq)
+
+    // distance preservation in the JL sense: squared-distance ratios
+    // concentrate around 1; with k=16 allow a generous band and
+    // require most pairs inside it
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 24)
+    val proj = RandomProjection.project(emb, "embedding", "jl", 64, 16)
+    val rows = proj.select(
+        $"vec_id",
+        $"embedding",
+        array((1 to 16).map(j => col(s"rp$j")): _*).as("p"))
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    val ratios = for {
+      a <- rows; b <- rows if a._1 < b._1
+    } yield {
+      val d0 = a._2.zip(b._2).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      val dp = a._3.zip(b._3).map { case (x, y) => (x - y) * (x - y) }.sum
+      dp / d0
+    }
+    val inBand = ratios.count(r => r > 0.3 && r < 2.5)
+    assert(inBand.toDouble / ratios.length > 0.9,
+      s"only $inBand/${ratios.length} pair ratios in [0.3, 2.5]")
+  }
+
   test("labelCentroids + centroidCosines: hand-computed means and cosines") {
     val df = Seq(
       (0, Seq(1.0f, 0.0f)), (0, Seq(3.0f, 0.0f)),   // centroid (2, 0)
