@@ -199,6 +199,10 @@ object ScaleSmoke {
           "doc_id", "text")
         .agg(sum(col("entropy"))).head()
     }
+    timed("randproj 64->8 100k vecs") {
+      graft.operators.RandomProjection.project(bigEmb, "embedding", "sm", 64, 8)
+        .agg(sum(col("rp1"))).head()
+    }
     timed("ivfpq build+search 100k vecs") {
       val (indexedPq, centsPq, cbPq) = graft.operators.Pq.ivfPqBuild(
         bigEmb, "vec_id", "embedding", dim = 64, nCells = 32, m = 8, k = 16, iters = 2)
