@@ -1000,6 +1000,15 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Pairwise source-vocabulary Jaccard: the corpus-overlap
+    // diagnostic; slim (group, token) distinct frame self-joined on
+    // token.
+    "tx_source_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabularyOverlap(T(s, dir, "documents"), "source", "text")
+        .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
+          col("n_common"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("source_a", "source_b")),
+
     // Per-source corpus report: corpusStats stratified by source — the
     // mixture-diagnostics view, one map-side-combined aggregation.
     "tx_source_stats" -> ((s, dir) =>
@@ -1027,6 +1036,15 @@ object SparkEntry {
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("v"), col("filled"), col("is_gap"))
         .orderBy("user_id", "hour")),
+
+    // Decile tiers without a global ntile sort: 9 exact percentile
+    // bounds as broadcast state, assignment a pure projection
+    // (bit-exact percentile parity proven by st_winsorize).
+    "st_tiers" -> ((s, dir) =>
+      operators.Outliers.percentileTiers(
+          events(s, dir).select(col("event_id"), col("value")), "value", nTiers = 10)
+        .select(col("event_id"), col("value"), col("tier"))
+        .orderBy("event_id")),
 
     // Per-user EMA: the order-dependent fold no window expresses —
     // sequential on both engines (Spark aggregate HOF vs DuckDB
@@ -1987,6 +2005,20 @@ object SparkEntry {
                AS conversion_rate
       FROM c LEFT JOIN p USING (user_id)
       ORDER BY c.user_id""",
+    "tx_source_overlap" -> """
+      WITH v AS (
+        SELECT DISTINCT g, token FROM (
+          SELECT source AS g,
+                 unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS token
+          FROM documents)),
+      s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+      i AS (
+        SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS c
+        FROM v a JOIN v b USING (token) WHERE a.g < b.g GROUP BY a.g, b.g)
+      SELECT i.ga AS source_a, i.gb AS source_b, i.c AS n_common,
+             round(i.c / CAST(sa.n + sb.n - i.c AS DOUBLE), 4) AS jaccard
+      FROM i JOIN s sa ON sa.g = i.ga JOIN s sb ON sb.g = i.gb
+      ORDER BY source_a, source_b""",
     "tx_source_stats" -> """
       WITH t AS (
         SELECT source, text, string_split_regex(lower(text), '\s+') AS toks,
@@ -2036,6 +2068,17 @@ object SparkEntry {
                                               ROWS UNBOUNDED PRECEDING) AS filled,
              v IS NULL AS is_gap
       FROM j ORDER BY user_id, hour""",
+    "st_tiers" -> {
+      val whens = (1 to 9)
+        .map(t => s"WHEN e.value <= b.bs[$t] THEN $t").mkString(" ")
+      val qs = (1 to 9).map(t => s"quantile_cont(value, ${t / 10.0}e0)")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH b AS (SELECT $qs AS bs FROM events)
+      SELECT e.event_id, e.value,
+             CAST(CASE $whens ELSE 10 END AS INTEGER) AS tier
+      FROM events e CROSS JOIN b ORDER BY e.event_id"""
+    },
     // alpha complement spelled (1e0 - 0.2e0), matching Spark's
     // 1.0 - 0.2 double exactly (the tx_bigram_ppl lesson)
     "st_ema" -> """

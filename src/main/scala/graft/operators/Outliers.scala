@@ -61,4 +61,28 @@ object Outliers {
       .withColumn("was_clipped", col("clipped") =!= col(valueCol))
       .drop("_plo", "_phi")
   }
+
+  /** Percentile tiers: append `tier` in [1, nTiers] — tier t covers
+    * values in (bound_{t-1}, bound_t], computed against the exact
+    * interpolated percentiles of the WHOLE column. The scalable
+    * alternative to a global `ntile()` (which needs a single-partition
+    * sort): bounds are nTiers-1 scalars of broadcast state, assignment
+    * is a pure projection. Values equal to a bound take the lower tier
+    * (ntile parity on continuous data, documented tie behavior).
+    */
+  def percentileTiers(
+      df: DataFrame, valueCol: String, nTiers: Int): DataFrame = {
+    require(nTiers >= 2, s"nTiers must be >= 2, got $nTiers")
+    val ps = (1 until nTiers).map(_.toDouble / nTiers)
+    val bounds = df.agg(
+      percentile(col(valueCol), typedLit(ps)).as("_bs"))
+    // fold high→low so the OUTERMOST branch checks the lowest bound:
+    // tier = smallest t with value <= bound_t
+    val tier = (1 until nTiers).reverse.foldLeft(lit(nTiers)) { (acc, t) =>
+      when(col(valueCol) <= element_at(col("_bs"), t), t).otherwise(acc)
+    }
+    df.join(broadcast(bounds))
+      .withColumn("tier", tier)
+      .drop("_bs")
+  }
 }

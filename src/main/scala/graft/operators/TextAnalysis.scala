@@ -163,6 +163,34 @@ object TextAnalysis {
       round(avg(repetitionRatio(t)), 4).as("mean_repetition"))
   }
 
+  /** Pairwise vocabulary Jaccard between groups (sources, languages,
+    * snapshots) — the cheap corpus-overlap diagnostic that flags
+    * near-duplicate sources before any document-level dedup runs.
+    *
+    * Shape: one distinct (group, token) frame (shuffle bounded by
+    * group-vocabulary size, not corpus size), self-equi-joined on
+    * token for intersections — the same slim-key join as the LSH band
+    * bucket join; group sizes re-join as a tiny frame.
+    */
+  def vocabularyOverlap(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val vocab = docs
+      .select(col(groupCol).as("_g"), explode(tokenSet(col(textCol))).as("token"))
+      .distinct()
+    val sizes = vocab.groupBy("_g").agg(count(lit(1)).as("_n"))
+    val inter = vocab
+      .join(vocab.select(col("_g").as("_g2"), col("token")), "token")
+      .filter(col("_g") < col("_g2"))
+      .groupBy("_g", "_g2").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes, "_g")
+      .join(sizes.select(col("_g").as("_g2"), col("_n").as("_n2")), "_g2")
+      .select(
+        col("_g").as("group_a"), col("_g2").as("group_b"), col("n_common"),
+        (col("n_common").cast("double")
+          / (col("_n") + col("_n2") - col("n_common"))).as("jaccard"))
+  }
+
   /** Relation-form inverted index: one `(token, doc_id)` row per
     * distinct pair, sorted within partitions after a shuffle on token.
     * This is the 100 TB shape — no per-token aggregation buffer, so a

@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSuite {
       (2L, 1, Some(5.0), 5.0, false)))
   }
 
+  test("percentileTiers: smallest-bound tier wins; values spread evenly") {
+    val df = (1 to 100).map(i => i.toDouble).toDF("value")
+    val out = graft.operators.Outliers.percentileTiers(df, "value", 4)
+      .select("value", "tier").as[(Double, Int)].collect().toMap
+    // quartile bounds of 1..100: 25.75, 50.5, 75.25
+    assert(out(25.0) == 1 && out(26.0) == 2)
+    assert(out(50.0) == 2 && out(51.0) == 3)
+    assert(out(75.0) == 3 && out(76.0) == 4)
+    assert(out(100.0) == 4)
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(s => s >= 24 && s <= 26), s"skewed tiers: $sizes")
+  }
+
+  test("vocabularyOverlap: hand-computed jaccard between group vocabularies") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "a d"),      // vocab {a,b,c,d}
+      ("s2", "a b x"),                     // vocab {a,b,x}
+      ("s3", "zz")).toDF("src", "text")    // disjoint
+    val out = graft.operators.TextAnalysis.vocabularyOverlap(docs, "src", "text")
+      .select("group_a", "group_b", "n_common", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("s1", "s2")) == ((2L, 2.0 / 5))) // {a,b} of {a,b,c,d,x}
+    assert(!out.contains(("s1", "s3"))) // empty intersections emit no row
+    assert(!out.contains(("s2", "s3")))
+  }
+
   test("emaPerKey: hand-computed fold, first value seeds, order by ts") {
     val df = Seq(
       (1L, ts(2), 10.0), (1L, ts(1), 0.0), (1L, ts(3), 20.0), // order: 0,10,20
