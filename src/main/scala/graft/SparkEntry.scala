@@ -1367,6 +1367,33 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // MMR diverse rerank over a retrieval shortlist: lambda=1 must
+    // reproduce the distributed cosine top-k exactly (rank-for-rank);
+    // lambda=0.5 must actually diversify (picks differ) — non-vacuous.
+    "ann_mmr" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 20)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      val plain = operators.Mmr.rerank(cands, "qid", "vec_id", "sim", "embedding",
+        k = 5, lambda = 1.0)
+      val diverse = operators.Mmr.rerank(cands, "qid", "vec_id", "sim", "embedding",
+        k = 5, lambda = 0.5)
+      val knn5 = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 5)
+        .select(col("qid"), col("vec_id").as("id"), col("rn").as("rank"),
+          lit(1).as("ok"))
+      val mism = plain.join(knn5, Seq("qid", "id", "rank"), "left_outer")
+        .agg(sum(when(col("ok").isNull, 1).otherwise(0)).cast("long")).head().getLong(0)
+      val nDiff = plain.select(col("qid"), col("id"), col("rank"))
+        .except(diverse.select(col("qid"), col("id"), col("rank")))
+        .count()
+      import s.implicits._
+      Seq((mism, nDiff > 0)).toDF("mismatches", "diversified")
+    }),
+
     // JL random projection 64→8: deterministic ±1 signs (md5 parity),
     // sequential fold both engines, reciprocal-multiply normalization
     // (x * (1/√k), bit-identical to the oracle's spelling).
@@ -2154,6 +2181,8 @@ object SparkEntry {
     "tx_fp_consistency" -> """
       SELECT CAST(0 AS BIGINT) AS fp_splits,
              CAST(0 AS BIGINT) AS fp_collisions, true AS complete""",
+    "ann_mmr" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS diversified",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     // the mm_ payloads are synthesized from doc_id alone, so DuckDB can

@@ -213,6 +213,25 @@ class AnnSpec extends SparkSuite {
     assert(top == (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet)
   }
 
+  test("mmr: lambda=1 is relevance order; diversity penalty reroutes pick 2") {
+    import graft.operators.Mmr
+    val cands = Seq(
+      (0L, 1L, 1.0, Seq(1f, 0f)),
+      (0L, 2L, 0.9, Seq(1f, 0.01f)), // nearly parallel to id 1
+      (0L, 3L, 0.5, Seq(0f, 1f)))    // orthogonal
+      .toDF("qid", "id", "score", "vec")
+    val plain = Mmr.rerank(cands, "qid", "id", "score", "vec", k = 3, lambda = 1.0)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+    val div = Mmr.rerank(cands, "qid", "id", "score", "vec", k = 3, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    // pick 2: id 2 scores .45 - .5*~1 < 0, id 3 scores .25 - 0 -> id 3
+    assert(div == Seq(1L, 3L, 2L))
+    intercept[IllegalArgumentException] {
+      Mmr.rerank(cands, "qid", "id", "score", "vec", 3, 1.5)
+    }
+  }
+
   test("ivfpq: full probe equals flat ADC; pruned probe per-rank dominated") {
     import graft.operators.Pq
     val queries = emb.filter($"vec_id" < 5)
