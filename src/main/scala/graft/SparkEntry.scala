@@ -1367,6 +1367,32 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // Retrieval evaluation: the run is a COMPRESSED-index proxy (L2
+    // over the first 8 of 64 dims), the relevant set the full-vector
+    // L2 top-3 — so recall/MRR/NDCG@10 measure real rank degradation
+    // (hits 1-2 of 3 per query on this fixture), with both rankings
+    // independently recomputed by DuckDB.
+    "ir_metrics" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val emb8 = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs8 = emb8.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val run = SimilarityJoin.knnL2(emb8, "vec_id", "embedding",
+          qs8, "qid", "qvec", k = 10)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      val truth = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 3)
+        .select(col("qid"), col("vec_id"))
+      operators.Evaluation.rankedMetrics(run, truth, "qid", "vec_id", "rn", k = 10)
+        .select(col("qid"), col("n_relevant"), col("hits"),
+          round(col("recall"), 4).as("recall"),
+          round(col("mrr"), 4).as("mrr"),
+          round(col("ndcg"), 4).as("ndcg"))
+        .orderBy("qid")
+    }),
+
     // MMR diverse rerank over a retrieval shortlist: lambda=1 must
     // reproduce the distributed cosine top-k exactly (rank-for-rank);
     // lambda=0.5 must actually diversify (picks differ) — non-vacuous.
@@ -2183,6 +2209,50 @@ object SparkEntry {
              CAST(0 AS BIGINT) AS fp_collisions, true AS complete""",
     "ann_mmr" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS diversified",
+    "ir_metrics" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 5),
+      l2r AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding[1:8], q.qvec[1:8]),
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q),
+      run AS (SELECT qid, id, rank FROM l2r WHERE rank <= 10),
+      fullr AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding, q.qvec), e.vec_id) AS rr
+        FROM embeddings e CROSS JOIN q),
+      truth AS (SELECT qid, id FROM fullr WHERE rr <= 3),
+      nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant
+               FROM truth GROUP BY qid),
+      j AS (
+        SELECT run.qid, run.rank,
+               CASE WHEN truth.id IS NULL THEN 0 ELSE 1 END AS rel
+        FROM run LEFT JOIN truth ON run.qid = truth.qid AND run.id = truth.id),
+      perq AS (
+        SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+               min(CASE WHEN rel = 1 THEN rank END) AS fh,
+               sum(CASE WHEN rel = 1
+                   THEN 1e0 / log2(CAST(rank AS DOUBLE) + 1e0)
+                   ELSE 0e0 END) AS dcg
+        FROM j GROUP BY qid),
+      ideal AS (
+        SELECT nrel.qid,
+               list_sum(list_transform(range(1, CAST(least(nrel.n_relevant, 10) AS INTEGER) + 1),
+                 r -> 1e0 / log2(CAST(r AS DOUBLE) + 1e0))) AS idcg
+        FROM nrel)
+      SELECT nrel.qid, nrel.n_relevant,
+             coalesce(perq.hits, 0) AS hits,
+             round(coalesce(perq.hits, 0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE), 4) AS recall,
+             round(coalesce(1e0 / perq.fh, 0e0), 4) AS mrr,
+             round(coalesce(perq.dcg, 0e0) / ideal.idcg, 4) AS ndcg
+      FROM nrel
+      LEFT JOIN perq ON perq.qid = nrel.qid
+      JOIN ideal ON ideal.qid = nrel.qid
+      ORDER BY nrel.qid""",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     // the mm_ payloads are synthesized from doc_id alone, so DuckDB can

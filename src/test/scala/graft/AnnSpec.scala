@@ -213,6 +213,24 @@ class AnnSpec extends SparkSuite {
     assert(top == (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet)
   }
 
+  test("evaluation: hand-computed recall/mrr/ndcg, zero-hit and absent queries") {
+    import graft.operators.Evaluation
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "id", "rank")
+    val truth = Seq((1L, 11L), (1L, 99L), (2L, 50L)).toDF("qid", "id")
+    val m = Evaluation.rankedMetrics(run, truth, "qid", "id", "rank", k = 3)
+      .select("qid", "n_relevant", "hits", "recall", "mrr", "ndcg")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    // q1: one hit at rank 2 of {11, 99}: recall 1/2, mrr 1/2,
+    // ndcg = (1/log2(3)) / (1/log2(2) + 1/log2(3))
+    val (_, nr, h, rec, mrr, ndcg) = m(1L)
+    assert(nr == 2L && h == 1L && rec == 0.5 && mrr == 0.5)
+    assert(math.abs(ndcg - (1 / log2(3)) / (1 + 1 / log2(3))) < 1e-12)
+    // q2: in truth but not retrieved at all -> all zeros
+    assert(m(2L)._3 == 0L && m(2L)._4 == 0.0 && m(2L)._5 == 0.0 && m(2L)._6 == 0.0)
+  }
+
   test("mmr: lambda=1 is relevance order; diversity penalty reroutes pick 2") {
     import graft.operators.Mmr
     val cands = Seq(
