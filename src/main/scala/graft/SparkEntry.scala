@@ -1367,6 +1367,21 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // Hard-negative mining: most-similar different-label rows per
+    // anchor — the label inequality lives in the scan filter, top-k
+    // bounded as usual. DuckDB recomputes ranking and filter.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      SimilarityJoin.hardNegatives(emb, "vec_id", "embedding", "label",
+          anchors, "qid", "qvec", "qlabel", k = 5)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          round(col("sim").cast("double"), 4).as("sim"))
+        .orderBy("qid", "rn")
+    }),
+
     // Retrieval evaluation: the run is a COMPRESSED-index proxy (L2
     // over the first 8 of 64 dims), the relevant set the full-vector
     // L2 top-3 — so recall/MRR/NDCG@10 measure real rank degradation
@@ -2209,6 +2224,21 @@ object SparkEntry {
              CAST(0 AS BIGINT) AS fp_collisions, true AS complete""",
     "ann_mmr" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS diversified",
+    "ann_hard_negatives" -> """
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.qid, e.vec_id,
+               list_cosine_similarity(e.embedding, q.qvec) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlabel),
+      ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY -sim, vec_id) AS rn
+        FROM scored)
+      SELECT qid, vec_id, rn, round(CAST(sim AS DOUBLE), 4) AS sim
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "ir_metrics" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec
                  FROM embeddings WHERE vec_id < 5),

@@ -82,4 +82,29 @@ object SimilarityJoin {
       .filter(col("sim") > threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the `k` most-similar rows whose label DIFFERS from the anchor's —
+    * the high-loss negatives an embedding model learns most from.
+    * Same broadcast-scan + bounded top-k shape as [[knnCosine]], with
+    * the label inequality pushed into the scan filter; at cluster
+    * scale swap the scan for an [[Ann]] candidate stage and keep the
+    * filter.
+    *
+    * Anchors carry (qid, qvec, qlabel); output
+    * (qid, id, sim, rn ≤ k).
+    */
+  def hardNegatives(
+      index: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      anchors: DataFrame, qidCol: String, qvecCol: String, qlabelCol: String,
+      k: Int): DataFrame = {
+    import index.sparkSession.implicits._
+    val scored = index
+      .crossJoin(broadcast(anchors))
+      .filter(col(labelCol) =!= col(qlabelCol))
+      .withColumn("sim", cosine_similarity(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("sim"))
+      .withColumn("negSim", -$"sim")
+    topKByDistance(scored, qidCol, idCol, "negSim", k).drop("negSim")
+  }
 }

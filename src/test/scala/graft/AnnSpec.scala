@@ -213,6 +213,27 @@ class AnnSpec extends SparkSuite {
     assert(top == (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet)
   }
 
+  test("hardNegatives: never the anchor's label, ranked by sim, bounded at k") {
+    val anchors = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))
+    val negs = graft.operators.SimilarityJoin.hardNegatives(
+      emb, "vec_id", "embedding", "label", anchors, "qid", "qvec", "qlabel", k = 4)
+    val joined = negs
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+      .join(anchors.select($"qid", $"qlabel"), "qid")
+    assert(joined.filter($"label" === $"qlabel").count() == 0,
+      "a hard negative must never share the anchor's label")
+    val perQ = negs.groupBy("qid").count().select("count").as[Long].collect()
+    assert(perQ.forall(_ == 4))
+    // ranks are sim-descending within each anchor
+    val rows = negs.select($"qid", $"rn", $"sim".cast("double"))
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    rows.values.foreach { rs =>
+      val bySim = rs.sortBy(_._2).map(_._3)
+      assert(bySim.zip(bySim.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("evaluation: hand-computed recall/mrr/ndcg, zero-hit and absent queries") {
     import graft.operators.Evaluation
     val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "id", "rank")
