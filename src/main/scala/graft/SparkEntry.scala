@@ -968,8 +968,12 @@ object SparkEntry {
 
     // Length-bucketed inference batching: deterministic (bucket,
     // batch, slot) assignment, padding waste bounded by bucketWidth.
+    // NULL text is filtered on BOTH engines (Spark would coalesce its
+    // token count to 0 while SQL yields NULL — a latent cross-engine
+    // divergence even though this fixture has no NULL texts).
     "pk_batches" -> ((s, dir) =>
-      operators.Packing.lengthBatches(T(s, dir, "documents"), "doc_id", "text",
+      operators.Packing.lengthBatches(
+          T(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text",
           bucketWidth = 32, batchSize = 8)
         .orderBy("doc_id")),
 
@@ -1411,6 +1415,8 @@ object SparkEntry {
     // MMR diverse rerank over a retrieval shortlist: lambda=1 must
     // reproduce the distributed cosine top-k exactly (rank-for-rank);
     // lambda=0.5 must actually diversify (picks differ) — non-vacuous.
+    // The executor-side batch path (flatMapGroups, no driver collect)
+    // must agree with the driver kernel pick-for-pick, score included.
     "ann_mmr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -1431,8 +1437,13 @@ object SparkEntry {
       val nDiff = plain.select(col("qid"), col("id"), col("rank"))
         .except(diverse.select(col("qid"), col("id"), col("rank")))
         .count()
+      val distributed = operators.Mmr.rerankDistributed(
+        cands, "qid", "vec_id", "sim", "embedding", k = 5, lambda = 0.5)
+      val distMism = diverse.select(col("qid"), col("id"), col("rank"), col("mmr_score"))
+        .except(distributed.select(col("qid"), col("id"), col("rank"), col("mmr_score")))
+        .count()
       import s.implicits._
-      Seq((mism, nDiff > 0)).toDF("mismatches", "diversified")
+      Seq((mism, nDiff > 0, distMism)).toDF("mismatches", "diversified", "dist_mismatches")
     }),
 
     // JL random projection 64→8: deterministic ±1 signs (md5 parity),
@@ -1579,14 +1590,17 @@ object SparkEntry {
     }),
 
     // benchmark decontamination: n-gram overlap between a corpus slice
-    // and a "benchmark" slice (string shingle keys here for oracle
-    // parity; the hashed-key scale path is asserted equal in DedupSpec)
+    // and a "benchmark" slice. hashKeys=true — the scale path — joins
+    // on 64-bit fingerprints instead of shuffling string shingles; the
+    // OUTPUT (ids, counts, fractions) is key-representation
+    // independent, so the string-shingle DuckDB oracle still matches
+    // (string ≡ hashed asserted in DedupSpec).
     "dd_contamination" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       Dedup.ngramContamination(
           docs.filter(col("doc_id") >= 20 && col("doc_id") < 200), "doc_id", "text",
           docs.filter(col("doc_id") < 20), "doc_id", "text",
-          n = 3, minOverlapFraction = 0.05, hashKeys = false)
+          n = 3, minOverlapFraction = 0.05, hashKeys = true)
         .orderBy("corpus_id", "bench_id")
     }),
 
@@ -2034,7 +2048,7 @@ object SparkEntry {
       WITH t AS (
         SELECT doc_id,
                CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       b AS (
         SELECT doc_id, n AS n_tokens, n // 32 AS bucket,
                CAST(row_number() OVER (PARTITION BY n // 32 ORDER BY doc_id)
@@ -2222,8 +2236,9 @@ object SparkEntry {
     "tx_fp_consistency" -> """
       SELECT CAST(0 AS BIGINT) AS fp_splits,
              CAST(0 AS BIGINT) AS fp_collisions, true AS complete""",
-    "ann_mmr" ->
-      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS diversified",
+    "ann_mmr" -> """
+      SELECT CAST(0 AS BIGINT) AS mismatches, true AS diversified,
+             CAST(0 AS BIGINT) AS dist_mismatches""",
     "ann_hard_negatives" -> """
       WITH q AS (
         SELECT vec_id AS qid, embedding AS qvec, label AS qlabel

@@ -28,10 +28,13 @@ object Evaluation {
       run: DataFrame, truth: DataFrame,
       qidCol: String, idCol: String, rankCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nRel = truth.groupBy(col(qidCol))
+    // dedupe defensively: a duplicated (qid, id) truth row would
+    // double-count through the left join and inflate recall/dcg past 1
+    val t = truth.select(col(qidCol), col(idCol)).dropDuplicates(qidCol, idCol)
+    val nRel = t.groupBy(col(qidCol))
       .agg(count(lit(1)).as("n_relevant"))
     val joined = run.filter(col(rankCol) <= k)
-      .join(truth.select(col(qidCol), col(idCol), lit(1).as("_rel")),
+      .join(t.withColumn("_rel", lit(1)),
         Seq(qidCol, idCol), "left_outer")
     val perQ = joined.groupBy(col(qidCol)).agg(
       sum(coalesce(col("_rel"), lit(0))).cast("long").as("hits"),

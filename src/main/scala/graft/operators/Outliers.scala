@@ -82,7 +82,8 @@ object Outliers {
       when(col(valueCol) <= element_at(col("_bs"), t), t).otherwise(acc)
     }
     df.join(broadcast(bounds))
-      .withColumn("tier", tier)
+      // a NULL value belongs to NO tier, not silently the top one
+      .withColumn("tier", when(col(valueCol).isNotNull, tier))
       .drop("_bs")
   }
 }

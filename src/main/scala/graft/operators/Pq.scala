@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * on a sample (standard practice — codebooks need ~100k vectors, not
   * the corpus); encoding is a pure argmin-over-literals projection;
   * ADC scoring is a pure projection summing `m` `element_at` lookups
-  * into per-query literal tables. No shuffle anywhere except the final
-  * top-k, which bounds per-partition via TakeOrdered.
+  * into broadcast per-query tables. No shuffle anywhere except the
+  * final per-query top-k (WindowGroupLimit-bounded).
   *
   * Beyond-reference operator (reference is exact-only brute force,
   * vector_store.py:291); composes with [[Ann.ivfBuild]] for the
@@ -110,23 +110,50 @@ object Pq {
     }.reduce(_ + _))
   }
 
+  /** The query batch as a relational frame: one `(qid, _adc)` row per
+    * query, `_adc` the precomputed m×k ADC table. The tables are
+    * driver state exactly like the codebook (`queries × m × k`
+    * doubles), but shipped as a BROADCAST FRAME instead of per-query
+    * plan literals — one plan serves any batch size.
+    */
+  private def adcTableFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Array[Float])], cb: PqCodebook): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be unique")
+    import spark.implicits._
+    queries.map { case (qid, q) =>
+      (qid, adcTable(q, cb).map(_.toSeq).toSeq)
+    }.toDF("qid", "_adc")
+  }
+
+  /** ADC distance read from the joined `_adc` table column — the same
+    * left-to-right double sum as [[adcDistanceCol]] (bit-identical
+    * results), with the table a row value instead of a plan literal.
+    */
+  private def adcDistFromTable(adcCol: Column, codesCol: Column, m: Int): Column =
+    sqrt((0 until m).map { s =>
+      element_at(element_at(adcCol, s + 1), codesCol.getItem(s) + 1)
+    }.reduce(_ + _))
+
   /** Approximate top-k for each query over a PQ-encoded index: rank by
     * ADC distance (id tie-break). Accuracy is the PQ reconstruction
     * trade — measure against [[SimilarityJoin.knnL2]]; raise `m`/`k`
     * (or re-rank an ADC shortlist with true distances) to tighten.
+    *
+    * ONE job for the whole batch: the index is scanned once against
+    * the broadcast query-table frame (the [[SimilarityJoin.knnL2]]
+    * shape), not once per query.
     */
   def adcTopK(index: DataFrame, idCol: String, codesCol: String,
       cb: PqCodebook, queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(queries.nonEmpty, "need at least one query")
-    queries.map { case (qid, q) =>
-      index.select(
-        lit(qid).as("qid"),
-        col(idCol),
-        adcDistanceCol(q, cb, col(codesCol)).as("adc_dist"))
-        .orderBy(col("adc_dist"), col(idCol))
-        .limit(k)
-    }.reduce(_ unionAll _)
+    val qt = adcTableFrame(index.sparkSession, queries, cb)
+    val scored = index.crossJoin(broadcast(qt))
+      .select(col("qid"), col(idCol),
+        adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
+    SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
   }
 
   // ------------------------------ IVF-PQ ------------------------------- //
@@ -152,10 +179,18 @@ object Pq {
 
   /** IVF-PQ search: rank cells per query ON THE DRIVER (both the query
     * and the centroids are driver state — no probe job at all), then
-    * score only the probed cells' codes with the ADC projection and
-    * TakeOrdered the top-k. `nProbe = nCells` degenerates to
-    * [[adcTopK]] exactly (same distances, same id tie-break). Probe
-    * tie-break: lower centroid id, matching `Ann.probeCells`.
+    * score only the probed cells' codes with the ADC projection.
+    * `nProbe = nCells` degenerates to [[adcTopK]] exactly (same
+    * distances, same id tie-break). Probe tie-break: lower centroid
+    * id, matching `Ann.probeCells`.
+    *
+    * ONE job for the whole batch (the `Ann.ivfSearchCosine` shape):
+    * the driver-ranked `(qid, centroid_id)` probe relation — ≤
+    * queries × nProbe slim rows — is broadcast and equi-joined against
+    * the index, so probed cells are scanned once no matter how many
+    * queries probe them; ADC tables ride a second broadcast keyed by
+    * qid; the top-k is a WindowGroupLimit. No per-query plan branches,
+    * no N-way union.
     */
   def ivfPqSearch(index: DataFrame, idCol: String, codesCol: String,
       centroids: DataFrame, cb: PqCodebook,
@@ -163,26 +198,28 @@ object Pq {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(queries.nonEmpty, "need at least one query")
+    val spark = index.sparkSession
+    import spark.implicits._
     val cents = centroids
       .select(col("centroid_id").cast("long"), col("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    queries.map { case (qid, q) =>
-      val probed = cents.map { case (cid, c) =>
+    val probes = queries.flatMap { case (qid, q) =>
+      cents.map { case (cid, c) =>
         var acc = 0.0
         var i = 0
         while (i < math.min(q.length, c.length)) {
           val d = q(i).toDouble - c(i).toDouble; acc += d * d; i += 1
         }
         (acc, cid)
-      }.sorted.take(nProbe).map(_._2).toSeq
-      index.filter(col("centroid_id").isInCollection(probed))
-        .select(
-          lit(qid).as("qid"),
-          col(idCol),
-          adcDistanceCol(q, cb, col(codesCol)).as("adc_dist"))
-        .orderBy(col("adc_dist"), col(idCol))
-        .limit(k)
-    }.reduce(_ unionAll _)
+      }.sorted.take(nProbe).map { case (_, cid) => (qid, cid) }
+    }.toDF("qid", "centroid_id")
+    val qt = adcTableFrame(spark, queries, cb)
+    val scored = index
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(qt), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
+    SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
   }
 }

@@ -28,16 +28,19 @@ object Tfidf {
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count() // one scalar of driver state, like Bm25.CorpusStats
-    // Eagerly checkpointed (the Bm25.fit pattern): BOTH the df branch
-    // and the final join consume this frame — without it each consumer
-    // re-reads and re-tokenizes the whole corpus. Callers own the
-    // checkpoint's storage (GraftShim.unpersistLocalCheckpoint once the
-    // result is consumed).
+    // BOTH the df branch and the final join consume the tf frame —
+    // deliberately WITHOUT a cache/checkpoint. The price is a second
+    // tokenize pass (a fully parallel map-side stage; column pruning
+    // keeps the branches' subplans distinct, so ReuseExchange cannot
+    // collapse them); the previous eager localCheckpoint instead wrote
+    // the doc×token frame to block storage and LEAKED it unless every
+    // caller remembered to release it — repeated in-session runs
+    // (bench reps, ScaleSmoke) accumulated storage without bound.
+    // Leak-freedom is plan-asserted in PlanSpec.
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
     // tf has exactly one row per (doc, token) => per-token row count IS df
     val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(dfc, "token")

@@ -306,6 +306,70 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("ivfpq search: one relational job — no per-query plan branches") {
+    import graft.operators.Pq
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => (i, v.toArray) }.toSeq
+    val (indexed, cents, cb) = Pq.ivfPqBuild(emb, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, k = 8, iters = 1)
+    val plan = Pq.ivfPqSearch(indexed, "vec_id", "codes", cents, cb,
+        queries, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"batch search must be ONE plan, not a per-query union:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe relation and ADC tables must broadcast-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"probed-cell candidate join must stay a broadcast equi-join:\n$plan")
+    val flatPlan = Pq.adcTopK(Pq.encode(emb, "embedding", "codes", cb),
+        "vec_id", "codes", cb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("Union"),
+      s"flat ADC batch must be ONE plan, not a per-query union:\n$flatPlan")
+  }
+
+  test("mmr distributed: executor kernel matches driver pick-for-pick, score included") {
+    import graft.operators.Mmr
+    val qs = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cands = graft.operators.SimilarityJoin.knnCosine(
+        emb, "vec_id", "embedding", qs, "qid", "qvec", k = 15)
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+    for (lambda <- Seq(1.0, 0.5, 0.0)) {
+      val drv = Mmr.rerank(cands, "qid", "vec_id", "sim", "embedding", 5, lambda)
+      val dst = Mmr.rerankDistributed(cands, "qid", "vec_id", "sim", "embedding", 5, lambda)
+      assert(drv.except(dst).count() == 0 && dst.except(drv).count() == 0,
+        s"distributed MMR diverged from the driver kernel at lambda=$lambda")
+    }
+  }
+
+  test("mmr: double-typed vector columns are cast, oversized driver batch refused") {
+    import graft.operators.Mmr
+    val cands = Seq(
+      (0L, 1L, 1.0, Seq(1.0, 0.0)),
+      (0L, 2L, 0.9, Seq(1.0, 0.01)),
+      (0L, 3L, 0.5, Seq(0.0, 1.0)))
+      .toDF("qid", "id", "score", "vec") // vec is array<double>
+    val picks = Mmr.rerank(cands, "qid", "id", "score", "vec", k = 3, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(picks == Seq(1L, 3L, 2L))
+    intercept[IllegalArgumentException] {
+      Mmr.rerank(cands, "qid", "id", "score", "vec", k = 3, lambda = 0.5,
+        maxDriverRows = 2)
+    }
+  }
+
+  test("evaluation: duplicated truth rows do not inflate recall past 1") {
+    import graft.operators.Evaluation
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "id", "rank")
+    val truth = Seq((1L, 10L), (1L, 10L), (1L, 11L)).toDF("qid", "id")
+    val m = Evaluation.rankedMetrics(run, truth, "qid", "id", "rank", k = 2)
+      .select("n_relevant", "hits", "recall")
+      .as[(Long, Long, Double)].head()
+    assert(m == ((2L, 2L, 1.0)), s"expected dedup'd truth (2,2,1.0), got $m")
+  }
+
   test("pq: validation — m must divide dim, query dim must match") {
     import graft.operators.Pq
     intercept[IllegalArgumentException] {

@@ -170,11 +170,20 @@ class PlanSpec extends SparkSuite {
 
   test("tfidf topTerms: per-doc top-k bounded as WindowGroupLimit, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val s = graft.operators.Tfidf.topTerms(docs, "doc_id", "text", 3)
-      .queryExecution.executedPlan.toString
+    val q = graft.operators.Tfidf.topTerms(docs, "doc_id", "text", 3)
+    val s = q.queryExecution.executedPlan.toString
     assert(s.contains("WindowGroupLimit"), s"expected window group limit:\n$s")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
       s"idf join must stay an equi-join:\n$s")
+    // tf feeds both the df branch and the join WITHOUT a persisted
+    // frame (pure two-pass): repeated in-session runs must leave NO
+    // storage behind — the old eager localCheckpoint leaked its blocks
+    // unless every caller remembered to release them
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    q.count()
+    q.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"tfidf run left persisted RDDs behind: $leaked")
   }
 
   test("outlier z-scores and winsorize: stats broadcast back, fact table never windowed") {

@@ -81,6 +81,15 @@ class StreamingSpec extends SparkSuite {
     assert(sizes.values.forall(s => s >= 24 && s <= 26), s"skewed tiers: $sizes")
   }
 
+  test("percentileTiers: NULL values get NULL tier, never binned into the top") {
+    val df = ((1 to 10).map(i => (i.toLong, Some(i.toDouble))) :+ ((99L, None)))
+      .toDF("id", "value")
+    val out = graft.operators.Outliers.percentileTiers(df, "value", 2)
+      .select("id", "tier").as[(Long, Option[Int])].collect().toMap
+    assert(out(99L).isEmpty, "NULL value must yield NULL tier")
+    assert(out(1L).contains(1) && out(10L).contains(2))
+  }
+
   test("vocabularyOverlap: hand-computed jaccard between group vocabularies") {
     val docs = Seq(
       ("s1", "a b c"), ("s1", "a d"),      // vocab {a,b,c,d}
