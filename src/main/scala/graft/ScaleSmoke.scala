@@ -203,13 +203,41 @@ object ScaleSmoke {
       graft.operators.RandomProjection.project(bigEmb, "embedding", "sm", 64, 8)
         .agg(sum(col("rp1"))).head()
     }
-    timed("ivfpq build+search 100k vecs") {
-      val (indexedPq, centsPq, cbPq) = graft.operators.Pq.ivfPqBuild(
+    val (indexedPq, centsPq, cbPq) = timed("ivfpq build 100k vecs") {
+      graft.operators.Pq.ivfPqBuild(
         bigEmb, "vec_id", "embedding", dim = 64, nCells = 32, m = 8, k = 16, iters = 2)
-      val q = bigEmb.orderBy("vec_id").limit(1)
-        .select("embedding").head().getSeq[Float](0).toArray
-      graft.operators.Pq.ivfPqSearch(indexedPq, "vec_id", "codes", centsPq, cbPq,
-        Seq((0L, q)), k = 10, nProbe = 4).count()
+    }
+    // 1k-query batch through the ONE-JOB relational search (broadcast
+    // probe relation + ADC tables, equi-join, window top-k) — the shape
+    // that replaced one plan branch per query. Driver sees only the
+    // final top-k rows.
+    val batchQs = timed("collect 1k query vectors") {
+      bigEmb.filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    }
+    timed("ivfpq search 1k q (nProbe=4)") {
+      val n = graft.operators.Pq.ivfPqSearch(indexedPq, "vec_id", "codes",
+        centsPq, cbPq, batchQs, k = 10, nProbe = 4).count()
+      println(s"SMOKE   ivfpq batch results: $n")
+    }
+
+    // ---- distributed MMR over 1k query shortlists ---------------------
+    // shortlists from the pruned IVF probe (bounded candidate gen), then
+    // the greedy MMR kernel per query ON EXECUTORS — no driver collect
+    // of any vector, max driver rows = the final (qid,id,rank) output
+    timed("mmr rerank 1k q (k=10/20)") {
+      val qdf = bigEmb.filter(col("vec_id") < 1000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val shortlists = graft.operators.Ann.ivfSearchL2(
+          indexed, "vec_id", "embedding", cents,
+          qdf, "qid", "qvec", k = 20, nProbe = 2)
+        .select(col("qid"), col("vec_id"), (-col("distance")).as("rel"))
+        .join(bigEmb.select(col("vec_id"), col("embedding")), "vec_id")
+      val n = graft.operators.Mmr.rerankDistributed(
+        shortlists, "qid", "vec_id", "rel", "embedding", k = 10, lambda = 0.5)
+        .count()
+      println(s"SMOKE   mmr reranked rows: $n")
     }
 
     // ---- the whole pipeline, end-to-end, LSH-mode dedup (default) ----

@@ -336,8 +336,12 @@ object SparkEntry {
           sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("false_positives"),
           (count(lit(1)) > 0).as("has_pairs"))
     }),
-    "dd_minhash_lsh" -> ((s, dir) => // custom hash family — rows-only check
-      Dedup.minHashLshPairs(
+    // portable md5 hash family: DuckDB replays the ENTIRE pipeline —
+    // signatures, banding, candidate join, verification — so this row
+    // hash-matches outright (the kernel-family production path keeps
+    // its containment/composition gates: dd_lsh_containment/_clusters)
+    "dd_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairsPortable(
           T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
           numHashes = 32, bands = 8, verifyThreshold = 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
@@ -1412,6 +1416,62 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // The ANN tuning report: every index family (LSH, IVF at nProbe
+    // 1/2/4/8, IVF-PQ) over the SAME queries, each run scored with
+    // rankedMetrics against the exact top-10 truth of its distance
+    // family — the recall-vs-probe table an operator reads before
+    // picking a config for a real deployment. The ranked runs are
+    // PERSISTED and the oracle recomputes both exact truths and every
+    // metric formula from them in DuckDB (read_parquet on the dumped
+    // runs), so the measurement half is independently verified; only
+    // the custom-kernel rankings themselves come from Spark.
+    "ir_ann_sweep" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val kk = 10
+      val (indexed, cents) =
+        Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
+      val qArr = qs.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (ipq, cpq, cb) = operators.Pq.ivfPqBuild(emb, "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, k = 8, iters = 2)
+      // (config, truth family, ranked run) — a 6-branch union is the
+      // POINT here (six different operators under test), not a
+      // per-query plan smell
+      val runs: Seq[(String, String, DataFrame)] =
+        ("lsh_b6", "cos", Ann.lshCosineTopK(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = kk, dim = 64, nBits = 6)) +:
+        Seq(1, 2, 4, 8).map(p => (f"ivf_p$p", "l2",
+          Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
+            qs, "qid", "qvec", k = kk, nProbe = p))) :+
+        (("ivfpq_p4", "l2", operators.Pq.ivfPqSearch(ipq, "vec_id", "codes",
+          cpq, cb, qArr, k = kk, nProbe = 4)))
+      val run = runs.map { case (cfg, _, df) =>
+        df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
+          col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
+      }.reduce(_ unionAll _)
+      run.write.mode("overwrite").parquet("/tmp/graft_ann_sweep/run.parquet")
+      val persisted = s.read.parquet("/tmp/graft_ann_sweep/run.parquet")
+      val truthL2 = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", kk).select(col("qid"), col("vec_id"))
+      val truthCos = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", kk).select(col("qid"), col("vec_id"))
+      runs.map { case (cfg, fam, _) =>
+        operators.Evaluation.rankedMetrics(
+          persisted.filter(col("config") === cfg)
+            .select(col("qid"), col("id").as("vec_id"), col("rank")),
+          if (fam == "cos") truthCos else truthL2,
+          "qid", "vec_id", "rank", kk)
+          .select(lit(cfg).as("config"), col("qid"), col("n_relevant"),
+            col("hits"),
+            round(col("recall"), 4).as("recall"),
+            round(col("mrr"), 4).as("mrr"),
+            round(col("ndcg"), 4).as("ndcg"))
+      }.reduce(_ unionAll _)
+        .orderBy("config", "qid")
+    }),
+
     // MMR diverse rerank over a retrieval shortlist: lambda=1 must
     // reproduce the distributed cosine top-k exactly (rank-for-rank);
     // lambda=0.5 must actually diversify (picks differ) — non-vacuous.
@@ -1872,6 +1932,40 @@ object SparkEntry {
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
       ORDER BY a_id, b_id""",
+    // full DuckDB replay of the portable-minhash pipeline: the 32
+    // md5-family minhash expressions and the 8 band projections are
+    // program-generated on both sides from the same (numHashes, bands)
+    "dd_minhash_lsh" -> {
+      val mh = (0 until 32).map(i =>
+        s"list_min(list_transform(toks, t -> md5('mh$i|' || t)))")
+        .mkString("[\n          ", ",\n          ", "]")
+      val bandSelects = (0 until 8).map { b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"array_to_string(mh[${b * 4 + 1}:${b * 4 + 4}], '-') AS band_hash FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH d AS (
+        SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+        FROM documents WHERE doc_id < 150),
+      sig AS (SELECT doc_id, toks, $mh AS mh FROM d),
+      banded AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+      v AS (
+        SELECT c.a_id, c.b_id,
+               CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+                 / (len(da.toks) + len(db.toks)
+                    - len(list_intersect(da.toks, db.toks))) AS jac
+        FROM cand c
+        JOIN d da ON da.doc_id = c.a_id
+        JOIN d db ON db.doc_id = c.b_id)
+      SELECT a_id, b_id, round(jac, 4) AS jaccard
+      FROM v WHERE jac >= 0.5 ORDER BY a_id, b_id"""
+    },
     "dd_incr_exact" -> """
       WITH b AS (
         SELECT doc_id + 10000 AS id,
@@ -2239,6 +2333,58 @@ object SparkEntry {
     "ann_mmr" -> """
       SELECT CAST(0 AS BIGINT) AS mismatches, true AS diversified,
              CAST(0 AS BIGINT) AS dist_mismatches""",
+    // reads the PERSISTED ranked runs the Spark gate dumped, then
+    // recomputes exact L2/cosine truths and every metric formula
+    // independently — verifying the whole measurement half of the sweep
+    "ir_ann_sweep" -> """
+      WITH run AS (
+        SELECT config, qid, id, rank
+        FROM read_parquet('/tmp/graft_ann_sweep/run.parquet/*.parquet')),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 10),
+      l2r AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding, q.qvec), e.vec_id) AS rr
+        FROM embeddings e CROSS JOIN q),
+      cosr AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY -list_cosine_similarity(e.embedding, q.qvec),
+                          e.vec_id) AS rr
+        FROM embeddings e CROSS JOIN q),
+      truth AS (
+        SELECT 'l2' AS fam, qid, id FROM l2r WHERE rr <= 10
+        UNION ALL
+        SELECT 'cos' AS fam, qid, id FROM cosr WHERE rr <= 10),
+      fr AS (
+        SELECT config,
+               CASE WHEN config = 'lsh_b6' THEN 'cos' ELSE 'l2' END AS fam,
+               qid, id, rank
+        FROM run WHERE rank <= 10),
+      j AS (
+        SELECT fr.config, fr.qid, fr.rank,
+               CASE WHEN t.id IS NULL THEN 0 ELSE 1 END AS rel
+        FROM fr LEFT JOIN truth t
+          ON fr.fam = t.fam AND fr.qid = t.qid AND fr.id = t.id),
+      qgrid AS (SELECT DISTINCT run.config, q.qid FROM run CROSS JOIN q),
+      perq AS (
+        SELECT config, qid, CAST(sum(rel) AS BIGINT) AS hits,
+               min(CASE WHEN rel = 1 THEN rank END) AS fh,
+               sum(CASE WHEN rel = 1
+                   THEN 1e0 / log2(CAST(rank AS DOUBLE) + 1e0)
+                   ELSE 0e0 END) AS dcg
+        FROM j GROUP BY config, qid),
+      idcg AS (
+        SELECT list_sum(list_transform(range(1, 11),
+                 r -> 1e0 / log2(CAST(r AS DOUBLE) + 1e0))) AS v)
+      SELECT g.config, g.qid, CAST(10 AS BIGINT) AS n_relevant,
+             coalesce(p.hits, 0) AS hits,
+             round(coalesce(p.hits, 0) / 10e0, 4) AS recall,
+             round(coalesce(1e0 / p.fh, 0e0), 4) AS mrr,
+             round(coalesce(p.dcg, 0e0) / (SELECT v FROM idcg), 4) AS ndcg
+      FROM qgrid g LEFT JOIN perq p ON g.config = p.config AND g.qid = p.qid
+      ORDER BY g.config, g.qid""",
     "ann_hard_negatives" -> """
       WITH q AS (
         SELECT vec_id AS qid, embedding AS qvec, label AS qlabel

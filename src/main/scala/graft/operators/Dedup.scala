@@ -211,6 +211,59 @@ object Dedup {
     } finally withTok.unpersist()
   }
 
+  /** [[minHashLshPairs]] with a PORTABLE hash family: every hash is
+    * `md5(seed || token)` and minhashes/band keys compare as hex
+    * STRINGS (lexicographic min over fixed-width lowercase hex ≡
+    * numeric min of the 128-bit value) — signatures, banding, the
+    * candidate self-join, and the exact-Jaccard verification are all
+    * reproducible verbatim in any engine with md5, no custom kernels
+    * anywhere. This is what lets the dd_minhash_lsh gate hash-match a
+    * full DuckDB REPLAY of the pipeline (the vq_randproj
+    * derived-literal pattern, applied to the whole LSH stack).
+    *
+    * The production path stays [[minHashLshPairs]]: one fused codegen
+    * pass per token against `numHashes` md5 evaluations here, plus the
+    * giant-bucket backstop this plain variant omits. Same S-curve
+    * semantics, different (equally valid) hash family — the two
+    * produce the same VERIFIED pair set whenever recall holds, but
+    * candidate sets differ, so treat this as the cross-engine witness,
+    * not a drop-in.
+    */
+  def minHashLshPairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      verifyThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val withTok = tokFrame(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sig = (0 until numHashes).map { i =>
+        array_min(transform(col("toks"), t => md5(concat(lit(s"mh$i|"), t))))
+      }
+      val banded = withTok.select(
+        col("id"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("-", sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+        }: _*)).as(Seq("band", "band_hash")))
+        .localCheckpoint(true)
+      val a = banded.select(col("band"), col("band_hash"), col("id").as("a_id"))
+      val b = banded.select(col("band"), col("band_hash"), col("id").as("b_id"))
+      val candidates = a.join(b, Seq("band", "band_hash"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+      val verified = verifiedJaccard(
+        candidates
+          .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+          .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id")),
+        verifyThreshold)
+      val result = verified.localCheckpoint(eager = true)
+      GraftShim.unpersistLocalCheckpoint(banded)
+      result
+    } finally withTok.unpersist()
+  }
+
   /** The persisted-state half of incremental NEAR-dup detection: the
     * corpus's slim LSH band relation (id, band, band_hash) — ~`bands`
     * small rows per document, no text. Write it out once; each new

@@ -13,6 +13,29 @@ class DedupSpec extends SparkSuite {
     .parquet("/root/testdata/sf0.001/documents.parquet")
     .filter($"doc_id" < 200).cache()
 
+  test("portable minhash-LSH: precision 1.0, strong-pair recall, values exact") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select($"a_id", $"b_id", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val port = Dedup.minHashLshPairsPortable(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, verifyThreshold = 0.5)
+      .select($"a_id", $"b_id", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect()
+    assert(port.nonEmpty, "portable LSH found no pairs at all")
+    // exact-verified: every surviving pair is an exact pair with the
+    // identical jaccard value (precision 1.0 by construction)
+    port.foreach { case (a, b, j) =>
+      assert(exact.get((a, b)).contains(j), s"($a,$b,$j) not in exact pairs")
+    }
+    // same S-curve knobs as the kernel family: strong pairs must survive
+    val strong = exact.filter(_._2 >= 0.8).keySet
+    if (strong.nonEmpty) {
+      val got = port.map(p => (p._1, p._2)).toSet
+      val recall = strong.count(got).toDouble / strong.size
+      assert(recall >= 0.8, s"portable recall $recall on ${strong.size} strong pairs")
+    }
+  }
+
   test("minhash-LSH pairs are a subset of exact Jaccard pairs (precision 1.0)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.store.{ParquetStorage, TombstoneStorage}
+
+/** Direct StorageLayer contracts — above all the delete-cost split:
+  * the tombstone layout must delete with O(batch) IO (append a slim id
+  * log, never touch the data files), where the plain Parquet layout
+  * rewrites the table. Semantics of the two layouts are asserted
+  * identical through the VectorStore API in VectorStoreParitySpec.
+  */
+class StorageLayerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def dataFiles(root: String) = {
+    val p = new Path(root, "data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  private def dirBytes(root: String, sub: String): Long = {
+    val p = new Path(root, sub)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  private def table(n: Int) =
+    spark.range(n).select(col("id"),
+      concat(lit("payload-"), col("id")).as("doc"),
+      array_repeat(rand(seed = 7).cast("float"), 32).as("vec"))
+
+  test("tombstone delete is O(batch): data files untouched, log ~ batch size") {
+    val root = Files.createTempDirectory("graft-sl-ts").toString + "/t"
+    val st = new TombstoneStorage(spark, root)
+    st.initialize(table(0).schema)
+    st.append(table(10000))
+    val before = dataFiles(root)
+    val dataBytes = before.map(_._2).sum
+
+    st.delete(Seq(1L, 2L, 3L).toDF("id"))
+
+    // the table's files were not rewritten, renamed, or even touched —
+    // a delete batch costs IO proportional to the BATCH, not the table
+    assert(dataFiles(root) == before,
+      "tombstone delete must not rewrite or touch the data files")
+    val logBytes = dirBytes(root, "tombstones")
+    assert(logBytes > 0 && logBytes < dataBytes / 10,
+      s"tombstone log ($logBytes B) must be tiny next to the data ($dataBytes B)")
+
+    // reads anti-join the log out — and as a BROADCAST anti-join, since
+    // the tombstone set is planner-small relative to the table
+    assert(st.read().count() == 9997)
+    assert(st.read().filter(col("id") < 5).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(0L, 4L))
+    val plan = st.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone read must plan a broadcast anti-join:\n$plan")
+
+    // second batch appends to the log; count reflects both
+    st.delete(Seq(4L).toDF("id"))
+    assert(dataFiles(root) == before)
+    assert(st.tombstoneCount() == 4L && st.read().count() == 9996)
+
+    // compact folds the log into one rewrite and clears it
+    st.compact()
+    assert(st.tombstoneCount() == 0L && st.read().count() == 9996)
+    assert(dataFiles(root) != before, "compact is the one deliberate rewrite")
+  }
+
+  test("parquet delete rewrites the table (the contrast case)") {
+    val root = Files.createTempDirectory("graft-sl-pq").toString + "/t"
+    val st = new ParquetStorage(spark, root)
+    st.initialize(table(0).schema)
+    st.append(table(1000))
+    val before = dataFiles(root)
+    st.delete(Seq(1L).toDF("id"))
+    assert(st.read().count() == 999)
+    assert(dataFiles(root) != before,
+      "plain parquet layout deletes via read-antijoin-rewrite")
+  }
+
+  test("tombstone overwrite folds pending tombstones; staged swap stays atomic") {
+    val root = Files.createTempDirectory("graft-sl-ow").toString + "/t"
+    val st = new TombstoneStorage(spark, root)
+    st.initialize(table(0).schema)
+    st.append(table(100))
+    st.delete(Seq(7L).toDF("id"))
+    assert(st.tombstoneCount() == 1L)
+    // overwrite describes a NEW table; stale tombstones must not leak
+    // into it (id 7 exists again afterwards)
+    st.overwrite(table(50))
+    assert(st.tombstoneCount() == 0L)
+    assert(st.read().count() == 50)
+    assert(st.read().filter(col("id") === 7L).count() == 1)
+    // no staging/backup debris left behind by the swap
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(n => n.startsWith("_staging-") || n.startsWith("_old-"))
+    assert(leftovers.isEmpty, s"swap debris: ${leftovers.mkString(",")}")
+  }
+}
