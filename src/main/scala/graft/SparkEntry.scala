@@ -346,8 +346,13 @@ object SparkEntry {
           numHashes = 32, bands = 8, verifyThreshold = 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")),
-    "dd_simhash" -> ((s, dir) => // custom hash family — rows-only check
-      Dedup.simHashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    // Portable md5 hash family — DuckDB replays signatures, blocks, and
+    // XOR-popcount hamming end-to-end (brute-force all-pairs there ==
+    // quarter-block LSH + verify here, by the pigeonhole bound). The
+    // production simhash64 kernel family stays gated EXACT by
+    // dd_simhash_containment below.
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simHashPairsPortable(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("a_id", "b_id")),
     // Closes the dd_simhash oracle gap with two containments in one row:
     // (1) pigeonhole exactness — the quarter-block LSH pair set must
@@ -1966,6 +1971,42 @@ object SparkEntry {
       SELECT a_id, b_id, round(jac, 4) AS jaccard
       FROM v WHERE jac >= 0.5 ORDER BY a_id, b_id"""
     },
+    // Full DuckDB replay of the portable simhash: token hash = first 16
+    // hex chars of md5, bit i = strict-majority vote of nibble bit
+    // (i%4) of hex char i/4, signature = four 16-bit blocks, hamming =
+    // XOR popcount. Brute-force all-pairs here EQUALS the Spark side's
+    // quarter-block LSH + verify by the pigeonhole bound (maxHamming=3
+    // < 4 blocks). The 64 majority expressions are program-generated on
+    // both sides from the same bit layout.
+    "dd_simhash" -> {
+      val blockExpr = (0 until 4).map { b =>
+        (0 until 16).map { j =>
+          val i = b * 16 + j
+          val nib = s"(strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> ($nib // ${1 << (i % 4)}) % 2 = 1)) " +
+            s"> len(hs) THEN ${1 << j} ELSE 0 END)"
+        }.mkString("(\n          ", "\n        + ", s") AS b$b")
+      }.mkString(",\n        ")
+      s"""
+      WITH d AS (
+        SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 16)) AS hs
+        FROM d WHERE len(toks) > 0),
+      sig AS (
+        SELECT doc_id,
+        $blockExpr
+        FROM h)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+      ORDER BY a_id, b_id"""
+    },
     "dd_incr_exact" -> """
       WITH b AS (
         SELECT doc_id + 10000 AS id,
@@ -2118,6 +2159,36 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS worse_than_single,
              CAST(0 AS BIGINT) AS better_than_exact,
              true AS complete""",
+    // Full DuckDB replay of the hyperplane-LSH pipeline: the 6x64 plane
+    // matrix is regenerated here with the SAME seeded draw order as
+    // Kernels.planes(dim=64, nBits=6, seed=42) and embedded as literals
+    // (the vq_randproj / dd_minhash_lsh derived-literal pattern), so the
+    // oracle recomputes bucket assignment, the bucket equi-join, cosine
+    // scoring, and the (sim desc, id asc) top-3 independently.
+    "ann_lsh_topk" -> {
+      val rnd = new scala.util.Random(42L)
+      val p = Array.fill(6 * 64)(rnd.nextGaussian().toFloat)
+      val bucket = (0 until 6).map { b =>
+        val lits = (0 until 64).map(i => p(b * 64 + i).toString).mkString(", ")
+        s"(CASE WHEN list_dot_product(embedding, [$lits]) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               $bucket AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.qid, e.vec_id,
+               list_cosine_similarity(e.embedding, q.qvec) AS sim
+        FROM e JOIN q ON e.bucket = q.bucket),
+      ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY -sim, vec_id) AS rn
+        FROM scored)
+      SELECT qid, vec_id, rn, round(CAST(sim AS DOUBLE), 4) AS sim
+      FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
+    },
     "st_stream_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              event_type, count(*) AS n, round(sum(value), 2) AS total_value

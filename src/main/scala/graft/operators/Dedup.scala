@@ -264,6 +264,70 @@ object Dedup {
     } finally withTok.unpersist()
   }
 
+  /** [[simHashPairs]] with a PORTABLE hash family: each token's 64-bit
+    * hash is the first 16 hex chars of `md5(token)`, a signature bit is
+    * the strict majority vote over the doc's DISTINCT tokens, and the
+    * signature is carried as four 16-bit blocks (ints — no sign games
+    * at bit 63). Every step — nibble decode, majority, block packing,
+    * XOR popcount — is reproducible verbatim in any engine with md5 and
+    * bit_count, so the dd_simhash gate can hash-match a full DuckDB
+    * replay (brute-force all-pairs there; quarter-block LSH + verify
+    * here — identical output by the pigeonhole bound for maxHamming<=3,
+    * the invariant dd_simhash_containment already gates for the
+    * production [[simHashPairs]] family).
+    *
+    * The production path stays [[simHashPairs]] (one fused codegen
+    * kernel per doc vs 64 majority filters here); this variant is the
+    * cross-engine witness.
+    */
+  def simHashPairsPortable(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "quarter-block LSH guarantees recall only for maxHamming <= 3")
+    // bit i of a token hash: nibble = hex char i/4 (md5 is lowercase
+    // hex), bit = (nibble >> (i%4)) & 1. Signature bit i = 1 iff set on
+    // a strict majority of tokens (sum of +-1 votes > 0).
+    def sigBit(i: Int): Column = {
+      val nib = conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int")
+      shiftright(nib, i % 4).bitwiseAND(lit(1))
+    }
+    val hashed = tokFrame(df, idCol, textCol)
+      .select(col("id"), explode(col("toks")).as("t"))
+      .select(col("id"), substring(md5(col("t")), 1, 16).as("h"))
+    val sig = hashed
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n"),
+        (0 until 64).map(i => sum(sigBit(i)).as(s"c$i")): _*)
+    val blocks = (0 until 4).map { b =>
+      (0 until 16).map { j =>
+        val i = b * 16 + j
+        when(col(s"c$i") * 2 > col("n"), lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"b$b")
+    }
+    val withBlocks = sig.select(col("id") +: blocks: _*)
+      .localCheckpoint(true)
+    try {
+      val blocked = withBlocks.select(
+        col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("block", "block_val")))
+      val a = blocked.select(col("block"), col("block_val"), col("id").as("a_id"),
+        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val b = blocked.select(col("block"), col("block_val"), col("id").as("b_id"),
+        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      val hammingExpr = (0 until 4)
+        .map(q => bit_count(col(s"a$q").bitwiseXOR(col(s"c$q"))))
+        .reduce(_ + _)
+      a.join(b, Seq("block", "block_val"))
+        .filter(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+        .withColumn("hamming", hammingExpr.cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .localCheckpoint(true)
+    } finally GraftShim.unpersistLocalCheckpoint(withBlocks)
+  }
+
   /** The persisted-state half of incremental NEAR-dup detection: the
     * corpus's slim LSH band relation (id, band, band_hash) — ~`bands`
     * small rows per document, no text. Write it out once; each new

@@ -62,6 +62,22 @@ class DedupSpec extends SparkSuite {
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
 
+  test("portable simhash: identical docs pair at hamming 0, invariants hold") {
+    val pairs = Dedup.simHashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // the fixture's exact duplicates (identical text => identical
+    // signature) must surface at hamming 0
+    val dupPair = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+      .map(g => (g.map(_._1).min, g.map(_._1).sorted.apply(1))).headOption
+    dupPair.foreach { case (a, b) =>
+      assert(pairs.exists(p => p._1 == a && p._2 == b && p._3 == 0L),
+        s"exact duplicate ($a,$b) not found at hamming 0")
+    }
+  }
+
   test("ngramContamination: hashed and string shingle keys agree; self-contamination is total") {
     val corpus = docs.filter($"doc_id" >= 20 && $"doc_id" < 100)
     val bench = docs.filter($"doc_id" < 20)
