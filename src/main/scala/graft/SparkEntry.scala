@@ -122,6 +122,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Upsert semantics (replace-or-insert by id): anti-join out the
+    // batch's ids, union the batch back — the plan VectorStore.upsert
+    // executes against its storage layer (ParitySpec gates the stateful
+    // method itself; this row gates the relational semantics).
+    "vs_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val batch = Seq(
+        (0L, 101), (1L, 102), (2L, 103),
+        (900001L, 104), (900002L, 105)).toDF("vec_id", "label")
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+        .join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(batch)
+        .orderBy("vec_id")
+    }),
+
     // R11 dump vectors in insertion order (projection of components)
     "vs_dump_vecs" -> ((s, dir) =>
       T(s, dir, "embeddings")
@@ -292,6 +308,12 @@ object SparkEntry {
         .orderBy("doc_id")),
     "dd_norm_groups" -> ((s, dir) =>
       Dedup.normalizedGroups(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+    // Quality-aware canonical selection: per normalized-dup group keep
+    // the highest-score row (ties -> lowest id) — one max_by agg, no
+    // window, same shuffle shape as dd_norm_groups.
+    "dd_quality_keep" -> ((s, dir) =>
+      Dedup.keepBestNormalized(T(s, dir, "documents"), "doc_id", "text", "n_chars")
         .orderBy("content_hash")),
     "dd_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
@@ -583,6 +605,17 @@ object SparkEntry {
       operators.Sampling.perKeyCap(T(s, dir, "documents"), "source", "doc_id",
           cap = 5, salt = "cap")
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Per-source TOKEN budget (the mixture-target form of the quota):
+    // greedy hash-order take until each source crosses 2000 tokens.
+    // Membership is a pure function of (doc_id, salt, budget) — the
+    // oracle replays the md5 order, the running sum, and the cutoff.
+    "sm_token_budget" -> ((s, dir) =>
+      operators.Sampling.tokenBudgetSample(
+          T(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "source", "text", budgetTokens = 2000, salt = "tb")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")),
 
     // Duplicated token-span stats (Lee-et-al substring-dedup signal):
@@ -1827,6 +1860,17 @@ object SparkEntry {
     "vs_delete_antijoin" -> """
       SELECT vec_id, label FROM embeddings
       WHERE vec_id NOT IN (0, 1, 2, 3, 4) ORDER BY vec_id""",
+    "vs_upsert" -> """
+      WITH b(vec_id, label) AS (VALUES
+        (CAST(0 AS BIGINT), CAST(101 AS INTEGER)),
+        (CAST(1 AS BIGINT), CAST(102 AS INTEGER)),
+        (CAST(2 AS BIGINT), CAST(103 AS INTEGER)),
+        (CAST(900001 AS BIGINT), CAST(104 AS INTEGER)),
+        (CAST(900002 AS BIGINT), CAST(105 AS INTEGER)))
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id NOT IN (SELECT vec_id FROM b)
+      UNION ALL SELECT vec_id, label FROM b
+      ORDER BY vec_id""",
     "vs_dump_vecs" -> """
       SELECT vec_id,
              round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
@@ -1925,6 +1969,22 @@ object SparkEntry {
       SELECT doc_id, n_chars FROM documents
       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
       ORDER BY doc_id""",
+    "dd_quality_keep" -> """
+      WITH g AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+               doc_id, n_chars,
+               row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 ORDER BY n_chars DESC, doc_id) AS rn,
+               max(n_chars) OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+                 AS best_score,
+               count(*) OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+                 AS n_copies
+        FROM documents)
+      SELECT content_hash, doc_id AS keep_id, best_score, n_copies
+      FROM g WHERE rn = 1 ORDER BY content_hash""",
     "dd_jaccard_pairs" -> """
       WITH d AS (
         SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
@@ -3035,6 +3095,21 @@ object SparkEntry {
                  AS rn
         FROM documents)
       WHERE rn <= 5 ORDER BY doc_id""",
+    "sm_token_budget" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+               md5(concat_ws('|', 'tb', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents WHERE text IS NOT NULL),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""",
     "dd_substring" -> """
       WITH tok AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts

@@ -77,6 +77,25 @@ object Dedup {
     df.groupBy(normalizedContentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Quality-aware canonical selection: within each normalized-dup
+    * group keep the row with the HIGHEST score (ties → lowest id)
+    * instead of [[normalizedGroups]]'s lowest-id rule — the curation
+    * policy when re-encodings differ in completeness (boilerplate
+    * stripped vs not, truncated vs full) and "first crawled" is the
+    * wrong winner. One max_by aggregation: map-side partial combine,
+    * no window, no second scan — the same shuffle shape as
+    * [[exactGroups]] at any corpus size.
+    */
+  def keepBestNormalized(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String): DataFrame =
+    df.groupBy(normalizedContentHash(col(textCol)).as("content_hash"))
+      .agg(
+        max_by(
+          col(idCol),
+          struct(col(scoreCol), -col(idCol))).as("keep_id"),
+        max(col(scoreCol)).as("best_score"),
+        count(lit(1)).as("n_copies"))
+
   /** Shared verification step: score candidate pairs carrying
     * `a_toks`/`b_toks` set columns with exact Jaccard and filter.
     */

@@ -116,4 +116,33 @@ object Sampling {
       .filter(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  /** Token-budget sampling: per source, keep documents in deterministic
+    * [[keyHash]] order until the source's running whitespace-token
+    * total reaches `budgetTokens` — the curation primitive for "at most
+    * N tokens from each source" mixture targets, where a per-DOCUMENT
+    * cap ([[perKeyCap]]) over- or under-shoots by the length skew. A
+    * document is kept iff the token total BEFORE it is under budget, so
+    * each source overshoots by at most one document and membership is a
+    * pure function of (id, salt, budget) — reproducible in any engine
+    * with md5. Emits the kept rows plus `n_tokens` and the inclusive
+    * running `cum_tokens`.
+    *
+    * Scale shape: one hash-partition exchange on `sourceCol`; the
+    * per-source window only SUMS over a spillable sort, so a giant
+    * source costs one task's sort, never driver memory. If sources are
+    * few and huge, pre-split them upstream (the budget composes:
+    * budget(s) = Σ budget(s#i)).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budgetTokens: Long, salt: String = ""): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(keyHash(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+  }
 }

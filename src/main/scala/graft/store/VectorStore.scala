@@ -211,6 +211,47 @@ class VectorStore private (
     } finally df.unpersist()
   }
 
+  /** Upsert: replace-or-insert by EXPLICIT id — beyond-reference API
+    * (the reference can only append with assigned ids, then delete).
+    * Rows whose id exists are replaced; new ids are inserted as-is
+    * (id holes allowed, same as after [[delete]]). Duplicate ids in
+    * one batch are an error — "last wins" would depend on input order.
+    * Returns (replaced, inserted) counts. Storage cost is one delete
+    * (a tombstone append on [[TombstoneStorage]]) plus one append —
+    * O(batch) IO on the tombstone layout, never a table rewrite.
+    */
+  def upsert(ids: Seq[Long], vecs: Seq[Array[Float]],
+      docs: Seq[String] = null): (Long, Long) = {
+    if (ids.isEmpty) return (0L, 0L)
+    if (ids.size != vecs.size)
+      throw new IllegalArgumentException(
+        s"got ${ids.size} ids but ${vecs.size} vectors")
+    if (ids.distinct.size != ids.size)
+      throw new IllegalArgumentException("upsert batch contains duplicate ids")
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      if (v.length != dim)
+        throw new IllegalArgumentException(
+          s"vector $i has dimension ${v.length}, store dimension is $dim")
+    }
+    val effDocs: Seq[String] =
+      if (docs == null) Seq.fill(ids.size)("{}")
+      else {
+        if (docs.size != ids.size)
+          throw new IllegalArgumentException(
+            s"got ${ids.size} ids but ${docs.size} docs")
+        docs.map(d => if (d == null) "{}" else d)
+      }
+    val idsDf = ids.toDF("id")
+    val replaced = table.join(broadcast(idsDf), Seq("id"), "left_semi").count()
+    if (replaced > 0) storage.delete(idsDf)
+    val rows = ids.lazyZip(vecs).lazyZip(effDocs).map((i, v, d) => Row(i, v.toSeq, d))
+    storage.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
+      VectorStore.schema))
+    refreshIndex()
+    (replaced, ids.size - replaced)
+  }
+
   /** Delete by id; ids not present are skipped with a warning (reference:
     * vector_store.py:236-254). Returns the number of rows deleted.
     * Parquet is immutable → read-antijoin-rewrite; see [[StorageLayer]]

@@ -62,6 +62,35 @@ class DedupSpec extends SparkSuite {
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
 
+  test("keepBestNormalized: highest-score row wins its group, ties break to lowest id") {
+    // augment the fixture: doc 90000 is a whitespace re-encoding of doc 0
+    // with a higher quality score — the case where "first crawled" is the
+    // wrong winner and min-id keep policies pick the worse copy
+    val base = docs.select($"doc_id", $"text", $"n_chars")
+    val variant = base.filter($"doc_id" === 0)
+      .select(lit(90000L).as("doc_id"), concat($"text", lit("   ")).as("text"),
+        ($"n_chars" + 100).as("n_chars"))
+    val aug = base.unionByName(variant)
+    val kept = Dedup.keepBestNormalized(aug, "doc_id", "text", "n_chars")
+      .select($"content_hash".as[String], $"keep_id".as[Long],
+        $"best_score".as[Long], $"n_copies".as[Long]).collect()
+    val groups = aug
+      .select(Dedup.normalizedContentHash($"text").as("h"), $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    assert(kept.length == groups.size)
+    kept.foreach { case (h, keepId, best, n) =>
+      val g = groups(h)
+      assert(n == g.length)
+      assert(best == g.map(_._3).max)
+      // argmax by (score desc, id asc)
+      assert(keepId == g.filter(_._3 == best).map(_._2).min)
+    }
+    // the doctored group proves the policy diverges from min-id
+    val minIdWinners = groups.map { case (h, g) => h -> g.map(_._2).min }
+    assert(kept.exists { case (h, keepId, _, _) => keepId != minIdWinners(h) },
+      "quality policy never diverged from min-id — variant row not grouped?")
+  }
+
   test("portable simhash: identical docs pair at hamming 0, invariants hold") {
     val pairs = Dedup.simHashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Long)].collect()

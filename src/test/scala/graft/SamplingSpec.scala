@@ -109,4 +109,33 @@ class SamplingSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase(java.util.Locale.ROOT).contains("aggregate"))
   }
+
+  test("tokenBudgetSample: budget respected per source, overshoot <= one doc, deterministic") {
+    val budget = 1500L
+    val got = Sampling.tokenBudgetSample(
+      docs.filter($"text".isNotNull), "doc_id", "source", "text", budget, salt = "tb")
+    val rows = got.select($"doc_id".as[Long], $"source".as[String],
+      $"n_tokens".as[Long], $"cum_tokens".as[Long]).collect()
+    assert(rows.nonEmpty)
+    // every kept doc STARTED under budget; running total is consistent
+    assert(rows.forall(r => r._4 - r._3 < budget))
+    // per source: at most one doc crosses the budget (the last one)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.count(_._4 >= budget) <= 1, s"source $src overshoots more than once")
+    }
+    // sources with more material than the budget actually reach it
+    val perSourceTotal = docs.filter($"text".isNotNull)
+      .groupBy($"source")
+      .agg(sum(size(split(lower($"text"), "\\s+"))).as("tot"))
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      if (perSourceTotal(src) >= budget)
+        assert(rs.map(_._3).sum >= budget, s"source $src under-filled its budget")
+    }
+    // partition-independent determinism
+    val again = Sampling.tokenBudgetSample(
+      docs.filter($"text".isNotNull).repartition(7), "doc_id", "source", "text",
+      budget, salt = "tb").select($"doc_id").as[Long].collect().toSet
+    assert(again == rows.map(_._1).toSet)
+  }
 }

@@ -151,6 +151,34 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(s.count() == 9)
   }
 
+  test("upsert replaces existing ids, inserts new, leaves others untouched") {
+    val s = freshStore()
+    s.insert(eye(10), genDocs(0 until 10))
+    val v = Array.tabulate(10)(_ => 9f)
+    // 2 replacements + 1 insert at an explicit hole-making id
+    val (replaced, inserted) =
+      s.upsert(Seq(3L, 7L, 42L), Seq(v, v, v), Seq("""{"u": 1}""", null, """{"u": 3}"""))
+    assert((replaced, inserted) == (2L, 1L))
+    assert(s.count() == 11)
+    val got = s.selectIds(Seq(3L, 7L, 42L))
+    assert(got.map(_.id) == Seq(3L, 7L, 42L))
+    assert(got.forall(_.vec.forall(_ == 9f)))
+    assert(got.map(_.doc) == Seq("""{"u": 1}""", "{}", """{"u": 3}"""))
+    // untouched row still intact; later insert continues after max id
+    assert(s.selectIds(Seq(0L)).head.vec(0) == 1f)
+    assert(s.insert(Seq(v)) == Seq(43L))
+  }
+
+  test("upsert rejects duplicate ids and wrong dimensions") {
+    val s = freshStore()
+    s.insert(eye(10))
+    val v = Array.fill(10)(1f)
+    intercept[IllegalArgumentException](s.upsert(Seq(1L, 1L), Seq(v, v)))
+    intercept[IllegalArgumentException](s.upsert(Seq(1L), Seq(Array.fill(9)(1f))))
+    intercept[IllegalArgumentException](s.upsert(Seq(1L, 2L), Seq(v)))
+    assert(s.count() == 10)
+  }
+
   test("selectIds: ascending order, missing ids silently absent (tests.py:493-514)") {
     val s = freshStore()
     s.insert(eye(10), genDocs(0 until 10))
