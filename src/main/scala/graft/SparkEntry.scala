@@ -372,9 +372,14 @@ object SparkEntry {
     // XOR-popcount hamming end-to-end (brute-force all-pairs there ==
     // quarter-block LSH + verify here, by the pigeonhole bound). The
     // production simhash64 kernel family stays gated EXACT by
-    // dd_simhash_containment below.
+    // dd_simhash_containment below; like the other cross-engine
+    // witnesses (dd_minhash_lsh, dd_jaccard_pairs) the fixture is
+    // bounded — no-op at the sf0.01 correctness gate (500 docs), caps
+    // witness cost at bench scale.
     "dd_simhash" -> ((s, dir) =>
-      Dedup.simHashPairsPortable(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simHashPairsPortable(
+          T(s, dir, "documents").filter(col("doc_id") < 1500),
+          "doc_id", "text", maxHamming = 3)
         .orderBy("a_id", "b_id")),
     // Closes the dd_simhash oracle gap with two containments in one row:
     // (1) pigeonhole exactness — the quarter-block LSH pair set must
@@ -1017,6 +1022,15 @@ object SparkEntry {
       operators.Packing.lengthBatches(
           T(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text",
           bucketWidth = 32, batchSize = 8)
+        .orderBy("doc_id")),
+
+    // Curriculum staging: fixed-threshold quality tiers (stable under
+    // re-sharding — a percentile tier would re-stage on every ingest),
+    // best-first batches within each tier; tier-partitioned window only.
+    "pk_curriculum" -> ((s, dir) =>
+      operators.Packing.curriculumBatches(
+          T(s, dir, "documents"), "doc_id", "n_chars",
+          thresholds = Seq(400L, 250L), batchSize = 8)
         .orderBy("doc_id")),
 
     // Corpus bigram frequency table (the n-gram analogue of
@@ -2050,7 +2064,7 @@ object SparkEntry {
       s"""
       WITH d AS (
         SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
-        FROM documents),
+        FROM documents WHERE doc_id < 1500),
       h AS (
         SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 16)) AS hs
         FROM d WHERE len(toks) > 0),
@@ -2282,6 +2296,21 @@ object SparkEntry {
       SELECT doc_id, n_tokens, bucket,
              (rn - 1) // 8 AS batch_id, (rn - 1) % 8 AS slot
       FROM b ORDER BY doc_id""",
+    "pk_curriculum" -> """
+      WITH t AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+               CAST(CASE WHEN n_chars >= 400 THEN 0
+                         WHEN n_chars >= 250 THEN 1
+                         ELSE 2 END AS BIGINT) AS tier
+        FROM documents),
+      w AS (
+        SELECT doc_id, score, tier,
+               CAST(row_number() OVER (
+                 PARTITION BY tier ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+        FROM t)
+      SELECT doc_id, score, tier,
+             (rn - 1) // 8 AS batch_id, (rn - 1) % 8 AS slot
+      FROM w ORDER BY doc_id""",
     "tx_ngram_freq" -> """
       WITH tok AS (
         SELECT string_split_regex(lower(text), '\s+') AS ts

@@ -304,14 +304,17 @@ object Dedup {
     require(maxHamming <= 3, "quarter-block LSH guarantees recall only for maxHamming <= 3")
     // bit i of a token hash: nibble = hex char i/4 (md5 is lowercase
     // hex), bit = (nibble >> (i%4)) & 1. Signature bit i = 1 iff set on
-    // a strict majority of tokens (sum of +-1 votes > 0).
-    def sigBit(i: Int): Column = {
-      val nib = conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int")
-      shiftright(nib, i % 4).bitwiseAND(lit(1))
-    }
+    // a strict majority of tokens (sum of +-1 votes > 0). The 16
+    // nibbles are decoded ONCE per token row; the 64 majority sums then
+    // run on int columns (4x fewer string ops than a per-bit decode —
+    // this is the gate's hot loop at corpus scale).
+    def sigBit(i: Int): Column =
+      shiftright(col(s"nib${i / 4}"), i % 4).bitwiseAND(lit(1))
     val hashed = tokFrame(df, idCol, textCol)
       .select(col("id"), explode(col("toks")).as("t"))
       .select(col("id"), substring(md5(col("t")), 1, 16).as("h"))
+      .select(col("id") +: (0 until 16).map(k =>
+        conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"nib$k")): _*)
     val sig = hashed
       .groupBy("id")
       .agg(

@@ -132,6 +132,44 @@ object Packing {
       .drop("_rn")
   }
 
+  /** Curriculum batching: documents are staged into quality tiers by
+    * fixed score thresholds (tier 0 = best), then batched WITHIN each
+    * tier by descending score (ties ascending id) — the
+    * easy/clean-examples-first training order, emitted as
+    * (doc_id, score, tier, batch_id, slot). A trainer consumes tiers
+    * in order and batches within a tier in batch_id order.
+    *
+    * Fixed thresholds (not percentiles) are deliberate: the tier of a
+    * row is a pure per-row function, so the layout is stable under
+    * re-sharding and incremental appends, and any engine can replay it
+    * — percentile staging would re-tier the whole corpus every ingest.
+    * The window partitions by tier; like [[lengthBatches]]'s buckets,
+    * tiers are the parallelism unit (salt the tier key if one tier
+    * dominates at open-web scale).
+    */
+  def curriculumBatches(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      thresholds: Seq[Long], batchSize: Long): DataFrame = {
+    require(thresholds.nonEmpty, "curriculumBatches needs at least one threshold")
+    require(thresholds == thresholds.sorted.reverse && thresholds.distinct == thresholds,
+      s"thresholds must be strictly descending, got $thresholds")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // tier = index of the first threshold the score reaches; below all
+    // thresholds => last tier (evaluated on the renamed "score" column)
+    val tier = thresholds.zipWithIndex
+      .foldRight(lit(thresholds.size).cast("long")) { case ((t, i), acc) =>
+        when(col("score") >= t, i.toLong).otherwise(acc)
+      }
+    val w = Window.partitionBy("tier").orderBy(col("score").desc, col("doc_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("score"))
+      .withColumn("tier", tier)
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", intDiv(col("_rn") - 1, batchSize))
+      .withColumn("slot", pmod(col("_rn") - 1, lit(batchSize)))
+      .drop("_rn")
+  }
+
   /** Total number of fixed-length sequences the packed corpus yields
     * (ceil(total_tokens / seqLen)) — one partially-aggregated reduce.
     */

@@ -90,6 +90,32 @@ class PackingMixtureSpec extends SparkSuite {
     }
   }
 
+  test("curriculumBatches: tiers by threshold, best-first within tier, hand-checked") {
+    val docs = Seq(
+      (0L, 950L), (1L, 980L), (2L, 920L),   // tier 0 (>= 900)
+      (3L, 500L), (4L, 500L),               // tier 1 (>= 400) — tie breaks by id
+      (5L, 100L))                           // tier 2
+      .toDF("id", "score")
+    val out = Packing.curriculumBatches(docs, "id", "score",
+        thresholds = Seq(900L, 400L), batchSize = 2)
+      .select("doc_id", "tier", "batch_id", "slot")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 0L, 0L))) // best score leads tier 0
+    assert(out(0L) == ((0L, 0L, 1L)))
+    assert(out(2L) == ((0L, 1L, 0L))) // overflows to the tier's next batch
+    assert(out(3L) == ((1L, 0L, 0L))) // score tie -> lower id first
+    assert(out(4L) == ((1L, 0L, 1L)))
+    assert(out(5L) == ((2L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Packing.curriculumBatches(docs, "id", "score", Seq(400L, 900L), 2)
+    }
+    // the window must be tier-partitioned — never a global sort of the corpus
+    val plan = Packing.curriculumBatches(docs, "id", "score", Seq(900L, 400L), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(tier"),
+      s"expected tier-partitioned window exchange:\n$plan")
+  }
+
   test("chunking: hand-checked windows, clipped full-length tail") {
     // 10 tokens, chunkLen=4, stride=3 → starts 0,3,6 (6 = 10-4 exactly)
     val d1 = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("id", "text")

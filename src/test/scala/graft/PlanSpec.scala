@@ -150,6 +150,17 @@ class PlanSpec extends SparkSuite {
       "chunking must stay a generator projection")
   }
 
+  test("tokenBudgetSample: source-partitioned running sum, no global window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Sampling.tokenBudgetSample(
+      docs, "doc_id", "source", "text", 1000L, "tb")
+    val s = out.queryExecution.executedPlan.toString
+    assert(s.contains("hashpartitioning(source"),
+      s"expected source-partitioned window exchange:\n$s")
+    assert(!s.contains("SinglePartition"),
+      s"budget cumsum must never collapse to one partition:\n$s")
+  }
+
   test("bm25 topK plans as TakeOrderedAndProject over the checkpointed tf frame") {
     val df = graft.operators.Bm25.topK(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
