@@ -13,14 +13,16 @@ import java.util.Locale
   * poisons the heap for everything after it (r2 showed unchanged
   * queries regressing 3-9x from GC churn alone). Between timed queries
   * we clear the SQL cache and give the collector a breather; each query
-  * reports the min of `SPARK_GRAFT_BENCH_REPS` (default 2) runs so a
-  * one-off GC pause doesn't masquerade as a plan regression.
+  * reports the min of `SPARK_GRAFT_BENCH_REPS` (default 3) runs so a
+  * one-off GC pause or a burst of background machine load doesn't
+  * masquerade as a plan regression (two reps proved too few: identical
+  * code drifted 1.3-1.5x between same-day runs on sub-second queries).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
 
     // warm-up: JVM + codegen + parquet footer caches (untimed). The

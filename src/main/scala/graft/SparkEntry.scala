@@ -874,12 +874,20 @@ object SparkEntry {
           round(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")
     }),
+    // The k-means fit is Spark state (like the PQ codebooks); the
+    // PERSISTED centroids are the contract. The oracle independently
+    // recomputes cell assignment (argmin, ties to lower cell), the
+    // 4-cell probe ranking, in-cell L2 scoring, and the (dist, id)
+    // top-3 tie-break from those centroids + the base table — every
+    // step after the fit is cross-engine-verified.
     "ann_ivf_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val (indexed, centroids) =
         graft.operators.Ann.ivfBuild(e, "vec_id", "embedding", nCentroids = 8, iters = 2)
+      centroids.write.mode("overwrite")
+        .parquet("/tmp/graft_ivf_topk/centroids.parquet")
       graft.operators.Ann.ivfSearchL2(indexed, "vec_id", "embedding", centroids,
           qs, "qid", "qvec", k = 3, nProbe = 4)
         .select(col("qid"), col("vec_id"), col("rn"),
@@ -2227,6 +2235,43 @@ object SparkEntry {
       ORDER BY c_custkey, n_nationkey""",
     "ann_ivfc_exactness" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    // IVF search replay from the persisted centroid contract: DuckDB
+    // recomputes assignment (argmin L2, ties -> lower cell id), the
+    // per-query 4-cell probe ranking, in-cell scoring, and the
+    // (dist, id) top-3 — everything downstream of the k-means fit.
+    "ann_ivf_topk" -> """
+      WITH c AS (
+        SELECT centroid_id, centroid
+        FROM read_parquet('/tmp/graft_ivf_topk/centroids.parquet/*.parquet')),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 5),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding, c.centroid), c.centroid_id)
+                   AS arn
+          FROM embeddings e CROSS JOIN c)
+        WHERE arn = 1),
+      probes AS (
+        SELECT qid, centroid_id FROM (
+          SELECT q.qid, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(q.qvec, c.centroid), c.centroid_id)
+                   AS prn
+          FROM q CROSS JOIN c)
+        WHERE prn <= 4),
+      scored AS (
+        SELECT q.qid, a.vec_id, list_distance(a.embedding, q.qvec) AS dist
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN assign a ON a.centroid_id = p.centroid_id),
+      ranked AS (
+        SELECT qid, vec_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+        FROM scored)
+      SELECT qid, vec_id, rn, round(CAST(dist AS DOUBLE), 4) AS dist
+      FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
     "ann_ivf_pruned" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_multiprobe" -> """
