@@ -149,6 +149,25 @@ object ScaleSmoke {
       graft.operators.Sampling.weightedHashSample(bigDocs, "doc_id",
         graft.operators.TextAnalysis.qualityScore(col("text")), salt = "smoke").count()
     }
+    timed("tokenBudgetSample 100k (20 srcs)") {
+      // 20 synthetic sources; source-partitioned running sum only
+      val sourced = bigDocs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 20).cast("string")))
+      graft.operators.Sampling.tokenBudgetSample(
+        sourced, "doc_id", "source", "text", budgetTokens = 100000L, salt = "smoke")
+        .count()
+    }
+    timed("curriculumBatches 100k docs") {
+      val scored = bigDocs.withColumn("score", length(col("text")).cast("long"))
+      graft.operators.Packing.curriculumBatches(
+        scored, "doc_id", "score", thresholds = Seq(400L, 250L), batchSize = 512)
+        .groupBy("tier").agg(max(col("batch_id"))).count()
+    }
+    timed("keepBestNormalized 100k docs") {
+      graft.operators.Dedup.keepBestNormalized(
+        bigDocs.withColumn("score", length(col("text")).cast("long")),
+        "doc_id", "text", "score").count()
+    }
     val lm = timed("fitUnigram (vocab 1k)") {
       graft.operators.LangModel.fitUnigram(bigDocs, "text", vocabSize = 1000)
     }

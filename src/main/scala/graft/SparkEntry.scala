@@ -706,6 +706,23 @@ object SparkEntry {
     // no double-decode), whitespace collapsed — markup synthesized
     // deterministically from doc_id on BOTH sides (the tx_pii pattern),
     // so the gate checks real cross-engine regex/replace behavior.
+    // Unicode NFC normalization (JDK Normalizer vs DuckDB's ICU-based
+    // nfc_normalize — both implement Unicode NFC; the gate proves they
+    // agree). The fixture text is ASCII (single-scan fast path), so a
+    // decomposed-unicode suffix is appended to make the row non-vacuous:
+    // e/a/o + COMBINING ACUTE must fold to the precomposed code points.
+    "tx_nfc" -> ((s, dir) => {
+      val decomposed = "came\u0301lia, a\u0301tomo, pro\u0301ximo"
+      val precomposed = "cam\u00e9lia, \u00e1tomo, pr\u00f3ximo"
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.nfc_normalize(col("text")).as("nfc_text"),
+          graft.functions.nfc_normalize(
+            concat(col("text"), lit(" " + decomposed))).as("nfc_mixed"),
+          (graft.functions.nfc_normalize(lit(decomposed)) === lit(precomposed))
+            .as("folds_combining_marks"))
+        .orderBy("doc_id")
+    }),
     "tx_clean" -> ((s, dir) => {
       val raw = concat(
         lit("<div id=\""), col("doc_id").cast("string"), lit("\"> <p>"),
@@ -2970,6 +2987,20 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, cleaned, CAST(len(cleaned) AS BIGINT) AS n_chars
       FROM c ORDER BY doc_id""",
+    // JDK Normalizer (Spark side) vs ICU (DuckDB) — both implement
+    // Unicode NFC; the decomposed suffix makes the comparison
+    // non-vacuous on an ASCII fixture.
+    "tx_nfc" -> {
+      val decomposed = "came\u0301lia, a\u0301tomo, pro\u0301ximo"
+      val precomposed = "cam\u00e9lia, \u00e1tomo, pr\u00f3ximo"
+      s"""
+      SELECT doc_id,
+             nfc_normalize(text) AS nfc_text,
+             nfc_normalize(text || ' $decomposed') AS nfc_mixed,
+             nfc_normalize('$decomposed') = '$precomposed'
+               AS folds_combining_marks
+      FROM documents ORDER BY doc_id"""
+    },
     "tx_tfidf" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token

@@ -285,4 +285,19 @@ object Kernels {
     }
     bucket
   }
+
+  /** Unicode NFC normalization (JDK `java.text.Normalizer` — the same
+    * Unicode standard ICU-based engines implement; cross-engine
+    * hash-matched against DuckDB's `nfc_normalize` on the tx_nfc gate).
+    * The already-normalized fast path returns the input buffer
+    * unchanged — for ASCII-dominated corpora the common case is a
+    * single scan, no allocation.
+    */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

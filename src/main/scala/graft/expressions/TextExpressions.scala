@@ -82,3 +82,20 @@ case class Fingerprint64(child: Expression)
   override def prettyName: String = "fingerprint64"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Unicode NFC normalization — the step BEFORE any text hashing when a
+  * corpus mixes encodings: "é" as e+COMBINING ACUTE and precomposed
+  * U+00E9 are the same document after NFC, different 16-byte hashes
+  * without it. See [[Kernels.nfcNormalize]] for the engine contract.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    Kernels.nfcNormalize(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.Kernels.nfcNormalize($a)")
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

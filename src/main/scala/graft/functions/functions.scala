@@ -39,6 +39,9 @@ object functions {
 
   def fingerprint64(s: Column): Column = c(Fingerprint64(e(s)))
 
+  /** Unicode NFC normalization (see [[graft.expressions.NfcNormalize]]). */
+  def nfc_normalize(s: Column): Column = c(NfcNormalize(e(s)))
+
   /** One-pass hyperplane LSH bucket (see [[graft.expressions.HyperplaneBucket]]). */
   def hyperplane_bucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
     c(HyperplaneBucket(e(vec), dim, nBits, seed))
@@ -93,6 +96,7 @@ object functions {
     "simhash64" -> (args => SimHash64(args(0))),
     "hamming64" -> (args => Hamming64(args(0), args(1))),
     "fingerprint64" -> (args => Fingerprint64(args(0))),
+    "nfc_normalize" -> (args => NfcNormalize(args(0))),
     "hyperplane_bucket" -> (args => HyperplaneBucket(args(0),
       foldableInt(args(1), "hyperplane_bucket", "dim"),
       foldableInt(args(2), "hyperplane_bucket", "n_bits"),

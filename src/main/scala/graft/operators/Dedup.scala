@@ -72,6 +72,16 @@ object Dedup {
   def normalizedContentHash(textCol: Column): Column =
     md5(trim(regexp_replace(lower(textCol), "\\s+", " ")))
 
+  /** [[normalizedContentHash]] with Unicode NFC applied FIRST — a
+    * corpus that mixes encodings ("é" as e+COMBINING ACUTE vs
+    * precomposed U+00E9) hashes re-encodings identically. NFC is the
+    * right first rung: byte-cheap on ASCII (single-scan fast path in
+    * the kernel), and every later step (casefold, whitespace collapse,
+    * md5) operates on canonical code points.
+    */
+  def unicodeNormalizedContentHash(textCol: Column): Column =
+    normalizedContentHash(graft.functions.nfc_normalize(textCol))
+
   /** [[exactGroups]] over the normalized key. */
   def normalizedGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(normalizedContentHash(col(textCol)).as("content_hash"))

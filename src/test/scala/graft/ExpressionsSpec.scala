@@ -128,4 +128,26 @@ class ExpressionsSpec extends SparkSuite {
       spark.sql(s"SELECT minhash_signature(array('$s','y'), 8) AS m").collect().head.getSeq[Long](0))
     assert(m1 == m2)
   }
+
+  test("nfc_normalize: folds combining marks, idempotent, ASCII unchanged, null-safe") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val decomposed = "came\u0301lia" // e + COMBINING ACUTE (U+0301)
+    val precomposed = "cam\u00e9lia" // precomposed U+00E9
+    val df = Seq((1L, decomposed), (2L, precomposed), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "s")
+      .select(col("id"), graft.functions.nfc_normalize(col("s")).as("n"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == precomposed, "decomposed must fold to precomposed")
+    assert(got(2L) == precomposed, "already-NFC input unchanged")
+    assert(got(3L) == "plain ascii")
+    assert(got(4L) == null)
+    // idempotent; unicode-normalized content hash unifies the re-encodings
+    val h = Seq((1L, decomposed), (2L, precomposed)).toDF("id", "text")
+      .select(graft.operators.Dedup.unicodeNormalizedContentHash(col("text")).as("h"))
+      .distinct().count()
+    assert(h == 1L, "NFC re-encodings must share one content hash")
+    // SQL registry path
+    assert(spark.sql(s"SELECT nfc_normalize('$decomposed') = '$precomposed' AS ok")
+      .head().getBoolean(0))
+  }
 }
