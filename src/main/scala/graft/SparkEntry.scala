@@ -735,6 +735,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style boilerplate stripping: synthesize a crawl shape (nav
+    // header + per-source subscribe line + body + unique ref line),
+    // remove lines whose document frequency >= 10. The nav/subscribe
+    // lines cross the bar; body and ref lines survive. DuckDB replays
+    // the whole thing: line split, normalized md5 keys, distinct-doc
+    // df, the frequent set, and the order-preserving reassembly.
+    "tx_boilerplate" -> ((s, dir) => {
+      val raw = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("Home | About | Contact"),
+          concat(lit("Subscribe to "), col("source"), lit(" newsletter")),
+          col("text"),
+          concat(lit("ref-"), col("doc_id").cast("string"))).as("text"))
+      TextAnalysis.stripBoilerplate(raw, "doc_id", "text", minDf = 10)
+        .select(col("doc_id"), col("cleaned"), col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: one tokenize pass → (doc,token) counts,
     // df as a second map-side agg of that frame, idf join on token
     // (AQE-broadcastable), per-doc top-3 bounded as WindowGroupLimit.
@@ -2987,6 +3005,31 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, cleaned, CAST(len(cleaned) AS BIGINT) AS n_chars
       FROM c ORDER BY doc_id""",
+    "tx_boilerplate" -> """
+      WITH raw AS (
+        SELECT doc_id,
+               'Home | About | Contact' || chr(10) ||
+               'Subscribe to ' || source || ' newsletter' || chr(10) ||
+               text || chr(10) || 'ref-' || CAST(doc_id AS VARCHAR) AS raw
+        FROM documents),
+      l AS (
+        SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+        FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raw)),
+      n AS (
+        SELECT doc_id, pos, line,
+               md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS lk
+        FROM l),
+      f AS (
+        SELECT lk FROM (
+          SELECT lk, count(DISTINCT doc_id) AS df FROM n GROUP BY lk) t
+        WHERE df >= 10),
+      k AS (SELECT doc_id, pos, line, lk IN (SELECT lk FROM f) AS bp FROM n)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT bp THEN line END,
+                                 chr(10) ORDER BY pos), '') AS cleaned,
+             CAST(sum(CASE WHEN bp THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
     // JDK Normalizer (Spark side) vs ICU (DuckDB) — both implement
     // Unicode NFC; the decomposed suffix makes the comparison
     // non-vacuous on an ASCII fixture.

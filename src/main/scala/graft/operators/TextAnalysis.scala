@@ -282,6 +282,73 @@ object TextAnalysis {
         - sum(col("c").cast("double") * log(col("c").cast("double")))
           / sum(col("c")).cast("double")).as("entropy"))
 
+  /** Normalized line key shared by the boilerplate operators: casefold,
+    * collapse whitespace, trim, md5 — the [[Dedup.normalizedContentHash]]
+    * rule applied per line, so re-indented/re-cased copies of a nav bar
+    * count as the same line.
+    */
+  def lineKey(lineCol: Column): Column =
+    md5(trim(regexp_replace(lower(lineCol), "\\s+", " ")))
+
+  /** Per-line document frequency over the corpus: (line_key, df) for
+    * every distinct normalized line, df = number of DISTINCT documents
+    * containing it (a doc repeating its own footer counts once — the
+    * CCNet rule, Wenzek et al. 2020, which removes boilerplate by
+    * paragraph-level df over shards).
+    *
+    * Shape: explode is a flat map (no shuffle); the per-(doc, line)
+    * dedup and the df count are ONE aggregation pair on the line key
+    * with map-side partial combine. The output is corpus-bounded by
+    * distinct lines — at 100 TB the df >= threshold slice fed to
+    * [[stripBoilerplate]] is tiny (boilerplate is frequent by
+    * definition), and rare lines never leave the aggregation.
+    */
+  def lineDocFreq(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("_doc"), explode(split(col(textCol), "\n")).as("line"))
+      .select(col("_doc"), lineKey(col("line")).as("line_key"))
+      .distinct()
+      .groupBy("line_key")
+      .agg(count(lit(1)).as("df"))
+
+  /** Remove lines whose document frequency is >= `minDf` — CCNet-style
+    * boilerplate stripping (nav bars, cookie banners, footers repeat
+    * across a crawl; body text doesn't). Returns one row per input doc:
+    * (doc_id, cleaned, n_kept, n_removed), `cleaned` the kept lines
+    * re-joined in original order ('' when everything was boilerplate).
+    *
+    * Shape: two jobs. (1) [[lineDocFreq]] filtered to the frequent
+    * slice — slim (line_key only), broadcast. (2) one posexplode →
+    * broadcast left join (frequent ⇒ flagged) → ONE groupBy(doc)
+    * rebuilding the text with an order-pinning sort_array(struct(pos,
+    * line)) — no window, no second scan of the corpus. Both shuffles
+    * key on doc id; the frequent-line set rides the broadcast.
+    */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDf: Long): org.apache.spark.sql.DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val frequent = broadcast(
+      lineDocFreq(docs, idCol, textCol).filter(col("df") >= minDf)
+        .select(col("line_key")).withColumn("_bp", lit(1)))
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("line_key", lineKey(col("line")))
+      .join(frequent, Seq("line_key"), "left")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws("\n",
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("pos"),
+                when(col("_bp").isNull, col("line")).as("line")))),
+              s => s.getField("line").isNotNull),
+            s => s.getField("line"))).as("cleaned"),
+        sum(when(col("_bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_bp").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)

@@ -520,4 +520,45 @@ class TextOpsSpec extends SparkSuite {
     assert(kept == (0L until 60L).toSet -- dropped)
     assert(pairs.map(_._1).exists(kept), "at least one pair's keeper survives")
   }
+
+  // --------------------- boilerplate stripping ------------------------- //
+
+  test("boilerplate: frequent lines removed, order kept, counts right") {
+    val docs = (0L until 12L).map { i =>
+      (i, s"NAV BAR\nbody text $i\n  nav   bar  \nunique-$i\nFooter ${i % 2}")
+    }.toDF("id", "text")
+    // 'nav bar' appears in all 12 docs twice (df=12, counted once per
+    // doc, case/space-folded); 'footer 0'/'footer 1' df=6 each.
+    val out = TextAnalysis.stripBoilerplate(docs, "id", "text", minDf = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 12)
+    out.foreach { case (id, cleaned, nKept, nRemoved) =>
+      assert(cleaned == s"body text $id\nunique-$id")
+      assert(nKept == 2 && nRemoved == 3)
+    }
+  }
+
+  test("boilerplate: df counts distinct docs; all-boilerplate doc yields ''") {
+    val docs = Seq(
+      (0L, "same\nsame\nsame"), (1L, "same"), (2L, "same\nother")
+    ).toDF("id", "text")
+    // 'same' df = 3 docs (repeats inside doc 0 count once)
+    val df3 = TextAnalysis.lineDocFreq(docs, "id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(df3.values.toSet == Set(3L, 1L))
+    val out = TextAnalysis.stripBoilerplate(docs, "id", "text", minDf = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((0L, "", 0L, 3L)))
+    assert(out(1) == ((1L, "", 0L, 1L)))
+    assert(out(2) == ((2L, "other", 1L, 1L)))
+  }
+
+  test("boilerplate: below-threshold lines all survive verbatim") {
+    val docs = Seq((0L, "a\nb"), (1L, "c\nd")).toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "id", "text", minDf = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((0L, "a\nb", 2L, 0L)))
+    assert(out(1) == ((1L, "c\nd", 2L, 0L)))
+  }
 }
