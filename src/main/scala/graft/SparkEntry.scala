@@ -753,6 +753,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Distinctive terms per source (log-odds z-score, Dirichlet prior):
+    // the corpus-comparison diagnostic. A per-source marker token is
+    // appended so each source HAS a distinctive term and the top-3 is
+    // non-vacuous; DuckDB recomputes counts, priors, both log-odds and
+    // the z-scores from scratch.
+    "tx_distinctive" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" marker"), substring(col("source"), 4, 10))
+          .as("text"))
+      TextAnalysis.distinctiveTerms(d, "source", "text", k = 3)
+        .select(col("grp").as("source"), col("token"), col("y"), col("g"),
+          round(col("z"), 4).as("z"), col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // TF-IDF keyword extraction: one tokenize pass → (doc,token) counts,
     // df as a second map-side agg of that frame, idf join on token
     // (AQE-broadcastable), per-doc top-3 bounded as WindowGroupLimit.
@@ -1610,6 +1625,26 @@ object SparkEntry {
         .select(col("vec_id") +:
           (1 to 8).map(j => round(col(s"rp$j"), 4).as(s"rp$j")): _*)
         .orderBy("vec_id")),
+
+    // PCA: one-pass covariance aggregator + driver Jacobi eigensolve
+    // (bounded state, the codebook pattern), projection a pure literal
+    // expression. The persisted (component, dim, mean, weight) frame is
+    // the contract; DuckDB replays the projection of every vector from
+    // it with the same left-to-right summation. The spec layer proves
+    // the fit itself (C·v = λv, orthonormality, variance = eigenvalue).
+    "vq_pca" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val model = operators.Pca.fit(e, "embedding", dim = 64, nComponents = 4)
+      import s.implicits._
+      (for (c <- 0 until 4; i <- 0 until 64)
+        yield (c + 1, i + 1, model.mean(i), model.components(c)(i)))
+        .toDF("c", "i", "mu", "w").coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_pca/model.parquet")
+      operators.Pca.transform(e, "embedding", model)
+        .select(col("vec_id") +:
+          (1 to 4).map(j => round(col(s"pc$j"), 4).as(s"pc$j")): _*)
+        .orderBy("vec_id")
+    }),
 
     // Label-centroid analytics: mean-pool per label (one aggregation,
     // labels×dim shuffle) then pairwise centroid cosine over the tiny
@@ -2547,6 +2582,32 @@ object SparkEntry {
              $cols
       FROM embeddings ORDER BY vec_id"""
     },
+    // + 0e0 folds IEEE -0.0 (see vq_randproj); list_sum/list_transform
+    // pins the same left-to-right summation as the Spark literal chain.
+    "vq_pca" -> """
+      WITH m AS (
+        SELECT c, i, mu, w
+        FROM read_parquet('/tmp/graft_pca/model.parquet/*.parquet')),
+      mu AS (SELECT list(mu ORDER BY i) AS ml FROM m WHERE c = 1),
+      w1 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 1),
+      w2 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 2),
+      w3 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 3),
+      w4 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 4)
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w1.wl[i])), 4)
+               + 0e0 AS pc1,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w2.wl[i])), 4)
+               + 0e0 AS pc2,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w3.wl[i])), 4)
+               + 0e0 AS pc3,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w4.wl[i])), 4)
+               + 0e0 AS pc4
+      FROM embeddings e, mu, w1, w2, w3, w4
+      ORDER BY e.vec_id""",
     "vq_centroid_sim" -> """
       WITH e AS (
         SELECT label, unnest(embedding) AS x,
@@ -3005,6 +3066,41 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, cleaned, CAST(len(cleaned) AS BIGINT) AS n_chars
       FROM c ORDER BY doc_id""",
+    // Parenthesization mirrors the Spark expression tree exactly so the
+    // IEEE double math (and hence the 4-digit rounding) is bit-identical.
+    "tx_distinctive" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               text || ' marker' || substr(source, 4, 10) AS text
+        FROM documents),
+      tok AS (
+        SELECT source AS grp,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM d),
+      c AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS y
+            FROM tok GROUP BY grp, token),
+      g AS (SELECT token, sum(y) AS g FROM c GROUP BY token),
+      t AS (SELECT grp, sum(y) AS n FROM c GROUP BY grp),
+      corpus AS (SELECT CAST(count(*) AS DOUBLE) AS v, sum(g) AS total FROM g),
+      scored AS (
+        SELECT c.grp, c.token, c.y, g.g,
+               (ln((CAST(c.y AS DOUBLE) + 0.01)
+                   / ((CAST(t.n AS DOUBLE) + corpus.v * 0.01)
+                      - (CAST(c.y AS DOUBLE) + 0.01)))
+              - ln((CAST(g.g - c.y AS DOUBLE) + 0.01)
+                   / ((CAST(corpus.total - t.n AS DOUBLE) + corpus.v * 0.01)
+                      - (CAST(g.g - c.y AS DOUBLE) + 0.01))))
+              / sqrt(1.0 / (CAST(c.y AS DOUBLE) + 0.01)
+                   + 1.0 / (CAST(g.g - c.y AS DOUBLE) + 0.01)) AS z
+        FROM c JOIN g USING (token) JOIN t USING (grp) CROSS JOIN corpus),
+      r AS (SELECT grp, token, y, g, z,
+                   row_number() OVER (PARTITION BY grp ORDER BY z DESC, token)
+                     AS rank
+            FROM scored)
+      SELECT grp AS source, token, y, g, round(z, 4) AS z,
+             CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 3 ORDER BY source, rank""",
     "tx_boilerplate" -> """
       WITH raw AS (
         SELECT doc_id,

@@ -349,6 +349,54 @@ object TextAnalysis {
         sum(when(col("_bp").isNotNull, 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Terms most distinctive of each group vs the rest of the corpus:
+    * log-odds-ratio with an (uniform) informative Dirichlet prior and a
+    * z-score normalization (Monroe, Colaresi & Quinn 2008, "Fightin'
+    * Words" §3.5) — the standard corpus-comparison diagnostic ("what
+    * does source X over-produce?"). For term w in group i vs rest j:
+    * `delta = ln((y_iw+a)/(n_i+a0-y_iw-a)) - ln((y_jw+a)/(n_j+a0-y_jw-a))`,
+    * `z = delta / sqrt(1/(y_iw+a) + 1/(y_jw+a))`; top-`k` per group by
+    * z (ties → token asc).
+    *
+    * Shape: one explode→count aggregation on (group, token) with
+    * map-side combine (the only corpus-sized shuffle); global token
+    * counts re-aggregate that frame (vocab-bounded); per-group totals
+    * and the vocab-size row are broadcast. The scoring is a pure
+    * projection and the top-k window runs over the vocab×groups count
+    * frame, never the corpus.
+    */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, k: Int,
+      priorPerTerm: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(priorPerTerm > 0.0, s"priorPerTerm must be > 0, got $priorPerTerm")
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("y"))
+    val globalTok = counts.groupBy("token").agg(sum(col("y")).as("g"))
+    val grpTotals = counts.groupBy("grp").agg(sum(col("y")).as("n"))
+    val corpus = globalTok.agg(
+      count(lit(1)).cast("double").as("v"), sum(col("g")).as("total"))
+    val a = lit(priorPerTerm)
+    val a0 = col("v") * priorPerTerm
+    val yi = col("y").cast("double") + a
+    val yj = (col("g") - col("y")).cast("double") + a
+    val di = col("n").cast("double") + a0 - yi
+    val dj = (col("total") - col("n")).cast("double") + a0 - yj
+    val delta = log(yi / di) - log(yj / dj)
+    val z = delta / sqrt(lit(1.0) / yi + lit(1.0) / yj)
+    val scored = counts
+      .join(globalTok, "token")
+      .join(broadcast(grpTotals), "grp")
+      .crossJoin(broadcast(corpus))
+      .select(col("grp"), col("token"), col("y"), col("g"), z.as("z"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("z").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)

@@ -554,6 +554,47 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2) == ((2L, "other", 1L, 1L)))
   }
 
+  // ----------------------- distinctive terms --------------------------- //
+
+  test("distinctive terms: z matches a scalar reimplementation") {
+    val docs = Seq(
+      (0L, "a", "x x y common"), (1L, "a", "x common"),
+      (2L, "b", "z z common"), (3L, "b", "y z common")
+    ).toDF("id", "src", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, "src", "text", k = 10)
+      .select("grp", "token", "y", "g", "z")
+      .as[(String, String, Long, Long, Double)].collect()
+    // scalar reference: same formula, independent arithmetic path
+    val counts = Map(("a","x")->3L, ("a","y")->1L, ("a","common")->2L,
+      ("b","z")->3L, ("b","y")->1L, ("b","common")->2L)
+    val g = counts.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val n = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val v = g.size.toDouble; val total = g.values.sum; val a = 0.01; val a0 = v * a
+    out.foreach { case (grp, token, y, gg, z) =>
+      assert(y == counts((grp, token)) && gg == g(token))
+      val yi = y.toDouble + a
+      val yj = (gg - y).toDouble + a
+      val di = n(grp).toDouble + a0 - yi
+      val dj = (total - n(grp)).toDouble + a0 - yj
+      val want = (math.log(yi / di) - math.log(yj / dj)) /
+        math.sqrt(1.0 / yi + 1.0 / yj)
+      assert(math.abs(z - want) < 1e-12, s"($grp,$token): $z vs $want")
+    }
+    // 'x' is the most a-distinctive, 'z' the most b-distinctive
+    val top = out.groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._5)._2 }
+    assert(top == Map("a" -> "x", "b" -> "z"))
+  }
+
+  test("distinctive terms: ranks capped at k, ties break on token") {
+    val docs = Seq((0L, "a", "p q"), (1L, "b", "p q")).toDF("id", "src", "text")
+    // p and q are symmetric within each group -> identical z, token order
+    val out = TextAnalysis.distinctiveTerms(docs, "src", "text", k = 2)
+      .select("grp", "token", "rank").as[(String, String, Int)].collect()
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.sortBy(_._3).map(_._2).toList }
+    assert(out == Map("a" -> List("p", "q"), "b" -> List("p", "q")))
+  }
+
   test("boilerplate: below-threshold lines all survive verbatim") {
     val docs = Seq((0L, "a\nb"), (1L, "c\nd")).toDF("id", "text")
     val out = TextAnalysis.stripBoilerplate(docs, "id", "text", minDf = 2)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.VectorOps
+import graft.operators.{Pca, VectorOps}
 
 class VectorOpsSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
@@ -114,5 +114,77 @@ class VectorOpsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(sims((0, 1)) - 0.0) < 1e-12)                    // orthogonal
     assert(math.abs(sims((0, 2)) - 1.0 / math.sqrt(2)) < 1e-12)
     assert(math.abs(sims((1, 2)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  // -------------------------------- PCA -------------------------------- //
+
+  test("jacobi eigen: recovers a known symmetric decomposition") {
+    // A = [[2,1],[1,2]] -> eigenvalues 3 (v=(1,1)/√2) and 1 (v=(1,-1)/√2)
+    val (evals, evecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val pairs = evals.zip(evecs).sortBy(-_._1)
+    assert(math.abs(pairs(0)._1 - 3.0) < 1e-12)
+    assert(math.abs(pairs(1)._1 - 1.0) < 1e-12)
+    val v0 = pairs(0)._2
+    assert(math.abs(math.abs(v0(0)) - 1 / math.sqrt(2)) < 1e-10)
+    assert(math.abs(v0(0) - v0(1)) < 1e-10) // (1,1) direction
+  }
+
+  test("pca: eigen property and orthonormality on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Pca.fit(emb, "embedding", dim = 64, nComponents = 4)
+    // recompute covariance independently from collected rows
+    val rows = emb.select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val n = rows.length.toDouble
+    val mean = Array.tabulate(64)(i => rows.map(_(i)).sum / n)
+    def cov(i: Int, j: Int): Double =
+      rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+    for (c <- 0 until 4) {
+      val v = model.components(c)
+      val cv = Array.tabulate(64)(i => (0 until 64).map(j => cov(i, j) * v(j)).sum)
+      val lv = v.map(_ * model.eigenvalues(c))
+      val err = cv.zip(lv).map { case (a, b) => math.abs(a - b) }.max
+      assert(err < 1e-6, s"component $c violates C*v = lambda*v (max err $err)")
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+      for (c2 <- 0 until c) {
+        val dot = v.zip(model.components(c2)).map { case (a, b) => a * b }.sum
+        assert(math.abs(dot) < 1e-8, s"components $c,$c2 not orthogonal: $dot")
+      }
+    }
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // mean matches
+    assert(model.mean.zip(mean).map { case (a, b) => math.abs(a - b) }.max < 1e-9)
+  }
+
+  test("pca: projected variance equals the eigenvalue") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Pca.fit(emb, "embedding", dim = 64, nComponents = 2)
+    val proj = Pca.transform(emb, "embedding", model)
+    val stats = proj.agg(
+      (sum($"pc1" * $"pc1") / count(lit(1))).as("v1"),
+      (sum($"pc2" * $"pc2") / count(lit(1))).as("v2"),
+      (sum($"pc1") / count(lit(1))).as("m1"))
+      .as[(Double, Double, Double)].head()
+    // projections are centered, so E[p^2] is the population variance
+    assert(math.abs(stats._3) < 1e-9)
+    assert(math.abs(stats._1 - model.eigenvalues(0)) < 1e-6)
+    assert(math.abs(stats._2 - model.eigenvalues(1)) < 1e-6)
+    assert(model.eigenvalues(0) >= model.eigenvalues(1))
+  }
+
+  test("pca: dominant synthetic direction is recovered") {
+    // points = t * d + tiny orthogonal noise, d = (3,4)/5
+    val d = Array(0.6, 0.8)
+    val pts = (0 until 200).map { i =>
+      val t = (i % 21) - 10.0
+      val e = ((i % 7) - 3.0) * 0.01
+      Seq((t * d(0) - e * d(1)).toFloat, (t * d(1) + e * d(0)).toFloat)
+    }.toDF("v")
+    val model = Pca.fit(pts, "v", dim = 2, nComponents = 2)
+    val c0 = model.components(0)
+    assert(math.abs(math.abs(c0(0) * d(0) + c0(1) * d(1)) - 1.0) < 1e-4,
+      s"first component ${c0.toList} not aligned with $d")
+    assert(model.eigenvalues(0) > 100 * model.eigenvalues(1))
   }
 }
