@@ -735,6 +735,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Intra-document paragraph dedup: the synthesized doc repeats its
+    // body and carries two case/space variants of a disclaimer; the
+    // operator keeps first occurrences (original form) in order.
+    "dd_paragraph" -> ((s, dir) => {
+      val raw = concat_ws("\n",
+        col("text"), lit("Repeated disclaimer."),
+        col("text"), lit("  repeated   DISCLAIMER. "))
+      Dedup.dedupParagraphs(
+          T(s, dir, "documents").select(col("doc_id"), raw.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic labeled train/val/test split: pure (key, salt)
+    // membership, disjoint and exhaustive by construction — DuckDB
+    // replays the md5 threshold chain with the identical hex bounds.
+    "sm_split" -> ((s, dir) =>
+      operators.Sampling.hashSplitLabeled(T(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // Domain-level curation: per-domain doc count + mean score rollup
+    // (domains synthesized as doc_id % 7 sites), then keep only docs
+    // whose domain average clears the bar — site-level filtering as a
+    // broadcast semi-join, never a corpus-side shuffle.
+    "tx_domain_filter" -> ((s, dir) => {
+      val url = concat(lit("https://www.site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"))
+      val docs = T(s, dir, "documents").withColumn("url", url)
+      operators.Urls.filterByDomainQuality(docs, "url", "n_chars", minAvg = 297.0)
+        .select(col("doc_id"), col("domain"), col("domain_avg"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style boilerplate stripping: synthesize a crawl shape (nav
     // header + per-source subscribe line + body + unique ref line),
     // remove lines whose document frequency >= 10. The nav/subscribe
@@ -3066,6 +3101,57 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, cleaned, CAST(len(cleaned) AS BIGINT) AS n_chars
       FROM c ORDER BY doc_id""",
+    "dd_paragraph" -> """
+      WITH raw AS (
+        SELECT doc_id, text || chr(10) || 'Repeated disclaimer.' || chr(10)
+               || text || chr(10) || '  repeated   DISCLAIMER. ' AS raw
+        FROM documents),
+      p AS (
+        SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS para
+        FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raw)),
+      n AS (
+        SELECT doc_id, pos, para,
+               md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS pk
+        FROM p),
+      f AS (
+        SELECT doc_id, pk, min(pos) AS pos, min_by(para, pos) AS para,
+               CAST(count(*) AS BIGINT) AS copies
+        FROM n GROUP BY doc_id, pk)
+      SELECT doc_id,
+             string_agg(para, chr(10) ORDER BY pos) AS cleaned,
+             CAST(sum(copies) AS BIGINT) AS n_paras,
+             CAST(count(*) AS BIGINT) AS n_unique
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
+    "sm_split" -> {
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val b1 = operators.Sampling.thresholdHex(cums(0))
+      val b2 = operators.Sampling.thresholdHex(cums(1))
+      s"""
+      SELECT doc_id,
+             CASE WHEN md5(concat_ws('|', 'split1', CAST(doc_id AS VARCHAR)))
+                       < '$b1' THEN 'train'
+                  WHEN md5(concat_ws('|', 'split1', CAST(doc_id AS VARCHAR)))
+                       < '$b2' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""
+    },
+    "tx_domain_filter" -> """
+      WITH d AS (
+        SELECT doc_id, n_chars,
+               regexp_replace(
+                 lower(regexp_extract(
+                   'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.com/p/' || CAST(doc_id AS VARCHAR),
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+                   2)),
+                 '^www\.', '') AS domain
+        FROM documents),
+      r AS (
+        SELECT domain, round(avg(n_chars), 4) AS domain_avg
+        FROM d GROUP BY domain),
+      g AS (SELECT domain, domain_avg FROM r WHERE domain_avg >= 297.0)
+      SELECT d.doc_id, d.domain, g.domain_avg
+      FROM d JOIN g USING (domain) ORDER BY d.doc_id""",
     // Parenthesization mirrors the Spark expression tree exactly so the
     // IEEE double math (and hence the 4-digit rounding) is bit-identical.
     "tx_distinctive" -> """

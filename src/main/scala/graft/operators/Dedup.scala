@@ -741,4 +741,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** INTRA-document paragraph dedup: keep the first occurrence of each
+    * normalized paragraph within a doc, drop later repeats, reassemble
+    * in original order — the fix for template spam (a disclaimer or nav
+    * fragment repeated through one page) that document-level dedup
+    * can't touch and [[stripBoilerplate]]'s cross-doc df rule won't
+    * catch when the repeat is doc-local. Returns (doc_id, cleaned,
+    * n_paras, n_unique).
+    *
+    * Shape: posexplode (flat map) → TWO hash aggregations — first-
+    * occurrence per (doc, para_key) via min/min_by, then the per-doc
+    * rebuild with an order-pinning sort_array. No window, no join; both
+    * shuffles key on doc id so a 100 TB corpus moves each paragraph
+    * twice at most.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .groupBy(col("doc_id"), TextAnalysis.lineKey(col("para")).as("pk"))
+      .agg(min(col("pos")).as("pos"),
+        min_by(col("para"), col("pos")).as("para"),
+        count(lit(1)).as("copies"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(sep,
+          transform(sort_array(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para"))).as("cleaned"),
+        sum(col("copies")).as("n_paras"),
+        count(lit(1)).as("n_unique"))
 }

@@ -57,6 +57,33 @@ object Sampling {
     (df.filter(!isTest), df.filter(isTest))
   }
 
+  /** Labeled N-way split (train/val/test and friends): appends `split`
+    * holding the first label whose cumulative-fraction threshold the
+    * key hash falls under. Disjoint and exhaustive by construction —
+    * every row gets exactly one label, membership a pure (key, salt)
+    * function, so the same document NEVER crosses the train/eval
+    * boundary across runs, re-shardings, or engines (the leakage
+    * guarantee hash-mod splitting exists for). Pure scan predicate:
+    * no shuffle, no RNG state.
+    */
+  def hashSplitLabeled(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.size >= 2, "need at least two split labels")
+    require(splits.forall(_._2 > 0.0), "every fraction must be > 0")
+    require(splits.map(_._1).distinct.size == splits.size, "labels must be unique")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = keyHash(col(keyCol), salt)
+    val bounds = splits.init
+      .zip(splits.scanLeft(0.0)(_ + _._2).tail.init)
+      .map { case ((name, _), cum) => (name, thresholdHex(cum)) }
+    val first = when(h < lit(bounds.head._2), bounds.head._1)
+    val chain = bounds.tail.foldLeft(first) { case (acc, (name, b)) =>
+      acc.when(h < lit(b), name)
+    }
+    df.withColumn("split", chain.otherwise(splits.last._1))
+  }
+
   /** Weighted deterministic sampling: each row kept with probability
     * `weightCol` (clamped to [0,1]), decided by its own 60-bit
     * md5-prefix threshold — importance sampling (e.g. keep ∝ quality

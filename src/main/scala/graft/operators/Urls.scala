@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the dedup key every web-corpus pipeline
@@ -55,5 +55,32 @@ object Urls {
       .otherwise(lit(""))
     when(sch === "", lit(""))
       .otherwise(concat(sch, lit("://"), hst, keepPort, path, query))
+  }
+
+  /** Per-domain rollup: (domain, n_docs, avg of `scoreCol`) — the
+    * aggregate behind domain-level curation (RefinedWeb/C4 cut whole
+    * sites, not documents, because quality is site-correlated). One
+    * map-side-combined aggregation keyed on the derived domain; the
+    * result is domain-cardinality-bounded, broadcastable back onto the
+    * corpus for filtering (see the `tx_domain_filter` gate).
+    */
+  def domainRollup(docs: DataFrame, urlCol: String, scoreCol: String): DataFrame =
+    docs
+      .groupBy(domain(col(urlCol)).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), avg(col(scoreCol)).as("avg_score"))
+
+  /** Keep only docs whose domain-average score clears `minAvg` —
+    * domain-level filtering as a broadcast semi-join against the slim
+    * [[domainRollup]] frame (no shuffle of the corpus side). Appends
+    * `domain` and the rounded `domain_avg`.
+    */
+  def filterByDomainQuality(docs: DataFrame, urlCol: String,
+      scoreCol: String, minAvg: Double): DataFrame = {
+    val good = broadcast(
+      domainRollup(docs, urlCol, scoreCol)
+        .filter(round(col("avg_score"), 4) >= minAvg)
+        .select(col("domain"), round(col("avg_score"), 4).as("domain_avg")))
+    docs.withColumn("domain", domain(col(urlCol)))
+      .join(good, Seq("domain"))
   }
 }

@@ -282,4 +282,19 @@ class DedupSpec extends SparkSuite {
       (2L, 0L, 0L, 0.0),
       (3L, 0L, 0L, 0.0)))
   }
+
+  test("paragraph dedup: first occurrence wins, order kept, variants fold") {
+    val docs = Seq(
+      (0L, "alpha\nDisclaimer.\nalpha\n  disclaimer. \nbeta"),
+      (1L, "solo"),
+      (2L, "x\nx\nx")
+    ).toDF("id", "text")
+    val out = Dedup.dedupParagraphs(docs, "id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    // doc 0: alpha dedups, the two disclaimer case/space variants fold
+    // to the FIRST original form, beta survives in place
+    assert(out(0) == ((0L, "alpha\nDisclaimer.\nbeta", 5L, 3L)))
+    assert(out(1) == ((1L, "solo", 1L, 1L)))
+    assert(out(2) == ((2L, "x", 3L, 1L)))
+  }
 }

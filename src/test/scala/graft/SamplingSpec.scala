@@ -138,4 +138,39 @@ class SamplingSpec extends SparkSuite {
       budget, salt = "tb").select($"doc_id").as[Long].collect().toSet
     assert(again == rows.map(_._1).toSet)
   }
+
+  test("labeled split: disjoint, exhaustive, near-target fractions, stable") {
+    val ids = (0L until 2000L).toDF("id")
+    val out = Sampling.hashSplitLabeled(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+      .select($"id", $"split").as[(Long, String)].collect()
+    assert(out.length == 2000, "exhaustive: every row labeled")
+    val byLabel = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("train") - 1600) < 100)
+    assert(math.abs(byLabel("val") - 200) < 60)
+    // membership is a pure function of (key, salt): re-sharding agrees
+    val again = Sampling.hashSplitLabeled(ids.repartition(13), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(out.toMap == again)
+    // different salt reshuffles the assignment
+    val salted = Sampling.hashSplitLabeled(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s2")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(out.toMap != salted)
+  }
+
+  test("labeled split: rejects bad fraction sets") {
+    val ids = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplitLabeled(ids, "id", Seq("a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplitLabeled(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplitLabeled(ids, "id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
 }

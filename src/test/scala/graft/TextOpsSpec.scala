@@ -595,6 +595,20 @@ class TextOpsSpec extends SparkSuite {
     assert(out == Map("a" -> List("p", "q"), "b" -> List("p", "q")))
   }
 
+  test("domain rollup and quality filter: site-level keep/drop") {
+    import graft.operators.Urls
+    val docs = Seq(
+      (0L, "https://www.good.com/a", 100L), (1L, "https://good.com/b", 200L),
+      (2L, "http://bad.org/x", 10L), (3L, "https://BAD.org:443/y", 20L)
+    ).toDF("id", "url", "score")
+    val roll = Urls.domainRollup(docs, "url", "score")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(roll == Map("good.com" -> ((2L, 150.0)), "bad.org" -> ((2L, 15.0))))
+    val kept = Urls.filterByDomainQuality(docs, "url", "score", minAvg = 100.0)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L))
+  }
+
   test("boilerplate: below-threshold lines all survive verbatim") {
     val docs = Seq((0L, "a\nb"), (1L, "c\nd")).toDF("id", "text")
     val out = TextAnalysis.stripBoilerplate(docs, "id", "text", minDf = 2)
