@@ -735,6 +735,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality scoring: a hashed-ngram logistic classifier
+    // TRAINED IN SPARK (full-batch GD, one agg pass per iteration,
+    // weights = bounded driver state) on weak labels distilled from
+    // the Gopher rule cascade. The persisted weight frame is the
+    // contract; DuckDB re-featurizes every doc (md5-nibble buckets,
+    // same sorted order) and replays the scoring sum + sigmoid.
+    "tx_quality_model" -> ((s, dir) => {
+      val labeled = T(s, dir, "documents")
+        .withColumn("y", TextAnalysis.gopherPass(col("text")).cast("int"))
+      val (model, _) = operators.QualityModel.fit(
+        labeled, "text", "y", iters = 6, lr = 0.5)
+      import s.implicits._
+      ((-1, model.bias) +: model.weights.toSeq.zipWithIndex
+        .map { case (w, f) => (f, w) })
+        .toDF("f", "w").coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_qm/weights.parquet")
+      operators.QualityModel.score(labeled, "text", model)
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("prob"))
+        .orderBy("doc_id")
+    }),
+
     // Intra-document paragraph dedup: the synthesized doc repeats its
     // body and carries two case/space variants of a disclaimer; the
     // operator keeps first occurrences (original form) in order.
@@ -3101,6 +3122,36 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, cleaned, CAST(len(cleaned) AS BIGINT) AS n_chars
       FROM c ORDER BY doc_id""",
+    // Feature ids: first 3 md5 nibbles (0..4095); sorted distinct so the
+    // weight-lookup sum runs in the same order as Spark's aggregate HOF.
+    "tx_quality_model" -> """
+      WITH wp AS (
+        SELECT f, w
+        FROM read_parquet('/tmp/graft_qm/weights.parquet/*.parquet')),
+      wl AS (SELECT list(w ORDER BY f) AS ws FROM wp WHERE f >= 0),
+      b AS (SELECT w AS bias FROM wp WHERE f = -1),
+      d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               toks || list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        FROM d),
+      f AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(grams, t ->
+                   (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1)))) AS fs
+        FROM g)
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(b.bias
+               + coalesce(list_sum(list_transform(fs, x -> wl.ws[x + 1])),
+                          0.0)))), 4) AS prob
+      FROM f, wl, b ORDER BY doc_id""",
     "dd_paragraph" -> """
       WITH raw AS (
         SELECT doc_id, text || chr(10) || 'Repeated disclaimer.' || chr(10)

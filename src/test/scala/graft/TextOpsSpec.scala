@@ -595,6 +595,41 @@ class TextOpsSpec extends SparkSuite {
     assert(out == Map("a" -> List("p", "q"), "b" -> List("p", "q")))
   }
 
+  // ---------------------- quality classifier --------------------------- //
+
+  test("quality model: separable weak labels are learned, loss decreases") {
+    import graft.operators.QualityModel
+    val docs = (0 until 80).map { i =>
+      if (i % 2 == 0) (i.toLong, "clear helpful prose with structure and depth", 1)
+      else (i.toLong, "spam spam buy now click here", 0)
+    }.toDF("id", "text", "y")
+    val (model, losses) = QualityModel.fit(docs, "text", "y", iters = 8, lr = 1.0)
+    assert(losses.size == 8)
+    assert(losses.sliding(2).forall(p => p(1) < p(0) + 1e-12),
+      s"loss not decreasing: $losses")
+    val scored = QualityModel.score(docs, "text", model)
+      .select($"y", $"quality_prob").as[(Int, Double)].collect()
+    scored.foreach { case (y, p) =>
+      assert(p > 0.0 && p < 1.0)
+      assert(if (y == 1) p > 0.5 else p < 0.5, s"label $y scored $p")
+    }
+  }
+
+  test("quality model: score is deterministic and feature-order pinned") {
+    import graft.operators.QualityModel
+    val docs = Seq((0L, "u v w v u"), (1L, "x y")).toDF("id", "text")
+    val feats = docs.select(QualityModel.featureIds($"text").as("f"))
+      .as[Seq[Int]].collect()
+    feats.foreach { fs =>
+      assert(fs == fs.sorted && fs == fs.distinct, "sorted distinct ids")
+      assert(fs.forall(f => f >= 0 && f < 4096))
+    }
+    // repeated tokens/bigrams collapse: 'u v w v u' has unigrams {u,v,w}
+    // and bigrams {u v, v w, w v, v u} -> 7 distinct collision-free ids
+    assert(feats(0).size == 7)
+    assert(feats(1).size == 3)
+  }
+
   test("domain rollup and quality filter: site-level keep/drop") {
     import graft.operators.Urls
     val docs = Seq(
