@@ -218,6 +218,44 @@ object ScaleSmoke {
           "doc_id", "text")
         .agg(sum(col("entropy"))).head()
     }
+    timed("stripBoilerplate 100k docs") {
+      // each replica group shares its nav/footer lines (df >= 20), body
+      // lines stay unique -> the frequent slice is small and broadcast
+      val crawl = bigDocs.select(col("doc_id"),
+        concat_ws("\n", lit("Home | About | Contact"), col("text"),
+          concat(lit("ref-"), col("doc_id").cast("string"))).as("text"))
+      val out = graft.operators.TextAnalysis.stripBoilerplate(
+        crawl, "doc_id", "text", minDf = 10)
+      println(s"SMOKE   removed=${out.agg(sum(col("n_removed"))).head().getLong(0)}")
+    }
+    timed("dedupParagraphs 100k docs") {
+      val rep = bigDocs.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("Disclaimer."), col("text")).as("text"))
+      graft.operators.Dedup.dedupParagraphs(rep, "doc_id", "text")
+        .agg(sum(col("n_paras") - col("n_unique"))).head()
+    }
+    timed("quality model fit+score 100k") {
+      // 4 GD iterations over 100k docs: per iteration one projection
+      // against broadcast weight literals + one bounded (<=4096-row)
+      // gradient aggregation; scoring is one scan
+      val labeled = bigDocs.withColumn("y",
+        graft.operators.TextAnalysis.gopherPass(col("text")).cast("int"))
+      val (qm, _) = graft.operators.QualityModel.fit(
+        labeled, "text", "y", iters = 4, lr = 0.5)
+      val scored = graft.operators.QualityModel.score(labeled, "text", qm)
+      val mp = scored.agg(avg(col("quality_prob"))).head().getDouble(0)
+      println(f"SMOKE   mean_prob=$mp%.4f")
+    }
+    timed("hashSplitLabeled 100k docs") {
+      graft.operators.Sampling.hashSplitLabeled(bigDocs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sm")
+        .groupBy("split").count().collect()
+    }
+    timed("pca fit+project 100k vecs") {
+      val model = graft.operators.Pca.fit(bigEmb, "embedding", dim = 64, nComponents = 4)
+      graft.operators.Pca.transform(bigEmb, "embedding", model)
+        .agg(sum(col("pc1"))).head()
+    }
     timed("randproj 64->8 100k vecs") {
       graft.operators.RandomProjection.project(bigEmb, "embedding", "sm", 64, 8)
         .agg(sum(col("rp1"))).head()

@@ -735,6 +735,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The round's new curation ops composed end-to-end: crawl-shaped
+    // synthesis (header boilerplate + DUPLICATED body + unique ref) →
+    // boilerplate strip (df rule kills the header) → intra-doc
+    // paragraph dedup (collapses the body repeat) → token-length
+    // filter → leakage-safe labeled split. DuckDB replays every stage.
+    "pp_curate" -> ((s, dir) => {
+      val raw = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("Home | About | Contact"), col("text"), col("text"),
+          concat(lit("ref-"), col("doc_id").cast("string"))).as("text"))
+      val stripped = TextAnalysis.stripBoilerplate(raw, "doc_id", "text", minDf = 10)
+      val deduped = Dedup.dedupParagraphs(
+        stripped.select(col("doc_id"), col("cleaned").as("text")),
+        "doc_id", "text")
+      val sized = deduped.withColumn("n_tokens",
+        size(filter(split(lower(col("cleaned")), "\\s+"), t => t =!= ""))
+          .cast("long"))
+      operators.Sampling.hashSplitLabeled(
+          sized.filter(col("n_tokens") >= 40), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cur1")
+        .select(col("doc_id"), col("cleaned"), col("n_tokens"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Model-based quality scoring: a hashed-ngram logistic classifier
     // TRAINED IN SPARK (full-batch GD, one agg pass per iteration,
     // weights = bounded driver state) on weak labels distilled from
@@ -768,6 +792,15 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // Deterministic sharded shuffle: reproducible training order with
+    // no global sort — shard from the md5 prefix, rank within shard.
+    "sm_shuffle" -> ((s, dir) =>
+      operators.Sampling.shuffleOrder(
+          T(s, dir, "documents").select(col("doc_id")), "doc_id",
+          salt = "shuf1", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")),
 
     // Deterministic labeled train/val/test split: pure (key, salt)
     // membership, disjoint and exhaustive by construction — DuckDB
@@ -3122,6 +3155,48 @@ object SparkEntry {
         FROM t)
       SELECT doc_id, cleaned, CAST(len(cleaned) AS BIGINT) AS n_chars
       FROM c ORDER BY doc_id""",
+    "pp_curate" -> {
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val b1 = operators.Sampling.thresholdHex(cums(0))
+      val b2 = operators.Sampling.thresholdHex(cums(1))
+      s"""
+      WITH raw AS (
+        SELECT doc_id,
+               'Home | About | Contact' || chr(10) || text || chr(10) || text
+               || chr(10) || 'ref-' || CAST(doc_id AS VARCHAR) AS raw
+        FROM documents),
+      l AS (
+        SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+        FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raw)),
+      n AS (
+        SELECT doc_id, pos, line,
+               md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS lk
+        FROM l),
+      fr AS (
+        SELECT lk FROM (
+          SELECT lk, count(DISTINCT doc_id) AS df FROM n GROUP BY lk) t
+        WHERE df >= 10),
+      k AS (SELECT doc_id, pos, line, lk FROM n
+            WHERE lk NOT IN (SELECT lk FROM fr)),
+      fst AS (
+        SELECT doc_id, lk, min(pos) AS pos, min_by(line, pos) AS line
+        FROM k GROUP BY doc_id, lk),
+      doc AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        FROM fst GROUP BY doc_id),
+      tok AS (
+        SELECT doc_id, cleaned,
+               CAST(len(list_filter(string_split_regex(lower(cleaned), '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM doc)
+      SELECT doc_id, cleaned, n_tokens,
+             CASE WHEN md5(concat_ws('|', 'cur1', CAST(doc_id AS VARCHAR)))
+                       < '$b1' THEN 'train'
+                  WHEN md5(concat_ws('|', 'cur1', CAST(doc_id AS VARCHAR)))
+                       < '$b2' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM tok WHERE n_tokens >= 40 ORDER BY doc_id"""
+    },
     // Feature ids: first 3 md5 nibbles (0..4095); sorted distinct so the
     // weight-lookup sum runs in the same order as Spark's aggregate HOF.
     "tx_quality_model" -> """
@@ -3173,6 +3248,22 @@ object SparkEntry {
              CAST(sum(copies) AS BIGINT) AS n_paras,
              CAST(count(*) AS BIGINT) AS n_unique
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    "sm_shuffle" -> """
+      WITH h AS (
+        SELECT doc_id,
+               md5(concat_ws('|', 'shuf1', CAST(doc_id AS VARCHAR))) AS hx
+        FROM documents),
+      s AS (
+        SELECT doc_id, hx,
+               CAST((  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 8
+                 AS INTEGER) AS shard
+        FROM h)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+               AS BIGINT) AS pos
+      FROM s ORDER BY doc_id""",
     "sm_split" -> {
       val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
       val b1 = operators.Sampling.thresholdHex(cums(0))

@@ -84,6 +84,32 @@ object Sampling {
     df.withColumn("split", chain.otherwise(splits.last._1))
   }
 
+  /** Deterministic global shuffle for training order: every row gets a
+    * (shard, pos) pair — shard from its md5 prefix, pos = rank within
+    * the shard by (hash, id) — and reading shards in order yields a
+    * reproducible pseudo-random permutation of the corpus (what a
+    * training run needs: decorrelate document order from crawl order,
+    * identically on every rerun).
+    *
+    * Scale shape: shard assignment is a scan projection; the only
+    * shuffle is the SHARD-PARTITIONED window (each task ranks one
+    * shard's slice — there is deliberately no global row_number, which
+    * would serialize the corpus through one task). Size `nShards` to
+    * the write parallelism; (shard, pos) is a total order.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = keyHash(col(idCol), salt)
+    val shard = (conv(substring(h, 1, 3), 16, 10).cast("int") % nShards)
+      .as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Weighted deterministic sampling: each row kept with probability
     * `weightCol` (clamped to [0,1]), decided by its own 60-bit
     * md5-prefix threshold — importance sampling (e.g. keep ∝ quality

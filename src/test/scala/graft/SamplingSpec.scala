@@ -161,6 +161,24 @@ class SamplingSpec extends SparkSuite {
     assert(out.toMap != salted)
   }
 
+  test("shuffle order: total order, contiguous per-shard ranks, stable") {
+    val ids = (0L until 500L).toDF("id")
+    val out = Sampling.shuffleOrder(ids, "id", salt = "s", nShards = 4)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+    assert(out.length == 500)
+    assert(out.map(r => (r._2, r._3)).distinct.length == 500, "total order")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "ranks contiguous from 1 within each shard")
+    }
+    // decorrelated from id order but identical across re-shardings
+    val again = Sampling.shuffleOrder(ids.repartition(11), "id", "s", 4)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Long)].collect()
+    assert(out.toSet == again.toSet)
+    val firstShardByIdOrder = out.sortBy(_._1).take(20).map(_._2).distinct
+    assert(firstShardByIdOrder.length > 1, "ids spread across shards")
+  }
+
   test("labeled split: rejects bad fraction sets") {
     val ids = Seq(1L).toDF("id")
     intercept[IllegalArgumentException] {
