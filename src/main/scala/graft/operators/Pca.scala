@@ -152,6 +152,7 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     val buf = df.select(col(vecCol).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
       .as[Seq[Float]]
       .select(new CovAgg(dim).toColumn)
       .head()

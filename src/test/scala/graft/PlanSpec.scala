@@ -234,4 +234,60 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
       s"span counting must stay an equi-join:\n$s")
   }
+
+  test("stripBoilerplate: broadcast flag join, hash aggs only, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = graft.operators.TextAnalysis
+      .stripBoilerplate(docs, "doc_id", "text", minDf = 5)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"frequent-line set must ride a broadcast:\n$s")
+    assert(!s.contains("Window"), s"no window in the rebuild:\n$s")
+    assert(!s.contains("CartesianProduct"), "no cartesian")
+  }
+
+  test("dedupParagraphs: two hash aggregations, no window, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Window"), s"no window:\n$s")
+    assert(!s.contains("Join"), s"no join:\n$s")
+  }
+
+  test("shuffleOrder: shard-partitioned ranking, never SinglePartition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val s = graft.operators.Sampling.shuffleOrder(docs, "doc_id", "s", 16)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("hashpartitioning(shard"),
+      s"window must partition by shard:\n$s")
+    assert(!s.contains("SinglePartition"),
+      s"a global row_number would serialize the corpus:\n$s")
+  }
+
+  test("hashSplitLabeled and quality-model scoring are pure scan projections") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = graft.operators.Sampling.hashSplitLabeled(
+      docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
+      "labeled split must not shuffle")
+    val m = graft.operators.QualityModel.Model(4096, 0.0, new Array[Double](4096))
+    val scored = graft.operators.QualityModel.score(docs, "text", m)
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"),
+      "model scoring must not shuffle")
+  }
+
+  test("distinctiveTerms: one corpus-sized shuffle; window over counts only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = graft.operators.TextAnalysis
+      .distinctiveTerms(docs, "source", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    // group totals ride a broadcast; the 1-row corpus frame is a
+    // broadcast nested loop by design; never a real cartesian, and the
+    // top-k window partitions by group, not the whole frame
+    assert(s.contains("BroadcastExchange"),
+      s"group totals / corpus row should broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    assert(s.contains("windowspecdefinition(grp"),
+      s"top-k window must partition by grp:\n$s")
+  }
 }
