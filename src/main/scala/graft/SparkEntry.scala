@@ -1715,6 +1715,29 @@ object SparkEntry {
           (1 to 8).map(j => round(col(s"rp$j"), 4).as(s"rp$j")): _*)
         .orderBy("vec_id")),
 
+    // Clustering-quality report: k-means at k ∈ {2,4,8} (the elbow scan
+    // that picks an IVF cell count), every vector's assignment + L2
+    // distance at each k. Persisted centroid frames are the contract;
+    // DuckDB recomputes every assignment (argmin, ties to lower cell)
+    // and distance from them. Inertia monotonicity is spec'd in AnnSpec.
+    "vq_kmeans_report" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Seq(2, 4, 8).map { k =>
+        val centsDf = operators.Ann.kmeans(e, "vec_id", "embedding", k, iters = 3)
+        centsDf.coalesce(1).write.mode("overwrite")
+          .parquet(s"/tmp/graft_km/cents_k$k.parquet")
+        val cents = centsDf.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val best = array_min(array(cents.map { case (cid, c) =>
+          struct(graft.functions.l2_distance(col("embedding"), lit(c)).as("d"),
+            lit(cid).as("cid"))
+        }.toIndexedSeq: _*))
+        e.select(lit(k).as("k"), col("vec_id"),
+          best.getField("cid").as("centroid_id"),
+          round(best.getField("d").cast("double"), 4).as("dist"))
+      }.reduce(_ unionAll _).orderBy("k", "vec_id")
+    }),
+
     // PCA: one-pass covariance aggregator + driver Jacobi eigensolve
     // (bounded state, the codebook pattern), projection a pure literal
     // expression. The persisted (component, dim, mean, weight) frame is
@@ -2670,6 +2693,24 @@ object SparkEntry {
       SELECT vec_id,
              $cols
       FROM embeddings ORDER BY vec_id"""
+    },
+    "vq_kmeans_report" -> {
+      val per = Seq(2, 4, 8).map { k =>
+        s"""SELECT $k AS k, e.vec_id, c.centroid_id,
+           list_distance(e.embedding, c.centroid) AS d
+        FROM embeddings e
+        CROSS JOIN read_parquet('/tmp/graft_km/cents_k$k.parquet/*.parquet') c"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH scored AS (
+        $per),
+      r AS (
+        SELECT k, vec_id, centroid_id, d,
+               row_number() OVER (PARTITION BY k, vec_id
+                                  ORDER BY d, centroid_id) AS rn
+        FROM scored)
+      SELECT k, vec_id, centroid_id, round(CAST(d AS DOUBLE), 4) AS dist
+      FROM r WHERE rn = 1 ORDER BY k, vec_id"""
     },
     // + 0e0 folds IEEE -0.0 (see vq_randproj); list_sum/list_transform
     // pins the same left-to-right summation as the Spark literal chain.

@@ -228,6 +228,21 @@ object Ann {
     if (n == 0f) v else v.map(_ / n)
   }
 
+  /** Clustering inertia for a fitted centroid set: (n, Σ min-centroid
+    * squared L2) in ONE aggregation scan — the number behind the elbow
+    * report that picks k for an IVF layout or SemDeDup clustering. The
+    * min is a per-row projection over centroid literals (bounded driver
+    * state), the sum map-side combines; nothing row-sized moves.
+    */
+  def inertia(df: DataFrame, vecCol: String,
+      centroids: Seq[Array[Float]]): (Long, Double) = {
+    require(centroids.nonEmpty, "inertia needs at least one centroid")
+    val minSq = array_min(array(centroids.map(c =>
+      graft.functions.l2_sq_distance(col(vecCol), lit(c)).cast("double")): _*))
+    val r = df.agg(count(lit(1)), sum(minSq)).head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
   /** Cosine IVF build: rows tagged with their max-cosine cell. */
   def ivfBuildCosine(
       df: DataFrame, idCol: String, vecCol: String,

@@ -380,4 +380,31 @@ class AnnSpec extends SparkSuite {
       Pq.adcDistanceCol(Array.fill(32)(0f), cb, $"codes")
     }
   }
+
+  test("kmeans inertia: non-increasing in k, matches a local recompute") {
+    val inertias = Seq(1, 2, 4, 8).map { k =>
+      val cents = Ann.kmeans(emb, "vec_id", "embedding", k, iters = 3)
+        .collect().map(_.getSeq[Float](1).toArray).toSeq
+      val (n, i) = Ann.inertia(emb, "embedding", cents)
+      assert(n == emb.count())
+      (k, cents, i)
+    }
+    assert(inertias.map(_._3).sliding(2).forall(p => p(1) <= p(0) + 1e-6),
+      s"inertia must not increase with k: ${inertias.map(t => t._1 -> t._3)}")
+    // local recompute for k=2 (float32 kernel distances, double sum)
+    val rows = emb.select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val c2 = inertias(1)._2
+    val want = rows.map { v =>
+      c2.map { c =>
+        var s = 0.0f
+        var i = 0
+        while (i < v.length) {
+          val d = v(i) - c(i); s += d * d; i += 1
+        }
+        s.toDouble
+      }.min
+    }.sum
+    assert(math.abs(want - inertias(1)._3) / want < 1e-6,
+      s"inertia ${inertias(1)._3} vs local $want")
+  }
 }
