@@ -741,7 +741,11 @@ object SparkEntry {
     // paragraph dedup (collapses the body repeat) → token-length
     // filter → leakage-safe labeled split. DuckDB replays every stage.
     "pp_curate" -> ((s, dir) => {
-      val raw = T(s, dir, "documents").select(col("doc_id"),
+      // NULL-text guard on BOTH engines: Spark's concat_ws skips NULLs
+      // where DuckDB's || chain propagates them — unguarded, a NULL
+      // text row diverges cross-engine (same class as pk_batches)
+      val raw = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
         concat_ws("\n",
           lit("Home | About | Contact"), col("text"), col("text"),
           concat(lit("ref-"), col("doc_id").cast("string"))).as("text"))
@@ -766,7 +770,7 @@ object SparkEntry {
     // contract; DuckDB re-featurizes every doc (md5-nibble buckets,
     // same sorted order) and replays the scoring sum + sigmoid.
     "tx_quality_model" -> ((s, dir) => {
-      val labeled = T(s, dir, "documents")
+      val labeled = T(s, dir, "documents").filter(col("text").isNotNull)
         .withColumn("y", TextAnalysis.gopherPass(col("text")).cast("int"))
       val (model, _) = operators.QualityModel.fit(
         labeled, "text", "y", iters = 6, lr = 0.5)
@@ -788,7 +792,8 @@ object SparkEntry {
         col("text"), lit("Repeated disclaimer."),
         col("text"), lit("  repeated   DISCLAIMER. "))
       Dedup.dedupParagraphs(
-          T(s, dir, "documents").select(col("doc_id"), raw.as("text")),
+          T(s, dir, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), raw.as("text")),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -831,7 +836,8 @@ object SparkEntry {
     // the whole thing: line split, normalized md5 keys, distinct-doc
     // df, the frequent set, and the order-preserving reassembly.
     "tx_boilerplate" -> ((s, dir) => {
-      val raw = T(s, dir, "documents").select(col("doc_id"),
+      val raw = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
         concat_ws("\n",
           lit("Home | About | Contact"),
           concat(lit("Subscribe to "), col("source"), lit(" newsletter")),
@@ -2469,8 +2475,14 @@ object SparkEntry {
     "ann_lsh_topk" -> {
       val rnd = new scala.util.Random(42L)
       val p = Array.fill(6 * 64)(rnd.nextGaussian().toFloat)
+      // exact decimal expansion of each float's double value: parsing the
+      // float's SHORTEST repr as a double lands on a different double,
+      // shifting each product ~1e-9 relative — enough to flip a sign the
+      // kernel decided by less. toPlainString of the exact binary
+      // fraction makes DuckDB's plane bit-identical to the kernel's.
       val bucket = (0 until 6).map { b =>
-        val lits = (0 until 64).map(i => p(b * 64 + i).toString).mkString(", ")
+        val lits = (0 until 64).map(i =>
+          new java.math.BigDecimal(p(b * 64 + i).toDouble).toPlainString).mkString(", ")
         s"(CASE WHEN list_dot_product(embedding, [$lits]) > 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString("\n             + ")
       s"""
@@ -3205,7 +3217,7 @@ object SparkEntry {
         SELECT doc_id,
                'Home | About | Contact' || chr(10) || text || chr(10) || text
                || chr(10) || 'ref-' || CAST(doc_id AS VARCHAR) AS raw
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       l AS (
         SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
         FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raw)),
@@ -3250,7 +3262,7 @@ object SparkEntry {
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\s+'),
                            t -> t <> '') AS toks
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       g AS (
         SELECT doc_id,
                toks || list_transform(range(1, len(toks)),
@@ -3272,7 +3284,7 @@ object SparkEntry {
       WITH raw AS (
         SELECT doc_id, text || chr(10) || 'Repeated disclaimer.' || chr(10)
                || text || chr(10) || '  repeated   DISCLAIMER. ' AS raw
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       p AS (
         SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS para
         FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raw)),
@@ -3289,22 +3301,29 @@ object SparkEntry {
              CAST(sum(copies) AS BIGINT) AS n_paras,
              CAST(count(*) AS BIGINT) AS n_unique
       FROM f GROUP BY doc_id ORDER BY doc_id""",
-    "sm_shuffle" -> """
+    "sm_shuffle" -> {
+      // the 60-bit prefix as a nibble polynomial (16^14 … 16^0 —
+      // BIGINT-safe: max value 2^60-1), replaying shuffleOrder's
+      // conv(substring(h, 1, 15), 16, 10) % nShards
+      val nibbles = (0 until 15).map { i =>
+        val w = java.math.BigInteger.valueOf(16L).pow(14 - i)
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n                     + ")
+      s"""
       WITH h AS (
         SELECT doc_id,
                md5(concat_ws('|', 'shuf1', CAST(doc_id AS VARCHAR))) AS hx
         FROM documents),
       s AS (
         SELECT doc_id, hx,
-               CAST((  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
-                     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 8
+               CAST(($nibbles) % 8
                  AS INTEGER) AS shard
         FROM h)
       SELECT doc_id, shard,
              CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
                AS BIGINT) AS pos
-      FROM s ORDER BY doc_id""",
+      FROM s ORDER BY doc_id"""
+    },
     "sm_split" -> {
       val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
       val b1 = operators.Sampling.thresholdHex(cums(0))
@@ -3376,7 +3395,7 @@ object SparkEntry {
                'Home | About | Contact' || chr(10) ||
                'Subscribe to ' || source || ' newsletter' || chr(10) ||
                text || chr(10) || 'ref-' || CAST(doc_id AS VARCHAR) AS raw
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       l AS (
         SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
         FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raw)),

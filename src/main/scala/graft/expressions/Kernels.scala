@@ -263,9 +263,14 @@ object Kernels {
   }
 
   /** Sign-pattern LSH bucket: all `nBits` hyperplane dot products in ONE
-    * pass over the vector (the composed `when(dot_product(...))` form
-    * re-read the vector per plane). Float32 accumulation in element
-    * order per plane — bit-identical to the composed form's kernel.
+    * pass over the vector (the composed per-plane form re-reads the
+    * vector per plane). Products and accumulation run in DOUBLE, element
+    * order per plane: a float32 accumulator leaves the sign decision a
+    * ~1e-7-relative coin flip near zero, which a cross-engine oracle
+    * accumulating in double can then disagree with (data-dependent gate
+    * flake); double accumulation over exact float→double products pins
+    * the sign to ~1e-16-relative margins and matches the ann_lsh_topk
+    * oracle's double replay bit-for-bit.
     */
   def hyperplaneBucket(vec: ArrayData, dim: Int, nBits: Int, seed: Long): Long = {
     if (vec.numElements() < dim) {
@@ -277,10 +282,10 @@ object Kernels {
     var b = 0
     while (b < nBits) {
       val off = b * dim
-      var s = 0f
+      var s = 0.0
       var i = 0
-      while (i < dim) { s += vec.getFloat(i) * p(off + i); i += 1 }
-      if (s > 0f) bucket |= (1L << b)
+      while (i < dim) { s += vec.getFloat(i).toDouble * p(off + i).toDouble; i += 1 }
+      if (s > 0.0) bucket |= (1L << b)
       b += 1
     }
     bucket

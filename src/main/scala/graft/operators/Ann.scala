@@ -239,8 +239,10 @@ object Ann {
     require(centroids.nonEmpty, "inertia needs at least one centroid")
     val minSq = array_min(array(centroids.map(c =>
       graft.functions.l2_sq_distance(col(vecCol), lit(c)).cast("double")): _*))
-    val r = df.agg(count(lit(1)), sum(minSq)).head()
-    (r.getLong(0), r.getDouble(1))
+    val r = df.agg(count(minSq), sum(minSq)).head()
+    // empty (or all-null-vector) input: sum aggregates to NULL — report
+    // (0, 0.0) instead of NPEing a k-sweep that filtered a slice empty
+    if (r.isNullAt(1)) (0L, 0.0) else (r.getLong(0), r.getDouble(1))
   }
 
   /** Cosine IVF build: rows tagged with their max-cosine cell. */

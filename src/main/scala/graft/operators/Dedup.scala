@@ -183,6 +183,36 @@ object Dedup {
       ).as(Seq("band", "band_hash")))
   }
 
+  /** Candidate pairs (a_id < b_id, NOT deduped) from a banded frame's
+    * (band, band_hash) self-join — the bucket-join core both the
+    * production and portable LSH variants run.
+    */
+  private def selfJoinCandidates(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("a_id"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("b_id"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Shared tail of the LSH variants: re-join token sets for surviving
+    * candidates only, exact-Jaccard verify, materialize the result,
+    * then release the banded checkpoint (the RETURNED frame's
+    * checkpoint storage belongs to the caller —
+    * `GraftShim.unpersistLocalCheckpoint` once consumed).
+    */
+  private def verifyAndRelease(candidates: DataFrame, withTok: DataFrame,
+      banded: DataFrame, verifyThreshold: Double): DataFrame = {
+    val verified = verifiedJaccard(
+      candidates
+        .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+        .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id")),
+      verifyThreshold)
+    val result = verified.localCheckpoint(eager = true)
+    GraftShim.unpersistLocalCheckpoint(banded)
+    result
+  }
+
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, verifyThreshold: Double = 0.5,
@@ -213,30 +243,12 @@ object Dedup {
       val small = banded.join(
         broadcast(giantKeys.select("band", "band_hash")),
         Seq("band", "band_hash"), "left_anti")
-      val a = small.select(col("band"), col("band_hash"), col("id").as("a_id"))
-      val b = small.select(col("band"), col("band_hash"), col("id").as("b_id"))
-      val smallPairs = a.join(b, Seq("band", "band_hash"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
       val hubPairs = banded.join(broadcast(giantKeys), Seq("band", "band_hash"))
         .filter(col("id") =!= col("_hub")) // hub = bucket min, so a_id < b_id holds
         .select(col("_hub").as("a_id"), col("id").as("b_id"))
-      val candidates = smallPairs.union(hubPairs)
+      val candidates = selfJoinCandidates(small).union(hubPairs)
         .dropDuplicates("a_id", "b_id") // candidates may collide in >1 band
-      // token sets re-join once, only for surviving candidate pairs
-      val verified = verifiedJaccard(
-        candidates
-          .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
-          .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id")),
-        verifyThreshold)
-      // materialize before unpersisting the token cache; once the
-      // result is checkpointed, the intermediate banded checkpoint is
-      // dead weight — release its blocks rather than waiting for
-      // driver GC. The RETURNED frame's checkpoint storage belongs to
-      // the caller (GraftShim.unpersistLocalCheckpoint once consumed).
-      val result = verified.localCheckpoint(eager = true)
-      GraftShim.unpersistLocalCheckpoint(banded)
-      result
+      verifyAndRelease(candidates, withTok, banded, verifyThreshold)
     } finally withTok.unpersist()
   }
 
@@ -276,20 +288,8 @@ object Dedup {
           concat_ws("-", sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
         }: _*)).as(Seq("band", "band_hash")))
         .localCheckpoint(true)
-      val a = banded.select(col("band"), col("band_hash"), col("id").as("a_id"))
-      val b = banded.select(col("band"), col("band_hash"), col("id").as("b_id"))
-      val candidates = a.join(b, Seq("band", "band_hash"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
-        .dropDuplicates("a_id", "b_id")
-      val verified = verifiedJaccard(
-        candidates
-          .join(withTok.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
-          .join(withTok.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id")),
-        verifyThreshold)
-      val result = verified.localCheckpoint(eager = true)
-      GraftShim.unpersistLocalCheckpoint(banded)
-      result
+      val candidates = selfJoinCandidates(banded).dropDuplicates("a_id", "b_id")
+      verifyAndRelease(candidates, withTok, banded, verifyThreshold)
     } finally withTok.unpersist()
   }
 

@@ -101,8 +101,12 @@ object Sampling {
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val h = keyHash(col(idCol), salt)
-    val shard = (conv(substring(h, 1, 3), 16, 10).cast("int") % nShards)
-      .as("shard")
+    // 60-bit prefix mod nShards: a narrow prefix (e.g. 3 nibbles =
+    // 4096 values) skews shard sizes whenever nShards doesn't divide
+    // it and leaves shards past the prefix range permanently empty;
+    // at 60 bits the residual bias is nShards/2^60 — unmeasurable
+    val shard = (conv(substring(h, 1, 15), 16, 10).cast("long") % nShards)
+      .cast("int").as("shard")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("_h"), col(idCol))
     df.withColumn("_h", h).withColumn("shard", shard)

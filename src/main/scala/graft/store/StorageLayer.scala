@@ -81,40 +81,91 @@ final class ParquetStorage(spark: SparkSession, root: String) extends StorageLay
   * (broadcast — the tombstone set is small relative to data) until
   * [[compact]] folds tombstones into a rewrite. Same single-writer model
   * as the rest of the store.
+  *
+  * A tombstone must mask only rows that existed WHEN THE DELETE RAN —
+  * id-only masking would also hide a row appended later under the same
+  * id (the upsert shape: delete id, append replacement; and the
+  * reference's id reuse after deleting the max id,
+  * vector_store.py:195-203 — the next insert re-reads max id from the
+  * table the delete already shrank). So every write carries a monotone
+  * version: appended rows get an internal `_graft_gen` column (stripped
+  * from [[read]]), tombstones record `(id, gen)`, and the read mask is
+  * `data.id = tomb.id AND data.gen < tomb.gen` — the Delta-style
+  * ordering of deletes relative to appends, kept as a slim counter file
+  * instead of a full transaction log.
   */
 final class TombstoneStorage(spark: SparkSession, root: String) extends StorageLayer {
+  import org.apache.spark.sql.functions.{broadcast, col, lit}
+
   private val inner = new ParquetStorage(spark, root)
   private val tombPath = new Path(root, "tombstones")
+  private val verPath = new Path(root, "_version")
   private def fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val GenCol = "_graft_gen"
+
+  private def readVersion(): Long =
+    if (!fs.exists(verPath)) 0L
+    else {
+      val in = fs.open(verPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+
+  /** Advance the write-version counter (single-writer model, like the
+    * rest of the store): stage a new counter file, swap it in.
+    */
+  private def bumpVersion(): Long = {
+    val v = readVersion() + 1
+    val tmp = new Path(root, s"_version-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(verPath)) fs.delete(verPath, false)
+    if (!fs.rename(tmp, verPath))
+      throw new java.io.IOException(s"could not advance version counter at $verPath")
+    v
+  }
+
   override def exists: Boolean = inner.exists
-  override def initialize(schema: StructType): Unit = inner.initialize(schema)
-  override def append(df: DataFrame): Unit = inner.append(df)
+
+  override def initialize(schema: StructType): Unit =
+    inner.initialize(StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(GenCol, org.apache.spark.sql.types.LongType)))
+
+  override def append(df: DataFrame): Unit =
+    inner.append(df.withColumn(GenCol, lit(bumpVersion())))
 
   private def tombstones(): Option[DataFrame] =
     if (fs.exists(tombPath)) Some(spark.read.parquet(tombPath.toString)) else None
 
-  override def read(): DataFrame = {
+  /** Masked rows WITH the internal gen column (compact rewrites it). */
+  private def readRaw(): DataFrame = {
     val data = inner.read()
     tombstones() match {
       case Some(t) =>
-        data.join(org.apache.spark.sql.functions.broadcast(t), Seq("id"), "left_anti")
+        data.join(broadcast(t),
+          data("id") === t("id") && data(GenCol) < t("gen"), "left_anti")
       case None => data
     }
   }
 
+  override def read(): DataFrame = readRaw().drop(GenCol)
+
   override def delete(ids: DataFrame): Unit =
-    ids.select("id").write.mode("append").parquet(tombPath.toString)
+    ids.select(col("id"), lit(bumpVersion()).as("gen"))
+      .write.mode("append").parquet(tombPath.toString)
 
   /** Rewrite minus tombstones, then clear the tombstone log. */
   def compact(): Unit = {
-    inner.overwrite(read())
+    inner.overwrite(readRaw())
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
   }
 
-  /** Overwrite folds any pending tombstones (they described the old data). */
+  /** Overwrite describes a NEW table: stamp it and fold any pending
+    * tombstones (they described the old data).
+    */
   override def overwrite(df: DataFrame): Unit = {
-    inner.overwrite(df)
+    inner.overwrite(df.withColumn(GenCol, lit(bumpVersion())))
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
   }
 

@@ -406,5 +406,8 @@ class AnnSpec extends SparkSuite {
     }.sum
     assert(math.abs(want - inertias(1)._3) / want < 1e-6,
       s"inertia ${inertias(1)._3} vs local $want")
+    // a slice filtered empty reports (0, 0.0) — not an NPE mid-k-sweep
+    assert(Ann.inertia(emb.filter($"vec_id" < 0), "embedding",
+      inertias(1)._2) == ((0L, 0.0)))
   }
 }

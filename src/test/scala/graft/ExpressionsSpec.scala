@@ -70,13 +70,18 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("hyperplane_bucket kernel is bit-identical to the composed dot-product form") {
-    import org.apache.spark.sql.functions.{col, lit, when, sum}
+    import org.apache.spark.sql.functions.{aggregate, col, lit, when, sum, zip_with}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rnd = new scala.util.Random(42L)
     val planes = Array.fill(6)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    // per-plane double products + left-to-right double fold — the exact
+    // arithmetic the fused kernel runs (and the ann_lsh_topk oracle replays)
     val composed = planes.zipWithIndex.map { case (p, i) =>
-      when(functions.dot_product(col("embedding"), lit(p)) > 0f, lit(1L << i))
-        .otherwise(lit(0L))
+      val dot = aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          lit(p.map(_.toDouble)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val df = emb.select(col("vec_id"),
       functions.hyperplane_bucket(col("embedding"), 64, 6, 42L).as("fused"),

@@ -86,6 +86,29 @@ class StorageLayerSpec extends SparkSuite {
       "plain parquet layout deletes via read-antijoin-rewrite")
   }
 
+  test("tombstone layout: a row appended after a delete of the same id stays visible") {
+    val root = Files.createTempDirectory("graft-sl-gen").toString + "/t"
+    val st = new TombstoneStorage(spark, root)
+    st.initialize(table(0).schema)
+    st.append(table(10))
+    st.delete(Seq(5L).toDF("id"))
+    assert(st.read().count() == 9)
+    // re-append id 5 (the upsert shape, and the reference's max-id reuse
+    // after delete, vector_store.py:195-203): the tombstone recorded an
+    // EARLIER write version, so the new row must survive the mask
+    st.append(table(10).filter(col("id") === 5L).withColumn("doc", lit("replacement")))
+    assert(st.read().count() == 10)
+    assert(st.read().filter(col("id") === 5L).select("doc")
+      .as[String].collect().toSeq == Seq("replacement"))
+    // the internal write-version column never leaks out of read()
+    assert(!st.read().columns.contains("_graft_gen"))
+    // the replacement survives compaction, and a LATER delete still wins
+    st.compact()
+    assert(st.read().filter(col("id") === 5L).count() == 1)
+    st.delete(Seq(5L).toDF("id"))
+    assert(st.read().filter(col("id") === 5L).count() == 0)
+  }
+
   test("tombstone overwrite folds pending tombstones; staged swap stays atomic") {
     val root = Files.createTempDirectory("graft-sl-ow").toString + "/t"
     val st = new TombstoneStorage(spark, root)

@@ -298,6 +298,30 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(re.count() == 11)
   }
 
+  test("tombstone layout: upsert replacements and max-id reuse stay visible") {
+    val dir = Files.createTempDirectory("graft-ts-up").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    s.insert(eye(10), genDocs(0 until 10))
+    // upsert = tombstone the ids + append replacements under the SAME
+    // ids — the append must outrank the tombstone, not be masked by it
+    val v = Array.fill(10)(9f)
+    assert(s.upsert(Seq(3L, 42L), Seq(v, v), Seq("""{"u": 1}""", """{"u": 2}""")) == ((1L, 1L)))
+    assert(s.count() == 11)
+    val got = s.selectIds(Seq(3L, 42L))
+    assert(got.map(_.doc) == Seq("""{"u": 1}""", """{"u": 2}"""))
+    assert(got.forall(_.vec.forall(_ == 9f)))
+    // delete the max id (42): max re-reads from the shrunk table
+    // (reference: vector_store.py:195-203), so the next insert gets 10
+    assert(s.delete(Seq(42L)) == 1L)
+    assert(s.insert(Seq(Array.fill(10)(0.5f))) == Seq(10L))
+    // delete THAT max and insert again: id 10 is REUSED — the reused
+    // id's new row must be visible through the tombstone mask
+    assert(s.delete(Seq(10L)) == 1L)
+    assert(s.insert(Seq(Array.fill(10)(0.75f))) == Seq(10L))
+    assert(s.count() == 11)
+    assert(s.selectIds(Seq(10L)).head.vec(0) == 0.75f)
+  }
+
   test("insertDF assigns contiguous ids after existing max") {
     import spark.implicits._
     val s = freshStore()
