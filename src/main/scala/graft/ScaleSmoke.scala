@@ -278,6 +278,17 @@ object ScaleSmoke {
         centsPq, cbPq, batchQs, k = 10, nProbe = 4).count()
       println(s"SMOKE   ivfpq batch results: $n")
     }
+    // residual-encoding variant: same one-job relational shape, with
+    // cell-dependent ADC tables riding the broadcast probe relation
+    val (indexedRes, centsRes, cbRes) = timed("residual ivfpq build 100k vecs") {
+      graft.operators.Pq.ivfPqBuildResidual(
+        bigEmb, "vec_id", "embedding", dim = 64, nCells = 32, m = 8, k = 16, iters = 2)
+    }
+    timed("residual ivfpq search 1k q (nProbe=4)") {
+      val n = graft.operators.Pq.ivfPqSearchResidual(indexedRes, "vec_id", "codes",
+        centsRes, cbRes, batchQs, k = 10, nProbe = 4).count()
+      println(s"SMOKE   residual ivfpq batch results: $n")
+    }
 
     // ---- distributed MMR over 1k query shortlists ---------------------
     // shortlists from the pruned IVF probe (bounded candidate gen), then

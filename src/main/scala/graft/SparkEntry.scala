@@ -1804,6 +1804,49 @@ object SparkEntry {
           (count(lit(1)) === 25).as("complete"))
     }),
 
+    // Residual-encoding IVF-PQ (the FAISS default): codes quantize
+    // v - centroid(cell). Exactness check at nProbe = nCells: the
+    // cell-dependent ADC tables must reproduce, to 1e-9, an INDEPENDENT
+    // double recompute — float residual queries per (query, cell),
+    // double HOF distance to the residual reconstruction, no ADC
+    // tables anywhere on the truth side.
+    "ann_ivfpq_res" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (indexed, cents, cb) = operators.Pq.ivfPqBuildResidual(emb, "vec_id",
+        "embedding", dim = 64, nCells = 8, m = 4, k = 8, iters = 2)
+      val full = operators.Pq.ivfPqSearchResidual(indexed, "vec_id", "codes",
+          cents, cb, queries, k = 5, nProbe = 8)
+        .select(col("qid"), col("vec_id"), col("adc_dist"))
+      val centArr = cents.select(col("centroid_id").cast("long"), col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      import s.implicits._
+      val qres = queries.flatMap { case (qid, q) =>
+        centArr.map { case (cid, c) =>
+          (qid, cid, (0 until 64).map(i => q(i) - c(i)))
+        }
+      }.toDF("qid", "centroid_id", "qres")
+      val recon = operators.Pq.reconstructCol(col("codes"), cb)
+      val d2 = sqrt(aggregate(
+        zip_with(col("qres"), recon,
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0d), (acc, x) => acc + x))
+      val truth = operators.SimilarityJoin.topKByDistance(
+        indexed.join(broadcast(qres), Seq("centroid_id"))
+          .select(col("qid"), col("vec_id"), d2.as("true_dist")),
+        "qid", "vec_id", "true_dist", 5)
+      full.join(truth, Seq("qid", "vec_id"), "full_outer")
+        .agg(
+          sum(when(col("adc_dist").isNull || col("true_dist").isNull ||
+            abs(col("adc_dist") - col("true_dist")) > 1e-9, 1).otherwise(0))
+            .cast("long").as("mismatches"),
+          (count(lit(1)) === 25).as("complete"))
+    }),
+
     // The 100 TB dedup composition end to end: MinHash-LSH candidate
     // pairs → connected components. Containment proof: LSH edges ⊆
     // exact edges (dd_lsh_containment), so every LSH cluster must lie
@@ -2769,6 +2812,8 @@ object SparkEntry {
              round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
       FROM p ORDER BY label_a, label_b""",
     "ann_ivfpq" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "ann_ivfpq_res" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "tx_fp_consistency" -> """
       SELECT CAST(0 AS BIGINT) AS fp_splits,

@@ -41,6 +41,18 @@ object Kernels {
     s
   }
 
+  /** Element-wise difference `a - b` in float32 (residual vectors for
+    * residual-encoding IVF-PQ; length = the shorter input, matching the
+    * other kernels' permissive-length contract).
+    */
+  def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i) - b.getFloat(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def dot(a: ArrayData, b: ArrayData): Float = {
     val n = a.numElements()
     var s = 0f

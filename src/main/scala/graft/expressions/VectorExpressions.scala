@@ -63,6 +63,20 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
     copy(left = l, right = r)
 }
 
+/** Element-wise vector difference in float32 — the residual `v - c`
+  * of residual-encoding IVF-PQ, kept a codegen kernel so the build
+  * pass (every corpus row) stays inside whole-stage codegen instead
+  * of falling back to an interpreted `zip_with`.
+  */
+case class VecSub(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def kernelName: String = "vecSub"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = Kernels.vecSub(a, b)
+  override def prettyName: String = "vec_sub"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** One-pass sign-pattern LSH bucket over seeded hyperplanes (see
   * [[Kernels.hyperplaneBucket]]); replaces nBits composed dot-product
   * calls with a single vector read.

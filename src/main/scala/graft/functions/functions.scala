@@ -24,6 +24,9 @@ object functions {
 
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 
+  /** Element-wise `a - b` over `array<float>` (residual vectors). */
+  def vec_sub(a: Column, b: Column): Column = c(VecSub(e(a), e(b)))
+
   /** rapidfuzz `fuzz.ratio`-compatible normalized Indel similarity ∈ [0,100]. */
   def indel_similarity(a: Column, b: Column): Column = c(IndelSimilarity(e(a), e(b)))
 
@@ -90,6 +93,7 @@ object functions {
     "l2_sq_distance" -> (args => L2SqDistance(args(0), args(1))),
     "dot_product" -> (args => DotProduct(args(0), args(1))),
     "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
+    "vec_sub" -> (args => VecSub(args(0), args(1))),
     "indel_similarity" -> (args => IndelSimilarity(args(0), args(1))),
     "minhash_signature" -> (args =>
       MinHashSignature(args(0), foldableInt(args(1), "minhash_signature", "num_hashes"))),

@@ -211,6 +211,31 @@ object Pq {
     * qid; the top-k is a WindowGroupLimit. No per-query plan branches,
     * no N-way union.
     */
+  /** Centroid frame → ordered driver array (bounded state, like the
+    * codebook): (centroid_id, centroid) pairs sorted by id.
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+    centroids
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Driver-side cell ranking for one query: the `nProbe` nearest
+    * centroid ids by squared L2, ties to lower id (matches
+    * `Ann.probeCells`).
+    */
+  private def rankCells(q: Array[Float], cents: Array[(Long, Array[Float])],
+      nProbe: Int): Seq[Long] =
+    cents.map { case (cid, c) =>
+      var acc = 0.0
+      var i = 0
+      while (i < math.min(q.length, c.length)) {
+        val d = q(i).toDouble - c(i).toDouble; acc += d * d; i += 1
+      }
+      (acc, cid)
+    }.sorted.take(nProbe).map(_._2).toSeq
+
   def ivfPqSearch(index: DataFrame, idCol: String, codesCol: String,
       centroids: DataFrame, cb: PqCodebook,
       queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
@@ -219,25 +244,91 @@ object Pq {
     require(queries.nonEmpty, "need at least one query")
     val spark = index.sparkSession
     import spark.implicits._
-    val cents = centroids
-      .select(col("centroid_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = collectCentroids(centroids)
     val probes = queries.flatMap { case (qid, q) =>
-      cents.map { case (cid, c) =>
-        var acc = 0.0
-        var i = 0
-        while (i < math.min(q.length, c.length)) {
-          val d = q(i).toDouble - c(i).toDouble; acc += d * d; i += 1
-        }
-        (acc, cid)
-      }.sorted.take(nProbe).map { case (_, cid) => (qid, cid) }
+      rankCells(q, cents, nProbe).map(cid => (qid, cid))
     }.toDF("qid", "centroid_id")
     val qt = adcTableFrame(spark, queries, cb)
     val scored = materializeRows(
         index.select(col(idCol), col("centroid_id"), col(codesCol)))
       .join(broadcast(probes), Seq("centroid_id"))
       .join(broadcast(qt), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
+    SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
+  }
+
+  // ------------------------ residual IVF-PQ --------------------------- //
+
+  /** The float32 residual `v - c` (the arithmetic [[graft.functions.vec_sub]]
+    * runs row-side), shared by build-time fitting and query-side tables.
+    */
+  private def residual(v: Array[Float], c: Array[Float]): Array[Float] = {
+    val n = math.min(v.length, c.length)
+    Array.tabulate(n)(i => v(i) - c(i))
+  }
+
+  /** Residual-encoding IVF-PQ (the FAISS `IVFx,PQy` default): PQ codes
+    * quantize the RESIDUAL `v - centroid(cell)` instead of the raw
+    * vector. Once the coarse quantizer has localized a cell, residual
+    * magnitudes are far smaller than raw vectors, so the same (m, k)
+    * code budget spends its resolution on a tighter ball — lower
+    * reconstruction error and better recall at identical storage
+    * (still `m` bytes/row + the partition column).
+    *
+    * Build shape: one extra codegen projection over the indexed frame
+    * (the [[graft.functions.vec_sub]] kernel against a centroid literal
+    * picked by `centroid_id`) before the same argmin [[encode]]; the
+    * codebook is fit on residuals. Returns (indexed `(id, centroid_id,
+    * codes)`, centroids frame, codebook), like [[ivfPqBuild]].
+    */
+  def ivfPqBuildResidual(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nCells: Int, m: Int, k: Int, iters: Int = 5): (DataFrame, DataFrame, PqCodebook) = {
+    val (indexed, cents) = Ann.ivfBuild(df, idCol, vecCol, nCells, iters)
+    val centArr = collectCentroids(cents).map(_._2)
+    val resCol = graft.functions.vec_sub(col(vecCol),
+      element_at(typedLit(centArr), col("centroid_id").cast("int") + 1))
+    val withRes = indexed.withColumn("_res", resCol)
+    val cb = fit(withRes, idCol, "_res", dim, m, k, iters)
+    (encode(withRes, "_res", "codes", cb)
+      .select(col(idCol), col("centroid_id"), col("codes")), cents, cb)
+  }
+
+  /** Residual IVF-PQ search. The ADC table is CELL-DEPENDENT here (the
+    * query's residual differs per probed cell), so the broadcast probe
+    * relation carries one m×k table per (query, probed cell) —
+    * `queries × nProbe × m × k` doubles of bounded driver state, the
+    * same tables FAISS precomputes per query. Everything else keeps the
+    * [[ivfPqSearch]] shape: ONE equi-join of the index against the
+    * broadcast probe relation (probed cells scanned once regardless of
+    * how many queries probe them), ADC distance as a projection,
+    * WindowGroupLimit top-k. No per-query plan branches.
+    *
+    * `nProbe = nCells` is exact over the residual reconstruction:
+    * every row is scored with its own cell's table, and the ADC sum IS
+    * the distance `‖(q - c) - recon_res‖` — gated by `ann_ivfpq_res`
+    * against an independent double recompute.
+    */
+  def ivfPqSearchResidual(index: DataFrame, idCol: String, codesCol: String,
+      centroids: DataFrame, cb: PqCodebook,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be unique")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids)
+    val byId = cents.toMap
+    val probes = queries.flatMap { case (qid, q) =>
+      rankCells(q, cents, nProbe).map { cid =>
+        (qid, cid, adcTable(residual(q, byId(cid)), cb).map(_.toSeq).toSeq)
+      }
+    }.toDF("qid", "centroid_id", "_adc")
+    val scored = materializeRows(
+        index.select(col(idCol), col("centroid_id"), col(codesCol)))
+      .join(broadcast(probes), Seq("centroid_id"))
       .select(col("qid"), col(idCol),
         adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
     SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)

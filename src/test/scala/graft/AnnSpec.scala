@@ -329,6 +329,56 @@ class AnnSpec extends SparkSuite {
       s"flat ADC batch must be ONE plan, not a per-query union:\n$flatPlan")
   }
 
+  test("residual ivfpq: tighter reconstruction than raw PQ, one relational search job") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.{aggregate, broadcast, element_at, sqrt, typedLit, zip_with}
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => (i, v.toArray) }.toSeq
+    val (indexed, cents, cb) = Pq.ivfPqBuildResidual(emb, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, k = 8, iters = 2)
+    assert(indexed.columns.toSeq == Seq("vec_id", "centroid_id", "codes"))
+
+    val res = Pq.ivfPqSearchResidual(indexed, "vec_id", "codes", cents, cb,
+      queries, k = 5, nProbe = 2)
+    assert(res.groupBy("qid").count().select("count")
+      .as[Long].collect().toSeq == Seq.fill(5)(5L))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"residual batch search must be ONE plan, not a per-query union:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("SortMergeJoin"),
+      s"probe relation must broadcast equi-join:\n$plan")
+
+    // quantization quality: at the same (m, k) budget, residual codes
+    // reconstruct tighter than raw-vector codes (the point of the
+    // residual layout) — mean L2(v, reconstruction) over the corpus
+    def meanErr(errCol: org.apache.spark.sql.Column,
+        df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(org.apache.spark.sql.functions.avg(errCol)).head().getDouble(0)
+    def hofL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sqrt(aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        org.apache.spark.sql.functions.lit(0.0d), (acc, x) => acc + x))
+    val centArr = cents.select($"centroid_id".cast("long"), $"centroid")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val joined = indexed.join(emb.select($"vec_id", $"embedding"), "vec_id")
+    val residErr = meanErr(
+      hofL2(
+        graft.functions.vec_sub($"embedding",
+          element_at(typedLit(centArr), $"centroid_id".cast("int") + 1)),
+        Pq.reconstructCol($"codes", cb)),
+      joined)
+    val cbRaw = Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
+    val rawErr = meanErr(
+      hofL2($"embedding", Pq.reconstructCol($"codes", cbRaw)),
+      Pq.encode(emb, "embedding", "codes", cbRaw))
+    assert(residErr <= rawErr * 1.02,
+      s"residual encoding must not reconstruct worse: resid=$residErr raw=$rawErr")
+  }
+
   test("mmr distributed: executor kernel matches driver pick-for-pick, score included") {
     import graft.operators.Mmr
     val qs = emb.filter($"vec_id" < 8)

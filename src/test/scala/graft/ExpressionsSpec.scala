@@ -69,6 +69,19 @@ class ExpressionsSpec extends SparkSuite {
     assert(sh((1 to 50).map("t" + _).mkString(" "), 3).size == 48)
   }
 
+  test("vec_sub: float32 element-wise difference through column API and SQL") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq(1.5f, 2f, -3f), Seq(0.5f, 1f, 1f))).toDF("a", "b")
+    assert(df.select(functions.vec_sub(col("a"), col("b")).as("v"))
+      .head().getSeq[Float](0) == Seq(1.0f, 1.0f, -4.0f))
+    // shorter side bounds the output (the kernels' permissive contract)
+    val mixed = Seq((Seq(1f, 2f, 3f), Seq(1f))).toDF("a", "b")
+    assert(mixed.select(functions.vec_sub(col("a"), col("b")).as("v"))
+      .head().getSeq[Float](0) == Seq(0.0f))
+    assert(spark.sql("SELECT vec_sub(array(1.5F, 2F), array(0.5F, 1F)) AS v")
+      .head().getSeq[Float](0) == Seq(1.0f, 1.0f))
+  }
+
   test("hyperplane_bucket kernel is bit-identical to the composed dot-product form") {
     import org.apache.spark.sql.functions.{aggregate, col, lit, when, sum, zip_with}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
