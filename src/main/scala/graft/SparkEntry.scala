@@ -798,6 +798,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus snapshot diff: the release-to-release audit — per id,
+    // added / removed / changed / unchanged between two corpus
+    // versions, from one slim (id, md5) full-outer equi-join. The two
+    // versions are synthesized from the fixture: ids 0-9 dropped,
+    // 400+ added, every 50th text amended.
+    "dd_corpus_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val oldV = docs.filter(col("doc_id") < 400)
+      val newV = docs.filter(col("doc_id") >= 10)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.corpusDiff(oldV, newV, "doc_id", "text").orderBy("id")
+    }),
+
     // Deterministic sharded shuffle: reproducible training order with
     // no global sort — shard from the md5 prefix, rank within shard.
     "sm_shuffle" -> ((s, dir) =>
@@ -1312,6 +1326,23 @@ object SparkEntry {
           (min(array_min(col("codes"))) >= 0 &&
             max(array_max(col("codes"))) < 16).as("codes_ok"),
           (count(lit(1)) > 0).as("has_rows"))
+    }),
+
+    // Embedding distribution drift between two corpus slices: per
+    // dimension, mean shift (standardized by the baseline sigma) and
+    // variance ratio — the monitoring table that catches a broken
+    // encoder before an index is rebuilt on bad vectors. Both sides
+    // recompute the moments from scratch.
+    "vq_drift" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      operators.VectorOps.embeddingDrift(
+          emb.filter(col("vec_id") < 300), emb.filter(col("vec_id") >= 300),
+          "embedding")
+        .select(col("pos").cast("long").as("pos"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+          round(col("z_shift"), 6).as("z_shift"),
+          round(col("var_ratio"), 6).as("var_ratio"))
+        .orderBy("pos")
     }),
 
     "vq_int8" -> ((s, dir) => {
@@ -2365,6 +2396,42 @@ object SparkEntry {
     "vq_pq_adc" ->
       """SELECT CAST(0 AS BIGINT) AS n_mismatch,
                 true AS codes_ok, true AS has_rows""",
+    "dd_corpus_diff" -> """
+      WITH o AS (
+        SELECT doc_id AS id, md5(text) AS oh, true AS op
+        FROM documents WHERE doc_id < 400),
+      n AS (
+        SELECT doc_id AS id,
+               md5(CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END) AS nh,
+               true AS np
+        FROM documents WHERE doc_id >= 10)
+      SELECT coalesce(o.id, n.id) AS id,
+             CASE WHEN op IS NULL THEN 'added'
+                  WHEN np IS NULL THEN 'removed'
+                  WHEN oh IS NOT DISTINCT FROM nh THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.id = n.id
+      ORDER BY id""",
+    "vq_drift" -> """
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      a AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n_a, avg(v) AS mean_a,
+               avg(v * v) - avg(v) * avg(v) AS m2_a
+        FROM e WHERE vec_id < 300 GROUP BY pos),
+      b AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n_b, avg(v) AS mean_b,
+               avg(v * v) - avg(v) * avg(v) AS m2_b
+        FROM e WHERE vec_id >= 300 GROUP BY pos)
+      SELECT a.pos, n_a, n_b,
+             round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+             round(CASE WHEN m2_a > 0
+                        THEN abs(mean_b - mean_a) / sqrt(m2_a) END, 6) AS z_shift,
+             round(CASE WHEN m2_a > 0 THEN m2_b / m2_a END, 6) AS var_ratio
+      FROM a JOIN b USING (pos)
+      ORDER BY pos""",
     "vq_int8" -> """
       SELECT vec_id,
              round(list_max(list_transform(embedding,

@@ -773,4 +773,29 @@ object Dedup {
             s => s.getField("para"))).as("cleaned"),
         sum(col("copies")).as("n_paras"),
         count(lit(1)).as("n_unique"))
+
+  /** Snapshot diff between two corpus versions: per id, whether it was
+    * `added`, `removed`, `changed` (content hash differs), or
+    * `unchanged` — the release-to-release audit a managed training
+    * corpus runs before retraining (what moved, and how much of it).
+    *
+    * Scale shape: each side reduces to a slim (id, md5) projection
+    * before ONE full-outer equi-join on id — co-partitionable, no
+    * wide rows through the exchange; status is a pure projection.
+    * Presence flags (not hash nullability) decide added/removed, and
+    * the hash compare is null-safe, so NULL text diffs correctly
+    * (NULL → NULL is unchanged, NULL → text is changed).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def slim(df: DataFrame, h: String, p: String) = df.select(
+      col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as(h), lit(true).as(p))
+    slim(oldDf, "_oh", "_op").join(slim(newDf, "_nh", "_np"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_op").isNull, "added")
+          .when(col("_np").isNull, "removed")
+          .when(col("_oh") <=> col("_nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

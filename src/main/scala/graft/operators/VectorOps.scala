@@ -86,4 +86,41 @@ object VectorOps {
       .select(col("label_a"), col("label_b"),
         (dot / (sqrt(na) * sqrt(nb))).as("sim"))
   }
+
+  /** Per-dimension moments of an embedding column: (pos, n, mean, m2)
+    * with `m2` the population variance, double accumulation.
+    *
+    * Scale shape: posexplode fans each row out to `dim` slim
+    * (pos, value) rows, but the groupBy(pos) aggregate map-side
+    * combines to `dim` partials per task — output and shuffle are both
+    * dim-bounded, never corpus-sized.
+    */
+  def dimensionStats(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("double").as("v"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), avg(col("v")).as("mean"),
+        (avg(col("v") * col("v")) - avg(col("v")) * avg(col("v"))).as("m2"))
+
+  /** Embedding distribution drift between two corpus slices (an
+    * embedding-model upgrade, a new crawl snapshot, a source mix
+    * change): per dimension, the mean shift and the variance ratio —
+    * the monitoring table that catches a broken encoder or a
+    * distribution jump BEFORE an index is rebuilt on bad vectors.
+    * Output is dim rows; the standardized shift
+    * `|mean_b - mean_a| / sqrt(m2_a)` reads like a z-score per
+    * dimension.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    val sa = dimensionStats(a, vecCol)
+      .select(col("pos"), col("n").as("n_a"), col("mean").as("mean_a"), col("m2").as("m2_a"))
+    val sb = dimensionStats(b, vecCol)
+      .select(col("pos"), col("n").as("n_b"), col("mean").as("mean_b"), col("m2").as("m2_b"))
+    sa.join(sb, Seq("pos"))
+      .withColumn("shift", col("mean_b") - col("mean_a"))
+      .withColumn("z_shift",
+        when(col("m2_a") > 0, abs(col("shift")) / sqrt(col("m2_a"))))
+      .withColumn("var_ratio", when(col("m2_a") > 0, col("m2_b") / col("m2_a")))
+  }
 }

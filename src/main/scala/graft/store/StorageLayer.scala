@@ -171,4 +171,31 @@ final class TombstoneStorage(spark: SparkSession, root: String) extends StorageL
 
   /** Number of tombstoned ids (monitoring / compaction policy input). */
   def tombstoneCount(): Long = tombstones().map(_.count()).getOrElse(0L)
+
+  /** The current write version — pass to [[readAt]] to pin a snapshot
+    * while later writes land.
+    */
+  def currentVersion(): Long = readVersion()
+
+  /** Snapshot read as of write-version `version`: rows appended at or
+    * before it, minus deletes recorded at or before it — time travel
+    * (reproduce the corpus a run trained on; audit what a delete
+    * removed) paid for by the same gen column the delete ordering
+    * already needs, no transaction log.
+    *
+    * History is bounded by [[compact]] (physically drops masked rows —
+    * earlier snapshots lose them) and erased by [[overwrite]] (a new
+    * table).
+    */
+  def readAt(version: Long): DataFrame = {
+    val data = inner.read().filter(col(GenCol) <= version)
+    val masked = tombstones() match {
+      case Some(t0) =>
+        val t = t0.filter(col("gen") <= version)
+        data.join(broadcast(t),
+          data("id") === t("id") && data(GenCol) < t("gen"), "left_anti")
+      case None => data
+    }
+    masked.drop(GenCol)
+  }
 }

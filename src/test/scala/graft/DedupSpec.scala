@@ -297,4 +297,22 @@ class DedupSpec extends SparkSuite {
     assert(out(1) == ((1L, "solo", 1L, 1L)))
     assert(out(2) == ((2L, "x", 3L, 1L)))
   }
+
+  test("corpusDiff: added/removed/changed/unchanged, null-safe on NULL text") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, null: String), (4L, "d"))
+      .toDF("id", "text")
+    val newV = Seq((2L, "b2"), (3L, null: String), (4L, "d"), (5L, "e"))
+      .toDF("id", "text")
+    val got = Dedup.corpusDiff(oldV, newV, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "unchanged", 5L -> "added"))
+    // NULL -> text and text -> NULL are CHANGED, not unchanged/added
+    val flips = Dedup.corpusDiff(
+        Seq((9L, null: String), (10L, "x")).toDF("id", "text"),
+        Seq((9L, "x"), (10L, null: String)).toDF("id", "text"),
+        "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(flips == Map(9L -> "changed", 10L -> "changed"))
+  }
 }

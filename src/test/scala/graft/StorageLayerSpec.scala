@@ -109,6 +109,26 @@ class StorageLayerSpec extends SparkSuite {
     assert(st.read().filter(col("id") === 5L).count() == 0)
   }
 
+  test("tombstone layout: readAt time-travels across appends and deletes") {
+    val root = Files.createTempDirectory("graft-sl-tt").toString + "/t"
+    val st = new TombstoneStorage(spark, root)
+    st.initialize(table(0).schema)
+    st.append(table(5))                              // v1: ids 0-4
+    st.delete(Seq(2L).toDF("id"))                    // v2: id 2 masked
+    st.append(table(10).filter(col("id") >= 5))      // v3: ids 5-9
+    assert(st.currentVersion() == 3L)
+    def idsAt(v: Long) =
+      st.readAt(v).select("id").as[Long].collect().sorted.toSeq
+    assert(idsAt(1L) == (0L to 4L))
+    assert(idsAt(2L) == Seq(0L, 1L, 3L, 4L))
+    assert(idsAt(3L) == st.read().select("id").as[Long].collect().sorted.toSeq)
+    // compaction bounds history: masked rows are physically gone, so
+    // the v1 snapshot no longer resurrects the deleted id
+    st.compact()
+    assert(idsAt(1L) == Seq(0L, 1L, 3L, 4L))
+    assert(idsAt(3L).size == 9)
+  }
+
   test("tombstone overwrite folds pending tombstones; staged swap stays atomic") {
     val root = Files.createTempDirectory("graft-sl-ow").toString + "/t"
     val st = new TombstoneStorage(spark, root)

@@ -187,4 +187,22 @@ class VectorOpsSpec extends AnyFunSuite with SparkSuite {
       s"first component ${c0.toList} not aligned with $d")
     assert(model.eigenvalues(0) > 100 * model.eigenvalues(1))
   }
+
+  test("embeddingDrift: known mean shift, zero-variance guard, null vectors skipped") {
+    val a = Seq((1L, Seq(0f, 1f)), (2L, Seq(2f, 1f)), (3L, null: Seq[Float]))
+      .toDF("id", "vec")
+    val b = Seq((4L, Seq(10f, 1f)), (5L, Seq(12f, 1f))).toDF("id", "vec")
+    val got = VectorOps.embeddingDrift(a, b, "vec").orderBy("pos")
+      .select($"pos", $"n_a", $"mean_a", $"mean_b", $"shift", $"z_shift", $"var_ratio")
+      .collect()
+    // dim 0: means 1 -> 11, sigma_a = 1 => z = 10; variances equal
+    assert(got(0).getLong(1) == 2L) // null vector row skipped
+    assert(got(0).getDouble(2) == 1.0 && got(0).getDouble(3) == 11.0)
+    assert(math.abs(got(0).getDouble(5) - 10.0) < 1e-9)
+    assert(math.abs(got(0).getDouble(6) - 1.0) < 1e-9)
+    // dim 1: constant column — zero baseline variance yields NULL
+    // z/ratio, not a division blow-up
+    assert(got(1).getDouble(4) == 0.0)
+    assert(got(1).isNullAt(5) && got(1).isNullAt(6))
+  }
 }
