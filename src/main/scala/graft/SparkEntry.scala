@@ -534,6 +534,37 @@ object SparkEntry {
       Bm25.topK(T(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "merge", "vector"), k = 20)),
 
+    // Exact distributed binary AUC (Mann-Whitney with midranks) of a
+    // deterministic quality score — a logistic in the gopher word
+    // count — against the gopher keep/drop label. No global window:
+    // per-distinct-score agg, bucket-partitioned cumulative, broadcast
+    // bucket offsets (the two-level prefix-sum shape). The AUC
+    // arithmetic is integer-exact (counts and half-counts), so the
+    // oracle matches bit-for-bit despite libm exp differences.
+    "ir_auc" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val wc = size(TextAnalysis.tokens(col("text"))).cast("double")
+      val scored = docs.select(
+        (lit(1.0) / (lit(1.0) + exp(-(wc - 150.0) / 60.0))).as("score"),
+        TextAnalysis.gopherPass(col("text")).as("label"))
+      operators.Evaluation.binaryAuc(scored, "score", "label")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
+    }),
+
+    // Reliability table for the same score/label: per probability bin,
+    // count, mean score, and empirical positive rate.
+    "ir_calibration" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val wc = size(TextAnalysis.tokens(col("text"))).cast("double")
+      val scored = docs.select(
+        (lit(1.0) / (lit(1.0) + exp(-(wc - 150.0) / 60.0))).as("score"),
+        TextAnalysis.gopherPass(col("text")).as("label"))
+      operators.Evaluation.calibration(scored, "score", "label", nBins = 10)
+        .select(col("bin"), col("n"), round(col("avg_score"), 6).as("avg_score"),
+          round(col("frac_pos"), 6).as("frac_pos"))
+        .orderBy("bin")
+    }),
+
     // Gopher-style quality rules: per-rule booleans + the keep/drop
     // conjunction, all pure projections.
     "tx_gopher" -> ((s, dir) =>
@@ -3153,6 +3184,78 @@ object SparkEntry {
         FROM f, s)
       SELECT doc_id, bm25 FROM sc WHERE bm25 > 0e0
       ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // the gopher fragment below mirrors tx_gopher (whose EXACT row
+    // proves the label parity); AUC arithmetic is integer-exact
+    "ir_auc" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      m AS (
+        SELECT doc_id, len(toks) AS wc,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) AS mwl,
+               (len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) / 3 AS nsym,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+               len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is','it'))) AS nstop
+        FROM t),
+      r AS (
+        SELECT wc,
+               ((wc >= 50 AND wc <= 100000)
+                AND (mwl >= 3.0e0 AND mwl <= 10.0e0)
+                AND (CAST(nsym AS DOUBLE) / wc < 0.1e0)
+                AND (CAST(nalpha AS DOUBLE) / wc > 0.8e0)
+                AND (nstop >= 2)) AS passes
+        FROM m),
+      d AS (
+        SELECT 1.0 / (1.0 + exp(-(CAST(wc AS DOUBLE) - 150) / 60)) AS s,
+               CASE WHEN passes THEN 1 ELSE 0 END AS y
+        FROM r),
+      per AS (
+        SELECT s, sum(y) AS pos_at, count(*) - sum(y) AS neg_at
+        FROM d GROUP BY s),
+      c AS (
+        SELECT pos_at, neg_at,
+               coalesce(sum(neg_at) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM per)
+      SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
+             CAST(sum(neg_at) AS BIGINT) AS n_neg,
+             round(sum(pos_at * (nb + neg_at / 2.0))
+               / (sum(pos_at) * CAST(sum(neg_at) AS DOUBLE)), 6) AS auc
+      FROM c""",
+    "ir_calibration" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      m AS (
+        SELECT doc_id, len(toks) AS wc,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) AS mwl,
+               (len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) / 3 AS nsym,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+               len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is','it'))) AS nstop
+        FROM t),
+      r AS (
+        SELECT wc,
+               ((wc >= 50 AND wc <= 100000)
+                AND (mwl >= 3.0e0 AND mwl <= 10.0e0)
+                AND (CAST(nsym AS DOUBLE) / wc < 0.1e0)
+                AND (CAST(nalpha AS DOUBLE) / wc > 0.8e0)
+                AND (nstop >= 2)) AS passes
+        FROM m),
+      d AS (
+        SELECT 1.0 / (1.0 + exp(-(CAST(wc AS DOUBLE) - 150) / 60)) AS s,
+               CASE WHEN passes THEN 1.0 ELSE 0.0 END AS y
+        FROM r)
+      SELECT greatest(least(CAST(floor(s * 10) AS BIGINT), 9), 0) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(s), 6) AS avg_score,
+             round(avg(y), 6) AS frac_pos
+      FROM d GROUP BY 1 ORDER BY bin""",
     "tx_gopher" -> """
       WITH t AS (
         SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks

@@ -58,4 +58,78 @@ object Evaluation {
         coalesce(lit(1.0) / col("_first_hit"), lit(0.0)).as("mrr"),
         (coalesce(col("_dcg"), lit(0.0)) / idealDcg).as("ndcg"))
   }
+
+  /** EXACT binary AUC — the Mann-Whitney statistic with midrank tie
+    * handling — for a classifier score (e.g. the quality model's
+    * probability) against a boolean label, with NO global window:
+    *   1. aggregate to one row per DISTINCT score (pos_at, neg_at) —
+    *      one map-side-combined shuffle;
+    *   2. range-bucket the distinct scores (min/max are two tiny
+    *      jobs); cumulative negatives run as a BUCKET-partitioned
+    *      window;
+    *   3. bucket totals take the global cumsum on driver-scale data
+    *      and broadcast back as base offsets — the
+    *      [[Packing.tokenSpans]] two-level prefix-sum shape.
+    * AUC = Σ_s pos_at(s) · (neg_below(s) + neg_at(s)/2) / (nPos·nNeg).
+    * Returns ONE row (n_pos, n_neg, auc); `auc` is NULL when either
+    * class is empty. Rows with NULL score or label are ignored.
+    */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val d = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+    val per = d.groupBy("s").agg(
+      sum(col("y")).as("pos_at"),
+      (count(lit(1)) - sum(col("y"))).as("neg_at"))
+    val mm = per.agg(min(col("s")), max(col("s"))).head()
+    val spark = df.sparkSession
+    if (mm.isNullAt(0)) {
+      import spark.implicits._
+      return Seq((0L, 0L, Option.empty[Double])).toDF("n_pos", "n_neg", "auc")
+    }
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (hi > lo) hi - lo else 1.0
+    val bkt = least(
+      floor((col("s") - lit(lo)) / lit(width) * nBuckets).cast("long"),
+      lit(nBuckets - 1L))
+    val local = per.withColumn("_bkt", bkt)
+      .withColumn("_cum_in",
+        sum(col("neg_at")).over(Window.partitionBy("_bkt").orderBy("s")))
+    val bases = local.groupBy("_bkt").agg(sum(col("neg_at")).as("_tot"))
+      .withColumn("_base",
+        sum(col("_tot")).over(Window.orderBy("_bkt")) - col("_tot"))
+      .select("_bkt", "_base")
+    local.join(broadcast(bases), Seq("_bkt"))
+      .select(col("pos_at"), col("neg_at"),
+        (col("pos_at") * (col("_base") + col("_cum_in") - col("neg_at")
+          + col("neg_at") / 2.0)).as("_u"))
+      .agg(sum(col("pos_at")).as("n_pos"), sum(col("neg_at")).as("n_neg"),
+        sum(col("_u")).as("_usum"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("_usum") / (col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Reliability table for probability scores in [0, 1]: per bin of
+    * width 1/nBins, (n, avg_score, frac_pos) — is the model saying
+    * 0.8 right 80% of the time? One map-side-combined aggregation,
+    * bin count bounded. Out-of-range scores clamp into the edge bins;
+    * NULL score/label rows are ignored.
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0).as("y"))
+      .withColumn("bin", greatest(least(
+        floor(col("s") * nBins).cast("long"), lit(nBins - 1L)), lit(0L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg(col("s")).as("avg_score"),
+        avg(col("y")).as("frac_pos"))
+  }
 }

@@ -431,6 +431,37 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("binaryAuc: separation, reversal, ties via midranks; calibration bins") {
+    import graft.operators.Evaluation
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = Evaluation.binaryAuc(rows.toDF("s", "y"), "s", "y", nBuckets = 4).head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(auc(Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))) == Some(1.0))
+    assert(auc(Seq((0.9, false), (0.8, false), (0.1, true))) == Some(0.0))
+    assert(auc(Seq((0.5, false), (0.5, true), (0.5, true))) == Some(0.5))
+    // midranks: tie at 0.1 counts half, the clear win counts full
+    assert(auc(Seq((0.1, false), (0.1, true), (0.9, true))) == Some(0.75))
+    // one-class and empty inputs: NULL auc, not a crash or a 0/0
+    assert(auc(Seq((0.3, true), (0.7, true))).isEmpty)
+    assert(auc(Seq.empty).isEmpty)
+    // the two-level prefix sum must agree with a single-bucket run
+    val mixed = (1 to 200).map(i => (i / 200.0, i % 3 == 0))
+    assert(auc(mixed) ==
+      Some(Evaluation.binaryAuc(mixed.toDF("s", "y"), "s", "y", nBuckets = 1)
+        .head().getDouble(2)))
+
+    val cal = Evaluation.calibration(
+      Seq((0.05, false), (0.08, true), (0.95, true), (1.0, true), (-0.2, false))
+        .toDF("s", "y"), "s", "y", nBins = 10)
+      .orderBy("bin").collect()
+    // -0.2 clamps into bin 0; 1.0 clamps into bin 9
+    assert(cal.map(_.getLong(0)).toSeq == Seq(0L, 9L))
+    assert(cal(0).getLong(1) == 3L && cal(1).getLong(1) == 2L)
+    assert(math.abs(cal(0).getDouble(3) - 1.0 / 3) < 1e-12)
+    assert(cal(1).getDouble(3) == 1.0)
+  }
+
   test("kmeans inertia: non-increasing in k, matches a local recompute") {
     val inertias = Seq(1, 2, 4, 8).map { k =>
       val cents = Ann.kmeans(emb, "vec_id", "embedding", k, iters = 3)
