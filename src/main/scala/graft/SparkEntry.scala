@@ -1683,6 +1683,28 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // Mean-average-precision companion: same truncated-dim run vs
+    // full-dim truth as ir_metrics, scored with the order-sensitive
+    // AP@10 (per-query window ≤ 10 rows — bounded state). DuckDB
+    // recomputes the rankings AND the cumulative-precision formula.
+    "ir_map" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val emb8 = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs8 = emb8.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val run = SimilarityJoin.knnL2(emb8, "vec_id", "embedding",
+          qs8, "qid", "qvec", k = 10)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      val truth = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 3)
+        .select(col("qid"), col("vec_id"))
+      operators.Evaluation.averagePrecision(run, truth, "qid", "vec_id", "rn", k = 10)
+        .select(col("qid"), col("n_relevant"), round(col("ap"), 4).as("ap"))
+        .orderBy("qid")
+    }),
+
     // The ANN tuning report: every index family (LSH, IVF at nProbe
     // 1/2/4/8, IVF-PQ) over the SAME queries, each run scored with
     // rankedMetrics against the exact top-10 truth of its distance
@@ -3029,6 +3051,43 @@ object SparkEntry {
       FROM nrel
       LEFT JOIN perq ON perq.qid = nrel.qid
       JOIN ideal ON ideal.qid = nrel.qid
+      ORDER BY nrel.qid""",
+    "ir_map" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 5),
+      l2r AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding[1:8], q.qvec[1:8]),
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q),
+      run AS (SELECT qid, id, rank FROM l2r WHERE rank <= 10),
+      fullr AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding, q.qvec), e.vec_id) AS rr
+        FROM embeddings e CROSS JOIN q),
+      truth AS (SELECT qid, id FROM fullr WHERE rr <= 3),
+      nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant
+               FROM truth GROUP BY qid),
+      j AS (
+        SELECT run.qid, run.rank,
+               CASE WHEN truth.id IS NULL THEN 0 ELSE 1 END AS rel
+        FROM run LEFT JOIN truth ON run.qid = truth.qid AND run.id = truth.id),
+      h AS (
+        SELECT qid, rank, rel,
+               sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS hits_at
+        FROM j),
+      perq AS (
+        SELECT qid,
+               sum(CASE WHEN rel = 1
+                   THEN CAST(hits_at AS DOUBLE) / CAST(rank AS DOUBLE)
+                   END) AS sum_p
+        FROM h GROUP BY qid)
+      SELECT nrel.qid, nrel.n_relevant,
+             round(coalesce(perq.sum_p, 0e0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE), 4) AS ap
+      FROM nrel LEFT JOIN perq ON perq.qid = nrel.qid
       ORDER BY nrel.qid""",
     "ann_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",

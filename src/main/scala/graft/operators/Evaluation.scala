@@ -59,6 +59,42 @@ object Evaluation {
         (coalesce(col("_dcg"), lit(0.0)) / idealDcg).as("ndcg"))
   }
 
+  /** Per-query average precision @k — the order-sensitive companion to
+    * [[rankedMetrics]]: AP = Σ_{relevant hit at rank r} P@r / min(k,
+    * n_relevant), where P@r counts hits among the top r. Rewards
+    * putting relevant results EARLY, not merely inside the cutoff
+    * (recall@k cannot tell rank 1 from rank k). Averaging `ap` over
+    * queries is MAP.
+    *
+    * Shape: the same run⋈truth equi-join as rankedMetrics plus one
+    * window partitioned BY QUERY (≤ k rows per partition — bounded
+    * state, never a global sort). `rankCol` must be distinct within a
+    * query (1..k from row_number, as every graft retrieval op emits);
+    * duplicated truth rows are deduped defensively. Queries in truth
+    * but absent from the run score ap = 0.
+    */
+  def averagePrecision(
+      run: DataFrame, truth: DataFrame,
+      qidCol: String, idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val t = truth.select(col(qidCol), col(idCol)).dropDuplicates(qidCol, idCol)
+    val nRel = t.groupBy(col(qidCol)).agg(count(lit(1)).as("n_relevant"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col(rankCol))
+    val perQ = run.filter(col(rankCol) <= k)
+      .join(t.withColumn("_rel", lit(1)), Seq(qidCol, idCol), "left_outer")
+      .withColumn("_hits_at", sum(coalesce(col("_rel"), lit(0))).over(w))
+      .withColumn("_p_at", when(col("_rel") === 1,
+        col("_hits_at").cast("double") / col(rankCol).cast("double")))
+      .groupBy(col(qidCol)).agg(sum(col("_p_at")).as("_sum_p"))
+    nRel.join(perQ, Seq(qidCol), "left_outer")
+      .select(
+        col(qidCol),
+        col("n_relevant"),
+        (coalesce(col("_sum_p"), lit(0.0))
+          / least(col("n_relevant"), lit(k.toLong)).cast("double")).as("ap"))
+  }
+
   /** EXACT binary AUC — the Mann-Whitney statistic with midrank tie
     * handling — for a classifier score (e.g. the quality model's
     * probability) against a boolean label, with NO global window:

@@ -252,6 +252,32 @@ class AnnSpec extends SparkSuite {
     assert(m(2L)._3 == 0L && m(2L)._4 == 0.0 && m(2L)._5 == 0.0 && m(2L)._6 == 0.0)
   }
 
+  test("evaluation: average precision hand-computed, order sensitivity, absent query") {
+    import graft.operators.Evaluation
+    // q1: hits at ranks 1 and 3 of 2 relevant -> AP = (1/1 + 2/3) / 2
+    // q2: same hits pushed to ranks 2 and 3 -> AP = (1/2 + 2/3) / 2 (strictly lower)
+    val run = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("qid", "id", "rank")
+    val truth = Seq(
+      (1L, 10L), (1L, 12L),
+      (2L, 21L), (2L, 22L),
+      (3L, 99L)).toDF("qid", "id")
+    val ap = Evaluation.averagePrecision(run, truth, "qid", "id", "rank", k = 3)
+      .select("qid", "n_relevant", "ap")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(ap(1L)._3 - (1.0 + 2.0 / 3.0) / 2.0) < 1e-12)
+    assert(math.abs(ap(2L)._3 - (0.5 + 2.0 / 3.0) / 2.0) < 1e-12)
+    assert(ap(1L)._3 > ap(2L)._3, "AP must reward earlier hits")
+    // q3: in truth, absent from the run -> ap = 0
+    assert(ap(3L)._2 == 1L && ap(3L)._3 == 0.0)
+    // duplicated truth rows must not double-count
+    val dup = truth.unionAll(truth)
+    val apDup = Evaluation.averagePrecision(run, dup, "qid", "id", "rank", k = 3)
+      .select("qid", "ap").as[(Long, Double)].collect().toMap
+    assert(math.abs(apDup(1L) - ap(1L)._3) < 1e-12)
+  }
+
   test("mmr: lambda=1 is relevance order; diversity penalty reroutes pick 2") {
     import graft.operators.Mmr
     val cands = Seq(
