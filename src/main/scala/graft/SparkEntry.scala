@@ -1240,6 +1240,16 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
 
+    // PMI collocations: strongest adjacent-bigram associations with a
+    // min-count floor. Ordered by the ROUNDED score (ulp-level libm
+    // differences must not reorder near-ties cross-engine).
+    "tx_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(T(s, dir, "documents"), "text", minCount = 5)
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)),
+
     // Funnel conversion rates: clicks per user vs clicks that convert
     // to a purchase within 30 min (distinct first_id over the interval
     // join) — the analytics composition over funnelPairs.
@@ -2723,6 +2733,27 @@ object SparkEntry {
       SELECT bigram, CAST(count(*) AS BIGINT) AS n
       FROM sh GROUP BY bigram
       ORDER BY n DESC, bigram LIMIT 20""",
+    "tx_pmi" -> """
+      WITH tok AS (
+        SELECT string_split_regex(lower(text), '\s+') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      pos AS (
+        SELECT unnest(range(1, greatest(len(ts) - 2 + 2, 1))) AS i, ts FROM tok),
+      bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM pos),
+      cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+              FROM bg GROUP BY w1, w2),
+      ca AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cab GROUP BY w1),
+      cb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cab GROUP BY w2),
+      tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS nn FROM cab)
+      SELECT cab.w1, cab.w2, cab.n_ab, ca.n_a, cb.n_b,
+             round(ln((CAST(cab.n_ab AS DOUBLE) * tot.nn)
+               / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_b AS DOUBLE))), 6) AS pmi
+      FROM cab
+      JOIN ca ON ca.w1 = cab.w1
+      JOIN cb ON cb.w2 = cab.w2
+      CROSS JOIN tot
+      WHERE cab.n_ab >= 5
+      ORDER BY pmi DESC, cab.w1, cab.w2 LIMIT 20""",
     "st_conversion" -> """
       WITH c AS (
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks

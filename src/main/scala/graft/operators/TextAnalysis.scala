@@ -397,6 +397,43 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Pointwise-mutual-information collocations over adjacent-token
+    * bigrams: scores how much more often `w1 w2` co-occurs than chance,
+    * PMI = ln(n_ab·N / (n_a·n_b)) with marginals n_a (bigram-first) and
+    * n_b (bigram-second) and N = total bigrams — the classic
+    * collocation detector (Church & Hanks 1990) used to find multiword
+    * units worth keeping intact during tokenizer/vocab construction.
+    *
+    * Shape: ONE shuffle of document data (the bigram count); marginals
+    * and the total derive from the counted frame (vocab-bounded), so
+    * corpus size only enters the first aggregation. `minCount` prunes
+    * the hapax tail BEFORE the marginal joins. All factors are cast to
+    * double before multiplying (same IEEE order cross-engine; avoids
+    * int64 overflow of n_ab·N at corpus scale).
+    *
+    * Returns (w1, w2, n_ab, n_a, n_b, pmi), one row per surviving
+    * bigram. NULL texts contribute nothing.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bg = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(wordShingles(col(textCol), 2)).as("bigram"))
+      .select(split(col("bigram"), " ", 2).as("_p"))
+      .select(col("_p").getItem(0).as("w1"), col("_p").getItem(1).as("w2"))
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    // one pass over doc data above; everything below is vocab-scale
+    val ca = cab.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
+    val cb = cab.groupBy("w2").agg(sum(col("n_ab")).as("n_b"))
+    val n = cab.agg(sum(col("n_ab"))).head().getLong(0)
+    cab.filter(col("n_ab") >= minCount)
+      .join(ca, "w1").join(cb, "w2")
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        log((col("n_ab").cast("double") * lit(n.toDouble))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("pmi"))
+  }
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)

@@ -651,4 +651,24 @@ class TextOpsSpec extends SparkSuite {
     assert(out(0) == ((0L, "a\nb", 2L, 0L)))
     assert(out(1) == ((1L, "c\nd", 2L, 0L)))
   }
+
+  test("pmi collocations: hand-computed scores, marginals, minCount floor") {
+    // bigrams: (a,b)x2, (b,a), (a,c); N=4; n_a: a->3 b->1; n_b: b->2 a->1 c->1
+    val docs = Seq((0L, "a b a b"), (1L, "a c"), (2L, null: String))
+      .toDF("id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 1)
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 3)
+    val (_, _, nab, na, nb, pmiAb) = out(("a", "b"))
+    assert(nab == 2L && na == 3L && nb == 2L)
+    assert(math.abs(pmiAb - math.log(2.0 * 4.0 / (3.0 * 2.0))) < 1e-12)
+    assert(math.abs(out(("b", "a"))._6 - math.log(4.0)) < 1e-12)
+    assert(math.abs(out(("a", "c"))._6 - math.log(4.0 / 3.0)) < 1e-12)
+    // minCount floor prunes singletons but keeps their mass in marginals
+    val floored = TextAnalysis.pmiCollocations(docs, "text", minCount = 2)
+      .select("w1", "w2", "n_a").as[(String, String, Long)].collect()
+    assert(floored.toSeq == Seq(("a", "b", 3L)))
+  }
 }
