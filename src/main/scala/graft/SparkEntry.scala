@@ -1250,6 +1250,17 @@ object SparkEntry {
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)),
 
+    // Z-order (Morton) key for two-dimensional layout: integer-exact
+    // bit interleave, so DuckDB recomputes the identical twiddle. The
+    // z uniquely encodes (x, y) — ordering by it is deterministic.
+    "pk_zorder" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+        .distinct()
+        .withColumn("z", operators.Layout.zValue2(col("x"), col("y")))
+        .orderBy("z")
+        .limit(20)),
+
     // Funnel conversion rates: clicks per user vs clicks that convert
     // to a purchase within 30 min (distinct first_id over the interval
     // join) — the analytics composition over funnelPairs.
@@ -2754,6 +2765,25 @@ object SparkEntry {
       CROSS JOIN tot
       WHERE cab.n_ab >= 5
       ORDER BY pmi DESC, cab.w1, cab.w2 LIMIT 20""",
+    // the 5-round mask-shift Morton spread, unrolled per coordinate
+    // (masks in decimal: 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+    //  0x0F0F0F0F0F0F0F0F, 0x3333..., 0x5555...)
+    "pk_zorder" -> """
+      WITH d AS (SELECT DISTINCT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+                 FROM lineitem),
+      s0 AS (SELECT x, y, x & 4294967295 AS sx, y & 4294967295 AS sy FROM d),
+      s1 AS (SELECT x, y, (sx | (sx << 16)) & 281470681808895 AS sx,
+                          (sy | (sy << 16)) & 281470681808895 AS sy FROM s0),
+      s2 AS (SELECT x, y, (sx | (sx << 8)) & 71777214294589695 AS sx,
+                          (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+      s3 AS (SELECT x, y, (sx | (sx << 4)) & 1085102592571150095 AS sx,
+                          (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+      s4 AS (SELECT x, y, (sx | (sx << 2)) & 3689348814741910323 AS sx,
+                          (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+      s5 AS (SELECT x, y, (sx | (sx << 1)) & 6148914691236517205 AS sx,
+                          (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4)
+      SELECT x, y, (sx | (sy << 1)) AS z FROM s5
+      ORDER BY z LIMIT 20""",
     "st_conversion" -> """
       WITH c AS (
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks

@@ -230,4 +230,46 @@ class PackingMixtureSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(viaCol == viaScalar && viaCol.nonEmpty)
   }
+
+  test("zValue2 matches a bit-by-bit reference interleave incl. 32-bit edges") {
+    import graft.operators.Layout
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 32) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL),
+      (0xFFFFFFFFL, 0xFFFFFFFFL), (1L, 2L)) ++
+      Seq.fill(50)((rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue2(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x, $y)") }
+    // z-order preserves grid locality direction: (0,0) < (1,0) < (0,1) interleaved
+    assert(ref(1, 0) == 1L && ref(0, 1) == 2L && ref(1, 1) == 3L)
+  }
+
+  test("zorderBy: partitions cover disjoint contiguous z intervals") {
+    import graft.operators.Layout
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(4000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("x", "y")
+    val parts = Layout.zorderBy(df, "x", "y", numPartitions = 8)
+      .withColumn("z", Layout.zValue2(col("x"), col("y")))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._2)
+    assert(parts.length > 1)
+    parts.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 <= lo2, "partition z ranges must not interleave")
+      case _ =>
+    }
+  }
 }
