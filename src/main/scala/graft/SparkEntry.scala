@@ -26,6 +26,19 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.nanosTimestampParquet(s, s"$dir/events.parquet", "ts")
 
+  /** Directed co-purchase edges for the gr_* graph gates: parts linked
+    * when they ship in the same order (symmetric by construction),
+    * thinned to a quarter of orders to keep the gate lean. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 1)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val a = li.toDF("ok", "src")
+    val b = li.toDF("ok", "dst")
+    a.join(b, "ok").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
   /** Run `body` with session confs temporarily set — the streaming
     * gates hold the legacy nanos flag across their run and drop the
     * state-store partition count (a streaming query spins up one state
@@ -1259,6 +1272,25 @@ object SparkEntry {
         .distinct()
         .withColumn("z", operators.Layout.zValue2(col("x"), col("y")))
         .orderBy("z")
+        .limit(20)),
+
+    // PageRank over the co-purchase graph (parts linked when shipped in
+    // the same order; symmetric, so no dangling mass). 3 fixed
+    // iterations; DuckDB recomputes the full unrolled recurrence.
+    // Ranks round to 10 decimals BEFORE ordering (the sums' float
+    // error is < 1e-15 — ulp-order divergence must not reorder ties).
+    "gr_pagerank" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      operators.Graphs.pageRank(e, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }),
+
+    // Structural degree profile of the same graph.
+    "gr_degrees" -> ((s, dir) =>
+      operators.Graphs.degrees(coPurchaseEdges(s, dir), "src", "dst")
+        .orderBy(col("out_deg").desc, col("node"))
         .limit(20)),
 
     // Funnel conversion rates: clicks per user vs clicks that convert
@@ -2784,6 +2816,59 @@ object SparkEntry {
                           (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4)
       SELECT x, y, (sx | (sy << 1)) AS z FROM s5
       ORDER BY z LIMIT 20""",
+    // the full 3-iteration PageRank recurrence, unrolled. All float
+    // literals carry e0 so DuckDB stays in DOUBLE (plain 0.85 would go
+    // DECIMAL and make 1 - 0.85 exact where IEEE gives 0.1500...02).
+    // The co-purchase graph is symmetric => no dangling mass (the
+    // Spark side's dangling term is exactly + 0.0).
+    "gr_pagerank" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.ok = b.ok
+            WHERE a.l_partkey <> b.l_partkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+      r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+      c1 AS (SELECT e.dst AS node, sum(r.rank / CAST(od.odeg AS DOUBLE)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r0 r ON r.node = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT nodes.node,
+                    (1e0 - 0.85e0) / nn.n
+                      + 0.85e0 * (coalesce(c1.c, 0e0) + 0e0 / nn.n) AS rank
+             FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN nn),
+      c2 AS (SELECT e.dst AS node, sum(r.rank / CAST(od.odeg AS DOUBLE)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r1 r ON r.node = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT nodes.node,
+                    (1e0 - 0.85e0) / nn.n
+                      + 0.85e0 * (coalesce(c2.c, 0e0) + 0e0 / nn.n) AS rank
+             FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN nn),
+      c3 AS (SELECT e.dst AS node, sum(r.rank / CAST(od.odeg AS DOUBLE)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r2 r ON r.node = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT nodes.node,
+                    (1e0 - 0.85e0) / nn.n
+                      + 0.85e0 * (coalesce(c3.c, 0e0) + 0e0 / nn.n) AS rank
+             FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
+      SELECT node, round(rank, 10) AS rank FROM r3
+      ORDER BY rank DESC, node LIMIT 20""",
+    "gr_degrees" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.ok = b.ok
+            WHERE a.l_partkey <> b.l_partkey),
+      o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+            FROM e GROUP BY src),
+      i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+            FROM e GROUP BY dst)
+      SELECT coalesce(o.node, i.node) AS node,
+             coalesce(o.out_deg, 0) AS out_deg,
+             coalesce(i.in_deg, 0) AS in_deg
+      FROM o FULL JOIN i ON i.node = o.node
+      ORDER BY out_deg DESC, node LIMIT 20""",
     "st_conversion" -> """
       WITH c AS (
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks

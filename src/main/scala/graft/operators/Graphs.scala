@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over edge-list DataFrames. The curation use case:
+  * rank hosts/documents by link (or co-occurrence) structure so
+  * low-centrality spam sources can be down-weighted before sampling —
+  * the classic web-scale quality prior (Page et al. 1999).
+  *
+  * Everything is relational: an iteration is ONE shuffle join of the
+  * (src, dst, odeg) edge frame with the current rank frame plus a
+  * map-side-combined sum by dst — the textbook distributed PageRank
+  * shape. No driver-side graph state: dangling-node mass flows through
+  * a broadcast one-row frame, and each iteration's rank frame is
+  * eagerly local-checkpointed so lineage stays O(1) deep regardless of
+  * iteration count (the [[Dedup.connectedComponents]] discipline).
+  */
+object Graphs {
+
+  /** PageRank with uniform teleport and uniform dangling-mass
+    * redistribution, run for a FIXED `iterations` count (deterministic
+    * plan, reproducible cross-engine — convergence-threshold stopping
+    * would make the result depend on float noise).
+    *
+    *   rank'(v) = (1-d)/N + d · (Σ_{u→v} rank(u)/odeg(u) + dangling/N)
+    *
+    * `edges` is a directed edge list; parallel edges count once per
+    * occurrence (dedupe upstream for a simple graph). Nodes are the
+    * union of endpoints. Returns (node, rank); ranks sum to 1.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    // (src, dst, odeg) materialized once, reused by every iteration
+    val ej = e.join(outDeg, "src").localCheckpoint(true)
+    val danglingNodes = nodes
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = ej
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(sum(col("rank") / col("odeg").cast("double")).as("_c"))
+        .withColumnRenamed("dst", "node")
+      val dangling = danglingNodes
+        .join(ranks, "node")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping)
+            * (coalesce(col("_c"), lit(0.0))
+              + col("_dm") / lit(n.toDouble))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** In/out degree per node — the cheap structural profile (one
+    * aggregation per direction over the edge list, outer-merged so
+    * source-only and sink-only nodes both appear with a 0). */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val out = edges.groupBy(col(srcCol).cast("long").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dstCol).cast("long").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graphs
+
+class GraphsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Scalar reference: dense PageRank with uniform teleport and
+    * dangling redistribution, same fixed-iteration recurrence. */
+  private def refPageRank(
+      nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iterations: Int, damping: Double): Map[Long, Double] = {
+    val n = nodes.size
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / odeg(s) }.sum
+      }
+      val dm = nodes.filterNot(odeg.contains).map(r).sum
+      r = nodes.map(v => v ->
+        ((1.0 - damping) / n + damping * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank: dangling-node graph matches the scalar recurrence") {
+    // 1 -> 2, 1 -> 3, 2 -> 3; node 3 dangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    val want = refPageRank(Seq(1L, 2L, 3L), edges, iterations = 4, damping = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"node $v") }
+    // mass conservation: dangling redistribution keeps Σrank = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the double-cited sink outranks everything; the pure source is last
+    assert(got(3L) > got(2L) && got(2L) > got(1L))
+  }
+
+  test("pageRank: symmetric ring is uniform; star center dominates") {
+    val ring = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+    val r = Graphs.pageRank(ring.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r.values.map(v => math.abs(v - 1.0 / 3)).max < 1e-12)
+    // hub-and-spoke: all spokes cite the center
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L))
+    val s = Graphs.pageRank(star.toDF("src", "dst"), "src", "dst", iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(s(0L) > s(1L) && s(1L) > s(2L) && s(2L) == s(3L))
+  }
+
+  test("degrees: full-outer merge includes source-only and sink-only nodes") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val d = Graphs.degrees(e, "src", "dst")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(d == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
+  }
+}
