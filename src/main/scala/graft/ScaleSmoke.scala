@@ -308,6 +308,24 @@ object ScaleSmoke {
       println(s"SMOKE   mmr reranked rows: $n")
     }
 
+    // ---- PageRank over a ~1M-edge co-purchase graph -------------------
+    // One shuffle join + map-side-combined sum per iteration; rank
+    // frames localCheckpoint each round so lineage stays O(1). The
+    // shape a host-graph quality prior runs at corpus scale.
+    timed("pagerank ~1M edges x5 iter") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val e = a.join(b, "ok").filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct().localCheckpoint()
+      println(s"SMOKE   pagerank edges: ${e.count()}")
+      val pr = graft.operators.Graphs.pageRank(e, "src", "dst", iterations = 5)
+      val top = pr.orderBy(col("rank").desc).limit(3)
+        .as[(Long, Double)].collect()
+      println(s"SMOKE   pagerank top: ${top.map(t => f"${t._1}:${t._2}%.2e").mkString(" ")}")
+    }
+
     // ---- the whole pipeline, end-to-end, LSH-mode dedup (default) ----
     // Stage-by-stage so SCALE.md records survivor counts; bands=4
     // (r=8, S-curve ~0.84) matches the ~0.98-Jaccard replica corpus —

@@ -1736,6 +1736,30 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // Hybrid-retrieval fusion: a cosine run and a truncated-dim L2 run
+    // over the same queries, fused by reciprocal rank. Contributions
+    // are 1/(60+rank) — exact doubles, and a two-term sum is
+    // order-independent, so the fused scores and ordering are
+    // bit-reproducible cross-engine.
+    "ir_rrf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val emb8 = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs8 = emb8.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val runCos = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 10)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      val runL2 = SimilarityJoin.knnL2(emb8, "vec_id", "embedding",
+          qs8, "qid", "qvec", k = 10)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      operators.Evaluation.reciprocalRankFusion(
+          Seq(runCos, runL2), "qid", "vec_id", "rn", topK = 10)
+        .select(col("qid"), col("vec_id"), round(col("rrf"), 6).as("rrf"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Mean-average-precision companion: same truncated-dim run vs
     // full-dim truth as ir_metrics, scored with the order-sensitive
     // AP@10 (per-query window ≤ 10 rows — bounded state). DuckDB
@@ -3198,6 +3222,36 @@ object SparkEntry {
       LEFT JOIN perq ON perq.qid = nrel.qid
       JOIN ideal ON ideal.qid = nrel.qid
       ORDER BY nrel.qid""",
+    "ir_rrf" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 5),
+      cosr AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY -list_cosine_similarity(e.embedding, q.qvec),
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q),
+      l2r AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding[1:8], q.qvec[1:8]),
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q),
+      contrib AS (
+        SELECT qid, id, 1e0 / (60e0 + CAST(rank AS DOUBLE)) AS c
+        FROM cosr WHERE rank <= 10
+        UNION ALL
+        SELECT qid, id, 1e0 / (60e0 + CAST(rank AS DOUBLE)) AS c
+        FROM l2r WHERE rank <= 10),
+      fused AS (
+        SELECT qid, id AS vec_id, sum(c) AS rrf FROM contrib GROUP BY qid, id),
+      ranked AS (
+        SELECT qid, vec_id, rrf,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf DESC, vec_id) AS rank
+        FROM fused)
+      SELECT qid, vec_id, round(rrf, 6) AS rrf, rank
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
     "ir_map" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec
                  FROM embeddings WHERE vec_id < 5),

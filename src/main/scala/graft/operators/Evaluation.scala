@@ -150,6 +150,36 @@ object Evaluation {
           col("_usum") / (col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    * runs — THE standard way to combine lexical (BM25) and dense (ANN)
+    * retrieval without score calibration: each run contributes
+    * 1/(k0 + rank) per (query, id) and the fused list re-ranks by the
+    * summed score. Rank-only, so incomparable score scales fuse safely.
+    *
+    * Shape: union of the runs (already top-k-bounded), one
+    * map-side-combined sum by (query, id), one per-query window over
+    * ≤ runs·k rows. Returns (qid, id, rrf, rank) for the fused top
+    * `topK`; ties break on id.
+    */
+  def reciprocalRankFusion(runs: Seq[DataFrame],
+      qidCol: String, idCol: String, rankCol: String,
+      topK: Int, k0: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "need at least one run")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    import org.apache.spark.sql.expressions.Window
+    val contrib = runs.map(_.select(
+      col(qidCol), col(idCol),
+      (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double"))).as("_c")))
+      .reduce(_ unionAll _)
+    val fused = contrib.groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("_c")).as("rrf"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Reliability table for probability scores in [0, 1]: per bin of
     * width 1/nBins, (n, avg_score, frac_pos) — is the model saying
     * 0.8 right 80% of the time? One map-side-combined aggregation,

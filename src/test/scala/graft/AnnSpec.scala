@@ -252,6 +252,24 @@ class AnnSpec extends SparkSuite {
     assert(m(2L)._3 == 0L && m(2L)._4 == 0.0 && m(2L)._5 == 0.0 && m(2L)._6 == 0.0)
   }
 
+  test("evaluation: reciprocal rank fusion hand-computed, ties break on id") {
+    import graft.operators.Evaluation
+    val run1 = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("qid", "id", "rank")
+    val run2 = Seq((1L, 3L, 1), (1L, 4L, 2)).toDF("qid", "id", "rank")
+    // k0=1: id3 = 1/4+1/2 = .75; id1 = 1/2; id2 = 1/3 ties id4 = 1/3 -> id asc
+    val fused = Evaluation.reciprocalRankFusion(
+        Seq(run1, run2), "qid", "id", "rank", topK = 10, k0 = 1)
+      .orderBy("rank").select("id", "rrf", "rank")
+      .as[(Long, Double, Int)].collect()
+    assert(fused.map(_._1).toSeq == Seq(3L, 1L, 2L, 4L))
+    assert(math.abs(fused(0)._2 - 0.75) < 1e-12)
+    assert(math.abs(fused(2)._2 - 1.0 / 3.0) < 1e-12)
+    // topK truncates the fused list, not the inputs
+    val top2 = Evaluation.reciprocalRankFusion(
+      Seq(run1, run2), "qid", "id", "rank", topK = 2, k0 = 1)
+    assert(top2.count() == 2L)
+  }
+
   test("evaluation: average precision hand-computed, order sensitivity, absent query") {
     import graft.operators.Evaluation
     // q1: hits at ranks 1 and 3 of 2 relevant -> AP = (1/1 + 2/3) / 2
