@@ -1595,6 +1595,14 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Exact Spearman rank correlation (midranks via the bucketed
+    // two-level prefix sum — no global window on the Spark side; the
+    // oracle's rank()+count() windows recompute identical midranks).
+    "st_spearman" -> ((s, dir) =>
+      operators.Outliers.spearman(
+          T(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+        .select(col("n"), round(col("spearman"), 6).as("spearman"))),
+
     // A REAL Structured Streaming run on the gate: documents (first 100
     // duplicated in-stream) flow through a file streaming source →
     // watermark → dropDuplicatesWithinWatermark → memory sink, one
@@ -3666,6 +3674,21 @@ object SparkEntry {
              round(covar_pop(l_quantity, l_discount), 4) AS cov_p,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // midrank = rank() + (cnt-1)/2 == strictly-below + (cnt+1)/2, the
+    // Spark side's two-level prefix-sum form — exact doubles both ways
+    "st_spearman" -> """
+      WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                        CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      r AS (SELECT
+        CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+          + (CAST(count(*) OVER (PARTITION BY x) AS DOUBLE) - 1e0) / 2e0 AS rx,
+        CAST(rank() OVER (ORDER BY y) AS DOUBLE)
+          + (CAST(count(*) OVER (PARTITION BY y) AS DOUBLE) - 1e0) / 2e0 AS ry
+       FROM d)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(corr(rx, ry), 6) AS spearman FROM r""",
     "tx_clean" -> """
       WITH t AS (
         SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text

@@ -70,6 +70,58 @@ object Outliers {
     * is a pure projection. Values equal to a bound take the lower tier
     * (ntile parity on continuous data, documented tie behavior).
     */
+  /** Exact Spearman rank correlation: Pearson `corr` over midranks
+    * (average rank across ties — the textbook tie treatment). Returns
+    * ONE row (n, spearman); NULL/NaN rows in either column are dropped;
+    * `spearman` is NULL below 2 rows or under zero variance.
+    *
+    * Ranking uses NO global window: distinct values aggregate once
+    * (map-side combined), cumulative counts run bucket-partitioned, and
+    * bucket base offsets broadcast back — the [[Evaluation.binaryAuc]]
+    * two-level prefix-sum shape, so a 100 TB column ranks without a
+    * single-partition sort. Midranks are integers-and-halves below
+    * 2^52 — exact doubles, so both rank joins are exact equality.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val d = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+      .filter(!isnan(col("_x")) && !isnan(col("_y")))
+    val ranked = joinMidranks(joinMidranks(d, "_x", "_rx", nBuckets),
+      "_y", "_ry", nBuckets)
+    ranked.agg(count(lit(1)).as("n"),
+      corr(col("_rx"), col("_ry")).as("spearman"))
+  }
+
+  /** Join per-row midranks of `vCol` onto `d` as `outCol` (bucketed
+    * two-level prefix sum; see [[spearman]]). */
+  private def joinMidranks(d: DataFrame, vCol: String, outCol: String,
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = d.groupBy(col(vCol)).agg(count(lit(1)).as("_cnt"))
+    val mm = per.agg(min(col(vCol)), max(col(vCol))).head()
+    if (mm.isNullAt(0)) return d.limit(0).withColumn(outCol, lit(0.0))
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (hi > lo) hi - lo else 1.0
+    val bkt = least(
+      floor((col(vCol) - lit(lo)) / lit(width) * nBuckets).cast("long"),
+      lit(nBuckets - 1L))
+    val local = per.withColumn("_bkt", bkt)
+      .withColumn("_cum",
+        sum(col("_cnt")).over(Window.partitionBy("_bkt").orderBy(vCol)))
+    val bases = local.groupBy("_bkt").agg(sum(col("_cnt")).as("_tot"))
+      .withColumn("_base",
+        sum(col("_tot")).over(Window.orderBy("_bkt")) - col("_tot"))
+      .select("_bkt", "_base")
+    val ranks = local.join(broadcast(bases), Seq("_bkt"))
+      .select(col(vCol),
+        ((col("_base") + col("_cum") - col("_cnt")).cast("double")
+          + (col("_cnt") + lit(1L)).cast("double") / 2.0).as(outCol))
+    d.join(ranks, Seq(vCol))
+  }
+
   def percentileTiers(
       df: DataFrame, valueCol: String, nTiers: Int): DataFrame = {
     require(nTiers >= 2, s"nTiers must be >= 2, got $nTiers")

@@ -32,6 +32,31 @@ class StreamingSpec extends SparkSuite {
     assert(out.count { case ("a", _, _, fl) => fl; case _ => false } == 1) // only 100.0
   }
 
+  test("spearman: monotone invariance, sign flip, midrank ties, null/NaN drops") {
+    import graft.operators.Outliers
+    // nonlinear but monotone -> exactly 1; reversed -> exactly -1
+    val mono = (1 to 50).map(i => (i.toDouble, math.pow(i.toDouble, 3))).toDF("x", "y")
+    val Seq((n1, s1)) = Outliers.spearman(mono, "x", "y")
+      .as[(Long, Double)].collect().toSeq
+    assert(n1 == 50L && math.abs(s1 - 1.0) < 1e-12)
+    val rev = (1 to 50).map(i => (i.toDouble, -math.pow(i.toDouble, 3))).toDF("x", "y")
+    assert(math.abs(Outliers.spearman(rev, "x", "y")
+      .as[(Long, Double)].collect().head._2 + 1.0) < 1e-12)
+    // tied x midranks: rx = [1, 2.5, 2.5, 4] vs ry = [1..4]
+    // -> corr = 4.5 / sqrt(4.5 * 5) = 0.9486832980505138
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)).toDF("x", "y")
+    val Seq((n2, s2)) = Outliers.spearman(tied, "x", "y")
+      .as[(Long, Double)].collect().toSeq
+    assert(n2 == 4L && math.abs(s2 - 4.5 / math.sqrt(22.5)) < 1e-12)
+    // null and NaN rows are dropped, not ranked
+    val dirty = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0),
+      (Double.NaN, 5.0), (4.0, 40.0)).toDF("x", "y")
+      .unionAll(Seq((Option.empty[Double], Option(9.0))).toDF("x", "y"))
+    val Seq((n3, s3)) = Outliers.spearman(dirty, "x", "y")
+      .as[(Long, Double)].collect().toSeq
+    assert(n3 == 4L && math.abs(s3 - 1.0) < 1e-12)
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
