@@ -1293,6 +1293,21 @@ object SparkEntry {
         .orderBy(col("out_deg").desc, col("node"))
         .limit(20)),
 
+    // Personalized PageRank from a seed set (every 100th part): rank =
+    // proximity to the seeds, the "expand a trusted corpus" op. Seeds
+    // arrive as the part table filtered — the op intersects with graph
+    // nodes, matching the oracle's nodes-side filter.
+    "gr_ppr" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val seeds = T(s, dir, "part").select(col("p_partkey"))
+        .filter(col("p_partkey") % 100 === 0)
+      operators.Graphs.personalizedPageRank(e, "src", "dst",
+          seeds, "p_partkey", iterations = 3)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }),
+
     // Funnel conversion rates: clicks per user vs clicks that convert
     // to a purchase within 30 min (distinct first_id over the interval
     // join) — the analytics composition over funnelPairs.
@@ -2884,6 +2899,46 @@ object SparkEntry {
                     (1e0 - 0.85e0) / nn.n
                       + 0.85e0 * (coalesce(c3.c, 0e0) + 0e0 / nn.n) AS rank
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
+      SELECT node, round(rank, 10) AS rank FROM r3
+      ORDER BY rank DESC, node LIMIT 20""",
+    // teleport-to-seeds variant; dangling term again exactly + 0.0
+    "gr_ppr" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.ok = b.ok
+            WHERE a.l_partkey <> b.l_partkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+      ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+      t AS (SELECT nodes.node,
+                   CASE WHEN seeds.node IS NULL THEN 0e0
+                        ELSE 1e0 / ns.s END AS tp
+            FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node
+            CROSS JOIN ns),
+      od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+      r0 AS (SELECT node, tp AS rank FROM t),
+      c1 AS (SELECT e.dst AS node, sum(r.rank / CAST(od.odeg AS DOUBLE)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r0 r ON r.node = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT t.node,
+                    (1e0 - 0.85e0) * t.tp
+                      + 0.85e0 * (coalesce(c1.c, 0e0) + 0e0 * t.tp) AS rank
+             FROM t LEFT JOIN c1 ON c1.node = t.node),
+      c2 AS (SELECT e.dst AS node, sum(r.rank / CAST(od.odeg AS DOUBLE)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r1 r ON r.node = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT t.node,
+                    (1e0 - 0.85e0) * t.tp
+                      + 0.85e0 * (coalesce(c2.c, 0e0) + 0e0 * t.tp) AS rank
+             FROM t LEFT JOIN c2 ON c2.node = t.node),
+      c3 AS (SELECT e.dst AS node, sum(r.rank / CAST(od.odeg AS DOUBLE)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r2 r ON r.node = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT t.node,
+                    (1e0 - 0.85e0) * t.tp
+                      + 0.85e0 * (coalesce(c3.c, 0e0) + 0e0 * t.tp) AS rank
+             FROM t LEFT JOIN c3 ON c3.node = t.node)
       SELECT node, round(rank, 10) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
     "gr_degrees" -> """

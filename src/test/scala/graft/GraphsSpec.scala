@@ -52,6 +52,43 @@ class GraphsSpec extends SparkSuite {
     assert(s(0L) > s(1L) && s(1L) > s(2L) && s(2L) == s(3L))
   }
 
+  test("personalized pageRank: scalar recurrence, unreachable decay, seed intersect") {
+    // seeds {1}; node 4 has no path FROM the seed side: 4 -> 1 only
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val seeds = Seq(1L, 99L) // 99 is not a graph node -> dropped
+    def ref(iterations: Int): Map[Long, Double] = {
+      val nodes = Seq(1L, 2L, 3L, 4L)
+      val d = 0.85
+      val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+      val t = nodes.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+      var r = t
+      for (_ <- 1 to iterations) {
+        val contrib = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (s, _) => r(s) / odeg(s) }.sum
+        }
+        val dm = nodes.filterNot(odeg.contains).map(r).sum
+        r = nodes.map(v => v ->
+          ((1.0 - d) * t(v) + d * (contrib.getOrElse(v, 0.0) + dm * t(v)))).toMap
+      }
+      r
+    }
+    val got = Graphs.personalizedPageRank(
+        edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node"), "node", iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    val want = ref(4)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"node $v") }
+    // nothing links TO 4: its rank is exactly 0 after the first step
+    assert(got(4L) == 0.0)
+    // seed gets the teleport floor; mass conserved
+    assert(got(1L) > 0.15 && math.abs(got.values.sum - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq(99L).toDF("node"), "node")
+    }
+  }
+
   test("degrees: full-outer merge includes source-only and sink-only nodes") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graphs.degrees(e, "src", "dst")
