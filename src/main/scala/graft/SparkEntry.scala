@@ -1618,6 +1618,16 @@ object SparkEntry {
           T(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
         .select(col("n"), round(col("spearman"), 6).as("spearman"))),
 
+    // Exact type-7 quantiles over the prefix-sum order-statistic
+    // lookup — no global sort, no single-executor percentile buffer.
+    // DuckDB's quantile_cont is the same interpolation.
+    "st_quantiles" -> ((s, dir) =>
+      operators.Outliers.exactQuantiles(
+          T(s, dir, "lineitem"), "l_extendedprice",
+          Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .select(col("p"), col("n"), round(col("value"), 6).as("value"))
+        .orderBy("p")),
+
     // A REAL Structured Streaming run on the gate: documents (first 100
     // duplicated in-stream) flow through a file streaming source →
     // watermark → dropDuplicatesWithinWatermark → memory sink, one
@@ -3744,6 +3754,20 @@ object SparkEntry {
        FROM d)
       SELECT CAST(count(*) AS BIGINT) AS n,
              round(corr(rx, ry), 6) AS spearman FROM r""",
+    "st_quantiles" -> """
+      WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      SELECT 0.01e0 AS p, CAST(count(*) AS BIGINT) AS n,
+             round(quantile_cont(x, 0.01), 6) AS value FROM d
+      UNION ALL
+      SELECT 0.25e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.25), 6) FROM d
+      UNION ALL
+      SELECT 0.5e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.5), 6) FROM d
+      UNION ALL
+      SELECT 0.75e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.75), 6) FROM d
+      UNION ALL
+      SELECT 0.99e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.99), 6) FROM d
+      ORDER BY p""",
     "tx_clean" -> """
       WITH t AS (
         SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text

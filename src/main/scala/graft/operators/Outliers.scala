@@ -95,14 +95,18 @@ object Outliers {
       corr(col("_rx"), col("_ry")).as("spearman"))
   }
 
-  /** Join per-row midranks of `vCol` onto `d` as `outCol` (bucketed
-    * two-level prefix sum; see [[spearman]]). */
-  private def joinMidranks(d: DataFrame, vCol: String, outCol: String,
+  /** Per-distinct-value counts with exact strictly-below totals via the
+    * bucketed two-level prefix sum (see [[spearman]]): one map-side-
+    * combined aggregation over the data, then vocab-scale frames only.
+    * Returns (vCol, _cnt, _below); empty input yields an empty frame.
+    */
+  private def valueCounts(d: DataFrame, vCol: String,
       nBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = d.groupBy(col(vCol)).agg(count(lit(1)).as("_cnt"))
     val mm = per.agg(min(col(vCol)), max(col(vCol))).head()
-    if (mm.isNullAt(0)) return d.limit(0).withColumn(outCol, lit(0.0))
+    if (mm.isNullAt(0))
+      return per.select(col(vCol), col("_cnt"), lit(0L).as("_below")).limit(0)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = if (hi > lo) hi - lo else 1.0
     val bkt = least(
@@ -115,11 +119,70 @@ object Outliers {
       .withColumn("_base",
         sum(col("_tot")).over(Window.orderBy("_bkt")) - col("_tot"))
       .select("_bkt", "_base")
-    val ranks = local.join(broadcast(bases), Seq("_bkt"))
+    local.join(broadcast(bases), Seq("_bkt"))
+      .select(col(vCol), col("_cnt"),
+        (col("_base") + col("_cum") - col("_cnt")).as("_below"))
+  }
+
+  /** Join per-row midranks of `vCol` onto `d` as `outCol` (bucketed
+    * two-level prefix sum; see [[spearman]]). */
+  private def joinMidranks(d: DataFrame, vCol: String, outCol: String,
+      nBuckets: Int): DataFrame = {
+    val ranks = valueCounts(d, vCol, nBuckets)
       .select(col(vCol),
-        ((col("_base") + col("_cum") - col("_cnt")).cast("double")
+        (col("_below").cast("double")
           + (col("_cnt") + lit(1L)).cast("double") / 2.0).as(outCol))
     d.join(ranks, Seq(vCol))
+  }
+
+  /** EXACT interpolated quantiles (type 7 / `quantile_cont`: position
+    * p·(n-1), linear interpolation between the straddling order
+    * statistics) WITHOUT a global sort: the [[valueCounts]] prefix sum
+    * locates each needed order statistic with a bounded broadcast join
+    * — a 100 TB column takes one shuffle plus vocab-scale work, where
+    * the built-in `percentile` aggregate buffers every value in one
+    * executor's memory. Driver state is |ps| interpolation pairs.
+    *
+    * Returns (p, n, value) per requested quantile, NULL value when no
+    * rows survive the NULL/NaN filter.
+    */
+  def exactQuantiles(df: DataFrame, vCol: String, ps: Seq[Double],
+      nBuckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0,1]"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df
+      .filter(col(vCol).isNotNull)
+      .select(col(vCol).cast("double").as("_v"))
+      .filter(!isnan(col("_v")))
+    val vc = valueCounts(d, "_v", nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRow = vc.agg(sum(col("_cnt"))).head()
+      if (nRow.isNullAt(0))
+        return ps.map(p => (p, 0L, Option.empty[Double])).toDF("p", "n", "value")
+      val n = nRow.getLong(0)
+      // order statistics needed: ranks k+1 (and k+2 when interpolating)
+      val wanted = ps.flatMap { p =>
+        val pos = p * (n - 1).toDouble
+        val k = math.floor(pos).toLong
+        if (pos > k && k + 2 <= n) Seq(k + 1, k + 2) else Seq(k + 1)
+      }.distinct
+      val stats = vc
+        .join(broadcast(wanted.toDF("_r")),
+          col("_below") < col("_r") && col("_r") <= col("_below") + col("_cnt"))
+        .select(col("_r"), col("_v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      ps.map { p =>
+        val pos = p * (n - 1).toDouble
+        val k = math.floor(pos).toLong
+        val frac = pos - k.toDouble
+        val x1 = stats(k + 1)
+        val v = if (frac > 0.0 && k + 2 <= n) x1 + (stats(k + 2) - x1) * frac else x1
+        (p, n, Option(v))
+      }.toDF("p", "n", "value")
+    } finally vc.unpersist(false)
   }
 
   def percentileTiers(

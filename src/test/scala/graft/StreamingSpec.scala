@@ -57,6 +57,32 @@ class StreamingSpec extends SparkSuite {
     assert(n3 == 4L && math.abs(s3 - 1.0) < 1e-12)
   }
 
+  test("exactQuantiles: matches the built-in percentile aggregate, ties, edges") {
+    import graft.operators.Outliers
+    val rnd = new scala.util.Random(11)
+    // duplicates on purpose: tie handling must not shift order statistics
+    val vals = Seq.fill(500)(rnd.nextInt(40).toDouble)
+    val df = vals.toDF("v")
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = Outliers.exactQuantiles(df, "v", ps)
+      .select("p", "n", "value").as[(Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = df.agg(percentile(col("v"),
+        lit(ps.toArray)).as("q")).head().getSeq[Double](0)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      assert(got(p)._1 == 500L)
+      assert(math.abs(got(p)._2 - want(i)) < 1e-9, s"p=$p")
+    }
+    // single row: every quantile is that value; empty: NULL values
+    val one = Outliers.exactQuantiles(Seq(7.0).toDF("v"), "v", Seq(0.0, 0.5, 1.0))
+      .select("value").as[Double].collect()
+    assert(one.toSeq == Seq(7.0, 7.0, 7.0))
+    val none = Outliers.exactQuantiles(
+        Seq(Option.empty[Double]).toDF("v"), "v", Seq(0.5))
+      .select("n", "value").as[(Long, Option[Double])].collect()
+    assert(none.toSeq == Seq((0L, None)))
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
