@@ -1628,6 +1628,20 @@ object SparkEntry {
         .select(col("p"), col("n"), round(col("value"), 6).as("value"))
         .orderBy("p")),
 
+    // Robust location/scale: median + MAD and the outlier count at
+    // |robust z| > 3.5 — the scoring a heavy-tailed value column needs
+    // (mean/stddev z masks its own outliers).
+    "st_mad" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+      val stats = operators.Outliers.madStats(ev, "value")
+      val outl = operators.Outliers.robustScale(ev, "value")
+        .agg(count(when(abs(col("robust_z")) > 3.5, 1)).as("n_outliers"))
+      stats.crossJoin(outl).select(col("n"),
+        round(col("median"), 6).as("median"),
+        round(col("mad"), 6).as("mad"),
+        col("n_outliers"))
+    }),
+
     // A REAL Structured Streaming run on the gate: documents (first 100
     // duplicated in-stream) flow through a file streaming source →
     // watermark → dropDuplicatesWithinWatermark → memory sink, one
@@ -3768,6 +3782,18 @@ object SparkEntry {
       UNION ALL
       SELECT 0.99e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.99), 6) FROM d
       ORDER BY p""",
+    "st_mad" -> """
+      WITH d AS (SELECT CAST(value AS DOUBLE) AS v
+                 FROM events WHERE value IS NOT NULL),
+      m AS (SELECT quantile_cont(v, 0.5) AS med,
+                   CAST(count(*) AS BIGINT) AS n FROM d),
+      a AS (SELECT quantile_cont(abs(d.v - m.med), 0.5) AS mad
+            FROM d CROSS JOIN m)
+      SELECT m.n, round(m.med, 6) AS median, round(a.mad, 6) AS mad,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM d CROSS JOIN m CROSS JOIN a
+              WHERE abs((d.v - m.med) / (1.4826e0 * a.mad)) > 3.5e0) AS n_outliers
+      FROM m CROSS JOIN a""",
     "tx_clean" -> """
       WITH t AS (
         SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text

@@ -185,6 +185,38 @@ object Outliers {
     } finally vc.unpersist(false)
   }
 
+  /** Median and MAD (median absolute deviation) — the robust
+    * location/scale pair: two [[exactQuantiles]] passes (the second
+    * over |v − median|), each a shuffle + vocab-scale lookup. Returns
+    * ONE row (n, median, mad). */
+  def madStats(df: DataFrame, vCol: String, nBuckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = exactQuantiles(df, vCol, Seq(0.5), nBuckets).head()
+    if (m.isNullAt(2))
+      return Seq((0L, Option.empty[Double], Option.empty[Double]))
+        .toDF("n", "median", "mad")
+    val med = m.getDouble(2)
+    val dev = df.select(abs(col(vCol).cast("double") - lit(med)).as("_absdev"))
+    val mad = exactQuantiles(dev, "_absdev", Seq(0.5), nBuckets).head().getDouble(2)
+    Seq((m.getLong(1), Option(med), Option(mad))).toDF("n", "median", "mad")
+  }
+
+  /** Robust z-score: (v − median) / (1.4826·MAD) — outlier scoring
+    * that a few extreme values cannot drag (mean/stddev z-scores
+    * famously mask the very outliers they hunt). 1.4826 is the normal-
+    * consistency constant. NULL z when MAD is 0 (over half the values
+    * identical) or the column is empty. */
+  def robustScale(df: DataFrame, vCol: String, outCol: String = "robust_z",
+      nBuckets: Int = 1024): DataFrame = {
+    val s = madStats(df, vCol, nBuckets).head()
+    if (s.isNullAt(1) || s.getDouble(2) == 0.0)
+      return df.withColumn(outCol, lit(null).cast("double"))
+    df.withColumn(outCol,
+      (col(vCol).cast("double") - lit(s.getDouble(1)))
+        / lit(1.4826 * s.getDouble(2)))
+  }
+
   def percentileTiers(
       df: DataFrame, valueCol: String, nTiers: Int): DataFrame = {
     require(nTiers >= 2, s"nTiers must be >= 2, got $nTiers")

@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSuite {
     assert(none.toSeq == Seq((0L, None)))
   }
 
+  test("madStats/robustScale: hand values, outlier immunity, zero-MAD guard") {
+    import graft.operators.Outliers
+    // 1..9 plus a wild outlier: median 5.5 -> with 1000.0 appended the
+    // median/MAD barely move while mean/stddev would explode
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val Seq((n, med, mad)) = Outliers.madStats(df, "v")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(n == 10L && med == 5.5)
+    // |v - 5.5| = 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5 -> median 2.5
+    assert(mad == 2.5)
+    val z = Outliers.robustScale(df, "v")
+      .select("v", "robust_z").as[(Double, Double)].collect().toMap
+    assert(math.abs(z(1000.0) - (1000.0 - 5.5) / (1.4826 * 2.5)) < 1e-12)
+    assert(z.count { case (_, zz) => math.abs(zz) > 3.5 } == 1)
+    // constant column: MAD = 0 -> z NULL, not Inf
+    val const = Seq.fill(5)(3.0).toDF("v")
+    val zc = Outliers.robustScale(const, "v")
+      .select("robust_z").as[Option[Double]].collect()
+    assert(zc.forall(_.isEmpty))
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
