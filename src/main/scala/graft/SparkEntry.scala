@@ -1642,6 +1642,17 @@ object SparkEntry {
         col("n_outliers"))
     }),
 
+    // Exact two-sample KS: does the purchase value distribution drift
+    // from clicks? Integer-exact CDF numerators make the statistic
+    // bit-reproducible cross-engine.
+    "st_ks" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Outliers.ksTest(
+          ev.filter(col("event_type") === "click"), "value",
+          ev.filter(col("event_type") === "purchase"), "value")
+        .select(col("n1"), col("n2"), round(col("ks"), 6).as("ks"))
+    }),
+
     // A REAL Structured Streaming run on the gate: documents (first 100
     // duplicated in-stream) flow through a file streaming source →
     // watermark → dropDuplicatesWithinWatermark → memory sink, one
@@ -3794,6 +3805,23 @@ object SparkEntry {
               FROM d CROSS JOIN m CROSS JOIN a
               WHERE abs((d.v - m.med) / (1.4826e0 * a.mad)) > 3.5e0) AS n_outliers
       FROM m CROSS JOIN a""",
+    "st_ks" -> """
+      WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+                 WHERE event_type = 'click' AND value IS NOT NULL),
+      b AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL),
+      u AS (SELECT v, 1 AS c1, 0 AS c2 FROM a
+            UNION ALL SELECT v, 0, 1 FROM b),
+      g AS (SELECT v, CAST(sum(c1) AS BIGINT) AS c1,
+                   CAST(sum(c2) AS BIGINT) AS c2 FROM u GROUP BY v),
+      c AS (SELECT sum(c1) OVER (ORDER BY v) AS k1,
+                   sum(c2) OVER (ORDER BY v) AS k2 FROM g),
+      t AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+                   CAST(sum(c2) AS DOUBLE) AS n2 FROM g)
+      SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+             round(max(abs(CAST(c.k1 AS DOUBLE) / t.n1
+               - CAST(c.k2 AS DOUBLE) / t.n2)), 6) AS ks
+      FROM c CROSS JOIN t GROUP BY t.n1, t.n2""",
     "tx_clean" -> """
       WITH t AS (
         SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text

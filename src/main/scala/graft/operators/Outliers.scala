@@ -185,6 +185,62 @@ object Outliers {
     } finally vc.unpersist(false)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT: D = sup |F₁−F₂|
+    * over the union of observed values — the scalar answer to "did
+    * this batch's length/score/value distribution drift from the
+    * reference corpus?" (complements the per-dimension
+    * [[VectorOps.embeddingDrift]]). Both empirical CDFs are step
+    * functions, so the sup is attained at an observed value and the
+    * per-distinct-value cumulative counts — the same bucketed prefix
+    * sum as [[spearman]], carrying BOTH sides' counts through one
+    * frame — decide it exactly. One data shuffle per side, then
+    * vocab-scale work; no global window.
+    *
+    * Returns ONE row (n1, n2, ks); ks NULL when either side is empty.
+    */
+  def ksTest(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
+      nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df1.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, c: String, tag: Int) = df
+      .filter(col(c).isNotNull)
+      .select(col(c).cast("double").as("_v"))
+      .filter(!isnan(col("_v")))
+      .select(col("_v"),
+        lit(if (tag == 1) 1L else 0L).as("_c1"),
+        lit(if (tag == 1) 0L else 1L).as("_c2"))
+    val per = side(df1, col1, 1).unionAll(side(df2, col2, 2))
+      .groupBy("_v").agg(sum(col("_c1")).as("_c1"), sum(col("_c2")).as("_c2"))
+    val mm = per.agg(min(col("_v")), max(col("_v")),
+      sum(col("_c1")), sum(col("_c2"))).head()
+    if (mm.isNullAt(0))
+      return Seq((0L, 0L, Option.empty[Double])).toDF("n1", "n2", "ks")
+    val (n1, n2) = (mm.getLong(2), mm.getLong(3))
+    if (n1 == 0L || n2 == 0L)
+      return Seq((n1, n2, Option.empty[Double])).toDF("n1", "n2", "ks")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (hi > lo) hi - lo else 1.0
+    val bkt = least(
+      floor((col("_v") - lit(lo)) / lit(width) * nBuckets).cast("long"),
+      lit(nBuckets - 1L))
+    val w = Window.partitionBy("_bkt").orderBy("_v")
+    val local = per.withColumn("_bkt", bkt)
+      .withColumn("_k1", sum(col("_c1")).over(w))
+      .withColumn("_k2", sum(col("_c2")).over(w))
+    val bases = local.groupBy("_bkt")
+      .agg(sum(col("_c1")).as("_t1"), sum(col("_c2")).as("_t2"))
+      .withColumn("_b1", sum(col("_t1")).over(Window.orderBy("_bkt")) - col("_t1"))
+      .withColumn("_b2", sum(col("_t2")).over(Window.orderBy("_bkt")) - col("_t2"))
+      .select("_bkt", "_b1", "_b2")
+    local.join(broadcast(bases), Seq("_bkt"))
+      .select(abs(
+        (col("_b1") + col("_k1")).cast("double") / lit(n1.toDouble)
+          - (col("_b2") + col("_k2")).cast("double") / lit(n2.toDouble)).as("_d"))
+      .agg(max(col("_d")).as("ks"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("ks"))
+  }
+
   /** Median and MAD (median absolute deviation) — the robust
     * location/scale pair: two [[exactQuantiles]] passes (the second
     * over |v − median|), each a shuffle + vocab-scale lookup. Returns

@@ -104,6 +104,29 @@ class StreamingSpec extends SparkSuite {
     assert(zc.forall(_.isEmpty))
   }
 
+  test("ksTest: identical=0, disjoint=1, hand CDFs, duplicates, empty side") {
+    import graft.operators.Outliers
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(Outliers.ksTest(a, "v", a, "v")
+      .as[(Long, Long, Double)].collect().head == ((4L, 4L, 0.0)))
+    val far = Seq(10.0, 11.0).toDF("v")
+    assert(Outliers.ksTest(a, "v", far, "v")
+      .as[(Long, Long, Double)].collect().head._3 == 1.0)
+    // overlap: F1-F2 peaks at 0.5 (values 2..4)
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    assert(Outliers.ksTest(a, "v", b, "v")
+      .as[(Long, Long, Double)].collect().head._3 == 0.5)
+    // duplicates: F1(1)=2/3 vs F2(1)=1/3
+    val d1 = Seq(1.0, 1.0, 2.0).toDF("v")
+    val d2 = Seq(1.0, 2.0, 2.0).toDF("v")
+    val ks = Outliers.ksTest(d1, "v", d2, "v")
+      .as[(Long, Long, Double)].collect().head._3
+    assert(math.abs(ks - 1.0 / 3.0) < 1e-15)
+    val none = Outliers.ksTest(a, "v", a.limit(0), "v")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(none == ((4L, 0L, None)))
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
