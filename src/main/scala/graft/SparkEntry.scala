@@ -1642,6 +1642,18 @@ object SparkEntry {
         col("n_outliers"))
     }),
 
+    // Is language independent of source? Full-contingency chi-squared
+    // (unobserved cells contribute their expectation).
+    "tx_chi2" -> ((s, dir) =>
+      operators.Outliers.chiSquared(T(s, dir, "documents"), "source", "lang")
+        .select(col("n"), col("dof"), round(col("chi2"), 6).as("chi2"))),
+
+    // Corpus concentration: Gini over documents-per-source.
+    "sm_gini" -> ((s, dir) =>
+      operators.Outliers.giniConcentration(T(s, dir, "documents"), "source")
+        .select(col("n_groups"), col("total"),
+          round(col("gini"), 6).as("gini"))),
+
     // Exact two-sample KS: does the purchase value distribution drift
     // from clicks? Integer-exact CDF numerators make the statistic
     // bit-reproducible cross-engine.
@@ -3822,6 +3834,35 @@ object SparkEntry {
              round(max(abs(CAST(c.k1 AS DOUBLE) / t.n1
                - CAST(c.k2 AS DOUBLE) / t.n2)), 6) AS ks
       FROM c CROSS JOIN t GROUP BY t.n1, t.n2""",
+    "tx_chi2" -> """
+      WITH d AS (SELECT source AS a, lang AS b FROM documents
+                 WHERE source IS NOT NULL AND lang IS NOT NULL),
+      o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY a, b),
+      ra AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ta FROM o GROUP BY a),
+      rb AS (SELECT b, CAST(sum(obs) AS BIGINT) AS tb FROM o GROUP BY b),
+      t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+      cells AS (SELECT ra.a, rb.b,
+                       CAST(ra.ta AS DOUBLE) * CAST(rb.tb AS DOUBLE)
+                         / CAST(t.n AS DOUBLE) AS exp
+                FROM ra CROSS JOIN rb CROSS JOIN t),
+      j AS (SELECT cells.exp,
+                   CAST(coalesce(o.obs, 0) AS DOUBLE) AS od
+            FROM cells LEFT JOIN o ON o.a = cells.a AND o.b = cells.b)
+      SELECT t.n,
+             CAST(((SELECT count(*) FROM ra) - 1)
+               * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,
+             round(sum((od - exp) * (od - exp) / exp), 6) AS chi2
+      FROM j CROSS JOIN t GROUP BY t.n""",
+    "sm_gini" -> """
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+                 FROM documents WHERE source IS NOT NULL GROUP BY source),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS tot FROM c),
+      r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM c)
+      SELECT t.n AS n_groups, t.tot AS total,
+             round(sum(CAST(2 * r.i - t.n - 1 AS DOUBLE) * CAST(r.x AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)), 6) AS gini
+      FROM r CROSS JOIN t GROUP BY t.n, t.tot""",
     "tx_clean" -> """
       WITH t AS (
         SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text

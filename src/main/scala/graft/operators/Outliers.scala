@@ -185,6 +185,67 @@ object Outliers {
     } finally vc.unpersist(false)
   }
 
+  /** Pearson chi-squared test of independence between two categorical
+    * columns — "is language distribution independent of source?" — the
+    * audit that catches a crawler dumping one language into one shard.
+    * χ² = Σ_cells (obs−exp)²/exp with exp = rowTotal·colTotal/n over
+    * the FULL contingency table (unobserved cells contribute exp).
+    *
+    * One data shuffle (the cell count); marginals, the cells cross
+    * join, and the final sum are all category-bounded. Returns ONE row
+    * (n, dof, chi2), dof = (|A|−1)(|B|−1); NULL-valued rows drop.
+    */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+    val o = d.groupBy("_a", "_b").agg(count(lit(1)).as("_obs"))
+    val totRow = o.agg(sum(col("_obs"))).head()
+    if (totRow.isNullAt(0))
+      return Seq((0L, 0L, Option.empty[Double])).toDF("n", "dof", "chi2")
+    val tot = totRow.getLong(0)
+    val ra = o.groupBy("_a").agg(sum(col("_obs")).as("_ta"))
+    val rb = o.groupBy("_b").agg(sum(col("_obs")).as("_tb"))
+    val (nA, nB) = (ra.count(), rb.count())
+    val cells = ra.crossJoin(broadcast(rb))
+      .withColumn("_exp",
+        col("_ta").cast("double") * col("_tb").cast("double") / lit(tot.toDouble))
+    cells.join(o, Seq("_a", "_b"), "left_outer")
+      .select(col("_exp"),
+        coalesce(col("_obs"), lit(0L)).cast("double").as("_od"))
+      .agg(sum((col("_od") - col("_exp")) * (col("_od") - col("_exp"))
+        / col("_exp")).as("chi2"))
+      .select(lit(tot).as("n"), lit((nA - 1L) * (nB - 1L)).as("dof"), col("chi2"))
+  }
+
+  /** Gini coefficient of a per-group weight (e.g. documents per
+    * source): 0 = perfectly even corpus, →1 = one group holds
+    * everything — the one-number concentration audit before a mixture
+    * rebalance. G = Σ_i (2i−n−1)·x_i / (n·Σx) over ascending x_i
+    * (tie order cancels: equal values share identical weight sums).
+    * The window runs over the GROUP frame (category-bounded), never
+    * the data; the data pays one map-side-combined count.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_x"))
+    val nRow = counts.agg(count(lit(1)), sum(col("_x"))).head()
+    if (nRow.getLong(0) == 0L)
+      return Seq((0L, 0L, Option.empty[Double])).toDF("n_groups", "total", "gini")
+    val (n, tot) = (nRow.getLong(0), nRow.getLong(1))
+    counts
+      .withColumn("_i", row_number().over(Window.orderBy(col("_x"), col(groupCol))))
+      .select(((lit(2L) * col("_i") - lit(n) - lit(1L)).cast("double")
+        * col("_x").cast("double")).as("_w"))
+      .agg(sum(col("_w")).as("_s"))
+      .select(lit(n).as("n_groups"), lit(tot).as("total"),
+        (col("_s") / (lit(n.toDouble) * lit(tot.toDouble))).as("gini"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic, EXACT: D = sup |F₁−F₂|
     * over the union of observed values — the scalar answer to "did
     * this batch's length/score/value distribution drift from the

@@ -127,6 +127,38 @@ class StreamingSpec extends SparkSuite {
     assert(none == ((4L, 0L, None)))
   }
 
+  test("chiSquared: independence=0, hand-computed dependence, empty cells count") {
+    import graft.operators.Outliers
+    // proportional table -> exactly independent
+    val ind = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2"))
+      ++ Seq.fill(20)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2"))).toDF("a", "b")
+    val Seq((n1, dof1, c1)) = Outliers.chiSquared(ind, "a", "b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(n1 == 90L && dof1 == 1L && math.abs(c1) < 1e-9)
+    // diagonal-only: every cell exp=5, |obs-exp|=5 -> chi2 = 4*25/5 = 20
+    // (the two UNOBSERVED cells must contribute their expectation)
+    val dep = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a2", "b2"))).toDF("a", "b")
+    val Seq((n2, dof2, c2)) = Outliers.chiSquared(dep, "a", "b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(n2 == 20L && dof2 == 1L && math.abs(c2 - 20.0) < 1e-9)
+  }
+
+  test("giniConcentration: uniform=0, hand-computed skew, singleton=0") {
+    import graft.operators.Outliers
+    val even = (1 to 4).flatMap(g => Seq.fill(5)(s"s$g")).toDF("source")
+    val Seq((g1, t1, v1)) = Outliers.giniConcentration(even, "source")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(g1 == 4L && t1 == 20L && math.abs(v1) < 1e-12)
+    // counts [1,1,1,97] -> G = 288/400
+    val skew = (Seq("a", "b", "c") ++ Seq.fill(97)("d")).toDF("source")
+    val Seq((_, _, v2)) = Outliers.giniConcentration(skew, "source")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(math.abs(v2 - 0.72) < 1e-12)
+    val one = Outliers.giniConcentration(Seq("x").toDF("source"), "source")
+      .as[(Long, Long, Double)].collect().head
+    assert(one == ((1L, 1L, 0.0)))
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
