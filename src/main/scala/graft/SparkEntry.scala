@@ -1648,6 +1648,23 @@ object SparkEntry {
       operators.Outliers.chiSquared(T(s, dir, "documents"), "source", "lang")
         .select(col("n"), col("dof"), round(col("chi2"), 6).as("chi2"))),
 
+    // Effect size for the same dependence: MI in nats + normalized MI.
+    "tx_mi" -> ((s, dir) =>
+      operators.Outliers.mutualInformation(T(s, dir, "documents"), "source", "lang")
+        .select(col("n"), round(col("h_a"), 6).as("h_a"),
+          round(col("h_b"), 6).as("h_b"), round(col("mi"), 6).as("mi"),
+          round(col("nmi"), 6).as("nmi"))),
+
+    // Categorical drift: JS divergence of event-type mix between the
+    // low- and high-user_id halves (KS's discrete companion).
+    "st_js" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Outliers.jensenShannon(
+          ev.filter(col("user_id") < 1000), "event_type",
+          ev.filter(col("user_id") >= 1000), "event_type")
+        .select(col("n1"), col("n2"), round(col("js"), 6).as("js"))
+    }),
+
     // Corpus concentration: Gini over documents-per-source.
     "sm_gini" -> ((s, dir) =>
       operators.Outliers.giniConcentration(T(s, dir, "documents"), "source")
@@ -3863,6 +3880,52 @@ object SparkEntry {
              round(sum(CAST(2 * r.i - t.n - 1 AS DOUBLE) * CAST(r.x AS DOUBLE))
                / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)), 6) AS gini
       FROM r CROSS JOIN t GROUP BY t.n, t.tot""",
+    "tx_mi" -> """
+      WITH d AS (SELECT source AS a, lang AS b FROM documents
+                 WHERE source IS NOT NULL AND lang IS NOT NULL),
+      o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY a, b),
+      t AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM o),
+      ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM o GROUP BY a),
+      rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM o GROUP BY b),
+      ha AS (SELECT -sum((CAST(ca AS DOUBLE) / t.n)
+               * ln(CAST(ca AS DOUBLE) / t.n)) AS h FROM ra CROSS JOIN t),
+      hb AS (SELECT -sum((CAST(cb AS DOUBLE) / t.n)
+               * ln(CAST(cb AS DOUBLE) / t.n)) AS h FROM rb CROSS JOIN t),
+      mi AS (SELECT sum((CAST(o.c AS DOUBLE) / t.n)
+               * ln((CAST(o.c AS DOUBLE) * t.n)
+                 / (CAST(ra.ca AS DOUBLE) * CAST(rb.cb AS DOUBLE)))) AS m
+             FROM o JOIN ra ON ra.a = o.a JOIN rb ON rb.b = o.b CROSS JOIN t)
+      SELECT CAST(t.n AS BIGINT) AS n,
+             round(ha.h, 6) AS h_a, round(hb.h, 6) AS h_b,
+             round(mi.m, 6) AS mi,
+             round(mi.m / sqrt(ha.h * hb.h), 6) AS nmi
+      FROM t CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi""",
+    "st_js" -> """
+      WITH a AS (SELECT event_type AS v FROM events
+                 WHERE user_id < 1000 AND event_type IS NOT NULL),
+      b AS (SELECT event_type AS v FROM events
+            WHERE user_id >= 1000 AND event_type IS NOT NULL),
+      g1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM a GROUP BY v),
+      g2 AS (SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY v),
+      j AS (SELECT coalesce(g1.c1, 0) AS c1, coalesce(g2.c2, 0) AS c2
+            FROM g1 FULL JOIN g2 ON g2.v = g1.v),
+      t AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+                   CAST(sum(c2) AS DOUBLE) AS n2 FROM j)
+      SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+             round(sum(
+               CASE WHEN j.c1 > 0 THEN
+                 (CAST(j.c1 AS DOUBLE) / t.n1 / 2e0)
+                   * ln((CAST(j.c1 AS DOUBLE) / t.n1)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END
+             + CASE WHEN j.c2 > 0 THEN
+                 (CAST(j.c2 AS DOUBLE) / t.n2 / 2e0)
+                   * ln((CAST(j.c2 AS DOUBLE) / t.n2)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END), 6) AS js
+      FROM j CROSS JOIN t GROUP BY t.n1, t.n2""",
     "tx_clean" -> """
       WITH t AS (
         SELECT doc_id, '<div id="' || CAST(doc_id AS VARCHAR) || '"> <p>' || text

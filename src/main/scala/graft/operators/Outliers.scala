@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-group outlier flagging for numeric telemetry (the events-table
@@ -217,6 +217,80 @@ object Outliers {
       .agg(sum((col("_od") - col("_exp")) * (col("_od") - col("_exp"))
         / col("_exp")).as("chi2"))
       .select(lit(tot).as("n"), lit((nA - 1L) * (nB - 1L)).as("dof"), col("chi2"))
+  }
+
+  /** Mutual information between two categorical columns, in nats,
+    * with the marginal entropies and the normalized score
+    * NMI = MI/√(H_a·H_b) — chi2's effect-size companion ("how MUCH
+    * does source determine language", 0 = independent, 1 = bijective).
+    * Same cost shape as [[chiSquared]]: one data shuffle for the joint
+    * counts, category-scale everything after. Returns ONE row
+    * (n, h_a, h_b, mi, nmi); nmi NULL when either entropy is 0.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val o = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_c"))
+    val totRow = o.agg(sum(col("_c"))).head()
+    if (totRow.isNullAt(0))
+      return Seq((0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double]))
+        .toDF("n", "h_a", "h_b", "mi", "nmi")
+    val n = totRow.getLong(0)
+    val nd = lit(n.toDouble)
+    val ra = o.groupBy("_a").agg(sum(col("_c")).as("_ca"))
+    val rb = o.groupBy("_b").agg(sum(col("_c")).as("_cb"))
+    def entropy(c: String): Column =
+      -sum((col(c).cast("double") / nd) * log(col(c).cast("double") / nd))
+    val ha = ra.agg(entropy("_ca").as("h")).head().getDouble(0)
+    val hb = rb.agg(entropy("_cb").as("h")).head().getDouble(0)
+    val mi = o.join(ra, "_a").join(rb, "_b")
+      .select(((col("_c").cast("double") / nd)
+        * log((col("_c").cast("double") * nd)
+          / (col("_ca").cast("double") * col("_cb").cast("double")))).as("_t"))
+      .agg(sum(col("_t"))).head().getDouble(0)
+    val nmi = if (ha > 0.0 && hb > 0.0) Option(mi / math.sqrt(ha * hb)) else None
+    Seq((n, Option(ha), Option(hb), Option(mi), nmi))
+      .toDF("n", "h_a", "h_b", "mi", "nmi")
+  }
+
+  /** Jensen–Shannon divergence (nats) between the categorical value
+    * distributions of two slices — the drift statistic for discrete
+    * columns, where [[ksTest]] covers continuous ones: symmetric,
+    * bounded by ln 2, defined even on disjoint supports (KL is not).
+    * JS = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q), zero-probability terms
+    * contribute 0. One count shuffle per side + a category-scale
+    * full-outer join. Returns ONE row (n1, n2, js).
+    */
+  def jensenShannon(df1: DataFrame, col1: String,
+      df2: DataFrame, col2: String): DataFrame = {
+    val spark = df1.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame, c: String, out: String) = df
+      .filter(col(c).isNotNull)
+      .select(col(c).as("_v")).groupBy("_v")
+      .agg(count(lit(1)).as(out))
+    val c1 = counts(df1, col1, "_c1")
+    val c2 = counts(df2, col2, "_c2")
+    val j = c1.join(c2, Seq("_v"), "full_outer")
+      .select(coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val tot = j.agg(sum(col("_c1")), sum(col("_c2"))).head()
+    if (tot.isNullAt(0))
+      return Seq((0L, 0L, Option.empty[Double])).toDF("n1", "n2", "js")
+    val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+    if (n1 == 0L || n2 == 0L)
+      return Seq((n1, n2, Option.empty[Double])).toDF("n1", "n2", "js")
+    val p = col("_c1").cast("double") / lit(n1.toDouble)
+    val q = col("_c2").cast("double") / lit(n2.toDouble)
+    val m = (p + q) / lit(2.0)
+    val term = (c: Column, pr: Column) =>
+      when(c > 0L, (pr / lit(2.0)) * log(pr / m)).otherwise(lit(0.0))
+    j.select((term(col("_c1"), p) + term(col("_c2"), q)).as("_t"))
+      .agg(sum(col("_t")).as("js"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("js"))
   }
 
   /** Gini coefficient of a per-group weight (e.g. documents per

@@ -159,6 +159,45 @@ class StreamingSpec extends SparkSuite {
     assert(one == ((1L, 1L, 0.0)))
   }
 
+  test("mutualInformation: independent=0, bijective=ln2/nmi=1, zero-entropy guard") {
+    import graft.operators.Outliers
+    val ind = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2"))
+      ++ Seq.fill(20)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2"))).toDF("a", "b")
+    val mi0 = Outliers.mutualInformation(ind, "a", "b")
+      .select("mi").as[Double].collect().head
+    assert(math.abs(mi0) < 1e-12)
+    val bij = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2"))).toDF("a", "b")
+    val r = Outliers.mutualInformation(bij, "a", "b")
+      .select("n", "h_a", "h_b", "mi", "nmi")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    val ln2 = math.log(2.0)
+    assert(r._1 == 10L && math.abs(r._2 - ln2) < 1e-12 && math.abs(r._4 - ln2) < 1e-12)
+    assert(math.abs(r._5 - 1.0) < 1e-12)
+    // constant a -> H(a)=0 -> nmi NULL (not NaN/Inf)
+    val const = Seq(("a", "b1"), ("a", "b2")).toDF("a", "b")
+    assert(Outliers.mutualInformation(const, "a", "b")
+      .select("nmi").as[Option[Double]].collect().head.isEmpty)
+  }
+
+  test("jensenShannon: identical=0, disjoint=ln2, hand-computed overlap") {
+    import graft.operators.Outliers
+    val p = Seq.fill(6)("x").toDF("v")
+    assert(Outliers.jensenShannon(p, "v", p, "v")
+      .as[(Long, Long, Double)].collect().head == ((6L, 6L, 0.0)))
+    val q = Seq.fill(4)("y").toDF("v")
+    assert(math.abs(Outliers.jensenShannon(p, "v", q, "v")
+      .as[(Long, Long, Double)].collect().head._3 - math.log(2.0)) < 1e-12)
+    // p={x:1}, q={x:.5,y:.5}: JS = .5·ln(4/3) + .5(.5·ln(2/3) + .5·ln2)
+    val q2 = (Seq.fill(2)("x") ++ Seq.fill(2)("y")).toDF("v")
+    val want = 0.5 * math.log(4.0 / 3.0) +
+      0.5 * (0.5 * math.log(2.0 / 3.0) + 0.5 * math.log(2.0))
+    assert(math.abs(Outliers.jensenShannon(p, "v", q2, "v")
+      .as[(Long, Long, Double)].collect().head._3 - want) < 1e-12)
+    // empty side -> NULL
+    assert(Outliers.jensenShannon(p, "v", p.limit(0), "v")
+      .as[(Long, Long, Option[Double])].collect().head == ((6L, 0L, None)))
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
