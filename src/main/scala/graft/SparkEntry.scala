@@ -1293,6 +1293,15 @@ object SparkEntry {
         .orderBy(col("out_deg").desc, col("node"))
         .limit(20)),
 
+    // HITS hubs/authorities on the same graph (2 alternating L2-
+    // normalized rounds; the oracle unrolls all four flow steps).
+    "gr_hits" -> ((s, dir) =>
+      operators.Graphs.hits(coPurchaseEdges(s, dir), "src", "dst", iterations = 2)
+        .select(col("node"), round(col("hub"), 10).as("hub"),
+          round(col("auth"), 10).as("auth"))
+        .orderBy(col("auth").desc, col("node"))
+        .limit(20)),
+
     // Personalized PageRank from a seed set (every 100th part): rank =
     // proximity to the seeds, the "expand a trusted corpus" op. Seeds
     // arrive as the part table filtered — the op intersects with graph
@@ -2965,6 +2974,46 @@ object SparkEntry {
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
       SELECT node, round(rank, 10) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
+    // two alternating hub->auth->hub flow rounds, each L2-normalized
+    "gr_hits" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.ok = b.ok
+            WHERE a.l_partkey <> b.l_partkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, 1e0 AS hub FROM nodes),
+      a1r AS (SELECT e.dst AS node, sum(h0.hub) AS r
+              FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+      a1f AS (SELECT nodes.node, coalesce(a1r.r, 0e0) AS v
+              FROM nodes LEFT JOIN a1r ON a1r.node = nodes.node),
+      na1 AS (SELECT sqrt(sum(v * v)) AS nn FROM a1f),
+      a1 AS (SELECT node, CASE WHEN nn > 0e0 THEN v / nn ELSE 0e0 END AS v
+             FROM a1f CROSS JOIN na1),
+      h1r AS (SELECT e.src AS node, sum(a1.v) AS r
+              FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+      h1f AS (SELECT nodes.node, coalesce(h1r.r, 0e0) AS v
+              FROM nodes LEFT JOIN h1r ON h1r.node = nodes.node),
+      nh1 AS (SELECT sqrt(sum(v * v)) AS nn FROM h1f),
+      h1 AS (SELECT node, CASE WHEN nn > 0e0 THEN v / nn ELSE 0e0 END AS v
+             FROM h1f CROSS JOIN nh1),
+      a2r AS (SELECT e.dst AS node, sum(h1.v) AS r
+              FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+      a2f AS (SELECT nodes.node, coalesce(a2r.r, 0e0) AS v
+              FROM nodes LEFT JOIN a2r ON a2r.node = nodes.node),
+      na2 AS (SELECT sqrt(sum(v * v)) AS nn FROM a2f),
+      a2 AS (SELECT node, CASE WHEN nn > 0e0 THEN v / nn ELSE 0e0 END AS v
+             FROM a2f CROSS JOIN na2),
+      h2r AS (SELECT e.src AS node, sum(a2.v) AS r
+              FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+      h2f AS (SELECT nodes.node, coalesce(h2r.r, 0e0) AS v
+              FROM nodes LEFT JOIN h2r ON h2r.node = nodes.node),
+      nh2 AS (SELECT sqrt(sum(v * v)) AS nn FROM h2f),
+      h2 AS (SELECT node, CASE WHEN nn > 0e0 THEN v / nn ELSE 0e0 END AS v
+             FROM h2f CROSS JOIN nh2)
+      SELECT h2.node, round(h2.v, 10) AS hub, round(a2.v, 10) AS auth
+      FROM h2 JOIN a2 ON a2.node = h2.node
+      ORDER BY auth DESC, h2.node LIMIT 20""",
     // teleport-to-seeds variant; dangling term again exactly + 0.0
     "gr_ppr" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem

@@ -128,6 +128,55 @@ object Graphs {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999), fixed iterations with
+    * L2 normalization: authority = normalized in-flow of hub score,
+    * hub = normalized out-flow of the NEW authority score (the
+    * classic alternating update). Separates "pages many point at"
+    * from "pages that point at good pages" — on a citation/link corpus
+    * the two roles rank differently, where PageRank conflates them.
+    *
+    * Same per-iteration shape as [[pageRank]]: two join+sum rounds per
+    * iteration, norms ride broadcast one-row frames, lineage truncated
+    * each round. Returns (node, hub, auth).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    // one L2-normalized flow step: out(v) = Σ over matching edges of
+    // score(other endpoint), then / sqrt(Σ out²) (0 stays 0)
+    def flow(scores: DataFrame, scoreCol: String,
+        from: String, to: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("node").as(from), col(scoreCol).as("_s")), from)
+        .groupBy(to).agg(sum(col("_s")).as("_raw"))
+        .withColumnRenamed(to, "node")
+      val full = nodes.join(raw, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("_raw"), lit(0.0)).as("_v"))
+      val norm = full.agg(sqrt(sum(col("_v") * col("_v"))).as("_n"))
+      full.crossJoin(broadcast(norm))
+        .select(col("node"),
+          when(col("_n") > 0.0, col("_v") / col("_n")).otherwise(0.0).as("_v"))
+    }
+    var scores = nodes
+      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val auth = flow(scores, "hub", "src", "dst")
+        .withColumnRenamed("_v", "auth")
+      val hub = flow(auth, "auth", "dst", "src")
+        .withColumnRenamed("_v", "hub")
+      scores = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+
   /** In/out degree per node — the cheap structural profile (one
     * aggregation per direction over the edge list, outer-merged so
     * source-only and sink-only nodes both appear with a 0). */

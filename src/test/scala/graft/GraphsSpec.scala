@@ -89,6 +89,29 @@ class GraphsSpec extends SparkSuite {
     }
   }
 
+  test("hits: star sink is sole authority, spokes split hub mass; roles differ") {
+    // 1 -> 3, 2 -> 3: auth(3)=1, hub(1)=hub(2)=1/sqrt(2), and the
+    // pure sink has hub 0 / the pure sources auth 0
+    val star = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val s = Graphs.hits(star, "src", "dst", iterations = 3)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(s(3L)._2 - 1.0) < 1e-12 && s(3L)._1 == 0.0)
+    val h = 1.0 / math.sqrt(2.0)
+    Seq(1L, 2L).foreach { v =>
+      assert(math.abs(s(v)._1 - h) < 1e-12 && s(v)._2 == 0.0)
+    }
+    // directed chain 1 -> 2 -> 3: node 2 is both a hub and an authority
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = Graphs.hits(chain, "src", "dst", iterations = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(c(2L)._1 > 0.0 && c(2L)._2 > 0.0)
+    assert(c(1L)._2 == 0.0 && c(3L)._1 == 0.0)
+    // L2 norms of both score vectors are 1
+    val hn = math.sqrt(c.values.map(v => v._1 * v._1).sum)
+    val an = math.sqrt(c.values.map(v => v._2 * v._2).sum)
+    assert(math.abs(hn - 1.0) < 1e-12 && math.abs(an - 1.0) < 1e-12)
+  }
+
   test("degrees: full-outer merge includes source-only and sink-only nodes") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graphs.degrees(e, "src", "dst")
