@@ -1293,6 +1293,15 @@ object SparkEntry {
         .orderBy(col("out_deg").desc, col("node"))
         .limit(20)),
 
+    // Triangle census of the same graph: per-node triangle counts and
+    // local clustering coefficient — integer-exact cross-engine.
+    "gr_triangles" -> ((s, dir) =>
+      operators.Graphs.triangleCount(coPurchaseEdges(s, dir), "src", "dst")
+        .select(col("node"), col("degree"), col("triangles"),
+          round(col("clustering"), 6).as("clustering"))
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(20)),
+
     // HITS hubs/authorities on the same graph (2 alternating L2-
     // normalized rounds; the oracle unrolls all four flow steps).
     "gr_hits" -> ((s, dir) =>
@@ -2974,6 +2983,35 @@ object SparkEntry {
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
       SELECT node, round(rank, 10) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
+    // a<b<c triangle join over the canonical (u<v) edge set, each
+    // triangle credited to all three corners
+    "gr_triangles" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.ok = b.ok
+            WHERE a.l_partkey <> b.l_partkey),
+      c AS (SELECT DISTINCT src AS u, dst AS v FROM e WHERE src < dst),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT u AS node FROM c UNION ALL SELECT v FROM c)
+              GROUP BY node),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+              FROM c e1
+              JOIN c e2 ON e2.u = e1.v
+              JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v),
+      t3 AS (SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c3 FROM tri),
+      pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+             FROM t3 GROUP BY node)
+      SELECT deg.node, deg.degree,
+             coalesce(pn.triangles, 0) AS triangles,
+             round(CASE WHEN deg.degree >= 2 THEN
+               2e0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+             END, 6) AS clustering
+      FROM deg LEFT JOIN pn ON pn.node = deg.node
+      ORDER BY triangles DESC, deg.node LIMIT 20""",
     // two alternating hub->auth->hub flow rounds, each L2-normalized
     "gr_hits" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem

@@ -177,6 +177,61 @@ object Graphs {
     scores
   }
 
+  /** Per-node triangle count and local clustering coefficient over the
+    * UNDIRECTED simple graph induced by `edges` — the community-density
+    * audit (a near-dup cluster that is also a dense triangle cluster is
+    * a template farm, not coincidence).
+    *
+    * Relational one-shot, no iteration: canonicalize to u<v edges,
+    * orient each edge low-degree → high-degree (the standard fan-out
+    * bound: a hub's wedges are charged to its low-degree neighbors, so
+    * the wedge join is Σ deg_oriented² not Σ deg² — survives power-law
+    * skew), build wedges with ONE self-join, close them with a
+    * semi-join against the canonical edge set, then count each
+    * triangle once for each of its three corners. Returns
+    * (node, degree, triangles, clustering) with clustering =
+    * 2T/(deg·(deg−1)), NULL when deg < 2.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical undirected edge set (u < v), deduped
+    val canon = raw.select(
+      least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): strictly less-connected endpoint first
+    val dU = deg.select(col("node").as("u"), col("degree").as("_du"))
+    val dV = deg.select(col("node").as("v"), col("degree").as("_dv"))
+    val oriented = canon.join(dU, "u").join(dV, "v")
+      .select(
+        when(col("_du") < col("_dv")
+          || (col("_du") === col("_dv") && col("u") < col("v")),
+          struct(col("u").as("lo"), col("v").as("hi")))
+          .otherwise(struct(col("v").as("lo"), col("u").as("hi"))).as("_e"))
+      .select(col("_e.lo").as("lo"), col("_e.hi").as("hi"))
+    // wedges lo -> hi1, lo -> hi2 (hi1 < hi2), closed by a canonical edge
+    val w1 = oriented.select(col("lo"), col("hi").as("x"))
+    val w2 = oriented.select(col("lo"), col("hi").as("y"))
+    val tris = w1.join(w2, "lo").filter(col("x") < col("y"))
+      .join(canon,
+        col("x") === col("u") && col("y") === col("v"), "left_semi")
+      .select(col("lo"), col("x"), col("y"))
+    val perNode = tris.select(explode(array(col("lo"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2L,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
+            / (col("degree") * (col("degree") - 1L)).cast("double"))
+          .as("clustering"))
+  }
+
   /** In/out degree per node — the cheap structural profile (one
     * aggregation per direction over the edge list, outer-merged so
     * source-only and sink-only nodes both appear with a 0). */

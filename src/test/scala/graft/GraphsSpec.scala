@@ -112,6 +112,29 @@ class GraphsSpec extends SparkSuite {
     assert(math.abs(hn - 1.0) < 1e-12 && math.abs(an - 1.0) < 1e-12)
   }
 
+  test("triangleCount: square+diagonal hand case, K4, dup/reversed edges collapse") {
+    // square 1-2-3-4 plus diagonal 1-3; duplicates and reversals included
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val t = Graphs.triangleCount(e, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(t(1L) == ((3L, 2L, Some(2.0 / 3.0))))
+    assert(t(3L) == ((3L, 2L, Some(2.0 / 3.0))))
+    assert(t(2L) == ((2L, 1L, Some(1.0))))
+    assert(t(4L) == ((2L, 1L, Some(1.0))))
+    // K4: every node in 3 triangles, clustering exactly 1
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val k = Graphs.triangleCount(k4, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(k.forall(r => r._2 == 3L && r._3 == 3L && r._4.contains(1.0)))
+    // a lone edge has no triangles and UNDEFINED clustering (deg < 2)
+    val lone = Graphs.triangleCount(Seq((9L, 10L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(lone.forall(r => r._3 == 0L && r._4.isEmpty))
+  }
+
   test("degrees: full-outer merge includes source-only and sink-only nodes") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graphs.degrees(e, "src", "dst")
