@@ -312,18 +312,27 @@ object ScaleSmoke {
     // One shuffle join + map-side-combined sum per iteration; rank
     // frames localCheckpoint each round so lineage stays O(1). The
     // shape a host-graph quality prior runs at corpus scale.
-    timed("pagerank ~1M edges x5 iter") {
+    val coPurchase = {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey").as("ok"), col("l_partkey"))
       val a = li.toDF("ok", "src")
       val b = li.toDF("ok", "dst")
-      val e = a.join(b, "ok").filter(col("src") =!= col("dst"))
+      a.join(b, "ok").filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct().localCheckpoint()
-      println(s"SMOKE   pagerank edges: ${e.count()}")
-      val pr = graft.operators.Graphs.pageRank(e, "src", "dst", iterations = 5)
+    }
+    timed("pagerank ~1M edges x5 iter") {
+      println(s"SMOKE   pagerank edges: ${coPurchase.count()}")
+      val pr = graft.operators.Graphs.pageRank(coPurchase, "src", "dst", iterations = 5)
       val top = pr.orderBy(col("rank").desc).limit(3)
         .as[(Long, Double)].collect()
       println(s"SMOKE   pagerank top: ${top.map(t => f"${t._1}:${t._2}%.2e").mkString(" ")}")
+    }
+    // one-shot relational triangle census on the same graph: the
+    // degree-ordered wedge join is the skew-bound path
+    timed("triangle census ~1M edges") {
+      val tc = graft.operators.Graphs.triangleCount(coPurchase, "src", "dst")
+      val tot = tc.agg(sum(col("triangles"))).head().getLong(0) / 3
+      println(s"SMOKE   triangles: $tot")
     }
 
     // ---- the whole pipeline, end-to-end, LSH-mode dedup (default) ----
