@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.when
+import org.apache.spark.sql.functions.{col, when}
 
 /** Plan-shape regression tests: the scale properties SCALE.md claims
   * (pushdown, pruning, broadcast, partial top-k, codegen) asserted
@@ -289,5 +289,47 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
     assert(s.contains("windowspecdefinition(grp"),
       s"top-k window must partition by grp:\n$s")
+  }
+
+  test("spearman: rank windows bucket-partitioned, bases broadcast, no data window") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val s = graft.operators.Outliers
+      .spearman(li, "l_quantity", "l_extendedprice")
+      .queryExecution.executedPlan.toString
+    // both midrank cumsums run partitioned by bucket over DISTINCT
+    // values; the bucket bases come back as broadcasts
+    assert(s.contains("hashpartitioning(_bkt"),
+      s"expected bucket-partitioned rank window:\n$s")
+    assert(s.contains("BroadcastExchange"),
+      s"expected broadcast bucket bases:\n$s")
+    // no window may run over the raw (un-aggregated) rows: every
+    // windowspecdefinition in this plan partitions by _bkt or orders
+    // the tiny bucket frame
+    assert(!s.contains("windowspecdefinition(_x") && !s.contains("windowspecdefinition(_y"),
+      s"no window over raw data columns:\n$s")
+  }
+
+  test("ksTest: dual CDFs share one bucket-partitioned prefix-sum frame") {
+    val ev = graft.sources.Sources
+      .nanosTimestampParquet(spark, s"$sf/events.parquet", "ts")
+    val s = graft.operators.Outliers.ksTest(
+        ev.filter(col("event_type") === "click"), "value",
+        ev.filter(col("event_type") === "purchase"), "value")
+      .queryExecution.executedPlan.toString
+    assert(s.contains("hashpartitioning(_bkt"),
+      s"expected bucket-partitioned cumulative counts:\n$s")
+    assert(s.contains("BroadcastExchange"),
+      s"expected broadcast bucket bases:\n$s")
+  }
+
+  test("triangleCount: equi-joins only — no cartesian, no nested loop") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .filter(col("src") =!= col("dst")).select("src", "dst")
+    val s = graft.operators.Graphs.triangleCount(e, "src", "dst")
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$s")
   }
 }
