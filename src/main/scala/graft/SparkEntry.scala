@@ -1253,6 +1253,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
 
+    // Corpus-health check: OLS slope of the log-log token frequency
+    // spectrum (natural text ~ -1). Both engines fit the same top-1000
+    // ranked spectrum with their regr_slope/regr_r2 aggregates.
+    "tx_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(T(s, dir, "documents"), "text", topN = 1000)
+        .select(col("n_fit"), round(col("slope"), 6).as("slope"),
+          round(col("r2"), 6).as("r2"))),
+
     // PMI collocations: strongest adjacent-bigram associations with a
     // min-count floor. Ordered by the ROUNDED score (ulp-level libm
     // differences must not reorder near-ties cross-engine).
@@ -1292,6 +1300,13 @@ object SparkEntry {
       operators.Graphs.degrees(coPurchaseEdges(s, dir), "src", "dst")
         .orderBy(col("out_deg").desc, col("node"))
         .limit(20)),
+
+    // One-number structural fingerprint: do hub parts co-purchase with
+    // other hubs (positive) or with the long tail (negative)?
+    "gr_assortativity" -> ((s, dir) =>
+      operators.Graphs.assortativity(coPurchaseEdges(s, dir), "src", "dst")
+        .select(col("n_edges"),
+          round(col("assortativity"), 6).as("assortativity"))),
 
     // Triangle census of the same graph: per-node triangle counts and
     // local clustering coefficient — integer-exact cross-engine.
@@ -2983,6 +2998,33 @@ object SparkEntry {
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
       SELECT node, round(rank, 10) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
+    "gr_assortativity" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM li a JOIN li b ON a.ok = b.ok
+            WHERE a.l_partkey <> b.l_partkey),
+      c AS (SELECT DISTINCT src AS u, dst AS v FROM e WHERE src < dst),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT u AS node FROM c UNION ALL SELECT v FROM c)
+              GROUP BY node),
+      bi AS (SELECT u, v FROM c UNION ALL SELECT v AS u, u AS v FROM c),
+      p AS (SELECT CAST(d1.degree AS DOUBLE) AS du,
+                   CAST(d2.degree AS DOUBLE) AS dv
+            FROM bi JOIN deg d1 ON d1.node = bi.u
+                    JOIN deg d2 ON d2.node = bi.v)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_edges,
+             round(corr(du, dv), 6) AS assortativity FROM p""",
+    "tx_zipf" -> """
+      WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                   FROM documents WHERE text IS NOT NULL),
+      cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+              GROUP BY token ORDER BY n DESC, token LIMIT 1000),
+      r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+                   ln(CAST(n AS DOUBLE)) AS y FROM cnt)
+      SELECT CAST(count(*) AS BIGINT) AS n_fit,
+             round(regr_slope(y, x), 6) AS slope,
+             round(regr_r2(y, x), 6) AS r2 FROM r""",
     // a<b<c triangle join over the canonical (u<v) edge set, each
     // triangle credited to all three corners
     "gr_triangles" -> """

@@ -232,6 +232,42 @@ object Graphs {
           .as("clustering"))
   }
 
+  /** Degree assortativity of the undirected simple graph: Pearson
+    * correlation of endpoint degrees over every edge taken in both
+    * directions (Newman 2002). Positive ⇒ hubs link hubs (social
+    * shape); negative ⇒ hubs link leaves (web/spam-farm shape) — a
+    * one-number structural fingerprint to compare crawl snapshots.
+    * Cost: the canonical-edge distinct + two broadcast-joinable degree
+    * lookups + one `corr` aggregate. Returns ONE row
+    * (n_edges, assortativity); NULL when degrees are constant.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = raw.select(
+      least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val both = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val paired = both
+      .join(deg.select(col("node").as("u"), col("degree").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("_dv")), "v")
+    val nEdges = canon.count()
+    // corr via guarded pop-moments: ANSI `corr` raises DIVIDE_BY_ZERO
+    // on a regular graph (zero degree variance); here that is NULL
+    paired
+      .select(col("_du").cast("double").as("x"), col("_dv").cast("double").as("y"))
+      .agg(covar_pop(col("x"), col("y")).as("_c"),
+        stddev_pop(col("x")).as("_sx"), stddev_pop(col("y")).as("_sy"))
+      .select(lit(nEdges).as("n_edges"),
+        when(col("_sx") > 0.0 && col("_sy") > 0.0,
+          col("_c") / (col("_sx") * col("_sy"))).as("assortativity"))
+  }
+
   /** In/out degree per node — the cheap structural profile (one
     * aggregation per direction over the edge list, outer-merged so
     * source-only and sink-only nodes both appear with a 0). */

@@ -434,6 +434,32 @@ object TextAnalysis {
           / (col("n_a").cast("double") * col("n_b").cast("double"))).as("pmi"))
   }
 
+  /** Zipf-law fit over the token frequency spectrum: OLS of ln(count)
+    * against ln(rank) for the top-`topN` tokens. Natural language sits
+    * near slope −1; a corpus that drifts far off (template spam:
+    * flat head; OCR noise: heavy tail) fails the cheapest health check
+    * there is. One token-count shuffle; the ranked fit frame is
+    * `topN` rows (TakeOrderedAndProject, then a window over topN only).
+    * Returns ONE row (n_fit, slope, r2).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_fit"),
+        regr_slope(col("y"), col("x")).as("slope"),
+        regr_r2(col("y"), col("x")).as("r2"))
+  }
+
   /** Argmax language guess over the lexicon ratios ("und" if all zero). */
   def langId(text: Column): Column = {
     val ratios = langRatios(text)

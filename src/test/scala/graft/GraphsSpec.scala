@@ -135,6 +135,20 @@ class GraphsSpec extends SparkSuite {
     assert(lone.forall(r => r._3 == 0L && r._4.isEmpty))
   }
 
+  test("assortativity: star/path are -1, regular graph is NULL (zero variance)") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = Graphs.assortativity(star, "src", "dst")
+      .as[(Long, Double)].collect().head
+    assert(s._1 == 3L && math.abs(s._2 + 1.0) < 1e-12)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(math.abs(Graphs.assortativity(path, "src", "dst")
+      .as[(Long, Double)].collect().head._2 + 1.0) < 1e-12)
+    // 4-cycle: every degree 2 -> corr undefined
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graphs.assortativity(ring, "src", "dst")
+      .as[(Long, Option[Double])].collect().head == ((4L, None)))
+  }
+
   test("degrees: full-outer merge includes source-only and sink-only nodes") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graphs.degrees(e, "src", "dst")

@@ -652,6 +652,30 @@ class TextOpsSpec extends SparkSuite {
     assert(out(1) == ((1L, "c\nd", 2L, 0L)))
   }
 
+  test("zipfFit: OLS slope/r2 match a scalar fit; exact power law gives -1, r2=1") {
+    // counts 8,4,2,1 over ranks 1..4
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")
+      ++ Seq("d")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("id", "text")
+    val Seq((n, slope, r2)) = TextAnalysis.zipfFit(docs, "text", topN = 4)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(n == 4L)
+    val xs = (1 to 4).map(i => math.log(i.toDouble))
+    val ys = Seq(8, 4, 2, 1).map(c => math.log(c.toDouble))
+    val (mx, my) = (xs.sum / 4, ys.sum / 4)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum
+    val vy = ys.map(y => (y - my) * (y - my)).sum
+    assert(math.abs(slope - cov / vx) < 1e-9)
+    assert(math.abs(r2 - cov * cov / (vx * vy)) < 1e-9)
+    // counts proportional to 1/rank -> slope exactly -1, perfect fit
+    val zipfy = (1 to 6).flatMap(r => Seq.fill(60 / r)(s"w$r")).mkString(" ")
+    val Seq((_, s1, q1)) = TextAnalysis.zipfFit(
+        Seq((0L, zipfy)).toDF("id", "text"), "text", topN = 6)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(math.abs(s1 + 1.0) < 1e-9 && math.abs(q1 - 1.0) < 1e-9)
+  }
+
   test("pmi collocations: hand-computed scores, marginals, minCount floor") {
     // bigrams: (a,b)x2, (b,a), (a,c); N=4; n_a: a->3 b->1; n_b: b->2 a->1 c->1
     val docs = Seq((0L, "a b a b"), (1L, "a c"), (2L, null: String))
