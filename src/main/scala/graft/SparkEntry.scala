@@ -2210,6 +2210,20 @@ object SparkEntry {
           (count(lit(1)) === 15).as("complete"))
     }),
 
+    // Hamming k-NN over sign-bit sketches: 64-dim embeddings packed to
+    // two 32-bit words, XOR+popcount distance — fully integer, so the
+    // oracle replays the ENTIRE pipeline (packing, distance, tie-break)
+    // bit-for-bit.
+    "ann_hamming" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.hammingTopK(e, "vec_id", "embedding", qs, "qid", "qvec",
+          dim = 64, k = 10)
+        .select(col("qid"), col("vec_id"), col("hamming"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // near-dup pairs chained into dedup GROUPS (connected components),
     // summarized per cluster — checked against a DuckDB recursive-CTE
     // label propagation over the identical edge set
@@ -2826,6 +2840,24 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS worse_than_single,
              CAST(0 AS BIGINT) AS better_than_exact,
              true AS complete""",
+    // Full integer replay of the sign-sketch pipeline: pack 32 sign
+    // bits per word as a plain SUM of power-of-two terms (no signed-
+    // overflow edge), XOR+popcount distance, (hamming, id) top-10.
+    "ann_hamming" -> """
+      WITH ex AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i FROM embeddings),
+      sig AS (SELECT vec_id,
+        sum(CASE WHEN i <= 32 AND e > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)) ELSE 0 END) AS w0,
+        sum(CASE WHEN i > 32 AND e > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER)) ELSE 0 END) AS w1
+        FROM ex GROUP BY vec_id),
+      scored AS (SELECT q.vec_id AS qid, s.vec_id,
+          bit_count(xor(s.w0, q.w0)) + bit_count(xor(s.w1, q.w1)) AS hamming
+        FROM sig s CROSS JOIN (SELECT * FROM sig WHERE vec_id < 3) q),
+      ranked AS (SELECT qid, vec_id, hamming,
+          row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rn
+        FROM scored)
+      SELECT qid, vec_id, CAST(hamming AS BIGINT) AS hamming, rn
+      FROM ranked WHERE rn <= 10 ORDER BY qid, rn""",
     // Full DuckDB replay of the hyperplane-LSH pipeline: the 6x64 plane
     // matrix is regenerated here with the SAME seeded draw order as
     // Kernels.planes(dim=64, nBits=6, seed=42) and embedded as literals

@@ -347,4 +347,31 @@ object Ann {
       .select(col(qidCol), col(idCol), col("distance"))
     SimilarityJoin.topKByDistance(scored, qidCol, idCol, "distance", k)
   }
+
+  /** Hamming k-NN over sign-bit sketches ([[VectorOps.signSketch]]):
+    * pack both sides to `ceil(dim/32)` 32-bit words, broadcast the
+    * (tiny) packed queries, score with XOR + popcount, per-query top-k
+    * with the (distance, id) tie-break.
+    *
+    * The first-pass shape for binary-sketch retrieval at 100 TB: the
+    * index-side scan reads 8 bytes per 64-dim vector instead of 256,
+    * the distance is integer ALU work inside whole-stage codegen, and
+    * nothing shuffles but the window's per-query candidate rows. Exact
+    * over the sketch (an EXACT oracle replays it); approximate for the
+    * underlying angular distance — rerank the top-k with the full
+    * vectors when the sketch is the outer filter.
+    */
+  def hammingTopK(
+      index: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val idx = index.select(col(idCol),
+      VectorOps.signSketch(col(vecCol), dim).as("_sig"))
+    val q = queries.select(col(qidCol),
+      VectorOps.signSketch(col(qvecCol), dim).as("_qsig"))
+    val scored = idx.crossJoin(broadcast(q))
+      .withColumn("hamming", VectorOps.hammingDistance(col("_sig"), col("_qsig")))
+      .select(col(qidCol), col(idCol), col("hamming"))
+    SimilarityJoin.topKByDistance(scored, qidCol, idCol, "hamming", k)
+  }
 }

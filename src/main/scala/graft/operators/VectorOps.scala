@@ -123,4 +123,41 @@ object VectorOps {
         when(col("m2_a") > 0, abs(col("shift")) / sqrt(col("m2_a"))))
       .withColumn("var_ratio", when(col("m2_a") > 0, col("m2_b") / col("m2_a")))
   }
+
+  // ------------------------ sign-bit sketch ---------------------------- //
+
+  /** Sign-bit sketch of a `dim`-element vector as `ceil(dim/32)` packed
+    * 32-bit words (`array<long>`): bit `j` of word `w` is set iff
+    * `vec[32w + j] > 0`. A 64-dim float vector (256 bytes) compresses to
+    * 8 bytes — the 32× cut that makes a first-pass candidate scan
+    * bandwidth-bound instead of FLOP-bound, with Hamming distance as the
+    * (unbiased, Goemans-Williamson) angular-distance proxy.
+    *
+    * 32 bits per word (not 64) keeps every word non-negative, so the
+    * packing is a plain integer SUM both here and in any SQL engine —
+    * no signed-overflow edge at bit 63, and DuckDB's overflow-checked
+    * BIGINT arithmetic replays it bit-for-bit.
+    *
+    * Strictly positive ⇒ 1; zero and negative ⇒ 0 (deterministic at the
+    * boundary). Pure projection: unrolled `element_at` terms, whole-stage
+    * codegen, zero shuffle.
+    */
+  def signSketch(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"signSketch needs a positive dim, got $dim")
+    val words = (0 until dim by 32).map { base =>
+      (base until math.min(base + 32, dim)).map { j =>
+        when(element_at(vec, j + 1) > lit(0.0f), lit(1L << (j - base)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two same-length sign sketches: summed
+    * `bit_count` over XORed words. Codegen HOF over the (tiny) word
+    * arrays.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

@@ -535,4 +535,35 @@ class AnnSpec extends SparkSuite {
     assert(Ann.inertia(emb.filter($"vec_id" < 0), "embedding",
       inertias(1)._2) == ((0L, 0.0)))
   }
+
+  test("hammingTopK: matches a local popcount recompute; broadcast-only plan") {
+    val got = Ann.hammingTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", dim = 64, k = 5)
+      .select($"qid", $"vec_id", $"hamming", $"rn")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3))).toMap
+    // local oracle: pack sign bits, brute-force hamming, (dist, id) order
+    def pack(v: Array[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > 0f) acc | (1L << i) else acc
+      }
+    val idx = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().map { case (i, v) => (i, pack(v)) }
+    val qs = queries.select($"qid", $"qvec")
+      .as[(Long, Array[Float])].collect().map { case (i, v) => (i, pack(v)) }
+    qs.foreach { case (qid, qsig) =>
+      val want = idx.map { case (id, sig) =>
+        (id, java.lang.Long.bitCount(sig ^ qsig).toLong)
+      }.sortBy { case (id, d) => (d, id) }.take(5).toSeq
+      assert(got(qid).toSeq == want, s"query $qid")
+    }
+    // shape: broadcast join only — the index side never shuffles before
+    // the per-query window
+    val plan = Ann.hammingTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", dim = 64, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"hamming scan must broadcast the packed queries:\n$plan")
+    assert(!plan.contains("Union"), s"one relational job expected:\n$plan")
+  }
 }

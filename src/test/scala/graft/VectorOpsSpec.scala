@@ -205,4 +205,34 @@ class VectorOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got(1).getDouble(4) == 0.0)
     assert(got(1).isNullAt(5) && got(1).isNullAt(6))
   }
+
+  test("signSketch packs sign bits into 32-bit words; hammingDistance counts flips") {
+    // dim 5: bits 0,2 set -> word0 = 1 + 4 = 5; zero is NOT positive
+    val df = Seq(
+      (1L, Array(1f, -2f, 0.5f, 0f, -0.1f)),
+      (2L, Array(1f, 2f, 0.5f, 0f, -0.1f)), // differs at bit 1
+      (3L, Array(-1f, -2f, -0.5f, -1f, -0.1f))).toDF("id", "vec")
+    val sk = df.select($"id", VectorOps.signSketch($"vec", 5).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sk(1) == Seq(5L))
+    assert(sk(2) == Seq(7L))
+    assert(sk(3) == Seq(0L))
+    // dim 64 spans two words, 32 bits each — all-positive = two full words
+    val full = Seq((1L, Array.fill(64)(1f))).toDF("id", "vec")
+      .select(VectorOps.signSketch($"vec", 64).as("sig"))
+      .as[Seq[Long]].head()
+    assert(full == Seq(0xFFFFFFFFL, 0xFFFFFFFFL))
+    // hamming: |1 xor 2| differs in one bit; self-distance 0
+    val pairs = df.toDF("id", "vec")
+      .crossJoin(df.toDF("id2", "vec2"))
+      .select($"id", $"id2",
+        VectorOps.hammingDistance(
+          VectorOps.signSketch($"vec", 5),
+          VectorOps.signSketch($"vec2", 5)).as("d"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(pairs((1L, 1L)) == 0L && pairs((2L, 2L)) == 0L)
+    assert(pairs((1L, 2L)) == 1L && pairs((2L, 1L)) == 1L)
+    assert(pairs((1L, 3L)) == 2L) // bits 0 and 2 flip off
+  }
 }
