@@ -1542,6 +1542,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // KMV distinct sketch: per-flag distinct-order estimate from the
+    // 64 smallest md5-prefix hashes, audited against the true distinct
+    // count. Deterministic in the salt, so DuckDB replays the WHOLE
+    // sketch (hashes, k-smallest selection, estimator arithmetic) —
+    // a bit-exact gate no HLL-style sketch could pass.
+    "sk_kmv" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val est = graft.operators.Sketches.kmvDistinct(
+        li, "l_orderkey", Seq("l_returnflag"), k = 64)
+      val truth = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("true_distinct"))
+      est.join(truth, "l_returnflag")
+        .select(col("l_returnflag"), col("n_kept"), col("is_exact"),
+          round(col("est_distinct"), 4).as("est_distinct"),
+          col("true_distinct"),
+          round(abs(col("est_distinct") - col("true_distinct"))
+            / col("true_distinct"), 6).as("rel_err"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // exactly 3 docs per source, inclusion ∝ n_chars, via the
+    // -ln(u)/w exponential race over md5-derived uniforms — fully
+    // deterministic, so the oracle replays the race itself.
+    "sm_weighted_wor" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSampleWithoutReplacement(
+          T(s, dir, "documents"), "doc_id", col("n_chars"), k = 3,
+          groupCols = Seq("source"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("es_rank"))
+        .orderBy("source", "es_rank")),
+
     // Bloom-prefiltered semi join: identical RESULT to a plain semi
     // join (no false negatives), but the probe side sheds non-matching
     // rows inside the scan before the exchange — DuckDB verifies the
@@ -2786,6 +2817,67 @@ object SparkEntry {
       WHERE EXISTS (SELECT 1 FROM orders
                     WHERE o_orderkey = l_orderkey AND o_totalprice > 150000)
       GROUP BY l_orderkey ORDER BY l_orderkey""",
+    // Full KMV replay: same md5 hashes (15-hex prefix compares like
+    // the 60-bit number), k-smallest per group by STRING order, then
+    // the (k-1)·2^60/h_k estimator with the prefix decoded via the
+    // nibble polynomial.
+    "sk_kmv" -> {
+      val nibbles = (0 until 15).map { i =>
+        val w = java.math.BigInteger.valueOf(16L).pow(14 - i)
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n                 + ")
+      s"""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag AS g,
+               substr(md5(concat_ws('|', 'kmv', CAST(l_orderkey AS VARCHAR))), 1, 15) AS hx
+        FROM lineitem),
+      r AS (
+        SELECT g, hx, row_number() OVER (PARTITION BY g ORDER BY hx) AS rn
+        FROM h),
+      topk AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+               max(CAST(($nibbles) AS BIGINT)) AS hk
+        FROM r WHERE rn <= 64 GROUP BY g),
+      est AS (
+        SELECT g, n_kept, n_kept < 64 AS is_exact,
+               CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                    ELSE 63e0 * 1152921504606846976e0 / CAST(hk AS DOUBLE)
+               END AS est_distinct
+        FROM topk),
+      t AS (
+        SELECT l_returnflag AS g,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS true_distinct
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT est.g AS l_returnflag, est.n_kept, est.is_exact,
+             round(est.est_distinct, 4) AS est_distinct, t.true_distinct,
+             round(abs(est.est_distinct - t.true_distinct) / t.true_distinct, 6)
+               AS rel_err
+      FROM est JOIN t ON t.g = est.g ORDER BY est.g"""
+    },
+    // Replay of the A-ES exponential race: u from the 60-bit md5
+    // prefix, key = -ln(u)/w, per-source (key, doc_id) top-3.
+    "sm_weighted_wor" -> {
+      val nibbles = (0 until 15).map { i =>
+        val w = java.math.BigInteger.valueOf(16L).pow(14 - i)
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n                 + ")
+      s"""
+      WITH h AS (
+        SELECT source, doc_id, n_chars,
+               substr(md5(concat_ws('|', 'es', CAST(doc_id AS VARCHAR))), 1, 15) AS hx
+        FROM documents WHERE n_chars > 0),
+      keyed AS (
+        SELECT source, doc_id, n_chars,
+               -ln((CAST(($nibbles) AS DOUBLE) + 1e0) / 1152921504606846976e0)
+                 / CAST(n_chars AS DOUBLE) AS es
+        FROM h),
+      r AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY es, doc_id) AS es_rank
+        FROM keyed)
+      SELECT source, doc_id, n_chars, CAST(es_rank AS INTEGER) AS es_rank
+      FROM r WHERE es_rank <= 3 ORDER BY source, es_rank"""
+    },
     "q32_range_join" -> """
       SELECT c.c_custkey,
              CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,

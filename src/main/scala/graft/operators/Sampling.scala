@@ -137,6 +137,49 @@ object Sampling {
     df.filter(hNum < floor(w * lit(1152921504606846976.0)).cast("long"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    * exactly `k` rows per group (all of them when the group is
+    * smaller), inclusion biased toward weight, never a duplicate —
+    * the "pick k docs ∝ quality per source" primitive that
+    * [[weightedHashSample]] (Bernoulli, random size) can't give.
+    *
+    * Each row draws its uniform from the shared md5 family
+    * ([[keyHash]], u = (prefix60+1)/2^60 ∈ (0,1]) and competes with
+    * key `-ln(u)/w` — the A-ES exponential race: smallest k keys win
+    * with P ∝ w, deterministically in (key, salt). Rows with
+    * non-positive weight never win (P = 0) and are filtered.
+    *
+    * Scale shape: grouped, a group-partitioned window ranks each
+    * group's slice in its own task; ungrouped, `orderBy.limit(k)`
+    * plans as TakeOrderedAndProject — per-partition partial top-k then
+    * a k-row merge, never a global sort. `es_rank` (1-based) is the
+    * selection order in both forms.
+    */
+  def weightedSampleWithoutReplacement(df: DataFrame, keyCol: String,
+      weightCol: Column, k: Int, groupCols: Seq[String] = Nil,
+      salt: String = "es"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(keyHash(col(keyCol), salt), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    val esKey = -log(u) / weightCol.cast("double")
+    val weighted = df.filter(weightCol.cast("double") > 0.0)
+      .withColumn("_es", esKey)
+    val ranked =
+      if (groupCols.nonEmpty) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col("_es"), col(keyCol))
+        weighted.withColumn("es_rank", row_number().over(w))
+          .filter(col("es_rank") <= k)
+      } else {
+        // distributed top-k first; the rank window then runs over k rows
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("_es"), col(keyCol))
+        weighted.orderBy(col("_es"), col(keyCol)).limit(k)
+          .withColumn("es_rank", row_number().over(w))
+      }
+    ranked.drop("_es")
+  }
+
   /** Per-class fractions (stratified): `fractions` maps class value →
     * keep fraction; classes not listed are dropped, matching
     * `DataFrameStatFunctions.sampleBy` semantics — but deterministic in

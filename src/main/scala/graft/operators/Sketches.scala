@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.GraftShim
 
@@ -70,5 +71,48 @@ object Sketches {
       GraftShim.expression(col(probeKey).cast("long"))))
     probe.filter(mightContain)
       .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
+  }
+
+  /** KMV (k-minimum-values) distinct-count estimate per group: keep the
+    * `k` smallest distinct 60-bit md5-prefix hashes of `keyCol`
+    * ([[Sampling.keyHash]] family — salt|key, so independent estimators
+    * come free by re-salting) and estimate
+    * `distinct ≈ (k−1) / U_(k)` with `U_(k)` the k-th smallest hash as
+    * a fraction of the 2^60 space (Bar-Yossef et al. 2002; the
+    * Theta/KMV sketch every warehouse ships). Groups with fewer than
+    * `k` distinct hashes report their EXACT count (`is_exact`).
+    *
+    * Unlike `approx_count_distinct` (HLL), the sketch state is a plain
+    * sorted hash list: deterministic for a given salt, mergeable by
+    * "union then re-take the k smallest" (set semantics make merge
+    * idempotent — the same property that lets two corpus snapshots'
+    * sketches intersect for overlap estimates), and replayable by ANY
+    * engine with md5 — the gate's DuckDB oracle reproduces estimate
+    * bit-for-bit, which no RNG-seeded or HLL-register sketch allows.
+    *
+    * Scale shape: the pre-aggregation `distinct` map-side combines to
+    * the distinct keys per group, then ONE group-partitioned window
+    * ranks hashes within each group — never a global sort. Output is
+    * `|groups|` rows.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2 (the estimate divides by k-1), got $k")
+    val g = groupCols.map(col)
+    val h = conv(substring(Sampling.keyHash(col(keyCol), salt), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = df.filter(col(keyCol).isNotNull)
+      .select(g :+ h.as("_h"): _*).distinct()
+    val w = Window.partitionBy(g: _*).orderBy(col("_h"))
+    hashes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("_hk"))
+      .withColumn("is_exact", col("n_kept") < k)
+      .withColumn("est_distinct",
+        when(col("is_exact"), col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
+            / col("_hk").cast("double")))
+      .drop("_hk")
   }
 }

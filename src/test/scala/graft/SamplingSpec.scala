@@ -191,4 +191,47 @@ class SamplingSpec extends SparkSuite {
       Sampling.hashSplitLabeled(ids, "id", Seq("a" -> 0.5, "a" -> 0.5))
     }
   }
+
+  test("weighted sample w/o replacement: k per group, no dupes, weight-biased, top-k plan") {
+    val rows = (1 to 400).map { i =>
+      val g = if (i % 2 == 0) "even" else "odd"
+      // half the rows get 50x weight — they should dominate the picks
+      val w = if (i <= 200) 50.0 else 1.0
+      (i.toLong, g, w)
+    }.toDF("id", "g", "w")
+    val got = Sampling.weightedSampleWithoutReplacement(
+      rows, "id", col("w"), k = 20, groupCols = Seq("g"))
+    val picked = got.select($"g", $"id", $"es_rank")
+      .as[(String, Long, Int)].collect()
+    // exactly k per group, ranks contiguous 1..k, no duplicate ids
+    picked.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.length == 20, s"group $g: ${rs.length}")
+      assert(rs.map(_._3).sorted.toSeq == (1 to 20), s"group $g ranks")
+      assert(rs.map(_._2).distinct.length == 20, s"group $g dupes")
+    }
+    // bias: heavy rows (id <= 200) expected share = 50/51; even a loose
+    // bound separates the hypotheses decisively
+    val heavy = picked.count(_._2 <= 200)
+    assert(heavy > 30, s"heavy-weight rows under-sampled: $heavy/40")
+    // deterministic across runs
+    val again = Sampling.weightedSampleWithoutReplacement(
+      rows, "id", col("w"), k = 20, groupCols = Seq("g"))
+      .select($"g", $"id", $"es_rank").as[(String, Long, Int)].collect()
+    assert(again.toSet == picked.toSet)
+    // groups smaller than k return whole group; non-positive weights drop
+    val tiny = Seq((1L, "a", 1.0), (2L, "a", 0.0), (3L, "a", -4.0))
+      .toDF("id", "g", "w")
+    val tinyGot = Sampling.weightedSampleWithoutReplacement(
+      tiny, "id", col("w"), k = 5, groupCols = Seq("g"))
+      .select($"id").as[Long].collect()
+    assert(tinyGot.toSeq == Seq(1L))
+    // ungrouped path: distributed top-k (TakeOrderedAndProject), no
+    // whole-corpus global-sort exchange
+    val plan = Sampling.weightedSampleWithoutReplacement(
+      rows, "id", col("w"), k = 7).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ungrouped selection must plan as distributed top-k:\n$plan")
+    assert(Sampling.weightedSampleWithoutReplacement(rows, "id", col("w"), k = 7)
+      .count() == 7)
+  }
 }

@@ -57,4 +57,54 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     // 3 true keys + ~1% false positives of 100k
     assert(survivors < 3000, s"bloom should shed ~99%, kept $survivors of 100000")
   }
+
+  test("kmv: exact below k, estimate within tolerance above, merge = union re-take") {
+    import graft.operators.Sketches
+    // small group: fewer than k distinct values -> exact count
+    val small = (1 to 10).map(i => ("g", i.toLong)).toDF("g", "k")
+    val exact = Sketches.kmvDistinct(small, "k", Seq("g"), k = 64).head()
+    assert(exact.getAs[Boolean]("is_exact"))
+    assert(exact.getAs[Long]("n_kept") == 10L)
+    assert(exact.getAs[Double]("est_distinct") == 10.0)
+    // large group: estimator path; KMV relative error ~ 1/sqrt(k-1),
+    // allow 4 sigma
+    val n = 20000
+    val large = (1 to n).map(i => ("g", i.toLong)).toDF("g", "k")
+    val est = Sketches.kmvDistinct(large, "k", Seq("g"), k = 256).head()
+    assert(!est.getAs[Boolean]("is_exact"))
+    val rel = math.abs(est.getAs[Double]("est_distinct") - n) / n
+    assert(rel < 4.0 / math.sqrt(255.0), s"rel err $rel")
+    // duplicates do not move the sketch: distinct hashes only
+    val dup = large.union(large)
+    val est2 = Sketches.kmvDistinct(dup, "k", Seq("g"), k = 256).head()
+    assert(est2.getAs[Double]("est_distinct") == est.getAs[Double]("est_distinct"))
+    // mergeability: sketch(A ∪ B) == re-take-k of sketch(A) ∪ sketch(B).
+    // Verified through the operator: the k smallest hashes of the union
+    // equal the k smallest of the two parts' k-smallest sets.
+    val a = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "k")
+    val b = (4000 to 9000).map(i => ("g", i.toLong)).toDF("g", "k")
+    val whole = Sketches.kmvDistinct(a.union(b), "k", Seq("g"), k = 128).head()
+    // simulate a merge: each part keeps its own k smallest (the sketch
+    // state), union the states, re-run the same operator over them
+    val h = org.apache.spark.sql.functions.conv(
+      substring(graft.operators.Sampling.keyHash(col("k"), "kmv"), 1, 15), 16, 10)
+      .cast("long")
+    def state(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("_h"))
+      df.select(col("g"), h.as("_h")).distinct()
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") <= 128).select("g", "_h")
+    }
+    val mergedState = state(a).union(state(b)).distinct()
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy(col("_h"))))
+      .filter(col("_rn") <= 128)
+      .groupBy("g").agg(count(lit(1)).as("n_kept"), max(col("_h")).as("hk"))
+      .head()
+    val wholeEst = whole.getAs[Double]("est_distinct")
+    val mergedEst = 127.0 * math.pow(2, 60) / mergedState.getAs[Long]("hk").toDouble
+    assert(math.abs(wholeEst - mergedEst) < 1e-9,
+      s"merged sketch estimate $mergedEst != whole-data estimate $wholeEst")
+  }
 }
