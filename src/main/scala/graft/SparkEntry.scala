@@ -578,6 +578,32 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Precision-recall curve over distinct thresholds: integer-exact
+    // confusion counts from the two-level prefix sum; only the final
+    // divisions are floating. "precision" is a reserved word in
+    // DuckDB, hence "prec".
+    "ir_pr" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(round(col("o_totalprice") / 1000.0).as("score"),
+          (col("o_orderstatus") === "F").as("label"))
+      operators.Evaluation.prCurve(o, "score", "label")
+        .select(col("score"), col("pos_at"), col("tp"), col("fp"),
+          round(col("precision"), 6).as("prec"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy(col("score").desc)
+    }),
+
+    // PR-AUC (classifier average precision) of the same scorer: a
+    // plain aggregate over the curve — the recall increment at each
+    // threshold is pos_at/nPos, so no lag window exists anywhere.
+    "ir_pr_auc" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(round(col("o_totalprice") / 1000.0).as("score"),
+          (col("o_orderstatus") === "F").as("label"))
+      operators.Evaluation.prAuc(o, "score", "label")
+        .select(col("n_pos"), col("n_neg"), round(col("ap"), 6).as("ap"))
+    }),
+
     // Gopher-style quality rules: per-rule booleans + the keep/drop
     // conjunction, all pure projections.
     "tx_gopher" -> ((s, dir) =>
@@ -3863,6 +3889,45 @@ object SparkEntry {
              CAST(sum(neg_at) AS BIGINT) AS n_neg,
              round(sum(pos_at * (nb + neg_at / 2.0))
                / (sum(pos_at) * CAST(sum(neg_at) AS DOUBLE)), 6) AS auc
+      FROM c""",
+    "ir_pr" -> """
+      WITH d AS (
+        SELECT round(o_totalprice / 1000e0) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      per AS (
+        SELECT s, CAST(sum(y) AS BIGINT) AS pos_at,
+               CAST(count(*) - sum(y) AS BIGINT) AS neg_at
+        FROM d GROUP BY s),
+      t AS (SELECT sum(pos_at) AS np FROM per),
+      c AS (
+        SELECT s, pos_at,
+               CAST(sum(pos_at) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+               CAST(sum(neg_at) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+        FROM per)
+      SELECT s AS score, pos_at, tp, fp,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec,
+             round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) AS recall
+      FROM c, t ORDER BY score DESC""",
+    "ir_pr_auc" -> """
+      WITH d AS (
+        SELECT round(o_totalprice / 1000e0) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      per AS (
+        SELECT s, CAST(sum(y) AS BIGINT) AS pos_at,
+               CAST(count(*) - sum(y) AS BIGINT) AS neg_at
+        FROM d GROUP BY s),
+      c AS (
+        SELECT s, pos_at,
+               CAST(sum(pos_at) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+               CAST(sum(neg_at) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+        FROM per)
+      SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
+             CAST((SELECT sum(neg_at) FROM per) AS BIGINT) AS n_neg,
+             round(sum(CAST(pos_at AS DOUBLE)
+                 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)))
+               / CAST(sum(pos_at) AS DOUBLE), 6) AS ap
       FROM c""",
     "ir_calibration" -> """
       WITH t AS (

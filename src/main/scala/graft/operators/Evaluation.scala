@@ -198,4 +198,89 @@ object Evaluation {
       .agg(count(lit(1)).as("n"), avg(col("s")).as("avg_score"),
         avg(col("y")).as("frac_pos"))
   }
+
+  /** Precision-recall curve of a binary scorer: one row per DISTINCT
+    * score threshold t (classify positive when score ≥ t) with the
+    * integer confusion counts and derived precision/recall —
+    * [[binaryAuc]]'s companion for the class-imbalanced regimes
+    * (quality filtering, contamination flags) where ROC-AUC flatters.
+    *
+    * Same scale shape as [[binaryAuc]]: per-distinct-score aggregate,
+    * bucket-partitioned cumulative window, broadcast bucket bases —
+    * NO global window. TP/FP at threshold s are recovered from the
+    * ASCENDING inclusive prefix sums as `total − cum_incl + at(s)`,
+    * so all counts stay integer-exact (a SQL engine replays them
+    * bit-for-bit; only the final divisions are floating).
+    *
+    * Output: (score, pos_at, tp, fp, precision, recall), ordered by
+    * nothing — callers sort. Rows with NULL score/label are ignored;
+    * empty input yields an empty frame.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val d = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+    val per = d.groupBy("s").agg(
+      sum(col("y")).as("pos_at"),
+      (count(lit(1)) - sum(col("y"))).as("neg_at"))
+    val tot = per.agg(coalesce(sum(col("pos_at")), lit(0L)),
+      coalesce(sum(col("neg_at")), lit(0L)),
+      min(col("s")), max(col("s"))).head()
+    val (nPos, nNeg) = (tot.getLong(0), tot.getLong(1))
+    val spark = df.sparkSession
+    if (tot.isNullAt(2)) {
+      import spark.implicits._
+      return Seq.empty[(Double, Long, Long, Long, Option[Double], Option[Double])]
+        .toDF("score", "pos_at", "tp", "fp", "precision", "recall")
+    }
+    val (lo, hi) = (tot.getDouble(2), tot.getDouble(3))
+    val width = if (hi > lo) hi - lo else 1.0
+    val bkt = least(
+      floor((col("s") - lit(lo)) / lit(width) * nBuckets).cast("long"),
+      lit(nBuckets - 1L))
+    val local = per.withColumn("_bkt", bkt)
+      .withColumn("_cp_in",
+        sum(col("pos_at")).over(Window.partitionBy("_bkt").orderBy("s")))
+      .withColumn("_cn_in",
+        sum(col("neg_at")).over(Window.partitionBy("_bkt").orderBy("s")))
+    val bases = local.groupBy("_bkt")
+      .agg(sum(col("pos_at")).as("_tp"), sum(col("neg_at")).as("_tn"))
+      .withColumn("_pbase", sum(col("_tp")).over(Window.orderBy("_bkt")) - col("_tp"))
+      .withColumn("_nbase", sum(col("_tn")).over(Window.orderBy("_bkt")) - col("_tn"))
+      .select("_bkt", "_pbase", "_nbase")
+    local.join(broadcast(bases), Seq("_bkt"))
+      .select(col("s").as("score"), col("pos_at"),
+        (lit(nPos) - (col("_pbase") + col("_cp_in")) + col("pos_at")).as("tp"),
+        (lit(nNeg) - (col("_nbase") + col("_cn_in")) + col("neg_at")).as("fp"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(lit(nPos) > 0, col("tp").cast("double") / lit(nPos.toDouble)))
+  }
+
+  /** Area under the PR curve by right-step interpolation — the
+    * classifier form of average precision:
+    * AP = Σ_t (pos_at(t) / nPos) · precision(t). One row
+    * (n_pos, n_neg, ap); NULL ap when a class is empty. The recall
+    * increment at each threshold is pos_at/nPos, so no lag window is
+    * needed — AP is a plain aggregate over the [[prCurve]] rows.
+    */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val curve = prCurve(df, scoreCol, labelCol, nBuckets)
+    // at the lowest threshold everything is classified positive, so
+    // max(tp+fp) recovers the total row count without another scan
+    curve.agg(
+      coalesce(sum(col("pos_at")), lit(0L)).as("n_pos"),
+      coalesce(max(col("tp") + col("fp")), lit(0L)).as("_n"),
+      sum(col("pos_at").cast("double") * col("precision")).as("_ap_num"))
+      .select(col("n_pos"), (col("_n") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") > 0, col("_ap_num") / col("n_pos").cast("double"))
+          .as("ap"))
+  }
 }

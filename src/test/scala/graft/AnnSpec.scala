@@ -536,6 +536,35 @@ class AnnSpec extends SparkSuite {
       inertias(1)._2) == ((0L, 0.0)))
   }
 
+  test("prCurve/prAuc: hand-computed thresholds, AP, empty and one-class inputs") {
+    import graft.operators.Evaluation
+    val d = Seq((0.9, true), (0.8, false), (0.8, true), (0.5, false))
+      .toDF("score", "label")
+    val curve = Evaluation.prCurve(d, "score", "label")
+      .select($"score", $"pos_at", $"tp", $"fp", $"precision", $"recall")
+      .as[(Double, Long, Long, Long, Double, Double)].collect()
+      .sortBy(-_._1)
+    assert(curve.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((0.9, 1L, 1L, 0L), (0.8, 1L, 2L, 1L), (0.5, 0L, 2L, 2L)))
+    assert(curve(0)._5 == 1.0 && curve(0)._6 == 0.5)
+    assert(math.abs(curve(1)._5 - 2.0 / 3.0) < 1e-15 && curve(1)._6 == 1.0)
+    assert(curve(2)._5 == 0.5 && curve(2)._6 == 1.0)
+    val ap = Evaluation.prAuc(d, "score", "label").head()
+    assert(ap.getAs[Long]("n_pos") == 2L && ap.getAs[Long]("n_neg") == 2L)
+    // AP = 1/2·1 + 1/2·(2/3)
+    assert(math.abs(ap.getAs[Double]("ap") - (0.5 + 1.0 / 3.0)) < 1e-12)
+    // empty input: empty curve, NULL ap
+    val empty = Seq.empty[(Double, Boolean)].toDF("score", "label")
+    assert(Evaluation.prCurve(empty, "score", "label").count() == 0)
+    assert(Evaluation.prAuc(empty, "score", "label").head().isNullAt(2))
+    // all-negative input: curve exists, precision 0, NULL ap (nPos=0)
+    val neg = Seq((0.4, false), (0.6, false)).toDF("score", "label")
+    val negCurve = Evaluation.prCurve(neg, "score", "label")
+      .select($"precision", $"recall").collect()
+    assert(negCurve.forall(r => r.getDouble(0) == 0.0 && r.isNullAt(1)))
+    assert(Evaluation.prAuc(neg, "score", "label").head().isNullAt(2))
+  }
+
   test("hammingTopK: matches a local popcount recompute; broadcast-only plan") {
     val got = Ann.hammingTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", dim = 64, k = 5)
