@@ -2281,6 +2281,17 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Winnowing (MOSS) fingerprint near-dup pairs: k-gram md5 hashes,
+    // sliding-window minima, docs sharing >= 2 selected hashes. Every
+    // stage is deterministic integer/hash work, so the oracle replays
+    // the full pipeline (normalization, grams, window minima, postings
+    // cap, pair counts).
+    "dd_winnow" -> ((s, dir) =>
+      Dedup.winnowingPairs(
+          T(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text", k = 7, w = 5, minShared = 2)
+        .orderBy("id_a", "id_b")),
+
     // near-dup pairs chained into dedup GROUPS (connected components),
     // summarized per cluster — checked against a DuckDB recursive-CTE
     // label propagation over the identical edge set
@@ -2958,6 +2969,44 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS worse_than_single,
              CAST(0 AS BIGINT) AS better_than_exact,
              true AS complete""",
+    // Full winnowing replay: same normalization (global-flag regex),
+    // same 7-gram 60-bit md5 hashes via the nibble polynomial, window
+    // minima by (doc, start) join+groupBy, postings cap, pair counts.
+    "dd_winnow" -> {
+      val nibbles = (0 until 15).map { i =>
+        val w = java.math.BigInteger.valueOf(16L).pow(14 - i)
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n                 + ")
+      s"""
+      WITH d AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        FROM documents WHERE doc_id < 150 AND text IS NOT NULL),
+      g0 AS (
+        SELECT doc_id, len(norm) - 7 + 1 AS n,
+               unnest(range(1, len(norm) - 7 + 2)) AS pos, norm
+        FROM d WHERE len(norm) >= 7),
+      g1 AS (
+        SELECT doc_id, n, pos,
+               substr(md5(substr(norm, CAST(pos AS INTEGER), 7)), 1, 15) AS hx
+        FROM g0),
+      g AS (SELECT doc_id, n, pos, CAST(($nibbles) AS BIGINT) AS h FROM g1),
+      starts AS (
+        SELECT doc_id, pos AS ws FROM g WHERE pos <= greatest(n - 5 + 1, 1)),
+      wins AS (
+        SELECT s.doc_id, s.ws, g.pos, g.h
+        FROM starts s JOIN g ON g.doc_id = s.doc_id
+                            AND g.pos BETWEEN s.ws AND s.ws + 4),
+      sel AS (SELECT doc_id, ws, min(h) AS mh FROM wins GROUP BY doc_id, ws),
+      fp AS (SELECT DISTINCT doc_id, mh AS fp_hash FROM sel),
+      rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 100),
+      kept AS (SELECT fp.fp_hash, fp.doc_id FROM fp JOIN rare USING (fp_hash)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+      SELECT id_a, id_b, shared FROM pairs ORDER BY id_a, id_b"""
+    },
     // Full integer replay of the sign-sketch pipeline: pack 32 sign
     // bits per word as a plain SUM of power-of-two terms (no signed-
     // overflow edge), XOR+popcount distance, (hamming, id) top-10.

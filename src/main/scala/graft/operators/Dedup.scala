@@ -786,6 +786,74 @@ object Dedup {
     * the hash compare is null-safe, so NULL text diffs correctly
     * (NULL → NULL is unchanged, NULL → text is changed).
     */
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): normalize to `[a-z0-9]`,
+    * hash every `k`-char gram (60-bit md5 prefix, the cross-engine
+    * hash family), then in every window of `w` consecutive gram
+    * hashes select the minimum, rightmost on ties. The selected
+    * (hash, position) set is the fingerprint — guaranteed to catch
+    * any shared substring of length ≥ k + w − 1, at an expected
+    * density of 2/(w+1) of the grams.
+    *
+    * Documents with fewer than `w` grams contribute one window (the
+    * whole doc); documents shorter than `k` chars after normalization
+    * contribute nothing. Pure projection + ONE doc-partitioned
+    * window — each document's grams rank inside their own task.
+    *
+    * Returns distinct (id, fp_hash, fp_pos), 1-based positions over
+    * the normalized text.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 7, w: Int = 5): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(w >= 1, s"window size w must be >= 1, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), norm.as("_norm"))
+      .filter(length(col("_norm")) >= k)
+      .withColumn("_n", (length(col("_norm")) - k + 1).cast("int"))
+      .select(col(idCol), col("_n"),
+        posexplode(transform(sequence(lit(1), col("_n")),
+          i => col("_norm").substr(i, lit(k)))).as(Seq("_p0", "_gram")))
+      .select(col(idCol), col("_n"), (col("_p0") + 1).as("pos"),
+        conv(substring(md5(col("_gram")), 1, 15), 16, 10).cast("long").as("h"))
+      // min(struct(h, -pos)) = smallest hash, rightmost position on tie
+      .withColumn("_sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      // full windows only: starts 1 .. n-w+1 (short docs: the one
+      // window at pos 1, which the frame clips to the doc)
+      .filter(col("pos") <= greatest(col("_n") - w + 1, lit(1)))
+      .select(col(idCol), col("_sel.h").as("fp_hash"),
+        (-col("_sel.np")).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Near-dup / containment pairs from shared winnowing fingerprints:
+    * docs sharing ≥ `minShared` distinct selected hashes. The
+    * candidate join is an equi-join on fp_hash; hashes selected in
+    * more than `maxDocsPerFp` documents are dropped first (they are
+    * boilerplate by definition, and they are the quadratic hub risk —
+    * the [[minHashLshPairs]] giant-bucket backstop, applied to
+    * fingerprint postings).
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 7, w: Int = 5, minShared: Int = 2,
+      maxDocsPerFp: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = winnowingFingerprints(df, idCol, textCol, k, w)
+      .select(col("fp_hash"), col(idCol)).distinct()
+    val rare = fp.groupBy("fp_hash")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocsPerFp)
+      .select("fp_hash")
+    val kept = fp.join(rare, Seq("fp_hash"))
+    kept.toDF("fp_hash", "id_a").join(kept.toDF("fp_hash", "id_b"), Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     def slim(df: DataFrame, h: String, p: String) = df.select(

@@ -315,4 +315,47 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(flips == Map(9L -> "changed", 10L -> "changed"))
   }
+
+  test("winnowing: shared-substring guarantee, density, determinism, pair detection") {
+    val k = 5
+    val w = 4
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"AAAA $shared AAAA unique tail one"),
+      (2L, s"BBBB prefix text here $shared BBBB"),
+      (3L, "completely different content with nothing matching qqq zzz xxx"),
+      (4L, s"AAAA $shared AAAA unique tail one"), // identical to 1
+      (5L, "tiny doc")) // 7 norm chars: grams exist but < one full window
+      .toDF("id", "text")
+    val fp = Dedup.winnowingFingerprints(docs, "id", "text", k, w)
+      .select($"id", $"fp_hash", $"fp_pos")
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // identical docs -> identical fingerprint sets
+    assert(byDoc(1L) == byDoc(4L))
+    // winnowing guarantee: any shared substring of length >= k+w-1
+    // yields at least one shared selected hash
+    assert((byDoc(1L).map(_._1) & byDoc(2L).map(_._1)).nonEmpty)
+    // expected density ~ 2/(w+1) of grams; allow a wide band
+    val norm1 = ("AAAA " + shared + " AAAA unique tail one")
+      .toLowerCase.replaceAll("[^a-z0-9]", "")
+    val nGrams = norm1.length - k + 1
+    assert(byDoc(1L).size >= nGrams / (w + 2) && byDoc(1L).size <= nGrams,
+      s"${byDoc(1L).size} fingerprints from $nGrams grams")
+    // short doc still fingerprints (one window over all its grams)
+    assert(byDoc(5L).size == 1)
+    // positions stay inside the valid 1-based gram range
+    fp.foreach { case (_, _, p) => assert(p >= 1) }
+    // pair detection: (1,4) identical, (1,2)/(2,4) share the sentence;
+    // doc 3 pairs with nobody
+    val pairs = Dedup.winnowingPairs(docs, "id", "text", k, w, minShared = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // plan: candidate generation is equi-join only
+    val plan = Dedup.winnowingPairs(docs, "id", "text", k, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"winnowing pair join must stay an equi-join:\n$plan")
+  }
 }
