@@ -1343,6 +1343,16 @@ object SparkEntry {
         .orderBy(col("triangles").desc, col("node"))
         .limit(20)),
 
+    // Label-propagation communities (deterministic sync LPA, ties to
+    // the smallest label) after 2 rounds, summarized as community
+    // sizes. The oracle unrolls both rounds.
+    "gr_lpa" -> ((s, dir) =>
+      operators.Graphs.labelPropagation(coPurchaseEdges(s, dir), "src", "dst",
+          iterations = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label"))
+        .limit(20)),
+
     // HITS hubs/authorities on the same graph (2 alternating L2-
     // normalized rounds; the oracle unrolls all four flow steps).
     "gr_hits" -> ((s, dir) =>
@@ -3253,6 +3263,38 @@ object SparkEntry {
              END, 6) AS clustering
       FROM deg LEFT JOIN pn ON pn.node = deg.node
       ORDER BY triangles DESC, deg.node LIMIT 20""",
+    // both LPA rounds unrolled: neighbor-label counts, argmax with
+    // (cnt desc, label asc) tie order, isolated-node fallback
+    "gr_lpa" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             FROM li a JOIN li b ON a.ok = b.ok
+             WHERE a.l_partkey <> b.l_partkey),
+      e AS (SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM e0
+              UNION ALL SELECT dst, src FROM e0)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      c1 AS (SELECT e.dst, e.src AS label, count(*) AS cnt
+             FROM e GROUP BY e.dst, e.src),
+      b1 AS (SELECT dst AS node, label,
+                    row_number() OVER (PARTITION BY dst
+                      ORDER BY cnt DESC, label ASC) AS rn
+             FROM c1),
+      l1 AS (SELECT nodes.node, coalesce(w.label, nodes.node) AS label
+             FROM nodes LEFT JOIN (SELECT node, label FROM b1 WHERE rn = 1) w
+               USING (node)),
+      c2 AS (SELECT e.dst, l1.label, count(*) AS cnt
+             FROM e JOIN l1 ON l1.node = e.src GROUP BY e.dst, l1.label),
+      b2 AS (SELECT dst AS node, label,
+                    row_number() OVER (PARTITION BY dst
+                      ORDER BY cnt DESC, label ASC) AS rn
+             FROM c2),
+      l2 AS (SELECT l1.node, coalesce(w.label, l1.label) AS label
+             FROM l1 LEFT JOIN (SELECT node, label FROM b2 WHERE rn = 1) w
+               USING (node))
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      FROM l2 GROUP BY label ORDER BY n_members DESC, label LIMIT 20""",
     // two alternating hub->auth->hub flow rounds, each L2-normalized
     "gr_hits" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem

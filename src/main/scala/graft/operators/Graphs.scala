@@ -268,6 +268,54 @@ object Graphs {
           col("_c") / (col("_sx") * col("_sy"))).as("assortativity"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * made DETERMINISTIC: every node starts labeled with its own id;
+    * each iteration it adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label (the canonical order that
+    * replaces the original's random tie coin), isolated nodes keep
+    * theirs. Fixed iteration count, so the result is a pure function
+    * of the edge set — replayable by any engine.
+    *
+    * The "cluster near-duplicate sources / co-occurrence communities"
+    * op: where [[Dedup.connectedComponents]] merges anything touching,
+    * LPA keeps weakly-bridged groups apart (a bridge edge is outvoted).
+    *
+    * Shape per iteration: ONE (edge ⋈ label) shuffle join, a
+    * (dst, label) count aggregate (map-side combined), and an argmax
+    * via `max(struct(cnt, -label))` — no windows. Label frames are
+    * eagerly checkpointed so lineage stays O(1) in the iteration count.
+    * `undirected = true` (default) symmetrizes the edge list first.
+    *
+    * Returns (node, label); equal labels = same community.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, undirected: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e0 = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e = (if (undirected)
+        e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      else e0).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val counts = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("_cnt"))
+      // most frequent label, smallest on tie: max(struct(cnt, -label))
+      val best = counts.groupBy(col("dst").as("node"))
+        .agg(max(struct(col("_cnt"), (-col("label")).as("nl"))).as("_b"))
+        .select(col("node"), (-col("_b.nl")).as("_new"))
+      labels = labels.join(best, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** In/out degree per node — the cheap structural profile (one
     * aggregation per direction over the edge list, outer-merged so
     * source-only and sink-only nodes both appear with a 0). */

@@ -155,4 +155,24 @@ class GraphsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(d == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
   }
+
+  test("labelPropagation: hand-unrolled two rounds on bridged triangles") {
+    // two triangles bridged by 3-10, plus a self-loop isolate
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L), (20L, 20L))
+      .toDF("src", "dst")
+    def run(iters: Int): Map[Long, Long] =
+      Graphs.labelPropagation(e, "src", "dst", iterations = iters)
+        .as[(Long, Long)].collect().toMap
+    // round 1: every neighbor label is distinct (all counts 1), so
+    // each node takes its min neighbor id; the self-loop keeps 20
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    // round 2: counts now differentiate — left triangle converges to
+    // 1; node 10's label 3 spreads to 11 and 12 via the min tie-break
+    assert(run(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L, 20L -> 20L))
+    // deterministic across runs
+    assert(run(2) == run(2))
+  }
 }
