@@ -2291,6 +2291,19 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // N-gram novelty of each doc vs the reference half of the corpus:
+    // the graded decontamination signal. Hashed 64-bit join keys on
+    // the Spark side; counts are representation-independent, so the
+    // oracle replays with string trigrams.
+    "dd_novelty" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.ngramNovelty(d.filter(col("doc_id") < 250), "doc_id", "text",
+          d.filter(col("doc_id") >= 250), "text", n = 3)
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing (MOSS) fingerprint near-dup pairs: k-gram md5 hashes,
     // sliding-window minima, docs sharing >= 2 selected hashes. Every
     // stage is deterministic integer/hash work, so the oracle replays
@@ -2979,6 +2992,29 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS worse_than_single,
              CAST(0 AS BIGINT) AS better_than_exact,
              true AS complete""",
+    "dd_novelty" -> """
+      WITH etoks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                     FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+      eng AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' ')))) AS ng
+              FROM etoks),
+      rtoks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents WHERE doc_id >= 250 AND text IS NOT NULL),
+      rng AS (SELECT DISTINCT
+                unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' ')))) AS ng
+              FROM rtoks),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+              FROM eng GROUP BY doc_id),
+      nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+              FROM eng WHERE ng NOT IN (SELECT ng FROM rng)
+              GROUP BY doc_id)
+      SELECT t.doc_id, t.n_ngrams,
+             coalesce(nov.n_novel, 0) AS n_novel,
+             round(CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
+               / CAST(t.n_ngrams AS DOUBLE), 6) AS novelty
+      FROM tot t LEFT JOIN nov USING (doc_id) ORDER BY t.doc_id""",
     // Full winnowing replay: same normalization (global-flag regex),
     // same 7-gram 60-bit md5 hashes via the nibble polynomial, window
     // minima by (doc, start) join+groupBy, postings cap, pair counts.

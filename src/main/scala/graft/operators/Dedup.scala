@@ -654,6 +654,45 @@ object Dedup {
       .select(col("corpus_id"), col("bench_id"), col("n_overlap"), col("frac"))
   }
 
+  /** Per-document n-gram novelty against a reference corpus — the
+    * graded companion to [[ngramContamination]]'s hard flag: what
+    * fraction of a document's distinct word n-grams does the
+    * reference NOT already contain? Low novelty ⇒ the doc is mostly
+    * re-hashed reference content (scraped mirrors, quote farms);
+    * high novelty ⇒ genuinely new text worth keeping.
+    *
+    * Shape: both sides explode to distinct n-grams (64-bit
+    * fingerprint keys by default, so the anti-join shuffles 8-byte
+    * longs, not strings), the reference side collapses to its n-gram
+    * vocabulary, one LEFT ANTI join + two doc-keyed aggregates.
+    * Output is representation-independent (counts), so a SQL oracle
+    * replays it with plain string n-grams.
+    *
+    * Documents with fewer than `n` tokens have no n-grams and are
+    * absent from the output. Returns (id, n_ngrams, n_novel, novelty).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 3,
+      hashKeys: Boolean = true): DataFrame = {
+    val key = (c: Column) =>
+      if (hashKeys) graft.functions.fingerprint64(c) else c
+    val docNg = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(array_distinct(TextAnalysis.wordShingles(col(textCol), n))).as("_ng"))
+      .select(col(idCol), key(col("_ng")).as("_ngk"))
+    val refNg = ref.filter(col(refTextCol).isNotNull)
+      .select(explode(array_distinct(TextAnalysis.wordShingles(col(refTextCol), n))).as("_ng"))
+      .select(key(col("_ng")).as("_ngk")).distinct()
+    val totals = docNg.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+    val novel = docNg.join(refNg, Seq("_ngk"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_ngrams").cast("double"))
+  }
+
   /** Duplicated token-span detection (the substring-dedup signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better"): every `windowTokens`-token sliding window whose exact
