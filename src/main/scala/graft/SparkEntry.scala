@@ -936,12 +936,15 @@ object SparkEntry {
     // the corpus-comparison diagnostic. A per-source marker token is
     // appended so each source HAS a distinctive term and the top-3 is
     // non-vacuous; DuckDB recomputes counts, priors, both log-odds and
-    // the z-scores from scratch.
+    // the z-scores from scratch. Both engines rank on round(z, 4) (then
+    // token asc) so ULP-level ln() differences between builds cannot
+    // reorder the top-k cut when equal-count tokens straddle it.
     "tx_distinctive" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
         concat(col("text"), lit(" marker"), substring(col("source"), 4, 10))
           .as("text"))
-      TextAnalysis.distinctiveTerms(d, "source", "text", k = 3)
+      TextAnalysis.distinctiveTerms(d, "source", "text", k = 3,
+          rankRoundDigits = Some(4))
         .select(col("grp").as("source"), col("token"), col("y"), col("g"),
           round(col("z"), 4).as("z"), col("rank").cast("long").as("rank"))
         .orderBy("source", "rank")
@@ -4562,7 +4565,8 @@ object SparkEntry {
                    + 1.0 / (CAST(g.g - c.y AS DOUBLE) + 0.01)) AS z
         FROM c JOIN g USING (token) JOIN t USING (grp) CROSS JOIN corpus),
       r AS (SELECT grp, token, y, g, z,
-                   row_number() OVER (PARTITION BY grp ORDER BY z DESC, token)
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY round(z, 4) DESC, token)
                      AS rank
             FROM scored)
       SELECT grp AS source, token, y, g, round(z, 4) AS z,

@@ -367,9 +367,12 @@ object TextAnalysis {
     */
   def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, groupCol: String,
       textCol: String, k: Int,
-      priorPerTerm: Double = 0.01): org.apache.spark.sql.DataFrame = {
+      priorPerTerm: Double = 0.01,
+      rankRoundDigits: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(priorPerTerm > 0.0, s"priorPerTerm must be > 0, got $priorPerTerm")
+    require(rankRoundDigits.forall(_ >= 0),
+      s"rankRoundDigits must be >= 0, got $rankRoundDigits")
     val counts = docs
       .select(col(groupCol).as("grp"),
         explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
@@ -392,8 +395,18 @@ object TextAnalysis {
       .join(broadcast(grpTotals), "grp")
       .crossJoin(broadcast(corpus))
       .select(col("grp"), col("token"), col("y"), col("g"), z.as("z"))
+    // Ranking on a pre-rounded z (when requested) makes the top-k cut
+    // robust to sub-ULP ln() differences across engines/builds: two
+    // tokens with identical (y, g) get bit-identical z either way, but
+    // near-ties within half an ULP of a rounding boundary can reorder
+    // without the absorb-then-rank. The emitted z column is always the
+    // full-precision value; only the rank key is rounded.
+    val rankKey = rankRoundDigits match {
+      case Some(d) => round(col("z"), d)
+      case None    => col("z")
+    }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy(col("z").desc, col("token"))
+      .partitionBy("grp").orderBy(rankKey.desc, col("token"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
