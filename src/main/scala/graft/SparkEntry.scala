@@ -176,8 +176,8 @@ object SparkEntry {
           round(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")),
 
-    // R10 fuzzy doc search (Indel distance — no DuckDB equivalent,
-    // rows-only check; golden-value parity covered in ScalaTest)
+    // R10 fuzzy doc search (Indel distance; oracle replays the LCS DP
+    // as a recursive CTE — golden-value parity also covered in ScalaTest)
     "vs_search_by_doc" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       import s.implicits._
@@ -1004,7 +1004,7 @@ object SparkEntry {
       Seq((splits, collisions, true)).toDF("fp_splits", "fp_collisions", "complete")
     }),
 
-    "tx_fingerprint" -> ((s, dir) => // custom 64-bit hashes — rows-only check
+    "tx_fingerprint" -> ((s, dir) => // 64-bit hashes; HUGEINT mod-2^64 oracle
       T(s, dir, "documents")
         .select(col("doc_id"),
           fingerprint64(col("text")).as("fp"),
@@ -2536,6 +2536,53 @@ object SparkEntry {
       SELECT event_id, user_id, event_type FROM events
       WHERE json_extract_string(props, '$.k') IN ('1', '2', '3')
       ORDER BY event_id""",
+    // Independent Indel-distance replay (vector_store.py:377-387
+    // semantics): LCS by the classic O(n·m) DP, run as a recursive CTE
+    // over doc-character index i, each step folding the next DP row with
+    // list_reduce (acc carries the in-progress row so the within-row
+    // dp[i][j-1] dependency is honored). distance mirrors the Spark
+    // expression tree `100.0 - (100.0*(1.0 - indel/total))` exactly.
+    "vs_search_by_doc" -> """
+      WITH RECURSIVE
+      q AS (SELECT * FROM (VALUES (0, 'the quick data table scan'),
+                                  (1, 'spark group query row')) v(qid, qtext)),
+      pairs AS (
+        SELECT d.doc_id, q.qid,
+               list_transform(split(d.text, ''), c -> unicode(c)) AS dc,
+               list_transform(split(q.qtext, ''), c -> unicode(c)) AS qc,
+               length(d.text) AS n, length(q.qtext) AS m
+        FROM documents d CROSS JOIN q),
+      dp AS (
+        SELECT doc_id, qid, 0 AS i,
+               list_transform(range(m + 1), x -> 0::BIGINT) AS row
+        FROM pairs
+        UNION ALL
+        SELECT dp.doc_id, dp.qid, dp.i + 1,
+          list_reduce(
+            list_prepend([0::BIGINT],
+              list_transform(range(1, p.m + 1), j -> [j::BIGINT])),
+            (acc, x) -> list_append(acc,
+              CASE WHEN p.dc[dp.i + 1] = p.qc[x[1]]
+                   THEN dp.row[x[1]] + 1
+                   ELSE greatest(dp.row[x[1] + 1], acc[x[1]]) END)) AS row
+        FROM dp JOIN pairs p ON p.doc_id = dp.doc_id AND p.qid = dp.qid
+        WHERE dp.i < p.n),
+      lcs AS (
+        SELECT dp.doc_id, dp.qid, dp.row[p.m + 1] AS lcs, p.n + p.m AS total
+        FROM dp JOIN pairs p ON p.doc_id = dp.doc_id AND p.qid = dp.qid
+        WHERE dp.i = p.n),
+      scored AS (
+        SELECT qid, doc_id,
+               100.0 - (100.0 * (1.0 - CAST(total - 2 * lcs AS DOUBLE)
+                                       / CAST(total AS DOUBLE))) AS distance
+        FROM lcs),
+      r AS (
+        SELECT qid, doc_id, distance,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY distance, doc_id) AS rn
+        FROM scored)
+      SELECT qid, doc_id, rn, round(distance, 4) AS dist
+      FROM r WHERE rn <= 3 ORDER BY qid, rn""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
@@ -3946,6 +3993,53 @@ object SparkEntry {
              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
              len(string_split_regex(lower(text), '\s+')) AS n_words
       FROM documents ORDER BY doc_id""",
+    // Full bit-exact replay of both 64-bit text-hash kernels
+    // (Kernels.fingerprint64 rolling-poly base-257 and
+    // Kernels.fnv1a64-based simhash64) in HUGEINT arithmetic mod 2^64.
+    // The FNV xor step only touches the low 16 bits (char codes < 2^16),
+    // so `h - h%65536 + xor(h%65536, c)` is an exact 64-bit XOR without
+    // needing HUGEINT bit ops. Documents are printable ASCII, so DuckDB
+    // code points == Java UTF-16 units. Same pattern as pk_zorder's
+    // bit-twiddle replay.
+    "tx_fingerprint" -> """
+      WITH fp AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(split(text, ''), c -> unicode(c)::HUGEINT)),
+            (h, c) -> (h * 257 + c) % 18446744073709551616::HUGEINT) AS fph
+        FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents),
+      th AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(split(token, ''), c -> unicode(c)::HUGEINT)),
+            (h, c) -> ((h - h % 65536
+                        + xor((h % 65536)::BIGINT, c::BIGINT)::HUGEINT)
+                       * 1099511628211) % 18446744073709551616::HUGEINT) AS h
+        FROM toks),
+      bits AS (
+        SELECT doc_id, b.b AS b,
+          sum(CASE WHEN (h // (2::HUGEINT ^ b.b)::HUGEINT) % 2 = 1
+                   THEN 1 ELSE -1 END) AS vote
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        GROUP BY doc_id, b.b),
+      sh AS (
+        SELECT doc_id,
+          sum(CASE WHEN vote > 0 THEN (2::HUGEINT ^ b)::HUGEINT
+                   ELSE 0::HUGEINT END) AS shh
+        FROM bits GROUP BY doc_id)
+      SELECT fp.doc_id,
+        CASE WHEN fph >= 9223372036854775808::HUGEINT
+             THEN (fph - 18446744073709551616::HUGEINT)::BIGINT
+             ELSE fph::BIGINT END AS fp,
+        CASE WHEN shh >= 9223372036854775808::HUGEINT
+             THEN (shh - 18446744073709551616::HUGEINT)::BIGINT
+             ELSE shh::BIGINT END AS sh
+      FROM fp JOIN sh USING (doc_id) ORDER BY fp.doc_id""",
     // e-notation (2.2e0) forces DOUBLE literals — bare 2.2 parses as
     // DECIMAL in DuckDB and its exact arithmetic would diverge from
     // the double math Spark runs.
