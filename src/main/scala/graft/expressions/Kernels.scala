@@ -240,6 +240,24 @@ object Kernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Equi-depth bucket assignment: index of the first boundary >= v
+    * (bucket i covers (bounds(i-1), bounds(i)]; values above the last
+    * boundary land in bucket bounds.length). Leftmost-match binary
+    * search, so duplicate boundaries (point-mass distributions) leave
+    * the duplicated buckets empty instead of splitting a tie across
+    * buckets — ties MUST share a bucket for the per-bucket cumulative
+    * sum to stay exact.
+    */
+  def bucketIndex(v: Double, bounds: Array[Double]): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp style, base 257 mod 2^64)
     * of the whole string — a cheap order-sensitive document fingerprint.
     */

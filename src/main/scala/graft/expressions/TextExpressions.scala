@@ -83,6 +83,29 @@ case class Fingerprint64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Equi-depth bucket index of a double against a sorted boundary array
+  * (binary search; see [[Kernels.bucketIndex]]). The boundaries come
+  * from a `percentile_approx` sketch over the distinct-value frame, so
+  * the bucketed two-level prefix sum (Outliers.valueCounts) keeps its
+  * per-bucket window partitions bounded under arbitrary value skew —
+  * uniform-width bucketing puts a heavy-tailed column's whole mass in
+  * one bucket. Boundaries ride codegen as a referenced object, keeping
+  * the probe inside whole-stage codegen.
+  */
+case class BucketIndex(child: Expression, bounds: Array[Double])
+    extends UnaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  override def declaredInputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.bucketIndex(v.asInstanceOf[Double], bounds)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    defineCodeGen(ctx, ev, a => s"graft.expressions.Kernels.bucketIndex($a, $ref)")
+  }
+  override def prettyName: String = "bucket_index"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Unicode NFC normalization — the step BEFORE any text hashing when a
   * corpus mixes encodings: "é" as e+COMBINING ACUTE and precomposed
   * U+00E9 are the same document after NFC, different 16-byte hashes

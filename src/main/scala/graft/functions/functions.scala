@@ -45,6 +45,12 @@ object functions {
   /** Unicode NFC normalization (see [[graft.expressions.NfcNormalize]]). */
   def nfc_normalize(s: Column): Column = c(NfcNormalize(e(s)))
 
+  /** Equi-depth bucket index by binary search over sorted boundaries
+    * (see [[graft.expressions.BucketIndex]]).
+    */
+  def bucket_index(v: Column, bounds: Array[Double]): Column =
+    c(BucketIndex(e(v), bounds))
+
   /** One-pass hyperplane LSH bucket (see [[graft.expressions.HyperplaneBucket]]). */
   def hyperplane_bucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
     c(HyperplaneBucket(e(vec), dim, nBits, seed))

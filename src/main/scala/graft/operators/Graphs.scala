@@ -30,9 +30,25 @@ object Graphs {
     * union of endpoints. Returns (node, rank); ranks sum to 1.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 5, damping: Double = 0.85,
+      tol: Option[Double] = None): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, damping, tol)._1
+
+  /** [[pageRank]] plus the iteration count actually run — the
+    * convergence contract made observable. With `tol = Some(eps)` the
+    * loop exits once the L1 rank delta Σ|rank′−rank| drops below eps
+    * (one extra node-keyed join + 1-row aggregate per iteration, both
+    * over checkpointed frames); `iterations` becomes the CAP. With
+    * `tol = None` the count is fixed and no delta job ever runs — the
+    * unrolled-recurrence oracles replay that form bit-for-bit, which a
+    * float-noise-dependent stopping rule would break.
+    */
+  private[graft] def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, damping: Double = 0.85,
+      tol: Option[Double] = None): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    tol.foreach(t => require(t > 0.0, s"tol must be > 0, got $t"))
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
@@ -47,7 +63,9 @@ object Graphs {
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val contribs = ej
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy("dst")
@@ -56,7 +74,7 @@ object Graphs {
       val dangling = danglingNodes
         .join(ranks, "node")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
@@ -64,8 +82,16 @@ object Graphs {
             * (coalesce(col("_c"), lit(0.0))
               + col("_dm") / lit(n.toDouble))).as("rank"))
         .localCheckpoint(true)
+      it += 1
+      converged = tol.exists { eps =>
+        next.withColumnRenamed("rank", "_r2")
+          .join(ranks, "node")
+          .agg(coalesce(sum(abs(col("_r2") - col("rank"))), lit(0.0)))
+          .head().getDouble(0) < eps
+      }
+      ranks = next
     }
-    ranks
+    (ranks, it)
   }
 
   /** Personalized PageRank: teleport (and dangling mass) flows back to
@@ -83,9 +109,11 @@ object Graphs {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
-      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 5, damping: Double = 0.85,
+      tol: Option[Double] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    tol.foreach(t => require(t > 0.0, s"tol must be > 0, got $t"))
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
@@ -107,7 +135,9 @@ object Graphs {
       .select(col("node"), coalesce(col("_t"), lit(0.0)).as("_t"))
       .localCheckpoint(true)
     var ranks = t.select(col("node"), col("_t").as("rank"))
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val contribs = ej
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy("dst")
@@ -116,7 +146,7 @@ object Graphs {
       val dangling = danglingNodes
         .join(ranks, "node")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
-      ranks = t
+      val next = t
         .join(contribs, Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
@@ -124,6 +154,14 @@ object Graphs {
             * (coalesce(col("_c"), lit(0.0))
               + col("_dm") * col("_t"))).as("rank"))
         .localCheckpoint(true)
+      it += 1
+      converged = tol.exists { eps =>
+        next.withColumnRenamed("rank", "_r2")
+          .join(ranks, "node")
+          .agg(coalesce(sum(abs(col("_r2") - col("rank"))), lit(0.0)))
+          .head().getDouble(0) < eps
+      }
+      ranks = next
     }
     ranks
   }
@@ -140,8 +178,17 @@ object Graphs {
     * each round. Returns (node, hub, auth).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5, tol: Option[Double] = None): DataFrame =
+    hitsCore(edges, srcCol, dstCol, iterations, tol)._1
+
+  /** [[hits]] plus the iteration count actually run. `tol = Some(eps)`
+    * exits once Σ|hub′−hub| + Σ|auth′−auth| < eps (see
+    * [[pageRankCore]] for the shape and the fixed-form rationale).
+    */
+  private[graft] def hitsCore(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, tol: Option[Double] = None): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    tol.foreach(t => require(t > 0.0, s"tol must be > 0, got $t"))
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
@@ -166,15 +213,26 @@ object Graphs {
     }
     var scores = nodes
       .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val auth = flow(scores, "hub", "src", "dst")
         .withColumnRenamed("_v", "auth")
       val hub = flow(auth, "auth", "dst", "src")
         .withColumnRenamed("_v", "hub")
-      scores = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
+      val next = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
         .localCheckpoint(true)
+      it += 1
+      converged = tol.exists { eps =>
+        next.select(col("node"), col("hub").as("_h2"), col("auth").as("_a2"))
+          .join(scores, "node")
+          .agg(coalesce(sum(abs(col("_h2") - col("hub"))
+            + abs(col("_a2") - col("auth"))), lit(0.0)))
+          .head().getDouble(0) < eps
+      }
+      scores = next
     }
-    scores
+    (scores, it)
   }
 
   /** Per-node triangle count and local clustering coefficient over the
@@ -289,7 +347,21 @@ object Graphs {
     * Returns (node, label); equal labels = same community.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 2, undirected: Boolean = true): DataFrame = {
+      iterations: Int = 2, undirected: Boolean = true,
+      untilStable: Boolean = false): DataFrame =
+    labelPropagationCore(edges, srcCol, dstCol, iterations, undirected,
+      untilStable)._1
+
+  /** [[labelPropagation]] plus the iteration count actually run.
+    * `untilStable = true` exits once an iteration changes NO label (a
+    * one-row changed-count aggregate per iteration over the
+    * checkpointed label frames); `iterations` caps the loop — LPA on
+    * bipartite-ish structure can oscillate forever, so an uncapped
+    * stable-point loop is not safe on arbitrary graphs.
+    */
+  private[graft] def labelPropagationCore(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int = 2, undirected: Boolean = true,
+      untilStable: Boolean = false): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -300,7 +372,9 @@ object Graphs {
       .unionAll(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val counts = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label"))
@@ -309,11 +383,19 @@ object Graphs {
       val best = counts.groupBy(col("dst").as("node"))
         .agg(max(struct(col("_cnt"), (-col("label")).as("nl"))).as("_b"))
         .select(col("node"), (-col("_b.nl")).as("_new"))
-      labels = labels.join(best, Seq("node"), "left_outer")
+      val next = labels.join(best, Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
         .localCheckpoint(true)
+      it += 1
+      if (untilStable) {
+        val changed = next.withColumnRenamed("label", "_l2")
+          .join(labels, "node")
+          .filter(col("_l2") =!= col("label")).count()
+        converged = changed == 0L
+      }
+      labels = next
     }
-    labels
+    (labels, it)
   }
 
   /** In/out degree per node — the cheap structural profile (one

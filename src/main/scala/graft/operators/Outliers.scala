@@ -83,35 +83,94 @@ object Outliers {
     * 2^52 — exact doubles, so both rank joins are exact equality.
     */
   def spearman(df: DataFrame, xCol: String, yCol: String,
-      nBuckets: Int = 1024): DataFrame = {
+      nBuckets: Int = 1024,
+      targetPerBucket: Long = DefaultTargetPerBucket): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val d = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
       .filter(!isnan(col("_x")) && !isnan(col("_y")))
-    val ranked = joinMidranks(joinMidranks(d, "_x", "_rx", nBuckets),
-      "_y", "_ry", nBuckets)
+    val ranked = joinMidranks(
+      joinMidranks(d, "_x", "_rx", nBuckets, targetPerBucket),
+      "_y", "_ry", nBuckets, targetPerBucket)
     ranked.agg(count(lit(1)).as("n"),
       corr(col("_rx"), col("_ry")).as("spearman"))
+  }
+
+  /** Hard ceiling on dynamic bucket counts: the per-bucket base-offset
+    * frame is broadcast, and equi-depth boundary arrays ride the plan —
+    * 64K buckets keeps both under a megabyte while still bounding a
+    * 6.5×10^10-distinct column to ~10^6 rows per window partition.
+    * Past that, partitions grow linearly again (10^12 distinct →
+    * ~1.5×10^7 rows — one sortable task) instead of collapsing into one.
+    */
+  private val MaxDynamicBuckets = 65536L
+
+  /** Default ceiling on rows per cumulative-window partition (~10^6
+    * distinct values ≈ tens of MB of sort buffer — comfortably one
+    * task).
+    */
+  private[graft] val DefaultTargetPerBucket = 1000000L
+
+  /** Bucket-assignment column for the two-level prefix sums. Two paths:
+    *
+    *  - `nDistinct <= targetPerBucket`: uniform-width buckets over
+    *    [lo, hi] — zero extra jobs, and even the degenerate
+    *    everything-in-one-bucket case is a window partition within
+    *    target. This is the only path test-scale data ever takes, so
+    *    small-data plans carry no sketch job.
+    *  - above target: equi-depth boundaries from ONE
+    *    `percentile_approx` sketch job over the distinct-value frame
+    *    (bounded GK-sketch state), assigned by codegen binary search
+    *    ([[graft.expressions.BucketIndex]]). Uniform-width bucketing
+    *    has no size guarantee under value skew — a heavy-tailed column
+    *    at the 100 TB design point (n_distinct ≈ 10^11) would
+    *    concentrate its mass into a handful of buckets and sort
+    *    ~10^8-row window partitions in single tasks; rank-space
+    *    boundaries bound every bucket to ≈ nDistinct/nBuckets·(1+ε)
+    *    regardless of the value distribution.
+    *
+    * Bucket ids only need to be monotone in the value for the prefix
+    * sum to be exact, so the path choice never changes results — only
+    * the plan shape.
+    */
+  private def bucketColumn(per: DataFrame, vCol: String, nBuckets: Int,
+      targetPerBucket: Long, nDistinct: Long, lo: Double, hi: Double): Column = {
+    if (nDistinct <= targetPerBucket) {
+      val width = if (hi > lo) hi - lo else 1.0
+      least(
+        floor((col(vCol) - lit(lo)) / lit(width) * nBuckets).cast("long"),
+        lit(nBuckets - 1L))
+    } else {
+      val nB = math.min(
+        math.ceil(nDistinct.toDouble / targetPerBucket.toDouble).toLong,
+        MaxDynamicBuckets).toInt
+      val ps = (1 until nB).map(_.toDouble / nB).toArray
+      val acc = math.max(10000, 4 * nB)
+      val bounds = per
+        .agg(percentile_approx(col(vCol), lit(ps), lit(acc)).as("_b"))
+        .head().getSeq[Double](0).toArray
+      graft.functions.bucket_index(col(vCol), bounds)
+    }
   }
 
   /** Per-distinct-value counts with exact strictly-below totals via the
     * bucketed two-level prefix sum (see [[spearman]]): one map-side-
     * combined aggregation over the data, then vocab-scale frames only.
     * Returns (vCol, _cnt, _below); empty input yields an empty frame.
+    * `targetPerBucket` caps the rows any one cumulative-window
+    * partition sorts (see [[bucketColumn]]).
     */
-  private def valueCounts(d: DataFrame, vCol: String,
-      nBuckets: Int): DataFrame = {
+  private[graft] def valueCounts(d: DataFrame, vCol: String,
+      nBuckets: Int, targetPerBucket: Long = DefaultTargetPerBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = d.groupBy(col(vCol)).agg(count(lit(1)).as("_cnt"))
-    val mm = per.agg(min(col(vCol)), max(col(vCol))).head()
+    val mm = per.agg(min(col(vCol)), max(col(vCol)), count(lit(1))).head()
     if (mm.isNullAt(0))
       return per.select(col(vCol), col("_cnt"), lit(0L).as("_below")).limit(0)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val width = if (hi > lo) hi - lo else 1.0
-    val bkt = least(
-      floor((col(vCol) - lit(lo)) / lit(width) * nBuckets).cast("long"),
-      lit(nBuckets - 1L))
+    val bkt = bucketColumn(per, vCol, nBuckets, targetPerBucket,
+      mm.getLong(2), lo, hi)
     val local = per.withColumn("_bkt", bkt)
       .withColumn("_cum",
         sum(col("_cnt")).over(Window.partitionBy("_bkt").orderBy(vCol)))
@@ -127,8 +186,9 @@ object Outliers {
   /** Join per-row midranks of `vCol` onto `d` as `outCol` (bucketed
     * two-level prefix sum; see [[spearman]]). */
   private def joinMidranks(d: DataFrame, vCol: String, outCol: String,
-      nBuckets: Int): DataFrame = {
-    val ranks = valueCounts(d, vCol, nBuckets)
+      nBuckets: Int,
+      targetPerBucket: Long = DefaultTargetPerBucket): DataFrame = {
+    val ranks = valueCounts(d, vCol, nBuckets, targetPerBucket)
       .select(col(vCol),
         (col("_below").cast("double")
           + (col("_cnt") + lit(1L)).cast("double") / 2.0).as(outCol))
@@ -147,7 +207,8 @@ object Outliers {
     * rows survive the NULL/NaN filter.
     */
   def exactQuantiles(df: DataFrame, vCol: String, ps: Seq[Double],
-      nBuckets: Int = 1024): DataFrame = {
+      nBuckets: Int = 1024,
+      targetPerBucket: Long = DefaultTargetPerBucket): DataFrame = {
     require(ps.nonEmpty, "need at least one quantile")
     ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"quantile $p outside [0,1]"))
     val spark = df.sparkSession
@@ -156,7 +217,7 @@ object Outliers {
       .filter(col(vCol).isNotNull)
       .select(col(vCol).cast("double").as("_v"))
       .filter(!isnan(col("_v")))
-    val vc = valueCounts(d, "_v", nBuckets)
+    val vc = valueCounts(d, "_v", nBuckets, targetPerBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nRow = vc.agg(sum(col("_cnt"))).head()
@@ -334,7 +395,8 @@ object Outliers {
     * Returns ONE row (n1, n2, ks); ks NULL when either side is empty.
     */
   def ksTest(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
-      nBuckets: Int = 1024): DataFrame = {
+      nBuckets: Int = 1024,
+      targetPerBucket: Long = DefaultTargetPerBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df1.sparkSession
     import spark.implicits._
@@ -348,17 +410,15 @@ object Outliers {
     val per = side(df1, col1, 1).unionAll(side(df2, col2, 2))
       .groupBy("_v").agg(sum(col("_c1")).as("_c1"), sum(col("_c2")).as("_c2"))
     val mm = per.agg(min(col("_v")), max(col("_v")),
-      sum(col("_c1")), sum(col("_c2"))).head()
+      sum(col("_c1")), sum(col("_c2")), count(lit(1))).head()
     if (mm.isNullAt(0))
       return Seq((0L, 0L, Option.empty[Double])).toDF("n1", "n2", "ks")
     val (n1, n2) = (mm.getLong(2), mm.getLong(3))
     if (n1 == 0L || n2 == 0L)
       return Seq((n1, n2, Option.empty[Double])).toDF("n1", "n2", "ks")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val width = if (hi > lo) hi - lo else 1.0
-    val bkt = least(
-      floor((col("_v") - lit(lo)) / lit(width) * nBuckets).cast("long"),
-      lit(nBuckets - 1L))
+    val bkt = bucketColumn(per, "_v", nBuckets, targetPerBucket,
+      mm.getLong(4), lo, hi)
     val w = Window.partitionBy("_bkt").orderBy("_v")
     val local = per.withColumn("_bkt", bkt)
       .withColumn("_k1", sum(col("_c1")).over(w))

@@ -94,8 +94,24 @@ final class ParquetStorage(spark: SparkSession, root: String) extends StorageLay
   * ordering of deletes relative to appends, kept as a slim counter file
   * instead of a full transaction log.
   */
-final class TombstoneStorage(spark: SparkSession, root: String) extends StorageLayer {
+/** @param autoCompactFraction trigger [[compact]] automatically when
+  *   pending tombstoned rows exceed this fraction of the LIVE row count
+  *   (0 disables). Without a policy, weeks of O(batch) deletes silently
+  *   degrade every read: the broadcast tombstone set grows unbounded
+  *   and the masked fraction of data IO is wasted — reads must stay
+  *   O(live data), not O(ever written).
+  * @param autoCompactMinTombstones floor before the fraction check runs
+  *   — the check needs a count job over the masked table, so it is
+  *   gated on the cheap metadata-counter crossing this absolute floor
+  *   first (a handful of tombstones never justifies a count of a 100 TB
+  *   table, let alone a rewrite).
+  */
+final class TombstoneStorage(spark: SparkSession, root: String,
+    autoCompactFraction: Double = 0.2,
+    autoCompactMinTombstones: Long = 10000L) extends StorageLayer {
   import org.apache.spark.sql.functions.{broadcast, col, lit}
+  require(autoCompactFraction >= 0.0,
+    s"autoCompactFraction must be >= 0, got $autoCompactFraction")
 
   private val inner = new ParquetStorage(spark, root)
   private val tombPath = new Path(root, "tombstones")
@@ -151,9 +167,29 @@ final class TombstoneStorage(spark: SparkSession, root: String) extends StorageL
 
   override def read(): DataFrame = readRaw().drop(GenCol)
 
-  override def delete(ids: DataFrame): Unit =
+  override def delete(ids: DataFrame): Unit = {
     ids.select(col("id"), lit(bumpVersion()).as("gen"))
       .write.mode("append").parquet(tombPath.toString)
+    maybeAutoCompact()
+  }
+
+  /** The compaction policy: fire [[compact]] once pending tombstones
+    * pass `autoCompactMinTombstones` AND exceed `autoCompactFraction`
+    * of the live row count. Two-stage so the steady state pays only a
+    * count of the (small) tombstone log per delete batch; the masked
+    * count job — and the rewrite — run only when the log is already
+    * big enough to matter. Tombstone rows are counted as written
+    * (re-deleted or missing ids inflate the numerator slightly — a
+    * conservative error: compaction fires a little early, never late).
+    */
+  private def maybeAutoCompact(): Unit =
+    if (autoCompactFraction > 0.0) {
+      val pending = tombstoneCount()
+      if (pending >= autoCompactMinTombstones) {
+        val live = readRaw().count()
+        if (pending.toDouble >= autoCompactFraction * live.toDouble) compact()
+      }
+    }
 
   /** Rewrite minus tombstones, then clear the tombstone log. */
   def compact(): Unit = {

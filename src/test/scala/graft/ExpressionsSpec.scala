@@ -168,4 +168,24 @@ class ExpressionsSpec extends SparkSuite {
     assert(spark.sql(s"SELECT nfc_normalize('$decomposed') = '$precomposed' AS ok")
       .head().getBoolean(0))
   }
+
+  test("bucket_index: leftmost->=-v binary search, dup boundaries, column form") {
+    import graft.expressions.Kernels.bucketIndex
+    val b = Array(1.0, 3.0, 3.0, 7.0)
+    assert(bucketIndex(0.5, b) == 0L)   // below first boundary
+    assert(bucketIndex(1.0, b) == 0L)   // (lo, hi]: equal goes low
+    assert(bucketIndex(2.0, b) == 1L)
+    assert(bucketIndex(3.0, b) == 1L)   // leftmost of the duplicate pair
+    assert(bucketIndex(3.5, b) == 3L)   // dup bucket 2 stays empty
+    assert(bucketIndex(7.0, b) == 3L)
+    assert(bucketIndex(9.0, b) == 4L)   // above last -> bounds.length
+    assert(bucketIndex(5.0, Array.empty[Double]) == 0L)
+    // column form agrees with the kernel and stays monotone
+    import spark.implicits._
+    val vs = Seq(0.5, 1.0, 2.0, 3.0, 3.5, 7.0, 9.0)
+    val got = vs.toDF("v")
+      .select(graft.functions.bucket_index(org.apache.spark.sql.functions.col("v"), b))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vs.map(v => bucketIndex(v, b)))
+  }
 }

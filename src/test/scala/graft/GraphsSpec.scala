@@ -175,4 +175,56 @@ class GraphsSpec extends SparkSuite {
     // deterministic across runs
     assert(run(2) == run(2))
   }
+
+  test("pageRank tol: early exit, result within tolerance of the long fixed run") {
+    // two directed triangles joined by a bridge — no dangling nodes,
+    // geometric (damping-rate) convergence
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val (pr, ran) = Graphs.pageRankCore(e, "src", "dst",
+      iterations = 40, tol = Some(1e-3))
+    assert(ran < 40, s"expected convergence exit before the cap, ran $ran")
+    assert(ran > 1, "a nontrivial graph should need more than one round")
+    val got = pr.as[(Long, Double)].collect().toMap
+    val fixed = Graphs.pageRank(e, "src", "dst", iterations = 40)
+      .as[(Long, Double)].collect().toMap
+    // distance to the (effectively converged) 40-round run is bounded
+    // by the geometric tail: delta · d/(1-d) = 1e-3 · 5.67 < 0.01
+    assert(got.keys.map(k => math.abs(got(k) - fixed(k))).sum < 0.01)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass still conserved")
+    // tol = None keeps the exact fixed-iteration contract the oracles
+    // replay: same input, same count, bit-identical ranks
+    val a = Graphs.pageRank(e, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val b = Graphs.pageRankCore(e, "src", "dst", iterations = 3)._1
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("hits tol: early exit once the alternating updates settle") {
+    val e = Seq((1L, 2L), (3L, 2L), (4L, 2L), (1L, 5L), (3L, 5L))
+      .toDF("src", "dst")
+    val (sc, ran) = Graphs.hitsCore(e, "src", "dst",
+      iterations = 30, tol = Some(1e-4))
+    assert(ran < 30, s"expected convergence exit before the cap, ran $ran")
+    val got = sc.as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the double-cited sink 2 stays the top authority at the fixpoint
+    assert(got(2L)._2 > got(5L)._2 && got(5L)._2 > got(1L)._2)
+  }
+
+  test("labelPropagation untilStable: stops at a fixpoint the next round confirms") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L), (20L, 20L))
+      .toDF("src", "dst")
+    val (lbl, ran) = Graphs.labelPropagationCore(e, "src", "dst",
+      iterations = 12, untilStable = true)
+    assert(ran < 12, s"expected a stable fixpoint before the cap, ran $ran")
+    val got = lbl.as[(Long, Long)].collect().toMap
+    // witnessed stability: one more fixed round from the same start
+    // reproduces the same labeling
+    val next = Graphs.labelPropagation(e, "src", "dst", iterations = ran + 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == next, "the returned labeling must be a fixpoint")
+  }
 }

@@ -322,6 +322,49 @@ class PlanSpec extends SparkSuite {
       s"expected broadcast bucket bases:\n$s")
   }
 
+  test("valueCounts equi-depth path: skew-bounded window partitions, exact _below") {
+    import spark.implicits._
+    // Heavy-tailed column: exp(i/1500) spans ~9 decades, so uniform-width
+    // bucketing would put ~97% of the 20k distinct values in bucket 0 and
+    // sort them in ONE window partition — the 100 TB failure mode the
+    // sketch-boundary path exists to prevent.
+    val n = 20000
+    val d = (1 to n).map(i => math.exp(i / 1500.0)).toDF("v")
+    val uniform = graft.operators.Outliers.valueCounts(d, "v", 64)
+      .orderBy("v").collect().toSeq
+    val target = 500L
+    val eq = graft.operators.Outliers.valueCounts(d, "v", 64,
+      targetPerBucket = target)
+    // path choice must never change results — both are exact
+    assert(eq.orderBy("v").collect().toSeq == uniform)
+    // the equi-depth plan probes buckets via the codegen binary search
+    // (visible in the optimized plan; the physical plan folds it into a
+    // HashAggregate result projection whose toString elides expressions)
+    // and still runs its cumsum bucket-partitioned with broadcast bases
+    assert(eq.queryExecution.optimizedPlan.toString.contains("bucket_index"),
+      "expected bucket_index probe in optimized plan")
+    val s = eq.queryExecution.executedPlan.toString
+    assert(s.contains("hashpartitioning(_bkt"),
+      s"expected bucket-partitioned cumsum:\n$s")
+    assert(s.contains("BroadcastExchange"), s"expected broadcast bases:\n$s")
+    // replay the boundary derivation (same sketch params valueCounts
+    // uses: nB = ceil(20000/500) = 40, acc = 10000) and assert no bucket
+    // holds more than target + sketch slack distinct values
+    val nB = math.ceil(n.toDouble / target).toInt
+    val ps = (1 until nB).map(_.toDouble / nB).toArray
+    val bounds = d.distinct()
+      .agg(org.apache.spark.sql.functions.percentile_approx(
+        col("v"), org.apache.spark.sql.functions.lit(ps),
+        org.apache.spark.sql.functions.lit(10000)))
+      .head().getSeq[Double](0).toArray
+    val sizes = (1 to n).map(i => math.exp(i / 1500.0))
+      .groupBy(v => graft.expressions.Kernels.bucketIndex(v, bounds))
+      .map(_._2.size)
+    assert(sizes.sum == n)
+    assert(sizes.max <= target + 50,
+      s"window partition bound violated: max bucket ${sizes.max}")
+  }
+
   test("triangleCount: equi-joins only — no cartesian, no nested loop") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))

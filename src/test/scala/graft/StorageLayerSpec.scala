@@ -74,6 +74,40 @@ class StorageLayerSpec extends SparkSuite {
     assert(dataFiles(root) != before, "compact is the one deliberate rewrite")
   }
 
+  test("auto-compaction: reads stay O(live) after many delete batches, no manual call") {
+    val root = Files.createTempDirectory("graft-sl-ac").toString + "/t"
+    // thresholds scaled down so the policy fires at spec scale
+    val st = new TombstoneStorage(spark, root,
+      autoCompactFraction = 0.1, autoCompactMinTombstones = 50L)
+    st.initialize(table(0).schema)
+    st.append(table(1000))
+    val before = dataFiles(root)
+
+    // below the absolute floor the log just accumulates — no count job,
+    // no rewrite (a handful of tombstones never triggers table IO)
+    for (b <- 0 until 4) st.delete((b * 10 until b * 10 + 10).map(_.toLong).toDF("id"))
+    assert(st.tombstoneCount() == 40L)
+    assert(dataFiles(root) == before,
+      "below the floor, deletes must stay O(batch)")
+
+    // keep deleting: floor is crossed at 50, the fraction gate
+    // (pending >= 0.1 * live) at the 10th batch (100 >= 0.1 * 900) —
+    // compaction fires INSIDE delete(), no manual compact() anywhere
+    for (b <- 4 until 10) st.delete((b * 10 until b * 10 + 10).map(_.toLong).toDF("id"))
+    assert(st.tombstoneCount() == 0L, "policy must have compacted the log")
+    assert(dirBytes(root, "tombstones") == 0L, "tombstone log cleared")
+    assert(dataFiles(root) != before, "compaction rewrote to live rows only")
+    assert(st.read().count() == 900)
+    // and the post-compaction read carries no anti-join at all
+    val plan = st.read().queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"),
+      s"after auto-compaction reads must scan live data only:\n$plan")
+
+    // the store keeps working: later deletes log again below the floor
+    st.delete(Seq(500L).toDF("id"))
+    assert(st.tombstoneCount() == 1L && st.read().count() == 899)
+  }
+
   test("parquet delete rewrites the table (the contrast case)") {
     val root = Files.createTempDirectory("graft-sl-pq").toString + "/t"
     val st = new ParquetStorage(spark, root)
