@@ -1657,7 +1657,7 @@ object SparkEntry {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = s.readStream.schema(rawSchema)
           .parquet(s"$dir/events.[p]arquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(d => graft.sources.Sources.normalizeTs(d, "ts"))
         val agg = graft.streaming.EventStreams.hourlyAggregates(src)
         s.catalog.dropTempView("st_stream_hourly_tbl") // stale prior rep
         val q = agg.writeStream.format("memory")
@@ -1684,7 +1684,7 @@ object SparkEntry {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src() = s.readStream.schema(rawSchema)
           .parquet(s"$dir/events.[p]arquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(d => graft.sources.Sources.normalizeTs(d, "ts"))
           .filter(col("user_id") < 100)
         val pairs = graft.streaming.EventStreams.funnelPairs(
             src(), "click", "purchase", withinMinutes = 30)
@@ -1837,7 +1837,7 @@ object SparkEntry {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src() = s.readStream.schema(rawSchema)
           .parquet(s"$dir/events.[p]arquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(d => graft.sources.Sources.normalizeTs(d, "ts"))
         val real = src().filter(col("user_id") < 50)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
@@ -1983,7 +1983,12 @@ object SparkEntry {
     // the custom-kernel rankings themselves come from Spark.
     "ir_ann_sweep" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id") < 10)
+      // queries spread across the id range (vec_id ≡ 7 mod 50), NOT the
+      // first ids: the previous vec_id < 10 set coincided with the old
+      // first-k-by-id k-means seeds, so recall@nProbe=1 measured "is
+      // the query its own cell's seed" (0.71) instead of generic-query
+      // recall — an artifact any seeding change exposed
+      val qs = emb.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val kk = 10
       val (indexed, cents) =
@@ -3702,7 +3707,7 @@ object SparkEntry {
         SELECT config, qid, id, rank
         FROM read_parquet('/tmp/graft_ann_sweep/run.parquet/*.parquet')),
       q AS (SELECT vec_id AS qid, embedding AS qvec
-            FROM embeddings WHERE vec_id < 10),
+            FROM embeddings WHERE vec_id % 50 = 7),
       l2r AS (
         SELECT q.qid, e.vec_id AS id,
                row_number() OVER (PARTITION BY q.qid

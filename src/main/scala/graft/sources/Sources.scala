@@ -49,25 +49,41 @@ object Sources {
         input_file_name().as("source_file"),
         col("value").as("text"))
 
-  /** Read a parquet file containing TIMESTAMP(NANOS) columns, which
-    * Spark's reader rejects by default: scope the `nanosAsLong` legacy
-    * flag to the read (schema is captured eagerly at load) and convert
-    * the named columns to microsecond timestamps via integer division
-    * (double division loses precision above 2^53 ns).
+  /** Read a parquet file whose timestamp columns may be TIMESTAMP(NANOS)
+    * — which Spark's reader rejects by default — or a plain
+    * micro/second timestamp. The `nanosAsLong` legacy flag is scoped to
+    * the read (schema is captured eagerly at load); each named column
+    * is then normalized to a session-zone microsecond TIMESTAMP by
+    * whatever its physical type turned out to be: int64 nanos via
+    * integer division (double division loses precision above 2^53 ns),
+    * TIMESTAMP_NTZ via a cast (identity under the UTC session zone the
+    * pipeline pins), TIMESTAMP left as-is. One loader, any vintage of
+    * the upstream writer.
     */
   def nanosTimestampParquet(spark: SparkSession, path: String, tsCols: String*): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      tsCols.foldLeft(spark.read.parquet(path)) { (df, c) =>
-        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      }
+      tsCols.foldLeft(spark.read.parquet(path)) { (df, c) => normalizeTs(df, c) }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Normalize one possibly-raw timestamp column (see
+    * [[nanosTimestampParquet]]); works on streaming frames too (the
+    * decision reads only the schema).
+    */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Write a table bucketed (and sorted) by a join key. Two tables
     * bucketed the same way join WITHOUT an Exchange on either side —

@@ -380,15 +380,12 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("file-source streaming: events parquet driven through readStream") {
-    // the nanos ts column streams as long (schema must be provided for
-    // file sources); conversion happens in the stream transform
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // schema must be provided for file sources: capture whatever the
+    // writer produced (int64 nanos or a real timestamp) with a batch
+    // read under the nanos flag; normalizeTs converts either in-plan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet").schema
     // file streams require a directory source — stage a link dir
     val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.createSymbolicLink(
@@ -397,7 +394,7 @@ class StreamingSpec extends SparkSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(d => graft.sources.Sources.normalizeTs(d, "ts"))
     val agg = EventStreams.hourlyAggregates(stream)
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName("file_stream_out").start()
