@@ -604,6 +604,37 @@ object SparkEntry {
         .select(col("n_pos"), col("n_neg"), round(col("ap"), 6).as("ap"))
     }),
 
+    // Cohen's kappa between two deterministic "annotators" (char-tier
+    // vs word-tier): chance-corrected agreement — DuckDB recomputes
+    // the full contingency table, marginals, p_o, p_e from scratch.
+    "ir_kappa" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        when(length(col("text")) < 200, "short")
+          .when(length(col("text")) < 400, "med").otherwise("long").as("a"),
+        when(size(TextAnalysis.tokens(col("text"))) < 37, "short")
+          .when(size(TextAnalysis.tokens(col("text"))) < 73, "med")
+          .otherwise("long").as("b"))
+      operators.Evaluation.cohenKappa(d, "a", "b")
+        .select(col("n"), round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+    }),
+
+    // Curation-funnel lineage: which gate loses how many documents,
+    // with sequential-filter semantics from ONE first-fail projection
+    // + a stage-bounded aggregate. DuckDB replays the first-fail CASE
+    // and the running subtraction over the ordered stage list.
+    "pp_funnel" -> ((s, dir) => {
+      val letters = regexp_replace(col("text"), "[^a-zA-Z]", "")
+      operators.Funnel.report(T(s, dir, "documents"), Seq(
+        "min_chars" -> (length(col("text")) >= 150),
+        "max_words" -> (size(TextAnalysis.tokens(col("text"))) <= 60),
+        "letter_ratio" ->
+          (length(letters).cast("double") / length(col("text")).cast("double")
+            >= 0.82)))
+        .select(col("stage"), col("n_in"), col("n_dropped"), col("n_out"),
+          round(col("drop_rate"), 6).as("drop_rate"))
+    }),
+
     // Gopher-style quality rules: per-rule booleans + the keep/drop
     // conjunction, all pure projections.
     "tx_gopher" -> ((s, dir) =>
@@ -2106,6 +2137,14 @@ object SparkEntry {
     // the contract; DuckDB replays the projection of every vector from
     // it with the same left-to-right summation. The spec layer proves
     // the fit itself (C·v = λv, orthonormality, variance = eigenvalue).
+    // TwoNN intrinsic dimension of the embedding column (Facco 2017):
+    // the collapsed-representation audit. DuckDB recomputes every
+    // pairwise distance, both nearest-neighbor ranks, and the MLE.
+    "vq_twonn" -> ((s, dir) =>
+      operators.VectorOps.intrinsicDimension(
+        T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("n"), round(col("intrinsic_dim"), 4).as("intrinsic_dim"))),
+
     "vq_pca" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val model = operators.Pca.fit(e, "embedding", dim = 64, nComponents = 4)
@@ -3647,6 +3686,29 @@ object SparkEntry {
     },
     // + 0e0 folds IEEE -0.0 (see vq_randproj); list_sum/list_transform
     // pins the same left-to-right summation as the Spark literal chain.
+    // Full independent replay: every pairwise float32 L2 distance
+    // (list_distance on FLOAT[] matches the Kernels.l2 float32 path,
+    // proven by vs_knn), ranks 1/2 by (distance, vec_id), Pareto MLE.
+    "vq_twonn" -> """
+      WITH p AS (
+        SELECT a.vec_id AS qid, b.vec_id AS id,
+               list_distance(a.embedding, b.embedding) AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      r AS (
+        SELECT qid, d,
+               row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn
+        FROM p),
+      w AS (
+        SELECT qid,
+               min(CASE WHEN rn = 1 THEN d END) AS r1,
+               min(CASE WHEN rn = 2 THEN d END) AS r2
+        FROM r GROUP BY qid),
+      f AS (SELECT r1, r2 FROM w WHERE r1 > 0 AND r2 IS NOT NULL)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(CAST(count(*) AS DOUBLE)
+               / sum(ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE))), 4)
+               AS intrinsic_dim
+      FROM f""",
     "vq_pca" -> """
       WITH m AS (
         SELECT c, i, mu, w
@@ -4138,6 +4200,61 @@ object SparkEntry {
              round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec,
              round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) AS recall
       FROM c, t ORDER BY score DESC""",
+    "ir_kappa" -> """
+      WITH d AS (
+        SELECT CASE WHEN length(text) < 200 THEN 'short'
+                    WHEN length(text) < 400 THEN 'med' ELSE 'long' END AS a,
+               CASE WHEN len(string_split_regex(lower(text), '\s+')) < 37
+                      THEN 'short'
+                    WHEN len(string_split_regex(lower(text), '\s+')) < 73
+                      THEN 'med' ELSE 'long' END AS b
+        FROM documents),
+      cells AS (SELECT a, b, count(*) AS n FROM d GROUP BY a, b),
+      tot AS (SELECT sum(n) AS t,
+                     sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+              FROM cells),
+      pa AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+      pb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+      pe AS (SELECT sum(CAST(pa.na AS DOUBLE) * CAST(pb.nb AS DOUBLE)) AS num
+             FROM pa JOIN pb ON pa.a = pb.b),
+      m AS (SELECT CAST(tot.t AS BIGINT) AS n,
+                   CAST(tot.agree AS DOUBLE) / CAST(tot.t AS DOUBLE) AS po,
+                   pe.num / (CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)) AS pe
+            FROM tot, pe)
+      SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
+             CASE WHEN pe < 1.0
+                  THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+      FROM m""",
+    "pp_funnel" -> """
+      WITH d AS (
+        SELECT length(text) AS nc,
+               len(string_split_regex(lower(text), '\s+')) AS nw,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) AS lr
+        FROM documents),
+      ff AS (
+        SELECT CASE WHEN NOT (nc >= 150) THEN 'min_chars'
+                    WHEN NOT (nw <= 60) THEN 'max_words'
+                    WHEN NOT (lr >= 0.82) THEN 'letter_ratio' END AS stage
+        FROM d),
+      drops AS (SELECT stage, count(*) AS dropped FROM ff
+                WHERE stage IS NOT NULL GROUP BY stage),
+      stages AS (SELECT * FROM (VALUES (1, 'min_chars'), (2, 'max_words'),
+                                       (3, 'letter_ratio')) s(ord, stage)),
+      seq AS (
+        SELECT s.ord, s.stage, coalesce(d.dropped, 0) AS n_dropped,
+               (SELECT count(*) FROM ff)
+                 - coalesce(sum(coalesce(d.dropped, 0)) OVER (
+                     ORDER BY s.ord ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_in
+        FROM stages s LEFT JOIN drops d ON s.stage = d.stage)
+      SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+             CAST(n_dropped AS BIGINT) AS n_dropped,
+             CAST(n_in - n_dropped AS BIGINT) AS n_out,
+             round(CASE WHEN n_in = 0 THEN 0.0
+                        ELSE CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE)
+                   END, 6) AS drop_rate
+      FROM seq ORDER BY ord""",
     "ir_pr_auc" -> """
       WITH d AS (
         SELECT round(o_totalprice / 1000e0) AS s,

@@ -283,4 +283,41 @@ object Evaluation {
         when(col("n_pos") > 0, col("_ap_num") / col("n_pos").cast("double"))
           .as("ap"))
   }
+
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * labelings of the same rows (two annotators, two models, a model
+    * vs gold) - the labeled-data QA gate that raw percent-agreement
+    * overstates whenever one class dominates.
+    *
+    *   kappa = (p_o - p_e) / (1 - p_e),  p_e = sum_k pA(k) * pB(k)
+    *
+    * Returns ONE row (n, po, pe, kappa); rows with a NULL on either
+    * side drop; kappa is NULL when p_e = 1 (both sides constant and
+    * equal - agreement is vacuous, not perfect). One map-side-combined
+    * count over the data; marginals and the p_e sum run on the
+    * category-bounded cell frame - the [[Outliers.chiSquared]] shape.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+    val cells = d.groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+    val totals = cells.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("_tot"),
+      coalesce(sum(when(col("_a") === col("_b"), col("_n"))
+        .otherwise(lit(0L))), lit(0L)).as("_agree"))
+    val pa = cells.groupBy("_a").agg(sum(col("_n")).as("_na"))
+    val pb = cells.groupBy("_b").agg(sum(col("_n")).as("_nb"))
+    val pe = pa.join(pb, pa("_a") === pb("_b"))
+      .crossJoin(broadcast(totals))
+      .agg(coalesce(sum(col("_na").cast("double") * col("_nb").cast("double")),
+        lit(0.0)).as("_peNum"))
+    totals.crossJoin(broadcast(pe))
+      .select(col("_tot").as("n"),
+        (col("_agree").cast("double") / col("_tot").cast("double")).as("po"),
+        (col("_peNum") / (col("_tot").cast("double") * col("_tot").cast("double")))
+          .as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Curation-funnel lineage: WHERE does a pipeline lose its documents?
+  *
+  * A production training-data pipeline chains many keep/drop gates
+  * (length floors, language, quality, PII, ...). When 40% of a crawl
+  * disappears, "which gate, and which documents" is the first audit
+  * question — per-stage loss rates catch a miscalibrated threshold
+  * (one stage suddenly eating everything) and per-doc attribution
+  * answers takedown/debug queries. The reference has no equivalent;
+  * this is part of the beyond-reference pipeline layer.
+  *
+  * Scale shape: ONE projection computes each row's FIRST failing stage
+  * (a `coalesce` over `when(!pred, stageName)` in gate order — rows
+  * are never duplicated per stage), and the report is a stage-bounded
+  * `groupBy` of that single column. 100 TB pays one scan + one
+  * |stages|-row aggregate; no joins, no windows, no per-stage passes.
+  */
+object Funnel {
+
+  /** Per-row attribution: `first_fail` = name of the first gate (in
+    * declaration order) whose predicate is false, NULL for survivors —
+    * sequential-filter semantics without running |stages| filters.
+    */
+  def withFirstFail(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val firstFail = coalesce(
+      stages.map { case (name, pred) => when(!pred, lit(name)) } :+
+        lit(null).cast("string"): _*)
+    df.withColumn("first_fail", firstFail)
+  }
+
+  /** The funnel report: one row per stage IN ORDER with
+    * (stage, n_in, n_dropped, n_out, drop_rate), where stage i's input
+    * is stage i-1's survivors — exactly what sequentially-applied
+    * filters would see. Derived from one first-fail aggregate by a
+    * running subtraction over the |stages|-row frame (driver-side
+    * arithmetic on the tiny collected report, not a data-frame window).
+    */
+  def report(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = withFirstFail(df, stages)
+      .groupBy("first_fail").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    var in = total
+    val rows = stages.map { case (name, _) =>
+      val dropped = counts.getOrElse(Some(name), 0L)
+      val out = in - dropped
+      val row = (name, in, dropped, out,
+        if (in == 0L) 0.0 else dropped.toDouble / in.toDouble)
+      in = out
+      row
+    }
+    rows.toDF("stage", "n_in", "n_dropped", "n_out", "drop_rate")
+  }
+}

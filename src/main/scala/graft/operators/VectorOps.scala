@@ -160,4 +160,40 @@ object VectorOps {
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): with r1,
+    * r2 the distances to each point's 1st and 2nd nearest neighbor,
+    * mu = r2/r1 is Pareto(d)-distributed on a d-dimensional manifold
+    * and the MLE is d = n / sum ln(mu) - the embedding-quality audit
+    * that catches collapsed representations (d near 2-3 on a 64-dim
+    * column means the encoder is using a sliver of the space).
+    *
+    * Returns ONE row (n, intrinsic_dim). Points with r1 = 0 (exact
+    * duplicates) or fewer than 2 neighbors drop out of the MLE - the
+    * estimator is undefined there; dedup first for a cleaner read.
+    *
+    * Scale: the 2-NN here is the brute-force [[SimilarityJoin.knnL2]]
+    * (index crossJoin broadcast queries) over the SAME frame - exact,
+    * right for the <=10^6-vector audit slices this targets. Past that,
+    * swap the truth source for [[Ann.ivfSearchL2]] probes: the MLE
+    * only reads (r1, r2) pairs, so any k-NN provider slots in.
+    */
+  def intrinsicDimension(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qs = df.select(col(idCol).as("_qid"), col(vecCol).as("_qvec"))
+    val nn = SimilarityJoin.knnL2(df, idCol, vecCol, qs, "_qid", "_qvec", k = 3)
+      .filter(col(idCol) =!= col("_qid"))   // drop self-match
+      .withColumn("_rn2",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("_qid").orderBy(col("rn"))))
+      .filter(col("_rn2") <= 2)
+    val wide = nn.groupBy("_qid").agg(
+      min(when(col("_rn2") === 1, col("distance"))).as("_r1"),
+      min(when(col("_rn2") === 2, col("distance"))).as("_r2"))
+      .filter(col("_r1") > 0.0 && col("_r2").isNotNull)
+    wide.agg(count(lit(1)).as("n"),
+      (count(lit(1)).cast("double") /
+        sum(log(col("_r2").cast("double") / col("_r1").cast("double"))))
+        .as("intrinsic_dim"))
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Evaluation, Funnel, VectorOps}
+
+/** Round-6 additions: curation-funnel lineage, Cohen's kappa,
+  * TwoNN intrinsic dimension.
+  */
+class FunnelEvalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("funnel: first-fail attribution and sequential-filter report") {
+    val d = Seq(
+      (1L, 10, true),  // survives all
+      (2L, 3, true),   // fails min_len
+      (3L, 12, false), // fails flag_ok
+      (4L, 2, false),  // fails min_len (sequentially: never reaches flag_ok)
+      (5L, 20, true)   // survives all
+    ).toDF("id", "len", "ok")
+    val stages = Seq(
+      "min_len" -> (col("len") >= 5),
+      "flag_ok" -> col("ok"))
+    val ff = Funnel.withFirstFail(d, stages)
+      .select("id", "first_fail").as[(Long, Option[String])].collect().toMap
+    assert(ff == Map(1L -> None, 2L -> Some("min_len"), 3L -> Some("flag_ok"),
+      4L -> Some("min_len"), 5L -> None))
+    val rep = Funnel.report(d, stages)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == Seq(
+      ("min_len", 5L, 2L, 3L, 0.4),
+      ("flag_ok", 3L, 1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("funnel: empty input and a stage that drops nothing") {
+    val d = Seq((1L, 10)).toDF("id", "len").filter(col("len") < 0)
+    val rep = Funnel.report(d, Seq("s" -> (col("len") > 0)))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == Seq(("s", 0L, 0L, 0L, 0.0)))
+  }
+
+  test("cohenKappa: hand contingency, perfect, constant-equal, null drops") {
+    // classic 2x2: a=yes/no vs b=yes/no with counts 20,5,10,15
+    val d = (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))).toDF("a", "b")
+    val Seq((n, po, pe, Some(k))) = Evaluation.cohenKappa(d, "a", "b")
+      .as[(Long, Double, Double, Option[Double])].collect().toSeq
+    assert(n == 50L)
+    assert(math.abs(po - 0.70) < 1e-12)
+    // pe = (25/50)(30/50) + (25/50)(20/50) = 0.5
+    assert(math.abs(pe - 0.50) < 1e-12)
+    assert(math.abs(k - 0.40) < 1e-12)
+    // perfect agreement on a varied labeling -> kappa = 1
+    val p = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(p, "a", "b")
+      .select("kappa").as[Option[Double]].head().exists(v => math.abs(v - 1.0) < 1e-12))
+    // both sides constant and equal: pe = 1, kappa undefined -> NULL
+    val c = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(c, "a", "b")
+      .select("kappa").as[Option[Double]].head().isEmpty)
+    // NULL rows drop from n
+    val withNull = Seq((Some("x"), Some("x")), (None, Some("x"))).toDF("a", "b")
+    assert(Evaluation.cohenKappa(withNull, "a", "b")
+      .select("n").as[Long].head() == 1L)
+  }
+
+  test("intrinsicDimension: hand MLE on 4 points; exact duplicates drop") {
+    // 1-D points embedded in 2-D: 0, 1, 3, 7 -> (r1, r2) per point:
+    // 0:(1,3) 1:(1,2) 3:(2,3) 7:(4,6)
+    val pts = Seq((0L, 0f), (1L, 1f), (2L, 3f), (3L, 7f))
+      .map { case (id, x) => (id, Array(x, 0f)) }.toDF("id", "vec")
+    val Seq((n, d)) = VectorOps.intrinsicDimension(pts, "id", "vec")
+      .as[(Long, Double)].collect().toSeq
+    assert(n == 4L)
+    val expect = 4.0 / (math.log(3.0) + math.log(2.0) + math.log(1.5) +
+      math.log(1.5))
+    assert(math.abs(d - expect) < 1e-9, s"got $d want $expect")
+    // a duplicated point has r1 = 0 -> drops from the MLE (and so does
+    // its twin), leaving the remaining pair
+    val dup = Seq((0L, 0f), (1L, 0f), (2L, 3f), (3L, 7f))
+      .map { case (id, x) => (id, Array(x, 0f)) }.toDF("id", "vec")
+    val n2 = VectorOps.intrinsicDimension(dup, "id", "vec")
+      .select("n").as[Long].head()
+    assert(n2 == 2L, s"duplicates must drop, got n=$n2")
+  }
+}
