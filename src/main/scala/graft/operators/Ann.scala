@@ -171,6 +171,23 @@ object Ann {
       .select(col("_v")).collect()
       .map(r => post(r.getSeq[Float](0).toArray))
     require(pool.nonEmpty, "kmeans needs at least one seed row")
+    // rounds = 0: the cheap tier — ONE hash-spread sample job (bounded
+    // at max(1024, 64k) rows) + greedy k-means++ on the driver. The
+    // FAISS move for sub-quantizers (PQ codebooks train on samples
+    // anyway); full || oversampling would multiply build jobs per
+    // subspace. Still distance-aware: pure spread seeds provably drop
+    // whole clusters (two seeds in one tight cluster leave another
+    // unmodeled, and Lloyd cannot split a won cluster — AnnSpec's
+    // three-cluster PQ fixture fails on spread-only seeding).
+    if (rounds == 0) {
+      val sample = data
+        .orderBy(xxhash64(col("_id"), lit(0x5eedL)), col("_id"))
+        .limit(math.max(1024, 64 * nCentroids))
+        .select(col("_v")).collect()
+        .map(r => post(r.getSeq[Float](0).toArray))
+      return greedyKmeansPP(sample, Array.fill(sample.length)(1.0),
+        nCentroids, dist2Driver)
+    }
     if (nCentroids > 1) {
       val l = 2.0 * nCentroids
       for (round <- 1 to rounds) {
@@ -197,10 +214,23 @@ object Ann {
       .groupBy("centroid_id").agg(count(lit(1)).as("_n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
     val wArr = poolCents.map { case (cid, _) => weights.getOrElse(cid, 0.0) }
+    greedyKmeansPP(pool, wArr, nCentroids, dist2Driver)
+  }
+
+  /** Greedy weighted k-means++ over a driver-held candidate pool:
+    * heaviest candidate first, then repeatedly the argmax of
+    * weight × distance²-to-chosen (the deterministic variant of the ++
+    * draw). Degenerate pools (fewer distinct points than k) top up
+    * with the remaining distinct candidates — callers get as many
+    * seeds as the data supports.
+    */
+  private def greedyKmeansPP(pool: Array[Array[Float]], wArr: Array[Double],
+      k: Int, dist2Driver: (Array[Float], Array[Float]) => Double)
+      : Array[Array[Float]] = {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     chosen += pool(wArr.indexOf(wArr.max))
     val d2 = pool.map(v => dist2Driver(v, chosen.head))
-    while (chosen.size < math.min(nCentroids, pool.length) &&
+    while (chosen.size < math.min(k, pool.length) &&
         d2.indices.exists(i => wArr(i) * d2(i) > 0.0)) {
       val next = d2.indices.maxBy(i => wArr(i) * d2(i))
       chosen += pool(next)
@@ -208,10 +238,8 @@ object Ann {
         d2(i) = math.min(d2(i), dist2Driver(pool(i), pool(next)))
       }
     }
-    // degenerate data (fewer distinct rows than k): top up from the
-    // pool so callers still get as many cells as the data supports
     var i = 0
-    while (chosen.size < math.min(nCentroids, pool.length) && i < pool.length) {
+    while (chosen.size < math.min(k, pool.length) && i < pool.length) {
       if (!chosen.exists(_.sameElements(pool(i)))) chosen += pool(i)
       i += 1
     }
@@ -247,11 +275,11 @@ object Ann {
       score: (Column, Array[Float]) => Column,
       post: Array[Float] => Array[Float],
       scoreFloor: Double = 0.0,
-      dist2Driver: (Array[Float], Array[Float]) => Double = l2SqDriver)
-      : Array[(Long, Array[Float])] = {
+      dist2Driver: (Array[Float], Array[Float]) => Double = l2SqDriver,
+      seedRounds: Int = 2): Array[(Long, Array[Float])] = {
     var cents: Array[(Long, Array[Float])] =
       seedKmeansPar(df, idCol, vecCol, nCentroids, score, post,
-        scoreFloor, dist2Driver)
+        scoreFloor, dist2Driver, seedRounds)
         .zipWithIndex
         .map { case (v, i) => (i.toLong, v) }
     require(cents.nonEmpty, "kmeans needs at least one seed row")

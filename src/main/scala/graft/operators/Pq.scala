@@ -50,7 +50,11 @@ object Pq {
     val cents = (0 until m).map { s =>
       val sub = df.select(col(idCol),
         slice(col(vecCol), s * subDim + 1, subDim).as("_sub"))
-      Ann.kmeansCore(sub, idCol, "_sub", k, iters, Ann.l2Score, identity)
+      // seedRounds = 0: spread-hash seeds only — m sub-codebooks at
+      // full k-means|| would pay the oversampling jobs PER SUBSPACE;
+      // FAISS seeds subquantizers randomly for the same reason
+      Ann.kmeansCore(sub, idCol, "_sub", k, iters, Ann.l2Score, identity,
+          seedRounds = 0)
         .sortBy(_._1).map(_._2)
     }.toArray
     PqCodebook(dim, m, k, cents)
