@@ -375,6 +375,38 @@ object ScaleSmoke {
       }
       println(f"SMOKE pipeline TOTAL              ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+
+    // ---- round-6 additions: equi-depth order statistics on a skewed
+    // column, curation funnel, incremental IVF append ---------------
+    timed("equi-depth quantiles (skewed)") {
+      // exp(value) spans decades: uniform-width buckets would put
+      // nearly all distinct values in one window partition; force the
+      // sketch-boundary path with a tight per-bucket target
+      val skewed = spark.range(600000)
+        .select(exp(col("id").cast("double") / 30000.0).as("v"))
+      val r = graft.operators.Outliers.exactQuantiles(
+        skewed, "v", Seq(0.5, 0.9, 0.99), nBuckets = 64,
+        targetPerBucket = 20000L)
+      println(s"SMOKE   quantiles: ${r.collect().map(_.toString).mkString(" ")}")
+    }
+    timed("funnel over 100k docs") {
+      val corpus = spark.read.parquet(s"$base/documents")
+      val rep = graft.operators.Funnel.report(corpus, Seq(
+        "min_chars" -> (length(col("text")) >= 150),
+        "max_words" -> (size(split(lower(col("text")), "\\s+")) <= 70)))
+      println(s"SMOKE   funnel: ${rep.collect().map(_.toString).mkString(" ")}")
+    }
+    timed("IVF append 20k to 80k index") {
+      val e100k = spark.read.parquet(s"$base/embeddings")
+      val baseIdx = e100k.filter(col("vec_id") % 5 =!= 0)
+      val batch = e100k.filter(col("vec_id") % 5 === 0)
+      val (indexed, cents) = graft.operators.Ann.ivfBuild(
+        baseIdx, "vec_id", "embedding", nCentroids = 32, iters = 2)
+      val p = s"$base/ivf_append"
+      graft.operators.Ann.writeIvfIndex(indexed, cents, p)
+      graft.operators.Ann.appendToIvfIndex(spark, p, batch, "vec_id", "embedding")
+      println(s"SMOKE   appended index rows: ${spark.read.parquet(s"$p/index").count()}")
+    }
     spark.stop()
   }
 }

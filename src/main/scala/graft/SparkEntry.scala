@@ -2296,6 +2296,36 @@ object SparkEntry {
           (count(lit(1)) === 50).as("complete"))
     }),
 
+    // Incremental IVF append: index built on 80% of the corpus, the
+    // rest appended WITHOUT retraining (assigned to the persisted
+    // centroids, files added under matching partitions). The pruned
+    // search over the appended layout must equal the one-shot search
+    // over the full corpus assigned with the SAME centroids — proving
+    // appended rows are immediately visible and correctly celled.
+    "ann_ivf_append" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = emb.filter(col("vec_id") < 400)
+      val rest = emb.filter(col("vec_id") >= 400)
+      val (indexed, cents) =
+        Ann.ivfBuild(base, "vec_id", "embedding", nCentroids = 8, iters = 2)
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_append_gate").getPath
+      Ann.writeIvfIndex(indexed, cents, path)
+      Ann.appendToIvfIndex(s, path, rest, "vec_id", "embedding")
+      val appended = Ann.ivfSearchL2Pruned(s, path, "vec_id", "embedding",
+          qs, "qid", "qvec", k = 5, nProbe = 3)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      val full = Ann.ivfSearchL2(Ann.assign(emb, "vec_id", "embedding", cents),
+          "vec_id", "embedding", cents, qs, "qid", "qvec", k = 5, nProbe = 3)
+        .select(col("qid"), col("vec_id"), col("rn"), lit(1).as("ok"))
+      appended.join(full, Seq("qid", "vec_id", "rn"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
+          (count(lit(1)) === 50).as("complete"))
+    }),
+
     // Multi-probe LSH dominance proof: expanding the probe set can only
     // IMPROVE each rank's similarity (top-k over a candidate superset),
     // and no candidate-subset top-k can beat the exact top-k at any
@@ -3752,6 +3782,8 @@ object SparkEntry {
              round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
       FROM p ORDER BY label_a, label_b""",
     "ann_ivfpq" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "ann_ivf_append" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_ivfpq_res" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",

@@ -425,6 +425,27 @@ object Ann {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a batch to a persisted [[writeIvfIndex]] layout WITHOUT
+    * retraining: assign the new rows to the EXISTING centroids (read
+    * back from the layout — they are the index's contract) and append
+    * their files under the matching `centroid_id=` partitions. The
+    * operational "vectors keep arriving" path — a retrain is a
+    * deliberate rebuild, not a side effect of ingestion. O(batch) IO:
+    * existing partitions' files are untouched (append-mode dynamic
+    * partition write), searches prune exactly as before and see the
+    * new rows immediately. Centroids drift from the true means as
+    * batches accumulate — monitor [[inertia]] and rebuild when recall
+    * decays (the standard IVF maintenance loop).
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assign(newBatch, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
   /** IVF search against a [[writeIvfIndex]] layout with SOURCE-LEVEL
     * partition pruning: the probed cell set (≤ queries × nProbe ids —
     * planner state, like the centroids themselves) becomes a static

@@ -82,6 +82,46 @@ class AnnSpec extends SparkSuite {
       s"expected an IN partition filter on centroid_id in:\n$plan")
   }
 
+  test("appendToIvfIndex: O(batch) file append, appended rows searchable, cells correct") {
+    val base = emb.filter($"vec_id" < 400)
+    val rest = emb.filter($"vec_id" >= 400)
+    val (indexed, centroids) = Ann.ivfBuild(base, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Ann.writeIvfIndex(indexed, centroids, path)
+    def dataFiles(): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path, "index")
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toSet
+      finally s.close()
+    }
+    val before = dataFiles()
+    Ann.appendToIvfIndex(spark, path, rest, "vec_id", "embedding")
+    val after = dataFiles()
+    // existing files byte-identical — the append touched only new files
+    assert(before.subsetOf(after), "append must not rewrite existing files")
+    assert(after.size > before.size, "append must add files")
+    // every appended row landed in the cell the centroid contract says
+    val expected = Ann.assign(rest, "vec_id", "embedding", centroids)
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+    val onDisk = spark.read.parquet(s"$path/index")
+      .filter($"vec_id" >= 400)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)]
+      .collect().toSet
+    assert(onDisk == expected, "appended rows must sit in their assigned cells")
+    // pruned search over the appended layout ≡ one-shot full search
+    val full = Ann.ivfSearchL2(Ann.assign(emb, "vec_id", "embedding", centroids),
+        "vec_id", "embedding", centroids, queries, "qid", "qvec", k = 5, nProbe = 3)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val appended = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 3)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(appended == full, "appended layout must search identically")
+  }
+
   test("TopKAggregator matches the window top-k when NaN distances occur") {
     // SQL semantics: NaN sorts last and equals itself — raw Double
     // comparisons would let buffered NaNs block finite candidates
