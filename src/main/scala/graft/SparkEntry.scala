@@ -2145,6 +2145,28 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("n"), round(col("intrinsic_dim"), 4).as("intrinsic_dim"))),
 
+    // Mahalanobis² embedding-outlier scores in the top-4 principal
+    // subspace, flagged at the chi²(4) 99th percentile. The fitted
+    // model (mean, components, eigenvalues) persists to /tmp and the
+    // oracle recomputes every projection, the whitened sum, and the
+    // flag from it. Both engines flag on the ROUNDED score so a
+    // last-ulp divergence at the threshold cannot flip the boolean.
+    "vq_mahal" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val model = operators.Pca.fit(e, "embedding", dim = 64, nComponents = 4)
+      import s.implicits._
+      (for (c <- 0 until 4; i <- 0 until 64)
+        yield (c + 1, i + 1, model.mean(i), model.components(c)(i),
+          model.eigenvalues(c)))
+        .toDF("c", "i", "mu", "w", "ev").coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_mahal/model.parquet")
+      e.withColumn("maha_sq",
+          round(operators.Pca.mahalanobisSqCol(col("embedding"), model), 4))
+        .select(col("vec_id"), col("maha_sq"),
+          (col("maha_sq") > 13.2767).as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     "vq_pca" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val model = operators.Pca.fit(e, "embedding", dim = 64, nComponents = 4)
@@ -3739,6 +3761,39 @@ object SparkEntry {
                / sum(ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE))), 4)
                AS intrinsic_dim
       FROM f""",
+    // Same persisted-model replay as vq_pca, plus the eigenvalue
+    // whitening: score = ((p1²/ev1 + p2²/ev2) + p3²/ev3) + p4²/ev4
+    // left-associated exactly like the Spark reduce chain.
+    "vq_mahal" -> """
+      WITH m AS (
+        SELECT c, i, mu, w, ev
+        FROM read_parquet('/tmp/graft_mahal/model.parquet/*.parquet')),
+      mu AS (SELECT list(mu ORDER BY i) AS ml FROM m WHERE c = 1),
+      w1 AS (SELECT list(w ORDER BY i) AS wl, any_value(ev) AS ev FROM m WHERE c = 1),
+      w2 AS (SELECT list(w ORDER BY i) AS wl, any_value(ev) AS ev FROM m WHERE c = 2),
+      w3 AS (SELECT list(w ORDER BY i) AS wl, any_value(ev) AS ev FROM m WHERE c = 3),
+      w4 AS (SELECT list(w ORDER BY i) AS wl, any_value(ev) AS ev FROM m WHERE c = 4),
+      p AS (
+        SELECT e.vec_id,
+          list_sum(list_transform(range(1, 65),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w1.wl[i])) AS p1,
+          list_sum(list_transform(range(1, 65),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w2.wl[i])) AS p2,
+          list_sum(list_transform(range(1, 65),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w3.wl[i])) AS p3,
+          list_sum(list_transform(range(1, 65),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w4.wl[i])) AS p4,
+          w1.ev AS e1, w2.ev AS e2, w3.ev AS e3, w4.ev AS e4
+        FROM embeddings e, mu, w1, w2, w3, w4),
+      sc AS (
+        SELECT vec_id,
+               round(((p1 * p1 / greatest(e1, 1e-9)
+                       + p2 * p2 / greatest(e2, 1e-9))
+                      + p3 * p3 / greatest(e3, 1e-9))
+                     + p4 * p4 / greatest(e4, 1e-9), 4) AS maha_sq
+        FROM p)
+      SELECT vec_id, maha_sq, maha_sq > 13.2767 AS is_outlier
+      FROM sc ORDER BY vec_id""",
     "vq_pca" -> """
       WITH m AS (
         SELECT c, i, mu, w

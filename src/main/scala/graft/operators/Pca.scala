@@ -201,4 +201,36 @@ object Pca {
     (0 until model.nComponents).foldLeft(df) { (acc, c) =>
       acc.withColumn(s"$prefix${c + 1}", projectCol(col(vecCol), model, c))
     }
+
+  /** Mahalanobis² score of `vecCol` in the model's principal subspace,
+    * as a literal expression: Σ_c y_c² / λ_c with y_c the centered
+    * projection onto component c — the whitened distance that scores
+    * "how far outside the corpus's own covariance ellipsoid is this
+    * embedding". Restricting to the top-k subspace is the standard
+    * high-dim practice: the trailing eigenvalues are noise-scale, and
+    * dividing by a near-zero λ would amplify noise into the score
+    * (`epsilon` floors λ for the same reason). Under multivariate
+    * normality the score is ~χ²(k), so flagging above the χ² tail
+    * (e.g. 99th percentile) has a calibrated false-positive rate.
+    *
+    * Same execution shape as [[transform]]: pure codegen'd per-row
+    * arithmetic from driver-held literals — no shuffle, scan-speed.
+    */
+  def mahalanobisSqCol(vecCol: Column, model: PcaModel,
+      epsilon: Double = 1e-9): Column =
+    (0 until model.nComponents).map { c =>
+      val y = projectCol(vecCol, model, c)
+      y * y / lit(math.max(model.eigenvalues(c), epsilon))
+    }.reduce(_ + _)
+
+  /** Flag embedding outliers: (score = Mahalanobis² in the top-k
+    * subspace, is_outlier = score > threshold). One fit pass + one
+    * projection pass.
+    */
+  def mahalanobisOutliers(df: DataFrame, vecCol: String, dim: Int,
+      nComponents: Int, threshold: Double): DataFrame = {
+    val model = fit(df, vecCol, dim, nComponents)
+    df.withColumn("maha_sq", mahalanobisSqCol(col(vecCol), model))
+      .withColumn("is_outlier", col("maha_sq") > lit(threshold))
+  }
 }

@@ -63,6 +63,30 @@ class FunnelEvalSpec extends SparkSuite {
       .select("n").as[Long].head() == 1L)
   }
 
+  test("mahalanobis: whitening scores off-covariance outliers above on-axis ones") {
+    // points spread along the x-axis (high variance) with tiny y noise:
+    // at EQUAL Euclidean distance from the mean, a y-direction deviant
+    // must out-score an x-direction one — the property Euclidean
+    // distance cannot express and the whitening exists for
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array(((i % 21) - 10).toFloat, ((i % 5) - 2) * 0.05f))
+    }
+    val df = (base :+ (100L, Array(0f, 6f)) :+ (101L, Array(6f, 0f)))
+      .toDF("id", "vec")
+    val model = graft.operators.Pca.fit(df, "vec", dim = 2, nComponents = 2)
+    val scores = df.select($"id",
+        graft.operators.Pca.mahalanobisSqCol($"vec", model).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(100L) > 10.0 * scores(101L),
+      s"y-outlier ${scores(100L)} must dwarf x-outlier ${scores(101L)}")
+    // flags: with threshold between the two, only the y-outlier trips
+    val flagged = graft.operators.Pca.mahalanobisOutliers(
+        df, "vec", dim = 2, nComponents = 2,
+        threshold = (scores(100L) + scores(101L)) / 2.0)
+      .filter($"is_outlier").select($"id").as[Long].collect().toSet
+    assert(flagged.contains(100L) && !flagged.contains(101L))
+  }
+
   test("intrinsicDimension: hand MLE on 4 points; exact duplicates drop") {
     // 1-D points embedded in 2-D: 0, 1, 3, 7 -> (r1, r2) per point:
     // 0:(1,3) 1:(1,2) 3:(2,3) 7:(4,6)
