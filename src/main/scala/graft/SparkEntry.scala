@@ -1355,6 +1355,31 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Convergence-exit contract, gate-level: a tol run must (a) stop
+    // BEFORE the cap, (b) equal the fixed-iteration form at the count
+    // it stopped at — bit-identical ranks, since tol only decides WHEN
+    // to stop, never WHAT an iteration computes. Small deterministic
+    // graph (supplier→nation links) keeps the per-iteration jobs
+    // gate-cheap.
+    "gr_converged" -> ((s, dir) => {
+      val e = T(s, dir, "supplier")
+        .select((col("s_suppkey") % 40).as("src"), col("s_nationkey").as("dst"))
+        .distinct()
+      // damping 0.3: geometric tol decay 0.3^k reaches 1e-6 in ~10
+      // rounds, keeping this a gate-cheap consistency proof (0.85
+      // would need ~80 iterations to cross the same tol)
+      val (pr, ran) = operators.Graphs.pageRankCore(e, "src", "dst",
+        iterations = 25, tol = Some(1e-6), damping = 0.3)
+      val fixed = operators.Graphs.pageRank(e, "src", "dst",
+          iterations = ran, damping = 0.3)
+        .withColumnRenamed("rank", "rank_fixed")
+      import s.implicits._
+      val mism = pr.join(fixed, "node")
+        .filter(col("rank") =!= col("rank_fixed")).count()
+      Seq((mism, ran.toLong < 25L, ran.toLong >= 2L))
+        .toDF("mismatches", "converged_early", "nontrivial")
+    }),
+
     // Structural degree profile of the same graph.
     "gr_degrees" -> ((s, dir) =>
       operators.Graphs.degrees(coPurchaseEdges(s, dir), "src", "dst")
@@ -3840,6 +3865,9 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_ivf_append" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "gr_converged" -> """
+      SELECT CAST(0 AS BIGINT) AS mismatches,
+             true AS converged_early, true AS nontrivial""",
     "ann_ivfpq_res" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "tx_fp_consistency" -> """
