@@ -969,7 +969,11 @@ object SparkEntry {
     // non-vacuous; DuckDB recomputes counts, priors, both log-odds and
     // the z-scores from scratch. Both engines rank on round(z, 4) (then
     // token asc) so ULP-level ln() differences between builds cannot
-    // reorder the top-k cut when equal-count tokens straddle it.
+    // reorder the top-k cut when equal-count tokens straddle it. The gate
+    // projection emits only integer-exact columns (y, g, rank) — the raw
+    // z is a transcendental whose round(.,4) can flip at a …5 boundary
+    // under cross-build libm ULP drift; its VALUE is asserted in
+    // TextOpsSpec with a 1e-9 tolerance instead of hashed here.
     "tx_distinctive" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
         concat(col("text"), lit(" marker"), substring(col("source"), 4, 10))
@@ -977,7 +981,7 @@ object SparkEntry {
       TextAnalysis.distinctiveTerms(d, "source", "text", k = 3,
           rankRoundDigits = Some(4))
         .select(col("grp").as("source"), col("token"), col("y"), col("g"),
-          round(col("z"), 4).as("z"), col("rank").cast("long").as("rank"))
+          col("rank").cast("long").as("rank"))
         .orderBy("source", "rank")
     }),
 
@@ -4900,8 +4904,7 @@ object SparkEntry {
                                       ORDER BY round(z, 4) DESC, token)
                      AS rank
             FROM scored)
-      SELECT grp AS source, token, y, g, round(z, 4) AS z,
-             CAST(rank AS BIGINT) AS rank
+      SELECT grp AS source, token, y, g, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 3 ORDER BY source, rank""",
     "tx_boilerplate" -> """
       WITH raw AS (

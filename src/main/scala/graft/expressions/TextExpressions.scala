@@ -92,14 +92,19 @@ case class Fingerprint64(child: Expression)
   * one bucket. Boundaries ride codegen as a referenced object, keeping
   * the probe inside whole-stage codegen.
   */
-case class BucketIndex(child: Expression, bounds: Array[Double])
+case class BucketIndex(child: Expression, bounds: IndexedSeq[Double])
     extends UnaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  // bounds is an IndexedSeq (value equality), NOT an Array: case-class
+  // equals on an Array field is reference identity, which breaks
+  // semanticEquals / subexpression elimination / plan canonicalization
+  // for two structurally identical bucket_index expressions.
+  private lazy val boundsArr: Array[Double] = bounds.toArray
   override def declaredInputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    Kernels.bucketIndex(v.asInstanceOf[Double], bounds)
+    Kernels.bucketIndex(v.asInstanceOf[Double], boundsArr)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    val ref = ctx.addReferenceObj("bounds", boundsArr, "double[]")
     defineCodeGen(ctx, ev, a => s"graft.expressions.Kernels.bucketIndex($a, $ref)")
   }
   override def prettyName: String = "bucket_index"

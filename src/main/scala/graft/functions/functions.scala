@@ -49,7 +49,7 @@ object functions {
     * (see [[graft.expressions.BucketIndex]]).
     */
   def bucket_index(v: Column, bounds: Array[Double]): Column =
-    c(BucketIndex(e(v), bounds))
+    c(BucketIndex(e(v), bounds.toIndexedSeq))
 
   /** One-pass hyperplane LSH bucket (see [[graft.expressions.HyperplaneBucket]]). */
   def hyperplane_bucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =

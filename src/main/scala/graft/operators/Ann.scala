@@ -190,8 +190,23 @@ object Ann {
     }
     if (nCentroids > 1) {
       val l = 2.0 * nCentroids
+      // The per-round scoring pool grows to ~2·l·rounds members, each a
+      // dim-length literal vector; unbounded, the generated projection
+      // for large k (256 centroids × 64 dims ⇒ tens of thousands of
+      // expression nodes) risks Janino's per-method bytecode ceiling
+      // and an interpreted fallback. Cap the SCORING references at
+      // maxScoreRefs by greedy farthest-point selection over the pool
+      // (driver-side, pool is bounded seeding state) — the min-distance
+      // oversampling weight against a spread summary of current
+      // coverage is the same signal; small pools (k ≤ ~128) are
+      // untouched, so the common path is bit-identical.
+      val maxScoreRefs = math.max(2 * nCentroids, 64).min(512)
       for (round <- 1 to rounds) {
-        val w = array_min(array(pool.toIndexedSeq.map(c =>
+        val refs =
+          if (pool.length <= maxScoreRefs) pool
+          else greedyKmeansPP(pool, Array.fill(pool.length)(1.0),
+            maxScoreRefs, dist2Driver)
+        val w = array_min(array(refs.toIndexedSeq.map(c =>
           score(col("_v"), c).cast("double")): _*)) - lit(scoreFloor)
         val w2 = (w * w).as("_w2")
         val tot = data.agg(sum(w * w)).head().getDouble(0)
@@ -359,7 +374,7 @@ object Ann {
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): DataFrame =
     centsToDF(df, kmeansCore(df, idCol, vecCol, nCentroids, iters,
-      cosineScore, normalize))
+      cosineScore, normalize, scoreFloor = -1.0, dist2Driver = cosDistDriver))
 
   /** Smaller-is-better cosine score (negated similarity). */
   private def cosineScore(v: Column, c: Array[Float]): Column =
@@ -391,7 +406,8 @@ object Ann {
   def ivfBuildCosine(
       df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): (DataFrame, DataFrame) = {
-    val cents = kmeansCore(df, idCol, vecCol, nCentroids, iters, cosineScore, normalize)
+    val cents = kmeansCore(df, idCol, vecCol, nCentroids, iters,
+      cosineScore, normalize, scoreFloor = -1.0, dist2Driver = cosDistDriver)
     (assignTo(df, vecCol, cents, cosineScore), centsToDF(df, cents))
   }
 

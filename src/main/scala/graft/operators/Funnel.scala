@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Per-row attribution: `first_fail` = name of the first gate (in
-    * declaration order) whose predicate is false, NULL for survivors —
-    * sequential-filter semantics without running |stages| filters.
+    * declaration order) whose predicate is NOT true, NULL for
+    * survivors — sequential-filter semantics without running |stages|
+    * filters. A NULL predicate (e.g. `length(text) >= 150` on a null
+    * text column) counts as a failure, exactly as `filter(pred)` would
+    * drop the row — `when(!pred, ...)` alone would let NULLs fall
+    * through every stage and report them as survivors.
     */
   def withFirstFail(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val firstFail = coalesce(
-      stages.map { case (name, pred) => when(!pred, lit(name)) } :+
+      stages.map { case (name, pred) =>
+        when(!coalesce(pred, lit(false)), lit(name)) } :+
         lit(null).cast("string"): _*)
     df.withColumn("first_fail", firstFail)
   }

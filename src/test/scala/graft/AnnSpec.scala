@@ -253,6 +253,36 @@ class AnnSpec extends SparkSuite {
     assert(top == (0 until 30).filter(_ % 3 == 1).map(_.toLong).toSet)
   }
 
+  test("cosine seeding prefers far (angular) points: 3 angular clusters recovered") {
+    // 60 points hug direction e1; two 5-point minorities hug e2 and e3.
+    // The k-means|| oversampling weight for the cosine metric must be
+    // (1 - cos) — with the inverted sign (w = -cos, floor 0) the picks
+    // concentrate NEAR existing seeds and a minority direction loses
+    // its centroid. Assert every angular cluster maps to its own
+    // centroid with full purity.
+    def jit(i: Int, j: Int): Float = ((i * 13 + j * 7) % 9) * 0.003f
+    val pts = (0 until 60).map { i =>
+      (i.toLong, Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3))) } ++
+      (60 until 65).map { i =>
+        (i.toLong, Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3))) } ++
+      (65 until 70).map { i =>
+        (i.toLong, Array(jit(i, 0), jit(i, 1), 1f + jit(i, 2), jit(i, 3))) }
+    val df = pts.toDF("vec_id", "embedding")
+    val (indexed, centroids) =
+      Ann.ivfBuildCosine(df, "vec_id", "embedding", nCentroids = 3, iters = 4)
+    assert(centroids.count() == 3)
+    val byCluster = indexed
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect()
+      .groupBy { case (id, _) => if (id < 60) 0 else if (id < 65) 1 else 2 }
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // each angular cluster assigned to exactly one centroid...
+    byCluster.values.foreach(s => assert(s.size == 1,
+      s"cluster split across centroids: $byCluster"))
+    // ...and the three centroids are distinct (no dropped direction)
+    assert(byCluster.values.map(_.head).toSet.size == 3,
+      s"a minority direction lost its centroid: $byCluster")
+  }
+
   test("hardNegatives: never the anchor's label, ranked by sim, bounded at k") {
     val anchors = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))

@@ -31,6 +31,20 @@ class FunnelEvalSpec extends SparkSuite {
       ("flag_ok", 3L, 1L, 2L, 1.0 / 3.0)))
   }
 
+  test("funnel: NULL predicate counts as a failure (filter semantics)") {
+    // length(NULL) >= 5 is NULL: filter(pred) drops the row, so the
+    // funnel must attribute it to that stage, not report a survivor.
+    val d = Seq((1L, Some("long enough text")), (2L, None), (3L, Some("ok too")))
+      .toDF("id", "text")
+    val stages = Seq("min_len" -> (length(col("text")) >= 5))
+    val ff = Funnel.withFirstFail(d, stages)
+      .select("id", "first_fail").as[(Long, Option[String])].collect().toMap
+    assert(ff == Map(1L -> None, 2L -> Some("min_len"), 3L -> None))
+    val rep = Funnel.report(d, stages)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == Seq(("min_len", 3L, 1L, 2L, 1.0 / 3.0)))
+  }
+
   test("funnel: empty input and a stage that drops nothing") {
     val d = Seq((1L, 10)).toDF("id", "len").filter(col("len") < 0)
     val rep = Funnel.report(d, Seq("s" -> (col("len") > 0)))
