@@ -62,12 +62,24 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total_sec","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver's capture truncates around ~2 KB, which has cut the
+    // ~4 KB named per-query map mid-JSON three rounds running (only 91
+    // of 181 entries survived in r5/r6). A 181-entry map with full
+    // names cannot fit under that cap, so ALSO emit a compact line
+    // (~1 KB) that always survives whole: integer milliseconds in
+    // sorted-query-name order (the names are deterministic — the
+    // sorted key set of SparkEntry.queries, identical to the
+    // CORRECTNESS artifact's key set). Print it FIRST and LAST so it
+    // survives whichever end the capture truncates from; the full
+    // named map still goes to stdout and bench.json for humans.
+    val compact = {
+      val ms = results.map { case (_, v) =>
+        if (v < 0) "-1" else math.round(v * 1000).toString }
+      s"""{"metric":"total_sec","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_ms_by_sorted_name":[${ms.mkString(",")}]}"""
+    }
+    println(compact)
     println(json)
-    // The driver's tail capture has truncated the ~3 KB per-query line
-    // three rounds running — follow it with a SHORT final line it can
-    // always parse. Humans and the judge get the full numbers from the
-    // per-query line above and from bench.json.
-    println(s"""{"metric":"total_sec","value":${jnum(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(compact)
     // Belt-and-braces: also drop the line in a file where the driver
     // (and humans) can always find it, whatever the log decoration.
     val out = java.nio.file.Paths.get(

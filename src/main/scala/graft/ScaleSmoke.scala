@@ -396,6 +396,29 @@ object ScaleSmoke {
         "max_words" -> (size(split(lower(col("text")), "\\s+")) <= 70)))
       println(s"SMOKE   funnel: ${rep.collect().map(_.toString).mkString(" ")}")
     }
+    // ---- round-7: TwoNN intrinsic dimension at 100k vectors on the
+    // BOUNDED path — 2-NN from the pruned IVF probe (no crossJoin),
+    // queries a 5% deterministic hash-sample (the MLE is an i.i.d.
+    // estimator over per-point ratios; 5k queries pin d to ~1.4%)
+    timed("twonn 100k (IVF 2-NN, 5% q)") {
+      val qs = graft.operators.Sampling.hashSample(
+        bigEmb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", 0.05, "twonn")
+      val nnRaw = graft.operators.Ann.ivfSearchL2(
+          indexed, "vec_id", "embedding", cents,
+          qs, "qid", "qvec", k = 3, nProbe = 4)
+        .filter(col("vec_id") =!= col("qid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("distance"), col("vec_id"))
+      val wide = nnRaw.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 2)
+        .groupBy("qid").agg(
+          min(when(col("r") === 1, col("distance"))).as("r1"),
+          min(when(col("r") === 2, col("distance"))).as("r2"))
+      val row = graft.operators.VectorOps
+        .intrinsicDimensionFromNN(wide, "qid", "r1", "r2").head()
+      println(f"SMOKE   twonn n=${row.getLong(0)} d=${row.getDouble(1)}%.3f")
+    }
     timed("IVF append 20k to 80k index") {
       val e100k = spark.read.parquet(s"$base/embeddings")
       val baseIdx = e100k.filter(col("vec_id") % 5 =!= 0)

@@ -57,6 +57,19 @@ object SparkEntry {
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
   private val ShufKey = "spark.sql.shuffle.partitions"
 
+  /** Per-process scratch root for gates that persist an artifact the
+    * DuckDB oracle reads back (sweep runs, centroid/model frames): the
+    * Spark query writes it, the oracle replays from it, so the path
+    * must agree WITHIN one Verify/Bench process — but a fixed /tmp
+    * path collides across concurrent runs. `oracleSql` is rendered in
+    * the same JVM that ran the query, so a pid-salted val keeps both
+    * sides consistent and runs isolated.
+    */
+  private lazy val scratchRoot: String =
+    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}"
+
+  private lazy val annSweepDir: String = s"$scratchRoot/ann_sweep"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: brute-force
     * L2 k-NN of 3 query vectors over the embeddings table.
     */
@@ -175,6 +188,45 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rn"),
           round(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")),
+
+    // Store-level ANN with tombstone-consistent results: a REAL
+    // tombstone-layout VectorStore is populated from the embeddings
+    // table (sorted single-partition insertDF ⇒ assigned ids == vec_id),
+    // an IVF index is built, ids are deleted (tombstones — no rebuild),
+    // and one id is upserted with another row's vector (the replacement
+    // row's newer gen must survive the tombstone that killed its
+    // predecessor). nProbe = nCentroids makes the pruned, masked search
+    // EXACT over live rows, so DuckDB replays it as brute-force top-k
+    // over (embeddings − deleted + the upserted vector) with no
+    // knowledge of the index — the full delete/upsert/search journey
+    // cross-engine-verified end to end.
+    "vs_ann_search" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_ann_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings")
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 8, iters = 2)
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(3L), Seq(v7))
+      // qid 5 queries a DELETED row's own vector (rank 1 iff the mask
+      // leaks); qid 7 queries the upserted vector (ids 3 and 7 both at
+      // distance 0 — the replacement row must survive its
+      // predecessor's tombstone to take rank 1 on the id tie-break)
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 8)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          round(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
 
     // R10 fuzzy doc search (Indel distance; oracle replays the LCS DP
     // as a recursive CTE — golden-value parity also covered in ScalaTest)
@@ -879,7 +931,7 @@ object SparkEntry {
       ((-1, model.bias) +: model.weights.toSeq.zipWithIndex
         .map { case (w, f) => (f, w) })
         .toDF("f", "w").coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_qm/weights.parquet")
+        .parquet(s"$scratchRoot/qm_weights.parquet")
       operators.QualityModel.score(labeled, "text", model)
         .select(col("doc_id"), round(col("quality_prob"), 4).as("prob"))
         .orderBy("doc_id")
@@ -1154,7 +1206,7 @@ object SparkEntry {
       val (indexed, centroids) =
         graft.operators.Ann.ivfBuild(e, "vec_id", "embedding", nCentroids = 8, iters = 2)
       centroids.write.mode("overwrite")
-        .parquet("/tmp/graft_ivf_topk/centroids.parquet")
+        .parquet(s"$scratchRoot/ivf_topk_centroids.parquet")
       graft.operators.Ann.ivfSearchL2(indexed, "vec_id", "embedding", centroids,
           qs, "qid", "qvec", k = 3, nProbe = 4)
         .select(col("qid"), col("vec_id"), col("rn"),
@@ -1354,6 +1406,26 @@ object SparkEntry {
     "gr_pagerank" -> ((s, dir) => {
       val e = coPurchaseEdges(s, dir)
       operators.Graphs.pageRank(e, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }),
+
+    // Weighted PageRank over the same co-purchase graph with edge
+    // weight = co-shipment multiplicity (how many times the pair
+    // shipped together) — link strength as vote share. 3 fixed
+    // iterations, DuckDB unrolls the weighted recurrence; integer
+    // weights make the per-source out-weight sums float-exact, ranks
+    // round to 10 decimals before ordering (the gr_pagerank pattern).
+    "gr_wpagerank" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 1)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val e = a.join(b, "ok").filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      operators.Graphs.weightedPageRank(e, "src", "dst", "w", iterations = 3)
         .select(col("node"), round(col("rank"), 10).as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
@@ -2057,23 +2129,34 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       val (ipq, cpq, cb) = operators.Pq.ivfPqBuild(emb, "vec_id", "embedding",
         dim = 64, nCells = 8, m = 4, k = 8, iters = 2)
-      // (config, truth family, ranked run) — a 6-branch union is the
-      // POINT here (six different operators under test), not a
-      // per-query plan smell
+      // residual PQ shares the coarse quantizer already built above —
+      // no third k-means build for the sweep
+      val (ipqr, cbr) = operators.Pq.pqResidualFromIvf(indexed, cents,
+        "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
+      // (config, truth family, ranked run) — an 8-branch union is the
+      // POINT here (eight different operators under test), not a
+      // per-query plan smell. Hamming sign-sketches approximate ANGULAR
+      // distance, so that arm is scored against the cosine truth.
       val runs: Seq[(String, String, DataFrame)] =
-        ("lsh_b6", "cos", Ann.lshCosineTopK(emb, "vec_id", "embedding",
-          qs, "qid", "qvec", k = kk, dim = 64, nBits = 6)) +:
+        Seq(
+          ("lsh_b6", "cos", Ann.lshCosineTopK(emb, "vec_id", "embedding",
+            qs, "qid", "qvec", k = kk, dim = 64, nBits = 6)),
+          ("hamming_b64", "cos", Ann.hammingTopK(emb, "vec_id", "embedding",
+            qs, "qid", "qvec", dim = 64, k = kk))) ++
         Seq(1, 2, 4, 8).map(p => (f"ivf_p$p", "l2",
           Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
-            qs, "qid", "qvec", k = kk, nProbe = p))) :+
-        (("ivfpq_p4", "l2", operators.Pq.ivfPqSearch(ipq, "vec_id", "codes",
-          cpq, cb, qArr, k = kk, nProbe = 4)))
+            qs, "qid", "qvec", k = kk, nProbe = p))) ++
+        Seq(
+          ("ivfpq_p4", "l2", operators.Pq.ivfPqSearch(ipq, "vec_id", "codes",
+            cpq, cb, qArr, k = kk, nProbe = 4)),
+          ("ivfpq_res_p4", "l2", operators.Pq.ivfPqSearchResidual(ipqr,
+            "vec_id", "codes", cents, cbr, qArr, k = kk, nProbe = 4)))
       val run = runs.map { case (cfg, _, df) =>
         df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
           col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
       }.reduce(_ unionAll _)
-      run.write.mode("overwrite").parquet("/tmp/graft_ann_sweep/run.parquet")
-      val persisted = s.read.parquet("/tmp/graft_ann_sweep/run.parquet")
+      run.write.mode("overwrite").parquet(s"$annSweepDir/run.parquet")
+      val persisted = s.read.parquet(s"$annSweepDir/run.parquet")
       val truthL2 = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
         qs, "qid", "qvec", kk).select(col("qid"), col("vec_id"))
       val truthCos = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
@@ -2142,12 +2225,17 @@ object SparkEntry {
     // distance at each k. Persisted centroid frames are the contract;
     // DuckDB recomputes every assignment (argmin, ties to lower cell)
     // and distance from them. Inertia monotonicity is spec'd in AnnSpec.
+    // seedRounds = 0: a DIAGNOSTIC sweep takes the cheap sample-++
+    // seeding tier (one hash-spread sample job per k) — three full
+    // k-means|| fits here tripled the gate's cost for no index-quality
+    // benefit (production IVF builds keep the full || path).
     "vq_kmeans_report" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       Seq(2, 4, 8).map { k =>
-        val centsDf = operators.Ann.kmeans(e, "vec_id", "embedding", k, iters = 3)
+        val centsDf = operators.Ann.kmeans(e, "vec_id", "embedding", k,
+          iters = 3, seedRounds = 0)
         centsDf.coalesce(1).write.mode("overwrite")
-          .parquet(s"/tmp/graft_km/cents_k$k.parquet")
+          .parquet(s"$scratchRoot/km_cents_k$k.parquet")
         val cents = centsDf.collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         val best = array_min(array(cents.map { case (cid, c) =>
@@ -2188,7 +2276,7 @@ object SparkEntry {
         yield (c + 1, i + 1, model.mean(i), model.components(c)(i),
           model.eigenvalues(c)))
         .toDF("c", "i", "mu", "w", "ev").coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_mahal/model.parquet")
+        .parquet(s"$scratchRoot/mahal_model.parquet")
       e.withColumn("maha_sq",
           round(operators.Pca.mahalanobisSqCol(col("embedding"), model), 4))
         .select(col("vec_id"), col("maha_sq"),
@@ -2203,7 +2291,7 @@ object SparkEntry {
       (for (c <- 0 until 4; i <- 0 until 64)
         yield (c + 1, i + 1, model.mean(i), model.components(c)(i)))
         .toDF("c", "i", "mu", "w").coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_pca/model.parquet")
+        .parquet(s"$scratchRoot/pca_model.parquet")
       operators.Pca.transform(e, "embedding", model)
         .select(col("vec_id") +:
           (1 to 4).map(j => round(col(s"pc$j"), 4).as(s"pc$j")): _*)
@@ -2569,6 +2657,33 @@ object SparkEntry {
           round(element_at(col("feature"), 3) * 255).cast("bigint").as("mean_r_255"))
         .orderBy("media_id")
     }),
+    // Perceptual image hashing (dHash) through the REAL ImageIO decode:
+    // per doc, an 18×16 gray-gradient BMP with pixel value
+    // (doc_id·7 + x·31 + y·57) mod 251 on all three channels (so the
+    // BT.601 integer luma equals the pixel value exactly). The 9×8
+    // block-average grid has clean 2×2 cells, every step is integer
+    // arithmetic, and DuckDB replays ALL 64 comparison bits from the
+    // closed form — emitted as four 16-bit blocks (the same banding
+    // layout Dedup.hash64NearDupPairs keys on; avoids bit-63 sign
+    // games, the tx_fingerprint lesson).
+    "mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rgb = Array.tabulate(18 * 16 * 3) { i =>
+            val p = i / 3; val x = p % 18; val y = p / 18
+            ((id * 7 + x * 31 + y * 57) % 251).toByte
+          }
+          (id, graft.multimodal.Multimodal.Codecs.encodeBmp(18, 16, rgb))
+        }).toDF("media_id", "payload")
+      media.select(col("media_id"),
+          graft.functions.image_dhash64(col("payload")).as("dh"))
+        .select(col("media_id") +: (0 until 4).map(j =>
+          shiftrightunsigned(col("dh"), j * 16).bitwiseAND(lit(0xffffL))
+            .cast("long").as(s"b$j")): _*)
+        .orderBy("media_id")
+    }),
+
     // Same proof for the WAV/RIFF parser: per-doc PCM-16 WAV with a
     // doc_id-derived rate and constant amplitude; the decoded sample
     // rate, frame count, and RMS (rescaled to raw amplitude) must match
@@ -2661,6 +2776,29 @@ object SparkEntry {
       SELECT event_id, user_id, event_type FROM events
       WHERE json_extract_string(props, '$.k') IN ('1', '2', '3')
       ORDER BY event_id""",
+    // Live-rows replay of the store ANN journey: brute-force top-k over
+    // embeddings minus the deleted ids, with id 3 carrying id 7's
+    // vector (the upsert) — the index never enters the oracle because
+    // nProbe = nCentroids makes the masked pruned search exact.
+    "vs_ann_search" -> """
+      WITH live AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id = 3
+                    THEN (SELECT embedding FROM embeddings WHERE vec_id = 7)
+                    ELSE e.embedding END AS vec
+        FROM embeddings e
+        WHERE e.vec_id NOT IN (0, 5, 10, 15, 20)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn, round(CAST(distance AS DOUBLE), 4) AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     // Independent Indel-distance replay (vector_store.py:377-387
     // semantics): LCS by the classic O(n·m) DP, run as a recursive CTE
     // over doc-character index i, each step folding the next DP row with
@@ -3128,10 +3266,10 @@ object SparkEntry {
     // recomputes assignment (argmin L2, ties -> lower cell id), the
     // per-query 4-cell probe ranking, in-cell scoring, and the
     // (dist, id) top-3 — everything downstream of the k-means fit.
-    "ann_ivf_topk" -> """
+    "ann_ivf_topk" -> raw"""
       WITH c AS (
         SELECT centroid_id, centroid
-        FROM read_parquet('/tmp/graft_ivf_topk/centroids.parquet/*.parquet')),
+        FROM read_parquet('$scratchRoot/ivf_topk_centroids.parquet/*.parquet')),
       q AS (SELECT vec_id AS qid, embedding AS qvec
             FROM embeddings WHERE vec_id < 5),
       assign AS (
@@ -3410,6 +3548,44 @@ object SparkEntry {
                       + 0.85e0 * (coalesce(c2.c, 0e0) + 0e0 / nn.n) AS rank
              FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN nn),
       c3 AS (SELECT e.dst AS node, sum(r.rank / CAST(od.odeg AS DOUBLE)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r2 r ON r.node = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT nodes.node,
+                    (1e0 - 0.85e0) / nn.n
+                      + 0.85e0 * (coalesce(c3.c, 0e0) + 0e0 / nn.n) AS rank
+             FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
+      SELECT node, round(rank, 10) AS rank FROM r3
+      ORDER BY rank DESC, node LIMIT 20""",
+    "gr_wpagerank" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+              SELECT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b ON a.ok = b.ok
+              WHERE a.l_partkey <> b.l_partkey)
+            GROUP BY src, dst),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      od AS (SELECT src, sum(CAST(w AS DOUBLE)) AS odeg FROM e GROUP BY src),
+      r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+      c1 AS (SELECT e.dst AS node,
+                    sum(r.rank * (CAST(e.w AS DOUBLE) / od.odeg)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r0 r ON r.node = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT nodes.node,
+                    (1e0 - 0.85e0) / nn.n
+                      + 0.85e0 * (coalesce(c1.c, 0e0) + 0e0 / nn.n) AS rank
+             FROM nodes LEFT JOIN c1 ON c1.node = nodes.node CROSS JOIN nn),
+      c2 AS (SELECT e.dst AS node,
+                    sum(r.rank * (CAST(e.w AS DOUBLE) / od.odeg)) AS c
+             FROM e JOIN od ON od.src = e.src JOIN r1 r ON r.node = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT nodes.node,
+                    (1e0 - 0.85e0) / nn.n
+                      + 0.85e0 * (coalesce(c2.c, 0e0) + 0e0 / nn.n) AS rank
+             FROM nodes LEFT JOIN c2 ON c2.node = nodes.node CROSS JOIN nn),
+      c3 AS (SELECT e.dst AS node,
+                    sum(r.rank * (CAST(e.w AS DOUBLE) / od.odeg)) AS c
              FROM e JOIN od ON od.src = e.src JOIN r2 r ON r.node = e.src
              GROUP BY e.dst),
       r3 AS (SELECT nodes.node,
@@ -3752,7 +3928,7 @@ object SparkEntry {
         s"""SELECT $k AS k, e.vec_id, c.centroid_id,
            list_distance(e.embedding, c.centroid) AS d
         FROM embeddings e
-        CROSS JOIN read_parquet('/tmp/graft_km/cents_k$k.parquet/*.parquet') c"""
+        CROSS JOIN read_parquet('$scratchRoot/km_cents_k$k.parquet/*.parquet') c"""
       }.mkString("\n        UNION ALL\n        ")
       s"""
       WITH scored AS (
@@ -3793,10 +3969,10 @@ object SparkEntry {
     // Same persisted-model replay as vq_pca, plus the eigenvalue
     // whitening: score = ((p1²/ev1 + p2²/ev2) + p3²/ev3) + p4²/ev4
     // left-associated exactly like the Spark reduce chain.
-    "vq_mahal" -> """
+    "vq_mahal" -> raw"""
       WITH m AS (
         SELECT c, i, mu, w, ev
-        FROM read_parquet('/tmp/graft_mahal/model.parquet/*.parquet')),
+        FROM read_parquet('$scratchRoot/mahal_model.parquet/*.parquet')),
       mu AS (SELECT list(mu ORDER BY i) AS ml FROM m WHERE c = 1),
       w1 AS (SELECT list(w ORDER BY i) AS wl, any_value(ev) AS ev FROM m WHERE c = 1),
       w2 AS (SELECT list(w ORDER BY i) AS wl, any_value(ev) AS ev FROM m WHERE c = 2),
@@ -3823,10 +3999,10 @@ object SparkEntry {
         FROM p)
       SELECT vec_id, maha_sq, maha_sq > 13.2767 AS is_outlier
       FROM sc ORDER BY vec_id""",
-    "vq_pca" -> """
+    "vq_pca" -> raw"""
       WITH m AS (
         SELECT c, i, mu, w
-        FROM read_parquet('/tmp/graft_pca/model.parquet/*.parquet')),
+        FROM read_parquet('$scratchRoot/pca_model.parquet/*.parquet')),
       mu AS (SELECT list(mu ORDER BY i) AS ml FROM m WHERE c = 1),
       w1 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 1),
       w2 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 2),
@@ -3883,10 +4059,10 @@ object SparkEntry {
     // reads the PERSISTED ranked runs the Spark gate dumped, then
     // recomputes exact L2/cosine truths and every metric formula
     // independently — verifying the whole measurement half of the sweep
-    "ir_ann_sweep" -> """
+    "ir_ann_sweep" -> raw"""
       WITH run AS (
         SELECT config, qid, id, rank
-        FROM read_parquet('/tmp/graft_ann_sweep/run.parquet/*.parquet')),
+        FROM read_parquet('$annSweepDir/run.parquet/*.parquet')),
       q AS (SELECT vec_id AS qid, embedding AS qvec
             FROM embeddings WHERE vec_id % 50 = 7),
       l2r AS (
@@ -3906,7 +4082,8 @@ object SparkEntry {
         SELECT 'cos' AS fam, qid, id FROM cosr WHERE rr <= 10),
       fr AS (
         SELECT config,
-               CASE WHEN config = 'lsh_b6' THEN 'cos' ELSE 'l2' END AS fam,
+               CASE WHEN config IN ('lsh_b6', 'hamming_b64') THEN 'cos'
+                    ELSE 'l2' END AS fam,
                qid, id, rank
         FROM run WHERE rank <= 10),
       j AS (
@@ -4068,6 +4245,35 @@ object SparkEntry {
              CAST(3 AS BIGINT) AS height,
              CAST(doc_id * 7 % 251 AS BIGINT) AS mean_r_255
       FROM documents ORDER BY media_id""",
+    // Full bit-replay of the dHash pipeline from the closed-form
+    // pixels: 2×2 integer block means over the gradient, the 64
+    // left-vs-right comparisons, packed into the same four 16-bit
+    // blocks the Spark side emits.
+    "mm_phash" -> """
+      WITH cells AS (
+        SELECT d.doc_id, cx.range AS cx, cy.range AS cy,
+               ((d.doc_id * 7 + (2 * cx.range) * 31 + (2 * cy.range) * 57) % 251
+              + (d.doc_id * 7 + (2 * cx.range + 1) * 31 + (2 * cy.range) * 57) % 251
+              + (d.doc_id * 7 + (2 * cx.range) * 31 + (2 * cy.range + 1) * 57) % 251
+              + (d.doc_id * 7 + (2 * cx.range + 1) * 31 + (2 * cy.range + 1) * 57) % 251)
+               // 4 AS g
+        FROM documents d, range(9) cx, range(8) cy),
+      bits AS (
+        SELECT a.doc_id, (a.cy * 8 + a.cx) AS idx,
+               CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8),
+      blocks AS (
+        SELECT doc_id, idx // 16 AS blk,
+               CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS v
+        FROM bits GROUP BY doc_id, idx // 16)
+      SELECT doc_id AS media_id,
+             max(CASE WHEN blk = 0 THEN v END) AS b0,
+             max(CASE WHEN blk = 1 THEN v END) AS b1,
+             max(CASE WHEN blk = 2 THEN v END) AS b2,
+             max(CASE WHEN blk = 3 THEN v END) AS b3
+      FROM blocks GROUP BY doc_id ORDER BY media_id""",
     "mm_audio" -> """
       SELECT doc_id AS media_id,
              CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
@@ -4769,10 +4975,10 @@ object SparkEntry {
     },
     // Feature ids: first 3 md5 nibbles (0..4095); sorted distinct so the
     // weight-lookup sum runs in the same order as Spark's aggregate HOF.
-    "tx_quality_model" -> """
+    "tx_quality_model" -> raw"""
       WITH wp AS (
         SELECT f, w
-        FROM read_parquet('/tmp/graft_qm/weights.parquet/*.parquet')),
+        FROM read_parquet('$scratchRoot/qm_weights.parquet/*.parquet')),
       wl AS (SELECT list(w ORDER BY f) AS ws FROM wp WHERE f >= 0),
       b AS (SELECT w AS bias FROM wp WHERE f = -1),
       d AS (

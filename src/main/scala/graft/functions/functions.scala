@@ -55,6 +55,13 @@ object functions {
   def hyperplane_bucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
     c(HyperplaneBucket(e(vec), dim, nBits, seed))
 
+  /** Perceptual image hashes over `binary` payloads (real ImageIO
+    * decode; deterministic content-hash fallback — see
+    * [[graft.expressions.ImageDHash64]]).
+    */
+  def image_dhash64(payload: Column): Column = c(ImageDHash64(e(payload)))
+  def image_phash64(payload: Column): Column = c(ImagePHash64(e(payload)))
+
   /** Reference-format blob codec: LE float32 bytes ↔ `array<float>`. */
   def float_blob_decode(b: Column): Column = c(FloatBlobDecode(e(b)))
   def float_blob_encode(v: Column): Column = c(FloatBlobEncode(e(v)))
@@ -113,6 +120,8 @@ object functions {
       foldableLong(args(3), "hyperplane_bucket", "seed"))),
     "float_blob_decode" -> (args => FloatBlobDecode(args(0))),
     "float_blob_encode" -> (args => FloatBlobEncode(args(0))),
+    "image_dhash64" -> (args => ImageDHash64(args(0))),
+    "image_phash64" -> (args => ImagePHash64(args(0))),
   )
 
   /** Register all graft functions in a session's function registry so they

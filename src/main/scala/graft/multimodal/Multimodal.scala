@@ -286,6 +286,131 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Block-averaged integer-luma grid (`gh` rows × `gw` cols,
+      * row-major): the shared downscale for perceptual hashes. Cell
+      * (gx, gy) covers pixel x ∈ [gx·w/gw, (gx+1)·w/gw) (min 1 px) and
+      * the analogous y range; its value is the INTEGER mean of the
+      * BT.601 integer luma `(299r + 587g + 114b) / 1000` over the cell
+      * — all-integer arithmetic, so an external engine can replay the
+      * hash bit-for-bit from known pixels (the mm_phash gate does).
+      */
+    private[multimodal] def grayGrid(payload: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] =
+      try {
+        imageIoConfigured
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Int](gw * gh)
+          var gy = 0
+          while (gy < gh) {
+            val y0 = gy * h / gh
+            val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+            var gx = 0
+            while (gx < gw) {
+              val x0 = gx * w / gw
+              val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+              var s = 0L; var n = 0L
+              var y = y0
+              while (y < math.min(y1, h)) {
+                var x = x0
+                while (x < math.min(x1, w)) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                  s += (r * 299 + g * 587 + b * 114) / 1000
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              out(gy * gw + gx) = if (n == 0) 0 else (s / n).toInt
+              gx += 1
+            }
+            gy += 1
+          }
+          Some(out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** FNV-1a 64 over raw payload bytes — the deterministic fallback
+      * hash for payloads the image decoder rejects (same philosophy as
+      * [[imageFeature]]'s pseudo-feature: a foreign payload degrades to
+      * a stable value instead of failing the batch; its hash is
+      * content-derived, so exact byte-duplicates still collide).
+      */
+    private[multimodal] def fnv1a64(payload: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < payload.length) {
+        h ^= payload(i) & 0xffL
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+
+    /** 64-bit difference hash (dHash, Krawetz 2013): 9×8 block-averaged
+      * luma grid; bit `gy·8 + gx` is set iff cell (gx+1, gy) is
+      * strictly brighter than cell (gx, gy). TOTAL: undecodable
+      * payloads get the [[fnv1a64]] content hash. All-integer, so the
+      * mm_phash gate replays every bit in DuckDB from synthesized
+      * pixels.
+      */
+    def dHash64(payload: Array[Byte]): Long =
+      grayGrid(payload, 9, 8) match {
+        case Some(g) =>
+          var bits = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (g(gy * 9 + gx + 1) > g(gy * 9 + gx)) bits |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          bits
+        case None => fnv1a64(payload)
+      }
+
+    /** 64-bit perceptual hash (pHash): 32×32 luma grid → 2D DCT-II →
+      * the 8×8 lowest-frequency block; bit `v·8 + u` is set iff the
+      * coefficient exceeds the median of the block's 63 non-DC
+      * coefficients (DC itself compares against the same median —
+      * effectively always set — keeping a stable 64-bit layout).
+      * Robust to resizing/blur/small edits where [[dHash64]] is the
+      * cheaper gradient test; float DCT, so cross-engine parity is
+      * spec-level (tolerance on Hamming), not a bit-replay gate.
+      */
+    def pHash64(payload: Array[Byte]): Long =
+      grayGrid(payload, 32, 32) match {
+        case Some(g) =>
+          val n = 32
+          val cosTab = Array.tabulate(8, n)((u, x) =>
+            math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+          val block = Array.tabulate(8, 8) { (v, u) =>
+            var s = 0.0
+            var y = 0
+            while (y < n) {
+              var x = 0
+              while (x < n) {
+                s += g(y * n + x) * cosTab(u)(x) * cosTab(v)(y)
+                x += 1
+              }
+              y += 1
+            }
+            s
+          }
+          val nonDc = (for (v <- 0 until 8; u <- 0 until 8 if u != 0 || v != 0)
+            yield block(v)(u)).sorted
+          val median = nonDc(nonDc.length / 2)
+          var bits = 0L
+          for (v <- 0 until 8; u <- 0 until 8)
+            if (block(v)(u) > median) bits |= 1L << (v * 8 + u)
+          bits
+        case None => fnv1a64(payload)
+      }
+
     /** Minimal 24-bpp uncompressed BMP encoder (`rgb` is row-major,
       * top-down, 3 bytes per pixel). Exists so pipelines and tests can
       * synthesize REAL image payloads and prove the decode round-trip.

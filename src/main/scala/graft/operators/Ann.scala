@@ -110,9 +110,9 @@ object Ann {
     */
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 5): DataFrame =
+      nCentroids: Int, iters: Int = 5, seedRounds: Int = 2): DataFrame =
     centsToDF(df, kmeansCore(df, idCol, vecCol, nCentroids, iters,
-      l2Score, identity))
+      l2Score, identity, seedRounds = seedRounds))
 
   private[operators] def l2Score(v: Column, c: Array[Float]): Column =
     l2_distance(v, lit(c))
@@ -470,20 +470,25 @@ object Ann {
     * identical to [[ivfSearchL2]] over the full index (asserted in
     * AnnSpec); only the scanned volume changes.
     */
+  /** @param rowFilter applied to the pruned index scan BEFORE scoring —
+    *   the hook a caller with row-liveness state (e.g. the store's
+    *   tombstone mask) uses so dead rows can never occupy a top-k slot.
+    */
   def ivfSearchL2Pruned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probed = probeCells(queries, qidCol, qvecCol, centroids,
       (q, c) => l2_distance(q, c), nProbe)
     // ≤ queries × nProbe cell ids — planner state, like the centroids
     val cells = probed.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val indexed = spark.read.parquet(s"$path/index")
+    val indexed = rowFilter(spark.read.parquet(s"$path/index")
       .filter(col("centroid_id").isin(cells.toIndexedSeq: _*)) // → PartitionFilters
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .withColumn("centroid_id", col("centroid_id").cast("long")))
     val scored = indexed
       .join(broadcast(probed.withColumn("centroid_id", col("centroid_id").cast("long"))),
         Seq("centroid_id"))

@@ -293,6 +293,49 @@ object Dedup {
     } finally withTok.unpersist()
   }
 
+  /** Near-dup pairs over ANY 64-bit sketch column (SimHash, image
+    * dHash/pHash, sign sketches): quarter-block LSH — two hashes within
+    * Hamming distance `maxHamming ≤ 3` agree on at least one of their
+    * four 16-bit blocks (pigeonhole), so candidates come from an
+    * equi-join on (block index, block value) and only candidates pay
+    * the exact XOR-popcount verify. Emits `(a_id, b_id, hamming)` with
+    * `a_id < b_id`.
+    *
+    * This is the image-dedup pairing path: hash payloads with
+    * [[graft.functions.image_dhash64]] (or `image_phash64`) in the scan
+    * projection, pair here, then feed [[connectedComponents]] exactly
+    * like the text LSH pipeline — no all-pairs stage anywhere.
+    */
+  def hash64NearDupPairs(
+      df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "quarter-block LSH guarantees recall only for maxHamming <= 3")
+    val withBlocks = df.select(
+      col(idCol).as("id") +: col(hashCol).as("h") +:
+        (0 until 4).map(b =>
+          shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xffffL))
+            .cast("int").as(s"b$b")): _*)
+      .localCheckpoint(true)
+    try {
+      val blocked = withBlocks.select(
+        col("id"), col("h"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("block", "block_val")))
+      val a = blocked.select(col("block"), col("block_val"),
+        col("id").as("a_id"), col("h").as("ha"))
+      val b = blocked.select(col("block"), col("block_val"),
+        col("id").as("b_id"), col("h").as("hb"))
+      a.join(b, Seq("block", "block_val"))
+        .filter(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .localCheckpoint(true)
+    } finally GraftShim.unpersistLocalCheckpoint(withBlocks)
+  }
+
   /** [[simHashPairs]] with a PORTABLE hash family: each token's 64-bit
     * hash is the first 16 hex chars of `md5(token)`, a signature bit is
     * the strict majority vote over the doc's DISTINCT tokens, and the

@@ -34,6 +34,25 @@ object Graphs {
       tol: Option[Double] = None): DataFrame =
     pageRankCore(edges, srcCol, dstCol, iterations, damping, tol)._1
 
+  /** Edge-weighted PageRank: a link's vote is proportional to its
+    * weight within its source's total out-weight,
+    *
+    *   rank'(v) = (1-d)/N + d · (Σ_{u→v} rank(u)·w(u,v)/outw(u) + dangling/N)
+    *
+    * — the variant a links-graph curation pass actually runs (link
+    * multiplicity / co-occurrence counts as edge strength, Xing &
+    * Ghorbani 2004). Weights must be positive; `outw(u)` is the sum of
+    * u's edge weights, and dangling means NO out-edges (as unweighted).
+    * Same per-iteration shape and lineage discipline as [[pageRank]];
+    * integer-count weights keep the per-source sums float-exact, so the
+    * unrolled-recurrence oracle replays bit-for-bit.
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 5, damping: Double = 0.85,
+      tol: Option[Double] = None): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, damping, tol,
+      weightCol = Some(weightCol))._1
+
   /** [[pageRank]] plus the iteration count actually run — the
     * convergence contract made observable. With `tol = Some(eps)` the
     * loop exits once the L1 rank delta Σ|rank′−rank| drops below eps
@@ -45,19 +64,26 @@ object Graphs {
     */
   private[graft] def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, damping: Double = 0.85,
-      tol: Option[Double] = None): (DataFrame, Int) = {
+      tol: Option[Double] = None,
+      weightCol: Option[String] = None): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     tol.foreach(t => require(t > 0.0, s"tol must be > 0, got $t"))
     val e = edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      col(srcCol).cast("long").as("src") +: col(dstCol).cast("long").as("dst") +:
+        weightCol.map(w => col(w).cast("double").as("_w")).toSeq: _*)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
-    // (src, dst, odeg) materialized once, reused by every iteration
+    // unweighted: out-degree count. weighted: total out-weight (the
+    // vote denominator). Both bounded per-source state.
+    val outDeg = weightCol match {
+      case None => e.groupBy("src").agg(count(lit(1)).as("odeg"))
+      case Some(_) => e.groupBy("src").agg(sum(col("_w")).as("odeg"))
+    }
+    // (src, dst[, _w], odeg) materialized once, reused by every iteration
     val ej = e.join(outDeg, "src").localCheckpoint(true)
     val danglingNodes = nodes
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
@@ -66,10 +92,14 @@ object Graphs {
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
+      val vote = weightCol match {
+        case None => col("rank") / col("odeg").cast("double")
+        case Some(_) => col("rank") * (col("_w") / col("odeg"))
+      }
       val contribs = ej
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy("dst")
-        .agg(sum(col("rank") / col("odeg").cast("double")).as("_c"))
+        .agg(sum(vote).as("_c"))
         .withColumnRenamed("dst", "node")
       val dangling = danglingNodes
         .join(ranks, "node")

@@ -289,13 +289,25 @@ object Pq {
   def ivfPqBuildResidual(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCells: Int, m: Int, k: Int, iters: Int = 5): (DataFrame, DataFrame, PqCodebook) = {
     val (indexed, cents) = Ann.ivfBuild(df, idCol, vecCol, nCells, iters)
+    val (enc, cb) = pqResidualFromIvf(indexed, cents, idCol, vecCol, dim, m, k, iters)
+    (enc, cents, cb)
+  }
+
+  /** Residual-PQ fit/encode over an ALREADY-BUILT IVF assignment —
+    * callers holding an `(indexed, centroids)` pair (e.g. a sweep that
+    * measures several index families over one coarse quantizer) skip
+    * the duplicate k-means build [[ivfPqBuildResidual]] would run.
+    */
+  def pqResidualFromIvf(indexed: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      m: Int, k: Int, iters: Int = 5): (DataFrame, PqCodebook) = {
     val centArr = collectCentroids(cents).map(_._2)
     val resCol = graft.functions.vec_sub(col(vecCol),
       element_at(typedLit(centArr), col("centroid_id").cast("int") + 1))
     val withRes = indexed.withColumn("_res", resCol)
     val cb = fit(withRes, idCol, "_res", dim, m, k, iters)
     (encode(withRes, "_res", "codes", cb)
-      .select(col(idCol), col("centroid_id"), col("codes")), cents, cb)
+      .select(col(idCol), col("centroid_id"), col("codes")), cb)
   }
 
   /** Residual IVF-PQ search. The ADC table is CELL-DEPENDENT here (the

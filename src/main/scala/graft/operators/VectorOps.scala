@@ -172,14 +172,28 @@ object VectorOps {
     * duplicates) or fewer than 2 neighbors drop out of the MLE - the
     * estimator is undefined there; dedup first for a cleaner read.
     *
-    * Scale: the 2-NN here is the brute-force [[SimilarityJoin.knnL2]]
-    * (index crossJoin broadcast queries) over the SAME frame - exact,
-    * right for the <=10^6-vector audit slices this targets. Past that,
-    * swap the truth source for [[Ann.ivfSearchL2]] probes: the MLE
-    * only reads (r1, r2) pairs, so any k-NN provider slots in.
+    * Scale: the default 2-NN is the brute-force
+    * [[SimilarityJoin.knnL2]] (index crossJoin broadcast queries) over
+    * the SAME frame - exact, right for small audit slices, but O(n·q)
+    * distance pairs. Two bounded paths for everything else:
+    *
+    *  - `sample`: keep only a deterministic hash-sample of QUERY
+    *    points (the index side stays whole, so each sampled point's
+    *    (r1, r2) is still exact). The Pareto MLE is an i.i.d. estimator
+    *    over per-point mu = r2/r1 ratios - a query subsample is an
+    *    unbiased estimate of the same d, with ~1/sqrt(q) noise. 10^4
+    *    sampled queries pin d to a few percent regardless of n.
+    *  - [[intrinsicDimensionFromNN]]: inject any (qid, r1, r2) frame -
+    *    e.g. from [[Ann.ivfSearchL2]] with k = 3 over an IVF layout -
+    *    and pay no crossJoin at all.
     */
-  def intrinsicDimension(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val qs = df.select(col(idCol).as("_qid"), col(vecCol).as("_qvec"))
+  def intrinsicDimension(df: DataFrame, idCol: String, vecCol: String,
+      sample: Option[Double] = None, sampleSalt: String = "twonn"): DataFrame = {
+    val qsAll = df.select(col(idCol).as("_qid"), col(vecCol).as("_qvec"))
+    val qs = sample match {
+      case Some(f) => Sampling.hashSample(qsAll, "_qid", f, sampleSalt)
+      case None => qsAll
+    }
     val nn = SimilarityJoin.knnL2(df, idCol, vecCol, qs, "_qid", "_qvec", k = 3)
       .filter(col(idCol) =!= col("_qid"))   // drop self-match
       .withColumn("_rn2",
@@ -190,10 +204,22 @@ object VectorOps {
     val wide = nn.groupBy("_qid").agg(
       min(when(col("_rn2") === 1, col("distance"))).as("_r1"),
       min(when(col("_rn2") === 2, col("distance"))).as("_r2"))
-      .filter(col("_r1") > 0.0 && col("_r2").isNotNull)
-    wide.agg(count(lit(1)).as("n"),
-      (count(lit(1)).cast("double") /
-        sum(log(col("_r2").cast("double") / col("_r1").cast("double"))))
-        .as("intrinsic_dim"))
+    intrinsicDimensionFromNN(wide, "_qid", "_r1", "_r2")
   }
+
+  /** The TwoNN MLE over an externally-supplied nearest-neighbor frame:
+    * one row per query point with its 1st/2nd-NN distances. This is
+    * the 100 TB path - feed it (r1, r2) from an ANN provider (e.g.
+    * [[Ann.ivfSearchL2]] at k = 3 over a partition-pruned IVF layout,
+    * self-matches dropped) and the audit never materializes a
+    * crossJoin. Points with r1 = 0 (exact duplicates) or a missing r2
+    * drop out, as in [[intrinsicDimension]].
+    */
+  def intrinsicDimensionFromNN(nn: DataFrame, qidCol: String,
+      r1Col: String, r2Col: String): DataFrame =
+    nn.filter(col(r1Col) > 0.0 && col(r2Col).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)).cast("double") /
+          sum(log(col(r2Col).cast("double") / col(r1Col).cast("double"))))
+          .as("intrinsic_dim"))
 }

@@ -118,7 +118,7 @@ final class TombstoneStorage(spark: SparkSession, root: String,
   private val verPath = new Path(root, "_version")
   private def fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val GenCol = "_graft_gen"
+  private val GenCol = TombstoneStorage.GenCol
 
   private def readVersion(): Long =
     if (!fs.exists(verPath)) 0L
@@ -208,6 +208,17 @@ final class TombstoneStorage(spark: SparkSession, root: String,
   /** Number of tombstoned ids (monitoring / compaction policy input). */
   def tombstoneCount(): Long = tombstones().map(_.count()).getOrElse(0L)
 
+  /** Live (masked) rows WITH the internal gen column — for derived
+    * structures (the store's ANN index) that must replay the same
+    * `data.gen < tomb.gen` delete ordering against their own rows.
+    */
+  private[store] def readLiveWithGen(): DataFrame = readRaw()
+
+  /** The current tombstone set as `(id, gen)`, if any — the mask a
+    * derived structure applies to its rows at query time.
+    */
+  private[store] def tombstoneFrame(): Option[DataFrame] = tombstones()
+
   /** The current write version — pass to [[readAt]] to pin a snapshot
     * while later writes land.
     */
@@ -234,4 +245,9 @@ final class TombstoneStorage(spark: SparkSession, root: String,
     }
     masked.drop(GenCol)
   }
+}
+
+object TombstoneStorage {
+  /** Internal write-version column (see class scaladoc). */
+  private[store] val GenCol = "_graft_gen"
 }

@@ -104,6 +104,7 @@ class VectorStore private (
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
       VectorStore.schema)
     storage.append(df)
+    annAppend(df)
     refreshIndex()
     ids
   }
@@ -206,6 +207,7 @@ class VectorStore private (
     try {
       val n = df.count()
       storage.append(df)
+      annAppend(df)
       refreshIndex()
       n
     } finally df.unpersist()
@@ -243,11 +245,13 @@ class VectorStore private (
       }
     val idsDf = ids.toDF("id")
     val replaced = table.join(broadcast(idsDf), Seq("id"), "left_semi").count()
-    if (replaced > 0) storage.delete(idsDf)
+    if (replaced > 0) { storage.delete(idsDf); annAfterDelete() }
     val rows = ids.lazyZip(vecs).lazyZip(effDocs).map((i, v, d) => Row(i, v.toSeq, d))
-    storage.append(spark.createDataFrame(
+    val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
-      VectorStore.schema))
+      VectorStore.schema)
+    storage.append(df)
+    annAppend(df)
     refreshIndex()
     (replaced, ids.size - replaced)
   }
@@ -265,6 +269,7 @@ class VectorStore private (
     if (present < distinctIds)
       logWarning(s"delete: ${distinctIds - present} of $distinctIds ids not present in store")
     storage.delete(idsDf)
+    annAfterDelete()
     refreshIndex()
     present
   }
@@ -275,7 +280,11 @@ class VectorStore private (
     */
   def compact(): Unit = {
     storage match {
-      case t: TombstoneStorage => t.compact()
+      case t: TombstoneStorage =>
+        t.compact()
+        // tombstones are gone — the search-time mask can no longer
+        // hide the compacted-away rows still present in the index
+        rebuildAnnRowsFromCentroids()
       case _ => ()
     }
     refreshIndex()
@@ -349,6 +358,155 @@ class VectorStore private (
     (0 until numQueries).map { qid =>
       byQuery.getOrElse(qid, Array.empty[Row]).sortBy(_.getInt(1)).toSeq.map(mk)
     }
+  }
+
+  // ------------------------- approximate search -------------------- //
+  //
+  // The reference's whole point is a STORE you search
+  // (vector_store.py:275-332); past ~10^7 rows the brute-force scan
+  // stops being a search engine. searchApprox is the same user journey
+  // against a persisted IVF layout (`<path>/ann`), partitioned by cell
+  // so probes prune at the source, and TOMBSTONE-CONSISTENT: index rows
+  // carry the same write-generation as their data rows, and the search
+  // applies the storage layer's `data.gen < tomb.gen` delete mask to
+  // candidates BEFORE the top-k window — a delete is visible in the
+  // next search with no index rebuild, and an upsert's replacement row
+  // (same id, newer gen) is never masked by the tombstone that killed
+  // its predecessor. Maintenance contract:
+  //   - insert/insertDF/upsert APPEND new rows to the index (assignment
+  //     to the existing centroids, O(batch) — appendToIvfIndex);
+  //   - delete is O(batch): a tombstone masks index rows at query time;
+  //   - compaction (auto or explicit) clears tombstones, so it REBUILDS
+  //     the index rows from the live table against the existing
+  //     centroids (one map-side assign + write, no k-means retrain);
+  //     the plain Parquet layout has no tombstones, so its deletes
+  //     rebuild the same way.
+
+  private def annPath: String = new Path(path, "ann").toString
+  private def annIndexPath = new Path(s"$annPath/index")
+  private def annFs =
+    annIndexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val GenCol = TombstoneStorage.GenCol
+
+  /** Live rows with their write-generation (lit 0 on the plain layout,
+    * which has no versions — its deletes rebuild the index instead).
+    */
+  private def liveWithGen: DataFrame = storage match {
+    case t: TombstoneStorage => t.readLiveWithGen()
+    case _ => table.withColumn(GenCol, lit(0L))
+  }
+
+  def hasAnnIndex: Boolean = annFs.exists(annIndexPath)
+
+  /** Fit an IVF layout over the current live rows and persist it under
+    * `<path>/ann` (k-means|| seeding, rows partitioned by cell). Call
+    * once the store outgrows brute force; subsequent writes maintain
+    * the index incrementally (see the contract above). Rebuilding (new
+    * centroids) is this same call — e.g. when [[graft.operators.Ann.inertia]]
+    * drift says recall has decayed.
+    */
+  def buildAnnIndex(nCentroids: Int, iters: Int = 5): Unit = {
+    val proj = liveWithGen.select($"id", $"vec", col(GenCol))
+    val (indexed, cents) = graft.operators.Ann.ivfBuild(proj, "id", "vec",
+      nCentroids, iters)
+    graft.operators.Ann.writeIvfIndex(indexed, cents, annPath)
+  }
+
+  def dropAnnIndex(): Unit = {
+    val p = new Path(annPath)
+    if (annFs.exists(p)) annFs.delete(p, true)
+  }
+
+  /** Re-assign the live table against the EXISTING centroids and swap
+    * the index rows — the post-compaction (or plain-layout delete)
+    * refresh: O(live) map-side work, no k-means retrain.
+    */
+  private def rebuildAnnRowsFromCentroids(): Unit = if (hasAnnIndex) {
+    val cents = spark.read.parquet(s"$annPath/centroids")
+    val proj = liveWithGen.select($"id", $"vec", col(GenCol))
+    val staged = s"$annPath/_index-staging"
+    graft.operators.Ann.assign(proj, "id", "vec", cents)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
+    if (!annFs.delete(annIndexPath, true) && annFs.exists(annIndexPath))
+      throw new java.io.IOException(s"could not clear $annIndexPath")
+    if (!annFs.rename(new Path(staged), annIndexPath))
+      throw new java.io.IOException(s"could not activate rebuilt index at $annIndexPath")
+  }
+
+  /** Append freshly-written rows (id, vec) to the index at their
+    * current write-generation — the O(batch) insert maintenance step.
+    */
+  private def annAppend(rows: DataFrame): Unit = if (hasAnnIndex) {
+    val gen = storage match {
+      case t: TombstoneStorage => t.currentVersion()
+      case _ => 0L
+    }
+    graft.operators.Ann.appendToIvfIndex(spark, annPath,
+      rows.select($"id", $"vec").withColumn(GenCol, lit(gen)), "id", "vec")
+  }
+
+  /** Post-delete index maintenance: on the tombstone layout the query-
+    * time mask covers the delete UNLESS this delete triggered a
+    * compaction (tombstones folded ⇒ nothing left to mask with); the
+    * plain layout rewrote the data and has no mask, so always rebuild.
+    */
+  private def annAfterDelete(): Unit = if (hasAnnIndex) {
+    storage match {
+      case t: TombstoneStorage =>
+        if (t.tombstoneCount() == 0L) rebuildAnnRowsFromCentroids()
+      case _ => rebuildAnnRowsFromCentroids()
+    }
+  }
+
+  private def annTombstoneMask: DataFrame => DataFrame = storage match {
+    case t: TombstoneStorage => t.tombstoneFrame() match {
+      case Some(tomb) => df =>
+        df.join(broadcast(tomb),
+          df("id") === tomb("id") && df(GenCol) < tomb("gen"), "left_anti")
+      case None => identity
+    }
+    case _ => identity
+  }
+
+  /** Approximate k-NN against the persisted IVF layout: probe the
+    * `nProbe` nearest cells per query (partition-pruned scan), mask
+    * tombstoned rows, top-k by float32 L2 with the [[search]]
+    * tie-break. `nProbe` = the built cell count degenerates to exact
+    * search over live rows (gated: `vs_ann_search`). Same `k > n` and
+    * dimension contracts as [[search]].
+    */
+  def searchApprox(queries: Seq[Array[Float]], k: Int, nProbe: Int): Seq[Seq[SearchRecord]] = {
+    val n = count()
+    if (k > n)
+      throw new IllegalArgumentException(
+        s"k ($k) is larger than the number of stored vectors ($n)")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"query $i has dimension ${q.length}, store dimension is $dim")
+    }
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    val hits = searchApproxDF(qdf, k, nProbe)
+      .join(table.select($"id", $"vec", $"doc"), Seq("id"))
+      .select($"qid".cast("int"), $"rn".cast("int"), $"id", $"vec", $"doc",
+        $"distance")
+      .collect()
+    assemble(hits, queries.size)(r =>
+      SearchRecord(r.getLong(2), r.getSeq[Float](3).toArray, r.getString(4), r.getFloat(5)))
+  }
+
+  /** DataFrame-in/DataFrame-out approximate search (`qid`, `qvec` →
+    * `qid`, `id`, `distance`, `rn`) — the pipeline-facing variant, like
+    * [[searchDF]] for [[search]]. Requires [[buildAnnIndex]].
+    */
+  def searchApproxDF(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    if (!hasAnnIndex)
+      throw new IllegalStateException(
+        s"no ANN index at $annPath — call buildAnnIndex() first")
+    graft.operators.Ann.ivfSearchL2Pruned(spark, annPath, "id", "vec",
+      queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
+      rowFilter = annTombstoneMask)
   }
 
   /** Distributed batch k-NN: queries as a DataFrame (`qid`, `qvec`),

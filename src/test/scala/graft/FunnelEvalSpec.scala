@@ -120,4 +120,28 @@ class FunnelEvalSpec extends SparkSuite {
       .select("n").as[Long].head()
     assert(n2 == 2L, s"duplicates must drop, got n=$n2")
   }
+
+  test("intrinsicDimension: injected-NN and full-sample paths match exact") {
+    val pts = Seq((0L, 0f), (1L, 1f), (2L, 3f), (3L, 7f))
+      .map { case (id, x) => (id, Array(x, 0f)) }.toDF("id", "vec")
+    val (nE, dE) = VectorOps.intrinsicDimension(pts, "id", "vec")
+      .as[(Long, Double)].head()
+    // hand-fed (qid, r1, r2) — the ANN-provider contract
+    val wide = Seq((0L, 1.0, 3.0), (1L, 1.0, 2.0), (2L, 2.0, 3.0),
+      (3L, 4.0, 6.0)).toDF("qid", "r1", "r2")
+    val (nI, dI) = VectorOps.intrinsicDimensionFromNN(wide, "qid", "r1", "r2")
+      .as[(Long, Double)].head()
+    assert(nI == nE && math.abs(dI - dE) < 1e-12, s"($nI,$dI) vs ($nE,$dE)")
+    // sample = 1.0 keeps every query: identical to the exact estimator
+    val (nS, dS) = VectorOps.intrinsicDimension(pts, "id", "vec",
+      sample = Some(1.0)).as[(Long, Double)].head()
+    assert(nS == nE && math.abs(dS - dE) < 1e-12)
+    // a 50% deterministic hash-sample still estimates from >=1 point
+    // and is reproducible run-to-run
+    val s1 = VectorOps.intrinsicDimension(pts, "id", "vec",
+      sample = Some(0.5)).as[(Long, Double)].head()
+    val s2 = VectorOps.intrinsicDimension(pts, "id", "vec",
+      sample = Some(0.5)).as[(Long, Double)].head()
+    assert(s1 == s2, "hash-sampled estimate must be deterministic")
+  }
 }

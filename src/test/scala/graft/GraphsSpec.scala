@@ -52,6 +52,39 @@ class GraphsSpec extends SparkSuite {
     assert(s(0L) > s(1L) && s(1L) > s(2L) && s(2L) == s(3L))
   }
 
+  test("weightedPageRank: scalar recurrence; uniform weights ≈ unweighted") {
+    // A(1) votes 3:1 for B(2) over C(3); B -> C, C dangles
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 5L))
+    val got = Graphs.weightedPageRank(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    // scalar reference with weighted votes
+    val nodes = Seq(1L, 2L, 3L); val n = 3; val d = 0.85
+    val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (s, _, w) => r(s) * (w / ow(s)) }.sum }
+      val dm = nodes.filterNot(ow.contains).map(r).sum
+      r = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    got.foreach { case (v, rank) => assert(math.abs(rank - r(v)) < 1e-12, s"node $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the 3:1 vote: B outranks C's direct share from A alone
+    assert(got(2L) > got(1L))
+    // uniform weights reduce to the unweighted recurrence (ULP-level
+    // difference only: a/b vs a*(1/b))
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val uni = Graphs.weightedPageRank(
+        e2.map { case (s, t) => (s, t, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    val plain = Graphs.pageRank(e2.toDF("src", "dst"), "src", "dst",
+        iterations = 4).as[(Long, Double)].collect().toMap
+    uni.foreach { case (v, rank) => assert(math.abs(rank - plain(v)) < 1e-12) }
+  }
+
   test("personalized pageRank: scalar recurrence, unreachable decay, seed intersect") {
     // seeds {1}; node 4 has no path FROM the seed side: 4 -> 1 only
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L))

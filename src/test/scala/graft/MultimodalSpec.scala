@@ -18,6 +18,71 @@ class MultimodalSpec extends SparkSuite {
     assert(media.count() == 50)
   }
 
+  test("perceptual hashes: invariance, sensitivity, resize robustness, fallback") {
+    val C = Multimodal.Codecs
+    def gradient(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      C.encodeBmp(w, h, Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; (f(p % w, p / w) & 0xff).toByte
+      })
+    // textured pattern with a rich spectrum: a flat gradient would park
+    // every AC coefficient at the pHash median and make the bits noise
+    def tex(x: Int, y: Int) = (x * x * 3 + y * y * 7 + x * y * 5) % 256
+    val base = gradient(36, 32, tex)
+    val same = gradient(36, 32, tex)
+    val nearDup = gradient(36, 32, (x, y) =>
+      if (x == 5 && y == 5) 250 else tex(x, y))
+    val different = gradient(36, 32, (x, y) => (251 - tex(x, y)) & 0xff)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(C.dHash64(base) == C.dHash64(same))
+    assert(C.pHash64(base) == C.pHash64(same))
+    // a one-pixel edit moves a couple of cell means: a few bits at most
+    assert(ham(C.dHash64(base), C.dHash64(nearDup)) <= 4)
+    assert(ham(C.pHash64(base), C.pHash64(nearDup)) <= 4)
+    assert(ham(C.dHash64(base), C.dHash64(different)) > 16)
+    assert(ham(C.pHash64(base), C.pHash64(different)) > 16)
+    // resize robustness: the same gradient at 2x resolution — block
+    // averaging sees (near-)identical cells
+    val big = gradient(72, 64, (x, y) => tex(x / 2, y / 2))
+    assert(ham(C.dHash64(base), C.dHash64(big)) <= 8)
+    assert(ham(C.pHash64(base), C.pHash64(big)) <= 8)
+    // undecodable payloads: deterministic content hash, no failure
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(C.dHash64(junk) == C.dHash64(junk.clone()))
+    assert(C.dHash64(junk) == C.pHash64(junk)) // both fall back to FNV-1a
+  }
+
+  test("image near-dup: dhash + quarter-block LSH pairs ≡ brute force; clusters form") {
+    import graft.operators.Dedup
+    val C = Multimodal.Codecs
+    // 3 groups of near-identical images (one-pixel variants) + noise
+    def img(group: Int, variant: Int): Array[Byte] =
+      C.encodeBmp(36, 32, Array.tabulate(36 * 32 * 3) { i =>
+        val p = i / 3; val x = p % 36; val y = p / 36
+        val v = (x * (7 + group * 5) + y * (3 + group * 2) + group * 40) % 251
+        ((if (x == variant && y == variant) v + 2 else v) & 0xff).toByte
+      })
+    val rows = for (g <- 0 until 3; v <- 0 until 3) yield (g * 10L + v, img(g, v))
+    val media = rows.toDF("media_id", "payload")
+    val hashed = media.select(col("media_id"),
+      graft.functions.image_dhash64(col("payload")).as("dh"))
+    val pairs = Dedup.hash64NearDupPairs(hashed, "media_id", "dh", maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute force over the collected hashes
+    val hs = hashed.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute, s"LSH pairs $pairs != brute $brute")
+    // the within-group pairs exist; connected components find 3 groups
+    assert((0 until 3).forall(g => pairs.contains((g * 10L, g * 10L + 1))))
+    val comps = Dedup.connectedComponents(
+        media.select(col("media_id")), "media_id",
+        pairs.toSeq.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().groupBy(_._2)
+    assert(comps.size == 3 && comps.values.forall(_.length == 3))
+  }
+
   test("extractFeatures: fixed-dim vectors, deterministic across partitionings") {
     val media = mediaFixture
     val f1 = Multimodal.extractFeatures(media, dim = 16)

@@ -291,6 +291,45 @@ class PlanSpec extends SparkSuite {
       s"top-k window must partition by grp:\n$s")
   }
 
+  test("intrinsicDimension: ANN-fed path has no cross join; sampled path prunes queries") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (indexed, cents) = graft.operators.Ann.ivfBuild(
+      emb, "vec_id", "embedding", nCentroids = 4, iters = 1)
+    val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nnRaw = graft.operators.Ann.ivfSearchL2(
+        indexed, "vec_id", "embedding", cents, qs, "qid", "qvec",
+        k = 3, nProbe = 2)
+      .filter(col("vec_id") =!= col("qid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("distance"), col("vec_id"))
+    val wide = nnRaw.withColumn("r", row_number().over(w)).filter(col("r") <= 2)
+      .groupBy("qid").agg(
+        min(when(col("r") === 1, col("distance"))).as("r1"),
+        min(when(col("r") === 2, col("distance"))).as("r2"))
+    val out = graft.operators.VectorOps
+      .intrinsicDimensionFromNN(wide, "qid", "r1", "r2")
+    val s = out.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"ANN-fed TwoNN must not cross-join:\n$s")
+    // the only nested-loop join allowed is the bounded query×centroids
+    // probe ranking (nCentroids rows broadcast); the index side must
+    // join on centroid_id via a hash join
+    assert(s.count(_ == '\n') > 0 &&
+      "BroadcastNestedLoopJoin".r.findAllIn(s).size <= 1,
+      s"only the probe ranking may nested-loop:\n$s")
+    assert(s.contains("BroadcastHashJoin [centroid_id"),
+      s"index side must equi-join on centroid_id:\n$s")
+    // sampled exact path: the query side is filtered BEFORE the join
+    // (the membership hash is a pure projection of the query frame)
+    val sampled = graft.operators.VectorOps.intrinsicDimension(
+      emb, "vec_id", "embedding", sample = Some(0.25))
+    val s2 = sampled.queryExecution.executedPlan.toString
+    assert(s2.contains("md5"), s"expected hash-sample filter in:\n$s2")
+    // both paths agree with the exact estimator on identical inputs:
+    // sample = None ≡ the pre-sample operator (vq_twonn gate covers it)
+  }
+
   test("spearman: rank windows bucket-partitioned, bases broadcast, no data window") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val s = graft.operators.Outliers

@@ -322,6 +322,64 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(s.selectIds(Seq(10L)).head.vec(0) == 0.75f)
   }
 
+  test("searchApprox: full probe ≡ exact search; delete/insert/upsert/compact consistent") {
+    val dir = Files.createTempDirectory("graft-ann").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    // 30 vectors in 3 well-separated groups so cells are meaningful
+    val vecs = (0 until 30).map { i =>
+      Array.tabulate(10)(j => (i / 10) * 10f + (if (j == i % 10) 1f else 0f) +
+        (i % 10) * 0.01f)
+    }
+    s.insert(vecs)
+    intercept[IllegalStateException](
+      s.searchApproxDF(spark.emptyDataFrame, k = 1, nProbe = 1))
+    s.buildAnnIndex(nCentroids = 3, iters = 3)
+    def exactIds(q: Array[Float], k: Int): Seq[Long] =
+      s.search(Seq(q), k).head.map(_.id)
+    def approxIds(q: Array[Float], k: Int, nProbe: Int): Seq[Long] =
+      s.searchApprox(Seq(q), k, nProbe).head.map(_.id)
+    // full probe degenerates to exact, rank for rank
+    assert(approxIds(vecs(17), 5, 3) == exactIds(vecs(17), 5))
+    // delete a row, query with ITS OWN vector: must not come back
+    assert(s.delete(Seq(17L)) == 1L)
+    assert(!approxIds(vecs(17), 5, 3).contains(17L))
+    assert(approxIds(vecs(17), 5, 3) == exactIds(vecs(17), 5))
+    // insert after build: appended to the index, immediately searchable
+    val fresh = Array.tabulate(10)(j => 20f + j * 0.1f)
+    val Seq(newId) = s.insert(Seq(fresh))
+    assert(approxIds(fresh, 1, 3) == Seq(newId))
+    // upsert id 4 with a replacement: the old vector's slot disappears,
+    // the replacement (same id, newer gen) survives its tombstone
+    val repl = Array.fill(10)(-5f)
+    s.upsert(Seq(4L), Seq(repl))
+    assert(approxIds(repl, 1, 3) == Seq(4L))
+    assert(!approxIds(vecs(4), 1, 3).contains(4L) ||
+      exactIds(vecs(4), 1).contains(4L) == approxIds(vecs(4), 1, 3).contains(4L))
+    assert(approxIds(vecs(8), 5, 3) == exactIds(vecs(8), 5))
+    // compact clears tombstones; the index is rebuilt from live rows
+    s.compact()
+    assert(!approxIds(vecs(17), 5, 3).contains(17L))
+    assert(approxIds(repl, 1, 3) == Seq(4L))
+    assert(approxIds(vecs(8), 5, 3) == exactIds(vecs(8), 5))
+    // reduced probe still returns valid live rows (recall, not identity)
+    val pruned = approxIds(vecs(8), 3, 1)
+    assert(pruned.nonEmpty && !pruned.contains(17L))
+  }
+
+  test("searchApprox: plain Parquet layout rebuilds index rows on delete") {
+    val dir = Files.createTempDirectory("graft-ann-plain").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10) // rewrite-on-delete
+    val vecs = (0 until 12).map(i =>
+      Array.tabulate(10)(j => if (j == i % 10) 1f + i else 0f))
+    s.insert(vecs)
+    s.buildAnnIndex(nCentroids = 2, iters = 2)
+    assert(s.searchApprox(Seq(vecs(7)), 3, 2).head.map(_.id) ==
+      s.search(Seq(vecs(7)), 3).head.map(_.id))
+    s.delete(Seq(7L))
+    val ids = s.searchApprox(Seq(vecs(7)), 3, 2).head.map(_.id)
+    assert(!ids.contains(7L) && ids == s.search(Seq(vecs(7)), 3).head.map(_.id))
+  }
+
   test("insertDF assigns contiguous ids after existing max") {
     import spark.implicits._
     val s = freshStore()
