@@ -419,6 +419,39 @@ object ScaleSmoke {
         .intrinsicDimensionFromNN(wide, "qid", "r1", "r2").head()
       println(f"SMOKE   twonn n=${row.getLong(0)} d=${row.getDouble(1)}%.3f")
     }
+    // ---- round-7: perceptual image hashing + LSH pairing at 100k ----
+    // 100k REAL 18×16 BMPs (synthesized in the scan, decoded by the
+    // real ImageIO path inside codegen) → dHash64 → quarter-block LSH
+    // near-dup pairs. 2k of the images are near-dup pairs by
+    // construction (one-pixel variants); the hash+pair pipeline is the
+    // image-dedup shape: one scan projection + one bounded equi-join.
+    // Per-base QUADRATIC-FORM coefficients (coprime moduli, tuples
+    // unique across 50k bases) so every base has a distinct gradient
+    // STRUCTURE — an additive-only variation would leave all 100k
+    // dHashes identical (dHash is gradient-based) and that first
+    // attempt measured the pathology directly: ~1.6×10⁸ pairs through
+    // one giant (block, value) bucket, 187 s. That run motivated the
+    // giantBucketThreshold backstop now in hash64NearDupPairs.
+    timed("image dhash+pairs 100k") {
+      val imgs = spark.range(100000).select(col("id").as("media_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = if (id < 2000) id / 2 else id // 1k near-dup pairs
+          val (ca, cb, cc) =
+            (3 + base % 97, 7 + (base * 7) % 89, 5 + (base * 13) % 83)
+          val rgb = Array.tabulate(18 * 16 * 3) { i =>
+            val p = i / 3; val x = p % 18; val y = p / 18
+            val v = (base * 37 + x * x * ca + y * y * cb + x * y * cc) % 251
+            ((if (id < 2000 && (id & 1) == 1 && x == 3 && y == 3) v + 2 else v)
+              & 0xff).toByte
+          }
+          (id, graft.multimodal.Multimodal.Codecs.encodeBmp(18, 16, rgb))
+        }).toDF("media_id", "payload")
+      val hashed = imgs.select(col("media_id"),
+        graft.functions.image_dhash64(col("payload")).as("dh"))
+      val pairs = graft.operators.Dedup.hash64NearDupPairs(
+        hashed, "media_id", "dh", maxHamming = 3)
+      println(s"SMOKE   image near-dup pairs: ${pairs.count()} (1000 planted)")
+    }
     timed("IVF append 20k to 80k index") {
       val e100k = spark.read.parquet(s"$base/embeddings")
       val baseIdx = e100k.filter(col("vec_id") % 5 =!= 0)

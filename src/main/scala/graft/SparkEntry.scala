@@ -208,7 +208,10 @@ object SparkEntry {
       if (fs.exists(p)) fs.delete(p, true)
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
-      val emb = T(s, dir, "embeddings")
+      // first 500 rows at ANY sf (all rows at sf0.01): the gate's cost
+      // is dominated by small storage-lifecycle jobs, which must not
+      // scale with the bench sf — the scale path has its own smoke
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
       store.insertDF(emb.orderBy("vec_id").coalesce(1)
         .select(col("embedding").as("vec")))
       store.buildAnnIndex(nCentroids = 8, iters = 2)
@@ -2684,6 +2687,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Audio fingerprint through the REAL RIFF/PCM parse: per doc, a
+    // 130-sample PCM-16 WAV whose amplitude pattern is closed-form in
+    // (doc_id, t) — 65 exact 2-sample frames, integer mean |amplitude|
+    // per frame, 64 louder-than comparisons, replayed bit-for-bit in
+    // DuckDB and emitted as the same four 16-bit blocks as mm_phash.
+    "mm_audiohash" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = Array.tabulate[Short](130)(t =>
+            (((id * 13 + t * 7) % 97 - 48) * 300).toShort)
+          (id, graft.multimodal.Multimodal.Codecs.encodeWavPcm16(8000, 1, samples))
+        }).toDF("media_id", "payload")
+      media.select(col("media_id"),
+          graft.functions.audio_hash64(col("payload")).as("ah"))
+        .select(col("media_id") +: (0 until 4).map(j =>
+          shiftrightunsigned(col("ah"), j * 16).bitwiseAND(lit(0xffffL))
+            .cast("long").as(s"b$j")): _*)
+        .orderBy("media_id")
+    }),
+
     // Same proof for the WAV/RIFF parser: per-doc PCM-16 WAV with a
     // doc_id-derived rate and constant amplitude; the decoded sample
     // rate, frame count, and RMS (rescaled to raw amplitude) must match
@@ -2787,7 +2811,7 @@ object SparkEntry {
                     THEN (SELECT embedding FROM embeddings WHERE vec_id = 7)
                     ELSE e.embedding END AS vec
         FROM embeddings e
-        WHERE e.vec_id NOT IN (0, 5, 10, 15, 20)),
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (0, 5, 10, 15, 20)),
       q AS (SELECT vec_id AS qid, embedding AS qvec
             FROM embeddings WHERE vec_id IN (2, 5, 7)),
       scored AS (
@@ -4264,6 +4288,30 @@ object SparkEntry {
         FROM cells a JOIN cells b
           ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
         WHERE a.cx < 8),
+      blocks AS (
+        SELECT doc_id, idx // 16 AS blk,
+               CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS v
+        FROM bits GROUP BY doc_id, idx // 16)
+      SELECT doc_id AS media_id,
+             max(CASE WHEN blk = 0 THEN v END) AS b0,
+             max(CASE WHEN blk = 1 THEN v END) AS b1,
+             max(CASE WHEN blk = 2 THEN v END) AS b2,
+             max(CASE WHEN blk = 3 THEN v END) AS b3
+      FROM blocks GROUP BY doc_id ORDER BY media_id""",
+    // Bit-replay of the 65-frame energy-delta fingerprint from the
+    // closed-form samples (2-sample frames, integer mean |amplitude|).
+    "mm_audiohash" -> """
+      WITH e AS (
+        SELECT d.doc_id, f.range AS f,
+               (abs(((d.doc_id * 13 + (2 * f.range) * 7) % 97 - 48) * 300)
+              + abs(((d.doc_id * 13 + (2 * f.range + 1) * 7) % 97 - 48) * 300))
+               // 2 AS en
+        FROM documents d, range(65) f),
+      bits AS (
+        SELECT a.doc_id, a.f AS idx,
+               CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        WHERE a.f < 64),
       blocks AS (
         SELECT doc_id, idx // 16 AS blk,
                CAST(sum(bit * (1 << (idx % 16))) AS BIGINT) AS v

@@ -26,6 +26,8 @@ object MediaKernels {
     graft.multimodal.Multimodal.Codecs.dHash64(b)
   def pHash64(b: Array[Byte]): Long =
     graft.multimodal.Multimodal.Codecs.pHash64(b)
+  def audioHash64(b: Array[Byte]): Long =
+    graft.multimodal.Multimodal.Codecs.audioHash64(b)
 }
 
 case class ImageDHash64(child: Expression)
@@ -38,6 +40,22 @@ case class ImageDHash64(child: Expression)
     defineCodeGen(ctx, ev, b =>
       s"graft.expressions.MediaKernels.dHash64($b)")
   override def prettyName: String = "image_dhash64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** See [[ImageDHash64]]; the audio counterpart (65-frame energy-delta
+  * fingerprint over the PCM stream — `Codecs.audioHash64`).
+  */
+case class AudioHash64(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(b: Any): Any =
+    graft.multimodal.Multimodal.Codecs.audioHash64(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"graft.expressions.MediaKernels.audioHash64($b)")
+  override def prettyName: String = "audio_hash64"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -61,6 +61,7 @@ object functions {
     */
   def image_dhash64(payload: Column): Column = c(ImageDHash64(e(payload)))
   def image_phash64(payload: Column): Column = c(ImagePHash64(e(payload)))
+  def audio_hash64(payload: Column): Column = c(AudioHash64(e(payload)))
 
   /** Reference-format blob codec: LE float32 bytes ↔ `array<float>`. */
   def float_blob_decode(b: Column): Column = c(FloatBlobDecode(e(b)))
@@ -122,6 +123,7 @@ object functions {
     "float_blob_encode" -> (args => FloatBlobEncode(args(0))),
     "image_dhash64" -> (args => ImageDHash64(args(0))),
     "image_phash64" -> (args => ImagePHash64(args(0))),
+    "audio_hash64" -> (args => AudioHash64(args(0))),
   )
 
   /** Register all graft functions in a session's function registry so they

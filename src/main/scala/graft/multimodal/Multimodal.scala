@@ -444,7 +444,12 @@ object Multimodal {
       * the chunk list for `fmt ` and `data`, then computes amplitude
       * statistics over normalized samples.
       */
-    def decodeWav(payload: Array[Byte]): Option[DecodedAudio] =
+    /** The shared RIFF/WAVE chunk walk: (channels, sampleRate,
+      * bitsPerSample, dataOffset, dataLength) for PCM 8/16-bit
+      * payloads, None for anything else — used by [[decodeWav]] and
+      * [[audioHash64]].
+      */
+    private def wavPcm(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
       try {
         if (payload.length < 44 ||
           payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
@@ -468,8 +473,15 @@ object Multimodal {
           }
           pos += 8 + size + (size & 1) // chunks are word-aligned
         }
-        for ((channels, rate, bits) <- fmt; (off, len) <- data) yield {
-          require(bits == 8 || bits == 16, s"PCM $bits-bit unsupported")
+        for ((channels, rate, bits) <- fmt; (off, len) <- data
+          if bits == 8 || bits == 16)
+          yield (channels, rate, bits, off, len)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def decodeWav(payload: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for ((channels, rate, bits, off, len) <- wavPcm(payload)) yield {
           val bytesPer = bits / 8
           val n = len / bytesPer
           var sumSq = 0.0
@@ -488,6 +500,50 @@ object Multimodal {
             hist.map(x => if (n == 0) 0f else x.toFloat / n))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** 64-bit audio fingerprint: the [[dHash64]] idea on the time
+      * axis. The PCM sample stream (channel-interleaved, treated flat
+      * — deterministic and mixdown-free) is cut into 65 equal frames;
+      * each frame's energy is the INTEGER mean |amplitude| in raw PCM
+      * units; bit `f` is set iff frame f+1 is louder than frame f.
+      * Robust to gain-preserving re-encodes and small edits (energy
+      * envelope shape), all-integer so the mm_audiohash gate replays
+      * every bit in DuckDB from synthesized samples. Non-WAV or
+      * shorter-than-65-sample payloads get the [[fnv1a64]] content
+      * hash (TOTAL, like the image hashes).
+      */
+    def audioHash64(payload: Array[Byte]): Long =
+      wavPcm(payload) match {
+        case Some((_, _, bits, off, len)) if len / (bits / 8) >= 65 =>
+          val buf = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = len / (bits / 8)
+          val e = new Array[Long](65)
+          var f = 0
+          while (f < 65) {
+            val i0 = f * n / 65
+            val i1 = math.max(i0 + 1, (f + 1) * n / 65)
+            var s = 0L
+            var i = i0
+            while (i < i1) {
+              val a =
+                if (bits == 16) math.abs(buf.getShort(off + i * 2).toInt)
+                else math.abs((payload(off + i) & 0xff) - 128)
+              s += a
+              i += 1
+            }
+            e(f) = s / (i1 - i0)
+            f += 1
+          }
+          var bitsOut = 0L
+          f = 0
+          while (f < 64) {
+            if (e(f + 1) > e(f)) bitsOut |= 1L << f
+            f += 1
+          }
+          bitsOut
+        case _ => fnv1a64(payload)
+      }
 
     /** Minimal PCM-16 mono/stereo WAV encoder (interleaved samples) —
       * the synthesis counterpart of [[decodeWav]].

@@ -306,10 +306,23 @@ object Dedup {
     * projection, pair here, then feed [[connectedComponents]] exactly
     * like the text LSH pipeline — no all-pairs stage anywhere.
     */
+  /** @param giantBucketThreshold same skew backstop as
+    *   [[minHashLshPairs]]: a (block, value) bucket of size m emits
+    *   O(m²) pairs through the self-join, and 16-bit sketch blocks
+    *   have LOW entropy on templated media (every smooth image's top
+    *   rows produce the same block) — the measured pathology was a
+    *   100k-image corpus with one shared gradient family grinding
+    *   ~1.6×10⁸ pairs. Oversized buckets emit hub-star candidates
+    *   (each member vs the bucket's min id, O(m)) — clusters still
+    *   merge in connected components; only hub-fails-but-member-
+    *   matches recall is traded, marginal at the similarity levels
+    *   that produce giant buckets.
+    */
   def hash64NearDupPairs(
       df: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, giantBucketThreshold: Int = 4096): DataFrame = {
     require(maxHamming <= 3, "quarter-block LSH guarantees recall only for maxHamming <= 3")
+    require(giantBucketThreshold >= 2, "giantBucketThreshold must be >= 2")
     val withBlocks = df.select(
       col(idCol).as("id") +: col(hashCol).as("h") +:
         (0 until 4).map(b =>
@@ -321,12 +334,26 @@ object Dedup {
         col("id"), col("h"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("block", "block_val")))
-      val a = blocked.select(col("block"), col("block_val"),
+      val giantKeys = blocked.groupBy("block", "block_val")
+        .agg(count(lit(1)).as("_bsz"), min(col("id")).as("_hub"),
+          min_by(col("h"), col("id")).as("_hubh"))
+        .filter(col("_bsz") > giantBucketThreshold)
+        .select(col("block"), col("block_val"), col("_hub"), col("_hubh"))
+      val small = blocked.join(
+        broadcast(giantKeys.select("block", "block_val")),
+        Seq("block", "block_val"), "left_anti")
+      val hubPairs = blocked.join(broadcast(giantKeys), Seq("block", "block_val"))
+        .filter(col("id") =!= col("_hub")) // hub = bucket min ⇒ a_id < b_id
+        .select(col("_hub").as("a_id"), col("id").as("b_id"),
+          col("_hubh").as("ha"), col("h").as("hb"))
+      val a = small.select(col("block"), col("block_val"),
         col("id").as("a_id"), col("h").as("ha"))
-      val b = blocked.select(col("block"), col("block_val"),
+      val b = small.select(col("block"), col("block_val"),
         col("id").as("b_id"), col("h").as("hb"))
       a.join(b, Seq("block", "block_val"))
         .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
+        .union(hubPairs)
         .dropDuplicates("a_id", "b_id")
         .withColumn("hamming",
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))

@@ -51,6 +51,29 @@ class MultimodalSpec extends SparkSuite {
     assert(C.dHash64(junk) == C.pHash64(junk)) // both fall back to FNV-1a
   }
 
+  test("audioHash64: invariance, edit sensitivity, gain robustness, fallback") {
+    val C = Multimodal.Codecs
+    def wav(f: Int => Int, n: Int = 1300): Array[Byte] =
+      C.encodeWavPcm16(8000, 1, Array.tabulate[Short](n)(t => (f(t) & 0xffff).toShort))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def tone(t: Int) = ((t * t * 3 + t * 17) % 9000) - 4500
+    val base = wav(tone)
+    assert(C.audioHash64(base) == C.audioHash64(wav(tone)))
+    // a short dropout perturbs a couple of frames, not the envelope
+    val edited = wav(t => if (t >= 100 && t < 110) 0 else tone(t))
+    assert(ham(C.audioHash64(base), C.audioHash64(edited)) <= 6)
+    // uniform gain change preserves EVERY louder-than comparison
+    val louder = wav(t => tone(t) * 3)
+    assert(C.audioHash64(base) == C.audioHash64(louder))
+    // a different envelope is far
+    val other = wav(t => ((t * 31) % 11000) - 5500)
+    assert(ham(C.audioHash64(base), C.audioHash64(other)) > 16)
+    // non-WAV payloads: deterministic content fallback (same as images)
+    val junk = Array.tabulate[Byte](80)(i => (i * 53).toByte)
+    assert(C.audioHash64(junk) == C.audioHash64(junk.clone()))
+    assert(C.audioHash64(junk) == C.dHash64(junk)) // shared FNV-1a fallback
+  }
+
   test("image near-dup: dhash + quarter-block LSH pairs ≡ brute force; clusters form") {
     import graft.operators.Dedup
     val C = Multimodal.Codecs
@@ -81,6 +104,27 @@ class MultimodalSpec extends SparkSuite {
         pairs.toSeq.toDF("a_id", "b_id"))
       .as[(Long, Long)].collect().groupBy(_._2)
     assert(comps.size == 3 && comps.values.forall(_.length == 3))
+  }
+
+  test("hash64NearDupPairs: giant buckets hub-star to O(m) yet still merge") {
+    import graft.operators.Dedup
+    // 20 identical sketches: every (block, value) bucket is size 20
+    val same = (0L until 20L).map(i => (i, 0x1234567890abcdefL))
+    val df = same.toDF("id", "h")
+    // threshold below the bucket size: hub-star only, m-1 pairs
+    val starred = Dedup.hash64NearDupPairs(df, "id", "h",
+      maxHamming = 3, giantBucketThreshold = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(starred.length == 19 && starred.forall(p => p._1 == 0L && p._3 == 0L))
+    // threshold above: the full self-join, m·(m-1)/2 pairs
+    val full = Dedup.hash64NearDupPairs(df, "id", "h",
+      maxHamming = 3, giantBucketThreshold = 100)
+    assert(full.count() == 190)
+    // either way connected components see ONE cluster
+    val comp = Dedup.connectedComponents(df.select(col("id")), "id",
+      starred.map(p => (p._1, p._2)).toSeq.toDF("a_id", "b_id"))
+      .select("comp").distinct().count()
+    assert(comp == 1)
   }
 
   test("extractFeatures: fixed-dim vectors, deterministic across partitionings") {
