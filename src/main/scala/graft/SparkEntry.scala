@@ -2132,10 +2132,11 @@ object SparkEntry {
         Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
       val qArr = qs.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      val (ipq, cpq, cb) = operators.Pq.ivfPqBuild(emb, "vec_id", "embedding",
-        dim = 64, nCells = 8, m = 4, k = 8, iters = 2)
-      // residual PQ shares the coarse quantizer already built above —
-      // no third k-means build for the sweep
+      // BOTH PQ arms share the coarse quantizer already built above —
+      // one k-means build serves every IVF-family arm in the sweep
+      val (ipq, cb) = operators.Pq.pqFromIvf(indexed,
+        "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
+      val cpq = cents
       val (ipqr, cbr) = operators.Pq.pqResidualFromIvf(indexed, cents,
         "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
       // (config, truth family, ranked run) — an 8-branch union is the

@@ -195,9 +195,21 @@ object Pq {
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCells: Int, m: Int, k: Int, iters: Int = 5): (DataFrame, DataFrame, PqCodebook) = {
     val (indexed, cents) = Ann.ivfBuild(df, idCol, vecCol, nCells, iters)
-    val cb = fit(df, idCol, vecCol, dim, m, k, iters)
-    (encode(indexed, vecCol, "codes", cb).select(col(idCol), col("centroid_id"), col("codes")),
-      cents, cb)
+    val (enc, cb) = pqFromIvf(indexed, idCol, vecCol, dim, m, k, iters)
+    (enc, cents, cb)
+  }
+
+  /** Non-residual PQ fit/encode over an ALREADY-BUILT IVF assignment —
+    * the [[pqResidualFromIvf]] counterpart for the raw-vector codebook:
+    * callers holding `(indexed, centroids)` (e.g. a sweep measuring
+    * several index families over one coarse quantizer) skip the
+    * duplicate k-means build.
+    */
+  def pqFromIvf(indexed: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 5): (DataFrame, PqCodebook) = {
+    val cb = fit(indexed, idCol, vecCol, dim, m, k, iters)
+    (encode(indexed, vecCol, "codes", cb)
+      .select(col(idCol), col("centroid_id"), col("codes")), cb)
   }
 
   /** IVF-PQ search: rank cells per query ON THE DRIVER (both the query

@@ -366,6 +366,29 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(pruned.nonEmpty && !pruned.contains(17L))
   }
 
+  test("searchApproxDF plan: partition-pruned scan, tombstone mask as anti-join") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ann-plan").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    val vecs = (0 until 30).map(i =>
+      Array.tabulate(10)(j => (i / 10) * 10f + (if (j == i % 10) 1f else 0f)))
+    s.insert(vecs)
+    s.buildAnnIndex(nCentroids = 3, iters = 2)
+    s.delete(Seq(7L)) // a pending tombstone forces the mask into the plan
+    val q = Seq((0, vecs(3))).toDF("qid", "qvec")
+    val plan = s.searchApproxDF(q, k = 2, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    // the index scan must prune at the source: a NON-EMPTY
+    // PartitionFilters on centroid_id (probed cells as a static IN)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pf.exists(l => l.contains("centroid_id") && !l.contains("PartitionFilters: []")),
+      s"expected centroid_id partition pruning in:\n$plan")
+    // the tombstone mask is a broadcast anti-join BEFORE the top-k
+    assert(plan.contains("LeftAnti"),
+      s"expected the tombstone anti-join in:\n$plan")
+  }
+
   test("searchApprox: plain Parquet layout rebuilds index rows on delete") {
     val dir = Files.createTempDirectory("graft-ann-plain").toString + "/store"
     val s = VectorStore.openOrCreate(spark, dir, 10) // rewrite-on-delete
