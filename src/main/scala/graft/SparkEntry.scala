@@ -2690,6 +2690,40 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // The WHOLE image-dedup pipeline as one cross-engine-verified
+    // chain: synthesize per-doc 18×16 BMPs where docs 2k and 2k+1
+    // share a quadratic-form gradient (per-base coefficients, coprime
+    // moduli — structure varies per base, the additive-only variant
+    // provably collapses every dHash) with the odd doc perturbed one
+    // pixel; decode+dHash in codegen, pair via quarter-block LSH +
+    // exact Hamming verify, cluster via large/small-star connected
+    // components. DuckDB recomputes pixels → cells → all 64 bits →
+    // brute-force Hamming pairs (≡ LSH pairs: pigeonhole recall at
+    // maxHamming ≤ 3 is total) → recursive-CTE components.
+    "mm_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = id / 2
+          val (ca, cb, cc) =
+            (3 + base % 97, 7 + (base * 7) % 89, 5 + (base * 13) % 83)
+          val rgb = Array.tabulate(18 * 16 * 3) { i =>
+            val p = i / 3; val x = p % 18; val y = p / 18
+            val v = (base * 37 + x * x * ca + y * y * cb + x * y * cc) % 251
+            ((if (id % 2 == 1 && x == 3 && y == 3) v + 2 else v) & 0xff).toByte
+          }
+          (id, graft.multimodal.Multimodal.Codecs.encodeBmp(18, 16, rgb))
+        }).toDF("media_id", "payload")
+      val hashed = media.select(col("media_id"),
+        graft.functions.image_dhash64(col("payload")).as("dh"))
+      val pairs = Dedup.hash64NearDupPairs(hashed, "media_id", "dh",
+        maxHamming = 3)
+      Dedup.connectedComponents(media.select(col("media_id")), "media_id", pairs)
+        .groupBy(col("comp").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_rep")
+    }),
+
     // Audio fingerprint through the REAL RIFF/PCM parse: per doc, a
     // 130-sample PCM-16 WAV whose amplitude pattern is closed-form in
     // (doc_id, t) — 65 exact 2-sample frames, integer mean |amplitude|
@@ -4301,6 +4335,58 @@ object SparkEntry {
              max(CASE WHEN blk = 2 THEN v END) AS b2,
              max(CASE WHEN blk = 3 THEN v END) AS b3
       FROM blocks GROUP BY doc_id ORDER BY media_id""",
+    // Pixels → 2×2 integer cell means (with the odd doc's one-pixel
+    // perturbation landing in cell (1,1)) → 64 comparison bits → four
+    // 16-bit blocks → brute-force Hamming ≤ 3 pairs → recursive-CTE
+    // connected components. Brute force ≡ the Spark LSH pairing by the
+    // pigeonhole recall bound, so the oracle needs no banding.
+    "mm_image_dedup" -> """
+      WITH RECURSIVE
+      dd AS (SELECT doc_id, doc_id // 2 AS b,
+                    3 + (doc_id // 2) % 97 AS ca,
+                    7 + ((doc_id // 2) * 7) % 89 AS cb,
+                    5 + ((doc_id // 2) * 13) % 83 AS cc
+             FROM documents),
+      cells AS (
+        SELECT d.doc_id, cx.range AS cx, cy.range AS cy,
+               CAST(sum((d.b * 37
+                  + (2 * cx.range + dx.range) * (2 * cx.range + dx.range) * d.ca
+                  + (2 * cy.range + dy.range) * (2 * cy.range + dy.range) * d.cb
+                  + (2 * cx.range + dx.range) * (2 * cy.range + dy.range) * d.cc)
+                  % 251
+                + CASE WHEN d.doc_id % 2 = 1
+                        AND 2 * cx.range + dx.range = 3
+                        AND 2 * cy.range + dy.range = 3
+                       THEN 2 ELSE 0 END) // 4 AS BIGINT) AS g
+        FROM dd d, range(9) cx, range(8) cy, range(2) dx, range(2) dy
+        GROUP BY d.doc_id, cx.range, cy.range),
+      bits AS (
+        SELECT a.doc_id, (a.cy * 8 + a.cx) AS idx,
+               CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8),
+      h AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN idx < 16 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+               CAST(sum(CASE WHEN idx >= 16 AND idx < 32 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN idx >= 32 AND idx < 48 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+               CAST(sum(CASE WHEN idx >= 48 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
+        FROM bits GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+      edges AS (SELECT src, dst FROM pairs
+                UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      lbl(id, l) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, lbl.l FROM edges e JOIN lbl ON lbl.id = e.src)
+      SELECT comp AS cluster_rep, CAST(count(*) AS BIGINT) AS n_members
+      FROM (SELECT id, min(l) AS comp FROM lbl GROUP BY id)
+      GROUP BY comp ORDER BY cluster_rep""",
     // Bit-replay of the 65-frame energy-delta fingerprint from the
     // closed-form samples (2-sample frames, integer mean |amplitude|).
     "mm_audiohash" -> """
