@@ -8,7 +8,11 @@ class CodegenStrictSpec extends SparkSuite {
 
   private val kernelQueries =
     Seq("vs_knn", "vs_knn_cosine", "vs_search_by_doc", "dd_minhash_lsh",
-      "dd_simhash", "tx_fingerprint", "dd_embed_neardup")
+      "dd_simhash", "tx_fingerprint", "dd_embed_neardup",
+      // media-hash kernels: these once compiled against a NESTED Scala
+      // object and fell back to interpreted with only a warning — the
+      // exact failure mode this suite exists to catch
+      "mm_phash", "mm_audiohash", "mm_image_dedup")
 
   test("kernel-heavy queries run under CODEGEN_ONLY with fallback disabled") {
     val conf = spark.conf
