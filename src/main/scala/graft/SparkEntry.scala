@@ -233,6 +233,35 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Time travel on the tombstone layout: populate, pin the version,
+    // then delete AND upsert — the snapshot view must replay the
+    // pinned state byte-for-byte (rows later deleted still present
+    // with their ORIGINAL vectors, the upsert's replacement invisible).
+    // DuckDB's oracle is simply the original source slice: if any
+    // later write leaks into the snapshot, the hash flips.
+    "vs_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_tt_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      val v1 = store.currentVersion().get
+      store.delete(Seq(1L, 2L, 3L))
+      val v9 = emb.filter(col("vec_id") === 9)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(5L), Seq(v9))
+      store.snapshotAt(v1)
+        .select(col("id"),
+          round(element_at(col("vec"), 1).cast("double"), 5).as("e0"),
+          round(element_at(col("vec"), 64).cast("double"), 5).as("e63"))
+        .orderBy("id")
+    }),
+
     // R10 fuzzy doc search (Indel distance; oracle replays the LCS DP
     // as a recursive CTE — golden-value parity also covered in ScalaTest)
     "vs_search_by_doc" -> ((s, dir) => {
@@ -2837,6 +2866,13 @@ object SparkEntry {
       SELECT event_id, user_id, event_type FROM events
       WHERE json_extract_string(props, '$.k') IN ('1', '2', '3')
       ORDER BY event_id""",
+    // The pinned-version view IS the original source slice: deletes
+    // and upserts that happened after the pin must not appear.
+    "vs_time_travel" -> """
+      SELECT vec_id AS id,
+             round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
+             round(CAST(embedding[64] AS DOUBLE), 5) AS e63
+      FROM embeddings WHERE vec_id < 500 ORDER BY id""",
     // Live-rows replay of the store ANN journey: brute-force top-k over
     // embeddings minus the deleted ids, with id 3 carrying id 7's
     // vector (the upsert) — the index never enters the oracle because

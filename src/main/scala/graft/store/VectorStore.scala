@@ -558,6 +558,28 @@ class VectorStore private (
     */
   def toDF: DataFrame = table
 
+  /** The current write-version on the tombstone layout (None on plain
+    * Parquet, which keeps no versions) — capture it before later
+    * writes to pin a [[snapshotAt]] view.
+    */
+  def currentVersion(): Option[Long] = storage match {
+    case t: TombstoneStorage => Some(t.currentVersion())
+    case _ => None
+  }
+
+  /** Time travel: the store as of write-version `version` — rows
+    * appended at or before it, minus deletes recorded at or before it
+    * (reproduce the corpus a run trained on; audit what a delete
+    * removed). Tombstone layout only; history is bounded by
+    * compaction. See [[TombstoneStorage.readAt]].
+    */
+  def snapshotAt(version: Long): DataFrame = storage match {
+    case t: TombstoneStorage => t.readAt(version)
+    case _ => throw new UnsupportedOperationException(
+      "snapshots need the tombstone layout " +
+        "(openOrCreate(..., tombstoneDeletes = true))")
+  }
+
   // `db_path=` matches the reference repr exactly (vector_store.py /
   // tests.py:488-491), even though the field here is `path`.
   override def toString: String = s"VectorStore(db_path=$path, dim=$dim)"

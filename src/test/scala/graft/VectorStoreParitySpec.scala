@@ -389,6 +389,30 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       s"expected the tombstone anti-join in:\n$plan")
   }
 
+  test("snapshotAt: pinned version ignores later deletes/upserts; plain layout refuses") {
+    val dir = Files.createTempDirectory("graft-tt").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    s.insert(eye(10), genDocs(0 until 10))
+    val v1 = s.currentVersion().get
+    s.delete(Seq(2L))
+    s.upsert(Seq(4L), Seq(Array.fill(10)(9f)))
+    // current view: id 2 gone, id 4 replaced
+    assert(s.selectIds(Seq(2L)).isEmpty)
+    assert(s.selectIds(Seq(4L)).head.vec(0) == 9f)
+    // pinned view: both as originally inserted
+    import spark.implicits._
+    val snap = s.snapshotAt(v1).orderBy("id")
+      .select("id", "vec").as[(Long, Array[Float])].collect()
+    assert(snap.length == 10)
+    assert(snap(2)._2.toSeq == eye(10)(2).toSeq)
+    assert(snap(4)._2.toSeq == eye(10)(4).toSeq)
+    // plain layout: no versions to travel to
+    val plain = freshStore()
+    plain.insert(eye(10).take(2))
+    assert(plain.currentVersion().isEmpty)
+    intercept[UnsupportedOperationException](plain.snapshotAt(0L))
+  }
+
   test("searchApprox: plain Parquet layout rebuilds index rows on delete") {
     val dir = Files.createTempDirectory("graft-ann-plain").toString + "/store"
     val s = VectorStore.openOrCreate(spark, dir, 10) // rewrite-on-delete
