@@ -223,7 +223,14 @@ object Ann {
       }
     }
     // weight pool members by the rows they win, then greedy ++ on the
-    // driver (pool is seeding state, size ~2·l·rounds — not data)
+    // driver (pool is seeding state, size ~2·l·rounds — not data).
+    // Unlike the per-round scoring above, this ONE job cannot cap its
+    // reference set (it needs a weight PER pool member), so the argmin
+    // embeds the full pool as literals: practical ceiling ≈ 1-2k
+    // centroids at dim 64 (pool ≈ 8·k members) before generated-code
+    // size risks interpreted fallback for this single build-time job —
+    // beyond that, seed with `rounds = 0` (bounded sample) or shard
+    // the build per coarse partition.
     val poolCents = pool.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     val weights = assignTo(data, "_v", poolCents, score)
       .groupBy("centroid_id").agg(count(lit(1)).as("_n"))
