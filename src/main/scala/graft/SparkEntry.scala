@@ -705,6 +705,28 @@ object SparkEntry {
           round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
     }),
 
+    // BLEU-2 between each doc and its same-source successor (lead over
+    // (source, doc_id) — a deterministic paraphrase-mining pairing).
+    // The hashed projection is the tx_distinctive lesson applied from
+    // day one: integer clipped/total n-gram counts and lengths, plus
+    // `geo` = sqrt(p1·p2) — division and sqrt are IEEE-correctly-
+    // rounded in every engine, so geo hashes exactly; the exp-based
+    // brevity penalty stays OUT of the gate (asserted in
+    // FunnelEvalSpec with tolerance).
+    "ir_bleu" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pairs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("ref", lead(col("text"), 1).over(w))
+        .filter(col("ref").isNotNull)
+      operators.Evaluation.bleuPairs(pairs, "doc_id", "text", "ref", maxN = 2)
+        .select(col("doc_id"), col("c_len"), col("r_len"),
+          col("clip_1"), col("tot_1"), col("clip_2"), col("tot_2"),
+          round(col("geo"), 6).as("geo"))
+        .orderBy("doc_id")
+    }),
+
     // Curation-funnel lineage: which gate loses how many documents,
     // with sequential-filter semantics from ONE first-fail projection
     // + a stage-bounded aggregate. DuckDB replays the first-fail CASE
@@ -1465,6 +1487,17 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // 12-core of the co-purchase graph: peel vertices with degree < 12
+    // until stable (4 rounds on this graph at both sf0.01 and sf0.1;
+    // Spark runs to the fixpoint, the oracle unrolls 6 peels — peeling
+    // is idempotent once stable, so any unroll ≥ the fixpoint matches).
+    // Every count is integer-exact.
+    "gr_kcore" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      operators.Graphs.kCore(e, "src", "dst", k = 12)
+        .orderBy("node")
+    }),
+
     // Convergence-exit contract, gate-level: a tol run must (a) stop
     // BEFORE the cap, (b) equal the fixed-iteration form at the count
     // it stopped at — bit-identical ranks, since tol only decides WHEN
@@ -1619,6 +1652,30 @@ object SparkEntry {
           alpha = 0.2)
         .select(col("user_id"), round(col("ema"), 4).as("ema"), col("n_obs"))
         .orderBy("user_id")),
+
+    // One-sided CUSUM drift alarm on the hourly event-count series per
+    // type, with a synthetic +6/hour level shift injected after Jan 20
+    // (the marker-token pattern: the detector must HAVE a change to
+    // find). x is an integer-valued count, the target a ratio of
+    // integer-valued sums, and the statistic two cumulative windows
+    // over an explicit hour order — pure ±/cumsum/min, no
+    // transcendentals, so the statistic itself hashes exactly.
+    "st_changepoint" -> ((s, dir) => {
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("x", col("n").cast("double") +
+          when(col("hour") >= lit("2024-01-20 00:00:00").cast("timestamp"),
+            6.0).otherwise(0.0))
+        .withColumn("target", avg(col("x")).over(wk))
+      operators.Resample.cusum(hourly, "event_type", "hour", "x",
+          col("target"), slack = 1.0, threshold = 25.0)
+        .select(col("event_type"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), round(col("cusum"), 6).as("cusum"), col("alarm"))
+        .orderBy("event_type", "hour")
+    }),
 
     // Winsorization: per-type [p1, p99] clipping — exact interpolated
     // percentiles agree bit-for-bit with DuckDB quantile_cont (probed
@@ -2539,6 +2596,22 @@ object SparkEntry {
       Ann.hammingTopK(e, "vec_id", "embedding", qs, "qid", "qvec",
           dim = 64, k = 10)
         .select(col("qid"), col("vec_id"), col("hamming"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Two-stage binary-quantization retrieval: Hamming sign-sketch
+    // shortlist (40 per query) → exact float L2 rescore of ONLY those
+    // candidates → top-10. Both stages are deterministic, so the
+    // oracle replays the whole pipeline: bit packing, XOR+popcount,
+    // the (hamming, id) shortlist cut, and the exact rescore rank.
+    "ann_rescore" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.hammingRescoreTopK(e, "vec_id", "embedding", qs, "qid", "qvec",
+          dim = 64, shortlist = 40, k = 10)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          round(col("distance").cast("double"), 4).as("dist"))
         .orderBy("qid", "rn")
     }),
 
@@ -3481,6 +3554,33 @@ object SparkEntry {
         FROM scored)
       SELECT qid, vec_id, CAST(hamming AS BIGINT) AS hamming, rn
       FROM ranked WHERE rn <= 10 ORDER BY qid, rn""",
+    // Full replay of the two-stage rescore: sketch packing + popcount
+    // shortlist (the ann_hamming CTE), then exact L2 re-rank of the
+    // 40-candidate shortlist only.
+    "ann_rescore" -> """
+      WITH ex AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i FROM embeddings),
+      sig AS (SELECT vec_id,
+        sum(CASE WHEN i <= 32 AND e > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)) ELSE 0 END) AS w0,
+        sum(CASE WHEN i > 32 AND e > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER)) ELSE 0 END) AS w1
+        FROM ex GROUP BY vec_id),
+      scored AS (SELECT q.vec_id AS qid, s.vec_id,
+          bit_count(xor(s.w0, q.w0)) + bit_count(xor(s.w1, q.w1)) AS hamming
+        FROM sig s CROSS JOIN (SELECT * FROM sig WHERE vec_id % 50 = 7) q),
+      short AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS srn
+          FROM scored) WHERE srn <= 40),
+      resc AS (SELECT sh.qid, sh.vec_id,
+          list_distance(e.embedding, qe.embedding) AS dist
+        FROM short sh
+        JOIN embeddings e ON e.vec_id = sh.vec_id
+        JOIN embeddings qe ON qe.vec_id = sh.qid),
+      ranked AS (SELECT qid, vec_id, dist,
+          row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+        FROM resc)
+      SELECT qid, vec_id, rn, round(CAST(dist AS DOUBLE), 4) AS dist
+      FROM ranked WHERE rn <= 10 ORDER BY qid, rn""",
     // Full DuckDB replay of the hyperplane-LSH pipeline: the 6x64 plane
     // matrix is regenerated here with the SAME seeded draw order as
     // Kernels.planes(dim=64, nBits=6, seed=42) and embedded as literals
@@ -3691,6 +3791,40 @@ object SparkEntry {
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
       SELECT node, round(rank, 10) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
+    // 6 unrolled peels (the graph stabilizes in 4 at sf0.01 and sf0.1;
+    // peeling is idempotent at the fixpoint, so unroll ≥ fixpoint ≡
+    // Spark's run-to-stable loop). All counts integer-exact.
+    "gr_kcore" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+             FROM li a JOIN li b USING (ok) WHERE a.p <> b.p),
+      d1 AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+      k1 AS (SELECT src FROM d1 WHERE d >= 12),
+      e1 AS (SELECT c.src, c.dst FROM e0 c
+             JOIN k1 a ON c.src = a.src JOIN k1 b ON c.dst = b.src),
+      d2 AS (SELECT src, count(*) AS d FROM e1 GROUP BY src),
+      k2 AS (SELECT src FROM d2 WHERE d >= 12),
+      e2 AS (SELECT c.src, c.dst FROM e1 c
+             JOIN k2 a ON c.src = a.src JOIN k2 b ON c.dst = b.src),
+      d3 AS (SELECT src, count(*) AS d FROM e2 GROUP BY src),
+      k3 AS (SELECT src FROM d3 WHERE d >= 12),
+      e3 AS (SELECT c.src, c.dst FROM e2 c
+             JOIN k3 a ON c.src = a.src JOIN k3 b ON c.dst = b.src),
+      d4 AS (SELECT src, count(*) AS d FROM e3 GROUP BY src),
+      k4 AS (SELECT src FROM d4 WHERE d >= 12),
+      e4 AS (SELECT c.src, c.dst FROM e3 c
+             JOIN k4 a ON c.src = a.src JOIN k4 b ON c.dst = b.src),
+      d5 AS (SELECT src, count(*) AS d FROM e4 GROUP BY src),
+      k5 AS (SELECT src FROM d5 WHERE d >= 12),
+      e5 AS (SELECT c.src, c.dst FROM e4 c
+             JOIN k5 a ON c.src = a.src JOIN k5 b ON c.dst = b.src),
+      d6 AS (SELECT src, count(*) AS d FROM e5 GROUP BY src),
+      k6 AS (SELECT src FROM d6 WHERE d >= 12),
+      e6 AS (SELECT c.src, c.dst FROM e5 c
+             JOIN k6 a ON c.src = a.src JOIN k6 b ON c.dst = b.src)
+      SELECT src AS node, count(*) AS deg FROM e6
+      GROUP BY src ORDER BY node""",
     "gr_assortativity" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
                   WHERE l_orderkey % 4 = 1),
@@ -4000,6 +4134,31 @@ object SparkEntry {
         WHERE s.sd IS NOT NULL AND s.sd > 0e0)
       SELECT event_id, event_type, round(z, 4) AS z
       FROM z WHERE abs(z) > 3e0 ORDER BY event_id""",
+    // CUSUM via the prefix-sum identity s = cum − min(0, running-min):
+    // integer counts, integer-ratio target, ordered cumsums — every
+    // double is IEEE-deterministic, so the statistic hashes exactly.
+    "st_changepoint" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      x AS (SELECT event_type, hour, n,
+              CAST(n AS DOUBLE)
+                + (CASE WHEN hour >= TIMESTAMP '2024-01-20 00:00:00'
+                        THEN 6.0 ELSE 0.0 END) AS x
+            FROM hourly),
+      t AS (SELECT *, avg(x) OVER (PARTITION BY event_type) AS target FROM x),
+      c AS (SELECT *, sum(x - target - 1.0) OVER (
+              PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t),
+      s AS (SELECT *, cum - least(0.0, min(cum) OVER (
+              PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+            FROM c)
+      SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(n AS BIGINT) AS n, round(cusum, 6) AS cusum,
+             cusum > 25.0 AS alarm
+      FROM s ORDER BY event_type, hour""",
     // the sign matrix is DERIVED state (md5 parity from the salt), so
     // both engines share it as literals — the contract under test is
     // the projection arithmetic, order and normalization included
@@ -4723,6 +4882,60 @@ object SparkEntry {
              CASE WHEN pe < 1.0
                   THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
       FROM m""",
+    // Full BLEU-2 replay: same tokenization (lower, \s+ split, drop
+    // empties), clipped/total uni- and bigram counts, geo =
+    // sqrt(p1·p2) — divisions of integers and sqrt are IEEE-exact in
+    // both engines, so geo hashes; the exp brevity penalty is spec-
+    // checked, not hashed.
+    "ir_bleu" -> """
+      WITH p AS (
+        SELECT doc_id, text AS cand,
+               lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+        FROM documents),
+      pp AS (SELECT doc_id, cand, ref FROM p WHERE ref IS NOT NULL),
+      ct AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(cand, '')), '\s+'),
+                           x -> x <> '') AS ts FROM pp),
+      rt AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(ref, '')), '\s+'),
+                           x -> x <> '') AS ts FROM pp),
+      c1 AS (SELECT doc_id, g, count(*) AS c FROM
+              (SELECT doc_id, unnest(ts) AS g FROM ct) GROUP BY doc_id, g),
+      r1 AS (SELECT doc_id, g, count(*) AS c FROM
+              (SELECT doc_id, unnest(ts) AS g FROM rt) GROUP BY doc_id, g),
+      a1 AS (SELECT c1.doc_id,
+               sum(least(c1.c, coalesce(r1.c, 0))) AS clip_1, sum(c1.c) AS tot_1
+             FROM c1 LEFT JOIN r1 ON c1.doc_id = r1.doc_id AND c1.g = r1.g
+             GROUP BY c1.doc_id),
+      cbp AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS t FROM ct),
+      rbp AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS t FROM rt),
+      c2 AS (SELECT a.doc_id, a.t || ' ' || b.t AS g, count(*) AS c
+             FROM cbp a JOIN cbp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             GROUP BY a.doc_id, a.t || ' ' || b.t),
+      r2 AS (SELECT a.doc_id, a.t || ' ' || b.t AS g, count(*) AS c
+             FROM rbp a JOIN rbp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             GROUP BY a.doc_id, a.t || ' ' || b.t),
+      a2 AS (SELECT c2.doc_id,
+               sum(least(c2.c, coalesce(r2.c, 0))) AS clip_2, sum(c2.c) AS tot_2
+             FROM c2 LEFT JOIN r2 ON c2.doc_id = r2.doc_id AND c2.g = r2.g
+             GROUP BY c2.doc_id),
+      lens AS (SELECT ct.doc_id, len(ct.ts) AS c_len, len(rt.ts) AS r_len
+               FROM ct JOIN rt USING (doc_id))
+      SELECT l.doc_id,
+             CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
+             coalesce(clip_1, 0) AS clip_1, coalesce(tot_1, 0) AS tot_1,
+             coalesce(clip_2, 0) AS clip_2, coalesce(tot_2, 0) AS tot_2,
+             round(sqrt(
+               (CASE WHEN coalesce(tot_1, 0) > 0
+                     THEN CAST(coalesce(clip_1, 0) AS DOUBLE) / CAST(tot_1 AS DOUBLE)
+                     ELSE 0.0 END)
+               * (CASE WHEN coalesce(tot_2, 0) > 0
+                     THEN CAST(coalesce(clip_2, 0) AS DOUBLE) / CAST(tot_2 AS DOUBLE)
+                     ELSE 0.0 END)), 6) AS geo
+      FROM lens l
+      LEFT JOIN a1 ON a1.doc_id = l.doc_id
+      LEFT JOIN a2 ON a2.doc_id = l.doc_id
+      ORDER BY l.doc_id""",
     "pp_funnel" -> """
       WITH d AS (
         SELECT length(text) AS nc,

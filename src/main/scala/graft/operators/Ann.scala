@@ -565,4 +565,38 @@ object Ann {
       .select(col(qidCol), col(idCol), col("hamming"))
     SimilarityJoin.topKByDistance(scored, qidCol, idCol, "hamming", k)
   }
+
+  /** Two-stage binary-quantization retrieval (the modern vector-DB
+    * default, e.g. FAISS' IndexBinaryFlat + refine or pgvector's
+    * binary-quantize + rescore): a Hamming sign-sketch prefilter
+    * shortlists `shortlist` candidates per query, then ONLY those
+    * rows are rescored with the exact float metric and cut to top-k.
+    *
+    * Scale shape: stage 1 is the [[hammingTopK]] scan — 8 bytes read
+    * per 64-dim vector, integer XOR+popcount inside whole-stage
+    * codegen, nothing shuffles but per-query candidate rows. Stage 2
+    * touches |queries|·shortlist rows (NOT the index): the candidate
+    * ids semi-bound an equi-join back to the full vectors, queries
+    * broadcast, so full-precision arithmetic runs on a vanishing
+    * fraction of the corpus. Recall is the sketch's (tunable via
+    * `shortlist`); the FINAL ranking is exact over the shortlist —
+    * both stages are deterministic, so an EXACT oracle replays the
+    * whole pipeline (packing, popcount, shortlist cut, rescore).
+    */
+  def hammingRescoreTopK(
+      index: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dim: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) to fill the top-k")
+    val cand = hammingTopK(index, idCol, vecCol, queries, qidCol, qvecCol,
+        dim, shortlist)
+      .select(col(qidCol), col(idCol))
+    val rescored = cand
+      .join(index.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("distance", l2_distance(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("distance"))
+    SimilarityJoin.topKByDistance(rescored, qidCol, idCol, "distance", k)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Retrieval-evaluation metrics — the measurement half of a search
@@ -297,6 +297,87 @@ object Evaluation {
     * count over the data; marginals and the p_e sum run on the
     * category-bounded cell frame - the [[Outliers.chiSquared]] shape.
     */
+  /** Per-pair BLEU (Papineni et al. 2002) between a candidate and a
+    * reference text — the n-gram-overlap score a generation-eval or
+    * paraphrase-mining pass runs over (candidate, reference) columns.
+    * For each n ≤ `maxN`: clipped matches = Σ_g min(cand_count(g),
+    * ref_count(g)) over the candidate's distinct n-grams, total =
+    * candidate n-gram count, p_n = clipped/total.
+    *
+    * Two deliberate determinism choices (the tx_distinctive lesson —
+    * a hash gate on a transcendental cannot survive cross-build libm
+    * ULP drift):
+    *   - `maxN` ∈ {1, 2, 4} so the geometric mean is a NESTED SQRT
+    *     of products — IEEE-exact (±·/·sqrt are correctly rounded in
+    *     every conforming engine), no exp/ln;
+    *   - the brevity penalty exp(1 − r/c) is the ONE transcendental,
+    *     isolated in the final `bleu` column — hash-gate the integer
+    *     counts and `geo`, assert `bleu` in a spec with tolerance.
+    *
+    * Shape: per n, one explode + (pair, gram) count per side, one
+    * equi-join on (pair, gram), one per-pair aggregate — all
+    * key-partitioned map-side-combined shuffles; nothing global, no
+    * windows. Smoothing: p_n = 0 when the candidate has no n-grams
+    * (and geo then 0) — standard unsmoothed BLEU.
+    *
+    * Output: (pairId, c_len, r_len, clip_1..maxN, tot_1..maxN, geo,
+    * bleu), one row per input pair (empty/NULL texts give 0-length
+    * sides).
+    */
+  def bleuPairs(pairs: DataFrame, pairIdCol: String,
+      candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
+    require(Set(1, 2, 4).contains(maxN),
+      s"maxN must be 1, 2 or 4 (sqrt-exact geometric mean), got $maxN")
+    def toks(c: Column): Column =
+      filter(split(lower(coalesce(c, lit(""))), "\\s+"), x => x =!= "")
+    def grams(ts: Column, n: Int): Column =
+      if (n == 1) ts
+      else filter(
+        (1 until n).foldLeft(ts) { (acc, k) =>
+          zip_with(acc, slice(ts, lit(k + 1), size(ts)),
+            (a, b) => concat(a, lit(" "), b))
+        }, x => x.isNotNull)
+    val base = pairs.select(col(pairIdCol).as("_pid"),
+      toks(col(candCol)).as("_ct"), toks(col(refCol)).as("_rt"))
+      .withColumn("c_len", size(col("_ct")).cast("long"))
+      .withColumn("r_len", size(col("_rt")).cast("long"))
+    def counts(tokCol: String, n: Int): DataFrame = base
+      .select(col("_pid"), explode(grams(col(tokCol), n)).as("_g"))
+      .groupBy("_pid", "_g").agg(count(lit(1)).as("_c"))
+    val perN = (1 to maxN).map { n =>
+      counts("_ct", n)
+        .join(counts("_rt", n).withColumnRenamed("_c", "_rc"),
+          Seq("_pid", "_g"), "left_outer")
+        .groupBy("_pid").agg(
+          sum(least(col("_c"), coalesce(col("_rc"), lit(0L))))
+            .as(s"clip_$n"),
+          sum(col("_c")).as(s"tot_$n"))
+    }
+    val joined = perN.foldLeft(base.select(col("_pid"), col("c_len"),
+      col("r_len"))) { (acc, d) => acc.join(d, Seq("_pid"), "left_outer") }
+    val filled = (1 to maxN).foldLeft(joined) { (acc, n) =>
+      acc.withColumn(s"clip_$n", coalesce(col(s"clip_$n"), lit(0L)))
+        .withColumn(s"tot_$n", coalesce(col(s"tot_$n"), lit(0L)))
+    }
+    val ps = (1 to maxN).map(n =>
+      when(col(s"tot_$n") > 0,
+        col(s"clip_$n").cast("double") / col(s"tot_$n").cast("double"))
+        .otherwise(lit(0.0)))
+    val prod = ps.reduce(_ * _)
+    val geo = maxN match {
+      case 1 => prod
+      case 2 => sqrt(prod)
+      case 4 => sqrt(sqrt(prod))
+    }
+    filled
+      .withColumn("geo", geo)
+      .withColumn("bleu",
+        when(col("c_len") >= col("r_len") || col("c_len") === 0, col("geo"))
+          .otherwise(col("geo") * exp(lit(1.0)
+            - col("r_len").cast("double") / col("c_len").cast("double"))))
+      .withColumnRenamed("_pid", pairIdCol)
+  }
+
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val d = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))

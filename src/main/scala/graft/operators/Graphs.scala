@@ -441,4 +441,59 @@ object Graphs {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** k-core of the undirected simple graph (Seidman 1983): the
+    * maximal subgraph in which every vertex has degree >= k, computed
+    * by the classic peeling fixpoint — drop every vertex with degree
+    * < k, restrict the edge set to survivors, repeat until stable.
+    * The dense-community extractor a links-graph curation pass runs
+    * to separate organic hubs from long-tail chaff (a spam farm's
+    * star pattern collapses at k=2; a real community survives).
+    *
+    * Peeling is monotone (the vertex set only shrinks) and its
+    * fixpoint is reached in at most |V| rounds, in practice a handful:
+    * each round is ONE degree aggregate (map-side combined) plus two
+    * left-semi joins restricting the edge list — all key-partitioned
+    * shuffles, no windows, no all-pairs anywhere. Edge frames are
+    * eagerly checkpointed per round so lineage stays O(1), and the
+    * stability test rides the same count. `maxIters` caps pathological
+    * chains (a path graph peels one layer per round); the result is a
+    * pure function of the edge set either way, so any engine can
+    * replay the unrolled recurrence.
+    *
+    * Returns (node, deg): the surviving vertices with their degree
+    * INSIDE the core (all >= k). Empty when no k-core exists.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    val raw = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // symmetric deduped adjacency: each undirected edge appears in
+    // both orientations, so degree = count by src
+    var adj = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = adj.count()
+    var stable = nEdges == 0L
+    var it = 0
+    while (!stable && it < maxIters) {
+      val keep = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("_keep"))
+      val pruned = adj
+        .join(keep.select(col("_keep").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("_keep").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val n2 = pruned.count()
+      stable = n2 == nEdges
+      adj = pruned
+      nEdges = n2
+      it += 1
+    }
+    adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
 }

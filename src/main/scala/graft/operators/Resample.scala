@@ -74,4 +74,39 @@ object Resample {
           (acc, v) => acc * lit(1.0 - alpha) + v * lit(alpha)).as("ema"),
         size(col("_vs")).cast("long").as("n_obs"))
   }
+
+  /** One-sided CUSUM drift detector (Page 1954) over a per-key ordered
+    * series: flags sustained upward shifts of the level — the
+    * data-freshness / pipeline-regression alarm a 100 TB ingest runs
+    * per source on its hourly volume series.
+    *
+    * Uses the prefix-sum identity instead of the textbook recursion
+    * s_i = max(0, s_{i-1} + x_i − target − slack): with
+    * cum_i = Σ_{j≤i}(x_j − target − slack),
+    *
+    *   s_i = cum_i − min(0, min_{j≤i} cum_j)
+    *
+    * — TWO cumulative windows per key (sum + running min), no
+    * recursion, no state. Every input is a plain ±/cumsum over an
+    * explicit (key, order) window, so the statistic is bit-identical
+    * in any IEEE engine when `x`, `target`, `slack` are exact — keep
+    * x integer (counts) and target a ratio of integers for hash-exact
+    * gates.
+    *
+    * Emits every input row with (cusum, alarm = cusum > threshold);
+    * the first alarmed row per key is the estimated changepoint.
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, target: org.apache.spark.sql.Column,
+      slack: Double, threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_dev",
+        col(valueCol).cast("double") - target.cast("double") - lit(slack))
+      .withColumn("_cum", sum(col("_dev")).over(w))
+      .withColumn("cusum",
+        col("_cum") - least(lit(0.0), min(col("_cum")).over(w)))
+      .withColumn("alarm", col("cusum") > lit(threshold))
+      .drop("_dev", "_cum")
+  }
 }

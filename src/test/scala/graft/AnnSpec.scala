@@ -665,4 +665,37 @@ class AnnSpec extends SparkSuite {
       s"hamming scan must broadcast the packed queries:\n$plan")
     assert(!plan.contains("Union"), s"one relational job expected:\n$plan")
   }
+
+  test("hammingRescoreTopK: full shortlist degenerates to exact L2 top-k; " +
+      "small shortlist rescored from the sketch candidates only") {
+    val n = emb.count().toInt
+    // shortlist = whole index: the rescore stage sees every row, so the
+    // result must equal brute-force exact L2 top-k rank-for-rank
+    val exact = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val full = Ann.hammingRescoreTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", dim = 64, shortlist = n, k = 5)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact, "shortlist = n must degenerate to exact top-k")
+    // bounded shortlist: every returned id must come from the Hamming
+    // shortlist, and ranks must follow exact L2 distance within it
+    val short = Ann.hammingTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", dim = 64, k = 20)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val resc = Ann.hammingRescoreTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", dim = 64, shortlist = 20, k = 5)
+      .select($"qid", $"vec_id", $"rn", $"distance").collect()
+    assert(resc.forall(r => short.contains((r.getLong(0), r.getLong(1)))),
+      "rescored ids must be a subset of the Hamming shortlist")
+    resc.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getFloat(3))
+      assert(byRank.toSeq == byRank.sorted.toSeq, "exact distance must be non-decreasing in rank")
+    }
+    // guard: a shortlist smaller than k is a contract error
+    intercept[IllegalArgumentException] {
+      Ann.hammingRescoreTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", dim = 64, shortlist = 3, k = 5)
+    }
+  }
 }

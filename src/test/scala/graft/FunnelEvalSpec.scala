@@ -144,4 +144,71 @@ class FunnelEvalSpec extends SparkSuite {
       sample = Some(0.5)).as[(Long, Double)].head()
     assert(s1 == s2, "hash-sampled estimate must be deterministic")
   }
+
+  test("bleuPairs: hand-counted clipped n-grams, brevity penalty, edge cases") {
+    // cand "the cat the cat sat" vs ref "the cat sat down":
+    //   unigrams: the×2→clip 1, cat×2→clip 1, sat×1→clip 1 ⇒ clip 3/5
+    //   bigrams: "the cat"×2→clip 1, "cat the"→0, "cat sat"→1 ⇒ clip 2/4
+    val d = Seq(
+      (1L, "the cat the cat sat", "the cat sat down"),
+      (2L, "exact match here", "exact match here"),
+      (3L, "one", "totally different words"),
+      (4L, "", "nonempty ref")).toDF("id", "cand", "ref")
+    val r = Evaluation.bleuPairs(d, "id", "cand", "ref", maxN = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    // (id, c_len, r_len, clip_1, tot_1, clip_2, tot_2, geo, bleu)
+    assert(r(1L)._2 == 5L && r(1L)._3 == 4L)
+    assert(r(1L)._4 == 3L && r(1L)._5 == 5L && r(1L)._6 == 2L && r(1L)._7 == 4L)
+    assert(math.abs(r(1L)._8 - math.sqrt(0.6 * 0.5)) < 1e-15)
+    // cand longer than ref: no brevity penalty, bleu == geo
+    assert(r(1L)._9 == r(1L)._8)
+    // exact match: geo = 1, equal lengths ⇒ bleu = 1
+    assert(r(2L)._8 == 1.0 && r(2L)._9 == 1.0)
+    // single token: no bigrams ⇒ p2 = 0 ⇒ geo = 0; short cand gets
+    // bp = exp(1 − r/c) which multiplies 0 ⇒ still 0
+    assert(r(3L)._6 == 0L && r(3L)._7 == 0L && r(3L)._8 == 0.0 && r(3L)._9 == 0.0)
+    // empty candidate: zero lengths/counts and zero score, no NaN
+    assert(r(4L)._2 == 0L && r(4L)._5 == 0L && r(4L)._8 == 0.0 && r(4L)._9 == 0.0)
+    // brevity penalty applies exp(1 − r/c) when c < r: 2 tokens vs 4
+    val short = Seq((9L, "the cat", "the cat sat down")).toDF("id", "cand", "ref")
+    val s = Evaluation.bleuPairs(short, "id", "cand", "ref", maxN = 2)
+      .select($"geo", $"bleu").as[(Double, Double)].head()
+    assert(math.abs(s._2 - s._1 * math.exp(1.0 - 4.0 / 2.0)) < 1e-15)
+    // maxN outside the sqrt-exact set is a contract error
+    intercept[IllegalArgumentException] {
+      Evaluation.bleuPairs(d, "id", "cand", "ref", maxN = 3)
+    }
+  }
+
+  test("cusum: prefix-sum identity matches the textbook recursion; " +
+      "detects an injected level shift at the right step") {
+    // series with a shift at position 6: 5,5,5,5,5 then 9,9,9,9,9
+    val xs = Seq(5.0, 5.0, 5.0, 5.0, 5.0, 9.0, 9.0, 9.0, 9.0, 9.0)
+    val d = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("key", "pos", "x")
+    val target = lit(7.0) // mid-level target, slack 0.5
+    val got = graft.operators.Resample.cusum(d, "key", "pos", "x",
+        target, slack = 0.5, threshold = 2.0)
+      .orderBy("pos").select($"cusum", $"alarm")
+      .as[(Double, Boolean)].collect()
+    // textbook recursion s_i = max(0, s_{i-1} + x − target − slack)
+    val want = xs.scanLeft(0.0)((s, x) => math.max(0.0, s + x - 7.0 - 0.5)).tail
+    got.map(_._1).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $g want $w")
+    }
+    // pre-shift (and the first post-shift step, s = 1.5) never alarms;
+    // the second post-shift step (s = 3.0) crosses threshold 2.0
+    assert(got.take(6).forall(!_._2))
+    assert(got(6)._2 && got.drop(6).forall(_._2))
+    // independent keys do not bleed state: duplicate the series under
+    // a second key and check identical statistics per key
+    val two = xs.zipWithIndex.flatMap { case (x, i) =>
+      Seq(("a", i.toLong, x), ("b", i.toLong, x)) }.toDF("key", "pos", "x")
+    val perKey = graft.operators.Resample.cusum(two, "key", "pos", "x",
+        target, slack = 0.5, threshold = 2.0)
+      .groupBy("pos").agg(countDistinct($"cusum").as("nd"))
+      .select(max($"nd")).as[Long].head()
+    assert(perKey == 1L, "same series under different keys must match")
+  }
 }

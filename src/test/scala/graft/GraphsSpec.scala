@@ -168,6 +168,31 @@ class GraphsSpec extends SparkSuite {
     assert(lone.forall(r => r._3 == 0L && r._4.isEmpty))
   }
 
+  test("kCore: triangle survives 2-core, pendant peels; cascading peel; " +
+      "dup/reversed edges collapse; empty core when k too high") {
+    // triangle 1-2-3 with pendant 4 hanging off 1 (dups + reversals mixed in)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 1L), (2L, 1L),
+      (1L, 2L)).toDF("src", "dst")
+    val core2 = Graphs.kCore(e, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be exactly the triangle, got $core2")
+    // path 1-2-3-4-5: peeling the endpoints cascades until nothing is
+    // left — the multi-iteration fixpoint, not a single pass
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(Graphs.kCore(path, "src", "dst", k = 2).count() == 0L,
+      "a path has no 2-core (cascade must run to the empty fixpoint)")
+    // K4 with a triangle bridged on: 3-core = the K4 alone
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val bridged = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 4L))).toDF("src", "dst")
+    val core3 = Graphs.kCore(bridged, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be the K4, got $core3")
+    // k above the max degree: empty
+    assert(Graphs.kCore(e, "src", "dst", k = 5).count() == 0L)
+  }
+
   test("assortativity: star/path are -1, regular graph is NULL (zero variance)") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     val s = Graphs.assortativity(star, "src", "dst")
