@@ -1165,6 +1165,17 @@ object SparkEntry {
           size(TextAnalysis.tokens(col("text"))).as("n_words"))
         .orderBy("doc_id")),
 
+    // ACTUAL BPE merge training: 8 merges learned from the top-300
+    // word-frequency table (one corpus pass; every iteration after
+    // runs on the capped vocab). The merge table is all strings and
+    // integer counts, so DuckDB replays the ENTIRE training loop —
+    // pair counting, the (cnt desc, l, r) argmax, and the greedy
+    // left-to-right fold application — via 8 unrolled recursive CTEs.
+    "tx_bpe_train" -> ((s, dir) =>
+      operators.Bpe.learnMerges(T(s, dir, "documents"), "text",
+          nMerges = 8, maxWords = 300)
+        .orderBy("rank")),
+
     // word-3-gram shingle Jaccard over all pairs in a fixed window —
     // value-level check of the shingle pipeline (no threshold)
     "dd_shingle_jaccard" -> ((s, dir) => {
@@ -1485,6 +1496,20 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 10).as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
+    }),
+
+    // Generic connected components as a first-class graph op (the text
+    // LSH paths exercise it indirectly; this gates it alone): chains
+    // of 10 consecutive doc_ids, so every component and label has a
+    // CLOSED FORM the oracle states independently — any star-
+    // contraction bug (lost singleton, wrong min-label, cross-chain
+    // bridge) breaks 500 rows at once.
+    "gr_components" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val pairs = d.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+      operators.Dedup.connectedComponents(d, "doc_id", pairs)
+        .orderBy("id")
     }),
 
     // 12-core of the co-purchase graph: peel vertices with degree < 12
@@ -3791,6 +3816,12 @@ object SparkEntry {
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
       SELECT node, round(rank, 10) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
+    // Ground truth of the synthetic chain graph in closed form: the
+    // component label is the chain's minimum id = doc_id rounded down
+    // to its 10-block.
+    "gr_components" -> """
+      SELECT doc_id AS id, (doc_id // 10) * 10 AS comp
+      FROM documents ORDER BY id""",
     // 6 unrolled peels (the graph stabilizes in 4 at sf0.01 and sf0.1;
     // peeling is idempotent at the fixpoint, so unroll ≥ fixpoint ≡
     // Spark's run-to-stable loop). All counts integer-exact.
@@ -4717,6 +4748,54 @@ object SparkEntry {
              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
              len(string_split_regex(lower(text), '\s+')) AS n_words
       FROM documents ORDER BY doc_id""",
+    // Independent replay of the WHOLE BPE training loop: 8 unrolled
+    // iterations, each = a pair-count aggregate + (cnt desc, l, r)
+    // argmax + a recursive-CTE greedy left-to-right fold applying the
+    // merge to every vocab word ("aaa" under (a,a) → [aa, a] — the
+    // leftmost-first application the Spark `aggregate` HOF uses).
+    // MATERIALIZED pins each chain stage so DuckDB cannot re-inline
+    // the whole prefix exponentially.
+    "tx_bpe_train" -> {
+      val step = (0 until 8).map { i =>
+        s"""
+      best$i AS MATERIALIZED (
+        SELECT l, r, cnt FROM (
+          SELECT p.l, p.r, sum(p.c) AS cnt
+          FROM (SELECT c, s[i] AS l, s[i+1] AS r
+                FROM (SELECT c, s, unnest(range(1, len(s))) AS i
+                      FROM syms$i)) p
+          GROUP BY p.l, p.r)
+        ORDER BY cnt DESC, l, r LIMIT 1),
+      f$i AS (
+        SELECT word, c, 1 AS pos, CAST([] AS VARCHAR[]) AS out, s
+        FROM syms$i
+        UNION ALL
+        SELECT f.word, f.c, pos + 1,
+          CASE WHEN len(out) > 0 AND out[-1] = b.l AND s[pos] = b.r
+               THEN list_append(out[1:len(out)-1], b.l || b.r)
+               ELSE list_append(out, s[pos]) END,
+          s
+        FROM f$i f CROSS JOIN best$i b WHERE pos <= len(s)),
+      syms${i + 1} AS MATERIALIZED (
+        SELECT word, c, out AS s FROM f$i WHERE pos = len(s) + 1)"""
+      }.mkString(",")
+      val out = (0 until 8).map { i =>
+        s"""SELECT ${i + 1} AS rank, l AS left_sym, r AS right_sym,
+           CAST(cnt AS BIGINT) AS pair_count FROM best$i"""
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH RECURSIVE wc AS (
+        SELECT w AS word, count(*) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> regexp_full_match(x, '[a-z]+'))) AS w
+          FROM documents)
+        GROUP BY w ORDER BY c DESC, w LIMIT 300),
+      syms0 AS MATERIALIZED (
+        SELECT word, c, string_split(word, '') AS s FROM wc),$step
+      SELECT * FROM (
+      $out
+      ) ORDER BY rank"""
+    },
     // Full bit-exact replay of both 64-bit text-hash kernels
     // (Kernels.fingerprint64 rolling-poly base-257 and
     // Kernels.fnv1a64-based simhash64) in HUGEINT arithmetic mod 2^64.
