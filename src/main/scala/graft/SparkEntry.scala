@@ -29,6 +29,54 @@ object SparkEntry {
   /** Directed co-purchase edges for the gr_* graph gates: parts linked
     * when they ship in the same order (symmetric by construction),
     * thinned to a quarter of orders to keep the gate lean. */
+  /** DuckDB CTE chain replaying `n` BPE training iterations over a
+    * `syms0(word, c, s)` vocab frame: per iteration a pair-count
+    * argmax (`best$i`) and a recursive-CTE greedy left-to-right fold
+    * (`f$i` → `syms${i+1}`). MATERIALIZED pins each stage so DuckDB
+    * cannot re-inline the whole prefix exponentially. Shared by the
+    * tx_bpe_train and tx_bpe_ratio oracles.
+    */
+  private def bpeTrainCtes(n: Int): String = (0 until n).map { i =>
+    s"""
+      best$i AS MATERIALIZED (
+        SELECT l, r, cnt FROM (
+          SELECT p.l, p.r, sum(p.c) AS cnt
+          FROM (SELECT c, s[i] AS l, s[i+1] AS r
+                FROM (SELECT c, s, unnest(range(1, len(s))) AS i
+                      FROM syms$i)) p
+          GROUP BY p.l, p.r)
+        ORDER BY cnt DESC, l, r LIMIT 1),
+      f$i AS (
+        SELECT word, c, 1 AS pos, CAST([] AS VARCHAR[]) AS out, s
+        FROM syms$i
+        UNION ALL
+        SELECT f.word, f.c, pos + 1,
+          CASE WHEN len(out) > 0 AND out[-1] = b.l AND s[pos] = b.r
+               THEN list_append(out[1:len(out)-1], b.l || b.r)
+               ELSE list_append(out, s[pos]) END,
+          s
+        FROM f$i f CROSS JOIN best$i b WHERE pos <= len(s)),
+      syms${i + 1} AS MATERIALIZED (
+        SELECT word, c, out AS s FROM f$i WHERE pos = len(s) + 1)"""
+  }.mkString(",")
+
+  /** Companion apply chain: fold each learned `best$i` over an
+    * `aw0(word, s)` frame of ALL distinct words (the encoder side). */
+  private def bpeApplyCtes(n: Int): String = (0 until n).map { i =>
+    s"""
+      g$i AS (
+        SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS out, s FROM aw$i
+        UNION ALL
+        SELECT g.word, pos + 1,
+          CASE WHEN len(out) > 0 AND out[-1] = b.l AND s[pos] = b.r
+               THEN list_append(out[1:len(out)-1], b.l || b.r)
+               ELSE list_append(out, s[pos]) END,
+          s
+        FROM g$i g CROSS JOIN best$i b WHERE pos <= len(s)),
+      aw${i + 1} AS MATERIALIZED (
+        SELECT word, out AS s FROM g$i WHERE pos = len(s) + 1)"""
+  }.mkString(",")
+
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
       .filter(col("l_orderkey") % 4 === 1)
@@ -1176,6 +1224,37 @@ object SparkEntry {
           nMerges = 8, maxWords = 300)
         .orderBy("rank")),
 
+    // Tokenizer compression ratio per source (chars per subword token)
+    // under the merges tx_bpe_train learns — the encoder-side metric a
+    // tokenizer eval actually reports. The segment pass runs on the
+    // DISTINCT-word frame (vocab-sized, not the corpus) and joins back
+    // to per-source occurrence counts; all counts integer, the ratio
+    // one exact integer division.
+    "tx_bpe_ratio" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = operators.Bpe.learnMerges(docs, "text",
+          nMerges = 8, maxWords = 300)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val sw = docs.select(col("source"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            x => x.rlike("^[a-z]+$"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val segd = operators.Bpe.segment(sw.select("word").distinct(),
+          "word", "syms", merges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+      sw.join(segd, "word")
+        .groupBy("source").agg(
+          sum(col("c")).as("n_words"),
+          sum(length(col("word")) * col("c")).as("n_chars"),
+          sum(col("n_syms") * col("c")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          round(col("n_chars").cast("double")
+            / col("n_tokens").cast("double"), 6).as("ratio"))
+        .orderBy("source")
+    }),
+
     // word-3-gram shingle Jaccard over all pairs in a fixed window —
     // value-level check of the shingle pipeline (no threshold)
     "dd_shingle_jaccard" -> ((s, dir) => {
@@ -1498,6 +1577,21 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Multi-source BFS from the 3 smallest part ids over the
+    // co-purchase graph: hop distance from the nearest seed — the
+    // seed-proximity curation feature. Spark runs frontier BFS to the
+    // empty-frontier fixpoint (true distances); the oracle's recursive
+    // CTE caps depth at 8 (graph eccentricity from these seeds is 4 at
+    // sf0.01, 5 at sf0.1) and takes min(d) — identical by the cap
+    // exceeding the eccentricity. Distances are integers.
+    "gr_bfs" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val seeds = e.select(col("src")).distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      operators.Graphs.shortestPaths(e, "src", "dst", seeds)
+        .orderBy("node")
+    }),
+
     // Generic connected components as a first-class graph op (the text
     // LSH paths exercise it indirectly; this gates it alone): chains
     // of 10 consecutive doc_ids, so every component and label has a
@@ -1677,6 +1771,25 @@ object SparkEntry {
           alpha = 0.2)
         .select(col("user_id"), round(col("ema"), 4).as("ema"), col("n_obs"))
         .orderBy("user_id")),
+
+    // Seasonality-aware anomalies: hourly counts scored against their
+    // own (event_type, hour-of-day) baseline — a busy-hour peak is
+    // normal, a quiet-hour spike flags. Moments are raw integer-exact
+    // sums with a fixed variance parenthesization, so the z itself is
+    // IEEE-deterministic and hashes (the cusum contract; NOT the
+    // stddev_samp path st_outliers rounds at 4).
+    "st_anomaly" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", hour(col("hour")))
+      operators.Outliers.groupZScores(hourly, Seq("event_type", "hod"), "n")
+        .filter(abs(col("z")) >= 2.5)
+        .select(col("event_type"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), round(col("z"), 6).as("z"))
+        .orderBy("event_type", "hour")
+    }),
 
     // One-sided CUSUM drift alarm on the hourly event-count series per
     // type, with a synthetic +6/hour level shift injected after Jan 20
@@ -2250,16 +2363,22 @@ object SparkEntry {
       val cpq = cents
       val (ipqr, cbr) = operators.Pq.pqResidualFromIvf(indexed, cents,
         "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
-      // (config, truth family, ranked run) — an 8-branch union is the
-      // POINT here (eight different operators under test), not a
+      // (config, truth family, ranked run) — a 9-branch union is the
+      // POINT here (nine different operators under test), not a
       // per-query plan smell. Hamming sign-sketches approximate ANGULAR
-      // distance, so that arm is scored against the cosine truth.
+      // distance, so that arm is scored against the cosine truth; the
+      // rescore arm re-ranks its Hamming shortlist with EXACT L2, so
+      // it scores against the L2 truth — the sweep shows what the
+      // cheap second stage buys over the raw sketch.
       val runs: Seq[(String, String, DataFrame)] =
         Seq(
           ("lsh_b6", "cos", Ann.lshCosineTopK(emb, "vec_id", "embedding",
             qs, "qid", "qvec", k = kk, dim = 64, nBits = 6)),
           ("hamming_b64", "cos", Ann.hammingTopK(emb, "vec_id", "embedding",
-            qs, "qid", "qvec", dim = 64, k = kk))) ++
+            qs, "qid", "qvec", dim = 64, k = kk)),
+          ("rescore_s40", "l2", Ann.hammingRescoreTopK(emb, "vec_id",
+            "embedding", qs, "qid", "qvec", dim = 64, shortlist = 40,
+            k = kk))) ++
         Seq(1, 2, 4, 8).map(p => (f"ivf_p$p", "l2",
           Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
             qs, "qid", "qvec", k = kk, nProbe = p))) ++
@@ -3816,6 +3935,19 @@ object SparkEntry {
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
       SELECT node, round(rank, 10) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
+    "gr_bfs" -> """
+      WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS p
+                            FROM lineitem WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM li a JOIN li b USING (ok) WHERE a.p <> b.p),
+      seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 3),
+      bfs(node, d) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+        WHERE bfs.d < 8)
+      SELECT node, CAST(min(d) AS BIGINT) AS dist FROM bfs
+      GROUP BY node ORDER BY node""",
     // Ground truth of the synthetic chain graph in closed form: the
     // component label is the chain's minimum id = doc_id rounded down
     // to its 10-block.
@@ -4165,6 +4297,26 @@ object SparkEntry {
         WHERE s.sd IS NOT NULL AND s.sd > 0e0)
       SELECT event_id, event_type, round(z, 4) AS z
       FROM z WHERE abs(z) > 3e0 ORDER BY event_id""",
+    // Exact-moment replay of the seasonal baseline: identical variance
+    // parenthesization, so every double matches bit-for-bit.
+    "st_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      h2 AS (SELECT event_type, hour, n, extract(hour FROM hour) AS hod
+             FROM hourly),
+      g AS (SELECT event_type, hod, CAST(count(*) AS DOUBLE) AS gn,
+              sum(CAST(n AS DOUBLE)) AS s,
+              sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS ss
+            FROM h2 GROUP BY 1, 2),
+      z AS (SELECT h2.event_type, h2.hour, h2.n,
+              CASE WHEN (ss - s * s / gn) / gn > 0
+                   THEN (CAST(n AS DOUBLE) - s / gn)
+                        / sqrt((ss - s * s / gn) / gn) END AS z
+            FROM h2 JOIN g USING (event_type, hod))
+      SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(n AS BIGINT) AS n, round(z, 6) AS z
+      FROM z WHERE abs(z) >= 2.5 ORDER BY event_type, hour""",
     // CUSUM via the prefix-sum identity s = cum − min(0, running-min):
     // integer counts, integer-ratio target, ordered cumsums — every
     // double is IEEE-deterministic, so the statistic hashes exactly.
@@ -4756,29 +4908,6 @@ object SparkEntry {
     // MATERIALIZED pins each chain stage so DuckDB cannot re-inline
     // the whole prefix exponentially.
     "tx_bpe_train" -> {
-      val step = (0 until 8).map { i =>
-        s"""
-      best$i AS MATERIALIZED (
-        SELECT l, r, cnt FROM (
-          SELECT p.l, p.r, sum(p.c) AS cnt
-          FROM (SELECT c, s[i] AS l, s[i+1] AS r
-                FROM (SELECT c, s, unnest(range(1, len(s))) AS i
-                      FROM syms$i)) p
-          GROUP BY p.l, p.r)
-        ORDER BY cnt DESC, l, r LIMIT 1),
-      f$i AS (
-        SELECT word, c, 1 AS pos, CAST([] AS VARCHAR[]) AS out, s
-        FROM syms$i
-        UNION ALL
-        SELECT f.word, f.c, pos + 1,
-          CASE WHEN len(out) > 0 AND out[-1] = b.l AND s[pos] = b.r
-               THEN list_append(out[1:len(out)-1], b.l || b.r)
-               ELSE list_append(out, s[pos]) END,
-          s
-        FROM f$i f CROSS JOIN best$i b WHERE pos <= len(s)),
-      syms${i + 1} AS MATERIALIZED (
-        SELECT word, c, out AS s FROM f$i WHERE pos = len(s) + 1)"""
-      }.mkString(",")
       val out = (0 until 8).map { i =>
         s"""SELECT ${i + 1} AS rank, l AS left_sym, r AS right_sym,
            CAST(cnt AS BIGINT) AS pair_count FROM best$i"""
@@ -4791,11 +4920,37 @@ object SparkEntry {
           FROM documents)
         GROUP BY w ORDER BY c DESC, w LIMIT 300),
       syms0 AS MATERIALIZED (
-        SELECT word, c, string_split(word, '') AS s FROM wc),$step
+        SELECT word, c, string_split(word, '') AS s FROM wc),${bpeTrainCtes(8)}
       SELECT * FROM (
       $out
       ) ORDER BY rank"""
     },
+    // Training chain (shared with tx_bpe_train) + 8 more recursive-CTE
+    // folds applying the learned merges to EVERY distinct [a-z]+ word,
+    // then the per-source chars/tokens aggregation — the full encoder
+    // replay, all integer counts plus one exact integer-ratio division.
+    "tx_bpe_ratio" -> s"""
+      WITH RECURSIVE sw AS MATERIALIZED (
+        SELECT source, w AS word, count(*) AS c FROM (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> regexp_full_match(x, '[a-z]+'))) AS w
+          FROM documents)
+        GROUP BY source, w),
+      wc AS (SELECT word, sum(c) AS c FROM sw GROUP BY word
+             ORDER BY c DESC, word LIMIT 300),
+      syms0 AS MATERIALIZED (
+        SELECT word, c, string_split(word, '') AS s FROM wc),${bpeTrainCtes(8)},
+      aw0 AS MATERIALIZED (
+        SELECT DISTINCT word, string_split(word, '') AS s FROM sw),${bpeApplyCtes(8)}
+      SELECT source,
+             CAST(sum(sw.c) AS BIGINT) AS n_words,
+             CAST(sum(len(sw.word) * sw.c) AS BIGINT) AS n_chars,
+             CAST(sum(len(aw8.s) * sw.c) AS BIGINT) AS n_tokens,
+             round(CAST(sum(len(sw.word) * sw.c) AS DOUBLE)
+                   / CAST(sum(len(aw8.s) * sw.c) AS DOUBLE), 6) AS ratio
+      FROM sw JOIN aw8 USING (word)
+      GROUP BY source ORDER BY source""",
     // Full bit-exact replay of both 64-bit text-hash kernels
     // (Kernels.fingerprint64 rolling-poly base-257 and
     // Kernels.fnv1a64-based simhash64) in HUGEINT arithmetic mod 2^64.

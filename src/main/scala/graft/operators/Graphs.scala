@@ -464,6 +464,56 @@ object Graphs {
     * Returns (node, deg): the surviving vertices with their degree
     * INSIDE the core (all >= k). Empty when no k-core exists.
     */
+  /** Multi-source BFS distance — hops from the nearest seed to every
+    * reachable vertex. The "link distance from trusted domains"
+    * signal (the Common-Crawl-style seed-proximity curation feature),
+    * and the building block for graph-radius audits.
+    *
+    * Frontier-style: each round joins the CURRENT frontier (only the
+    * nodes first reached last round) against the edge list and
+    * anti-joins already-settled nodes — work per round is
+    * O(frontier-adjacent edges), never the whole reached set, and the
+    * loop stops when the frontier empties (true distances, no cap
+    * artifacts; `maxDepth` only bounds pathological chains). Frames
+    * are eagerly checkpointed per round (O(1) lineage). Deterministic:
+    * set semantics, no tie-breaks needed (all same-round reaches get
+    * the same distance).
+    *
+    * Returns (node, dist) for REACHED nodes only; seeds are dist 0.
+    * `undirected` (default) symmetrizes the edge list.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxDepth: Int = 30,
+      undirected: Boolean = true): DataFrame = {
+    require(sources.nonEmpty, "need at least one source node")
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val raw = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val adj = (if (undirected)
+        raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      else raw).distinct().localCheckpoint(true)
+    var settled = sources.distinct.map(n => (n, 0L)).toDF("node", "dist")
+      .localCheckpoint(true)
+    var frontier = settled.select("node").localCheckpoint(true)
+    var d = 0L
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      settled = settled
+        .unionAll(next.select(col("node"), lit(d).as("dist")))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    settled
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIters: Int = 50): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")

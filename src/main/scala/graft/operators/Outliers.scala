@@ -484,4 +484,35 @@ object Outliers {
       .withColumn("tier", when(col(valueCol).isNotNull, tier))
       .drop("_bs")
   }
+
+  /** Per-group z-scores from EXPLICIT exact moments — the
+    * seasonality-aware anomaly primitive: group by a seasonal key
+    * (e.g. (source, hour-of-day)) and score each observation against
+    * its own group's baseline, so a busy-hour peak is not an outlier
+    * and a quiet-hour spike is.
+    *
+    * Unlike [[zScores]] (which rides the built-in `stddev_samp`),
+    * the moments here are raw (n, Σv, Σv²) integer-exact sums and the
+    * variance is derived with a FIXED parenthesization
+    * ((Σv² − Σv·Σv/n)/n — population) — when `v` is integer-valued
+    * every engine computes the identical doubles, so the z itself can
+    * sit in a hash-exact gate (the [[Resample.cusum]] determinism
+    * contract). One map-side-combined aggregate + one equi-join of
+    * the group frame back (AQE broadcasts it when small); z is NULL
+    * when the group variance is 0.
+    */
+  def groupZScores(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String = "z"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = col(valueCol).cast("double")
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(v).as("_s"), sum(v * v).as("_ss"))
+    val mean = col("_s") / col("_n")
+    val varp = (col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")
+    df.join(g, groupCols)
+      .withColumn(outCol,
+        when(varp > 0.0, (v - mean) / sqrt(varp)))
+      .drop("_n", "_s", "_ss")
+  }
 }

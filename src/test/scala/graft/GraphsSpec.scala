@@ -168,6 +168,29 @@ class GraphsSpec extends SparkSuite {
     assert(lone.forall(r => r._3 == 0L && r._4.isEmpty))
   }
 
+  test("shortestPaths: hand distances on a path+branch graph; multi-source " +
+      "min; unreached nodes absent; directed asymmetry") {
+    // 1-2-3-4-5 path with a branch 3-6; island 9-10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L),
+      (9L, 10L)).toDF("src", "dst")
+    val d1 = Graphs.shortestPaths(e, "src", "dst", Seq(1L))
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      6L -> 3L), s"got $d1")
+    // two seeds: every node takes the NEARER one
+    val d2 = Graphs.shortestPaths(e, "src", "dst", Seq(1L, 5L))
+      .as[(Long, Long)].collect().toMap
+    assert(d2(3L) == 2L && d2(4L) == 1L && d2(5L) == 0L && !d2.contains(9L))
+    // directed: edges only go forward, so seed 5 reaches nothing
+    val dd = Graphs.shortestPaths(e, "src", "dst", Seq(5L),
+      undirected = false).as[(Long, Long)].collect().toMap
+    assert(dd == Map(5L -> 0L), s"got $dd")
+    // maxDepth truncates (audit bound), seeds dedupe
+    val dm = Graphs.shortestPaths(e, "src", "dst", Seq(1L, 1L), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(dm == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got $dm")
+  }
+
   test("kCore: triangle survives 2-core, pendant peels; cascading peel; " +
       "dup/reversed edges collapse; empty core when k too high") {
     // triangle 1-2-3 with pendant 4 hanging off 1 (dups + reversals mixed in)

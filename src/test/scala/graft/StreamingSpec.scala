@@ -32,6 +32,29 @@ class StreamingSpec extends SparkSuite {
     assert(out.count { case ("a", _, _, fl) => fl; case _ => false } == 1) // only 100.0
   }
 
+  test("groupZScores: exact population moments per group, zero-variance NULL") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0),
+      ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val out = graft.operators.Outliers.groupZScores(df, Seq("g"), "v")
+      .select("g", "v", "z").as[(String, Double, Option[Double])].collect()
+    // group a: mean 4, var_pop = (4+0+4)/3 = 8/3
+    val sd = math.sqrt(8.0 / 3.0)
+    out.foreach {
+      case ("a", v, Some(z)) => assert(math.abs(z - (v - 4.0) / sd) < 1e-15)
+      case ("a", _, None)    => fail("group a must have a z")
+      case ("b", _, z)       => assert(z.isEmpty, "zero variance -> NULL")
+    }
+    // seasonal shape: same value is anomalous in one group, normal in
+    // another — grouping by the seasonal key must separate them
+    val season = Seq(("q", 1.0), ("q", 1.0), ("q", 1.0), ("q", 10.0),
+      ("busy", 10.0), ("busy", 10.0), ("busy", 10.0), ("busy", 10.0))
+      .toDF("g", "v")
+    val bg = graft.operators.Outliers.groupZScores(season, Seq("g"), "v")
+      .filter($"v" === 10.0).select("g", "z")
+      .as[(String, Option[Double])].collect().toMap
+    assert(bg("q").exists(_ > 1.5) && bg("busy").isEmpty)
+  }
+
   test("spearman: monotone invariance, sign flip, midrank ties, null/NaN drops") {
     import graft.operators.Outliers
     // nonlinear but monotone -> exactly 1; reversed -> exactly -1
