@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,32 @@ object SparkEntry {
     a.join(b, "ok").filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
   }
+
+  /** Dirty-record synthesis for the entity-resolution gates: half the
+    * part rows, each name either untouched, one char dropped at a
+    * deterministic id-keyed position (first two chars safe), or one
+    * char inserted at position 3 — pure substr arithmetic, so DuckDB
+    * replays the corruption exactly. (id, s) with s the dirty string.
+    */
+  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+    val raw = lower(col("p_name"))
+    val dropAt = (col("id") % 7) + lit(3)
+    T(s, dir, "part").filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey").as("id"), raw.as("raw"))
+      .select(col("id"),
+        when(col("id") % 3 === 1,
+          concat(col("raw").substr(lit(1), dropAt - 2),
+            col("raw").substr(dropAt + 1, lit(100000))))
+        .when(col("id") % 3 === 2,
+          concat(substring(col("raw"), 1, 2), lit("x"),
+            substring(col("raw"), 3, 100000)))
+        .otherwise(col("raw")).as("s"))
+  }
+
+  /** First-2-chars + length-band blocking key over the `s` column. */
+  private def erBlockKey: Column =
+    concat(substring(col("s"), 1, 2), lit("|"),
+      (length(col("s")) / lit(4)).cast("int").cast("string"))
 
   /** Run `body` with session confs temporarily set — the streaming
     * gates hold the legacy nanos flag across their run and drop the
@@ -774,6 +800,60 @@ object SparkEntry {
           round(col("geo"), 6).as("geo"))
         .orderBy("doc_id")
     }),
+
+    // ROUGE-1/2 over the same successor pairing as ir_bleu — the
+    // recall side of n-gram overlap. Unlike BLEU there is NO
+    // transcendental anywhere: clip/ctot/rtot are integers and
+    // prec/rec/f1 are ±·/ of integers, so the WHOLE row hash-gates.
+    "ir_rouge" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pairs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("ref", lead(col("text"), 1).over(w))
+        .filter(col("ref").isNotNull)
+      operators.Evaluation.rougePairs(pairs, "doc_id", "text", "ref", maxN = 2)
+        .select(col("doc_id"),
+          col("clip_1"), col("ctot_1"), col("rtot_1"),
+          round(col("prec_1"), 6).as("prec_1"),
+          round(col("rec_1"), 6).as("rec_1"),
+          round(col("f1_1"), 6).as("f1_1"),
+          col("clip_2"), col("ctot_2"), col("rtot_2"),
+          round(col("prec_2"), 6).as("prec_2"),
+          round(col("rec_2"), 6).as("rec_2"),
+          round(col("f1_2"), 6).as("f1_2"))
+        .orderBy("doc_id")
+    }),
+
+    // Entity resolution, pairing stage: blocked Levenshtein candidate
+    // pairs over deterministically-corrupted part names, aggregated to
+    // a per-block integer histogram (pair count by edit distance).
+    // Every number is an integer; DuckDB replays the corruption, the
+    // blocking key, and full Levenshtein. The block-size gate (the
+    // giant-bucket backstop) is set above both sf0.01 and sf0.1 block
+    // sizes, so nothing is dropped at gate scale while the quadratic
+    // bound still exists for production keys.
+    "er_pairs" -> ((s, dir) =>
+      operators.RecordLinkage.blockedEditPairs(
+          erRecords(s, dir), "id", "s", erBlockKey,
+          maxDist = 2, maxBlock = 20000)
+        .groupBy("block").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_d0"),
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_d1"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_d2"))
+        .orderBy("block")),
+
+    // Entity resolution, clustering stage: connected components over
+    // the er_pairs edges (O(log n) large/small-star rounds). Entity =
+    // min member id; DuckDB replays the transitive closure with a
+    // recursive min-label CTE — integer-exact per row.
+    "er_entities" -> ((s, dir) =>
+      operators.RecordLinkage.resolveEntities(
+          erRecords(s, dir), "id", "s", erBlockKey,
+          maxDist = 2, maxBlock = 20000)
+        .select(col("id"), col("entity"))
+        .orderBy("id")),
 
     // Curation-funnel lineage: which gate loses how many documents,
     // with sequential-filter semantics from ONE first-fail projection
@@ -5170,6 +5250,138 @@ object SparkEntry {
       LEFT JOIN a1 ON a1.doc_id = l.doc_id
       LEFT JOIN a2 ON a2.doc_id = l.doc_id
       ORDER BY l.doc_id""",
+    // ROUGE replay: same tokenization/pairing as ir_bleu, but the
+    // (pair, gram) join is FULL OUTER (reference-only grams count in
+    // rtot_n) and the arithmetic is pure ±·/ of integers with the
+    // same parenthesization as the Spark expression tree.
+    "ir_rouge" -> """
+      WITH p AS (
+        SELECT doc_id, text AS cand,
+               lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+        FROM documents),
+      pp AS (SELECT doc_id, cand, ref FROM p WHERE ref IS NOT NULL),
+      ct AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(cand, '')), '\s+'),
+                           x -> x <> '') AS ts FROM pp),
+      rt AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(ref, '')), '\s+'),
+                           x -> x <> '') AS ts FROM pp),
+      c1 AS (SELECT doc_id, g, count(*) AS c FROM
+              (SELECT doc_id, unnest(ts) AS g FROM ct) GROUP BY doc_id, g),
+      r1 AS (SELECT doc_id, g, count(*) AS c FROM
+              (SELECT doc_id, unnest(ts) AS g FROM rt) GROUP BY doc_id, g),
+      a1 AS (SELECT coalesce(c1.doc_id, r1.doc_id) AS doc_id,
+               sum(least(coalesce(c1.c, 0), coalesce(r1.c, 0))) AS clip_1,
+               sum(coalesce(c1.c, 0)) AS ctot_1,
+               sum(coalesce(r1.c, 0)) AS rtot_1
+             FROM c1 FULL JOIN r1 ON c1.doc_id = r1.doc_id AND c1.g = r1.g
+             GROUP BY coalesce(c1.doc_id, r1.doc_id)),
+      cbp AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS t FROM ct),
+      rbp AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS t FROM rt),
+      c2 AS (SELECT a.doc_id, a.t || ' ' || b.t AS g, count(*) AS c
+             FROM cbp a JOIN cbp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             GROUP BY a.doc_id, a.t || ' ' || b.t),
+      r2 AS (SELECT a.doc_id, a.t || ' ' || b.t AS g, count(*) AS c
+             FROM rbp a JOIN rbp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             GROUP BY a.doc_id, a.t || ' ' || b.t),
+      a2 AS (SELECT coalesce(c2.doc_id, r2.doc_id) AS doc_id,
+               sum(least(coalesce(c2.c, 0), coalesce(r2.c, 0))) AS clip_2,
+               sum(coalesce(c2.c, 0)) AS ctot_2,
+               sum(coalesce(r2.c, 0)) AS rtot_2
+             FROM c2 FULL JOIN r2 ON c2.doc_id = r2.doc_id AND c2.g = r2.g
+             GROUP BY coalesce(c2.doc_id, r2.doc_id)),
+      m AS (
+        SELECT pp.doc_id,
+               coalesce(clip_1, 0) AS clip_1, coalesce(ctot_1, 0) AS ctot_1,
+               coalesce(rtot_1, 0) AS rtot_1,
+               coalesce(clip_2, 0) AS clip_2, coalesce(ctot_2, 0) AS ctot_2,
+               coalesce(rtot_2, 0) AS rtot_2
+        FROM pp
+        LEFT JOIN a1 ON a1.doc_id = pp.doc_id
+        LEFT JOIN a2 ON a2.doc_id = pp.doc_id),
+      s AS (
+        SELECT doc_id, clip_1, ctot_1, rtot_1, clip_2, ctot_2, rtot_2,
+               CASE WHEN ctot_1 > 0
+                    THEN CAST(clip_1 AS DOUBLE) / CAST(ctot_1 AS DOUBLE)
+                    ELSE 0.0 END AS p1,
+               CASE WHEN rtot_1 > 0
+                    THEN CAST(clip_1 AS DOUBLE) / CAST(rtot_1 AS DOUBLE)
+                    ELSE 0.0 END AS r1,
+               CASE WHEN ctot_2 > 0
+                    THEN CAST(clip_2 AS DOUBLE) / CAST(ctot_2 AS DOUBLE)
+                    ELSE 0.0 END AS p2,
+               CASE WHEN rtot_2 > 0
+                    THEN CAST(clip_2 AS DOUBLE) / CAST(rtot_2 AS DOUBLE)
+                    ELSE 0.0 END AS r2
+        FROM m)
+      SELECT doc_id, clip_1, ctot_1, rtot_1,
+             round(p1, 6) AS prec_1, round(r1, 6) AS rec_1,
+             round(CASE WHEN p1 + r1 > 0.0
+                        THEN 2.0 * p1 * r1 / (p1 + r1) ELSE 0.0 END, 6) AS f1_1,
+             clip_2, ctot_2, rtot_2,
+             round(p2, 6) AS prec_2, round(r2, 6) AS rec_2,
+             round(CASE WHEN p2 + r2 > 0.0
+                        THEN 2.0 * p2 * r2 / (p2 + r2) ELSE 0.0 END, 6) AS f1_2
+      FROM s ORDER BY doc_id""",
+    // ER replay: the same id-keyed corruption (drop char at (id%7)+3 /
+    // insert 'x' at 3), first-2-chars + len//4 blocking, full
+    // Levenshtein per in-block pair — all integers.
+    "er_pairs" -> """
+      WITH r AS (
+        SELECT p_partkey AS id, lower(p_name) AS raw
+        FROM part WHERE p_partkey % 2 = 0),
+      rec AS (
+        SELECT id,
+               CASE WHEN id % 3 = 1
+                    THEN substr(raw, 1, (id % 7) + 1)
+                         || substr(raw, (id % 7) + 4)
+                    WHEN id % 3 = 2
+                    THEN substr(raw, 1, 2) || 'x' || substr(raw, 3)
+                    ELSE raw END AS s
+        FROM r),
+      k AS (SELECT id, s,
+              substr(s, 1, 2) || '|' || CAST(len(s) // 4 AS VARCHAR) AS block
+            FROM rec),
+      sz AS (SELECT block, count(*) AS bn FROM k GROUP BY block),
+      kk AS (SELECT k.id, k.s, k.block FROM k
+             JOIN sz USING (block) WHERE bn <= 20000),
+      p AS (SELECT a.block, levenshtein(a.s, b.s) AS d
+            FROM kk a JOIN kk b ON a.block = b.block AND a.id < b.id)
+      SELECT block, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d0,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+             CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2
+      FROM p WHERE d <= 2 GROUP BY block ORDER BY block""",
+    // Transitive closure of the er_pairs edges by recursive min-label
+    // propagation; singletons keep their own id.
+    "er_entities" -> """
+      WITH RECURSIVE r AS (
+        SELECT p_partkey AS id, lower(p_name) AS raw
+        FROM part WHERE p_partkey % 2 = 0),
+      rec AS (
+        SELECT id,
+               CASE WHEN id % 3 = 1
+                    THEN substr(raw, 1, (id % 7) + 1)
+                         || substr(raw, (id % 7) + 4)
+                    WHEN id % 3 = 2
+                    THEN substr(raw, 1, 2) || 'x' || substr(raw, 3)
+                    ELSE raw END AS s
+        FROM r),
+      k AS (SELECT id, s,
+              substr(s, 1, 2) || '|' || CAST(len(s) // 4 AS VARCHAR) AS block
+            FROM rec),
+      sz AS (SELECT block, count(*) AS bn FROM k GROUP BY block),
+      kk AS (SELECT k.id, k.s, k.block FROM k
+             JOIN sz USING (block) WHERE bn <= 20000),
+      p AS (SELECT a.id AS src, b.id AS dst
+            FROM kk a JOIN kk b ON a.block = b.block AND a.id < b.id
+            WHERE levenshtein(a.s, b.s) <= 2),
+      e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      lbl(id, l) AS (
+        SELECT id, id FROM k
+        UNION
+        SELECT e.dst, lbl.l FROM e JOIN lbl ON lbl.id = e.src)
+      SELECT id, min(l) AS entity FROM lbl GROUP BY id ORDER BY id""",
     "pp_funnel" -> """
       WITH d AS (
         SELECT length(text) AS nc,

@@ -401,4 +401,76 @@ object Evaluation {
         when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
           .as("kappa"))
   }
+
+  /** Per-pair ROUGE-N (Lin 2004) between a candidate and a reference
+    * text — the summarization/compression counterpart of [[bleuPairs]]:
+    * where BLEU is precision-oriented (clipped matches over the
+    * CANDIDATE total), ROUGE-N is recall-oriented (the same clipped
+    * matches over the REFERENCE total). Emits both sides plus F1.
+    *
+    * For each n ≤ `maxN`: clip_n = Σ_g min(cand_count(g),
+    * ref_count(g)); ctot_n / rtot_n = candidate / reference n-gram
+    * totals; prec = clip/ctot, rec = clip/rtot, f1 = 2·p·r/(p+r)
+    * (0 when a denominator is 0). Every emitted number is either a
+    * 64-bit integer or a ±·/ combination of integers — IEEE-exact in
+    * any conforming engine, so the whole row hash-gates (no BLEU-style
+    * transcendental split needed; the brevity penalty is the only exp
+    * in this family and ROUGE has none).
+    *
+    * Shape: per n, one explode + (pair, gram) count per side, one
+    * FULL outer equi-join on (pair, gram) — full, not left, because
+    * reference-only grams still count in rtot_n — then one per-pair
+    * aggregate. All key-partitioned map-side-combined shuffles;
+    * nothing global, no windows; scales linearly in total token count.
+    *
+    * Output: (pairId, clip_n, ctot_n, rtot_n, prec_n, rec_n, f1_n)
+    * for each n, one row per input pair; empty/NULL texts give zero
+    * totals and zero scores.
+    */
+  def rougePairs(pairs: DataFrame, pairIdCol: String,
+      candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"maxN must be in [1,4], got $maxN")
+    def toks(c: Column): Column =
+      filter(split(lower(coalesce(c, lit(""))), "\\s+"), x => x =!= "")
+    def grams(ts: Column, n: Int): Column =
+      if (n == 1) ts
+      else filter(
+        (1 until n).foldLeft(ts) { (acc, k) =>
+          zip_with(acc, slice(ts, lit(k + 1), size(ts)),
+            (a, b) => concat(a, lit(" "), b))
+        }, x => x.isNotNull)
+    val base = pairs.select(col(pairIdCol).as("_pid"),
+      toks(col(candCol)).as("_ct"), toks(col(refCol)).as("_rt"))
+    def counts(tokCol: String, n: Int, out: String): DataFrame = base
+      .select(col("_pid"), explode(grams(col(tokCol), n)).as("_g"))
+      .groupBy("_pid", "_g").agg(count(lit(1)).as(out))
+    val perN = (1 to maxN).map { n =>
+      counts("_ct", n, "_cc")
+        .join(counts("_rt", n, "_rc"), Seq("_pid", "_g"), "full_outer")
+        .groupBy("_pid").agg(
+          sum(least(coalesce(col("_cc"), lit(0L)),
+            coalesce(col("_rc"), lit(0L)))).as(s"clip_$n"),
+          sum(coalesce(col("_cc"), lit(0L))).as(s"ctot_$n"),
+          sum(coalesce(col("_rc"), lit(0L))).as(s"rtot_$n"))
+    }
+    val joined = perN.foldLeft(base.select(col("_pid"))) { (acc, d) =>
+      acc.join(d, Seq("_pid"), "left_outer")
+    }
+    (1 to maxN).foldLeft(joined) { (acc, n) =>
+      val clip = coalesce(col(s"clip_$n"), lit(0L))
+      val ct = coalesce(col(s"ctot_$n"), lit(0L))
+      val rt = coalesce(col(s"rtot_$n"), lit(0L))
+      val p = when(ct > 0, clip.cast("double") / ct.cast("double"))
+        .otherwise(lit(0.0))
+      val r = when(rt > 0, clip.cast("double") / rt.cast("double"))
+        .otherwise(lit(0.0))
+      acc.withColumn(s"clip_$n", clip)
+        .withColumn(s"ctot_$n", ct)
+        .withColumn(s"rtot_$n", rt)
+        .withColumn(s"prec_$n", p)
+        .withColumn(s"rec_$n", r)
+        .withColumn(s"f1_$n",
+          when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)))
+    }.withColumnRenamed("_pid", pairIdCol)
+  }
 }

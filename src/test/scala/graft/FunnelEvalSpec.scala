@@ -181,6 +181,39 @@ class FunnelEvalSpec extends SparkSuite {
     }
   }
 
+  test("rougePairs: hand-counted overlap, recall vs precision sides, edges") {
+    // cand "the cat the cat sat" (5 unigrams) vs ref "the cat sat down"
+    // (4 unigrams): clip_1 = 3 ⇒ prec 3/5, rec 3/4; bigrams cand
+    // {the cat ×2, cat the, cat sat} (4), ref {the cat, cat sat,
+    // sat down} (3): clip_2 = 2 ⇒ prec 2/4, rec 2/3.
+    val d = Seq(
+      (1L, "the cat the cat sat", "the cat sat down"),
+      (2L, "exact match here", "exact match here"),
+      (3L, "", "nonempty ref"),
+      (4L, "nonempty cand", "")).toDF("id", "cand", "ref")
+    val r = Evaluation.rougePairs(d, "id", "cand", "ref", maxN = 2)
+      .select($"id", $"clip_1", $"ctot_1", $"rtot_1", $"prec_1", $"rec_1",
+        $"f1_1", $"clip_2", $"ctot_2", $"rtot_2", $"prec_2", $"rec_2", $"f1_2")
+      .as[(Long, Long, Long, Long, Double, Double, Double,
+           Long, Long, Long, Double, Double, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 3L && r(1L)._3 == 5L && r(1L)._4 == 4L)
+    assert(r(1L)._5 == 0.6 && r(1L)._6 == 0.75)
+    assert(math.abs(r(1L)._7 - 2.0 * 0.6 * 0.75 / 1.35) < 1e-15)
+    assert(r(1L)._8 == 2L && r(1L)._9 == 4L && r(1L)._10 == 3L)
+    assert(r(1L)._11 == 0.5 && math.abs(r(1L)._12 - 2.0 / 3.0) < 1e-15)
+    // exact match: everything 1.0
+    assert(r(2L)._5 == 1.0 && r(2L)._6 == 1.0 && r(2L)._7 == 1.0 &&
+      r(2L)._13 == 1.0)
+    // empty candidate: rtot still counted (recall side exists), all
+    // scores 0, no NaN
+    assert(r(3L)._3 == 0L && r(3L)._4 == 2L && r(3L)._6 == 0.0 &&
+      r(3L)._7 == 0.0)
+    // empty reference: ctot counted, rec and f1 = 0
+    assert(r(4L)._3 == 2L && r(4L)._4 == 0L && r(4L)._5 == 0.0 &&
+      r(4L)._7 == 0.0)
+  }
+
   test("cusum: prefix-sum identity matches the textbook recursion; " +
       "detects an injected level shift at the right step") {
     // series with a shift at position 6: 5,5,5,5,5 then 9,9,9,9,9
