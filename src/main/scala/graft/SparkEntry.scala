@@ -77,6 +77,30 @@ object SparkEntry {
         SELECT word, out AS s FROM g$i WHERE pos = len(s) + 1)"""
   }.mkString(",")
 
+  /** Unrolled Hilbert xy→d walk for the oracle: one CTE per level
+    * applying the same rotate-and-accumulate integer step as
+    * [[operators.Layout.withHilbertValue]]. Expects a CTE `hw0(x, y,
+    * hx, hy, d)` with hx=x, hy=y, d=0; leaves `hw$bits` holding the
+    * final d per (x, y). */
+  private def hilbertCtes(bits: Int): String =
+    ((bits - 1) to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      s"""
+      hw${i + 1} AS (
+        SELECT x, y,
+               CASE WHEN ry = 0
+                    THEN (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END)
+                    ELSE hx END AS hx,
+               CASE WHEN ry = 0
+                    THEN (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END)
+                    ELSE hy END AS hy,
+               d + $s * $s * xor(3 * rx, ry) AS d
+        FROM (SELECT x, y, hx, hy, d,
+                     CASE WHEN (hx & $s) <> 0 THEN 1 ELSE 0 END AS rx,
+                     CASE WHEN (hy & $s) <> 0 THEN 1 ELSE 0 END AS ry
+              FROM hw$i))"""
+    }.mkString(",")
+
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
       .filter(col("l_orderkey") % 4 === 1)
@@ -1624,6 +1648,63 @@ object SparkEntry {
         .orderBy("z")
         .limit(20)),
 
+    // Hilbert index over the same 1024-grid as pk_zorder: the 10-level
+    // rotate-and-accumulate walk is pure integer arithmetic, bit-for-
+    // bit replayed by the oracle's unrolled CTE chain.
+    "pk_hilbert" -> ((s, dir) =>
+      operators.Layout.withHilbertValue(
+          T(s, dir, "lineitem")
+            .select((col("l_partkey") % 1024).as("x"),
+              (col("l_suppkey") % 1024).as("y"))
+            .distinct(),
+          "x", "y", "h", bits = 10)
+        .orderBy("h")
+        .limit(20)),
+
+    // Curve-locality audit: total Manhattan jump between successive
+    // curve positions, Z-order vs Hilbert over the SAME distinct grid
+    // points — the number that justifies choosing Hilbert for layout
+    // (unit steps vs power-of-two seam jumps). Integer-exact. The
+    // successive-pair walk is decomposed shuffle-safely: within-bucket
+    // jumps via a window PARTITIONED by the curve value's high bits
+    // (bounded partitions), plus boundary jumps via a window over the
+    // ≤2^8-row bucket summary — no global data-sized window; the grid
+    // is key-space-bounded (≤2^20 cells) regardless of corpus size.
+    "pk_curve_locality" -> ((s, dir) => {
+      val pts = operators.Layout.withHilbertValue(
+        T(s, dir, "lineitem")
+          .select((col("l_partkey") % 1024).as("x"),
+            (col("l_suppkey") % 1024).as("y"))
+          .distinct(),
+        "x", "y", "h", bits = 10)
+        .withColumn("z", operators.Layout.zValue2(col("x"), col("y")))
+      def totalJump(curve: String): DataFrame = {
+        val b = col(curve).divide(lit(4096L)).cast("long").as("bkt")
+        val w = Window.partitionBy("bkt").orderBy(curve)
+        val inner = pts.select(col("x"), col("y"), col(curve), b)
+          .withColumn("dx", abs(col("x") - lag("x", 1).over(w)))
+          .withColumn("dy", abs(col("y") - lag("y", 1).over(w)))
+          .agg(coalesce(sum(col("dx") + col("dy")), lit(0L)).as("j_in"))
+        val ends = pts.select(col("x"), col("y"), col(curve), b)
+          .groupBy("bkt").agg(
+            min_by(struct(col("x"), col("y")), col(curve)).as("first"),
+            max_by(struct(col("x"), col("y")), col(curve)).as("last"))
+        val wb = Window.orderBy("bkt")
+        val cross = ends
+          .withColumn("px", lag("last.x", 1).over(wb))
+          .withColumn("py", lag("last.y", 1).over(wb))
+          .agg(coalesce(sum(abs(col("first.x") - col("px"))
+            + abs(col("first.y") - col("py"))), lit(0L)).as("j_x"))
+        inner.crossJoin(cross)
+          .select(lit(curve).as("curve"),
+            (col("j_in") + col("j_x")).as("total_jump"))
+      }
+      totalJump("z").unionAll(totalJump("h"))
+        .crossJoin(pts.agg(count(lit(1)).as("n_points")))
+        .select(col("curve"), col("n_points"), col("total_jump"))
+        .orderBy("curve")
+    }),
+
     // PageRank over the co-purchase graph (parts linked when shipped in
     // the same order; symmetric, so no dangling mass). 3 fixed
     // iterations; DuckDB recomputes the full unrolled recurrence.
@@ -1696,6 +1777,19 @@ object SparkEntry {
       operators.Graphs.kCore(e, "src", "dst", k = 12)
         .orderBy("node")
     }),
+
+    // Link prediction on the co-purchase graph: non-adjacent part
+    // pairs with ≥6 common neighbors, scored by neighbor-set Jaccard.
+    // cn/degrees are integers; jaccard is one integer division —
+    // DuckDB replays the wedge join, the NOT EXISTS anti-join, and
+    // the division. Exact path (no center cap): the co-purchase
+    // graph's degree is order-size-bounded, so Σ deg² stays tame.
+    "gr_linkpred" -> ((s, dir) =>
+      operators.Graphs.linkPrediction(coPurchaseEdges(s, dir),
+          "src", "dst", minCommon = 6)
+        .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("u", "v")),
 
     // Convergence-exit contract, gate-level: a tol run must (a) stop
     // BEFORE the cap, (b) equal the fixed-iteration form at the count
@@ -3939,6 +4033,47 @@ object SparkEntry {
                           (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4)
       SELECT x, y, (sx | (sy << 1)) AS z FROM s5
       ORDER BY z LIMIT 20""",
+    "pk_hilbert" -> s"""
+      WITH d AS (SELECT DISTINCT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+                 FROM lineitem),
+      hw0 AS (SELECT x, y, x AS hx, y AS hy, 0 AS d FROM d),
+      ${hilbertCtes(10)}
+      SELECT x, y, CAST(d AS BIGINT) AS h FROM hw10
+      ORDER BY h LIMIT 20""",
+    // Replay the jump totals with ONE global lag per curve — the
+    // bucketed Spark decomposition sums the identical successive
+    // pairs, so the totals match exactly.
+    "pk_curve_locality" -> s"""
+      WITH d AS (SELECT DISTINCT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+                 FROM lineitem),
+      s0 AS (SELECT x, y, x & 4294967295 AS sx, y & 4294967295 AS sy FROM d),
+      s1 AS (SELECT x, y, (sx | (sx << 16)) & 281470681808895 AS sx,
+                          (sy | (sy << 16)) & 281470681808895 AS sy FROM s0),
+      s2 AS (SELECT x, y, (sx | (sx << 8)) & 71777214294589695 AS sx,
+                          (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+      s3 AS (SELECT x, y, (sx | (sx << 4)) & 1085102592571150095 AS sx,
+                          (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+      s4 AS (SELECT x, y, (sx | (sx << 2)) & 3689348814741910323 AS sx,
+                          (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+      s5 AS (SELECT x, y, (sx | (sx << 1)) & 6148914691236517205 AS sx,
+                          (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4),
+      zc AS (SELECT x, y, (sx | (sy << 1)) AS c FROM s5),
+      hw0 AS (SELECT x, y, x AS hx, y AS hy, 0 AS d FROM d),
+      ${hilbertCtes(10)},
+      hc AS (SELECT x, y, d AS c FROM hw10),
+      jz AS (SELECT coalesce(sum(abs(x - px) + abs(y - py)), 0) AS j
+             FROM (SELECT x, y, lag(x) OVER (ORDER BY c) AS px,
+                          lag(y) OVER (ORDER BY c) AS py FROM zc)),
+      jh AS (SELECT coalesce(sum(abs(x - px) + abs(y - py)), 0) AS j
+             FROM (SELECT x, y, lag(x) OVER (ORDER BY c) AS px,
+                          lag(y) OVER (ORDER BY c) AS py FROM hc)),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM d)
+      SELECT 'h' AS curve, n.n_points, CAST(jh.j AS BIGINT) AS total_jump
+      FROM jh CROSS JOIN n
+      UNION ALL
+      SELECT 'z' AS curve, n.n_points, CAST(jz.j AS BIGINT) AS total_jump
+      FROM jz CROSS JOIN n
+      ORDER BY curve""",
     // the full 3-iteration PageRank recurrence, unrolled. All float
     // literals carry e0 so DuckDB stays in DOUBLE (plain 0.85 would go
     // DECIMAL and make 1 - 0.85 exact where IEEE gives 0.1500...02).
@@ -4068,6 +4203,33 @@ object SparkEntry {
              JOIN k6 a ON c.src = a.src JOIN k6 b ON c.dst = b.src)
       SELECT src AS node, count(*) AS deg FROM e6
       GROUP BY src ORDER BY node""",
+    "gr_linkpred" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+                  WHERE l_orderkey % 4 = 1),
+      e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM li a JOIN li b USING (ok) WHERE a.p <> b.p),
+      c AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e),
+      adj AS (SELECT u AS w, v AS n FROM c
+              UNION ALL SELECT v AS w, u AS n FROM c),
+      deg AS (SELECT w, CAST(count(*) AS BIGINT) AS degree
+              FROM adj GROUP BY w),
+      cn AS (SELECT a.n AS x, b.n AS y, CAST(count(*) AS BIGINT) AS cn
+             FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+             GROUP BY a.n, b.n),
+      cand AS (SELECT cn.x, cn.y, cn.cn FROM cn
+               WHERE cn.cn >= 6
+                 AND NOT EXISTS (SELECT 1 FROM c
+                                 WHERE c.u = cn.x AND c.v = cn.y))
+      SELECT cand.x AS u, cand.y AS v, cand.cn,
+             du.degree AS deg_u, dv.degree AS deg_v,
+             round(CAST(cand.cn AS DOUBLE)
+               / CAST(du.degree + dv.degree - cand.cn AS DOUBLE), 6)
+               AS jaccard
+      FROM cand
+      JOIN deg du ON du.w = cand.x
+      JOIN deg dv ON dv.w = cand.y
+      ORDER BY u, v""",
     "gr_assortativity" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
                   WHERE l_orderkey % 4 = 1),

@@ -49,4 +49,68 @@ object Layout {
       .repartitionByRange(numPartitions, col("_z"))
       .drop("_z")
   }
+
+  /** Hilbert-curve index of (`xCol`, `yCol`) on the 2^bits × 2^bits
+    * grid, added as column `out` — the space-filling curve with
+    * strictly better locality than Z-order: successive curve positions
+    * are always Manhattan-distance 1 apart (Z-order jumps across the
+    * plane at power-of-two seams), so range-partitioned files cover
+    * tighter (x, y) rectangles and min/max pruning cuts deeper on
+    * two-column range predicates.
+    *
+    * Standard per-level rotate-and-accumulate (the quadrant walk of
+    * Hilbert's construction), unrolled `bits` times as plain integer
+    * column arithmetic: each level is its own projection so the level's
+    * rx/ry quadrant bits are named attributes — reused, not re-derived,
+    * keeping the codegen'd expression tree linear in `bits` rather than
+    * exponential. No UDF, no driver work, bit-for-bit reproducible in
+    * any engine.
+    */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
+      out: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val mask = (1L << bits) - 1
+    var d = df
+      .withColumn("_hx", col(xCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn("_hy", col(yCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn(out, lit(0L))
+    for (k <- bits - 1 to 0 by -1) {
+      val s = 1L << k
+      d = d
+        .withColumn("_rx",
+          when(col("_hx").bitwiseAND(lit(s)) =!= 0L, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("_ry",
+          when(col("_hy").bitwiseAND(lit(s)) =!= 0L, lit(1L))
+            .otherwise(lit(0L)))
+      val flipX = when(col("_rx") === 1L, lit(s - 1) - col("_hx"))
+        .otherwise(col("_hx"))
+      val flipY = when(col("_rx") === 1L, lit(s - 1) - col("_hy"))
+        .otherwise(col("_hy"))
+      d = d
+        .withColumn(out, col(out) + lit(s) * lit(s) *
+          (lit(3L) * col("_rx")).bitwiseXOR(col("_ry")))
+        // rotate: flip both coords when rx=1, then swap — only in the
+        // ry=0 half; materialized as fresh columns so the next level
+        // references attributes, not nested CASE trees
+        .withColumn("_nx", when(col("_ry") === 0L, flipY)
+          .otherwise(col("_hx")))
+        .withColumn("_ny", when(col("_ry") === 0L, flipX)
+          .otherwise(col("_hy")))
+        .withColumn("_hx", col("_nx"))
+        .withColumn("_hy", col("_ny"))
+    }
+    d.drop("_hx", "_hy", "_rx", "_ry", "_nx", "_ny")
+  }
+
+  /** Range-partition `df` by the Hilbert index of two columns — the
+    * [[zorderBy]] layout with the tighter curve. One range-exchange
+    * (sampled bounds), no other shuffle. */
+  def hilbertBy(df: DataFrame, c1: String, c2: String,
+      numPartitions: Int, bits: Int = 16): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    withHilbertValue(df, c1, c2, "_h", bits)
+      .repartitionByRange(numPartitions, col("_h"))
+      .drop("_h")
+  }
 }

@@ -308,4 +308,35 @@ class GraphsSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == next, "the returned labeling must be a fixpoint")
   }
+
+  test("linkPrediction: hand wedge counts, adjacency excluded, hub cap") {
+    // square 1-2-3-4-1 plus hub 9 linked to everyone: non-adjacent
+    // pairs are the square's diagonals (1,3) and (2,4)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val hub = Seq(9L -> 1L, 9L -> 2L, 9L -> 3L, 9L -> 4L)
+    val e = (sq ++ hub).toDF("src", "dst")
+    val r = Graphs.linkPrediction(e, "src", "dst")
+      .select($"u", $"v", $"cn", $"deg_u", $"deg_v", $"jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    // (1,3): common neighbors {2, 4, 9} = 3; deg 3 each;
+    // jaccard = 3/(3+3-3) = 1.0 (identical neighbor sets)
+    assert(r((1L, 3L))._3 == 3L && r((1L, 3L))._4 == 3L)
+    assert(r((1L, 3L))._6 == 1.0)
+    assert(r((2L, 4L))._3 == 3L)
+    // adjacent pairs never appear, even with common neighbors
+    assert(!r.contains((1L, 2L)) && !r.contains((1L, 9L)))
+    assert(r.size == 2)
+    // capping out the degree-4 hub drops it from every wedge center:
+    // cn falls to 2 (the square corners), degrees stay full-graph
+    val capped = Graphs.linkPrediction(e, "src", "dst",
+      maxCenterDegree = Some(3))
+      .select($"u", $"v", $"cn", $"deg_u", $"deg_v")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    assert(capped((1L, 3L))._3 == 2L && capped((1L, 3L))._4 == 3L)
+    // minCommon filters below-threshold pairs
+    assert(Graphs.linkPrediction(e, "src", "dst", minCommon = 4)
+      .count() == 0L)
+  }
 }

@@ -272,4 +272,43 @@ class PackingMixtureSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("withHilbertValue: bijection on the grid, unit-step adjacency, " +
+      "reference first quadrant") {
+    import graft.operators.Layout
+    // full 8×8 grid at bits=3: h must be a bijection onto 0..63 and
+    // every successive curve step must move by EXACTLY one Manhattan
+    // unit — the property Z-order lacks (its seam jumps are long)
+    val grid = (for (x <- 0 until 8; y <- 0 until 8)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val walk = Layout.withHilbertValue(grid, "x", "y", "h", bits = 3)
+      .select($"h", $"x", $"y").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(walk.map(_._1).toSeq == (0L until 64L))
+    walk.sliding(2).foreach {
+      case Array((_, x1, y1), (_, x2, y2)) =>
+        assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1L,
+          s"non-unit step at ($x1,$y1)->($x2,$y2)")
+      case _ =>
+    }
+    // bits=1 base case, the canonical U shape: (0,0)=0 (0,1)=1
+    // (1,1)=2 (1,0)=3
+    val base = Layout.withHilbertValue(
+      Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y"),
+      "x", "y", "h", bits = 1)
+      .select($"x", $"y", $"h").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(base((0L, 0L)) == 0L && base((0L, 1L)) == 1L &&
+      base((1L, 1L)) == 2L && base((1L, 0L)) == 3L)
+    // locality beats Z-order on the same grid: total Manhattan jump
+    // along the curve is 63 (all unit steps) vs Z's seam jumps
+    val zWalk = grid
+      .select($"x", $"y", Layout.zValue2($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val zJump = zWalk.sliding(2).collect {
+      case Array((x1, y1, _), (x2, y2, _)) =>
+        math.abs(x2 - x1) + math.abs(y2 - y1)
+    }.sum
+    assert(zJump > 63L)
+  }
 }
