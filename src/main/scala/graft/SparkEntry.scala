@@ -111,16 +111,17 @@ object SparkEntry {
       .select("src", "dst").distinct()
   }
 
-  /** Dirty-record synthesis for the entity-resolution gates: half the
-    * part rows, each name either untouched, one char dropped at a
+  /** Dirty-record synthesis for the entity-resolution gates: a quarter
+    * of the part rows, each name either untouched, one char dropped at a
     * deterministic id-keyed position (first two chars safe), or one
     * char inserted at position 3 — pure substr arithmetic, so DuckDB
     * replays the corruption exactly. (id, s) with s the dirty string.
     */
-  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+  private def erRecords(s: SparkSession, dir: String,
+      mod: Int = 4): DataFrame = {
     val raw = lower(col("p_name"))
     val dropAt = (col("id") % 7) + lit(3)
-    T(s, dir, "part").filter(col("p_partkey") % 2 === 0)
+    T(s, dir, "part").filter(col("p_partkey") % mod === 0)
       .select(col("p_partkey").as("id"), raw.as("raw"))
       .select(col("id"),
         when(col("id") % 3 === 1,
@@ -874,7 +875,7 @@ object SparkEntry {
     // recursive min-label CTE — integer-exact per row.
     "er_entities" -> ((s, dir) =>
       operators.RecordLinkage.resolveEntities(
-          erRecords(s, dir), "id", "s", erBlockKey,
+          erRecords(s, dir, mod = 8), "id", "s", erBlockKey,
           maxDist = 2, maxBlock = 20000)
         .select(col("id"), col("entity"))
         .orderBy("id")),
@@ -1779,17 +1780,22 @@ object SparkEntry {
     }),
 
     // Link prediction on the co-purchase graph: non-adjacent part
-    // pairs with ≥6 common neighbors, scored by neighbor-set Jaccard.
-    // cn/degrees are integers; jaccard is one integer division —
-    // DuckDB replays the wedge join, the NOT EXISTS anti-join, and
-    // the division. Exact path (no center cap): the co-purchase
-    // graph's degree is order-size-bounded, so Σ deg² stays tame.
+    // pairs with ≥4 common neighbors, scored by neighbor-set Jaccard,
+    // top-200 by (cn, pair id) — cn is integer so the cut is
+    // ULP-proof, and the bound holds at any sf (common-neighbor
+    // overlap THINS as the graph grows: more parts dilute pair
+    // co-occurrence, so a fixed threshold that is rich at sf0.01 is
+    // nearly empty at sf0.1). cn/degrees are integers; jaccard is one
+    // integer division — DuckDB replays the wedge join, the NOT
+    // EXISTS anti-join, and the division. Exact path (no center cap):
+    // the co-purchase degree is order-size-bounded, so Σ deg² is tame.
     "gr_linkpred" -> ((s, dir) =>
       operators.Graphs.linkPrediction(coPurchaseEdges(s, dir),
-          "src", "dst", minCommon = 6)
+          "src", "dst", minCommon = 4)
         .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
           round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("u", "v")),
+        .orderBy(col("cn").desc, col("u"), col("v"))
+        .limit(200)),
 
     // Convergence-exit contract, gate-level: a tol run must (a) stop
     // BEFORE the cap, (b) equal the fixed-iteration form at the count
@@ -4218,7 +4224,7 @@ object SparkEntry {
              FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
              GROUP BY a.n, b.n),
       cand AS (SELECT cn.x, cn.y, cn.cn FROM cn
-               WHERE cn.cn >= 6
+               WHERE cn.cn >= 4
                  AND NOT EXISTS (SELECT 1 FROM c
                                  WHERE c.u = cn.x AND c.v = cn.y))
       SELECT cand.x AS u, cand.y AS v, cand.cn,
@@ -4229,7 +4235,7 @@ object SparkEntry {
       FROM cand
       JOIN deg du ON du.w = cand.x
       JOIN deg dv ON dv.w = cand.y
-      ORDER BY u, v""",
+      ORDER BY cand.cn DESC, u, v LIMIT 200""",
     "gr_assortativity" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
                   WHERE l_orderkey % 4 = 1),
@@ -5491,7 +5497,7 @@ object SparkEntry {
     "er_pairs" -> """
       WITH r AS (
         SELECT p_partkey AS id, lower(p_name) AS raw
-        FROM part WHERE p_partkey % 2 = 0),
+        FROM part WHERE p_partkey % 4 = 0),
       rec AS (
         SELECT id,
                CASE WHEN id % 3 = 1
@@ -5519,7 +5525,7 @@ object SparkEntry {
     "er_entities" -> """
       WITH RECURSIVE r AS (
         SELECT p_partkey AS id, lower(p_name) AS raw
-        FROM part WHERE p_partkey % 2 = 0),
+        FROM part WHERE p_partkey % 8 = 0),
       rec AS (
         SELECT id,
                CASE WHEN id % 3 = 1
