@@ -2241,6 +2241,35 @@ object SparkEntry {
           .orderBy("user_id", "first_id", "then_id")
       }),
 
+    // REAL stream-static enrichment: the events stream broadcast-joined
+    // to the static customer dim at ingest, aggregated per (segment,
+    // event type). Stateless join + complete-mode agg; one AvailableNow
+    // pass ≡ the batch join, which DuckDB replays directly.
+    "st_stream_enrich" -> ((s, dir) =>
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(rawSchema)
+          .parquet(s"$dir/events.[p]arquet")
+          .transform(d => graft.sources.Sources.normalizeTs(d, "ts"))
+        val dim = T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val agg = graft.streaming.EventStreams
+          .enrichWithDim(src, dim, "user_id", "c_custkey")
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        s.catalog.dropTempView("st_stream_enrich_tbl") // stale prior rep
+        val q = agg.writeStream.format("memory")
+          .queryName("st_stream_enrich_tbl")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("st_stream_enrich_tbl")
+          .select(col("c_mktsegment"), col("event_type"), col("n"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy("c_mktsegment", "event_type")
+      }),
+
     // Correlation/covariance battery per group: Pearson corr plus
     // sample/population covariance — the moment aggregates q18 didn't
     // cover, all map-side-combinable.
@@ -3953,6 +3982,11 @@ object SparkEntry {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.user_id < 100
       ORDER BY a.user_id, first_id, then_id""",
+    "st_stream_enrich" -> """
+      SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+             round(sum(e.value), 2) AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     "st_funnel" -> """
       SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
       FROM events a JOIN events b

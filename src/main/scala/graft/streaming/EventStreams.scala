@@ -184,4 +184,19 @@ object EventStreams {
         sum(col("value")).as("total_value"))
       .drop("session_no")
   }
+
+  /** Stream-static enrichment: join the event stream against a static
+    * (batch) dimension on `streamKey` = `dimKey` — the canonical
+    * "attach the user/customer attributes at ingest" shape. The dim
+    * side is explicitly `broadcast()`: a stream-static join replans
+    * the static side per micro-batch, and a hash-shuffle there would
+    * shuffle EVERY micro-batch; broadcast keeps the stream side's
+    * partitioning untouched (at 100 TB/day of events the dim is the
+    * small side by construction, and a too-big dim belongs in a
+    * keyed-state lookup instead). Stateless: no watermark needed for
+    * the join itself — downstream aggregations own their state.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
 }

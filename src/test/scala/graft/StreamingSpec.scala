@@ -373,6 +373,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream-static broadcast join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((10L, "BUILDING"), (11L, "MACHINERY")).toDF("key", "seg")
+    val enriched = EventStreams.enrichWithDim(
+      input.toDF(), dim, "user_id", "key")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 10, "click", 1.0),
+        Event(2, ts(6), 11, "view", 2.0),
+        Event(3, ts(7), 99, "click", 3.0)) // no dim row: dropped
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select($"event_id", $"seg").as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(1L -> "BUILDING", 2L -> "MACHINERY"))
+    } finally q.stop()
+    // the dim side must be broadcast — a shuffle there would repeat
+    // per micro-batch (assert on the batch twin: a streaming frame
+    // cannot be planned outside writeStream)
+    val batchTwin = EventStreams.enrichWithDim(
+      Seq(Event(1, ts(5), 10, "click", 1.0)).toDF(), dim, "user_id", "key")
+    assert(batchTwin.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("sessionize: sessions close on inactivity gap (event-time)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
