@@ -26,9 +26,6 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.nanosTimestampParquet(s, s"$dir/events.parquet", "ts")
 
-  /** Directed co-purchase edges for the gr_* graph gates: parts linked
-    * when they ship in the same order (symmetric by construction),
-    * thinned to a quarter of orders to keep the gate lean. */
   /** DuckDB CTE chain replaying `n` BPE training iterations over a
     * `syms0(word, c, s)` vocab frame: per iteration a pair-count
     * argmax (`best$i`) and a recursive-CTE greedy left-to-right fold
@@ -101,6 +98,9 @@ object SparkEntry {
               FROM hw$i))"""
     }.mkString(",")
 
+  /** Directed co-purchase edges for the gr_* graph gates: parts linked
+    * when they ship in the same order (symmetric by construction),
+    * thinned to a quarter of orders to keep the gate lean. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
       .filter(col("l_orderkey") % 4 === 1)
@@ -2290,6 +2290,24 @@ object SparkEntry {
       operators.Outliers.spearman(
           T(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
         .select(col("n"), round(col("spearman"), 6).as("spearman"))),
+
+    // Theil–Sen robust daily trend per event type: daily means are
+    // pre-rounded to 2 decimals (heals cross-engine sum-order ULP),
+    // after which every pairwise slope and both medians are identical
+    // IEEE arithmetic on identical inputs — DuckDB replays the whole
+    // estimator (pair join + quantile_cont 0.5, the same type-7
+    // interpolation as Spark's percentile).
+    "st_theilsen" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+        .agg((round(sum(col("value")), 2) / count(lit(1))).as("m"))
+      operators.Outliers.theilSen(daily, Seq("event_type"), "day", "m")
+        .select(col("event_type"), col("n_points"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+        .orderBy("event_type")
+    }),
 
     // Exact type-7 quantiles over the prefix-sum order-statistic
     // lookup — no global sort, no single-executor percentile buffer.
@@ -5831,6 +5849,36 @@ object SparkEntry {
        FROM d)
       SELECT CAST(count(*) AS BIGINT) AS n,
              round(corr(rx, ry), 6) AS spearman FROM r""",
+    "st_theilsen" -> """
+      WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS DOUBLE) AS day,
+               round(sum(value), 2) / count(*) AS m
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)),
+      pr AS (
+        SELECT a.event_type,
+               (b.m - a.m) / (b.day - a.day) AS sl
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+      sl AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               quantile_cont(sl, 0.5) AS slope
+        FROM pr GROUP BY event_type),
+      np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+             FROM daily GROUP BY event_type),
+      ic AS (
+        SELECT d.event_type,
+               quantile_cont(d.m - s.slope * d.day, 0.5) AS intercept
+        FROM daily d JOIN sl s USING (event_type)
+        GROUP BY d.event_type)
+      SELECT np.event_type, np.n_points, coalesce(sl.n_pairs, 0) AS n_pairs,
+             round(sl.slope, 6) AS slope, round(ic.intercept, 6) AS intercept
+      FROM np
+      LEFT JOIN sl USING (event_type)
+      LEFT JOIN ic USING (event_type)
+      ORDER BY event_type""",
     "st_quantiles" -> """
       WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
                  FROM lineitem WHERE l_extendedprice IS NOT NULL)

@@ -515,4 +515,51 @@ object Outliers {
         when(varp > 0.0, (v - mean) / sqrt(varp)))
       .drop("_n", "_s", "_ss")
   }
+
+  /** Theil–Sen robust trend per group: slope = median of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j, intercept =
+    * median of (y_i − slope·x_i) — the regression line that shrugs
+    * off up to ~29% outliers where least squares chases them (Sen
+    * 1968). The metric-drift fit for per-key daily series: "is this
+    * source's quality trending down, ignoring the two crawl-glitch
+    * days".
+    *
+    * Scale contract: the pair join is PER GROUP O(n²) — built for
+    * series of bounded length (daily/hourly rollups: n ≤ a few
+    * thousand, pairs ≤ millions per group); the distributed dimension
+    * is the NUMBER of groups, each group's pairs co-located by the
+    * group-key equi-join. Feed it raw event rows and you asked for
+    * n² on purpose. `percentile` medians are exact and group-bounded.
+    *
+    * Returns one row per group: (groups..., n_points, n_pairs, slope,
+    * intercept); slope NULL when n < 2 (no pairs). Ties in x are
+    * skipped (vertical pairs have no slope), the standard Theil–Sen
+    * convention.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen needs at least one group column")
+    val gcols = groupCols.map(col)
+    val pts = df.select(gcols :+ col(xCol).cast("double").as("_x") :+
+      col(yCol).cast("double").as("_y"): _*)
+    val a = pts.toDF(groupCols ++ Seq("_xi", "_yi"): _*)
+    val b = pts.toDF(groupCols ++ Seq("_xj", "_yj"): _*)
+    val slopes = a.join(b, groupCols)
+      .filter(col("_xi") < col("_xj"))
+      .withColumn("_m",
+        (col("_yj") - col("_yi")) / (col("_xj") - col("_xi")))
+    val slope = slopes.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("_m"), lit(0.5)).as("slope"))
+    val n = pts.groupBy(gcols: _*).agg(count(lit(1)).as("n_points"))
+    val inter = pts.join(slope, groupCols)
+      .groupBy(gcols: _*)
+      .agg(percentile(col("_y") - col("slope") * col("_x"), lit(0.5))
+        .as("intercept"))
+    n.join(slope, groupCols.toSeq, "left_outer")
+      .join(inter, groupCols.toSeq, "left_outer")
+      .select(gcols :+ col("n_points") :+
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
+        col("slope") :+ col("intercept"): _*)
+  }
 }

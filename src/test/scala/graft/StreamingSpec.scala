@@ -221,6 +221,33 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, Long, Option[Double])].collect().head == ((6L, 0L, None)))
   }
 
+  test("theilSen: hand medians, outlier immunity, ties-in-x skipped, n<2") {
+    import graft.operators.Outliers
+    // y = 2x + 1 exactly, one wild outlier at x=4: pairwise slopes not
+    // involving the outlier are all 2, so the median stays 2 and the
+    // intercept median stays 1 (least squares would be dragged far off)
+    val d = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+      ("a", 4.0, 100.0),
+      ("b", 5.0, 9.9)).toDF("g", "x", "y")
+    val r = Outliers.theilSen(d, Seq("g"), "x", "y")
+      .select($"g", $"n_points", $"n_pairs", $"slope", $"intercept")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("a")._2 == 5L && r("a")._3 == 10L)
+    assert(r("a")._4.contains(2.0) && r("a")._5.contains(1.0))
+    // single point: no pairs, NULL slope/intercept
+    assert(r("b")._2 == 1L && r("b")._3 == 0L && r("b")._4.isEmpty)
+    // duplicate x values produce no vertical-pair slopes
+    val tied = Seq(("t", 1.0, 0.0), ("t", 1.0, 10.0), ("t", 2.0, 4.0))
+      .toDF("g", "x", "y")
+    val t = Outliers.theilSen(tied, Seq("g"), "x", "y")
+      .select($"n_pairs", $"slope").as[(Long, Option[Double])].head()
+    // pairs: (1,2) from each of the two x=1 rows -> slopes 4, -6;
+    // median = -1
+    assert(t._1 == 2L && t._2.contains(-1.0))
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
