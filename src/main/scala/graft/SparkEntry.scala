@@ -288,6 +288,19 @@ object SparkEntry {
           round(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")),
 
+    // Filtered k-NN (the store's searchWhere shape, relational form):
+    // top-k over ONLY the rows passing a metadata predicate —
+    // pre-filter, so k is filled from the filtered pool. The filter
+    // reaches the parquet scan as a pushed predicate on `label`.
+    "vs_filtered_knn" -> ((s, dir) =>
+      SimilarityJoin.knnL2(
+          T(s, dir, "embeddings").filter(col("label") % 3 === 1),
+          "vec_id", "embedding",
+          knnQueries(s, dir, 3), "qid", "qvec", k = 5)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          round(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")),
+
     // Store-level ANN with tombstone-consistent results: a REAL
     // tombstone-layout VectorStore is populated from the embeddings
     // table (sorted single-partition insertDF ⇒ assigned ids == vec_id),
@@ -3295,6 +3308,19 @@ object SparkEntry {
       FROM embeddings ORDER BY vec_id""",
     "vs_knn" -> knnOracle,
     "vs_knn_agg" -> knnOracle,
+    "vs_filtered_knn" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT q.qid, e.vec_id, list_distance(e.embedding, q.qvec) AS distance
+        FROM embeddings e CROSS JOIN q WHERE e.label % 3 = 1),
+      ranked AS (
+        SELECT qid, vec_id, distance,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY distance, vec_id) AS rn
+        FROM scored)
+      SELECT qid, vec_id, rn, round(CAST(distance AS DOUBLE), 4) AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "vs_knn_cosine" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 2),
       scored AS (

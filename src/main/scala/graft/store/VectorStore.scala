@@ -333,6 +333,43 @@ class VectorStore private (
       SearchRecord(r.getLong(2), r.getSeq[Float](3).toArray, r.getString(4), r.getFloat(5)))
   }
 
+  /** Filtered k-NN: exact top-k by L2 among rows whose `doc` JSON value
+    * at `$.path` is in `values` — the filter-then-search contract every
+    * modern vector store exposes (pre-filter: distances are computed
+    * ONLY on survivors, so recall is exact over the filtered set;
+    * post-filtering a plain top-k would under-fill k whenever matches
+    * are rare). No reference analogue (beyond-reference surface:
+    * vector_store.py has query_by_doc :334-356 and search :275-332 but
+    * not their composition). `k` caps at the match count — the filter
+    * decides the candidate set size, and erroring on a selective filter
+    * would make the API unusable; ties and dimension checks follow
+    * [[search]].
+    */
+  def searchWhere(queries: Seq[Array[Float]], k: Int,
+      pathSteps: Seq[String], values: Seq[Any]): Seq[Seq[SearchRecord]] = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    if (k <= 0)
+      throw new IllegalArgumentException(s"k must be a positive integer, got $k")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"query $i has dimension ${q.length}, store dimension is $dim")
+    }
+    val jsonPath = "$." + pathSteps.mkString(".")
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    val w = Window.partitionBy($"qid").orderBy($"distance", $"id")
+    val hits = table
+      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
+      .crossJoin(broadcast(qdf))
+      .withColumn("distance", l2_distance($"vec", $"qvec"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"id", $"vec", $"doc", $"distance")
+      .collect()
+    assemble(hits, queries.size)(r =>
+      SearchRecord(r.getLong(2), r.getSeq[Float](3).toArray, r.getString(4), r.getFloat(5)))
+  }
+
   /** Fuzzy doc search: top-k by Indel distance over the raw JSON text
     * (reference: vector_store.py:358-401). `k <= 0` raises; `k > n` caps
     * at n (the reference's documented asymmetry, test/tests.py:609-617).

@@ -217,6 +217,29 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
   private def freshStore2(): VectorStore =
     VectorStore.openOrCreate(spark, Files.createTempDirectory("graft-vs2").toString + "/store", 10)
 
+  test("searchWhere: pre-filter semantics, k caps at match count, errors") {
+    val s = freshStore()
+    s.insert(eye(10).take(4), Seq(
+      """{"t": "a"}""", """{"t": "b"}""", """{"t": "a"}""", """{"t": "b"}"""))
+    // query = e0: unfiltered nearest is id 0, but filter t=b restricts
+    // to {1, 3}; both at distance sqrt(2), tie toward lower id
+    val q = Array.tabulate(10)(j => if (j == 0) 1f else 0f)
+    val hits = s.searchWhere(Seq(q), k = 2, Seq("t"), Seq("b")).head
+    assert(hits.map(_.id) == Seq(1L, 3L))
+    assert(hits.forall(h => math.abs(h.distance - math.sqrt(2f).toFloat) < 1e-6))
+    // k larger than the match count caps (filter decides the pool)
+    assert(s.searchWhere(Seq(q), k = 10, Seq("t"), Seq("b")).head.size == 2)
+    // no matches: empty result, not an error
+    assert(s.searchWhere(Seq(q), k = 1, Seq("t"), Seq("zzz")).head.isEmpty)
+    // contract errors follow search
+    intercept[IllegalArgumentException] {
+      s.searchWhere(Seq(q), k = 0, Seq("t"), Seq("b"))
+    }
+    intercept[IllegalArgumentException] {
+      s.searchWhere(Seq(Array(1f, 2f)), k = 1, Seq("t"), Seq("b"))
+    }
+  }
+
   test("searchByDoc goldens (tests.py:545-565)") {
     val s = freshStore()
     s.insert(eye(10).take(5), genDocs(0 until 5))
