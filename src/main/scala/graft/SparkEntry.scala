@@ -3273,6 +3273,27 @@ object SparkEntry {
           round(element_at(col("feature"), 3) * 255).cast("bigint").as("mean_r_255"))
         .orderBy("media_id", "frame_no")
     }),
+
+    // Scene-change detection through the REAL AVI demux: 12-frame
+    // videos whose luma holds for 4 frames then jumps (±97 mod 251 ⇒
+    // |Δ| ∈ {97, 154}, both > the 40 threshold), so every video has
+    // boundaries at exactly frames 4 and 8. DuckDB replays the
+    // closed-form luma series and the lag — integer-exact.
+    "mm_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val codecs = graft.multimodal.Multimodal.Codecs
+          val frames = (0 until 12).map { f =>
+            val luma = ((id * 7 + (f / 4) * 97) % 251).toInt
+            codecs.encodeBmp(6, 3, Array.fill(54)(luma.toByte))
+          }
+          (id, "video", codecs.encodeAvi(6, 3, 40000, frames))
+        }).toDF("media_id", "kind", "payload")
+      graft.multimodal.Multimodal
+        .sceneChanges(media, nFrames = 12, threshold = 40)
+        .orderBy("media_id", "frame_no")
+    }),
   )
 
   // ---------------------------------------------------------------- //
@@ -5129,6 +5150,24 @@ object SparkEntry {
                        ELSE doc_id * 11 % 251 END AS BIGINT) AS mean_r_255
       FROM documents, (SELECT 0 AS frame_no UNION ALL SELECT 1) f
       ORDER BY media_id, f.frame_no""",
+    "mm_scenes" -> """
+      WITH fr AS (
+        SELECT doc_id AS media_id, f.range AS frame_no,
+               (doc_id * 7 + (f.range // 4) * 97) % 251 AS mean_255
+        FROM documents, range(12) f),
+      lagged AS (
+        SELECT media_id, frame_no,
+               lag(mean_255) OVER (PARTITION BY media_id
+                                   ORDER BY frame_no) AS prev_mean_255,
+               mean_255
+        FROM fr)
+      SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+             CAST(prev_mean_255 AS BIGINT) AS prev_mean_255,
+             CAST(mean_255 AS BIGINT) AS mean_255,
+             CAST(abs(mean_255 - prev_mean_255) AS BIGINT) AS delta
+      FROM lagged
+      WHERE abs(mean_255 - prev_mean_255) > 40
+      ORDER BY media_id, frame_no""",
     "tx_token_stats" -> """
       WITH t AS (SELECT doc_id, n_chars,
                         string_split_regex(lower(text), '\s+') AS toks

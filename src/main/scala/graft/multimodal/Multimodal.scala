@@ -621,6 +621,34 @@ object Multimodal {
       .toDF("media_id", "frame_no", "feature")
   }
 
+  /** Scene-change detection over decoded video frames: a boundary is a
+    * frame whose mean-luma jump from its predecessor exceeds
+    * `threshold` (0–255 scale) — the shot-segmentation primitive a
+    * video-curation pipeline keys clip extraction and per-scene
+    * dedup/captioning on. Runs on [[sampleFrames]] output, so the
+    * decode is the same real AVI demux path; the lag window partitions
+    * per video (state bounded by frames-per-video, never corpus size).
+    *
+    * Returns boundary rows (media_id, frame_no, prev_mean_255,
+    * mean_255, delta) with integer 0–255 means; frame 0 is never a
+    * boundary (no predecessor).
+    */
+  def sceneChanges(media: DataFrame, nFrames: Int,
+      threshold: Int, dim: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleFrames(media, nFrames, dim)
+      .select(col("media_id"), col("frame_no"),
+        round(element_at(col("feature"), 3) * 255).cast("long")
+          .as("mean_255"))
+    val w = Window.partitionBy("media_id").orderBy("frame_no")
+    frames
+      .withColumn("prev_mean_255", lag("mean_255", 1).over(w))
+      .withColumn("delta", abs(col("mean_255") - col("prev_mean_255")))
+      .filter(col("delta") > threshold)
+      .select(col("media_id"), col("frame_no"), col("prev_mean_255"),
+        col("mean_255"), col("delta"))
+  }
+
   /** Wrap a text/binary table into the canonical media schema — used to
     * exercise the pipeline with the synthetic fixtures (documents bytes
     * as stand-in payloads).

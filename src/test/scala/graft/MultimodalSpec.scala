@@ -157,6 +157,28 @@ class MultimodalSpec extends SparkSuite {
       .as[Int].collect().toSeq == Seq(0, 1, 2))
   }
 
+  test("sceneChanges: jump frames flagged, flat video silent, frame 0 never") {
+    import Multimodal.Codecs
+    // video A: luma 10 for frames 0-3, 200 for 4-7, back to 10 for 8-9
+    // video B: constant luma — no scenes
+    val shades = Map(
+      1L -> Seq(10, 10, 10, 10, 200, 200, 200, 200, 10, 10),
+      2L -> Seq.fill(10)(80))
+    val media = shades.toSeq.map { case (id, ss) =>
+      (id, "video", Codecs.encodeAvi(6, 3, 40000,
+        ss.map(sh => Codecs.encodeBmp(6, 3, Array.fill(54)(sh.toByte)))))
+    }.toDF("media_id", "kind", "payload")
+    val b = Multimodal.sceneChanges(media, nFrames = 10, threshold = 50)
+      .select($"media_id", $"frame_no", $"prev_mean_255", $"mean_255",
+        $"delta")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(b.toSeq == Seq(
+      (1L, 4, 10L, 200L, 190L), (1L, 8, 200L, 10L, 190L)))
+    // threshold above the jump: nothing flagged
+    assert(Multimodal.sceneChanges(media, nFrames = 10, threshold = 200)
+      .count() == 0)
+  }
+
   test("AVI round-trip (DIB profile): demux recovers header and per-frame stats") {
     import Multimodal.Codecs
     // two solid-shade 6x3 BMP frames wrapped in a real AVI container
