@@ -918,6 +918,25 @@ object SparkEntry {
           TextAnalysis.gopherPass(col("text")).as("passes"): _*)
         .orderBy("doc_id")),
 
+    // Flesch / Flesch-Kincaid readability: integer word/sentence/
+    // vowel-group counts plus two fixed-coefficient rational scores —
+    // no transcendental, full-row hash gate. Sentence runs are
+    // synthesized (the corpus is unpunctuated word-salad) by
+    // terminating every 8th token, deterministically per doc.
+    "tx_readability" -> ((s, dir) => {
+      val punct = concat(
+        regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s+", "$1. "),
+        lit("."))
+      T(s, dir, "documents")
+        .select(col("doc_id"), punct.as("t"))
+        .select(col("doc_id") +:
+          TextAnalysis.readability(col("t")).map { case (n, c) =>
+            if (n == "flesch" || n == "fk_grade") round(c, 4).as(n)
+            else c.as(n)
+          }: _*)
+        .orderBy("doc_id")
+    }),
+
     // PII detect/redact: the corpus text is pure [a-z ] word-salad, so
     // PII is synthesized deterministically from doc_id on BOTH sides
     // (the mm_* decode-proof pattern) — the gate then checks the real
@@ -2320,6 +2339,22 @@ object SparkEntry {
           round(col("slope"), 6).as("slope"),
           round(col("intercept"), 6).as("intercept"))
         .orderBy("event_type")
+    }),
+
+    // Sample autocorrelation of the daily event-value series at lags
+    // 1..5 per event type — same pre-rounded daily means as
+    // st_theilsen; sums over ≤21 centered terms keep cross-engine
+    // error ~1e-13, healed by round 6.
+    "st_acf" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+        .agg((round(sum(col("value")), 2) / count(lit(1))).as("m"))
+      operators.Resample.autocorrelation(daily, "event_type", "day", "m",
+          maxLag = 5)
+        .select(col("event_type"), col("lag"), col("n_terms"),
+          round(col("acf"), 6).as("acf"))
+        .orderBy("event_type", "lag")
     }),
 
     // Exact type-7 quantiles over the prefix-sum order-statistic
@@ -5748,6 +5783,33 @@ object SparkEntry {
              round(avg(s), 6) AS avg_score,
              round(avg(y), 6) AS frac_pos
       FROM d GROUP BY 1 ORDER BY bin""",
+    "tx_readability" -> """
+      WITH p AS (
+        SELECT doc_id,
+               regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1. ', 'g')
+                 || '.' AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(t), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS words,
+               CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                 AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+                 AS BIGINT) AS syllables
+        FROM p)
+      SELECT doc_id, words, sentences, syllables,
+             round(CASE WHEN words > 0 THEN
+               206.835e0
+                 - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+               END, 4) AS flesch,
+             round(CASE WHEN words > 0 THEN
+               0.39e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 + 11.8e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                 - 15.59e0
+               END, 4) AS fk_grade
+      FROM c ORDER BY doc_id""",
     "tx_gopher" -> """
       WITH t AS (
         SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
@@ -5914,6 +5976,34 @@ object SparkEntry {
        FROM d)
       SELECT CAST(count(*) AS BIGINT) AS n,
              round(corr(rx, ry), 6) AS spearman FROM r""",
+    "st_acf" -> """
+      WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS day,
+               round(sum(value), 2) / count(*) AS m
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)),
+      st AS (
+        SELECT event_type, avg(m) AS mean,
+               sum(m * m) - sum(m) * sum(m) / CAST(count(*) AS DOUBLE) AS den
+        FROM daily GROUP BY event_type),
+      cen AS (
+        SELECT d.event_type, d.day, d.m - st.mean AS c
+        FROM daily d JOIN st USING (event_type)),
+      l AS (SELECT unnest(range(1, 6)) AS lag),
+      num AS (
+        SELECT a.event_type, l.lag,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               sum(a.c * b.c) AS num
+        FROM l, cen a JOIN cen b
+          ON a.event_type = b.event_type
+        WHERE a.day = b.day + l.lag
+        GROUP BY a.event_type, l.lag)
+      SELECT n.event_type, n.lag, n.n_terms,
+             round(CASE WHEN st.den > 0e0 THEN n.num / st.den END, 6) AS acf
+      FROM num n JOIN st USING (event_type)
+      ORDER BY event_type, lag""",
     "st_theilsen" -> """
       WITH daily AS (
         SELECT event_type,

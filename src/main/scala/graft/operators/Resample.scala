@@ -109,4 +109,51 @@ object Resample {
       .withColumn("alarm", col("cusum") > lit(threshold))
       .drop("_dev", "_cum")
   }
+
+  /** Sample autocorrelation per key at lags 1..`maxLag` — the
+    * seasonality/persistence fingerprint of a per-key metric series
+    * (daily volume, quality drift): r_ℓ = Σ(x_t−x̄)(x_{t−ℓ}−x̄) /
+    * Σ(x_t−x̄)², the standard biased estimator (one shared
+    * denominator, so r_0 ≡ 1 and |r_ℓ| ≤ 1).
+    *
+    * Shape: one mean/denominator aggregate per key, then for each lag
+    * an equi-join of the series on (key, order − ℓ) — per-key lag
+    * windows would work too, but the join form keeps each lag a
+    * map-side-combined shuffle with no per-key ordering state, and
+    * maxLag is a literal fan-out (≤ a dozen), not a window frame.
+    * Intended for bounded rollup series per key ([[cusum]] contract);
+    * keys scale out, lags are cheap.
+    *
+    * Returns (key, lag, n_terms, acf) for lags with ≥1 overlapping
+    * term; acf NULL when the series has zero variance.
+    */
+  def autocorrelation(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val base = df.select(col(keyCol).as("_k"),
+      col(orderCol).cast("long").as("_t"), col(valueCol).cast("double").as("_x"))
+    val stats = base.groupBy("_k").agg(
+      avg(col("_x")).as("_mean"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_x")).as("_sx"),
+      count(lit(1)).as("_n"))
+      .withColumn("_den",
+        col("_sxx") - col("_sx") * col("_sx") / col("_n").cast("double"))
+    val centered = base.join(stats.select(col("_k"), col("_mean")), "_k")
+      .select(col("_k"), col("_t"), (col("_x") - col("_mean")).as("_c"))
+    val lags = (1 to maxLag).map { l =>
+      val a = centered.select(col("_k"), col("_t"), col("_c").as("_ca"))
+      val b = centered.select(col("_k"), (col("_t") + l).as("_t"),
+        col("_c").as("_cb"))
+      a.join(b, Seq("_k", "_t"))
+        .groupBy("_k").agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("_ca") * col("_cb")).as("_num"))
+        .withColumn("lag", lit(l.toLong))
+    }
+    lags.reduce(_ unionAll _)
+      .join(stats.select(col("_k"), col("_den")), "_k")
+      .select(col("_k").as(keyCol), col("lag"), col("n_terms"),
+        when(col("_den") > 0.0, col("_num") / col("_den")).as("acf"))
+  }
 }

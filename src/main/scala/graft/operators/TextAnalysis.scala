@@ -73,6 +73,35 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
   }
 
+  /** Readability counts and scores (Flesch 1948 / Kincaid 1975): the
+    * reading-ease and grade-level signals a curriculum or audience
+    * filter keys on. Words = whitespace tokens, sentences =
+    * `[.!?]+` runs (min 1 so fragments still score), syllables = the
+    * standard vowel-group heuristic `[aeiouy]+` (whitespace AND
+    * punctuation break groups, so counting over the whole lowered text
+    * equals the per-word sum). Every output is an integer or a ±·/ of
+    * integers with fixed decimal literals — no transcendental, so the
+    * scores hash-gate exactly cross-engine.
+    *
+    * Returns (words, sentences, syllables, flesch, fk_grade) columns;
+    * empty text scores NULL (no words — a ratio would divide by zero).
+    */
+  def readability(text: Column): Seq[(String, Column)] = {
+    val w = size(filter(tokens(text), t => t =!= "")).cast("long")
+    val s = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+    val syl = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val wps = w.cast("double") / s.cast("double")
+    val spw = syl.cast("double") / w.cast("double")
+    Seq(
+      "words" -> w,
+      "sentences" -> s,
+      "syllables" -> syl,
+      "flesch" -> when(w > 0,
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw),
+      "fk_grade" -> when(w > 0,
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59)))
+  }
+
   /** Composite quality score in [0,1]: rewards stopword presence and
     * moderate token length, penalizes punctuation noise.
     */

@@ -248,6 +248,28 @@ class StreamingSpec extends SparkSuite {
     assert(t._1 == 2L && t._2.contains(-1.0))
   }
 
+  test("autocorrelation: hand values, alternating series, zero variance") {
+    import graft.operators.Resample
+    val ramp = (1 to 5).map(t => ("r", t.toLong, t.toDouble)) ++
+      Seq(("z", 1L, 7.0), ("z", 2L, 7.0), ("z", 3L, 7.0)) ++
+      (1 to 6).map(t => ("alt", t.toLong, if (t % 2 == 0) 1.0 else -1.0))
+    val r = Resample.autocorrelation(ramp.toDF("k", "t", "x"),
+        "k", "t", "x", maxLag = 2)
+      .select($"k", $"lag", $"n_terms", $"acf")
+      .as[(String, Long, Long, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    // ramp 1..5: mean 3, den 10; lag1 num = 4, lag2 num = -1
+    assert(r(("r", 1L))._3 == 4L &&
+      math.abs(r(("r", 1L))._4.get - 0.4) < 1e-12)
+    assert(math.abs(r(("r", 2L))._4.get - (-0.1)) < 1e-12)
+    // alternating ±1: acf(1) = -(n-1)/n at lag 1 under the biased
+    // estimator (num = -5, den = 6), acf(2) = +4/6
+    assert(math.abs(r(("alt", 1L))._4.get - (-5.0 / 6.0)) < 1e-12)
+    assert(math.abs(r(("alt", 2L))._4.get - (4.0 / 6.0)) < 1e-12)
+    // constant series: zero variance -> NULL acf, rows still emitted
+    assert(r(("z", 1L))._4.isEmpty && r(("z", 2L))._4.isEmpty)
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
