@@ -2178,6 +2178,15 @@ object SparkEntry {
     // exactly 3 docs per source, inclusion ∝ n_chars, via the
     // -ln(u)/w exponential race over md5-derived uniforms — fully
     // deterministic, so the oracle replays the race itself.
+    // Neyman-optimal stratified allocation of a 100-doc budget across
+    // sources by n_chars variability: σ pre-rounded, then INTEGER
+    // micro-σ weights make every downstream quantity exact — the
+    // floor/largest-remainder arithmetic replays bit-for-bit.
+    "sm_neyman" -> ((s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+          T(s, dir, "documents"), Seq("source"), "n_chars", n = 100L)
+        .orderBy("source")),
+
     "sm_weighted_wor" -> ((s, dir) =>
       graft.operators.Sampling.weightedSampleWithoutReplacement(
           T(s, dir, "documents"), "doc_id", col("n_chars"), k = 3,
@@ -3852,6 +3861,44 @@ object SparkEntry {
     },
     // Replay of the A-ES exponential race: u from the 60-bit md5
     // prefix, key = -ln(u)/w, per-source (key, doc_id) top-3.
+    "sm_neyman" -> """
+      WITH m AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+               sum(CAST(n_chars AS DOUBLE)) AS sx,
+               sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS sxx
+        FROM documents GROUP BY source),
+      sg AS (
+        SELECT source, n_rows,
+               round(sqrt(greatest(
+                 (sxx - sx * sx / CAST(n_rows AS DOUBLE))
+                   / CAST(n_rows AS DOUBLE), 0e0)), 6) AS sigma_r
+        FROM m),
+      kw AS (SELECT source, n_rows, sigma_r,
+               CAST(round(sigma_r * 1e6) AS BIGINT) * n_rows AS w
+             FROM sg),
+      t AS (SELECT sum(w) AS tw, sum(n_rows) AS tn FROM kw),
+      wi AS (
+        SELECT kw.source, kw.n_rows, kw.sigma_r,
+               CASE WHEN t.tw > 0
+                    THEN CAST(kw.w AS DOUBLE) / CAST(t.tw AS DOUBLE)
+                    ELSE CAST(kw.n_rows AS DOUBLE) / CAST(t.tn AS DOUBLE)
+                 END AS weight
+        FROM kw CROSS JOIN t),
+      fi AS (
+        SELECT source, n_rows, sigma_r, weight,
+               least(CAST(floor(weight * 100e0) AS BIGINT), n_rows) AS fl,
+               weight * 100e0
+                 - CAST(least(CAST(floor(weight * 100e0) AS BIGINT), n_rows)
+                        AS DOUBLE) AS rem
+        FROM wi),
+      sh AS (SELECT 100 - coalesce(sum(fl), 0) AS short FROM fi),
+      rk AS (SELECT fi.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+             FROM fi)
+      SELECT rk.source, rk.n_rows, rk.sigma_r,
+             round(rk.weight, 6) AS weight,
+             least(rk.n_rows,
+               rk.fl + CASE WHEN rk.rk <= sh.short THEN 1 ELSE 0 END) AS alloc
+      FROM rk CROSS JOIN sh ORDER BY source""",
     "sm_weighted_wor" -> {
       val nibbles = (0 until 15).map { i =>
         val w = java.math.BigInteger.valueOf(16L).pow(14 - i)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
@@ -244,5 +245,73 @@ object Sampling {
     df.withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+  }
+
+  /** Neyman-optimal stratified allocation (Neyman 1934): split a total
+    * sample budget `n` across strata proportionally to N_h·σ_h — the
+    * allocation that minimizes the estimator variance of a stratified
+    * mean, and the difference between "sample 1% of every source" and
+    * "spend the budget where the metric actually varies".
+    *
+    * Determinism: σ_h is ROUNDED to 6 decimals before any allocation
+    * arithmetic (population variance comes from distributed sums whose
+    * order differs across engines; the tx_distinctive lesson says never
+    * rank on an unrounded float). After that everything is
+    * floor-and-largest-remainder on identical IEEE doubles, remainder
+    * ties broken by stratum key — bit-reproducible anywhere. Zero-σ
+    * strata get weight 0 (nothing to estimate); if ALL strata are
+    * degenerate the allocation falls back to N_h-proportional.
+    *
+    * Shape: one map-side-combined moment aggregate per stratum, then
+    * the allocation runs on the |strata|-row frame (windows over
+    * strata, never data). Returns (stratum..., n_rows, sigma_r,
+    * weight, alloc) with Σ alloc = min(n, Σ_{σ>0} … population caps
+    * applied: alloc_h ≤ N_h).
+    */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+      valueCol: String, n: Long): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(n >= 0, s"budget must be >= 0, got $n")
+    val gcols = strataCols.map(col)
+    val m = df.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(valueCol).cast("double")).as("_sx"),
+      sum(col(valueCol).cast("double") * col(valueCol).cast("double"))
+        .as("_sxx"))
+      .withColumn("_varp",
+        (col("_sxx") - col("_sx") * col("_sx") / col("n_rows").cast("double"))
+          / col("n_rows").cast("double"))
+      .withColumn("sigma_r",
+        round(sqrt(greatest(col("_varp"), lit(0.0))), 6))
+    // integer micro-σ weights: N_h·round(σ_h·10⁶) is an exact long, so
+    // the total is associative — NO sum-order ULP anywhere downstream
+    // (a float Σw would make floor(ideal) a half-ULP lottery, the
+    // tx_distinctive failure mode)
+    val keyed = m.withColumn("_w",
+      round(col("sigma_r") * lit(1e6)).cast("long") * col("n_rows"))
+    val tot = keyed.agg(sum(col("_w")).as("_tw"),
+      sum(col("n_rows")).as("_tn"))
+    val w = keyed.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        when(col("_tw") > 0L, col("_w").cast("double") / col("_tw").cast("double"))
+          .otherwise(col("n_rows").cast("double") / col("_tn").cast("double")))
+      .withColumn("_ideal", col("weight") * lit(n.toDouble))
+      .withColumn("_floor",
+        least(floor(col("_ideal")).cast("long"), col("n_rows")))
+      .withColumn("_rem", col("_ideal") - col("_floor").cast("double"))
+    // largest-remainder top-up to hit the budget exactly, ties by key;
+    // strata already at their population cap take no extra
+    val orderKeys = col("_rem").desc +: strataCols.map(col(_).asc)
+    val wr = Window.orderBy(orderKeys: _*)
+    val short = w.agg((lit(n) - coalesce(sum(col("_floor")), lit(0L)))
+      .as("_short"))
+    w.crossJoin(broadcast(short))
+      .withColumn("_rk", row_number().over(wr))
+      .withColumn("alloc",
+        least(col("n_rows"),
+          col("_floor") + when(col("_rk") <= col("_short"), 1L)
+            .otherwise(0L)))
+      .select(gcols :+ col("n_rows") :+ col("sigma_r") :+
+        round(col("weight"), 6).as("weight") :+ col("alloc"): _*)
   }
 }

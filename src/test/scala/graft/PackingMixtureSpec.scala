@@ -311,4 +311,34 @@ class PackingMixtureSpec extends SparkSuite {
     }.sum
     assert(zJump > 63L)
   }
+
+  test("hilbertBy layout: a 2-D range predicate touches few files, " +
+      "no more than the Z-order layout needs") {
+    import graft.operators.Layout
+    // full 64x64 grid, 16 range partitions -> each file covers one
+    // contiguous curve segment (~256 cells). The probe rectangle is
+    // deliberately NOT power-of-two aligned: it straddles Z-order's
+    // big seams, where Morton locality falls apart and Hilbert holds.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def overlappingFiles(laid: org.apache.spark.sql.DataFrame): Long = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-layout").toString
+      laid.write.mode("overwrite").parquet(dir)
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+          min($"y").as("y0"), max($"y").as("y1"))
+      // files whose min/max bounding box intersects the probe rect —
+      // exactly the files parquet row-group stats pruning must read
+      perFile.filter($"x1" >= 20 && $"x0" <= 43 && $"y1" >= 20 && $"y0" <= 43)
+        .count()
+    }
+    val nH = overlappingFiles(Layout.hilbertBy(grid, "x", "y", 16, bits = 6))
+    val nZ = overlappingFiles(Layout.zorderBy(grid, "x", "y", 16))
+    // both prune: the 24x24 probe is 14% of the area, and neither
+    // layout should touch all 16 files; Hilbert never needs more
+    assert(nH < 16 && nZ < 16, s"pruning failed: hilbert=$nH zorder=$nZ")
+    assert(nH <= nZ, s"hilbert=$nH should not exceed zorder=$nZ")
+  }
 }

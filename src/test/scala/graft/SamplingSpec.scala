@@ -234,4 +234,27 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.weightedSampleWithoutReplacement(rows, "id", col("w"), k = 7)
       .count() == 7)
   }
+
+  test("neymanAllocation: variance-weighted budget, caps, degenerate fallback") {
+    // stratum a: {0, 10} -> sigma 5; b: constant -> sigma 0;
+    // c: {0, 20, 40} -> sigma sqrt(800/3) ~ 16.33
+    val d = (Seq(("a", 0), ("a", 10)) ++ Seq.fill(3)(("b", 1)) ++
+      Seq(("c", 0), ("c", 20), ("c", 40))).toDF("g", "v")
+    val r = Sampling.neymanAllocation(d, Seq("g"), "v", n = 6L)
+      .select($"g", $"n_rows", $"sigma_r", $"weight", $"alloc")
+      .as[(String, Long, Double, Double, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("a")._2 == 2L && r("a")._3 == 5.0)
+    assert(r("b")._5 == 0L, "zero-variance stratum gets nothing")
+    // weights: a = 2*5 = 10, c = 3*16.329932 = 48.99; total ~59
+    // ideal: a = 6*10/59 = 1.017 -> floor 1; c = 4.98 -> floor 3 (cap);
+    // short = 2 -> both top up, a -> 2 (cap), c stays 3 (cap)
+    assert(r("a")._5 == 2L && r("c")._5 == 3L)
+    // all-degenerate: proportional fallback by n_rows
+    val const = Seq(("x", 5), ("x", 5), ("y", 5), ("y", 5), ("y", 5), ("y", 5))
+      .toDF("g", "v")
+    val f = Sampling.neymanAllocation(const, Seq("g"), "v", n = 3L)
+      .select($"g", $"alloc").as[(String, Long)].collect().toMap
+    assert(f("x") == 1L && f("y") == 2L)
+  }
 }
