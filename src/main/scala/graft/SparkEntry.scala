@@ -2178,6 +2178,34 @@ object SparkEntry {
     // exactly 3 docs per source, inclusion ∝ n_chars, via the
     // -ln(u)/w exponential race over md5-derived uniforms — fully
     // deterministic, so the oracle replays the race itself.
+    // Data-quality expectations: five invariants checked in ONE scan
+    // (per-rule conditional sums), report pivoted by a |rules|-bounded
+    // explode. NULL rule results count as violations (filter
+    // semantics). All integers + one exact division.
+    "vd_expectations" -> ((s, dir) =>
+      operators.Validate.report(T(s, dir, "lineitem"), Seq(
+        "quantity_range" -> col("l_quantity").between(1, 50),
+        "discount_cap" -> (col("l_discount") <= 0.08),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull,
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .select(col("rule"), col("n_rows"), col("n_violations"),
+          round(col("violation_rate"), 6).as("violation_rate"))
+        .orderBy("rule")),
+
+    // Key-uniqueness audit: the natural key is unique, the foreign key
+    // is (by construction) heavily duplicated — both from one groupBy.
+    "vd_uniqueness" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      operators.Validate.uniqueness(li, Seq("l_orderkey", "l_linenumber"))
+        .withColumn("key", lit("orderkey_linenumber"))
+        .unionAll(operators.Validate.uniqueness(li, Seq("l_partkey"))
+          .withColumn("key", lit("partkey")))
+        .select(col("key"), col("n_rows"), col("n_keys"),
+          col("n_dupe_rows"), col("max_multiplicity"))
+        .orderBy("key")
+    }),
+
     // Neyman-optimal stratified allocation of a 100-doc budget across
     // sources by n_chars variability: σ pre-rounded, then INTEGER
     // micro-σ weights make every downstream quantity exact — the
@@ -3861,6 +3889,52 @@ object SparkEntry {
     },
     // Replay of the A-ES exponential race: u from the 60-bit md5
     // prefix, key = -ln(u)/w, per-source (key, doc_id) top-3.
+    "vd_expectations" -> """
+      WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN NOT coalesce(
+                 l_quantity BETWEEN 1 AND 50, false)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+               CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.08, false)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(sum(CASE WHEN l_shipdate IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+               CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+               CAST(sum(CASE WHEN NOT coalesce(
+                 l_returnflag IN ('A', 'N', 'R'), false)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+        FROM lineitem),
+      r AS (
+        SELECT 'quantity_range' AS rule, n, v_qty AS v FROM a
+        UNION ALL SELECT 'discount_cap', n, v_disc FROM a
+        UNION ALL SELECT 'shipdate_not_null', n, v_ship FROM a
+        UNION ALL SELECT 'price_positive', n, v_price FROM a
+        UNION ALL SELECT 'flag_domain', n, v_flag FROM a)
+      SELECT rule, n AS n_rows, v AS n_violations,
+             round(CASE WHEN n > 0
+               THEN CAST(v AS DOUBLE) / CAST(n AS DOUBLE)
+               ELSE 0e0 END, 6) AS violation_rate
+      FROM r ORDER BY rule""",
+    "vd_uniqueness" -> """
+      WITH k1 AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c - 1) AS BIGINT) AS n_dupe_rows,
+               CAST(max(c) AS BIGINT) AS max_multiplicity
+        FROM (SELECT count(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)),
+      k2 AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c - 1) AS BIGINT) AS n_dupe_rows,
+               CAST(max(c) AS BIGINT) AS max_multiplicity
+        FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+      SELECT 'orderkey_linenumber' AS key, n_rows, n_keys, n_dupe_rows,
+             max_multiplicity FROM k1
+      UNION ALL
+      SELECT 'partkey', n_rows, n_keys, n_dupe_rows, max_multiplicity
+      FROM k2 ORDER BY key""",
     "sm_neyman" -> """
       WITH m AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

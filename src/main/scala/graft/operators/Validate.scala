@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the Deequ/Great-Expectations
+  * shape re-expressed as plain aggregates: a pipeline asserts "these
+  * invariants hold on today's 100 TB drop" and gets a per-rule
+  * violation report from ONE scan, not one job per rule.
+  *
+  * Design: every row rule is a boolean Column evaluated per row; the
+  * report aggregates them together in a single map-side-combined pass
+  * (per-rule conditional sums over one scan), then pivots the 1-row
+  * aggregate into per-rule rows driver-free with an explode over a
+  * literal struct array (bounded by |rules|, not data). A NULL rule
+  * result counts as a VIOLATION — filter semantics (the [[Funnel]]
+  * null lesson): a row that cannot prove the invariant does not pass
+  * it.
+  */
+object Validate {
+
+  /** Per-rule violation report: (rule, n_rows, n_violations,
+    * violation_rate), one row per rule in input order, from one scan.
+    */
+  def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val aggs = count(lit(1)).as("_n") +: rules.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$name")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"_v_$name").as("_v"))
+    }
+    one.select(col("_n"), explode(array(pairs: _*)).as("_r"))
+      .select(col("_r.rule").as("rule"), col("_n").as("n_rows"),
+        col("_r._v").as("n_violations"),
+        when(col("_n") > 0,
+          col("_r._v").cast("double") / col("_n").cast("double"))
+          .otherwise(lit(0.0)).as("violation_rate"))
+  }
+
+  /** Key-uniqueness audit for `cols`: one row (n_rows, n_keys,
+    * n_dupe_rows, max_multiplicity) — n_dupe_rows is how many rows
+    * would be dropped by a dedup on the key. NULL key components group
+    * together (a NULL-keyed pile IS a uniqueness problem).
+    */
+  def uniqueness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one key column")
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(col("_c") - 1L), lit(0L)).as("n_dupe_rows"),
+        coalesce(max(col("_c")), lit(0L)).as("max_multiplicity"))
+  }
+}

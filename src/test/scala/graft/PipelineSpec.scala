@@ -88,4 +88,38 @@ class PipelineSpec extends SparkSuite {
       corpus, "doc_id", "text", bench, "doc_id", "text", tiny)
     assert(tr2.count() > 0 && te2.count() > 0)
   }
+
+  test("validate report: hand counts, NULL counts as violation, one scan") {
+    import graft.operators.Validate
+    val d = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (15L, "a"), (null, "c"))
+      .toDF("v", "s")
+    val r = Validate.report(d, Seq(
+      "v_small" -> ($"v" <= 10),     // 15 violates; NULL violates
+      "s_domain" -> $"s".isin("a", "b")))
+      .select($"rule", $"n_rows", $"n_violations", $"violation_rate")
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r("v_small")._2 == 4L && r("v_small")._3 == 2L)
+    assert(r("v_small")._4 == 0.5)
+    assert(r("s_domain")._3 == 1L)
+    // single aggregate: the plan has exactly one Exchange (final agg)
+    val plan = Validate.report(d, Seq("x" -> $"v".isNotNull))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "rules must not multiply scans")
+  }
+
+  test("validate uniqueness: dupes counted, empty frame, null keys group") {
+    import graft.operators.Validate
+    val d = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1)).toDF("k", "n")
+    val u = Validate.uniqueness(d, Seq("k", "n"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(u == ((4L, 3L, 1L, 2L)))
+    val e = Validate.uniqueness(d.filter($"n" > 99), Seq("k"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(e == ((0L, 0L, 0L, 0L)))
+    val nulls = Seq[(String, Integer)](("x", null), ("y", null))
+      .toDF("k", "n")
+    assert(Validate.uniqueness(nulls, Seq("n"))
+      .as[(Long, Long, Long, Long)].head() == ((2L, 1L, 1L, 2L)))
+  }
 }
