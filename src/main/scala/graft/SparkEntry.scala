@@ -111,6 +111,17 @@ object SparkEntry {
       .select("src", "dst").distinct()
   }
 
+  /** Pre-rounded per-(event type, day) value means — shared input of
+    * the st_theilsen and st_acf gates: round(sum, 2)/count heals
+    * cross-engine sum-order ULP, after which both estimators run on
+    * bit-identical doubles. Day = offset from the fixture epoch.
+    */
+  private def dailyMeans(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+      .agg((round(sum(col("value")), 2) / count(lit(1))).as("m"))
+
   /** Dirty-record synthesis for the entity-resolution gates: a quarter
     * of the part rows, each name either untouched, one char dropped at a
     * deterministic id-keyed position (first two chars safe), or one
@@ -125,7 +136,7 @@ object SparkEntry {
       .select(col("p_partkey").as("id"), raw.as("raw"))
       .select(col("id"),
         when(col("id") % 3 === 1,
-          concat(col("raw").substr(lit(1), dropAt - 2),
+          concat(col("raw").substr(lit(1), dropAt - 1),
             col("raw").substr(dropAt + 1, lit(100000))))
         .when(col("id") % 3 === 2,
           concat(substring(col("raw"), 1, 2), lit("x"),
@@ -1711,6 +1722,9 @@ object SparkEntry {
           .distinct(),
         "x", "y", "h", bits = 10)
         .withColumn("z", operators.Layout.zValue2(col("x"), col("y")))
+        // five downstream actions (2 curves x inner/boundary + count):
+        // pin the distinct scan + curve arithmetic once
+        .localCheckpoint(true)
       def totalJump(curve: String): DataFrame = {
         val b = col(curve).divide(lit(4096L)).cast("long").as("bkt")
         val w = Window.partitionBy("bkt").orderBy(curve)
@@ -2367,10 +2381,7 @@ object SparkEntry {
     // estimator (pair join + quantile_cont 0.5, the same type-7
     // interpolation as Spark's percentile).
     "st_theilsen" -> ((s, dir) => {
-      val daily = events(s, dir)
-        .groupBy(col("event_type"),
-          datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
-        .agg((round(sum(col("value")), 2) / count(lit(1))).as("m"))
+      val daily = dailyMeans(s, dir)
       operators.Outliers.theilSen(daily, Seq("event_type"), "day", "m")
         .select(col("event_type"), col("n_points"), col("n_pairs"),
           round(col("slope"), 6).as("slope"),
@@ -2383,10 +2394,7 @@ object SparkEntry {
     // st_theilsen; sums over ≤21 centered terms keep cross-engine
     // error ~1e-13, healed by round 6.
     "st_acf" -> ((s, dir) => {
-      val daily = events(s, dir)
-        .groupBy(col("event_type"),
-          datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
-        .agg((round(sum(col("value")), 2) / count(lit(1))).as("m"))
+      val daily = dailyMeans(s, dir)
       operators.Resample.autocorrelation(daily, "event_type", "day", "m",
           maxLag = 5)
         .select(col("event_type"), col("lag"), col("n_terms"),
@@ -3966,12 +3974,15 @@ object SparkEntry {
                         AS DOUBLE) AS rem
         FROM wi),
       sh AS (SELECT 100 - coalesce(sum(fl), 0) AS short FROM fi),
-      rk AS (SELECT fi.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
-             FROM fi)
+      rk AS (SELECT fi.*, n_rows - fl AS head,
+               coalesce(sum(n_rows - fl) OVER (
+                 ORDER BY rem DESC, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before FROM fi)
       SELECT rk.source, rk.n_rows, rk.sigma_r,
              round(rk.weight, 6) AS weight,
-             least(rk.n_rows,
-               rk.fl + CASE WHEN rk.rk <= sh.short THEN 1 ELSE 0 END) AS alloc
+             rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
+               AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
     "sm_weighted_wor" -> {
       val nibbles = (0 until 15).map { i =>
@@ -5774,7 +5785,7 @@ object SparkEntry {
       rec AS (
         SELECT id,
                CASE WHEN id % 3 = 1
-                    THEN substr(raw, 1, (id % 7) + 1)
+                    THEN substr(raw, 1, (id % 7) + 2)
                          || substr(raw, (id % 7) + 4)
                     WHEN id % 3 = 2
                     THEN substr(raw, 1, 2) || 'x' || substr(raw, 3)
@@ -5802,7 +5813,7 @@ object SparkEntry {
       rec AS (
         SELECT id,
                CASE WHEN id % 3 = 1
-                    THEN substr(raw, 1, (id % 7) + 1)
+                    THEN substr(raw, 1, (id % 7) + 2)
                          || substr(raw, (id % 7) + 4)
                     WHEN id % 3 = 2
                     THEN substr(raw, 1, 2) || 'x' || substr(raw, 3)

@@ -324,25 +324,30 @@ object Evaluation {
     * bleu), one row per input pair (empty/NULL texts give 0-length
     * sides).
     */
+  // shared n-gram machinery for the pairwise overlap scorers
+  // ([[bleuPairs]] precision side, [[rougePairs]] recall side): fixing
+  // tokenization or the zip_with shingle shape must fix both metrics.
+  private def overlapToks(c: Column): Column =
+    filter(split(lower(coalesce(c, lit(""))), "\\s+"), x => x =!= "")
+
+  private def overlapGrams(ts: Column, n: Int): Column =
+    if (n == 1) ts
+    else filter(
+      (1 until n).foldLeft(ts) { (acc, k) =>
+        zip_with(acc, slice(ts, lit(k + 1), size(ts)),
+          (a, b) => concat(a, lit(" "), b))
+      }, x => x.isNotNull)
+
   def bleuPairs(pairs: DataFrame, pairIdCol: String,
       candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
     require(Set(1, 2, 4).contains(maxN),
       s"maxN must be 1, 2 or 4 (sqrt-exact geometric mean), got $maxN")
-    def toks(c: Column): Column =
-      filter(split(lower(coalesce(c, lit(""))), "\\s+"), x => x =!= "")
-    def grams(ts: Column, n: Int): Column =
-      if (n == 1) ts
-      else filter(
-        (1 until n).foldLeft(ts) { (acc, k) =>
-          zip_with(acc, slice(ts, lit(k + 1), size(ts)),
-            (a, b) => concat(a, lit(" "), b))
-        }, x => x.isNotNull)
     val base = pairs.select(col(pairIdCol).as("_pid"),
-      toks(col(candCol)).as("_ct"), toks(col(refCol)).as("_rt"))
+      overlapToks(col(candCol)).as("_ct"), overlapToks(col(refCol)).as("_rt"))
       .withColumn("c_len", size(col("_ct")).cast("long"))
       .withColumn("r_len", size(col("_rt")).cast("long"))
     def counts(tokCol: String, n: Int): DataFrame = base
-      .select(col("_pid"), explode(grams(col(tokCol), n)).as("_g"))
+      .select(col("_pid"), explode(overlapGrams(col(tokCol), n)).as("_g"))
       .groupBy("_pid", "_g").agg(count(lit(1)).as("_c"))
     val perN = (1 to maxN).map { n =>
       counts("_ct", n)
@@ -430,19 +435,10 @@ object Evaluation {
   def rougePairs(pairs: DataFrame, pairIdCol: String,
       candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"maxN must be in [1,4], got $maxN")
-    def toks(c: Column): Column =
-      filter(split(lower(coalesce(c, lit(""))), "\\s+"), x => x =!= "")
-    def grams(ts: Column, n: Int): Column =
-      if (n == 1) ts
-      else filter(
-        (1 until n).foldLeft(ts) { (acc, k) =>
-          zip_with(acc, slice(ts, lit(k + 1), size(ts)),
-            (a, b) => concat(a, lit(" "), b))
-        }, x => x.isNotNull)
     val base = pairs.select(col(pairIdCol).as("_pid"),
-      toks(col(candCol)).as("_ct"), toks(col(refCol)).as("_rt"))
+      overlapToks(col(candCol)).as("_ct"), overlapToks(col(refCol)).as("_rt"))
     def counts(tokCol: String, n: Int, out: String): DataFrame = base
-      .select(col("_pid"), explode(grams(col(tokCol), n)).as("_g"))
+      .select(col("_pid"), explode(overlapGrams(col(tokCol), n)).as("_g"))
       .groupBy("_pid", "_g").agg(count(lit(1)).as(out))
     val perN = (1 to maxN).map { n =>
       counts("_ct", n, "_cc")

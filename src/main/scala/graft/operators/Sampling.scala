@@ -265,8 +265,10 @@ object Sampling {
     * Shape: one map-side-combined moment aggregate per stratum, then
     * the allocation runs on the |strata|-row frame (windows over
     * strata, never data). Returns (stratum..., n_rows, sigma_r,
-    * weight, alloc) with Σ alloc = min(n, Σ_{σ>0} … population caps
-    * applied: alloc_h ≤ N_h).
+    * weight, alloc) with alloc_h ≤ N_h and Σ alloc = min(n, Σ N_h)
+    * EXACTLY — when a cap binds, the stranded budget cascades to the
+    * next strata in remainder order (possibly zero-weight ones: a
+    * budget the σ-weighted strata cannot absorb still gets spent).
     */
   def neymanAllocation(df: DataFrame, strataCols: Seq[String],
       valueCol: String, n: Long): DataFrame = {
@@ -299,18 +301,26 @@ object Sampling {
       .withColumn("_floor",
         least(floor(col("_ideal")).cast("long"), col("n_rows")))
       .withColumn("_rem", col("_ideal") - col("_floor").cast("double"))
-    // largest-remainder top-up to hit the budget exactly, ties by key;
-    // strata already at their population cap take no extra
+    // greedy top-up to hit the budget exactly: walk strata by
+    // remainder (ties by key) and pour the shortfall into each one's
+    // HEADROOM (n_rows − floor) until it runs out — a ≤+1-per-stratum
+    // largest-remainder would strand budget whenever a cap binds
+    // (a capped stratum consumed a rank but could absorb nothing), so
+    // the fill is cumulative: extra_h = clamp(short − Σ headroom of
+    // better-ranked strata, 0, headroom_h). Σ alloc = min(n, Σ N_h)
+    // always. All inputs are exact (integer floors, remainders from
+    // integer-weight ratios), so the rank order is engine-stable.
     val orderKeys = col("_rem").desc +: strataCols.map(col(_).asc)
     val wr = Window.orderBy(orderKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val short = w.agg((lit(n) - coalesce(sum(col("_floor")), lit(0L)))
       .as("_short"))
     w.crossJoin(broadcast(short))
-      .withColumn("_rk", row_number().over(wr))
+      .withColumn("_head", col("n_rows") - col("_floor"))
+      .withColumn("_before", coalesce(sum(col("_head")).over(wr), lit(0L)))
       .withColumn("alloc",
-        least(col("n_rows"),
-          col("_floor") + when(col("_rk") <= col("_short"), 1L)
-            .otherwise(0L)))
+        col("_floor") + greatest(lit(0L),
+          least(col("_head"), col("_short") - col("_before"))))
       .select(gcols :+ col("n_rows") :+ col("sigma_r") :+
         round(col("weight"), 6).as("weight") :+ col("alloc"): _*)
   }

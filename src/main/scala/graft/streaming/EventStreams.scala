@@ -197,6 +197,11 @@ object EventStreams {
     * the join itself — downstream aggregations own their state.
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
-      streamKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+      streamKey: String, dimKey: String): DataFrame = {
+    // side-qualified refs: bare col(...) is ambiguous (or resolves to
+    // one side, degenerating to a cross join) whenever both frames
+    // name the key identically — the natural call shape
+    val d = broadcast(dim)
+    events.join(d, events.col(streamKey) === d.col(dimKey))
+  }
 }

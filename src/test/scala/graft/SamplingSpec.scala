@@ -245,11 +245,15 @@ class SamplingSpec extends SparkSuite {
       .as[(String, Long, Double, Double, Long)]
       .collect().map(t => t._1 -> t).toMap
     assert(r("a")._2 == 2L && r("a")._3 == 5.0)
-    assert(r("b")._5 == 0L, "zero-variance stratum gets nothing")
     // weights: a = 2*5 = 10, c = 3*16.329932 = 48.99; total ~59
     // ideal: a = 6*10/59 = 1.017 -> floor 1; c = 4.98 -> floor 3 (cap);
-    // short = 2 -> both top up, a -> 2 (cap), c stays 3 (cap)
-    assert(r("a")._5 == 2L && r("c")._5 == 3L)
+    // short = 2. Greedy fill by remainder: c first (rem 1.98) but no
+    // headroom, a next absorbs 1 (cap 2), overflow lands on b — the
+    // budget fills EXACTLY even though a cap bound (sum = 6)
+    assert(r("a")._5 == 2L && r("c")._5 == 3L && r("b")._5 == 1L)
+    assert(r.values.map(_._5).sum == 6L, "budget must fill when capacity allows")
+    // zero-variance stratum has zero WEIGHT (only cap overflow reaches it)
+    assert(r("b")._4 == 0.0)
     // all-degenerate: proportional fallback by n_rows
     val const = Seq(("x", 5), ("x", 5), ("y", 5), ("y", 5), ("y", 5), ("y", 5))
       .toDF("g", "v")

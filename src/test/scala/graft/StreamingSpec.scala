@@ -447,6 +447,14 @@ class StreamingSpec extends SparkSuite {
       Seq(Event(1, ts(5), 10, "click", 1.0)).toDF(), dim, "user_id", "key")
     assert(batchTwin.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
+    // same-named key on both sides must resolve (side-qualified join),
+    // not throw ambiguity or degenerate to a cross join
+    val sameName = Seq((10L, "BUILDING"), (77L, "OTHER"))
+      .toDF("user_id", "seg")
+    val joined = EventStreams.enrichWithDim(
+      Seq(Event(1, ts(5), 10, "click", 1.0)).toDF(), sameName,
+      "user_id", "user_id")
+    assert(joined.select($"seg").as[String].collect().toSeq == Seq("BUILDING"))
   }
 
   test("sessionize: sessions close on inactivity gap (event-time)") {
