@@ -1814,6 +1814,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Modularity of two labelings over the closed-form chain graph:
+    // the true 10-chains score Q = 0.98, a scrambled mod-7 labeling
+    // goes NEGATIVE (every edge crosses) — the pair demonstrates the
+    // metric separates structure from noise. Integer counts; one
+    // division per community.
+    "gr_modularity" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"))
+      val edges = d.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val chains = d.select(col("doc_id").as("node"),
+        ((col("doc_id") / lit(10)).cast("long") * 10).as("comm"))
+      val scrambled = d.select(col("doc_id").as("node"),
+        (col("doc_id") % 7).as("comm"))
+      operators.Graphs.modularity(edges, "src", "dst", chains, "node", "comm")
+        .withColumn("labeling", lit("chains"))
+        .unionAll(operators.Graphs
+          .modularity(edges, "src", "dst", scrambled, "node", "comm")
+          .withColumn("labeling", lit("scrambled")))
+        .select(col("labeling"), col("m"), col("n_communities"),
+          round(col("q"), 6).as("q"))
+        .orderBy("labeling")
+    }),
+
     // 12-core of the co-purchase graph: peel vertices with degree < 12
     // until stable (4 rounds on this graph at both sf0.01 and sf0.1;
     // Spark runs to the fixpoint, the oracle unrolls 6 peels — peeling
@@ -4475,6 +4498,37 @@ object SparkEntry {
              JOIN k6 a ON c.src = a.src JOIN k6 b ON c.dst = b.src)
       SELECT src AS node, count(*) AS deg FROM e6
       GROUP BY src ORDER BY node""",
+    "gr_modularity" -> """
+      WITH e AS (SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+                 WHERE doc_id % 10 <> 9),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      l1 AS (SELECT (u // 10) * 10 AS cu, (v // 10) * 10 AS cv FROM e),
+      i1 AS (SELECT cu AS c, CAST(count(*) AS BIGINT) AS e_c FROM l1
+             WHERE cu = cv GROUP BY cu),
+      d1 AS (SELECT c, CAST(count(*) AS BIGINT) AS d_c FROM
+              (SELECT cu AS c FROM l1 UNION ALL SELECT cv FROM l1)
+             GROUP BY c),
+      q1 AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+               sum(CAST(coalesce(i1.e_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+                 - (CAST(d1.d_c AS DOUBLE) / (2e0 * mm.m))
+                   * (CAST(d1.d_c AS DOUBLE) / (2e0 * mm.m))) AS q
+             FROM d1 LEFT JOIN i1 USING (c) CROSS JOIN mm),
+      l2 AS (SELECT u % 7 AS cu, v % 7 AS cv FROM e),
+      i2 AS (SELECT cu AS c, CAST(count(*) AS BIGINT) AS e_c FROM l2
+             WHERE cu = cv GROUP BY cu),
+      d2 AS (SELECT c, CAST(count(*) AS BIGINT) AS d_c FROM
+              (SELECT cu AS c FROM l2 UNION ALL SELECT cv FROM l2)
+             GROUP BY c),
+      q2 AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+               sum(CAST(coalesce(i2.e_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+                 - (CAST(d2.d_c AS DOUBLE) / (2e0 * mm.m))
+                   * (CAST(d2.d_c AS DOUBLE) / (2e0 * mm.m))) AS q
+             FROM d2 LEFT JOIN i2 USING (c) CROSS JOIN mm)
+      SELECT 'chains' AS labeling, mm.m, q1.nc AS n_communities,
+             round(q1.q, 6) AS q FROM q1 CROSS JOIN mm
+      UNION ALL
+      SELECT 'scrambled', mm.m, q2.nc, round(q2.q, 6)
+      FROM q2 CROSS JOIN mm ORDER BY labeling""",
     "gr_linkpred" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
                   WHERE l_orderkey % 4 = 1),

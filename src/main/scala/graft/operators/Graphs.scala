@@ -547,6 +547,63 @@ object Graphs {
       .select(col("src").as("node"), col("deg"))
   }
 
+  /** Modularity Q of a node→community assignment over the undirected
+    * simple graph (Newman & Girvan 2004): Q = Σ_c [ e_c/m −
+    * (d_c/2m)² ] where e_c = intra-community edges, d_c = total degree
+    * in c, m = edge count — THE number that says whether a community
+    * labeling ([[labelPropagation]], components, or any clustering)
+    * actually found structure (Q ≈ 0 ⇒ no better than random wiring).
+    *
+    * All inputs are INTEGER counts, and Q is a sum of integer ratios
+    * with fixed parenthesization — hash-exact cross-engine when
+    * rounded. Shape: canonical-edge distinct, one broadcast-joinable
+    * label lookup per endpoint, two community-bounded aggregates;
+    * nothing iterates, nothing windows the data.
+    *
+    * Returns ONE row (m, n_communities, q); q NULL when the graph has
+    * no edges. Nodes absent from `labels` are treated as singleton
+    * communities of their own id (degree mass still counts).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val raw = edges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = raw.select(
+      least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col(nodeCol).cast("long").as("_n"),
+      col(commCol).cast("long").as("_c"))
+    def labeled(side: String) = canon
+      .join(lab.withColumnRenamed("_n", side), Seq(side), "left_outer")
+      .select(col("u"), col("v"),
+        coalesce(col("_c"), col(side)).as(s"c_$side"))
+    val both = labeled("u")
+      .join(labeled("v").select(col("u"), col("v"), col("c_v")), Seq("u", "v"))
+    val m = canon.count()
+    if (m == 0L) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Seq((0L, 0L, Option.empty[Double]))
+        .toDF("m", "n_communities", "q")
+    }
+    // intra-community edges per community
+    val intra = both.filter(col("c_u") === col("c_v"))
+      .groupBy(col("c_u").as("_c")).agg(count(lit(1)).as("e_c"))
+    // total degree mass per community (each edge adds 1 to each side)
+    val degMass = both.select(col("c_u").as("_c"))
+      .unionAll(both.select(col("c_v").as("_c")))
+      .groupBy("_c").agg(count(lit(1)).as("d_c"))
+    degMass.join(intra, Seq("_c"), "left_outer")
+      .select(
+        (coalesce(col("e_c"), lit(0L)).cast("double") / lit(m.toDouble)
+          - (col("d_c").cast("double") / lit(2.0 * m))
+            * (col("d_c").cast("double") / lit(2.0 * m))).as("_q"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("_q")).as("q"))
+      .select(lit(m).as("m"), col("n_communities"), col("q"))
+  }
+
   /** Neighborhood link prediction over the undirected simple graph:
     * for every NON-adjacent pair (u < v) with at least `minCommon`
     * common neighbors, the common-neighbor count, both degrees, and

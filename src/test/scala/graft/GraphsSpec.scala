@@ -309,6 +309,34 @@ class GraphsSpec extends SparkSuite {
     assert(got == next, "the returned labeling must be a fixpoint")
   }
 
+  test("modularity: hand two-triangle value, scrambled ~ 0, singleton fallback") {
+    // two triangles bridged by one edge: m = 7; perfect labeling has
+    // e_c = 3, d_c = 7 per side -> Q = 2*(3/7 - (7/14)^2) = 0.357142857
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val good = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("node", "comm")
+    val q = Graphs.modularity(e, "src", "dst", good, "node", "comm")
+      .select($"m", $"n_communities", $"q")
+      .as[(Long, Long, Option[Double])].head()
+    assert(q._1 == 7L && q._2 == 2L)
+    assert(math.abs(q._3.get - (2.0 * (3.0 / 7.0 - 0.25))) < 1e-12)
+    // all nodes in one community: Q = m/m - 1 = 0 exactly
+    val one = (1L to 6L).map(_ -> 0L).toDF("node", "comm")
+    assert(Graphs.modularity(e, "src", "dst", one, "node", "comm")
+      .select($"q").as[Option[Double]].head().get == 0.0)
+    // unlabeled nodes become singletons: worse than the good labeling
+    val partial = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("node", "comm")
+    val qp = Graphs.modularity(e, "src", "dst", partial, "node", "comm")
+      .select($"n_communities", $"q").as[(Long, Option[Double])].head()
+    assert(qp._1 == 4L && qp._2.get < q._3.get)
+    // empty graph: NULL q, zero rows counted
+    val qe = Graphs.modularity(e.filter($"src" > 99), "src", "dst",
+      good, "node", "comm").select($"m", $"q")
+      .as[(Long, Option[Double])].head()
+    assert(qe._1 == 0L && qe._2.isEmpty)
+  }
+
   test("linkPrediction: hand wedge counts, adjacency excluded, hub cap") {
     // square 1-2-3-4-1 plus hub 9 linked to everyone: non-adjacent
     // pairs are the square's diagonals (1,3) and (2,4)
