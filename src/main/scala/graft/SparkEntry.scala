@@ -531,6 +531,24 @@ object SparkEntry {
     "dd_norm_groups" -> ((s, dir) =>
       Dedup.normalizedGroups(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash")),
+
+    // SoftDeDup: keep every row, downweight duplicate groups — 40% of
+    // docs are collapsed onto 20 synthetic templates so group sizes
+    // are non-trivial at any sf. Weights are 1/n and 1/√n (division
+    // and sqrt are IEEE-exact; alpha is restricted so no pow enters a
+    // hashed column).
+    "dd_soft" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 < 2,
+          concat(lit("dup "), (col("doc_id") % 20).cast("string")))
+          .otherwise(col("text")).as("text"))
+      val w1 = Dedup.softDedupWeights(d, "doc_id", "text", alpha = 1.0)
+        .select(col("doc_id"), col("n_copies"),
+          round(col("weight"), 6).as("weight"))
+      val w2 = Dedup.softDedupWeights(d, "doc_id", "text", alpha = 0.5)
+        .select(col("doc_id"), round(col("weight"), 6).as("weight_sqrt"))
+      w1.join(w2, "doc_id").orderBy("doc_id")
+    }),
     // Quality-aware canonical selection: per normalized-dup group keep
     // the highest-score row (ties -> lowest id) — one max_by agg, no
     // window, same shuffle shape as dd_norm_groups.
@@ -3608,6 +3626,20 @@ object SparkEntry {
       SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dd_soft" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 < 2
+                    THEN 'dup ' || CAST(doc_id % 20 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents),
+      g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1)
+      SELECT d.doc_id, g.n AS n_copies,
+             round(1e0 / CAST(g.n AS DOUBLE), 6) AS weight,
+             round(1e0 / sqrt(CAST(g.n AS DOUBLE)), 6) AS weight_sqrt
+      FROM d JOIN g ON md5(d.text) = g.h
+      ORDER BY d.doc_id""",
     "dd_exact_keep" -> """
       SELECT doc_id, n_chars FROM documents
       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

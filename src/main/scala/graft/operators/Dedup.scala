@@ -27,6 +27,36 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Soft dedup: KEEP every row but downweight duplicates —
+    * `weight` = n_copies^(−alpha), so a document with 100 exact copies
+    * contributes total mass 100^(1−alpha) instead of 100 (alpha = 1,
+    * the default, normalizes every duplicate group to unit mass — the
+    * SoftDeDup training-objective reweighting; hard dedup is the
+    * degenerate "drop all but one"). The scale shape is
+    * [[exactGroups]] + one broadcast-free equi-join back on the hash —
+    * no row is shuffled beyond its group key.
+    *
+    * alpha restricted to {1, 0.5, 0.25}: those weights are
+    * 1/n, 1/√n, 1/√√n — division and sqrt are IEEE-correctly-rounded
+    * everywhere, so gates can hash the weight exactly (a pow() would
+    * reintroduce the transcendental-gate problem).
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    val n = col("n_copies").cast("double")
+    val w = alpha match {
+      case 1.0 => lit(1.0) / n
+      case 0.5 => lit(1.0) / sqrt(n)
+      case 0.25 => lit(1.0) / sqrt(sqrt(n))
+      case other => throw new IllegalArgumentException(
+        s"alpha must be 1, 0.5 or 0.25 (sqrt-exact weights), got $other")
+    }
+    df.withColumn("content_hash", md5(col(textCol)))
+      .join(exactGroups(df, idCol, textCol)
+        .select(col("content_hash"), col("n_copies")), Seq("content_hash"))
+      .withColumn("weight", w)
+  }
+
   /** The DISTINCT content-hash frame of a standing corpus — the thing
     * an incremental-dedup deployment PERSISTS between ingests (16
     * bytes per distinct document) so each batch pays batch-sized cost:

@@ -62,6 +62,25 @@ class DedupSpec extends SparkSuite {
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
 
+  test("softDedupWeights: group mass normalizes, alpha tiers, bad alpha rejected") {
+    val d = Seq((1L, "same"), (2L, "same"), (3L, "same"), (4L, "same"),
+      (5L, "unique")).toDF("id", "t")
+    val w = Dedup.softDedupWeights(d, "id", "t")
+      .select($"id", $"n_copies", $"weight")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w(1L)._2 == 4L && w(1L)._3 == 0.25)
+    assert(w(5L)._3 == 1.0)
+    // alpha = 1: every dup group contributes exactly unit total mass
+    assert(math.abs(w.values.map(_._3).sum - 2.0) < 1e-12)
+    // alpha = 0.5: 1/sqrt(4) = 0.5 per copy
+    val h = Dedup.softDedupWeights(d, "id", "t", alpha = 0.5)
+      .filter($"id" === 1L).select($"weight").as[Double].head()
+    assert(h == 0.5)
+    intercept[IllegalArgumentException] {
+      Dedup.softDedupWeights(d, "id", "t", alpha = 0.7)
+    }
+  }
+
   test("keepBestNormalized: highest-score row wins its group, ties break to lowest id") {
     // augment the fixture: doc 90000 is a whitespace re-encoding of doc 0
     // with a higher quality score — the case where "first crawled" is the
