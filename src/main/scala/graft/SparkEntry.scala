@@ -299,6 +299,30 @@ object SparkEntry {
           round(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")),
 
+    // Kendall τ between the full-dimension L2 top-10 and a
+    // TRUNCATED-embedding (first 48 of 64 dims) retriever over the
+    // same queries — the rank-agreement question dimension-truncation
+    // (MRL-style) deployments ask: how much ordering does the cheap
+    // index lose? (L2-vs-cosine was vacuous here: the fixture's norms
+    // make those orders identical, τ ≡ 1.) Counts are integers, τ one
+    // integer ratio; DuckDB re-ranks both retrievers and replays the
+    // pair counting.
+    "ir_tau" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val runA = SimilarityJoin.knnL2(emb, "vec_id",
+        "embedding", knnQueries(s, dir, 3), "qid", "qvec", k = 20)
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 48).as("embedding"))
+      val truncQ = knnQueries(s, dir, 3)
+        .select(col("qid"), slice(col("qvec"), 1, 48).as("qvec"))
+      val runB = SimilarityJoin.knnL2(trunc, "vec_id", "embedding",
+        truncQ, "qid", "qvec", k = 20)
+      operators.Evaluation.kendallTau(runA, runB, "qid", "vec_id", "rn", "rn")
+        .select(col("qid"), col("n_common"), col("concordant"),
+          col("discordant"), round(col("tau"), 6).as("tau"))
+        .orderBy("qid")
+    }),
+
     // Filtered k-NN (the store's searchWhere shape, relational form):
     // top-k over ONLY the rows passing a metadata predicate —
     // pre-filter, so k is filled from the filtered pool. The filter
@@ -3450,6 +3474,43 @@ object SparkEntry {
       FROM embeddings ORDER BY vec_id""",
     "vs_knn" -> knnOracle,
     "vs_knn_agg" -> knnOracle,
+    "ir_tau" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 3),
+      ra AS (
+        SELECT qid, vec_id, rn FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(e.embedding, q.qvec), e.vec_id)
+                   AS rn
+          FROM embeddings e CROSS JOIN q)
+        WHERE rn <= 20),
+      rb AS (
+        SELECT qid, vec_id, rn FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(e.embedding[1:48], q.qvec[1:48]),
+                            e.vec_id) AS rn
+          FROM embeddings e CROSS JOIN q)
+        WHERE rn <= 20),
+      al AS (SELECT ra.qid, ra.vec_id, ra.rn AS r1, rb.rn AS r2
+             FROM ra JOIN rb USING (qid, vec_id)),
+      nn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common
+             FROM al GROUP BY qid),
+      p AS (SELECT a.qid,
+                   CAST(sum(CASE WHEN b.r2 > a.r2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN b.r2 < a.r2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS d
+            FROM al a JOIN al b ON a.qid = b.qid AND a.r1 < b.r1
+            GROUP BY a.qid)
+      SELECT nn.qid, nn.n_common,
+             coalesce(p.c, 0) AS concordant, coalesce(p.d, 0) AS discordant,
+             round(CASE WHEN nn.n_common >= 2 THEN
+               CAST(coalesce(p.c, 0) - coalesce(p.d, 0) AS DOUBLE)
+                 / CAST(nn.n_common * (nn.n_common - 1) // 2 AS DOUBLE)
+               END, 6) AS tau
+      FROM nn LEFT JOIN p USING (qid) ORDER BY qid""",
     "vs_filtered_knn" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec
                  FROM embeddings WHERE vec_id < 3),

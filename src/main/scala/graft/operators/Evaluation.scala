@@ -469,4 +469,50 @@ object Evaluation {
           when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)))
     }.withColumnRenamed("_pid", pairIdCol)
   }
+
+  /** Per-query Kendall τ-a between two rankings of the same items —
+    * the rank-agreement number for "do my lexical and dense retrievers
+    * order results the same way?" (Spearman answers with squared rank
+    * gaps; τ counts pairwise inversions, the metric rank-fusion
+    * papers report). Computed over the items PRESENT IN BOTH runs
+    * (ranks are each run's original positions, so dropping
+    * one-sided items does not re-rank the rest); both runs must have
+    * distinct ranks per query (row_number output, as every graft
+    * retrieval op emits) — τ-a assumes no ties.
+    *
+    * τ = (concordant − discordant) / (n(n−1)/2). Counts are integers;
+    * τ is one integer ratio — hash-exact.
+    *
+    * Shape: one (qid, id) equi-join to align the runs, then a per-query
+    * pair self-join — O(k²) per query by contract (top-k lists),
+    * distributed across queries. Returns (qid, n_common, concordant,
+    * discordant, tau); tau NULL when n_common < 2.
+    */
+  def kendallTau(runA: DataFrame, runB: DataFrame,
+      qidCol: String, idCol: String,
+      rankACol: String, rankBCol: String): DataFrame = {
+    val aligned = runA.select(col(qidCol).as("_q"), col(idCol).as("_id"),
+        col(rankACol).cast("long").as("_ra"))
+      .join(runB.select(col(qidCol).as("_q"), col(idCol).as("_id"),
+        col(rankBCol).cast("long").as("_rb")), Seq("_q", "_id"))
+    val l = aligned.select(col("_q"), col("_id").as("_ida"),
+      col("_ra").as("_ra1"), col("_rb").as("_rb1"))
+    val r = aligned.select(col("_q"), col("_id").as("_idb"),
+      col("_ra").as("_ra2"), col("_rb").as("_rb2"))
+    val pairs = l.join(r, Seq("_q")).filter(col("_ra1") < col("_ra2"))
+      .withColumn("_conc", (col("_rb1") < col("_rb2")).cast("long"))
+    val n = aligned.groupBy("_q").agg(count(lit(1)).as("n_common"))
+    val cd = pairs.groupBy("_q").agg(
+      sum(col("_conc")).as("concordant"),
+      (count(lit(1)) - sum(col("_conc"))).as("discordant"))
+    n.join(cd, Seq("_q"), "left_outer")
+      .select(col("_q").as(qidCol), col("n_common"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        when(col("n_common") >= 2,
+          (coalesce(col("concordant"), lit(0L))
+            - coalesce(col("discordant"), lit(0L))).cast("double")
+            / (col("n_common") * (col("n_common") - 1L) / lit(2L))
+              .cast("double")).as("tau"))
+  }
 }

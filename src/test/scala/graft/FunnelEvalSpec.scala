@@ -181,6 +181,27 @@ class FunnelEvalSpec extends SparkSuite {
     }
   }
 
+  test("kendallTau: hand inversions, reversal = -1, one-sided items dropped") {
+    // q1: A ranks (x,y,z) = 1,2,3; B ranks 1,3,2 -> one inversion of
+    // three pairs: tau = (2-1)/3
+    val a = Seq((1L, "x", 1L), (1L, "y", 2L), (1L, "z", 3L),
+      (2L, "p", 1L), (2L, "q", 2L),
+      (3L, "only_a", 1L), (3L, "shared", 2L)).toDF("qid", "id", "rn")
+    val b = Seq((1L, "x", 1L), (1L, "y", 3L), (1L, "z", 2L),
+      (2L, "p", 2L), (2L, "q", 1L),
+      (3L, "shared", 1L), (3L, "only_b", 2L)).toDF("qid", "id", "rn")
+    val r = Evaluation.kendallTau(a, b, "qid", "id", "rn", "rn")
+      .select($"qid", $"n_common", $"concordant", $"discordant", $"tau")
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 3L && r(1L)._3 == 2L && r(1L)._4 == 1L)
+    assert(math.abs(r(1L)._5.get - 1.0 / 3.0) < 1e-15)
+    // full reversal: tau = -1
+    assert(r(2L)._5.contains(-1.0))
+    // items present in only one run are dropped; n_common < 2 -> NULL
+    assert(r(3L)._2 == 1L && r(3L)._5.isEmpty)
+  }
+
   test("rougePairs: hand-counted overlap, recall vs precision sides, edges") {
     // cand "the cat the cat sat" (5 unigrams) vs ref "the cat sat down"
     // (4 unigrams): clip_1 = 3 ⇒ prec 3/5, rec 3/4; bigrams cand
