@@ -946,6 +946,30 @@ object SparkEntry {
         .select(col("id"), col("entity"))
         .orderBy("id")),
 
+    // Dataset card: the one-row datasheet a corpus drop ships with —
+    // volume, source mix, token mass, exact-dup rate, min-length pass
+    // rate. Integer sums and integer ratios only (avg of integer
+    // n_chars is an exact integer sum / count), ONE scan plus the
+    // hash-distinct.
+    "pp_card" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")))
+          .cast("long").as("total_tokens"),
+        round(avg(col("n_chars")), 4).as("mean_chars"),
+        countDistinct(md5(col("text"))).as("_nd"),
+        sum(when(length(col("text")) >= 150, 1L).otherwise(0L))
+          .as("_n_len"))
+        .select(col("n_docs"), col("n_sources"), col("total_tokens"),
+          col("mean_chars"),
+          round(lit(1.0) - col("_nd").cast("double")
+            / col("n_docs").cast("double"), 6).as("dup_rate"),
+          round(col("_n_len").cast("double")
+            / col("n_docs").cast("double"), 6).as("pct_min_len"))
+    }),
+
     // Curation-funnel lineage: which gate loses how many documents,
     // with sequential-filter semantics from ONE first-fail projection
     // + a stage-bounded aggregate. DuckDB replays the first-fail CASE
@@ -2238,6 +2262,26 @@ object SparkEntry {
     // count. Deterministic in the salt, so DuckDB replays the WHOLE
     // sketch (hashes, k-smallest selection, estimator arithmetic) —
     // a bit-exact gate no HLL-style sketch could pass.
+    // HLL++ audit (Spark's approx_count_distinct at two precisions vs
+    // the exact count): the sketch is hash-deterministic, so the gate
+    // asserts the documented rsd envelope as booleans — the sk_countmin
+    // eps_ok pattern; the oracle contributes the exact counts. The
+    // point at 100 TB: one pass, fixed memory per group, vs the
+    // shuffle-heavy exact countDistinct it stands in for.
+    "sk_hll" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      li.groupBy("l_returnflag").agg(
+        countDistinct(col("l_orderkey")).as("true_distinct"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("_e5"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("_e1"))
+        .select(col("l_returnflag"), col("true_distinct"),
+          (abs(col("_e5") - col("true_distinct")).cast("double")
+            / col("true_distinct").cast("double") <= 0.15).as("ok_rsd5"),
+          (abs(col("_e1") - col("true_distinct")).cast("double")
+            / col("true_distinct").cast("double") <= 0.03).as("ok_rsd1"))
+        .orderBy("l_returnflag")
+    }),
+
     "sk_kmv" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       val est = graft.operators.Sketches.kmvDistinct(
@@ -3967,6 +4011,11 @@ object SparkEntry {
     "sk_countmin" -> """
       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              true AS ge_ok, true AS eps_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sk_hll" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS true_distinct,
+             true AS ok_rsd5, true AS ok_rsd1
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sk_bloom_semi" -> """
       SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
@@ -5981,6 +6030,18 @@ object SparkEntry {
         UNION
         SELECT e.dst, lbl.l FROM e JOIN lbl ON lbl.id = e.src)
       SELECT id, min(l) AS entity FROM lbl GROUP BY id ORDER BY id""",
+    "pp_card" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(len(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')))
+               AS BIGINT) AS total_tokens,
+             round(avg(n_chars), 4) AS mean_chars,
+             round(1e0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+             round(CAST(sum(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pct_min_len
+      FROM documents""",
     "pp_funnel" -> """
       WITH d AS (
         SELECT length(text) AS nc,
