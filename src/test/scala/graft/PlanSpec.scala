@@ -404,6 +404,53 @@ class PlanSpec extends SparkSuite {
       s"window partition bound violated: max bucket ${sizes.max}")
   }
 
+  test("blockedEditPairs: block-key equi-join, no cartesian, size gate broadcast") {
+    val part = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("id"),
+        org.apache.spark.sql.functions.lower(col("p_name")).as("s"))
+    val p = graft.operators.RecordLinkage.blockedEditPairs(
+      part, "id", "s",
+      org.apache.spark.sql.functions.substring(col("s"), 1, 2), maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
+    // the block-size gate joins back as a broadcast, never a shuffle
+    // of the data side per size lookup
+    assert(p.contains("BroadcastHashJoin"), s"size gate should broadcast:\n$p")
+  }
+
+  test("linkPrediction: wedge and anti joins are equi-joins, no cartesian") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .filter(col("src") =!= col("dst")).select("src", "dst")
+    val p = graft.operators.Graphs.linkPrediction(e, "src", "dst",
+      minCommon = 2).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
+  }
+
+  test("autocorrelation: lag equi-joins only — no window over the data") {
+    import spark.implicits._
+    val d = (1 to 40).map(t => ("k", t.toLong, t.toDouble)).toDF("k", "t", "x")
+    val p = graft.operators.Resample.autocorrelation(d, "k", "t", "x",
+      maxLag = 3).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"ACF must not window the series:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("validate report: one scan — no join, no repeated aggregation") {
+    val p = graft.operators.Validate.report(
+      spark.read.parquet(s"$sf/lineitem.parquet"), Seq(
+        "a" -> (col("l_quantity") > 0),
+        "b" -> col("l_shipdate").isNotNull,
+        "c" -> (col("l_discount") <= 0.1)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"rules must share one scan:\n$p")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"exactly one scan expected:\n$p")
+  }
+
   test("triangleCount: equi-joins only — no cartesian, no nested loop") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
