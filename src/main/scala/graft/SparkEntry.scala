@@ -2483,6 +2483,29 @@ object SparkEntry {
           T(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
         .select(col("n"), round(col("spearman"), 6).as("spearman"))),
 
+    // PSI drift monitor between event-value samples: first-10-days
+    // baseline vs the rest, one stable arm and one deliberately
+    // 2×-scaled arm (psi 0.50 vs 0.003 — both sides of the 0.2
+    // threshold with wide margins). Hashed projection = integer bucket counts +
+    // the drifted boolean (psi is ln-derived and stays OUT — its
+    // threshold margin swamps libm ULP; the value asserts in spec).
+    "st_psi" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("day",
+        datediff(to_date(col("ts")), lit("2024-01-01")))
+      val base = e.filter(col("day") < 10).select(col("value"))
+      val rest = e.filter(col("day") >= 10)
+      val stable = rest.select(col("value"))
+      val shifted = rest.select((col("value") * lit(2.0)).as("value"))
+      val a = operators.Outliers.populationStability(base, stable, "value")
+        .withColumn("arm", lit("stable"))
+      val b = operators.Outliers.populationStability(base, shifted, "value")
+        .withColumn("arm", lit("shifted"))
+      a.unionAll(b)
+        .select(col("arm"), col("bucket"), col("n_base"), col("n_cmp"),
+          col("drifted"))
+        .orderBy("arm", "bucket")
+    }),
+
     // Theil–Sen robust daily trend per event type: daily means are
     // pre-rounded to 2 decimals (heals cross-engine sum-order ULP),
     // after which every pairwise slope and both medians are identical
@@ -6344,6 +6367,51 @@ object SparkEntry {
              round(CASE WHEN st.den > 0e0 THEN n.num / st.den END, 6) AS acf
       FROM num n JOIN st USING (event_type)
       ORDER BY event_type, lag""",
+    "st_psi" -> """
+      WITH e AS (
+        SELECT value,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        FROM events),
+      b AS (SELECT value AS v FROM e WHERE day < 10),
+      mm AS (SELECT min(v) AS lo,
+                    CASE WHEN max(v) > min(v) THEN max(v) - min(v)
+                         ELSE 1e0 END AS w FROM b),
+      arms AS (
+        SELECT 'stable' AS arm, value AS v FROM e WHERE day >= 10
+        UNION ALL
+        SELECT 'shifted', value * 2e0 FROM e WHERE day >= 10),
+      bb AS (SELECT least(greatest(CAST(floor((b.v - mm.lo) / mm.w * 10)
+                      AS BIGINT), 0), 9) AS bucket
+             FROM b CROSS JOIN mm),
+      cb AS (SELECT arm, least(greatest(CAST(floor((a.v - mm.lo) / mm.w * 10)
+                      AS BIGINT), 0), 9) AS bucket
+             FROM arms a CROSS JOIN mm),
+      grid AS (SELECT a.arm, g.range AS bucket
+               FROM (SELECT DISTINCT arm FROM arms) a, range(10) g),
+      nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+             FROM bb GROUP BY bucket),
+      nc AS (SELECT arm, bucket, CAST(count(*) AS BIGINT) AS n_cmp
+             FROM cb GROUP BY arm, bucket),
+      cnt AS (
+        SELECT grid.arm, grid.bucket,
+               coalesce(nb.n_base, 0) AS n_base,
+               coalesce(nc.n_cmp, 0) AS n_cmp
+        FROM grid
+        LEFT JOIN nb ON nb.bucket = grid.bucket
+        LEFT JOIN nc ON nc.arm = grid.arm AND nc.bucket = grid.bucket),
+      tt AS (SELECT arm, sum(n_base) AS tb, sum(n_cmp) AS tc
+             FROM cnt GROUP BY arm),
+      psi AS (
+        SELECT cnt.arm,
+               sum((greatest(CAST(n_base AS DOUBLE), 0.5) / tb
+                    - greatest(CAST(n_cmp AS DOUBLE), 0.5) / tc)
+                 * ln((greatest(CAST(n_base AS DOUBLE), 0.5) / tb)
+                    / (greatest(CAST(n_cmp AS DOUBLE), 0.5) / tc))) AS p
+        FROM cnt JOIN tt USING (arm) GROUP BY cnt.arm)
+      SELECT cnt.arm, cnt.bucket, cnt.n_base, cnt.n_cmp,
+             psi.p > 0.2e0 AS drifted
+      FROM cnt JOIN psi USING (arm)
+      ORDER BY arm, bucket""",
     "st_theilsen" -> """
       WITH daily AS (
         SELECT event_type,

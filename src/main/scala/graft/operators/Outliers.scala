@@ -516,6 +516,60 @@ object Outliers {
       .drop("_n", "_s", "_ss")
   }
 
+  /** Population Stability Index between a baseline and a comparison
+    * sample of the same metric — the drift monitor scorecards run
+    * between corpus snapshots: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    * fixed-width buckets anchored on the BASELINE's [min, max] (two
+    * tiny jobs; values outside clamp to the edge buckets). Rule of
+    * thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Determinism contract (the tx_distinctive lesson): the per-bucket
+    * COUNTS are integers and hash-gate; `psi` is ln-derived and must
+    * NOT enter a hashed projection — gate the counts plus a
+    * `drifted` boolean against a threshold far from the data's psi
+    * (the margin swamps cross-build libm ULP), and assert the psi
+    * value in a spec with tolerance.
+    *
+    * Empty buckets get the standard 0.5-count floor so ln stays
+    * finite. Returns one row per bucket (bucket, n_base, n_cmp) plus
+    * the same `psi`/`drifted` on every row (a |buckets|-sized frame;
+    * callers selecting only counts keep a pure integer projection).
+    */
+  def populationStability(base: DataFrame, cmp: DataFrame, vCol: String,
+      nBuckets: Int = 10, threshold: Double = 0.2): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val b = base.select(col(vCol).cast("double").as("_v")).filter(col("_v").isNotNull)
+    val c = cmp.select(col(vCol).cast("double").as("_v")).filter(col("_v").isNotNull)
+    val mm = b.agg(min(col("_v")), max(col("_v"))).head()
+    require(!mm.isNullAt(0), "baseline sample is empty")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (hi > lo) hi - lo else 1.0
+    def bucketed(d: DataFrame, out: String): DataFrame = d
+      .withColumn("bucket",
+        least(greatest(
+          floor((col("_v") - lit(lo)) / lit(width) * nBuckets).cast("long"),
+          lit(0L)), lit(nBuckets - 1L)))
+      .groupBy("bucket").agg(count(lit(1)).as(out))
+    val grid = b.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val counts = grid
+      .join(bucketed(b, "n_base"), Seq("bucket"), "left_outer")
+      .join(bucketed(c, "n_cmp"), Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cmp"), lit(0L)).as("n_cmp"))
+    val tot = counts.agg(sum(col("n_base")).as("_tb"), sum(col("n_cmp")).as("_tc"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("_p",
+        greatest(col("n_base").cast("double"), lit(0.5)) / col("_tb").cast("double"))
+      .withColumn("_q",
+        greatest(col("n_cmp").cast("double"), lit(0.5)) / col("_tc").cast("double"))
+      .withColumn("_term", (col("_p") - col("_q")) * log(col("_p") / col("_q")))
+    val psi = terms.agg(sum(col("_term")).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bucket"), col("n_base"), col("n_cmp"),
+        col("psi"), (col("psi") > lit(threshold)).as("drifted"))
+  }
+
   /** Theil–Sen robust trend per group: slope = median of all pairwise
     * slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j, intercept =
     * median of (y_i − slope·x_i) — the regression line that shrugs

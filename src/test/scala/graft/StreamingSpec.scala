@@ -270,6 +270,30 @@ class StreamingSpec extends SparkSuite {
     assert(r(("z", 1L))._4.isEmpty && r(("z", 2L))._4.isEmpty)
   }
 
+  test("populationStability: identical ~ 0, hand two-bucket psi, edge clamp") {
+    import graft.operators.Outliers
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Outliers.populationStability(a, a, "v", nBuckets = 4)
+      .select($"psi", $"drifted").as[(Double, Boolean)].head()
+    assert(math.abs(same._1) < 1e-12 && !same._2)
+    // hand case: base 8 low + 2 high, cmp 2 low + 8 high over 2 buckets
+    // p = (.8,.2), q = (.2,.8): psi = 2 * 0.6*ln(4) = 1.6636
+    val base = (Seq.fill(8)(0.0) ++ Seq.fill(2)(10.0)).toDF("v")
+    val cmp = (Seq.fill(2)(0.0) ++ Seq.fill(8)(10.0)).toDF("v")
+    val h = Outliers.populationStability(base, cmp, "v", nBuckets = 2)
+      .select($"bucket", $"n_base", $"n_cmp", $"psi", $"drifted")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 8L, 2L), (1L, 2L, 8L)))
+    assert(math.abs(h.head._4 - 1.2 * math.log(4.0)) < 1e-12)
+    assert(h.head._5)
+    // cmp values beyond the baseline range clamp into edge buckets
+    val wide = Seq(-100.0, 200.0).toDF("v")
+    val c = Outliers.populationStability(base, wide, "v", nBuckets = 2)
+      .select($"bucket", $"n_cmp").as[(Long, Long)].collect().toMap
+    assert(c(0L) == 1L && c(1L) == 1L)
+  }
+
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "value")
     val out = graft.operators.Outliers.winsorize(df, Seq("g"), "value", 0.1, 0.9)
