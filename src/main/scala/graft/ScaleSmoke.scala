@@ -452,6 +452,31 @@ object ScaleSmoke {
         hashed, "media_id", "dh", maxHamming = 3)
       println(s"SMOKE   image near-dup pairs: ${pairs.count()} (1000 planted)")
     }
+    timed("blocked ER over 10k dirty records") {
+      // 10k records over 64 base names × 7 near-dup suffixes: blocking
+      // bounds every block, the size gate drops none, components
+      // cluster the per-name near-cliques (~770k pair edges) — the
+      // er_* gate shape at 20× its sf0.1 edge volume
+      val recs = bigDocs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"),
+          concat(lit("name"), (col("doc_id") % 64).cast("string"),
+            lit(" suffix"), (col("doc_id") % 7).cast("string")).as("s"))
+      val ents = graft.operators.RecordLinkage.resolveEntities(
+        recs, "id", "s",
+        concat(substring(col("s"), 1, 6), lit("|"),
+          (length(col("s")) % 4).cast("string")),
+        maxDist = 2, maxBlock = 25000)
+      println(s"SMOKE   er entities: ${ents.select("entity").distinct().count()}")
+    }
+    timed("link prediction on the big co-purchase graph") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .filter(col("src") =!= col("dst")).select("src", "dst")
+      val lp = graft.operators.Graphs.linkPrediction(e, "src", "dst",
+        minCommon = 3, maxCenterDegree = Some(500))
+      println(s"SMOKE   linkpred candidates: ${lp.count()}")
+    }
     timed("IVF append 20k to 80k index") {
       val e100k = spark.read.parquet(s"$base/embeddings")
       val baseIdx = e100k.filter(col("vec_id") % 5 =!= 0)

@@ -409,6 +409,32 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Version diff on the tombstone store: pin v1, delete 3 ids +
+    // upsert 1 + insert 2, pin v2 — the diff must read exactly
+    // removed×3, changed×1, added×2, everything else unchanged. The
+    // oracle states the expected statuses in closed form from the same
+    // id arithmetic (no store knowledge needed).
+    "vs_version_diff" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_vd_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      val v1 = store.currentVersion().get
+      store.delete(Seq(10L, 20L, 30L))
+      val v9 = emb.filter(col("vec_id") === 9)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(5L), Seq(v9))
+      store.insert(Seq(v9, v9))
+      val v2 = store.currentVersion().get
+      store.diffVersions(v1, v2).orderBy("id")
+    }),
+
     // R10 fuzzy doc search (Indel distance; oracle replays the LCS DP
     // as a recursive CTE — golden-value parity also covered in ScalaTest)
     "vs_search_by_doc" -> ((s, dir) => {
@@ -3613,6 +3639,19 @@ object SparkEntry {
              round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
              round(CAST(embedding[64] AS DOUBLE), 5) AS e63
       FROM embeddings WHERE vec_id < 500 ORDER BY id""",
+    // Closed-form expectation from the same id arithmetic: 300 base
+    // rows (ids 0..299), deletes {10,20,30}, upsert {5}, two appends
+    // continuing from max id.
+    "vs_version_diff" -> """
+      WITH ids AS (
+        SELECT vec_id AS id FROM embeddings WHERE vec_id < 300
+        UNION ALL SELECT 300 UNION ALL SELECT 301)
+      SELECT id,
+             CASE WHEN id IN (10, 20, 30) THEN 'removed'
+                  WHEN id = 5 THEN 'changed'
+                  WHEN id >= 300 THEN 'added'
+                  ELSE 'unchanged' END AS status
+      FROM ids ORDER BY id""",
     // Live-rows replay of the store ANN journey: brute-force top-k over
     // embeddings minus the deleted ids, with id 3 carrying id 7's
     // vector (the upsert) — the index never enters the oracle because

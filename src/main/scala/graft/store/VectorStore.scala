@@ -617,6 +617,28 @@ class VectorStore private (
         "(openOrCreate(..., tombstoneDeletes = true))")
   }
 
+  /** What changed between two write-versions: one row per id present
+    * in either snapshot with status `added` / `removed` / `changed`
+    * (vec OR doc differs) / `unchanged` — the audit a retention
+    * request or a training-set freeze review runs ("what exactly did
+    * this delete remove; what did the last ingest touch"). Pure
+    * full-outer join of the two [[snapshotAt]] views on id; vectors
+    * compare exactly (float32 round-trips losslessly through the
+    * store). Tombstone layout only, history bounded by compaction.
+    */
+  def diffVersions(v1: Long, v2: Long): DataFrame = {
+    val a = snapshotAt(v1).select($"id", $"vec".as("_va"), $"doc".as("_da"),
+      lit(true).as("_pa"))
+    val b = snapshotAt(v2).select($"id", $"vec".as("_vb"), $"doc".as("_db"),
+      lit(true).as("_pb"))
+    a.join(b, Seq("id"), "full_outer")
+      .select($"id",
+        when($"_pa".isNull, "added")
+          .when($"_pb".isNull, "removed")
+          .when($"_va" === $"_vb" && ($"_da" <=> $"_db"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // `db_path=` matches the reference repr exactly (vector_store.py /
   // tests.py:488-491), even though the field here is `path`.
   override def toString: String = s"VectorStore(db_path=$path, dim=$dim)"

@@ -217,6 +217,29 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
   private def freshStore2(): VectorStore =
     VectorStore.openOrCreate(spark, Files.createTempDirectory("graft-vs2").toString + "/store", 10)
 
+  test("diffVersions: added/removed/changed/unchanged across writes") {
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    s.insert(eye(10).take(4), genDocs(0 until 4))
+    val v1 = s.currentVersion().get
+    s.delete(Seq(1L))
+    s.upsert(Seq(2L), Seq(Array.fill(10)(0.25f)))
+    s.insert(eye(10).take(1))
+    val v2 = s.currentVersion().get
+    val d = s.diffVersions(v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(0L -> "unchanged", 1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+    // doc-only change counts as changed
+    import spark.implicits._
+    s.upsert(Seq(3L), Seq(eye(10)(3)), Seq("""{"touched": true}"""))
+    val v3 = s.currentVersion().get
+    assert(s.diffVersions(v2, v3).filter($"status" === "changed")
+      .select($"id").as[Long].collect().toSeq == Seq(3L))
+    // identical versions: everything unchanged
+    assert(s.diffVersions(v3, v3).filter($"status" =!= "unchanged")
+      .count() == 0L)
+  }
+
   test("searchWhere: pre-filter semantics, k caps at match count, errors") {
     val s = freshStore()
     s.insert(eye(10).take(4), Seq(
