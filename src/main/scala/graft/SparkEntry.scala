@@ -2509,6 +2509,25 @@ object SparkEntry {
           T(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
         .select(col("n"), round(col("spearman"), 6).as("spearman"))),
 
+    // Linear interpolation over a gapped hourly count series: every
+    // third hour's count is hidden (hour % 3 = 1), the fill is a ratio
+    // of integers between known integer neighbors — hash-exact.
+    // Leading/trailing-NULL contract exercised by the % pattern ends.
+    "st_interp" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600L)
+            - lit(1704067200L / 3600L)).cast("long").as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nv",
+          when(col("hour_idx") % 3 =!= 1, col("n").cast("double")))
+      operators.Resample.linearInterpolate(hourly, "event_type",
+          "hour_idx", "nv")
+        .select(col("event_type"), col("hour_idx"), col("n"), col("known"),
+          round(col("value_filled"), 6).as("value_filled"))
+        .orderBy("event_type", "hour_idx")
+    }),
+
     // PSI drift monitor between event-value samples: first-10-days
     // baseline vs the rest, one stable arm and one deliberately
     // 2×-scaled arm (psi 0.50 vs 0.003 — both sides of the 0.2
@@ -6406,6 +6425,40 @@ object SparkEntry {
              round(CASE WHEN st.den > 0e0 THEN n.num / st.den END, 6) AS acf
       FROM num n JOIN st USING (event_type)
       ORDER BY event_type, lag""",
+    "st_interp" -> """
+      WITH h AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600e0) AS BIGINT) - 473352
+                 AS hour_idx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, hour_idx, n,
+              CASE WHEN hour_idx % 3 <> 1 THEN CAST(n AS DOUBLE) END AS nv
+            FROM h),
+      f AS (
+        SELECT event_type, hour_idx, n, nv,
+               last_value(nv IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour_idx
+                 ROWS UNBOUNDED PRECEDING) AS pv,
+               last_value(CASE WHEN nv IS NOT NULL
+                 THEN CAST(hour_idx AS DOUBLE) END IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour_idx
+                 ROWS UNBOUNDED PRECEDING) AS pt,
+               first_value(nv IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour_idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+               first_value(CASE WHEN nv IS NOT NULL
+                 THEN CAST(hour_idx AS DOUBLE) END IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour_idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+        FROM g)
+      SELECT event_type, hour_idx, n, nv IS NOT NULL AS known,
+             round(CASE WHEN nv IS NOT NULL THEN nv
+                        WHEN pv IS NOT NULL AND fv IS NOT NULL
+                        THEN pv + (fv - pv)
+                          * (CAST(hour_idx AS DOUBLE) - pt) / (ft - pt)
+                   END, 6) AS value_filled
+      FROM f ORDER BY event_type, hour_idx""",
     "st_psi" -> """
       WITH e AS (
         SELECT value,

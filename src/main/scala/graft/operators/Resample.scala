@@ -110,6 +110,46 @@ object Resample {
       .drop("_dev", "_cum")
   }
 
+  /** Linear interpolation of NULL gaps in a per-key ordered series —
+    * the [[hourlyFfill]] complement for metrics where "hold the last
+    * value" biases (gauges, rates): a missing point becomes
+    * prev + (next − prev)·(t − t_prev)/(t_next − t_prev) between its
+    * nearest known neighbors. Leading/trailing NULLs (no neighbor on
+    * one side) stay NULL — extrapolation is a modeling decision, not
+    * a fill.
+    *
+    * Shape: two per-key windows over the series (last-known-before
+    * via ignoreNulls last, first-known-after via the mirrored frame) —
+    * state bounded by the per-key grid length, the [[cusum]] contract;
+    * keys scale out. With integer `orderCol` and exact values, the
+    * interpolation is a ratio of exact doubles — hash-gateable.
+    *
+    * Returns every input row plus (known, value_filled).
+    */
+  def linearInterpolate(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol).cast("double")
+    val t = col(orderCol).cast("double")
+    df
+      .withColumn("_pv", last(v, ignoreNulls = true).over(wb))
+      .withColumn("_pt",
+        last(when(v.isNotNull, t), ignoreNulls = true).over(wb))
+      .withColumn("_nv", first(v, ignoreNulls = true).over(wf))
+      .withColumn("_nt",
+        first(when(v.isNotNull, t), ignoreNulls = true).over(wf))
+      .withColumn("known", v.isNotNull)
+      .withColumn("value_filled",
+        when(v.isNotNull, v)
+          .when(col("_pv").isNotNull && col("_nv").isNotNull,
+            col("_pv") + (col("_nv") - col("_pv"))
+              * (t - col("_pt")) / (col("_nt") - col("_pt"))))
+      .drop("_pv", "_pt", "_nv", "_nt")
+  }
+
   /** Sample autocorrelation per key at lags 1..`maxLag` — the
     * seasonality/persistence fingerprint of a per-key metric series
     * (daily volume, quality drift): r_ℓ = Σ(x_t−x̄)(x_{t−ℓ}−x̄) /

@@ -270,6 +270,28 @@ class StreamingSpec extends SparkSuite {
     assert(r(("z", 1L))._4.isEmpty && r(("z", 2L))._4.isEmpty)
   }
 
+  test("linearInterpolate: hand fill, uneven gaps, edge NULLs stay NULL") {
+    import graft.operators.Resample
+    val d = Seq[(String, Long, Option[Double])](
+      ("k", 0L, None),          // leading: no prev -> stays NULL
+      ("k", 1L, Some(10.0)),
+      ("k", 2L, None),          // 10 -> 16 over 3 steps: 12
+      ("k", 3L, None),          //                        14
+      ("k", 4L, Some(16.0)),
+      ("k", 6L, None),          // uneven spacing: t=6 between 4 and 7
+      ("k", 7L, Some(22.0)),    // 16 + 6*(2/3) = 20
+      ("k", 8L, None)           // trailing: no next -> stays NULL
+    ).toDF("k", "t", "v")
+    val r = Resample.linearInterpolate(d, "k", "t", "v")
+      .select($"t", $"known", $"value_filled")
+      .as[(Long, Boolean, Option[Double])].collect().map(x => x._1 -> x).toMap
+    assert(!r(0L)._2 && r(0L)._3.isEmpty)
+    assert(r(1L)._3.contains(10.0) && r(1L)._2)
+    assert(r(2L)._3.contains(12.0) && r(3L)._3.contains(14.0))
+    assert(r(6L)._3.contains(20.0))
+    assert(r(8L)._3.isEmpty)
+  }
+
   test("populationStability: identical ~ 0, hand two-bucket psi, edge clamp") {
     import graft.operators.Outliers
     val a = (1 to 100).map(_.toDouble).toDF("v")
