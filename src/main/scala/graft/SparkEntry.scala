@@ -299,7 +299,7 @@ object SparkEntry {
           round(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")),
 
-    // Kendall τ between the full-dimension L2 top-10 and a
+    // Kendall τ between the full-dimension L2 top-20 and a
     // TRUNCATED-embedding (first 48 of 64 dims) retriever over the
     // same queries — the rank-agreement question dimension-truncation
     // (MRL-style) deployments ask: how much ordering does the cheap
@@ -2283,11 +2283,6 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // KMV distinct sketch: per-flag distinct-order estimate from the
-    // 64 smallest md5-prefix hashes, audited against the true distinct
-    // count. Deterministic in the salt, so DuckDB replays the WHOLE
-    // sketch (hashes, k-smallest selection, estimator arithmetic) —
-    // a bit-exact gate no HLL-style sketch could pass.
     // HLL++ audit (Spark's approx_count_distinct at two precisions vs
     // the exact count): the sketch is hash-deterministic, so the gate
     // asserts the documented rsd envelope as booleans — the sk_countmin
@@ -2308,6 +2303,11 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // KMV distinct sketch: per-flag distinct-order estimate from the
+    // 64 smallest md5-prefix hashes, audited against the true distinct
+    // count. Deterministic in the salt, so DuckDB replays the WHOLE
+    // sketch (hashes, k-smallest selection, estimator arithmetic) —
+    // a bit-exact gate no HLL-style sketch could pass.
     "sk_kmv" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       val est = graft.operators.Sketches.kmvDistinct(

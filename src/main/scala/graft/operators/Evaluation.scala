@@ -476,9 +476,12 @@ object Evaluation {
     * gaps; τ counts pairwise inversions, the metric rank-fusion
     * papers report). Computed over the items PRESENT IN BOTH runs
     * (ranks are each run's original positions, so dropping
-    * one-sided items does not re-rank the rest); both runs must have
-    * distinct ranks per query (row_number output, as every graft
-    * retrieval op emits) — τ-a assumes no ties.
+    * one-sided items does not re-rank the rest). Ranks are expected
+    * distinct per query (row_number output, as every graft retrieval
+    * op emits); if a caller passes rank()-style TIED ranks anyway,
+    * tied pairs count as NEITHER concordant nor discordant (and
+    * runA-tied pairs are not enumerated at all) — they are never
+    * silently misclassified as disagreement.
     *
     * τ = (concordant − discordant) / (n(n−1)/2). Counts are integers;
     * τ is one integer ratio — hash-exact.
@@ -500,11 +503,13 @@ object Evaluation {
     val r = aligned.select(col("_q"), col("_id").as("_idb"),
       col("_ra").as("_ra2"), col("_rb").as("_rb2"))
     val pairs = l.join(r, Seq("_q")).filter(col("_ra1") < col("_ra2"))
-      .withColumn("_conc", (col("_rb1") < col("_rb2")).cast("long"))
     val n = aligned.groupBy("_q").agg(count(lit(1)).as("n_common"))
+    // explicit both-direction sums: a runB tie (_rb1 = _rb2) lands in
+    // neither bucket — `count − concordant` would misread it as
+    // discordant
     val cd = pairs.groupBy("_q").agg(
-      sum(col("_conc")).as("concordant"),
-      (count(lit(1)) - sum(col("_conc"))).as("discordant"))
+      sum((col("_rb1") < col("_rb2")).cast("long")).as("concordant"),
+      sum((col("_rb1") > col("_rb2")).cast("long")).as("discordant"))
     n.join(cd, Seq("_q"), "left_outer")
       .select(col("_q").as(qidCol), col("n_common"),
         coalesce(col("concordant"), lit(0L)).as("concordant"),

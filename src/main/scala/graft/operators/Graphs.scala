@@ -562,7 +562,10 @@ object Graphs {
     *
     * Returns ONE row (m, n_communities, q); q NULL when the graph has
     * no edges. Nodes absent from `labels` are treated as singleton
-    * communities of their own id (degree mass still counts).
+    * communities (degree mass still counts) — the singleton namespace
+    * is tagged disjointly from label values, so an unlabeled node
+    * whose ID happens to equal some community's LABEL can never be
+    * absorbed into that community.
     */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, nodeCol: String, commCol: String): DataFrame = {
@@ -578,7 +581,8 @@ object Graphs {
     def labeled(side: String) = canon
       .join(lab.withColumnRenamed("_n", side), Seq(side), "left_outer")
       .select(col("u"), col("v"),
-        coalesce(col("_c"), col(side)).as(s"c_$side"))
+        when(col("_c").isNotNull, concat(lit("l:"), col("_c")))
+          .otherwise(concat(lit("s:"), col(side))).as(s"c_$side"))
     val both = labeled("u")
       .join(labeled("v").select(col("u"), col("v"), col("c_v")), Seq("u", "v"))
     val m = canon.count()

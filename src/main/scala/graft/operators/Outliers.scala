@@ -542,6 +542,9 @@ object Outliers {
     val c = cmp.select(col(vCol).cast("double").as("_v")).filter(col("_v").isNotNull)
     val mm = b.agg(min(col("_v")), max(col("_v"))).head()
     require(!mm.isNullAt(0), "baseline sample is empty")
+    // empty comparison would make _tc = 0 and psi = Infinity — a
+    // data-delivery outage must fail fast, not read as maximal drift
+    require(!c.limit(1).isEmpty, "comparison sample is empty")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = if (hi > lo) hi - lo else 1.0
     def bucketed(d: DataFrame, out: String): DataFrame = d

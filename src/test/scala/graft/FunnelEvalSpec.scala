@@ -200,6 +200,15 @@ class FunnelEvalSpec extends SparkSuite {
     assert(r(2L)._5.contains(-1.0))
     // items present in only one run are dropped; n_common < 2 -> NULL
     assert(r(3L)._2 == 1L && r(3L)._5.isEmpty)
+    // runB ties count as NEITHER concordant nor discordant
+    val at = Seq((9L, "x", 1L), (9L, "y", 2L), (9L, "z", 3L))
+      .toDF("qid", "id", "rn")
+    val bt = Seq((9L, "x", 1L), (9L, "y", 1L), (9L, "z", 2L))
+      .toDF("qid", "id", "rn")
+    val t = Evaluation.kendallTau(at, bt, "qid", "id", "rn", "rn")
+      .select($"concordant", $"discordant").as[(Long, Long)].head()
+    // pairs (x,y) tied in B -> neither; (x,z), (y,z) concordant
+    assert(t == ((2L, 0L)))
   }
 
   test("rougePairs: hand-counted overlap, recall vs precision sides, edges") {

@@ -335,6 +335,19 @@ class GraphsSpec extends SparkSuite {
       good, "node", "comm").select($"m", $"q")
       .as[(Long, Option[Double])].head()
     assert(qe._1 == 0L && qe._2.isEmpty)
+    // an unlabeled node whose ID equals a LABEL value must stay a
+    // singleton, not be absorbed into that community: label nodes 1,2
+    // as community 5 and leave node 5 itself unlabeled — were the
+    // namespaces shared, 5 would join community 5 and Q would rise
+    val clash = Seq((1L, 5L), (2L, 5L)).toDF("node", "comm")
+    val ce = Seq((1L, 2L), (1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val cq = Graphs.modularity(ce, "src", "dst", clash, "node", "comm")
+      .select($"n_communities", $"q").as[(Long, Option[Double])].head()
+    // communities: {1,2} labeled 5, singleton 5 -> 2 communities;
+    // intra edges = 1 of 3, d_lab = 4, d_single = 2:
+    // Q = (1/3 - (4/6)^2) + (0 - (2/6)^2) = 1/3 - 4/9 - 1/9 = -2/9
+    assert(cq._1 == 2L)
+    assert(math.abs(cq._2.get - (-2.0 / 9.0)) < 1e-12)
   }
 
   test("linkPrediction: hand wedge counts, adjacency excluded, hub cap") {

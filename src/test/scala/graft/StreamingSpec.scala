@@ -314,6 +314,10 @@ class StreamingSpec extends SparkSuite {
     val c = Outliers.populationStability(base, wide, "v", nBuckets = 2)
       .select($"bucket", $"n_cmp").as[(Long, Long)].collect().toMap
     assert(c(0L) == 1L && c(1L) == 1L)
+    // empty comparison fails fast rather than reporting infinite drift
+    intercept[IllegalArgumentException] {
+      Outliers.populationStability(base, base.filter($"v" > 1e9), "v")
+    }
   }
 
   test("winsorize: clips to per-group percentile band, flags clipped rows") {
