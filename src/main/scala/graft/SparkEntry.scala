@@ -898,12 +898,10 @@ object SparkEntry {
 
     // BLEU-2 between each doc and its same-source successor (lead over
     // (source, doc_id) — a deterministic paraphrase-mining pairing).
-    // The hashed projection is the tx_distinctive lesson applied from
-    // day one: integer clipped/total n-gram counts and lengths, plus
-    // `geo` = sqrt(p1·p2) — division and sqrt are IEEE-correctly-
-    // rounded in every engine, so geo hashes exactly; the exp-based
-    // brevity penalty stays OUT of the gate (asserted in
-    // FunnelEvalSpec with tolerance).
+    // The hashed projection is INTEGER-ONLY: the clipped/total n-gram
+    // counts and lengths fully determine geo and the brevity penalty,
+    // whose VALUES are asserted in FunnelEvalSpec — a rounded double in
+    // the hash is a cross-build round() lottery (r7 lesson).
     "ir_bleu" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
@@ -913,15 +911,16 @@ object SparkEntry {
         .filter(col("ref").isNotNull)
       operators.Evaluation.bleuPairs(pairs, "doc_id", "text", "ref", maxN = 2)
         .select(col("doc_id"), col("c_len"), col("r_len"),
-          col("clip_1"), col("tot_1"), col("clip_2"), col("tot_2"),
-          round(col("geo"), 6).as("geo"))
+          col("clip_1"), col("tot_1"), col("clip_2"), col("tot_2"))
         .orderBy("doc_id")
     }),
 
     // ROUGE-1/2 over the same successor pairing as ir_bleu — the
-    // recall side of n-gram overlap. Unlike BLEU there is NO
-    // transcendental anywhere: clip/ctot/rtot are integers and
-    // prec/rec/f1 are ±·/ of integers, so the WHOLE row hash-gates.
+    // recall side of n-gram overlap. The hashed projection is
+    // INTEGER-ONLY: clip/ctot/rtot fully determine prec/rec/f1, whose
+    // values are asserted in FunnelEvalSpec — round(ratio, 6) in the
+    // hash diverges between Spark HALF_UP and the driver DuckDB build
+    // at decimal boundaries (this gate was red in r7 for exactly that).
     "ir_rouge" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
@@ -932,13 +931,7 @@ object SparkEntry {
       operators.Evaluation.rougePairs(pairs, "doc_id", "text", "ref", maxN = 2)
         .select(col("doc_id"),
           col("clip_1"), col("ctot_1"), col("rtot_1"),
-          round(col("prec_1"), 6).as("prec_1"),
-          round(col("rec_1"), 6).as("rec_1"),
-          round(col("f1_1"), 6).as("f1_1"),
-          col("clip_2"), col("ctot_2"), col("rtot_2"),
-          round(col("prec_2"), 6).as("prec_2"),
-          round(col("rec_2"), 6).as("rec_2"),
-          round(col("f1_2"), 6).as("f1_2"))
+          col("clip_2"), col("ctot_2"), col("rtot_2"))
         .orderBy("doc_id")
     }),
 
@@ -1361,24 +1354,27 @@ object SparkEntry {
 
     // Distinctive terms per source (log-odds z-score, Dirichlet prior):
     // the corpus-comparison diagnostic. A per-source marker token is
-    // appended so each source HAS a distinctive term and the top-3 is
-    // non-vacuous; DuckDB recomputes counts, priors, both log-odds and
-    // the z-scores from scratch. Both engines rank on round(z, 4) (then
-    // token asc) so ULP-level ln() differences between builds cannot
-    // reorder the top-k cut when equal-count tokens straddle it. The gate
-    // projection emits only integer-exact columns (y, g, rank) — the raw
-    // z is a transcendental whose round(.,4) can flip at a …5 boundary
-    // under cross-build libm ULP drift; its VALUE is asserted in
-    // TextOpsSpec with a 1e-9 tolerance instead of hashed here.
+    // appended (source "srcN" -> token "markerN", exclusive to that
+    // source); DuckDB recomputes counts, priors, log-odds and z from
+    // scratch. The hashed surface is the marker-token rows selected by
+    // an INTEGER predicate (token LIKE 'marker%') with integer columns
+    // only, and the gate runs the operator WITHOUT a top-k cut
+    // (k = MaxValue) — after three red rounds the lesson is that
+    // neither the rank nor the cut may be a function of a
+    // transcendental: a sub-ULP libm ln() difference between builds
+    // flips round(z, 4) at a …5 boundary, which flips rank, which
+    // flips an "integer" row. Here row membership is a pure string
+    // predicate and every hashed column is a count, so NOTHING
+    // z-derived reaches the hash; the top-k path and z's VALUE are
+    // asserted in TextOpsSpec at 1e-9 instead.
     "tx_distinctive" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), col("source"),
         concat(col("text"), lit(" marker"), substring(col("source"), 4, 10))
           .as("text"))
-      TextAnalysis.distinctiveTerms(d, "source", "text", k = 3,
-          rankRoundDigits = Some(4))
-        .select(col("grp").as("source"), col("token"), col("y"), col("g"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("source", "rank")
+      TextAnalysis.distinctiveTerms(d, "source", "text", k = Int.MaxValue)
+        .filter(col("token").like("marker%"))
+        .select(col("grp").as("source"), col("token"), col("y"), col("g"))
+        .orderBy("source", "token")
     }),
 
     // TF-IDF keyword extraction: one tokenize pass → (doc,token) counts,
@@ -2356,9 +2352,12 @@ object SparkEntry {
     }),
 
     // Neyman-optimal stratified allocation of a 100-doc budget across
-    // sources by n_chars variability: σ pre-rounded, then INTEGER
-    // micro-σ weights make every downstream quantity exact — the
-    // floor/largest-remainder arithmetic replays bit-for-bit.
+    // sources by n_chars variability: moments summed as EXACT decimals
+    // (n_chars is an integer) so the σ seed is engine- and
+    // thread-count-independent, σ/weight emitted as floor(x·10⁶+0.5)
+    // scaled LONGS (pure IEEE ops, no engine round()) — the whole row
+    // is integers and the floor/largest-remainder cascade replays
+    // bit-for-bit.
     "sm_neyman" -> ((s, dir) =>
       graft.operators.Sampling.neymanAllocation(
           T(s, dir, "documents"), Seq("source"), "n_chars", n = 100L)
@@ -4192,28 +4191,31 @@ object SparkEntry {
     "sm_neyman" -> """
       WITH m AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-               sum(CAST(n_chars AS DOUBLE)) AS sx,
-               sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS sxx
+               sum(CAST(n_chars AS HUGEINT)) AS sx,
+               sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx
         FROM documents GROUP BY source),
       sg AS (
         SELECT source, n_rows,
-               round(sqrt(greatest(
-                 (sxx - sx * sx / CAST(n_rows AS DOUBLE))
-                   / CAST(n_rows AS DOUBLE), 0e0)), 6) AS sigma_r
+               CAST(floor(sqrt(greatest(
+                 (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n_rows AS DOUBLE))
+                   / CAST(n_rows AS DOUBLE), 0e0)) * 1e6 + 0.5) AS BIGINT)
+                 AS sigma_micro
         FROM m),
-      kw AS (SELECT source, n_rows, sigma_r,
-               CAST(round(sigma_r * 1e6) AS BIGINT) * n_rows AS w
+      kw AS (SELECT source, n_rows, sigma_micro,
+               sigma_micro * n_rows AS w
              FROM sg),
       t AS (SELECT sum(w) AS tw, sum(n_rows) AS tn FROM kw),
       wi AS (
-        SELECT kw.source, kw.n_rows, kw.sigma_r,
+        SELECT kw.source, kw.n_rows, kw.sigma_micro,
                CASE WHEN t.tw > 0
                     THEN CAST(kw.w AS DOUBLE) / CAST(t.tw AS DOUBLE)
                     ELSE CAST(kw.n_rows AS DOUBLE) / CAST(t.tn AS DOUBLE)
                  END AS weight
         FROM kw CROSS JOIN t),
       fi AS (
-        SELECT source, n_rows, sigma_r, weight,
+        SELECT source, n_rows, sigma_micro, weight,
                least(CAST(floor(weight * 100e0) AS BIGINT), n_rows) AS fl,
                weight * 100e0
                  - CAST(least(CAST(floor(weight * 100e0) AS BIGINT), n_rows)
@@ -4225,8 +4227,8 @@ object SparkEntry {
                  ORDER BY rem DESC, source
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS before FROM fi)
-      SELECT rk.source, rk.n_rows, rk.sigma_r,
-             round(rk.weight, 6) AS weight,
+      SELECT rk.source, rk.n_rows, rk.sigma_micro,
+             CAST(floor(rk.weight * 1e6 + 0.5) AS BIGINT) AS weight_micro,
              rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
                AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
@@ -5967,14 +5969,7 @@ object SparkEntry {
       SELECT l.doc_id,
              CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
              coalesce(clip_1, 0) AS clip_1, coalesce(tot_1, 0) AS tot_1,
-             coalesce(clip_2, 0) AS clip_2, coalesce(tot_2, 0) AS tot_2,
-             round(sqrt(
-               (CASE WHEN coalesce(tot_1, 0) > 0
-                     THEN CAST(coalesce(clip_1, 0) AS DOUBLE) / CAST(tot_1 AS DOUBLE)
-                     ELSE 0.0 END)
-               * (CASE WHEN coalesce(tot_2, 0) > 0
-                     THEN CAST(coalesce(clip_2, 0) AS DOUBLE) / CAST(tot_2 AS DOUBLE)
-                     ELSE 0.0 END)), 6) AS geo
+             coalesce(clip_2, 0) AS clip_2, coalesce(tot_2, 0) AS tot_2
       FROM lens l
       LEFT JOIN a1 ON a1.doc_id = l.doc_id
       LEFT JOIN a2 ON a2.doc_id = l.doc_id
@@ -6027,31 +6022,9 @@ object SparkEntry {
                coalesce(rtot_2, 0) AS rtot_2
         FROM pp
         LEFT JOIN a1 ON a1.doc_id = pp.doc_id
-        LEFT JOIN a2 ON a2.doc_id = pp.doc_id),
-      s AS (
-        SELECT doc_id, clip_1, ctot_1, rtot_1, clip_2, ctot_2, rtot_2,
-               CASE WHEN ctot_1 > 0
-                    THEN CAST(clip_1 AS DOUBLE) / CAST(ctot_1 AS DOUBLE)
-                    ELSE 0.0 END AS p1,
-               CASE WHEN rtot_1 > 0
-                    THEN CAST(clip_1 AS DOUBLE) / CAST(rtot_1 AS DOUBLE)
-                    ELSE 0.0 END AS r1,
-               CASE WHEN ctot_2 > 0
-                    THEN CAST(clip_2 AS DOUBLE) / CAST(ctot_2 AS DOUBLE)
-                    ELSE 0.0 END AS p2,
-               CASE WHEN rtot_2 > 0
-                    THEN CAST(clip_2 AS DOUBLE) / CAST(rtot_2 AS DOUBLE)
-                    ELSE 0.0 END AS r2
-        FROM m)
-      SELECT doc_id, clip_1, ctot_1, rtot_1,
-             round(p1, 6) AS prec_1, round(r1, 6) AS rec_1,
-             round(CASE WHEN p1 + r1 > 0.0
-                        THEN 2.0 * p1 * r1 / (p1 + r1) ELSE 0.0 END, 6) AS f1_1,
-             clip_2, ctot_2, rtot_2,
-             round(p2, 6) AS prec_2, round(r2, 6) AS rec_2,
-             round(CASE WHEN p2 + r2 > 0.0
-                        THEN 2.0 * p2 * r2 / (p2 + r2) ELSE 0.0 END, 6) AS f1_2
-      FROM s ORDER BY doc_id""",
+        LEFT JOIN a2 ON a2.doc_id = pp.doc_id)
+      SELECT doc_id, clip_1, ctot_1, rtot_1, clip_2, ctot_2, rtot_2
+      FROM m ORDER BY doc_id""",
     // ER replay: the same id-keyed corruption (drop char at (id%7)+3 /
     // insert 'x' at 3), first-2-chars + len//4 blocking, full
     // Levenshtein per in-block pair — all integers.
@@ -6841,14 +6814,10 @@ object SparkEntry {
                       - (CAST(g.g - c.y AS DOUBLE) + 0.01))))
               / sqrt(1.0 / (CAST(c.y AS DOUBLE) + 0.01)
                    + 1.0 / (CAST(g.g - c.y AS DOUBLE) + 0.01)) AS z
-        FROM c JOIN g USING (token) JOIN t USING (grp) CROSS JOIN corpus),
-      r AS (SELECT grp, token, y, g, z,
-                   row_number() OVER (PARTITION BY grp
-                                      ORDER BY round(z, 4) DESC, token)
-                     AS rank
-            FROM scored)
-      SELECT grp AS source, token, y, g, CAST(rank AS BIGINT) AS rank
-      FROM r WHERE rank <= 3 ORDER BY source, rank""",
+        FROM c JOIN g USING (token) JOIN t USING (grp) CROSS JOIN corpus)
+      SELECT grp AS source, token, y, g
+      FROM scored WHERE token LIKE 'marker%'
+      ORDER BY source, token""",
     "tx_boilerplate" -> """
       WITH raw AS (
         SELECT doc_id,

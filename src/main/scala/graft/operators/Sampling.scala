@@ -253,10 +253,17 @@ object Sampling {
     * mean, and the difference between "sample 1% of every source" and
     * "spend the budget where the metric actually varies".
     *
-    * Determinism: σ_h is ROUNDED to 6 decimals before any allocation
-    * arithmetic (population variance comes from distributed sums whose
-    * order differs across engines; the tx_distinctive lesson says never
-    * rank on an unrounded float). After that everything is
+    * Determinism, end to end (the r7 red-gate lesson): the per-stratum
+    * moments Σx and Σx² are summed as EXACT decimals (valueCol is
+    * integral by contract), so the double seeds below are bit-identical
+    * regardless of partition count, merge order, or engine — a
+    * double-summed moment moves by ULPs with thread count, which moves
+    * anything rounded from it. σ is then emitted as a scaled long via
+    * floor(σ·10⁶ + 0.5): multiply, add, floor are single
+    * correctly-rounded IEEE ops, identical in every engine, unlike
+    * round(double, d) whose decimal-boundary behaviour is an
+    * implementation choice that differs between Spark (HALF_UP on the
+    * decimal expansion) and other engines. After that everything is
     * floor-and-largest-remainder on identical IEEE doubles, remainder
     * ties broken by stratum key — bit-reproducible anywhere. Zero-σ
     * strata get weight 0 (nothing to estimate); if ALL strata are
@@ -264,33 +271,35 @@ object Sampling {
     *
     * Shape: one map-side-combined moment aggregate per stratum, then
     * the allocation runs on the |strata|-row frame (windows over
-    * strata, never data). Returns (stratum..., n_rows, sigma_r,
-    * weight, alloc) with alloc_h ≤ N_h and Σ alloc = min(n, Σ N_h)
-    * EXACTLY — when a cap binds, the stranded budget cascades to the
-    * next strata in remainder order (possibly zero-weight ones: a
-    * budget the σ-weighted strata cannot absorb still gets spent).
+    * strata, never data). Returns (stratum..., n_rows, sigma_micro,
+    * weight_micro, alloc) — σ and the Neyman weight as exact
+    * micro-unit longs (σ·10⁶, w·10⁶) — with alloc_h ≤ N_h and
+    * Σ alloc = min(n, Σ N_h) EXACTLY: when a cap binds, the stranded
+    * budget cascades to the next strata in remainder order (possibly
+    * zero-weight ones — a budget the σ-weighted strata cannot absorb
+    * still gets spent).
     */
   def neymanAllocation(df: DataFrame, strataCols: Seq[String],
       valueCol: String, n: Long): DataFrame = {
     require(strataCols.nonEmpty, "need at least one stratum column")
     require(n >= 0, s"budget must be >= 0, got $n")
     val gcols = strataCols.map(col)
+    val x = col(valueCol).cast("decimal(18,0)")
     val m = df.groupBy(gcols: _*).agg(
       count(lit(1)).as("n_rows"),
-      sum(col(valueCol).cast("double")).as("_sx"),
-      sum(col(valueCol).cast("double") * col(valueCol).cast("double"))
-        .as("_sxx"))
+      sum(x).as("_sx"),
+      sum(x * x).as("_sxx"))
       .withColumn("_varp",
-        (col("_sxx") - col("_sx") * col("_sx") / col("n_rows").cast("double"))
+        (col("_sxx").cast("double")
+          - col("_sx").cast("double") * col("_sx").cast("double")
+            / col("n_rows").cast("double"))
           / col("n_rows").cast("double"))
-      .withColumn("sigma_r",
-        round(sqrt(greatest(col("_varp"), lit(0.0))), 6))
-    // integer micro-σ weights: N_h·round(σ_h·10⁶) is an exact long, so
-    // the total is associative — NO sum-order ULP anywhere downstream
-    // (a float Σw would make floor(ideal) a half-ULP lottery, the
-    // tx_distinctive failure mode)
-    val keyed = m.withColumn("_w",
-      round(col("sigma_r") * lit(1e6)).cast("long") * col("n_rows"))
+      .withColumn("sigma_micro",
+        floor(sqrt(greatest(col("_varp"), lit(0.0))) * lit(1e6) + lit(0.5)))
+    // integer micro-σ weights: N_h·σ_micro is an exact long, so the
+    // total is associative — NO sum-order ULP anywhere downstream
+    // (a float Σw would make floor(ideal) a half-ULP lottery)
+    val keyed = m.withColumn("_w", col("sigma_micro") * col("n_rows"))
     val tot = keyed.agg(sum(col("_w")).as("_tw"),
       sum(col("n_rows")).as("_tn"))
     val w = keyed.crossJoin(broadcast(tot))
@@ -321,7 +330,8 @@ object Sampling {
       .withColumn("alloc",
         col("_floor") + greatest(lit(0L),
           least(col("_head"), col("_short") - col("_before"))))
-      .select(gcols :+ col("n_rows") :+ col("sigma_r") :+
-        round(col("weight"), 6).as("weight") :+ col("alloc"): _*)
+      .select(gcols :+ col("n_rows") :+ col("sigma_micro") :+
+        floor(col("weight") * lit(1e6) + lit(0.5)).as("weight_micro") :+
+        col("alloc"): _*)
   }
 }

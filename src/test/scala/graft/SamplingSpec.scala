@@ -241,19 +241,23 @@ class SamplingSpec extends SparkSuite {
     val d = (Seq(("a", 0), ("a", 10)) ++ Seq.fill(3)(("b", 1)) ++
       Seq(("c", 0), ("c", 20), ("c", 40))).toDF("g", "v")
     val r = Sampling.neymanAllocation(d, Seq("g"), "v", n = 6L)
-      .select($"g", $"n_rows", $"sigma_r", $"weight", $"alloc")
-      .as[(String, Long, Double, Double, Long)]
+      .select($"g", $"n_rows", $"sigma_micro", $"weight_micro", $"alloc")
+      .as[(String, Long, Long, Long, Long)]
       .collect().map(t => t._1 -> t).toMap
-    assert(r("a")._2 == 2L && r("a")._3 == 5.0)
-    // weights: a = 2*5 = 10, c = 3*16.329932 = 48.99; total ~59
-    // ideal: a = 6*10/59 = 1.017 -> floor 1; c = 4.98 -> floor 3 (cap);
-    // short = 2. Greedy fill by remainder: c first (rem 1.98) but no
-    // headroom, a next absorbs 1 (cap 2), overflow lands on b — the
-    // budget fills EXACTLY even though a cap bound (sum = 6)
+    assert(r("a")._2 == 2L && r("a")._3 == 5000000L)
+    // micro-σ: a = 5.0 -> 5,000,000; c = sqrt(800/3) = 16.329932 ->
+    // 16,329,932 (floor(σ·1e6 + 0.5) — pure IEEE, no engine round()).
+    assert(r("c")._3 == 16329932L)
+    // weights: a = 2*5e6 = 1e7, c = 3*16329932 = 48,989,796; total
+    // 58,989,796. ideal: a = 6*1e7/58989796 = 1.017 -> floor 1;
+    // c = 4.98 -> floor 3 (cap); short = 2. Greedy fill by remainder:
+    // c first (rem 1.98) but no headroom, a next absorbs 1 (cap 2),
+    // overflow lands on b — the budget fills EXACTLY even though a
+    // cap bound (sum = 6)
     assert(r("a")._5 == 2L && r("c")._5 == 3L && r("b")._5 == 1L)
     assert(r.values.map(_._5).sum == 6L, "budget must fill when capacity allows")
     // zero-variance stratum has zero WEIGHT (only cap overflow reaches it)
-    assert(r("b")._4 == 0.0)
+    assert(r("b")._4 == 0L)
     // all-degenerate: proportional fallback by n_rows
     val const = Seq(("x", 5), ("x", 5), ("y", 5), ("y", 5), ("y", 5), ("y", 5))
       .toDF("g", "v")
