@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, fingerprint64, indel_similarity, simhash64}
+import graft.functions.{cosine_similarity, fingerprint64, hround, indel_similarity, simhash64}
 import graft.operators.{Ann, Bm25, Dedup, Pii, SemDedup, SimilarityJoin, TextAnalysis, TopKAggregator}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -112,7 +112,7 @@ object SparkEntry {
   }
 
   /** Pre-rounded per-(event type, day) value means — shared input of
-    * the st_theilsen and st_acf gates: round(sum, 2)/count heals
+    * the st_theilsen and st_acf gates: hround(sum, 2)/count heals
     * cross-engine sum-order ULP, after which both estimators run on
     * bit-identical doubles. Day = offset from the fixture epoch.
     */
@@ -120,7 +120,7 @@ object SparkEntry {
     events(s, dir)
       .groupBy(col("event_type"),
         datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
-      .agg((round(sum(col("value")), 2) / count(lit(1))).as("m"))
+      .agg((hround(sum(col("value")), 2) / count(lit(1))).as("m"))
 
   /** Dirty-record synthesis for the entity-resolution gates: a quarter
     * of the part rows, each name either untouched, one char dropped at a
@@ -205,7 +205,7 @@ object SparkEntry {
     SimilarityJoin.knnL2(T(s, dir, "embeddings"), "vec_id", "embedding",
         knnQueries(s, dir, 3), "qid", "qvec", k = 5)
       .select(col("qid"), col("vec_id"), col("rn"),
-        round(col("distance").cast("double"), 4).as("dist"))
+        hround(col("distance").cast("double"), 4).as("dist"))
       .orderBy("qid", "rn")
 
   private val knnOracle: String = """
@@ -217,7 +217,7 @@ object SparkEntry {
       SELECT qid, vec_id, distance,
              row_number() OVER (PARTITION BY qid ORDER BY distance, vec_id) AS rn
       FROM scored)
-    SELECT qid, vec_id, rn, round(CAST(distance AS DOUBLE), 4) AS dist
+    SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
     FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
   // ---------------------------------------------------------------- //
@@ -237,7 +237,7 @@ object SparkEntry {
         .orderBy("vec_id")
         .limit(5)
         .select(col("vec_id"), col("label"),
-          round(element_at(col("embedding"), 1).cast("double"), 5).as("e0"))),
+          hround(element_at(col("embedding"), 1).cast("double"), 5).as("e0"))),
 
     // R7 select-by-ids semi-join, missing ids silently absent
     "vs_select_ids" -> ((s, dir) => {
@@ -279,16 +279,16 @@ object SparkEntry {
       T(s, dir, "embeddings")
         .orderBy("vec_id")
         .select(col("vec_id"),
-          round(element_at(col("embedding"), 1).cast("double"), 5).as("e0"),
-          round(element_at(col("embedding"), 2).cast("double"), 5).as("e1"),
-          round(element_at(col("embedding"), 64).cast("double"), 5).as("e63"))),
+          hround(element_at(col("embedding"), 1).cast("double"), 5).as("e0"),
+          hround(element_at(col("embedding"), 2).cast("double"), 5).as("e1"),
+          hround(element_at(col("embedding"), 64).cast("double"), 5).as("e63"))),
 
     // R8 k-NN search: window top-k and aggregator top-k (same oracle)
     "vs_knn" -> ((s, dir) => knnQuery(s, dir)),
     "vs_knn_agg" -> ((s, dir) =>
       TopKAggregator.topKRows(knnScored(s, dir), "qid", "vec_id", "distance", k = 5)
         .select(col("qid"), col("vec_id"), col("rn"),
-          round(col("distance"), 4).as("dist"))
+          hround(col("distance"), 4).as("dist"))
         .orderBy("qid", "rn")),
 
     // R8 variant: cosine top-k (canonical operator, not re-implemented)
@@ -296,7 +296,7 @@ object SparkEntry {
       SimilarityJoin.knnCosine(T(s, dir, "embeddings"), "vec_id", "embedding",
           knnQueries(s, dir, 2), "qid", "qvec", k = 4)
         .select(col("qid"), col("vec_id"), col("rn"),
-          round(col("sim").cast("double"), 4).as("sim"))
+          hround(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")),
 
     // Kendall τ between the full-dimension L2 top-20 and a
@@ -319,7 +319,7 @@ object SparkEntry {
         truncQ, "qid", "qvec", k = 20)
       operators.Evaluation.kendallTau(runA, runB, "qid", "vec_id", "rn", "rn")
         .select(col("qid"), col("n_common"), col("concordant"),
-          col("discordant"), round(col("tau"), 6).as("tau"))
+          col("discordant"), hround(col("tau"), 6).as("tau"))
         .orderBy("qid")
     }),
 
@@ -333,7 +333,7 @@ object SparkEntry {
           "vec_id", "embedding",
           knnQueries(s, dir, 3), "qid", "qvec", k = 5)
         .select(col("qid"), col("vec_id"), col("rn"),
-          round(col("distance").cast("double"), 4).as("dist"))
+          hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("qid", "rn")),
 
     // Store-level ANN with tombstone-consistent results: a REAL
@@ -376,7 +376,7 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
       store.searchApproxDF(qs, k = 5, nProbe = 8)
         .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
-          round(col("distance").cast("double"), 4).as("dist"))
+          hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("qid", "rn")
     }),
 
@@ -404,8 +404,8 @@ object SparkEntry {
       store.upsert(Seq(5L), Seq(v9))
       store.snapshotAt(v1)
         .select(col("id"),
-          round(element_at(col("vec"), 1).cast("double"), 5).as("e0"),
-          round(element_at(col("vec"), 64).cast("double"), 5).as("e63"))
+          hround(element_at(col("vec"), 1).cast("double"), 5).as("e0"),
+          hround(element_at(col("vec"), 64).cast("double"), 5).as("e63"))
         .orderBy("id")
     }),
 
@@ -446,7 +446,7 @@ object SparkEntry {
         .withColumn("distance", lit(100.0) - indel_similarity(col("text"), col("qtext")))
         .select(col("qid"), col("doc_id"), col("distance"))
       SimilarityJoin.topKByDistance(scored, "qid", "doc_id", "distance", k = 3)
-        .select(col("qid"), col("doc_id"), col("rn"), round(col("distance"), 4).as("dist"))
+        .select(col("qid"), col("doc_id"), col("rn"), hround(col("distance"), 4).as("dist"))
         .orderBy("qid", "rn")
     }),
 
@@ -462,11 +462,11 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          hround(sum(col("l_quantity")), 2).as("sum_qty"),
+          hround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          hround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          hround(avg(col("l_quantity")), 4).as("avg_qty"),
+          hround(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -486,7 +486,7 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(hround(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")),
 
@@ -497,7 +497,7 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(hround(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("r_name", "n_name")),
 
@@ -545,7 +545,7 @@ object SparkEntry {
     "q10_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), hround(sum(col("l_quantity")), 2).as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
@@ -567,7 +567,7 @@ object SparkEntry {
         .groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), hround(sum(col("value")), 2).as("total_value"))
         .orderBy("hour", "event_type")),
 
     // -------------------- dedup operators -------------------------- //
@@ -594,9 +594,9 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       val w1 = Dedup.softDedupWeights(d, "doc_id", "text", alpha = 1.0)
         .select(col("doc_id"), col("n_copies"),
-          round(col("weight"), 6).as("weight"))
+          hround(col("weight"), 6).as("weight"))
       val w2 = Dedup.softDedupWeights(d, "doc_id", "text", alpha = 0.5)
-        .select(col("doc_id"), round(col("weight"), 6).as("weight_sqrt"))
+        .select(col("doc_id"), hround(col("weight"), 6).as("weight_sqrt"))
       w1.join(w2, "doc_id").orderBy("doc_id")
     }),
     // Quality-aware canonical selection: per normalized-dup group keep
@@ -608,7 +608,7 @@ object SparkEntry {
     "dd_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
           T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text", 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("a_id"), col("b_id"), hround(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")),
 
     // Incremental near-dup, exact oracle side: all batch-vs-corpus
@@ -622,7 +622,7 @@ object SparkEntry {
         (col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" xtoken"), col("doc_id").cast("string")).as("text"))
       Dedup.jaccardPairsAcross(batch, "doc_id", "text", d, "doc_id", "text", 0.8)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("a_id"), col("b_id"), hround(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -638,10 +638,10 @@ object SparkEntry {
         concat(col("text"), lit(" xtoken"), col("doc_id").cast("string")).as("text"))
       val lsh = Dedup.incrementalNearDupPairs(d, batch, "doc_id", "text",
           numHashes = 32, bands = 8, verifyThreshold = 0.8)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("a_id"), col("b_id"), hround(col("jaccard"), 4).as("jaccard"))
       val exact = Dedup.jaccardPairsAcross(batch, "doc_id", "text",
           d, "doc_id", "text", 0.8)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"),
+        .select(col("a_id"), col("b_id"), hround(col("jaccard"), 4).as("jaccard"),
           lit(1).as("ok"))
       lsh.join(exact, Seq("a_id", "b_id", "jaccard"), "left_outer")
         .agg(
@@ -656,7 +656,7 @@ object SparkEntry {
       Dedup.minHashLshPairsPortable(
           T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
           numHashes = 32, bands = 8, verifyThreshold = 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("a_id"), col("b_id"), hround(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")),
     // Portable md5 hash family — DuckDB replays signatures, blocks, and
     // XOR-popcount hamming end-to-end (brute-force all-pairs there ==
@@ -707,7 +707,7 @@ object SparkEntry {
     "dd_embed_neardup" -> ((s, dir) =>
       SimilarityJoin.cosineNearDupPairs(
           T(s, dir, "embeddings").filter(col("vec_id") < 400), "vec_id", "embedding", 0.4)
-        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"))
+        .select(col("a_id"), col("b_id"), hround(col("sim").cast("double"), 4).as("sim"))
         .orderBy("a_id", "b_id")),
     // Hash-checkable containment proof for the 100 TB LSH path: every
     // minHashLshPairs result must appear (same ids, same rounded score)
@@ -718,9 +718,9 @@ object SparkEntry {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 150)
       val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
           numHashes = 32, bands = 8, verifyThreshold = 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("a_id"), col("b_id"), hround(col("jaccard"), 4).as("jaccard"))
       val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"),
+        .select(col("a_id"), col("b_id"), hround(col("jaccard"), 4).as("jaccard"),
           lit(1).as("ok"))
       lsh.join(exact, Seq("a_id", "b_id", "jaccard"), "left_outer")
         .agg(
@@ -761,9 +761,9 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
       val sem = SemDedup.semanticNearDupPairs(emb, "vec_id", "embedding",
           threshold = 0.4, nClusters = 8, iters = 3)
-        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"))
+        .select(col("a_id"), col("b_id"), hround(col("sim").cast("double"), 4).as("sim"))
       val exact = SimilarityJoin.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
-        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"),
+        .select(col("a_id"), col("b_id"), hround(col("sim").cast("double"), 4).as("sim"),
           lit(1).as("ok"))
       sem.join(exact, Seq("a_id", "b_id", "sim"), "left_outer")
         .agg(
@@ -777,9 +777,9 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
       val lsh = Ann.lshCosineNearDupPairs(emb, "vec_id", "embedding",
           threshold = 0.4, dim = 64, nBits = 4)
-        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"))
+        .select(col("a_id"), col("b_id"), hround(col("sim").cast("double"), 4).as("sim"))
       val exact = SimilarityJoin.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
-        .select(col("a_id"), col("b_id"), round(col("sim").cast("double"), 4).as("sim"),
+        .select(col("a_id"), col("b_id"), hround(col("sim").cast("double"), 4).as("sim"),
           lit(1).as("ok"))
       lsh.join(exact, Seq("a_id", "b_id", "sim"), "left_outer")
         .agg(
@@ -792,29 +792,29 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-          round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+          hround(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_tok_len"),
           col("n_chars"))
         .orderBy("doc_id")),
     "tx_quality" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
-          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-          round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
-          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+          hround(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          hround(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+          hround(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
         .orderBy("doc_id")),
     "tx_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(T(s, dir, "documents"), "text")),
     "tx_repetition" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"),
-          round(TextAnalysis.repetitionRatio(col("text")), 4).as("rep_ratio"))
+          hround(TextAnalysis.repetitionRatio(col("text")), 4).as("rep_ratio"))
         .orderBy("doc_id")),
     "tx_langid" -> ((s, dir) => {
       val ratios = TextAnalysis.langRatios(col("text"))
       T(s, dir, "documents")
         .select(
           (col("doc_id") +: TextAnalysis.langId(col("text")).as("lang_guess") +:
-            ratios.map { case (n, c) => round(c, 4).as(n) }): _*)
+            ratios.map { case (n, c) => hround(c, 4).as(n) }): _*)
         .orderBy("doc_id")
     }),
     // BM25 lexical retrieval: per-term tf as a projection, corpus stats
@@ -838,7 +838,7 @@ object SparkEntry {
         (lit(1.0) / (lit(1.0) + exp(-(wc - 150.0) / 60.0))).as("score"),
         TextAnalysis.gopherPass(col("text")).as("label"))
       operators.Evaluation.binaryAuc(scored, "score", "label")
-        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
+        .select(col("n_pos"), col("n_neg"), hround(col("auc"), 6).as("auc"))
     }),
 
     // Reliability table for the same score/label: per probability bin,
@@ -850,8 +850,8 @@ object SparkEntry {
         (lit(1.0) / (lit(1.0) + exp(-(wc - 150.0) / 60.0))).as("score"),
         TextAnalysis.gopherPass(col("text")).as("label"))
       operators.Evaluation.calibration(scored, "score", "label", nBins = 10)
-        .select(col("bin"), col("n"), round(col("avg_score"), 6).as("avg_score"),
-          round(col("frac_pos"), 6).as("frac_pos"))
+        .select(col("bin"), col("n"), hround(col("avg_score"), 6).as("avg_score"),
+          hround(col("frac_pos"), 6).as("frac_pos"))
         .orderBy("bin")
     }),
 
@@ -861,12 +861,12 @@ object SparkEntry {
     // DuckDB, hence "prec".
     "ir_pr" -> ((s, dir) => {
       val o = T(s, dir, "orders")
-        .select(round(col("o_totalprice") / 1000.0).as("score"),
+        .select(hround(col("o_totalprice") / 1000.0, 0).as("score"),
           (col("o_orderstatus") === "F").as("label"))
       operators.Evaluation.prCurve(o, "score", "label")
         .select(col("score"), col("pos_at"), col("tp"), col("fp"),
-          round(col("precision"), 6).as("prec"),
-          round(col("recall"), 6).as("recall"))
+          hround(col("precision"), 6).as("prec"),
+          hround(col("recall"), 6).as("recall"))
         .orderBy(col("score").desc)
     }),
 
@@ -875,10 +875,10 @@ object SparkEntry {
     // threshold is pos_at/nPos, so no lag window exists anywhere.
     "ir_pr_auc" -> ((s, dir) => {
       val o = T(s, dir, "orders")
-        .select(round(col("o_totalprice") / 1000.0).as("score"),
+        .select(hround(col("o_totalprice") / 1000.0, 0).as("score"),
           (col("o_orderstatus") === "F").as("label"))
       operators.Evaluation.prAuc(o, "score", "label")
-        .select(col("n_pos"), col("n_neg"), round(col("ap"), 6).as("ap"))
+        .select(col("n_pos"), col("n_neg"), hround(col("ap"), 6).as("ap"))
     }),
 
     // Cohen's kappa between two deterministic "annotators" (char-tier
@@ -892,8 +892,8 @@ object SparkEntry {
           .when(size(TextAnalysis.tokens(col("text"))) < 73, "med")
           .otherwise("long").as("b"))
       operators.Evaluation.cohenKappa(d, "a", "b")
-        .select(col("n"), round(col("po"), 6).as("po"),
-          round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+        .select(col("n"), hround(col("po"), 6).as("po"),
+          hround(col("pe"), 6).as("pe"), hround(col("kappa"), 6).as("kappa"))
     }),
 
     // BLEU-2 between each doc and its same-source successor (lead over
@@ -977,15 +977,15 @@ object SparkEntry {
         countDistinct(col("source")).as("n_sources"),
         sum(size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")))
           .cast("long").as("total_tokens"),
-        round(avg(col("n_chars")), 4).as("mean_chars"),
+        hround(avg(col("n_chars")), 4).as("mean_chars"),
         countDistinct(md5(col("text"))).as("_nd"),
         sum(when(length(col("text")) >= 150, 1L).otherwise(0L))
           .as("_n_len"))
         .select(col("n_docs"), col("n_sources"), col("total_tokens"),
           col("mean_chars"),
-          round(lit(1.0) - col("_nd").cast("double")
+          hround(lit(1.0) - col("_nd").cast("double")
             / col("n_docs").cast("double"), 6).as("dup_rate"),
-          round(col("_n_len").cast("double")
+          hround(col("_n_len").cast("double")
             / col("n_docs").cast("double"), 6).as("pct_min_len"))
     }),
 
@@ -1002,7 +1002,7 @@ object SparkEntry {
           (length(letters).cast("double") / length(col("text")).cast("double")
             >= 0.82)))
         .select(col("stage"), col("n_in"), col("n_dropped"), col("n_out"),
-          round(col("drop_rate"), 6).as("drop_rate"))
+          hround(col("drop_rate"), 6).as("drop_rate"))
     }),
 
     // Gopher-style quality rules: per-rule booleans + the keep/drop
@@ -1027,7 +1027,7 @@ object SparkEntry {
         .select(col("doc_id"), punct.as("t"))
         .select(col("doc_id") +:
           TextAnalysis.readability(col("t")).map { case (n, c) =>
-            if (n == "flesch" || n == "fk_grade") round(c, 4).as(n)
+            if (n == "flesch" || n == "fk_grade") hround(c, 4).as(n)
             else c.as(n)
           }: _*)
         .orderBy("doc_id")
@@ -1133,7 +1133,7 @@ object SparkEntry {
       val d = T(s, dir, "documents").filter(col("text").isNotNull)
       val lm = operators.LangModel.fitUnigram(d, "text", vocabSize = 20, alpha = 1.0)
       operators.LangModel.perplexity(d, "doc_id", "text", lm)
-        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+        .select(col("doc_id"), hround(col("perplexity"), 4).as("perplexity"))
         .orderBy("doc_id")
     }),
 
@@ -1147,7 +1147,7 @@ object SparkEntry {
       val lm = operators.LangModel.fitBigram(d, "text",
         vocabSize = 20, maxPairs = 50, alpha = 1.0, lambda = 0.7)
       operators.LangModel.bigramPerplexity(d, "doc_id", "text", lm)
-        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+        .select(col("doc_id"), hround(col("perplexity"), 4).as("perplexity"))
         .orderBy("doc_id")
     }),
 
@@ -1169,7 +1169,7 @@ object SparkEntry {
     "tx_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(
           T(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
-        .select(col("doc_id"), round(col("entropy"), 4).as("entropy"))
+        .select(col("doc_id"), hround(col("entropy"), 4).as("entropy"))
         .orderBy("doc_id")),
 
     // URL canonicalization: scheme/host case, default ports, trailing
@@ -1270,7 +1270,7 @@ object SparkEntry {
         .toDF("f", "w").coalesce(1).write.mode("overwrite")
         .parquet(s"$scratchRoot/qm_weights.parquet")
       operators.QualityModel.score(labeled, "text", model)
-        .select(col("doc_id"), round(col("quality_prob"), 4).as("prob"))
+        .select(col("doc_id"), hround(col("quality_prob"), 4).as("prob"))
         .orderBy("doc_id")
     }),
 
@@ -1383,7 +1383,7 @@ object SparkEntry {
     "tx_tfidf" -> ((s, dir) =>
       operators.Tfidf.topTerms(T(s, dir, "documents"), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          round(col("tfidf"), 4).as("tfidf"), col("rank").cast("long").as("rank"))
+          hround(col("tfidf"), 4).as("tfidf"), col("rank").cast("long").as("rank"))
         .orderBy("doc_id", "rank")),
 
     // Composition of the round's new text ops as one chain: synthesize
@@ -1409,7 +1409,7 @@ object SparkEntry {
     "sm_weighted" -> ((s, dir) =>
       operators.Sampling.weightedHashSample(
           T(s, dir, "documents"), "doc_id",
-          round(TextAnalysis.qualityScore(col("text")), 4), salt = "wq")
+          hround(TextAnalysis.qualityScore(col("text")), 4), salt = "wq")
         .select("doc_id")
         .orderBy("doc_id")),
 
@@ -1486,7 +1486,7 @@ object SparkEntry {
           sum(col("n_syms") * col("c")).as("n_tokens"))
         .select(col("source"), col("n_words"), col("n_chars"),
           col("n_tokens"),
-          round(col("n_chars").cast("double")
+          hround(col("n_chars").cast("double")
             / col("n_tokens").cast("double"), 6).as("ratio"))
         .orderBy("source")
     }),
@@ -1504,7 +1504,7 @@ object SparkEntry {
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
         .select(col("a_id"), col("b_id"),
-          round(col("n_common").cast("double") /
+          hround(col("n_common").cast("double") /
             (size(col("a_sh")) + size(col("b_sh")) - col("n_common")), 4).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
@@ -1515,7 +1515,7 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(hround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           countDistinct(col("s_suppkey")).as("n_suppliers"),
           count(lit(1)).as("n_lines"))
         .orderBy("p_brand")),
@@ -1527,7 +1527,7 @@ object SparkEntry {
       orders.crossJoin(broadcast(avgPrice))
         .filter(col("o_totalprice") > col("ap"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(max(col("o_totalprice")), 2).as("max_price"))
+        .agg(count(lit(1)).as("n"), hround(max(col("o_totalprice")), 2).as("max_price"))
         .filter(col("n") > 10)
         .orderBy("o_orderpriority")
     }),
@@ -1551,7 +1551,7 @@ object SparkEntry {
           keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
           payloadCols = Seq("last_purchase_value"))
         .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("last_purchase_value"), 2).as("last_purchase_value"))
+          hround(col("last_purchase_value"), 2).as("last_purchase_value"))
         .orderBy("event_id")
     }),
 
@@ -1561,7 +1561,7 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
           col("n_events"),
-          round(col("total_value"), 2).as("total_value"))
+          hround(col("total_value"), 2).as("total_value"))
         .orderBy("user_id", "session_start")),
 
     // ANN — custom hash family / centroids, rows-only checks
@@ -1572,7 +1572,7 @@ object SparkEntry {
       graft.operators.Ann.lshCosineTopK(e, "vec_id", "embedding", qs, "qid", "qvec",
           k = 3, dim = 64, nBits = 6)
         .select(col("qid"), col("vec_id"), col("rn"),
-          round(col("sim").cast("double"), 4).as("sim"))
+          hround(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")
     }),
     // The k-means fit is Spark state (like the PQ codebooks); the
@@ -1592,7 +1592,7 @@ object SparkEntry {
       graft.operators.Ann.ivfSearchL2(indexed, "vec_id", "embedding", centroids,
           qs, "qid", "qvec", k = 3, nProbe = 4)
         .select(col("qid"), col("vec_id"), col("rn"),
-          round(col("distance").cast("double"), 4).as("dist"))
+          hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("qid", "rn")
     }),
 
@@ -1600,7 +1600,7 @@ object SparkEntry {
     "q16_cube" -> ((s, dir) =>
       T(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(count(lit(1)).as("n"), hround(sum(col("o_totalprice")), 2).as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -1637,9 +1637,9 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .filter(col("l_orderkey") <= 100)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
-          round(pow(col("l_discount"), lit(2)), 8).as("disc_sq"),
-          round(log(col("l_extendedprice") + 1), 6).as("ln_price"),
+          hround(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          hround(pow(col("l_discount"), lit(2)), 8).as("disc_sq"),
+          hround(log(col("l_extendedprice") + 1), 6).as("ln_price"),
           abs(col("l_quantity") - 25).cast("double").as("qty_dev"),
           ceil(col("l_quantity") / 7).as("qty_ceil"),
           floor(col("l_extendedprice") / 1000).as("price_k"))
@@ -1665,7 +1665,7 @@ object SparkEntry {
           month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n"),
           countDistinct(dayofmonth(col("o_orderdate"))).as("active_days"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          hround(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("y", "m")),
 
     // outer joins: per-customer order stats with never-ordered customers
@@ -1677,7 +1677,7 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy(col("c_custkey"), col("c_mktsegment"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
+          hround(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
         .orderBy("c_custkey")),
 
     // correlated EXISTS as a broadcast-able semi join: orders with at
@@ -1698,7 +1698,7 @@ object SparkEntry {
         .rangeBetween(-3600000L, Window.currentRow)
       events(s, dir).filter(col("user_id") < 50)
         .withColumn("ts_ms", unix_millis(col("ts")))
-        .withColumn("rolling_1h", round(sum(col("value")).over(w), 4))
+        .withColumn("rolling_1h", hround(sum(col("value")).over(w), 4))
         .select(col("event_id"), col("user_id"), col("rolling_1h"))
         .orderBy("event_id")
     }),
@@ -1719,7 +1719,7 @@ object SparkEntry {
       operators.Outliers.zScores(events(s, dir), Seq("event_type"), "value",
           threshold = 3.0)
         .filter(col("is_outlier"))
-        .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+        .select(col("event_id"), col("event_type"), hround(col("z"), 4).as("z"))
         .orderBy("event_id")),
 
     // Length-bucketed inference batching: deterministic (bucket,
@@ -1756,8 +1756,8 @@ object SparkEntry {
     // ranked spectrum with their regr_slope/regr_r2 aggregates.
     "tx_zipf" -> ((s, dir) =>
       TextAnalysis.zipfFit(T(s, dir, "documents"), "text", topN = 1000)
-        .select(col("n_fit"), round(col("slope"), 6).as("slope"),
-          round(col("r2"), 6).as("r2"))),
+        .select(col("n_fit"), hround(col("slope"), 6).as("slope"),
+          hround(col("r2"), 6).as("r2"))),
 
     // PMI collocations: strongest adjacent-bigram associations with a
     // min-count floor. Ordered by the ROUNDED score (ulp-level libm
@@ -1765,7 +1765,7 @@ object SparkEntry {
     "tx_pmi" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(T(s, dir, "documents"), "text", minCount = 5)
         .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
-          round(col("pmi"), 6).as("pmi"))
+          hround(col("pmi"), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)),
 
@@ -1848,7 +1848,7 @@ object SparkEntry {
     "gr_pagerank" -> ((s, dir) => {
       val e = coPurchaseEdges(s, dir)
       operators.Graphs.pageRank(e, "src", "dst", iterations = 3)
-        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .select(col("node"), hround(col("rank"), 10).as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     }),
@@ -1868,7 +1868,7 @@ object SparkEntry {
       val e = a.join(b, "ok").filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       operators.Graphs.weightedPageRank(e, "src", "dst", "w", iterations = 3)
-        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .select(col("node"), hround(col("rank"), 10).as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     }),
@@ -1921,7 +1921,7 @@ object SparkEntry {
           .modularity(edges, "src", "dst", scrambled, "node", "comm")
           .withColumn("labeling", lit("scrambled")))
         .select(col("labeling"), col("m"), col("n_communities"),
-          round(col("q"), 6).as("q"))
+          hround(col("q"), 6).as("q"))
         .orderBy("labeling")
     }),
 
@@ -1950,7 +1950,7 @@ object SparkEntry {
       operators.Graphs.linkPrediction(coPurchaseEdges(s, dir),
           "src", "dst", minCommon = 4)
         .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
-          round(col("jaccard"), 6).as("jaccard"))
+          hround(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("cn").desc, col("u"), col("v"))
         .limit(200)),
 
@@ -1990,14 +1990,14 @@ object SparkEntry {
     "gr_assortativity" -> ((s, dir) =>
       operators.Graphs.assortativity(coPurchaseEdges(s, dir), "src", "dst")
         .select(col("n_edges"),
-          round(col("assortativity"), 6).as("assortativity"))),
+          hround(col("assortativity"), 6).as("assortativity"))),
 
     // Triangle census of the same graph: per-node triangle counts and
     // local clustering coefficient — integer-exact cross-engine.
     "gr_triangles" -> ((s, dir) =>
       operators.Graphs.triangleCount(coPurchaseEdges(s, dir), "src", "dst")
         .select(col("node"), col("degree"), col("triangles"),
-          round(col("clustering"), 6).as("clustering"))
+          hround(col("clustering"), 6).as("clustering"))
         .orderBy(col("triangles").desc, col("node"))
         .limit(20)),
 
@@ -2015,8 +2015,8 @@ object SparkEntry {
     // normalized rounds; the oracle unrolls all four flow steps).
     "gr_hits" -> ((s, dir) =>
       operators.Graphs.hits(coPurchaseEdges(s, dir), "src", "dst", iterations = 2)
-        .select(col("node"), round(col("hub"), 10).as("hub"),
-          round(col("auth"), 10).as("auth"))
+        .select(col("node"), hround(col("hub"), 10).as("hub"),
+          hround(col("auth"), 10).as("auth"))
         .orderBy(col("auth").desc, col("node"))
         .limit(20)),
 
@@ -2030,7 +2030,7 @@ object SparkEntry {
         .filter(col("p_partkey") % 100 === 0)
       operators.Graphs.personalizedPageRank(e, "src", "dst",
           seeds, "p_partkey", iterations = 3)
-        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .select(col("node"), hround(col("rank"), 10).as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     }),
@@ -2048,7 +2048,7 @@ object SparkEntry {
       clicks.join(conv, Seq("user_id"), "left_outer")
         .select(col("user_id"), col("n_clicks"),
           coalesce(col("n_converted"), lit(0L)).as("n_converted"),
-          round(coalesce(col("n_converted"), lit(0L)).cast("double")
+          hround(coalesce(col("n_converted"), lit(0L)).cast("double")
             / col("n_clicks"), 4).as("conversion_rate"))
         .orderBy("user_id")
     }),
@@ -2059,7 +2059,7 @@ object SparkEntry {
     "tx_source_overlap" -> ((s, dir) =>
       TextAnalysis.vocabularyOverlap(T(s, dir, "documents"), "source", "text")
         .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
-          col("n_common"), round(col("jaccard"), 4).as("jaccard"))
+          col("n_common"), hround(col("jaccard"), 4).as("jaccard"))
         .orderBy("source_a", "source_b")),
 
     // Per-source corpus report: corpusStats stratified by source — the
@@ -2106,7 +2106,7 @@ object SparkEntry {
       operators.Resample.emaPerKey(
           events(s, dir).filter(col("user_id") < 100), "user_id", "ts", "value",
           alpha = 0.2)
-        .select(col("user_id"), round(col("ema"), 4).as("ema"), col("n_obs"))
+        .select(col("user_id"), hround(col("ema"), 4).as("ema"), col("n_obs"))
         .orderBy("user_id")),
 
     // Seasonality-aware anomalies: hourly counts scored against their
@@ -2124,7 +2124,7 @@ object SparkEntry {
         .filter(abs(col("z")) >= 2.5)
         .select(col("event_type"),
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("n"), round(col("z"), 6).as("z"))
+          col("n"), hround(col("z"), 6).as("z"))
         .orderBy("event_type", "hour")
     }),
 
@@ -2148,7 +2148,7 @@ object SparkEntry {
           col("target"), slack = 1.0, threshold = 25.0)
         .select(col("event_type"),
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("n"), round(col("cusum"), 6).as("cusum"), col("alarm"))
+          col("n"), hround(col("cusum"), 6).as("cusum"), col("alarm"))
         .orderBy("event_type", "hour")
     }),
 
@@ -2159,7 +2159,7 @@ object SparkEntry {
       operators.Outliers.winsorize(events(s, dir), Seq("event_type"), "value",
           lo = 0.01, hi = 0.99)
         .select(col("event_id"), col("event_type"),
-          round(col("clipped"), 4).as("clipped"), col("was_clipped"))
+          hround(col("clipped"), 4).as("clipped"), col("was_clipped"))
         .orderBy("event_id")),
 
     // Embedding int8 quantization + L2 normalization: the scale
@@ -2208,9 +2208,9 @@ object SparkEntry {
           emb.filter(col("vec_id") < 300), emb.filter(col("vec_id") >= 300),
           "embedding")
         .select(col("pos").cast("long").as("pos"), col("n_a"), col("n_b"),
-          round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
-          round(col("z_shift"), 6).as("z_shift"),
-          round(col("var_ratio"), 6).as("var_ratio"))
+          hround(col("mean_a"), 6).as("mean_a"), hround(col("mean_b"), 6).as("mean_b"),
+          hround(col("z_shift"), 6).as("z_shift"),
+          hround(col("var_ratio"), 6).as("var_ratio"))
         .orderBy("pos")
     }),
 
@@ -2230,7 +2230,7 @@ object SparkEntry {
           sqrt(aggregate(col("nv"), lit(0.0d),
             (acc, x) => acc + x.cast("double") * x.cast("double"))))
         .select(col("vec_id"),
-          round(col("scale"), 6).as("scale_r"),
+          hround(col("scale"), 6).as("scale_r"),
           (col("max_err") <= col("scale") / 2 * 1.000001).as("err_ok"),
           (abs(col("nnorm") - 1.0d) < 1e-6 || col("nnorm") === 0.0d).as("norm_ok"))
         .orderBy("vec_id")
@@ -2312,9 +2312,9 @@ object SparkEntry {
         .agg(countDistinct(col("l_orderkey")).as("true_distinct"))
       est.join(truth, "l_returnflag")
         .select(col("l_returnflag"), col("n_kept"), col("is_exact"),
-          round(col("est_distinct"), 4).as("est_distinct"),
+          hround(col("est_distinct"), 4).as("est_distinct"),
           col("true_distinct"),
-          round(abs(col("est_distinct") - col("true_distinct"))
+          hround(abs(col("est_distinct") - col("true_distinct"))
             / col("true_distinct"), 6).as("rel_err"))
         .orderBy("l_returnflag")
     }),
@@ -2335,7 +2335,7 @@ object SparkEntry {
         "price_positive" -> (col("l_extendedprice") > 0),
         "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
         .select(col("rule"), col("n_rows"), col("n_violations"),
-          round(col("violation_rate"), 6).as("violation_rate"))
+          hround(col("violation_rate"), 6).as("violation_rate"))
         .orderBy("rule")),
 
     // Key-uniqueness audit: the natural key is unique, the foreign key
@@ -2394,7 +2394,7 @@ object SparkEntry {
       val pts = T(s, dir, "customer")
         // c_acctbal is stored as double: 551.31*100 = 55130.999…, so
         // round before the long cast (matches DuckDB's exact decimal)
-        .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .select(col("c_custkey"), hround(col("c_acctbal") * 100, 0).cast("long").as("cents"))
       val bands = T(s, dir, "nation")
         .select(col("n_nationkey"),
           (col("n_nationkey") * 40000L - 100000L).as("band_lo"))
@@ -2428,7 +2428,7 @@ object SparkEntry {
           .select(
             date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"), col("n"),
-            round(col("total_value"), 2).as("total_value"))
+            hround(col("total_value"), 2).as("total_value"))
           .orderBy("hour", "event_type")
       }),
 
@@ -2483,7 +2483,7 @@ object SparkEntry {
         q.awaitTermination()
         s.table("st_stream_enrich_tbl")
           .select(col("c_mktsegment"), col("event_type"), col("n"),
-            round(col("total_value"), 2).as("total_value"))
+            hround(col("total_value"), 2).as("total_value"))
           .orderBy("c_mktsegment", "event_type")
       }),
 
@@ -2494,9 +2494,9 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
-          round(covar_pop(col("l_quantity"), col("l_discount")), 4).as("cov_p"),
+          hround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          hround(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+          hround(covar_pop(col("l_quantity"), col("l_discount")), 4).as("cov_p"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
@@ -2506,7 +2506,7 @@ object SparkEntry {
     "st_spearman" -> ((s, dir) =>
       operators.Outliers.spearman(
           T(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
-        .select(col("n"), round(col("spearman"), 6).as("spearman"))),
+        .select(col("n"), hround(col("spearman"), 6).as("spearman"))),
 
     // Linear interpolation over a gapped hourly count series: every
     // third hour's count is hidden (hour % 3 = 1), the fill is a ratio
@@ -2523,7 +2523,7 @@ object SparkEntry {
       operators.Resample.linearInterpolate(hourly, "event_type",
           "hour_idx", "nv")
         .select(col("event_type"), col("hour_idx"), col("n"), col("known"),
-          round(col("value_filled"), 6).as("value_filled"))
+          hround(col("value_filled"), 6).as("value_filled"))
         .orderBy("event_type", "hour_idx")
     }),
 
@@ -2560,8 +2560,8 @@ object SparkEntry {
       val daily = dailyMeans(s, dir)
       operators.Outliers.theilSen(daily, Seq("event_type"), "day", "m")
         .select(col("event_type"), col("n_points"), col("n_pairs"),
-          round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 6).as("intercept"))
+          hround(col("slope"), 6).as("slope"),
+          hround(col("intercept"), 6).as("intercept"))
         .orderBy("event_type")
     }),
 
@@ -2574,7 +2574,7 @@ object SparkEntry {
       operators.Resample.autocorrelation(daily, "event_type", "day", "m",
           maxLag = 5)
         .select(col("event_type"), col("lag"), col("n_terms"),
-          round(col("acf"), 6).as("acf"))
+          hround(col("acf"), 6).as("acf"))
         .orderBy("event_type", "lag")
     }),
 
@@ -2585,7 +2585,7 @@ object SparkEntry {
       operators.Outliers.exactQuantiles(
           T(s, dir, "lineitem"), "l_extendedprice",
           Seq(0.01, 0.25, 0.5, 0.75, 0.99))
-        .select(col("p"), col("n"), round(col("value"), 6).as("value"))
+        .select(col("p"), col("n"), hround(col("value"), 6).as("value"))
         .orderBy("p")),
 
     // Robust location/scale: median + MAD and the outlier count at
@@ -2597,8 +2597,8 @@ object SparkEntry {
       val outl = operators.Outliers.robustScale(ev, "value")
         .agg(count(when(abs(col("robust_z")) > 3.5, 1)).as("n_outliers"))
       stats.crossJoin(outl).select(col("n"),
-        round(col("median"), 6).as("median"),
-        round(col("mad"), 6).as("mad"),
+        hround(col("median"), 6).as("median"),
+        hround(col("mad"), 6).as("mad"),
         col("n_outliers"))
     }),
 
@@ -2606,14 +2606,14 @@ object SparkEntry {
     // (unobserved cells contribute their expectation).
     "tx_chi2" -> ((s, dir) =>
       operators.Outliers.chiSquared(T(s, dir, "documents"), "source", "lang")
-        .select(col("n"), col("dof"), round(col("chi2"), 6).as("chi2"))),
+        .select(col("n"), col("dof"), hround(col("chi2"), 6).as("chi2"))),
 
     // Effect size for the same dependence: MI in nats + normalized MI.
     "tx_mi" -> ((s, dir) =>
       operators.Outliers.mutualInformation(T(s, dir, "documents"), "source", "lang")
-        .select(col("n"), round(col("h_a"), 6).as("h_a"),
-          round(col("h_b"), 6).as("h_b"), round(col("mi"), 6).as("mi"),
-          round(col("nmi"), 6).as("nmi"))),
+        .select(col("n"), hround(col("h_a"), 6).as("h_a"),
+          hround(col("h_b"), 6).as("h_b"), hround(col("mi"), 6).as("mi"),
+          hround(col("nmi"), 6).as("nmi"))),
 
     // Categorical drift: JS divergence of event-type mix between the
     // low- and high-user_id halves (KS's discrete companion).
@@ -2622,14 +2622,14 @@ object SparkEntry {
       operators.Outliers.jensenShannon(
           ev.filter(col("user_id") < 1000), "event_type",
           ev.filter(col("user_id") >= 1000), "event_type")
-        .select(col("n1"), col("n2"), round(col("js"), 6).as("js"))
+        .select(col("n1"), col("n2"), hround(col("js"), 6).as("js"))
     }),
 
     // Corpus concentration: Gini over documents-per-source.
     "sm_gini" -> ((s, dir) =>
       operators.Outliers.giniConcentration(T(s, dir, "documents"), "source")
         .select(col("n_groups"), col("total"),
-          round(col("gini"), 6).as("gini"))),
+          hround(col("gini"), 6).as("gini"))),
 
     // Exact two-sample KS: does the purchase value distribution drift
     // from clicks? Integer-exact CDF numerators make the statistic
@@ -2639,7 +2639,7 @@ object SparkEntry {
       operators.Outliers.ksTest(
           ev.filter(col("event_type") === "click"), "value",
           ev.filter(col("event_type") === "purchase"), "value")
-        .select(col("n1"), col("n2"), round(col("ks"), 6).as("ks"))
+        .select(col("n1"), col("n2"), hround(col("ks"), 6).as("ks"))
     }),
 
     // A REAL Structured Streaming run on the gate: documents (first 100
@@ -2717,7 +2717,7 @@ object SparkEntry {
           .select(col("user_id"),
             date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
             col("n_events"),
-            round(col("total_value"), 2).as("total_value"))
+            hround(col("total_value"), 2).as("total_value"))
           .orderBy("user_id", "session_start")
       }
     }),
@@ -2753,7 +2753,7 @@ object SparkEntry {
       SimilarityJoin.hardNegatives(emb, "vec_id", "embedding", "label",
           anchors, "qid", "qvec", "qlabel", k = 5)
         .select(col("qid"), col("vec_id"), col("rn"),
-          round(col("sim").cast("double"), 4).as("sim"))
+          hround(col("sim").cast("double"), 4).as("sim"))
         .orderBy("qid", "rn")
     }),
 
@@ -2777,9 +2777,9 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"))
       operators.Evaluation.rankedMetrics(run, truth, "qid", "vec_id", "rn", k = 10)
         .select(col("qid"), col("n_relevant"), col("hits"),
-          round(col("recall"), 4).as("recall"),
-          round(col("mrr"), 4).as("mrr"),
-          round(col("ndcg"), 4).as("ndcg"))
+          hround(col("recall"), 4).as("recall"),
+          hround(col("mrr"), 4).as("mrr"),
+          hround(col("ndcg"), 4).as("ndcg"))
         .orderBy("qid")
     }),
 
@@ -2803,7 +2803,7 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rn"))
       operators.Evaluation.reciprocalRankFusion(
           Seq(runCos, runL2), "qid", "vec_id", "rn", topK = 10)
-        .select(col("qid"), col("vec_id"), round(col("rrf"), 6).as("rrf"), col("rank"))
+        .select(col("qid"), col("vec_id"), hround(col("rrf"), 6).as("rrf"), col("rank"))
         .orderBy("qid", "rank")
     }),
 
@@ -2825,7 +2825,7 @@ object SparkEntry {
           qs, "qid", "qvec", k = 3)
         .select(col("qid"), col("vec_id"))
       operators.Evaluation.averagePrecision(run, truth, "qid", "vec_id", "rn", k = 10)
-        .select(col("qid"), col("n_relevant"), round(col("ap"), 4).as("ap"))
+        .select(col("qid"), col("n_relevant"), hround(col("ap"), 4).as("ap"))
         .orderBy("qid")
     }),
 
@@ -2901,9 +2901,9 @@ object SparkEntry {
           "qid", "vec_id", "rank", kk)
           .select(lit(cfg).as("config"), col("qid"), col("n_relevant"),
             col("hits"),
-            round(col("recall"), 4).as("recall"),
-            round(col("mrr"), 4).as("mrr"),
-            round(col("ndcg"), 4).as("ndcg"))
+            hround(col("recall"), 4).as("recall"),
+            hround(col("mrr"), 4).as("mrr"),
+            hround(col("ndcg"), 4).as("ndcg"))
       }.reduce(_ unionAll _)
         .orderBy("config", "qid")
     }),
@@ -2949,7 +2949,7 @@ object SparkEntry {
       operators.RandomProjection.project(
           T(s, dir, "embeddings"), "embedding", salt = "rp4", dim = 64, k = 8)
         .select(col("vec_id") +:
-          (1 to 8).map(j => round(col(s"rp$j"), 4).as(s"rp$j")): _*)
+          (1 to 8).map(j => hround(col(s"rp$j"), 4).as(s"rp$j")): _*)
         .orderBy("vec_id")),
 
     // Clustering-quality report: k-means at k ∈ {2,4,8} (the elbow scan
@@ -2976,7 +2976,7 @@ object SparkEntry {
         }.toIndexedSeq: _*))
         e.select(lit(k).as("k"), col("vec_id"),
           best.getField("cid").as("centroid_id"),
-          round(best.getField("d").cast("double"), 4).as("dist"))
+          hround(best.getField("d").cast("double"), 4).as("dist"))
       }.reduce(_ unionAll _).orderBy("k", "vec_id")
     }),
 
@@ -2992,7 +2992,7 @@ object SparkEntry {
     "vq_twonn" -> ((s, dir) =>
       operators.VectorOps.intrinsicDimension(
         T(s, dir, "embeddings"), "vec_id", "embedding")
-        .select(col("n"), round(col("intrinsic_dim"), 4).as("intrinsic_dim"))),
+        .select(col("n"), hround(col("intrinsic_dim"), 4).as("intrinsic_dim"))),
 
     // Mahalanobis² embedding-outlier scores in the top-4 principal
     // subspace, flagged at the chi²(4) 99th percentile. The fitted
@@ -3010,7 +3010,7 @@ object SparkEntry {
         .toDF("c", "i", "mu", "w", "ev").coalesce(1).write.mode("overwrite")
         .parquet(s"$scratchRoot/mahal_model.parquet")
       e.withColumn("maha_sq",
-          round(operators.Pca.mahalanobisSqCol(col("embedding"), model), 4))
+          hround(operators.Pca.mahalanobisSqCol(col("embedding"), model), 4))
         .select(col("vec_id"), col("maha_sq"),
           (col("maha_sq") > 13.2767).as("is_outlier"))
         .orderBy("vec_id")
@@ -3026,7 +3026,7 @@ object SparkEntry {
         .parquet(s"$scratchRoot/pca_model.parquet")
       operators.Pca.transform(e, "embedding", model)
         .select(col("vec_id") +:
-          (1 to 4).map(j => round(col(s"pc$j"), 4).as(s"pc$j")): _*)
+          (1 to 4).map(j => hround(col(s"pc$j"), 4).as(s"pc$j")): _*)
         .orderBy("vec_id")
     }),
 
@@ -3040,7 +3040,7 @@ object SparkEntry {
       operators.VectorOps.centroidCosines(cents)
         .select(col("label_a").cast("long").as("label_a"),
           col("label_b").cast("long").as("label_b"),
-          round(col("sim"), 4).as("sim"))
+          hround(col("sim"), 4).as("sim"))
         .orderBy("label_a", "label_b")
     }),
 
@@ -3059,11 +3059,11 @@ object SparkEntry {
       val flat = operators.Pq.adcTopK(
           operators.Pq.encode(emb, "embedding", "codes", cb),
           "vec_id", "codes", cb, queries, k = 5)
-        .select(col("qid"), col("vec_id"), round(col("adc_dist"), 6).as("d"),
+        .select(col("qid"), col("vec_id"), hround(col("adc_dist"), 6).as("d"),
           lit(1).as("ok"))
       val full = operators.Pq.ivfPqSearch(indexed, "vec_id", "codes", cents, cb,
           queries, k = 5, nProbe = 8)
-        .select(col("qid"), col("vec_id"), round(col("adc_dist"), 6).as("d"))
+        .select(col("qid"), col("vec_id"), hround(col("adc_dist"), 6).as("d"))
       full.join(flat, Seq("qid", "vec_id", "d"), "left_outer")
         .agg(
           sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
@@ -3251,7 +3251,7 @@ object SparkEntry {
       Ann.hammingRescoreTopK(e, "vec_id", "embedding", qs, "qid", "qvec",
           dim = 64, shortlist = 40, k = 10)
         .select(col("qid"), col("vec_id"), col("rn"),
-          round(col("distance").cast("double"), 4).as("dist"))
+          hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("qid", "rn")
     }),
 
@@ -3264,7 +3264,7 @@ object SparkEntry {
       Dedup.ngramNovelty(d.filter(col("doc_id") < 250), "doc_id", "text",
           d.filter(col("doc_id") >= 250), "text", n = 3)
         .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
-          round(col("novelty"), 6).as("novelty"))
+          hround(col("novelty"), 6).as("novelty"))
         .orderBy("doc_id")
     }),
 
@@ -3325,7 +3325,7 @@ object SparkEntry {
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           ntile(4).over(w).as("quartile"),
-          round(cume_dist().over(w), 4).as("cd"))
+          hround(cume_dist().over(w), 4).as("cd"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -3368,15 +3368,15 @@ object SparkEntry {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+          hround(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          hround(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
         .orderBy("l_returnflag")),
 
     // skew-safe salted aggregation — must equal the plain GROUP BY
     "q21_salted_agg" -> ((s, dir) =>
       graft.operators.Skew.saltedCountSum(
           T(s, dir, "lineitem"), "l_returnflag", "l_quantity", saltBuckets = 16)
-        .select(col("l_returnflag"), col("n"), round(col("total"), 2).as("total_qty"))
+        .select(col("l_returnflag"), col("n"), hround(col("total"), 2).as("total_qty"))
         .orderBy("l_returnflag")),
     "q22_salted_distinct" -> ((s, dir) =>
       graft.operators.Skew.saltedCountDistinct(
@@ -3402,7 +3402,7 @@ object SparkEntry {
         .select(col("media_id"),
           element_at(col("feature"), 1).cast("bigint").as("width"),
           element_at(col("feature"), 2).cast("bigint").as("height"),
-          round(element_at(col("feature"), 3) * 255).cast("bigint").as("mean_r_255"))
+          hround(element_at(col("feature"), 3) * 255, 0).cast("bigint").as("mean_r_255"))
         .orderBy("media_id")
     }),
     // Perceptual image hashing (dHash) through the REAL ImageIO decode:
@@ -3505,7 +3505,7 @@ object SparkEntry {
         .select(col("media_id"),
           element_at(col("feature"), 1).cast("bigint").as("sample_rate"),
           element_at(col("feature"), 3).cast("bigint").as("n_samples"),
-          round(element_at(col("feature"), 4) * 32768).cast("bigint").as("rms_amp"))
+          hround(element_at(col("feature"), 4) * 32768, 0).cast("bigint").as("rms_amp"))
         .orderBy("media_id")
     }),
     // Same decode proof for the AVI demuxer + frame sampler: per doc, a
@@ -3526,7 +3526,7 @@ object SparkEntry {
         .select(col("media_id"), col("frame_no"),
           element_at(col("feature"), 1).cast("bigint").as("width"),
           element_at(col("feature"), 2).cast("bigint").as("height"),
-          round(element_at(col("feature"), 3) * 255).cast("bigint").as("mean_r_255"))
+          hround(element_at(col("feature"), 3) * 255, 0).cast("bigint").as("mean_r_255"))
         .orderBy("media_id", "frame_no")
     }),
 
@@ -3558,7 +3558,7 @@ object SparkEntry {
     "vs_count" -> "SELECT count(*) AS n FROM embeddings",
     "vs_max_id" -> "SELECT max(vec_id) AS max_id FROM embeddings",
     "vs_head" -> """
-      SELECT vec_id, label, round(CAST(embedding[1] AS DOUBLE), 5) AS e0
+      SELECT vec_id, label, (CASE WHEN isnan(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE)) >= 8e12 THEN CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE) * 1e5 + 0.5) / 1e5 END) AS e0
       FROM embeddings ORDER BY vec_id LIMIT 5""",
     "vs_select_ids" -> """
       SELECT vec_id, label FROM embeddings
@@ -3579,9 +3579,9 @@ object SparkEntry {
       ORDER BY vec_id""",
     "vs_dump_vecs" -> """
       SELECT vec_id,
-             round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
-             round(CAST(embedding[2] AS DOUBLE), 5) AS e1,
-             round(CAST(embedding[64] AS DOUBLE), 5) AS e63
+             (CASE WHEN isnan(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE)) >= 8e12 THEN CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE) * 1e5 + 0.5) / 1e5 END) AS e0,
+             (CASE WHEN isnan(CAST((CAST(embedding[2] AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(embedding[2] AS DOUBLE)) AS DOUBLE)) >= 8e12 THEN CAST((CAST(embedding[2] AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(embedding[2] AS DOUBLE)) AS DOUBLE) * 1e5 + 0.5) / 1e5 END) AS e1,
+             (CASE WHEN isnan(CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE)) >= 8e12 THEN CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE) * 1e5 + 0.5) / 1e5 END) AS e63
       FROM embeddings ORDER BY vec_id""",
     "vs_knn" -> knnOracle,
     "vs_knn_agg" -> knnOracle,
@@ -3617,10 +3617,19 @@ object SparkEntry {
             GROUP BY a.qid)
       SELECT nn.qid, nn.n_common,
              coalesce(p.c, 0) AS concordant, coalesce(p.d, 0) AS discordant,
-             round(CASE WHEN nn.n_common >= 2 THEN
+             (CASE WHEN isnan(CAST((CASE WHEN nn.n_common >= 2 THEN
                CAST(coalesce(p.c, 0) - coalesce(p.d, 0) AS DOUBLE)
                  / CAST(nn.n_common * (nn.n_common - 1) // 2 AS DOUBLE)
-               END, 6) AS tau
+               END) AS DOUBLE)) OR abs(CAST((CASE WHEN nn.n_common >= 2 THEN
+               CAST(coalesce(p.c, 0) - coalesce(p.d, 0) AS DOUBLE)
+                 / CAST(nn.n_common * (nn.n_common - 1) // 2 AS DOUBLE)
+               END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN nn.n_common >= 2 THEN
+               CAST(coalesce(p.c, 0) - coalesce(p.d, 0) AS DOUBLE)
+                 / CAST(nn.n_common * (nn.n_common - 1) // 2 AS DOUBLE)
+               END) AS DOUBLE) ELSE floor(CAST((CASE WHEN nn.n_common >= 2 THEN
+               CAST(coalesce(p.c, 0) - coalesce(p.d, 0) AS DOUBLE)
+                 / CAST(nn.n_common * (nn.n_common - 1) // 2 AS DOUBLE)
+               END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS tau
       FROM nn LEFT JOIN p USING (qid) ORDER BY qid""",
     "vs_filtered_knn" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec
@@ -3633,7 +3642,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid
                                   ORDER BY distance, vec_id) AS rn
         FROM scored)
-      SELECT qid, vec_id, rn, round(CAST(distance AS DOUBLE), 4) AS dist
+      SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "vs_knn_cosine" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 2),
@@ -3644,7 +3653,7 @@ object SparkEntry {
         SELECT qid, vec_id, sim,
                row_number() OVER (PARTITION BY qid ORDER BY -sim, vec_id) AS rn
         FROM scored)
-      SELECT qid, vec_id, rn, round(CAST(sim AS DOUBLE), 4) AS sim
+      SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(sim AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sim AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS sim
       FROM ranked WHERE rn <= 4 ORDER BY qid, rn""",
     "vs_query_by_doc" -> """
       SELECT event_id, user_id, event_type FROM events
@@ -3654,8 +3663,8 @@ object SparkEntry {
     // and upserts that happened after the pin must not appear.
     "vs_time_travel" -> """
       SELECT vec_id AS id,
-             round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
-             round(CAST(embedding[64] AS DOUBLE), 5) AS e63
+             (CASE WHEN isnan(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE)) >= 8e12 THEN CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(embedding[1] AS DOUBLE)) AS DOUBLE) * 1e5 + 0.5) / 1e5 END) AS e0,
+             (CASE WHEN isnan(CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE)) >= 8e12 THEN CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(embedding[64] AS DOUBLE)) AS DOUBLE) * 1e5 + 0.5) / 1e5 END) AS e63
       FROM embeddings WHERE vec_id < 500 ORDER BY id""",
     // Closed-form expectation from the same id arithmetic: 300 base
     // rows (ids 0..299), deletes {10,20,30}, upsert {5}, two appends
@@ -3691,7 +3700,7 @@ object SparkEntry {
         SELECT qid, id, distance,
                row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
         FROM scored)
-      SELECT qid, id, rn, round(CAST(distance AS DOUBLE), 4) AS dist
+      SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     // Independent Indel-distance replay (vector_store.py:377-387
     // semantics): LCS by the classic O(n·m) DP, run as a recursive CTE
@@ -3738,15 +3747,15 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid
                                   ORDER BY distance, doc_id) AS rn
         FROM scored)
-      SELECT qid, doc_id, rn, round(distance, 4) AS dist
+      SELECT qid, doc_id, rn, (CASE WHEN isnan(CAST((distance) AS DOUBLE)) OR abs(CAST((distance) AS DOUBLE)) >= 8e13 THEN CAST((distance) AS DOUBLE) ELSE floor(CAST((distance) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM r WHERE rn <= 3 ORDER BY qid, rn""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_discount), 4) AS avg_disc,
+             (CASE WHEN isnan(CAST((sum(l_quantity)) AS DOUBLE)) OR abs(CAST((sum(l_quantity)) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_quantity)) AS DOUBLE) ELSE floor(CAST((sum(l_quantity)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS sum_qty,
+             (CASE WHEN isnan(CAST((sum(l_extendedprice)) AS DOUBLE)) OR abs(CAST((sum(l_extendedprice)) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_extendedprice)) AS DOUBLE) ELSE floor(CAST((sum(l_extendedprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS sum_base_price,
+             (CASE WHEN isnan(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE)) OR abs(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE) ELSE floor(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS sum_disc_price,
+             (CASE WHEN isnan(CAST((avg(l_quantity)) AS DOUBLE)) OR abs(CAST((avg(l_quantity)) AS DOUBLE)) >= 8e13 THEN CAST((avg(l_quantity)) AS DOUBLE) ELSE floor(CAST((avg(l_quantity)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS avg_qty,
+             (CASE WHEN isnan(CAST((avg(l_discount)) AS DOUBLE)) OR abs(CAST((avg(l_discount)) AS DOUBLE)) >= 8e13 THEN CAST((avg(l_discount)) AS DOUBLE) ELSE floor(CAST((avg(l_discount)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS avg_disc,
              count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
@@ -3755,11 +3764,11 @@ object SparkEntry {
       WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_quantity > 45
       ORDER BY l_orderkey, l_linenumber""",
     "q3_join_agg" -> """
-      SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      SELECT c_mktsegment, (CASE WHEN isnan(CAST((sum(o_totalprice)) AS DOUBLE)) OR abs(CAST((sum(o_totalprice)) AS DOUBLE)) >= 8e15 THEN CAST((sum(o_totalprice)) AS DOUBLE) ELSE floor(CAST((sum(o_totalprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS revenue, count(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q4_multi_join" -> """
-      SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      SELECT r_name, n_name, (CASE WHEN isnan(CAST((sum(o_totalprice)) AS DOUBLE)) OR abs(CAST((sum(o_totalprice)) AS DOUBLE)) >= 8e15 THEN CAST((sum(o_totalprice)) AS DOUBLE) ELSE floor(CAST((sum(o_totalprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS revenue, count(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -3792,7 +3801,7 @@ object SparkEntry {
     "q10_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
              coalesce(l_linestatus, 'ALL') AS l_linestatus,
-             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             count(*) AS n, (CASE WHEN isnan(CAST((sum(l_quantity)) AS DOUBLE)) OR abs(CAST((sum(l_quantity)) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_quantity)) AS DOUBLE) ELSE floor(CAST((sum(l_quantity)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS sum_qty
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag, l_linestatus""",
     "q11_distinct_agg" -> """
@@ -3802,7 +3811,7 @@ object SparkEntry {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q12_events_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             event_type, count(*) AS n, (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "dd_exact_groups" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -3821,8 +3830,8 @@ object SparkEntry {
       g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
             FROM d GROUP BY 1)
       SELECT d.doc_id, g.n AS n_copies,
-             round(1e0 / CAST(g.n AS DOUBLE), 6) AS weight,
-             round(1e0 / sqrt(CAST(g.n AS DOUBLE)), 6) AS weight_sqrt
+             (CASE WHEN isnan(CAST((1e0 / CAST(g.n AS DOUBLE)) AS DOUBLE)) OR abs(CAST((1e0 / CAST(g.n AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((1e0 / CAST(g.n AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((1e0 / CAST(g.n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS weight,
+             (CASE WHEN isnan(CAST((1e0 / sqrt(CAST(g.n AS DOUBLE))) AS DOUBLE)) OR abs(CAST((1e0 / sqrt(CAST(g.n AS DOUBLE))) AS DOUBLE)) >= 8e11 THEN CAST((1e0 / sqrt(CAST(g.n AS DOUBLE))) AS DOUBLE) ELSE floor(CAST((1e0 / sqrt(CAST(g.n AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS weight_sqrt
       FROM d JOIN g ON md5(d.text) = g.h
       ORDER BY d.doc_id""",
     "dd_exact_keep" -> """
@@ -3850,8 +3859,11 @@ object SparkEntry {
         SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
         FROM documents WHERE doc_id < 150)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+             (CASE WHEN isnan(CAST((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) AS DOUBLE)) OR abs(CAST((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) AS DOUBLE)) >= 8e13 THEN CAST((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) AS DOUBLE) ELSE floor(CAST((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                AS jaccard
       FROM d a JOIN d b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -3888,7 +3900,7 @@ object SparkEntry {
         FROM cand c
         JOIN d da ON da.doc_id = c.a_id
         JOIN d db ON db.doc_id = c.b_id)
-      SELECT a_id, b_id, round(jac, 4) AS jaccard
+      SELECT a_id, b_id, (CASE WHEN isnan(CAST((jac) AS DOUBLE)) OR abs(CAST((jac) AS DOUBLE)) >= 8e13 THEN CAST((jac) AS DOUBLE) ELSE floor(CAST((jac) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS jaccard
       FROM v WHERE jac >= 0.5 ORDER BY a_id, b_id"""
     },
     // Full DuckDB replay of the portable simhash: token hash = first 16
@@ -3938,8 +3950,11 @@ object SparkEntry {
                list_distinct(string_split_regex(lower(text), '\s+')) AS toks
         FROM documents)
       SELECT b.id AS a_id, c.id AS b_id,
-             round(CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
-               / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks))), 4)
+             (CASE WHEN isnan(CAST((CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+               / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks)))) AS DOUBLE)) OR abs(CAST((CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+               / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks)))) AS DOUBLE)) >= 8e13 THEN CAST((CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+               / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks)))) AS DOUBLE) ELSE floor(CAST((CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+               / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks)))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                AS jaccard
       FROM b, c
       WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
@@ -3949,7 +3964,7 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS false_positives, true AS has_pairs",
     "dd_embed_neardup" -> """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+             (CASE WHEN isnan(CAST((CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.vec_id < 400 AND b.vec_id < 400
         AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
@@ -4002,16 +4017,22 @@ object SparkEntry {
                avg(v * v) - avg(v) * avg(v) AS m2_b
         FROM e WHERE vec_id >= 300 GROUP BY pos)
       SELECT a.pos, n_a, n_b,
-             round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-             round(CASE WHEN m2_a > 0
-                        THEN abs(mean_b - mean_a) / sqrt(m2_a) END, 6) AS z_shift,
-             round(CASE WHEN m2_a > 0 THEN m2_b / m2_a END, 6) AS var_ratio
+             (CASE WHEN isnan(CAST((mean_a) AS DOUBLE)) OR abs(CAST((mean_a) AS DOUBLE)) >= 8e11 THEN CAST((mean_a) AS DOUBLE) ELSE floor(CAST((mean_a) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS mean_a, (CASE WHEN isnan(CAST((mean_b) AS DOUBLE)) OR abs(CAST((mean_b) AS DOUBLE)) >= 8e11 THEN CAST((mean_b) AS DOUBLE) ELSE floor(CAST((mean_b) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS mean_b,
+             (CASE WHEN isnan(CAST((CASE WHEN m2_a > 0
+                        THEN abs(mean_b - mean_a) / sqrt(m2_a) END) AS DOUBLE)) OR abs(CAST((CASE WHEN m2_a > 0
+                        THEN abs(mean_b - mean_a) / sqrt(m2_a) END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN m2_a > 0
+                        THEN abs(mean_b - mean_a) / sqrt(m2_a) END) AS DOUBLE) ELSE floor(CAST((CASE WHEN m2_a > 0
+                        THEN abs(mean_b - mean_a) / sqrt(m2_a) END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS z_shift,
+             (CASE WHEN isnan(CAST((CASE WHEN m2_a > 0 THEN m2_b / m2_a END) AS DOUBLE)) OR abs(CAST((CASE WHEN m2_a > 0 THEN m2_b / m2_a END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN m2_a > 0 THEN m2_b / m2_a END) AS DOUBLE) ELSE floor(CAST((CASE WHEN m2_a > 0 THEN m2_b / m2_a END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS var_ratio
       FROM a JOIN b USING (pos)
       ORDER BY pos""",
     "vq_int8" -> """
       SELECT vec_id,
-             round(list_max(list_transform(embedding,
-               y -> abs(CAST(y AS DOUBLE)))) / 127, 6) AS scale_r,
+             (CASE WHEN isnan(CAST((list_max(list_transform(embedding,
+               y -> abs(CAST(y AS DOUBLE)))) / 127) AS DOUBLE)) OR abs(CAST((list_max(list_transform(embedding,
+               y -> abs(CAST(y AS DOUBLE)))) / 127) AS DOUBLE)) >= 8e11 THEN CAST((list_max(list_transform(embedding,
+               y -> abs(CAST(y AS DOUBLE)))) / 127) AS DOUBLE) ELSE floor(CAST((list_max(list_transform(embedding,
+               y -> abs(CAST(y AS DOUBLE)))) / 127) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS scale_r,
              true AS err_ok, true AS norm_ok
       FROM embeddings ORDER BY vec_id""",
     "pp_prepare" -> s"""
@@ -4079,7 +4100,7 @@ object SparkEntry {
           SELECT c.corpus_id, b.bench_id
           FROM csh c JOIN b USING (sh)
           GROUP BY c.corpus_id, b.bench_id, b.bsize
-          HAVING round(CAST(count(*) AS DOUBLE) / b.bsize, 4) >= 0.05)),
+          HAVING (CASE WHEN isnan(CAST((CAST(count(*) AS DOUBLE) / b.bsize) AS DOUBLE)) OR abs(CAST((CAST(count(*) AS DOUBLE) / b.bsize) AS DOUBLE)) >= 8e13 THEN CAST((CAST(count(*) AS DOUBLE) / b.bsize) AS DOUBLE) ELSE floor(CAST((CAST(count(*) AS DOUBLE) / b.bsize) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) >= 0.05)),
       clean AS (
         SELECT doc_id FROM nd
         WHERE doc_id NOT IN (SELECT corpus_id FROM contaminated))
@@ -4135,8 +4156,8 @@ object SparkEntry {
                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS true_distinct
         FROM lineitem GROUP BY l_returnflag)
       SELECT est.g AS l_returnflag, est.n_kept, est.is_exact,
-             round(est.est_distinct, 4) AS est_distinct, t.true_distinct,
-             round(abs(est.est_distinct - t.true_distinct) / t.true_distinct, 6)
+             (CASE WHEN isnan(CAST((est.est_distinct) AS DOUBLE)) OR abs(CAST((est.est_distinct) AS DOUBLE)) >= 8e13 THEN CAST((est.est_distinct) AS DOUBLE) ELSE floor(CAST((est.est_distinct) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS est_distinct, t.true_distinct,
+             (CASE WHEN isnan(CAST((abs(est.est_distinct - t.true_distinct) / t.true_distinct) AS DOUBLE)) OR abs(CAST((abs(est.est_distinct - t.true_distinct) / t.true_distinct) AS DOUBLE)) >= 8e11 THEN CAST((abs(est.est_distinct - t.true_distinct) / t.true_distinct) AS DOUBLE) ELSE floor(CAST((abs(est.est_distinct - t.true_distinct) / t.true_distinct) AS DOUBLE) * 1e6 + 0.5) / 1e6 END)
                AS rel_err
       FROM est JOIN t ON t.g = est.g ORDER BY est.g"""
     },
@@ -4165,9 +4186,15 @@ object SparkEntry {
         UNION ALL SELECT 'price_positive', n, v_price FROM a
         UNION ALL SELECT 'flag_domain', n, v_flag FROM a)
       SELECT rule, n AS n_rows, v AS n_violations,
-             round(CASE WHEN n > 0
+             (CASE WHEN isnan(CAST((CASE WHEN n > 0
                THEN CAST(v AS DOUBLE) / CAST(n AS DOUBLE)
-               ELSE 0e0 END, 6) AS violation_rate
+               ELSE 0e0 END) AS DOUBLE)) OR abs(CAST((CASE WHEN n > 0
+               THEN CAST(v AS DOUBLE) / CAST(n AS DOUBLE)
+               ELSE 0e0 END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN n > 0
+               THEN CAST(v AS DOUBLE) / CAST(n AS DOUBLE)
+               ELSE 0e0 END) AS DOUBLE) ELSE floor(CAST((CASE WHEN n > 0
+               THEN CAST(v AS DOUBLE) / CAST(n AS DOUBLE)
+               ELSE 0e0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS violation_rate
       FROM r ORDER BY rule""",
     "vd_uniqueness" -> """
       WITH k1 AS (
@@ -4256,10 +4283,10 @@ object SparkEntry {
     },
     "q32_range_join" -> """
       SELECT c.c_custkey,
-             CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,
+             CAST((CASE WHEN isnan(CAST((c.c_acctbal * 100) AS DOUBLE)) OR abs(CAST((c.c_acctbal * 100) AS DOUBLE)) >= 8e17 THEN CAST((c.c_acctbal * 100) AS DOUBLE) ELSE floor(CAST((c.c_acctbal * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END) AS BIGINT) AS cents,
              n.n_nationkey
       FROM customer c JOIN nation n
-        ON CAST(round(c.c_acctbal * 100) AS BIGINT)
+        ON CAST((CASE WHEN isnan(CAST((c.c_acctbal * 100) AS DOUBLE)) OR abs(CAST((c.c_acctbal * 100) AS DOUBLE)) >= 8e17 THEN CAST((c.c_acctbal * 100) AS DOUBLE) ELSE floor(CAST((c.c_acctbal * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END) AS BIGINT)
              BETWEEN n.n_nationkey * 40000 - 100000
                  AND n.n_nationkey * 40000 - 100000 + 59999
       ORDER BY c_custkey, n_nationkey""",
@@ -4300,7 +4327,7 @@ object SparkEntry {
         SELECT qid, vec_id, dist,
                row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
         FROM scored)
-      SELECT qid, vec_id, rn, round(CAST(dist AS DOUBLE), 4) AS dist
+      SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(dist AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(dist AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
     "ann_ivf_pruned" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
@@ -4328,8 +4355,11 @@ object SparkEntry {
               GROUP BY doc_id)
       SELECT t.doc_id, t.n_ngrams,
              coalesce(nov.n_novel, 0) AS n_novel,
-             round(CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
-               / CAST(t.n_ngrams AS DOUBLE), 6) AS novelty
+             (CASE WHEN isnan(CAST((CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
+               / CAST(t.n_ngrams AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
+               / CAST(t.n_ngrams AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
+               / CAST(t.n_ngrams AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(coalesce(nov.n_novel, 0) AS DOUBLE)
+               / CAST(t.n_ngrams AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS novelty
       FROM tot t LEFT JOIN nov USING (doc_id) ORDER BY t.doc_id""",
     // Full winnowing replay: same normalization (global-flag regex),
     // same 7-gram 60-bit md5 hashes via the nibble polynomial, window
@@ -4412,7 +4442,7 @@ object SparkEntry {
       ranked AS (SELECT qid, vec_id, dist,
           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
         FROM resc)
-      SELECT qid, vec_id, rn, round(CAST(dist AS DOUBLE), 4) AS dist
+      SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(dist AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(dist AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 10 ORDER BY qid, rn""",
     // Full DuckDB replay of the hyperplane-LSH pipeline: the 6x64 plane
     // matrix is regenerated here with the SAME seeded draw order as
@@ -4447,12 +4477,12 @@ object SparkEntry {
         SELECT qid, vec_id, sim,
                row_number() OVER (PARTITION BY qid ORDER BY -sim, vec_id) AS rn
         FROM scored)
-      SELECT qid, vec_id, rn, round(CAST(sim AS DOUBLE), 4) AS sim
+      SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(sim AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sim AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS sim
       FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
     },
     "st_stream_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             event_type, count(*) AS n, (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "st_stream_funnel" -> """
       SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
@@ -4464,7 +4494,7 @@ object SparkEntry {
       ORDER BY a.user_id, first_id, then_id""",
     "st_stream_enrich" -> """
       SELECT c.c_mktsegment, e.event_type, count(*) AS n,
-             round(sum(e.value), 2) AS total_value
+             (CASE WHEN isnan(CAST((sum(e.value)) AS DOUBLE)) OR abs(CAST((sum(e.value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(e.value)) AS DOUBLE) ELSE floor(CAST((sum(e.value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS total_value
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     "st_funnel" -> """
@@ -4526,8 +4556,11 @@ object SparkEntry {
       cb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cab GROUP BY w2),
       tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS nn FROM cab)
       SELECT cab.w1, cab.w2, cab.n_ab, ca.n_a, cb.n_b,
-             round(ln((CAST(cab.n_ab AS DOUBLE) * tot.nn)
-               / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_b AS DOUBLE))), 6) AS pmi
+             (CASE WHEN isnan(CAST((ln((CAST(cab.n_ab AS DOUBLE) * tot.nn)
+               / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_b AS DOUBLE)))) AS DOUBLE)) OR abs(CAST((ln((CAST(cab.n_ab AS DOUBLE) * tot.nn)
+               / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_b AS DOUBLE)))) AS DOUBLE)) >= 8e11 THEN CAST((ln((CAST(cab.n_ab AS DOUBLE) * tot.nn)
+               / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_b AS DOUBLE)))) AS DOUBLE) ELSE floor(CAST((ln((CAST(cab.n_ab AS DOUBLE) * tot.nn)
+               / (CAST(ca.n_a AS DOUBLE) * CAST(cb.n_b AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS pmi
       FROM cab
       JOIN ca ON ca.w1 = cab.w1
       JOIN cb ON cb.w2 = cab.w2
@@ -4630,7 +4663,7 @@ object SparkEntry {
                     (1e0 - 0.85e0) / nn.n
                       + 0.85e0 * (coalesce(c3.c, 0e0) + 0e0 / nn.n) AS rank
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
-      SELECT node, round(rank, 10) AS rank FROM r3
+      SELECT node, (CASE WHEN isnan(CAST((rank) AS DOUBLE)) OR abs(CAST((rank) AS DOUBLE)) >= 8e7 THEN CAST((rank) AS DOUBLE) ELSE floor(CAST((rank) AS DOUBLE) * 1e10 + 0.5) / 1e10 END) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
     "gr_wpagerank" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
@@ -4668,7 +4701,7 @@ object SparkEntry {
                     (1e0 - 0.85e0) / nn.n
                       + 0.85e0 * (coalesce(c3.c, 0e0) + 0e0 / nn.n) AS rank
              FROM nodes LEFT JOIN c3 ON c3.node = nodes.node CROSS JOIN nn)
-      SELECT node, round(rank, 10) AS rank FROM r3
+      SELECT node, (CASE WHEN isnan(CAST((rank) AS DOUBLE)) OR abs(CAST((rank) AS DOUBLE)) >= 8e7 THEN CAST((rank) AS DOUBLE) ELSE floor(CAST((rank) AS DOUBLE) * 1e10 + 0.5) / 1e10 END) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
     "gr_bfs" -> """
       WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS p
@@ -4750,9 +4783,9 @@ object SparkEntry {
                    * (CAST(d2.d_c AS DOUBLE) / (2e0 * mm.m))) AS q
              FROM d2 LEFT JOIN i2 USING (c) CROSS JOIN mm)
       SELECT 'chains' AS labeling, mm.m, q1.nc AS n_communities,
-             round(q1.q, 6) AS q FROM q1 CROSS JOIN mm
+             (CASE WHEN isnan(CAST((q1.q) AS DOUBLE)) OR abs(CAST((q1.q) AS DOUBLE)) >= 8e11 THEN CAST((q1.q) AS DOUBLE) ELSE floor(CAST((q1.q) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS q FROM q1 CROSS JOIN mm
       UNION ALL
-      SELECT 'scrambled', mm.m, q2.nc, round(q2.q, 6)
+      SELECT 'scrambled', mm.m, q2.nc, (CASE WHEN isnan(CAST((q2.q) AS DOUBLE)) OR abs(CAST((q2.q) AS DOUBLE)) >= 8e11 THEN CAST((q2.q) AS DOUBLE) ELSE floor(CAST((q2.q) AS DOUBLE) * 1e6 + 0.5) / 1e6 END)
       FROM q2 CROSS JOIN mm ORDER BY labeling""",
     "gr_linkpred" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
@@ -4774,8 +4807,11 @@ object SparkEntry {
                                  WHERE c.u = cn.x AND c.v = cn.y))
       SELECT cand.x AS u, cand.y AS v, cand.cn,
              du.degree AS deg_u, dv.degree AS deg_v,
-             round(CAST(cand.cn AS DOUBLE)
-               / CAST(du.degree + dv.degree - cand.cn AS DOUBLE), 6)
+             (CASE WHEN isnan(CAST((CAST(cand.cn AS DOUBLE)
+               / CAST(du.degree + dv.degree - cand.cn AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(cand.cn AS DOUBLE)
+               / CAST(du.degree + dv.degree - cand.cn AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((CAST(cand.cn AS DOUBLE)
+               / CAST(du.degree + dv.degree - cand.cn AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(cand.cn AS DOUBLE)
+               / CAST(du.degree + dv.degree - cand.cn AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END)
                AS jaccard
       FROM cand
       JOIN deg du ON du.w = cand.x
@@ -4797,7 +4833,7 @@ object SparkEntry {
             FROM bi JOIN deg d1 ON d1.node = bi.u
                     JOIN deg d2 ON d2.node = bi.v)
       SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_edges,
-             round(corr(du, dv), 6) AS assortativity FROM p""",
+             (CASE WHEN isnan(CAST((corr(du, dv)) AS DOUBLE)) OR abs(CAST((corr(du, dv)) AS DOUBLE)) >= 8e11 THEN CAST((corr(du, dv)) AS DOUBLE) ELSE floor(CAST((corr(du, dv)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS assortativity FROM p""",
     "tx_zipf" -> """
       WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
                    FROM documents WHERE text IS NOT NULL),
@@ -4806,8 +4842,8 @@ object SparkEntry {
       r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
                    ln(CAST(n AS DOUBLE)) AS y FROM cnt)
       SELECT CAST(count(*) AS BIGINT) AS n_fit,
-             round(regr_slope(y, x), 6) AS slope,
-             round(regr_r2(y, x), 6) AS r2 FROM r""",
+             (CASE WHEN isnan(CAST((regr_slope(y, x)) AS DOUBLE)) OR abs(CAST((regr_slope(y, x)) AS DOUBLE)) >= 8e11 THEN CAST((regr_slope(y, x)) AS DOUBLE) ELSE floor(CAST((regr_slope(y, x)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS slope,
+             (CASE WHEN isnan(CAST((regr_r2(y, x)) AS DOUBLE)) OR abs(CAST((regr_r2(y, x)) AS DOUBLE)) >= 8e11 THEN CAST((regr_r2(y, x)) AS DOUBLE) ELSE floor(CAST((regr_r2(y, x)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS r2 FROM r""",
     // a<b<c triangle join over the canonical (u<v) edge set, each
     // triangle credited to all three corners
     "gr_triangles" -> """
@@ -4831,10 +4867,19 @@ object SparkEntry {
              FROM t3 GROUP BY node)
       SELECT deg.node, deg.degree,
              coalesce(pn.triangles, 0) AS triangles,
-             round(CASE WHEN deg.degree >= 2 THEN
+             (CASE WHEN isnan(CAST((CASE WHEN deg.degree >= 2 THEN
                2e0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
                  / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
-             END, 6) AS clustering
+             END) AS DOUBLE)) OR abs(CAST((CASE WHEN deg.degree >= 2 THEN
+               2e0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+             END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN deg.degree >= 2 THEN
+               2e0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+             END) AS DOUBLE) ELSE floor(CAST((CASE WHEN deg.degree >= 2 THEN
+               2e0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+             END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS clustering
       FROM deg LEFT JOIN pn ON pn.node = deg.node
       ORDER BY triangles DESC, deg.node LIMIT 20""",
     // both LPA rounds unrolled: neighbor-label counts, argmax with
@@ -4906,7 +4951,7 @@ object SparkEntry {
       nh2 AS (SELECT sqrt(sum(v * v)) AS nn FROM h2f),
       h2 AS (SELECT node, CASE WHEN nn > 0e0 THEN v / nn ELSE 0e0 END AS v
              FROM h2f CROSS JOIN nh2)
-      SELECT h2.node, round(h2.v, 10) AS hub, round(a2.v, 10) AS auth
+      SELECT h2.node, (CASE WHEN isnan(CAST((h2.v) AS DOUBLE)) OR abs(CAST((h2.v) AS DOUBLE)) >= 8e7 THEN CAST((h2.v) AS DOUBLE) ELSE floor(CAST((h2.v) AS DOUBLE) * 1e10 + 0.5) / 1e10 END) AS hub, (CASE WHEN isnan(CAST((a2.v) AS DOUBLE)) OR abs(CAST((a2.v) AS DOUBLE)) >= 8e7 THEN CAST((a2.v) AS DOUBLE) ELSE floor(CAST((a2.v) AS DOUBLE) * 1e10 + 0.5) / 1e10 END) AS auth
       FROM h2 JOIN a2 ON a2.node = h2.node
       ORDER BY auth DESC, h2.node LIMIT 20""",
     // teleport-to-seeds variant; dangling term again exactly + 0.0
@@ -4947,7 +4992,7 @@ object SparkEntry {
                     (1e0 - 0.85e0) * t.tp
                       + 0.85e0 * (coalesce(c3.c, 0e0) + 0e0 * t.tp) AS rank
              FROM t LEFT JOIN c3 ON c3.node = t.node)
-      SELECT node, round(rank, 10) AS rank FROM r3
+      SELECT node, (CASE WHEN isnan(CAST((rank) AS DOUBLE)) OR abs(CAST((rank) AS DOUBLE)) >= 8e7 THEN CAST((rank) AS DOUBLE) ELSE floor(CAST((rank) AS DOUBLE) * 1e10 + 0.5) / 1e10 END) AS rank FROM r3
       ORDER BY rank DESC, node LIMIT 20""",
     "gr_degrees" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem
@@ -4980,7 +5025,7 @@ object SparkEntry {
         GROUP BY a.user_id)
       SELECT c.user_id, c.n_clicks,
              coalesce(p.n_converted, 0) AS n_converted,
-             round(coalesce(p.n_converted, 0) / CAST(c.n_clicks AS DOUBLE), 4)
+             (CASE WHEN isnan(CAST((coalesce(p.n_converted, 0) / CAST(c.n_clicks AS DOUBLE)) AS DOUBLE)) OR abs(CAST((coalesce(p.n_converted, 0) / CAST(c.n_clicks AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(p.n_converted, 0) / CAST(c.n_clicks AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((coalesce(p.n_converted, 0) / CAST(c.n_clicks AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                AS conversion_rate
       FROM c LEFT JOIN p USING (user_id)
       ORDER BY c.user_id""",
@@ -4995,7 +5040,7 @@ object SparkEntry {
         SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS c
         FROM v a JOIN v b USING (token) WHERE a.g < b.g GROUP BY a.g, b.g)
       SELECT i.ga AS source_a, i.gb AS source_b, i.c AS n_common,
-             round(i.c / CAST(sa.n + sb.n - i.c AS DOUBLE), 4) AS jaccard
+             (CASE WHEN isnan(CAST((i.c / CAST(sa.n + sb.n - i.c AS DOUBLE)) AS DOUBLE)) OR abs(CAST((i.c / CAST(sa.n + sb.n - i.c AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((i.c / CAST(sa.n + sb.n - i.c AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((i.c / CAST(sa.n + sb.n - i.c AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS jaccard
       FROM i JOIN s sa ON sa.g = i.ga JOIN s sb ON sb.g = i.gb
       ORDER BY source_a, source_b""",
     "tx_source_stats" -> """
@@ -5013,11 +5058,20 @@ object SparkEntry {
         FROM t)
       SELECT source, count(*) AS n_docs,
              CAST(sum(ntok) AS BIGINT) AS total_tokens,
-             round(avg(least(1.0e0, greatest(0.0e0,
+             (CASE WHEN isnan(CAST((avg(least(1.0e0, greatest(0.0e0,
                (sw * 2.0e0 + (1.0e0 - pr)
                  + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
-                 / 3.0e0))), 4) AS mean_quality,
-             round(avg(rep), 4) AS mean_repetition
+                 / 3.0e0)))) AS DOUBLE)) OR abs(CAST((avg(least(1.0e0, greatest(0.0e0,
+               (sw * 2.0e0 + (1.0e0 - pr)
+                 + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+                 / 3.0e0)))) AS DOUBLE)) >= 8e13 THEN CAST((avg(least(1.0e0, greatest(0.0e0,
+               (sw * 2.0e0 + (1.0e0 - pr)
+                 + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+                 / 3.0e0)))) AS DOUBLE) ELSE floor(CAST((avg(least(1.0e0, greatest(0.0e0,
+               (sw * 2.0e0 + (1.0e0 - pr)
+                 + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+                 / 3.0e0)))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mean_quality,
+             (CASE WHEN isnan(CAST((avg(rep)) AS DOUBLE)) OR abs(CAST((avg(rep)) AS DOUBLE)) >= 8e13 THEN CAST((avg(rep)) AS DOUBLE) ELSE floor(CAST((avg(rep)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mean_repetition
       FROM m GROUP BY source ORDER BY source""",
     "tx_kanon" -> """
       WITH g AS (
@@ -5065,8 +5119,11 @@ object SparkEntry {
         SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vs
         FROM events WHERE user_id < 100 GROUP BY user_id)
       SELECT user_id,
-             round(list_reduce(vs,
-               (a, b) -> a * (1e0 - 0.2e0) + b * 0.2e0), 4) AS ema,
+             (CASE WHEN isnan(CAST((list_reduce(vs,
+               (a, b) -> a * (1e0 - 0.2e0) + b * 0.2e0)) AS DOUBLE)) OR abs(CAST((list_reduce(vs,
+               (a, b) -> a * (1e0 - 0.2e0) + b * 0.2e0)) AS DOUBLE)) >= 8e13 THEN CAST((list_reduce(vs,
+               (a, b) -> a * (1e0 - 0.2e0) + b * 0.2e0)) AS DOUBLE) ELSE floor(CAST((list_reduce(vs,
+               (a, b) -> a * (1e0 - 0.2e0) + b * 0.2e0)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS ema,
              CAST(len(vs) AS BIGINT) AS n_obs
       FROM o ORDER BY user_id""",
     "st_winsorize" -> """
@@ -5076,7 +5133,7 @@ object SparkEntry {
                quantile_cont(value, 0.99e0) AS phi
         FROM events GROUP BY event_type)
       SELECT e.event_id, e.event_type,
-             round(least(greatest(e.value, b.plo), b.phi), 4) AS clipped,
+             (CASE WHEN isnan(CAST((least(greatest(e.value, b.plo), b.phi)) AS DOUBLE)) OR abs(CAST((least(greatest(e.value, b.plo), b.phi)) AS DOUBLE)) >= 8e13 THEN CAST((least(greatest(e.value, b.plo), b.phi)) AS DOUBLE) ELSE floor(CAST((least(greatest(e.value, b.plo), b.phi)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS clipped,
              least(greatest(e.value, b.plo), b.phi) <> e.value AS was_clipped
       FROM events e JOIN b USING (event_type)
       ORDER BY e.event_id""",
@@ -5088,7 +5145,7 @@ object SparkEntry {
         SELECT e.event_id, e.event_type, (e.value - s.m) / s.sd AS z
         FROM events e JOIN s USING (event_type)
         WHERE s.sd IS NOT NULL AND s.sd > 0e0)
-      SELECT event_id, event_type, round(z, 4) AS z
+      SELECT event_id, event_type, (CASE WHEN isnan(CAST((z) AS DOUBLE)) OR abs(CAST((z) AS DOUBLE)) >= 8e13 THEN CAST((z) AS DOUBLE) ELSE floor(CAST((z) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS z
       FROM z WHERE abs(z) > 3e0 ORDER BY event_id""",
     // Exact-moment replay of the seasonal baseline: identical variance
     // parenthesization, so every double matches bit-for-bit.
@@ -5108,7 +5165,7 @@ object SparkEntry {
                         / sqrt((ss - s * s / gn) / gn) END AS z
             FROM h2 JOIN g USING (event_type, hod))
       SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
-             CAST(n AS BIGINT) AS n, round(z, 6) AS z
+             CAST(n AS BIGINT) AS n, (CASE WHEN isnan(CAST((z) AS DOUBLE)) OR abs(CAST((z) AS DOUBLE)) >= 8e11 THEN CAST((z) AS DOUBLE) ELSE floor(CAST((z) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS z
       FROM z WHERE abs(z) >= 2.5 ORDER BY event_type, hour""",
     // CUSUM via the prefix-sum identity s = cum − min(0, running-min):
     // integer counts, integer-ratio target, ordered cumsums — every
@@ -5132,7 +5189,7 @@ object SparkEntry {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
             FROM c)
       SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
-             CAST(n AS BIGINT) AS n, round(cusum, 6) AS cusum,
+             CAST(n AS BIGINT) AS n, (CASE WHEN isnan(CAST((cusum) AS DOUBLE)) OR abs(CAST((cusum) AS DOUBLE)) >= 8e11 THEN CAST((cusum) AS DOUBLE) ELSE floor(CAST((cusum) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS cusum,
              cusum > 25.0 AS alarm
       FROM s ORDER BY event_type, hour""",
     // the sign matrix is DERIVED state (md5 parity from the salt), so
@@ -5146,9 +5203,15 @@ object SparkEntry {
           .mkString("[", ",", "]")
         // + 0e0 folds IEEE -0.0 to +0.0: DuckDB's float round keeps
         // the zero sign, Spark's BigDecimal round normalizes it
-        s"""(round(list_sum(list_transform(range(1, 65),
+        s"""((CASE WHEN isnan(CAST((list_sum(list_transform(range(1, 65),
            |  i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i]))
-           |  * (1e0 / sqrt(8e0)), 4) + 0e0) AS rp$j""".stripMargin
+           |  * (1e0 / sqrt(8e0))) AS DOUBLE)) OR abs(CAST((list_sum(list_transform(range(1, 65),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i]))
+           |  * (1e0 / sqrt(8e0))) AS DOUBLE)) >= 8e13 THEN CAST((list_sum(list_transform(range(1, 65),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i]))
+           |  * (1e0 / sqrt(8e0))) AS DOUBLE) ELSE floor(CAST((list_sum(list_transform(range(1, 65),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i]))
+           |  * (1e0 / sqrt(8e0))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) + 0e0) AS rp$j""".stripMargin
       }.mkString(",\n             ")
       s"""
       SELECT vec_id,
@@ -5170,7 +5233,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY k, vec_id
                                   ORDER BY d, centroid_id) AS rn
         FROM scored)
-      SELECT k, vec_id, centroid_id, round(CAST(d AS DOUBLE), 4) AS dist
+      SELECT k, vec_id, centroid_id, (CASE WHEN isnan(CAST((CAST(d AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(d AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(d AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(d AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM r WHERE rn = 1 ORDER BY k, vec_id"""
     },
     // + 0e0 folds IEEE -0.0 (see vq_randproj); list_sum/list_transform
@@ -5194,8 +5257,11 @@ object SparkEntry {
         FROM r GROUP BY qid),
       f AS (SELECT r1, r2 FROM w WHERE r1 > 0 AND r2 IS NOT NULL)
       SELECT CAST(count(*) AS BIGINT) AS n,
-             round(CAST(count(*) AS DOUBLE)
-               / sum(ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE))), 4)
+             (CASE WHEN isnan(CAST((CAST(count(*) AS DOUBLE)
+               / sum(ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE)))) AS DOUBLE)) OR abs(CAST((CAST(count(*) AS DOUBLE)
+               / sum(ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE)))) AS DOUBLE)) >= 8e13 THEN CAST((CAST(count(*) AS DOUBLE)
+               / sum(ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE)))) AS DOUBLE) ELSE floor(CAST((CAST(count(*) AS DOUBLE)
+               / sum(ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE)))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                AS intrinsic_dim
       FROM f""",
     // Same persisted-model replay as vq_pca, plus the eigenvalue
@@ -5224,10 +5290,19 @@ object SparkEntry {
         FROM embeddings e, mu, w1, w2, w3, w4),
       sc AS (
         SELECT vec_id,
-               round(((p1 * p1 / greatest(e1, 1e-9)
+               (CASE WHEN isnan(CAST((((p1 * p1 / greatest(e1, 1e-9)
                        + p2 * p2 / greatest(e2, 1e-9))
                       + p3 * p3 / greatest(e3, 1e-9))
-                     + p4 * p4 / greatest(e4, 1e-9), 4) AS maha_sq
+                     + p4 * p4 / greatest(e4, 1e-9)) AS DOUBLE)) OR abs(CAST((((p1 * p1 / greatest(e1, 1e-9)
+                       + p2 * p2 / greatest(e2, 1e-9))
+                      + p3 * p3 / greatest(e3, 1e-9))
+                     + p4 * p4 / greatest(e4, 1e-9)) AS DOUBLE)) >= 8e13 THEN CAST((((p1 * p1 / greatest(e1, 1e-9)
+                       + p2 * p2 / greatest(e2, 1e-9))
+                      + p3 * p3 / greatest(e3, 1e-9))
+                     + p4 * p4 / greatest(e4, 1e-9)) AS DOUBLE) ELSE floor(CAST((((p1 * p1 / greatest(e1, 1e-9)
+                       + p2 * p2 / greatest(e2, 1e-9))
+                      + p3 * p3 / greatest(e3, 1e-9))
+                     + p4 * p4 / greatest(e4, 1e-9)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS maha_sq
         FROM p)
       SELECT vec_id, maha_sq, maha_sq > 13.2767 AS is_outlier
       FROM sc ORDER BY vec_id""",
@@ -5241,17 +5316,29 @@ object SparkEntry {
       w3 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 3),
       w4 AS (SELECT list(w ORDER BY i) AS wl FROM m WHERE c = 4)
       SELECT e.vec_id,
-             round(list_sum(list_transform(range(1, 65),
-               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w1.wl[i])), 4)
+             (CASE WHEN isnan(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w1.wl[i]))) AS DOUBLE)) OR abs(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w1.wl[i]))) AS DOUBLE)) >= 8e13 THEN CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w1.wl[i]))) AS DOUBLE) ELSE floor(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w1.wl[i]))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                + 0e0 AS pc1,
-             round(list_sum(list_transform(range(1, 65),
-               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w2.wl[i])), 4)
+             (CASE WHEN isnan(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w2.wl[i]))) AS DOUBLE)) OR abs(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w2.wl[i]))) AS DOUBLE)) >= 8e13 THEN CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w2.wl[i]))) AS DOUBLE) ELSE floor(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w2.wl[i]))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                + 0e0 AS pc2,
-             round(list_sum(list_transform(range(1, 65),
-               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w3.wl[i])), 4)
+             (CASE WHEN isnan(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w3.wl[i]))) AS DOUBLE)) OR abs(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w3.wl[i]))) AS DOUBLE)) >= 8e13 THEN CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w3.wl[i]))) AS DOUBLE) ELSE floor(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w3.wl[i]))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                + 0e0 AS pc3,
-             round(list_sum(list_transform(range(1, 65),
-               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w4.wl[i])), 4)
+             (CASE WHEN isnan(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w4.wl[i]))) AS DOUBLE)) OR abs(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w4.wl[i]))) AS DOUBLE)) >= 8e13 THEN CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w4.wl[i]))) AS DOUBLE) ELSE floor(CAST((list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - mu.ml[i]) * w4.wl[i]))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                + 0e0 AS pc4
       FROM embeddings e, mu, w1, w2, w3, w4
       ORDER BY e.vec_id""",
@@ -5271,7 +5358,7 @@ object SparkEntry {
         GROUP BY a.label, b.label)
       SELECT CAST(label_a AS BIGINT) AS label_a,
              CAST(label_b AS BIGINT) AS label_b,
-             round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
+             (CASE WHEN isnan(CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE)) OR abs(CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE)) >= 8e13 THEN CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE) ELSE floor(CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS sim
       FROM p ORDER BY label_a, label_b""",
     "ann_ivfpq" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
@@ -5336,9 +5423,9 @@ object SparkEntry {
                  r -> 1e0 / log2(CAST(r AS DOUBLE) + 1e0))) AS v)
       SELECT g.config, g.qid, CAST(10 AS BIGINT) AS n_relevant,
              coalesce(p.hits, 0) AS hits,
-             round(coalesce(p.hits, 0) / 10e0, 4) AS recall,
-             round(coalesce(1e0 / p.fh, 0e0), 4) AS mrr,
-             round(coalesce(p.dcg, 0e0) / (SELECT v FROM idcg), 4) AS ndcg
+             (CASE WHEN isnan(CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE)) OR abs(CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE) ELSE floor(CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS recall,
+             (CASE WHEN isnan(CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE)) OR abs(CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE) ELSE floor(CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mrr,
+             (CASE WHEN isnan(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE)) OR abs(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE) ELSE floor(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS ndcg
       FROM qgrid g LEFT JOIN perq p ON g.config = p.config AND g.qid = p.qid
       ORDER BY g.config, g.qid""",
     "ann_hard_negatives" -> """
@@ -5354,7 +5441,7 @@ object SparkEntry {
         SELECT qid, vec_id, sim,
                row_number() OVER (PARTITION BY qid ORDER BY -sim, vec_id) AS rn
         FROM scored)
-      SELECT qid, vec_id, rn, round(CAST(sim AS DOUBLE), 4) AS sim
+      SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(sim AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sim AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS sim
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "ir_metrics" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec
@@ -5392,10 +5479,13 @@ object SparkEntry {
         FROM nrel)
       SELECT nrel.qid, nrel.n_relevant,
              coalesce(perq.hits, 0) AS hits,
-             round(coalesce(perq.hits, 0)
-               / CAST(least(nrel.n_relevant, 10) AS DOUBLE), 4) AS recall,
-             round(coalesce(1e0 / perq.fh, 0e0), 4) AS mrr,
-             round(coalesce(perq.dcg, 0e0) / ideal.idcg, 4) AS ndcg
+             (CASE WHEN isnan(CAST((coalesce(perq.hits, 0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((coalesce(perq.hits, 0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(perq.hits, 0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((coalesce(perq.hits, 0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS recall,
+             (CASE WHEN isnan(CAST((coalesce(1e0 / perq.fh, 0e0)) AS DOUBLE)) OR abs(CAST((coalesce(1e0 / perq.fh, 0e0)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(1e0 / perq.fh, 0e0)) AS DOUBLE) ELSE floor(CAST((coalesce(1e0 / perq.fh, 0e0)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mrr,
+             (CASE WHEN isnan(CAST((coalesce(perq.dcg, 0e0) / ideal.idcg) AS DOUBLE)) OR abs(CAST((coalesce(perq.dcg, 0e0) / ideal.idcg) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(perq.dcg, 0e0) / ideal.idcg) AS DOUBLE) ELSE floor(CAST((coalesce(perq.dcg, 0e0) / ideal.idcg) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS ndcg
       FROM nrel
       LEFT JOIN perq ON perq.qid = nrel.qid
       JOIN ideal ON ideal.qid = nrel.qid
@@ -5428,7 +5518,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid
                  ORDER BY rrf DESC, vec_id) AS rank
         FROM fused)
-      SELECT qid, vec_id, round(rrf, 6) AS rrf, rank
+      SELECT qid, vec_id, (CASE WHEN isnan(CAST((rrf) AS DOUBLE)) OR abs(CAST((rrf) AS DOUBLE)) >= 8e11 THEN CAST((rrf) AS DOUBLE) ELSE floor(CAST((rrf) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS rrf, rank
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
     "ir_map" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec
@@ -5463,8 +5553,11 @@ object SparkEntry {
                    END) AS sum_p
         FROM h GROUP BY qid)
       SELECT nrel.qid, nrel.n_relevant,
-             round(coalesce(perq.sum_p, 0e0)
-               / CAST(least(nrel.n_relevant, 10) AS DOUBLE), 4) AS ap
+             (CASE WHEN isnan(CAST((coalesce(perq.sum_p, 0e0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((coalesce(perq.sum_p, 0e0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(perq.sum_p, 0e0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((coalesce(perq.sum_p, 0e0)
+               / CAST(least(nrel.n_relevant, 10) AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS ap
       FROM nrel LEFT JOIN perq ON perq.qid = nrel.qid
       ORDER BY nrel.qid""",
     "ann_lsh_containment" ->
@@ -5619,8 +5712,11 @@ object SparkEntry {
                         string_split_regex(lower(text), '\s+') AS toks
                  FROM documents)
       SELECT doc_id, len(toks) AS n_tokens,
-             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-               / len(toks), 4) AS mean_tok_len,
+             (CASE WHEN isnan(CAST((CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks)) AS DOUBLE)) OR abs(CAST((CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks)) AS DOUBLE) ELSE floor(CAST((CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mean_tok_len,
              n_chars
       FROM t ORDER BY doc_id""",
     // per-row expressions identical to the tx_quality / tx_repetition /
@@ -5654,8 +5750,8 @@ object SparkEntry {
         FROM m)
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(ntok) AS BIGINT) AS total_tokens,
-             round(avg(quality), 4) AS mean_quality,
-             round(avg(rep), 4) AS mean_repetition,
+             (CASE WHEN isnan(CAST((avg(quality)) AS DOUBLE)) OR abs(CAST((avg(quality)) AS DOUBLE)) >= 8e13 THEN CAST((avg(quality)) AS DOUBLE) ELSE floor(CAST((avg(quality)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mean_quality,
+             (CASE WHEN isnan(CAST((avg(rep)) AS DOUBLE)) OR abs(CAST((avg(rep)) AS DOUBLE)) >= 8e13 THEN CAST((avg(rep)) AS DOUBLE) ELSE floor(CAST((avg(rep)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mean_repetition,
              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
              CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
              CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
@@ -5666,8 +5762,11 @@ object SparkEntry {
       WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                  FROM documents)
       SELECT doc_id,
-             round(CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 4)
+             (CASE WHEN isnan(CAST((CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END) AS DOUBLE)) OR abs(CAST((CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END) AS DOUBLE)) >= 8e13 THEN CAST((CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END) AS DOUBLE) ELSE floor(CAST((CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END) AS DOUBLE) * 1e4 + 0.5) / 1e4 END)
                AS rep_ratio
       FROM t ORDER BY doc_id""",
     "tx_quality" -> """
@@ -5681,10 +5780,16 @@ object SparkEntry {
           CAST(nc - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / nc AS pr,
           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS ml
         FROM t)
-      SELECT doc_id, round(sw, 4) AS stopword_ratio, round(pr, 4) AS punct_ratio,
-             round(least(1.0, greatest(0.0,
+      SELECT doc_id, (CASE WHEN isnan(CAST((sw) AS DOUBLE)) OR abs(CAST((sw) AS DOUBLE)) >= 8e13 THEN CAST((sw) AS DOUBLE) ELSE floor(CAST((sw) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS stopword_ratio, (CASE WHEN isnan(CAST((pr) AS DOUBLE)) OR abs(CAST((pr) AS DOUBLE)) >= 8e13 THEN CAST((pr) AS DOUBLE) ELSE floor(CAST((pr) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS punct_ratio,
+             (CASE WHEN isnan(CAST((least(1.0, greatest(0.0,
                (sw * 2.0 + (1.0 - pr) + CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.5 END)
-                 / 3.0)), 4) AS quality
+                 / 3.0))) AS DOUBLE)) OR abs(CAST((least(1.0, greatest(0.0,
+               (sw * 2.0 + (1.0 - pr) + CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 / 3.0))) AS DOUBLE)) >= 8e13 THEN CAST((least(1.0, greatest(0.0,
+               (sw * 2.0 + (1.0 - pr) + CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 / 3.0))) AS DOUBLE) ELSE floor(CAST((least(1.0, greatest(0.0,
+               (sw * 2.0 + (1.0 - pr) + CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 / 3.0))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS quality
       FROM m ORDER BY doc_id""",
     "tx_langid" -> """
       WITH t AS (
@@ -5703,8 +5808,8 @@ object SparkEntry {
              WHEN es_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'es'
              WHEN fr_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio) THEN 'fr'
              ELSE 'und' END AS lang_guess,
-        round(de_ratio, 4) AS de_ratio, round(en_ratio, 4) AS en_ratio,
-        round(es_ratio, 4) AS es_ratio, round(fr_ratio, 4) AS fr_ratio
+        (CASE WHEN isnan(CAST((de_ratio) AS DOUBLE)) OR abs(CAST((de_ratio) AS DOUBLE)) >= 8e13 THEN CAST((de_ratio) AS DOUBLE) ELSE floor(CAST((de_ratio) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS de_ratio, (CASE WHEN isnan(CAST((en_ratio) AS DOUBLE)) OR abs(CAST((en_ratio) AS DOUBLE)) >= 8e13 THEN CAST((en_ratio) AS DOUBLE) ELSE floor(CAST((en_ratio) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS en_ratio,
+        (CASE WHEN isnan(CAST((es_ratio) AS DOUBLE)) OR abs(CAST((es_ratio) AS DOUBLE)) >= 8e13 THEN CAST((es_ratio) AS DOUBLE) ELSE floor(CAST((es_ratio) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS es_ratio, (CASE WHEN isnan(CAST((fr_ratio) AS DOUBLE)) OR abs(CAST((fr_ratio) AS DOUBLE)) >= 8e13 THEN CAST((fr_ratio) AS DOUBLE) ELSE floor(CAST((fr_ratio) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS fr_ratio
       FROM r ORDER BY doc_id""",
     "tx_bpe_tokens" -> """
       SELECT doc_id,
@@ -5758,8 +5863,11 @@ object SparkEntry {
              CAST(sum(sw.c) AS BIGINT) AS n_words,
              CAST(sum(len(sw.word) * sw.c) AS BIGINT) AS n_chars,
              CAST(sum(len(aw8.s) * sw.c) AS BIGINT) AS n_tokens,
-             round(CAST(sum(len(sw.word) * sw.c) AS DOUBLE)
-                   / CAST(sum(len(aw8.s) * sw.c) AS DOUBLE), 6) AS ratio
+             (CASE WHEN isnan(CAST((CAST(sum(len(sw.word) * sw.c) AS DOUBLE)
+                   / CAST(sum(len(aw8.s) * sw.c) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(len(sw.word) * sw.c) AS DOUBLE)
+                   / CAST(sum(len(aw8.s) * sw.c) AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((CAST(sum(len(sw.word) * sw.c) AS DOUBLE)
+                   / CAST(sum(len(aw8.s) * sw.c) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sum(len(sw.word) * sw.c) AS DOUBLE)
+                   / CAST(sum(len(aw8.s) * sw.c) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS ratio
       FROM sw JOIN aw8 USING (word)
       GROUP BY source ORDER BY source""",
     // Full bit-exact replay of both 64-bit text-hash kernels
@@ -5830,15 +5938,35 @@ object SparkEntry {
                sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
         FROM f),
       sc AS (
-        SELECT doc_id, round(
-            ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * tf0 * 2.2e0
+        SELECT doc_id, (CASE WHEN isnan(CAST((ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * tf0 * 2.2e0
               / (tf0 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
           + ln(1e0 + (n - df1 + 0.5e0)/(df1 + 0.5e0)) * tf1 * 2.2e0
               / (tf1 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
           + ln(1e0 + (n - df2 + 0.5e0)/(df2 + 0.5e0)) * tf2 * 2.2e0
               / (tf2 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
           + ln(1e0 + (n - df3 + 0.5e0)/(df3 + 0.5e0)) * tf3 * 2.2e0
-              / (tf3 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl)), 4) AS bm25
+              / (tf3 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))) AS DOUBLE)) OR abs(CAST((ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * tf0 * 2.2e0
+              / (tf0 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df1 + 0.5e0)/(df1 + 0.5e0)) * tf1 * 2.2e0
+              / (tf1 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df2 + 0.5e0)/(df2 + 0.5e0)) * tf2 * 2.2e0
+              / (tf2 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df3 + 0.5e0)/(df3 + 0.5e0)) * tf3 * 2.2e0
+              / (tf3 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))) AS DOUBLE)) >= 8e13 THEN CAST((ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * tf0 * 2.2e0
+              / (tf0 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df1 + 0.5e0)/(df1 + 0.5e0)) * tf1 * 2.2e0
+              / (tf1 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df2 + 0.5e0)/(df2 + 0.5e0)) * tf2 * 2.2e0
+              / (tf2 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df3 + 0.5e0)/(df3 + 0.5e0)) * tf3 * 2.2e0
+              / (tf3 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))) AS DOUBLE) ELSE floor(CAST((ln(1e0 + (n - df0 + 0.5e0)/(df0 + 0.5e0)) * tf0 * 2.2e0
+              / (tf0 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df1 + 0.5e0)/(df1 + 0.5e0)) * tf1 * 2.2e0
+              / (tf1 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df2 + 0.5e0)/(df2 + 0.5e0)) * tf2 * 2.2e0
+              / (tf2 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))
+          + ln(1e0 + (n - df3 + 0.5e0)/(df3 + 0.5e0)) * tf3 * 2.2e0
+              / (tf3 + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS bm25
         FROM f, s)
       SELECT doc_id, bm25 FROM sc WHERE bm25 > 0e0
       ORDER BY bm25 DESC, doc_id LIMIT 20""",
@@ -5880,12 +6008,15 @@ object SparkEntry {
         FROM per)
       SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
              CAST(sum(neg_at) AS BIGINT) AS n_neg,
-             round(sum(pos_at * (nb + neg_at / 2.0))
-               / (sum(pos_at) * CAST(sum(neg_at) AS DOUBLE)), 6) AS auc
+             (CASE WHEN isnan(CAST((sum(pos_at * (nb + neg_at / 2.0))
+               / (sum(pos_at) * CAST(sum(neg_at) AS DOUBLE))) AS DOUBLE)) OR abs(CAST((sum(pos_at * (nb + neg_at / 2.0))
+               / (sum(pos_at) * CAST(sum(neg_at) AS DOUBLE))) AS DOUBLE)) >= 8e11 THEN CAST((sum(pos_at * (nb + neg_at / 2.0))
+               / (sum(pos_at) * CAST(sum(neg_at) AS DOUBLE))) AS DOUBLE) ELSE floor(CAST((sum(pos_at * (nb + neg_at / 2.0))
+               / (sum(pos_at) * CAST(sum(neg_at) AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS auc
       FROM c""",
     "ir_pr" -> """
       WITH d AS (
-        SELECT round(o_totalprice / 1000e0) AS s,
+        SELECT (CASE WHEN isnan(CAST((o_totalprice / 1000e0) AS DOUBLE)) OR abs(CAST((o_totalprice / 1000e0) AS DOUBLE)) >= 8e17 THEN CAST((o_totalprice / 1000e0) AS DOUBLE) ELSE floor(CAST((o_totalprice / 1000e0) AS DOUBLE) * 1e0 + 0.5) / 1e0 END) AS s,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
         FROM orders),
       per AS (
@@ -5899,8 +6030,8 @@ object SparkEntry {
                CAST(sum(neg_at) OVER (ORDER BY s DESC) AS BIGINT) AS fp
         FROM per)
       SELECT s AS score, pos_at, tp, fp,
-             round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec,
-             round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) AS recall
+             (CASE WHEN isnan(CAST((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS prec,
+             (CASE WHEN isnan(CAST((CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS recall
       FROM c, t ORDER BY score DESC""",
     "ir_kappa" -> """
       WITH d AS (
@@ -5923,9 +6054,9 @@ object SparkEntry {
                    CAST(tot.agree AS DOUBLE) / CAST(tot.t AS DOUBLE) AS po,
                    pe.num / (CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE)) AS pe
             FROM tot, pe)
-      SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
+      SELECT n, (CASE WHEN isnan(CAST((po) AS DOUBLE)) OR abs(CAST((po) AS DOUBLE)) >= 8e11 THEN CAST((po) AS DOUBLE) ELSE floor(CAST((po) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS po, (CASE WHEN isnan(CAST((pe) AS DOUBLE)) OR abs(CAST((pe) AS DOUBLE)) >= 8e11 THEN CAST((pe) AS DOUBLE) ELSE floor(CAST((pe) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS pe,
              CASE WHEN pe < 1.0
-                  THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+                  THEN (CASE WHEN isnan(CAST(((po - pe) / (1.0 - pe)) AS DOUBLE)) OR abs(CAST(((po - pe) / (1.0 - pe)) AS DOUBLE)) >= 8e11 THEN CAST(((po - pe) / (1.0 - pe)) AS DOUBLE) ELSE floor(CAST(((po - pe) / (1.0 - pe)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) END AS kappa
       FROM m""",
     // Full BLEU-2 replay: same tokenization (lower, \s+ split, drop
     // empties), clipped/total uni- and bigram counts, geo =
@@ -6090,11 +6221,17 @@ object SparkEntry {
              CAST(sum(len(list_filter(
                string_split_regex(lower(text), '\s+'), x -> x <> '')))
                AS BIGINT) AS total_tokens,
-             round(avg(n_chars), 4) AS mean_chars,
-             round(1e0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
-               / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
-             round(CAST(sum(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END)
-               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pct_min_len
+             (CASE WHEN isnan(CAST((avg(n_chars)) AS DOUBLE)) OR abs(CAST((avg(n_chars)) AS DOUBLE)) >= 8e13 THEN CAST((avg(n_chars)) AS DOUBLE) ELSE floor(CAST((avg(n_chars)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mean_chars,
+             (CASE WHEN isnan(CAST((1e0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((1e0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((1e0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((1e0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS dup_rate,
+             (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((CAST(sum(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sum(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS pct_min_len
       FROM documents""",
     "pp_funnel" -> """
       WITH d AS (
@@ -6122,13 +6259,19 @@ object SparkEntry {
       SELECT stage, CAST(n_in AS BIGINT) AS n_in,
              CAST(n_dropped AS BIGINT) AS n_dropped,
              CAST(n_in - n_dropped AS BIGINT) AS n_out,
-             round(CASE WHEN n_in = 0 THEN 0.0
+             (CASE WHEN isnan(CAST((CASE WHEN n_in = 0 THEN 0.0
                         ELSE CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE)
-                   END, 6) AS drop_rate
+                   END) AS DOUBLE)) OR abs(CAST((CASE WHEN n_in = 0 THEN 0.0
+                        ELSE CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE)
+                   END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN n_in = 0 THEN 0.0
+                        ELSE CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE)
+                   END) AS DOUBLE) ELSE floor(CAST((CASE WHEN n_in = 0 THEN 0.0
+                        ELSE CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE)
+                   END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS drop_rate
       FROM seq ORDER BY ord""",
     "ir_pr_auc" -> """
       WITH d AS (
-        SELECT round(o_totalprice / 1000e0) AS s,
+        SELECT (CASE WHEN isnan(CAST((o_totalprice / 1000e0) AS DOUBLE)) OR abs(CAST((o_totalprice / 1000e0) AS DOUBLE)) >= 8e17 THEN CAST((o_totalprice / 1000e0) AS DOUBLE) ELSE floor(CAST((o_totalprice / 1000e0) AS DOUBLE) * 1e0 + 0.5) / 1e0 END) AS s,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
         FROM orders),
       per AS (
@@ -6142,9 +6285,15 @@ object SparkEntry {
         FROM per)
       SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
              CAST((SELECT sum(neg_at) FROM per) AS BIGINT) AS n_neg,
-             round(sum(CAST(pos_at AS DOUBLE)
+             (CASE WHEN isnan(CAST((sum(CAST(pos_at AS DOUBLE)
                  * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)))
-               / CAST(sum(pos_at) AS DOUBLE), 6) AS ap
+               / CAST(sum(pos_at) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((sum(CAST(pos_at AS DOUBLE)
+                 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)))
+               / CAST(sum(pos_at) AS DOUBLE)) AS DOUBLE)) >= 8e11 THEN CAST((sum(CAST(pos_at AS DOUBLE)
+                 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)))
+               / CAST(sum(pos_at) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((sum(CAST(pos_at AS DOUBLE)
+                 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)))
+               / CAST(sum(pos_at) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS ap
       FROM c""",
     "ir_calibration" -> """
       WITH t AS (
@@ -6174,8 +6323,8 @@ object SparkEntry {
         FROM r)
       SELECT greatest(least(CAST(floor(s * 10) AS BIGINT), 9), 0) AS bin,
              CAST(count(*) AS BIGINT) AS n,
-             round(avg(s), 6) AS avg_score,
-             round(avg(y), 6) AS frac_pos
+             (CASE WHEN isnan(CAST((avg(s)) AS DOUBLE)) OR abs(CAST((avg(s)) AS DOUBLE)) >= 8e11 THEN CAST((avg(s)) AS DOUBLE) ELSE floor(CAST((avg(s)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS avg_score,
+             (CASE WHEN isnan(CAST((avg(y)) AS DOUBLE)) OR abs(CAST((avg(y)) AS DOUBLE)) >= 8e11 THEN CAST((avg(y)) AS DOUBLE) ELSE floor(CAST((avg(y)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS frac_pos
       FROM d GROUP BY 1 ORDER BY bin""",
     "tx_readability" -> """
       WITH p AS (
@@ -6193,16 +6342,40 @@ object SparkEntry {
                  AS BIGINT) AS syllables
         FROM p)
       SELECT doc_id, words, sentences, syllables,
-             round(CASE WHEN words > 0 THEN
+             (CASE WHEN isnan(CAST((CASE WHEN words > 0 THEN
                206.835e0
                  - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
                  - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
-               END, 4) AS flesch,
-             round(CASE WHEN words > 0 THEN
+               END) AS DOUBLE)) OR abs(CAST((CASE WHEN words > 0 THEN
+               206.835e0
+                 - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+               END) AS DOUBLE)) >= 8e13 THEN CAST((CASE WHEN words > 0 THEN
+               206.835e0
+                 - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+               END) AS DOUBLE) ELSE floor(CAST((CASE WHEN words > 0 THEN
+               206.835e0
+                 - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 - 84.6e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+               END) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS flesch,
+             (CASE WHEN isnan(CAST((CASE WHEN words > 0 THEN
                0.39e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
                  + 11.8e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
                  - 15.59e0
-               END, 4) AS fk_grade
+               END) AS DOUBLE)) OR abs(CAST((CASE WHEN words > 0 THEN
+               0.39e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 + 11.8e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                 - 15.59e0
+               END) AS DOUBLE)) >= 8e13 THEN CAST((CASE WHEN words > 0 THEN
+               0.39e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 + 11.8e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                 - 15.59e0
+               END) AS DOUBLE) ELSE floor(CAST((CASE WHEN words > 0 THEN
+               0.39e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 + 11.8e0 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                 - 15.59e0
+               END) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS fk_grade
       FROM c ORDER BY doc_id""",
     "tx_gopher" -> """
       WITH t AS (
@@ -6265,10 +6438,19 @@ object SparkEntry {
           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS ml
         FROM t),
       q AS (
-        SELECT doc_id, round(least(1.0e0, greatest(0.0e0,
+        SELECT doc_id, (CASE WHEN isnan(CAST((least(1.0e0, greatest(0.0e0,
           (sw * 2.0e0 + (1.0e0 - pr)
             + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
-            / 3.0e0)), 4) AS w
+            / 3.0e0))) AS DOUBLE)) OR abs(CAST((least(1.0e0, greatest(0.0e0,
+          (sw * 2.0e0 + (1.0e0 - pr)
+            + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+            / 3.0e0))) AS DOUBLE)) >= 8e13 THEN CAST((least(1.0e0, greatest(0.0e0,
+          (sw * 2.0e0 + (1.0e0 - pr)
+            + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+            / 3.0e0))) AS DOUBLE) ELSE floor(CAST((least(1.0e0, greatest(0.0e0,
+          (sw * 2.0e0 + (1.0e0 - pr)
+            + CASE WHEN ml >= 3.0e0 AND ml <= 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)
+            / 3.0e0))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS w
         FROM m)
       SELECT doc_id FROM q
       WHERE w >= 1e0
@@ -6290,7 +6472,7 @@ object SparkEntry {
         SELECT tok.doc_id, avg(coalesce(lp.logp, oov.o)) AS mean_lp
         FROM tok LEFT JOIN lp ON tok.t = lp.t CROSS JOIN oov
         GROUP BY tok.doc_id)
-      SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
+      SELECT doc_id, (CASE WHEN isnan(CAST((exp(-mean_lp)) AS DOUBLE)) OR abs(CAST((exp(-mean_lp)) AS DOUBLE)) >= 8e13 THEN CAST((exp(-mean_lp)) AS DOUBLE) ELSE floor(CAST((exp(-mean_lp)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS perplexity
       FROM sc ORDER BY doc_id""",
     // same algebraic form as the Spark agg: H = ln n - (sum c ln c)/n
     "tx_entropy" -> """
@@ -6301,9 +6483,15 @@ object SparkEntry {
         SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
         FROM ch GROUP BY doc_id, c)
       SELECT doc_id,
-             round(ln(CAST(sum(k) AS DOUBLE))
+             (CASE WHEN isnan(CAST((ln(CAST(sum(k) AS DOUBLE))
                - sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
-                 / CAST(sum(k) AS DOUBLE), 4) AS entropy
+                 / CAST(sum(k) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((ln(CAST(sum(k) AS DOUBLE))
+               - sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
+                 / CAST(sum(k) AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((ln(CAST(sum(k) AS DOUBLE))
+               - sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
+                 / CAST(sum(k) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((ln(CAST(sum(k) AS DOUBLE))
+               - sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
+                 / CAST(sum(k) AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS entropy
       FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "tx_urlnorm" -> """
       WITH t AS (
@@ -6350,9 +6538,9 @@ object SparkEntry {
       FROM q ORDER BY doc_id""",
     "q33_corr" -> """
       SELECT l_returnflag,
-             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-             round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
-             round(covar_pop(l_quantity, l_discount), 4) AS cov_p,
+             (CASE WHEN isnan(CAST((corr(l_quantity, l_extendedprice)) AS DOUBLE)) OR abs(CAST((corr(l_quantity, l_extendedprice)) AS DOUBLE)) >= 8e13 THEN CAST((corr(l_quantity, l_extendedprice)) AS DOUBLE) ELSE floor(CAST((corr(l_quantity, l_extendedprice)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS corr_qp,
+             (CASE WHEN isnan(CAST((covar_samp(l_quantity, l_extendedprice)) AS DOUBLE)) OR abs(CAST((covar_samp(l_quantity, l_extendedprice)) AS DOUBLE)) >= 8e13 THEN CAST((covar_samp(l_quantity, l_extendedprice)) AS DOUBLE) ELSE floor(CAST((covar_samp(l_quantity, l_extendedprice)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS cov_s,
+             (CASE WHEN isnan(CAST((covar_pop(l_quantity, l_discount)) AS DOUBLE)) OR abs(CAST((covar_pop(l_quantity, l_discount)) AS DOUBLE)) >= 8e13 THEN CAST((covar_pop(l_quantity, l_discount)) AS DOUBLE) ELSE floor(CAST((covar_pop(l_quantity, l_discount)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS cov_p,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // midrank = rank() + (cnt-1)/2 == strictly-below + (cnt+1)/2, the
@@ -6369,13 +6557,13 @@ object SparkEntry {
           + (CAST(count(*) OVER (PARTITION BY y) AS DOUBLE) - 1e0) / 2e0 AS ry
        FROM d)
       SELECT CAST(count(*) AS BIGINT) AS n,
-             round(corr(rx, ry), 6) AS spearman FROM r""",
+             (CASE WHEN isnan(CAST((corr(rx, ry)) AS DOUBLE)) OR abs(CAST((corr(rx, ry)) AS DOUBLE)) >= 8e11 THEN CAST((corr(rx, ry)) AS DOUBLE) ELSE floor(CAST((corr(rx, ry)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS spearman FROM r""",
     "st_acf" -> """
       WITH daily AS (
         SELECT event_type,
                CAST(date_diff('day', DATE '2024-01-01',
                               CAST(ts AS DATE)) AS BIGINT) AS day,
-               round(sum(value), 2) / count(*) AS m
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) / count(*) AS m
         FROM events
         GROUP BY event_type, CAST(ts AS DATE)),
       st AS (
@@ -6395,7 +6583,7 @@ object SparkEntry {
         WHERE a.day = b.day + l.lag
         GROUP BY a.event_type, l.lag)
       SELECT n.event_type, n.lag, n.n_terms,
-             round(CASE WHEN st.den > 0e0 THEN n.num / st.den END, 6) AS acf
+             (CASE WHEN isnan(CAST((CASE WHEN st.den > 0e0 THEN n.num / st.den END) AS DOUBLE)) OR abs(CAST((CASE WHEN st.den > 0e0 THEN n.num / st.den END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN st.den > 0e0 THEN n.num / st.den END) AS DOUBLE) ELSE floor(CAST((CASE WHEN st.den > 0e0 THEN n.num / st.den END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS acf
       FROM num n JOIN st USING (event_type)
       ORDER BY event_type, lag""",
     "st_interp" -> """
@@ -6426,11 +6614,23 @@ object SparkEntry {
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
         FROM g)
       SELECT event_type, hour_idx, n, nv IS NOT NULL AS known,
-             round(CASE WHEN nv IS NOT NULL THEN nv
+             (CASE WHEN isnan(CAST((CASE WHEN nv IS NOT NULL THEN nv
                         WHEN pv IS NOT NULL AND fv IS NOT NULL
                         THEN pv + (fv - pv)
                           * (CAST(hour_idx AS DOUBLE) - pt) / (ft - pt)
-                   END, 6) AS value_filled
+                   END) AS DOUBLE)) OR abs(CAST((CASE WHEN nv IS NOT NULL THEN nv
+                        WHEN pv IS NOT NULL AND fv IS NOT NULL
+                        THEN pv + (fv - pv)
+                          * (CAST(hour_idx AS DOUBLE) - pt) / (ft - pt)
+                   END) AS DOUBLE)) >= 8e11 THEN CAST((CASE WHEN nv IS NOT NULL THEN nv
+                        WHEN pv IS NOT NULL AND fv IS NOT NULL
+                        THEN pv + (fv - pv)
+                          * (CAST(hour_idx AS DOUBLE) - pt) / (ft - pt)
+                   END) AS DOUBLE) ELSE floor(CAST((CASE WHEN nv IS NOT NULL THEN nv
+                        WHEN pv IS NOT NULL AND fv IS NOT NULL
+                        THEN pv + (fv - pv)
+                          * (CAST(hour_idx AS DOUBLE) - pt) / (ft - pt)
+                   END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS value_filled
       FROM f ORDER BY event_type, hour_idx""",
     "st_psi" -> """
       WITH e AS (
@@ -6482,7 +6682,7 @@ object SparkEntry {
         SELECT event_type,
                CAST(date_diff('day', DATE '2024-01-01',
                               CAST(ts AS DATE)) AS DOUBLE) AS day,
-               round(sum(value), 2) / count(*) AS m
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) / count(*) AS m
         FROM events
         GROUP BY event_type, CAST(ts AS DATE)),
       pr AS (
@@ -6502,7 +6702,7 @@ object SparkEntry {
         FROM daily d JOIN sl s USING (event_type)
         GROUP BY d.event_type)
       SELECT np.event_type, np.n_points, coalesce(sl.n_pairs, 0) AS n_pairs,
-             round(sl.slope, 6) AS slope, round(ic.intercept, 6) AS intercept
+             (CASE WHEN isnan(CAST((sl.slope) AS DOUBLE)) OR abs(CAST((sl.slope) AS DOUBLE)) >= 8e11 THEN CAST((sl.slope) AS DOUBLE) ELSE floor(CAST((sl.slope) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS slope, (CASE WHEN isnan(CAST((ic.intercept) AS DOUBLE)) OR abs(CAST((ic.intercept) AS DOUBLE)) >= 8e11 THEN CAST((ic.intercept) AS DOUBLE) ELSE floor(CAST((ic.intercept) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS intercept
       FROM np
       LEFT JOIN sl USING (event_type)
       LEFT JOIN ic USING (event_type)
@@ -6511,15 +6711,15 @@ object SparkEntry {
       WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
                  FROM lineitem WHERE l_extendedprice IS NOT NULL)
       SELECT 0.01e0 AS p, CAST(count(*) AS BIGINT) AS n,
-             round(quantile_cont(x, 0.01), 6) AS value FROM d
+             (CASE WHEN isnan(CAST((quantile_cont(x, 0.01)) AS DOUBLE)) OR abs(CAST((quantile_cont(x, 0.01)) AS DOUBLE)) >= 8e11 THEN CAST((quantile_cont(x, 0.01)) AS DOUBLE) ELSE floor(CAST((quantile_cont(x, 0.01)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS value FROM d
       UNION ALL
-      SELECT 0.25e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.25), 6) FROM d
+      SELECT 0.25e0, CAST(count(*) AS BIGINT), (CASE WHEN isnan(CAST((quantile_cont(x, 0.25)) AS DOUBLE)) OR abs(CAST((quantile_cont(x, 0.25)) AS DOUBLE)) >= 8e11 THEN CAST((quantile_cont(x, 0.25)) AS DOUBLE) ELSE floor(CAST((quantile_cont(x, 0.25)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) FROM d
       UNION ALL
-      SELECT 0.5e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.5), 6) FROM d
+      SELECT 0.5e0, CAST(count(*) AS BIGINT), (CASE WHEN isnan(CAST((quantile_cont(x, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(x, 0.5)) AS DOUBLE)) >= 8e11 THEN CAST((quantile_cont(x, 0.5)) AS DOUBLE) ELSE floor(CAST((quantile_cont(x, 0.5)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) FROM d
       UNION ALL
-      SELECT 0.75e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.75), 6) FROM d
+      SELECT 0.75e0, CAST(count(*) AS BIGINT), (CASE WHEN isnan(CAST((quantile_cont(x, 0.75)) AS DOUBLE)) OR abs(CAST((quantile_cont(x, 0.75)) AS DOUBLE)) >= 8e11 THEN CAST((quantile_cont(x, 0.75)) AS DOUBLE) ELSE floor(CAST((quantile_cont(x, 0.75)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) FROM d
       UNION ALL
-      SELECT 0.99e0, CAST(count(*) AS BIGINT), round(quantile_cont(x, 0.99), 6) FROM d
+      SELECT 0.99e0, CAST(count(*) AS BIGINT), (CASE WHEN isnan(CAST((quantile_cont(x, 0.99)) AS DOUBLE)) OR abs(CAST((quantile_cont(x, 0.99)) AS DOUBLE)) >= 8e11 THEN CAST((quantile_cont(x, 0.99)) AS DOUBLE) ELSE floor(CAST((quantile_cont(x, 0.99)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) FROM d
       ORDER BY p""",
     "st_mad" -> """
       WITH d AS (SELECT CAST(value AS DOUBLE) AS v
@@ -6528,7 +6728,7 @@ object SparkEntry {
                    CAST(count(*) AS BIGINT) AS n FROM d),
       a AS (SELECT quantile_cont(abs(d.v - m.med), 0.5) AS mad
             FROM d CROSS JOIN m)
-      SELECT m.n, round(m.med, 6) AS median, round(a.mad, 6) AS mad,
+      SELECT m.n, (CASE WHEN isnan(CAST((m.med) AS DOUBLE)) OR abs(CAST((m.med) AS DOUBLE)) >= 8e11 THEN CAST((m.med) AS DOUBLE) ELSE floor(CAST((m.med) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS median, (CASE WHEN isnan(CAST((a.mad) AS DOUBLE)) OR abs(CAST((a.mad) AS DOUBLE)) >= 8e11 THEN CAST((a.mad) AS DOUBLE) ELSE floor(CAST((a.mad) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS mad,
              (SELECT CAST(count(*) AS BIGINT)
               FROM d CROSS JOIN m CROSS JOIN a
               WHERE abs((d.v - m.med) / (1.4826e0 * a.mad)) > 3.5e0) AS n_outliers
@@ -6547,8 +6747,11 @@ object SparkEntry {
       t AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
                    CAST(sum(c2) AS DOUBLE) AS n2 FROM g)
       SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-             round(max(abs(CAST(c.k1 AS DOUBLE) / t.n1
-               - CAST(c.k2 AS DOUBLE) / t.n2)), 6) AS ks
+             (CASE WHEN isnan(CAST((max(abs(CAST(c.k1 AS DOUBLE) / t.n1
+               - CAST(c.k2 AS DOUBLE) / t.n2))) AS DOUBLE)) OR abs(CAST((max(abs(CAST(c.k1 AS DOUBLE) / t.n1
+               - CAST(c.k2 AS DOUBLE) / t.n2))) AS DOUBLE)) >= 8e11 THEN CAST((max(abs(CAST(c.k1 AS DOUBLE) / t.n1
+               - CAST(c.k2 AS DOUBLE) / t.n2))) AS DOUBLE) ELSE floor(CAST((max(abs(CAST(c.k1 AS DOUBLE) / t.n1
+               - CAST(c.k2 AS DOUBLE) / t.n2))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS ks
       FROM c CROSS JOIN t GROUP BY t.n1, t.n2""",
     "tx_chi2" -> """
       WITH d AS (SELECT source AS a, lang AS b FROM documents
@@ -6567,7 +6770,7 @@ object SparkEntry {
       SELECT t.n,
              CAST(((SELECT count(*) FROM ra) - 1)
                * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,
-             round(sum((od - exp) * (od - exp) / exp), 6) AS chi2
+             (CASE WHEN isnan(CAST((sum((od - exp) * (od - exp) / exp)) AS DOUBLE)) OR abs(CAST((sum((od - exp) * (od - exp) / exp)) AS DOUBLE)) >= 8e11 THEN CAST((sum((od - exp) * (od - exp) / exp)) AS DOUBLE) ELSE floor(CAST((sum((od - exp) * (od - exp) / exp)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS chi2
       FROM j CROSS JOIN t GROUP BY t.n""",
     "sm_gini" -> """
       WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS x
@@ -6576,8 +6779,11 @@ object SparkEntry {
                    CAST(sum(x) AS BIGINT) AS tot FROM c),
       r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM c)
       SELECT t.n AS n_groups, t.tot AS total,
-             round(sum(CAST(2 * r.i - t.n - 1 AS DOUBLE) * CAST(r.x AS DOUBLE))
-               / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)), 6) AS gini
+             (CASE WHEN isnan(CAST((sum(CAST(2 * r.i - t.n - 1 AS DOUBLE) * CAST(r.x AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE))) AS DOUBLE)) OR abs(CAST((sum(CAST(2 * r.i - t.n - 1 AS DOUBLE) * CAST(r.x AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE))) AS DOUBLE)) >= 8e11 THEN CAST((sum(CAST(2 * r.i - t.n - 1 AS DOUBLE) * CAST(r.x AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE))) AS DOUBLE) ELSE floor(CAST((sum(CAST(2 * r.i - t.n - 1 AS DOUBLE) * CAST(r.x AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS gini
       FROM r CROSS JOIN t GROUP BY t.n, t.tot""",
     "tx_mi" -> """
       WITH d AS (SELECT source AS a, lang AS b FROM documents
@@ -6595,9 +6801,9 @@ object SparkEntry {
                  / (CAST(ra.ca AS DOUBLE) * CAST(rb.cb AS DOUBLE)))) AS m
              FROM o JOIN ra ON ra.a = o.a JOIN rb ON rb.b = o.b CROSS JOIN t)
       SELECT CAST(t.n AS BIGINT) AS n,
-             round(ha.h, 6) AS h_a, round(hb.h, 6) AS h_b,
-             round(mi.m, 6) AS mi,
-             round(mi.m / sqrt(ha.h * hb.h), 6) AS nmi
+             (CASE WHEN isnan(CAST((ha.h) AS DOUBLE)) OR abs(CAST((ha.h) AS DOUBLE)) >= 8e11 THEN CAST((ha.h) AS DOUBLE) ELSE floor(CAST((ha.h) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS h_a, (CASE WHEN isnan(CAST((hb.h) AS DOUBLE)) OR abs(CAST((hb.h) AS DOUBLE)) >= 8e11 THEN CAST((hb.h) AS DOUBLE) ELSE floor(CAST((hb.h) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS h_b,
+             (CASE WHEN isnan(CAST((mi.m) AS DOUBLE)) OR abs(CAST((mi.m) AS DOUBLE)) >= 8e11 THEN CAST((mi.m) AS DOUBLE) ELSE floor(CAST((mi.m) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS mi,
+             (CASE WHEN isnan(CAST((mi.m / sqrt(ha.h * hb.h)) AS DOUBLE)) OR abs(CAST((mi.m / sqrt(ha.h * hb.h)) AS DOUBLE)) >= 8e11 THEN CAST((mi.m / sqrt(ha.h * hb.h)) AS DOUBLE) ELSE floor(CAST((mi.m / sqrt(ha.h * hb.h)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS nmi
       FROM t CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi""",
     "st_js" -> """
       WITH a AS (SELECT event_type AS v FROM events
@@ -6611,7 +6817,7 @@ object SparkEntry {
       t AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
                    CAST(sum(c2) AS DOUBLE) AS n2 FROM j)
       SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-             round(sum(
+             (CASE WHEN isnan(CAST((sum(
                CASE WHEN j.c1 > 0 THEN
                  (CAST(j.c1 AS DOUBLE) / t.n1 / 2e0)
                    * ln((CAST(j.c1 AS DOUBLE) / t.n1)
@@ -6623,7 +6829,43 @@ object SparkEntry {
                    * ln((CAST(j.c2 AS DOUBLE) / t.n2)
                      / ((CAST(j.c1 AS DOUBLE) / t.n1
                         + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
-               ELSE 0e0 END), 6) AS js
+               ELSE 0e0 END)) AS DOUBLE)) OR abs(CAST((sum(
+               CASE WHEN j.c1 > 0 THEN
+                 (CAST(j.c1 AS DOUBLE) / t.n1 / 2e0)
+                   * ln((CAST(j.c1 AS DOUBLE) / t.n1)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END
+             + CASE WHEN j.c2 > 0 THEN
+                 (CAST(j.c2 AS DOUBLE) / t.n2 / 2e0)
+                   * ln((CAST(j.c2 AS DOUBLE) / t.n2)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END)) AS DOUBLE)) >= 8e11 THEN CAST((sum(
+               CASE WHEN j.c1 > 0 THEN
+                 (CAST(j.c1 AS DOUBLE) / t.n1 / 2e0)
+                   * ln((CAST(j.c1 AS DOUBLE) / t.n1)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END
+             + CASE WHEN j.c2 > 0 THEN
+                 (CAST(j.c2 AS DOUBLE) / t.n2 / 2e0)
+                   * ln((CAST(j.c2 AS DOUBLE) / t.n2)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END)) AS DOUBLE) ELSE floor(CAST((sum(
+               CASE WHEN j.c1 > 0 THEN
+                 (CAST(j.c1 AS DOUBLE) / t.n1 / 2e0)
+                   * ln((CAST(j.c1 AS DOUBLE) / t.n1)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END
+             + CASE WHEN j.c2 > 0 THEN
+                 (CAST(j.c2 AS DOUBLE) / t.n2 / 2e0)
+                   * ln((CAST(j.c2 AS DOUBLE) / t.n2)
+                     / ((CAST(j.c1 AS DOUBLE) / t.n1
+                        + CAST(j.c2 AS DOUBLE) / t.n2) / 2e0))
+               ELSE 0e0 END)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS js
       FROM j CROSS JOIN t GROUP BY t.n1, t.n2""",
     "tx_clean" -> """
       WITH t AS (
@@ -6709,9 +6951,15 @@ object SparkEntry {
                  + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1)))) AS fs
         FROM g)
       SELECT doc_id,
-             round(1.0 / (1.0 + exp(-(b.bias
+             (CASE WHEN isnan(CAST((1.0 / (1.0 + exp(-(b.bias
                + coalesce(list_sum(list_transform(fs, x -> wl.ws[x + 1])),
-                          0.0)))), 4) AS prob
+                          0.0))))) AS DOUBLE)) OR abs(CAST((1.0 / (1.0 + exp(-(b.bias
+               + coalesce(list_sum(list_transform(fs, x -> wl.ws[x + 1])),
+                          0.0))))) AS DOUBLE)) >= 8e13 THEN CAST((1.0 / (1.0 + exp(-(b.bias
+               + coalesce(list_sum(list_transform(fs, x -> wl.ws[x + 1])),
+                          0.0))))) AS DOUBLE) ELSE floor(CAST((1.0 / (1.0 + exp(-(b.bias
+               + coalesce(list_sum(list_transform(fs, x -> wl.ws[x + 1])),
+                          0.0))))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS prob
       FROM f, wl, b ORDER BY doc_id""",
     "dd_paragraph" -> """
       WITH raw AS (
@@ -6782,7 +7030,7 @@ object SparkEntry {
                  '^www\.', '') AS domain
         FROM documents),
       r AS (
-        SELECT domain, round(avg(n_chars), 4) AS domain_avg
+        SELECT domain, (CASE WHEN isnan(CAST((avg(n_chars)) AS DOUBLE)) OR abs(CAST((avg(n_chars)) AS DOUBLE)) >= 8e13 THEN CAST((avg(n_chars)) AS DOUBLE) ELSE floor(CAST((avg(n_chars)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS domain_avg
         FROM d GROUP BY domain),
       g AS (SELECT domain, domain_avg FROM r WHERE domain_avg >= 297.0)
       SELECT d.doc_id, d.domain, g.domain_avg
@@ -6875,7 +7123,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY tfidf DESC, token) AS rank
         FROM w)
-      SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf, rank
+      SELECT doc_id, token, tf, df, (CASE WHEN isnan(CAST((tfidf) AS DOUBLE)) OR abs(CAST((tfidf) AS DOUBLE)) >= 8e13 THEN CAST((tfidf) AS DOUBLE) ELSE floor(CAST((tfidf) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS tfidf, rank
       FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     // lambda enters as 0.7e0 and its complement as (1e0 - 0.7e0): the
     // bare 0.3e0 literal is a DIFFERENT double than Spark's 1.0 - 0.7.
@@ -6914,7 +7162,7 @@ object SparkEntry {
         LEFT JOIN pair pv ON pv.doc_id = tok.doc_id AND pv.ord = tok.ord - 1
         LEFT JOIN ratio ON ratio.prev = pv.prev AND ratio.tk = tok.t
         GROUP BY tok.doc_id)
-      SELECT doc_id, round(exp(-mean_lp), 4) AS perplexity
+      SELECT doc_id, (CASE WHEN isnan(CAST((exp(-mean_lp)) AS DOUBLE)) OR abs(CAST((exp(-mean_lp)) AS DOUBLE)) >= 8e13 THEN CAST((exp(-mean_lp)) AS DOUBLE) ELSE floor(CAST((exp(-mean_lp)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS perplexity
       FROM sc ORDER BY doc_id""",
     "tx_inverted" -> """
       WITH tok AS (
@@ -7087,7 +7335,7 @@ object SparkEntry {
       SELECT d.doc_id,
              CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
              CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
-             coalesce(round(p.dup_spans / CAST(p.n_spans AS DOUBLE), 4), 0e0) AS dup_frac
+             coalesce((CASE WHEN isnan(CAST((p.dup_spans / CAST(p.n_spans AS DOUBLE)) AS DOUBLE)) OR abs(CAST((p.dup_spans / CAST(p.n_spans AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((p.dup_spans / CAST(p.n_spans AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((p.dup_spans / CAST(p.n_spans AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END), 0e0) AS dup_frac
       FROM documents d LEFT JOIN per p USING (doc_id)
       ORDER BY d.doc_id""",
     "dd_shingle_jaccard" -> """
@@ -7099,13 +7347,16 @@ object SparkEntry {
                  AS sh
         FROM documents WHERE doc_id < 30)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+             (CASE WHEN isnan(CAST((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS DOUBLE)) OR abs(CAST((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS DOUBLE)) >= 8e13 THEN CAST((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS DOUBLE) ELSE floor(CAST((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS jaccard
       FROM d a JOIN d b ON a.doc_id < b.doc_id
       ORDER BY a_id, b_id""",
     "q13_part_supplier" -> """
       SELECT p_brand,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             (CASE WHEN isnan(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE)) OR abs(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE) ELSE floor(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS revenue,
              count(DISTINCT s_suppkey) AS n_suppliers,
              count(*) AS n_lines
       FROM lineitem
@@ -7113,7 +7364,7 @@ object SparkEntry {
       JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY p_brand ORDER BY p_brand""",
     "q14_subquery_having" -> """
-      SELECT o_orderpriority, count(*) AS n, round(max(o_totalprice), 2) AS max_price
+      SELECT o_orderpriority, count(*) AS n, (CASE WHEN isnan(CAST((max(o_totalprice)) AS DOUBLE)) OR abs(CAST((max(o_totalprice)) AS DOUBLE)) >= 8e15 THEN CAST((max(o_totalprice)) AS DOUBLE) ELSE floor(CAST((max(o_totalprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS max_price
       FROM orders
       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       GROUP BY o_orderpriority HAVING count(*) > 10
@@ -7139,7 +7390,7 @@ object SparkEntry {
       SELECT user_id,
              strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
              count(*) AS n_events,
-             round(sum(value), 2) AS total_value
+             (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS total_value
       FROM g GROUP BY user_id, sno
       ORDER BY user_id, session_start""",
     "st_sessions" -> """
@@ -7157,13 +7408,13 @@ object SparkEntry {
       SELECT user_id,
              strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
              count(*) AS n_events,
-             round(sum(value), 2) AS total_value
+             (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS total_value
       FROM g GROUP BY user_id, sno
       ORDER BY user_id, session_start""",
     "q16_cube" -> """
       SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
              coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-             count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+             count(*) AS n, (CASE WHEN isnan(CAST((sum(o_totalprice)) AS DOUBLE)) OR abs(CAST((sum(o_totalprice)) AS DOUBLE)) >= 8e15 THEN CAST((sum(o_totalprice)) AS DOUBLE) ELSE floor(CAST((sum(o_totalprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS revenue
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus, o_orderpriority""",
     "q29_grouping_sets" -> """
@@ -7183,9 +7434,9 @@ object SparkEntry {
       FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
     "q18_math_funcs" -> """
       SELECT l_orderkey, l_linenumber,
-             round(sqrt(l_extendedprice), 6) AS sqrt_price,
-             round(pow(l_discount, 2), 8) AS disc_sq,
-             round(ln(l_extendedprice + 1), 6) AS ln_price,
+             (CASE WHEN isnan(CAST((sqrt(l_extendedprice)) AS DOUBLE)) OR abs(CAST((sqrt(l_extendedprice)) AS DOUBLE)) >= 8e11 THEN CAST((sqrt(l_extendedprice)) AS DOUBLE) ELSE floor(CAST((sqrt(l_extendedprice)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS sqrt_price,
+             (CASE WHEN isnan(CAST((pow(l_discount, 2)) AS DOUBLE)) OR abs(CAST((pow(l_discount, 2)) AS DOUBLE)) >= 8e9 THEN CAST((pow(l_discount, 2)) AS DOUBLE) ELSE floor(CAST((pow(l_discount, 2)) AS DOUBLE) * 1e8 + 0.5) / 1e8 END) AS disc_sq,
+             (CASE WHEN isnan(CAST((ln(l_extendedprice + 1)) AS DOUBLE)) OR abs(CAST((ln(l_extendedprice + 1)) AS DOUBLE)) >= 8e11 THEN CAST((ln(l_extendedprice + 1)) AS DOUBLE) ELSE floor(CAST((ln(l_extendedprice + 1)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS ln_price,
              CAST(abs(l_quantity - 25) AS DOUBLE) AS qty_dev,
              CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
              CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
@@ -7202,19 +7453,19 @@ object SparkEntry {
       SELECT EXTRACT(year FROM o_orderdate) AS y, EXTRACT(month FROM o_orderdate) AS m,
              count(*) AS n,
              count(DISTINCT EXTRACT(day FROM o_orderdate)) AS active_days,
-             round(sum(o_totalprice), 2) AS revenue
+             (CASE WHEN isnan(CAST((sum(o_totalprice)) AS DOUBLE)) OR abs(CAST((sum(o_totalprice)) AS DOUBLE)) >= 8e15 THEN CAST((sum(o_totalprice)) AS DOUBLE) ELSE floor(CAST((sum(o_totalprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS revenue
       FROM orders GROUP BY 1, 2 ORDER BY y, m""",
     "st_asof_join" -> """
       WITH purchases AS (
         SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
       SELECT e.event_id, e.user_id, e.event_type,
-             round(p.value, 2) AS last_purchase_value
+             (CASE WHEN isnan(CAST((p.value) AS DOUBLE)) OR abs(CAST((p.value) AS DOUBLE)) >= 8e15 THEN CAST((p.value) AS DOUBLE) ELSE floor(CAST((p.value) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS last_purchase_value
       FROM events e
       ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
       ORDER BY e.event_id""",
     "q24_outer_join" -> """
       SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
-             round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+             (CASE WHEN isnan(CAST((coalesce(sum(o_totalprice), 0.0)) AS DOUBLE)) OR abs(CAST((coalesce(sum(o_totalprice), 0.0)) AS DOUBLE)) >= 8e15 THEN CAST((coalesce(sum(o_totalprice), 0.0)) AS DOUBLE) ELSE floor(CAST((coalesce(sum(o_totalprice), 0.0)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS revenue
       FROM customer LEFT OUTER JOIN (
         SELECT * FROM orders WHERE o_totalprice > 250000) o
         ON c_custkey = o_custkey
@@ -7227,9 +7478,15 @@ object SparkEntry {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q27_range_window" -> """
       SELECT event_id, user_id,
-             round(sum(value) OVER (
+             (CASE WHEN isnan(CAST((sum(value) OVER (
                PARTITION BY user_id ORDER BY epoch_ms(ts)
-               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)) AS DOUBLE)) OR abs(CAST((sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)) AS DOUBLE)) >= 8e13 THEN CAST((sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)) AS DOUBLE) ELSE floor(CAST((sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS rolling_1h
       FROM events WHERE user_id < 50
       ORDER BY event_id""",
     "dd_neardup_clusters" -> """
@@ -7264,10 +7521,10 @@ object SparkEntry {
            b AS (SELECT bench_id, len(shs) AS bsize, unnest(shs) AS sh FROM bsh)
       SELECT c.corpus_id, b.bench_id,
              CAST(count(*) AS BIGINT) AS n_overlap,
-             round(CAST(count(*) AS DOUBLE) / any_value(b.bsize), 4) AS frac
+             (CASE WHEN isnan(CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE)) OR abs(CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE) ELSE floor(CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS frac
       FROM c JOIN b USING (sh)
       GROUP BY c.corpus_id, b.bench_id
-      HAVING round(CAST(count(*) AS DOUBLE) / any_value(b.bsize), 4) >= 0.05
+      HAVING (CASE WHEN isnan(CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE)) OR abs(CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE) ELSE floor(CAST((CAST(count(*) AS DOUBLE) / any_value(b.bsize)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) >= 0.05
       ORDER BY corpus_id, bench_id""",
     "q30_approx_distinct" -> """
       SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
@@ -7278,7 +7535,7 @@ object SparkEntry {
              lag(o_totalprice, 1) OVER w AS prev_price,
              lead(o_totalprice, 1) OVER w AS next_price,
              ntile(4) OVER w AS quartile,
-             round(cume_dist() OVER w, 4) AS cd
+             (CASE WHEN isnan(CAST((cume_dist() OVER w) AS DOUBLE)) OR abs(CAST((cume_dist() OVER w) AS DOUBLE)) >= 8e13 THEN CAST((cume_dist() OVER w) AS DOUBLE) ELSE floor(CAST((cume_dist() OVER w) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS cd
       FROM orders WHERE o_custkey < 200
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       ORDER BY o_custkey, o_orderkey""",
@@ -7310,11 +7567,11 @@ object SparkEntry {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q23_percentiles" -> """
       SELECT l_returnflag,
-             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+             (CASE WHEN isnan(CAST((quantile_cont(l_extendedprice, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(l_extendedprice, 0.5)) AS DOUBLE)) >= 8e13 THEN CAST((quantile_cont(l_extendedprice, 0.5)) AS DOUBLE) ELSE floor(CAST((quantile_cont(l_extendedprice, 0.5)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS p50,
+             (CASE WHEN isnan(CAST((quantile_cont(l_extendedprice, 0.9)) AS DOUBLE)) OR abs(CAST((quantile_cont(l_extendedprice, 0.9)) AS DOUBLE)) >= 8e13 THEN CAST((quantile_cont(l_extendedprice, 0.9)) AS DOUBLE) ELSE floor(CAST((quantile_cont(l_extendedprice, 0.9)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q21_salted_agg" -> """
-      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+      SELECT l_returnflag, count(*) AS n, (CASE WHEN isnan(CAST((sum(l_quantity)) AS DOUBLE)) OR abs(CAST((sum(l_quantity)) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_quantity)) AS DOUBLE) ELSE floor(CAST((sum(l_quantity)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS total_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q22_salted_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct

@@ -126,6 +126,42 @@ object functions {
     "audio_hash64" -> (args => AudioHash64(args(0))),
   )
 
+  /** Engine-stable decimal rounding for reproducible pipelines:
+    * `floor(x·10^d + 0.5) / 10^d`. Every step — cast, multiply, add,
+    * floor, divide — is a single correctly-rounded IEEE-754 operation,
+    * so the result is bit-identical on any engine, JVM, or SIMD width
+    * given the same input bits. `round(double, d)`, by contrast, is an
+    * implementation choice (Spark rounds HALF_UP on the decimal
+    * expansion of the binary double; other engines use libm-style
+    * rounding) that diverges at `…5` decimal boundaries — a one-ULP
+    * input difference, or no difference at all, can flip the last
+    * digit between engines. Guards: NaN/±Inf and |x| ≥ 8·10^(17-d)
+    * pass through unchanged (the scaled value must stay well inside
+    * the exactly-convertible long range); for d = 0..15 the power of
+    * ten and the limit are exactly representable doubles, so the
+    * guard comparison itself is engine-stable too.
+    */
+  def hround(x: Column, d: Int): Column = {
+    require(d >= 0 && d <= 15, s"digits must be in [0, 15], got $d")
+    val p = math.pow(10, d)
+    val lim = 8.0e17 / p
+    val f = org.apache.spark.sql.functions
+    val cd = x.cast("double")
+    f.when(f.isnan(cd).or(f.abs(cd) >= f.lit(lim)), cd)
+      .otherwise(f.floor(cd * f.lit(p) + f.lit(0.5)) / f.lit(p))
+  }
+
+  /** The SQL spelling of [[hround]] — the literally-identical IEEE op
+    * sequence for oracle/replay queries on any ANSI engine.
+    */
+  def hroundSql(e: String, d: Int): String = {
+    require(d >= 0 && d <= 15, s"digits must be in [0, 15], got $d")
+    s"(CASE WHEN isnan(CAST(($e) AS DOUBLE))" +
+      s" OR abs(CAST(($e) AS DOUBLE)) >= 8e${17 - d}" +
+      s" THEN CAST(($e) AS DOUBLE)" +
+      s" ELSE floor(CAST(($e) AS DOUBLE) * 1e$d + 0.5) / 1e$d END)"
+  }
+
   /** Register all graft functions in a session's function registry so they
     * are usable from `spark.sql(...)` / `expr(...)`.
     */

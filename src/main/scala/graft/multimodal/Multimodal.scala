@@ -638,8 +638,8 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val frames = sampleFrames(media, nFrames, dim)
       .select(col("media_id"), col("frame_no"),
-        round(element_at(col("feature"), 3) * 255).cast("long")
-          .as("mean_255"))
+        graft.functions.hround(element_at(col("feature"), 3) * 255, 0)
+          .cast("long").as("mean_255"))
     val w = Window.partitionBy("media_id").orderBy("frame_no")
     frames
       .withColumn("prev_mean_255", lag("mean_255", 1).over(w))

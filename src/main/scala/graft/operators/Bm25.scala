@@ -177,7 +177,7 @@ object Bm25 {
 
   private def rank(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored
-      .withColumn("bm25", round(col("bm25"), 4))
+      .withColumn("bm25", graft.functions.hround(col("bm25"), 4))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
       .filter(col("bm25") > 0.0)

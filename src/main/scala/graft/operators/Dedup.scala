@@ -749,7 +749,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"),
         first(col("bench_id_size")).as("_bsize"))
       .withColumn("frac",
-        round(col("n_overlap").cast("double") / col("_bsize"), 4))
+        graft.functions.hround(col("n_overlap").cast("double") / col("_bsize"), 4))
       .filter(col("frac") >= minOverlapFraction)
       .select(col("corpus_id"), col("bench_id"), col("n_overlap"), col("frac"))
   }
@@ -848,8 +848,8 @@ object Dedup {
         col("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         when(col("n_spans") === 0, lit(0.0))
-          .otherwise(round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
-            col("n_spans"), 4)).as("dup_frac"))
+          .otherwise(graft.functions.hround(coalesce(col("dup_spans"), lit(0L))
+            .cast("double") / col("n_spans"), 4)).as("dup_frac"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit signatures compared within

@@ -171,8 +171,8 @@ object TextAnalysis {
     docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(tokens(t))).cast("long").as("total_tokens"),
-      round(avg(qualityScore(t)), 4).as("mean_quality"),
-      round(avg(repetitionRatio(t)), 4).as("mean_repetition"),
+      graft.functions.hround(avg(qualityScore(t)), 4).as("mean_quality"),
+      graft.functions.hround(avg(repetitionRatio(t)), 4).as("mean_repetition"),
       nLang("en"), nLang("de"), nLang("es"), nLang("fr"), nLang("und"))
   }
 
@@ -188,8 +188,8 @@ object TextAnalysis {
     docs.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_docs"),
       sum(size(tokens(t))).cast("long").as("total_tokens"),
-      round(avg(qualityScore(t)), 4).as("mean_quality"),
-      round(avg(repetitionRatio(t)), 4).as("mean_repetition"))
+      graft.functions.hround(avg(qualityScore(t)), 4).as("mean_quality"),
+      graft.functions.hround(avg(repetitionRatio(t)), 4).as("mean_repetition"))
   }
 
   /** Pairwise vocabulary Jaccard between groups (sources, languages,

@@ -78,8 +78,9 @@ object Urls {
       scoreCol: String, minAvg: Double): DataFrame = {
     val good = broadcast(
       domainRollup(docs, urlCol, scoreCol)
-        .filter(round(col("avg_score"), 4) >= minAvg)
-        .select(col("domain"), round(col("avg_score"), 4).as("domain_avg")))
+        .filter(graft.functions.hround(col("avg_score"), 4) >= minAvg)
+        .select(col("domain"),
+          graft.functions.hround(col("avg_score"), 4).as("domain_avg")))
     docs.withColumn("domain", domain(col(urlCol)))
       .join(good, Seq("domain"))
   }
