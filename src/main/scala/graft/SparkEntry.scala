@@ -380,6 +380,72 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Filtered approximate search at store level (filter+ANN — the
+    // contract every modern vector store ships): the vs_ann_search
+    // lifecycle with docs carrying {"g": "<label % 3>"}, ids deleted
+    // AFTER the index build, and the JSON-path predicate composed with
+    // the pruned probe and the tombstone mask BEFORE the top-k window.
+    // nProbe = nCentroids ⇒ exact over filtered live rows, so DuckDB
+    // replays it as brute-force top-k over (embeddings − deleted) where
+    // label % 3 = 1 — no knowledge of index, layout, or JSON plumbing.
+    "vs_filtered_ann" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_fann_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
+            lit("\"}")).as("doc")))
+      store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
+      store.delete(Seq(0L, 3L, 6L, 9L, 12L))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxWhereDF(qs, k = 5, nProbe = 8, Seq("g"), Seq("1"))
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Store-level hybrid retrieval: BM25 lexical shortlist over the
+    // stored doc strings + exact dense shortlist, fused by reciprocal
+    // rank (k0 = 60). The fixture docs are built so the whole journey
+    // is INTEGER-determined: every doc has exactly 6 whitespace tokens
+    // (constant dl ⇒ constant length normalization), each query is a
+    // single term, and tf ∈ {0, 1, 2} — BM25 is then strictly monotone
+    // in tf whatever the engine's ln() returns, so the lexical rank is
+    // (tf desc, id) and DuckDB replays it WITHOUT any floating-point
+    // BM25 arithmetic. RRF sums two reciprocals of small ints (single
+    // correctly-rounded IEEE ops, commutative) — the fused order is
+    // engine-exact, and the hashed projection is integer ranks only.
+    "vs_hybrid" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_hyb_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val mid = when(col("label") % 2 === 0,
+        concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
+            lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
+            lit(" pad\"}")).as("doc")))
+      val qvecs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).toArray).toSeq
+      store.searchHybrid(qvecs, Seq("w1", "w3", "v2"), k = 5,
+          shortlist = 20)
+        .select(col("qid").cast("long").as("qid"), col("id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Time travel on the tombstone layout: populate, pin the version,
     // then delete AND upsert — the snapshot view must replay the
     // pinned state byte-for-byte (rows later deleted still present
@@ -3702,6 +3768,70 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "vs_filtered_ann" -> """
+      WITH live AS (
+        SELECT e.vec_id AS id, e.embedding AS vec
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (0, 3, 6, 9, 12)
+          AND e.label % 3 = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Hybrid replay: by fixture construction (constant dl = 6,
+    // single-term queries, tf in {0,1,2}) the BM25 lexical order is
+    // exactly (tf DESC, id) whatever ln() returns, so the oracle never
+    // computes a BM25 score; RRF reciprocals of integer ranks are
+    // engine-exact IEEE ops.
+    "vs_hybrid" -> """
+      WITH q AS (
+        SELECT 0 AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 2
+        UNION ALL
+        SELECT 1, embedding FROM embeddings WHERE vec_id = 5
+        UNION ALL
+        SELECT 2, embedding FROM embeddings WHERE vec_id = 7),
+      den0 AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding, q.qvec), e.vec_id)
+                 AS drank
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id < 500),
+      den AS (SELECT qid, id, drank FROM den0 WHERE drank <= 20),
+      lext AS (
+        SELECT t.qid, e.vec_id AS id,
+               CASE WHEN t.qid = 0 AND e.label % 7 = 1
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 1 AND e.label % 7 = 3
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 2 AND e.vec_id % 5 = 2 THEN 1
+                    ELSE 0 END AS tf
+        FROM embeddings e CROSS JOIN (VALUES (0), (1), (2)) AS t(qid)
+        WHERE e.vec_id < 500),
+      lexr AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY tf DESC, id)
+                 AS lrank
+        FROM lext WHERE tf > 0),
+      lex AS (SELECT qid, id, lrank FROM lexr WHERE lrank <= 20),
+      contrib AS (
+        SELECT qid, id, 1.0 / (60.0 + CAST(drank AS DOUBLE)) AS c FROM den
+        UNION ALL
+        SELECT qid, id, 1.0 / (60.0 + CAST(lrank AS DOUBLE)) AS c FROM lex),
+      fused AS (SELECT qid, id, sum(c) AS rrf FROM contrib GROUP BY qid, id),
+      rk AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+                 AS rank
+        FROM fused)
+      SELECT CAST(qid AS BIGINT) AS qid, id, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5 ORDER BY qid, rank""",
     // Independent Indel-distance replay (vector_store.py:377-387
     // semantics): LCS by the classic O(n·m) DP, run as a recursive CTE
     // over doc-character index i, each step folding the next DP row with

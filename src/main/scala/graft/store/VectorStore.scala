@@ -552,6 +552,65 @@ class VectorStore private (
       rowFilter = annTombstoneMask)
   }
 
+  /** Filtered approximate search — [[searchWhere]]'s JSON-path
+    * predicate composed with the pruned IVF probe: the metadata filter
+    * becomes a semi-join of the probed (partition-pruned) index rows
+    * against the live ids passing the predicate — a column-pruned,
+    * predicate-pushed scan of the data files that never materializes
+    * vectors — and, like the tombstone mask, it applies BEFORE the
+    * top-k window, so k fills from filtered live survivors exactly as
+    * [[searchWhere]] fills it (k caps at the match count; a selective
+    * filter never errors). This is the filter+ANN contract every
+    * large-scale vector store needs: at 10^8 rows [[searchWhere]]'s
+    * brute-force scan stops being interactive, and post-filtering an
+    * unfiltered top-k under-fills k whenever matches are rare.
+    * Composes the reference's two search features
+    * (vector_store.py:275-332 search, :334-356 query_by_doc) on the
+    * indexed path. Recall caveat: candidates still come from the
+    * `nProbe` probed cells, so a filter whose survivors live outside
+    * the probe set returns fewer than k — raise `nProbe` (cells count
+    * degenerates to exact) when the filter is very selective.
+    */
+  def searchApproxWhere(queries: Seq[Array[Float]], k: Int, nProbe: Int,
+      pathSteps: Seq[String], values: Seq[Any]): Seq[Seq[SearchRecord]] = {
+    if (k <= 0)
+      throw new IllegalArgumentException(s"k must be a positive integer, got $k")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"query $i has dimension ${q.length}, store dimension is $dim")
+    }
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    val hits = searchApproxWhereDF(qdf, k, nProbe, pathSteps, values)
+      .join(table.select($"id", $"vec", $"doc"), Seq("id"))
+      .select($"qid".cast("int"), $"rn".cast("int"), $"id", $"vec", $"doc",
+        $"distance")
+      .collect()
+    assemble(hits, queries.size)(r =>
+      SearchRecord(r.getLong(2), r.getSeq[Float](3).toArray, r.getString(4), r.getFloat(5)))
+  }
+
+  /** DataFrame-in/DataFrame-out [[searchApproxWhere]] (`qid`, `qvec` →
+    * `qid`, `id`, `distance`, `rn`) — the pipeline-facing variant.
+    */
+  def searchApproxWhereDF(queries: DataFrame, k: Int, nProbe: Int,
+      pathSteps: Seq[String], values: Seq[Any]): DataFrame = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    if (!hasAnnIndex)
+      throw new IllegalStateException(
+        s"no ANN index at $annPath — call buildAnnIndex() first")
+    val jsonPath = "$." + pathSteps.mkString(".")
+    val matchIds = table
+      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
+      .select($"id")
+    val maskAndFilter: DataFrame => DataFrame = df =>
+      annTombstoneMask(df).join(matchIds, Seq("id"), "left_semi")
+    graft.operators.Ann.ivfSearchL2Pruned(spark, annPath, "id", "vec",
+      queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
+      rowFilter = maskAndFilter)
+  }
+
   /** Distributed batch k-NN: queries as a DataFrame (`qid`, `qvec`),
     * result as a DataFrame `(qid, id, distance, rn)` — the pipeline-
     * facing variant of [[search]] that never collects to the driver.
@@ -568,6 +627,60 @@ class VectorStore private (
       .withColumn("distance", l2_distance($"vec", $"qvec"))
       .select($"qid", $"id", $"distance")
     graft.operators.TopKAggregator.topKRows(scored, "qid", "id", "distance", k)
+  }
+
+  /** Store-level hybrid retrieval: a dense shortlist (approximate via
+    * the IVF index when one exists, exact otherwise) and a BM25
+    * lexical shortlist over the stored doc strings, fused by
+    * reciprocal-rank fusion — `rrf = Σ 1/(k0 + rank)` over the two
+    * runs, ties by id. The reference ships both modalities separately
+    * (vector_store.py:275-332 vector search, :358-401 doc search);
+    * this owns the "lexical + dense → fused top-k" journey at store
+    * level, reusing [[graft.operators.Bm25]], the ANN path, and
+    * [[graft.operators.Evaluation.reciprocalRankFusion]].
+    *
+    * Query texts are tokenized like the BM25 corpus side (lowercased
+    * whitespace split). The per-query BM25 pass is a driver loop over
+    * the query batch — |queries| is driver-bounded by the same
+    * contract as [[search]]'s query Seq; each pass is one corpus scan
+    * of the (id, doc) projection, and the fused frame never collects.
+    *
+    * Returns (qid, id, rrf, rank), rank 1..k per qid. RRF's two-term
+    * reciprocal sums are single correctly-rounded IEEE ops, so the
+    * fused ordering is engine-reproducible (no ln anywhere).
+    */
+  def searchHybrid(queries: Seq[Array[Float]], textQueries: Seq[String],
+      k: Int, shortlist: Int = 100, nProbe: Int = 8, k0: Int = 60): DataFrame = {
+    require(queries.size == textQueries.size,
+      s"got ${queries.size} vector queries but ${textQueries.size} text queries")
+    require(queries.nonEmpty, "need at least one query")
+    if (k <= 0)
+      throw new IllegalArgumentException(s"k must be a positive integer, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"query $i has dimension ${q.length}, store dimension is $dim")
+    }
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    val cap = math.min(shortlist.toLong, count()).toInt
+    val dense =
+      (if (hasAnnIndex) searchApproxDF(qdf, cap, nProbe)
+       else searchDF(qdf, cap))
+        .select(col("qid").cast("int").as("qid"), col("id"),
+          col("rn").cast("int").as("rank"))
+    val docsProj = table.select($"id", $"doc")
+    val lexical = textQueries.zipWithIndex.map { case (text, i) =>
+      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      require(terms.nonEmpty, s"text query $i has no tokens")
+      val w = Window.orderBy(col("bm25").desc, col("id"))
+      graft.operators.Bm25.topK(docsProj, "id", "doc", terms, cap)
+        .withColumn("rank", row_number().over(w))
+        .select(lit(i).as("qid"), col("id"), col("rank").cast("int").as("rank"))
+    }.reduce(_ unionAll _)
+    graft.operators.Evaluation.reciprocalRankFusion(
+        Seq(dense, lexical), "qid", "id", "rank", topK = k, k0 = k0)
+      .select(col("qid"), col("id"), col("rrf"), col("rank"))
   }
 
   /** JSON-path filter (reference: vector_store.py:334-356): rows whose

@@ -613,4 +613,74 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[Exception](s.insertDF(bad))
     assert(s.count() == 2)
   }
+
+  test("searchApproxWhere: filter ∘ probe ∘ mask ≡ searchWhere on live rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fann")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    // 30 vectors in 3 separated groups; doc tag alternates a/b
+    val vecs = (0 until 30).map { i =>
+      Array.tabulate(10)(j => (i / 10) * 10f + (if (j == i % 10) 1f else 0f) +
+        (i % 10) * 0.01f)
+    }
+    s.insert(vecs, (0 until 30).map(i =>
+      s"""{"t": "${if (i % 2 == 0) "a" else "b"}"}"""))
+    s.buildAnnIndex(nCentroids = 3, iters = 3)
+    def exactW(q: Array[Float], k: Int): Seq[Long] =
+      s.searchWhere(Seq(q), k, Seq("t"), Seq("b")).head.map(_.id)
+    def approxW(q: Array[Float], k: Int, nProbe: Int): Seq[Long] =
+      s.searchApproxWhere(Seq(q), k, nProbe, Seq("t"), Seq("b")).head.map(_.id)
+    // full probe ≡ brute-force searchWhere, rank for rank — and the
+    // unfiltered nearest (even ids, tag a) never leaks through
+    assert(approxW(vecs(16), 5, 3) == exactW(vecs(16), 5))
+    assert(approxW(vecs(16), 5, 3).forall(_ % 2 == 1))
+    // delete a FILTER-MATCHING row, query its own vector: the
+    // tombstone mask must compose with the predicate
+    assert(s.delete(Seq(17L)) == 1L)
+    assert(!approxW(vecs(17), 5, 3).contains(17L))
+    assert(approxW(vecs(17), 5, 3) == exactW(vecs(17), 5))
+    // k larger than the filtered match count caps, searchWhere-style
+    // (14 live odd ids after the delete) — no error
+    assert(approxW(vecs(16), 20, 3).size == 14)
+    // contract errors follow searchWhere
+    intercept[IllegalArgumentException](
+      s.searchApproxWhere(Seq(vecs(0)), k = 0, 3, Seq("t"), Seq("b")))
+    intercept[IllegalArgumentException](
+      s.searchApproxWhere(Seq(Array(1f, 2f)), 1, 3, Seq("t"), Seq("b")))
+    intercept[IllegalArgumentException](
+      s.searchApproxWhereDF(spark.emptyDataFrame, 1, 3, Seq.empty, Seq("b")))
+  }
+
+  test("searchHybrid: BM25 + dense shortlists fuse by reciprocal rank") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hyb")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    // id 0: lexical hit only (vector far); id 1: dense hit only;
+    // id 2: BOTH close-ish vector and matching text -> must fuse first
+    val far = Array.fill(10)(9f)
+    val e0 = Array.tabulate(10)(j => if (j == 0) 1f else 0f)
+    val near = Array.tabulate(10)(j => if (j == 0) 0.9f else 0f)
+    s.insert(Seq(far, e0, near), Seq(
+      """{"t": "pad alpha beta pad"}""",
+      """{"t": "pad gamma delta pad"}""",
+      """{"t": "pad alpha alpha pad"}"""))
+    val fused = s.searchHybrid(Seq(e0), Seq("alpha"), k = 3, shortlist = 3)
+      .orderBy("rank").collect()
+    // dense ranks: id1 (dist 0) -> 1, id2 (0.1) -> 2, id0 (far) -> 3
+    // lexical (alpha): id2 tf=2 -> rank 1, id0 tf=1 -> rank 2, id1
+    // no hit. RRF: id2 = 1/62 + 1/61 = .03253 (both modalities, top),
+    // id0 = 1/63 + 1/62 = .03200, id1 = 1/61 = .01639
+    assert(fused.map(_.getLong(1)).toSeq == Seq(2L, 0L, 1L))
+    assert(fused.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    // with an ANN index the dense run rides the index; full probe
+    // keeps the fusion identical
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    val fused2 = s.searchHybrid(Seq(e0), Seq("alpha"), k = 3,
+      shortlist = 3, nProbe = 2).orderBy("rank").collect()
+    assert(fused2.map(_.getLong(1)).toSeq == Seq(2L, 0L, 1L))
+    intercept[IllegalArgumentException](
+      s.searchHybrid(Seq(e0), Seq("alpha", "beta"), k = 1))
+    intercept[IllegalArgumentException](
+      s.searchHybrid(Seq(e0), Seq("   "), k = 1))
+  }
 }
