@@ -2955,6 +2955,48 @@ object SparkEntry {
       }.reduce(_ unionAll _)
       run.write.mode("overwrite").parquet(s"$annSweepDir/run.parquet")
       val persisted = s.read.parquet(s"$annSweepDir/run.parquet")
+      // ---- cost axis (r7 verdict #4): candidate rows scored per
+      // (config, qid), so the sweep emits the recall-vs-COST frontier
+      // instead of recall alone. Exact integer counts from the same
+      // structures each arm scans — probed-cell sizes for the IVF
+      // family (PQ arms ADC-scan the same 4 cells), the query's
+      // hyperplane bucket size for LSH, the full sketch scan (plus the
+      // exact re-rank shortlist) for the Hamming arms — persisted next
+      // to the run and joined back, like the ranks themselves.
+      val nAll = emb.count()
+      val cellSizes = indexed.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("csz"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cdist"), col("centroid_id"))
+      val probeRank = qs.crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          graft.functions.l2_distance(col("qvec"), col("centroid")))
+        .select(col("qid"), col("centroid_id"), col("cdist"))
+        .withColumn("crank", row_number().over(wq))
+        .join(broadcast(cellSizes), Seq("centroid_id"))
+      val cost = (Seq(1, 2, 4, 8).map(pp => f"ivf_p$pp" -> pp) ++
+          Seq("ivfpq_p4" -> 4, "ivfpq_res_p4" -> 4)).map { case (cfg, pp) =>
+        probeRank.filter(col("crank") <= pp)
+          .groupBy("qid").agg(sum(col("csz")).as("scanned"))
+          .select(lit(cfg).as("config"), col("qid"), col("scanned"))
+      }.reduce(_ unionAll _)
+        .unionAll {
+          val bSizes = emb
+            .select(graft.functions
+              .hyperplane_bucket(col("embedding"), 64, 6, 42L).as("bucket"))
+            .groupBy("bucket").agg(count(lit(1)).as("bsz"))
+          qs.select(col("qid"), graft.functions
+              .hyperplane_bucket(col("qvec"), 64, 6, 42L).as("bucket"))
+            .join(broadcast(bSizes), Seq("bucket"), "left")
+            .select(lit("lsh_b6").as("config"), col("qid"),
+              coalesce(col("bsz"), lit(0L)).as("scanned"))
+        }
+        .unionAll(qs.select(lit("hamming_b64").as("config"), col("qid"),
+          lit(nAll).as("scanned")))
+        .unionAll(qs.select(lit("rescore_s40").as("config"), col("qid"),
+          (lit(nAll) + lit(40L)).as("scanned")))
+      cost.write.mode("overwrite").parquet(s"$annSweepDir/cost.parquet")
+      val persistedCost = s.read.parquet(s"$annSweepDir/cost.parquet")
       val truthL2 = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
         qs, "qid", "qvec", kk).select(col("qid"), col("vec_id"))
       val truthCos = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
@@ -2971,6 +3013,9 @@ object SparkEntry {
             hround(col("mrr"), 4).as("mrr"),
             hround(col("ndcg"), 4).as("ndcg"))
       }.reduce(_ unionAll _)
+        .join(persistedCost, Seq("config", "qid"))
+        .select(col("config"), col("qid"), col("n_relevant"), col("hits"),
+          col("recall"), col("mrr"), col("ndcg"), col("scanned"))
         .orderBy("config", "qid")
     }),
 
@@ -5550,13 +5595,18 @@ object SparkEntry {
         FROM j GROUP BY config, qid),
       idcg AS (
         SELECT list_sum(list_transform(range(1, 11),
-                 r -> 1e0 / log2(CAST(r AS DOUBLE) + 1e0))) AS v)
+                 r -> 1e0 / log2(CAST(r AS DOUBLE) + 1e0))) AS v),
+      cost AS (
+        SELECT config, qid, scanned
+        FROM read_parquet('$annSweepDir/cost.parquet/*.parquet'))
       SELECT g.config, g.qid, CAST(10 AS BIGINT) AS n_relevant,
              coalesce(p.hits, 0) AS hits,
              (CASE WHEN isnan(CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE)) OR abs(CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE) ELSE floor(CAST((coalesce(p.hits, 0) / 10e0) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS recall,
              (CASE WHEN isnan(CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE)) OR abs(CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE) ELSE floor(CAST((coalesce(1e0 / p.fh, 0e0)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS mrr,
-             (CASE WHEN isnan(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE)) OR abs(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE) ELSE floor(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS ndcg
+             (CASE WHEN isnan(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE)) OR abs(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE)) >= 8e13 THEN CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE) ELSE floor(CAST((coalesce(p.dcg, 0e0) / (SELECT v FROM idcg)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS ndcg,
+             c.scanned
       FROM qgrid g LEFT JOIN perq p ON g.config = p.config AND g.qid = p.qid
+      JOIN cost c ON c.config = g.config AND c.qid = g.qid
       ORDER BY g.config, g.qid""",
     "ann_hard_negatives" -> """
       WITH q AS (
