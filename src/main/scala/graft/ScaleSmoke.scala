@@ -477,6 +477,22 @@ object ScaleSmoke {
         minCommon = 3, maxCenterDegree = Some(500))
       println(s"SMOKE   linkpred candidates: ${lp.count()}")
     }
+    // Hub-heavy link prediction: a power-law-shaped graph — one 40k-
+    // degree hub over a ring of bounded-degree nodes. Uncapped, the
+    // hub alone contributes C(40k, 2) ≈ 8·10^8 wedges through the
+    // self-join; the default cap (1000) prunes it BEFORE the join, so
+    // the wedge work is the ring's. This is the default-path proof for
+    // the no-silent-scale-killer contract (r7 advice).
+    timed("link prediction, 40k-degree hub (default cap)") {
+      val n = 40000L
+      val hub = spark.range(1, n + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val ring = spark.range(1, n + 1)
+        .select(col("id").as("src"), (col("id") % n + 1L).as("dst"))
+      val lp = graft.operators.Graphs.linkPrediction(
+        hub.unionAll(ring), "src", "dst", minCommon = 1)
+      println(s"SMOKE   hub-capped candidates: ${lp.count()}")
+    }
     timed("IVF append 20k to 80k index") {
       val e100k = spark.read.parquet(s"$base/embeddings")
       val baseIdx = e100k.filter(col("vec_id") % 5 =!= 0)

@@ -2012,9 +2012,13 @@ object SparkEntry {
     // integer division — DuckDB replays the wedge join, the NOT
     // EXISTS anti-join, and the division. Exact path (no center cap):
     // the co-purchase degree is order-size-bounded, so Σ deg² is tame.
+    // maxCenterDegree = 1000 exercises the hub-capped path (the
+    // scale-safe default); the gate graph's max degree is ~220 at
+    // sf0.1, so the cap provably never binds and the uncapped DuckDB
+    // replay stays exact.
     "gr_linkpred" -> ((s, dir) =>
       operators.Graphs.linkPrediction(coPurchaseEdges(s, dir),
-          "src", "dst", minCommon = 4)
+          "src", "dst", minCommon = 4, maxCenterDegree = Some(1000))
         .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
           hround(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("cn").desc, col("u"), col("v"))

@@ -624,14 +624,21 @@ object Graphs {
     * centers above the cap BEFORE the self-join (the standard hub
     * suppression: a million-degree hub contributes C(d,2) wedges and
     * near-zero signal per pair). When set, cn counts only common
-    * neighbors within the cap — an approximation, documented at the
-    * call site; None is exact and right for bounded-degree graphs.
+    * neighbors within the cap — an approximation, documented here;
+    * the DEFAULT is a finite cap of 1000 (Σ deg² ≤ 1000·|E| — linear
+    * in edges whatever the degree distribution), because real product
+    * and citation graphs are power-law and an unbounded default turns
+    * one hub into a driver-killing C(d, 2) blowup (no-silent-scale-
+    * killer contract; the hub-heavy ScaleSmoke entry records the
+    * difference). Pass `None` explicitly for exact counts on graphs
+    * whose degree bound you know.
     *
     * Returns (u, v, cn, deg_u, deg_v, jaccard); degrees are always
     * full-graph degrees regardless of the cap.
     */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      minCommon: Int = 1, maxCenterDegree: Option[Int] = None): DataFrame = {
+      minCommon: Int = 1,
+      maxCenterDegree: Option[Int] = Some(1000)): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
     val raw = edges.select(
       col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
