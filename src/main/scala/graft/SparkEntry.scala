@@ -1975,8 +1975,14 @@ object SparkEntry {
     // division per community.
     "gr_modularity" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"))
+      // semi-join keeps dst inside the document set: without it the
+      // last doc (when count % 10 != 9 at the tail) emits a dangling
+      // edge to a non-document node, which Spark's labeling treats as
+      // a singleton while the oracle labels it arithmetically — a
+      // latent red that fixture counts happened to mask (r7 advice)
       val edges = d.filter(col("doc_id") % 10 =!= 9)
         .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       val chains = d.select(col("doc_id").as("node"),
         ((col("doc_id") / lit(10)).cast("long") * 10).as("comm"))
       val scrambled = d.select(col("doc_id").as("node"),
@@ -4937,7 +4943,8 @@ object SparkEntry {
       GROUP BY src ORDER BY node""",
     "gr_modularity" -> """
       WITH e AS (SELECT doc_id AS u, doc_id + 1 AS v FROM documents
-                 WHERE doc_id % 10 <> 9),
+                 WHERE doc_id % 10 <> 9
+                   AND doc_id + 1 IN (SELECT doc_id FROM documents)),
       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
       l1 AS (SELECT (u // 10) * 10 AS cu, (v // 10) * 10 AS cv FROM e),
       i1 AS (SELECT cu AS c, CAST(count(*) AS BIGINT) AS e_c FROM l1

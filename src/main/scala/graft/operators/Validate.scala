@@ -26,12 +26,18 @@ object Validate {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_._1).distinct.size == rules.size,
       "rule names must be unique")
-    val aggs = count(lit(1)).as("_n") +: rules.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$name")
+    // positional internal names (_v_0, _v_1, …), NOT derived from the
+    // user-facing rule name: a rule named "price.positive" would
+    // otherwise turn col("_v_price.positive") into a nested-field
+    // reference and fail analysis — names stay free-form and only
+    // appear inside the literal struct below (r7 advice)
+    val aggs = count(lit(1)).as("_n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = rules.map { case (name, _) =>
-      struct(lit(name).as("rule"), col(s"_v_$name").as("_v"))
+    val pairs = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"_v_$i").as("_v"))
     }
     one.select(col("_n"), explode(array(pairs: _*)).as("_r"))
       .select(col("_r.rule").as("rule"), col("_n").as("n_rows"),

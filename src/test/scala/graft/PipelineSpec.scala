@@ -96,12 +96,16 @@ class PipelineSpec extends SparkSuite {
       .toDF("v", "s")
     val r = Validate.report(d, Seq(
       "v_small" -> ($"v" <= 10),     // 15 violates; NULL violates
-      "s_domain" -> $"s".isin("a", "b")))
+      "s_domain" -> $"s".isin("a", "b"),
+      // a dotted rule name must stay a plain label, not resolve as a
+      // nested-field reference (positional internal columns)
+      "v.not.null" -> $"v".isNotNull))
       .select($"rule", $"n_rows", $"n_violations", $"violation_rate")
       .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
     assert(r("v_small")._2 == 4L && r("v_small")._3 == 2L)
     assert(r("v_small")._4 == 0.5)
     assert(r("s_domain")._3 == 1L)
+    assert(r("v.not.null")._3 == 1L)
     // single aggregate: the plan has exactly one Exchange (final agg)
     val plan = Validate.report(d, Seq("x" -> $"v".isNotNull))
       .queryExecution.executedPlan.toString
