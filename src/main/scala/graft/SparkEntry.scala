@@ -1020,6 +1020,21 @@ object SparkEntry {
           sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_d2"))
         .orderBy("block")),
 
+    // Entity resolution, pairing stage 2 — sorted-neighborhood
+    // blocking (Hernández-Stolfo): the same corrupted records ordered
+    // by the dirty string itself, each compared with the next 7 in
+    // sort order — exactly n·7 candidates whatever the key skew, the
+    // complement of hash blocking (which loses pairs to key typos and
+    // goes quadratic on degenerate keys). The gate's prefix-bucketed
+    // global rank must equal DuckDB's single row_number() over
+    // (s, id) — that equality IS what the hash checks. Per-(gap,
+    // dist) integer histogram.
+    "er_sorted" -> ((s, dir) =>
+      operators.RecordLinkage.sortedNeighborhoodPairs(
+          erRecords(s, dir), "id", "s", col("s"), window = 8, maxDist = 2)
+        .groupBy("gap", "dist").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("gap", "dist")),
+
     // Entity resolution, clustering stage: connected components over
     // the er_pairs edges (O(log n) large/small-star rounds). Entity =
     // min member id; DuckDB replays the transitive closure with a
@@ -6376,6 +6391,32 @@ object SparkEntry {
              CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
              CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2
       FROM p WHERE d <= 2 GROUP BY block ORDER BY block""",
+    // Sorted-neighborhood replay: ONE global row_number over (s, id)
+    // — the oracle has no idea the Spark side computed that rank as
+    // prefix-bucketed locals + broadcast offsets; matching histograms
+    // prove the decomposition reconstructs the global order exactly.
+    "er_sorted" -> """
+      WITH r AS (
+        SELECT p_partkey AS id, lower(p_name) AS raw
+        FROM part WHERE p_partkey % 4 = 0),
+      rec AS (
+        SELECT id,
+               CASE WHEN id % 3 = 1
+                    THEN substr(raw, 1, (id % 7) + 2)
+                         || substr(raw, (id % 7) + 4)
+                    WHEN id % 3 = 2
+                    THEN substr(raw, 1, 2) || 'x' || substr(raw, 3)
+                    ELSE raw END AS s
+        FROM r),
+      rk AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn
+             FROM rec),
+      p AS (SELECT CAST(b.rn - a.rn AS BIGINT) AS gap,
+                   levenshtein(a.s, b.s) AS d
+            FROM rk a JOIN rk b
+              ON b.rn > a.rn AND b.rn <= a.rn + 7)
+      SELECT gap, CAST(d AS BIGINT) AS dist,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p WHERE d <= 2 GROUP BY gap, d ORDER BY gap, dist""",
     // Transitive closure of the er_pairs edges by recursive min-label
     // propagation; singletons keep their own id.
     "er_entities" -> """

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution by blocked edit-distance join — the classic
@@ -58,6 +59,67 @@ object RecordLinkage {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
         col("block"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD '95):
+    * order the records by `sortKey` and compare each record only with
+    * the `window − 1` records that follow it in that order — the
+    * classic complement to hash blocking ([[blockedEditPairs]]): a
+    * hash block is all-or-nothing (a typo in the key loses the pair;
+    * a degenerate key goes quadratic until the size gate drops it),
+    * while the sorted neighborhood yields EXACTLY n·(window−1)
+    * candidate pairs whatever the key distribution — the standard
+    * multi-pass remedy for its boundary blindness is a second pass
+    * with a rotated key, which is just calling this again.
+    *
+    * Scale shape: the global rank is computed WITHOUT a single-
+    * partition window — records bucket by a `prefixLen`-character
+    * prefix of the sort key (a monotone function of it under binary
+    * collation, so per-bucket order concatenates to the global
+    * order), rank locally per bucket, and add broadcast per-bucket
+    * offsets (the [[Packing.tokenSpans]] bucketed-cumsum pattern; the
+    * offsets frame is |buckets| rows). Candidates come from
+    * `window − 1` exploded rank deltas equi-joined on rank — a shuffle
+    * of n·(window−1) slim rows, no range join, no quadratic anywhere.
+    * A degenerate prefix (every key equal) costs one linear-sort task,
+    * not a quadratic block.
+    *
+    * Returns (id_a, id_b, str_a, str_b, gap, dist): `gap` = rank
+    * distance (1 ≤ gap < window), `dist` the thresholded Levenshtein
+    * (pairs above `maxDist` dropped, like [[blockedEditPairs]]).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+      sortKey: Column, window: Int, maxDist: Int,
+      prefixLen: Int = 2): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val keyed = df.select(col(idCol).cast("long").as("_id"),
+        col(strCol).as("_s"), sortKey.cast("string").as("_k"))
+      .filter(col("_k").isNotNull)
+      .withColumn("_bkt", substring(col("_k"), 1, prefixLen))
+    val wloc = Window.partitionBy("_bkt").orderBy(col("_k"), col("_id"))
+    val local = keyed.withColumn("_lrn",
+      row_number().over(wloc).cast("long"))
+    val offs = keyed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(sum(col("_n")).over(Window.orderBy("_bkt")), lit(0L))
+          - col("_n"))
+      .select("_bkt", "_off")
+    val ranked = local.join(broadcast(offs), Seq("_bkt"))
+      .withColumn("_rn", col("_off") + col("_lrn"))
+      .select(col("_id"), col("_s"), col("_rn"))
+    val lefts = ranked
+      .withColumn("gap",
+        explode(array((1 until window).map(d => lit(d.toLong)): _*)))
+      .select(col("_id").as("id_a"), col("_s").as("str_a"), col("gap"),
+        (col("_rn") + col("gap")).as("_rn"))
+    lefts.join(ranked.select(col("_id").as("id_b"), col("_s").as("str_b"),
+        col("_rn")), Seq("_rn"))
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
+        col("gap"), col("dist").cast("long").as("dist"))
   }
 
   /** Block-size histogram plus the oversized count — the audit a

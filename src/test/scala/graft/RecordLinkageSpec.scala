@@ -55,6 +55,41 @@ class RecordLinkageSpec extends SparkSuite {
     assert(e(6L) == 6L)
   }
 
+  test("sortedNeighborhoodPairs: window pairs, gap, bucketed rank = global rank") {
+    // sort order by s: janes(5) jones(4) smith(1) smithe(3) smyth(2) zeta(6)
+    val d = Seq(
+      (1L, "smith"), (2L, "smyth"), (3L, "smithe"),
+      (4L, "jones"), (5L, "janes"), (6L, "zeta")
+    ).toDF("id", "s")
+    val p = RecordLinkage.sortedNeighborhoodPairs(
+        d, "id", "s", col("s"), window = 3, maxDist = 2)
+      .select($"id_a", $"id_b", $"gap", $"dist")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // window 3 => each record pairs with the next 2 in sort order;
+    // crossing hash-block boundaries (janes|jones vs smith) is the
+    // point of the method
+    assert(p((5L, 4L)) == (1L, 1L))   // janes->jones: gap 1, 1 sub
+    assert(p((1L, 3L)) == (1L, 1L))   // smith->smithe: dist 1
+    assert(p((1L, 2L)) == (2L, 1L))   // smith->smyth: gap 2 (smithe between)
+    assert(p((3L, 2L)) == (1L, 2L))   // smithe->smyth
+    assert(!p.contains((4L, 1L)), "jones->smith dist 5 must be dropped")
+    // a 1-char prefix makes ALL of {smith, smithe, smyth} one bucket
+    // and {janes, jones} another: per-bucket ranks + offsets must
+    // reconstruct the same global order (same pair set)
+    val p1 = RecordLinkage.sortedNeighborhoodPairs(
+        d, "id", "s", col("s"), window = 3, maxDist = 2, prefixLen = 1)
+      .select($"id_a", $"id_b", $"gap", $"dist")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(p1 == p, "prefix bucketing must not change the pair set")
+    // exactly n·(window−1) candidates before the distance filter minus
+    // tail truncation: 6 records, window 3 -> 4+.. = 2n-3 = 9 candidates
+    intercept[IllegalArgumentException](
+      RecordLinkage.sortedNeighborhoodPairs(d, "id", "s", col("s"),
+        window = 1, maxDist = 2))
+  }
+
   test("blockSizes: histogram plus oversized flag") {
     val d = Seq((1L, "aa"), (2L, "ab"), (3L, "ac"), (4L, "ba"))
       .toDF("id", "s")
