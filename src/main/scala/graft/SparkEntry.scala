@@ -3482,6 +3482,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(20)),
 
+    // Tokenizer OOV audit: top-100 corpus vocab (freq desc, token) as
+    // the known set, then per-source token mass outside it — the
+    // drift signal that says "this source moved under the tokenizer".
+    // All integers; the k=100 boundary ties break on the token string.
+    "tx_oov" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      TextAnalysis.oovStats(d, "source", "text",
+          TextAnalysis.topVocab(d, "text", 100))
+        .orderBy("source")
+    }),
+
     // pivot: event-type counts per user bucket
     "q26_pivot" -> ((s, dir) =>
       events(s, dir)
@@ -7783,6 +7794,25 @@ object SparkEntry {
         SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
         FROM documents) t
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "tx_oov" -> """
+      WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents),
+      vc AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+      vr AS (SELECT token,
+               row_number() OVER (ORDER BY freq DESC, token) AS r
+             FROM vc),
+      v AS (SELECT token FROM vr WHERE r <= 100),
+      j AS (SELECT t.source, t.token,
+                   CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tok t LEFT JOIN v ON t.token = v.token)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             CAST(count(DISTINCT CASE WHEN oov = 1 THEN token END) AS BIGINT)
+               AS n_distinct_oov
+      FROM j GROUP BY source ORDER BY source""",
     "q26_pivot" -> """
       SELECT user_id % 10 AS bucket,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -220,6 +220,50 @@ object TextAnalysis {
           / (col("_n") + col("_n2") - col("n_common"))).as("jaccard"))
   }
 
+  /** Top-k corpus vocabulary by frequency (ties by token asc) — the
+    * deterministic "what does the tokenizer know" frame an OOV audit
+    * runs against when no trained vocab is at hand. One tokenize pass,
+    * one map-side-combined count, then a distributed top-k
+    * (`orderBy.limit` ⇒ TakeOrderedAndProject — per-partition heaps,
+    * never a global sort). Returns (token, freq).
+    */
+  def topVocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(
+        explode(filter(tokens(col(textCol)), t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Out-of-vocabulary audit per group — the tokenizer-drift signal a
+    * training pipeline watches per source/snapshot: rising OOV mass
+    * means the corpus moved under the tokenizer (new language, new
+    * domain, a markup regression) and per-document token costs are
+    * about to change. `vocab` is any frame with a `token` column
+    * ([[topVocab]], a BPE merge vocab, a model's tokenizer dump);
+    * it is distinct-ed and broadcast, the corpus side is ONE tokenize
+    * pass + one map-side-combined aggregate — |vocab| bounded driver
+    * state, corpus never reshuffled by token.
+    *
+    * Returns (groupCol, n_tokens, n_oov, n_distinct_oov) — all
+    * integers (rates are derivable and would only add a rounding
+    * surface).
+    */
+  def oovStats(docs: DataFrame, groupCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = vocab.select(col("token")).distinct()
+      .withColumn("_inv", lit(1))
+    docs.select(col(groupCol),
+        explode(filter(tokens(col(textCol)), t => t =!= "")).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"),
+        count_distinct(when(col("_inv").isNull, col("token")))
+          .as("n_distinct_oov"))
+  }
+
   /** Relation-form inverted index: one `(token, doc_id)` row per
     * distinct pair, sorted within partitions after a shuffle on token.
     * This is the 100 TB shape — no per-token aggregation buffer, so a

@@ -695,4 +695,27 @@ class TextOpsSpec extends SparkSuite {
       .select("w1", "w2", "n_a").as[(String, String, Long)].collect()
     assert(floored.toSeq == Seq(("a", "b", 3L)))
   }
+
+  test("topVocab / oovStats: frequency-ranked vocab, per-group OOV mass") {
+    val docs = Seq(
+      ("s1", "the cat sat on the mat"),
+      ("s1", "the dog sat"),
+      ("s2", "a rare QUOKKA leaps")).toDF("source", "text")
+    // freqs: the=3 sat=2 a=1 cat=1 dog=1 leaps=1 mat=1 on=1 quokka=1 rare=1
+    val v = TextAnalysis.topVocab(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(v == Seq(("the", 3L), ("sat", 2L)))
+    // tie at freq 1 breaks on token asc
+    val v4 = TextAnalysis.topVocab(docs, "text", 4)
+      .as[(String, Long)].collect().toSeq
+    assert(v4 == Seq(("the", 3L), ("sat", 2L), ("a", 1L), ("cat", 1L)))
+    val o = TextAnalysis.oovStats(docs, "source", "text",
+        TextAnalysis.topVocab(docs, "text", 2))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: 9 tokens, in-vocab the(3)+sat(2)=5 -> 4 OOV over {cat,on,mat,dog}
+    assert(o("s1") == ("s1", 9L, 4L, 4L))
+    // s2: 4 tokens all OOV (lowercased quokka distinct)
+    assert(o("s2") == ("s2", 4L, 4L, 4L))
+  }
 }
