@@ -671,6 +671,24 @@ object SparkEntry {
     "dd_quality_keep" -> ((s, dir) =>
       Dedup.keepBestNormalized(T(s, dir, "documents"), "doc_id", "text", "n_chars")
         .orderBy("content_hash")),
+    // Split-leakage audit: near-dup pairs crossing the train/test
+    // hash-split boundary (the benchmark-inflation failure mode).
+    // Synthetic near-dups (each doc < 150 gets a one-token-appended
+    // copy at id+10000) guarantee cross-split pairs exist: the copy's
+    // split hash is independent of its source's. All integers.
+    "pp_leakage" -> ((s, dir) => {
+      val base = T(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionAll(base.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" leaktoken")).as("text")))
+      val labeled = graft.operators.Sampling.hashSplitLabeled(
+        corpus, "doc_id", Seq("train" -> 0.75, "test" -> 0.25), salt = "leak")
+      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
+      Dedup.splitLeakage(labeled, "doc_id", "split", pairs, "a_id", "b_id")
+        .orderBy("split_a", "split_b")
+    }),
+
     "dd_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
           T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text", 0.5)
@@ -4065,6 +4083,35 @@ object SparkEntry {
         FROM documents)
       SELECT content_hash, doc_id AS keep_id, best_score, n_copies
       FROM g WHERE rn = 1 ORDER BY content_hash""",
+    // Leakage replay: same synthetic copies, same md5 hash split (the
+    // thresholdHex literal is injected from the Scala side so both
+    // engines compare against the identical hex string), exact
+    // all-pairs Jaccard >= 0.5, then the unordered label-pair count.
+    "pp_leakage" -> s"""
+      WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 10000, text || ' leaktoken' FROM base),
+      d AS (SELECT doc_id,
+              list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+            FROM corpus),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks))) >= 0.5),
+      s AS (SELECT doc_id,
+              CASE WHEN md5(concat_ws('|', 'leak', CAST(doc_id AS VARCHAR)))
+                        < '${graft.operators.Sampling.thresholdHex(0.75)}'
+                   THEN 'train' ELSE 'test' END AS split
+            FROM corpus),
+      j AS (SELECT least(sa.split, sb.split) AS split_a,
+                   greatest(sa.split, sb.split) AS split_b
+            FROM p JOIN s sa ON p.a_id = sa.doc_id
+                   JOIN s sb ON p.b_id = sb.doc_id)
+      SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b""",
     "dd_jaccard_pairs" -> """
       WITH d AS (
         SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks

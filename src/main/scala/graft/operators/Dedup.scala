@@ -1005,4 +1005,33 @@ object Dedup {
           .when(col("_oh") <=> col("_nh"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Split-leakage audit: a near-duplicate pair that CROSSES a
+    * train/eval boundary is label leakage — the eval split then
+    * scores memorization of an effectively-seen document, and every
+    * benchmark number downstream is inflated. Given per-id split
+    * labels (e.g. [[graft.operators.Sampling.hashSplitLabeled]]) and
+    * near-dup pairs (any of the pair generators here), counts pairs
+    * per unordered label pair — the off-diagonal rows are the leaks,
+    * and the fix is group-aware splitting (split by near-dup CLUSTER
+    * id via [[connectedComponents]], not by document id).
+    *
+    * Shape: two slim equi-joins of the pair frame against the (id,
+    * split) projection, one map-side-combined count — |labels|²-row
+    * output. Pairs referencing unlabeled ids drop out (inner joins).
+    *
+    * Returns (split_a, split_b, n_pairs) with split_a <= split_b.
+    */
+  def splitLeakage(labeled: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val la = labeled.select(col(idCol).cast("long").as(aCol),
+      col(splitCol).as("_sa"))
+    val lb = labeled.select(col(idCol).cast("long").as(bCol),
+      col(splitCol).as("_sb"))
+    pairs.select(col(aCol).cast("long").as(aCol), col(bCol).cast("long").as(bCol))
+      .join(la, Seq(aCol)).join(lb, Seq(bCol))
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+  }
 }

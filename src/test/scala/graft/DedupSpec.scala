@@ -377,4 +377,18 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       s"winnowing pair join must stay an equi-join:\n$plan")
   }
+
+  test("splitLeakage: unordered label pairs, unlabeled ids drop") {
+    val labeled = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "test")).toDF("id", "split")
+    val pairs = Seq((1L, 3L), (1L, 2L), (2L, 4L), (3L, 4L), (2L, 3L),
+      (1L, 9L)).toDF("a_id", "b_id")  // 9 unlabeled -> dropped
+    val r = Dedup.splitLeakage(labeled, "id", "split", pairs, "a_id", "b_id")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r == Map(
+      ("train", "train") -> 1L,   // (1,3)
+      ("test", "train") -> 3L,    // (1,2), (3,4), (2,3) — unordered
+      ("test", "test") -> 1L))    // (2,4)
+  }
 }
