@@ -2472,6 +2472,20 @@ object SparkEntry {
           T(s, dir, "documents"), Seq("source"), "n_chars", n = 100L)
         .orderBy("source")),
 
+    // Mergeable KMV: per-(event_type, day) partials folded into the
+    // cumulative unique-users-to-date curve — day d touches day d-1's
+    // PARTIALS, never its data (the warehouse daily->monthly sketch
+    // roll-up). DuckDB replays partials, union-dedup, re-rank, and
+    // the (k-1)·2^60/h_k estimate bit-for-bit.
+    "sk_kmv_merge" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinctCumulative(
+          events(s, dir), "user_id", Seq("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")), k = 32)
+        .select(col("event_type"), col("bucket").cast("long").as("day"),
+          col("n_kept"), col("is_exact"),
+          hround(col("est_distinct"), 4).as("est_distinct"))
+        .orderBy("event_type", "day")),
+
     "sm_weighted_wor" -> ((s, dir) =>
       graft.operators.Sampling.weightedSampleWithoutReplacement(
           T(s, dir, "documents"), "doc_id", col("n_chars"), k = 3,
@@ -4517,6 +4531,45 @@ object SparkEntry {
              rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
                AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
+    "sk_kmv_merge" -> {
+      val nibbles = (0 until 15).map { i =>
+        val w = java.math.BigInteger.valueOf(16L).pow(14 - i)
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n                 + ")
+      s"""
+      WITH h AS (
+        SELECT DISTINCT event_type AS g,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b,
+               substr(md5(concat_ws('|', 'kmv', CAST(user_id AS VARCHAR))), 1, 15)
+                 AS hx
+        FROM events WHERE user_id IS NOT NULL),
+      r AS (SELECT g, b, hx,
+              row_number() OVER (PARTITION BY g, b ORDER BY hx) AS rn
+            FROM h),
+      part AS (SELECT g, b, hx FROM r WHERE rn <= 32),
+      tb AS (SELECT DISTINCT g, b AS tbb FROM part),
+      u AS (SELECT DISTINCT tb.g, tb.tbb, p.hx
+            FROM tb JOIN part p ON p.g = tb.g AND p.b <= tb.tbb),
+      rr AS (SELECT g, tbb, hx,
+               row_number() OVER (PARTITION BY g, tbb ORDER BY hx) AS rn
+             FROM u),
+      topk AS (SELECT g, tbb, CAST(count(*) AS BIGINT) AS n_kept,
+                 max(CAST(($nibbles) AS BIGINT)) AS hk
+               FROM rr WHERE rn <= 32 GROUP BY g, tbb),
+      est AS (
+        SELECT g, tbb, n_kept, n_kept < 32 AS is_exact,
+               CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                    ELSE 31e0 * 1152921504606846976e0 / CAST(hk AS DOUBLE)
+               END AS est_distinct
+        FROM topk)
+      SELECT g AS event_type, CAST(tbb AS BIGINT) AS day, n_kept, is_exact,
+             (CASE WHEN isnan(CAST((est_distinct) AS DOUBLE))
+                   OR abs(CAST((est_distinct) AS DOUBLE)) >= 8e13
+                   THEN CAST((est_distinct) AS DOUBLE)
+                   ELSE floor(CAST((est_distinct) AS DOUBLE) * 1e4 + 0.5) / 1e4
+              END) AS est_distinct
+      FROM est ORDER BY event_type, day"""
+    },
     "sm_weighted_wor" -> {
       val nibbles = (0 until 15).map { i =>
         val w = java.math.BigInteger.valueOf(16L).pow(14 - i)

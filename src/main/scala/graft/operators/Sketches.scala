@@ -115,4 +115,60 @@ object Sketches {
             / col("_hk").cast("double")))
       .drop("_hk")
   }
+
+  /** The MERGE side of [[kmvDistinct]], demonstrated along an ordered
+    * dimension: per-(group, bucket) k-minimum-value partials folded
+    * into a cumulative distinct-to-date curve — "how many unique users
+    * has this event type accumulated by day d". This is the property
+    * that makes KMV a 100 TB tool: the union's sketch is just the k
+    * smallest of the partials' union (set semantics, idempotent), so
+    * day d's estimate touches yesterday's PARTIALS, never yesterday's
+    * data — exactly how a warehouse rolls daily sketches into
+    * monthlies.
+    *
+    * Shape: one distinct + one (group, bucket)-partitioned window
+    * builds the bounded partial frame (≤ |groups|·|buckets|·k rows);
+    * the cumulative merge is a triangle equi-join ON THAT FRAME
+    * (bucket' ≤ bucket within group), then a re-rank — the data is
+    * scanned once, the merge cost is |buckets|²·k per group, bounded
+    * by the calendar, not the corpus.
+    *
+    * Returns (groupCols…, bucket, n_kept, is_exact, est_distinct) per
+    * (group, bucket) with estimates over everything ≤ bucket.
+    */
+  def kmvDistinctCumulative(df: DataFrame, keyCol: String,
+      groupCols: Seq[String], bucketCol: Column, k: Int,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2 (the estimate divides by k-1), got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val h = conv(substring(Sampling.keyHash(col(keyCol), salt), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = df.filter(col(keyCol).isNotNull)
+      .select(g :+ bucketCol.as("_b") :+ h.as("_h"): _*).distinct()
+    val wpb = Window.partitionBy(g :+ col("_b"): _*).orderBy(col("_h"))
+    val partials = hashes.withColumn("_rn", row_number().over(wpb))
+      .filter(col("_rn") <= k)
+      .select(g :+ col("_b") :+ col("_h"): _*)
+    val targets = partials.select(g :+ col("_b").as("_tb"): _*).distinct()
+    // same hash can sit in several buckets' partials (a key active on
+    // many days) — the union dedups before the re-rank, like any KMV
+    // merge
+    val union = partials.join(targets, groupCols)
+      .filter(col("_b") <= col("_tb"))
+      .select(g :+ col("_tb").as("_b") :+ col("_h"): _*)
+      .distinct()
+    val wm = Window.partitionBy(g :+ col("_b"): _*).orderBy(col("_h"))
+    union.withColumn("_rn", row_number().over(wm))
+      .filter(col("_rn") <= k)
+      .groupBy(g :+ col("_b"): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("_hk"))
+      .withColumn("is_exact", col("n_kept") < k)
+      .withColumn("est_distinct",
+        when(col("is_exact"), col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
+            / col("_hk").cast("double")))
+      .withColumnRenamed("_b", "bucket")
+      .drop("_hk")
+  }
 }

@@ -107,4 +107,28 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(wholeEst - mergedEst) < 1e-9,
       s"merged sketch estimate $mergedEst != whole-data estimate $wholeEst")
   }
+
+  test("kmvDistinctCumulative: final bucket = whole-data sketch, curve monotone") {
+    import graft.operators.Sketches
+    // 3 buckets, overlapping keys across buckets (dedup must apply)
+    val rows = ((1 to 300).map(i => ("g", 1, i.toLong)) ++
+      (200 to 600).map(i => ("g", 2, i.toLong)) ++
+      (500 to 900).map(i => ("g", 3, i.toLong))).toDF("g", "b", "k")
+    val cum = Sketches.kmvDistinctCumulative(rows, "k", Seq("g"),
+        col("b"), k = 64)
+      .orderBy("bucket").collect()
+    assert(cum.length == 3)
+    // the cumulative estimate at the last bucket must equal the plain
+    // sketch over ALL data — the merge is exactly union + re-take-k
+    val whole = Sketches.kmvDistinct(rows, "k", Seq("g"), k = 64).head()
+    assert(cum.last.getAs[Double]("est_distinct")
+      == whole.getAs[Double]("est_distinct"))
+    // distinct-to-date can only grow (hash set only gains members)
+    val ests = cum.map(_.getAs[Double]("est_distinct")).toSeq
+    assert(ests == ests.sorted, s"cumulative curve must be monotone: $ests")
+    // all three buckets exceed k=64 distinct -> estimator path
+    assert(cum.forall(!_.getAs[Boolean]("is_exact")))
+    intercept[IllegalArgumentException](
+      Sketches.kmvDistinctCumulative(rows, "k", Seq.empty, col("b"), 64))
+  }
 }
