@@ -380,6 +380,67 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Predicate delete at store level: the JSON-path filter composed
+    // with delete — the retention/GDPR shape where the matching id set
+    // never visits the driver. DuckDB replays survivor rows directly.
+    "vs_delete_where" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_dw_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
+            lit("\"}")).as("doc")))
+      store.deleteWhere(Seq("g"), Seq("1"))
+      store.toDF
+        .select(col("id"), get_json_object(col("doc"), "$.g").as("g"))
+        .orderBy("id")
+    }),
+
+    // Streaming ingestion into the store: a 4-file parquet stream
+    // (maxFilesPerTrigger = 1 => four real micro-batches) appended via
+    // foreachBatch -> insertDF, so id assignment CONTINUES across
+    // batches from the persisted max. The hashed surface is batch-
+    // order-independent invariants (volume, per-origin identity, id
+    // contiguity) — file pickup order is an engine detail, id
+    // continuity is the contract.
+    "st_stream_ingest" -> ((s, dir) =>
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
+        val root = s"$scratchRoot/vs_ing_store"
+        val srcDir = s"$scratchRoot/vs_ing_src"
+        val ck = s"$scratchRoot/vs_ing_ck"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(root, srcDir, ck).foreach { d =>
+          val dp = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(dp)) fs.delete(dp, true)
+        }
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+          .select(col("vec_id"), col("embedding"))
+        emb.repartitionByRange(4, col("vec_id")).write.parquet(srcDir)
+        val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+          tombstoneDeletes = true)
+        val schema = s.read.parquet(srcDir).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .select(col("embedding").as("vec"),
+            concat(lit("{\"o\": \""), col("vec_id").cast("string"),
+              lit("\"}")).as("doc"),
+            col("vec_id"))
+        val q = store.ingestStream(src, ck, orderCols = Seq(col("vec_id")))
+        q.awaitTermination()
+        store.toDF.agg(
+          count(lit(1)).as("n"),
+          countDistinct(get_json_object(col("doc"), "$.o")).as("n_orig"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          (max(col("id")) - min(col("id")) + 1 === count(lit(1)))
+            .as("ids_contiguous"))
+      }),
+
     // Filtered approximate search at store level (filter+ANN — the
     // contract every modern vector store ships): the vs_ann_search
     // lifecycle with docs carrying {"g": "<label % 3>"}, ids deleted
@@ -3881,6 +3942,17 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "vs_delete_where" -> """
+      SELECT vec_id AS id, CAST(label % 3 AS VARCHAR) AS g
+      FROM embeddings WHERE vec_id < 400 AND label % 3 <> 1
+      ORDER BY id""",
+    "st_stream_ingest" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_orig,
+             CAST(0 AS BIGINT) AS min_id,
+             CAST(count(*) - 1 AS BIGINT) AS max_id,
+             true AS ids_contiguous
+      FROM embeddings WHERE vec_id < 400""",
     "vs_filtered_ann" -> """
       WITH live AS (
         SELECT e.vec_id AS id, e.embedding AS vec

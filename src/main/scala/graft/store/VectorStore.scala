@@ -274,6 +274,59 @@ class VectorStore private (
     present
   }
 
+  /** Predicate delete: [[delete]] driven by the JSON-path metadata
+    * filter instead of a driver-side id list — the reference's
+    * query_by_doc filter (vector_store.py:334-356) composed with its
+    * delete (:219-254), and the form a retention/GDPR job needs at
+    * scale: the matching id set flows storage-to-storage (predicate-
+    * pushed, column-pruned scan of (id, doc)) and never visits the
+    * driver. The id frame is locally checkpointed before the delete so
+    * the storage rewrite can never race its own input scan. Returns
+    * the deleted count; deleting zero matches is a no-op.
+    */
+  def deleteWhere(pathSteps: Seq[String], values: Seq[Any]): Long = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    val jsonPath = "$." + pathSteps.mkString(".")
+    val ids = table
+      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
+      .select($"id")
+      .localCheckpoint(true)
+    val n = ids.count()
+    if (n > 0) {
+      storage.delete(ids)
+      annAfterDelete()
+      refreshIndex()
+    }
+    n
+  }
+
+  /** Structured-Streaming ingestion: append every micro-batch to the
+    * store through the same [[insertDF]] path, so the dtype gate,
+    * float32 coercion, id assignment, doc defaulting, and the O(batch)
+    * ANN index append all apply per batch. `foreachBatch` because the
+    * store is a multi-file layout with its own staged-swap txn, not a
+    * file sink; the stream's checkpointed offsets make replays
+    * batch-exact. `orderCols` (e.g. the source's natural key) pins the
+    * WITHIN-batch id assignment order — across batches ids continue
+    * from the persisted max, so a restart never reuses an id.
+    */
+  def ingestStream(stream: DataFrame, checkpointDir: String,
+      orderCols: Seq[org.apache.spark.sql.Column] = Seq.empty,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ordered =
+          if (orderCols.isEmpty) batch
+          else batch.orderBy(orderCols: _*).coalesce(1)
+        insertDF(ordered)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Fold any pending tombstones into a rewrite (no-op on the plain
     * Parquet layout). Run when the tombstone set grows large enough that
     * the per-read anti-join matters.

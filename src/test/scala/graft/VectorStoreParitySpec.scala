@@ -683,4 +683,48 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](
       s.searchHybrid(Seq(e0), Seq("   "), k = 1))
   }
+
+  test("deleteWhere: predicate delete, count returned, zero-match no-op") {
+    val s = freshStore()
+    s.insert(eye(10).take(6), (0 until 6).map(i =>
+      s"""{"t": "${if (i % 2 == 0) "a" else "b"}"}"""))
+    assert(s.deleteWhere(Seq("t"), Seq("b")) == 3L)
+    assert(s.count() == 3L)
+    assert(s.selectIds(Seq(1L, 3L, 5L)).isEmpty)
+    // searches no longer see the deleted rows
+    val q = Array.tabulate(10)(j => if (j == 1) 1f else 0f)  // id 1's vec
+    assert(!s.search(Seq(q), 3).head.map(_.id).contains(1L))
+    // zero matches: no-op, count 0
+    assert(s.deleteWhere(Seq("t"), Seq("zzz")) == 0L)
+    assert(s.count() == 3L)
+    intercept[IllegalArgumentException](s.deleteWhere(Seq.empty, Seq("b")))
+  }
+
+  test("ingestStream: micro-batches append through insertDF, ids continue") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, element_at, get_json_object, lit}
+    val base = Files.createTempDirectory("graft-ing").toString
+    val store = VectorStore.openOrCreate(spark, s"$base/store", 4,
+      tombstoneDeletes = true)
+    // pre-seed 2 rows so streamed ids must CONTINUE from the max
+    store.insert(Seq(Array.fill(4)(9f), Array.fill(4)(8f)))
+    val src = (0 until 10).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("k", "vec")
+    src.repartitionByRange(2, $"k").write.parquet(s"$base/src")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/src").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      .select($"vec", concat(lit("""{"k": """), $"k", lit("}")).as("doc"), $"k")
+    store.ingestStream(stream, s"$base/ck", orderCols = Seq($"k"))
+      .awaitTermination()
+    assert(store.count() == 12L)
+    assert(store.head(1).head.id == 0L)
+    // every streamed row present exactly once, vec matching its origin
+    val got = store.toDF
+      .select(get_json_object($"doc", "$.k").cast("long").as("k"),
+        element_at($"vec", 1).as("v0"))
+      .filter($"k".isNotNull)
+      .as[(Long, Float)].collect().toMap
+    assert(got == (0 until 10).map(i => i.toLong -> i.toFloat).toMap)
+  }
 }
