@@ -380,6 +380,29 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Operational stats snapshot: live/tombstone/high-water/version/
+    // index-cells after a deterministic lifecycle — the maintenance
+    // dashboard numbers, every one an integer with a closed-form
+    // expectation DuckDB computes from the source slice.
+    "vs_stats" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_st_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
+      store.delete(Seq(1L, 2L, 3L, 4L, 5L))
+      val st = store.stats()
+      Seq((st.nLive, st.nTombstones, st.maxId, st.hasAnnIndex,
+        st.nIndexCells)).toDF(
+        "n_live", "n_tombstones", "max_id", "has_index", "n_cells")
+    }),
+
     // Predicate delete at store level: the JSON-path filter composed
     // with delete — the retention/GDPR shape where the matching id set
     // never visits the driver. DuckDB replays survivor rows directly.
@@ -1716,6 +1739,14 @@ object SparkEntry {
     }),
 
     // batch sessionization (streaming semantics, lag/cumsum formulation)
+    // Cohort retention triangle: users bucketed by first-activity day,
+    // counted active at each age — one min-agg, one user-keyed join,
+    // one bounded aggregate. All integers.
+    "st_cohort" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(events(s, dir), "user_id",
+          datediff(to_date(col("ts")), lit("2024-01-01")))
+        .orderBy("cohort", "age")),
+
     "st_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30)
         .select(col("user_id"),
@@ -3942,6 +3973,13 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "vs_stats" -> """
+      SELECT CAST(count(*) - 5 AS BIGINT) AS n_live,
+             CAST(5 AS BIGINT) AS n_tombstones,
+             CAST(count(*) - 1 AS BIGINT) AS max_id,
+             true AS has_index,
+             CAST(8 AS BIGINT) AS n_cells
+      FROM embeddings WHERE vec_id < 400""",
     "vs_delete_where" -> """
       SELECT vec_id AS id, CAST(label % 3 AS VARCHAR) AS g
       FROM embeddings WHERE vec_id < 400 AND label % 3 <> 1
@@ -4603,6 +4641,17 @@ object SparkEntry {
              rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
                AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
+    "st_cohort" -> """
+      WITH act AS (
+        SELECT DISTINCT user_id AS u,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b
+        FROM events WHERE user_id IS NOT NULL),
+      f AS (SELECT u, min(b) AS cohort FROM act GROUP BY u)
+      SELECT CAST(f.cohort AS BIGINT) AS cohort,
+             CAST(a.b - f.cohort AS BIGINT) AS age,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM act a JOIN f ON a.u = f.u
+      GROUP BY f.cohort, a.b - f.cohort ORDER BY cohort, age""",
     "sk_kmv_merge" -> {
       val nibbles = (0 until 15).map { i =>
         val w = java.math.BigInteger.valueOf(16L).pow(14 - i)

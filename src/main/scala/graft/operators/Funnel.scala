@@ -64,4 +64,33 @@ object Funnel {
     }
     rows.toDF("stage", "n_in", "n_dropped", "n_out", "drop_rate")
   }
+
+  /** Cohort retention: users bucketed by their FIRST-ACTIVITY bucket
+    * (the cohort), counted as active at each AGE (bucket − cohort) —
+    * the "of the users who arrived in week 0, how many were still
+    * here in week k" triangle every growth/engagement dashboard
+    * draws, and for a data pipeline the contributor-survival view of
+    * a crawl or labeling workforce.
+    *
+    * `bucketCol` is any orderable integer bucket (day number, week
+    * number). Scale shape: first-touch is ONE map-side-combined min
+    * per user; activity dedups to (user, bucket) in the same shuffle
+    * family; the join is user-keyed (co-partitioned with both aggs);
+    * the output aggregate is |buckets|²-bounded. No windows over data,
+    * nothing driver-side.
+    *
+    * Returns (cohort, age, n_active) — n_active(cohort, 0) is the
+    * cohort's size (every user is active in their first bucket).
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      bucketCol: Column): DataFrame = {
+    val act = events
+      .select(col(userCol).as("_u"), bucketCol.cast("long").as("_b"))
+      .filter(col("_u").isNotNull && col("_b").isNotNull)
+      .distinct()
+    val first = act.groupBy("_u").agg(min(col("_b")).as("cohort"))
+    act.join(first, Seq("_u"))
+      .groupBy(col("cohort"), (col("_b") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

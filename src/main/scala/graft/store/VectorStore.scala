@@ -12,6 +12,10 @@ import graft.functions.{indel_similarity, l2_distance}
 /** Row shapes of the public API (reference: vector_store.py:13-25). */
 case class SelectRecord(id: Long, vec: Array[Float], doc: String)
 case class SearchRecord(id: Long, vec: Array[Float], doc: String, distance: Float)
+
+/** Operational snapshot of a store — see [[VectorStore.stats]]. */
+case class StoreStats(nLive: Long, nTombstones: Long, maxId: Long,
+    version: Option[Long], hasAnnIndex: Boolean, nIndexCells: Long)
 /** Fuzzy doc search distances are float64 (reference: vector_store.py:386-387). */
 case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: Double)
 
@@ -760,6 +764,24 @@ class VectorStore private (
     * arbitrary DataFrame operators (no reference analogue).
     */
   def toDF: DataFrame = table
+
+  /** Operational snapshot — the maintenance dashboard a store admin
+    * polls: live rows, pending tombstones (compaction debt — when
+    * this grows, reads pay the anti-join mask), id high-water mark,
+    * write version, and ANN index presence/centroid count. Bounded
+    * cost: two counts plus file metadata, no data movement beyond a
+    * column-pruned id scan.
+    */
+  def stats(): StoreStats = {
+    val tombs = storage match {
+      case t: TombstoneStorage => t.tombstoneCount()
+      case _ => 0L
+    }
+    val cells =
+      if (hasAnnIndex) spark.read.parquet(s"$annPath/centroids").count()
+      else 0L
+    StoreStats(count(), tombs, maxId(), currentVersion(), hasAnnIndex, cells)
+  }
 
   /** The current write-version on the tombstone layout (None on plain
     * Parquet, which keeps no versions) — capture it before later

@@ -274,4 +274,22 @@ class FunnelEvalSpec extends SparkSuite {
       .select(max($"nd")).as[Long].head()
     assert(perKey == 1L, "same series under different keys must match")
   }
+  test("cohortRetention: first-touch cohorts, age counts, dedup within bucket") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, 0), (1L, 0), (1L, 1), (1L, 3),   // u1: cohort 0, ages 0,1,3
+      (2L, 0), (2L, 2),                     // u2: cohort 0, ages 0,2
+      (3L, 1), (3L, 3),                     // u3: cohort 1, ages 0,2
+      (4L, 3)                               // u4: cohort 3, age 0
+    ).toDF("u", "b")
+    val r = Funnel.cohortRetention(ev, "u", $"b")
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L,
+      (3L, 0L) -> 1L))
+    // age-0 row equals the cohort size for every cohort
+    assert(r((0L, 0L)) == 2L && r((1L, 0L)) == 1L && r((3L, 0L)) == 1L)
+  }
 }
