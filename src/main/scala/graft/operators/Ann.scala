@@ -599,4 +599,31 @@ object Ann {
       .select(col(qidCol), col(idCol), col("distance"))
     SimilarityJoin.topKByDistance(rescored, qidCol, idCol, "distance", k)
   }
+
+  /** Pick an index configuration from a recall-vs-cost sweep (the
+    * `ir_ann_sweep` output shape): among arms whose MEAN recall meets
+    * `minRecall`, the one scanning the fewest rows — the question a
+    * user actually asks a tuning sweep ("cheapest config that still
+    * hits 0.9"), answered from the frontier instead of eyeballed.
+    * Ties break toward higher recall, then config name. Returns one
+    * row (config, mean_recall, mean_scanned) — empty if no arm
+    * qualifies (caller should widen the sweep, not silently degrade).
+    *
+    * `sweep` needs (configCol, recallCol, scannedCol) per (arm, query);
+    * aggregation to arm means happens here so callers pass the raw
+    * per-query frame.
+    */
+  def chooseConfig(sweep: DataFrame, minRecall: Double,
+      configCol: String = "config", recallCol: String = "recall",
+      scannedCol: String = "scanned"): DataFrame = {
+    require(minRecall >= 0.0 && minRecall <= 1.0,
+      s"minRecall must be in [0, 1], got $minRecall")
+    sweep.groupBy(col(configCol))
+      .agg(avg(col(recallCol)).as("mean_recall"),
+        avg(col(scannedCol)).as("mean_scanned"))
+      .filter(col("mean_recall") >= minRecall)
+      .orderBy(col("mean_scanned").asc, col("mean_recall").desc,
+        col(configCol).asc)
+      .limit(1)
+  }
 }

@@ -698,4 +698,20 @@ class AnnSpec extends SparkSuite {
         queries, "qid", "qvec", dim = 64, shortlist = 3, k = 5)
     }
   }
+  test("chooseConfig: cheapest arm meeting the recall bar, ties to recall") {
+    import graft.operators.Ann
+    val sweep = Seq(
+      ("lsh", 0.2, 10L), ("lsh", 0.4, 12L),       // mean 0.3 — below bar
+      ("ivf_p2", 0.8, 100L), ("ivf_p2", 1.0, 120L), // mean 0.9, scan 110
+      ("ivf_p4", 0.9, 200L), ("ivf_p4", 1.0, 260L), // mean 0.95, scan 230
+      ("flat", 1.0, 500L), ("flat", 1.0, 500L)      // mean 1.0, scan 500
+    ).toDF("config", "recall", "scanned")
+    val pick = Ann.chooseConfig(sweep, minRecall = 0.85).collect()
+    assert(pick.length == 1 && pick.head.getString(0) == "ivf_p2")
+    // raising the bar moves the pick up the frontier
+    assert(Ann.chooseConfig(sweep, 0.92).head().getString(0) == "ivf_p4")
+    assert(Ann.chooseConfig(sweep, 0.99).head().getString(0) == "flat")
+    // nothing qualifies -> empty, never a silent degrade
+    assert(Ann.chooseConfig(sweep.filter($"config" === "lsh"), 0.9).isEmpty)
+  }
 }
