@@ -464,6 +464,51 @@ object SparkEntry {
             .as("ids_contiguous"))
       }),
 
+    // Online semantic dedup at ingest: stream originals, then stream
+    // exact COPIES (re-crawl simulation) through ingestStreamDedup —
+    // every copy must be rejected by the 1-NN <= eps check against the
+    // live store, every original kept (min pairwise distance among the
+    // originals is ~1.02 at every sf; eps = 0.5 separates). The hashed
+    // surface: volume + origin-tagged survivor counts, all integers.
+    "st_stream_semdedup" -> ((s, dir) =>
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
+        val root = s"$scratchRoot/vs_sdd_store"
+        val srcA = s"$scratchRoot/vs_sdd_src_a"
+        val srcB = s"$scratchRoot/vs_sdd_src_b"
+        val ckA = s"$scratchRoot/vs_sdd_ck_a"
+        val ckB = s"$scratchRoot/vs_sdd_ck_b"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(root, srcA, srcB, ckA, ckB).foreach { d =>
+          val dp = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(dp)) fs.delete(dp, true)
+        }
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        emb.repartitionByRange(2, col("vec_id")).write.parquet(srcA)
+        emb.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+          .repartitionByRange(2, col("vec_id")).write.parquet(srcB)
+        val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+          tombstoneDeletes = true)
+        val schema = s.read.parquet(srcA).schema
+        def src(d: String) = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(d)
+          .select(col("embedding").as("vec"),
+            concat(lit("{\"o\": \""), col("vec_id").cast("string"),
+              lit("\"}")).as("doc"),
+            col("vec_id"))
+        store.ingestStreamDedup(src(srcA), ckA, eps = 0.5,
+          orderCols = Seq(col("vec_id"))).awaitTermination()
+        store.ingestStreamDedup(src(srcB), ckB, eps = 0.5,
+          orderCols = Seq(col("vec_id"))).awaitTermination()
+        store.toDF.agg(
+          count(lit(1)).as("n"),
+          sum(when(get_json_object(col("doc"), "$.o").cast("long") < 1000,
+            1L).otherwise(0L)).as("n_originals"),
+          sum(when(get_json_object(col("doc"), "$.o").cast("long") >= 1000,
+            1L).otherwise(0L)).as("n_copies_kept"))
+      }),
+
     // Filtered approximate search at store level (filter+ANN — the
     // contract every modern vector store ships): the vs_ann_search
     // lifecycle with docs carrying {"g": "<label % 3>"}, ids deleted
@@ -3973,6 +4018,11 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "st_stream_semdedup" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_originals,
+             CAST(0 AS BIGINT) AS n_copies_kept
+      FROM embeddings WHERE vec_id < 200""",
     "vs_stats" -> """
       SELECT CAST(count(*) - 5 AS BIGINT) AS n_live,
              CAST(5 AS BIGINT) AS n_tombstones,

@@ -331,6 +331,51 @@ class VectorStore private (
       .trigger(trigger)
       .start()
 
+  /** [[ingestStream]] with ONLINE SEMANTIC DEDUP: each micro-batch is
+    * first searched against the CURRENT store (exact 1-NN, float32
+    * L2), and only rows farther than `eps` from every stored vector
+    * are inserted — the streaming form of the ingest-time dedup a
+    * training-data pipeline runs so a re-crawled page never lands
+    * twice. Cross-batch by construction (batch N is checked against
+    * everything batches 1..N−1 kept); duplicates WITHIN one batch are
+    * the caller's contract (pre-dedup the batch, or lower
+    * maxFilesPerTrigger — checking a batch against itself would need a
+    * self-join this sink deliberately leaves to the batch [[graft.operators.SemDedup]]
+    * path). An empty store accepts the whole first batch.
+    */
+  def ingestStreamDedup(stream: DataFrame, checkpointDir: String,
+      eps: Double,
+      orderCols: Seq[org.apache.spark.sql.Column] = Seq.empty,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(eps >= 0.0, s"eps must be >= 0, got $eps")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ordered =
+          if (orderCols.isEmpty) batch
+          else batch.orderBy(orderCols: _*).coalesce(1)
+        val survivors =
+          if (count() == 0L) ordered
+          else {
+            val keyed = ordered
+              .withColumn("_qid", monotonically_increasing_id())
+              .localCheckpoint(true)
+            val nn = searchDF(
+                keyed.select($"_qid".as("qid"),
+                  $"vec".cast("array<float>").as("qvec")), k = 1)
+              .filter($"distance".cast("double") <= eps)
+              .select($"qid".as("_qid"))
+            keyed.join(nn, Seq("_qid"), "left_anti").drop("_qid")
+          }
+        if (!survivors.isEmpty) insertDF(survivors)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Fold any pending tombstones into a rewrite (no-op on the plain
     * Parquet layout). Run when the tombstone set grows large enough that
     * the per-read anti-join matters.

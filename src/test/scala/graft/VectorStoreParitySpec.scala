@@ -727,4 +727,36 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       .as[(Long, Float)].collect().toMap
     assert(got == (0 until 10).map(i => i.toLong -> i.toFloat).toMap)
   }
+
+  test("ingestStreamDedup: near-dups of stored rows rejected, novel rows kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-sdd").toString
+    val store = VectorStore.openOrCreate(spark, s"$base/store", 4,
+      tombstoneDeletes = true)
+    def v(x: Float) = Array(x, 0f, 0f, 0f)
+    // batch file 1: two well-separated originals; batch file 2: an
+    // exact copy of the first, a near-copy (dist 0.1) of the second,
+    // and one genuinely novel vector — the stream must keep only the
+    // novel one from file 2
+    Seq((1L, v(0f)), (2L, v(10f))).toDF("k", "vec")
+      .repartitionByRange(2, $"k").write.parquet(s"$base/srcA")
+    Seq((3L, v(0f)), (4L, Array(10.1f, 0f, 0f, 0f)), (5L, v(50f)))
+      .toDF("k", "vec").write.parquet(s"$base/srcB")
+    def stream(d: String) = spark.readStream
+      .schema(spark.read.parquet(d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+      .select(col("vec"), col("k"))
+    // originals land first (two micro-batches), then the dirty batch
+    store.ingestStreamDedup(stream(s"$base/srcA"), s"$base/ckA", eps = 0.5,
+      orderCols = Seq(col("k"))).awaitTermination()
+    store.ingestStreamDedup(stream(s"$base/srcB"), s"$base/ckB", eps = 0.5,
+      orderCols = Seq(col("k"))).awaitTermination()
+    val kept = store.dumpVecs().map(_.head).sorted.toSeq
+    assert(kept == Seq(0f, 10f, 50f),
+      s"copies must be rejected, novel kept: $kept")
+    intercept[IllegalArgumentException](
+      store.ingestStreamDedup(stream(s"$base/srcA"), s"$base/ck2",
+        eps = -1.0))
+  }
 }
