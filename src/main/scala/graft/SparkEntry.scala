@@ -1784,6 +1784,15 @@ object SparkEntry {
     }),
 
     // batch sessionization (streaming semantics, lag/cumsum formulation)
+    // Mann-Kendall monotone-trend test over the shared pre-rounded
+    // daily means: S, n, and the tie-corrected Var(S) numerator — all
+    // integers (Z/p-value are caller-side sqrt/erf of them), the
+    // companion verdict to st_theilsen's slope.
+    "st_mannkendall" -> ((s, dir) =>
+      graft.operators.Outliers.mannKendall(dailyMeans(s, dir),
+          Seq("event_type"), "day", "m")
+        .orderBy("event_type")),
+
     // Cohort retention triangle: users bucketed by first-activity day,
     // counted active at each age — one min-agg, one user-keyed join,
     // one bounded aggregate. All integers.
@@ -4691,6 +4700,33 @@ object SparkEntry {
              rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
                AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
+    "st_mannkendall" -> """
+      WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS DOUBLE) AS day,
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 8e15 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) / count(*) AS m
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)),
+      sp AS (
+        SELECT a.event_type,
+               CAST(sum(sign(b.m - a.m)) AS BIGINT) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type),
+      np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             FROM daily GROUP BY event_type),
+      ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+        FROM (SELECT event_type, m, count(*) AS t
+              FROM daily GROUP BY event_type, m)
+        GROUP BY event_type)
+      SELECT np.event_type, np.n, coalesce(sp.s, 0) AS s,
+             np.n * (np.n - 1) * (2 * np.n + 5) - ties.tie AS var_num
+      FROM np LEFT JOIN sp ON sp.event_type = np.event_type
+      JOIN ties ON ties.event_type = np.event_type
+      ORDER BY np.event_type""",
     "st_cohort" -> """
       WITH act AS (
         SELECT DISTINCT user_id AS u,

@@ -619,4 +619,45 @@ object Outliers {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
         col("slope") :+ col("intercept"): _*)
   }
+
+  /** Mann-Kendall trend test (Mann 1945; Kendall 1975) per group over
+    * an ordered series: S = Σ_{i<j} sign(x_j − x_i), the nonparametric
+    * "is there a monotone trend" companion to [[theilSen]]'s slope —
+    * Theil-Sen says HOW steep, Mann-Kendall says WHETHER. Every output
+    * is an INTEGER: S (ties contribute 0), n, and the tie-corrected
+    * numerator of Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18 over
+    * tie groups of size t. Z = (S∓1)/sqrt(Var) and the p-value are
+    * sqrt/erf of these integers — left to the caller or a spec so
+    * nothing transcendental reaches a hashed projection.
+    *
+    * Per-group O(n²) pair join by contract (bounded rollup series,
+    * exactly [[theilSen]]'s shape); the distributed dimension is the
+    * group count.
+    *
+    * Returns (groupCols…, n, s, var_num) — Var(S) = var_num / 18.
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mannKendall needs at least one group column")
+    val gcols = groupCols.map(col)
+    val pts = df.select(gcols :+ col(orderCol).cast("double").as("_x") :+
+      col(valueCol).cast("double").as("_y"): _*)
+    val a = pts.toDF(groupCols ++ Seq("_xi", "_yi"): _*)
+    val b = pts.toDF(groupCols ++ Seq("_xj", "_yj"): _*)
+    val s = a.join(b, groupCols)
+      .filter(col("_xi") < col("_xj"))
+      .groupBy(gcols: _*)
+      .agg(sum(signum(col("_yj") - col("_yi")).cast("long")).as("s"))
+    val n = pts.groupBy(gcols: _*).agg(count(lit(1)).as("n"))
+    val tieTerm = pts.groupBy(gcols :+ col("_y"): _*)
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(gcols: _*)
+      .agg(sum(col("_t") * (col("_t") - 1L) * (lit(2L) * col("_t") + 5L))
+        .as("_tie"))
+    n.join(s, groupCols.toSeq, "left_outer")
+      .join(tieTerm, groupCols.toSeq)
+      .select(gcols :+ col("n") :+ coalesce(col("s"), lit(0L)).as("s") :+
+        (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+          - col("_tie")).as("var_num"): _*)
+  }
 }

@@ -221,6 +221,25 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, Long, Option[Double])].collect().head == ((6L, 0L, None)))
   }
 
+  test("mannKendall: hand S, tie correction, flat series") {
+    import graft.operators.Outliers
+    // rising series with one dip and one value-tie:
+    // y = 1, 3, 2, 3, 5 at x = 0..4
+    // pairs (i<j): signs = (1,1,1,1),(−1,0,1),(1,1),(1) -> S = 7
+    val d = Seq(("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, 2.0),
+      ("a", 3, 3.0), ("a", 4, 5.0),
+      ("b", 0, 7.0), ("b", 1, 7.0), ("b", 2, 7.0)).toDF("g", "x", "y")
+    val r = Outliers.mannKendall(d, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r("a") == ("a", 5L, 7L,
+      // var_num = n(n−1)(2n+5) − Σ t(t−1)(2t+5); one tie pair (t=2):
+      // 5·4·15 − 2·1·9 = 300 − 18 = 282
+      282L))
+    // flat series: S = 0 and the tie correction kills the variance
+    // entirely (t = 3): 3·2·11 − 3·2·11 = 0
+    assert(r("b") == ("b", 3L, 0L, 0L))
+  }
+
   test("theilSen: hand medians, outlier immunity, ties-in-x skipped, n<2") {
     import graft.operators.Outliers
     // y = 2x + 1 exactly, one wild outlier at x=4: pairwise slopes not
