@@ -2593,6 +2593,16 @@ object SparkEntry {
           hround(col("violation_rate"), 6).as("violation_rate"))
         .orderBy("rule")),
 
+    // Benford first-digit audit over prices scaled to integer cents
+    // (floor(x·100 + 0.5) — engine-stable): per-flag leading-digit
+    // histogram, pure integer/string ops end to end.
+    "vd_benford" -> ((s, dir) =>
+      graft.operators.Validate.benfordDigits(
+          T(s, dir, "lineitem").withColumn("cents",
+            floor(col("l_extendedprice") * lit(100.0) + lit(0.5))),
+          Seq("l_returnflag"), "cents")
+        .orderBy("l_returnflag", "digit")),
+
     // Key-uniqueness audit: the natural key is unique, the foreign key
     // is (by construction) heavily duplicated — both from one groupBy.
     "vd_uniqueness" -> ((s, dir) => {
@@ -4637,6 +4647,17 @@ object SparkEntry {
                THEN CAST(v AS DOUBLE) / CAST(n AS DOUBLE)
                ELSE 0e0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS violation_rate
       FROM r ORDER BY rule""",
+    "vd_benford" -> """
+      WITH c AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM lineitem)
+      SELECT l_returnflag,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c WHERE cents > 0
+      GROUP BY l_returnflag, digit
+      ORDER BY l_returnflag, digit""",
     "vd_uniqueness" -> """
       WITH k1 AS (
         SELECT CAST(sum(c) AS BIGINT) AS n_rows,

@@ -47,6 +47,32 @@ object Validate {
           .otherwise(lit(0.0)).as("violation_rate"))
   }
 
+  /** Benford first-digit audit: counts of the leading significant
+    * digit 1-9 of a POSITIVE INTEGER column per group — the classic
+    * fabricated-numbers / unit-mix smell test (genuine multi-scale
+    * quantities follow P(d) = log10(1 + 1/d); flat or spiked digit
+    * histograms flag synthetic data, truncation bugs, or mixed
+    * units). Callers scale decimal quantities to integer units first
+    * (cents, micros) with an engine-stable floor — the digit then
+    * comes from the integer's decimal rendering, pure string ops with
+    * no float formatting or log10 anywhere, so the histogram replays
+    * bit-for-bit on any engine. The chi-square against the Benford
+    * expectation is caller-side (it needs log10). Non-positive values
+    * are excluded (they have no leading significant digit).
+    *
+    * One scan, one map-side-combined aggregate; output is
+    * |groups|·9 rows of integers: (groupCols…, digit, n).
+    */
+  def benfordDigits(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    df.filter(col(valueCol) > 0)
+      .select(g :+ substring(col(valueCol).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"): _*)
+      .groupBy(g :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Key-uniqueness audit for `cols`: one row (n_rows, n_keys,
     * n_dupe_rows, max_multiplicity) — n_dupe_rows is how many rows
     * would be dropped by a dedup on the key. NULL key components group

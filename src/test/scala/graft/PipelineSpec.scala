@@ -112,6 +112,15 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Join"), "rules must not multiply scans")
   }
 
+  test("benfordDigits: hand histogram, non-positives excluded") {
+    import graft.operators.Validate
+    val d = Seq(("g", 123L), ("g", 19L), ("g", 2L), ("g", 250L),
+      ("g", 0L), ("g", -7L), ("h", 900L)).toDF("g", "v")
+    val r = Validate.benfordDigits(d, Seq("g"), "v")
+      .as[(String, Int, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(r == Map(("g", 1) -> 2L, ("g", 2) -> 2L, ("h", 9) -> 1L))
+  }
+
   test("validate uniqueness: dupes counted, empty frame, null keys group") {
     import graft.operators.Validate
     val d = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1)).toDF("k", "n")
