@@ -3713,6 +3713,26 @@ object SparkEntry {
           T(s, dir, "lineitem"), "l_returnflag", "l_quantity", saltBuckets = 16)
         .select(col("l_returnflag"), col("n"), hround(col("total"), 2).as("total_qty"))
         .orderBy("l_returnflag")),
+    // Salted skew JOIN: a synthetically hot key (25% of lineitem lands
+    // on skewkey 0) joined to a small per-key dim through 8 salt
+    // buckets — result provably identical to the plain equi-join,
+    // which is exactly what DuckDB replays (it knows nothing of salt).
+    "q34_salted_join" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 4 === 0, 0L)
+          .otherwise(col("l_suppkey") % 50).as("skewkey"),
+        col("l_orderkey"), col("l_quantity"))
+      val dim = T(s, dir, "supplier")
+        .groupBy((col("s_suppkey") % 50).as("skewkey"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Skew.saltedJoin(big, dim, Seq("skewkey"),
+          saltFactor = 8, bigSaltExpr = col("l_orderkey"))
+        .groupBy("skewkey")
+        .agg(count(lit(1)).as("n_rows"), max(col("w")).as("w"),
+          hround(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("skewkey")
+    }),
+
     "q22_salted_distinct" -> ((s, dir) =>
       graft.operators.Skew.saltedCountDistinct(
           T(s, dir, "lineitem"), "l_returnflag", "l_partkey", saltBuckets = 16)
@@ -8163,6 +8183,19 @@ object SparkEntry {
     "q21_salted_agg" -> """
       SELECT l_returnflag, count(*) AS n, (CASE WHEN isnan(CAST((sum(l_quantity)) AS DOUBLE)) OR abs(CAST((sum(l_quantity)) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_quantity)) AS DOUBLE) ELSE floor(CAST((sum(l_quantity)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS total_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q34_salted_join" -> """
+      WITH big AS (
+        SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+                    ELSE l_suppkey % 50 END AS skewkey,
+               l_quantity
+        FROM lineitem),
+      dim AS (
+        SELECT s_suppkey % 50 AS skewkey, CAST(count(*) AS BIGINT) AS w
+        FROM supplier GROUP BY 1)
+      SELECT b.skewkey, CAST(count(*) AS BIGINT) AS n_rows, max(d.w) AS w,
+             (CASE WHEN isnan(CAST((sum(l_quantity)) AS DOUBLE)) OR abs(CAST((sum(l_quantity)) AS DOUBLE)) >= 8e15 THEN CAST((sum(l_quantity)) AS DOUBLE) ELSE floor(CAST((sum(l_quantity)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END) AS sum_qty
+      FROM big b JOIN dim d ON b.skewkey = d.skewkey
+      GROUP BY b.skewkey ORDER BY b.skewkey""",
     "q22_salted_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

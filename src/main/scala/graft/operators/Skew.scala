@@ -51,4 +51,32 @@ object Skew {
       .agg(count(lit(1)).as("_n"))
       .groupBy(col(keyCol))
       .agg(sum(col("_n")).as("n_distinct"))
+
+  /** Salted inner equi-join for extreme key skew: replicate the SMALL
+    * side `saltFactor`× (one full copy per salt bucket) and scatter
+    * the skewed side's rows across buckets by a deterministic hash of
+    * `bigSaltExpr` — the manual treatment for when AQE's skew-join
+    * split cannot help (a single key too hot for any split target, a
+    * build side that must stay shuffled, or a non-AQE context like a
+    * streaming micro-batch join). The result is IDENTICAL to
+    * `big.join(small, keys)`: a skewed row lands in exactly one salt
+    * bucket, and that bucket holds a complete copy of the small
+    * side's rows for its key, so every matching pair meets exactly
+    * once. Cost: the small side shuffles `saltFactor`× its size; the
+    * hot key's rows spread over `saltFactor` reducers instead of one.
+    *
+    * `bigSaltExpr` must be deterministic per row (any column works —
+    * even the join key's companion attributes; prefer a high-
+    * cardinality one so buckets balance).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int, bigSaltExpr: Column): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    val s = small.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    val b = big.withColumn("_salt",
+      pmod(hash(bigSaltExpr), lit(saltFactor)))
+    b.join(s, keys :+ "_salt").drop("_salt")
+  }
 }

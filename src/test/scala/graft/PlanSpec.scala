@@ -461,4 +461,30 @@ class PlanSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
     assert(!s.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$s")
   }
+  test("saltedJoin: identical to plain join; shuffle keys carry the salt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    import graft.operators.Skew
+    val big = spark.range(20000)
+      .select(when($"id" % 4 === 0, 0L).otherwise($"id" % 37).as("k"),
+        $"id".as("v"))
+    val dim = spark.range(37).select($"id".as("k"), ($"id" * 10).as("w"))
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), saltFactor = 8,
+        bigSaltExpr = $"v")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+    val plain = big.join(dim, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+    assert(salted.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+    // with broadcast off, the join exchange must hash on (k, _salt) —
+    // the hot key spreads across saltFactor reducers
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Skew.saltedJoin(big, dim, Seq("k"), 8, $"v")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(k"), s"join must shuffle on keys:\n$plan")
+      assert(plan.contains("_salt"), s"shuffle keys must carry the salt:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
