@@ -2593,6 +2593,16 @@ object SparkEntry {
           hround(col("violation_rate"), 6).as("violation_rate"))
         .orderBy("rule")),
 
+    // Referential-integrity audit: orphan foreign keys + unused parent
+    // keys in one integer row. A synthetic violation (fk shifted past
+    // the parent range for 1% of rows) keeps the audit non-vacuous.
+    "vd_refint" -> ((s, dir) =>
+      graft.operators.Validate.referentialIntegrity(
+          T(s, dir, "lineitem").select(
+            when(col("l_orderkey") % 100 === 7, col("l_partkey") + 10000000)
+              .otherwise(col("l_partkey")).as("fk")),
+          "fk", T(s, dir, "part"), "p_partkey")),
+
     // Benford first-digit audit over prices scaled to integer cents
     // (floor(x·100 + 0.5) — engine-stable): per-flag leading-digit
     // histogram, pure integer/string ops end to end.
@@ -4667,6 +4677,18 @@ object SparkEntry {
                THEN CAST(v AS DOUBLE) / CAST(n AS DOUBLE)
                ELSE 0e0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS violation_rate
       FROM r ORDER BY rule""",
+    "vd_refint" -> """
+      WITH c AS (
+        SELECT CASE WHEN l_orderkey % 100 = 7 THEN l_partkey + 10000000
+                    ELSE l_partkey END AS fk
+        FROM lineitem)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM c
+              WHERE fk NOT IN (SELECT p_partkey FROM part)) AS n_orphans,
+             (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_parents,
+             (SELECT CAST(count(*) AS BIGINT) FROM part
+              WHERE p_partkey NOT IN (SELECT fk FROM c))
+               AS n_parents_unused""",
     "vd_benford" -> """
       WITH c AS (
         SELECT l_returnflag,

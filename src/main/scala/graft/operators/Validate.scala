@@ -73,6 +73,30 @@ object Validate {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Referential-integrity audit: child rows whose foreign key has no
+    * parent (orphans — broken joins waiting to happen) and parent keys
+    * no child references (unused — often a stale-dimension smell).
+    * One row of integers: (n_child, n_orphans, n_parents,
+    * n_parents_unused). NULL foreign keys count as orphans (they
+    * cannot join). Shape: two key-projected anti-join counts — the
+    * child side scans once per count, column-pruned to the key.
+    */
+  def referentialIntegrity(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String): DataFrame = {
+    val fk = child.select(col(fkCol).as("_k"))
+    val pk = parent.select(col(pkCol).as("_k"))
+    val orphans = fk.join(pk, Seq("_k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val unused = pk.join(fk, Seq("_k"), "left_anti")
+      .agg(count(lit(1)).as("n_parents_unused"))
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans)
+      .crossJoin(parent.agg(count(lit(1)).as("n_parents")))
+      .crossJoin(unused)
+      .select(col("n_child"), col("n_orphans"), col("n_parents"),
+        col("n_parents_unused"))
+  }
+
   /** Key-uniqueness audit for `cols`: one row (n_rows, n_keys,
     * n_dupe_rows, max_multiplicity) — n_dupe_rows is how many rows
     * would be dropped by a dedup on the key. NULL key components group

@@ -121,6 +121,17 @@ class PipelineSpec extends SparkSuite {
     assert(r == Map(("g", 1) -> 2L, ("g", 2) -> 2L, ("h", 9) -> 1L))
   }
 
+  test("referentialIntegrity: orphans, unused parents, nulls orphan") {
+    import graft.operators.Validate
+    val child = Seq[Tuple1[java.lang.Long]](Tuple1(1L), Tuple1(1L),
+      Tuple1(2L), Tuple1(9L), Tuple1(null)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Validate.referentialIntegrity(child, "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].head()
+    // 5 children; orphans = {9, null}; 3 parents; unused = {3}
+    assert(r == ((5L, 2L, 3L, 1L)))
+  }
+
   test("validate uniqueness: dupes counted, empty frame, null keys group") {
     import graft.operators.Validate
     val d = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1)).toDF("k", "n")
