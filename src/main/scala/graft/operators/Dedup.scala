@@ -1024,11 +1024,11 @@ object Dedup {
     */
   def splitLeakage(labeled: DataFrame, idCol: String, splitCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val la = labeled.select(col(idCol).cast("long").as(aCol),
-      col(splitCol).as("_sa"))
-    val lb = labeled.select(col(idCol).cast("long").as(bCol),
-      col(splitCol).as("_sb"))
-    pairs.select(col(aCol).cast("long").as(aCol), col(bCol).cast("long").as(bCol))
+    // ids join in their NATURAL type — a long cast would null string
+    // document ids and silently report zero leakage
+    val la = labeled.select(col(idCol).as(aCol), col(splitCol).as("_sa"))
+    val lb = labeled.select(col(idCol).as(bCol), col(splitCol).as("_sb"))
+    pairs.select(col(aCol), col(bCol))
       .join(la, Seq(aCol)).join(lb, Seq(bCol))
       .select(least(col("_sa"), col("_sb")).as("split_a"),
         greatest(col("_sa"), col("_sb")).as("split_b"))

@@ -648,7 +648,17 @@ object Outliers {
       .filter(col("_xi") < col("_xj"))
       .groupBy(gcols: _*)
       .agg(sum(signum(col("_yj") - col("_yi")).cast("long")).as("s"))
-    val n = pts.groupBy(gcols: _*).agg(count(lit(1)).as("n"))
+    // the test is defined over one observation per time point: pairs
+    // tied in x are EXCLUDED from S but have no standard correction in
+    // Var(S), so duplicate orderCol values per group would silently
+    // inflate the variance — aggregate first (e.g. daily means), and
+    // this guard makes the contract a hard error instead of a wrong Z.
+    // It rides the consumed `n` column so pruning cannot elide it.
+    val n = pts.groupBy(gcols: _*).agg((count(lit(1))
+      + when(count(lit(1)) === count_distinct(col("_x")), lit(0L))
+        .otherwise(raise_error(lit("mannKendall: duplicate orderCol " +
+          "values within a group — aggregate to one observation per " +
+          "time point first")).cast("long"))).as("n"))
     val tieTerm = pts.groupBy(gcols :+ col("_y"): _*)
       .agg(count(lit(1)).as("_t"))
       .groupBy(gcols: _*)

@@ -67,8 +67,9 @@ object RecordLinkage {
     * classic complement to hash blocking ([[blockedEditPairs]]): a
     * hash block is all-or-nothing (a typo in the key loses the pair;
     * a degenerate key goes quadratic until the size gate drops it),
-    * while the sorted neighborhood yields EXACTLY n·(window−1)
-    * candidate pairs whatever the key distribution — the standard
+    * while the sorted neighborhood yields at most n·(window−1)
+    * candidate pairs whatever the key distribution (the last window−1
+    * records have fewer followers) — the standard
     * multi-pass remedy for its boundary blindness is a second pass
     * with a rotated key, which is just calling this again.
     *

@@ -293,7 +293,16 @@ object Sampling {
         (col("_sxx").cast("double")
           - col("_sx").cast("double") * col("_sx").cast("double")
             / col("n_rows").cast("double"))
-          / col("n_rows").cast("double"))
+          / col("n_rows").cast("double")
+          // overflow guard: a decimal(18,0)/decimal(38,0) overflow
+          // nulls the moment under non-ANSI mode, and greatest(NULL,0)
+          // would silently zero a real stratum's σ — fail loudly
+          // instead (adding literal 0.0 is an IEEE no-op otherwise)
+          + when((col("_sx").isNotNull && col("_sxx").isNotNull)
+              || col("n_rows") === 0L, lit(0.0))
+            .otherwise(raise_error(lit("neymanAllocation: moment " +
+              "overflow — value column exceeds the exact decimal " +
+              "range; scale it down first")).cast("double")))
       .withColumn("sigma_micro",
         floor(sqrt(greatest(col("_varp"), lit(0.0))) * lit(1e6) + lit(0.5)))
     // integer micro-σ weights: N_h·σ_micro is an exact long, so the

@@ -73,6 +73,8 @@ object Skew {
       saltFactor: Int, bigSaltExpr: Column): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not contain a column named _salt (reserved by saltedJoin)")
     val s = small.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     val b = big.withColumn("_salt",

@@ -57,8 +57,10 @@ object Validate {
     * comes from the integer's decimal rendering, pure string ops with
     * no float formatting or log10 anywhere, so the histogram replays
     * bit-for-bit on any engine. The chi-square against the Benford
-    * expectation is caller-side (it needs log10). Non-positive values
-    * are excluded (they have no leading significant digit).
+    * expectation is caller-side (it needs log10). Values below 1 are
+    * excluded — non-positives have no leading significant digit, and
+    * fractions in (0, 1) would truncate to a spurious digit 0 (scale
+    * them to integer units first).
     *
     * One scan, one map-side-combined aggregate; output is
     * |groups|·9 rows of integers: (groupCols…, digit, n).
@@ -66,7 +68,7 @@ object Validate {
   def benfordDigits(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val g = groupCols.map(col)
-    df.filter(col(valueCol) > 0)
+    df.filter(col(valueCol) >= 1)
       .select(g :+ substring(col(valueCol).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"): _*)
       .groupBy(g :+ col("digit"): _*)

@@ -352,13 +352,10 @@ class VectorStore private (
     require(eps >= 0.0, s"eps must be >= 0, got $eps")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ordered =
-          if (orderCols.isEmpty) batch
-          else batch.orderBy(orderCols: _*).coalesce(1)
-        val survivors =
-          if (count() == 0L) ordered
+        val deduped =
+          if (count() == 0L) batch
           else {
-            val keyed = ordered
+            val keyed = batch
               .withColumn("_qid", monotonically_increasing_id())
               .localCheckpoint(true)
             val nn = searchDF(
@@ -368,6 +365,12 @@ class VectorStore private (
               .select($"qid".as("_qid"))
             keyed.join(nn, Seq("_qid"), "left_anti").drop("_qid")
           }
+        // order AFTER the dedup join: the anti-join may plan as a
+        // shuffle for large batches, which would scramble a
+        // pre-applied order and make id assignment nondeterministic
+        val survivors =
+          if (orderCols.isEmpty) deduped
+          else deduped.orderBy(orderCols: _*).coalesce(1)
         if (!survivors.isEmpty) insertDF(survivors)
         ()
       }
@@ -773,7 +776,11 @@ class VectorStore private (
           col("rn").cast("int").as("rank"))
     val docsProj = table.select($"id", $"doc")
     val lexical = textQueries.zipWithIndex.map { case (text, i) =>
-      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      // distinct: natural-language queries repeat words ("the cat and
+      // the dog") and BM25 scores each TERM once — the duplicate would
+      // otherwise trip Bm25's duplicate-terms contract
+      val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .distinct.toSeq
       require(terms.nonEmpty, s"text query $i has no tokens")
       val w = Window.orderBy(col("bm25").desc, col("id"))
       graft.operators.Bm25.topK(docsProj, "id", "doc", terms, cap)
