@@ -1784,6 +1784,19 @@ object SparkEntry {
     }),
 
     // batch sessionization (streaming semantics, lag/cumsum formulation)
+    // A/B proportion z-test: user parity buckets as variants, purchase
+    // as conversion — four integer counts and a z that is pure IEEE
+    // arithmetic OF those integers (no sums of doubles anywhere), so
+    // even the statistic hashes after the floor-scaled rounding.
+    "st_abtest" -> ((s, dir) =>
+      graft.operators.Outliers.proportionTest(
+          events(s, dir).withColumn("variant",
+            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+          "variant", col("event_type") === "purchase", "a", "b")
+        .select(col("variant_a"), col("n_a"), col("x_a"),
+          col("variant_b"), col("n_b"), col("x_b"),
+          hround(col("z"), 6).as("z"))),
+
     // Mann-Kendall monotone-trend test over the shared pre-rounded
     // daily means: S, n, and the tie-corrected Var(S) numerator — all
     // integers (Z/p-value are caller-side sqrt/erf of them), the
@@ -4763,6 +4776,57 @@ object SparkEntry {
              rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
                AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
+    // z replay mirrors the Spark expression tree exactly: pooled p
+    // from the four BIGINT counts, one sqrt, identical parenthesization.
+    "st_abtest" -> """
+      WITH c AS (
+        SELECT
+          CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(sum(CASE WHEN user_id % 2 = 0
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS x_a,
+          CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(sum(CASE WHEN user_id % 2 <> 0
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS x_b
+        FROM events)
+      SELECT 'a' AS variant_a, n_a, x_a, 'b' AS variant_b, n_b, x_b,
+             (CASE WHEN isnan(CAST((
+               (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               ) AS DOUBLE)) OR abs(CAST((
+               (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               ) AS DOUBLE)) >= 8e11 THEN CAST((
+               (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               ) AS DOUBLE) ELSE floor(CAST((
+               (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               ) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS z
+      FROM c""",
     "st_mannkendall" -> """
       WITH daily AS (
         SELECT event_type,

@@ -670,4 +670,39 @@ object Outliers {
         (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
           - col("_tie")).as("var_num"): _*)
   }
+  /** Two-variant proportion test — the A/B conversion-rate z-test:
+    * pooled p̂ = (x_a+x_b)/(n_a+n_b),
+    * z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)).
+    * Every arithmetic step derives from FOUR INTEGERS via single
+    * correctly-rounded IEEE ops (divide, multiply, sqrt) — unlike a
+    * t-test over raw values there is no sum-order sensitivity
+    * anywhere, so z replays bit-for-bit from the counts on any
+    * engine. z is NULL when either arm is empty or p̂ ∈ {0, 1} (no
+    * variance to test against); the significance threshold is the
+    * caller's call. One scan, one 1-row aggregate; rows outside the
+    * two named variants are ignored; NULL success counts as failure
+    * (filter semantics).
+    */
+  def proportionTest(df: DataFrame, variantCol: String, successCol: Column,
+      a: String, b: String): DataFrame = {
+    require(a != b, "the two variant labels must differ")
+    val s = when(coalesce(successCol, lit(false)), 1L).otherwise(0L)
+    val agg = df.filter(col(variantCol).isin(a, b))
+      .agg(
+        sum(when(col(variantCol) === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(variantCol) === a, s).otherwise(0L)).as("x_a"),
+        sum(when(col(variantCol) === b, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(variantCol) === b, s).otherwise(0L)).as("x_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("x_a").cast("double") / na
+    val pb = col("x_b").cast("double") / nb
+    val pp = (col("x_a") + col("x_b")).cast("double") / (na + nb)
+    agg
+      .select(lit(a).as("variant_a"), col("n_a"), col("x_a"),
+        lit(b).as("variant_b"), col("n_b"), col("x_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L && pp > 0.0 && pp < 1.0,
+          (pa - pb) / sqrt(pp * (lit(1.0) - pp)
+            * (lit(1.0) / na + lit(1.0) / nb))).as("z"))
+  }
 }

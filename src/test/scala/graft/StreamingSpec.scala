@@ -221,6 +221,30 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, Long, Option[Double])].collect().head == ((6L, 0L, None)))
   }
 
+  test("proportionTest: hand z, empty/degenerate arms null, nulls fail") {
+    import graft.operators.Outliers
+    // a: 2/4 convert; b: 1/4; null success counts as failure
+    val d = Seq(("a", Some(true)), ("a", Some(true)), ("a", Some(false)),
+      ("a", None), ("b", Some(true)), ("b", Some(false)),
+      ("b", Some(false)), ("b", None), ("c", Some(true))).toDF("v", "s")
+    val r = Outliers.proportionTest(d, "v", $"s", "a", "b")
+      .as[(String, Long, Long, String, Long, Long, Option[Double])].head()
+    assert((r._1, r._2, r._3, r._4, r._5, r._6) == (("a", 4L, 2L, "b", 4L, 1L)))
+    // z = (0.5 - 0.25)/sqrt(0.375*0.625*(0.25+0.25))
+    val expect = 0.25 / math.sqrt(0.375 * 0.625 * 0.5)
+    assert(math.abs(r._7.get - expect) < 1e-12)
+    // all-success pool: p-hat = 1 -> no variance -> z NULL
+    val deg = Seq(("a", true), ("b", true)).toDF("v", "s")
+    assert(Outliers.proportionTest(deg, "v", $"s", "a", "b")
+      .select($"z").as[Option[Double]].head().isEmpty)
+    // one empty arm -> z NULL
+    val one = Seq(("a", true), ("a", false)).toDF("v", "s")
+    assert(Outliers.proportionTest(one, "v", $"s", "a", "b")
+      .select($"z").as[Option[Double]].head().isEmpty)
+    intercept[IllegalArgumentException](
+      Outliers.proportionTest(d, "v", $"s", "a", "a"))
+  }
+
   test("mannKendall: hand S, tie correction, flat series") {
     import graft.operators.Outliers
     // rising series with one dip and one value-tie:
