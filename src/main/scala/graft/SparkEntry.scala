@@ -1784,6 +1784,14 @@ object SparkEntry {
     }),
 
     // batch sessionization (streaming semantics, lag/cumsum formulation)
+    // Top-k + <other> rollup over a high-cardinality dimension: the
+    // dashboard shape, with the long tail folded into one row carrying
+    // its mass AND its distinct-value count. All integers; ties at the
+    // cut break on the value string.
+    "q35_topk_others" -> ((s, dir) =>
+      graft.operators.Reports.topKWithOthers(
+        events(s, dir).select(col("user_id")), "user_id", k = 10)),
+
     // A/B proportion z-test: user parity buckets as variants, purchase
     // as conversion — four integer counts and a z that is pure IEEE
     // arithmetic OF those integers (no sums of doubles anywhere), so
@@ -4778,6 +4786,25 @@ object SparkEntry {
       FROM rk CROSS JOIN sh ORDER BY source""",
     // z replay mirrors the Spark expression tree exactly: pooled p
     // from the four BIGINT counts, one sqrt, identical parenthesization.
+    "q35_topk_others" -> """
+      WITH c AS (
+        SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS n
+        FROM events GROUP BY user_id),
+      r AS (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rk
+            FROM c WHERE v IS NOT NULL),
+      top AS (SELECT v AS value, CAST(n AS BIGINT) AS n,
+                     CAST(1 AS BIGINT) AS n_values, 0 AS ord, rk
+              FROM r WHERE rk <= 10),
+      tail AS (SELECT n FROM r WHERE rk > 10
+               UNION ALL SELECT n FROM c WHERE v IS NULL),
+      oth AS (SELECT '<other>' AS value,
+                     CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_values,
+                     1 AS ord, 0 AS rk
+              FROM tail HAVING count(*) > 0)
+      SELECT value, n, n_values FROM (
+        SELECT * FROM top UNION ALL SELECT * FROM oth)
+      ORDER BY ord, rk""",
     "st_abtest" -> """
       WITH c AS (
         SELECT

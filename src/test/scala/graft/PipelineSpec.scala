@@ -121,6 +121,20 @@ class PipelineSpec extends SparkSuite {
     assert(r == Map(("g", 1) -> 2L, ("g", 2) -> 2L, ("h", 9) -> 1L))
   }
 
+  test("topKWithOthers: cut ties on value, tail mass + cardinality, nulls to other") {
+    import graft.operators.Reports
+    val d = Seq("x", "x", "x", "y", "y", "z", "w", null, null)
+      .map(Tuple1(_)).toDF("v")
+    val r = Reports.topKWithOthers(d, "v", k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // top: x(3), y(2); other: z(1) + w(1) + null(2) = 4 mass, 3 values
+    assert(r == Seq(("x", 3L, 1L), ("y", 2L, 1L), ("<other>", 4L, 3L)))
+    // k >= distinct values: no other row at all
+    val all = Reports.topKWithOthers(d.filter($"v".isNotNull), "v", k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(all == Seq(("x", 3L, 1L), ("y", 2L, 1L), ("w", 1L, 1L), ("z", 1L, 1L)))
+  }
+
   test("referentialIntegrity: orphans, unused parents, nulls orphan") {
     import graft.operators.Validate
     val child = Seq[Tuple1[java.lang.Long]](Tuple1(1L), Tuple1(1L),
