@@ -18,10 +18,15 @@ object Reports {
     * top slot; their mass goes straight to the other row (a NULL row
     * label would collide with rendering).
     *
-    * Scale shape: one map-side-combined count per value, a
-    * distributed top-k cut (rank over the |values|-row count frame),
-    * and a single-row aggregate of the remainder — nothing
-    * corpus-sized past the first aggregate.
+    * Scale shape: one map-side-combined count per value, then a
+    * DISTRIBUTED top-k cut — `orderBy(n desc, value).limit(k)` plans
+    * as TakeOrderedAndProject (per-partition heaps), never a global
+    * sort or a single-partition rank over the |values|-row frame (a
+    * user-id dimension makes |values| corpus-scale, and a bare
+    * `Window.orderBy` there would serialize it through one task).
+    * The tail is an anti-join against the k-row (broadcast) winner
+    * set plus one single-row aggregate; only the final cosmetic rank
+    * over the k+1 output rows touches one partition.
     *
     * Returns (value: string, n, n_values) ordered by (n desc, value)
     * with the other row last regardless of its size.
@@ -32,14 +37,16 @@ object Reports {
     val counts = df
       .select(col(valueCol).cast("string").as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("n"))
-    val ranked = counts.filter(col("_v").isNotNull).withColumn("_rk",
-      row_number().over(Window.orderBy(col("n").desc, col("_v"))))
-    val top = ranked.filter(col("_rk") <= k)
+      .localCheckpoint(true)
+    val topK = counts.filter(col("_v").isNotNull)
+      .orderBy(col("n").desc, col("_v")).limit(k)
+    val top = topK
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("n").desc, col("_v"))))
       .select(col("_v").as("value"), col("n"), lit(1L).as("n_values"),
         lit(0).as("_ord"), col("_rk"))
-    val tail = ranked.filter(col("_rk") > k).select(col("n"))
-      .unionAll(counts.filter(col("_v").isNull).select(col("n")))
-    val other = tail
+    val other = counts
+      .join(broadcast(topK.select(col("_v"))), Seq("_v"), "left_anti")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         count(lit(1)).as("n_values"))
       .filter(col("n_values") > 0L)
