@@ -188,4 +188,31 @@ class ExpressionsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == vs.map(v => bucketIndex(v, b)))
   }
+  test("hround Column == JVM model bit-for-bit over a hostile sample") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def ref(x: Double, d: Int): Double = {
+      val p = math.pow(10, d)
+      if (x.isNaN || math.abs(x) >= 8.0e17 / p) x
+      else math.floor(x * p + 0.5) / p
+    }
+    // decimal-boundary halves, negatives, tiny, huge, specials — the
+    // values engine round() disagrees on are exactly the ones the
+    // Column expression must reproduce from the JVM model bit-for-bit
+    val xs = Seq(0.12345, -0.12345, 2.5, -2.5, 0.00005, -0.00005,
+      1.0 / 3.0, -1.0 / 3.0, 123456.789, 1e-12, 9.9999e11, 1e15,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0) ++ (1 to 50).map(i => math.sin(i.toDouble) * 1e4)
+    for (d <- Seq(0, 2, 4, 6)) {
+      val got = xs.toDF("x")
+        .select(graft.functions.hround(col("x"), d)).as[Double].collect()
+      xs.zip(got).foreach { case (x, g) =>
+        val e = ref(x, d)
+        assert(java.lang.Double.doubleToRawLongBits(g)
+            == java.lang.Double.doubleToRawLongBits(e)
+          || (g.isNaN && e.isNaN),
+          s"hround($x, $d): column gave $g, model $e")
+      }
+    }
+  }
 }

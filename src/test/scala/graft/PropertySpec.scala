@@ -113,4 +113,40 @@ class PropertySpec extends AnyFunSuite {
         math.abs(Kernels.l2Sq(arr(a), arr(b)) - d1 * d1) <= 1e-2f * (1f + d1 * d1)
     })
   }
+  /** Reference model of [[graft.functions.hround]]'s arithmetic. */
+  private def hroundRef(x: Double, d: Int): Double = {
+    val p = math.pow(10, d)
+    val lim = 8.0e17 / p
+    if (x.isNaN || math.abs(x) >= lim) x
+    else math.floor(x * p + 0.5) / p
+  }
+
+  test("hround model: approximation bound, idempotence, guard passthrough") {
+    val vals = Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6),
+      Gen.chooseNum(-1.0, 1.0),
+      Gen.chooseNum(-1e13, 1e13))
+    val digits = Gen.chooseNum(0, 8)
+    check(Prop.forAll(vals, digits) { (x, d) =>
+      val r = hroundRef(x, d)
+      val step = math.pow(10, -d)
+      // never further than one decimal step from the input...
+      val close = math.abs(r - x) <= step
+      // ...idempotent (re-rounding is a no-op)...
+      val idem = hroundRef(r, d) == r ||
+        (hroundRef(r, d).isNaN && r.isNaN)
+      // ...and within one step of BigDecimal HALF_UP (they may pick
+      // different sides only at binary-representation boundaries)
+      val bd = BigDecimal(x)
+        .setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nearBd = math.abs(r - bd) <= step
+      close && idem && nearBd
+    })
+    // guards: NaN and infinities pass through untouched, huge values
+    // skip the scaled path entirely
+    assert(hroundRef(Double.NaN, 4).isNaN)
+    assert(hroundRef(Double.PositiveInfinity, 4).isPosInfinity)
+    assert(hroundRef(Double.NegativeInfinity, 4).isNegInfinity)
+    assert(hroundRef(1e15, 6) == 1e15)
+  }
 }
