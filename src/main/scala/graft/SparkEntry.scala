@@ -3701,6 +3701,16 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(20)),
 
+    // Batched BM25: three queries with overlapping term sets retrieved
+    // from ONE corpus pass (shared tf frame + stats). Scores and ranks
+    // replay in DuckDB per query; the oracle is built through the same
+    // hroundSql canonical template the drift spec validates.
+    "tx_bm25_batch" -> ((s, dir) =>
+      operators.Bm25.topKBatch(T(s, dir, "documents"), "doc_id", "text",
+          Seq(0L -> Seq("spark", "window"), 1L -> Seq("merge", "vector"),
+            2L -> Seq("spark", "vector")), k = 10)
+        .orderBy("qid", "rank")),
+
     // Tokenizer OOV audit: top-100 corpus vocab (freq desc, token) as
     // the known set, then per-source token mass outside it — the
     // drift signal that says "this source moved under the tokenizer".
@@ -8255,6 +8265,48 @@ object SparkEntry {
         SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
         FROM documents) t
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "tx_bm25_batch" -> {
+      val terms = Seq("spark", "window", "merge", "vector")
+      val tfs = terms.map(tm =>
+        s"               len(list_filter(toks, x -> x = '$tm')) AS tf_$tm")
+        .mkString(",\n")
+      val dfs = terms.map(tm =>
+        s"               sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS df_$tm")
+        .mkString(",\n")
+      def score(ts: Seq[String]): String = ts.map(tm =>
+        s"ln(1e0 + (n - df_$tm + 0.5e0)/(df_$tm + 0.5e0)) * tf_$tm * 2.2e0" +
+          s"\n              / (tf_$tm + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))")
+        .mkString("\n          + ")
+      val queries = Seq(0 -> Seq("spark", "window"),
+        1 -> Seq("merge", "vector"), 2 -> Seq("spark", "vector"))
+      val arms = queries.map { case (qid, ts) =>
+        s"""        SELECT CAST($qid AS BIGINT) AS qid, doc_id,
+             ${graft.functions.hroundSql(score(ts), 4)} AS bm25
+        FROM f, s"""
+      }.mkString("\n        UNION ALL\n")
+      s"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id, len(toks) AS dl,
+$tfs
+        FROM t),
+      s AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+$dfs
+        FROM f),
+      sc AS (
+$arms),
+      r AS (
+        SELECT qid, doc_id, bm25,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY bm25 DESC, doc_id) AS rank
+        FROM sc)
+      SELECT qid, doc_id, bm25, CAST(rank AS INTEGER) AS rank
+      FROM r WHERE rank <= 10 AND bm25 > 0e0
+      ORDER BY qid, rank"""
+    },
     "tx_oov" -> """
       WITH tok AS (
         SELECT source,

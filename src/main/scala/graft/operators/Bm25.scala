@@ -175,6 +175,54 @@ object Bm25 {
     rank(scoreWith(docs, idCol, textCol, stats, k1, b), idCol, k)
   }
 
+  /** Multi-query BM25 retrieval in ONE corpus pass: all queries'
+    * terms tokenize together (one tf frame over the term union, one
+    * stats reduce, one eager checkpoint), then each query scores as a
+    * cheap projection of that shared frame — Q queries cost one
+    * corpus scan plus Q slim projections instead of Q scans, which is
+    * the batch shape a hybrid-retrieval loop
+    * ([[graft.store.VectorStore.searchHybrid]]) grows into. The
+    * per-query top-k is the aggregator reduction
+    * ([[SimilarityJoin.topKByDistance]] on the negated rounded
+    * score) — per-partition heaps, never a corpus-sized per-query
+    * shuffle. Ranking matches [[topK]]: rounded score desc, id asc,
+    * positive scores only.
+    *
+    * Returns (qid, idCol, bm25, rank), rank 1..k per qid.
+    */
+  def topKBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate qids in ${queries.map(_._1)}")
+    val normQ = queries.map { case (qid, ts) => qid -> lowercasedDistinct(ts) }
+    val allTerms = normQ.flatMap(_._2).distinct
+    val withTf = tfFrame(docs, idCol, textCol, allTerms).localCheckpoint()
+    val stats = fitFromTf(withTf, allTerms)
+    val idfs = stats.idf
+    val idx = allTerms.zipWithIndex.toMap
+    val scored = normQ.map { case (qid, ts) =>
+      val sc =
+        if (stats.n == 0L) lit(0.0)
+        else ts.map { term =>
+          val i = idx(term)
+          val tf = col(s"tf_$i").cast("double")
+          val norm = lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl").cast("double") / lit(stats.avgdlSafe))
+          lit(idfs(i)) * tf * lit(k1 + 1.0) / (tf + norm)
+        }.reduce(_ + _)
+      withTf.select(lit(qid).as("qid"), col(idCol),
+        graft.functions.hround(sc, 4).as("bm25"))
+    }.reduce(_ unionAll _)
+    SimilarityJoin.topKByDistance(
+        scored.withColumn("_neg", -col("bm25")), "qid", idCol, "_neg", k)
+      .filter(col("_neg") < 0.0)
+      .select(col("qid"), col(idCol), (-col("_neg")).as("bm25"),
+        col("rn").cast("int").as("rank"))
+  }
+
   private def rank(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored
       .withColumn("bm25", graft.functions.hround(col("bm25"), 4))

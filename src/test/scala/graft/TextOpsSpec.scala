@@ -718,4 +718,23 @@ class TextOpsSpec extends SparkSuite {
     // s2: 4 tokens all OOV (lowercased quokka distinct)
     assert(o("s2") == ("s2", 4L, 4L, 4L))
   }
+  test("bm25 topKBatch: each query equals its solo topK run") {
+    import graft.operators.Bm25
+    val docs = Seq(
+      (1L, "spark window merge"), (2L, "spark spark vector"),
+      (3L, "window window window"), (4L, "plain filler text"),
+      (5L, "vector spark")).toDF("id", "text")
+    val batch = Bm25.topKBatch(docs, "id", "text",
+        Seq(7L -> Seq("spark"), 8L -> Seq("window", "vector")), k = 3)
+      .select($"qid", $"id", $"bm25", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    def solo(terms: Seq[String]) = Bm25.topK(docs, "id", "text", terms, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(batch(7L) == solo(Seq("spark")))
+    assert(batch(8L) == solo(Seq("window", "vector")))
+    intercept[IllegalArgumentException](
+      Bm25.topKBatch(docs, "id", "text", Seq(1L -> Seq("a"), 1L -> Seq("b")), 3))
+  }
 }
