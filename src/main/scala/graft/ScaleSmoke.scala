@@ -477,6 +477,22 @@ object ScaleSmoke {
         minCommon = 3, maxCenterDegree = Some(500))
       println(s"SMOKE   linkpred candidates: ${lp.count()}")
     }
+    timed("bm25 topKBatch 4 queries 100k") {
+      // the one-pass batch: 4 queries over the SAME corpus scan —
+      // compare against ~4x the solo "bm25 topK" number above
+      graft.operators.Bm25.topKBatch(bigDocs, "doc_id", "text",
+        Seq(0L -> Seq("spark", "window"), 1L -> Seq("merge", "vector"),
+          2L -> Seq("spark", "vector"), 3L -> Seq("window", "merge")),
+        k = 20).count()
+    }
+    timed("sorted-neighborhood 10k dirty recs") {
+      val recs = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey").as("id"), lower(col("p_name")).as("s"))
+      val pairs = graft.operators.RecordLinkage.sortedNeighborhoodPairs(
+        recs, "id", "s", col("s"), window = 10, maxDist = 2)
+      println(s"SMOKE   sn pairs: ${pairs.count()}")
+    }
     // Hub-heavy link prediction: a power-law-shaped graph — one 40k-
     // degree hub over a ring of bounded-degree nodes. Uncapped, the
     // hub alone contributes C(40k, 2) ≈ 8·10^8 wedges through the
