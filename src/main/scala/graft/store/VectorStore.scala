@@ -745,10 +745,10 @@ class VectorStore private (
     * [[graft.operators.Evaluation.reciprocalRankFusion]].
     *
     * Query texts are tokenized like the BM25 corpus side (lowercased
-    * whitespace split). The per-query BM25 pass is a driver loop over
-    * the query batch — |queries| is driver-bounded by the same
-    * contract as [[search]]'s query Seq; each pass is one corpus scan
-    * of the (id, doc) projection, and the fused frame never collects.
+    * whitespace split). The lexical side runs as ONE batched pass
+    * ([[graft.operators.Bm25.topKBatch]]): every query's terms share a
+    * single corpus scan and a single checkpointed tf frame, however
+    * many queries the batch carries; the fused frame never collects.
     *
     * Returns (qid, id, rrf, rank), rank 1..k per qid. RRF's two-term
     * reciprocal sums are single correctly-rounded IEEE ops, so the
@@ -775,18 +775,19 @@ class VectorStore private (
         .select(col("qid").cast("int").as("qid"), col("id"),
           col("rn").cast("int").as("rank"))
     val docsProj = table.select($"id", $"doc")
-    val lexical = textQueries.zipWithIndex.map { case (text, i) =>
+    val termsByQid = textQueries.zipWithIndex.map { case (text, i) =>
       // distinct: natural-language queries repeat words ("the cat and
       // the dog") and BM25 scores each TERM once — the duplicate would
       // otherwise trip Bm25's duplicate-terms contract
       val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
         .distinct.toSeq
       require(terms.nonEmpty, s"text query $i has no tokens")
-      val w = Window.orderBy(col("bm25").desc, col("id"))
-      graft.operators.Bm25.topK(docsProj, "id", "doc", terms, cap)
-        .withColumn("rank", row_number().over(w))
-        .select(lit(i).as("qid"), col("id"), col("rank").cast("int").as("rank"))
-    }.reduce(_ unionAll _)
+      i.toLong -> terms
+    }
+    val lexical = graft.operators.Bm25
+      .topKBatch(docsProj, "id", "doc", termsByQid, cap)
+      .select(col("qid").cast("int").as("qid"), col("id"),
+        col("rank").cast("int").as("rank"))
     graft.operators.Evaluation.reciprocalRankFusion(
         Seq(dense, lexical), "qid", "id", "rank", topK = k, k0 = k0)
       .select(col("qid"), col("id"), col("rrf"), col("rank"))
