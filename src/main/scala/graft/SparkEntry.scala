@@ -1783,7 +1783,6 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // batch sessionization (streaming semantics, lag/cumsum formulation)
     // Top-k + <other> rollup over a high-cardinality dimension: the
     // dashboard shape, with the long tail folded into one row carrying
     // its mass AND its distinct-value count. All integers; ties at the
@@ -1799,7 +1798,11 @@ object SparkEntry {
     "st_abtest" -> ((s, dir) =>
       graft.operators.Outliers.proportionTest(
           events(s, dir).withColumn("variant",
-            when(col("user_id") % 2 === 0, "a").otherwise("b")),
+            // two positive whens, no otherwise: a NULL user_id gets a
+            // NULL variant and drops out of BOTH arms, matching the
+            // oracle's user_id % 2 predicates exactly
+            when(col("user_id") % 2 === 0, "a")
+              .when(col("user_id") % 2 =!= 0, "b")),
           "variant", col("event_type") === "purchase", "a", "b")
         .select(col("variant_a"), col("n_a"), col("x_a"),
           col("variant_b"), col("n_b"), col("x_b"),
@@ -1822,6 +1825,7 @@ object SparkEntry {
           datediff(to_date(col("ts")), lit("2024-01-01")))
         .orderBy("cohort", "age")),
 
+    // batch sessionization (streaming semantics, lag/cumsum formulation)
     "st_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30)
         .select(col("user_id"),
@@ -4794,8 +4798,6 @@ object SparkEntry {
              rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
                AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
-    // z replay mirrors the Spark expression tree exactly: pooled p
-    // from the four BIGINT counts, one sqrt, identical parenthesization.
     "q35_topk_others" -> """
       WITH c AS (
         SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS n
@@ -4815,6 +4817,8 @@ object SparkEntry {
       SELECT value, n, n_values FROM (
         SELECT * FROM top UNION ALL SELECT * FROM oth)
       ORDER BY ord, rk""",
+    // z replay mirrors the Spark expression tree exactly: pooled p
+    // from the four BIGINT counts, one sqrt, identical parenthesization.
     "st_abtest" -> """
       WITH c AS (
         SELECT

@@ -92,9 +92,17 @@ object Bm25 {
   /** The BM25 sum as a column over a tf frame's (dl, tf_i) columns,
     * with idf and avgdl embedded as literals.
     */
-  private def scoreColumn(stats: CorpusStats, k1: Double, b: Double): Column = {
+  private def scoreColumn(stats: CorpusStats, k1: Double, b: Double): Column =
+    scoreTerms(stats, stats.terms.indices, k1, b)
+
+  /** The BM25 sum restricted to `termIdxs` — shared by the whole-query
+    * [[scoreColumn]] and [[topKBatch]]'s per-query projections so the
+    * scoring formula exists exactly once.
+    */
+  private def scoreTerms(stats: CorpusStats, termIdxs: Seq[Int],
+      k1: Double, b: Double): Column = {
     val idf = stats.idf
-    stats.terms.indices.map { i =>
+    termIdxs.map { i =>
       val tf = col(s"tf_$i").cast("double")
       val norm = lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(stats.avgdlSafe))
@@ -201,22 +209,15 @@ object Bm25 {
     val allTerms = normQ.flatMap(_._2).distinct
     val withTf = tfFrame(docs, idCol, textCol, allTerms).localCheckpoint()
     val stats = fitFromTf(withTf, allTerms)
-    val idfs = stats.idf
     val idx = allTerms.zipWithIndex.toMap
     val scored = normQ.map { case (qid, ts) =>
       val sc =
         if (stats.n == 0L) lit(0.0)
-        else ts.map { term =>
-          val i = idx(term)
-          val tf = col(s"tf_$i").cast("double")
-          val norm = lit(k1) * (lit(1.0 - b)
-            + lit(b) * col("dl").cast("double") / lit(stats.avgdlSafe))
-          lit(idfs(i)) * tf * lit(k1 + 1.0) / (tf + norm)
-        }.reduce(_ + _)
+        else scoreTerms(stats, ts.map(idx), k1, b)
       withTf.select(lit(qid).as("qid"), col(idCol),
         graft.functions.hround(sc, 4).as("bm25"))
     }.reduce(_ unionAll _)
-    SimilarityJoin.topKByDistance(
+    TopKAggregator.topKRows(
         scored.withColumn("_neg", -col("bm25")), "qid", idCol, "_neg", k)
       .filter(col("_neg") < 0.0)
       .select(col("qid"), col(idCol), (-col("_neg")).as("bm25"),

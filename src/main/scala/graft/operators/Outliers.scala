@@ -689,10 +689,14 @@ object Outliers {
     val s = when(coalesce(successCol, lit(false)), 1L).otherwise(0L)
     val agg = df.filter(col(variantCol).isin(a, b))
       .agg(
-        sum(when(col(variantCol) === a, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col(variantCol) === a, s).otherwise(0L)).as("x_a"),
-        sum(when(col(variantCol) === b, 1L).otherwise(0L)).as("n_b"),
-        sum(when(col(variantCol) === b, s).otherwise(0L)).as("x_b"))
+        coalesce(sum(when(col(variantCol) === a, 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col(variantCol) === a, s).otherwise(0L)), lit(0L))
+          .as("x_a"),
+        coalesce(sum(when(col(variantCol) === b, 1L).otherwise(0L)), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(col(variantCol) === b, s).otherwise(0L)), lit(0L))
+          .as("x_b"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val pa = col("x_a").cast("double") / na
