@@ -1808,6 +1808,17 @@ object SparkEntry {
           col("variant_b"), col("n_b"), col("x_b"),
           hround(col("z"), 6).as("z"))),
 
+    // Gap detection: synthetic outage (click events dropped on every
+    // day ≡ 3 mod 7) must surface as maximal absent-day runs per type
+    // — the alarm view that interpolation papers over. All integers.
+    "st_gaps" -> ((s, dir) =>
+      graft.operators.Resample.gaps(
+          events(s, dir).filter(!(col("event_type") === "click" &&
+            datediff(to_date(col("ts")), lit("2024-01-01")) % 7 === 3)),
+          Seq("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")))
+        .orderBy("event_type", "gap_start")),
+
     // Mann-Kendall monotone-trend test over the shared pre-rounded
     // daily means: S, n, and the tie-corrected Var(S) numerator — all
     // integers (Z/p-value are caller-side sqrt/erf of them), the
@@ -4817,6 +4828,23 @@ object SparkEntry {
       SELECT value, n, n_values FROM (
         SELECT * FROM top UNION ALL SELECT * FROM oth)
       ORDER BY ord, rk""",
+    "st_gaps" -> """
+      WITH d AS (
+        SELECT DISTINCT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b
+        FROM events
+        WHERE NOT (event_type = 'click'
+                   AND date_diff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) % 7 = 3)),
+      g AS (
+        SELECT event_type, b,
+               lead(b) OVER (PARTITION BY event_type ORDER BY b) AS nb
+        FROM d)
+      SELECT event_type, CAST(b + 1 AS BIGINT) AS gap_start,
+             CAST(nb - 1 AS BIGINT) AS gap_end,
+             CAST(nb - b - 1 AS BIGINT) AS gap_len
+      FROM g WHERE nb > b + 1
+      ORDER BY event_type, gap_start""",
     // z replay mirrors the Spark expression tree exactly: pooled p
     // from the four BIGINT counts, one sqrt, identical parenthesization.
     "st_abtest" -> """

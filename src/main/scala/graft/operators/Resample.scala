@@ -196,4 +196,31 @@ object Resample {
       .select(col("_k").as(keyCol), col("lag"), col("n_terms"),
         when(col("_den") > 0.0, col("_num") / col("_den")).as("acf"))
   }
+  /** Missing-bucket (gap) detection per key over an integer bucket
+    * axis: each maximal run of ABSENT buckets strictly inside the
+    * key's observed range, as (gap_start, gap_end, gap_len) — the "we
+    * stopped receiving this source's data for k days" audit that
+    * interpolation ([[linearInterpolate]]) silently papers over and a
+    * pipeline must instead ALARM on. Leading/trailing absence is not a
+    * gap (there is no evidence the series existed there).
+    *
+    * Shape: distinct (key, bucket), one key-partitioned lead — the
+    * window frame is a key's OBSERVED bucket list (calendar-bounded by
+    * contract, like every per-key series op here), never the data.
+    * All integers.
+    */
+  def gaps(df: DataFrame, keyCols: Seq[String],
+      bucketCol: org.apache.spark.sql.Column): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val g = keyCols.map(col)
+    val pres = df.select(g :+ bucketCol.cast("long").as("_b"): _*)
+      .filter(col("_b").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(g: _*).orderBy(col("_b"))
+    pres.withColumn("_nb", lead(col("_b"), 1).over(w))
+      .filter(col("_nb") > col("_b") + 1L)
+      .select(g :+ (col("_b") + 1L).as("gap_start") :+
+        (col("_nb") - 1L).as("gap_end") :+
+        (col("_nb") - col("_b") - 1L).as("gap_len"): _*)
+  }
 }

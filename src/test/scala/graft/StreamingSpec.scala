@@ -221,6 +221,18 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, Long, Option[Double])].collect().head == ((6L, 0L, None)))
   }
 
+  test("gaps: maximal absent runs, edges excluded, dense series empty") {
+    import graft.operators.Resample
+    val d = Seq(("a", 1), ("a", 2), ("a", 5), ("a", 6), ("a", 9),
+      ("a", 2),                        // duplicate bucket: no effect
+      ("b", 10), ("b", 11), ("b", 12)).toDF("k", "b")
+    val r = Resample.gaps(d, Seq("k"), $"b")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // a: observed {1,2,5,6,9} -> gaps [3,4] and [7,8]; b dense -> none;
+    // nothing before 1 or after 9 counts
+    assert(r == Set(("a", 3L, 4L, 2L), ("a", 7L, 8L, 2L)))
+  }
+
   test("proportionTest: hand z, empty/degenerate arms null, nulls fail") {
     import graft.operators.Outliers
     // a: 2/4 convert; b: 1/4; null success counts as failure
