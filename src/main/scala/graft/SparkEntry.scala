@@ -4806,8 +4806,8 @@ object SparkEntry {
                  AS before FROM fi)
       SELECT rk.source, rk.n_rows, rk.sigma_micro,
              CAST(floor(rk.weight * 1e6 + 0.5) AS BIGINT) AS weight_micro,
-             rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
-               AS alloc
+             CAST(rk.fl + greatest(0, least(rk.head, sh.short - rk.before))
+                  AS BIGINT) AS alloc
       FROM rk CROSS JOIN sh ORDER BY source""",
     "q35_topk_others" -> """
       WITH c AS (
@@ -6819,8 +6819,10 @@ object SparkEntry {
                FROM ct JOIN rt USING (doc_id))
       SELECT l.doc_id,
              CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
-             coalesce(clip_1, 0) AS clip_1, coalesce(tot_1, 0) AS tot_1,
-             coalesce(clip_2, 0) AS clip_2, coalesce(tot_2, 0) AS tot_2
+             CAST(coalesce(clip_1, 0) AS BIGINT) AS clip_1,
+             CAST(coalesce(tot_1, 0) AS BIGINT) AS tot_1,
+             CAST(coalesce(clip_2, 0) AS BIGINT) AS clip_2,
+             CAST(coalesce(tot_2, 0) AS BIGINT) AS tot_2
       FROM lens l
       LEFT JOIN a1 ON a1.doc_id = l.doc_id
       LEFT JOIN a2 ON a2.doc_id = l.doc_id
@@ -6867,10 +6869,12 @@ object SparkEntry {
              GROUP BY coalesce(c2.doc_id, r2.doc_id)),
       m AS (
         SELECT pp.doc_id,
-               coalesce(clip_1, 0) AS clip_1, coalesce(ctot_1, 0) AS ctot_1,
-               coalesce(rtot_1, 0) AS rtot_1,
-               coalesce(clip_2, 0) AS clip_2, coalesce(ctot_2, 0) AS ctot_2,
-               coalesce(rtot_2, 0) AS rtot_2
+               CAST(coalesce(clip_1, 0) AS BIGINT) AS clip_1,
+               CAST(coalesce(ctot_1, 0) AS BIGINT) AS ctot_1,
+               CAST(coalesce(rtot_1, 0) AS BIGINT) AS rtot_1,
+               CAST(coalesce(clip_2, 0) AS BIGINT) AS clip_2,
+               CAST(coalesce(ctot_2, 0) AS BIGINT) AS ctot_2,
+               CAST(coalesce(rtot_2, 0) AS BIGINT) AS rtot_2
         FROM pp
         LEFT JOIN a1 ON a1.doc_id = pp.doc_id
         LEFT JOIN a2 ON a2.doc_id = pp.doc_id)
@@ -7795,7 +7799,7 @@ object SparkEntry {
         FROM d),
       c AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS y
             FROM tok GROUP BY grp, token),
-      g AS (SELECT token, sum(y) AS g FROM c GROUP BY token),
+      g AS (SELECT token, CAST(sum(y) AS BIGINT) AS g FROM c GROUP BY token),
       t AS (SELECT grp, sum(y) AS n FROM c GROUP BY grp),
       corpus AS (SELECT CAST(count(*) AS DOUBLE) AS v, sum(g) AS total FROM g),
       scored AS (

@@ -19,6 +19,20 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Driver hash is sensitive to the PHYSICAL result type (Arrow level):
+# DuckDB widening an uncast sum(BIGINT) to HUGEINT made four gates
+# hash-red across rounds 7-8 even though every value matched.  Any
+# oracle whose result schema strays outside this allowlist is a FAIL
+# before values are even compared.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "FLOAT", "VARCHAR",
+                 "BOOLEAN", "DATE", "TIMESTAMP"}
+
+
+def bad_result_types(rel):
+    """Columns of a DuckDB relation whose type is outside the allowlist."""
+    return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if str(t) not in ALLOWED_TYPES]
+
 
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -59,11 +73,14 @@ def main(sf_dir, out_dir):
             continue
         try:
             exp = con.sql(oracle_sql[name])
+            bad_types = bad_result_types(exp)
             exp_cols, exp_rows = normalize(exp.fetchall(), exp.columns)
         except Exception as e:
             results[name] = f"ORACLE-ERROR: {str(e)[:200]}"
             continue
-        if got_cols != exp_cols:
+        if bad_types:
+            results[name] = f"RESULT-TYPE ({', '.join(bad_types)} not in allowlist)"
+        elif got_cols != exp_cols:
             results[name] = f"SCHEMA-MISMATCH spark={got_cols} duckdb={exp_cols}"
         elif len(got_rows) != len(exp_rows):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(got_rows)} duckdb={len(exp_rows)}"
@@ -95,5 +112,33 @@ def main(sf_dir, out_dir):
     return 1 if fails else 0
 
 
+def types_only(sf_dir, oracle_json):
+    """Audit ONLY the oracle result-column types (no Verify output needed).
+
+    Usage: python3 tools/oracle_check.py --types-only <sfDir> <oracle_sql.json>
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle_sql = json.loads(Path(oracle_json).read_text())
+    fails = 0
+    for name in sorted(oracle_sql):
+        try:
+            bad = bad_result_types(con.sql(oracle_sql[name]))
+        except Exception as e:
+            print(f"FAIL {name} ORACLE-ERROR: {str(e)[:200]}")
+            fails += 1
+            continue
+        if bad:
+            print(f"FAIL {name} RESULT-TYPE ({', '.join(bad)})")
+            fails += 1
+    print(f"\n{len(oracle_sql) - fails}/{len(oracle_sql)} type-clean, {fails} fail")
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--types-only":
+        sys.exit(types_only(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
