@@ -485,6 +485,18 @@ object ScaleSmoke {
           2L -> Seq("spark", "vector"), 3L -> Seq("window", "merge")),
         k = 20).count()
     }
+    timed("bm25 topKBatch 1000 queries 100k") {
+      // the relational batch scorer's plan is O(1) in Q — 1000 queries
+      // over a 64-term vocabulary, one corpus pass, one equi-join +
+      // aggregate (the old Q-way unionAll stalled Catalyst here)
+      val vocab = Vector("spark", "window", "merge", "vector", "join",
+        "shuffle", "scan", "batch")
+      val qs = (0L until 1000L).map(q => q -> Seq(
+        vocab((q % 8).toInt), vocab(((q / 8) % 8).toInt) + "x",
+        vocab(((q / 64) % 8).toInt) + "y").distinct)
+      graft.operators.Bm25.topKBatch(bigDocs, "doc_id", "text",
+        qs, k = 10).count()
+    }
     timed("sorted-neighborhood 10k dirty recs") {
       val recs = spark.read.parquet(s"$sfDir/part.parquet")
         .filter(col("p_partkey") % 2 === 0)

@@ -185,16 +185,21 @@ object Bm25 {
 
   /** Multi-query BM25 retrieval in ONE corpus pass: all queries'
     * terms tokenize together (one tf frame over the term union, one
-    * stats reduce, one eager checkpoint), then each query scores as a
-    * cheap projection of that shared frame — Q queries cost one
-    * corpus scan plus Q slim projections instead of Q scans, which is
-    * the batch shape a hybrid-retrieval loop
-    * ([[graft.store.VectorStore.searchHybrid]]) grows into. The
-    * per-query top-k is the aggregator reduction
-    * ([[SimilarityJoin.topKByDistance]] on the negated rounded
-    * score) — per-partition heaps, never a corpus-sized per-query
-    * shuffle. Ranking matches [[topK]]: rounded score desc, id asc,
-    * positive scores only.
+    * stats reduce, one eager checkpoint), then the whole batch scores
+    * RELATIONALLY — the queries melt into a broadcast
+    * `(qid, term_idx, idf)` relation, the tf frame melts sparsely into
+    * `(doc, term_idx, tf > 0)` rows, and one equi-join + one map-side-
+    * combined aggregate produces every (qid, doc) score. Plan size is
+    * O(1) in Q (the IVF-PQ r5 lesson: data in relations, never in plan
+    * branches — the previous Q-way `unionAll` made Catalyst analysis
+    * itself the bottleneck at Q=10³⁺, which is the batch shape
+    * [[graft.store.VectorStore.searchHybrid]] grows into). Dropping
+    * zero-tf terms is exact: Robertson idf with the Lucene floor is
+    * strictly positive and tf = 0 contributes exactly 0.0, so the
+    * sparse melt changes no score. The per-query top-k is the
+    * aggregator reduction (per-partition heaps, never a corpus-sized
+    * per-query shuffle). Ranking matches [[topK]]: rounded score desc,
+    * id asc, positive scores only.
     *
     * Returns (qid, idCol, bm25, rank), rank 1..k per qid.
     */
@@ -210,13 +215,27 @@ object Bm25 {
     val withTf = tfFrame(docs, idCol, textCol, allTerms).localCheckpoint()
     val stats = fitFromTf(withTf, allTerms)
     val idx = allTerms.zipWithIndex.toMap
-    val scored = normQ.map { case (qid, ts) =>
-      val sc =
-        if (stats.n == 0L) lit(0.0)
-        else scoreTerms(stats, ts.map(idx), k1, b)
-      withTf.select(lit(qid).as("qid"), col(idCol),
-        graft.functions.hround(sc, 4).as("bm25"))
-    }.reduce(_ unionAll _)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idf = stats.idf
+    // |qRel| = total query terms — bounded driver state, broadcast side
+    val qRel = normQ
+      .flatMap { case (qid, ts) => ts.map(t => (qid, idx(t), idf(idx(t)))) }
+      .toDF("_qid", "_ti", "_idf")
+    // sparse doc melt: row count = matched (doc, term) pairs, not
+    // |docs| x |terms|; zero-tf rows are exact zeros (see scaladoc)
+    val tfLong = withTf
+      .select(col(idCol), col("dl"),
+        posexplode(array(allTerms.indices.map(i => col(s"tf_$i")): _*))
+          .as(Seq("_ti", "_tf")))
+      .filter(col("_tf") > 0)
+    val tf = col("_tf").cast("double")
+    val norm = lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(stats.avgdlSafe))
+    val contrib = col("_idf") * tf * lit(k1 + 1.0) / (tf + norm)
+    val scored = tfLong.join(broadcast(qRel), "_ti")
+      .groupBy(col("_qid").as("qid"), col(idCol))
+      .agg(graft.functions.hround(sum(contrib), 4).as("bm25"))
     TopKAggregator.topKRows(
         scored.withColumn("_neg", -col("bm25")), "qid", idCol, "_neg", k)
       .filter(col("_neg") < 0.0)
