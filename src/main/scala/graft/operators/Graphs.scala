@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * eagerly local-checkpointed so lineage stays O(1) deep regardless of
   * iteration count (the [[Dedup.connectedComponents]] discipline).
   */
-object Graphs {
+object Graphs extends org.apache.spark.internal.Logging {
 
   /** PageRank with uniform teleport and uniform dangling-mass
     * redistribution, run for a FIXED `iterations` count (deterministic
@@ -652,6 +652,20 @@ object Graphs {
     val deg = adj.groupBy("w").agg(count(lit(1)).as("degree"))
     val centers = maxCenterDegree match {
       case Some(cap) =>
+        // make the exactness loss observable: the cap defaulting to
+        // Some(1000) means callers on hub-heavy graphs silently get
+        // approximate cn counts — one cheap aggregate over the
+        // (checkpointed) adjacency names the pruned hubs loudly. The
+        // count is node-bounded, not edge-bounded, and only runs when
+        // a cap is set.
+        val pruned = deg.filter(col("degree") > cap).count()
+        if (pruned > 0)
+          logWarning(s"linkPrediction: maxCenterDegree=$cap prunes " +
+            s"$pruned wedge center(s) with degree > $cap — " +
+            "common-neighbor counts are approximate (common neighbors " +
+            "of degree > cap are not counted); pass " +
+            "maxCenterDegree = None for exact counts if the degree " +
+            "distribution allows it")
         adj.join(deg.filter(col("degree") <= cap).select("w"), "w")
       case None => adj
     }

@@ -640,8 +640,15 @@ object Outliers {
       orderCol: String, valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "mannKendall needs at least one group column")
     val gcols = groupCols.map(col)
+    // the test is over observed (time, value) points: rows where either
+    // coordinate is NULL (or fails the double cast) carry no ordering
+    // and no comparable value, so they are excluded up front — before
+    // NULLs could fire the duplicate-orderCol guard spuriously
+    // (count_distinct ignores NULLs) or pad n and the tie term with
+    // rows that contribute nothing to S
     val pts = df.select(gcols :+ col(orderCol).cast("double").as("_x") :+
       col(valueCol).cast("double").as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
     val a = pts.toDF(groupCols ++ Seq("_xi", "_yi"): _*)
     val b = pts.toDF(groupCols ++ Seq("_xj", "_yj"): _*)
     val s = a.join(b, groupCols)

@@ -287,22 +287,38 @@ object Sampling {
     val x = col(valueCol).cast("decimal(18,0)")
     val m = df.groupBy(gcols: _*).agg(
       count(lit(1)).as("n_rows"),
+      // observed-value count: sigma is a statistic of the NON-NULL
+      // values, while n_rows stays the stratum SIZE (caps, headroom,
+      // and the proportional fallback allocate rows, not observations)
+      count(x).as("_nv"),
       sum(x).as("_sx"),
       sum(x * x).as("_sxx"))
       .withColumn("_varp",
-        (col("_sxx").cast("double")
-          - col("_sx").cast("double") * col("_sx").cast("double")
-            / col("n_rows").cast("double"))
-          / col("n_rows").cast("double")
-          // overflow guard: a decimal(18,0)/decimal(38,0) overflow
-          // nulls the moment under non-ANSI mode, and greatest(NULL,0)
-          // would silently zero a real stratum's σ — fail loudly
-          // instead (adding literal 0.0 is an IEEE no-op otherwise)
-          + when((col("_sx").isNotNull && col("_sxx").isNotNull)
-              || col("n_rows") === 0L, lit(0.0))
-            .otherwise(raise_error(lit("neymanAllocation: moment " +
+        // guards FIRST, moments in the otherwise-branch: an `x + guard`
+        // shape would let binary-arithmetic codegen short-circuit on a
+        // NULL left addend and never evaluate the raise (the previous
+        // overflow guard was dead code for exactly that reason — an
+        // all-NULL stratum sailed through as sigma 0 via
+        // greatest(NULL, 0)). An all-NULL stratum has no observed
+        // values — sigma is undefined, and silently zeroing it would
+        // starve the stratum; a dedicated error beats a misleading
+        // overflow message. Overflow: a decimal(18,0)/decimal(38,0)
+        // overflow nulls a moment under non-ANSI mode WITH observed
+        // values present — fail loudly instead of greatest(NULL,0)
+        // silently zeroing a real stratum's σ.
+        when(col("_nv") === 0L,
+            raise_error(lit("neymanAllocation: a stratum has no " +
+              "non-NULL values in the value column — drop or " +
+              "impute NULL-only strata first")).cast("double"))
+          .when(col("_sx").isNull || col("_sxx").isNull,
+            raise_error(lit("neymanAllocation: moment " +
               "overflow — value column exceeds the exact decimal " +
-              "range; scale it down first")).cast("double")))
+              "range; scale it down first")).cast("double"))
+          .otherwise(
+            (col("_sxx").cast("double")
+              - col("_sx").cast("double") * col("_sx").cast("double")
+                / col("_nv").cast("double"))
+              / col("_nv").cast("double")))
       .withColumn("sigma_micro",
         floor(sqrt(greatest(col("_varp"), lit(0.0))) * lit(1e6) + lit(0.5)))
     // integer micro-σ weights: N_h·σ_micro is an exact long, so the

@@ -304,15 +304,77 @@ class VectorStore private (
     n
   }
 
+  /** Batch-commit marker for a streaming sink: one tiny file under the
+    * store root, keyed by the stream's checkpoint dir, holding the last
+    * batchId whose insert completed. Written AFTER the insert, so a
+    * replayed batch (crash between insert and the stream's own offset
+    * commit) is detected and skipped instead of appended twice under
+    * fresh ids. Single-writer contract, like the store itself.
+    */
+  private def streamCommitPath(checkpointDir: String): Path = {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    new Path(path, s"_stream_commit_$key")
+  }
+
+  private def lastCommittedBatch(p: Path): Long = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def recordCommittedBatch(p: Path, batchId: Long): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** One micro-batch of [[ingestStream]] — factored out so the replay
+    * guard is unit-testable without crashing a real stream. Returns
+    * true when the batch was applied, false when skipped as a replay.
+    */
+  private[graft] def applyIngestBatch(batch: DataFrame, batchId: Long,
+      checkpointDir: String,
+      orderCols: Seq[org.apache.spark.sql.Column]): Boolean = {
+    val cp = streamCommitPath(checkpointDir)
+    if (batchId <= lastCommittedBatch(cp)) {
+      logWarning(s"ingestStream: skipping replayed batch $batchId " +
+        s"(already committed to $cp)")
+      false
+    } else {
+      val ordered =
+        if (orderCols.isEmpty) batch
+        else batch.orderBy(orderCols: _*).coalesce(1)
+      insertDF(ordered)
+      recordCommittedBatch(cp, batchId)
+      true
+    }
+  }
+
   /** Structured-Streaming ingestion: append every micro-batch to the
     * store through the same [[insertDF]] path, so the dtype gate,
     * float32 coercion, id assignment, doc defaulting, and the O(batch)
     * ANN index append all apply per batch. `foreachBatch` because the
     * store is a multi-file layout with its own staged-swap txn, not a
-    * file sink; the stream's checkpointed offsets make replays
-    * batch-exact. `orderCols` (e.g. the source's natural key) pins the
-    * WITHIN-batch id assignment order — across batches ids continue
-    * from the persisted max, so a restart never reuses an id.
+    * file sink. Crash recovery: foreachBatch is at-least-once, so a
+    * batch whose insert finished but whose streaming offset never
+    * committed WILL be replayed — the per-batch commit marker
+    * ([[streamCommitPath]]) detects that and skips the re-insert.
+    * The marker is written after the insert, so the remaining
+    * duplicate window is a crash BETWEEN insert and marker write
+    * (milliseconds, vs the whole batch previously); exactly-once would
+    * need the marker folded into the storage txn itself. `orderCols`
+    * (e.g. the source's natural key) pins the WITHIN-batch id
+    * assignment order — across batches ids continue from the persisted
+    * max, so a restart never reuses an id.
     */
   def ingestStream(stream: DataFrame, checkpointDir: String,
       orderCols: Seq[org.apache.spark.sql.Column] = Seq.empty,
@@ -320,11 +382,8 @@ class VectorStore private (
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ordered =
-          if (orderCols.isEmpty) batch
-          else batch.orderBy(orderCols: _*).coalesce(1)
-        insertDF(ordered)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(batch, batchId, checkpointDir, orderCols)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -351,27 +410,37 @@ class VectorStore private (
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(eps >= 0.0, s"eps must be >= 0, got $eps")
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deduped =
-          if (count() == 0L) batch
-          else {
-            val keyed = batch
-              .withColumn("_qid", monotonically_increasing_id())
-              .localCheckpoint(true)
-            val nn = searchDF(
-                keyed.select($"_qid".as("qid"),
-                  $"vec".cast("array<float>").as("qvec")), k = 1)
-              .filter($"distance".cast("double") <= eps)
-              .select($"qid".as("_qid"))
-            keyed.join(nn, Seq("_qid"), "left_anti").drop("_qid")
-          }
-        // order AFTER the dedup join: the anti-join may plan as a
-        // shuffle for large batches, which would scramble a
-        // pre-applied order and make id assignment nondeterministic
-        val survivors =
-          if (orderCols.isEmpty) deduped
-          else deduped.orderBy(orderCols: _*).coalesce(1)
-        if (!survivors.isEmpty) insertDF(survivors)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // same replay guard as ingestStream: within eps the 1-NN check
+        // is incidentally idempotent, but an exact replay would still
+        // burn ids and a replay of NOVEL rows (eps-distinct batch)
+        // would duplicate them outright
+        val cp = streamCommitPath(checkpointDir)
+        if (batchId <= lastCommittedBatch(cp)) {
+          logWarning(s"ingestStreamDedup: skipping replayed batch $batchId")
+        } else {
+          val deduped =
+            if (count() == 0L) batch
+            else {
+              val keyed = batch
+                .withColumn("_qid", monotonically_increasing_id())
+                .localCheckpoint(true)
+              val nn = searchDF(
+                  keyed.select($"_qid".as("qid"),
+                    $"vec".cast("array<float>").as("qvec")), k = 1)
+                .filter($"distance".cast("double") <= eps)
+                .select($"qid".as("_qid"))
+              keyed.join(nn, Seq("_qid"), "left_anti").drop("_qid")
+            }
+          // order AFTER the dedup join: the anti-join may plan as a
+          // shuffle for large batches, which would scramble a
+          // pre-applied order and make id assignment nondeterministic
+          val survivors =
+            if (orderCols.isEmpty) deduped
+            else deduped.orderBy(orderCols: _*).coalesce(1)
+          if (!survivors.isEmpty) insertDF(survivors)
+          recordCommittedBatch(cp, batchId)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -734,6 +803,28 @@ class VectorStore private (
     graft.operators.TopKAggregator.topKRows(scored, "qid", "id", "distance", k)
   }
 
+  /** Filtered exact batch k-NN, DataFrame in/out — the [[searchWhere]]
+    * semantics (pre-filter, distances only on survivors) in the
+    * [[searchDF]] shape, completing the filter×{exact, approx} DF
+    * matrix. Distances compute on the column-pruned live projection
+    * semi-joined to the matching ids, so non-matching vectors are
+    * never scored.
+    */
+  def searchWhereDF(queries: DataFrame, k: Int,
+      pathSteps: Seq[String], values: Seq[Any]): DataFrame = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    val jsonPath = "$." + pathSteps.mkString(".")
+    val matchIds = table
+      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
+      .select($"id")
+    val scored = indexDf
+      .join(matchIds, Seq("id"), "left_semi")
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .withColumn("distance", l2_distance($"vec", $"qvec"))
+      .select($"qid", $"id", $"distance")
+    graft.operators.TopKAggregator.topKRows(scored, "qid", "id", "distance", k)
+  }
+
   /** Store-level hybrid retrieval: a dense shortlist (approximate via
     * the IVF index when one exists, exact otherwise) and a BM25
     * lexical shortlist over the stored doc strings, fused by
@@ -755,26 +846,51 @@ class VectorStore private (
     * fused ordering is engine-reproducible (no ln anywhere).
     */
   def searchHybrid(queries: Seq[Array[Float]], textQueries: Seq[String],
-      k: Int, shortlist: Int = 100, nProbe: Int = 8, k0: Int = 60): DataFrame = {
+      k: Int, shortlist: Int = 100, nProbe: Int = 8, k0: Int = 60,
+      pathSteps: Seq[String] = Seq.empty,
+      values: Seq[Any] = Seq.empty): DataFrame = {
     require(queries.size == textQueries.size,
       s"got ${queries.size} vector queries but ${textQueries.size} text queries")
     require(queries.nonEmpty, "need at least one query")
     if (k <= 0)
       throw new IllegalArgumentException(s"k must be a positive integer, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(pathSteps.nonEmpty || values.isEmpty,
+      "values given without pathSteps — pass both or neither")
     queries.zipWithIndex.foreach { case (q, i) =>
       if (q.length != dim)
         throw new IllegalArgumentException(
           s"query $i has dimension ${q.length}, store dimension is $dim")
     }
+    val filtered = pathSteps.nonEmpty
+    // both shortlists are restricted to live rows matching the JSON-
+    // path predicate: dense pre-filters (distances only on survivors),
+    // lexical fits BM25 stats on the matching sub-corpus — "search for
+    // X restricted to source=wiki" means wiki-relative relevance, and
+    // k fills from filtered survivors only
+    val docsAll = table.select($"id", $"doc")
+    val docsProj =
+      if (!filtered) docsAll
+      else docsAll.filter(
+        get_json_object($"doc", "$." + pathSteps.mkString("."))
+          .isin(values.map(_.toString): _*))
     val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
-    val cap = math.min(shortlist.toLong, count()).toInt
+    val cap = math.min(shortlist.toLong, docsProj.count()).toInt
+    if (cap == 0)
+      // empty store (or a predicate matching nothing): a well-typed
+      // empty fused frame, not a crash inside the shortlist builders
+      return spark.emptyDataFrame
+        .select(lit(0).as("qid"), lit(0L).as("id"),
+          lit(0.0).as("rrf"), lit(0).as("rank")).limit(0)
     val dense =
-      (if (hasAnnIndex) searchApproxDF(qdf, cap, nProbe)
-       else searchDF(qdf, cap))
-        .select(col("qid").cast("int").as("qid"), col("id"),
-          col("rn").cast("int").as("rank"))
-    val docsProj = table.select($"id", $"doc")
+      (if (filtered) {
+        if (hasAnnIndex) searchApproxWhereDF(qdf, cap, nProbe, pathSteps, values)
+        else searchWhereDF(qdf, cap, pathSteps, values)
+      } else {
+        if (hasAnnIndex) searchApproxDF(qdf, cap, nProbe)
+        else searchDF(qdf, cap)
+      }).select(col("qid").cast("int").as("qid"), col("id"),
+        col("rn").cast("int").as("rank"))
     val termsByQid = textQueries.zipWithIndex.map { case (text, i) =>
       // distinct: natural-language queries repeat words ("the cat and
       // the dog") and BM25 scores each TERM once — the duplicate would

@@ -265,4 +265,27 @@ class SamplingSpec extends SparkSuite {
       .select($"g", $"alloc").as[(String, Long)].collect().toMap
     assert(f("x") == 1L && f("y") == 2L)
   }
+
+  test("neymanAllocation: NULL values — observed-count sigma, NULL-only stratum errors") {
+    // partially-NULL stratum: sigma comes from the OBSERVED values
+    // {0, 10} (sigma 5), while n_rows stays 3 (allocation caps count
+    // rows); before the fix the denominator was n_rows and sigma
+    // silently shrank to sqrt(200/3) ~ 8.16e6 micro
+    val part = Seq(("a", Some(0)), ("a", Some(10)), ("a", None),
+      ("b", Some(0)), ("b", Some(20))).toDF("g", "v")
+    val r = Sampling.neymanAllocation(part, Seq("g"), "v", n = 4L)
+      .select($"g", $"n_rows", $"sigma_micro").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("a")._2 == 3L && r("a")._3 == 5000000L)
+    assert(r("b")._3 == 10000000L)
+    // NULL-only stratum: a dedicated error, not the misleading
+    // "moment overflow" message
+    val allNull = Seq(("a", Some(1)), ("x", None), ("x", None))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      Sampling.neymanAllocation(allNull, Seq("g"), "v", n = 2L).collect()
+    }
+    assert(e.getMessage.contains("no non-NULL values"),
+      s"wrong error: ${e.getMessage}")
+  }
 }

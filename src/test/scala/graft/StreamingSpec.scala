@@ -276,6 +276,24 @@ class StreamingSpec extends SparkSuite {
     assert(r("b") == ("b", 3L, 0L, 0L))
   }
 
+  test("mannKendall: NULL order/value rows are excluded, not misreported") {
+    import graft.operators.Outliers
+    // same rising series as above, padded with rows whose x or y is
+    // NULL — those carry no ordering/value, so n, S, var_num must be
+    // identical to the clean run, and the NULL x values must NOT trip
+    // the duplicate-orderCol guard (count_distinct skips NULLs, so two
+    // NULL-x rows used to read as "duplicates")
+    val clean = Seq(("a", Some(0), Some(1.0)), ("a", Some(1), Some(3.0)),
+      ("a", Some(2), Some(2.0)), ("a", Some(3), Some(3.0)),
+      ("a", Some(4), Some(5.0)))
+    val padded = clean ++ Seq(
+      ("a", None, Some(99.0)), ("a", None, Some(98.0)),
+      ("a", Some(9), None))
+    val r = Outliers.mannKendall(padded.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long)].head()
+    assert(r == ("a", 5L, 7L, 282L))
+  }
+
   test("theilSen: hand medians, outlier immunity, ties-in-x skipped, n<2") {
     import graft.operators.Outliers
     // y = 2x + 1 exactly, one wild outlier at x=4: pairwise slopes not

@@ -684,6 +684,63 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       s.searchHybrid(Seq(e0), Seq("   "), k = 1))
   }
 
+  test("searchHybrid: empty store returns a typed empty frame, filtered hybrid composes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hyb2")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    val e0 = Array.tabulate(10)(j => if (j == 0) 1f else 0f)
+    // empty store: an empty fused frame with the fused schema, not a
+    // crash inside the BM25 shortlist builder ("k must be positive")
+    val empty = s.searchHybrid(Seq(e0), Seq("alpha"), k = 1)
+    assert(empty.columns.toSeq == Seq("qid", "id", "rrf", "rank"))
+    assert(empty.count() == 0L)
+    // filtered hybrid: both shortlists restricted to the JSON-path
+    // match — id 1 is the best dense AND lexical hit but carries
+    // src=b, so the filter must exclude it from the fused result
+    val near = Array.tabulate(10)(j => if (j == 0) 0.9f else 0f)
+    val far = Array.fill(10)(5f)
+    s.insert(Seq(e0, near, far), Seq(
+      """{"t": "pad alpha pad", "src": "b"}""",
+      """{"t": "alpha alpha alpha", "src": "a"}""",
+      """{"t": "pad beta pad", "src": "a"}"""))
+    val fused = s.searchHybrid(Seq(e0), Seq("alpha"), k = 2, shortlist = 2,
+        pathSteps = Seq("src"), values = Seq("a"))
+      .orderBy("rank").collect()
+    assert(fused.map(_.getLong(1)).toSeq == Seq(1L, 2L),
+      s"got ${fused.mkString(",")}")
+    // a predicate matching nothing: typed empty frame again
+    assert(s.searchHybrid(Seq(e0), Seq("alpha"), k = 1,
+      pathSteps = Seq("src"), values = Seq("zzz")).count() == 0L)
+    // values without pathSteps is a contract error
+    intercept[IllegalArgumentException](s.searchHybrid(Seq(e0), Seq("x"),
+      k = 1, values = Seq("a")))
+  }
+
+  test("ingestStream replay guard: an already-committed batchId is skipped") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    val store = VectorStore.openOrCreate(spark, s"$base/store", 4,
+      tombstoneDeletes = true)
+    val ck = s"$base/ck"
+    val b0 = Seq((Array.fill(4)(1f), """{"b": 0}"""),
+      (Array.fill(4)(2f), """{"b": 0}""")).toDF("vec", "doc")
+    assert(store.applyIngestBatch(b0, 0L, ck, Seq.empty))
+    assert(store.count() == 2L)
+    // crash-replay of the same batch: foreachBatch re-delivers batch 0
+    // after the insert landed but before the stream's offset commit —
+    // the marker makes the re-delivery a no-op instead of 2 dup rows
+    assert(!store.applyIngestBatch(b0, 0L, ck, Seq.empty))
+    assert(store.count() == 2L)
+    // ids did not advance on the skipped replay
+    assert(store.head(2).map(_.id) == Seq(0L, 1L))
+    // the next batch applies, and a DIFFERENT stream (its own
+    // checkpoint dir) is keyed independently
+    val b1 = Seq((Array.fill(4)(3f), """{"b": 1}""")).toDF("vec", "doc")
+    assert(store.applyIngestBatch(b1, 1L, ck, Seq.empty))
+    assert(store.applyIngestBatch(b1, 1L, s"$base/ck-other", Seq.empty))
+    assert(store.count() == 4L)
+  }
+
   test("deleteWhere: predicate delete, count returned, zero-match no-op") {
     val s = freshStore()
     s.insert(eye(10).take(6), (0 until 6).map(i =>
