@@ -342,6 +342,21 @@ object Ann {
     assignTo(df, vecCol, cents, l2Score)
   }
 
+  /** [[assign]] by maximum cosine similarity — the assignment a
+    * [[kmeansCosine]]/[[ivfBuildCosine]] index's rows follow (same
+    * shuffle-free literal-centroid projection; ties to the lower
+    * centroid id).
+    */
+  def assignCosine(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    assignTo(df, vecCol, cents, cosineScore)
+  }
+
   /** Arg-best projection over driver-held centroids (the literal form
     * every assign/kmeans variant shares); `score` is smaller-is-better,
     * ties to the lower centroid id via lexicographic struct order.
@@ -379,9 +394,10 @@ object Ann {
     */
   def kmeansCosine(
       df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 5): DataFrame =
+      nCentroids: Int, iters: Int = 5, seedRounds: Int = 2): DataFrame =
     centsToDF(df, kmeansCore(df, idCol, vecCol, nCentroids, iters,
-      cosineScore, normalize, scoreFloor = -1.0, dist2Driver = cosDistDriver))
+      cosineScore, normalize, scoreFloor = -1.0, dist2Driver = cosDistDriver,
+      seedRounds = seedRounds))
 
   /** Smaller-is-better cosine score (negated similarity). */
   private def cosineScore(v: Column, c: Array[Float]): Column =
@@ -442,10 +458,36 @@ object Ann {
     * nProbe of k cells reads nProbe/k of the data at the source (see
     * [[ivfSearchL2Pruned]]), not a full scan followed by a filter.
     */
-  def writeIvfIndex(indexed: DataFrame, centroids: DataFrame, path: String): Unit = {
+  def writeIvfIndex(indexed: DataFrame, centroids: DataFrame, path: String,
+      metric: String = "l2"): Unit = {
+    require(metric == "l2" || metric == "cosine",
+      s"metric must be 'l2' or 'cosine', got '$metric'")
     indexed.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // self-describing layout: searches and appends dispatch on the
+    // persisted metric, so a cosine index can never be probed with L2
+    // by accident (absent marker = l2, the pre-metric layout)
+    val p = new org.apache.hadoop.fs.Path(s"$path/metric")
+    val fs = p.getFileSystem(
+      indexed.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(metric.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The persisted index's distance metric; layouts written before the
+    * marker existed read as "l2" (their only metric).
+    */
+  def readIvfMetric(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/metric")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "l2"
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
   }
 
   /** Append a batch to a persisted [[writeIvfIndex]] layout WITHOUT
@@ -464,7 +506,11 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    assign(newBatch, idCol, vecCol, centroids)
+    val assigned =
+      if (readIvfMetric(spark, path) == "cosine")
+        assignCosine(newBatch, idCol, vecCol, centroids)
+      else assign(newBatch, idCol, vecCol, centroids)
+    assigned
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/index")
   }
@@ -486,10 +532,47 @@ object Ann {
       idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int,
-      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
+      rowFilter: DataFrame => DataFrame = identity): DataFrame =
+    ivfSearchPrunedCore(spark, path, idCol, vecCol, queries, qidCol,
+      qvecCol, k, nProbe, rowFilter,
+      cellScore = (q, c) => l2_distance(q, c),
+      rowDistance = (v, q) => l2_distance(v, q))
+
+  /** Pruned IVF search that dispatches on the layout's persisted
+    * metric ([[readIvfMetric]]): L2 distance for "l2", cosine DISTANCE
+    * `1 − sim` (one IEEE float32 subtraction, so smaller-is-better and
+    * the (distance, id) tie-break carry over unchanged) for "cosine".
+    * The store facade routes through this so one search entry point
+    * serves both index kinds.
+    */
+  def ivfSearchPruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame =
+    readIvfMetric(spark, path) match {
+      case "cosine" =>
+        ivfSearchPrunedCore(spark, path, idCol, vecCol, queries, qidCol,
+          qvecCol, k, nProbe, rowFilter,
+          cellScore = (q, c) => -cosine_similarity(q, c),
+          rowDistance = (v, q) => lit(1.0f) - cosine_similarity(v, q))
+      case _ =>
+        ivfSearchL2Pruned(spark, path, idCol, vecCol, queries, qidCol,
+          qvecCol, k, nProbe, rowFilter)
+    }
+
+  private def ivfSearchPrunedCore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int,
+      rowFilter: DataFrame => DataFrame,
+      cellScore: (Column, Column) => Column,
+      rowDistance: (Column, Column) => Column): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probed = probeCells(queries, qidCol, qvecCol, centroids,
-      (q, c) => l2_distance(q, c), nProbe)
+      cellScore, nProbe)
     // ≤ queries × nProbe cell ids — planner state, like the centroids
     val cells = probed.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -499,7 +582,7 @@ object Ann {
     val scored = indexed
       .join(broadcast(probed.withColumn("centroid_id", col("centroid_id").cast("long"))),
         Seq("centroid_id"))
-      .withColumn("distance", l2_distance(col(vecCol), col(qvecCol)))
+      .withColumn("distance", rowDistance(col(vecCol), col(qvecCol)))
       .select(col(qidCol), col(idCol), col("distance"))
     SimilarityJoin.topKByDistance(scored, qidCol, idCol, "distance", k)
   }

@@ -621,13 +621,32 @@ class VectorStore private (
     *   right for small stores and tests, where per-job latency
     *   dominates seed quality).
     */
-  def buildAnnIndex(nCentroids: Int, iters: Int = 5, seedRounds: Int = 2): Unit = {
+  def buildAnnIndex(nCentroids: Int, iters: Int = 5, seedRounds: Int = 2,
+      metric: String = "l2"): Unit = {
+    require(metric == "l2" || metric == "cosine",
+      s"metric must be 'l2' or 'cosine', got '$metric'")
     val proj = liveWithGen.select($"id", $"vec", col(GenCol))
-    val cents = graft.operators.Ann.kmeans(proj, "id", "vec", nCentroids,
-      iters, seedRounds)
-    val indexed = graft.operators.Ann.assign(proj, "id", "vec", cents)
-    graft.operators.Ann.writeIvfIndex(indexed, cents, annPath)
+    val (cents, indexed) =
+      if (metric == "cosine") {
+        // spherical k-means + max-similarity assignment — the index a
+        // normalized-text-embedding corpus needs (most embedding
+        // models ship cosine/IP; an L2 index over unnormalized
+        // vectors ranks by magnitude, not angle)
+        val c = graft.operators.Ann.kmeansCosine(proj, "id", "vec",
+          nCentroids, iters, seedRounds)
+        (c, graft.operators.Ann.assignCosine(proj, "id", "vec", c))
+      } else {
+        val c = graft.operators.Ann.kmeans(proj, "id", "vec", nCentroids,
+          iters, seedRounds)
+        (c, graft.operators.Ann.assign(proj, "id", "vec", c))
+      }
+    graft.operators.Ann.writeIvfIndex(indexed, cents, annPath, metric)
   }
+
+  /** The persisted ANN index's metric ("l2" | "cosine"); "l2" when no
+    * index exists (the only metric a pre-metric layout can carry).
+    */
+  def annMetric: String = graft.operators.Ann.readIvfMetric(spark, annPath)
 
   def dropAnnIndex(): Unit = {
     val p = new Path(annPath)
@@ -642,7 +661,11 @@ class VectorStore private (
     val cents = spark.read.parquet(s"$annPath/centroids")
     val proj = liveWithGen.select($"id", $"vec", col(GenCol))
     val staged = s"$annPath/_index-staging"
-    graft.operators.Ann.assign(proj, "id", "vec", cents)
+    val assigned =
+      if (annMetric == "cosine")
+        graft.operators.Ann.assignCosine(proj, "id", "vec", cents)
+      else graft.operators.Ann.assign(proj, "id", "vec", cents)
+    assigned
       .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
     if (!annFs.delete(annIndexPath, true) && annFs.exists(annIndexPath))
       throw new java.io.IOException(s"could not clear $annIndexPath")
@@ -721,7 +744,7 @@ class VectorStore private (
     if (!hasAnnIndex)
       throw new IllegalStateException(
         s"no ANN index at $annPath — call buildAnnIndex() first")
-    graft.operators.Ann.ivfSearchL2Pruned(spark, annPath, "id", "vec",
+    graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
       queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
       rowFilter = annTombstoneMask)
   }
@@ -780,7 +803,7 @@ class VectorStore private (
       .select($"id")
     val maskAndFilter: DataFrame => DataFrame = df =>
       annTombstoneMask(df).join(matchIds, Seq("id"), "left_semi")
-    graft.operators.Ann.ivfSearchL2Pruned(spark, annPath, "id", "vec",
+    graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
       queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
       rowFilter = maskAndFilter)
   }

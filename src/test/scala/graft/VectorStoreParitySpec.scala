@@ -716,6 +716,43 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       k = 1, values = Seq("a")))
   }
 
+  test("cosine ANN store lifecycle: angle ranking, O(batch) append, delete mask") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annc")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
+    // b is a MAGNITUDE-2 copy of a's direction: cosine must rank it at
+    // distance 0 (an L2 index would put it at distance 1 — the metric
+    // dispatch is what this fixture observes)
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(2f, 0f, 0f, 0f)
+    val c = Array(1f, 1f, 0f, 0f)
+    val d = Array(0f, 1f, 0f, 0f)
+    val e = Array(-1f, 0f, 0f, 0f)
+    s.insert(Seq(a, b, c, d, e))
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0,
+      metric = "cosine")
+    assert(s.annMetric == "cosine")
+    val hits = s.searchApprox(Seq(a), k = 5, nProbe = 2).head
+    assert(hits.map(_.id) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(hits.map(_.distance.toDouble).zip(
+      Seq(0.0, 0.0, 1.0 - 1.0 / math.sqrt(2.0), 1.0, 2.0))
+      .forall { case (got, want) => math.abs(got - want) < 1e-6 },
+      s"distances ${hits.map(_.distance)}")
+    // O(batch) append must assign by cosine too (the persisted metric
+    // marker drives appendToIvfIndex): another colinear vector lands
+    // at distance 0 and takes the id-tie slot after 0 and 1
+    s.insert(Seq(Array(3f, 0f, 0f, 0f)))
+    val hits2 = s.searchApprox(Seq(a), k = 3, nProbe = 2).head
+    assert(hits2.map(_.id) == Seq(0L, 1L, 5L))
+    // tombstone mask composes before the cosine top-k
+    s.delete(Seq(0L))
+    val hits3 = s.searchApprox(Seq(a), k = 3, nProbe = 2).head
+    assert(hits3.map(_.id) == Seq(1L, 5L, 2L))
+    // metric validation
+    intercept[IllegalArgumentException](
+      s.buildAnnIndex(2, metric = "manhattan"))
+  }
+
   test("ingestStream replay guard: an already-committed batchId is skipped") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-rep").toString
