@@ -3200,6 +3200,40 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Chunk→parent-document rollup (r8 verdict missing #3, the
+    // late-chunking step): real chunkSpans over the documents table,
+    // integer per-chunk term-frequency scores for three single-term
+    // queries (broadcast (qid, term) relation — the BM25-melt shape),
+    // pooled per parent doc (max AND sum emitted; max ranks), top-10
+    // docs per query. Every hashed value is an integer; DuckDB
+    // re-derives the spans, slices the token lists, and replays the
+    // pooling and the (pooled desc, doc asc) tie-break.
+    "ir_chunk_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val spans = operators.Packing.chunkSpans(docs, "doc_id", "text",
+        chunkLen = 40, stride = 20)
+      val toks = docs.select(col("doc_id"),
+        operators.TextAnalysis.tokens(col("text")).as("_toks"))
+      val qRel = Seq((0L, "spark"), (1L, "window"), (2L, "merge"))
+        .toDF("qid", "term")
+      val hits = spans.join(toks, "doc_id")
+        .select(col("doc_id"),
+          slice(col("_toks"), (col("tok_start") + 1).cast("int"),
+            col("tok_len").cast("int")).as("_chunk"))
+        .crossJoin(broadcast(qRel))
+        .select(col("qid"), col("doc_id"),
+          size(filter(col("_chunk"), x => x === col("term"))).as("score"))
+        .filter(col("score") > 0)
+      operators.Evaluation.docTopKFromChunks(hits, "qid", "doc_id",
+          "score", k = 10, pool = "max")
+        .select(col("qid"), col("doc_id"),
+          col("max_score").cast("long").as("max_tf"),
+          col("sum_score").cast("long").as("sum_tf"),
+          col("n_chunks"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Mean-average-precision companion: same truncated-dim run vs
     // full-dim truth as ir_metrics, scored with the order-sensitive
     // AP@10 (per-query window ≤ 10 rows — bounded state). DuckDB
@@ -6381,6 +6415,45 @@ object SparkEntry {
         FROM fused)
       SELECT qid, vec_id, (CASE WHEN isnan(CAST((rrf) AS DOUBLE)) OR abs(CAST((rrf) AS DOUBLE)) >= 8e11 THEN CAST((rrf) AS DOUBLE) ELSE floor(CAST((rrf) AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS rrf, rank
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
+    // Span re-derivation (the pk_chunks arithmetic at chunkLen 40 /
+    // stride 20), 1-based inclusive list slices for the chunk tokens,
+    // integer tf pooling, (max desc, doc asc) rank.
+    "ir_chunk_rollup" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      k AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CASE WHEN n <= 40 THEN 0
+                                    ELSE (n - 40 + 19) // 20 END + 1)) AS chunk_id
+        FROM t WHERE n > 0),
+      sp AS (
+        SELECT doc_id, toks, chunk_id,
+               least(chunk_id * 20, greatest(n - 40, 0)) AS tok_start,
+               least(40, n - least(chunk_id * 20, greatest(n - 40, 0))) AS tok_len
+        FROM k),
+      q(qid, term) AS (VALUES (0, 'spark'), (1, 'window'), (2, 'merge')),
+      hits AS (
+        SELECT q.qid, sp.doc_id,
+               len(list_filter(toks[tok_start + 1 : tok_start + tok_len],
+                               x -> x = q.term)) AS score
+        FROM sp CROSS JOIN q),
+      pos AS (SELECT * FROM hits WHERE score > 0),
+      pooled AS (
+        SELECT qid, doc_id, max(score) AS max_tf, sum(score) AS sum_tf,
+               count(*) AS n_chunks
+        FROM pos GROUP BY qid, doc_id),
+      rk AS (
+        SELECT qid, doc_id, max_tf, sum_tf, n_chunks,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY max_tf DESC, doc_id) AS rank
+        FROM pooled)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+             CAST(max_tf AS BIGINT) AS max_tf,
+             CAST(sum_tf AS BIGINT) AS sum_tf,
+             CAST(n_chunks AS BIGINT) AS n_chunks, rank
+      FROM rk WHERE rank <= 10 ORDER BY qid, rank""",
     "ir_map" -> """
       WITH q AS (SELECT vec_id AS qid, embedding AS qvec
                  FROM embeddings WHERE vec_id < 5),

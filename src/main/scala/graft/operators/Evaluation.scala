@@ -180,6 +180,41 @@ object Evaluation {
       .filter(col("rank") <= topK)
   }
 
+  /** Chunk→parent-document retrieval rollup — the late-chunking step a
+    * RAG pipeline needs the day it adopts [[Packing.chunkSpans]]:
+    * chunk-level hits pool per parent document (max-pool — best chunk
+    * wins — AND sum-pool, both emitted; `pool` picks which one ranks),
+    * then the top `k` documents per query by pooled score descending,
+    * document id ascending. `scoreCol` is larger-is-better — negate
+    * distances before calling.
+    *
+    * Scale shape: one map-side-combined (qid, doc) aggregate over the
+    * chunk hits, then the aggregator top-k (per-partition heaps — the
+    * shuffle carries ≤ k docs per query, not the chunk fan-in), then
+    * one hash join of the k·|queries| winners back to their pooled
+    * stats. Nothing is ever per-chunk past the first aggregate.
+    *
+    * Returns (qidCol, docCol, max_score, sum_score, n_chunks, rank).
+    */
+  def docTopKFromChunks(hits: DataFrame, qidCol: String, docCol: String,
+      scoreCol: String, k: Int, pool: String = "max"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pool == "max" || pool == "sum",
+      s"pool must be 'max' or 'sum', got '$pool'")
+    val pooled = hits.groupBy(col(qidCol), col(docCol))
+      .agg(
+        max(col(scoreCol).cast("double")).as("max_score"),
+        sum(col(scoreCol).cast("double")).as("sum_score"),
+        count(lit(1)).as("n_chunks"))
+    val rankOn = if (pool == "max") "max_score" else "sum_score"
+    val top = TopKAggregator.topKRows(
+        pooled.withColumn("_neg", -col(rankOn)), qidCol, docCol, "_neg", k)
+      .select(col(qidCol), col(docCol), col("rn").cast("int").as("rank"))
+    top.join(pooled, Seq(qidCol, docCol))
+      .select(col(qidCol), col(docCol), col("max_score"),
+        col("sum_score"), col("n_chunks"), col("rank"))
+  }
+
   /** Reliability table for probability scores in [0, 1]: per bin of
     * width 1/nBins, (n, avg_score, frac_pos) — is the model saying
     * 0.8 right 80% of the time? One map-side-combined aggregation,

@@ -292,4 +292,38 @@ class FunnelEvalSpec extends SparkSuite {
     // age-0 row equals the cohort size for every cohort
     assert(r((0L, 0L)) == 2L && r((1L, 0L)) == 1L && r((3L, 0L)) == 1L)
   }
+
+  test("docTopKFromChunks: max vs sum pooling, tie-break, k cap") {
+    // doc 1: chunks score (3, 1) -> max 3, sum 4, n 2
+    // doc 2: chunks score (2, 2) -> max 2, sum 4, n 2
+    // doc 3: one chunk 3        -> max 3, sum 3, n 1
+    val hits = Seq(
+      (0L, 1L, 3.0), (0L, 1L, 1.0),
+      (0L, 2L, 2.0), (0L, 2L, 2.0),
+      (0L, 3L, 3.0),
+      (1L, 9L, 5.0)).toDF("qid", "doc", "score")
+    val byMax = Evaluation.docTopKFromChunks(hits, "qid", "doc", "score",
+        k = 3, pool = "max")
+      .filter($"qid" === 0L).orderBy("rank")
+      .select($"doc", $"max_score", $"sum_score", $"n_chunks", $"rank")
+      .as[(Long, Double, Double, Long, Int)].collect().toSeq
+    // max pool: docs 1 and 3 tie at 3 -> doc asc; then doc 2
+    assert(byMax == Seq((1L, 3.0, 4.0, 2L, 1), (3L, 3.0, 3.0, 1L, 2),
+      (2L, 2.0, 4.0, 2L, 3)))
+    val bySum = Evaluation.docTopKFromChunks(hits, "qid", "doc", "score",
+        k = 2, pool = "sum")
+      .filter($"qid" === 0L).orderBy("rank")
+      .select($"doc", $"rank").as[(Long, Int)].collect().toSeq
+    // sum pool: docs 1 and 2 tie at 4 -> doc asc; k = 2 cuts doc 3
+    assert(bySum == Seq((1L, 1), (2L, 2)))
+    // second query pools independently
+    val q1 = Evaluation.docTopKFromChunks(hits, "qid", "doc", "score",
+        k = 3).filter($"qid" === 1L)
+      .select($"doc", $"rank").as[(Long, Int)].collect().toSeq
+    assert(q1 == Seq((9L, 1)))
+    intercept[IllegalArgumentException](
+      Evaluation.docTopKFromChunks(hits, "qid", "doc", "score", k = 0))
+    intercept[IllegalArgumentException](
+      Evaluation.docTopKFromChunks(hits, "qid", "doc", "score", 1, "avg"))
+  }
 }
