@@ -532,6 +532,61 @@ object ScaleSmoke {
       graft.operators.Ann.appendToIvfIndex(spark, p, batch, "vec_id", "embedding")
       println(s"SMOKE   appended index rows: ${spark.read.parquet(s"$p/index").count()}")
     }
+
+    // ---- streaming store ingestion at 10-20x the gate volume --------
+    // The st_stream_* gates cap at a few hundred rows by design (their
+    // cost is lifecycle job-count); these arms measure the per-batch
+    // costs a production ingester actually pays: plain append, and the
+    // per-batch 1-NN dedup against a growing live store.
+    def cleanDir(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    timed("ingestStream 20k rows / 10 batches") {
+      val root = s"$base/stream_ingest"
+      cleanDir(root)
+      val src = bigEmb.filter(col("vec_id") < 20000)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      src.repartitionByRange(10, col("vec_id"))
+        .write.mode("overwrite").parquet(s"$root/src")
+      val store = graft.store.VectorStore.openOrCreate(
+        spark, s"$root/store", 64, tombstoneDeletes = true)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$root/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+        .select(col("vec"))
+      store.ingestStream(stream, s"$root/ck").awaitTermination()
+      println(s"SMOKE   streamed store rows: ${store.count()}")
+    }
+    timed("ingestStreamDedup 10k (50% dup) / 5 batches") {
+      val root = s"$base/stream_dedup"
+      cleanDir(root)
+      val store = graft.store.VectorStore.openOrCreate(
+        spark, s"$root/store", 64, tombstoneDeletes = true)
+      // seed 10k, then stream 10k of which half are exact copies of
+      // seeded rows — every batch pays a 1-NN search against the live
+      // store (which GROWS as novel rows land)
+      val seed = bigEmb.filter(col("vec_id") < 10000)
+        .select(col("vec_id"), col("embedding"))
+      store.insertDF(seed.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      val copies = seed.filter(col("vec_id") % 2 === 0)
+      val novel = bigEmb
+        .filter(col("vec_id") >= 10000 && col("vec_id") < 15000)
+        .select(col("vec_id"), col("embedding"))
+      copies.unionAll(novel)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .repartitionByRange(5, col("vec_id"))
+        .write.mode("overwrite").parquet(s"$root/src")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$root/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+        .select(col("vec"))
+      store.ingestStreamDedup(stream, s"$root/ck", eps = 1e-4)
+        .awaitTermination()
+      println(s"SMOKE   dedup store rows: ${store.count()} (want 15000)")
+    }
     spark.stop()
   }
 }
