@@ -413,6 +413,55 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // IVF-PQ through the store facade: the vs_ann_search lifecycle
+    // (insert → index → delete → upsert → search) on the COMPRESSED
+    // layout. Full probe makes the store's masked pruned ADC search
+    // candidate-complete, so it must agree row-for-row with an
+    // INDEPENDENT flat adcTopK over the live table re-encoded with the
+    // store's persisted codebook (the ann_ivfpq self-consistency
+    // pattern — k-means state can't replay in DuckDB, so the oracle
+    // asserts the integer agreement frame). Both sides quantize the
+    // ADC distance through float32 before rounding so the comparison
+    // is bit-fair.
+    "vs_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_pq_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 2)
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(3L), Seq(v7))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      val got = store.searchApproxDF(qs, k = 5, nProbe = 8)
+        .select(col("qid").cast("long").as("qid"), col("id"),
+          col("rn").cast("long").as("rn"),
+          hround(col("distance").cast("double"), 4).as("d"))
+      val cb = graft.operators.Pq.readCodebook(s, s"$root/ann/codebook")
+      val queries = qs.collect()
+        .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray)).toSeq
+      val flat = graft.operators.Pq.adcTopK(
+          graft.operators.Pq.encode(
+            store.toDF.select($"id", $"vec"), "vec", "codes", cb),
+          "id", "codes", cb, queries, k = 5)
+        .select(col("qid"), col("id"), col("rn").cast("long").as("rn"),
+          hround(col("adc_dist").cast("float").cast("double"), 4).as("d"),
+          lit(1).as("ok"))
+      got.join(flat, Seq("qid", "id", "rn", "d"), "left_outer")
+        .agg(
+          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long")
+            .as("mismatches"),
+          (count(lit(1)) === 15).as("complete"))
+    }),
+
     // Operational stats snapshot: live/tombstone/high-water/version/
     // index-cells after a deterministic lifecycle — the maintenance
     // dashboard numbers, every one an integer with a closed-form
@@ -6251,6 +6300,8 @@ object SparkEntry {
              (CASE WHEN isnan(CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE)) OR abs(CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE)) >= 8e13 THEN CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE) ELSE floor(CAST((dot / (sqrt(na) * sqrt(nb))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS sim
       FROM p ORDER BY label_a, label_b""",
     "ann_ivfpq" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "vs_ann_pq" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "ann_ivf_append" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",

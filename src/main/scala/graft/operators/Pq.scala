@@ -274,6 +274,66 @@ object Pq {
     SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
   }
 
+  // ------------------- persisted IVF-PQ layout ------------------------ //
+
+  /** Persist a codebook next to an IVF layout: one row per (sub, cell)
+    * codeword — the shape (dim, m, k) is derivable from the rows, so
+    * the file IS the codebook, engine-readably.
+    */
+  def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: PqCodebook): Unit = {
+    import spark.implicits._
+    val rows = for (s <- 0 until cb.m; c <- 0 until cb.k)
+      yield (s, c, cb.centroids(s)(c).toSeq)
+    rows.toDF("sub", "cell", "word")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebook = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub").cast("int"), col("cell").cast("int"), col("word"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"empty codebook at $path")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val subDim = rows.head._3.length
+    val cents = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { case (s, c, w) => cents(s)(c) = w }
+    PqCodebook(m * subDim, m, k, cents.map(_.toArray))
+  }
+
+  /** The distinct cell ids the query batch would probe — the driver-
+    * state input a caller needs to partition-prune a persisted layout's
+    * scan BEFORE handing it to [[ivfPqSearch]] (whose internal probe
+    * join then restricts each query to its own cells).
+    */
+  def probedCells(centroids: DataFrame,
+      queries: Seq[(Long, Array[Float])], nProbe: Int): Seq[Long] = {
+    val cents = collectCentroids(centroids)
+    queries.flatMap { case (_, q) => rankCells(q, cents, nProbe) }
+      .distinct.sorted
+  }
+
+  /** O(batch) append to a persisted IVF-PQ layout: assign the new rows
+    * to the EXISTING coarse centroids, encode with the PERSISTED
+    * codebook, append under the matching partitions — the
+    * [[Ann.appendToIvfIndex]] maintenance contract for compressed
+    * indexes (codebook drift is the rebuild trigger, not a side effect
+    * of ingestion). Extra columns on `newBatch` (e.g. a write
+    * generation) ride along into the layout.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = readCodebook(spark, s"$path/codebook")
+    encode(Ann.assign(newBatch, idCol, vecCol, centroids), vecCol, "codes", cb)
+      .drop(vecCol)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
   // ------------------------ residual IVF-PQ --------------------------- //
 
   /** The float32 residual `v - c` (the arithmetic [[graft.functions.vec_sub]]

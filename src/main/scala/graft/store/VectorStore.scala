@@ -648,6 +648,78 @@ class VectorStore private (
     */
   def annMetric: String = graft.operators.Ann.readIvfMetric(spark, annPath)
 
+  /** The persisted index kind: "ivf" (flat vectors) or "ivfpq"
+    * (PQ-compressed codes); "ivf" when no marker exists.
+    */
+  def annKind: String = {
+    val p = new Path(s"$annPath/kind")
+    if (!annFs.exists(p)) "ivf"
+    else {
+      val in = annFs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  private def writeAnnKindMarker(kind: String): Unit = {
+    val p = new Path(s"$annPath/kind")
+    val out = annFs.create(p, true)
+    try out.write(kind.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** IVF-PQ index through the store facade — the 100 TB memory story:
+    * the index rows carry `m` byte-ish codes (array<int> of sub-cell
+    * ids) instead of `dim` floats, so a 64-dim float32 corpus indexes
+    * at ~1/16th the bytes scanned per probe; search ranks by ADC
+    * distance (exact L2 to the PQ reconstruction — approximate for the
+    * true vector, the PQ trade). Same maintenance contract as the flat
+    * index: O(batch) append re-uses the persisted coarse centroids AND
+    * codebook (drift is a rebuild trigger, not an ingestion side
+    * effect), deletes mask through the same tombstone generations, and
+    * post-compaction rebuilds re-encode live rows without retraining.
+    * L2 only (the FAISS default pairing; cosine callers normalize and
+    * use the flat cosine index).
+    */
+  def buildAnnIndexPq(nCells: Int, m: Int, k: Int, iters: Int = 5): Unit = {
+    val proj = liveWithGen.select($"id", $"vec", col(GenCol))
+    val (enc, cents, cb) = graft.operators.Pq.ivfPqBuild(
+      proj.select($"id", $"vec"), "id", "vec", dim, nCells, m, k, iters)
+    // the encoder projects to (id, centroid_id, codes) — join the
+    // write generation back so the tombstone mask works on index rows
+    val encG = enc.join(proj.select($"id", col(GenCol)), Seq("id"))
+    graft.operators.Ann.writeIvfIndex(encG, cents, annPath)
+    graft.operators.Pq.writeCodebook(spark, s"$annPath/codebook", cb)
+    writeAnnKindMarker("ivfpq")
+  }
+
+  /** The PQ search core: driver-held queries probe the persisted
+    * layout with source-level partition pruning, the tombstone mask
+    * (and any extra row filter) composes BEFORE the ADC top-k.
+    */
+  private def searchApproxPqDF(queries: DataFrame, k: Int, nProbe: Int,
+      extraFilter: DataFrame => DataFrame): DataFrame = {
+    val qSeq = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    qSeq.foreach { case (qid, q) =>
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"query $qid has dimension ${q.length}, store dimension is $dim")
+    }
+    val cents = spark.read.parquet(s"$annPath/centroids")
+    val cb = graft.operators.Pq.readCodebook(spark, s"$annPath/codebook")
+    val cells = graft.operators.Pq.probedCells(cents, qSeq, nProbe)
+    val idx = extraFilter(annTombstoneMask(
+      spark.read.parquet(s"$annPath/index")
+        .filter(col("centroid_id").isin(cells: _*)) // → PartitionFilters
+        .withColumn("centroid_id", col("centroid_id").cast("long"))))
+    graft.operators.Pq.ivfPqSearch(idx, "id", "codes", cents, cb,
+        qSeq, k, nProbe)
+      .select(col("qid"), col("id"),
+        col("adc_dist").cast("float").as("distance"), col("rn"))
+  }
+
   def dropAnnIndex(): Unit = {
     val p = new Path(annPath)
     if (annFs.exists(p)) annFs.delete(p, true)
@@ -662,7 +734,14 @@ class VectorStore private (
     val proj = liveWithGen.select($"id", $"vec", col(GenCol))
     val staged = s"$annPath/_index-staging"
     val assigned =
-      if (annMetric == "cosine")
+      if (annKind == "ivfpq") {
+        // re-encode live rows with the PERSISTED codebook — no retrain
+        val cb = graft.operators.Pq.readCodebook(spark, s"$annPath/codebook")
+        graft.operators.Pq.encode(
+            graft.operators.Ann.assign(proj, "id", "vec", cents),
+            "vec", "codes", cb)
+          .drop("vec")
+      } else if (annMetric == "cosine")
         graft.operators.Ann.assignCosine(proj, "id", "vec", cents)
       else graft.operators.Ann.assign(proj, "id", "vec", cents)
     assigned
@@ -681,8 +760,11 @@ class VectorStore private (
       case t: TombstoneStorage => t.currentVersion()
       case _ => 0L
     }
-    graft.operators.Ann.appendToIvfIndex(spark, annPath,
-      rows.select($"id", $"vec").withColumn(GenCol, lit(gen)), "id", "vec")
+    val batch = rows.select($"id", $"vec").withColumn(GenCol, lit(gen))
+    if (annKind == "ivfpq")
+      graft.operators.Pq.appendToIvfPqIndex(spark, annPath, batch, "id", "vec")
+    else
+      graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
   }
 
   /** Post-delete index maintenance: on the tombstone layout the query-
@@ -744,9 +826,12 @@ class VectorStore private (
     if (!hasAnnIndex)
       throw new IllegalStateException(
         s"no ANN index at $annPath — call buildAnnIndex() first")
-    graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
-      queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
-      rowFilter = annTombstoneMask)
+    if (annKind == "ivfpq")
+      searchApproxPqDF(queries, k, nProbe, identity)
+    else
+      graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
+        queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
+        rowFilter = annTombstoneMask)
   }
 
   /** Filtered approximate search — [[searchWhere]]'s JSON-path
@@ -801,11 +886,18 @@ class VectorStore private (
     val matchIds = table
       .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
       .select($"id")
-    val maskAndFilter: DataFrame => DataFrame = df =>
-      annTombstoneMask(df).join(matchIds, Seq("id"), "left_semi")
-    graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
-      queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
-      rowFilter = maskAndFilter)
+    if (annKind == "ivfpq")
+      // searchApproxPqDF already masks tombstones; compose only the
+      // predicate semi-join here
+      searchApproxPqDF(queries, k, nProbe,
+        df => df.join(matchIds, Seq("id"), "left_semi"))
+    else {
+      val maskAndFilter: DataFrame => DataFrame = df =>
+        annTombstoneMask(df).join(matchIds, Seq("id"), "left_semi")
+      graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
+        queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
+        rowFilter = maskAndFilter)
+    }
   }
 
   /** Distributed batch k-NN: queries as a DataFrame (`qid`, `qvec`),

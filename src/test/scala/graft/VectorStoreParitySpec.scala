@@ -753,6 +753,57 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       s.buildAnnIndex(2, metric = "manhattan"))
   }
 
+  test("IVF-PQ store lifecycle: ADC parity with persisted codebook, append, delete mask") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 12).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    s.insert(vecs)
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 2)
+    assert(s.annKind == "ivfpq")
+    // whatever the trained codebook is, the store's full-probe search
+    // must equal a flat operator-level ADC run over the live rows with
+    // the SAME persisted codebook
+    val cb = graft.operators.Pq.readCodebook(spark, s"$dir/ann/codebook")
+    def flatTop(qid: Long, q: Array[Float], k: Int): Seq[(Long, Float)] = {
+      import spark.implicits._
+      val live = s.toDF.select(col("id"), col("vec"))
+      graft.operators.Pq.adcTopK(
+          graft.operators.Pq.encode(live, "vec", "codes", cb),
+          "id", "codes", cb, Seq((qid, q)), k)
+        .orderBy("rn").select(col("id"), col("adc_dist").cast("float"))
+        .as[(Long, Float)].collect().toSeq
+    }
+    def storeTop(qid: Long, q: Array[Float], k: Int): Seq[(Long, Float)] = {
+      import spark.implicits._
+      s.searchApproxDF(
+          Seq((qid, q)).toDF("qid", "qvec"), k, nProbe = 2)
+        .orderBy("rn").select(col("id"), col("distance"))
+        .as[(Long, Float)].collect().toSeq
+    }
+    assert(storeTop(0L, vecs(3), 5) == flatTop(0L, vecs(3), 5))
+    // O(batch) append: the new row is encoded with the persisted
+    // codebook and immediately searchable
+    val nv = Array.tabulate(8)(j => (j % 5).toFloat)
+    s.insert(Seq(nv))
+    assert(storeTop(1L, nv, 6) == flatTop(1L, nv, 6))
+    // delete mask: the removed id disappears from the store run and
+    // the flat run over the reduced live set still matches
+    val victim = storeTop(2L, vecs(5), 1).head._1
+    s.delete(Seq(victim))
+    val after = storeTop(3L, vecs(5), 5)
+    assert(!after.map(_._1).contains(victim))
+    assert(after == flatTop(3L, vecs(5), 5))
+    // dimension contract
+    intercept[IllegalArgumentException] {
+      import spark.implicits._
+      s.searchApproxDF(Seq((9L, Array(1f, 2f))).toDF("qid", "qvec"), 1, 1)
+        .collect()
+    }
+  }
+
   test("ingestStream replay guard: an already-committed batchId is skipped") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-rep").toString
