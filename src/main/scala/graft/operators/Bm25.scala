@@ -233,6 +233,15 @@ object Bm25 {
     val norm = lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(stats.avgdlSafe))
     val contrib = col("_idf") * tf * lit(k1 + 1.0) / (tf + norm)
+    // determinism note: sum(contrib) is a shuffle aggregate, so the
+    // per-term addition order is partition-dependent, while [[topK]]'s
+    // per-query projection (and the DuckDB oracles) sum in a fixed
+    // order — a score within ~5e-5 of a 4-decimal rounding boundary
+    // could flip the rounded bm25 between runs/engines. Not observed
+    // in any gate (scores sit far from boundaries at 4 decimals); if
+    // one ever flakes, sum collected (term_idx, contrib) structs via
+    // sort_array, or hround each contribution before summing on BOTH
+    // engines.
     val scored = tfLong.join(broadcast(qRel), "_ti")
       .groupBy(col("_qid").as("qid"), col(idCol))
       .agg(graft.functions.hround(sum(contrib), 4).as("bm25"))

@@ -649,15 +649,18 @@ object Graphs extends org.apache.spark.internal.Logging {
       .localCheckpoint(true)
     val adj = canon.select(col("u").as("w"), col("v").as("n"))
       .unionAll(canon.select(col("v").as("w"), col("u").as("n")))
+    // node-bounded; checkpointed eagerly so the degree shuffle runs
+    // ONCE and is reused by the cap check and all three downstream
+    // joins (uncheckpointed, each join recomputes the aggregate)
     val deg = adj.groupBy("w").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
     val centers = maxCenterDegree match {
       case Some(cap) =>
         // make the exactness loss observable: the cap defaulting to
         // Some(1000) means callers on hub-heavy graphs silently get
-        // approximate cn counts — one cheap aggregate over the
-        // (checkpointed) adjacency names the pruned hubs loudly. The
-        // count is node-bounded, not edge-bounded, and only runs when
-        // a cap is set.
+        // approximate cn counts. Over the checkpointed node-bounded
+        // frame this count is a local cached-block scan, not an extra
+        // aggregate pass (r9 ADVICE: the no-prune path pays ~nothing).
         val pruned = deg.filter(col("degree") > cap).count()
         if (pruned > 0)
           logWarning(s"linkPrediction: maxCenterDegree=$cap prunes " +

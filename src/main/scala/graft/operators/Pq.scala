@@ -252,26 +252,48 @@ object Pq {
       (acc, cid)
     }.sorted.take(nProbe).map(_._2).toSeq
 
+  /** Queries per chunk for the batched searches: bounds the ADC-table
+    * driver/broadcast state at `chunk × m × k` doubles (~34 MB at
+    * m=16, k=256) however large the batch — chunks run as independent
+    * single-job searches and union by qid (per-query top-k, so the
+    * union IS the single-batch result). Plan size grows only as
+    * ⌈Q/chunk⌉ branches.
+    */
+  private val QueryChunk = 1024
+
+  private def chunked(queries: Seq[(Long, Array[Float])], chunk: Int)(
+      run: Seq[(Long, Array[Float])] => DataFrame): DataFrame =
+    if (queries.size <= chunk) run(queries)
+    else queries.grouped(chunk).map(run).reduce(_ unionAll _)
+
   def ivfPqSearch(index: DataFrame, idCol: String, codesCol: String,
       centroids: DataFrame, cb: PqCodebook,
-      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+      queryChunk: Int = QueryChunk): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(queryChunk >= 1, s"queryChunk must be >= 1, got $queryChunk")
     require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be unique")
     val spark = index.sparkSession
     import spark.implicits._
     val cents = collectCentroids(centroids)
-    val probes = queries.flatMap { case (qid, q) =>
-      rankCells(q, cents, nProbe).map(cid => (qid, cid))
-    }.toDF("qid", "centroid_id")
-    val qt = adcTableFrame(spark, queries, cb)
-    val scored = materializeRows(
-        index.select(col(idCol), col("centroid_id"), col(codesCol)))
-      .join(broadcast(probes), Seq("centroid_id"))
-      .join(broadcast(qt), Seq("qid"))
-      .select(col("qid"), col(idCol),
-        adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
-    SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
+    // pin the index projection ONCE, outside the per-chunk closures
+    val mat = materializeRows(
+      index.select(col(idCol), col("centroid_id"), col(codesCol)))
+    chunked(queries, queryChunk) { qs =>
+      val probes = qs.flatMap { case (qid, q) =>
+        rankCells(q, cents, nProbe).map(cid => (qid, cid))
+      }.toDF("qid", "centroid_id")
+      val qt = adcTableFrame(spark, qs, cb)
+      val scored = mat
+        .join(broadcast(probes), Seq("centroid_id"))
+        .join(broadcast(qt), Seq("qid"))
+        .select(col("qid"), col(idCol),
+          adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
+      SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
+    }
   }
 
   // ------------------- persisted IVF-PQ layout ------------------------ //
@@ -399,9 +421,11 @@ object Pq {
     */
   def ivfPqSearchResidual(index: DataFrame, idCol: String, codesCol: String,
       centroids: DataFrame, cb: PqCodebook,
-      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+      queryChunk: Int = QueryChunk): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(queryChunk >= 1, s"queryChunk must be >= 1, got $queryChunk")
     require(queries.nonEmpty, "need at least one query")
     require(queries.map(_._1).distinct.length == queries.length,
       "query ids must be unique")
@@ -409,16 +433,51 @@ object Pq {
     import spark.implicits._
     val cents = collectCentroids(centroids)
     val byId = cents.toMap
-    val probes = queries.flatMap { case (qid, q) =>
-      rankCells(q, cents, nProbe).map { cid =>
-        (qid, cid, adcTable(residual(q, byId(cid)), cb).map(_.toSeq).toSeq)
-      }
-    }.toDF("qid", "centroid_id", "_adc")
-    val scored = materializeRows(
-        index.select(col(idCol), col("centroid_id"), col(codesCol)))
-      .join(broadcast(probes), Seq("centroid_id"))
-      .select(col("qid"), col(idCol),
-        adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
-    SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
+    val mat = materializeRows(
+      index.select(col(idCol), col("centroid_id"), col(codesCol)))
+    // residual tables are per (query, probed cell) — nProbe× the raw-PQ
+    // state — so the chunk is proportionally smaller
+    chunked(queries, math.max(1, queryChunk / nProbe)) { qs =>
+      val probes = qs.flatMap { case (qid, q) =>
+        rankCells(q, cents, nProbe).map { cid =>
+          (qid, cid, adcTable(residual(q, byId(cid)), cb).map(_.toSeq).toSeq)
+        }
+      }.toDF("qid", "centroid_id", "_adc")
+      val scored = mat
+        .join(broadcast(probes), Seq("centroid_id"))
+        .select(col("qid"), col(idCol),
+          adcDistFromTable(col("_adc"), col(codesCol), cb.m).as("adc_dist"))
+      SimilarityJoin.topKByDistance(scored, "qid", idCol, "adc_dist", k)
+    }
+  }
+
+  /** Residual-encode an ALREADY-ASSIGNED frame (`centroid_id` present)
+    * with a FITTED codebook: the [[pqResidualFromIvf]] projection
+    * without the fit — the maintenance-path building block (append,
+    * post-compaction rebuild) where retraining is explicitly not
+    * wanted. Extra columns ride along.
+    */
+  def encodeResidualAssigned(assigned: DataFrame, vecCol: String,
+      outCol: String, centroids: DataFrame, cb: PqCodebook): DataFrame = {
+    val centArr = collectCentroids(centroids).map(_._2)
+    val resCol = graft.functions.vec_sub(col(vecCol),
+      element_at(typedLit(centArr), col("centroid_id").cast("int") + 1))
+    encode(assigned.withColumn("_res", resCol), "_res", outCol, cb)
+      .drop("_res")
+  }
+
+  /** O(batch) append to a persisted RESIDUAL IVF-PQ layout — the
+    * [[appendToIvfPqIndex]] contract with residual encoding against
+    * the persisted coarse centroids and codebook.
+    */
+  def appendToIvfPqIndexResidual(spark: org.apache.spark.sql.SparkSession,
+      path: String, newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = readCodebook(spark, s"$path/codebook")
+    encodeResidualAssigned(Ann.assign(newBatch, idCol, vecCol, centroids),
+        vecCol, "codes", centroids, cb)
+      .drop(vecCol)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
   }
 }

@@ -85,6 +85,32 @@ object Sampling {
     df.withColumn("split", chain.otherwise(splits.last._1))
   }
 
+  /** Group-aware labeled split: [[hashSplitLabeled]] with membership
+    * decided by the hash of the row's GROUP key instead of its own key
+    * — every member of a group lands in the same split, so no
+    * within-group pair ever crosses the train/eval boundary. The
+    * intended group is a near-dup cluster id
+    * ([[Dedup.nearDupClusters]]): [[Dedup.splitLeakage]] DETECTS
+    * near-dup pairs straddling a row-keyed split (gated `pp_leakage` —
+    * 11k+ crossing pairs on the documents fixture); this is the FIX its
+    * scaladoc prescribes. Rows with a NULL group (singletons — cluster
+    * frames only label rows that appear in a near-dup pair) fall back
+    * to their own key, preserving hash-split row independence for them.
+    *
+    * Disjoint + exhaustive exactly as [[hashSplitLabeled]] (one label
+    * per row, pure (group-or-key, salt) function); split sizes now
+    * land on group boundaries, so realized fractions deviate by the
+    * group-size distribution — the price of the no-leakage guarantee.
+    * Pure scan predicate over a (left-join-resolved) group column: no
+    * shuffle beyond the caller's cluster join.
+    */
+  def hashSplitGrouped(df: DataFrame, keyCol: String, groupCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    val withKey = df.withColumn("_splitkey",
+      coalesce(col(groupCol).cast("string"), col(keyCol).cast("string")))
+    hashSplitLabeled(withKey, "_splitkey", splits, salt).drop("_splitkey")
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * (shard, pos) pair — shard from its md5 prefix, pos = rank within
     * the shard by (hash, id) — and reading shards in order yields a

@@ -304,18 +304,25 @@ class VectorStore private (
     n
   }
 
-  /** Batch-commit marker for a streaming sink: one tiny file under the
-    * store root, keyed by the stream's checkpoint dir, holding the last
-    * batchId whose insert completed. Written AFTER the insert, so a
-    * replayed batch (crash between insert and the stream's own offset
-    * commit) is detected and skipped instead of appended twice under
-    * fresh ids. Single-writer contract, like the store itself.
+  /** Batch-commit marker for a streaming sink: one tiny file INSIDE
+    * the stream's checkpoint dir, holding the last batchId whose
+    * insert completed. Written AFTER the insert, so a replayed batch
+    * (crash between insert and the stream's own offset commit) is
+    * detected and skipped instead of appended twice under fresh ids.
+    * Living inside the checkpoint ties the marker's lifetime to the
+    * batchId sequence it guards: wiping the checkpoint to reprocess
+    * from scratch (batchIds restart at 0) also wipes the marker, so
+    * the restarted stream is NOT silently skipped up to the old
+    * high-water mark — the failure mode of a store-rooted marker.
+    * Keyed by store-path hash so one checkpoint feeding two stores
+    * (not a supported shape, but cheap to defend) cannot cross-skip.
+    * Single-writer contract, like the store itself.
     */
   private def streamCommitPath(checkpointDir: String): Path = {
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpointDir.getBytes("UTF-8"))
+      .digest(path.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
-    new Path(path, s"_stream_commit_$key")
+    new Path(checkpointDir, s"_graft_store_commit_$key")
   }
 
   private def lastCommittedBatch(p: Path): Long = {
@@ -401,51 +408,107 @@ class VectorStore private (
     * maxFilesPerTrigger — checking a batch against itself would need a
     * self-join this sink deliberately leaves to the batch [[graft.operators.SemDedup]]
     * path). An empty store accepts the whole first batch.
+    *
+    * '''Scale mode''' (`approx = true`): the exact per-batch 1-NN
+    * scores every batch row against EVERY live row — O(batch × live)
+    * pairs per micro-batch, linear in store size (measured: 23 s per
+    * 2k-row batch at only 15k live rows — SCALE.md §Round 9), which is
+    * the wrong cost model for a continuous-crawl ingester whose store
+    * only grows. With `approx = true` and an ANN index present
+    * ([[buildAnnIndex]]), candidate generation routes through
+    * [[searchApproxDF]]: only the `nProbe` probed cells are scanned
+    * (partition-pruned at the source), distances WITHIN the candidates
+    * stay exact float32, and per-batch cost tracks cell size, not
+    * store size. The index stays current for free — every accepted
+    * batch is O(batch)-appended to it by [[insertDF]]. The trade is
+    * recall: a duplicate whose nearest stored vector lives outside the
+    * probed cells is missed and KEPT (a false non-dup — the safe
+    * direction for dedup; `nProbe` = cell count degenerates to the
+    * exact check). If no index exists yet, batches fall back to the
+    * exact scan with a warning (e.g. the empty/seed phase before the
+    * first [[buildAnnIndex]]).
+    *
+    * Note: pinning `orderCols` serializes each batch's survivors
+    * through one task (`coalesce(1)`) for deterministic id assignment
+    * — fine at micro-batch sizes; for very large batches leave
+    * `orderCols` empty and accept partition-order ids.
     */
   def ingestStreamDedup(stream: DataFrame, checkpointDir: String,
       eps: Double,
       orderCols: Seq[org.apache.spark.sql.Column] = Seq.empty,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      approx: Boolean = false,
+      nProbe: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(eps >= 0.0, s"eps must be >= 0, got $eps")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // same replay guard as ingestStream: within eps the 1-NN check
-        // is incidentally idempotent, but an exact replay would still
-        // burn ids and a replay of NOVEL rows (eps-distinct batch)
-        // would duplicate them outright
-        val cp = streamCommitPath(checkpointDir)
-        if (batchId <= lastCommittedBatch(cp)) {
-          logWarning(s"ingestStreamDedup: skipping replayed batch $batchId")
-        } else {
-          val deduped =
-            if (count() == 0L) batch
-            else {
-              val keyed = batch
-                .withColumn("_qid", monotonically_increasing_id())
-                .localCheckpoint(true)
-              val nn = searchDF(
-                  keyed.select($"_qid".as("qid"),
-                    $"vec".cast("array<float>").as("qvec")), k = 1)
-                .filter($"distance".cast("double") <= eps)
-                .select($"qid".as("_qid"))
-              keyed.join(nn, Seq("_qid"), "left_anti").drop("_qid")
-            }
-          // order AFTER the dedup join: the anti-join may plan as a
-          // shuffle for large batches, which would scramble a
-          // pre-applied order and make id assignment nondeterministic
-          val survivors =
-            if (orderCols.isEmpty) deduped
-            else deduped.orderBy(orderCols: _*).coalesce(1)
-          if (!survivors.isEmpty) insertDF(survivors)
-          recordCommittedBatch(cp, batchId)
-        }
+        applyDedupIngestBatch(batch, batchId, checkpointDir, eps,
+          orderCols, approx, nProbe)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** One micro-batch of [[ingestStreamDedup]] — factored out (like
+    * [[applyIngestBatch]]) so the approx/exact candidate paths are
+    * unit-testable without a live stream. Returns true when the batch
+    * was applied (even if fully deduped away), false on a replay skip.
+    */
+  private[graft] def applyDedupIngestBatch(batch: DataFrame, batchId: Long,
+      checkpointDir: String, eps: Double,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      approx: Boolean, nProbe: Int): Boolean = {
+    // same replay guard as ingestStream: within eps the 1-NN check
+    // is incidentally idempotent, but an exact replay would still
+    // burn ids and a replay of NOVEL rows (eps-distinct batch)
+    // would duplicate them outright
+    val cp = streamCommitPath(checkpointDir)
+    if (batchId <= lastCommittedBatch(cp)) {
+      logWarning(s"ingestStreamDedup: skipping replayed batch $batchId")
+      false
+    } else {
+      val deduped =
+        if (count() == 0L) batch
+        else {
+          val keyed = batch
+            .withColumn("_qid", monotonically_increasing_id())
+            .localCheckpoint(true)
+          val queries = keyed.select($"_qid".as("qid"),
+            $"vec".cast("array<float>").as("qvec"))
+          val useApprox = approx && hasAnnIndex
+          if (approx && !useApprox)
+            logWarning("ingestStreamDedup: approx = true but the " +
+              "store has no ANN index yet — falling back to the " +
+              "exact scan for this batch (buildAnnIndex() to " +
+              "enable the probed path)")
+          // on a PQ index the ADC distance is a reconstruction
+          // approximation — refine so the eps gate compares TRUE
+          // float32 distances (candidates still come from probes)
+          val nn = (if (useApprox && annKindIsPq)
+                      searchApproxDF(queries, k = 1, nProbe,
+                        refine = math.max(32, nProbe))
+                    else if (useApprox)
+                      searchApproxDF(queries, k = 1, nProbe)
+                    else searchDF(queries, k = 1))
+            .filter($"distance".cast("double") <= eps)
+            .select($"qid".as("_qid"))
+          keyed.join(nn, Seq("_qid"), "left_anti").drop("_qid")
+        }
+      // order AFTER the dedup join: the anti-join may plan as a
+      // shuffle for large batches, which would scramble a
+      // pre-applied order and make id assignment nondeterministic
+      val survivors =
+        if (orderCols.isEmpty) deduped
+        else deduped.orderBy(orderCols: _*).coalesce(1)
+      if (!survivors.isEmpty) insertDF(survivors)
+      recordCommittedBatch(cp, batchId)
+      true
+    }
   }
 
   /** Fold any pending tombstones into a rewrite (no-op on the plain
@@ -641,6 +704,12 @@ class VectorStore private (
         (c, graft.operators.Ann.assign(proj, "id", "vec", c))
       }
     graft.operators.Ann.writeIvfIndex(indexed, cents, annPath, metric)
+    // a rebuild over a previous buildAnnIndexPq must not leave the
+    // "ivfpq" kind marker (searchApproxDF would dispatch to the PQ
+    // path and expect a `codes` column) or the stale codebook behind
+    writeAnnKindMarker("ivf")
+    val staleCb = new Path(s"$annPath/codebook")
+    if (annFs.exists(staleCb)) annFs.delete(staleCb, true)
   }
 
   /** The persisted ANN index's metric ("l2" | "cosine"); "l2" when no
@@ -679,25 +748,58 @@ class VectorStore private (
     * post-compaction rebuilds re-encode live rows without retraining.
     * L2 only (the FAISS default pairing; cosine callers normalize and
     * use the flat cosine index).
+    *
+    * `residual = true` selects residual encoding (the FAISS
+    * `IVFx,PQy` default): codes quantize `v − centroid(cell)` instead
+    * of the raw vector — once the coarse quantizer has localized a
+    * cell, residual magnitudes are far smaller, so the same (m, k)
+    * budget buys lower reconstruction error at identical storage
+    * ([[graft.operators.Pq.ivfPqBuildResidual]]). Search, O(batch)
+    * append, and post-compaction rebuild all dispatch on the persisted
+    * kind marker, so the choice is a build-time flag, not an API fork.
     */
-  def buildAnnIndexPq(nCells: Int, m: Int, k: Int, iters: Int = 5): Unit = {
+  def buildAnnIndexPq(nCells: Int, m: Int, k: Int, iters: Int = 5,
+      residual: Boolean = false): Unit = {
     val proj = liveWithGen.select($"id", $"vec", col(GenCol))
-    val (enc, cents, cb) = graft.operators.Pq.ivfPqBuild(
-      proj.select($"id", $"vec"), "id", "vec", dim, nCells, m, k, iters)
+    val (enc, cents, cb) =
+      if (residual)
+        graft.operators.Pq.ivfPqBuildResidual(
+          proj.select($"id", $"vec"), "id", "vec", dim, nCells, m, k, iters)
+      else
+        graft.operators.Pq.ivfPqBuild(
+          proj.select($"id", $"vec"), "id", "vec", dim, nCells, m, k, iters)
     // the encoder projects to (id, centroid_id, codes) — join the
     // write generation back so the tombstone mask works on index rows
     val encG = enc.join(proj.select($"id", col(GenCol)), Seq("id"))
     graft.operators.Ann.writeIvfIndex(encG, cents, annPath)
     graft.operators.Pq.writeCodebook(spark, s"$annPath/codebook", cb)
-    writeAnnKindMarker("ivfpq")
+    writeAnnKindMarker(if (residual) "ivfpq_res" else "ivfpq")
   }
+
+  /** True when the persisted index is PQ-compressed (raw or residual). */
+  private def annKindIsPq: Boolean = annKind.startsWith("ivfpq")
 
   /** The PQ search core: driver-held queries probe the persisted
     * layout with source-level partition pruning, the tombstone mask
     * (and any extra row filter) composes BEFORE the ADC top-k.
+    * Dispatches on the kind marker: raw-vector codes ("ivfpq") score
+    * with per-query ADC tables, residual codes ("ivfpq_res") with
+    * per-(query, probed-cell) tables. Query batches are chunked inside
+    * [[graft.operators.Pq.ivfPqSearch]], so driver/broadcast ADC state
+    * is bounded at any batch size.
+    *
+    * `refine > 0` adds the standard exact-refine stage (FAISS
+    * refine / pgvector BQ+rescore): take the top-`refine` ADC
+    * candidates per query, join them back to the LIVE float32 vectors,
+    * and re-rank by exact L2 with the [[search]] (distance, id)
+    * tie-break — the returned distances are then TRUE distances, not
+    * reconstructions. `refine` = live-count degenerates to exact
+    * brute-force (gated: `vs_ann_pq_refine`). Requires `refine >= k`.
     */
   private def searchApproxPqDF(queries: DataFrame, k: Int, nProbe: Int,
-      extraFilter: DataFrame => DataFrame): DataFrame = {
+      extraFilter: DataFrame => DataFrame, refine: Int = 0): DataFrame = {
+    require(refine == 0 || refine >= k,
+      s"refine ($refine) must be 0 (off) or >= k ($k)")
     val qSeq = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect()
@@ -714,10 +816,34 @@ class VectorStore private (
       spark.read.parquet(s"$annPath/index")
         .filter(col("centroid_id").isin(cells: _*)) // → PartitionFilters
         .withColumn("centroid_id", col("centroid_id").cast("long"))))
-    graft.operators.Pq.ivfPqSearch(idx, "id", "codes", cents, cb,
-        qSeq, k, nProbe)
-      .select(col("qid"), col("id"),
+    val shortK = if (refine > 0) refine else k
+    val adc =
+      if (annKind == "ivfpq_res")
+        graft.operators.Pq.ivfPqSearchResidual(idx, "id", "codes", cents, cb,
+          qSeq, shortK, nProbe)
+      else
+        graft.operators.Pq.ivfPqSearch(idx, "id", "codes", cents, cb,
+          qSeq, shortK, nProbe)
+    if (refine == 0)
+      adc.select(col("qid"), col("id"),
         col("adc_dist").cast("float").as("distance"), col("rn"))
+    else {
+      // exact-refine: |Q| × refine shortlist rows join the live (id,
+      // vec) projection (shortlist ids are live by construction — the
+      // tombstone mask ran before the ADC top-k), then exact float32
+      // L2 against the broadcast queries and a fresh top-k
+      import spark.implicits._
+      val qdf = qSeq.toDF("qid", "qvec")
+      val rescored = adc.select(col("qid"), col("id"))
+        .join(indexDf, Seq("id"))
+        .join(broadcast(qdf), Seq("qid"))
+        .withColumn("distance", l2_distance($"vec", $"qvec"))
+        .select(col("qid"), col("id"), col("distance"))
+      graft.operators.TopKAggregator.topKRows(
+          rescored, "qid", "id", "distance", k)
+        .select(col("qid"), col("id"),
+          col("distance").cast("float").as("distance"), col("rn"))
+    }
   }
 
   def dropAnnIndex(): Unit = {
@@ -734,7 +860,14 @@ class VectorStore private (
     val proj = liveWithGen.select($"id", $"vec", col(GenCol))
     val staged = s"$annPath/_index-staging"
     val assigned =
-      if (annKind == "ivfpq") {
+      if (annKind == "ivfpq_res") {
+        // re-encode live-row RESIDUALS with the persisted codebook
+        val cb = graft.operators.Pq.readCodebook(spark, s"$annPath/codebook")
+        graft.operators.Pq.encodeResidualAssigned(
+            graft.operators.Ann.assign(proj, "id", "vec", cents),
+            "vec", "codes", cents, cb)
+          .drop("vec")
+      } else if (annKind == "ivfpq") {
         // re-encode live rows with the PERSISTED codebook — no retrain
         val cb = graft.operators.Pq.readCodebook(spark, s"$annPath/codebook")
         graft.operators.Pq.encode(
@@ -761,10 +894,14 @@ class VectorStore private (
       case _ => 0L
     }
     val batch = rows.select($"id", $"vec").withColumn(GenCol, lit(gen))
-    if (annKind == "ivfpq")
-      graft.operators.Pq.appendToIvfPqIndex(spark, annPath, batch, "id", "vec")
-    else
-      graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
+    annKind match {
+      case "ivfpq_res" =>
+        graft.operators.Pq.appendToIvfPqIndexResidual(spark, annPath, batch, "id", "vec")
+      case "ivfpq" =>
+        graft.operators.Pq.appendToIvfPqIndex(spark, annPath, batch, "id", "vec")
+      case _ =>
+        graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
+    }
   }
 
   /** Post-delete index maintenance: on the tombstone layout the query-
@@ -797,7 +934,8 @@ class VectorStore private (
     * search over live rows (gated: `vs_ann_search`). Same `k > n` and
     * dimension contracts as [[search]].
     */
-  def searchApprox(queries: Seq[Array[Float]], k: Int, nProbe: Int): Seq[Seq[SearchRecord]] = {
+  def searchApprox(queries: Seq[Array[Float]], k: Int, nProbe: Int,
+      refine: Int = 0): Seq[Seq[SearchRecord]] = {
     val n = count()
     if (k > n)
       throw new IllegalArgumentException(
@@ -808,7 +946,7 @@ class VectorStore private (
           s"query $i has dimension ${q.length}, store dimension is $dim")
     }
     val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
-    val hits = searchApproxDF(qdf, k, nProbe)
+    val hits = searchApproxDF(qdf, k, nProbe, refine)
       .join(table.select($"id", $"vec", $"doc"), Seq("id"))
       .select($"qid".cast("int"), $"rn".cast("int"), $"id", $"vec", $"doc",
         $"distance")
@@ -820,18 +958,29 @@ class VectorStore private (
   /** DataFrame-in/DataFrame-out approximate search (`qid`, `qvec` →
     * `qid`, `id`, `distance`, `rn`) — the pipeline-facing variant, like
     * [[searchDF]] for [[search]]. Requires [[buildAnnIndex]].
+    *
+    * `refine` (PQ indexes only): re-rank the top-`refine` ADC
+    * candidates per query by exact float32 L2 over the live vectors —
+    * see [[searchApproxPqDF]]. On a flat index `refine` must be 0:
+    * flat IVF distances are already exact, there is nothing to refine.
     */
-  def searchApproxDF(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  def searchApproxDF(queries: DataFrame, k: Int, nProbe: Int,
+      refine: Int = 0): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(refine >= 0, s"refine must be >= 0, got $refine")
     if (!hasAnnIndex)
       throw new IllegalStateException(
         s"no ANN index at $annPath — call buildAnnIndex() first")
-    if (annKind == "ivfpq")
-      searchApproxPqDF(queries, k, nProbe, identity)
-    else
+    if (annKindIsPq)
+      searchApproxPqDF(queries, k, nProbe, identity, refine)
+    else {
+      require(refine == 0,
+        "refine applies to PQ indexes only — flat IVF distances are " +
+          "already exact float32")
       graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
         queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
         rowFilter = annTombstoneMask)
+    }
   }
 
   /** Filtered approximate search — [[searchWhere]]'s JSON-path
@@ -876,9 +1025,11 @@ class VectorStore private (
     * `qid`, `id`, `distance`, `rn`) — the pipeline-facing variant.
     */
   def searchApproxWhereDF(queries: DataFrame, k: Int, nProbe: Int,
-      pathSteps: Seq[String], values: Seq[Any]): DataFrame = {
+      pathSteps: Seq[String], values: Seq[Any],
+      refine: Int = 0): DataFrame = {
     require(pathSteps.nonEmpty, "path must have at least one step")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(refine >= 0, s"refine must be >= 0, got $refine")
     if (!hasAnnIndex)
       throw new IllegalStateException(
         s"no ANN index at $annPath — call buildAnnIndex() first")
@@ -886,12 +1037,16 @@ class VectorStore private (
     val matchIds = table
       .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
       .select($"id")
-    if (annKind == "ivfpq")
+    if (annKindIsPq)
       // searchApproxPqDF already masks tombstones; compose only the
-      // predicate semi-join here
+      // predicate semi-join here (the refine re-rank inherits the
+      // filter through the shortlist ids)
       searchApproxPqDF(queries, k, nProbe,
-        df => df.join(matchIds, Seq("id"), "left_semi"))
+        df => df.join(matchIds, Seq("id"), "left_semi"), refine)
     else {
+      require(refine == 0,
+        "refine applies to PQ indexes only — flat IVF distances are " +
+          "already exact float32")
       val maskAndFilter: DataFrame => DataFrame = df =>
         annTombstoneMask(df).join(matchIds, Seq("id"), "left_semi")
       graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",

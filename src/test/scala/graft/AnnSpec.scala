@@ -443,6 +443,29 @@ class AnnSpec extends SparkSuite {
       s"flat ADC batch must be ONE plan, not a per-query union:\n$flatPlan")
   }
 
+  test("ivfpq: chunked query batches union to the exact unchunked result") {
+    import graft.operators.Pq
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => (i, v.toArray) }.toSeq
+    val (indexed, cents, cb) = Pq.ivfPqBuild(emb, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, k = 8, iters = 1)
+    def run(chunk: Int) = Pq.ivfPqSearch(indexed, "vec_id", "codes", cents,
+        cb, queries, k = 5, nProbe = 3, queryChunk = chunk)
+      .select($"qid", $"vec_id", $"rn", $"adc_dist")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // per-query top-k is chunk-independent: 10 queries in chunks of 3
+    // (4 sub-batches) must union to the single-batch result exactly
+    assert(run(3) == run(1024))
+    val (ri, rc, rcb) = Pq.ivfPqBuildResidual(emb, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, k = 8, iters = 1)
+    def runRes(chunk: Int) = Pq.ivfPqSearchResidual(ri, "vec_id", "codes",
+        rc, rcb, queries, k = 5, nProbe = 3, queryChunk = chunk)
+      .select($"qid", $"vec_id", $"rn", $"adc_dist")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(runRes(7) == runRes(1024))
+  }
+
   test("residual ivfpq: tighter reconstruction than raw PQ, one relational search job") {
     import graft.operators.Pq
     import org.apache.spark.sql.functions.{aggregate, broadcast, element_at, sqrt, typedLit, zip_with}

@@ -161,6 +161,41 @@ class SamplingSpec extends SparkSuite {
     assert(out.toMap != salted)
   }
 
+  test("group-aware split: groups never straddle, singletons fall back to own key") {
+    // 300 keys; keys 0..99 grouped in threes (group = min member), the
+    // rest ungrouped (NULL group — the near-dup cluster frame only
+    // labels rows appearing in a pair)
+    val rows = (0L until 300L).map { k =>
+      (k, if (k < 100) Some((k / 3) * 3) else None)
+    }.toDF("id", "grp")
+    val out = Sampling.hashSplitGrouped(rows, "id", "grp",
+      Seq("train" -> 0.8, "test" -> 0.2), salt = "g1")
+      .select($"id", $"grp", $"split").as[(Long, Option[Long], String)]
+      .collect()
+    // exhaustive + disjoint: one label per row
+    assert(out.length == 300 && out.map(_._1).distinct.length == 300)
+    // no group straddles the boundary
+    out.filter(_._2.isDefined).groupBy(_._2.get).foreach { case (g, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"group $g straddles splits")
+    }
+    // singletons (NULL group) match a plain row-keyed split exactly
+    val plain = Sampling.hashSplitLabeled(
+        rows.filter($"grp".isNull), "id",
+        Seq("train" -> 0.8, "test" -> 0.2), salt = "g1")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    out.filter(_._2.isEmpty).foreach { case (id, _, sp) =>
+      assert(plain(id) == sp)
+    }
+    // grouped rows match the split their GROUP key would get
+    val groupKeyed = Sampling.hashSplitLabeled(
+        rows.filter($"grp".isNotNull).select($"grp".as("id")).distinct(), "id",
+        Seq("train" -> 0.8, "test" -> 0.2), salt = "g1")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    out.filter(_._2.isDefined).foreach { case (_, g, sp) =>
+      assert(groupKeyed(g.get) == sp)
+    }
+  }
+
   test("shuffle order: total order, contiguous per-shard ranks, stable") {
     val ids = (0L until 500L).toDF("id")
     val out = Sampling.shuffleOrder(ids, "id", salt = "s", nShards = 4)

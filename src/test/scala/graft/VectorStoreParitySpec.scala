@@ -804,6 +804,162 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     }
   }
 
+  test("PQ exact-refine: refine = live-count degenerates to exact brute force") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqr")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 20).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    s.insert(vecs)
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 2)
+    s.delete(Seq(2L, 9L))
+    def refined(q: Array[Float], k: Int, refine: Int): Seq[(Long, Float)] =
+      s.searchApproxDF(Seq((0L, q)).toDF("qid", "qvec"), k, nProbe = 2,
+          refine = refine)
+        .orderBy("rn").select(col("id"), col("distance"))
+        .as[(Long, Float)].collect().toSeq
+    def exact(q: Array[Float], k: Int): Seq[(Long, Float)] =
+      s.search(Seq(q), k).head.map(r => (r.id, r.distance))
+    // refine = live count: every live row is in the ADC shortlist, so
+    // the exact re-rank IS brute-force search — ids AND float32
+    // distances must match rank for rank (ADC order no longer matters)
+    assert(refined(vecs(5), 5, refine = 18) == exact(vecs(5), 5))
+    assert(refined(vecs(13), 4, refine = 18) == exact(vecs(13), 4))
+    // a small refine still returns TRUE distances for what it returns
+    val r3 = refined(vecs(5), 3, refine = 6)
+    val ex = exact(vecs(5), 18).toMap
+    r3.foreach { case (id, d) => assert(ex(id) == d) }
+    // contracts: refine must be 0 or >= k; flat indexes reject refine
+    intercept[IllegalArgumentException](refined(vecs(0), 5, refine = 3))
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    intercept[IllegalArgumentException](refined(vecs(0), 2, refine = 4))
+  }
+
+  test("buildAnnIndex over a PQ index clears the kind marker and codebook") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqk")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 12).map(i =>
+      Array.tabulate(8)(j => ((i * 5 + j) % 7).toFloat))
+    s.insert(vecs)
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 2)
+    assert(s.annKind == "ivfpq")
+    // legitimate rebuild to a flat index: the stale "ivfpq" marker (and
+    // codebook) must not survive, or searches dispatch to the PQ path
+    // and look for a `codes` column the flat rows don't have
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivf")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/codebook")))
+    // and the flat search actually works post-rebuild
+    val got = s.searchApproxDF(Seq((0L, vecs(3))).toDF("qid", "qvec"),
+        k = 3, nProbe = 2)
+      .orderBy("rn").select(col("id")).as[Long].collect().toSeq
+    assert(got == s.search(Seq(vecs(3)), 3).head.map(_.id))
+  }
+
+  test("residual IVF-PQ store lifecycle: dispatch, append, delete mask, refine") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqres")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 16).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    s.insert(vecs)
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 2, residual = true)
+    assert(s.annKind == "ivfpq_res")
+    // store search (residual ADC) must equal an operator-level residual
+    // run over the live rows re-encoded with the PERSISTED centroids +
+    // codebook — catches a raw-vs-residual encode/dispatch mix-up
+    val cents = spark.read.parquet(s"$dir/ann/centroids")
+    val cb = graft.operators.Pq.readCodebook(spark, s"$dir/ann/codebook")
+    def flatTop(qid: Long, q: Array[Float], k: Int): Seq[(Long, Float)] = {
+      val enc = graft.operators.Pq.encodeResidualAssigned(
+        graft.operators.Ann.assign(
+          s.toDF.select(col("id"), col("vec")), "id", "vec", cents),
+        "vec", "codes", cents, cb)
+      graft.operators.Pq.ivfPqSearchResidual(enc, "id", "codes", cents, cb,
+          Seq((qid, q)), k, nProbe = 2)
+        .orderBy("rn").select(col("id"), col("adc_dist").cast("float"))
+        .as[(Long, Float)].collect().toSeq
+    }
+    def storeTop(qid: Long, q: Array[Float], k: Int): Seq[(Long, Float)] =
+      s.searchApproxDF(Seq((qid, q)).toDF("qid", "qvec"), k, nProbe = 2)
+        .orderBy("rn").select(col("id"), col("distance"))
+        .as[(Long, Float)].collect().toSeq
+    assert(storeTop(0L, vecs(3), 5) == flatTop(0L, vecs(3), 5))
+    // O(batch) append: residual-encoded with the persisted codebook
+    val nv = Array.tabulate(8)(j => (j % 5).toFloat)
+    s.insert(Seq(nv))
+    assert(storeTop(1L, nv, 6) == flatTop(1L, nv, 6))
+    // delete mask composes before the residual ADC top-k
+    val victim = storeTop(2L, vecs(5), 1).head._1
+    s.delete(Seq(victim))
+    val after = storeTop(3L, vecs(5), 5)
+    assert(!after.map(_._1).contains(victim))
+    assert(after == flatTop(3L, vecs(5), 5))
+    // refine = live-count degenerates to exact — same contract as the
+    // raw-PQ refine (codes drop out entirely at full refine)
+    val live = s.count().toInt
+    val ref = s.searchApproxDF(Seq((0L, vecs(7))).toDF("qid", "qvec"),
+        k = 5, nProbe = 2, refine = live)
+      .orderBy("rn").select(col("id"), col("distance"))
+      .as[(Long, Float)].collect().toSeq
+    assert(ref == s.search(Seq(vecs(7)), 5).head.map(r => (r.id, r.distance)))
+  }
+
+  test("ingestStreamDedup approx: probed 1-NN rejects dups, falls back without index") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    val s = VectorStore.openOrCreate(spark, s"$base/store", 10,
+      tombstoneDeletes = true)
+    // 30 well-separated vectors in 3 groups (the searchApprox fixture)
+    val vecs = (0 until 30).map { i =>
+      Array.tabulate(10)(j => (i / 10) * 10f + (if (j == i % 10) 1f else 0f) +
+        (i % 10) * 0.01f)
+    }
+    val ck = s"$base/ck"
+    // batch 0 on the EMPTY store with approx = true: no index yet —
+    // exact fallback path, everything lands
+    val b0 = vecs.take(20).zipWithIndex
+      .map { case (v, i) => (v, s"""{"o": $i}""") }.toDF("vec", "doc")
+    assert(s.applyDedupIngestBatch(b0, 0L, ck, eps = 0.5,
+      Seq(col("doc")), approx = true, nProbe = 3))
+    assert(s.count() == 20L)
+    s.buildAnnIndex(nCentroids = 3, iters = 3, seedRounds = 0)
+    // batch 1: 5 exact copies (must be rejected through the PROBED
+    // 1-NN — full probe here, so recall is total) + 5 novel rows
+    val b1 = (vecs.take(5).map(v => (v, """{"c": 1}""")) ++
+        vecs.drop(20).take(5).zipWithIndex
+          .map { case (v, i) => (v, s"""{"n": $i}""") })
+      .toDF("vec", "doc")
+    assert(s.applyDedupIngestBatch(b1, 1L, ck, eps = 0.5,
+      Seq(col("doc")), approx = true, nProbe = 3))
+    assert(s.count() == 25L)
+    assert(s.toDF.filter(col("doc").contains("\"c\"")).count() == 0L)
+    assert(s.toDF.filter(col("doc").contains("\"n\"")).count() == 5L)
+    // replay of batch 1 is skipped (guard shared with the exact path)
+    assert(!s.applyDedupIngestBatch(b1, 1L, ck, eps = 0.5,
+      Seq(col("doc")), approx = true, nProbe = 3))
+    assert(s.count() == 25L)
+    // approx ≡ exact on this fixture: a fresh exact-mode run over the
+    // same batches keeps the same survivors
+    val s2 = VectorStore.openOrCreate(spark, s"$base/store2", 10,
+      tombstoneDeletes = true)
+    assert(s2.applyDedupIngestBatch(b0, 0L, s"$base/ck2", eps = 0.5,
+      Seq(col("doc")), approx = false, nProbe = 1))
+    assert(s2.applyDedupIngestBatch(b1, 1L, s"$base/ck2", eps = 0.5,
+      Seq(col("doc")), approx = false, nProbe = 1))
+    assert(s2.count() == 25L)
+  }
+
   test("ingestStream replay guard: an already-committed batchId is skipped") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-rep").toString
@@ -827,6 +983,15 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(store.applyIngestBatch(b1, 1L, ck, Seq.empty))
     assert(store.applyIngestBatch(b1, 1L, s"$base/ck-other", Seq.empty))
     assert(store.count() == 4L)
+    // the marker LIVES IN the checkpoint dir: wiping the checkpoint to
+    // reprocess from scratch (batchIds restart at 0) wipes the marker
+    // with it, so the restarted stream's batch 0 APPLIES instead of
+    // being silently skipped up to the old high-water mark
+    val ckPath = new org.apache.hadoop.fs.Path(ck)
+    val fs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(ckPath, true)
+    assert(store.applyIngestBatch(b1, 0L, ck, Seq.empty))
+    assert(store.count() == 5L)
   }
 
   test("deleteWhere: predicate delete, count returned, zero-match no-op") {

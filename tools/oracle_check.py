@@ -138,7 +138,17 @@ def types_only(sf_dir, oracle_json):
     return 1 if fails else 0
 
 
+USAGE = """usage:
+  python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+  python3 tools/oracle_check.py --types-only <sfDir> <oracle_sql.json>"""
+
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(USAGE, file=sys.stderr)
+        sys.exit(2)
     if sys.argv[1] == "--types-only":
+        if len(sys.argv) < 4:
+            print(USAGE, file=sys.stderr)
+            sys.exit(2)
         sys.exit(types_only(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
