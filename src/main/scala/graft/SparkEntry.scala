@@ -462,6 +462,74 @@ object SparkEntry {
           (count(lit(1)) === 15).as("complete"))
     }),
 
+    // Exact-refine over the PQ shortlist (FAISS refine / pgvector
+    // BQ+rescore): the vs_ann_pq lifecycle, searched with
+    // refine = live-count — every live row enters the ADC shortlist
+    // and is re-ranked by exact float32 L2, so the result degenerates
+    // to brute force and DuckDB replays it with NO codebook state
+    // (same oracle family as vs_ann_search). This also upgrades the
+    // PQ gate class: a codebook-read transposition shared by both
+    // vs_ann_pq agreement arms would still corrupt the ADC shortlist
+    // ORDER here only, which full refine erases — but the lifecycle
+    // (delete mask, upsert gen ordering, O(batch) code append) is
+    // fully cross-engine-checked.
+    "vs_ann_pq_refine" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_pqr_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 2)
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(3L), Seq(v7))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 8, refine = 495)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Residual IVF-PQ through the store facade (the FAISS IVFx,PQy
+    // default — codes quantize v − centroid(cell)): the same
+    // refine-degenerate contract as vs_ann_pq_refine, on the residual
+    // layout. The residual ADC path generates the (complete) shortlist
+    // — cell-dependent tables riding the broadcast probe relation —
+    // and full refine makes the final ranking exact, so the oracle is
+    // again codebook-free brute force while the gate exercises the
+    // residual encode/append/delete-mask dispatch end to end.
+    "vs_ann_pq_res" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_pqres_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 2,
+        residual = true)
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(3L), Seq(v7))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 8, refine = 495)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
     // Operational stats snapshot: live/tombstone/high-water/version/
     // index-cells after a deterministic lifecycle — the maintenance
     // dashboard numbers, every one an integer with a closed-form
@@ -589,6 +657,65 @@ object SparkEntry {
             1L).otherwise(0L)).as("n_originals"),
           sum(when(get_json_object(col("doc"), "$.o").cast("long") >= 1000,
             1L).otherwise(0L)).as("n_copies_kept"))
+      }),
+
+    // ANN-GATED streaming semantic dedup (the scale mode): originals
+    // stream in exact mode, then an IVF index is built and a second
+    // stream of exact copies PLUS novel rows runs with approx = true —
+    // the per-batch 1-NN generates candidates through the probed index
+    // (partition-pruned cells) instead of scanning the whole live
+    // store. nProbe = nCentroids makes probe recall provably total
+    // (the ann_ivfc_exactness full-probe-degenerate pattern), so every
+    // copy must be rejected and every novel row kept — and the novel
+    // rows exercise the O(batch) index append DURING the stream (the
+    // next batch's copies are checked against an index that already
+    // contains them). All-integer surface like st_stream_semdedup.
+    "st_stream_semdedup_ann" -> ((s, dir) =>
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
+        val root = s"$scratchRoot/vs_sda_store"
+        val srcA = s"$scratchRoot/vs_sda_src_a"
+        val srcB = s"$scratchRoot/vs_sda_src_b"
+        val ckA = s"$scratchRoot/vs_sda_ck_a"
+        val ckB = s"$scratchRoot/vs_sda_ck_b"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(root, srcA, srcB, ckA, ckB).foreach { d =>
+          val dp = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(dp)) fs.delete(dp, true)
+        }
+        val emb = T(s, dir, "embeddings")
+        emb.filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+          .repartitionByRange(2, col("vec_id")).write.parquet(srcA)
+        // stream B: exact copies of the first 100 originals (tagged
+        // +1000) plus 100 NOVEL rows — both kinds cross the probed
+        // 1-NN check
+        emb.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+          .unionAll(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")))
+          .repartitionByRange(2, col("vec_id")).write.parquet(srcB)
+        val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+          tombstoneDeletes = true)
+        val schema = s.read.parquet(srcA).schema
+        def src(d: String) = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(d)
+          .select(col("embedding").as("vec"),
+            concat(lit("{\"o\": \""), col("vec_id").cast("string"),
+              lit("\"}")).as("doc"),
+            col("vec_id"))
+        store.ingestStreamDedup(src(srcA), ckA, eps = 0.5,
+          orderCols = Seq(col("vec_id"))).awaitTermination()
+        store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
+        store.ingestStreamDedup(src(srcB), ckB, eps = 0.5,
+          orderCols = Seq(col("vec_id")),
+          approx = true, nProbe = 8).awaitTermination()
+        val o = get_json_object(col("doc"), "$.o").cast("long")
+        store.toDF.agg(
+          count(lit(1)).as("n"),
+          sum(when(o < 200, 1L).otherwise(0L)).as("n_originals"),
+          sum(when(o >= 200 && o < 300, 1L).otherwise(0L)).as("n_novel"),
+          sum(when(o >= 1000, 1L).otherwise(0L)).as("n_copies_kept"))
       }),
 
     // Filtered approximate search at store level (filter+ANN — the
@@ -933,6 +1060,35 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
       Dedup.splitLeakage(labeled, "doc_id", "split", pairs, "a_id", "b_id")
         .orderBy("split_a", "split_b")
+    }),
+
+    // Group-aware split — the FIX for the leakage pp_leakage detects
+    // (11k+ crossing pairs on this very fixture): split by the
+    // near-dup CLUSTER's hash (connected components over the exact
+    // jaccard pairs; every doc gets a comp, singletons their own id)
+    // so no near-dup pair can straddle train/test. Output: per-split
+    // doc counts plus the total crossing-pair count, which MUST be 0.
+    // DuckDB replays the whole chain: pairs, recursive-CTE components,
+    // md5 group-hash thresholds, the crossing join.
+    "sm_group_split" -> ((s, dir) => {
+      val base = T(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionAll(base.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" leaktoken")).as("text")))
+      val clusters = Dedup.nearDupClusters(corpus, "doc_id", "text", 0.5)
+        .select(col("id").as("doc_id"), col("comp"))
+      val labeled = graft.operators.Sampling.hashSplitGrouped(
+        corpus.join(clusters, Seq("doc_id")), "doc_id", "comp",
+        Seq("train" -> 0.75, "test" -> 0.25), salt = "leak")
+      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
+      val cross = Dedup.splitLeakage(labeled, "doc_id", "split", pairs,
+          "a_id", "b_id")
+        .filter(col("split_a") =!= col("split_b"))
+        .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("n_cross"))
+      labeled.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cross)
+        .orderBy("split")
     }),
 
     "dd_jaccard_pairs" -> ((s, dir) =>
@@ -4294,6 +4450,59 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n_originals,
              CAST(0 AS BIGINT) AS n_copies_kept
       FROM embeddings WHERE vec_id < 200""",
+    // ANN-gated variant: 200 originals + 100 novels survive, all 100
+    // copies rejected through the full-probe (recall-total) index path
+    "st_stream_semdedup_ann" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN vec_id < 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_originals,
+             CAST(sum(CASE WHEN vec_id >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(0 AS BIGINT) AS n_copies_kept
+      FROM embeddings WHERE vec_id < 300""",
+    // Refine-degenerate PQ searches: refine = live-count re-ranks the
+    // COMPLETE shortlist by exact float32 L2, so the oracle is the
+    // vs_ann_search brute-force replay — no codebook state required.
+    "vs_ann_pq_refine" -> s"""
+      WITH live AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id = 3
+                    THEN (SELECT embedding FROM embeddings WHERE vec_id = 7)
+                    ELSE e.embedding END AS vec
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (0, 5, 10, 15, 20)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "vs_ann_pq_res" -> s"""
+      WITH live AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id = 3
+                    THEN (SELECT embedding FROM embeddings WHERE vec_id = 7)
+                    ELSE e.embedding END AS vec
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (0, 5, 10, 15, 20)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "vs_stats" -> """
       SELECT CAST(count(*) - 5 AS BIGINT) AS n_live,
              CAST(5 AS BIGINT) AS n_tombstones,
@@ -4605,6 +4814,46 @@ object SparkEntry {
                    JOIN s sb ON p.b_id = sb.doc_id)
       SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
       FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b""",
+    // full replay of the group-aware fix: exact pairs -> recursive-CTE
+    // components (min label) -> md5 split of the COMP key -> per-split
+    // counts + crossing pairs (must be 0 by construction)
+    "sm_group_split" -> s"""
+      WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 10000, text || ' leaktoken' FROM base),
+      d AS (SELECT doc_id,
+              list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+            FROM corpus),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks))) >= 0.5),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM p
+        UNION ALL
+        SELECT b_id, a_id FROM p),
+      lbl(id, l) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst),
+      comps AS (SELECT id AS doc_id, min(l) AS comp FROM lbl GROUP BY id),
+      s AS (SELECT doc_id,
+              CASE WHEN md5(concat_ws('|', 'leak', CAST(comp AS VARCHAR)))
+                        < '${graft.operators.Sampling.thresholdHex(0.75)}'
+                   THEN 'train' ELSE 'test' END AS split
+            FROM comps),
+      x AS (SELECT CAST(coalesce(sum(
+                CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_cross
+            FROM p JOIN s sa ON p.a_id = sa.doc_id
+                   JOIN s sb ON p.b_id = sb.doc_id)
+      SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs, x.n_cross
+      FROM s CROSS JOIN x
+      GROUP BY s.split, x.n_cross ORDER BY s.split""",
     "dd_jaccard_pairs" -> """
       WITH d AS (
         SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
