@@ -587,6 +587,66 @@ object ScaleSmoke {
         .awaitTermination()
       println(s"SMOKE   dedup store rows: ${store.count()} (want 15000)")
     }
+
+    // ---- ANN-gated streaming dedup: per-batch cost must stay ~flat
+    // as the live store grows 10× (the exact path above is linear in
+    // store size — 23 s/2k-row batch at 15k live, r9). Cells scale
+    // with the store (live/cell ≈ 350 in both runs), so the probed
+    // candidate set per query is O(nProbe × cellSize), independent of
+    // total store size — the IVF scaling contract.
+    def annDedupRun(label: String, seedN: Int, nCells: Int): Unit = {
+      val root = s"$base/stream_dedup_ann_$seedN"
+      cleanDir(root)
+      val store = graft.store.VectorStore.openOrCreate(
+        spark, s"$root/store", 64, tombstoneDeletes = true)
+      val seed = bigEmb.filter(col("vec_id") < seedN)
+        .select(col("vec_id"), col("embedding"))
+      store.insertDF(seed.select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = nCells, iters = 2, seedRounds = 0)
+      // 10k streamed in 5 batches: half exact copies of seeded rows,
+      // half novel (disjoint id range) — same mix as the exact smoke
+      val copies = bigEmb.filter(col("vec_id") < 10000 && col("vec_id") % 2 === 0)
+      val novel = bigEmb
+        .filter(col("vec_id") >= seedN && col("vec_id") < seedN + 5000)
+      copies.unionAll(novel)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .repartitionByRange(5, col("vec_id"))
+        .write.mode("overwrite").parquet(s"$root/src")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$root/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+        .select(col("vec"))
+      timed(label) {
+        store.ingestStreamDedup(stream, s"$root/ck", eps = 1e-4,
+            approx = true, nProbe = 8)
+          .awaitTermination()
+        println(s"SMOKE   ann-dedup store rows: ${store.count()} " +
+          s"(want ${seedN + 5000})")
+      }
+    }
+    annDedupRun("annDedup 10k live / 5 batches", seedN = 10000, nCells = 32)
+    annDedupRun("annDedup 90k live / 5 batches", seedN = 90000, nCells = 256)
+
+    // ---- PQ batch search at Q = 10^4: the chunked query batches keep
+    // ADC driver/broadcast state bounded (1024 tables per chunk) while
+    // the per-chunk searches stay one relational job each
+    timed("ivfpq search Q=10k (chunked)") {
+      val (indexed, cents, cb) = graft.operators.Pq.ivfPqBuild(
+        bigEmb, "vec_id", "embedding", dim = 64, nCells = 64,
+        m = 8, k = 16, iters = 2)
+      val pinned = spark.createDataFrame(indexed.rdd, indexed.schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      val queries = bigEmb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (i, v) => (i, v.toArray) }.toSeq
+      println(s"SMOKE   queries: ${queries.size}")
+      val n = graft.operators.Pq.ivfPqSearch(pinned, "vec_id", "codes",
+        cents, cb, queries, k = 10, nProbe = 4).count()
+      println(s"SMOKE   result rows: $n")
+      pinned.unpersist()
+    }
     spark.stop()
   }
 }

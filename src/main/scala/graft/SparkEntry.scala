@@ -434,7 +434,12 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
       store.insertDF(emb.orderBy("vec_id").coalesce(1)
         .select(col("embedding").as("vec")))
-      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 2)
+      // iters = 1: the agreement contract holds for ANY codebook (both
+      // arms read the PERSISTED one), so extra Lloyd rounds only cost
+      // gate wall time — this was the slowest store gate at iters = 2
+      // (r9 verdict perf note); the lifecycle itself is now ALSO
+      // covered by vs_ann_pq_refine's real brute-force oracle
+      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 1)
       store.delete(Seq(0L, 5L, 10L, 15L, 20L))
       val v7 = emb.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0).toArray
