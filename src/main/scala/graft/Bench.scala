@@ -37,7 +37,15 @@ object Bench {
 
     def jnum(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — the local
+    // flagged-arm adjudication loop (min-of-5 over a handful of
+    // queries) shouldn't pay for the full battery. The driver never
+    // sets it, so per-round records always cover every query.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // min over successful reps; stop repeating after a failure (a
       // deterministic failure would just fail `reps` times over), and
       // report -1 only when NO rep succeeded

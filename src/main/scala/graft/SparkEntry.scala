@@ -489,7 +489,10 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
       store.insertDF(emb.orderBy("vec_id").coalesce(1)
         .select(col("embedding").as("vec")))
-      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 2)
+      // iters = 1 (same rationale as vs_ann_pq): full probe + full
+      // refine make the final ranking exact L2 for ANY codebook, so
+      // Lloyd rounds only cost gate wall time
+      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 1)
       store.delete(Seq(0L, 5L, 10L, 15L, 20L))
       val v7 = emb.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0).toArray
@@ -521,7 +524,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
       store.insertDF(emb.orderBy("vec_id").coalesce(1)
         .select(col("embedding").as("vec")))
-      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 2,
+      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 1,
         residual = true)
       store.delete(Seq(0L, 5L, 10L, 15L, 20L))
       val v7 = emb.filter(col("vec_id") === 7)

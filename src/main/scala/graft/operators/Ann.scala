@@ -246,7 +246,7 @@ object Ann {
     * with the remaining distinct candidates — callers get as many
     * seeds as the data supports.
     */
-  private def greedyKmeansPP(pool: Array[Array[Float]], wArr: Array[Double],
+  private[operators] def greedyKmeansPP(pool: Array[Array[Float]], wArr: Array[Double],
       k: Int, dist2Driver: (Array[Float], Array[Float]) => Double)
       : Array[Array[Float]] = {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
@@ -269,7 +269,7 @@ object Ann {
   }
 
   /** Squared L2 on the driver (seed-selection metric for [[kmeans]]). */
-  private def l2SqDriver(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def l2SqDriver(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length && i < b.length) {
       val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1

@@ -37,26 +37,65 @@ object Pq {
     def subDim: Int = dim / m
   }
 
-  /** Fit per-subspace codebooks with the shared Lloyd loop (seeds and
-    * recentring exactly as [[Ann.kmeans]], run on each subvector
-    * slice). `df` may be a sample of the corpus; `k` cells per
-    * subspace, `m` subspaces.
+  /** Fit per-subspace codebooks with the shared Lloyd semantics (seeds
+    * and recentring exactly as [[Ann.kmeansCore]] at `seedRounds = 0`,
+    * run on each subvector slice) — but FUSED across subspaces: ONE
+    * hash-ordered sample job seeds all `m` sub-codebooks (the loop
+    * form's per-subspace samples were the same rows anyway — the
+    * sample order is a function of the id alone), and each Lloyd
+    * round is ONE scan (the [[encode]] argmin projection for every
+    * subspace at once, exploded to `(sub, code, subvec)` and
+    * recentred by a single `groupBy(sub, code)` mean with map-side
+    * combine). The loop form paid `m × (iters + 1)` full scans; at
+    * 100 TB the scan count, not the per-row distance math (identical
+    * here), is the build cost. Seeding per subspace stays the
+    * deterministic greedy k-means++ over the driver-held sample;
+    * FAISS seeds subquantizers randomly for the same
+    * cost-per-subspace reason.
+    *
+    * `df` may be a sample of the corpus; `k` cells per subspace, `m`
+    * subspaces. Cells that win no rows keep their previous centroid
+    * (callers rely on a full codebook), as in [[Ann.kmeansCore]].
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, k: Int, iters: Int = 5): PqCodebook = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0 (got k=$k, iters=$iters)")
     val subDim = dim / m
-    val cents = (0 until m).map { s =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("_sub"))
-      // seedRounds = 0: spread-hash seeds only — m sub-codebooks at
-      // full k-means|| would pay the oversampling jobs PER SUBSPACE;
-      // FAISS seeds subquantizers randomly for the same reason
-      Ann.kmeansCore(sub, idCol, "_sub", k, iters, Ann.l2Score, identity,
-          seedRounds = 0)
-        .sortBy(_._1).map(_._2)
+    // one sample job for all m subspaces (kmeansCore's seedRounds = 0
+    // sample: hash-of-id order, bounded size)
+    val sample = df
+      .orderBy(xxhash64(col(idCol), lit(0x5eedL)), col(idCol))
+      .limit(math.max(1024, 64 * k))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var cents: Array[Array[Array[Float]]] = (0 until m).map { s =>
+      val sub = sample.map(_.slice(s * subDim, (s + 1) * subDim))
+      Ann.greedyKmeansPP(sub, Array.fill(sub.length)(1.0), k, Ann.l2SqDriver)
     }.toArray
+    (0 until iters).foreach { _ =>
+      // per row, for every subspace: (sub, nearest code, subvector) —
+      // the encode argmin (ties to the lower code via struct order,
+      // as assignTo ties to the lower centroid id)
+      val assigned = array((0 until m).map { s =>
+        val sub = slice(col(vecCol), s * subDim + 1, subDim)
+        struct(
+          lit(s).as("s"),
+          array_min(array(cents(s).indices.map { c =>
+            struct(Ann.l2Score(sub, cents(s)(c)).as("d"), lit(c).as("code"))
+          }: _*)).getField("code").as("code"),
+          sub.as("sub"))
+      }: _*)
+      val means = df.select(explode(assigned).as("a"))
+        .groupBy(col("a.s").as("s"), col("a.code").as("code"))
+        .agg(array((0 until subDim).map(i =>
+          avg(element_at(col("a.sub"), i + 1)).cast("float")): _*).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      cents = Array.tabulate(m)(s => cents(s).indices.map(c =>
+        means.getOrElse((s, c), cents(s)(c))).toArray)
+    }
     PqCodebook(dim, m, k, cents)
   }
 
