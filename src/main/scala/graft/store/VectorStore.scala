@@ -704,12 +704,54 @@ class VectorStore private (
         (c, graft.operators.Ann.assign(proj, "id", "vec", c))
       }
     graft.operators.Ann.writeIvfIndex(indexed, cents, annPath, metric)
-    // a rebuild over a previous buildAnnIndexPq must not leave the
-    // "ivfpq" kind marker (searchApproxDF would dispatch to the PQ
-    // path and expect a `codes` column) or the stale codebook behind
+    // a rebuild over a previous buildAnnIndexPq/Sq must not leave the
+    // old kind marker (searchApproxDF would dispatch to the PQ/SQ
+    // path and expect a `codes` column) or stale aux state behind
     writeAnnKindMarker("ivf")
-    val staleCb = new Path(s"$annPath/codebook")
-    if (annFs.exists(staleCb)) annFs.delete(staleCb, true)
+    clearAnnAux(keep = "")
+  }
+
+  /** Delete any quantizer aux dirs a PREVIOUS build persisted except
+    * `keep` — rebuild hygiene: the kind marker and its aux state must
+    * change together or searches misdispatch/misread.
+    */
+  private def clearAnnAux(keep: String): Unit =
+    Seq("codebook", "sq").filterNot(_ == keep).foreach { d =>
+      val p = new Path(s"$annPath/$d")
+      if (annFs.exists(p)) annFs.delete(p, true)
+    }
+
+  /** IVF-SQ8 index through the store facade (FAISS `IVFx,SQ8`): index
+    * rows carry `dim` 8-bit codes on a per-dimension linear grid
+    * instead of `dim` float32s — 4× fewer index bytes scanned per
+    * probe, NO codebook k-means to train (the grid is one min/max
+    * pass), and reconstruction error bounded by half a grid step per
+    * dimension (vs PQ's unbounded subspace-centroid error). The
+    * middle rung of the quantization ladder the facade now offers:
+    * flat (exact, 1×) → SQ8 (~4×, near-exact) → PQ/residual-PQ
+    * (~16-32×, ADC-approximate). Search ranks by SQDC distance (exact
+    * float32 L2 to the decoded reconstruction) via the SAME pruned
+    * flat-IVF core, and accepts `refine` for exact re-ranking over the
+    * live vectors. Maintenance matches the PQ contract: O(batch)
+    * append encodes with the PERSISTED grid (out-of-range values
+    * saturate at the grid edge — drift is a rebuild trigger, not an
+    * ingest side effect), deletes mask through tombstone generations,
+    * post-compaction rebuilds re-encode without retraining. L2 only
+    * (cosine callers normalize, as with PQ).
+    */
+  def buildAnnIndexSq(nCentroids: Int, iters: Int = 5,
+      seedRounds: Int = 2): Unit = {
+    val proj = liveWithGen.select($"id", $"vec", col(GenCol))
+    val cents = graft.operators.Ann.kmeans(proj, "id", "vec", nCentroids,
+      iters, seedRounds)
+    val params = graft.operators.Sq.fit(proj, "vec", dim)
+    val enc = graft.operators.Ann.assign(proj, "id", "vec", cents)
+      .withColumn("codes", graft.operators.Sq.encodeCol($"vec", params))
+      .drop("vec")
+    graft.operators.Ann.writeIvfIndex(enc, cents, annPath)
+    graft.operators.Sq.writeParams(spark, s"$annPath/sq", params)
+    writeAnnKindMarker("ivfsq")
+    clearAnnAux(keep = "sq")
   }
 
   /** The persisted ANN index's metric ("l2" | "cosine"); "l2" when no
@@ -717,8 +759,9 @@ class VectorStore private (
     */
   def annMetric: String = graft.operators.Ann.readIvfMetric(spark, annPath)
 
-  /** The persisted index kind: "ivf" (flat vectors) or "ivfpq"
-    * (PQ-compressed codes); "ivf" when no marker exists.
+  /** The persisted index kind: "ivf" (flat vectors), "ivfsq" (8-bit
+    * scalar-quantized codes), or "ivfpq"/"ivfpq_res" (PQ codes); "ivf"
+    * when no marker exists.
     */
   def annKind: String = {
     val p = new Path(s"$annPath/kind")
@@ -774,6 +817,7 @@ class VectorStore private (
     graft.operators.Ann.writeIvfIndex(encG, cents, annPath)
     graft.operators.Pq.writeCodebook(spark, s"$annPath/codebook", cb)
     writeAnnKindMarker(if (residual) "ivfpq_res" else "ivfpq")
+    clearAnnAux(keep = "codebook")
   }
 
   /** True when the persisted index is PQ-compressed (raw or residual). */
@@ -828,22 +872,59 @@ class VectorStore private (
       adc.select(col("qid"), col("id"),
         col("adc_dist").cast("float").as("distance"), col("rn"))
     else {
-      // exact-refine: |Q| × refine shortlist rows join the live (id,
-      // vec) projection (shortlist ids are live by construction — the
-      // tombstone mask ran before the ADC top-k), then exact float32
-      // L2 against the broadcast queries and a fresh top-k
       import spark.implicits._
-      val qdf = qSeq.toDF("qid", "qvec")
-      val rescored = adc.select(col("qid"), col("id"))
-        .join(indexDf, Seq("id"))
-        .join(broadcast(qdf), Seq("qid"))
-        .withColumn("distance", l2_distance($"vec", $"qvec"))
-        .select(col("qid"), col("id"), col("distance"))
-      graft.operators.TopKAggregator.topKRows(
-          rescored, "qid", "id", "distance", k)
-        .select(col("qid"), col("id"),
-          col("distance").cast("float").as("distance"), col("rn"))
+      refineRerank(adc, qSeq.toDF("qid", "qvec"), k)
     }
+  }
+
+  /** Exact-refine (FAISS refine / pgvector rescore), shared by the PQ
+    * and SQ search cores: |Q| × refine shortlist rows join the live
+    * (id, vec) projection (shortlist ids are live by construction —
+    * the tombstone mask runs before the shortlist top-k), re-rank by
+    * exact float32 L2 against the broadcast queries with the
+    * [[search]] (distance, id) tie-break. Returned distances are TRUE
+    * distances, not reconstructions.
+    */
+  private def refineRerank(shortlist: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val rescored = shortlist.select(col("qid"), col("id"))
+      .join(indexDf, Seq("id"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .withColumn("distance", l2_distance($"vec", $"qvec"))
+      .select(col("qid"), col("id"), col("distance"))
+    graft.operators.TopKAggregator.topKRows(
+        rescored, "qid", "id", "distance", k)
+      .select(col("qid"), col("id"),
+        col("distance").cast("float").as("distance"), col("rn"))
+  }
+
+  /** The SQ search core: decode index codes to their grid
+    * reconstruction (a `transform` projection over the persisted
+    * params — bounded plan state, Q-independent) and run the SAME
+    * pruned flat-IVF search over the decoded rows: queries stay a
+    * DataFrame end to end (no driver collect, unlike the PQ path's
+    * ADC tables), the tombstone mask (and any extra row filter)
+    * composes BEFORE the top-k, and distances are exact float32 L2 to
+    * the reconstruction (SQDC). `refine > 0` re-ranks the top-`refine`
+    * SQDC candidates by exact L2 over the LIVE vectors; `refine` =
+    * live-count degenerates to exact brute force (gated: `vs_ann_sq`).
+    */
+  private def searchApproxSqDF(queries: DataFrame, k: Int, nProbe: Int,
+      extraFilter: DataFrame => DataFrame, refine: Int = 0): DataFrame = {
+    require(refine == 0 || refine >= k,
+      s"refine ($refine) must be 0 (off) or >= k ($k)")
+    val params = graft.operators.Sq.readParams(spark, s"$annPath/sq")
+    val rowFilter: DataFrame => DataFrame = df =>
+      extraFilter(annTombstoneMask(df))
+        .withColumn("vec", graft.operators.Sq.decodeCol(col("codes"), params))
+    val shortK = if (refine > 0) refine else k
+    val q = queries.select(col("qid"), col("qvec"))
+    val sqdc = graft.operators.Ann.ivfSearchL2Pruned(spark, annPath,
+      "id", "vec", q, "qid", "qvec", shortK, nProbe, rowFilter)
+    if (refine == 0)
+      sqdc.select(col("qid"), col("id"),
+        col("distance").cast("float").as("distance"), col("rn"))
+    else refineRerank(sqdc, q, k)
   }
 
   def dropAnnIndex(): Unit = {
@@ -874,6 +955,12 @@ class VectorStore private (
             graft.operators.Ann.assign(proj, "id", "vec", cents),
             "vec", "codes", cb)
           .drop("vec")
+      } else if (annKind == "ivfsq") {
+        // re-encode live rows with the PERSISTED grid — no retrain
+        val params = graft.operators.Sq.readParams(spark, s"$annPath/sq")
+        graft.operators.Ann.assign(proj, "id", "vec", cents)
+          .withColumn("codes", graft.operators.Sq.encodeCol($"vec", params))
+          .drop("vec")
       } else if (annMetric == "cosine")
         graft.operators.Ann.assignCosine(proj, "id", "vec", cents)
       else graft.operators.Ann.assign(proj, "id", "vec", cents)
@@ -899,6 +986,8 @@ class VectorStore private (
         graft.operators.Pq.appendToIvfPqIndexResidual(spark, annPath, batch, "id", "vec")
       case "ivfpq" =>
         graft.operators.Pq.appendToIvfPqIndex(spark, annPath, batch, "id", "vec")
+      case "ivfsq" =>
+        graft.operators.Sq.appendToIvfSqIndex(spark, annPath, batch, "id", "vec")
       case _ =>
         graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
     }
@@ -959,7 +1048,7 @@ class VectorStore private (
     * `qid`, `id`, `distance`, `rn`) — the pipeline-facing variant, like
     * [[searchDF]] for [[search]]. Requires [[buildAnnIndex]].
     *
-    * `refine` (PQ indexes only): re-rank the top-`refine` ADC
+    * `refine` (quantized PQ/SQ indexes only): re-rank the top-`refine`
     * candidates per query by exact float32 L2 over the live vectors —
     * see [[searchApproxPqDF]]. On a flat index `refine` must be 0:
     * flat IVF distances are already exact, there is nothing to refine.
@@ -973,10 +1062,12 @@ class VectorStore private (
         s"no ANN index at $annPath — call buildAnnIndex() first")
     if (annKindIsPq)
       searchApproxPqDF(queries, k, nProbe, identity, refine)
+    else if (annKind == "ivfsq")
+      searchApproxSqDF(queries, k, nProbe, identity, refine)
     else {
       require(refine == 0,
-        "refine applies to PQ indexes only — flat IVF distances are " +
-          "already exact float32")
+        "refine applies to quantized (PQ/SQ) indexes only — flat IVF " +
+          "distances are already exact float32")
       graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
         queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
         rowFilter = annTombstoneMask)
@@ -1043,10 +1134,13 @@ class VectorStore private (
       // filter through the shortlist ids)
       searchApproxPqDF(queries, k, nProbe,
         df => df.join(matchIds, Seq("id"), "left_semi"), refine)
+    else if (annKind == "ivfsq")
+      searchApproxSqDF(queries, k, nProbe,
+        df => df.join(matchIds, Seq("id"), "left_semi"), refine)
     else {
       require(refine == 0,
-        "refine applies to PQ indexes only — flat IVF distances are " +
-          "already exact float32")
+        "refine applies to quantized (PQ/SQ) indexes only — flat IVF " +
+          "distances are already exact float32")
       val maskAndFilter: DataFrame => DataFrame = df =>
         annTombstoneMask(df).join(matchIds, Seq("id"), "left_semi")
       graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",

@@ -737,4 +737,35 @@ class AnnSpec extends SparkSuite {
     // nothing qualifies -> empty, never a silent degrade
     assert(Ann.chooseConfig(sweep.filter($"config" === "lsh"), 0.9).isEmpty)
   }
+
+  test("sq: round trip bounded by half a grid step; constant dims exact; saturation") {
+    import graft.operators.Sq
+    val df = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(6)(j =>
+        if (j == 5) 2.5f else ((i * 7 + j * 3) % 13).toFloat - 4f))
+    }.toDF("id", "vec")
+    val p = Sq.fit(df, "vec", dim = 6)
+    // dim 5 is constant: scale 0, every code 0, decode returns the constant
+    assert(p.scale(5) == 0f && p.vmin(5) == 2.5f)
+    val rt = df
+      .withColumn("dec", Sq.decodeCol(Sq.encodeCol($"vec", p), p))
+      .select($"vec", $"dec").collect()
+    rt.foreach { r =>
+      val v = r.getSeq[Float](0); val d = r.getSeq[Float](1)
+      (0 until 6).foreach { j =>
+        val bound = p.scale(j) / 2f + 1e-5f
+        assert(math.abs(v(j) - d(j)) <= bound,
+          s"dim $j: ${v(j)} decoded to ${d(j)}, half-step $bound")
+      }
+    }
+    // out-of-range values saturate at the grid edge (FAISS SQ contract)
+    val out = Seq((0L, Array(100f, -100f, 0f, 0f, 0f, 9f))).toDF("id", "vec")
+      .select(Sq.encodeCol($"vec", p).as("c")).head().getSeq[Int](0)
+    assert(out(0) == 255 && out(1) == 0)
+    // persisted params round-trip exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    Sq.writeParams(spark, dir, p)
+    val p2 = Sq.readParams(spark, dir)
+    assert(p2.vmin.toSeq == p.vmin.toSeq && p2.scale.toSeq == p.scale.toSeq)
+  }
 }

@@ -914,6 +914,62 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(ref == s.search(Seq(vecs(7)), 5).head.map(r => (r.id, r.distance)))
   }
 
+  test("SQ store lifecycle: SQDC bound, refine degenerates, append, mask, hygiene") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq-store")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 20).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    s.insert(vecs)
+    s.buildAnnIndexSq(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivfsq")
+    def sq(qid: Long, q: Array[Float], k: Int, refine: Int = 0): Seq[(Long, Float)] =
+      s.searchApproxDF(Seq((qid, q)).toDF("qid", "qvec"), k, nProbe = 2,
+          refine = refine)
+        .orderBy("rn").select(col("id"), col("distance"))
+        .as[(Long, Float)].collect().toSeq
+    def exact(q: Array[Float], k: Int): Seq[(Long, Float)] =
+      s.search(Seq(q), k).head.map(r => (r.id, r.distance))
+    // SQDC distances are L2 to the reconstruction: within the grid's
+    // closed-form bound sqrt(sum_j (scale_j/2)^2) of the true distance
+    val p = graft.operators.Sq.readParams(spark, s"$dir/ann/sq")
+    val bound = math.sqrt(p.scale.map(sc => (sc / 2.0) * (sc / 2.0)).sum) + 1e-4
+    val ex = exact(vecs(5), 20).toMap
+    sq(0L, vecs(5), 8).foreach { case (id, d) =>
+      assert(math.abs(d - ex(id)) <= bound,
+        s"id $id: SQDC $d vs exact ${ex(id)}, bound $bound")
+    }
+    // refine = live-count degenerates to exact brute force (float32
+    // distances rank for rank) — the vs_ann_sq gate contract
+    assert(sq(1L, vecs(5), 5, refine = 20) == exact(vecs(5), 5))
+    // O(batch) append encodes with the PERSISTED grid; values outside
+    // the trained range saturate but the refined search is still exact
+    val nv = Array.tabulate(8)(j => 12f + j) // beyond vmax: saturates
+    s.insert(Seq(nv))
+    assert(sq(2L, nv, 3, refine = 21) == exact(nv, 3))
+    // delete mask composes before the SQDC top-k
+    val victim = sq(3L, vecs(9), 1).head._1
+    s.delete(Seq(victim))
+    assert(!sq(4L, vecs(9), 5).map(_._1).contains(victim))
+    assert(sq(5L, vecs(9), 5, refine = 20) == exact(vecs(9), 5))
+    // contracts: refine must be 0 or >= k
+    intercept[IllegalArgumentException](sq(6L, vecs(0), 5, refine = 3))
+    // rebuild hygiene: flat over SQ clears marker + grid; SQ over PQ
+    // clears the stale codebook
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivf")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/sq")))
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 1)
+    s.buildAnnIndexSq(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivfsq")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/codebook")))
+    assert(sq(7L, vecs(5), 5, refine = 20) == exact(vecs(5), 5))
+  }
+
   test("ingestStreamDedup approx: probed 1-NN rejects dups, falls back without index") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
