@@ -3484,6 +3484,59 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Late-interaction (ColBERT MaxSim) retrieval, brute audit tier:
+    // 100 docs × 4 token vectors, 3 queries × 2 token vectors from the
+    // embeddings fixture; score = sum over query tokens of max over
+    // doc tokens of float32 inner product (DuckDB's list_inner_product
+    // accumulates float32 sequentially — verified bit-equal to the
+    // dot_product kernel), summed in double over the 2 query tokens.
+    // DuckDB replays the full pair grid, both aggregations, and the
+    // (score DESC, doc) ranking.
+    "ir_maxsim" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val dt = emb.filter(col("vec_id") < 400)
+        .select(floor(col("vec_id") / 4).cast("long").as("doc_id"),
+          col("embedding").as("dvec"))
+      val qt = emb.filter(col("vec_id") >= 400 && col("vec_id") < 406)
+        .select(floor((col("vec_id") - 400) / 2).cast("long").as("qid"),
+          (col("vec_id") % 2).cast("long").as("qtok"),
+          col("embedding").as("qvec"))
+      operators.LateInteraction.maxSimTopK(dt, "doc_id", "dvec",
+          qt, "qid", "qtok", "qvec", k = 10)
+        .select(col("qid"), col("doc_id"), col("rn").cast("long").as("rank"),
+          col("n_qtok"), hround(col("score"), 4).as("score"))
+        .orderBy("qid", "rank")
+    }),
+
+    // The production shape: first-stage single-vector retrieval over
+    // MEAN-POOLED token bags (top-20 by L2) proposes candidates, and
+    // token-level MaxSim re-ranks only the shortlist — every join an
+    // equi-join, cost independent of corpus size (the ColBERT serving
+    // pattern). Fully replayed in DuckDB: pooling via
+    // generate_subscripts + CAST(avg AS FLOAT), the L2 shortlist, and
+    // the MaxSim re-rank on the shortlisted pairs.
+    "ir_maxsim_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val dt = emb.filter(col("vec_id") < 400)
+        .select(floor(col("vec_id") / 4).cast("long").as("doc_id"),
+          col("embedding").as("dvec"))
+      val qt = emb.filter(col("vec_id") >= 400 && col("vec_id") < 406)
+        .select(floor((col("vec_id") - 400) / 2).cast("long").as("qid"),
+          (col("vec_id") % 2).cast("long").as("qtok"),
+          col("embedding").as("qvec"))
+      val pooledD = operators.LateInteraction.meanPoolTokens(dt, "doc_id", "dvec")
+      val pooledQ = operators.LateInteraction.meanPoolTokens(qt, "qid", "qvec")
+        .select(col("qid"), col("pooled_vec").as("qvec"))
+      val shortlist = SimilarityJoin.knnL2(pooledD, "doc_id", "pooled_vec",
+          pooledQ, "qid", "qvec", k = 20)
+        .select(col("qid"), col("doc_id"))
+      operators.LateInteraction.maxSimRerank(shortlist, "qid", "doc_id",
+          dt, "dvec", qt, "qtok", "qvec", k = 10)
+        .select(col("qid"), col("doc_id"), col("rn").cast("long").as("rank"),
+          hround(col("score"), 4).as("score"))
+        .orderBy("qid", "rank")
+    }),
+
     // Mean-average-precision companion: same truncated-dim run vs
     // full-dim truth as ir_metrics, scored with the order-sensitive
     // AP@10 (per-query window ≤ 10 rows — bounded state). DuckDB
@@ -6786,6 +6839,80 @@ object SparkEntry {
     // Span re-derivation (the pk_chunks arithmetic at chunkLen 40 /
     // stride 20), 1-based inclusive list slices for the chunk tokens,
     // integer tf pooling, (max desc, doc asc) rank.
+    // MaxSim brute tier: full pair grid, float32 inner products
+    // (list_inner_product accumulates float32 sequentially — bit-equal
+    // to the dot_product kernel), double sum over the 2 query tokens.
+    "ir_maxsim" -> s"""
+      WITH dt AS (
+        SELECT CAST(floor(vec_id / 4) AS BIGINT) AS doc_id,
+               embedding AS dvec
+        FROM embeddings WHERE vec_id < 400),
+      qt AS (
+        SELECT CAST(floor((vec_id - 400) / 2) AS BIGINT) AS qid,
+               CAST(vec_id % 2 AS BIGINT) AS qtok, embedding AS qvec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 406),
+      sims AS (
+        SELECT qt.qid, dt.doc_id, qt.qtok,
+               max(list_inner_product(qt.qvec, dt.dvec)) AS maxsim
+        FROM dt CROSS JOIN qt GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT qid, doc_id, sum(CAST(maxsim AS DOUBLE)) AS score,
+               CAST(count(*) AS BIGINT) AS n_qtok
+        FROM sims GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, score, n_qtok,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank, n_qtok,
+             ${graft.functions.hroundSql("score", 4)} AS score
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
+    // Two-stage replay: mean-pool token bags (CAST(avg AS FLOAT) per
+    // position), L2 top-20 shortlist, MaxSim re-rank on the shortlist
+    "ir_maxsim_rerank" -> s"""
+      WITH dt AS (
+        SELECT CAST(floor(vec_id / 4) AS BIGINT) AS doc_id,
+               embedding AS dvec
+        FROM embeddings WHERE vec_id < 400),
+      qt AS (
+        SELECT CAST(floor((vec_id - 400) / 2) AS BIGINT) AS qid,
+               CAST(vec_id % 2 AS BIGINT) AS qtok, embedding AS qvec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 406),
+      dex AS (SELECT doc_id, generate_subscripts(dvec, 1) AS pos,
+                     unnest(dvec) AS x FROM dt),
+      dm AS (SELECT doc_id, pos, avg(x) AS m FROM dex GROUP BY 1, 2),
+      pd AS (SELECT doc_id, list(CAST(m AS FLOAT) ORDER BY pos) AS pvec
+             FROM dm GROUP BY 1),
+      qex AS (SELECT qid, generate_subscripts(qvec, 1) AS pos,
+                     unnest(qvec) AS x FROM qt),
+      qm AS (SELECT qid, pos, avg(x) AS m FROM qex GROUP BY 1, 2),
+      pq AS (SELECT qid, list(CAST(m AS FLOAT) ORDER BY pos) AS pvec
+             FROM qm GROUP BY 1),
+      short AS (
+        SELECT qid, doc_id FROM (
+          SELECT pq.qid, pd.doc_id,
+                 row_number() OVER (PARTITION BY pq.qid
+                   ORDER BY list_distance(pd.pvec, pq.pvec), pd.doc_id)
+                   AS srn
+          FROM pd CROSS JOIN pq) WHERE srn <= 20),
+      sims AS (
+        SELECT sl.qid, sl.doc_id, qt.qtok,
+               max(list_inner_product(qt.qvec, dt.dvec)) AS maxsim
+        FROM short sl
+        JOIN dt ON dt.doc_id = sl.doc_id
+        JOIN qt ON qt.qid = sl.qid
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT qid, doc_id, sum(CAST(maxsim AS DOUBLE)) AS score
+        FROM sims GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank,
+             ${graft.functions.hroundSql("score", 4)} AS score
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
     "ir_chunk_rollup" -> """
       WITH t AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,

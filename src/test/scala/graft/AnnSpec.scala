@@ -738,6 +738,40 @@ class AnnSpec extends SparkSuite {
     assert(Ann.chooseConfig(sweep.filter($"config" === "lsh"), 0.9).isEmpty)
   }
 
+  test("maxsim: hand-computed scores; full-shortlist rerank equals brute top-k") {
+    import graft.operators.LateInteraction
+    // d0 tokens: (1,0), (0,1); d1 tokens: (0.5,0.5), (0.8,0.1)
+    val dt = Seq(
+      (0L, Array(1f, 0f)), (0L, Array(0f, 1f)),
+      (1L, Array(0.5f, 0.5f)), (1L, Array(0.8f, 0.1f))
+    ).toDF("doc_id", "dvec")
+    // q0 tokens: (1,0), (0,1)
+    val qt = Seq(
+      (0L, 0L, Array(1f, 0f)), (0L, 1L, Array(0f, 1f))
+    ).toDF("qid", "qtok", "qvec")
+    val top = LateInteraction.maxSimTopK(dt, "doc_id", "dvec",
+        qt, "qid", "qtok", "qvec", k = 2)
+      .orderBy("rn")
+      .select($"doc_id", $"score", $"n_qtok").as[(Long, Double, Long)]
+      .collect().toSeq
+    // MaxSim(q0, d0) = max(1,0) + max(0,1) = 2
+    // MaxSim(q0, d1) = max(0.5,0.8) + max(0.5,0.1) = 1.3 — per-token
+    // maxes are float32, the sum is double over the float32 values
+    assert(top == Seq((0L, 2.0, 2L), (1L, 0.8f.toDouble + 0.5f.toDouble, 2L)))
+    // a complete shortlist re-rank IS the brute tier
+    val all = Seq((0L, 0L), (0L, 1L)).toDF("qid", "doc_id")
+    val rr = LateInteraction.maxSimRerank(all, "qid", "doc_id",
+        dt, "dvec", qt, "qtok", "qvec", k = 2)
+      .orderBy("rn").select($"doc_id", $"score").as[(Long, Double)]
+      .collect().toSeq
+    assert(rr == top.map(t => (t._1, t._2)))
+    // mean pooling: ordered by position, float32
+    val pooled = LateInteraction.meanPoolTokens(dt, "doc_id", "dvec")
+      .orderBy("doc_id").select($"pooled_vec").as[Seq[Float]]
+      .collect().toSeq
+    assert(pooled == Seq(Seq(0.5f, 0.5f), Seq(0.65f, 0.3f)))
+  }
+
   test("sq: round trip bounded by half a grid step; constant dims exact; saturation") {
     import graft.operators.Sq
     val df = (0 until 30).map { i =>
