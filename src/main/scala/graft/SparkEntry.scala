@@ -538,6 +538,46 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Optimized-PQ through the store facade (FAISS OPQx,...,PQy): the
+    // whole IVF-PQ index lives in a learned ORTHOGONAL rotation of the
+    // data (trained by the OPQ-NP alternation, seeded-random init) —
+    // lower reconstruction error at the same (m, k) budget on
+    // correlated dims, with search semantics unchanged because the
+    // rotation preserves L2. Queries rotate driver-side before
+    // probe/ADC; refine = live-count re-ranks the complete shortlist
+    // by exact L2 over the ORIGINAL vectors, so the oracle is the same
+    // rotation-free brute-force replay (no codebook, no rotation state
+    // in DuckDB). The lifecycle exercises rotation train/persist, the
+    // rotated build, the rotate-then-append maintenance path, and the
+    // delete mask.
+    "vs_ann_opq" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_opq_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      // iters = 1, ONE OPQ sweep (the vs_ann_pq_* rationale): full
+      // probe + full refine make the final ranking exact for ANY
+      // rotation/codebook, so extra training only costs gate wall time
+      store.buildAnnIndexPq(nCells = 8, m = 4, k = 8, iters = 1,
+        opq = true, opqSweeps = 1)
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(3L), Seq(v7))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 8, refine = 495)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
     // IVF-SQ8 through the store facade (FAISS IVFx,SQ8 — the middle
     // rung of the quantization ladder: 4× fewer index bytes than flat,
     // no codebook to train, reconstruction error ≤ half a grid step
@@ -4562,6 +4602,29 @@ object SparkEntry {
     // COMPLETE shortlist by exact float32 L2, so the oracle is the
     // vs_ann_search brute-force replay — no codebook state required.
     "vs_ann_pq_refine" -> s"""
+      WITH live AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id = 3
+                    THEN (SELECT embedding FROM embeddings WHERE vec_id = 7)
+                    ELSE e.embedding END AS vec
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (0, 5, 10, 15, 20)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Refine-degenerate OPQ search: the refine stage re-ranks with the
+    // ORIGINAL vectors, so neither the rotation nor the codebook
+    // enters the oracle — same brute-force replay as vs_ann_pq_refine
+    "vs_ann_opq" -> s"""
       WITH live AS (
         SELECT e.vec_id AS id,
                CASE WHEN e.vec_id = 3

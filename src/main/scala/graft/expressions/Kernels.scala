@@ -335,4 +335,26 @@ object Kernels {
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Dense matrix-vector product `out_i = sum_j m(i)(j) * v_j` —
+    * double accumulation, float32 output (the OPQ rotation apply;
+    * orthogonal `m` preserves L2 up to float rounding). `m` rides the
+    * codegen as a reference object, so the matrix is bounded plan
+    * state (`rows × dim` floats), not an expression tree.
+    */
+  def matVec(v: ArrayData, m: Array[Array[Float]]): ArrayData = {
+    val rows = m.length
+    val out = new Array[Float](rows)
+    var i = 0
+    while (i < rows) {
+      val row = m(i)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += row(j).toDouble * v.getFloat(j).toDouble; j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

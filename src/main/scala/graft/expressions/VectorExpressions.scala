@@ -94,3 +94,24 @@ case class HyperplaneBucket(child: Expression, dim: Int, nBits: Int, seed: Long)
   override def prettyName: String = "hyperplane_bucket"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Fixed matrix × vector — the OPQ rotation apply ([[Kernels.matVec]]).
+  * The matrix is carried as a codegen reference object (bounded plan
+  * state, `rows × dim` floats), NOT an expression tree: a 64×64
+  * rotation as composed arithmetic would be a ~4096-node plan. Not
+  * SQL-registered (matrix literals have no SQL syntax); construct via
+  * [[graft.functions.mat_vec]].
+  */
+case class MatVec(child: Expression, mat: Array[Array[Float]])
+    extends UnaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.matVec(vec.asInstanceOf[ArrayData], mat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVecMat", mat, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.expressions.Kernels.matVec($v, $ref)")
+  }
+  override def prettyName: String = "mat_vec"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

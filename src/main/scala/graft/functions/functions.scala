@@ -27,6 +27,11 @@ object functions {
   /** Element-wise `a - b` over `array<float>` (residual vectors). */
   def vec_sub(a: Column, b: Column): Column = c(VecSub(e(a), e(b)))
 
+  /** Fixed matrix × float32 vector (the OPQ rotation apply); the
+    * matrix rides codegen as a reference object, not a plan tree.
+    */
+  def mat_vec(v: Column, mat: Array[Array[Float]]): Column = c(MatVec(e(v), mat))
+
   /** rapidfuzz `fuzz.ratio`-compatible normalized Indel similarity ∈ [0,100]. */
   def indel_similarity(a: Column, b: Column): Column = c(IndelSimilarity(e(a), e(b)))
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{indel_similarity, l2_distance}
+import graft.functions.{indel_similarity, l2_distance, mat_vec}
 
 /** Row shapes of the public API (reference: vector_store.py:13-25). */
 case class SelectRecord(id: Long, vec: Array[Float], doc: String)
@@ -712,14 +712,17 @@ class VectorStore private (
   }
 
   /** Delete any quantizer aux dirs a PREVIOUS build persisted except
-    * `keep` — rebuild hygiene: the kind marker and its aux state must
-    * change together or searches misdispatch/misread.
+    * those in `keep` ("+"-separated) — rebuild hygiene: the kind
+    * marker and its aux state must change together or searches
+    * misdispatch/misread.
     */
-  private def clearAnnAux(keep: String): Unit =
-    Seq("codebook", "sq").filterNot(_ == keep).foreach { d =>
+  private def clearAnnAux(keep: String): Unit = {
+    val keeps = keep.split('+').toSet
+    Seq("codebook", "sq", "opq").filterNot(keeps.contains).foreach { d =>
       val p = new Path(s"$annPath/$d")
       if (annFs.exists(p)) annFs.delete(p, true)
     }
+  }
 
   /** IVF-SQ8 index through the store facade (FAISS `IVFx,SQ8`): index
     * rows carry `dim` 8-bit codes on a per-dimension linear grid
@@ -801,9 +804,31 @@ class VectorStore private (
     * append, and post-compaction rebuild all dispatch on the persisted
     * kind marker, so the choice is a build-time flag, not an API fork.
     */
+  /** `opq = true` (raw layout only) trains an Optimized-PQ rotation
+    * first (Ge et al. CVPR 2013; FAISS `OPQx,...,PQy`) and builds the
+    * whole IVF-PQ index in the ROTATED space — the orthogonal rotation
+    * preserves L2 exactly, so search/append/delete semantics are
+    * unchanged while the codebooks fit correlated dims with lower
+    * reconstruction error at the same (m, k) budget. Queries are
+    * rotated driver-side before probing/ADC; the exact-refine stage
+    * re-ranks with the ORIGINAL vectors (L2 is rotation-invariant).
+    */
   def buildAnnIndexPq(nCells: Int, m: Int, k: Int, iters: Int = 5,
-      residual: Boolean = false): Unit = {
-    val proj = liveWithGen.select($"id", $"vec", col(GenCol))
+      residual: Boolean = false, opq: Boolean = false,
+      opqSweeps: Int = 2): Unit = {
+    require(!(residual && opq),
+      "residual + opq in one index is not supported — pick one " +
+        "(FAISS pairs OPQ with the raw PQ layout)")
+    val proj0 = liveWithGen.select($"id", $"vec", col(GenCol))
+    val proj =
+      if (!opq) proj0
+      else {
+        val aMat = graft.operators.Opq.trainRotation(
+          proj0.select($"id", $"vec"), "id", "vec", dim, m, k, iters,
+          sweeps = opqSweeps)
+        graft.operators.Opq.writeRotation(spark, s"$annPath/opq", aMat)
+        proj0.withColumn("vec", mat_vec($"vec", aMat))
+      }
     val (enc, cents, cb) =
       if (residual)
         graft.operators.Pq.ivfPqBuildResidual(
@@ -816,8 +841,9 @@ class VectorStore private (
     val encG = enc.join(proj.select($"id", col(GenCol)), Seq("id"))
     graft.operators.Ann.writeIvfIndex(encG, cents, annPath)
     graft.operators.Pq.writeCodebook(spark, s"$annPath/codebook", cb)
-    writeAnnKindMarker(if (residual) "ivfpq_res" else "ivfpq")
-    clearAnnAux(keep = "codebook")
+    writeAnnKindMarker(
+      if (residual) "ivfpq_res" else if (opq) "ivfpq_opq" else "ivfpq")
+    clearAnnAux(keep = if (opq) "codebook+opq" else "codebook")
   }
 
   /** True when the persisted index is PQ-compressed (raw or residual). */
@@ -853,9 +879,19 @@ class VectorStore private (
         throw new IllegalArgumentException(
           s"query $qid has dimension ${q.length}, store dimension is $dim")
     }
+    // OPQ layout: probe/ADC run in the ROTATED space (the index was
+    // built there); the exact-refine stage below keeps the ORIGINAL
+    // queries — L2 is rotation-invariant, so refined distances are
+    // true distances either way
+    val qSeqAdc =
+      if (annKind == "ivfpq_opq") {
+        val aMat = graft.operators.Opq.readRotation(spark, s"$annPath/opq")
+        qSeq.map { case (qid, q) =>
+          (qid, graft.operators.Opq.rotate(aMat, q)) }
+      } else qSeq
     val cents = spark.read.parquet(s"$annPath/centroids")
     val cb = graft.operators.Pq.readCodebook(spark, s"$annPath/codebook")
-    val cells = graft.operators.Pq.probedCells(cents, qSeq, nProbe)
+    val cells = graft.operators.Pq.probedCells(cents, qSeqAdc, nProbe)
     val idx = extraFilter(annTombstoneMask(
       spark.read.parquet(s"$annPath/index")
         .filter(col("centroid_id").isin(cells: _*)) // → PartitionFilters
@@ -864,10 +900,10 @@ class VectorStore private (
     val adc =
       if (annKind == "ivfpq_res")
         graft.operators.Pq.ivfPqSearchResidual(idx, "id", "codes", cents, cb,
-          qSeq, shortK, nProbe)
+          qSeqAdc, shortK, nProbe)
       else
         graft.operators.Pq.ivfPqSearch(idx, "id", "codes", cents, cb,
-          qSeq, shortK, nProbe)
+          qSeqAdc, shortK, nProbe)
     if (refine == 0)
       adc.select(col("qid"), col("id"),
         col("adc_dist").cast("float").as("distance"), col("rn"))
@@ -948,11 +984,18 @@ class VectorStore private (
             graft.operators.Ann.assign(proj, "id", "vec", cents),
             "vec", "codes", cents, cb)
           .drop("vec")
-      } else if (annKind == "ivfpq") {
+      } else if (annKind == "ivfpq" || annKind == "ivfpq_opq") {
         // re-encode live rows with the PERSISTED codebook — no retrain
+        // (OPQ layout: rotate into index space with the PERSISTED
+        // rotation first)
         val cb = graft.operators.Pq.readCodebook(spark, s"$annPath/codebook")
+        val src =
+          if (annKind == "ivfpq_opq") {
+            val aMat = graft.operators.Opq.readRotation(spark, s"$annPath/opq")
+            proj.withColumn("vec", mat_vec($"vec", aMat))
+          } else proj
         graft.operators.Pq.encode(
-            graft.operators.Ann.assign(proj, "id", "vec", cents),
+            graft.operators.Ann.assign(src, "id", "vec", cents),
             "vec", "codes", cb)
           .drop("vec")
       } else if (annKind == "ivfsq") {
@@ -986,6 +1029,12 @@ class VectorStore private (
         graft.operators.Pq.appendToIvfPqIndexResidual(spark, annPath, batch, "id", "vec")
       case "ivfpq" =>
         graft.operators.Pq.appendToIvfPqIndex(spark, annPath, batch, "id", "vec")
+      case "ivfpq_opq" =>
+        // rotate the fresh batch into index space with the PERSISTED
+        // rotation, then the standard O(batch) PQ append
+        val aMat = graft.operators.Opq.readRotation(spark, s"$annPath/opq")
+        graft.operators.Pq.appendToIvfPqIndex(spark, annPath,
+          batch.withColumn("vec", mat_vec($"vec", aMat)), "id", "vec")
       case "ivfsq" =>
         graft.operators.Sq.appendToIvfSqIndex(spark, annPath, batch, "id", "vec")
       case _ =>

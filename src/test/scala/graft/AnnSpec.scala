@@ -772,6 +772,41 @@ class AnnSpec extends SparkSuite {
     assert(pooled == Seq(Seq(0.5f, 0.5f), Seq(0.65f, 0.3f)))
   }
 
+  test("opq: rotation orthogonal, L2-preserving; recon error <= identity-PQ on correlated data") {
+    import graft.operators.Opq
+    // dims 1 and 2 perfectly correlated ACROSS the m=2 subspace split
+    // {0,1}|{2,3} — the case plain PQ handles worst and OPQ exists for
+    val df = (0 until 64).map { i =>
+      val t = (i % 16).toFloat
+      val u = (i / 16).toFloat
+      (i.toLong, Array(u, t, t, -u))
+    }.toDF("id", "vec")
+    val a = Opq.trainRotation(df, "id", "vec", dim = 4, m = 2, k = 4,
+      iters = 3, sweeps = 3)
+    // orthogonality: A Aᵀ = I
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(l => a(i)(l).toDouble * a(j)(l).toDouble).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"AAᵀ[$i][$j] = $dot")
+    }
+    // the rotation preserves pairwise L2 (orthogonality, end to end
+    // through the MatVec kernel)
+    val rot = df.withColumn("vr", graft.functions.mat_vec($"vec", a))
+    val pair = rot.orderBy("id").limit(2).collect()
+    def l2(x: Seq[Float], y: Seq[Float]): Double =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q).toDouble * (p - q) }.sum)
+    val dOrig = l2(pair(0).getSeq[Float](1), pair(1).getSeq[Float](1))
+    val dRot = l2(pair(0).getSeq[Float](2), pair(1).getSeq[Float](2))
+    assert(math.abs(dOrig - dRot) < 1e-3)
+    // the point of OPQ: strictly better (here) reconstruction at the
+    // same (m, k) budget than the identity rotation
+    val errId = Opq.reconError(df, "id", "vec", 4, 2, 4, 3, Opq.identityMat(4))
+    val errOpq = Opq.reconError(df, "id", "vec", 4, 2, 4, 3, a)
+    assert(errOpq <= errId + 1e-9, s"opq $errOpq vs identity $errId")
+    assert(errOpq < 0.7 * errId,
+      s"correlated fixture should improve materially: $errOpq vs $errId")
+  }
+
   test("sq: round trip bounded by half a grid step; constant dims exact; saturation") {
     import graft.operators.Sq
     val df = (0 until 30).map { i =>

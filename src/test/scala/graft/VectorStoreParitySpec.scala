@@ -914,6 +914,56 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(ref == s.search(Seq(vecs(7)), 5).head.map(r => (r.id, r.distance)))
   }
 
+  test("OPQ store lifecycle: rotated dispatch, refine degenerates, append, mask") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq-store")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 20).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    s.insert(vecs)
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 2, opq = true)
+    assert(s.annKind == "ivfpq_opq")
+    def sq(qid: Long, q: Array[Float], k: Int, refine: Int = 0): Seq[(Long, Float)] =
+      s.searchApproxDF(Seq((qid, q)).toDF("qid", "qvec"), k, nProbe = 2,
+          refine = refine)
+        .orderBy("rn").select(col("id"), col("distance"))
+        .as[(Long, Float)].collect().toSeq
+    def exact(q: Array[Float], k: Int): Seq[(Long, Float)] =
+      s.search(Seq(q), k).head.map(r => (r.id, r.distance))
+    // refine = live-count: ADC ran in rotated space, but the complete
+    // shortlist re-ranks by exact L2 over ORIGINAL vectors — exact
+    // brute force, rank for rank (the vs_ann_opq gate contract)
+    assert(sq(0L, vecs(5), 5, refine = 20) == exact(vecs(5), 5))
+    // un-refined ADC search works in the rotated space (ranking is
+    // ADC-approximate by construction — recon error at m=2, k=4 can
+    // legitimately outrank a self-match, as with plain PQ): returns k
+    // live rows with non-decreasing distances
+    val adc5 = sq(1L, vecs(7), 5)
+    assert(adc5.length == 5 &&
+      adc5.map(_._2.toDouble) == adc5.map(_._2.toDouble).sorted)
+    // O(batch) append rotates with the PERSISTED rotation
+    val nv = Array.tabulate(8)(j => (j % 5).toFloat + 0.25f)
+    s.insert(Seq(nv))
+    assert(sq(2L, nv, 3, refine = 21) == exact(nv, 3))
+    // delete mask composes; post-delete refined search stays exact
+    val victim = sq(3L, vecs(9), 1).head._1
+    s.delete(Seq(victim))
+    assert(!sq(4L, vecs(9), 5).map(_._1).contains(victim))
+    assert(sq(5L, vecs(9), 5, refine = 20) == exact(vecs(9), 5))
+    // rebuild hygiene: a flat rebuild clears marker + rotation dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/opq")))
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivf")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/opq")))
+    // residual + opq is an explicit contract error
+    intercept[IllegalArgumentException](
+      s.buildAnnIndexPq(2, 2, 4, 1, residual = true, opq = true))
+  }
+
   test("SQ store lifecycle: SQDC bound, refine degenerates, append, mask, hygiene") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
