@@ -538,6 +538,43 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Parent-document retrieval through the store facade: 400 chunk
+    // vectors carrying their parent id in the doc JSON ({"p": id/4}),
+    // flat IVF index, full-probe chunk shortlist of 12, max-pool
+    // rollup to top-5 parents. Full probe + the delete mask make the
+    // chunk stage exact, so DuckDB replays the whole journey: brute
+    // chunk distances -> per-query shortlist -> parent rollup (max
+    // and sum pools both emitted) -> (pooled score DESC, parent)
+    // ranking. Parent ids are NUMERIC on both engines (the facade's
+    // documented contract — the rollup aggregator carries long ids),
+    // so tie-break ordering matches.
+    "vs_parent_search" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_parent_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"p\": "),
+            floor(col("vec_id") / 4).cast("long").cast("string"),
+            lit("}")).as("doc")))
+      store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchParentDocsDF(qs, k = 5, parentPath = Seq("p"),
+          chunksPerQuery = 12, nProbe = 8)
+        .select(col("qid").cast("long").as("qid"), col("parent"),
+          hround(col("max_score"), 4).as("max_score"),
+          hround(col("sum_score"), 4).as("sum_score"),
+          col("n_chunks"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Optimized-PQ through the store facade (FAISS OPQx,...,PQy): the
     // whole IVF-PQ index lives in a learned ORTHOGONAL rotation of the
     // data (trained by the OPQ-NP alternation, seeded-random init) —
@@ -4621,6 +4658,40 @@ object SparkEntry {
       SELECT qid, id, rn,
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Parent-doc retrieval replay: brute chunk distances over live
+    // rows, per-query shortlist of 12, parent rollup, pooled ranking
+    "vs_parent_search" -> s"""
+      WITH live AS (
+        SELECT vec_id AS id, embedding AS vec
+        FROM embeddings
+        WHERE vec_id < 400 AND vec_id NOT IN (0, 5, 10, 15, 20)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS d
+        FROM live l CROSS JOIN q),
+      short AS (
+        SELECT qid, id, d FROM (
+          SELECT qid, id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn
+          FROM scored) WHERE rn <= 12),
+      hits AS (
+        SELECT qid, CAST(floor(id / 4) AS BIGINT) AS parent,
+               -CAST(d AS DOUBLE) AS s
+        FROM short),
+      pooled AS (
+        SELECT qid, parent, max(s) AS mx, sum(s) AS sm,
+               CAST(count(*) AS BIGINT) AS n_chunks
+        FROM hits GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, parent, mx, sm, n_chunks,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY mx DESC, parent) AS rank
+        FROM pooled)
+      SELECT qid, parent, ${graft.functions.hroundSql("mx", 4)} AS max_score,
+             ${graft.functions.hroundSql("sm", 4)} AS sum_score,
+             n_chunks, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     // Refine-degenerate OPQ search: the refine stage re-ranks with the
     // ORIGINAL vectors, so neither the rotation nor the codebook
     // enters the oracle — same brute-force replay as vs_ann_pq_refine

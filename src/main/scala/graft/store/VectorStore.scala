@@ -1198,6 +1198,51 @@ class VectorStore private (
     }
   }
 
+  /** Parent-document retrieval over a chunked corpus — the RAG
+    * serving journey the reference's flat store grows into: store rows
+    * are CHUNK vectors whose doc JSON carries the parent document id
+    * at `parentPath`; search retrieves a per-query chunk shortlist
+    * (`chunksPerQuery` hits through the indexed pruned path when
+    * `nProbe >= 1`, exact brute force otherwise), joins each hit to
+    * its parent id (a column-pruned scan of the doc column), and rolls
+    * chunks up per parent
+    * ([[graft.operators.Evaluation.docTopKFromChunks]]) — best-chunk
+    * (`pool = "max"`) or evidence-sum (`"sum"`) ranking, top `k`
+    * parents per query. Scores are `−distance` (larger is better), so
+    * max-pool ranks parents by their closest chunk.
+    *
+    * Scale shape: chunk candidate generation is the partition-pruned
+    * probe; the rollup's shuffle carries ≤ `chunksPerQuery` rows per
+    * query into a map-side-combined aggregate and an aggregator top-k
+    * (≤ k parents per query past it). Returns (qid, parent,
+    * max_score, sum_score, n_chunks, rank).
+    *
+    * Parent ids must be NUMERIC (the store's own id discipline — the
+    * natural layout stores the chunking of doc `p` under `{"p": <p>}`):
+    * the rollup's aggregator carries long ids, so the JSON value is
+    * cast explicitly here, and chunks whose doc lacks a numeric value
+    * at `parentPath` are excluded from the rollup (their hits can
+    * claim no parent).
+    */
+  def searchParentDocsDF(queries: DataFrame, k: Int,
+      parentPath: Seq[String], chunksPerQuery: Int, nProbe: Int = 0,
+      pool: String = "max", refine: Int = 0): DataFrame = {
+    require(parentPath.nonEmpty, "parentPath must have at least one step")
+    require(chunksPerQuery >= 1,
+      s"chunksPerQuery must be >= 1, got $chunksPerQuery")
+    val hits =
+      if (nProbe >= 1) searchApproxDF(queries, chunksPerQuery, nProbe, refine)
+      else searchDF(queries, chunksPerQuery)
+    val jsonPath = "$." + parentPath.mkString(".")
+    val parents = table.select($"id",
+        get_json_object($"doc", jsonPath).cast("long").as("parent"))
+      .filter($"parent".isNotNull)
+    val scored = hits.join(parents, Seq("id"))
+      .withColumn("_score", -col("distance").cast("double"))
+    graft.operators.Evaluation.docTopKFromChunks(
+      scored, "qid", "parent", "_score", k, pool)
+  }
+
   /** Distributed batch k-NN: queries as a DataFrame (`qid`, `qvec`),
     * result as a DataFrame `(qid, id, distance, rn)` — the pipeline-
     * facing variant of [[search]] that never collects to the driver.

@@ -914,6 +914,45 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(ref == s.search(Seq(vecs(7)), 5).head.map(r => (r.id, r.distance)))
   }
 
+  test("parent-doc retrieval: chunk hits pool per parent, mask composes, indexed ≡ brute") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-parent")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    // 6 parents x 4 chunks; chunk i belongs to parent i/4
+    val vecs = (0 until 24).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    val batch = vecs.zipWithIndex
+      .map { case (v, i) => (v, s"""{"p": ${i / 4}}""") }.toDF("vec", "doc")
+    s.insertDF(batch.coalesce(1))
+    val q = Seq((0L, vecs(9))).toDF("qid", "qvec")
+    def parents(k: Int, nProbe: Int = 0): Seq[(Long, Double, Long, Int)] =
+      s.searchParentDocsDF(q, k, Seq("p"), chunksPerQuery = 8, nProbe = nProbe)
+        .orderBy("rank")
+        .select(col("parent"), col("max_score"), col("n_chunks"), col("rank"))
+        .as[(Long, Double, Long, Int)].collect().toSeq
+    val brute = parents(3)
+    // the query IS chunk 9 -> its parent 2 wins on max-pool with a
+    // distance-0 best chunk (score 0), and n_chunks is bounded by the
+    // per-parent chunk count
+    assert(brute.head._1 == 2L && brute.head._2 == 0.0 && brute.head._4 == 1)
+    assert(brute.forall(_._3 <= 4))
+    // indexed full-probe path is the same journey
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(parents(3, nProbe = 2) == brute)
+    // deleting the best chunk demotes the parent's pooled score (mask
+    // composes before the shortlist), never resurrects it
+    s.delete(Seq(9L))
+    val after = parents(3, nProbe = 2)
+    assert(after.find(_._1 == 2L).forall(_._2 < 0.0))
+    // contracts
+    intercept[IllegalArgumentException](
+      s.searchParentDocsDF(q, 3, Seq.empty, 8))
+    intercept[IllegalArgumentException](
+      s.searchParentDocsDF(q, 3, Seq("p"), 0))
+  }
+
   test("OPQ store lifecycle: rotated dispatch, refine degenerates, append, mask") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
