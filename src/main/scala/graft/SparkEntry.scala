@@ -538,6 +538,43 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Retention vacuum through the store facade — the GDPR true-delete
+    // time travel otherwise forbids: insert 400 (v1), delete 3 (v2),
+    // upsert 1 (v3 tomb + v4 row), vacuum(2). The three deleted rows
+    // are purged for good (old snapshots now FAIL explicitly — the
+    // floor guard — instead of reading incomplete), the upsert's
+    // newer history survives (v3 snapshot still faithful), and a
+    // second full vacuum purges the superseded upsert row. Every
+    // emitted number is an integer with a closed-form expectation
+    // DuckDB computes from the source slice (the vs_stats pattern).
+    "vs_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_vac_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"))) // v1
+      store.delete(Seq(1L, 2L, 3L))          // v2
+      val v9 = emb.filter(col("vec_id") === 9)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(5L), Seq(v9))         // v3 tomb + v4 row
+      val purged1 = store.vacuum(2L)
+      val oldSnapshotFails =
+        try { store.snapshotAt(1L).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      val snapV3 = store.snapshotAt(3L).count()
+      val purged2 = store.vacuum(99L)        // clamps to v4
+      Seq((store.count(), purged1, purged2, store.stats().nTombstones,
+          store.snapshotFloor.get, oldSnapshotFails, snapV3,
+          store.snapshotAt(4L).count()))
+        .toDF("n_live", "purged_v2", "purged_rest", "tombs_after",
+          "floor", "old_snapshot_fails", "snap_v3_rows", "snap_v4_rows")
+    }),
+
     // Parent-document retrieval through the store facade: 400 chunk
     // vectors carrying their parent id in the doc JSON ({"p": id/4}),
     // flat IVF index, full-probe chunk shortlist of 12, max-pool
@@ -640,6 +677,40 @@ object SparkEntry {
       // final ranking exact for ANY coarse quantizer (the vs_ann_pq_*
       // rationale); the SQ grid itself has no iterations to trim
       store.buildAnnIndexSq(nCentroids = 8, iters = 1, seedRounds = 0)
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.upsert(Seq(3L), Seq(v7))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 8, refine = 495)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
+    // IVF-BQ through the store facade (pgvector binary-quantize +
+    // rescore — the bottom rung of the quantization ladder: packed
+    // sign bits, 32× fewer index bytes than flat, hamming candidate
+    // generation with a MANDATORY exact rescore): the vs_ann_sq
+    // lifecycle on the binary layout, searched at full probe + full
+    // refine so the hamming shortlist is complete and the rescore
+    // degenerates to exact brute force — the DuckDB oracle replays it
+    // with NO quantizer state. Exercises the threshold fit, the bit
+    // packing, the O(batch) packed append (upsert), the delete mask,
+    // and the mandatory-refine search core end to end.
+    "vs_ann_bq" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_bq_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndexBq(nCentroids = 8, iters = 1, seedRounds = 0)
       store.delete(Seq(0L, 5L, 10L, 15L, 20L))
       val v7 = emb.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0).toArray
@@ -4658,6 +4729,20 @@ object SparkEntry {
       SELECT qid, id, rn,
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Vacuum lifecycle: closed-form integers from the source slice —
+    // 400 inserted, 3 deleted (purged at vacuum(2)), 1 upsert whose
+    // superseded row survives vacuum(2) (tomb gen 3 > 2, v3 snapshot
+    // still faithful at count-4) and falls to the second vacuum
+    "vs_vacuum" -> """
+      SELECT CAST(count(*) - 3 AS BIGINT) AS n_live,
+             CAST(3 AS BIGINT) AS purged_v2,
+             CAST(1 AS BIGINT) AS purged_rest,
+             CAST(0 AS BIGINT) AS tombs_after,
+             CAST(4 AS BIGINT) AS floor,
+             true AS old_snapshot_fails,
+             CAST(count(*) - 4 AS BIGINT) AS snap_v3_rows,
+             CAST(count(*) - 3 AS BIGINT) AS snap_v4_rows
+      FROM embeddings WHERE vec_id < 400""",
     // Parent-doc retrieval replay: brute chunk distances over live
     // rows, per-query shortlist of 12, parent rollup, pooled ranking
     "vs_parent_search" -> s"""
@@ -4719,6 +4804,29 @@ object SparkEntry {
     // replay as vs_ann_pq_refine (full refine erases the SQDC order,
     // so no grid state enters the oracle)
     "vs_ann_sq" -> s"""
+      WITH live AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id = 3
+                    THEN (SELECT embedding FROM embeddings WHERE vec_id = 7)
+                    ELSE e.embedding END AS vec
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (0, 5, 10, 15, 20)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Refine-degenerate BQ search: full probe makes the hamming
+    // shortlist complete, full refine re-ranks it all by exact L2 —
+    // the same quantizer-state-free brute-force replay as vs_ann_sq
+    "vs_ann_bq" -> s"""
       WITH live AS (
         SELECT e.vec_id AS id,
                CASE WHEN e.vec_id = 3

@@ -191,18 +191,91 @@ final class TombstoneStorage(spark: SparkSession, root: String,
       }
     }
 
-  /** Rewrite minus tombstones, then clear the tombstone log. */
+  /** Rewrite minus tombstones, then clear the tombstone log. Advances
+    * the snapshot floor to the current version: folding tombstones
+    * destroys the mask history, so any older snapshot would silently
+    * miss its deleted rows — after compaction, [[readAt]] refuses them
+    * instead (the floor contract, shared with [[vacuum]]).
+    */
   def compact(): Unit = {
     inner.overwrite(readRaw())
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
+    writeFloor(readVersion())
   }
 
-  /** Overwrite describes a NEW table: stamp it and fold any pending
-    * tombstones (they described the old data).
+  private val floorPath = new Path(root, "_snapshot_floor")
+
+  /** Oldest version [[readAt]] can still reproduce faithfully — 0
+    * until a [[vacuum]] or [[compact]] has discarded history.
+    */
+  def snapshotFloor(): Long =
+    if (!fs.exists(floorPath)) 0L
+    else {
+      val in = fs.open(floorPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+
+  private def writeFloor(v: Long): Unit = if (v > snapshotFloor()) {
+    val tmp = new Path(root, s"_floor-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(floorPath)) fs.delete(floorPath, false)
+    if (!fs.rename(tmp, floorPath))
+      throw new java.io.IOException(s"could not advance snapshot floor at $floorPath")
+  }
+
+  /** Retention vacuum (the Delta `VACUUM` analog, and the GDPR
+    * true-delete [[readAt]] otherwise forbids): PERMANENTLY remove
+    * data rows masked by tombstones at or below `beforeVersion`, drop
+    * those tombstones, and raise the snapshot floor — versions below
+    * it are no longer reproducible and [[readAt]] refuses them with an
+    * explicit error instead of returning a silently-incomplete frame.
+    * Newer history (tombstones above `beforeVersion`, and the
+    * snapshots they support) is untouched, so retention can trail the
+    * write head by a fixed window. Cost: one rewrite of the data
+    * minus the purged rows (the [[compact]] IO shape) — O(live), not
+    * O(history). Returns the purged row count.
+    */
+  def vacuum(beforeVersion: Long): Long = {
+    val v = math.min(beforeVersion, readVersion())
+    val purged = tombstones() match {
+      case Some(t0) =>
+        val told = t0.filter(col("gen") <= v)
+          .select(col("id").as("_tid"), col("gen").as("_tgen"))
+        val data = inner.read()
+        val deadCond = data("id") === told("_tid") && data(GenCol) < told("_tgen")
+        val nDead = data.join(broadcast(told), deadCond, "left_semi").count()
+        if (nDead > 0)
+          inner.overwrite(data.join(broadcast(told), deadCond, "left_anti"))
+        // rewrite the log with only the still-active tombstones
+        // (stage → swap, the overwrite discipline)
+        val tnew = t0.filter(col("gen") > v)
+        if (tnew.isEmpty) { if (fs.exists(tombPath)) fs.delete(tombPath, true) }
+        else {
+          val staging = new Path(root, s"_tomb-staging-${java.util.UUID.randomUUID()}")
+          tnew.write.mode("overwrite").parquet(staging.toString)
+          if (!fs.delete(tombPath, true) && fs.exists(tombPath))
+            throw new java.io.IOException(s"vacuum: could not clear $tombPath")
+          if (!fs.rename(staging, tombPath))
+            throw new java.io.IOException(s"vacuum: could not activate $staging")
+        }
+        nDead
+      case None => 0L
+    }
+    writeFloor(v)
+    purged
+  }
+
+  /** Overwrite describes a NEW table: stamp it, fold any pending
+    * tombstones (they described the old data), and advance the
+    * snapshot floor — pre-overwrite versions are gone.
     */
   override def overwrite(df: DataFrame): Unit = {
-    inner.overwrite(df.withColumn(GenCol, lit(bumpVersion())))
+    val v = bumpVersion()
+    inner.overwrite(df.withColumn(GenCol, lit(v)))
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
+    writeFloor(v)
   }
 
   /** Number of tombstoned ids (monitoring / compaction policy input). */
@@ -235,6 +308,12 @@ final class TombstoneStorage(spark: SparkSession, root: String,
     * table).
     */
   def readAt(version: Long): DataFrame = {
+    val floor = snapshotFloor()
+    if (version < floor)
+      throw new IllegalArgumentException(
+        s"version $version predates the snapshot floor $floor — its rows " +
+          "were discarded by vacuum/compact/overwrite and a read would be " +
+          "silently incomplete")
     val data = inner.read().filter(col(GenCol) <= version)
     val masked = tombstones() match {
       case Some(t0) =>

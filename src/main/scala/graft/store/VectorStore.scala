@@ -487,9 +487,10 @@ class VectorStore private (
               "exact scan for this batch (buildAnnIndex() to " +
               "enable the probed path)")
           // on a PQ index the ADC distance is a reconstruction
-          // approximation — refine so the eps gate compares TRUE
-          // float32 distances (candidates still come from probes)
-          val nn = (if (useApprox && annKindIsPq)
+          // approximation (and BQ hamming is not a distance at all —
+          // its refine is mandatory) — refine so the eps gate compares
+          // TRUE float32 distances (candidates still come from probes)
+          val nn = (if (useApprox && (annKindIsPq || annKind == "ivfbq"))
                       searchApproxDF(queries, k = 1, nProbe,
                         refine = math.max(32, nProbe))
                     else if (useApprox)
@@ -718,7 +719,7 @@ class VectorStore private (
     */
   private def clearAnnAux(keep: String): Unit = {
     val keeps = keep.split('+').toSet
-    Seq("codebook", "sq", "opq").filterNot(keeps.contains).foreach { d =>
+    Seq("codebook", "sq", "opq", "bq").filterNot(keeps.contains).foreach { d =>
       val p = new Path(s"$annPath/$d")
       if (annFs.exists(p)) annFs.delete(p, true)
     }
@@ -757,14 +758,45 @@ class VectorStore private (
     clearAnnAux(keep = "sq")
   }
 
+  /** IVF-BQ index through the store facade (pgvector binary-quantize
+    * + rescore): index rows carry `ceil(dim/32)` packed sign-bit
+    * words instead of `dim` float32s — 32× fewer index bytes scanned
+    * per probe, the bottom rung of the facade's quantization ladder
+    * (flat 1× → SQ8 4× → PQ/OPQ/residual 16-32× → BQ 32×). Candidate
+    * generation ranks by XOR+popcount hamming (integer ALU inside
+    * whole-stage codegen); because hamming is a rank signal rather
+    * than a distance estimate, search REQUIRES `refine >= k` — the
+    * shortlist always re-ranks by exact float32 L2 over the live
+    * vectors, and returned distances are TRUE distances (the
+    * [[graft.operators.Bq]] contract). Maintenance matches the SQ/PQ
+    * contract: O(batch) append packs with the PERSISTED thresholds,
+    * deletes mask through tombstone generations, post-compaction
+    * rebuilds re-pack without retraining. L2 probing only (cosine
+    * callers normalize, as with PQ/SQ).
+    */
+  def buildAnnIndexBq(nCentroids: Int, iters: Int = 5,
+      seedRounds: Int = 2): Unit = {
+    val proj = liveWithGen.select($"id", $"vec", col(GenCol))
+    val cents = graft.operators.Ann.kmeans(proj, "id", "vec", nCentroids,
+      iters, seedRounds)
+    val params = graft.operators.Bq.fit(proj, "vec", dim)
+    val enc = graft.operators.Ann.assign(proj, "id", "vec", cents)
+      .withColumn("codes", graft.operators.Bq.encodeCol($"vec", params))
+      .drop("vec")
+    graft.operators.Ann.writeIvfIndex(enc, cents, annPath)
+    graft.operators.Bq.writeParams(spark, s"$annPath/bq", params)
+    writeAnnKindMarker("ivfbq")
+    clearAnnAux(keep = "bq")
+  }
+
   /** The persisted ANN index's metric ("l2" | "cosine"); "l2" when no
     * index exists (the only metric a pre-metric layout can carry).
     */
   def annMetric: String = graft.operators.Ann.readIvfMetric(spark, annPath)
 
   /** The persisted index kind: "ivf" (flat vectors), "ivfsq" (8-bit
-    * scalar-quantized codes), or "ivfpq"/"ivfpq_res" (PQ codes); "ivf"
-    * when no marker exists.
+    * scalar-quantized codes), "ivfbq" (packed sign bits),
+    * or "ivfpq"/"ivfpq_res" (PQ codes); "ivf" when no marker exists.
     */
   def annKind: String = {
     val p = new Path(s"$annPath/kind")
@@ -963,6 +995,30 @@ class VectorStore private (
     else refineRerank(sqdc, q, k)
   }
 
+  /** The BQ search core: hamming candidate generation over packed
+    * sign bits ([[graft.operators.Bq.ivfBqSearch]] — probed cells
+    * partition-pruned, tombstone mask and any caller predicate
+    * composed BEFORE the shortlist cut) followed by the MANDATORY
+    * exact re-rank over the live vectors. Hamming counts disagreeing
+    * half-spaces — a rank signal, not an L2 estimate — so unlike
+    * PQ/SQ there is no refine-free mode: `refine >= k` is the
+    * contract (pgvector BQ+rescore), and `refine` = live-count
+    * degenerates to exact brute force (gated: `vs_ann_bq`).
+    */
+  private def searchApproxBqDF(queries: DataFrame, k: Int, nProbe: Int,
+      extraFilter: DataFrame => DataFrame, refine: Int): DataFrame = {
+    require(refine >= k,
+      s"BQ search requires refine >= k (got refine=$refine, k=$k): " +
+        "hamming over sign bits ranks candidates but is not an L2 " +
+        "estimate — the exact rescore is mandatory")
+    val rowFilter: DataFrame => DataFrame = df =>
+      extraFilter(annTombstoneMask(df))
+    val q = queries.select(col("qid"), col("qvec"))
+    val shortlist = graft.operators.Bq.ivfBqSearch(spark, annPath,
+      q, "qid", "qvec", refine, nProbe, rowFilter)
+    refineRerank(shortlist, q, k)
+  }
+
   def dropAnnIndex(): Unit = {
     val p = new Path(annPath)
     if (annFs.exists(p)) annFs.delete(p, true)
@@ -1004,6 +1060,12 @@ class VectorStore private (
         graft.operators.Ann.assign(proj, "id", "vec", cents)
           .withColumn("codes", graft.operators.Sq.encodeCol($"vec", params))
           .drop("vec")
+      } else if (annKind == "ivfbq") {
+        // re-pack live rows with the PERSISTED thresholds — no retrain
+        val params = graft.operators.Bq.readParams(spark, s"$annPath/bq")
+        graft.operators.Ann.assign(proj, "id", "vec", cents)
+          .withColumn("codes", graft.operators.Bq.encodeCol($"vec", params))
+          .drop("vec")
       } else if (annMetric == "cosine")
         graft.operators.Ann.assignCosine(proj, "id", "vec", cents)
       else graft.operators.Ann.assign(proj, "id", "vec", cents)
@@ -1037,6 +1099,8 @@ class VectorStore private (
           batch.withColumn("vec", mat_vec($"vec", aMat)), "id", "vec")
       case "ivfsq" =>
         graft.operators.Sq.appendToIvfSqIndex(spark, annPath, batch, "id", "vec")
+      case "ivfbq" =>
+        graft.operators.Bq.appendToIvfBqIndex(spark, annPath, batch, "id", "vec")
       case _ =>
         graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
     }
@@ -1113,9 +1177,11 @@ class VectorStore private (
       searchApproxPqDF(queries, k, nProbe, identity, refine)
     else if (annKind == "ivfsq")
       searchApproxSqDF(queries, k, nProbe, identity, refine)
+    else if (annKind == "ivfbq")
+      searchApproxBqDF(queries, k, nProbe, identity, refine)
     else {
       require(refine == 0,
-        "refine applies to quantized (PQ/SQ) indexes only — flat IVF " +
+        "refine applies to quantized (PQ/SQ/BQ) indexes only — flat IVF " +
           "distances are already exact float32")
       graft.operators.Ann.ivfSearchPruned(spark, annPath, "id", "vec",
         queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
@@ -1186,9 +1252,12 @@ class VectorStore private (
     else if (annKind == "ivfsq")
       searchApproxSqDF(queries, k, nProbe,
         df => df.join(matchIds, Seq("id"), "left_semi"), refine)
+    else if (annKind == "ivfbq")
+      searchApproxBqDF(queries, k, nProbe,
+        df => df.join(matchIds, Seq("id"), "left_semi"), refine)
     else {
       require(refine == 0,
-        "refine applies to quantized (PQ/SQ) indexes only — flat IVF " +
+        "refine applies to quantized (PQ/SQ/BQ) indexes only — flat IVF " +
           "distances are already exact float32")
       val maskAndFilter: DataFrame => DataFrame = df =>
         annTombstoneMask(df).join(matchIds, Seq("id"), "left_semi")
@@ -1430,6 +1499,38 @@ class VectorStore private (
     case _ => throw new UnsupportedOperationException(
       "snapshots need the tombstone layout " +
         "(openOrCreate(..., tombstoneDeletes = true))")
+  }
+
+  /** Retention vacuum — the GDPR true-delete / storage-reclamation
+    * step [[snapshotAt]]'s history otherwise forbids: a deleted row
+    * stays readable at old versions until vacuumed. Permanently
+    * removes rows masked by tombstones at or below `beforeVersion`
+    * and raises the snapshot floor (older snapshots then FAIL
+    * explicitly rather than read incomplete); newer history — and the
+    * live table — are untouched, so a retention job can trail the
+    * write head by a fixed window
+    * ([[graft.store.TombstoneStorage.vacuum]]). The ANN index is
+    * re-derived from the live table afterwards: the purged rows'
+    * masking tombstones are gone, so their index entries must not
+    * outlive them. Returns the purged row count.
+    */
+  def vacuum(beforeVersion: Long): Long = storage match {
+    case t: TombstoneStorage =>
+      val purged = t.vacuum(beforeVersion)
+      if (purged > 0) rebuildAnnRowsFromCentroids()
+      refreshIndex()
+      purged
+    case _ => throw new UnsupportedOperationException(
+      "vacuum needs the tombstone layout " +
+        "(openOrCreate(..., tombstoneDeletes = true))")
+  }
+
+  /** Oldest version [[snapshotAt]] can still reproduce (0 = full
+    * history); None on the plain layout.
+    */
+  def snapshotFloor: Option[Long] = storage match {
+    case t: TombstoneStorage => Some(t.snapshotFloor())
+    case _ => None
   }
 
   /** What changed between two write-versions: one row per id present

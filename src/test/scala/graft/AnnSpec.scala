@@ -837,4 +837,46 @@ class AnnSpec extends SparkSuite {
     val p2 = Sq.readParams(spark, dir)
     assert(p2.vmin.toSeq == p.vmin.toSeq && p2.scale.toSeq == p.scale.toSeq)
   }
+
+  test("bq: mean thresholds, bit packing, hamming = disagreeing half-spaces, round-trip") {
+    import graft.operators.{Bq, VectorOps}
+    // dim 40 spans two packed words (32-bit layout)
+    val dim = 40
+    val df = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i + j) % 5).toFloat))
+    }.toDF("id", "vec")
+    val p = Bq.fit(df, "vec", dim)
+    // thresholds are the per-dim means
+    val rows = df.select($"vec").collect().map(_.getSeq[Float](0))
+    (0 until dim).foreach { j =>
+      val m = rows.map(_(j)).sum / rows.length
+      assert(math.abs(p.thr(j) - m) < 1e-5f, s"dim $j: ${p.thr(j)} vs $m")
+    }
+    // packed bits match the sign test, across the word boundary
+    val enc = df.orderBy("id")
+      .select($"id", Bq.encodeCol($"vec", p).as("c")).collect()
+    assert(enc.head.getSeq[Long](1).length == 2) // ceil(40/32)
+    enc.zip(rows).foreach { case (r, v) =>
+      val words = r.getSeq[Long](1)
+      (0 until dim).foreach { j =>
+        val bit = (words(j / 32) >> (j % 32)) & 1L
+        val expect = if (v(j) > p.thr(j)) 1L else 0L
+        assert(bit == expect, s"id ${r.getLong(0)} dim $j: $bit vs $expect")
+      }
+    }
+    // hamming over codes counts exactly the disagreeing half-spaces
+    val two = df.filter($"id".isin(0L, 7L)).orderBy("id")
+      .select(Bq.encodeCol($"vec", p).as("c")).collect().map(_.getSeq[Long](0))
+    val got = df.sparkSession.range(1)
+      .select(VectorOps.hammingDistance(
+        typedLit(two(0)), typedLit(two(1))).as("h"))
+      .head().getLong(0)
+    val v0 = rows(0); val v7 = rows(7)
+    val expect = (0 until dim).count(j => (v0(j) > p.thr(j)) != (v7(j) > p.thr(j)))
+    assert(got == expect.toLong)
+    // persisted params round-trip exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq").toString
+    Bq.writeParams(spark, dir, p)
+    assert(Bq.readParams(spark, dir).thr.toSeq == p.thr.toSeq)
+  }
 }

@@ -157,9 +157,12 @@ class StorageLayerSpec extends SparkSuite {
     assert(idsAt(2L) == Seq(0L, 1L, 3L, 4L))
     assert(idsAt(3L) == st.read().select("id").as[Long].collect().sorted.toSeq)
     // compaction bounds history: masked rows are physically gone, so
-    // the v1 snapshot no longer resurrects the deleted id
+    // pre-compaction snapshots FAIL explicitly (the snapshot-floor
+    // contract — a silent read would miss the folded deletes) while
+    // the current version stays reproducible
     st.compact()
-    assert(idsAt(1L) == Seq(0L, 1L, 3L, 4L))
+    assert(st.snapshotFloor() == 3L)
+    intercept[IllegalArgumentException](idsAt(1L))
     assert(idsAt(3L).size == 9)
   }
 

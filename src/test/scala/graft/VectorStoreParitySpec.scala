@@ -914,6 +914,55 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(ref == s.search(Seq(vecs(7)), 5).head.map(r => (r.id, r.distance)))
   }
 
+  test("vacuum: purges masked history, raises the snapshot floor, keeps newer versions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 10).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    s.insert(vecs)                        // v1: rows 0-9 at gen 1
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    s.delete(Seq(1L, 2L))                 // v2: tombs (1,2),(2,2)
+    s.upsert(Seq(5L), Seq(vecs(7)))       // v3 tomb (5,3), v4 new row
+    assert(s.currentVersion().contains(4L))
+    assert(s.snapshotAt(1L).count() == 10L)
+    // vacuum up to v2: the two deleted rows are gone for good, the
+    // upsert's history (tomb gen 3) survives
+    assert(s.vacuum(2L) == 2L)
+    assert(s.snapshotFloor.contains(2L))
+    assert(s.count() == 8L)
+    intercept[IllegalArgumentException](s.snapshotAt(1L).count())
+    // v3 snapshot still faithful: 8 rows minus old id5 (masked) = 7
+    assert(s.snapshotAt(3L).count() == 7L)
+    assert(s.snapshotAt(4L).count() == 8L)
+    // the ANN index must not resurrect purged rows (their masking
+    // tombstones are gone — the post-vacuum rebuild covers them)
+    val got = s.searchApproxDF(Seq((0L, vecs(1))).toDF("qid", "qvec"),
+        k = 8, nProbe = 2)
+      .select(col("id")).as[Long].collect().toSet
+    assert(!got.contains(1L) && !got.contains(2L))
+    assert(got == s.search(Seq(vecs(1)), 8).head.map(_.id).toSet)
+    // vacuum the rest: upsert's old row purged, log empty, floor at 4
+    assert(s.vacuum(99L) == 1L) // clamped to currentVersion
+    assert(s.snapshotFloor.contains(4L))
+    assert(s.count() == 8L)
+    assert(s.snapshotAt(4L).count() == 8L)
+    // compact also raises the floor (history folded = history gone)
+    val s2 = VectorStore.openOrCreate(spark, dir + "2", 8,
+      tombstoneDeletes = true)
+    s2.insert(vecs)
+    s2.delete(Seq(0L))
+    s2.compact()
+    intercept[IllegalArgumentException](s2.snapshotAt(1L).count())
+    // plain layout refuses vacuum
+    val s3 = VectorStore.openOrCreate(spark, dir + "3", 8,
+      tombstoneDeletes = false)
+    s3.insert(vecs.take(2))
+    intercept[UnsupportedOperationException](s3.vacuum(1L))
+  }
+
   test("parent-doc retrieval: chunk hits pool per parent, mask composes, indexed ≡ brute") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -1057,6 +1106,58 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(s.annKind == "ivfsq")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/codebook")))
     assert(sq(7L, vecs(5), 5, refine = 20) == exact(vecs(5), 5))
+  }
+
+  test("BQ store lifecycle: mandatory refine, degenerate exactness, append, mask, hygiene") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq-store")
+      .toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    val vecs = (0 until 20).map(i =>
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))
+    s.insert(vecs)
+    s.buildAnnIndexBq(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivfbq")
+    def bq(qid: Long, q: Array[Float], k: Int, refine: Int): Seq[(Long, Float)] =
+      s.searchApproxDF(Seq((qid, q)).toDF("qid", "qvec"), k, nProbe = 2,
+          refine = refine)
+        .orderBy("rn").select(col("id"), col("distance"))
+        .as[(Long, Float)].collect().toSeq
+    def exact(q: Array[Float], k: Int): Seq[(Long, Float)] =
+      s.search(Seq(q), k).head.map(r => (r.id, r.distance))
+    // hamming is a rank signal, not a distance: refine is MANDATORY
+    intercept[IllegalArgumentException](bq(0L, vecs(5), 5, refine = 0))
+    intercept[IllegalArgumentException](bq(0L, vecs(5), 5, refine = 3))
+    // refine = live-count degenerates to exact brute force (true
+    // float32 distances) — the vs_ann_bq gate contract
+    assert(bq(1L, vecs(5), 5, refine = 20) == exact(vecs(5), 5))
+    // partial refine still returns TRUE distances for whatever it ranks
+    val ex = exact(vecs(5), 20).toMap
+    bq(2L, vecs(5), 3, refine = 8).foreach { case (id, d) =>
+      assert(math.abs(d - ex(id)) < 1e-5f, s"id $id: $d vs ${ex(id)}")
+    }
+    // O(batch) append packs with the PERSISTED thresholds
+    val nv = Array.tabulate(8)(j => 12f + j)
+    s.insert(Seq(nv))
+    assert(bq(3L, nv, 3, refine = 21) == exact(nv, 3))
+    // delete mask composes before the shortlist cut
+    val victim = bq(4L, vecs(9), 1, refine = 21).head._1
+    s.delete(Seq(victim))
+    assert(!bq(5L, vecs(9), 5, refine = 20).map(_._1).contains(victim))
+    assert(bq(6L, vecs(9), 5, refine = 20) == exact(vecs(9), 5))
+    // rebuild hygiene: flat over BQ clears marker + thresholds; BQ
+    // over PQ clears the stale codebook
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivf")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/bq")))
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 1)
+    s.buildAnnIndexBq(nCentroids = 2, iters = 2, seedRounds = 0)
+    assert(s.annKind == "ivfbq")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/codebook")))
+    assert(bq(7L, vecs(5), 5, refine = 20) == exact(vecs(5), 5))
   }
 
   test("ingestStreamDedup approx: probed 1-NN rejects dups, falls back without index") {
