@@ -4178,6 +4178,24 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Matryoshka (MRL) two-stage retrieval: L2 over only the first 16
+    // of 64 dimensions shortlists 40 candidates per query, exact
+    // full-dim L2 re-ranks ONLY those to top-10 — the dimension analog
+    // of ann_rescore's byte ladder. Both stages are deterministic
+    // slices + float32 arithmetic with NO trained state, so the oracle
+    // replays the whole pipeline including the partial shortlist cut
+    // (the strongest oracle class among the two-stage retrievers).
+    "ann_matryoshka" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.matryoshkaRescoreTopK(e, "vec_id", "embedding", qs, "qid", "qvec",
+          prefixDim = 16, shortlist = 40, k = 10)
+        .select(col("qid"), col("vec_id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
     // N-gram novelty of each doc vs the reference half of the corpus:
     // the graded decontamination signal. Hashed 64-bit join keys on
     // the Spark side; counts are representation-independent, so the
@@ -5993,6 +6011,31 @@ object SparkEntry {
           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
         FROM resc)
       SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(dist AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(dist AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
+      FROM ranked WHERE rn <= 10 ORDER BY qid, rn""",
+    // Full two-stage MRL replay: prefix-slice L2 shortlist (float32
+    // distances agree bitwise with the kernel, so the (pdist, id)
+    // shortlist cut replays exactly), then the exact full-dim re-rank
+    "ann_matryoshka" -> s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id % 50 = 7),
+      scored AS (
+        SELECT q.qid, e.vec_id,
+               list_distance(e.embedding[1:16], q.qvec[1:16]) AS pdist
+        FROM embeddings e CROSS JOIN q),
+      short AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY pdist, vec_id) AS srn
+          FROM scored) WHERE srn <= 40),
+      resc AS (SELECT sh.qid, sh.vec_id,
+          list_distance(e.embedding, qe.embedding) AS dist
+        FROM short sh
+        JOIN embeddings e ON e.vec_id = sh.vec_id
+        JOIN embeddings qe ON qe.vec_id = sh.qid),
+      ranked AS (SELECT qid, vec_id, dist,
+          row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+        FROM resc)
+      SELECT qid, vec_id, rn,
+             ${graft.functions.hroundSql("CAST(dist AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rn <= 10 ORDER BY qid, rn""",
     // Full DuckDB replay of the hyperplane-LSH pipeline: the 6x64 plane
     // matrix is regenerated here with the SAME seeded draw order as

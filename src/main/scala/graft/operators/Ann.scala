@@ -683,6 +683,50 @@ object Ann {
     SimilarityJoin.topKByDistance(rescored, qidCol, idCol, "distance", k)
   }
 
+  /** Matryoshka (MRL) two-stage retrieval (Kusupati et al. NeurIPS
+    * 2022 — the truncatable-embedding serving pattern modern
+    * embedding APIs ship): stage 1 ranks by L2 over only the FIRST
+    * `prefixDim` components (MRL training packs coarse semantics into
+    * the prefix, so a 16-of-64 slice preserves most of the ranking),
+    * shortlists `shortlist` candidates per query, and stage 2
+    * re-ranks ONLY those by exact full-dimension L2, cut to top-k
+    * with the standard (distance, id) tie-break.
+    *
+    * Scale shape: the stage-1 scan reads `prefixDim/dim` of the
+    * vector bytes (a `slice` projection inside whole-stage codegen —
+    * with a column layout that stores the prefix separately the scan
+    * itself shrinks, the dimension analog of the SQ/PQ byte
+    * ladders); stage 2 touches |queries|·shortlist rows, never the
+    * corpus. Both stages are deterministic slices and float32
+    * arithmetic — NO trained state — so an EXACT oracle replays the
+    * whole pipeline including partial shortlists (the strongest
+    * oracle class; the quantized paths only replay at
+    * refine-degenerate settings). `prefixDim` = dim degenerates
+    * stage 1 to exact and the shortlist to a no-op.
+    */
+  def matryoshkaRescoreTopK(
+      index: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) to fill the top-k")
+    val scored = index
+      .crossJoin(broadcast(queries))
+      .withColumn("pdist", l2_distance(
+        slice(col(vecCol), 1, prefixDim), slice(col(qvecCol), 1, prefixDim)))
+      .select(col(qidCol), col(idCol), col("pdist"))
+    val cand = SimilarityJoin.topKByDistance(scored, qidCol, idCol,
+        "pdist", shortlist)
+      .select(col(qidCol), col(idCol))
+    val rescored = cand
+      .join(index.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("distance", l2_distance(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("distance"))
+    SimilarityJoin.topKByDistance(rescored, qidCol, idCol, "distance", k)
+  }
+
   /** Pick an index configuration from a recall-vs-cost sweep (the
     * `ir_ann_sweep` output shape): among arms whose MEAN recall meets
     * `minRecall`, the one scanning the fewest rows — the question a

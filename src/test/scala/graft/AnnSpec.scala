@@ -838,6 +838,46 @@ class AnnSpec extends SparkSuite {
     assert(p2.vmin.toSeq == p.vmin.toSeq && p2.scale.toSeq == p.scale.toSeq)
   }
 
+  test("matryoshka rescore: degenerate forms are exact, partial shortlist returns true distances") {
+    val n = emb.count().toInt
+    def exact(k: Int) = SimilarityJoin
+      .knnL2(emb, "vec_id", "embedding", queries, "qid", "qvec", k)
+      .select($"qid", $"vec_id", $"rn").orderBy("qid", "rn")
+      .as[(Long, Long, Int)].collect().toSeq
+    // prefixDim = dim: stage 1 is already exact, any shortlist >= k works
+    val degen = Ann.matryoshkaRescoreTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", prefixDim = 64, shortlist = 10, k = 5)
+      .select($"qid", $"vec_id", $"rn").orderBy("qid", "rn")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(degen == exact(5))
+    // shortlist = corpus: the full-dim rescore sees everything, so the
+    // prefix stage only reorders candidates the rescore re-ranks exactly
+    val fullShort = Ann.matryoshkaRescoreTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", prefixDim = 16, shortlist = n, k = 5)
+      .select($"qid", $"vec_id", $"rn").orderBy("qid", "rn")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(fullShort == exact(5))
+    // partial shortlist: distances are TRUE full-dim distances (each
+    // returned row matches the exact scan's distance for that id)
+    val exD = SimilarityJoin
+      .knnL2(emb, "vec_id", "embedding", queries, "qid", "qvec", n)
+      .select($"qid", $"vec_id", $"distance")
+      .as[(Long, Long, Float)].collect()
+      .map { case (q, i, d) => (q, i) -> d }.toMap
+    Ann.matryoshkaRescoreTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", prefixDim = 8, shortlist = 20, k = 5)
+      .select($"qid", $"vec_id", $"distance")
+      .as[(Long, Long, Float)].collect()
+      .foreach { case (q, i, d) =>
+        assert(math.abs(d - exD((q, i))) < 1e-5f, s"($q,$i): $d vs ${exD((q, i))}")
+      }
+    // contracts
+    intercept[IllegalArgumentException](Ann.matryoshkaRescoreTopK(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", 0, 10, 5))
+    intercept[IllegalArgumentException](Ann.matryoshkaRescoreTopK(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", 16, 3, 5))
+  }
+
   test("bq: mean thresholds, bit packing, hamming = disagreeing half-spaces, round-trip") {
     import graft.operators.{Bq, VectorOps}
     // dim 40 spans two packed words (32-bit layout)
