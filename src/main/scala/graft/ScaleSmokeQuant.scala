@@ -65,6 +65,29 @@ object ScaleSmokeQuant {
       new org.apache.hadoop.fs.Path(s"$root/ann/index")).getLength
     println(s"SMOKE   SQ index bytes: $sqBytes")
 
+    // ---- IVF-BQ at 100k: the 32x packed-sign-bit rung ---------------
+    timed("buildAnnIndexBq 100k / 64 cells") {
+      store.buildAnnIndexBq(nCentroids = 64, iters = 2, seedRounds = 0)
+    }
+    timed("BQ search 1k q (nProbe=4, refine=50)") {
+      println(s"SMOKE   rows: ${store.searchApproxDF(qdf, 10, 4, refine = 50).count()}")
+    }
+    val bqBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/ann/index")).getLength
+    println(s"SMOKE   BQ index bytes: $bqBytes")
+
+    // ---- Matryoshka prefix-slice shortlist vs full brute ------------
+    val mq = qdf.limit(200)
+    timed("brute L2 100k x 200 q (baseline)") {
+      println(s"SMOKE   rows: ${graft.operators.SimilarityJoin.knnL2(
+        bigEmb, "vec_id", "embedding", mq, "qid", "qvec", 10).count()}")
+    }
+    timed("matryoshka 16/64 shortlist=100, 200 q") {
+      println(s"SMOKE   rows: ${graft.operators.Ann.matryoshkaRescoreTopK(
+        bigEmb, "vec_id", "embedding", mq, "qid", "qvec",
+        prefixDim = 16, shortlist = 100, k = 10).count()}")
+    }
+
     // ---- OPQ training cost (sample-based, the production recipe) ----
     val sample = bigEmb.filter(col("vec_id") % 10 === 0) // 10k rows
     val aMat = timed("OPQ trainRotation 10k sample (2 sweeps)") {
