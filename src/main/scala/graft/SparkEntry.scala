@@ -3685,6 +3685,45 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Sparse learned-retrieval serving shape (SPLADE / uniCOIL):
+    // documents and queries melt to (id, term, tf) posting relations
+    // and meet in ONE equi-join on the term key — the inverted-index
+    // probe, matched pairs only, never |Q|×|D|. tf weights are
+    // integer-valued doubles so dot products and sums are exact under
+    // any addition order — the oracle hash-compares UNROUNDED scores.
+    // DuckDB replays tokenization, posting build, join, and the
+    // (score DESC, id) top-k.
+    "ir_sparse" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dp = operators.SparseRetrieval.tfPostings(docs, "doc_id", "text")
+      val qp = operators.SparseRetrieval.tfPostings(
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      operators.SparseRetrieval.topKDot(dp, qp, k = 10)
+        .select(col("qid"), col("id"),
+          col("rank").cast("long").as("rank"), col("score"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Impact-ordered static pruning (Anh & Moffat): every doc-side
+    // posting list capped at its top-20 weights BEFORE the join — the
+    // inverted-index giant-bucket cap that bounds per-term join
+    // fan-out at 100 TB scale (stop-term lists are exactly the skew
+    // the LSH dedup caps at bucket level). The oracle replays the
+    // pruning itself (row_number per term by weight DESC, id) plus
+    // the downstream scoring — non-degenerate wherever a match fell
+    // off a capped list.
+    "ir_sparse_pruned" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dp = operators.SparseRetrieval.prunePostings(
+        operators.SparseRetrieval.tfPostings(docs, "doc_id", "text"), p = 20)
+      val qp = operators.SparseRetrieval.tfPostings(
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      operators.SparseRetrieval.topKDot(dp, qp, k = 10)
+        .select(col("qid"), col("id"),
+          col("rank").cast("long").as("rank"), col("score"))
+        .orderBy("qid", "rank")
+    }),
+
     // Mean-average-precision companion: same truncated-dim run vs
     // full-dim truth as ir_metrics, scored with the order-sensitive
     // AP@10 (per-query window ≤ 10 rows — bounded state). DuckDB
@@ -7198,6 +7237,52 @@ object SparkEntry {
       SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank,
              ${graft.functions.hroundSql("score", 4)} AS score
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
+    "ir_sparse" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL),
+      p AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS w
+        FROM tok WHERE term <> '' GROUP BY doc_id, term),
+      q AS (
+        SELECT doc_id AS qid, term, w AS qw FROM p WHERE doc_id % 97 = 0),
+      sc AS (
+        SELECT q.qid, p.doc_id AS id, sum(p.w * q.qw) AS score
+        FROM p JOIN q ON p.term = q.term
+        GROUP BY 1, 2),
+      r AS (
+        SELECT qid, id, score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, id) AS rank
+        FROM sc)
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank, score
+      FROM r WHERE rank <= 10 ORDER BY qid, rank""",
+    "ir_sparse_pruned" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL),
+      p AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS w
+        FROM tok WHERE term <> '' GROUP BY doc_id, term),
+      pr AS (
+        SELECT doc_id, term, w FROM (
+          SELECT doc_id, term, w,
+                 row_number() OVER (PARTITION BY term
+                   ORDER BY w DESC, doc_id) AS prn
+          FROM p) WHERE prn <= 20),
+      q AS (
+        SELECT doc_id AS qid, term, w AS qw FROM p WHERE doc_id % 97 = 0),
+      sc AS (
+        SELECT q.qid, pr.doc_id AS id, sum(pr.w * q.qw) AS score
+        FROM pr JOIN q ON pr.term = q.term
+        GROUP BY 1, 2),
+      r AS (
+        SELECT qid, id, score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, id) AS rank
+        FROM sc)
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank, score
+      FROM r WHERE rank <= 10 ORDER BY qid, rank""",
     "ir_chunk_rollup" -> """
       WITH t AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,

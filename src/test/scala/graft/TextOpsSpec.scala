@@ -737,4 +737,49 @@ class TextOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Bm25.topKBatch(docs, "id", "text", Seq(1L -> Seq("a"), 1L -> Seq("b")), 3))
   }
+
+  // ------------------------ sparse retrieval --------------------------- //
+
+  test("sparse retrieval: hand-computed dot products, inner-join semantics") {
+    import graft.operators.SparseRetrieval
+    val docs = Seq(
+      (0L, "spark spark window"), // spark:2 window:1
+      (1L, "window merge"),       // window:1 merge:1
+      (2L, "plain filler"),       // no overlap with the query
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val dp = SparseRetrieval.tfPostings(docs, "id", "text")
+    // query: spark:1 window:2 → score(0)=2·1+1·2=4, score(1)=1·2=2
+    val qp = Seq((9L, "spark", 1.0), (9L, "window", 2.0))
+      .toDF("id", "term", "weight")
+    val out = SparseRetrieval.topKDot(dp, qp, k = 10)
+      .select($"qid", $"id", $"rank", $"score")
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq((9L, 0L, 1, 4.0), (9L, 1L, 2, 2.0)))
+    // doc 2 (zero overlap) and doc 3 (NULL text) never appear
+    intercept[IllegalArgumentException](SparseRetrieval.topKDot(dp, qp, k = 0))
+  }
+
+  test("sparse retrieval: impact pruning caps posting lists, deterministic ties") {
+    import graft.operators.SparseRetrieval
+    val postings = Seq(
+      (0L, "t", 3.0), (1L, "t", 2.0), (2L, "t", 2.0), (3L, "t", 1.0),
+      (0L, "u", 5.0)).toDF("id", "term", "weight")
+    val pruned = SparseRetrieval.prunePostings(postings, p = 2)
+      .as[(Long, String, Double)].collect().toSet
+    // 't' keeps weight-3 id 0 and the tie at weight 2 broken by id → id 1;
+    // 'u' is shorter than p and survives whole
+    assert(pruned == Set((0L, "t", 3.0), (1L, "t", 2.0), (0L, "u", 5.0)))
+    intercept[IllegalArgumentException](SparseRetrieval.prunePostings(postings, 0))
+  }
+
+  test("sparse retrieval: array-form postings validate arity and drop zeros") {
+    import graft.operators.SparseRetrieval
+    val ok = Seq((0L, Seq(3, 7), Seq(1.5f, 0.0f))).toDF("id", "idx", "w")
+    val rows = SparseRetrieval.postingsFromArrays(ok, "id", "idx", "w")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(rows == Seq((0L, 3, 1.5))) // the 0-weight posting is dropped
+    val bad = Seq((0L, Seq(3, 7), Seq(1.5f))).toDF("id", "idx", "w")
+    intercept[Exception](
+      SparseRetrieval.postingsFromArrays(bad, "id", "idx", "w").collect())
+  }
 }
