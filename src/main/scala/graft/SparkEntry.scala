@@ -723,6 +723,49 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Incremental hot-cell rebalance: the maintenance move between
+    // O(batch) appends (centroids fixed → drifting data concentrates
+    // in few cells) and a full rebuild (every row rewritten). 4 coarse
+    // cells over 500 rows are all far above the 60-row cap, so the
+    // rebalance must split them in place (only hot partitions
+    // rewritten); a post-rebalance delete then masks through the NEW
+    // partitions and a post-rebalance insert appends against the NEW
+    // centroid set. Full probe keeps the search exact, so the oracle
+    // is the same codebook-free brute-force replay as vs_ann_search;
+    // over_cap (cells above the cap counted from the index partitions
+    // on disk) pins the rebalance contract itself.
+    "vs_ann_rebalance" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_reb_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 4, iters = 1, seedRounds = 0)
+      store.rebalanceAnnIndex(maxCellRows = 60, iters = 2)
+      // cap audit taken EAGERLY at the post-rebalance snapshot (the
+      // later append may legitimately push a cell back over the cap)
+      val overCap = s.read.parquet(s"$root/ann/index")
+        .groupBy("centroid_id").count()
+        .agg(sum(when(col("count") > 60, 1).otherwise(0)))
+        .head().getLong(0)
+      store.delete(Seq(1L, 2L, 3L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.insert(Seq(v7)) // id 500, appended to the rebalanced cells
+      val qs = emb.filter(col("vec_id").isin(2, 7, 11))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 64)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"),
+          lit(overCap).as("over_cap"))
+        .orderBy("qid", "rn")
+    }),
+
     // Operational stats snapshot: live/tombstone/high-water/version/
     // index-cells after a deterministic lifecycle — the maintenance
     // dashboard numbers, every one an integer with a closed-form
@@ -4902,6 +4945,31 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, rn,
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Rebalance gate: full probe keeps the search exact, so the split
+    // never enters the ranking replay — the live set is (< 500 minus
+    // the deletes) plus the appended copy of vec 7 at id 500. over_cap
+    // = 0 pins the split contract (every post-rebalance cell within
+    // the 60-row cap, audited from the partitions on disk).
+    "vs_ann_rebalance" -> s"""
+      WITH live AS (
+        SELECT vec_id AS id, embedding AS vec FROM embeddings
+        WHERE vec_id < 500 AND vec_id NOT IN (1, 2, 3)
+        UNION ALL
+        SELECT CAST(500 AS BIGINT) AS id, embedding AS vec
+        FROM embeddings WHERE vec_id = 7),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 7, 11)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist,
+             CAST(0 AS BIGINT) AS over_cap
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "vs_ann_pq_res" -> s"""
       WITH live AS (

@@ -515,6 +515,193 @@ object Ann {
       .parquet(s"$path/index")
   }
 
+  /** What [[rebalanceIvfCells]] did: how many oversized cells split
+    * (across all rounds), how many sub-cells replaced them.
+    * `splitCells == 0` means the layout was already within the cap and
+    * nothing was touched.
+    */
+  case class RebalanceReport(splitCells: Int, newCells: Int)
+
+  /** Split oversized IVF cells in place — the incremental answer to
+    * append-driven cell growth (FAISS answers with a full retrain;
+    * SPANN/DiskANN-style systems split hot postings lists instead,
+    * which is this). [[appendToIvfIndex]] keeps centroids fixed, so a
+    * corpus that keeps growing concentrates rows in the cells under
+    * its drift — probe cost is O(nProbe × cellSize), so one hot cell
+    * quietly becomes the whole index's latency floor. A full rebuild
+    * re-scans and re-writes EVERY row; this touches only the
+    * oversized cells.
+    *
+    * Mechanics: cells with more than `maxCellRows` rows are read back
+    * (partition-pruned — cold cells' files are never opened), split by
+    * a within-cell Lloyd k-means into `ceil(rows / maxCellRows)`
+    * sub-cells (deterministic seeds: the sub-count lowest-id rows of
+    * the cell; every Lloyd iteration is ONE job across ALL splitting
+    * cells — per-row argmin is restricted to the row's own cell's
+    * sub-centroids by a foreign-cell penalty, so H hot cells cost the
+    * same job count as one), assigned fresh centroid ids above the
+    * current max, staged to a scratch dir, renamed in (O(1) metadata
+    * per new cell), and only then are the old hot partition dirs
+    * deleted and the centroid table rewritten (cold centroids
+    * unchanged). Searches before/after return identical full-probe
+    * results — the split is a repartition of the same row set, and a
+    * partial probe ranks the finer cells exactly like any other.
+    *
+    * Crash window: new partitions land before old ones are deleted,
+    * so a crash in between leaves duplicate rows visible to probes
+    * that touch both the old and new cell. The index is DERIVED state
+    * — re-running the rebalance (idempotent on the re-split cells) or
+    * a rebuild clears it; callers who need atomicity rebuild instead.
+    *
+    * L2 layouts only (a cosine layout's cells are angular; splitting
+    * them with an L2 objective would misshape the probe ranking —
+    * rebuild those). One sub-cell can end up owning all rows of a
+    * degenerate cell (every vector identical): the empty siblings are
+    * dropped from the centroid table, and the cell simply stays over
+    * the cap — a data property, not a split failure.
+    */
+  def rebalanceIvfCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      maxCellRows: Long, iters: Int = 3): RebalanceReport = {
+    require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
+    require(readIvfMetric(spark, path) == "l2",
+      "rebalanceIvfCells supports l2 layouts; rebuild cosine indexes instead")
+    // a k-means split is not guaranteed even, so one pass can leave a
+    // sub-cell over the cap — iterate to a fixpoint. Cells whose split
+    // lands every row in ONE sub (all vectors identical) are frozen:
+    // no split can separate them, so they stay over the cap by data
+    // property, and retrying forever would not terminate.
+    var frozen = Set.empty[Long]
+    var totalSplit = 0
+    var totalNew = 0
+    var progress = true
+    var rounds = 0
+    while (progress && rounds < 8) {
+      val pass = rebalancePass(spark, path, idCol, vecCol, maxCellRows,
+        iters, frozen)
+      rounds += 1
+      totalSplit += pass.size
+      totalNew += pass.map(_._2.size).sum
+      frozen ++= pass.filter(_._2.size <= 1).flatMap(_._2)
+      progress = pass.exists(_._2.size > 1)
+    }
+    RebalanceReport(totalSplit, totalNew)
+  }
+
+  /** One split pass over the cells currently above the cap (minus
+    * `frozen`). Returns (old cell id → the new cell ids its rows
+    * landed in); empty when nothing was over the cap.
+    */
+  private def rebalancePass(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      maxCellRows: Long, iters: Int,
+      frozen: Set[Long]): Seq[(Long, Seq[Long])] = {
+    val index = spark.read.parquet(s"$path/index")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val counts = index.groupBy("centroid_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val hot = counts
+      .filter { case (c, n) => n > maxCellRows && !frozen.contains(c) }
+      .sortBy(_._1)
+    if (hot.isEmpty) return Seq.empty
+    val nSub: Map[Long, Int] = hot.map { case (c, n) =>
+      c -> math.ceil(n.toDouble / maxCellRows).toInt
+    }.toMap
+    val hotIds = hot.map(_._1).toIndexedSeq
+    val hotRows = spark.read.parquet(s"$path/index")
+      .filter(col("centroid_id").isin(hotIds: _*)) // → PartitionFilters
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+
+    // deterministic seeds: each cell's nSub lowest-id rows
+    val maxSub = nSub.values.max
+    var subs: Seq[((Long, Int), Array[Float])] =
+      SimilarityJoin.topKByDistance(
+          hotRows.withColumn("_zero", lit(0)), "centroid_id", idCol, "_zero", maxSub)
+        .select(col("centroid_id"), col("rn"), col(vecCol))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1) - 1), r.getSeq[Float](2).toArray))
+        .filter { case ((cell, sub), _) => sub < nSub(cell) }
+        .sortBy(_._1)
+    val dim = subs.head._2.length
+
+    // per-row argmin restricted to the row's own cell via a foreign-cell
+    // penalty — all splitting cells advance in ONE job per iteration
+    def assignSub(df: DataFrame): DataFrame = {
+      val best = array_min(array(subs.map { case ((cell, sub), cvec) =>
+        struct(
+          when(col("centroid_id") === cell,
+            l2_distance(col(vecCol), lit(cvec)).cast("double"))
+            .otherwise(lit(Double.MaxValue)).as("d"),
+          lit(sub).as("s"))
+      }: _*))
+      df.withColumn("_sub", best.getField("s"))
+    }
+    (0 until iters).foreach { _ =>
+      val means = assignSub(hotRows)
+        .groupBy(col("centroid_id"), col("_sub"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col(vecCol), i + 1)).cast("float")): _*).as("mean"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      subs = subs.map { case (k, old) => k -> means.getOrElse(k, old) }
+    }
+
+    // fresh centroid ids above the persisted max (the centroid table,
+    // not the row counts, is the id authority — it may hold empty cells)
+    val oldCents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val maxCid = oldCents.map(_._1).max
+    val newId: Map[(Long, Int), Long] = subs.map(_._1).zipWithIndex
+      .map { case (k, i) => k -> (maxCid + 1 + i) }.toMap
+
+    // final assignment → staging dir → O(1) renames → drop old dirs.
+    // Every original column (id, vec, liveness generation, ...) rides
+    // along untouched; only centroid_id changes.
+    val newCidExpr = subs.map(_._1).foldLeft(lit(-1L)) { case (acc, (cell, sub)) =>
+      when(col("centroid_id") === cell && col("_sub") === sub,
+        lit(newId((cell, sub)))).otherwise(acc)
+    }
+    val keep = hotRows.columns.filterNot(_ == "centroid_id").toIndexedSeq
+    val staging = s"$path/index_rebalance_staging"
+    assignSub(hotRows)
+      .withColumn("_new_cid", newCidExpr)
+      .select(keep.map(col) :+ col("_new_cid").as("centroid_id"): _*)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val landed = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(_.getPath.getName.startsWith("centroid_id="))
+    landed.foreach { d =>
+      fs.rename(d.getPath, new org.apache.hadoop.fs.Path(s"$path/index/${d.getPath.getName}"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    hotIds.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/index/centroid_id=$c"), true)
+    }
+
+    // centroid table: cold cells unchanged; only sub-cells that landed
+    // rows survive (a degenerate all-identical cell keeps one winner)
+    val landedIds = landed.map(_.getPath.getName.stripPrefix("centroid_id=").toLong).toSet
+    val hotSet = hotIds.toSet
+    val kept = oldCents.filterNot { case (cid, _) => hotSet.contains(cid) }.toSeq ++
+      subs.collect { case (k, v) if landedIds.contains(newId(k)) => (newId(k), v) }
+    import spark.implicits._
+    kept.toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    hotIds.map { c =>
+      c -> subs.collect {
+        case ((cell, sub), _) if cell == c && landedIds.contains(newId((cell, sub))) =>
+          newId((cell, sub))
+      }.toSeq
+    }.toSeq
+  }
+
   /** IVF search against a [[writeIvfIndex]] layout with SOURCE-LEVEL
     * partition pruning: the probed cell set (≤ queries × nProbe ids —
     * planner state, like the centroids themselves) becomes a static

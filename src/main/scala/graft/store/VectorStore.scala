@@ -712,6 +712,26 @@ class VectorStore private (
     clearAnnAux(keep = "")
   }
 
+  /** Split oversized index cells in place (see
+    * [[graft.operators.Ann.rebalanceIvfCells]]) — the maintenance
+    * move between O(batch) appends (which keep centroids fixed and so
+    * concentrate drifting data in few cells) and a full rebuild (which
+    * re-scans every row). Only the oversized cells' partitions are
+    * read and rewritten; searches return identical full-probe results
+    * before and after, and partial probes rank the finer cells like
+    * any others. Flat L2 layout only: quantized kinds re-encode on
+    * rebuild (residual codes are cell-relative), and cosine cells are
+    * angular — rebuild those instead.
+    */
+  def rebalanceAnnIndex(maxCellRows: Long, iters: Int = 3):
+      graft.operators.Ann.RebalanceReport = {
+    require(hasAnnIndex, "no ANN index to rebalance — buildAnnIndex first")
+    require(annKind == "ivf",
+      s"rebalance supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
+    graft.operators.Ann.rebalanceIvfCells(spark, annPath, "id", "vec",
+      maxCellRows, iters)
+  }
+
   /** Delete any quantizer aux dirs a PREVIOUS build persisted except
     * those in `keep` ("+"-separated) — rebuild hygiene: the kind
     * marker and its aux state must change together or searches

@@ -122,6 +122,48 @@ class AnnSpec extends SparkSuite {
     assert(appended == full, "appended layout must search identically")
   }
 
+  test("rebalanceIvfCells: splits only hot cells, search-identical, caps enforced") {
+    // 2 coarse cells over 500 rows → both far above a 100-row cap
+    val (indexed, centroids) = Ann.ivfBuild(emb, "vec_id", "embedding",
+      nCentroids = 2, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
+    Ann.writeIvfIndex(indexed, centroids, path)
+    val exactBefore = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 2)
+      .select($"qid", $"vec_id", $"rn", $"distance")
+      .as[(Long, Long, Int, Float)].collect().toSet
+    val rep = Ann.rebalanceIvfCells(spark, path, "vec_id", "embedding",
+      maxCellRows = 100, iters = 2)
+    assert(rep.splitCells == 2)
+    assert(rep.newCells >= 6, s"500 rows / 100 cap needs >= 6 sub-cells, got $rep")
+    // same row set, finer partition cover, every cell within the cap
+    val after = spark.read.parquet(s"$path/index")
+    assert(after.count() == emb.count())
+    val cellCounts = after.groupBy("centroid_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(cellCounts.values.forall(_ <= 100),
+      s"cells over cap after rebalance: ${cellCounts.filter(_._2 > 100)}")
+    // centroid table consistent with the partitions on disk
+    val centIds = spark.read.parquet(s"$path/centroids")
+      .select($"centroid_id".cast("long")).as[Long].collect().toSet
+    assert(centIds == cellCounts.keySet)
+    // full-probe search identical to the pre-rebalance layout
+    val exactAfter = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = centIds.size)
+      .select($"qid", $"vec_id", $"rn", $"distance")
+      .as[(Long, Long, Int, Float)].collect().toSet
+    assert(exactAfter == exactBefore, "rebalance must not change full-probe results")
+    // idempotent: nothing left over the cap → no-op report
+    assert(Ann.rebalanceIvfCells(spark, path, "vec_id", "embedding", 100, 2)
+      == Ann.RebalanceReport(0, 0))
+    // cosine layouts are rejected — their cells are angular
+    val cpath = java.nio.file.Files.createTempDirectory("graft-ivf-rebc").toString
+    val (ci, cc) = Ann.ivfBuildCosine(emb, "vec_id", "embedding", 2, 2)
+    Ann.writeIvfIndex(ci, cc, cpath, metric = "cosine")
+    intercept[IllegalArgumentException](
+      Ann.rebalanceIvfCells(spark, cpath, "vec_id", "embedding", 100, 2))
+  }
+
   test("TopKAggregator matches the window top-k when NaN distances occur") {
     // SQL semantics: NaN sorts last and equals itself — raw Double
     // comparisons would let buffered NaNs block finite candidates

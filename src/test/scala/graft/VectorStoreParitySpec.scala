@@ -412,6 +412,40 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(pruned.nonEmpty && !pruned.contains(17L))
   }
 
+  test("rebalanceAnnIndex: hot cells split in place, lifecycle consistent") {
+    val dir = Files.createTempDirectory("graft-ann-reb").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    val vecs = (0 until 30).map { i =>
+      Array.tabulate(10)(j => (i / 15) * 10f + (if (j == i % 10) 1f else 0f) +
+        (i % 10) * 0.01f)
+    }
+    s.insert(vecs)
+    intercept[IllegalArgumentException](s.rebalanceAnnIndex(8)) // no index yet
+    s.buildAnnIndex(nCentroids = 2, iters = 3)
+    s.delete(Seq(7L)) // a pending tombstone must survive the rebalance
+    def exactIds(q: Array[Float], k: Int): Seq[Long] =
+      s.search(Seq(q), k).head.map(_.id)
+    def approxIds(q: Array[Float], k: Int): Seq[Long] =
+      s.searchApprox(Seq(q), k, nProbe = 64).head.map(_.id)
+    val rep = s.rebalanceAnnIndex(maxCellRows = 8, iters = 2)
+    assert(rep.splitCells >= 2 && rep.newCells >= 4, rep.toString)
+    // full-probe search ≡ exact, the tombstone still masks, and the
+    // rebalanced row set is intact
+    assert(approxIds(vecs(3), 5) == exactIds(vecs(3), 5))
+    assert(!approxIds(vecs(7), 5).contains(7L))
+    assert(approxIds(vecs(20), 5) == exactIds(vecs(20), 5))
+    // idempotent once within the cap (checked BEFORE the append — an
+    // append can legitimately push a cell back over the cap)
+    assert(s.rebalanceAnnIndex(8).splitCells == 0)
+    // O(batch) append lands in the REBALANCED centroid set
+    val fresh = Array.tabulate(10)(j => 30f + j * 0.1f)
+    val Seq(newId) = s.insert(Seq(fresh))
+    assert(approxIds(fresh, 1) == Seq(newId))
+    // quantized kinds are rejected
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 1)
+    intercept[IllegalArgumentException](s.rebalanceAnnIndex(8))
+  }
+
   test("searchApproxDF plan: partition-pruned scan, tombstone mask as anti-join") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
