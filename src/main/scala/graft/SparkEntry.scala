@@ -766,6 +766,39 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Cold-cell merge, the delete-side complement of the rebalance
+    // gate: a floor above every cell size dissolves ALL cells into the
+    // fullest survivor, so the post-merge layout has exactly ONE cell
+    // — and a single-probe search over it IS the exact brute scan (the
+    // strongest possible pin: a PARTIAL probe that must still match
+    // the brute-force oracle). Tombstones mask and appends land
+    // through the merged centroid set.
+    "vs_ann_merge" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_mrg_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
+      store.delete(Seq(1L, 2L, 3L))
+      val rep = store.mergeAnnIndexCells(minCellRows = 1000)
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.insert(Seq(v7)) // id 500, appended to the merged cell
+      val qs = emb.filter(col("vec_id").isin(2, 7, 11))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 1)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"),
+          lit(rep.survivingCells.toLong).as("n_cells"))
+        .orderBy("qid", "rn")
+    }),
+
     // Operational stats snapshot: live/tombstone/high-water/version/
     // index-cells after a deterministic lifecycle — the maintenance
     // dashboard numbers, every one an integer with a closed-form
@@ -4970,6 +5003,29 @@ object SparkEntry {
       SELECT qid, id, rn,
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist,
              CAST(0 AS BIGINT) AS over_cap
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Merge gate: the all-cells merge leaves ONE cell, so even the
+    // nProbe = 1 search is the exact brute scan — replayed from the
+    // live rows with no quantizer state. n_cells = 1 pins the merge.
+    "vs_ann_merge" -> s"""
+      WITH live AS (
+        SELECT vec_id AS id, embedding AS vec FROM embeddings
+        WHERE vec_id < 500 AND vec_id NOT IN (1, 2, 3)
+        UNION ALL
+        SELECT CAST(500 AS BIGINT) AS id, embedding AS vec
+        FROM embeddings WHERE vec_id = 7),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 7, 11)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist,
+             CAST(1 AS BIGINT) AS n_cells
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "vs_ann_pq_res" -> s"""
       WITH live AS (

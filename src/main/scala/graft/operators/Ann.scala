@@ -589,6 +589,91 @@ object Ann {
     RebalanceReport(totalSplit, totalNew)
   }
 
+  /** Merge undersized IVF cells away — the delete-side complement of
+    * [[rebalanceIvfCells]]: tombstone compactions and hot-cell splits
+    * leave a long tail of near-empty cells, and probe cost has a
+    * per-cell floor (centroid scoring + one partition dir + file-open
+    * overhead), so a fragmented index pays it thousands of times for
+    * rows that would fit in a handful of cells. Cells with fewer than
+    * `minCellRows` rows are dissolved: their centroids leave the
+    * table and their rows re-assign to the nearest SURVIVING centroid
+    * (the standard argmin projection). Only the dissolved cells' rows
+    * move — appended to their target partitions, old dirs dropped —
+    * so IO is O(rows in small cells), never the index. Full-probe
+    * results are identical before/after (same row set, coarser
+    * cover); partial probes rank the merged cells like any others.
+    *
+    * At least one cell always survives: if EVERY cell is under the
+    * floor, the largest cell is kept as the merge target (an index
+    * needs a centroid to probe). Same crash-window contract as the
+    * split: new files land before old dirs are deleted, and the index
+    * is derived state — re-run or rebuild clears a half-applied pass.
+    * L2 layouts only, as with the split.
+    */
+  case class MergeReport(mergedCells: Int, survivingCells: Int)
+
+  def mergeIvfCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      minCellRows: Long): MergeReport = {
+    require(minCellRows >= 1, s"minCellRows must be >= 1, got $minCellRows")
+    require(readIvfMetric(spark, path) == "l2",
+      "mergeIvfCells supports l2 layouts; rebuild cosine indexes instead")
+    val counts = spark.read.parquet(s"$path/index")
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .groupBy("centroid_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // the centroid table is the authority — it may hold empty cells
+    // (rows deleted by compaction) that must dissolve too
+    val oldCents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val rowsByCell = counts.toMap
+    var small = oldCents.map(_._1)
+      .filter(c => rowsByCell.getOrElse(c, 0L) < minCellRows).sorted
+    if (small.length == oldCents.length) {
+      // keep the fullest cell (ties to the lower id) as the target
+      val keep = oldCents.map(_._1)
+        .maxBy(c => (rowsByCell.getOrElse(c, 0L), -c))
+      small = small.filterNot(_ == keep)
+    }
+    if (small.isEmpty)
+      return MergeReport(0, oldCents.length)
+    val survivors = oldCents.filterNot { case (c, _) => small.contains(c) }
+    val smallWithRows = small.filter(c => rowsByCell.getOrElse(c, 0L) > 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (smallWithRows.nonEmpty) {
+      val moving = spark.read.parquet(s"$path/index")
+        .filter(col("centroid_id").isin(smallWithRows.toIndexedSeq: _*))
+        .drop("centroid_id")
+      import spark.implicits._
+      val survivorsDF = survivors.toSeq.toDF("centroid_id", "centroid")
+      val staging = s"$path/index_merge_staging"
+      assign(moving, idCol, vecCol, survivorsDF)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+      fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .filter(_.getPath.getName.startsWith("centroid_id="))
+        .foreach { d =>
+          // the target partition may already exist — move the files in
+          val dest = new org.apache.hadoop.fs.Path(s"$path/index/${d.getPath.getName}")
+          if (!fs.exists(dest)) fs.rename(d.getPath, dest)
+          else fs.listStatus(d.getPath).foreach(f =>
+            fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, f.getPath.getName)))
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    small.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/index/centroid_id=$c"), true)
+    }
+    import spark.implicits._
+    survivors.toSeq.toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    MergeReport(small.length, survivors.length)
+  }
+
   /** One split pass over the cells currently above the cap (minus
     * `frozen`). Returns (old cell id → the new cell ids its rows
     * landed in); empty when nothing was over the cap.

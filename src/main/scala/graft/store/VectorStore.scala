@@ -732,6 +732,22 @@ class VectorStore private (
       maxCellRows, iters)
   }
 
+  /** Dissolve undersized index cells (see
+    * [[graft.operators.Ann.mergeIvfCells]]) — the delete-side
+    * complement of [[rebalanceAnnIndex]]: compactions and deletes
+    * leave near-empty cells whose per-cell probe floor (centroid
+    * scoring, partition dir, file opens) dwarfs their row count. Only
+    * the dissolved cells' rows move; full-probe results are identical
+    * before and after. Flat L2 layout only, as with the split.
+    */
+  def mergeAnnIndexCells(minCellRows: Long):
+      graft.operators.Ann.MergeReport = {
+    require(hasAnnIndex, "no ANN index to merge — buildAnnIndex first")
+    require(annKind == "ivf",
+      s"merge supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
+    graft.operators.Ann.mergeIvfCells(spark, annPath, "id", "vec", minCellRows)
+  }
+
   /** Delete any quantizer aux dirs a PREVIOUS build persisted except
     * those in `keep` ("+"-separated) — rebuild hygiene: the kind
     * marker and its aux state must change together or searches

@@ -164,6 +164,49 @@ class AnnSpec extends SparkSuite {
       Ann.rebalanceIvfCells(spark, cpath, "vec_id", "embedding", 100, 2))
   }
 
+  test("mergeIvfCells: dissolves small cells, search-identical, keeps one survivor") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-mrg").toString
+    Ann.writeIvfIndex(indexed, centroids, path)
+    val before = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 8)
+      .select($"qid", $"vec_id", $"rn", $"distance")
+      .as[(Long, Long, Int, Float)].collect().toSet
+    val counts = spark.read.parquet(s"$path/index")
+      .groupBy($"centroid_id".cast("long")).count()
+      .as[(Long, Long)].collect().toMap
+    // a floor just above the smallest cell dissolves at least it
+    val floor = counts.values.min + 1
+    val rep = Ann.mergeIvfCells(spark, path, "vec_id", "embedding", floor)
+    assert(rep.mergedCells >= 1 && rep.survivingCells == 8 - rep.mergedCells)
+    val after = spark.read.parquet(s"$path/index")
+    assert(after.count() == emb.count(), "merge must not lose rows")
+    val centsAfter = spark.read.parquet(s"$path/centroids")
+      .select($"centroid_id".cast("long")).as[Long].collect().toSet
+    assert(centsAfter.size == rep.survivingCells)
+    // moved rows sit in their nearest-survivor cell
+    val cellsOnDisk = after.select($"centroid_id".cast("long")).distinct()
+      .as[Long].collect().toSet
+    assert(cellsOnDisk.subsetOf(centsAfter))
+    // full-probe search identical (same rows, coarser cover)
+    val got = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 8)
+      .select($"qid", $"vec_id", $"rn", $"distance")
+      .as[(Long, Long, Int, Float)].collect().toSet
+    assert(got == before, "merge must not change full-probe results")
+    // dissolving everything keeps the fullest cell as the target
+    val rep2 = Ann.mergeIvfCells(spark, path, "vec_id", "embedding",
+      minCellRows = Long.MaxValue / 2)
+    assert(rep2.survivingCells == 1)
+    assert(spark.read.parquet(s"$path/index").count() == emb.count())
+    val one = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 1)
+      .select($"qid", $"vec_id", $"rn", $"distance")
+      .as[(Long, Long, Int, Float)].collect().toSet
+    assert(one == before, "single-cell layout is the exact brute scan")
+  }
+
   test("TopKAggregator matches the window top-k when NaN distances occur") {
     // SQL semantics: NaN sorts last and equals itself — raw Double
     // comparisons would let buffered NaNs block finite candidates

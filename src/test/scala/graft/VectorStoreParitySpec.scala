@@ -446,6 +446,36 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](s.rebalanceAnnIndex(8))
   }
 
+  test("mergeAnnIndexCells: small cells dissolve, mask and append intact") {
+    val dir = Files.createTempDirectory("graft-ann-mrg").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    val vecs = (0 until 30).map { i =>
+      Array.tabulate(10)(j => (i / 15) * 10f + (if (j == i % 10) 1f else 0f) +
+        (i % 10) * 0.01f)
+    }
+    s.insert(vecs)
+    intercept[IllegalArgumentException](s.mergeAnnIndexCells(4)) // no index yet
+    s.buildAnnIndex(nCentroids = 4, iters = 3)
+    s.delete(Seq(6L))
+    def exactIds(q: Array[Float], k: Int): Seq[Long] =
+      s.search(Seq(q), k).head.map(_.id)
+    def approxIds(q: Array[Float], k: Int, nProbe: Int): Seq[Long] =
+      s.searchApprox(Seq(q), k, nProbe).head.map(_.id)
+    // a floor above every cell size collapses the index to ONE cell —
+    // whose single-probe scan is then the exact brute scan
+    val rep = s.mergeAnnIndexCells(minCellRows = 31)
+    assert(rep.survivingCells == 1, rep.toString)
+    assert(approxIds(vecs(3), 5, 1) == exactIds(vecs(3), 5))
+    assert(!approxIds(vecs(6), 5, 1).contains(6L)) // tombstone still masks
+    // append lands in the merged centroid set and is searchable
+    val fresh = Array.tabulate(10)(j => 30f + j * 0.1f)
+    val Seq(newId) = s.insert(Seq(fresh))
+    assert(approxIds(fresh, 1, 1) == Seq(newId))
+    // quantized kinds are rejected
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 1)
+    intercept[IllegalArgumentException](s.mergeAnnIndexCells(4))
+  }
+
   test("searchApproxDF plan: partition-pruned scan, tombstone mask as anti-join") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
