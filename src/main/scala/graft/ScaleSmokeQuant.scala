@@ -76,6 +76,27 @@ object ScaleSmokeQuant {
       new org.apache.hadoop.fs.Path(s"$root/ann/index")).getLength
     println(s"SMOKE   BQ index bytes: $bqBytes")
 
+    // ---- hot-cell rebalance vs full rebuild at 100k ------------------
+    timed("buildAnnIndex flat 100k / 64 cells") {
+      store.buildAnnIndex(nCentroids = 64, iters = 2, seedRounds = 0)
+    }
+    val cellCounts = spark.read.parquet(s"$root/ann/index")
+      .groupBy("centroid_id").count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted
+    val cap = cellCounts(cellCounts.length * 9 / 10) // p90: ~6 cells split
+    println(s"SMOKE   cell rows p50/p90/max: ${cellCounts(cellCounts.length / 2)}" +
+      s"/$cap/${cellCounts.last}")
+    timed(s"rebalanceAnnIndex(cap=$cap)") {
+      println(s"SMOKE   report: ${store.rebalanceAnnIndex(cap, iters = 2)}")
+    }
+    timed("mergeAnnIndexCells(floor=p50/4)") {
+      println(s"SMOKE   report: ${store.mergeAnnIndexCells(
+        cellCounts(cellCounts.length / 2) / 4)}")
+    }
+    timed("flat search 1k q (nProbe=4) post-maintenance") {
+      println(s"SMOKE   rows: ${store.searchApproxDF(qdf, 10, 4).count()}")
+    }
+
     // ---- Matryoshka prefix-slice shortlist vs full brute ------------
     val mq = qdf.limit(200)
     timed("brute L2 100k x 200 q (baseline)") {
