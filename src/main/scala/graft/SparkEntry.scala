@@ -612,6 +612,45 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Late-interaction retrieval THROUGH THE STORE (the ColBERT
+    // serving journey vs_parent_search grows into): store rows are
+    // token vectors with their parent id in the doc JSON; stage 1
+    // mean-pools each query's token bag and runs the parent-rollup
+    // search for a 10-doc shortlist, stage 2 re-ranks by exact
+    // token-level MaxSim over the LIVE tokens only. Deleted token rows
+    // participate in neither stage. BOTH stages replay in DuckDB
+    // (pooling via generate_subscripts + CAST(avg AS FLOAT), the
+    // best-token-per-parent rollup, and the MaxSim re-rank), because
+    // tokensPerQuery exceeds the live token count and nProbe = 0 keeps
+    // stage 1 exact — no quantizer state anywhere.
+    "vs_maxsim" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_ms_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 406)
+      store.insertDF(emb.filter(col("vec_id") < 400)
+        .orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"p\": "),
+            floor(col("vec_id") / 4).cast("long").cast("string"),
+            lit("}")).as("doc")))
+      store.delete(Seq(0L, 5L, 10L, 15L, 20L))
+      val qt = emb.filter(col("vec_id") >= 400 && col("vec_id") < 406)
+        .select(floor((col("vec_id") - 400) / 2).cast("long").as("qid"),
+          (col("vec_id") % 2).cast("long").as("qtok"),
+          col("embedding").as("qvec"))
+      store.searchMaxSimDF(qt, k = 5, parentPath = Seq("p"),
+          shortlist = 10, tokensPerQuery = 1000)
+        .select(col("qid"), col("parent"),
+          col("rn").cast("long").as("rank"), col("n_qtok"),
+          hround(col("score"), 4).as("score"))
+        .orderBy("qid", "rank")
+    }),
+
     // Optimized-PQ through the store facade (FAISS OPQx,...,PQy): the
     // whole IVF-PQ index lives in a learned ORTHOGONAL rotation of the
     // data (trained by the OPQ-NP alternation, seeded-random init) —
@@ -4909,6 +4948,55 @@ object SparkEntry {
       SELECT qid, parent, ${graft.functions.hroundSql("mx", 4)} AS max_score,
              ${graft.functions.hroundSql("sm", 4)} AS sum_score,
              n_chunks, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    // Store late-interaction: live tokens (minus the deletes) carry
+    // parent = floor(id/4) by the insert's construction; stage 1 is
+    // the pooled-query best-token-per-parent rollup (exact, no index),
+    // stage 2 the MaxSim re-rank over shortlisted pairs — the same
+    // replay shapes as vs_parent_search + ir_maxsim_rerank composed.
+    "vs_maxsim" -> s"""
+      WITH live AS (
+        SELECT vec_id AS id, CAST(floor(vec_id / 4) AS BIGINT) AS parent,
+               embedding AS vec
+        FROM embeddings
+        WHERE vec_id < 400 AND vec_id NOT IN (0, 5, 10, 15, 20)),
+      qt AS (
+        SELECT CAST(floor((vec_id - 400) / 2) AS BIGINT) AS qid,
+               CAST(vec_id % 2 AS BIGINT) AS qtok, embedding AS qvec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 406),
+      qex AS (SELECT qid, generate_subscripts(qvec, 1) AS pos,
+                     unnest(qvec) AS x FROM qt),
+      qm AS (SELECT qid, pos, avg(x) AS m FROM qex GROUP BY 1, 2),
+      pq AS (SELECT qid, list(CAST(m AS FLOAT) ORDER BY pos) AS pvec
+             FROM qm GROUP BY 1),
+      s1 AS (
+        SELECT pq.qid, l.parent,
+               max(-CAST(list_distance(l.vec, pq.pvec) AS DOUBLE)) AS s
+        FROM live l CROSS JOIN pq GROUP BY 1, 2),
+      sl AS (
+        SELECT qid, parent FROM (
+          SELECT qid, parent,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY s DESC, parent) AS srn
+          FROM s1) WHERE srn <= 10),
+      sims AS (
+        SELECT sl.qid, sl.parent, qt.qtok,
+               max(list_inner_product(qt.qvec, l.vec)) AS maxsim
+        FROM sl
+        JOIN live l ON l.parent = sl.parent
+        JOIN qt ON qt.qid = sl.qid
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT qid, parent, sum(CAST(maxsim AS DOUBLE)) AS score,
+               CAST(count(*) AS BIGINT) AS n_qtok
+        FROM sims GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, parent, score, n_qtok,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, parent) AS rank
+        FROM scored)
+      SELECT qid, parent, CAST(rank AS BIGINT) AS rank, n_qtok,
+             ${graft.functions.hroundSql("score", 4)} AS score
       FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     // Refine-degenerate OPQ search: the refine stage re-ranks with the
     // ORIGINAL vectors, so neither the rotation nor the codebook

@@ -1348,6 +1348,48 @@ class VectorStore private (
       scored, "qid", "parent", "_score", k, pool)
   }
 
+  /** Late-interaction (ColBERT MaxSim, Khattab & Zaharia SIGIR 2020)
+    * retrieval through the store — the multi-vector serving journey:
+    * store rows are TOKEN vectors whose doc JSON carries the parent
+    * document id at `parentPath`; `queryTokens` is a (qid, qtok, qvec)
+    * token bag. Two stages, the ColBERT serving pattern:
+    *
+    *  1. candidate generation — each query's MEAN-POOLED vector runs
+    *     the [[searchParentDocsDF]] journey (token-level search, exact
+    *     or partition-pruned ANN via `nProbe`, then best-token-per-
+    *     parent rollup) for a `shortlist`-sized parent candidate set;
+    *  2. exact re-rank — full token-level MaxSim
+    *     ([[graft.operators.LateInteraction.maxSimRerank]]) over ONLY
+    *     the shortlisted (query, parent) pairs with the LIVE token
+    *     vectors: cost O(queries × shortlist × tokens²), independent
+    *     of corpus size.
+    *
+    * Returns (qid, parent, score, n_qtok, rn) ranked by (MaxSim desc,
+    * parent asc). Deleted token rows participate in neither stage (the
+    * live projection feeds both). `tokensPerQuery` bounds stage 1's
+    * token shortlist — it should comfortably exceed `shortlist` × the
+    * tokens-per-doc so pooling, not truncation, decides the candidates.
+    */
+  def searchMaxSimDF(queryTokens: DataFrame, k: Int,
+      parentPath: Seq[String], shortlist: Int,
+      tokensPerQuery: Int, nProbe: Int = 0, refine: Int = 0,
+      metric: String = "dot"): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) — stage 2 only re-ranks")
+    val pooledQ = graft.operators.LateInteraction.meanPoolTokens(
+        queryTokens.select(col("qid"), col("qvec")), "qid", "qvec")
+      .select(col("qid"), col("pooled_vec").as("qvec"))
+    val slPairs = searchParentDocsDF(pooledQ, shortlist, parentPath,
+        tokensPerQuery, nProbe, pool = "max", refine)
+      .select(col("qid"), col("parent"))
+    val jsonPath = "$." + parentPath.mkString(".")
+    val docTokens = table.select(
+        get_json_object($"doc", jsonPath).cast("long").as("parent"), $"vec")
+      .filter($"parent".isNotNull)
+    graft.operators.LateInteraction.maxSimRerank(slPairs, "qid", "parent",
+      docTokens, "vec", queryTokens, "qtok", "qvec", k, metric)
+  }
+
   /** Distributed batch k-NN: queries as a DataFrame (`qid`, `qvec`),
     * result as a DataFrame `(qid, id, distance, rn)` — the pipeline-
     * facing variant of [[search]] that never collects to the driver.

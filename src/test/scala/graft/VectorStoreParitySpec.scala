@@ -476,6 +476,36 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](s.mergeAnnIndexCells(4))
   }
 
+  test("searchMaxSimDF: full shortlist ≡ brute MaxSim over live tokens") {
+    import graft.operators.LateInteraction
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ms").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    // 8 parents × 3 tokens
+    val vecs = (0 until 24).map { i =>
+      Array.tabulate(8)(j => (if (j == i % 8) 1f else 0f) + i * 0.01f)
+    }
+    s.insert(vecs, (0 until 24).map(i => s"""{"p": ${i / 3}}"""))
+    s.delete(Seq(4L))
+    val qt = Seq(
+      (0L, 0L, vecs(1)), (0L, 1L, vecs(9)),
+      (1L, 0L, vecs(20))).toDF("qid", "qtok", "qvec")
+    // full shortlist (≥ all parents) degenerates stage 1 away
+    val got = s.searchMaxSimDF(qt, k = 3, Seq("p"), shortlist = 8,
+        tokensPerQuery = 100)
+      .select($"qid", $"parent", $"rn", $"score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val liveTokens = (0 until 24).filter(_ != 4)
+      .map(i => (i.toLong / 3, vecs(i))).toDF("parent", "vec")
+    val brute = LateInteraction.maxSimTopK(liveTokens, "parent", "vec",
+        qt, "qid", "qtok", "qvec", k = 3)
+      .select($"qid", $"parent", $"rn", $"score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == brute)
+    intercept[IllegalArgumentException](
+      s.searchMaxSimDF(qt, k = 5, Seq("p"), shortlist = 3, tokensPerQuery = 100))
+  }
+
   test("searchApproxDF plan: partition-pruned scan, tombstone mask as anti-join") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
