@@ -16,6 +16,19 @@ case class SearchRecord(id: Long, vec: Array[Float], doc: String, distance: Floa
 /** Operational snapshot of a store — see [[VectorStore.stats]]. */
 case class StoreStats(nLive: Long, nTombstones: Long, maxId: Long,
     version: Option[Long], hasAnnIndex: Boolean, nIndexCells: Long)
+
+/** ANN-index health snapshot — the numbers that drive the maintenance
+  * loop: `maxCellRows / meanCellRows` (imbalance) argues for
+  * [[VectorStore.rebalanceAnnIndex]], a tail of cells far below the
+  * mean (plus `nEmptyCells`) for [[VectorStore.mergeAnnIndexCells]],
+  * and `deadRowFraction` for a compaction (the index carries
+  * tombstoned rows until then). Row counts are INDEX rows (live +
+  * dead): that is what probes scan and what the cell-size caps govern.
+  */
+case class AnnIndexStats(kind: String, metric: String, nCells: Long,
+    nEmptyCells: Long, nIndexRows: Long, nDeadRows: Long,
+    minCellRows: Long, p50CellRows: Long, maxCellRows: Long,
+    imbalance: Double, deadRowFraction: Double)
 /** Fuzzy doc search distances are float64 (reference: vector_store.py:386-387). */
 case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: Double)
 
@@ -1555,6 +1568,33 @@ class VectorStore private (
       if (hasAnnIndex) spark.read.parquet(s"$annPath/centroids").count()
       else 0L
     StoreStats(count(), tombs, maxId(), currentVersion(), hasAnnIndex, cells)
+  }
+
+  /** ANN-index health snapshot (see [[AnnIndexStats]]) — ONE aggregate
+    * over the index's (cell, count) frame plus a masked count for the
+    * dead-row fraction; bounded driver state (a dozen numbers) at any
+    * index size.
+    */
+  def annIndexStats(): AnnIndexStats = {
+    require(hasAnnIndex, "no ANN index — buildAnnIndex first")
+    val perCell = spark.read.parquet(s"$annPath/index")
+      .groupBy(col("centroid_id").cast("long")).count()
+    val agg = perCell.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("nc"),
+      sum(col("count")).as("rows"),
+      min(col("count")).as("mn"),
+      expr("percentile_approx(count, 0.5)").as("p50"),
+      max(col("count")).as("mx")).head()
+    val (nonEmpty, rows) = (agg.getLong(0), agg.getLong(1))
+    val nCells = spark.read.parquet(s"$annPath/centroids").count()
+    val live = annTombstoneMask(
+      spark.read.parquet(s"$annPath/index").select(col("id"), col(GenCol)))
+      .count()
+    val mean = rows.toDouble / math.max(nonEmpty, 1L)
+    AnnIndexStats(annKind, annMetric, nCells, nCells - nonEmpty, rows,
+      rows - live, agg.getLong(2), agg.getLong(3), agg.getLong(4),
+      agg.getLong(4) / math.max(mean, 1e-12),
+      (rows - live).toDouble / math.max(rows, 1L))
   }
 
   /** The current write-version on the tombstone layout (None on plain

@@ -476,6 +476,32 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](s.mergeAnnIndexCells(4))
   }
 
+  test("annIndexStats: cell distribution, dead rows, maintenance signals") {
+    val dir = Files.createTempDirectory("graft-ann-st").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    val vecs = (0 until 30).map { i =>
+      Array.tabulate(10)(j => (i / 15) * 10f + (if (j == i % 10) 1f else 0f) +
+        (i % 10) * 0.01f)
+    }
+    s.insert(vecs)
+    intercept[IllegalArgumentException](s.annIndexStats())
+    s.buildAnnIndex(nCentroids = 2, iters = 3)
+    val st0 = s.annIndexStats()
+    assert(st0.kind == "ivf" && st0.metric == "l2")
+    assert(st0.nCells == 2 && st0.nIndexRows == 30 && st0.nDeadRows == 0)
+    assert(st0.minCellRows + st0.maxCellRows == 30)
+    // deletes surface as dead INDEX rows until a compaction
+    s.delete(Seq(1L, 2L))
+    val st1 = s.annIndexStats()
+    assert(st1.nIndexRows == 30 && st1.nDeadRows == 2)
+    assert(math.abs(st1.deadRowFraction - 2.0 / 30) < 1e-12)
+    // the merge-everything layout is perfectly balanced by definition
+    s.mergeAnnIndexCells(minCellRows = 31)
+    val st2 = s.annIndexStats()
+    assert(st2.nCells == 1 && st2.nEmptyCells == 0 && st2.imbalance == 1.0)
+    assert(st2.minCellRows == 30 && st2.maxCellRows == 30)
+  }
+
   test("searchMaxSimDF: full shortlist ≡ brute MaxSim over live tokens") {
     import graft.operators.LateInteraction
     import spark.implicits._
