@@ -57,11 +57,32 @@ object Sq {
     * a sample is standard at corpus scale: the grid needs the value
     * RANGE, which saturates long before the corpus does).
     */
-  def fit(df: DataFrame, vecCol: String, dim: Int): SqParams = {
-    val mm = df
+  /** @param clipQuantile 0 (default) trains the grid on the exact
+    *   per-dimension [min, max]; q ∈ (0, 0.5) trains on the
+    *   [q, 1−q] quantiles instead (FAISS `RangeStat_quantiles`) — a
+    *   single outlier component otherwise stretches its dimension's
+    *   grid so every inlier lands in a handful of levels, wasting the
+    *   8-bit budget. Clipping composes with the existing contract for
+    *   free: [[encodeCol]] already SATURATES out-of-range values at
+    *   the grid edge (the append-drift rule), so clipped outliers
+    *   quantize to level 0/255 — bounded error for the tail, a much
+    *   finer grid for everything else. The persisted (vmin, scale)
+    *   fully describe either grid: search, append, and rebuild need
+    *   no new state.
+    */
+  def fit(df: DataFrame, vecCol: String, dim: Int,
+      clipQuantile: Double = 0.0): SqParams = {
+    require(clipQuantile >= 0.0 && clipQuantile < 0.5,
+      s"clipQuantile must be in [0, 0.5), got $clipQuantile")
+    val exploded = df
       .select(posexplode(col(vecCol).cast("array<float>")).as(Seq("pos", "v")))
-      .groupBy("pos")
-      .agg(min("v").as("vmin"), max("v").as("vmax"))
+    val mm = (if (clipQuantile == 0.0)
+        exploded.groupBy("pos").agg(min("v").as("vmin"), max("v").as("vmax"))
+      else
+        exploded.groupBy("pos").agg(
+          expr(s"CAST(percentile_approx(v, $clipQuantile) AS FLOAT)").as("vmin"),
+          expr(s"CAST(percentile_approx(v, ${1.0 - clipQuantile}) AS FLOAT)")
+            .as("vmax")))
       .collect()
     require(mm.length == dim,
       s"fit saw ${mm.length} dimensions, expected $dim (empty input?)")

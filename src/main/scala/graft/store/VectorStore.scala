@@ -792,12 +792,17 @@ class VectorStore private (
     * post-compaction rebuilds re-encode without retraining. L2 only
     * (cosine callers normalize, as with PQ).
     */
+  /** @param clipQuantile train the 8-bit grid on per-dimension
+    *   [q, 1−q] quantiles instead of [min, max] (0 = exact range) —
+    *   see [[graft.operators.Sq.fit]]; out-of-range values saturate
+    *   at the grid edge on search, append, and rebuild alike.
+    */
   def buildAnnIndexSq(nCentroids: Int, iters: Int = 5,
-      seedRounds: Int = 2): Unit = {
+      seedRounds: Int = 2, clipQuantile: Double = 0.0): Unit = {
     val proj = liveWithGen.select($"id", $"vec", col(GenCol))
     val cents = graft.operators.Ann.kmeans(proj, "id", "vec", nCentroids,
       iters, seedRounds)
-    val params = graft.operators.Sq.fit(proj, "vec", dim)
+    val params = graft.operators.Sq.fit(proj, "vec", dim, clipQuantile)
     val enc = graft.operators.Ann.assign(proj, "id", "vec", cents)
       .withColumn("codes", graft.operators.Sq.encodeCol($"vec", params))
       .drop("vec")

@@ -923,6 +923,37 @@ class AnnSpec extends SparkSuite {
     assert(p2.vmin.toSeq == p.vmin.toSeq && p2.scale.toSeq == p.scale.toSeq)
   }
 
+  test("sq: quantile-clipped grid resists outliers, inlier error shrinks") {
+    import graft.operators.Sq
+    // dim 0 has one wild outlier (1000 vs inliers in [0, 29]) that
+    // stretches the exact-range grid's step ~34x
+    val df = (0 until 100).map { i =>
+      (i.toLong, Array(if (i == 0) 1000f else (i % 30).toFloat, i % 7f))
+    }.toDF("id", "vec")
+    val exact = Sq.fit(df, "vec", dim = 2)
+    val clipped = Sq.fit(df, "vec", dim = 2, clipQuantile = 0.02)
+    assert(clipped.scale(0) < exact.scale(0) / 20,
+      s"clipped step ${clipped.scale(0)} vs exact ${exact.scale(0)}")
+    intercept[IllegalArgumentException](Sq.fit(df, "vec", 2, clipQuantile = 0.5))
+    // inlier reconstruction error shrinks by the same factor; the
+    // outlier saturates at the clipped edge instead of erroring
+    val errs = df
+      .withColumn("dE", Sq.decodeCol(Sq.encodeCol($"vec", exact), exact))
+      .withColumn("dC", Sq.decodeCol(Sq.encodeCol($"vec", clipped), clipped))
+      .select($"id", $"vec", $"dE", $"dC").collect()
+    errs.filter(_.getLong(0) != 0L).foreach { r =>
+      val v = r.getSeq[Float](1); val e = r.getSeq[Float](2); val c = r.getSeq[Float](3)
+      assert(math.abs(v(0) - c(0)) <= clipped.scale(0) / 2 + 1e-5f)
+      assert(math.abs(v(0) - c(0)) <= math.abs(v(0) - e(0)) + 1e-5f,
+        s"inlier ${v(0)}: clipped ${c(0)} should beat exact ${e(0)}")
+    }
+    val outlier = errs.find(_.getLong(0) == 0L).get
+    val code0 = df.filter($"id" === 0L)
+      .select(Sq.encodeCol($"vec", clipped).as("c")).head().getSeq[Int](0)
+    assert(code0(0) == 255, "outlier must saturate at the clipped grid edge")
+    assert(outlier.getSeq[Float](3)(0) <= 30f, "decode stays in the inlier range")
+  }
+
   test("matryoshka rescore: degenerate forms are exact, partial shortlist returns true distances") {
     val n = emb.count().toInt
     def exact(k: Int) = SimilarityJoin

@@ -1226,6 +1226,11 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(s.annKind == "ivfsq")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ann/codebook")))
     assert(sq(7L, vecs(5), 5, refine = 20) == exact(vecs(5), 5))
+    // quantile-clipped grid: same persisted-params contract, refined
+    // search still exact (saturated tails re-rank by true distance)
+    s.buildAnnIndexSq(nCentroids = 2, iters = 2, seedRounds = 0,
+      clipQuantile = 0.05)
+    assert(sq(8L, vecs(5), 5, refine = 21) == exact(vecs(5), 5))
   }
 
   test("BQ store lifecycle: mandatory refine, degenerate exactness, append, mask, hygiene") {
