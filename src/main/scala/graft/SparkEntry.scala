@@ -838,6 +838,39 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Two-level coarse-quantizer routing (FAISS IMI / coarse-HNSW):
+    // at 100 TB the cell count is ~sqrt(N) and the FLAT probe's
+    // query x all-centroids scoring becomes the bottleneck before any
+    // data is scanned; the super quantizer routes through sqrt(C)
+    // super-cells first. Full routing (superProbe = nSuper, nProbe =
+    // nCells) degenerates to the exact flat search, so the oracle is
+    // the same codebook-free brute-force replay — through a delete
+    // (mask composes under routing) and a post-build append.
+    "vs_ann_hier" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/vs_hier_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
+      store.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
+      store.delete(Seq(1L, 2L, 3L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.insert(Seq(v7)) // id 500: appends don't touch the routing
+      val qs = emb.filter(col("vec_id").isin(2, 7, 11))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxHierDF(qs, k = 5, nProbe = 8, superProbe = 2)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
     // Operational stats snapshot: live/tombstone/high-water/version/
     // index-cells after a deterministic lifecycle — the maintenance
     // dashboard numbers, every one an integer with a closed-form
@@ -5114,6 +5147,27 @@ object SparkEntry {
       SELECT qid, id, rn,
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist,
              CAST(1 AS BIGINT) AS n_cells
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    // Hierarchical routing at full degeneracy is the exact flat
+    // search: same live-rows brute-force replay as vs_ann_rebalance.
+    "vs_ann_hier" -> s"""
+      WITH live AS (
+        SELECT vec_id AS id, embedding AS vec FROM embeddings
+        WHERE vec_id < 500 AND vec_id NOT IN (1, 2, 3)
+        UNION ALL
+        SELECT CAST(500 AS BIGINT) AS id, embedding AS vec
+        FROM embeddings WHERE vec_id = 7),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 7, 11)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "vs_ann_pq_res" -> s"""
       WITH live AS (

@@ -845,6 +845,21 @@ object Ann {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probed = probeCells(queries, qidCol, qvecCol, centroids,
       cellScore, nProbe)
+    scanProbedCells(spark, path, idCol, vecCol, probed, qidCol, qvecCol,
+      k, rowFilter, rowDistance)
+  }
+
+  /** Partition-pruned scan + score + top-k over an already-probed
+    * (qid, qvec, centroid_id) relation — the tail every probe strategy
+    * (flat, metric-dispatched, hierarchical) shares.
+    */
+  private def scanProbedCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      probed: DataFrame, qidCol: String, qvecCol: String,
+      k: Int,
+      rowFilter: DataFrame => DataFrame,
+      rowDistance: (Column, Column) => Column): DataFrame = {
     // ≤ queries × nProbe cell ids — planner state, like the centroids
     val cells = probed.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -857,6 +872,93 @@ object Ann {
       .withColumn("distance", rowDistance(col(vecCol), col(qvecCol)))
       .select(col(qidCol), col(idCol), col("distance"))
     SimilarityJoin.topKByDistance(scored, qidCol, idCol, "distance", k)
+  }
+
+  /** Two-level coarse quantizer over a persisted [[writeIvfIndex]]
+    * layout — the probe-stage scale fix. A 100 TB IVF wants ~√N cells
+    * (10⁵-10⁷), and the flat probe scores EVERY cell centroid per
+    * query: the centroid table stops being "planner state" and the
+    * probe becomes the bottleneck before any data is scanned. The
+    * standard fix (FAISS IMI / coarse-HNSW routing) adds a second
+    * quantizer OVER THE CENTROIDS: queries score `nSuper` super-cells
+    * (√C of them), keep `superProbe`, and rank only the cells routed
+    * to those super-cells — probe flops drop from O(C) to
+    * O(√C + superProbe · C/√C).
+    *
+    * The hierarchy is an AUXILIARY routing structure under
+    * `<path>/super`: the index rows, the centroid table, appends,
+    * deletes, and every existing search path are untouched. k-means
+    * runs over the CENTROIDS (√C rows — trivially cheap); each cell
+    * routes to its nearest super-centroid. Rebuilds that rewrite the
+    * centroid table (rebalance/merge/retrain) invalidate the routing —
+    * callers drop/rebuild the super quantizer with them (the store
+    * facade does this automatically). L2 layouts only.
+    */
+  def buildSuperQuantizer(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      nSuper: Int, iters: Int = 5): Unit = {
+    require(readIvfMetric(spark, path) == "l2",
+      "buildSuperQuantizer supports l2 layouts")
+    val cells = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long").as("cell_id"),
+        col("centroid"))
+    val supers = kmeans(cells, "cell_id", "centroid", nSuper, iters,
+      seedRounds = 0)
+    val routing = assign(cells, "cell_id", "centroid", supers)
+      .select(col("cell_id"), col("centroid_id").as("super_id"))
+    supers.select(col("centroid_id").as("super_id"),
+        col("centroid").as("super_centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/super/centroids")
+    routing.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/super/routing")
+  }
+
+  def hasSuperQuantizer(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/super/centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Hierarchically-routed pruned IVF search: probe `superProbe`
+    * super-cells, rank only their routed cells, keep `nProbe`, then
+    * the shared partition-pruned scan. `superProbe` = nSuper and
+    * `nProbe` = nCells degenerate to the flat probe's exact ranking
+    * (every cell is a candidate, and cell ranking among identical
+    * candidate sets is identical).
+    */
+  def ivfSearchL2PrunedHier(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int, superProbe: Int,
+      rowFilter: DataFrame => DataFrame = identity): DataFrame = {
+    require(superProbe >= 1, s"superProbe must be >= 1, got $superProbe")
+    require(hasSuperQuantizer(spark, path),
+      s"no super quantizer at $path/super — buildSuperQuantizer first " +
+        "(and rebuild it after any rebalance/merge/retrain)")
+    val supers = spark.read.parquet(s"$path/super/centroids")
+      .select(col("super_id").as("centroid_id"),
+        col("super_centroid").as("centroid"))
+    val probedSupers = probeCells(queries, qidCol, qvecCol, supers,
+        (q, c) => l2_distance(q, c), superProbe)
+      .withColumnRenamed("centroid_id", "super_id")
+    val routing = spark.read.parquet(s"$path/super/routing")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long").as("cell_id"), col("centroid"))
+    // candidate cells per query: only those routed to probed supers —
+    // the whole point: Q × (cells under superProbe supers) scored
+    // pairs instead of Q × C
+    val cand = probedSupers
+      .join(broadcast(routing), Seq("super_id"))
+      .join(broadcast(centroids), Seq("cell_id"))
+      .withColumn("cdist", l2_distance(col(qvecCol), col("centroid")))
+      .select(col(qidCol), col(qvecCol), col("cell_id").as("centroid_id"),
+        col("cdist"))
+    val probed = SimilarityJoin.topKByDistance(cand, qidCol, "centroid_id",
+        "cdist", nProbe)
+      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+    scanProbedCells(spark, path, idCol, vecCol, probed, qidCol, qvecCol,
+      k, rowFilter, (v, q) => l2_distance(v, q))
   }
 
   /** Rank cells per query (small: queries × centroids) and keep the

@@ -741,8 +741,10 @@ class VectorStore private (
     require(hasAnnIndex, "no ANN index to rebalance — buildAnnIndex first")
     require(annKind == "ivf",
       s"rebalance supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
-    graft.operators.Ann.rebalanceIvfCells(spark, annPath, "id", "vec",
+    val rep = graft.operators.Ann.rebalanceIvfCells(spark, annPath, "id", "vec",
       maxCellRows, iters)
+    if (rep.splitCells > 0) dropStaleSuperQuantizer()
+    rep
   }
 
   /** Dissolve undersized index cells (see
@@ -758,7 +760,56 @@ class VectorStore private (
     require(hasAnnIndex, "no ANN index to merge — buildAnnIndex first")
     require(annKind == "ivf",
       s"merge supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
-    graft.operators.Ann.mergeIvfCells(spark, annPath, "id", "vec", minCellRows)
+    val rep = graft.operators.Ann.mergeIvfCells(spark, annPath, "id", "vec",
+      minCellRows)
+    if (rep.mergedCells > 0) dropStaleSuperQuantizer()
+    rep
+  }
+
+  /** The routing table maps cells that no longer exist after a
+    * rebalance/merge rewrote the centroid table — drop it rather than
+    * misroute; rebuilding is a k-means over √C rows.
+    */
+  private def dropStaleSuperQuantizer(): Unit = {
+    val p = new Path(s"$annPath/super")
+    if (annFs.exists(p)) {
+      annFs.delete(p, true)
+      logWarning(s"dropped stale super quantizer at $p after a cell-set " +
+        "rewrite - call buildAnnSuperQuantizer to restore hierarchical routing")
+    }
+  }
+
+  /** Two-level coarse-quantizer routing for the flat L2 index (see
+    * [[graft.operators.Ann.buildSuperQuantizer]]) — the probe-stage
+    * scale fix for cell counts where scoring every centroid per query
+    * stops being free. Auxiliary state only: index rows, appends,
+    * deletes, and every existing search path are untouched.
+    */
+  def buildAnnSuperQuantizer(nSuper: Int, iters: Int = 5): Unit = {
+    require(hasAnnIndex, "no ANN index - buildAnnIndex first")
+    require(annKind == "ivf",
+      s"the super quantizer routes the flat 'ivf' layout, not '$annKind'")
+    graft.operators.Ann.buildSuperQuantizer(spark, annPath, nSuper, iters)
+  }
+
+  /** Hierarchically-routed approximate search (flat L2 index +
+    * [[buildAnnSuperQuantizer]]): probe `superProbe` super-cells, rank
+    * only their routed cells, keep `nProbe`, then the usual
+    * partition-pruned masked scan. superProbe = nSuper and nProbe =
+    * nCells degenerate to the exact flat search.
+    */
+  def searchApproxHierDF(queries: DataFrame, k: Int, nProbe: Int,
+      superProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(hasAnnIndex, "no ANN index - buildAnnIndex first")
+    require(annKind == "ivf",
+      s"hierarchical routing serves the flat 'ivf' layout, not '$annKind'")
+    require(graft.operators.Ann.hasSuperQuantizer(spark, annPath),
+      "no super quantizer - buildAnnSuperQuantizer first (and rebuild " +
+        "it after any rebalance/merge/retrain)")
+    graft.operators.Ann.ivfSearchL2PrunedHier(spark, annPath, "id", "vec",
+      queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
+      superProbe, rowFilter = annTombstoneMask)
   }
 
   /** Delete any quantizer aux dirs a PREVIOUS build persisted except
@@ -768,7 +819,7 @@ class VectorStore private (
     */
   private def clearAnnAux(keep: String): Unit = {
     val keeps = keep.split('+').toSet
-    Seq("codebook", "sq", "opq", "bq").filterNot(keeps.contains).foreach { d =>
+    Seq("codebook", "sq", "opq", "bq", "super").filterNot(keeps.contains).foreach { d =>
       val p = new Path(s"$annPath/$d")
       if (annFs.exists(p)) annFs.delete(p, true)
     }

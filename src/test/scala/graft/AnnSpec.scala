@@ -207,6 +207,46 @@ class AnnSpec extends SparkSuite {
     assert(one == before, "single-cell layout is the exact brute scan")
   }
 
+  test("super quantizer: degenerate routing exact, partial routing sane") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-hier").toString
+    Ann.writeIvfIndex(indexed, centroids, path)
+    intercept[IllegalArgumentException](
+      Ann.ivfSearchL2PrunedHier(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 16, superProbe = 4))
+    Ann.buildSuperQuantizer(spark, path, nSuper = 4, iters = 2)
+    assert(Ann.hasSuperQuantizer(spark, path))
+    // every cell routes to exactly one super-cell
+    val routing = spark.read.parquet(s"$path/super/routing")
+      .as[(Long, Long)].collect()
+    assert(routing.map(_._1).toSet.size == 16 && routing.length == 16)
+    // full routing (all supers, all cells) ≡ the flat full probe ≡ exact
+    val exact = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val hierFull = Ann.ivfSearchL2PrunedHier(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 16, superProbe = 4)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(hierFull == exact)
+    // full SUPER probe at partial nProbe ≡ the flat probe at the same
+    // nProbe (identical candidate cell set → identical ranking)
+    val flat3 = Ann.ivfSearchL2Pruned(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 3)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val hier3 = Ann.ivfSearchL2PrunedHier(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 3, superProbe = 4)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(hier3 == flat3)
+    // routed partial probe: valid rows, reasonable recall
+    val routed = Ann.ivfSearchL2PrunedHier(spark, path, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 3, superProbe = 2)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = routed.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"hier recall $recall too low")
+  }
+
   test("TopKAggregator matches the window top-k when NaN distances occur") {
     // SQL semantics: NaN sorts last and equals itself — raw Double
     // comparisons would let buffered NaNs block finite candidates

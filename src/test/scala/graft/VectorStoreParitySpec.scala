@@ -476,6 +476,40 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](s.mergeAnnIndexCells(4))
   }
 
+  test("buildAnnSuperQuantizer: routed search lifecycle, stale-after-rebalance") {
+    val dir = Files.createTempDirectory("graft-ann-hier").toString + "/store"
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    val vecs = (0 until 30).map { i =>
+      Array.tabulate(10)(j => (i / 15) * 10f + (if (j == i % 10) 1f else 0f) +
+        (i % 10) * 0.01f)
+    }
+    s.insert(vecs)
+    s.buildAnnIndex(nCentroids = 4, iters = 3)
+    intercept[IllegalArgumentException](
+      s.searchApproxHierDF(spark.emptyDataFrame, 1, 1, 1)) // no hierarchy yet
+    s.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
+    s.delete(Seq(7L))
+    def exactIds(q: Array[Float], k: Int): Seq[Long] =
+      s.search(Seq(q), k).head.map(_.id)
+    def hierIds(q: Array[Float], k: Int, nProbe: Int, sp: Int): Seq[Long] = {
+      import spark.implicits._
+      s.searchApproxHierDF(Seq((0L, q)).toDF("qid", "qvec"), k, nProbe, sp)
+        .orderBy("rn").select("id").as[Long].collect().toSeq
+    }
+    // full routing degenerates to exact; the tombstone masks through it
+    assert(hierIds(vecs(3), 5, 4, 2) == exactIds(vecs(3), 5))
+    assert(!hierIds(vecs(7), 5, 4, 2).contains(7L))
+    // a rebalance rewrites the cell set → the routing is dropped, the
+    // hier path errors until rebuilt, and a rebuild restores it
+    s.rebalanceAnnIndex(maxCellRows = 8, iters = 2)
+    intercept[IllegalArgumentException](hierIds(vecs(3), 5, 64, 2))
+    s.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
+    assert(hierIds(vecs(3), 5, 64, 2) == exactIds(vecs(3), 5))
+    // quantized kinds are rejected
+    s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 1)
+    intercept[IllegalArgumentException](s.buildAnnSuperQuantizer(2))
+  }
+
   test("annIndexStats: cell distribution, dead rows, maintenance signals") {
     val dir = Files.createTempDirectory("graft-ann-st").toString + "/store"
     val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
