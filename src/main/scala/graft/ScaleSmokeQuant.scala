@@ -125,6 +125,33 @@ object ScaleSmokeQuant {
       println(s"SMOKE   encoded rows: $n")
     }
 
+    // ---- sparse retrieval: 100k-doc posting index, pruned vs full ---
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bigDocs = docs.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") * 20 + col("rep")).as("doc_id"), col("text"))
+    timed("sparse postings build 100k docs") {
+      graft.operators.SparseRetrieval.tfPostings(bigDocs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/postings")
+    }
+    val post = spark.read.parquet(s"$base/postings")
+    println(s"SMOKE   posting rows: ${post.count()}")
+    val qp = graft.operators.SparseRetrieval.tfPostings(
+      bigDocs.filter(col("doc_id") % 500 === 0), "doc_id", "text")
+    timed("sparse topKDot 200 q x 100k docs (full)") {
+      println(s"SMOKE   rows: ${graft.operators.SparseRetrieval.topKDot(
+        post, qp, 10).count()}")
+    }
+    timed("prunePostings p=1000 (persisted)") {
+      graft.operators.SparseRetrieval.prunePostings(post, 1000)
+        .write.mode("overwrite").parquet(s"$base/postings_p")
+    }
+    val postP = spark.read.parquet(s"$base/postings_p")
+    println(s"SMOKE   pruned posting rows: ${postP.count()}")
+    timed("sparse topKDot 200 q (pruned p=1000)") {
+      println(s"SMOKE   rows: ${graft.operators.SparseRetrieval.topKDot(
+        postP, qp, 10).count()}")
+    }
+
     // ---- MaxSim: brute grid vs pooled-shortlist rerank --------------
     // 25k docs x 4 token vectors, 100 queries x 2 tokens
     val dt = bigEmb.select((col("vec_id") / 4).cast("long").as("doc_id"),
