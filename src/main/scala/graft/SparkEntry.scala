@@ -3309,6 +3309,33 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_chars"), col("es_rank"))
         .orderBy("source", "es_rank")),
 
+    // DSIR importance weights (Xie et al. 2023): every doc scored by
+    // how much more likely its hashed-n-gram bag is under the English
+    // target slice than under the whole raw corpus — two 4096-row
+    // count aggregations + one shuffle-free scoring scan. DuckDB
+    // replays the ENTIRE pipeline: tokenize, bigram, md5 bucket,
+    // smoothed log-ratio table, per-doc sum.
+    "sm_dsir" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.operators.Dsir.scoreAgainst(
+          docs, docs.filter(col("lang") === "en"), "text")
+        .select(col("doc_id"), hround(col("dsir_logw"), 6).as("logw"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: Gumbel-top-k over the tempered importance
+    // weights as the deterministic A-ES race (w = exp(logw - max)),
+    // so "sample 50 docs that look like the English slice" is a
+    // TakeOrdered top-k. DuckDB replays weights AND race.
+    "sm_dsir_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      graft.operators.Dsir.select(
+          docs, docs.filter(col("lang") === "en"), "text", "doc_id", k = 50)
+        .select(col("doc_id"), col("es_rank"),
+          col("dsir_logw").as("logw"))
+        .orderBy("es_rank")
+    }),
+
     // Bloom-prefiltered semi join: identical RESULT to a plain semi
     // join (no false negatives), but the probe side sheds non-matching
     // rows inside the scan before the exchange — DuckDB verifies the
@@ -4722,6 +4749,53 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- //
+
+  /** Shared CTE prefix of the two DSIR oracles: replays tokenize →
+    * unigram+bigram melt → 3-nibble md5 bucket → smoothed log-ratio
+    * table (target = lang 'en', raw = all non-null docs) → per-doc
+    * rounded log importance weight, exactly as
+    * [[graft.operators.Dsir]] computes it.
+    */
+  private lazy val dsirDocwCtes: String = raw"""
+      tok AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      uni AS (SELECT doc_id, lang, unnest(ts) AS w FROM tok),
+      bpos AS (
+        SELECT doc_id, lang,
+               unnest(range(1, greatest(len(ts), 1))) AS i, ts
+        FROM tok),
+      bg AS (SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS w FROM bpos),
+      allf AS (SELECT doc_id, lang, w FROM uni
+               UNION ALL SELECT doc_id, lang, w FROM bg),
+      feats AS (
+        SELECT doc_id, lang,
+               (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) AS f
+        FROM allf),
+      rawc AS (SELECT f, CAST(count(*) AS DOUBLE) AS n FROM feats GROUP BY f),
+      tgtc AS (SELECT f, CAST(count(*) AS DOUBLE) AS n FROM feats
+               WHERE lang = 'en' GROUP BY f),
+      rawt AS (SELECT sum(n) + 4096 AS tot FROM rawc),
+      tgtt AS (SELECT coalesce(sum(n), 0) + 4096 AS tot FROM tgtc),
+      ratio AS (
+        SELECT b.f,
+               ln((coalesce(t.n, 0) + 1) / tgtt.tot)
+             - ln((coalesce(r.n, 0) + 1) / rawt.tot) AS lr
+        FROM (SELECT unnest(range(0, 4096)) AS f) b
+        LEFT JOIN rawc r ON r.f = b.f
+        LEFT JOIN tgtc t ON t.f = b.f
+        CROSS JOIN rawt CROSS JOIN tgtt),
+      docw AS (
+        SELECT t.doc_id,
+               ${graft.functions.hroundSql("coalesce(s.lw, 0.0)", 6)} AS logw
+        FROM tok t LEFT JOIN (
+          SELECT fe.doc_id, sum(ra.lr) AS lw
+          FROM feats fe JOIN ratio ra ON ra.f = fe.f
+          GROUP BY fe.doc_id) s ON s.doc_id = t.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "vs_count" -> "SELECT count(*) AS n FROM embeddings",
@@ -6153,6 +6227,36 @@ object SparkEntry {
         FROM keyed)
       SELECT source, doc_id, n_chars, CAST(es_rank AS INTEGER) AS es_rank
       FROM r WHERE es_rank <= 3 ORDER BY source, es_rank"""
+    },
+    "sm_dsir" -> s"""
+      WITH $dsirDocwCtes
+      SELECT doc_id, logw FROM docw ORDER BY doc_id""",
+    "sm_dsir_sample" -> {
+      val nibbles = (0 until 15).map { i =>
+        val w = java.math.BigInteger.valueOf(16L).pow(14 - i)
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n                 + ")
+      s"""
+      WITH $dsirDocwCtes,
+      mx AS (SELECT max(logw) AS m FROM docw),
+      h AS (
+        SELECT doc_id, logw,
+               substr(md5(concat_ws('|', 'dsir', CAST(doc_id AS VARCHAR))),
+                      1, 15) AS hx
+        FROM docw),
+      keyed AS (
+        SELECT doc_id, logw,
+               -ln((CAST(($nibbles) AS DOUBLE) + 1e0)
+                   / 1152921504606846976e0)
+                 / exp((logw - mx.m) / 1e0) AS es
+        FROM h CROSS JOIN mx
+        WHERE exp((logw - mx.m) / 1e0) > 0),
+      r AS (
+        SELECT doc_id, logw,
+               row_number() OVER (ORDER BY es, doc_id) AS es_rank
+        FROM keyed)
+      SELECT doc_id, CAST(es_rank AS INTEGER) AS es_rank, logw
+      FROM r WHERE es_rank <= 50 ORDER BY es_rank"""
     },
     "q32_range_join" -> """
       SELECT c.c_custkey,
