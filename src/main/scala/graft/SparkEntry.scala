@@ -894,6 +894,36 @@ object SparkEntry {
         "n_live", "n_tombstones", "max_id", "has_index", "n_cells")
     }),
 
+    // Materialized doc-field sidecar through the full store lifecycle:
+    // insert -> materialize -> delete -> upsert (reused id, CHANGED
+    // field value) -> post-materialization insert -> filtered query on
+    // the indexed route (predicate-pushed sidecar scan + id semi-join;
+    // DocIndexSpec pins the plan shape). DuckDB replays the lifecycle
+    // in closed form over embeddings.
+    "vs_doc_index" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_dx_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"g\": \""), (col("label") % 5).cast("string"),
+            lit("\"}")).as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.delete(Seq(2L, 7L, 12L))
+      store.upsert(Seq(21L), Seq(Array.fill(64)(0.25f)),
+        Seq("{\"g\": \"1\"}"))
+      store.insert(
+        Seq(Array.fill(64)(0.5f), Array.fill(64)(0.75f)),
+        Seq("{\"g\": \"3\"}", "{\"g\": \"1\"}"))
+      store.queryByDocDF(Seq("g"), Seq("1", "3"))
+        .select(col("id"), get_json_object(col("doc"), "$.g").as("g"))
+        .orderBy("id")
+    }),
+
     // Predicate delete at store level: the JSON-path filter composed
     // with delete — the retention/GDPR shape where the matching id set
     // never visits the driver. DuckDB replays survivor rows directly.
@@ -5274,6 +5304,18 @@ object SparkEntry {
       SELECT vec_id AS id, CAST(label % 3 AS VARCHAR) AS g
       FROM embeddings WHERE vec_id < 400 AND label % 3 <> 1
       ORDER BY id""",
+    "vs_doc_index" -> """
+      WITH base AS (
+        SELECT vec_id AS id, CAST(label % 5 AS VARCHAR) AS g
+        FROM embeddings WHERE vec_id < 400),
+      mut AS (
+        SELECT id, CASE WHEN id = 21 THEN '1' ELSE g END AS g
+        FROM base WHERE id NOT IN (2, 7, 12)),
+      allrows AS (
+        SELECT id, g FROM mut
+        UNION ALL SELECT CAST(400 AS BIGINT), '3'
+        UNION ALL SELECT CAST(401 AS BIGINT), '1')
+      SELECT id, g FROM allrows WHERE g IN ('1', '3') ORDER BY id""",
     "st_stream_ingest" -> """
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(count(DISTINCT vec_id) AS BIGINT) AS n_orig,

@@ -122,6 +122,7 @@ class VectorStore private (
       VectorStore.schema)
     storage.append(df)
     annAppend(df)
+    docIdxAppend(df)
     refreshIndex()
     ids
   }
@@ -225,6 +226,7 @@ class VectorStore private (
       val n = df.count()
       storage.append(df)
       annAppend(df)
+      docIdxAppend(df)
       refreshIndex()
       n
     } finally df.unpersist()
@@ -262,13 +264,14 @@ class VectorStore private (
       }
     val idsDf = ids.toDF("id")
     val replaced = table.join(broadcast(idsDf), Seq("id"), "left_semi").count()
-    if (replaced > 0) { storage.delete(idsDf); annAfterDelete() }
+    if (replaced > 0) { storage.delete(idsDf); annAfterDelete(); docIdxAfterDelete() }
     val rows = ids.lazyZip(vecs).lazyZip(effDocs).map((i, v, d) => Row(i, v.toSeq, d))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
       VectorStore.schema)
     storage.append(df)
     annAppend(df)
+    docIdxAppend(df)
     refreshIndex()
     (replaced, ids.size - replaced)
   }
@@ -287,6 +290,7 @@ class VectorStore private (
       logWarning(s"delete: ${distinctIds - present} of $distinctIds ids not present in store")
     storage.delete(idsDf)
     annAfterDelete()
+    docIdxAfterDelete()
     refreshIndex()
     present
   }
@@ -303,15 +307,12 @@ class VectorStore private (
     */
   def deleteWhere(pathSteps: Seq[String], values: Seq[Any]): Long = {
     require(pathSteps.nonEmpty, "path must have at least one step")
-    val jsonPath = "$." + pathSteps.mkString(".")
-    val ids = table
-      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
-      .select($"id")
-      .localCheckpoint(true)
+    val ids = docMatchIds(pathSteps, values).localCheckpoint(true)
     val n = ids.count()
     if (n > 0) {
       storage.delete(ids)
       annAfterDelete()
+      docIdxAfterDelete()
       refreshIndex()
     }
     n
@@ -536,6 +537,7 @@ class VectorStore private (
         // tombstones are gone — the search-time mask can no longer
         // hide the compacted-away rows still present in the index
         rebuildAnnRowsFromCentroids()
+        materializedDocFields.foreach(materializeDocField)
       case _ => ()
     }
     refreshIndex()
@@ -606,11 +608,9 @@ class VectorStore private (
         throw new IllegalArgumentException(
           s"query $i has dimension ${q.length}, store dimension is $dim")
     }
-    val jsonPath = "$." + pathSteps.mkString(".")
     val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
     val w = Window.partitionBy($"qid").orderBy($"distance", $"id")
-    val hits = table
-      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
+    val hits = docMatchRows(pathSteps, values)
       .crossJoin(broadcast(qdf))
       .withColumn("distance", l2_distance($"vec", $"qvec"))
       .withColumn("rn", row_number().over(w))
@@ -1344,10 +1344,7 @@ class VectorStore private (
     if (!hasAnnIndex)
       throw new IllegalStateException(
         s"no ANN index at $annPath — call buildAnnIndex() first")
-    val jsonPath = "$." + pathSteps.mkString(".")
-    val matchIds = table
-      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
-      .select($"id")
+    val matchIds = docMatchIds(pathSteps, values)
     if (annKindIsPq)
       // searchApproxPqDF already masks tombstones; compose only the
       // predicate semi-join here (the refine re-rank inherits the
@@ -1487,10 +1484,7 @@ class VectorStore private (
   def searchWhereDF(queries: DataFrame, k: Int,
       pathSteps: Seq[String], values: Seq[Any]): DataFrame = {
     require(pathSteps.nonEmpty, "path must have at least one step")
-    val jsonPath = "$." + pathSteps.mkString(".")
-    val matchIds = table
-      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
-      .select($"id")
+    val matchIds = docMatchIds(pathSteps, values)
     val scored = indexDf
       .join(matchIds, Seq("id"), "left_semi")
       .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
@@ -1583,18 +1577,146 @@ class VectorStore private (
       .select(col("qid"), col("id"), col("rrf"), col("rank"))
   }
 
+  // ----------------------- doc-field index ----------------------- //
+  //
+  // Materialized JSON-path sidecars: at 100 TB, every metadata filter
+  // that goes through `get_json_object` re-parses the doc column of
+  // EVERY row per query, and the predicate can never reach the parquet
+  // scan (no pushdown through a JSON extraction). A materialized field
+  // is a slim (id, gen, value) parquet sidecar — the generated-column
+  // idea from lakehouse engines, kept outside the data files so the
+  // single-writer append path stays schema-stable. Filters on a
+  // materialized path become a predicate-PUSHED scan of the sidecar
+  // (~1% of table bytes: three columns, no vectors, no JSON) followed
+  // by an id semi-join; the doc column is never parsed at query time.
+  // Lifecycle mirrors the ANN index exactly: O(batch) append on every
+  // insert, tombstone-gen masking for deletes/upserts (id reuse safe),
+  // rebuild when tombstones fold (compact/vacuum/plain-layout delete).
+
+  private def docIdxRoot = new Path(path, "docidx")
+  private def docIdxFs =
+    docIdxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Directory-name encoding of a JSON path: steps joined by '.', each
+    * percent-encoded so arbitrary doc keys stay filesystem-safe.
+    */
+  private def docIdxDir(pathSteps: Seq[String]): Path =
+    new Path(docIdxRoot,
+      pathSteps.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("."))
+
+  private def docValue(pathSteps: Seq[String]) =
+    get_json_object($"doc", "$." + pathSteps.mkString("."))
+
+  def hasDocIndex(pathSteps: Seq[String]): Boolean =
+    pathSteps.nonEmpty && docIdxFs.exists(docIdxDir(pathSteps))
+
+  /** Every materialized JSON path, decoded back to its steps. */
+  def materializedDocFields: Seq[Seq[String]] =
+    if (!docIdxFs.exists(docIdxRoot)) Seq.empty
+    else docIdxFs.listStatus(docIdxRoot).toSeq.map(_.getPath.getName)
+      .map(_.split("\\.").toSeq
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+
+  /** Materialize (or rebuild) the sidecar for one JSON path: one
+    * column-pruned pass over the live rows extracting the value, each
+    * row carrying its write-generation so the standard tombstone mask
+    * applies. O(live rows) once; every later filter on this path skips
+    * the JSON parse entirely.
+    */
+  def materializeDocField(pathSteps: Seq[String]): Unit = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    val staging = new Path(docIdxRoot,
+      s"_staging-${java.util.UUID.randomUUID()}")
+    liveWithGen.select($"id", docValue(pathSteps).as("value"), col(GenCol))
+      .write.mode("overwrite").parquet(staging.toString)
+    val target = docIdxDir(pathSteps)
+    if (docIdxFs.exists(target)) docIdxFs.delete(target, true)
+    if (!docIdxFs.rename(staging, target))
+      throw new java.io.IOException(
+        s"materializeDocField: could not activate $staging")
+  }
+
+  def dropDocField(pathSteps: Seq[String]): Unit = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    if (hasDocIndex(pathSteps)) docIdxFs.delete(docIdxDir(pathSteps), true)
+  }
+
+  /** O(batch) sidecar maintenance, called after every storage append
+    * (the [[annAppend]] placement — the append already bumped the
+    * version, so the batch rows carry the current one).
+    */
+  private def docIdxAppend(batch: DataFrame): Unit = {
+    val fields = materializedDocFields
+    if (fields.nonEmpty) {
+      val gen = storage match {
+        case t: TombstoneStorage => t.currentVersion()
+        case _ => 0L
+      }
+      fields.foreach { steps =>
+        batch.select($"id", docValue(steps).as("value"))
+          .withColumn(GenCol, lit(gen))
+          .write.mode("append").parquet(docIdxDir(steps).toString)
+      }
+    }
+  }
+
+  /** Post-delete sidecar maintenance — the [[annAfterDelete]] contract:
+    * on the tombstone layout the query-time gen mask already hides the
+    * deleted rows UNLESS this delete folded the tombstones (compaction),
+    * and the plain layout has no mask, so both rebuild.
+    */
+  private def docIdxAfterDelete(): Unit = {
+    val fields = materializedDocFields
+    if (fields.nonEmpty) {
+      val rebuild = storage match {
+        case t: TombstoneStorage => t.tombstoneCount() == 0L
+        case _ => true
+      }
+      if (rebuild) fields.foreach(materializeDocField)
+    }
+  }
+
+  /** Matching LIVE ids for a JSON-path filter: through the masked
+    * sidecar (predicate-pushed scan, no JSON parse) when the path is
+    * materialized, else the full-table extraction scan.
+    */
+  private def docMatchIds(pathSteps: Seq[String], values: Seq[Any]): DataFrame =
+    if (hasDocIndex(pathSteps))
+      annTombstoneMask(spark.read.parquet(docIdxDir(pathSteps).toString))
+        .filter(col("value").isin(values.map(_.toString): _*))
+        .select($"id")
+    else
+      table.filter(docValue(pathSteps).isin(values.map(_.toString): _*))
+        .select($"id")
+
+  /** Matching live ROWS for a JSON-path filter — [[docMatchIds]]
+    * semi-joined back to the table on the indexed route, the plain
+    * filter scan otherwise (unchanged plan when no index exists).
+    */
+  private def docMatchRows(pathSteps: Seq[String], values: Seq[Any]): DataFrame =
+    if (hasDocIndex(pathSteps))
+      table.join(docMatchIds(pathSteps, values), Seq("id"), "left_semi")
+    else
+      table.filter(docValue(pathSteps).isin(values.map(_.toString): _*))
+
   /** JSON-path filter (reference: vector_store.py:334-356): rows whose
     * `doc` JSON value at `$.path` is in `values`. Values compare as
     * strings (SQLite's typed `json_extract` vs Spark's string-valued
-    * `get_json_object` — SURVEY.md §2 R9).
+    * `get_json_object` — SURVEY.md §2 R9). Routes through the
+    * materialized sidecar when [[materializeDocField]] covered the
+    * path.
     */
   def queryByDoc(pathSteps: Seq[String], values: Seq[Any]): Seq[SelectRecord] = {
     require(pathSteps.nonEmpty, "path must have at least one step")
-    val jsonPath = "$." + pathSteps.mkString(".")
-    table
-      .filter(get_json_object($"doc", jsonPath).isin(values.map(_.toString): _*))
+    docMatchRows(pathSteps, values)
       .orderBy($"id")
       .as[SelectRecord].collect().toSeq
+  }
+
+  /** DataFrame twin of [[queryByDoc]] (unordered). */
+  def queryByDocDF(pathSteps: Seq[String], values: Seq[Any]): DataFrame = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    docMatchRows(pathSteps, values)
   }
 
   /** All vectors in insertion (= ascending id) order (reference:
@@ -1691,7 +1813,10 @@ class VectorStore private (
   def vacuum(beforeVersion: Long): Long = storage match {
     case t: TombstoneStorage =>
       val purged = t.vacuum(beforeVersion)
-      if (purged > 0) rebuildAnnRowsFromCentroids()
+      if (purged > 0) {
+        rebuildAnnRowsFromCentroids()
+        materializedDocFields.foreach(materializeDocField)
+      }
       refreshIndex()
       purged
     case _ => throw new UnsupportedOperationException(

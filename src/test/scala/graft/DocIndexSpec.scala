@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.store.VectorStore
+
+/** Materialized doc-field sidecar: indexed route ≡ scan route through
+  * the full mutate lifecycle, with the predicate actually pushed into
+  * the sidecar's parquet scan.
+  */
+class DocIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkStore(tag: String, tombstones: Boolean = true): VectorStore = {
+    val root = Files.createTempDirectory(s"graft-dx-$tag").toString + "/s"
+    VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = tombstones)
+  }
+
+  private def vec(seed: Int): Array[Float] =
+    Array(seed.toFloat, (seed * 2).toFloat, 0f, 1f)
+
+  private def docJson(g: Int, s: String): String =
+    s"""{"g": "$g", "s": "$s"}"""
+
+  private def seed(store: VectorStore, n: Int): Unit =
+    store.insert(
+      (0 until n).map(vec),
+      (0 until n).map(i => docJson(i % 3, s"src${i % 5}")))
+
+  test("indexed route ≡ scan route, and survives insert/delete/upsert") {
+    val store = mkStore("life")
+    seed(store, 30)
+    val scanBefore = store.queryByDoc(Seq("g"), Seq("1")).map(_.id)
+    store.materializeDocField(Seq("g"))
+    assert(store.hasDocIndex(Seq("g")))
+    assert(store.materializedDocFields == Seq(Seq("g")))
+    assert(store.queryByDoc(Seq("g"), Seq("1")).map(_.id) == scanBefore)
+
+    // post-materialization insert is picked up (O(batch) sidecar append)
+    store.insert(Seq(vec(100)), Seq(docJson(1, "srcX")))
+    val afterIns = store.queryByDoc(Seq("g"), Seq("1")).map(_.id)
+    assert(afterIns.contains(30L), s"new row missing from indexed route: $afterIns")
+
+    // delete: tombstone-masked out of the sidecar route
+    val victim = afterIns.head
+    store.delete(Seq(victim))
+    assert(!store.queryByDoc(Seq("g"), Seq("1")).map(_.id).contains(victim))
+
+    // upsert with a CHANGED field value under a reused id: the old
+    // sidecar row must not resurrect the id for its old value
+    val target = store.queryByDoc(Seq("g"), Seq("2")).map(_.id).head
+    store.upsert(Seq(target), Seq(vec(7)), Seq(docJson(0, "srcY")))
+    assert(!store.queryByDoc(Seq("g"), Seq("2")).map(_.id).contains(target),
+      "stale sidecar value matched after upsert")
+    assert(store.queryByDoc(Seq("g"), Seq("0")).map(_.id).contains(target))
+
+    // full agreement with the scan route after all mutations
+    store.dropDocField(Seq("g"))
+    assert(!store.hasDocIndex(Seq("g")))
+    val scanAfter = store.queryByDoc(Seq("g"), Seq("0", "2")).map(_.id)
+    store.materializeDocField(Seq("g"))
+    assert(store.queryByDoc(Seq("g"), Seq("0", "2")).map(_.id) == scanAfter)
+  }
+
+  test("compact folds tombstones without resurrecting old values") {
+    val store = mkStore("cmp")
+    seed(store, 20)
+    store.materializeDocField(Seq("g"))
+    val victim = store.queryByDoc(Seq("g"), Seq("1")).map(_.id).head
+    store.delete(Seq(victim))
+    store.compact() // mask is gone — sidecar must have been rebuilt
+    assert(!store.queryByDoc(Seq("g"), Seq("1")).map(_.id).contains(victim))
+    // plain layout (rewrite deletes, no tombstones): rebuild-on-delete
+    val plain = mkStore("plain", tombstones = false)
+    seed(plain, 12)
+    plain.materializeDocField(Seq("s"))
+    val v2 = plain.queryByDoc(Seq("s"), Seq("src2")).map(_.id).head
+    plain.delete(Seq(v2))
+    assert(!plain.queryByDoc(Seq("s"), Seq("src2")).map(_.id).contains(v2))
+  }
+
+  test("deleteWhere and searchWhere route through the sidecar") {
+    val store = mkStore("dw")
+    seed(store, 24)
+    store.materializeDocField(Seq("g"))
+    // filtered exact search agrees with the scan-route contract
+    val hits = store.searchWhere(Seq(vec(3)), k = 2, Seq("g"), Seq("1"))
+    assert(hits.head.nonEmpty)
+    hits.head.foreach { r =>
+      assert(get_json(r.doc) == "1")
+    }
+    val n = store.deleteWhere(Seq("g"), Seq("1"))
+    assert(n > 0)
+    assert(store.queryByDoc(Seq("g"), Seq("1")).isEmpty)
+  }
+
+  private def get_json(doc: String): String = {
+    val m = """"g": "(\d+)"""".r.findFirstMatchIn(doc)
+    m.map(_.group(1)).getOrElse("?")
+  }
+
+  test("predicate is pushed into the sidecar scan; no JSON parse in the plan") {
+    val store = mkStore("push")
+    seed(store, 16)
+    store.materializeDocField(Seq("g"))
+    val plan = store.queryByDocDF(Seq("g"), Seq("1", "2"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("get_json_object"),
+      s"indexed route must not parse JSON at query time:\n$plan")
+    assert(plan.contains("In(value") && plan.contains("PushedFilters: [In(value")
+      || plan.contains("PushedFilters: [IsNotNull(value), In(value"),
+      s"value predicate must reach the sidecar parquet scan:\n$plan")
+    // scan route (no index): unchanged plan — JSON filter on the table
+    store.dropDocField(Seq("g"))
+    val scanPlan = store.queryByDocDF(Seq("g"), Seq("1"))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("get_json_object"))
+  }
+}
