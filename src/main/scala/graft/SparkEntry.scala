@@ -3339,6 +3339,18 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_chars"), col("es_rank"))
         .orderBy("source", "es_rank")),
 
+    // Greedy k-center coreset (Gonzalez farthest-point): k maximally
+    // diverse exemplars with the running cover radius; k shuffle-free
+    // scans, chosen set = bounded driver state. DuckDB replays the
+    // WHOLE greedy recursion plus the per-step radii.
+    "sm_kcenter" -> ((s, dir) =>
+      graft.operators.Coreset.kCenterSelect(
+          T(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          "id", "vec", k = 8)
+        .select(col("step"), col("id"), hround(col("radius"), 6).as("radius"))
+        .orderBy("step")),
+
     // DSIR importance weights (Xie et al. 2023): every doc scored by
     // how much more likely its hashed-n-gram bag is under the English
     // target slice than under the whole raw corpus — two 4096-row
@@ -6273,6 +6285,37 @@ object SparkEntry {
     "sm_dsir" -> s"""
       WITH $dsirDocwCtes
       SELECT doc_id, logw FROM docw ORDER BY doc_id""",
+    "sm_kcenter" -> {
+      val mind = "(SELECT min(list_distance(e.embedding::DOUBLE[], " +
+        "s2.embedding::DOUBLE[])) FROM embeddings s2 " +
+        "WHERE list_contains(sel.ids, s2.vec_id))"
+      s"""
+      WITH RECURSIVE sel(step, ids) AS (
+        SELECT 0, [(SELECT min(vec_id) FROM embeddings)]
+        UNION ALL
+        SELECT step + 1, list_append(ids, (
+          SELECT e.vec_id FROM embeddings e
+          WHERE NOT list_contains(sel.ids, e.vec_id)
+          ORDER BY ${graft.functions.hroundSql(mind, 6)} DESC, e.vec_id
+          LIMIT 1))
+        FROM sel WHERE step < 7),
+      fin AS (SELECT ids FROM sel WHERE step = 7),
+      st AS (SELECT CAST(i AS INTEGER) AS step,
+                    ids[CAST(i + 1 AS INTEGER)] AS id, ids
+             FROM fin, range(0, 8) AS t(i)),
+      rad AS (
+        SELECT st.step, st.id,
+               CASE WHEN st.step = 0 THEN 0.0 ELSE (
+                 SELECT ${graft.functions.hroundSql(
+                   "min(list_distance(a.embedding::DOUBLE[], " +
+                     "b.embedding::DOUBLE[]))", 6)}
+                 FROM embeddings a, embeddings b
+                 WHERE a.vec_id = st.id
+                   AND list_contains(st.ids[1:st.step], b.vec_id)
+               ) END AS radius
+        FROM st)
+      SELECT step, id, radius FROM rad ORDER BY step"""
+    },
     "sm_dsir_sample" -> {
       val nibbles = (0 until 15).map { i =>
         val w = java.math.BigInteger.valueOf(16L).pow(14 - i)
