@@ -1130,6 +1130,43 @@ object SparkEntry {
     // BM25 arithmetic. RRF sums two reciprocals of small ints (single
     // correctly-rounded IEEE ops, commutative) — the fused order is
     // engine-exact, and the hashed projection is integer ranks only.
+    // Posting-list (BM25) index through the store lifecycle: insert
+    // 300 docs with VARYING lengths (dl-norm and idf discriminate),
+    // build the index, delete, upsert (reused id, new text), insert
+    // two more (O(batch) posting appends), then batched BM25 top-k
+    // through searchLexDF — stats (N, avgdl, df) must be EXACT over
+    // the mutated live set. DuckDB replays tf/dl arithmetic and full
+    // BM25 from the same fixture recipe.
+    "vs_lex_index" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_lx_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val wtok = concat(lit("w"), (col("label") % 7).cast("string"))
+      val reps = array_join(
+        array_repeat(wtok, (col("vec_id") % 3 + 1).cast("int")), " ")
+      val text = concat(lit("{\"t\": \"pad "), reps,
+        lit(" common v"), (col("vec_id") % 5).cast("string"),
+        lit(" pad\"}"))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"), text.as("doc")))
+      store.buildLexIndex()
+      store.delete(Seq(5L, 10L, 17L))
+      store.upsert(Seq(21L), Seq(Array.fill(64)(0.5f)),
+        Seq("{\"t\": \"pad w1 w1 common pad\"}"))
+      store.insert(
+        Seq(Array.fill(64)(0.1f), Array.fill(64)(0.2f)),
+        Seq("{\"t\": \"pad w3 common v2 pad\"}",
+          "{\"t\": \"pad common common v0 pad\"}"))
+      store.searchLexDF(Seq(
+          0L -> Seq("w1", "common"), 1L -> Seq("v2"), 2L -> Seq("w3", "v0")),
+          k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     "vs_hybrid" -> ((s, dir) => {
       val root = s"$scratchRoot/vs_hyb_store"
       val p = new org.apache.hadoop.fs.Path(root)
@@ -5357,6 +5394,52 @@ object SparkEntry {
     // exactly (tf DESC, id) whatever ln() returns, so the oracle never
     // computes a BM25 score; RRF reciprocals of integer ranks are
     // engine-exact IEEE ops.
+    "vs_lex_index" -> {
+      def term(tf: String, df: String) =
+        s"ln(1e0 + (n - $df + 0.5e0)/($df + 0.5e0)) * $tf * 2.2e0" +
+          s" / ($tf + 1.2e0*(0.25e0 + 0.75e0*dl/avgdl))"
+      def scoredQ(qid: Int, e: String) =
+        s"SELECT CAST($qid AS BIGINT) AS qid, id, " +
+          s"${graft.functions.hroundSql(e, 4)} AS bm25 FROM f, s"
+      val q0 = s"${term("tfw1", "dfw1")} + ${term("tfc", "dfc")}"
+      val q1 = term("tfv2", "dfv2")
+      val q2 = s"${term("tfw3", "dfw3")} + ${term("tfv0", "dfv0")}"
+      s"""
+      WITH base AS (
+        SELECT vec_id AS id, label % 7 AS wl, vec_id % 5 AS vm,
+               vec_id % 3 + 1 AS wrep
+        FROM embeddings
+        WHERE vec_id < 300 AND vec_id NOT IN (5, 10, 17, 21)),
+      f AS (
+        SELECT id, CAST(wrep + 5 AS DOUBLE) AS dl,
+               CASE WHEN wl = 1 THEN wrep ELSE 0 END AS tfw1,
+               CASE WHEN wl = 3 THEN wrep ELSE 0 END AS tfw3,
+               1 AS tfc,
+               CASE WHEN vm = 0 THEN 1 ELSE 0 END AS tfv0,
+               CASE WHEN vm = 2 THEN 1 ELSE 0 END AS tfv2
+        FROM base
+        UNION ALL SELECT CAST(21 AS BIGINT), 6e0, 2, 0, 1, 0, 0
+        UNION ALL SELECT CAST(300 AS BIGINT), 6e0, 0, 1, 1, 0, 1
+        UNION ALL SELECT CAST(301 AS BIGINT), 6e0, 0, 0, 2, 1, 0),
+      s AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tfw1 > 0 THEN 1 ELSE 0 END) AS dfw1,
+               sum(CASE WHEN tfw3 > 0 THEN 1 ELSE 0 END) AS dfw3,
+               sum(CASE WHEN tfc > 0 THEN 1 ELSE 0 END) AS dfc,
+               sum(CASE WHEN tfv0 > 0 THEN 1 ELSE 0 END) AS dfv0,
+               sum(CASE WHEN tfv2 > 0 THEN 1 ELSE 0 END) AS dfv2
+        FROM f),
+      sc AS (${scoredQ(0, q0)} UNION ALL ${scoredQ(1, q1)}
+             UNION ALL ${scoredQ(2, q2)}),
+      rk AS (
+        SELECT qid, id, bm25,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY bm25 DESC, id) AS rank
+        FROM sc WHERE bm25 > 0e0)
+      SELECT qid, id, bm25, CAST(rank AS INTEGER) AS rank
+      FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
+    },
+
     "vs_hybrid" -> """
       WITH q AS (
         SELECT 0 AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 2

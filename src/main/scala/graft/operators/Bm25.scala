@@ -35,8 +35,7 @@ object Bm25 {
     /** Robertson idf with the Lucene-style `log(1 + ...)` floor, so idf
       * is always positive.
       */
-    private[graft] def idf: Seq[Double] =
-      df.map(d => math.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+    private[graft] def idf: Seq[Double] = df.map(d => robertsonIdf(n, d))
 
     /** An all-NULL-text corpus has every dl = 0, hence avgdl = 0, and
       * `dl/avgdl` would make every score 0/0 = NaN. Clamping to 1 keeps
@@ -45,7 +44,14 @@ object Bm25 {
     private[graft] def avgdlSafe: Double = if (avgdl <= 0.0) 1.0 else avgdl
   }
 
-  private def lowercasedDistinct(terms: Seq[String]): Seq[String] = {
+  /** Robertson idf with the Lucene-style `log(1 + ...)` floor — the
+    * ONE place the formula lives (stats fit here, posting-index route
+    * in [[graft.store.VectorStore]]).
+    */
+  private[graft] def robertsonIdf(n: Long, df: Long): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+  private[operators] def lowercasedDistinct(terms: Seq[String]): Seq[String] = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // the tokenizer lowercases, so match terms in lowercase too — an
     // uppercase query term would otherwise silently score 0 everywhere
@@ -229,20 +235,35 @@ object Bm25 {
         posexplode(array(allTerms.indices.map(i => col(s"tf_$i")): _*))
           .as(Seq("_ti", "_tf")))
       .filter(col("_tf") > 0)
+    scorePairs(tfLong, idCol, qRel, stats.avgdlSafe, k, k1, b)
+  }
+
+  /** The shared relational scoring core: a sparse
+    * `(idCol, dl, _ti, _tf)` matched-pair frame joined to a broadcast
+    * `(_qid, _ti, _idf)` query relation, one map-side-combined sum per
+    * (qid, doc), aggregator top-k — used by [[topKBatch]] (pairs from
+    * the in-query tf melt) and by the store's posting-index route
+    * ([[graft.store.VectorStore.searchLexDF]], pairs straight from the
+    * persisted postings, no corpus tokenization at query time).
+    *
+    * Determinism note: sum(contrib) is a shuffle aggregate, so the
+    * per-term addition order is partition-dependent, while [[topK]]'s
+    * per-query projection (and the DuckDB oracles) sum in a fixed
+    * order — a score within ~5e-5 of a 4-decimal rounding boundary
+    * could flip the rounded bm25 between runs/engines. Not observed
+    * in any gate (scores sit far from boundaries at 4 decimals); if
+    * one ever flakes, sum collected (term_idx, contrib) structs via
+    * sort_array, or hround each contribution before summing on BOTH
+    * engines.
+    */
+  private[graft] def scorePairs(pairs: DataFrame, idCol: String,
+      qRel: DataFrame, avgdlSafe: Double, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = col("_tf").cast("double")
     val norm = lit(k1) *
-      (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(stats.avgdlSafe))
+      (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdlSafe))
     val contrib = col("_idf") * tf * lit(k1 + 1.0) / (tf + norm)
-    // determinism note: sum(contrib) is a shuffle aggregate, so the
-    // per-term addition order is partition-dependent, while [[topK]]'s
-    // per-query projection (and the DuckDB oracles) sum in a fixed
-    // order — a score within ~5e-5 of a 4-decimal rounding boundary
-    // could flip the rounded bm25 between runs/engines. Not observed
-    // in any gate (scores sit far from boundaries at 4 decimals); if
-    // one ever flakes, sum collected (term_idx, contrib) structs via
-    // sort_array, or hround each contribution before summing on BOTH
-    // engines.
-    val scored = tfLong.join(broadcast(qRel), "_ti")
+    val scored = pairs.join(broadcast(qRel), "_ti")
       .groupBy(col("_qid").as("qid"), col(idCol))
       .agg(graft.functions.hround(sum(contrib), 4).as("bm25"))
     TopKAggregator.topKRows(

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted (posting-list) index for BM25 retrieval — the
+  * lexical twin of the IVF vector index: built once O(corpus), appended
+  * O(batch) on every insert, masked by the store's tombstone generation
+  * on deletes, and searched WITHOUT touching the corpus text.
+  *
+  * Why it exists: [[Bm25.topKBatch]] re-tokenizes and re-fits corpus
+  * statistics on EVERY query batch — one full text scan per search,
+  * the wrong cost model at 100 TB where the corpus is petabytes but a
+  * query touches a handful of terms. With the index, a query batch
+  * reads (a) the posting rows of ITS OWN terms — a predicate-pushed
+  * scan of a slim (term, id, tf, dl) table, so parquet row-group
+  * pruning on the sorted term column skips everything else — and
+  * (b) one aggregate over the (id, dl) doc-length table for N/avgdl.
+  * Statistics (per-term df, N, avgdl) are therefore EXACT and current
+  * under ingest; scoring reuses [[Bm25.scorePairs]] verbatim, so the
+  * indexed route ranks identically to the scan route (spec-pinned).
+  *
+  * Layout under `root`:
+  *   - `postings/`: (term, id, tf, dl, <genCol>) — one row per
+  *     distinct (doc, term), written sorted by term within each batch
+  *     so min/max row-group stats prune unqueried terms.
+  *   - `doclens/`:  (id, dl, <genCol>) — one row per doc (zero-token
+  *     and NULL-text docs included at dl = 0: they count toward N and
+  *     avgdl exactly as the scan route counts them).
+  */
+object LexIndex {
+
+  def postingsPath(root: String): String = new Path(root, "postings").toString
+  def doclensPath(root: String): String = new Path(root, "doclens").toString
+
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(postingsPath(root))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def drop(spark: SparkSession, root: String): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** The per-batch (or full-build) index rows for `docs`, which must
+    * carry `genCol`. One tokenization pass; postings are the sparse
+    * (doc, term) aggregation of the exploded token stream.
+    */
+  private def indexRows(docs: DataFrame, idCol: String, textCol: String,
+      genCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).cast("long").as("id"), col(genCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", coalesce(size(col("_toks")), lit(0)))
+    val doclens = toks.select(col("id"), col("dl"), col(genCol))
+    val postings = toks
+      .select(col("id"), col("dl"), col(genCol), explode(col("_toks")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        first(col("dl")).as("dl"), first(col(genCol)).as(genCol))
+      .select(col("term"), col("id"), col("tf"), col("dl"), col(genCol))
+      .sortWithinPartitions(col("term"))
+    (postings, doclens)
+  }
+
+  /** Full build (overwrite): one pass over the live corpus. */
+  def build(spark: SparkSession, root: String, docs: DataFrame,
+      idCol: String, textCol: String, genCol: String): Unit = {
+    val (postings, doclens) = indexRows(docs, idCol, textCol, genCol)
+    postings.write.mode("overwrite").parquet(postingsPath(root))
+    doclens.write.mode("overwrite").parquet(doclensPath(root))
+  }
+
+  /** O(batch) append — the insert-path hook. */
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String, genCol: String): Unit = {
+    val (postings, doclens) = indexRows(batch, idCol, textCol, genCol)
+    postings.write.mode("append").parquet(postingsPath(root))
+    doclens.write.mode("append").parquet(doclensPath(root))
+  }
+
+  /** Batched BM25 top-k from the index — no corpus text is read.
+    *
+    * `mask` is the store's tombstone-generation mask (applied to both
+    * posting and doc-length rows, so deleted docs neither score nor
+    * count toward the statistics); `idFilter` optionally restricts
+    * retrieval AND statistics to a live id subset (the filtered-search
+    * composition: "wiki-relative relevance", same contract as the scan
+    * route fitting on the matching sub-corpus).
+    *
+    * Ranking is exactly [[Bm25.topKBatch]]'s: rounded score desc, id
+    * asc, positive scores only. Returns (qid, id, bm25, rank).
+    */
+  def search(spark: SparkSession, root: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      mask: DataFrame => DataFrame = identity,
+      idFilter: Option[DataFrame] = None,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate qids in ${queries.map(_._1)}")
+    import spark.implicits._
+    val normQ = queries.map { case (qid, ts) =>
+      qid -> Bm25.lowercasedDistinct(ts)
+    }
+    val allTerms = normQ.flatMap(_._2).distinct
+    val restrict = (df: DataFrame) =>
+      idFilter.fold(df)(ids =>
+        df.join(broadcast(ids.select(col("id"))), Seq("id"), "left_semi"))
+    // stats: N and avgdl over the (masked, filtered) doc-length table —
+    // one aggregate row; df per query term from the pruned posting scan
+    val dls = restrict(mask(spark.read.parquet(doclensPath(root))))
+    val statsRow = dls.agg(count(lit(1)), avg(col("dl"))).head()
+    val n = statsRow.getLong(0)
+    val empty = Seq.empty[(Long, Long, Double, Int)]
+      .toDF("qid", "id", "bm25", "rank")
+    if (n == 0L) return empty
+    val avgdl = statsRow.getDouble(1)
+    val avgdlSafe = if (avgdl <= 0.0) 1.0 else avgdl
+    val post = restrict(mask(spark.read.parquet(postingsPath(root))))
+      .filter(col("term").isin(allTerms: _*)) // pushed into the scan
+    val dfByTerm = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val termIdx = allTerms.zipWithIndex.toMap
+    // (term, _ti) relation: maps posting rows into scorePairs' sparse
+    // pair shape without a plan-sized literal per term
+    val termRel = allTerms.map(t => (t, termIdx(t))).toDF("term", "_ti")
+    val pairs = post.join(broadcast(termRel), "term")
+      .select(col("id"), col("dl"), col("_ti"), col("tf").as("_tf"))
+    val qRel = normQ.flatMap { case (qid, ts) =>
+      ts.map { t =>
+        (qid, termIdx(t), Bm25.robertsonIdf(n, dfByTerm.getOrElse(t, 0L)))
+      }
+    }.toDF("_qid", "_ti", "_idf")
+    Bm25.scorePairs(pairs, "id", qRel, avgdlSafe, k, k1, b)
+  }
+}

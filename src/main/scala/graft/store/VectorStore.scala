@@ -123,6 +123,7 @@ class VectorStore private (
     storage.append(df)
     annAppend(df)
     docIdxAppend(df)
+    lexAppend(df)
     refreshIndex()
     ids
   }
@@ -227,6 +228,7 @@ class VectorStore private (
       storage.append(df)
       annAppend(df)
       docIdxAppend(df)
+      lexAppend(df)
       refreshIndex()
       n
     } finally df.unpersist()
@@ -264,7 +266,7 @@ class VectorStore private (
       }
     val idsDf = ids.toDF("id")
     val replaced = table.join(broadcast(idsDf), Seq("id"), "left_semi").count()
-    if (replaced > 0) { storage.delete(idsDf); annAfterDelete(); docIdxAfterDelete() }
+    if (replaced > 0) { storage.delete(idsDf); annAfterDelete(); docIdxAfterDelete(); lexAfterDelete() }
     val rows = ids.lazyZip(vecs).lazyZip(effDocs).map((i, v, d) => Row(i, v.toSeq, d))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
@@ -272,6 +274,7 @@ class VectorStore private (
     storage.append(df)
     annAppend(df)
     docIdxAppend(df)
+    lexAppend(df)
     refreshIndex()
     (replaced, ids.size - replaced)
   }
@@ -290,7 +293,7 @@ class VectorStore private (
       logWarning(s"delete: ${distinctIds - present} of $distinctIds ids not present in store")
     storage.delete(idsDf)
     annAfterDelete()
-    docIdxAfterDelete()
+    docIdxAfterDelete(); lexAfterDelete()
     refreshIndex()
     present
   }
@@ -312,7 +315,7 @@ class VectorStore private (
     if (n > 0) {
       storage.delete(ids)
       annAfterDelete()
-      docIdxAfterDelete()
+      docIdxAfterDelete(); lexAfterDelete()
       refreshIndex()
     }
     n
@@ -538,6 +541,7 @@ class VectorStore private (
         // hide the compacted-away rows still present in the index
         rebuildAnnRowsFromCentroids()
         materializedDocFields.foreach(materializeDocField)
+        if (hasLexIndex) buildLexIndex()
       case _ => ()
     }
     refreshIndex()
@@ -1568,14 +1572,78 @@ class VectorStore private (
       require(terms.nonEmpty, s"text query $i has no tokens")
       i.toLong -> terms
     }
-    val lexical = graft.operators.Bm25
-      .topKBatch(docsProj, "id", "doc", termsByQid, cap)
+    // lexical shortlist: through the posting index when built (no
+    // corpus tokenization — term-pruned posting scan, stats exact and
+    // current; the filter composes as an id semi-join on BOTH the
+    // postings and the doc-length stats), else the one-pass scan route
+    val lexical = (
+      if (hasLexIndex)
+        graft.operators.LexIndex.search(spark, lexRoot, termsByQid, cap,
+          annTombstoneMask,
+          if (filtered) Some(docMatchIds(pathSteps, values)) else None)
+      else
+        graft.operators.Bm25.topKBatch(docsProj, "id", "doc", termsByQid, cap))
       .select(col("qid").cast("int").as("qid"), col("id"),
         col("rank").cast("int").as("rank"))
     graft.operators.Evaluation.reciprocalRankFusion(
         Seq(dense, lexical), "qid", "id", "rank", topK = k, k0 = k0)
       .select(col("qid"), col("id"), col("rrf"), col("rank"))
   }
+
+  // --------------------- lexical (BM25) index --------------------- //
+  //
+  // The posting-list twin of the ANN index (see
+  // [[graft.operators.LexIndex]]): without it every [[searchHybrid]]
+  // call re-tokenizes the WHOLE corpus to fit BM25 statistics — an
+  // O(corpus) text scan per query batch, the one remaining full-scan
+  // on the hybrid path. With it, a query batch reads only its own
+  // terms' posting rows (term-pushed pruned scan) plus one doc-length
+  // aggregate, and statistics stay exact under ingest because the
+  // index appends O(batch) on every insert and masks by tombstone gen
+  // on every delete — the same lifecycle contract as the ANN and
+  // doc-field sidecars.
+
+  private def lexRoot: String = new Path(path, "lex").toString
+
+  def hasLexIndex: Boolean = graft.operators.LexIndex.exists(spark, lexRoot)
+
+  /** Build (or rebuild) the posting index over the live rows. */
+  def buildLexIndex(): Unit =
+    graft.operators.LexIndex.build(spark, lexRoot, liveWithGen,
+      "id", "doc", GenCol)
+
+  def dropLexIndex(): Unit = graft.operators.LexIndex.drop(spark, lexRoot)
+
+  private def lexAppend(batch: DataFrame): Unit = if (hasLexIndex) {
+    val gen = storage match {
+      case t: TombstoneStorage => t.currentVersion()
+      case _ => 0L
+    }
+    graft.operators.LexIndex.append(spark, lexRoot,
+      batch.withColumn(GenCol, lit(gen)), "id", "doc", GenCol)
+  }
+
+  private def lexAfterDelete(): Unit = if (hasLexIndex) {
+    val rebuild = storage match {
+      case t: TombstoneStorage => t.tombstoneCount() == 0L
+      case _ => true
+    }
+    if (rebuild) buildLexIndex()
+  }
+
+  /** Batched BM25 top-k over the store's docs: through the posting
+    * index when built (no corpus text read — term-pruned posting scan
+    * + one doc-length aggregate), else [[graft.operators.Bm25.topKBatch]]'s
+    * one-pass scan route. Identical ranking either way (spec-pinned).
+    * Returns (qid, id, bm25, rank).
+    */
+  def searchLexDF(queries: Seq[(Long, Seq[String])], k: Int): DataFrame =
+    if (hasLexIndex)
+      graft.operators.LexIndex.search(spark, lexRoot, queries, k,
+        annTombstoneMask, None)
+    else
+      graft.operators.Bm25.topKBatch(
+        table.select($"id", $"doc"), "id", "doc", queries, k)
 
   // ----------------------- doc-field index ----------------------- //
   //
@@ -1816,6 +1884,7 @@ class VectorStore private (
       if (purged > 0) {
         rebuildAnnRowsFromCentroids()
         materializedDocFields.foreach(materializeDocField)
+        if (hasLexIndex) buildLexIndex()
       }
       refreshIndex()
       purged
