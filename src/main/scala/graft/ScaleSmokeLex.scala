@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 scale smoke for the store's posting-list (BM25) index:
+  * quantifies what the index buys over the scan route at 100k docs —
+  * the scan route re-tokenizes the corpus per query batch, the indexed
+  * route reads only the queried terms' postings. Same replicated
+  * corpus recipe as [[ScaleSmokeQuant]]; numbers land in SCALE.md.
+  *
+  * {{{ sbt "runMain graft.ScaleSmokeLex" }}}
+  */
+object ScaleSmokeLex {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = "/tmp/graft_scale_smoke_lex"
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke-lex")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SMOKE $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val reps = 20
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val big = docs.crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+        concat(lit("{\"t\": \""),
+          regexp_replace(col("text"), "[\"\\\\]", " "),
+          lit(" rep"), col("rep").cast("string"), lit("\"}")).as("doc"))
+    val root = s"$base/store"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val store = graft.store.VectorStore.openOrCreate(spark, root, 4,
+      tombstoneDeletes = true)
+    timed("store insert 100k docs") {
+      store.insertDF(big.select(
+        array(lit(0f), lit(1f), lit(2f), lit(3f)).as("vec"), col("doc")))
+    }
+
+    // 100-query batch over the corpus' (hub-skewed, ~31-word) vocab —
+    // the WORST case for a posting index: every term's posting list is
+    // ~N rows, so nothing prunes and the win is purely "read postings
+    // instead of tokenizing text"
+    val vocab = Seq("spark", "window", "merge", "table", "column",
+      "vector", "stream", "value", "data", "small", "join", "filter",
+      "big", "group", "hash", "customer", "sort", "order", "slow",
+      "line", "part", "fast", "row", "agg", "key")
+    val queries: Seq[(Long, Seq[String])] = (0 until 100).map { i =>
+      i.toLong -> Seq(vocab(i % vocab.size), vocab((i + 7) % vocab.size),
+        vocab((i + 13) % vocab.size))
+    }
+
+    timed("scan route: 100-q BM25 batch (tokenize corpus)") {
+      println(s"SMOKE   rows: ${store.searchLexDF(queries, 10).count()}")
+    }
+    timed("buildLexIndex 100k") { store.buildLexIndex() }
+    val post = spark.read.parquet(s"$root/lex/postings")
+    println(s"SMOKE posting rows: ${post.count()}")
+    timed("indexed route: 100-q BM25 batch (cold)") {
+      println(s"SMOKE   rows: ${store.searchLexDF(queries, 10).count()}")
+    }
+    timed("indexed route: 100-q BM25 batch (repeat)") {
+      println(s"SMOKE   rows: ${store.searchLexDF(queries, 10).count()}")
+    }
+    timed("O(batch) append: 500-doc insert with live index") {
+      store.insertDF(docs.limit(500).select(
+        array(lit(0f), lit(1f), lit(2f), lit(3f)).as("vec"),
+        concat(lit("{\"t\": \""),
+          regexp_replace(col("text"), "[\"\\\\]", " "), lit("\"}")).as("doc")))
+    }
+    timed("indexed route after append (stats current)") {
+      println(s"SMOKE   rows: ${store.searchLexDF(queries, 10).count()}")
+    }
+    spark.stop()
+  }
+}
