@@ -924,6 +924,36 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Numeric-range doc index through the lifecycle: materialize a
+    // DOUBLE-typed ts sidecar, retention-delete below a cutoff through
+    // the pushed range scan, upsert a reused id out of the window,
+    // insert past the max id, then a range query — the "drop old
+    // crawl, query the fresh window" shape. Closed-form DuckDB replay.
+    "vs_doc_range" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_dr_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"ts\": "), (col("vec_id") * 2).cast("string"),
+            lit("}")).as("doc")))
+      store.materializeDocFieldNumeric(Seq("ts"))
+      store.deleteWhereRange(Seq("ts"), None, Some(100.0))
+      store.upsert(Seq(100L), Seq(Array.fill(64)(0.5f)),
+        Seq("{\"ts\": 9000}"))
+      store.insert(
+        Seq(Array.fill(64)(0.1f), Array.fill(64)(0.2f)),
+        Seq("{\"ts\": 200}", "{\"ts\": 9001}"))
+      store.queryByDocRangeDF(Seq("ts"), Some(150.0), Some(500.0))
+        .select(col("id"),
+          get_json_object(col("doc"), "$.ts").cast("double").as("ts"))
+        .orderBy("id")
+    }),
+
     // Predicate delete at store level: the JSON-path filter composed
     // with delete — the retention/GDPR shape where the matching id set
     // never visits the driver. DuckDB replays survivor rows directly.
@@ -5352,6 +5382,17 @@ object SparkEntry {
     "vs_delete_where" -> """
       SELECT vec_id AS id, CAST(label % 3 AS VARCHAR) AS g
       FROM embeddings WHERE vec_id < 400 AND label % 3 <> 1
+      ORDER BY id""",
+    "vs_doc_range" -> """
+      WITH base AS (
+        SELECT vec_id AS id, CAST(vec_id * 2 AS DOUBLE) AS ts
+        FROM embeddings WHERE vec_id < 400),
+      live AS (
+        SELECT id, ts FROM base WHERE ts > 100 AND id <> 100
+        UNION ALL SELECT CAST(100 AS BIGINT), 9000e0
+        UNION ALL SELECT CAST(400 AS BIGINT), 200e0
+        UNION ALL SELECT CAST(401 AS BIGINT), 9001e0)
+      SELECT id, ts FROM live WHERE ts BETWEEN 150 AND 500
       ORDER BY id""",
     "vs_doc_index" -> """
       WITH base AS (

@@ -2,7 +2,7 @@ package graft.store
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -541,6 +541,7 @@ class VectorStore private (
         // hide the compacted-away rows still present in the index
         rebuildAnnRowsFromCentroids()
         materializedDocFields.foreach(materializeDocField)
+        materializedNumericDocFields.foreach(materializeDocFieldNumeric)
         if (hasLexIndex) buildLexIndex()
       case _ => ()
     }
@@ -1408,11 +1409,7 @@ class VectorStore private (
     val hits =
       if (nProbe >= 1) searchApproxDF(queries, chunksPerQuery, nProbe, refine)
       else searchDF(queries, chunksPerQuery)
-    val jsonPath = "$." + parentPath.mkString(".")
-    val parents = table.select($"id",
-        get_json_object($"doc", jsonPath).cast("long").as("parent"))
-      .filter($"parent".isNotNull)
-    val scored = hits.join(parents, Seq("id"))
+    val scored = hits.join(parentFrame(parentPath), Seq("id"))
       .withColumn("_score", -col("distance").cast("double"))
     graft.operators.Evaluation.docTopKFromChunks(
       scored, "qid", "parent", "_score", k, pool)
@@ -1715,7 +1712,8 @@ class VectorStore private (
     */
   private def docIdxAppend(batch: DataFrame): Unit = {
     val fields = materializedDocFields
-    if (fields.nonEmpty) {
+    val numFields = materializedNumericDocFields
+    if (fields.nonEmpty || numFields.nonEmpty) {
       val gen = storage match {
         case t: TombstoneStorage => t.currentVersion()
         case _ => 0L
@@ -1724,6 +1722,11 @@ class VectorStore private (
         batch.select($"id", docValue(steps).as("value"))
           .withColumn(GenCol, lit(gen))
           .write.mode("append").parquet(docIdxDir(steps).toString)
+      }
+      numFields.foreach { steps =>
+        batch.select($"id", docValue(steps).cast("double").as("value"))
+          .withColumn(GenCol, lit(gen))
+          .write.mode("append").parquet(docIdxNumDir(steps).toString)
       }
     }
   }
@@ -1735,13 +1738,112 @@ class VectorStore private (
     */
   private def docIdxAfterDelete(): Unit = {
     val fields = materializedDocFields
-    if (fields.nonEmpty) {
+    val numFields = materializedNumericDocFields
+    if (fields.nonEmpty || numFields.nonEmpty) {
       val rebuild = storage match {
         case t: TombstoneStorage => t.tombstoneCount() == 0L
         case _ => true
       }
-      if (rebuild) fields.foreach(materializeDocField)
+      if (rebuild) {
+        fields.foreach(materializeDocField)
+        numFields.foreach(materializeDocFieldNumeric)
+      }
     }
+  }
+
+  // Numeric twin: a DOUBLE-typed sidecar serving RANGE predicates
+  // (retention windows, score thresholds, timestamp cutoffs) with the
+  // comparison pushed into the parquet scan — a cast inside the filter
+  // would block pushdown, so the cast happens once at WRITE time.
+  // Kept as a separate sidecar family (docidx_num/) because the
+  // reference's equality contract compares doc values AS STRINGS
+  // (SURVEY.md §2 R9): the string sidecar preserves that contract
+  // verbatim, the numeric one serves the beyond-reference range API
+  // with SQL cast semantics (non-numeric values ⇒ NULL ⇒ never match,
+  // identical on the scan route).
+
+  private def docIdxNumRoot = new Path(path, "docidx_num")
+
+  private def docIdxNumDir(pathSteps: Seq[String]): Path =
+    new Path(docIdxNumRoot,
+      pathSteps.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("."))
+
+  def hasDocIndexNumeric(pathSteps: Seq[String]): Boolean =
+    pathSteps.nonEmpty && docIdxFs.exists(docIdxNumDir(pathSteps))
+
+  def materializedNumericDocFields: Seq[Seq[String]] =
+    if (!docIdxFs.exists(docIdxNumRoot)) Seq.empty
+    else docIdxFs.listStatus(docIdxNumRoot).toSeq.map(_.getPath.getName)
+      .map(_.split("\\.").toSeq
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+
+  /** Materialize (or rebuild) the DOUBLE-typed sidecar for one JSON
+    * path — the range-predicate index.
+    */
+  def materializeDocFieldNumeric(pathSteps: Seq[String]): Unit = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    val staging = new Path(docIdxNumRoot,
+      s"_staging-${java.util.UUID.randomUUID()}")
+    liveWithGen.select($"id",
+      docValue(pathSteps).cast("double").as("value"), col(GenCol))
+      .write.mode("overwrite").parquet(staging.toString)
+    val target = docIdxNumDir(pathSteps)
+    if (docIdxFs.exists(target)) docIdxFs.delete(target, true)
+    if (!docIdxFs.rename(staging, target))
+      throw new java.io.IOException(
+        s"materializeDocFieldNumeric: could not activate $staging")
+  }
+
+  def dropDocFieldNumeric(pathSteps: Seq[String]): Unit = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    if (hasDocIndexNumeric(pathSteps))
+      docIdxFs.delete(docIdxNumDir(pathSteps), true)
+  }
+
+  /** Matching LIVE ids for a numeric range over a JSON path
+    * (inclusive bounds; `None` = unbounded side): the typed sidecar's
+    * pushed range scan when materialized, else a cast-and-compare
+    * table scan with identical SQL cast semantics.
+    */
+  private def docMatchIdsRange(pathSteps: Seq[String],
+      lo: Option[Double], hi: Option[Double]): DataFrame = {
+    require(lo.nonEmpty || hi.nonEmpty, "need at least one bound")
+    def bounds(v: Column): Column =
+      Seq(lo.map(v >= _), hi.map(v <= _)).flatten.reduce(_ && _)
+    if (hasDocIndexNumeric(pathSteps))
+      annTombstoneMask(spark.read.parquet(docIdxNumDir(pathSteps).toString))
+        .filter(bounds(col("value")))
+        .select($"id")
+    else
+      table.filter(bounds(docValue(pathSteps).cast("double")))
+        .select($"id")
+  }
+
+  /** Rows whose doc value at `$.path` falls in `[lo, hi]` (numeric,
+    * SQL cast semantics) — the range twin of [[queryByDocDF]].
+    */
+  def queryByDocRangeDF(pathSteps: Seq[String],
+      lo: Option[Double], hi: Option[Double]): DataFrame = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    table.join(docMatchIdsRange(pathSteps, lo, hi), Seq("id"), "left_semi")
+  }
+
+  /** Predicate delete over a numeric range — the retention shape
+    * ("drop everything with ts below the cutoff") with the matching id
+    * set flowing storage-to-storage through the pushed sidecar scan.
+    */
+  def deleteWhereRange(pathSteps: Seq[String],
+      lo: Option[Double], hi: Option[Double]): Long = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    val ids = docMatchIdsRange(pathSteps, lo, hi).localCheckpoint(true)
+    val n = ids.count()
+    if (n > 0) {
+      storage.delete(ids)
+      annAfterDelete()
+      docIdxAfterDelete(); lexAfterDelete()
+      refreshIndex()
+    }
+    n
   }
 
   /** Matching LIVE ids for a JSON-path filter: through the masked
@@ -1766,6 +1868,21 @@ class VectorStore private (
       table.join(docMatchIds(pathSteps, values), Seq("id"), "left_semi")
     else
       table.filter(docValue(pathSteps).isin(values.map(_.toString): _*))
+
+  /** Live `(id, parent)` pairs for the parent-rollup joins: through
+    * the STRING sidecar when `parentPath` is materialized — same
+    * string→long cast as the scan route, so semantics are identical,
+    * but the scan reads a slim 3-column sidecar instead of parsing the
+    * doc JSON of every row — else the column-pruned table scan.
+    */
+  private def parentFrame(parentPath: Seq[String]): DataFrame =
+    (if (hasDocIndex(parentPath))
+      annTombstoneMask(spark.read.parquet(docIdxDir(parentPath).toString))
+        .select($"id", col("value").cast("long").as("parent"))
+    else
+      table.select($"id",
+        docValue(parentPath).cast("long").as("parent")))
+      .filter($"parent".isNotNull)
 
   /** JSON-path filter (reference: vector_store.py:334-356): rows whose
     * `doc` JSON value at `$.path` is in `values`. Values compare as
@@ -1884,6 +2001,7 @@ class VectorStore private (
       if (purged > 0) {
         rebuildAnnRowsFromCentroids()
         materializedDocFields.foreach(materializeDocField)
+        materializedNumericDocFields.foreach(materializeDocFieldNumeric)
         if (hasLexIndex) buildLexIndex()
       }
       refreshIndex()

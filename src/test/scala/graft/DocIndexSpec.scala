@@ -101,6 +101,66 @@ class DocIndexSpec extends SparkSuite {
     m.map(_.group(1)).getOrElse("?")
   }
 
+  test("numeric range index: parity, lifecycle, retention delete, pushdown") {
+    val store = mkStore("num")
+    store.insert((0 until 30).map(vec),
+      (0 until 30).map(i => s"""{"ts": ${i * 10}, "g": "${i % 3}"}"""))
+    // scan route baseline
+    val scanIds = store.queryByDocRangeDF(Seq("ts"), Some(50.0), Some(120.0))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(scanIds == (5L to 12L).toSeq)
+    store.materializeDocFieldNumeric(Seq("ts"))
+    assert(store.hasDocIndexNumeric(Seq("ts")))
+    assert(store.queryByDocRangeDF(Seq("ts"), Some(50.0), Some(120.0))
+      .select($"id").as[Long].collect().sorted.toSeq == scanIds)
+    // unbounded sides
+    assert(store.queryByDocRangeDF(Seq("ts"), None, Some(25.0))
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // post-materialization insert picked up
+    store.insert(Seq(vec(99)), Seq("""{"ts": 55, "g": "9"}"""))
+    assert(store.queryByDocRangeDF(Seq("ts"), Some(50.0), Some(60.0))
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 30L))
+    // range pushdown reaches the typed sidecar scan
+    val plan = store.queryByDocRangeDF(Seq("ts"), Some(50.0), Some(120.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("get_json_object"),
+      s"indexed range route must not parse JSON:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(value,50.0)")
+      && plan.contains("LessThanOrEqual(value,120.0)"),
+      s"range bounds must be pushed into the sidecar scan:\n$plan")
+    // retention delete through the index; non-numeric docs never match
+    val n = store.deleteWhereRange(Seq("ts"), None, Some(95.0))
+    assert(n == 11, s"expected 11 rows below the cutoff, got $n")
+    assert(store.queryByDocRangeDF(Seq("ts"), None, Some(1e9))
+      .select($"id").as[Long].collect().sorted.toSeq == (10L to 29L).toSeq)
+    // upsert with changed ts under a reused id: stale value must not match
+    store.upsert(Seq(15L), Seq(vec(1)), Seq("""{"ts": 9999, "g": "0"}"""))
+    assert(!store.queryByDocRangeDF(Seq("ts"), Some(150.0), Some(150.0))
+      .select($"id").as[Long].collect().contains(15L))
+    assert(store.queryByDocRangeDF(Seq("ts"), Some(9000.0), None)
+      .select($"id").as[Long].collect().toSeq == Seq(15L))
+    store.dropDocFieldNumeric(Seq("ts"))
+    assert(!store.hasDocIndexNumeric(Seq("ts")))
+  }
+
+  test("parent-doc rollup dispatches through the string sidecar, same results") {
+    val store = mkStore("par2")
+    // 12 chunks over 4 parents
+    store.insert((0 until 12).map(vec),
+      (0 until 12).map(i => s"""{"p": ${i / 3}}"""))
+    val q = Seq((0L, vec(4))).toDF("qid", "qvec")
+    val before = store.searchParentDocsDF(q, k = 3, Seq("p"),
+      chunksPerQuery = 6).collect().map(_.toSeq).toSeq
+    store.materializeDocField(Seq("p"))
+    val after = store.searchParentDocsDF(q, k = 3, Seq("p"),
+      chunksPerQuery = 6)
+    assert(after.collect().map(_.toSeq).toSeq == before,
+      "sidecar parent route must return identical rollups")
+    val plan = after.queryExecution.executedPlan.toString
+    assert(!plan.contains("get_json_object"),
+      s"materialized parent path must not JSON-parse at query time:\n$plan")
+  }
+
   test("predicate is pushed into the sidecar scan; no JSON parse in the plan") {
     val store = mkStore("push")
     seed(store, 16)
