@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted inverted (posting-list) index for BM25 retrieval — the
@@ -34,6 +34,47 @@ object LexIndex {
   def postingsPath(root: String): String = new Path(root, "postings").toString
   def doclensPath(root: String): String = new Path(root, "doclens").toString
 
+  /** Number of term-hash partitions of the posting table. Postings are
+    * written `PARTITIONED BY (bucket = pmod(xxhash64(term), n))`, so a
+    * query's terms resolve to a handful of partition DIRECTORIES and
+    * the scan skips every other one at file-listing time — the
+    * guarantee row-group min/max stats only give probabilistically.
+    * Persisted beside the postings so append and search always agree
+    * with the build.
+    */
+  private def bucketsPath(root: String) = new Path(root, "nbuckets")
+
+  private def readBuckets(spark: SparkSession, root: String): Int = {
+    val p = bucketsPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+    }
+  }
+
+  private def writeBuckets(spark: SparkSession, root: String, n: Int): Unit = {
+    val p = bucketsPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def bucketOf(term: Column, n: Int): Column =
+    pmod(xxhash64(term), lit(n.toLong))
+
+  /** Partition buckets of the given terms — one tiny local job (the
+    * hash must be Spark's own xxhash64, so it is evaluated by Spark,
+    * not re-implemented on the driver).
+    */
+  private def termBuckets(spark: SparkSession, terms: Seq[String],
+      n: Int): Seq[Long] = {
+    import spark.implicits._
+    terms.toDF("term").select(bucketOf(col("term"), n))
+      .collect().map(_.getLong(0)).distinct.toSeq
+  }
+
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(postingsPath(root))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -65,19 +106,32 @@ object LexIndex {
     (postings, doclens)
   }
 
-  /** Full build (overwrite): one pass over the live corpus. */
+  /** Full build (overwrite): one pass over the live corpus.
+    * `buckets >= 1` partitions the postings by term hash (see
+    * [[bucketsPath]]); the bucket count is persisted so appends and
+    * searches stay consistent.
+    */
   def build(spark: SparkSession, root: String, docs: DataFrame,
-      idCol: String, textCol: String, genCol: String): Unit = {
+      idCol: String, textCol: String, genCol: String,
+      buckets: Int = 16): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val (postings, doclens) = indexRows(docs, idCol, textCol, genCol)
-    postings.write.mode("overwrite").parquet(postingsPath(root))
+    postings.withColumn("bucket", bucketOf(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(postingsPath(root))
     doclens.write.mode("overwrite").parquet(doclensPath(root))
+    writeBuckets(spark, root, buckets)
   }
 
   /** O(batch) append — the insert-path hook. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, textCol: String, genCol: String): Unit = {
+    val buckets = readBuckets(spark, root)
+    require(buckets >= 1, s"no bucket marker under $root — build first")
     val (postings, doclens) = indexRows(batch, idCol, textCol, genCol)
-    postings.write.mode("append").parquet(postingsPath(root))
+    postings.withColumn("bucket", bucketOf(col("term"), buckets))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(postingsPath(root))
     doclens.write.mode("append").parquet(doclensPath(root))
   }
 
@@ -120,7 +174,16 @@ object LexIndex {
     if (n == 0L) return empty
     val avgdl = statsRow.getDouble(1)
     val avgdlSafe = if (avgdl <= 0.0) 1.0 else avgdl
-    val post = restrict(mask(spark.read.parquet(postingsPath(root))))
+    val nBuckets = readBuckets(spark, root)
+    val qBuckets = if (nBuckets >= 1)
+      termBuckets(spark, allTerms, nBuckets) else Seq.empty
+    val postRaw = spark.read.parquet(postingsPath(root))
+    val postPruned = if (nBuckets >= 1)
+      // partition-directory pruning: only the query terms' buckets are
+      // even LISTED, before the row-level term filter applies
+      postRaw.filter(col("bucket").isin(qBuckets: _*))
+    else postRaw
+    val post = restrict(mask(postPruned))
       .filter(col("term").isin(allTerms: _*)) // pushed into the scan
     val dfByTerm = post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))

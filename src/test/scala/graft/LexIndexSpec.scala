@@ -95,11 +95,18 @@ class LexIndexSpec extends SparkSuite {
     store.buildLexIndex()
     val root = new org.apache.hadoop.fs.Path(store.path, "lex/postings")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = fs.listStatus(root).filter(_.isFile)
-      .map(f => f.getPath.getName -> f.getLen).toMap
+    def files() = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += f.getPath.toString -> f.getLen
+      }
+      b.result().toMap
+    }
+    val before = files()
     store.insert(Seq(vec(1)), Seq(docText(77)))
-    val after = fs.listStatus(root).filter(_.isFile)
-      .map(f => f.getPath.getName -> f.getLen).toMap
+    val after = files()
     assert(before.forall { case (name, len) => after.get(name).contains(len) },
       "existing posting files must not be rewritten by an append")
     assert(after.size > before.size, "append must add posting files")
@@ -117,6 +124,8 @@ class LexIndexSpec extends SparkSuite {
       s"indexed route must not scan the corpus data files:\n$plan")
     assert(plan.contains("PushedFilters: [In(term") || plan.contains("In(term,"),
       s"query terms must be pushed into the posting scan:\n$plan")
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"term-hash buckets must prune posting partitions at listing time:\n$plan")
     // hybrid search composes the indexed lexical side
     val emb = (0 until 25).map(i => vec(i))
     val hybrid = store.searchHybrid(Seq(emb(3)), Seq("w1 common"), k = 3,
