@@ -982,6 +982,51 @@ object SparkEntry {
     // order-independent invariants (volume, per-origin identity, id
     // contiguity) — file pickup order is an engine detail, id
     // continuity is the contract.
+    // Streaming ingest with a LIVE posting index: the index is built
+    // on the empty store, four real micro-batches append O(batch)
+    // posting deltas through the insertDF hook, and the post-stream
+    // BM25 search must see EXACT statistics (N, avgdl, df) over
+    // everything ingested. Output is per-query order-independent
+    // aggregates (file pickup order is an engine detail; scores are
+    // id-free), replayed closed-form by DuckDB.
+    "st_stream_lex" -> ((s, dir) =>
+      withConfs(s, NanosKey -> "true", ShufKey -> "8") {
+        val root = s"$scratchRoot/vs_slx_store"
+        val srcDir = s"$scratchRoot/vs_slx_src"
+        val ck = s"$scratchRoot/vs_slx_ck"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(root, srcDir, ck).foreach { d =>
+          val dp = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(dp)) fs.delete(dp, true)
+        }
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
+          .select(col("vec_id"), col("embedding"))
+        emb.repartitionByRange(4, col("vec_id")).write.parquet(srcDir)
+        val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+          tombstoneDeletes = true)
+        store.buildLexIndex()
+        val schema = s.read.parquet(srcDir).schema
+        val wtok = concat(lit("w"), (col("vec_id") % 7).cast("string"))
+        val reps = array_join(
+          array_repeat(wtok, (col("vec_id") % 3 + 1).cast("int")), " ")
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .select(col("embedding").as("vec"),
+            concat(lit("{\"t\": \"pad "), reps,
+              lit(" common pad\", \"o\": "),
+              col("vec_id").cast("string"), lit("}")).as("doc"),
+            col("vec_id"))
+        val q = store.ingestStream(src, ck, orderCols = Seq(col("vec_id")))
+        q.awaitTermination()
+        store.searchLexDF(Seq(0L -> Seq("w3"), 1L -> Seq("common")), k = 500)
+          .groupBy("qid").agg(
+            count(lit(1)).as("n_hits"),
+            hround(sum(col("bm25")), 3).as("sum_bm25"),
+            max(col("bm25")).as("max_bm25"))
+          .orderBy("qid")
+      }),
+
     "st_stream_ingest" -> ((s, dir) =>
       withConfs(s, NanosKey -> "true", ShufKey -> "8") {
         val root = s"$scratchRoot/vs_ing_store"
@@ -5406,6 +5451,33 @@ object SparkEntry {
         UNION ALL SELECT CAST(400 AS BIGINT), '3'
         UNION ALL SELECT CAST(401 AS BIGINT), '1')
       SELECT id, g FROM allrows WHERE g IN ('1', '3') ORDER BY id""",
+    "st_stream_lex" -> {
+      def sc(tf: String, df: String) =
+        s"ln(1e0 + (n - $df + 0.5e0)/($df + 0.5e0)) * $tf * 2.2e0" +
+          s" / ($tf + 1.2e0*(0.25e0 + 0.75e0*CAST(reps + 6 AS DOUBLE)/avgdl))"
+      s"""
+      WITH f AS (
+        SELECT vec_id AS id, vec_id % 3 + 1 AS reps, vec_id % 7 AS wl
+        FROM embeddings WHERE vec_id < 400),
+      s AS (
+        SELECT count(*) AS n, avg(CAST(reps + 6 AS DOUBLE)) AS avgdl,
+               sum(CASE WHEN wl = 3 THEN 1 ELSE 0 END) AS dfw3,
+               count(*) AS dfc
+        FROM f),
+      scs AS (
+        SELECT CAST(0 AS BIGINT) AS qid,
+               ${graft.functions.hroundSql(
+                 sc("CAST(reps AS DOUBLE)", "dfw3"), 4)} AS bm25
+        FROM f, s WHERE wl = 3
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               ${graft.functions.hroundSql(sc("1e0", "dfc"), 4)}
+        FROM f, s)
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+             ${graft.functions.hroundSql("sum(bm25)", 3)} AS sum_bm25,
+             max(bm25) AS max_bm25
+      FROM scs GROUP BY qid ORDER BY qid"""
+    },
     "st_stream_ingest" -> """
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(count(DISTINCT vec_id) AS BIGINT) AS n_orig,

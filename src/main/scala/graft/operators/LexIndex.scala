@@ -44,6 +44,10 @@ object LexIndex {
     */
   private def bucketsPath(root: String) = new Path(root, "nbuckets")
 
+  /** The persisted partition count (0 = legacy unbucketed layout). */
+  def buckets(spark: SparkSession, root: String): Int =
+    readBuckets(spark, root)
+
   private def readBuckets(spark: SparkSession, root: String): Int = {
     val p = bucketsPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -29,6 +29,17 @@ case class AnnIndexStats(kind: String, metric: String, nCells: Long,
     nEmptyCells: Long, nIndexRows: Long, nDeadRows: Long,
     minCellRows: Long, p50CellRows: Long, maxCellRows: Long,
     imbalance: Double, deadRowFraction: Double)
+/** Posting-index health snapshot — the numbers that drive its
+  * maintenance loop: `deadPostingFraction` (tombstoned rows the scans
+  * still read) and `nFiles` (append accumulation: every O(batch)
+  * insert adds up to `nBuckets` small files) both argue for a
+  * [[VectorStore.buildLexIndex]] rebuild, which is the index's
+  * compaction.
+  */
+case class LexIndexStats(nPostingRows: Long, nDeadPostings: Long,
+    deadPostingFraction: Double, nDistinctTerms: Long, nDocs: Long,
+    nDeadDocs: Long, avgdl: Double, nBuckets: Int, nFiles: Long)
+
 /** Fuzzy doc search distances are float64 (reference: vector_store.py:386-387). */
 case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: Double)
 
@@ -1641,6 +1652,36 @@ class VectorStore private (
     else
       graft.operators.Bm25.topKBatch(
         table.select($"id", $"doc"), "id", "doc", queries, k)
+
+  /** Posting-index health snapshot (see [[LexIndexStats]]): one
+    * aggregate over the postings, one over the doc lengths, one
+    * recursive file count — bounded driver state.
+    */
+  def lexIndexStats(): LexIndexStats = {
+    require(hasLexIndex, "no posting index — buildLexIndex first")
+    val postP = graft.operators.LexIndex.postingsPath(lexRoot)
+    val post = spark.read.parquet(postP)
+    val pAgg = post.agg(org.apache.spark.sql.functions.count(lit(1)),
+      countDistinct(col("term"))).head()
+    val (pRows, nTerms) = (pAgg.getLong(0), pAgg.getLong(1))
+    val pLive = annTombstoneMask(post.select($"id", col(GenCol))).count()
+    val dls = spark.read.parquet(graft.operators.LexIndex.doclensPath(lexRoot))
+    val dRows = dls.count()
+    val liveD = annTombstoneMask(dls)
+    val dAgg = liveD.agg(org.apache.spark.sql.functions.count(lit(1)),
+      avg(col("dl"))).head()
+    val (nDocs, avgdl) = (dAgg.getLong(0),
+      if (dAgg.isNullAt(1)) 0.0 else dAgg.getDouble(1))
+    val pp = new Path(postP)
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nFiles = 0L
+    val it = fs.listFiles(pp, true)
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1 }
+    LexIndexStats(pRows, pRows - pLive,
+      (pRows - pLive).toDouble / math.max(pRows, 1L), nTerms,
+      nDocs, dRows - nDocs, avgdl,
+      graft.operators.LexIndex.buckets(spark, lexRoot), nFiles)
+  }
 
   // ----------------------- doc-field index ----------------------- //
   //

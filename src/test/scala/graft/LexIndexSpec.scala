@@ -133,6 +133,24 @@ class LexIndexSpec extends SparkSuite {
     assert(hybrid.count() > 0)
   }
 
+  test("lexIndexStats: dead accounting after delete, file growth after append") {
+    val store = mkStore("stats")
+    seed(store, 20)
+    store.buildLexIndex()
+    val s0 = store.lexIndexStats()
+    assert(s0.nDocs == 20 && s0.nDeadDocs == 0 && s0.nDeadPostings == 0)
+    assert(s0.nPostingRows > 0 && s0.nDistinctTerms > 0)
+    assert(s0.avgdl > 0.0 && s0.nBuckets == 16 && s0.nFiles > 0)
+    store.delete(Seq(0L, 1L))
+    val s1 = store.lexIndexStats()
+    assert(s1.nDocs == 18 && s1.nDeadDocs == 2)
+    assert(s1.nDeadPostings > 0 && s1.deadPostingFraction > 0.0)
+    store.insert(Seq(vec(5)), Seq(docText(9)))
+    val s2 = store.lexIndexStats()
+    assert(s2.nDocs == 19)
+    assert(s2.nFiles > s1.nFiles, "append must add posting files (rebuild is the compaction)")
+  }
+
   test("filtered search restricts postings AND statistics") {
     val store = mkStore("filt")
     // two sources; equal text per id parity so the filter is the only difference
