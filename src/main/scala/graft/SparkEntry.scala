@@ -1242,6 +1242,31 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Diversified retrieval through the store: exact shortlist over
+    // the live (post-delete) rows, then per-query greedy MMR. DuckDB
+    // replays the shortlist AND the whole greedy recursion with
+    // per-rank scores.
+    "vs_diverse" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_div_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"), lit("{}").as("doc")))
+      store.delete(Seq(0L, 3L, 6L))
+      val qdf = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"),
+          col("embedding").as("qvec"))
+      store.searchDiverseDF(qdf, k = 5, shortlist = 12)
+        .select(col("qid").cast("long").as("qid"), col("id"),
+          col("rank").cast("int").as("rank"),
+          hround(col("mmr_score"), 4).as("mmr"))
+        .orderBy("qid", "rank")
+    }),
+
     "vs_hybrid" -> ((s, dir) => {
       val root = s"$scratchRoot/vs_hyb_store"
       val p = new org.apache.hadoop.fs.Path(root)
@@ -5507,6 +5532,52 @@ object SparkEntry {
     // exactly (tf DESC, id) whatever ln() returns, so the oracle never
     // computes a BM25 score; RRF reciprocals of integer ranks are
     // engine-exact IEEE ops.
+    "vs_diverse" -> raw"""
+      WITH RECURSIVE live AS (
+        SELECT vec_id AS id, embedding AS vec FROM embeddings
+        WHERE vec_id < 500 AND vec_id NOT IN (0, 3, 6)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      cand AS (
+        SELECT q.qid, l.id, -list_distance(l.vec, q.qvec) AS score, l.vec,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(l.vec, q.qvec), l.id) AS rn
+        FROM live l CROSS JOIN q),
+      sl AS (SELECT qid, id, score, vec FROM cand WHERE rn <= 12),
+      sel(qid, step, ids) AS (
+        SELECT qid, 0, CAST([] AS BIGINT[])
+        FROM (SELECT DISTINCT qid FROM sl)
+        UNION ALL
+        SELECT sel.qid, step + 1, list_append(ids, (
+          SELECT s.id FROM sl s
+          WHERE s.qid = sel.qid AND NOT list_contains(sel.ids, s.id)
+          ORDER BY (0.5e0 * s.score - 0.5e0 * coalesce((
+              SELECT max(list_cosine_similarity(s.vec, p.vec)) FROM sl p
+              WHERE p.qid = sel.qid AND list_contains(sel.ids, p.id)),
+              0e0)) DESC, s.id
+          LIMIT 1))
+        FROM sel WHERE step < 5),
+      fin AS (SELECT qid, ids FROM sel WHERE step = 5),
+      st AS (
+        SELECT qid, CAST(i AS INTEGER) AS rank,
+               ids[CAST(i AS INTEGER)] AS id, ids
+        FROM fin, range(1, 6) AS t(i)),
+      scored AS (
+        SELECT st.qid, st.id, st.rank,
+               0.5e0 * (SELECT s.score FROM sl s
+                        WHERE s.qid = st.qid AND s.id = st.id)
+             - 0.5e0 * coalesce((
+                 SELECT max(list_cosine_similarity(a.vec, b.vec))
+                 FROM sl a, sl b
+                 WHERE a.qid = st.qid AND a.id = st.id
+                   AND b.qid = st.qid
+                   AND list_contains(st.ids[1:st.rank - 1], b.id)), 0e0)
+               AS mmr
+        FROM st)
+      SELECT CAST(qid AS BIGINT) AS qid, id, rank,
+             ${graft.functions.hroundSql("mmr", 4)} AS mmr
+      FROM scored ORDER BY qid, rank""",
+
     "vs_lex_index" -> {
       def term(tf: String, df: String) =
         s"ln(1e0 + (n - $df + 0.5e0)/($df + 0.5e0)) * $tf * 2.2e0" +

@@ -1653,6 +1653,31 @@ class VectorStore private (
       graft.operators.Bm25.topKBatch(
         table.select($"id", $"doc"), "id", "doc", queries, k)
 
+  /** Diversity-aware retrieval — MMR (Carbonell & Goldstein 1998) over
+    * a per-query shortlist: retrieve `shortlist` nearest live rows
+    * (indexed pruned path when `nProbe >= 1`, exact otherwise), then
+    * greedily re-rank by `lambda·relevance − (1−lambda)·max-cos-to-
+    * picked` ([[graft.operators.Mmr.rerankDistributed]] — the greedy
+    * runs per query ON THE EXECUTORS, one bounded shortlist per task).
+    * Relevance is `−distance`; `lambda = 1` degenerates to plain
+    * nearest-neighbor order. The RAG-serving "don't hand the LLM five
+    * near-identical chunks" journey at store level. Returns
+    * (qid, id, rank, mmr_score), rank 1..k per qid.
+    */
+  def searchDiverseDF(queries: DataFrame, k: Int, shortlist: Int,
+      lambda: Double = 0.5, nProbe: Int = 0, refine: Int = 0): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) — MMR only re-ranks")
+    val hits =
+      if (nProbe >= 1) searchApproxDF(queries, shortlist, nProbe, refine)
+      else searchDF(queries, shortlist)
+    val cands = hits.join(indexDf, Seq("id"))
+      .select(col("qid"), col("id"),
+        (-col("distance").cast("double")).as("score"), col("vec"))
+    graft.operators.Mmr.rerankDistributed(
+      cands, "qid", "id", "score", "vec", k, lambda)
+  }
+
   /** Posting-index health snapshot (see [[LexIndexStats]]): one
     * aggregate over the postings, one over the doc lengths, one
     * recursive file count — bounded driver state.

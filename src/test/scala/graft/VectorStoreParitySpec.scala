@@ -1415,6 +1415,30 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](s.deleteWhere(Seq.empty, Seq("b")))
   }
 
+  test("searchDiverseDF: lambda=1 is NN order, diversity breaks clumps, no dups") {
+    import spark.implicits._
+    val s = freshStore(4)
+    // a tight clump near the query plus spread-out singletons: plain
+    // NN fills top-3 from the clump; MMR at low lambda must not
+    val rows: Seq[Array[Float]] =
+      Seq(Array(1f, 0f, 0f, 0f), Array(0.99f, 0.01f, 0f, 0f),
+        Array(0.98f, 0.02f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+        Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    s.insert(rows)
+    val q = Seq((0, Array(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    val nn = s.searchDiverseDF(q, k = 3, shortlist = 6, lambda = 1.0)
+      .orderBy("rank").select($"id").as[Long].collect().toSeq
+    assert(nn == Seq(0L, 1L, 2L), s"lambda=1 must be plain NN order: $nn")
+    val div = s.searchDiverseDF(q, k = 3, shortlist = 6, lambda = 0.3)
+      .orderBy("rank").select($"id").as[Long].collect().toSeq
+    assert(div.head == 0L, "first pick is pure relevance")
+    assert(div.distinct.size == 3)
+    assert(!(div.toSet == Set(0L, 1L, 2L)),
+      s"low lambda must escape the clump: $div")
+    intercept[IllegalArgumentException](
+      s.searchDiverseDF(q, k = 5, shortlist = 3))
+  }
+
   test("ingestStream: micro-batches append through insertDF, ids continue") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, element_at, get_json_object, lit}
