@@ -1242,6 +1242,32 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // nProbe auto-tuning: measure recall@5 on a held-out query sample
+    // at each ladder arm against the exact search, stop at the first
+    // arm meeting the target. DuckDB replays EVERYTHING downstream of
+    // the k-means fit from the persisted centroid contract: exact
+    // truth, assignment, per-query probe ranking, per-arm top-k,
+    // recall, and the early-stop cut.
+    "vs_ann_tune" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_tune_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
+      val qs = emb.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (_, frontier) = store.tuneNProbe(qs, k = 5,
+        targetRecall = 0.9, ladder = Seq(1, 2, 4))
+      frontier.select(col("n_probe"),
+        hround(col("recall"), 4).as("recall"), col("meets_target"))
+        .orderBy("n_probe")
+    }),
+
     // Diversified retrieval through the store: exact shortlist over
     // the live (post-delete) rows, then per-query greedy MMR. DuckDB
     // replays the shortlist AND the whole greedy recursion with
@@ -5532,6 +5558,59 @@ object SparkEntry {
     // exactly (tf DESC, id) whatever ln() returns, so the oracle never
     // computes a BM25 score; RRF reciprocals of integer ranks are
     // engine-exact IEEE ops.
+    "vs_ann_tune" -> raw"""
+      WITH c AS (
+        SELECT centroid_id, centroid
+        FROM read_parquet('$scratchRoot/vs_tune_store/ann/centroids/*.parquet')),
+      live AS (SELECT vec_id AS id, embedding AS vec
+               FROM embeddings WHERE vec_id < 500),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id % 50 = 7),
+      exact AS (
+        SELECT qid, id FROM (
+          SELECT q.qid, l.id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(l.vec, q.qvec), l.id) AS rn
+          FROM live l CROSS JOIN q) WHERE rn <= 5),
+      nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM exact),
+      assign AS (
+        SELECT id, vec, centroid_id FROM (
+          SELECT l.id, l.vec, c.centroid_id,
+                 row_number() OVER (PARTITION BY l.id
+                   ORDER BY list_distance(l.vec, c.centroid), c.centroid_id)
+                   AS arn
+          FROM live l CROSS JOIN c) WHERE arn = 1),
+      prank AS (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(q.qvec, c.centroid), c.centroid_id)
+                 AS prn
+        FROM q CROSS JOIN c),
+      arms(p) AS (VALUES (1), (2), (4), (8)),
+      probed AS (
+        SELECT a.p, pr.qid, s.id,
+               row_number() OVER (PARTITION BY a.p, pr.qid
+                 ORDER BY list_distance(s.vec, q.qvec), s.id) AS rn
+        FROM arms a
+        JOIN prank pr ON pr.prn <= a.p
+        JOIN assign s ON s.centroid_id = pr.centroid_id
+        JOIN q ON q.qid = pr.qid),
+      hitc AS (
+        SELECT pp.p, CAST(count(*) AS DOUBLE) AS hits
+        FROM (SELECT p, qid, id FROM probed WHERE rn <= 5) pp
+        JOIN exact e ON e.qid = pp.qid AND e.id = pp.id
+        GROUP BY pp.p),
+      rec AS (
+        SELECT a.p, coalesce(h.hits, 0) / nt.n AS recall
+        FROM arms a LEFT JOIN hitc h ON h.p = a.p CROSS JOIN nt),
+      flagged AS (SELECT p, recall, recall >= 0.9e0 AS meets FROM rec),
+      cut AS (SELECT coalesce(min(p) FILTER (WHERE meets), 1000000) AS firstp
+              FROM flagged)
+      SELECT CAST(p AS INTEGER) AS n_probe,
+             ${graft.functions.hroundSql("recall", 4)} AS recall,
+             meets AS meets_target
+      FROM flagged, cut WHERE p <= firstp ORDER BY n_probe""",
+
     "vs_diverse" -> raw"""
       WITH RECURSIVE live AS (
         SELECT vec_id AS id, embedding AS vec FROM embeddings

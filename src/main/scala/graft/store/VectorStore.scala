@@ -1653,6 +1653,51 @@ class VectorStore private (
       graft.operators.Bm25.topKBatch(
         table.select($"id", $"doc"), "id", "doc", queries, k)
 
+  /** Auto-tune the probe width: measure recall@k of the ANN index on a
+    * QUERY SAMPLE against the exact search, walking `ladder` upward
+    * until `targetRecall` is met (the ladder is clamped to the cell
+    * count, whose full probe degenerates to exact — recall 1.0 — so
+    * the walk always terminates). Returns the chosen `nProbe` plus the
+    * measured frontier `(n_probe, recall, meets_target)` up to and
+    * including the chosen arm.
+    *
+    * This is the operational loop `ir_ann_sweep` publishes as a study:
+    * recall-vs-probe is DATA-dependent (cluster balance, query
+    * distribution), so the right nProbe is measured, not guessed. Cost
+    * model: ONE exact brute scan of the live rows (the ground truth)
+    * plus one partition-pruned probed search per visited arm, all over
+    * the sample only — run it at deploy/reindex time on a few hundred
+    * held-out queries, not per query batch.
+    */
+  def tuneNProbe(sample: DataFrame, k: Int, targetRecall: Double,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): (Int, DataFrame) = {
+    require(hasAnnIndex, s"no ANN index at $annPath — call buildAnnIndex() first")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.head >= 1,
+      s"ladder must be ascending positive ints, got $ladder")
+    import spark.implicits._
+    val nCells = spark.read.parquet(s"$annPath/centroids").count().toInt
+    val lad = (ladder.filter(_ < nCells) :+ nCells).distinct
+    val exact = searchDF(sample, k).select(col("qid"), col("id"))
+      .localCheckpoint(true)
+    val nTruth = exact.count().toDouble
+    val rows = Seq.newBuilder[(Int, Double, Boolean)]
+    var chosen = -1
+    val it = lad.iterator
+    while (it.hasNext && chosen < 0) {
+      val p = it.next()
+      val hits = searchApproxDF(sample, k, p).select(col("qid"), col("id"))
+        .join(exact, Seq("qid", "id"), "left_semi").count()
+      val recall = if (nTruth == 0.0) 1.0 else hits / nTruth
+      val meets = recall >= targetRecall
+      rows += ((p, recall, meets))
+      if (meets) chosen = p
+    }
+    val frontier = rows.result().toDF("n_probe", "recall", "meets_target")
+    (if (chosen < 0) nCells else chosen, frontier)
+  }
+
   /** Diversity-aware retrieval — MMR (Carbonell & Goldstein 1998) over
     * a per-query shortlist: retrieve `shortlist` nearest live rows
     * (indexed pruned path when `nProbe >= 1`, exact otherwise), then

@@ -1415,6 +1415,38 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](s.deleteWhere(Seq.empty, Seq("b")))
   }
 
+  test("tuneNProbe: walks the ladder, full probe is recall 1.0, contracts hold") {
+    import spark.implicits._
+    val s = freshStore(4)
+    s.insert((0 until 64).map(i =>
+      Array((i % 8).toFloat, (i / 8).toFloat, (i % 3).toFloat, 1f)))
+    s.buildAnnIndex(nCentroids = 4, iters = 2, seedRounds = 0)
+    val sample = (0 until 8).map(i =>
+      (i.toLong, Array((i % 8).toFloat, i.toFloat / 8, 0.5f, 1f)))
+      .toDF("qid", "qvec")
+    // target 1.0: terminates, last arm meets, recall exactly 1.0 at
+    // the clamped full-probe arm if reached
+    val (p1, f1) = s.tuneNProbe(sample, k = 3, targetRecall = 1.0,
+      ladder = Seq(1, 2))
+    val rows1 = f1.as[(Int, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows1.last._3, "walk must stop on a meeting arm")
+    assert(rows1.last._1 == p1)
+    assert(rows1.map(_._1).toSeq == rows1.map(_._1).sorted.toSeq)
+    // a tiny target stops at the first arm
+    val (p2, f2) = s.tuneNProbe(sample, k = 3, targetRecall = 0.01,
+      ladder = Seq(1, 2, 4))
+    assert(f2.count() == 1 && p2 == 1)
+    // full-probe arm (ladder past cell count clamps to 4) is exact
+    val (_, f3) = s.tuneNProbe(sample, k = 3, targetRecall = 1.0,
+      ladder = Seq(4))
+    val last3 = f3.as[(Int, Double, Boolean)].collect().maxBy(_._1)
+    assert(last3._1 == 4 && last3._2 == 1.0 && last3._3)
+    intercept[IllegalArgumentException](
+      s.tuneNProbe(sample, 3, 0.0))
+    intercept[IllegalArgumentException](
+      s.tuneNProbe(sample, 3, 0.9, ladder = Seq(4, 2)))
+  }
+
   test("searchDiverseDF: lambda=1 is NN order, diversity breaks clumps, no dups") {
     import spark.implicits._
     val s = freshStore(4)
