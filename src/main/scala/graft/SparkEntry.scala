@@ -4255,33 +4255,27 @@ object SparkEntry {
     // lambda=0.5 must actually diversify (picks differ) — non-vacuous.
     // The executor-side batch path (flatMapGroups, no driver collect)
     // must agree with the driver kernel pick-for-pick, score included.
+    // MMR over a cosine top-20 shortlist, λ = 0.5 — the gate outputs
+    // the ACTUAL diverse ranking and DuckDB replays the shortlist plus
+    // the whole greedy recursion (upgrade from the former constant
+    // self-consistency oracle; the λ=1 degeneracy and driver≡
+    // distributed invariants live in AnnSpec).
     "ann_mmr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val cands = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
+      // corpus excludes the query ids: a self-match would pin rank 1
+      // at sim 1.0 and collapse every later lambda=0.5 score to an
+      // exact 0.5*(sim - sim) = 0 tie, leaving the ranking to fp noise
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val cands = SimilarityJoin.knnCosine(corpus, "vec_id", "embedding",
           qs, "qid", "qvec", k = 20)
-        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      val plain = operators.Mmr.rerank(cands, "qid", "vec_id", "sim", "embedding",
-        k = 5, lambda = 1.0)
-      val diverse = operators.Mmr.rerank(cands, "qid", "vec_id", "sim", "embedding",
-        k = 5, lambda = 0.5)
-      val knn5 = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
-          qs, "qid", "qvec", k = 5)
-        .select(col("qid"), col("vec_id").as("id"), col("rn").as("rank"),
-          lit(1).as("ok"))
-      val mism = plain.join(knn5, Seq("qid", "id", "rank"), "left_outer")
-        .agg(sum(when(col("ok").isNull, 1).otherwise(0)).cast("long")).head().getLong(0)
-      val nDiff = plain.select(col("qid"), col("id"), col("rank"))
-        .except(diverse.select(col("qid"), col("id"), col("rank")))
-        .count()
-      val distributed = operators.Mmr.rerankDistributed(
-        cands, "qid", "vec_id", "sim", "embedding", k = 5, lambda = 0.5)
-      val distMism = diverse.select(col("qid"), col("id"), col("rank"), col("mmr_score"))
-        .except(distributed.select(col("qid"), col("id"), col("rank"), col("mmr_score")))
-        .count()
-      import s.implicits._
-      Seq((mism, nDiff > 0, distMism)).toDF("mismatches", "diversified", "dist_mismatches")
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      operators.Mmr.rerankDistributed(cands, "qid", "vec_id", "sim",
+          "embedding", k = 5, lambda = 0.5)
+        .select(col("qid"), col("id"), col("rank").cast("int").as("rank"),
+          hround(col("mmr_score"), 4).as("mmr"))
+        .orderBy("qid", "rank")
     }),
 
     // JL random projection 64→8: deterministic ±1 signs (md5 parity),
@@ -7808,9 +7802,51 @@ object SparkEntry {
     "tx_fp_consistency" -> """
       SELECT CAST(0 AS BIGINT) AS fp_splits,
              CAST(0 AS BIGINT) AS fp_collisions, true AS complete""",
-    "ann_mmr" -> """
-      SELECT CAST(0 AS BIGINT) AS mismatches, true AS diversified,
-             CAST(0 AS BIGINT) AS dist_mismatches""",
+    "ann_mmr" -> raw"""
+      WITH RECURSIVE q AS (
+        SELECT vec_id AS qid, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      cand AS (
+        SELECT q.qid, e.vec_id AS id,
+               list_cosine_similarity(e.embedding, q.qvec) AS score,
+               e.embedding AS vec,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5),
+      sl AS (SELECT qid, id, score, vec FROM cand WHERE rn <= 20),
+      sel(qid, step, ids) AS (
+        SELECT qid, 0, CAST([] AS BIGINT[])
+        FROM (SELECT DISTINCT qid FROM sl)
+        UNION ALL
+        SELECT sel.qid, step + 1, list_append(ids, (
+          SELECT s.id FROM sl s
+          WHERE s.qid = sel.qid AND NOT list_contains(sel.ids, s.id)
+          ORDER BY (0.5e0 * s.score - 0.5e0 * coalesce((
+              SELECT max(list_cosine_similarity(s.vec, p.vec)) FROM sl p
+              WHERE p.qid = sel.qid AND list_contains(sel.ids, p.id)),
+              0e0)) DESC, s.id
+          LIMIT 1))
+        FROM sel WHERE step < 5),
+      fin AS (SELECT qid, ids FROM sel WHERE step = 5),
+      st AS (
+        SELECT qid, CAST(i AS INTEGER) AS rank,
+               ids[CAST(i AS INTEGER)] AS id, ids
+        FROM fin, range(1, 6) AS t(i)),
+      scored AS (
+        SELECT st.qid, st.id, st.rank,
+               0.5e0 * (SELECT s.score FROM sl s
+                        WHERE s.qid = st.qid AND s.id = st.id)
+             - 0.5e0 * coalesce((
+                 SELECT max(list_cosine_similarity(a.vec, b.vec))
+                 FROM sl a, sl b
+                 WHERE a.qid = st.qid AND a.id = st.id
+                   AND b.qid = st.qid
+                   AND list_contains(st.ids[1:st.rank - 1], b.id)), 0e0)
+               AS mmr
+        FROM st)
+      SELECT qid, id, rank, ${graft.functions.hroundSql("mmr", 4)} AS mmr
+      FROM scored ORDER BY qid, rank""",
     // reads the PERSISTED ranked runs the Spark gate dumped, then
     // recomputes exact L2/cosine truths and every metric formula
     // independently — verifying the whole measurement half of the sweep
