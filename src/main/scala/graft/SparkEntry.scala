@@ -4491,16 +4491,16 @@ object SparkEntry {
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_ivf_gate").getPath
       Ann.writeIvfIndex(indexed, cents, path)
-      val pruned = Ann.ivfSearchL2Pruned(s, path, "vec_id", "embedding",
+      // the gate outputs the pruned search itself; DuckDB replays
+      // assignment, probe ranking, in-cell scoring, and the top-5 from
+      // the PERSISTED centroid contract (upgrade from the former
+      // pruned≡full self-consistency — that invariant, plus the
+      // PartitionFilters assert, is spec-pinned in AnnSpec)
+      Ann.ivfSearchL2Pruned(s, path, "vec_id", "embedding",
           qs, "qid", "qvec", k = 5, nProbe = 3)
-        .select(col("qid"), col("vec_id"), col("rn"))
-      val full = Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
-          qs, "qid", "qvec", k = 5, nProbe = 3)
-        .select(col("qid"), col("vec_id"), col("rn"), lit(1).as("ok"))
-      pruned.join(full, Seq("qid", "vec_id", "rn"), "left_outer")
-        .agg(
-          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
-          (count(lit(1)) === 50).as("complete"))
+        .select(col("qid"), col("vec_id"), col("rn").cast("int").as("rn"),
+          hround(col("distance"), 4).as("dist"))
+        .orderBy("qid", "rn")
     }),
 
     // Incremental IVF append: index built on 80% of the corpus, the
@@ -6731,8 +6731,45 @@ object SparkEntry {
         FROM scored)
       SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(dist AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(dist AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(dist AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
-    "ann_ivf_pruned" ->
-      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "ann_ivf_pruned" -> {
+      val gatePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_gate").getPath
+      raw"""
+      WITH c AS (
+        SELECT centroid_id, centroid
+        FROM read_parquet('$gatePath/centroids/*.parquet')),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 10),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding, c.centroid),
+                            c.centroid_id) AS arn
+          FROM embeddings e CROSS JOIN c)
+        WHERE arn = 1),
+      probes AS (
+        SELECT qid, centroid_id FROM (
+          SELECT q.qid, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(q.qvec, c.centroid),
+                            c.centroid_id) AS prn
+          FROM q CROSS JOIN c)
+        WHERE prn <= 3),
+      scored AS (
+        SELECT q.qid, a.vec_id, list_distance(a.embedding, q.qvec) AS dist
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN assign a ON a.centroid_id = p.centroid_id),
+      ranked AS (
+        SELECT qid, vec_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                 AS rn
+        FROM scored)
+      SELECT qid, vec_id, CAST(rn AS INTEGER) AS rn,
+             ${graft.functions.hroundSql("CAST(dist AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+    },
     "ann_multiprobe" -> """
       SELECT CAST(0 AS BIGINT) AS worse_than_single,
              CAST(0 AS BIGINT) AS better_than_exact,
