@@ -3901,16 +3901,15 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val (indexed, cents) =
         Ann.ivfBuildCosine(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
-      val ivf = Ann.ivfSearchCosine(indexed, "vec_id", "embedding", cents,
+      // full probe (nProbe = cell count) degenerates to the exact
+      // cosine top-k, so the oracle is a brute-force replay with NO
+      // quantizer state (upgrade from the former constant
+      // self-consistency row)
+      Ann.ivfSearchCosine(indexed, "vec_id", "embedding", cents,
           qs, "qid", "qvec", k = 5, nProbe = 8)
-        .select(col("qid"), col("vec_id"), col("rn"))
-      val exact = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
-          qs, "qid", "qvec", k = 5)
-        .select(col("qid"), col("vec_id"), col("rn"), lit(1).as("ok"))
-      ivf.join(exact, Seq("qid", "vec_id", "rn"), "left_outer")
-        .agg(
-          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
-          (count(lit(1)) === 50).as("complete"))
+        .select(col("qid"), col("vec_id"), col("rn").cast("int").as("rn"),
+          hround(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rn")
     }),
 
     // Hard-negative mining: most-similar different-label rows per
@@ -4521,16 +4520,17 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir"), "graft_ivf_append_gate").getPath
       Ann.writeIvfIndex(indexed, cents, path)
       Ann.appendToIvfIndex(s, path, rest, "vec_id", "embedding")
-      val appended = Ann.ivfSearchL2Pruned(s, path, "vec_id", "embedding",
+      // the gate outputs the post-append pruned search; DuckDB replays
+      // assignment of EVERY row (base + appended — appends assign
+      // against the same persisted centroids), probe ranking, and the
+      // top-5 from the persisted centroid contract (upgrade from the
+      // former appended≡rebuilt self-consistency, which the replay
+      // subsumes: a mis-assigned append shows as a row mismatch)
+      Ann.ivfSearchL2Pruned(s, path, "vec_id", "embedding",
           qs, "qid", "qvec", k = 5, nProbe = 3)
-        .select(col("qid"), col("vec_id"), col("rn"))
-      val full = Ann.ivfSearchL2(Ann.assign(emb, "vec_id", "embedding", cents),
-          "vec_id", "embedding", cents, qs, "qid", "qvec", k = 5, nProbe = 3)
-        .select(col("qid"), col("vec_id"), col("rn"), lit(1).as("ok"))
-      appended.join(full, Seq("qid", "vec_id", "rn"), "left_outer")
-        .agg(
-          sum(when(col("ok").isNull, 1).otherwise(0)).cast("long").as("mismatches"),
-          (count(lit(1)) === 50).as("complete"))
+        .select(col("qid"), col("vec_id"), col("rn").cast("int").as("rn"),
+          hround(col("distance"), 4).as("dist"))
+        .orderBy("qid", "rn")
     }),
 
     // Multi-probe LSH dominance proof: expanding the probe set can only
@@ -6692,8 +6692,19 @@ object SparkEntry {
              BETWEEN n.n_nationkey * 40000 - 100000
                  AND n.n_nationkey * 40000 - 100000 + 59999
       ORDER BY c_custkey, n_nationkey""",
-    "ann_ivfc_exactness" ->
-      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "ann_ivfc_exactness" -> s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 10),
+      ranked AS (
+        SELECT q.qid, e.vec_id,
+               list_cosine_similarity(e.embedding, q.qvec) AS sim,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q)
+      SELECT qid, vec_id, CAST(rn AS INTEGER) AS rn,
+             ${graft.functions.hroundSql("sim", 4)} AS sim
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     // IVF search replay from the persisted centroid contract: DuckDB
     // recomputes assignment (argmin L2, ties -> lower cell id), the
     // per-query 4-cell probe ranking, in-cell scoring, and the
@@ -7829,8 +7840,45 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "vs_ann_pq" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
-    "ann_ivf_append" ->
-      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
+    "ann_ivf_append" -> {
+      val gatePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_append_gate").getPath
+      raw"""
+      WITH c AS (
+        SELECT centroid_id, centroid
+        FROM read_parquet('$gatePath/centroids/*.parquet')),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id % 50 = 7),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding, c.centroid),
+                            c.centroid_id) AS arn
+          FROM embeddings e CROSS JOIN c)
+        WHERE arn = 1),
+      probes AS (
+        SELECT qid, centroid_id FROM (
+          SELECT q.qid, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(q.qvec, c.centroid),
+                            c.centroid_id) AS prn
+          FROM q CROSS JOIN c)
+        WHERE prn <= 3),
+      scored AS (
+        SELECT q.qid, a.vec_id, list_distance(a.embedding, q.qvec) AS dist
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN assign a ON a.centroid_id = p.centroid_id),
+      ranked AS (
+        SELECT qid, vec_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                 AS rn
+        FROM scored)
+      SELECT qid, vec_id, CAST(rn AS INTEGER) AS rn,
+             ${graft.functions.hroundSql("CAST(dist AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+    },
     "gr_converged" -> """
       SELECT CAST(0 AS BIGINT) AS mismatches,
              true AS converged_early, true AS nontrivial""",
