@@ -3514,6 +3514,24 @@ object SparkEntry {
         .select(col("step"), col("id"), hround(col("radius"), 6).as("radius"))
         .orderBy("step")),
 
+    // Incremental coreset maintenance: continue a k=4 traversal by 4
+    // more picks. Greedy is prefix-consistent, so select(4) ++
+    // extend(4) must EQUAL the full k=8 traversal — the oracle is the
+    // same recursion as sm_kcenter.
+    "sm_kcenter_extend" -> ((s, dir) => {
+      val embSel = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val head4 = graft.operators.Coreset.kCenterSelect(
+        embSel, "id", "vec", k = 4)
+      val ids4 = head4.orderBy("step").select(col("id"))
+        .collect().map(_.getLong(0)).toSeq
+      val ext4 = graft.operators.Coreset.kCenterExtend(
+        embSel, "id", "vec", ids4, kMore = 4)
+      head4.unionByName(ext4)
+        .select(col("step"), col("id"), hround(col("radius"), 6).as("radius"))
+        .orderBy("step")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): every doc scored by
     // how much more likely its hashed-n-gram bag is under the English
     // target slice than under the whole raw corpus — two 4096-row
@@ -4995,6 +5013,44 @@ object SparkEntry {
           SELECT fe.doc_id, sum(ra.lr) AS lw
           FROM feats fe JOIN ratio ra ON ra.f = fe.f
           GROUP BY fe.doc_id) s ON s.doc_id = t.doc_id)"""
+
+  /** Shared replay of the greedy k-center traversal (k = 8,
+    * min-id seed): serves both `sm_kcenter` (direct) and
+    * `sm_kcenter_extend` (select(4) ++ extend(4) — greedy prefix
+    * consistency makes the union equal the full traversal).
+    */
+  private lazy val kCenterOracleSql: String = {
+
+      val mind = "(SELECT min(list_distance(e.embedding::DOUBLE[], " +
+        "s2.embedding::DOUBLE[])) FROM embeddings s2 " +
+        "WHERE list_contains(sel.ids, s2.vec_id))"
+      s"""
+      WITH RECURSIVE sel(step, ids) AS (
+        SELECT 0, [(SELECT min(vec_id) FROM embeddings)]
+        UNION ALL
+        SELECT step + 1, list_append(ids, (
+          SELECT e.vec_id FROM embeddings e
+          WHERE NOT list_contains(sel.ids, e.vec_id)
+          ORDER BY ${graft.functions.hroundSql(mind, 6)} DESC, e.vec_id
+          LIMIT 1))
+        FROM sel WHERE step < 7),
+      fin AS (SELECT ids FROM sel WHERE step = 7),
+      st AS (SELECT CAST(i AS INTEGER) AS step,
+                    ids[CAST(i + 1 AS INTEGER)] AS id, ids
+             FROM fin, range(0, 8) AS t(i)),
+      rad AS (
+        SELECT st.step, st.id,
+               CASE WHEN st.step = 0 THEN 0.0 ELSE (
+                 SELECT ${graft.functions.hroundSql(
+                   "min(list_distance(a.embedding::DOUBLE[], " +
+                     "b.embedding::DOUBLE[]))", 6)}
+                 FROM embeddings a, embeddings b
+                 WHERE a.vec_id = st.id
+                   AND list_contains(st.ids[1:st.step], b.vec_id)
+               ) END AS radius
+        FROM st)
+      SELECT step, id, radius FROM rad ORDER BY step"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "vs_count" -> "SELECT count(*) AS n FROM embeddings",
@@ -6625,37 +6681,11 @@ object SparkEntry {
     "sm_dsir" -> s"""
       WITH $dsirDocwCtes
       SELECT doc_id, logw FROM docw ORDER BY doc_id""",
-    "sm_kcenter" -> {
-      val mind = "(SELECT min(list_distance(e.embedding::DOUBLE[], " +
-        "s2.embedding::DOUBLE[])) FROM embeddings s2 " +
-        "WHERE list_contains(sel.ids, s2.vec_id))"
-      s"""
-      WITH RECURSIVE sel(step, ids) AS (
-        SELECT 0, [(SELECT min(vec_id) FROM embeddings)]
-        UNION ALL
-        SELECT step + 1, list_append(ids, (
-          SELECT e.vec_id FROM embeddings e
-          WHERE NOT list_contains(sel.ids, e.vec_id)
-          ORDER BY ${graft.functions.hroundSql(mind, 6)} DESC, e.vec_id
-          LIMIT 1))
-        FROM sel WHERE step < 7),
-      fin AS (SELECT ids FROM sel WHERE step = 7),
-      st AS (SELECT CAST(i AS INTEGER) AS step,
-                    ids[CAST(i + 1 AS INTEGER)] AS id, ids
-             FROM fin, range(0, 8) AS t(i)),
-      rad AS (
-        SELECT st.step, st.id,
-               CASE WHEN st.step = 0 THEN 0.0 ELSE (
-                 SELECT ${graft.functions.hroundSql(
-                   "min(list_distance(a.embedding::DOUBLE[], " +
-                     "b.embedding::DOUBLE[]))", 6)}
-                 FROM embeddings a, embeddings b
-                 WHERE a.vec_id = st.id
-                   AND list_contains(st.ids[1:st.step], b.vec_id)
-               ) END AS radius
-        FROM st)
-      SELECT step, id, radius FROM rad ORDER BY step"""
-    },
+    "sm_kcenter" -> kCenterOracleSql,
+    // the extend gate unions select(4) with extend(ids, 4); greedy
+    // prefix-consistency makes that EQUAL the full k=8 traversal, so
+    // the replay is the same recursion
+    "sm_kcenter_extend" -> kCenterOracleSql,
     "sm_dsir_sample" -> {
       val nibbles = (0 until 15).map { i =>
         val w = java.math.BigInteger.valueOf(16L).pow(14 - i)

@@ -64,38 +64,86 @@ object Coreset {
       val n = base.count()
       require(k <= n, s"k = $k exceeds row count $n")
       val seed = seedId.getOrElse(base.agg(min($"id")).as[Long].head())
-      val seedVec = base.filter($"id" === seed).select($"vec")
-        .as[Array[Float]].head().map(_.toDouble)
-      val chosen = ArrayBuffer[(Int, Long, Double)]((0, seed, 0.0))
-      var minDist = base
-        .withColumn("md", l2ToCenter($"vec", seedVec))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var prev = minDist
-      var step = 1
-      while (step < k) {
-        val chosenIds = chosen.map(_._2).toSeq
-        val (nid, nextDist) = minDist
-          .filter(!$"id".isInCollection(chosenIds))
-          .orderBy(hround($"md", 6).desc, $"id")
-          .limit(1)
-          .select($"id", hround($"md", 6))
-          .as[(Long, Double)].head()
-        chosen += ((step, nid, nextDist))
-        val nextVec = base.filter($"id" === nid).select($"vec")
-          .as[Array[Float]].head().map(_.toDouble)
-        val upd = minDist
-          .withColumn("md", least($"md", l2ToCenter($"vec", nextVec)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // materialize before dropping the parent so the persisted
-        // blocks, not a k-deep lineage, back the next round
-        upd.count()
-        prev.unpersist()
-        prev = upd
-        minDist = upd
-        step += 1
-      }
-      chosen.toSeq.toDF("step", "id", "radius")
+      val first = (0, seed, 0.0)
+      val more = traverse(base, Seq(seed), k - 1, stepOffset = 1)
+      (first +: more).toDF("step", "id", "radius")
     } finally base.unpersist()
+  }
+
+  /** Continue a previous traversal: seed the chosen set with
+    * `existingIds` (in their original pick order) and make `kMore`
+    * further farthest-point picks — incremental exemplar maintenance
+    * as the corpus grows, without re-running the whole selection.
+    * Greedy is prefix-consistent, so
+    * `select(k1) ++ extend(select(k1).ids, k2) == select(k1 + k2)`
+    * (spec- and gate-pinned). Returns ONLY the new picks, steps
+    * numbered from `existingIds.size`.
+    */
+  def kCenterExtend(df: DataFrame, idCol: String, vecCol: String,
+      existingIds: Seq[Long], kMore: Int): DataFrame = {
+    require(existingIds.nonEmpty, "need at least one existing center")
+    require(existingIds.distinct.size == existingIds.size,
+      "existing centers contain duplicates")
+    require(kMore >= 1, s"kMore must be >= 1, got $kMore")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(existingIds.size + kMore <= n,
+        s"${existingIds.size} existing + $kMore more exceeds row count $n")
+      traverse(base, existingIds, kMore, stepOffset = existingIds.size)
+        .toDF("step", "id", "radius")
+    } finally base.unpersist()
+  }
+
+  /** The shared farthest-point loop: min-distance frame initialized
+    * against ALL of `initial` (one projection, |initial| kernel terms
+    * — bounded driver state), then `kMore` rounds of least()-update
+    * against only the newest pick + TakeOrdered argmax.
+    */
+  private def traverse(base: DataFrame, initial: Seq[Long], kMore: Int,
+      stepOffset: Int): Seq[(Int, Long, Double)] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    if (kMore == 0) return Seq.empty
+    val initVecs = base.filter($"id".isInCollection(initial))
+      .select($"id", $"vec").as[(Long, Array[Float])].collect().toMap
+    require(initVecs.size == initial.size,
+      s"${initial.size - initVecs.size} existing center id(s) not present")
+    val md0 = initial.map(i => l2ToCenter($"vec", initVecs(i).map(_.toDouble)))
+      .reduce(least(_, _))
+    val chosenIds = scala.collection.mutable.ArrayBuffer(initial: _*)
+    val picked = ArrayBuffer[(Int, Long, Double)]()
+    var minDist = base.withColumn("md", md0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev = minDist
+    var i = 0
+    while (i < kMore) {
+      val (nid, nextDist) = minDist
+        .filter(!$"id".isInCollection(chosenIds.toSeq))
+        .orderBy(hround($"md", 6).desc, $"id")
+        .limit(1)
+        .select($"id", hround($"md", 6))
+        .as[(Long, Double)].head()
+      picked += ((stepOffset + i, nid, nextDist))
+      chosenIds += nid
+      val nextVec = base.filter($"id" === nid).select($"vec")
+        .as[Array[Float]].head().map(_.toDouble)
+      val upd = minDist
+        .withColumn("md", least($"md", l2ToCenter($"vec", nextVec)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize before dropping the parent so the persisted
+      // blocks, not a k-deep lineage, back the next round
+      upd.count()
+      prev.unpersist()
+      prev = upd
+      minDist = upd
+      i += 1
+    }
+    prev.unpersist()
+    picked.toSeq
   }
 
   /** The scale path: hash-sample the corpus first (deterministic,

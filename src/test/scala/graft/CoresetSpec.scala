@@ -66,6 +66,28 @@ class CoresetSpec extends SparkSuite {
     assert(plan.columns.toSeq == Seq("step", "id", "radius"))
   }
 
+  test("extend: prefix-consistent continuation, only new picks returned") {
+    val full = Coreset.kCenterSelect(corners, "id", "vec", k = 6)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    val head = full.take(3)
+    val ext = Coreset.kCenterExtend(corners, "id", "vec",
+      head.map(_._2), kMore = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ext.map(_._1) == Seq(3, 4, 5), s"steps must continue: $ext")
+    assert(head ++ ext == full,
+      s"greedy must be prefix-consistent:\nfull=$full\next=$ext")
+    // unknown existing id and size contracts
+    intercept[IllegalArgumentException] {
+      Coreset.kCenterExtend(corners, "id", "vec", Seq(999L), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Coreset.kCenterExtend(corners, "id", "vec", Seq(0L, 0L), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Coreset.kCenterExtend(corners, "id", "vec", Seq(0L), 9)
+    }
+  }
+
   test("sampled variant selects within the sample") {
     val big = (0 until 200).map(i => (i.toLong,
       Array((i % 20).toFloat, (i / 20).toFloat))).toDF("id", "vec")
