@@ -76,6 +76,34 @@ object ScaleSmokeLex {
     timed("indexed route after append (stats current)") {
       println(s"SMOKE   rows: ${store.searchLexDF(queries, 10).count()}")
     }
+
+    // ---- doc-field sidecar at 100k: JSON parse vs pushed scan ------
+    val root2 = s"$base/store_dx"
+    val p2 = new org.apache.hadoop.fs.Path(root2)
+    if (fs.exists(p2)) fs.delete(p2, true)
+    val store2 = graft.store.VectorStore.openOrCreate(spark, root2, 4,
+      tombstoneDeletes = true)
+    timed("docidx store insert 100k") {
+      store2.insertDF(big.select(
+        array(lit(0f), lit(1f), lit(2f), lit(3f)).as("vec"),
+        concat(lit("{\"src\": \"s"), (col("doc_id") % 97).cast("string"),
+          lit("\", \"blob\": \""),
+          regexp_replace(col("doc"), "[\"\\\\]", " "),
+          lit("\"}")).as("doc")))
+    }
+    timed("queryByDoc scan route x5 (JSON parse per query)") {
+      (0 until 5).foreach { i =>
+        store2.queryByDocDF(Seq("src"), Seq(s"s${i * 7}")).count()
+      }
+    }
+    timed("materializeDocField 100k") {
+      store2.materializeDocField(Seq("src"))
+    }
+    timed("queryByDoc indexed route x5 (pushed sidecar scan)") {
+      (0 until 5).foreach { i =>
+        store2.queryByDocDF(Seq("src"), Seq(s"s${i * 7}")).count()
+      }
+    }
     spark.stop()
   }
 }
