@@ -954,6 +954,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Snapshot export: clone the whole store (data + tombstones +
+    // sidecars), then mutate the ORIGINAL — the clone must hold the
+    // at-copy state, independent of later writes. Closed-form replay.
+    "vs_clone" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_cl_store"
+      val dst = s"$scratchRoot/vs_cl_dst"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(root, dst).foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(dp)) fs.delete(dp, true)
+      }
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
+            lit("\"}")).as("doc")))
+      store.delete(Seq(1L, 2L))
+      val clone = store.cloneTo(dst)
+      store.delete(Seq(10L, 11L)) // post-clone writes must not leak in
+      clone.toDF
+        .select(col("id"), get_json_object(col("doc"), "$.g").as("g"))
+        .orderBy("id")
+    }),
+
     // Predicate delete at store level: the JSON-path filter composed
     // with delete — the retention/GDPR shape where the matching id set
     // never visits the driver. DuckDB replays survivor rows directly.
@@ -3546,6 +3573,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR deployment shape: fit the ratio table once, PERSIST it,
+    // load it back, score with a pure projection (no count passes) —
+    // round-trip must be weight-identical, so the oracle is sm_dsir's.
+    "sm_dsir_persist" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+      val ratio = graft.operators.Dsir.fitRatio(
+        docs, docs.filter(col("lang") === "en"), "text")
+      val rp = s"$scratchRoot/dsir_ratio"
+      graft.operators.Dsir.saveRatio(s, rp, ratio)
+      graft.operators.Dsir.scoreWithRatio(
+          docs, "text", graft.operators.Dsir.loadRatio(s, rp))
+        .select(col("doc_id"), hround(col("dsir_logw"), 6).as("logw"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR selection: Gumbel-top-k over the tempered importance
     // weights as the deterministic A-ES race (w = exp(logw - max)),
     // so "sample 50 docs that look like the English slice" is a
@@ -5529,6 +5571,10 @@ object SparkEntry {
       SELECT vec_id AS id, CAST(label % 3 AS VARCHAR) AS g
       FROM embeddings WHERE vec_id < 400 AND label % 3 <> 1
       ORDER BY id""",
+    "vs_clone" -> """
+      SELECT vec_id AS id, CAST(label % 3 AS VARCHAR) AS g
+      FROM embeddings WHERE vec_id < 300 AND vec_id NOT IN (1, 2)
+      ORDER BY id""",
     "vs_doc_range" -> """
       WITH base AS (
         SELECT vec_id AS id, CAST(vec_id * 2 AS DOUBLE) AS ts
@@ -6679,6 +6725,9 @@ object SparkEntry {
       FROM r WHERE es_rank <= 3 ORDER BY source, es_rank"""
     },
     "sm_dsir" -> s"""
+      WITH $dsirDocwCtes
+      SELECT doc_id, logw FROM docw ORDER BY doc_id""",
+    "sm_dsir_persist" -> s"""
       WITH $dsirDocwCtes
       SELECT doc_id, logw FROM docw ORDER BY doc_id""",
     "sm_kcenter" -> kCenterOracleSql,

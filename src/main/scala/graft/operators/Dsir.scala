@@ -84,12 +84,53 @@ object Dsir {
     * path.
     */
   def scoreAgainst(raw: DataFrame, target: DataFrame, textCol: String,
-      outCol: String = "dsir_logw"): DataFrame = {
+      outCol: String = "dsir_logw"): DataFrame =
+    scoreWithRatio(raw, textCol, fitRatio(raw, target, textCol), outCol)
+
+  /** Persist a fitted log-ratio table as a slim (bucket, log_ratio)
+    * parquet — the "fit once on a corpus snapshot, score every
+    * incoming batch" deployment shape: a streaming scorer loads the
+    * table at start and applies [[logWeightCol]] per micro-batch with
+    * NO count passes of its own, so scoring stays a pure projection
+    * over the stream.
+    */
+  def saveRatio(spark: org.apache.spark.sql.SparkSession, path: String,
+      logRatio: Array[Double]): Unit = {
+    require(logRatio.length == NumBuckets, "ratio table must cover all buckets")
+    import spark.implicits._
+    logRatio.zipWithIndex.toSeq.map { case (lr, f) => (f, lr) }
+      .toDF("bucket", "log_ratio")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted ratio table (inverse of [[saveRatio]]). */
+  def loadRatio(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Double] = {
+    val rows = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("bucket"),
+        org.apache.spark.sql.functions.col("log_ratio"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(rows.size == NumBuckets,
+      s"ratio table at $path has ${rows.size} buckets, expected $NumBuckets")
+    Array.tabulate(NumBuckets)(rows)
+  }
+
+  /** Fit the target-vs-raw log-ratio table WITHOUT scoring — the half
+    * of [[scoreAgainst]] that persists.
+    */
+  def fitRatio(raw: DataFrame, target: DataFrame,
+      textCol: String): Array[Double] = {
     val pRaw = fitLogProbs(raw, textCol)
     val pTgt = fitLogProbs(target, textCol)
-    val ratio = Array.tabulate(NumBuckets)(f => pTgt(f) - pRaw(f))
-    raw.withColumn(outCol, logWeightCol(featureCounts(col(textCol)), ratio))
+    Array.tabulate(NumBuckets)(f => pTgt(f) - pRaw(f))
   }
+
+  /** Score docs against an already-fitted (possibly loaded) ratio
+    * table: one shuffle-free projection, no count passes.
+    */
+  def scoreWithRatio(docs: DataFrame, textCol: String,
+      logRatio: Array[Double], outCol: String = "dsir_logw"): DataFrame =
+    docs.withColumn(outCol, logWeightCol(featureCounts(col(textCol)), logRatio))
 
   /** Select `k` raw docs without replacement with inclusion probability
     * ∝ `exp(logw / temperature)` — Gumbel-top-k over the tempered

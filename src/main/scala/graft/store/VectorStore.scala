@@ -1653,6 +1653,29 @@ class VectorStore private (
       graft.operators.Bm25.topKBatch(
         table.select($"id", $"doc"), "id", "doc", queries, k)
 
+  /** Snapshot-export the WHOLE store — data, tombstones, version
+    * counter, ANN/lex/doc-field sidecars, dim marker — to `destPath`
+    * (a file-level recursive copy; single-writer contract: run it when
+    * no write is in flight). The backup/promote primitive: the clone
+    * opens as an independent store with identical contents, indexes
+    * already built, and its own id/version lineage going forward.
+    * Refuses a non-empty destination (a backup must never silently
+    * merge into an existing store).
+    */
+  def cloneTo(destPath: String): VectorStore = {
+    val src = new Path(path)
+    val dst = new Path(destPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst) && fs.listStatus(dst).nonEmpty)
+      throw new IllegalArgumentException(
+        s"cloneTo: destination $destPath exists and is not empty")
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
+        spark.sparkContext.hadoopConfiguration))
+      throw new java.io.IOException(s"cloneTo: copy to $destPath failed")
+    VectorStore.openOrCreate(spark, destPath, dim,
+      tombstoneDeletes = storage.isInstanceOf[TombstoneStorage])
+  }
+
   /** Auto-tune the probe width: measure recall@k of the ANN index on a
     * QUERY SAMPLE against the exact search, walking `ladder` upward
     * until `targetRecall` is met (the ladder is clamped to the cell

@@ -1415,6 +1415,26 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     intercept[IllegalArgumentException](s.deleteWhere(Seq.empty, Seq("b")))
   }
 
+  test("cloneTo: full snapshot with indexes, independent lineage, non-empty dest refused") {
+    import spark.implicits._
+    val s = VectorStore.openOrCreate(spark, dir, 10, tombstoneDeletes = true)
+    s.insert(eye(10).take(8), (0 until 8).map(i => s"""{"g": "${i % 2}"}"""))
+    s.buildAnnIndex(nCentroids = 2, iters = 1, seedRounds = 0)
+    s.materializeDocField(Seq("g"))
+    s.delete(Seq(3L))
+    val dst = Files.createTempDirectory("graft-vs-clone").toString + "/c"
+    val c = s.cloneTo(dst)
+    assert(c.count() == 7 && c.hasAnnIndex && c.hasDocIndex(Seq("g")))
+    // post-clone writes are independent in BOTH directions
+    s.delete(Seq(4L))
+    val newIds = c.insert(Seq(Array.tabulate(10)(_.toFloat)))
+    assert(s.count() == 6 && c.count() == 8)
+    assert(newIds == Seq(8L), "clone id lineage continues from the snapshot")
+    // indexed query works on the clone without a rebuild
+    assert(c.queryByDoc(Seq("g"), Seq("1")).nonEmpty)
+    intercept[IllegalArgumentException](s.cloneTo(dst))
+  }
+
   test("tuneNProbe: walks the ladder, full probe is recall 1.0, contracts hold") {
     import spark.implicits._
     val s = freshStore(4)
