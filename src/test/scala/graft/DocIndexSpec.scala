@@ -161,6 +161,38 @@ class DocIndexSpec extends SparkSuite {
       s"materialized parent path must not JSON-parse at query time:\n$plan")
   }
 
+  test("streaming ingest maintains the sidecars through the insertDF hook") {
+    val store = mkStore("strm")
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("ts"))
+    // three applied micro-batches through the SAME foreachBatch body
+    // ingestStream uses (replay-guard path exercised separately)
+    val ck = Files.createTempDirectory("graft-dx-ck").toString
+    (0 until 3).foreach { b =>
+      val batch = spark.range(b * 4, b * 4 + 4)
+        .select(
+          org.apache.spark.sql.functions.array(
+            col("id").cast("float"), lit(1f), lit(2f), lit(3f)).as("vec"),
+          concat(lit("{\"g\": \""), (col("id") % 2).cast("string"),
+            lit("\", \"ts\": "), (col("id") * 10).cast("string"),
+            lit("}")).as("doc"),
+          col("id").as("ord"))
+      assert(store.applyIngestBatch(batch, b.toLong, ck, Seq(col("ord"))))
+    }
+    assert(store.count() == 12)
+    // equality sidecar exact vs scan route
+    val idx = store.queryByDoc(Seq("g"), Seq("1")).map(_.id)
+    store.dropDocField(Seq("g"))
+    assert(store.queryByDoc(Seq("g"), Seq("1")).map(_.id) == idx)
+    // numeric sidecar exact vs scan route
+    val rIdx = store.queryByDocRangeDF(Seq("ts"), Some(30.0), Some(80.0))
+      .select($"id").as[Long].collect().sorted.toSeq
+    store.dropDocFieldNumeric(Seq("ts"))
+    val rScan = store.queryByDocRangeDF(Seq("ts"), Some(30.0), Some(80.0))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(rIdx == rScan && rIdx == (3L to 8L).toSeq, s"$rIdx vs $rScan")
+  }
+
   test("predicate is pushed into the sidecar scan; no JSON parse in the plan") {
     val store = mkStore("push")
     seed(store, 16)

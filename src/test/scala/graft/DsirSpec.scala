@@ -77,6 +77,25 @@ class DsirSpec extends SparkSuite {
     assert(cold.forall(_ <= 20L), s"cold selection leaked off-target docs: ${cold.toSeq}")
   }
 
+  test("ratio persistence: save/load round-trip is bit-identical, guards hold") {
+    val raw = docsDF((1L to 20L).map(i => i -> s"tok$i alpha beta"))
+    val target = docsDF(Seq((99L, "alpha beta alpha")))
+    val ratio = Dsir.fitRatio(raw, target, "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    Dsir.saveRatio(spark, dir, ratio)
+    val loaded = Dsir.loadRatio(spark, dir)
+    assert(loaded.toSeq == ratio.toSeq, "round-trip must be bit-identical")
+    // scoring with the loaded table equals the direct fit
+    val direct = Dsir.scoreAgainst(raw, target, "text")
+      .select($"id", $"dsir_logw").as[(Long, Double)].collect().toMap
+    val viaLoad = Dsir.scoreWithRatio(raw, "text", loaded)
+      .select($"id", $"dsir_logw").as[(Long, Double)].collect().toMap
+    assert(viaLoad == direct)
+    intercept[IllegalArgumentException] {
+      Dsir.saveRatio(spark, dir, Array(1.0))
+    }
+  }
+
   test("select: scoring path is shuffle-free, selection is top-k") {
     val raw = docsDF((1L to 50L).map(i => i -> s"tok$i alpha"))
     val target = docsDF(Seq((99L, "alpha alpha beta")))
