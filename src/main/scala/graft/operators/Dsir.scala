@@ -153,7 +153,11 @@ object Dsir {
     require(temperature > 0.0, s"temperature must be > 0, got $temperature")
     val scored = scoreAgainst(raw, target, textCol, outCol)
       .withColumn(outCol, hround(col(outCol), roundDigits))
-    val mx = scored.agg(max(col(outCol))).collect()(0).getDouble(0)
+    val mxRow = scored.agg(max(col(outCol))).collect()(0)
+    require(!mxRow.isNullAt(0),
+      "DSIR select: raw corpus is empty (or every text is NULL) — " +
+      "nothing to score, max log-weight is undefined")
+    val mx = mxRow.getDouble(0)
     Sampling.weightedSampleWithoutReplacement(
       scored, idCol, exp((col(outCol) - lit(mx)) / lit(temperature)), k,
       Nil, salt)

@@ -119,6 +119,16 @@ object LexIndex {
       idCol: String, textCol: String, genCol: String,
       buckets: Int = 16): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // Marker-last rebuild protocol: RETRACT the bucket marker before
+    // touching the postings, restore it only after both tables are
+    // fully written. A crash (or a concurrent reader) mid-rebuild then
+    // sees "no marker" = legacy-unbucketed, and search degrades to the
+    // unpruned-but-CORRECT full posting scan — never a stale bucket
+    // count mapping query terms to the wrong partition directories of a
+    // new layout (which silently drops matching postings).
+    val mp = bucketsPath(root)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) fs.delete(mp, false)
     val (postings, doclens) = indexRows(docs, idCol, textCol, genCol)
     postings.withColumn("bucket", bucketOf(col("term"), buckets))
       .write.mode("overwrite").partitionBy("bucket")

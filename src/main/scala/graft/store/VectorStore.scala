@@ -1659,19 +1659,30 @@ class VectorStore private (
     * no write is in flight). The backup/promote primitive: the clone
     * opens as an independent store with identical contents, indexes
     * already built, and its own id/version lineage going forward.
-    * Refuses a non-empty destination (a backup must never silently
-    * merge into an existing store).
+    * Refuses ANY existing destination — even an empty directory:
+    * Hadoop's `FileUtil.copy` nests the source UNDER an existing
+    * directory target (`dst/<srcName>`), which would leave the clone's
+    * data one level down while `openOrCreate(destPath)` silently
+    * creates a fresh empty store at the top — a zero-row "backup".
     */
   def cloneTo(destPath: String): VectorStore = {
     val src = new Path(path)
     val dst = new Path(destPath)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst) && fs.listStatus(dst).nonEmpty)
+    if (fs.exists(dst))
       throw new IllegalArgumentException(
-        s"cloneTo: destination $destPath exists and is not empty")
+        s"cloneTo: destination $destPath already exists (a clone must " +
+        "land at a fresh path; FileUtil.copy would nest the store under " +
+        "an existing directory)")
     if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
         spark.sparkContext.hadoopConfiguration))
       throw new java.io.IOException(s"cloneTo: copy to $destPath failed")
+    // Post-copy invariant: the dim marker must sit DIRECTLY under the
+    // destination (catches any future copy-semantics drift).
+    if (!fs.exists(new Path(dst, VectorStore.DimMarker)))
+      throw new java.io.IOException(
+        s"cloneTo: copy finished but ${VectorStore.DimMarker} is not " +
+        s"directly under $destPath — copy layout drifted")
     VectorStore.openOrCreate(spark, destPath, dim,
       tombstoneDeletes = storage.isInstanceOf[TombstoneStorage])
   }
@@ -1809,12 +1820,26 @@ class VectorStore private (
   def hasDocIndex(pathSteps: Seq[String]): Boolean =
     pathSteps.nonEmpty && docIdxFs.exists(docIdxDir(pathSteps))
 
+  /** List a sidecar root's ACTIVE field directories, decoded back to
+    * path steps. `_staging-*` dirs (a rebuild that died between its
+    * staging write and the activating rename) are NOT fields — they are
+    * skipped and opportunistically deleted, so a crashed rebuild never
+    * turns into a permanent garbage sidecar that every later insert
+    * appends to.
+    */
+  private def listSidecarFields(root: Path): Seq[Seq[String]] =
+    if (!docIdxFs.exists(root)) Seq.empty
+    else docIdxFs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap { p =>
+        if (p.getName.startsWith("_staging-")) {
+          try docIdxFs.delete(p, true) catch { case _: java.io.IOException => }
+          None
+        } else Some(p.getName.split("\\.").toSeq
+          .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      }
+
   /** Every materialized JSON path, decoded back to its steps. */
-  def materializedDocFields: Seq[Seq[String]] =
-    if (!docIdxFs.exists(docIdxRoot)) Seq.empty
-    else docIdxFs.listStatus(docIdxRoot).toSeq.map(_.getPath.getName)
-      .map(_.split("\\.").toSeq
-        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+  def materializedDocFields: Seq[Seq[String]] = listSidecarFields(docIdxRoot)
 
   /** Materialize (or rebuild) the sidecar for one JSON path: one
     * column-pruned pass over the live rows extracting the value, each
@@ -1906,10 +1931,7 @@ class VectorStore private (
     pathSteps.nonEmpty && docIdxFs.exists(docIdxNumDir(pathSteps))
 
   def materializedNumericDocFields: Seq[Seq[String]] =
-    if (!docIdxFs.exists(docIdxNumRoot)) Seq.empty
-    else docIdxFs.listStatus(docIdxNumRoot).toSeq.map(_.getPath.getName)
-      .map(_.split("\\.").toSeq
-        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+    listSidecarFields(docIdxNumRoot)
 
   /** Materialize (or rebuild) the DOUBLE-typed sidecar for one JSON
     * path — the range-predicate index.
@@ -2181,6 +2203,11 @@ class VectorStore private (
 }
 
 object VectorStore {
+  /** File recording the store's vector dimension, written at create
+    * time directly under the store root (layout invariant cloneTo
+    * re-checks post-copy). */
+  private[graft] val DimMarker = "dim.meta"
+
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
@@ -2277,7 +2304,7 @@ object VectorStore {
     val storage: StorageLayer =
       if (tombstoneDeletes) new TombstoneStorage(spark, path)
       else new ParquetStorage(spark, path)
-    val metaPath = new Path(path, "dim.meta")
+    val metaPath = new Path(path, DimMarker)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (storage.exists) {
       val stored = {

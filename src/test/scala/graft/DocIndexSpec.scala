@@ -210,4 +210,36 @@ class DocIndexSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(scanPlan.contains("get_json_object"))
   }
+
+  test("stale _staging dirs from a crashed rebuild are not fields and get swept") {
+    val store = mkStore("staging")
+    seed(store, 6)
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("g"))
+    // simulate a rebuild that died between the staging write and the
+    // activating rename: orphan _staging-<uuid> dirs under both roots
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (root <- Seq("docidx", "docidx_num")) {
+      val p = new org.apache.hadoop.fs.Path(
+        store.path, s"$root/_staging-dead-rebuild")
+      val fs = p.getFileSystem(conf)
+      fs.mkdirs(p)
+    }
+    // the orphans are NOT reported as materialized JSON paths...
+    assert(store.materializedDocFields == Seq(Seq("g")))
+    assert(store.materializedNumericDocFields == Seq(Seq("g")))
+    // ...and the listing swept them, so inserts never append to them
+    // and compact/vacuum never rebuilds them
+    for (root <- Seq("docidx", "docidx_num")) {
+      val p = new org.apache.hadoop.fs.Path(
+        store.path, s"$root/_staging-dead-rebuild")
+      assert(!p.getFileSystem(conf).exists(p), s"$root staging not swept")
+    }
+    // lifecycle unaffected: insert appends only to the real sidecar,
+    // indexed route still agrees with the scan route
+    store.insert(Seq(vec(100)), Seq(docJson(1, "srcX")))
+    val idx = store.queryByDoc(Seq("g"), Seq("1")).map(_.id)
+    store.dropDocField(Seq("g"))
+    assert(store.queryByDoc(Seq("g"), Seq("1")).map(_.id) == idx)
+  }
 }

@@ -77,6 +77,18 @@ class DsirSpec extends SparkSuite {
     assert(cold.forall(_ <= 20L), s"cold selection leaked off-target docs: ${cold.toSeq}")
   }
 
+  test("select: empty raw corpus fails with a clear message, not an NPE") {
+    val target = docsDF(Seq((100L, "alpha beta")))
+    val ex1 = intercept[IllegalArgumentException](
+      Dsir.select(docsDF(Seq.empty), target, "text", "id", k = 3))
+    assert(ex1.getMessage.contains("raw corpus is empty"))
+    // all-NULL text scores no rows either — same guard, not getDouble(NULL)
+    val nullRaw = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+    val ex2 = intercept[IllegalArgumentException](
+      Dsir.select(nullRaw, target, "text", "id", k = 1))
+    assert(ex2.getMessage.contains("raw corpus is empty"))
+  }
+
   test("ratio persistence: save/load round-trip is bit-identical, guards hold") {
     val raw = docsDF((1L to 20L).map(i => i -> s"tok$i alpha beta"))
     val target = docsDF(Seq((99L, "alpha beta alpha")))

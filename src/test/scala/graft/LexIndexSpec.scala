@@ -168,6 +168,31 @@ class LexIndexSpec extends SparkSuite {
     assert(idx == scan, "filtered stats must match the sub-corpus fit")
   }
 
+  test("rebuild with a different bucket count: marker-last protocol, no stale pruning") {
+    val root = Files.createTempDirectory("graft-lx-rebkt").toString + "/lex"
+    val docs = (0 until 25).map(i => (i.toLong, docText(i), 0L))
+      .toDF("id", "doc", "gen")
+    graft.operators.LexIndex.build(spark, root, docs, "id", "doc", "gen",
+      buckets = 4)
+    val base = ranked(graft.operators.LexIndex.search(spark, root, queries, 5))
+    assert(base.nonEmpty)
+    // rebuild with a different partition count: results identical
+    graft.operators.LexIndex.build(spark, root, docs, "id", "doc", "gen",
+      buckets = 7)
+    assert(graft.operators.LexIndex.buckets(spark, root) == 7)
+    assert(ranked(graft.operators.LexIndex.search(spark, root, queries, 5)) == base)
+    // the crash window the protocol guarantees: marker retracted, new
+    // bucketed postings in place. Search must fall back to the unpruned
+    // scan and still return EXACTLY the same rankings — never map terms
+    // with a stale count against the new directory layout.
+    val mp = new org.apache.hadoop.fs.Path(root, "nbuckets")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(mp, false)
+    assert(graft.operators.LexIndex.buckets(spark, root) == 0)
+    assert(ranked(graft.operators.LexIndex.search(spark, root, queries, 5)) == base,
+      "marker-less window must degrade to an unpruned but correct scan")
+  }
+
   private def storeLexRoot(store: VectorStore): String =
     new org.apache.hadoop.fs.Path(store.path, "lex").toString
 }

@@ -1433,6 +1433,13 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     // indexed query works on the clone without a rebuild
     assert(c.queryByDoc(Seq("g"), Seq("1")).nonEmpty)
     intercept[IllegalArgumentException](s.cloneTo(dst))
+    // an EXISTING EMPTY directory is refused too: FileUtil.copy would
+    // nest the store one level down (dst/<srcName>) and openOrCreate
+    // would hand back a fresh zero-row store — the silent-empty-backup
+    // failure mode, not a merge
+    val emptyDst = Files.createTempDirectory("graft-vs-clone-empty").toString
+    val ex = intercept[IllegalArgumentException](s.cloneTo(emptyDst))
+    assert(ex.getMessage.contains("already exists"))
   }
 
   test("tuneNProbe: walks the ladder, full probe is recall 1.0, contracts hold") {
