@@ -1221,6 +1221,43 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Compound metadata filter: `g = "1" AND score ∈ [20, 80]` — the
+    // two-term conjunction every real vector-db filter takes (category
+    // AND threshold) — dispatched as two INTERSECTING materialized
+    // sidecar scans (string equality + numeric range), exercised
+    // through delete AND upsert (the upsert moves id 25 INTO the match
+    // set with a brand-new vector, so stale sidecar rows would rank a
+    // ghost). Exact search over the survivors; DuckDB replays the
+    // whole lifecycle brute-force.
+    "vs_filtered_multi" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_fmulti_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
+            lit("\", \"score\": "), (col("vec_id") % 100).cast("string"),
+            lit("}")).as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.materializeDocFieldNumeric(Seq("score"))
+      store.delete(Seq(1L, 7L, 13L, 19L))
+      val newVec = T(s, dir, "embeddings").filter(col("vec_id") === 499)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      store.upsert(Seq(25L), Seq(newVec), Seq("{\"g\": \"1\", \"score\": 50}"))
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchWhereAllDF(qs, k = 5, Seq(
+          graft.store.DocEquals(Seq("g"), Seq("1")),
+          graft.store.DocRange(Seq("score"), Some(20.0), Some(80.0))))
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
     // Store-level hybrid retrieval: BM25 lexical shortlist over the
     // stored doc strings + exact dense shortlist, fused by reciprocal
     // rank (k0 = 60). The fixture docs are built so the whole journey
@@ -5643,6 +5680,35 @@ object SparkEntry {
       scored AS (
         SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
         FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Full lifecycle replay: base rows minus deletes minus the
+    // upserted id, plus the upserted row with its NEW vector and doc;
+    // the compound filter (g = '1' AND score in [20, 80]) applies to
+    // the replayed live set, then exact L2 top-5.
+    "vs_filtered_multi" -> """
+      WITH base AS (
+        SELECT e.vec_id AS id, e.embedding AS vec,
+               CAST(e.label % 3 AS VARCHAR) AS g, e.vec_id % 100 AS score
+        FROM embeddings e WHERE e.vec_id < 500),
+      upserted AS (
+        SELECT 25 AS id,
+               (SELECT embedding FROM embeddings WHERE vec_id = 499) AS vec,
+               '1' AS g, 50 AS score),
+      live AS (
+        SELECT * FROM base WHERE id NOT IN (1, 7, 13, 19, 25)
+        UNION ALL SELECT * FROM upserted),
+      m AS (SELECT id, vec FROM live WHERE g = '1' AND score BETWEEN 20 AND 80),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, m.id, list_distance(m.vec, q.qvec) AS distance
+        FROM m CROSS JOIN q),
       ranked AS (
         SELECT qid, id, distance,
                row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn

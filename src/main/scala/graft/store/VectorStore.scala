@@ -43,6 +43,30 @@ case class LexIndexStats(nPostingRows: Long, nDeadPostings: Long,
 /** Fuzzy doc search distances are float64 (reference: vector_store.py:386-387). */
 case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: Double)
 
+/** One term of a conjunctive metadata filter over the doc JSON — the
+  * compound-predicate surface (`lang = "en" AND score >= 0.5`, the most
+  * common vector-store filter shape). Each term dispatches
+  * independently to its materialized sidecar when one exists
+  * ([[VectorStore.materializeDocField]] for equality,
+  * [[VectorStore.materializeDocFieldNumeric]] for ranges); all
+  * unmaterialized terms fold into ONE table scan with the conjunction
+  * pushed as a single filter — never one scan per term.
+  */
+sealed trait DocPredicate { def pathSteps: Seq[String] }
+
+/** Doc value at `$.path` is in `values` — string comparison, the
+  * reference's `query_by_doc` contract (vector_store.py:334-356).
+  */
+case class DocEquals(pathSteps: Seq[String], values: Seq[Any])
+  extends DocPredicate
+
+/** Doc value at `$.path` (cast to double, SQL cast semantics:
+  * non-numeric ⇒ NULL ⇒ never matches) lies in `[lo, hi]`; `None` is
+  * an unbounded side, at least one bound required.
+  */
+case class DocRange(pathSteps: Seq[String], lo: Option[Double],
+    hi: Option[Double]) extends DocPredicate
+
 /** Spark-native re-implementation of the reference engine's single-table
   * vector store (reference: vector_store.py:29-404).
   *
@@ -1355,12 +1379,26 @@ class VectorStore private (
       pathSteps: Seq[String], values: Seq[Any],
       refine: Int = 0): DataFrame = {
     require(pathSteps.nonEmpty, "path must have at least one step")
+    searchApproxMatchDF(queries, k, nProbe,
+      docMatchIds(pathSteps, values), refine)
+  }
+
+  /** Compound-filter twin of [[searchApproxWhereDF]]: the candidate
+    * set is the CONJUNCTION of `preds` (each term through its own
+    * pushed sidecar scan when materialized — see [[docMatchIdsAll]]),
+    * then the same probed/quantized search over the survivors.
+    */
+  def searchApproxWhereAllDF(queries: DataFrame, k: Int, nProbe: Int,
+      preds: Seq[DocPredicate], refine: Int = 0): DataFrame =
+    searchApproxMatchDF(queries, k, nProbe, docMatchIdsAll(preds), refine)
+
+  private def searchApproxMatchDF(queries: DataFrame, k: Int, nProbe: Int,
+      matchIds: DataFrame, refine: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(refine >= 0, s"refine must be >= 0, got $refine")
     if (!hasAnnIndex)
       throw new IllegalStateException(
         s"no ANN index at $annPath — call buildAnnIndex() first")
-    val matchIds = docMatchIds(pathSteps, values)
     if (annKindIsPq)
       // searchApproxPqDF already masks tombstones; compose only the
       // predicate semi-join here (the refine re-rank inherits the
@@ -1496,13 +1534,50 @@ class VectorStore private (
   def searchWhereDF(queries: DataFrame, k: Int,
       pathSteps: Seq[String], values: Seq[Any]): DataFrame = {
     require(pathSteps.nonEmpty, "path must have at least one step")
-    val matchIds = docMatchIds(pathSteps, values)
+    searchWhereMatchDF(queries, k, docMatchIds(pathSteps, values))
+  }
+
+  /** Compound-filter twin of [[searchWhereDF]]: exact top-k among rows
+    * satisfying EVERY predicate (see [[docMatchIdsAll]] for the
+    * sidecar-intersection dispatch).
+    */
+  def searchWhereAllDF(queries: DataFrame, k: Int,
+      preds: Seq[DocPredicate]): DataFrame =
+    searchWhereMatchDF(queries, k, docMatchIdsAll(preds))
+
+  private def searchWhereMatchDF(queries: DataFrame, k: Int,
+      matchIds: DataFrame): DataFrame = {
     val scored = indexDf
       .join(matchIds, Seq("id"), "left_semi")
       .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
       .withColumn("distance", l2_distance($"vec", $"qvec"))
       .select($"qid", $"id", $"distance")
     graft.operators.TopKAggregator.topKRows(scored, "qid", "id", "distance", k)
+  }
+
+  /** Record-shaped compound filtered k-NN — [[searchWhere]] with a
+    * conjunction of metadata terms; same k/dimension contracts.
+    */
+  def searchWhereAll(queries: Seq[Array[Float]], k: Int,
+      preds: Seq[DocPredicate]): Seq[Seq[SearchRecord]] = {
+    if (k <= 0)
+      throw new IllegalArgumentException(s"k must be a positive integer, got $k")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"query $i has dimension ${q.length}, store dimension is $dim")
+    }
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    val hits = searchWhereAllDF(qdf, k, preds)
+      .join(table.select($"id", $"vec", $"doc"), Seq("id"))
+      // topKRows carries the distance as double for aggregation; the
+      // value was computed in float32, so the down-cast is exact
+      .select($"qid".cast("int"), $"rn".cast("int"), $"id", $"vec", $"doc",
+        $"distance".cast("float").as("distance"))
+      .collect()
+    assemble(hits, queries.size)(r =>
+      SearchRecord(r.getLong(2), r.getSeq[Float](3).toArray, r.getString(4),
+        r.getFloat(5)))
   }
 
   /** Store-level hybrid retrieval: a dense shortlist (approximate via
@@ -1962,18 +2037,8 @@ class VectorStore private (
     * table scan with identical SQL cast semantics.
     */
   private def docMatchIdsRange(pathSteps: Seq[String],
-      lo: Option[Double], hi: Option[Double]): DataFrame = {
-    require(lo.nonEmpty || hi.nonEmpty, "need at least one bound")
-    def bounds(v: Column): Column =
-      Seq(lo.map(v >= _), hi.map(v <= _)).flatten.reduce(_ && _)
-    if (hasDocIndexNumeric(pathSteps))
-      annTombstoneMask(spark.read.parquet(docIdxNumDir(pathSteps).toString))
-        .filter(bounds(col("value")))
-        .select($"id")
-    else
-      table.filter(bounds(docValue(pathSteps).cast("double")))
-        .select($"id")
-  }
+      lo: Option[Double], hi: Option[Double]): DataFrame =
+    docMatchIdsAll(Seq(DocRange(pathSteps, lo, hi)))
 
   /** Rows whose doc value at `$.path` falls in `[lo, hi]` (numeric,
     * SQL cast semantics) — the range twin of [[queryByDocDF]].
@@ -2007,13 +2072,70 @@ class VectorStore private (
     * materialized, else the full-table extraction scan.
     */
   private def docMatchIds(pathSteps: Seq[String], values: Seq[Any]): DataFrame =
-    if (hasDocIndex(pathSteps))
-      annTombstoneMask(spark.read.parquet(docIdxDir(pathSteps).toString))
-        .filter(col("value").isin(values.map(_.toString): _*))
+    docMatchIdsAll(Seq(DocEquals(pathSteps, values)))
+
+  /** Whether `pred` can dispatch to a materialized sidecar. */
+  private def predIndexed(pred: DocPredicate): Boolean = pred match {
+    case DocEquals(p, _) => hasDocIndex(p)
+    case DocRange(p, _, _) => hasDocIndexNumeric(p)
+  }
+
+  /** The predicate's filter over its sidecar's `value` column. */
+  private def predSidecarFilter(pred: DocPredicate): Column = pred match {
+    case DocEquals(_, vs) => col("value").isin(vs.map(_.toString): _*)
+    case DocRange(_, lo, hi) =>
+      Seq(lo.map(col("value") >= _), hi.map(col("value") <= _))
+        .flatten.reduce(_ && _)
+  }
+
+  /** The predicate's filter over the raw doc column — the scan route,
+    * with IDENTICAL comparison semantics to the sidecar route (the
+    * sidecar stores exactly this extraction, string or double-cast).
+    */
+  private def predScanFilter(pred: DocPredicate): Column = pred match {
+    case DocEquals(p, vs) => docValue(p).isin(vs.map(_.toString): _*)
+    case DocRange(p, lo, hi) =>
+      val v = docValue(p).cast("double")
+      Seq(lo.map(v >= _), hi.map(v <= _)).flatten.reduce(_ && _)
+  }
+
+  /** Matching LIVE ids for a CONJUNCTION of metadata terms — the
+    * compound-filter dispatcher. Each materialized term becomes its
+    * own pushed sidecar scan; the id sets intersect via a left-semi
+    * chain (slim (id) frames — the join carries 8 bytes/row whatever
+    * the doc size). All unmaterialized terms collapse into ONE
+    * column-pruned table scan carrying their ANDed JSON filters, so a
+    * query with three unindexed terms still reads the table once.
+    */
+  private def docMatchIdsAll(preds: Seq[DocPredicate]): DataFrame = {
+    require(preds.nonEmpty, "need at least one predicate")
+    preds.foreach { pr =>
+      require(pr.pathSteps.nonEmpty, "path must have at least one step")
+      pr match {
+        case DocRange(_, lo, hi) =>
+          require(lo.nonEmpty || hi.nonEmpty, "need at least one bound")
+        case DocEquals(_, vs) =>
+          require(vs.nonEmpty, "need at least one value")
+      }
+    }
+    val (indexed, scanned) = preds.partition(predIndexed)
+    val sidecarFrames = indexed.map { pr =>
+      val dir = pr match {
+        case DocEquals(p, _) => docIdxDir(p)
+        case DocRange(p, _, _) => docIdxNumDir(p)
+      }
+      annTombstoneMask(spark.read.parquet(dir.toString))
+        .filter(predSidecarFilter(pr))
         .select($"id")
-    else
-      table.filter(docValue(pathSteps).isin(values.map(_.toString): _*))
-        .select($"id")
+    }
+    val scanFrame =
+      if (scanned.isEmpty) None
+      else Some(table
+        .filter(scanned.map(predScanFilter).reduce(_ && _))
+        .select($"id"))
+    (sidecarFrames ++ scanFrame)
+      .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
+  }
 
   /** Matching live ROWS for a JSON-path filter — [[docMatchIds]]
     * semi-joined back to the table on the indexed route, the plain
@@ -2058,6 +2180,38 @@ class VectorStore private (
   def queryByDocDF(pathSteps: Seq[String], values: Seq[Any]): DataFrame = {
     require(pathSteps.nonEmpty, "path must have at least one step")
     docMatchRows(pathSteps, values)
+  }
+
+  /** Conjunctive metadata filter: live rows satisfying EVERY term —
+    * `lang = "en" AND score >= 0.5` as
+    * `Seq(DocEquals(Seq("lang"), Seq("en")),
+    *      DocRange(Seq("score"), Some(0.5), None))`.
+    * Dispatch per term: materialized terms read their own pushed
+    * sidecar scans intersected by an id semi-join chain; all
+    * unmaterialized terms share ONE table scan (see [[docMatchIdsAll]]).
+    */
+  def queryByDocAllDF(preds: Seq[DocPredicate]): DataFrame =
+    table.join(docMatchIdsAll(preds), Seq("id"), "left_semi")
+
+  /** Record-shaped [[queryByDocAllDF]], ordered by id. */
+  def queryByDocAll(preds: Seq[DocPredicate]): Seq[SelectRecord] =
+    queryByDocAllDF(preds).orderBy($"id").as[SelectRecord].collect().toSeq
+
+  /** Predicate delete over a conjunction of metadata terms — the
+    * compound twin of [[deleteWhere]]/[[deleteWhereRange]] (retention
+    * jobs filter on `source AND timestamp`, not one path). Returns the
+    * deleted count; zero matches is a no-op.
+    */
+  def deleteWhereAll(preds: Seq[DocPredicate]): Long = {
+    val ids = docMatchIdsAll(preds).localCheckpoint(true)
+    val n = ids.count()
+    if (n > 0) {
+      storage.delete(ids)
+      annAfterDelete()
+      docIdxAfterDelete(); lexAfterDelete()
+      refreshIndex()
+    }
+    n
   }
 
   /** All vectors in insertion (= ascending id) order (reference:

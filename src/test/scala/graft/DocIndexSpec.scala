@@ -211,6 +211,60 @@ class DocIndexSpec extends SparkSuite {
     assert(scanPlan.contains("get_json_object"))
   }
 
+  test("compound predicates: AND of two sidecars, parity through lifecycle, plan pushed") {
+    import graft.store.{DocEquals, DocRange}
+    val store = mkStore("multi")
+    // docs carry a string field g (0/1/2) and a numeric score
+    store.insert((0 until 24).map(vec),
+      (0 until 24).map(i => s"""{"g": "${i % 3}", "score": ${i * 10}}"""))
+    val preds = Seq(
+      DocEquals(Seq("g"), Seq("1")),
+      DocRange(Seq("score"), Some(40.0), Some(180.0)))
+    def ids() = store.queryByDocAllDF(preds)
+      .select($"id").as[Long].collect().sorted.toSeq
+    // scan route truth: g ∈ {1,4,...}, score in [40,180] → ids 4..18 with id%3==1
+    val expect = (0 until 24).filter(i => i % 3 == 1 && i * 10 >= 40 && i * 10 <= 180)
+      .map(_.toLong)
+    assert(ids() == expect, s"scan route: ${ids()}")
+    // materialize BOTH sidecars: same answer, plan has two pushed
+    // sidecar scans and zero JSON parsing
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("score"))
+    assert(ids() == expect, "indexed route must agree with scan route")
+    val plan = store.queryByDocAllDF(preds).queryExecution.executedPlan.toString
+    assert(!plan.contains("get_json_object"),
+      s"compound indexed route must not parse JSON:\n$plan")
+    assert(plan.contains("docidx/") && plan.contains("docidx_num/"),
+      s"both sidecars must be scanned:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(value".r
+      .findFirstIn(plan).nonEmpty,
+      s"equality term must push into its sidecar scan:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(value".r
+      .findFirstIn(plan).nonEmpty,
+      s"range term must push into its sidecar scan:\n$plan")
+    // mixed dispatch: one term materialized, one not — still exact
+    store.dropDocFieldNumeric(Seq("score"))
+    assert(ids() == expect, "mixed sidecar+scan dispatch must agree")
+    store.materializeDocFieldNumeric(Seq("score"))
+    // lifecycle: delete a matching row, upsert another out of the set
+    store.delete(Seq(expect.head))
+    store.upsert(Seq(expect(1)), Seq(vec(99)), Seq("""{"g": "0", "score": 50}"""))
+    val after = expect.drop(2)
+    assert(ids() == after, s"post-mutation: ${ids()} vs $after")
+    // filtered exact search restricted to survivors
+    val got = store.searchWhereAll(Seq(vec(after.head.toInt)), k = 2, preds)
+    assert(got.head.map(_.id).forall(after.contains), s"${got.head.map(_.id)}")
+    // compound delete
+    assert(store.deleteWhereAll(preds) == after.size.toLong)
+    assert(ids().isEmpty)
+    // guards
+    intercept[IllegalArgumentException](store.queryByDocAllDF(Seq.empty))
+    intercept[IllegalArgumentException](
+      store.queryByDocAllDF(Seq(DocRange(Seq("score"), None, None))))
+    intercept[IllegalArgumentException](
+      store.queryByDocAllDF(Seq(DocEquals(Seq.empty, Seq("1")))))
+  }
+
   test("stale _staging dirs from a crashed rebuild are not fields and get swept") {
     val store = mkStore("staging")
     seed(store, 6)
