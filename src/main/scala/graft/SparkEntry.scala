@@ -4252,8 +4252,58 @@ object SparkEntry {
       val cpq = cents
       val (ipqr, cbr) = operators.Pq.pqResidualFromIvf(indexed, cents,
         "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
-      // (config, truth family, ranked run) — a 9-branch union is the
-      // POINT here (nine different operators under test), not a
+      // ---- round-10 ladder rungs as sweep arms (r10 verdict #2), all
+      // sharing the ONE coarse k-means build above ----
+      // SQ8: identical IVF geometry, rows ranked by DEQUANTIZED L2
+      // (the store's refine-free SQDC semantics)
+      val sqParams = operators.Sq.fit(emb, "embedding", 64)
+      val sqIndexed = indexed.withColumn("embedding",
+        operators.Sq.decodeCol(
+          operators.Sq.encodeCol(col("embedding"), sqParams), sqParams))
+      // BQ: packed sign bits over the same cells, hamming shortlist of
+      // 40 then the MANDATORY exact re-rank (pgvector BQ+rescore)
+      val bqPath = s"$annSweepDir/bq"
+      val bqParams = operators.Bq.fit(emb, "embedding", 64)
+      operators.Bq.writeParams(s, s"$bqPath/bq", bqParams)
+      cents.write.mode("overwrite").parquet(s"$bqPath/centroids")
+      indexed.select(col("vec_id").as("id"),
+          operators.Bq.encodeCol(col("embedding"), bqParams).as("codes"),
+          col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$bqPath/index")
+      val bqRun = {
+        val short = operators.Bq.ivfBqSearch(s, bqPath, qs, "qid", "qvec",
+          shortK = 40, nProbe = 4)
+        SimilarityJoin.topKByDistance(
+          short.select(col("qid"), col("id").as("vec_id"))
+            .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .join(broadcast(qs), Seq("qid"))
+            .withColumn("distance",
+              graft.functions.l2_distance(col("embedding"), col("qvec")))
+            .select(col("qid"), col("vec_id"), col("distance")),
+          "qid", "vec_id", "distance", kk)
+      }
+      // OPQ: rotation trained in one sweep; L2 is rotation-invariant,
+      // so the SAME coarse assignment (indexed.centroid_id) and the
+      // SAME probe ranking hold in the rotated space — only the PQ
+      // codebook is refit on rotated subvectors (OPQ's whole point)
+      val rot = operators.Opq.trainRotation(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, iters = 1, sweeps = 1)
+      val indexedRot = indexed.withColumn("embedding",
+        graft.functions.mat_vec(col("embedding"), rot))
+      val centsRot = cents.withColumn("centroid",
+        graft.functions.mat_vec(col("centroid"), rot))
+      val (iopq, cbOpq) = operators.Pq.pqFromIvf(indexedRot,
+        "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
+      val qArrRot = qArr.map { case (qid, v) =>
+        (qid, operators.Opq.rotate(rot, v)) }
+      // Hierarchical routing: persist the shared layout once, route
+      // queries through 3 super-cells (superProbe 1), probe 4 cells
+      val ivfPath = s"$annSweepDir/ivf"
+      Ann.writeIvfIndex(indexed, cents, ivfPath)
+      Ann.buildSuperQuantizer(s, ivfPath, nSuper = 3, iters = 2)
+      // (config, truth family, ranked run) — a 14-branch union is the
+      // POINT here (fourteen different operators under test), not a
       // per-query plan smell. Hamming sign-sketches approximate ANGULAR
       // distance, so that arm is scored against the cosine truth; the
       // rescore arm re-ranks its Hamming shortlist with EXACT L2, so
@@ -4275,7 +4325,19 @@ object SparkEntry {
           ("ivfpq_p4", "l2", operators.Pq.ivfPqSearch(ipq, "vec_id", "codes",
             cpq, cb, qArr, k = kk, nProbe = 4)),
           ("ivfpq_res_p4", "l2", operators.Pq.ivfPqSearchResidual(ipqr,
-            "vec_id", "codes", cents, cbr, qArr, k = kk, nProbe = 4)))
+            "vec_id", "codes", cents, cbr, qArr, k = kk, nProbe = 4))) ++
+        Seq(
+          ("sq8_p4", "l2", Ann.ivfSearchL2(sqIndexed, "vec_id", "embedding",
+            cents, qs, "qid", "qvec", k = kk, nProbe = 4)),
+          ("bq_p4_r40", "l2", bqRun),
+          ("opq_p4", "l2", operators.Pq.ivfPqSearch(iopq, "vec_id", "codes",
+            centsRot, cbOpq, qArrRot, k = kk, nProbe = 4)),
+          ("mrl_p16_s40", "l2", Ann.matryoshkaRescoreTopK(emb, "vec_id",
+            "embedding", qs, "qid", "qvec", prefixDim = 16, shortlist = 40,
+            k = kk)),
+          ("hier_s1_p4", "l2", Ann.ivfSearchL2PrunedHier(s, ivfPath,
+            "vec_id", "embedding", qs, "qid", "qvec", k = kk, nProbe = 4,
+            superProbe = 1)))
       val run = runs.map { case (cfg, _, df) =>
         df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
           col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
@@ -4301,12 +4363,56 @@ object SparkEntry {
         .select(col("qid"), col("centroid_id"), col("cdist"))
         .withColumn("crank", row_number().over(wq))
         .join(broadcast(cellSizes), Seq("centroid_id"))
+      // sq8 ranks the same probed cells as ivf_p4; opq's probe ranking
+      // is IDENTICAL to ivf_p4's (rotation preserves every L2
+      // distance, so cell ranks can't change); bq hamming-scans the
+      // same 4 cells plus its 40-row exact rescore
       val cost = (Seq(1, 2, 4, 8).map(pp => f"ivf_p$pp" -> pp) ++
-          Seq("ivfpq_p4" -> 4, "ivfpq_res_p4" -> 4)).map { case (cfg, pp) =>
+          Seq("ivfpq_p4" -> 4, "ivfpq_res_p4" -> 4,
+            "sq8_p4" -> 4, "opq_p4" -> 4)).map { case (cfg, pp) =>
         probeRank.filter(col("crank") <= pp)
           .groupBy("qid").agg(sum(col("csz")).as("scanned"))
           .select(lit(cfg).as("config"), col("qid"), col("scanned"))
       }.reduce(_ unionAll _)
+        .unionAll(probeRank.filter(col("crank") <= 4)
+          .groupBy("qid").agg((sum(col("csz")) + lit(40L)).as("scanned"))
+          .select(lit("bq_p4_r40").as("config"), col("qid"), col("scanned")))
+        // mrl stage 1 scores every row (at 16/64 of the bytes — the
+        // axis counts ROWS, like hamming_b64's full sketch scan) plus
+        // the 40-row exact rescore
+        .unionAll(qs.select(lit("mrl_p16_s40").as("config"), col("qid"),
+          (lit(nAll) + lit(40L)).as("scanned")))
+        // hier: the cells its ROUTED probe actually chose (top-4 by
+        // cdist among cells routed to the query's top super-cell) —
+        // replicated from the persisted super tables with the search's
+        // own tie-breaks
+        .unionAll {
+          val supers = s.read.parquet(s"$ivfPath/super/centroids")
+          val routing = s.read.parquet(s"$ivfPath/super/routing")
+          val ws = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("sdist"), col("super_id"))
+          val chosen = qs.crossJoin(broadcast(supers))
+            .withColumn("sdist", graft.functions.l2_distance(
+              col("qvec"), col("super_centroid")))
+            .withColumn("srn", row_number().over(ws))
+            .filter(col("srn") <= 1)
+            .select(col("qid"), col("qvec"), col("super_id"))
+          val wc = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("cdist"), col("cell_id"))
+          chosen.join(broadcast(routing), Seq("super_id"))
+            .join(broadcast(cents.select(
+              col("centroid_id").as("cell_id"), col("centroid"))),
+              Seq("cell_id"))
+            .withColumn("cdist", graft.functions.l2_distance(
+              col("qvec"), col("centroid")))
+            .withColumn("crn", row_number().over(wc))
+            .filter(col("crn") <= 4)
+            .join(broadcast(cellSizes.withColumnRenamed(
+              "centroid_id", "cell_id")), Seq("cell_id"))
+            .groupBy("qid").agg(sum(col("csz")).as("scanned"))
+            .select(lit("hier_s1_p4").as("config"), col("qid"),
+              col("scanned"))
+        }
         .unionAll {
           val bSizes = emb
             .select(graft.functions
