@@ -3116,29 +3116,25 @@ object SparkEntry {
         .orderBy(col("cn").desc, col("u"), col("v"))
         .limit(200)),
 
-    // Convergence-exit contract, gate-level: a tol run must (a) stop
-    // BEFORE the cap, (b) equal the fixed-iteration form at the count
-    // it stopped at — bit-identical ranks, since tol only decides WHEN
-    // to stop, never WHAT an iteration computes. Small deterministic
-    // graph (supplier→nation links) keeps the per-iteration jobs
-    // gate-cheap.
+    // Convergence-exit contract, FULLY replayed (r10 verdict #4
+    // burn-down of the former constant oracle): the tol walk's
+    // per-node converged ranks AND its stop count are emitted, and
+    // DuckDB re-runs the ENTIRE walk — iterations, dangling mass, the
+    // L1-delta convergence test, and the early exit — in a recursive
+    // CTE, so the stop round itself is independently derived, not
+    // trusted. Small deterministic graph (supplier→nation links)
+    // keeps the per-iteration jobs gate-cheap; damping 0.3 gives
+    // geometric tol decay (0.3^k < 1e-6 in ~12 rounds).
     "gr_converged" -> ((s, dir) => {
       val e = T(s, dir, "supplier")
         .select((col("s_suppkey") % 40).as("src"), col("s_nationkey").as("dst"))
         .distinct()
-      // damping 0.3: geometric tol decay 0.3^k reaches 1e-6 in ~10
-      // rounds, keeping this a gate-cheap consistency proof (0.85
-      // would need ~80 iterations to cross the same tol)
       val (pr, ran) = operators.Graphs.pageRankCore(e, "src", "dst",
         iterations = 25, tol = Some(1e-6), damping = 0.3)
-      val fixed = operators.Graphs.pageRank(e, "src", "dst",
-          iterations = ran, damping = 0.3)
-        .withColumnRenamed("rank", "rank_fixed")
-      import s.implicits._
-      val mism = pr.join(fixed, "node")
-        .filter(col("rank") =!= col("rank_fixed")).count()
-      Seq((mism, ran.toLong < 25L, ran.toLong >= 2L))
-        .toDF("mismatches", "converged_early", "nontrivial")
+      pr.select(col("node"), hround(col("rank"), 8).as("rank"))
+        .withColumn("stopped_at", lit(ran.toLong))
+        .withColumn("converged_early", lit(ran < 25))
+        .orderBy("node")
     }),
 
     // Structural degree profile of the same graph.
@@ -4741,27 +4737,24 @@ object SparkEntry {
     // and no candidate-subset top-k can beat the exact top-k at any
     // rank. Checked per (query, rank) on the raw float32 sims — the
     // kernels are shared, so equal candidates give equal sims.
+    // Multi-probe LSH (Lv et al. VLDB '07), FULLY replayed (r10
+    // verdict #4 burn-down of the former constant invariant oracle):
+    // the gate emits the actual multi-probe ranking and DuckDB
+    // regenerates the seeded hyperplanes as exact-decimal literals
+    // (the ann_lsh_topk pattern), derives every query's 7-bucket probe
+    // set (own bucket XOR each single-bit flip), and replays the
+    // bucket join + cosine top-3. The monotonicity invariants the old
+    // summary asserted (multi-probe ≥ single-probe, ≤ exact) live in
+    // AnnSpec.
     "ann_multiprobe" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val mp = Ann.lshCosineTopKMultiProbe(e, "vec_id", "embedding",
+      Ann.lshCosineTopKMultiProbe(e, "vec_id", "embedding",
           qs, "qid", "qvec", k = 3, dim = 64, nBits = 6)
-        .select(col("qid"), col("rn"), col("sim").as("mp_sim"))
-      val sp = Ann.lshCosineTopK(e, "vec_id", "embedding",
-          qs, "qid", "qvec", k = 3, dim = 64, nBits = 6)
-        .select(col("qid"), col("rn"), col("sim").as("sp_sim"))
-      val exact = SimilarityJoin.knnCosine(e, "vec_id", "embedding",
-          qs, "qid", "qvec", k = 3)
-        .select(col("qid"), col("rn"), col("sim").as("ex_sim"))
-      mp.join(sp, Seq("qid", "rn"), "left_outer")
-        .join(exact, Seq("qid", "rn"))
-        .agg(
-          sum(when(col("mp_sim") < col("sp_sim"), 1).otherwise(0)).cast("long")
-            .as("worse_than_single"),
-          sum(when(col("mp_sim") > col("ex_sim"), 1).otherwise(0)).cast("long")
-            .as("better_than_exact"),
-          (count(lit(1)) === 15).as("complete"))
+        .select(col("qid"), col("vec_id"), col("rn"),
+          hround(col("sim").cast("double"), 4).as("sim"))
+        .orderBy("qid", "rn")
     }),
 
     // Hamming k-NN over sign-bit sketches: 64-dim embeddings packed to
@@ -7032,10 +7025,35 @@ object SparkEntry {
              ${graft.functions.hroundSql("CAST(dist AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
     },
-    "ann_multiprobe" -> """
-      SELECT CAST(0 AS BIGINT) AS worse_than_single,
-             CAST(0 AS BIGINT) AS better_than_exact,
-             true AS complete""",
+    "ann_multiprobe" -> {
+      val rnd = new scala.util.Random(42L)
+      val p = Array.fill(6 * 64)(rnd.nextGaussian().toFloat)
+      val bucket = (0 until 6).map { b =>
+        val lits = (0 until 64).map(i =>
+          new java.math.BigDecimal(p(b * 64 + i).toDouble).toPlainString).mkString(", ")
+        s"(CASE WHEN list_dot_product(embedding, [$lits]) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               $bucket AS bucket
+        FROM embeddings),
+      q0 AS (SELECT vec_id AS qid, embedding AS qvec, bucket
+             FROM e WHERE vec_id < 5),
+      flips(f) AS (VALUES (0), (1), (2), (4), (8), (16), (32)),
+      probes AS (SELECT qid, qvec, xor(bucket, f) AS bucket
+                 FROM q0 CROSS JOIN flips),
+      scored AS (
+        SELECT p.qid, e.vec_id,
+               list_cosine_similarity(e.embedding, p.qvec) AS sim
+        FROM e JOIN probes p ON e.bucket = p.bucket),
+      ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY -sim, vec_id) AS rn
+        FROM scored)
+      SELECT qid, vec_id, rn, (CASE WHEN isnan(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sim AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(sim AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sim AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS sim
+      FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
+    },
     "dd_novelty" -> """
       WITH etoks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                      FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
@@ -8130,9 +8148,51 @@ object SparkEntry {
              ${graft.functions.hroundSql("CAST(dist AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
     },
-    "gr_converged" -> """
-      SELECT CAST(0 AS BIGINT) AS mismatches,
-             true AS converged_early, true AS nontrivial""",
+    // Full tol-walk replay: DuckDB iterates PageRank (dangling mass
+    // included) in a recursive CTE, carrying each round's L1 delta as
+    // a window sum over the new ranks, and stops producing rows at the
+    // first round whose PREVIOUS delta fell under tol — exactly
+    // pageRankCore's `while (it < cap && !converged)`. The stop count
+    // and the converged ranks are thus independently derived.
+    "gr_converged" -> raw"""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT s_suppkey % 40 AS src, s_nationkey AS dst
+        FROM supplier),
+      -- UNION ALL + outer DISTINCT: under WITH RECURSIVE, DuckDB
+      -- parses a top-level `A UNION B` CTE as anchor/step and skips
+      -- the dedup
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg
+             FROM e GROUP BY src),
+      pr AS (
+        SELECT 0 AS it, node, 1e0 / nn.n AS rank, 1e9 AS l1
+        FROM nodes CROSS JOIN nn
+        UNION ALL
+        SELECT x.it, x.node, x.rank,
+               sum(abs(x.rank - x.oldrank)) OVER () AS l1
+        FROM (
+          SELECT p.it + 1 AS it, p.node, p.rank AS oldrank,
+                 (1e0 - 0.3e0) / nn.n
+                   + 0.3e0 * (coalesce(c.c, 0e0) + dm.m / nn.n) AS rank
+          FROM pr p
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p2.rank / od.odeg) AS c
+            FROM e JOIN od ON od.src = e.src
+            JOIN pr p2 ON p2.node = e.src
+            GROUP BY e.dst) c ON c.node = p.node
+          CROSS JOIN (
+            SELECT coalesce(sum(p3.rank), 0e0) AS m
+            FROM pr p3 LEFT JOIN od ON od.src = p3.node
+            WHERE od.src IS NULL) dm
+          CROSS JOIN nn
+          WHERE p.l1 >= 1e-6 AND p.it < 25
+        ) x),
+      last AS (SELECT max(it) AS mi FROM pr)
+      SELECT node, (CASE WHEN isnan(CAST((rank) AS DOUBLE)) OR abs(CAST((rank) AS DOUBLE)) >= 8e5 THEN CAST((rank) AS DOUBLE) ELSE floor(CAST((rank) AS DOUBLE) * 1e8 + 0.5) / 1e8 END) AS rank,
+             CAST(mi AS BIGINT) AS stopped_at, mi < 25 AS converged_early
+      FROM pr, last WHERE it = mi ORDER BY node""",
     "ann_ivfpq_res" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS complete",
     "tx_fp_consistency" -> """
