@@ -246,15 +246,16 @@ object Bm25 {
     * ([[graft.store.VectorStore.searchLexDF]], pairs straight from the
     * persisted postings, no corpus tokenization at query time).
     *
-    * Determinism note: sum(contrib) is a shuffle aggregate, so the
-    * per-term addition order is partition-dependent, while [[topK]]'s
-    * per-query projection (and the DuckDB oracles) sum in a fixed
-    * order — a score within ~5e-5 of a 4-decimal rounding boundary
-    * could flip the rounded bm25 between runs/engines. Not observed
-    * in any gate (scores sit far from boundaries at 4 decimals); if
-    * one ever flakes, sum collected (term_idx, contrib) structs via
-    * sort_array, or hround each contribution before summing on BOTH
-    * engines.
+    * Determinism: the per-(qid, doc) score is an ORDER-PINNED fold —
+    * the matched contributions collect into (term_idx, contrib)
+    * structs, `sort_array` totally orders them (term_idx is unique
+    * per pair), and `aggregate` folds left-to-right in ascending
+    * term_idx — so the double is bit-identical across partitionings,
+    * repartition counts, and runs, and matches the DuckDB oracles,
+    * which spell the sum as an explicit `c0 + c1 + ...` chain in the
+    * same ascending term order (dropping tf = 0 terms stays exact:
+    * adding 0.0 never changes a non-negative IEEE sum). Per-group
+    * state is |query terms| structs — bounded, broadcast-sized.
     */
   private[graft] def scorePairs(pairs: DataFrame, idCol: String,
       qRel: DataFrame, avgdlSafe: Double, k: Int,
@@ -265,7 +266,11 @@ object Bm25 {
     val contrib = col("_idf") * tf * lit(k1 + 1.0) / (tf + norm)
     val scored = pairs.join(broadcast(qRel), "_ti")
       .groupBy(col("_qid").as("qid"), col(idCol))
-      .agg(graft.functions.hround(sum(contrib), 4).as("bm25"))
+      .agg(sort_array(collect_list(
+        struct(col("_ti").cast("int").as("ti"), contrib.as("c")))).as("_cs"))
+      .select(col("qid"), col(idCol), graft.functions.hround(
+        aggregate(col("_cs"), lit(0.0),
+          (acc, x) => acc + x.getField("c")), 4).as("bm25"))
     TopKAggregator.topKRows(
         scored.withColumn("_neg", -col("bm25")), "qid", idCol, "_neg", k)
       .filter(col("_neg") < 0.0)

@@ -738,6 +738,28 @@ class TextOpsSpec extends SparkSuite {
       Bm25.topKBatch(docs, "id", "text", Seq(1L -> Seq("a"), 1L -> Seq("b")), 3))
   }
 
+  test("bm25 scores are bit-equal across repartitionings (order-pinned fold)") {
+    import graft.operators.Bm25
+    // many multi-term matches so an unpinned shuffle sum WOULD have
+    // partition-dependent addition order
+    val base = (1L to 60L).map(i =>
+      (i, s"w${i % 7} w${i % 5} common w${i % 3} pad${i % 11} common"))
+      .toDF("id", "text")
+    val queries = Seq(0L -> Seq("common", "w1", "w2", "w4", "pad3"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bm25.topKBatch(df, "id", "text", queries, k = 60)
+        .select($"qid", $"id", $"bm25", $"rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._2).toSeq
+    val a = run(base.coalesce(1))
+    val b = run(base.repartition(13))
+    val c = run(base.repartition(3, col("id")))
+    // raw double bit patterns, not just rounded display equality
+    def bits(rs: Seq[(Long, Long, Double, Int)]) =
+      rs.map(r => (r._1, r._2, java.lang.Double.doubleToLongBits(r._3), r._4))
+    assert(bits(a) == bits(b), "13-way repartition changed a score bit")
+    assert(bits(a) == bits(c), "hash repartition changed a score bit")
+  }
+
   // ------------------------ sparse retrieval --------------------------- //
 
   test("sparse retrieval: hand-computed dot products, inner-join semantics") {
