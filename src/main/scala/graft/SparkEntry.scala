@@ -805,6 +805,44 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // AUTOMATIC index maintenance (r10 verdict #6): nothing calls
+    // rebalance — the threshold policy fires it INSIDE insertDF when
+    // appends push a cell past maxCellRows (the TombstoneStorage
+    // auto-compaction pattern applied to the IVF index). The gate
+    // proves the trigger fired (over_cap counted from the on-disk
+    // partitions = 0, n_cells grew past the 2 built) AND that search
+    // results are maintenance-invariant: full probe stays the exact
+    // brute-force ranking DuckDB replays with no quantizer state.
+    "vs_auto_maintain" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_am_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.filter(col("vec_id") < 300)
+        .orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 2, iters = 1, seedRounds = 0)
+      store.enableAutoMaintenance(
+        graft.store.IndexMaintenancePolicy(maxCellRows = 120))
+      // this append crosses the cap inside insertDF — no manual call
+      store.insertDF(emb.filter(col("vec_id") >= 300)
+        .orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      val st = store.annIndexStats()
+      store.delete(Seq(1L, 2L, 3L))
+      val qs = emb.filter(col("vec_id").isin(2, 7, 11))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxDF(qs, k = 5, nProbe = 64)
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"),
+          lit(if (st.maxCellRows <= 120L) 0L else 1L).as("over_cap"),
+          lit(if (st.nCells > 2L) 1L else 0L).as("split_fired"))
+        .orderBy("qid", "rn")
+    }),
+
     // Cold-cell merge, the delete-side complement of the rebalance
     // gate: a floor above every cell size dissolves ALL cells into the
     // fullest survivor, so the post-merge layout has exactly ONE cell
@@ -5790,6 +5828,28 @@ object SparkEntry {
     // upserted id, plus the upserted row with its NEW vector and doc;
     // the compound filter (g = '1' AND score in [20, 80]) applies to
     // the replayed live set, then exact L2 top-5.
+    // Maintenance-invariance replay: whatever cells the auto-rebalance
+    // produced, full probe over the live rows is the exact brute
+    // ranking; the trigger evidence (cap respected, split happened) is
+    // pinned to its expected constants.
+    "vs_auto_maintain" -> """
+      WITH live AS (
+        SELECT e.vec_id AS id, e.embedding AS vec
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (1, 2, 3)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 7, 11)),
+      scored AS (
+        SELECT q.qid, l.id, list_distance(l.vec, q.qvec) AS distance
+        FROM live l CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist,
+             CAST(0 AS BIGINT) AS over_cap, CAST(1 AS BIGINT) AS split_fired
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+
     "vs_filtered_multi" -> """
       WITH base AS (
         SELECT e.vec_id AS id, e.embedding AS vec,

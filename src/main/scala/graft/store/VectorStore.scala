@@ -43,6 +43,41 @@ case class LexIndexStats(nPostingRows: Long, nDeadPostings: Long,
 /** Fuzzy doc search distances are float64 (reference: vector_store.py:386-387). */
 case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: Double)
 
+/** Threshold policy for AUTOMATIC index maintenance — the missing
+  * trigger around the existing rebalance/merge/rebuild moves (the
+  * [[TombstoneStorage]] auto-compaction pattern applied to the
+  * secondary indexes): at 100 TB the rebuild cadence is the
+  * difference between flat and degrading probe cost, and "an operator
+  * remembers to call rebalance" is not a cadence. Every knob defaults
+  * to 0 = OFF; a store opts in via
+  * [[VectorStore.enableAutoMaintenance]].
+  *
+  * @param maxCellRows after any append, split flat-IVF cells that grew
+  *   past this row count ([[VectorStore.rebalanceAnnIndex]] — only hot
+  *   partitions rewritten). The check is one per-cell count aggregate
+  *   over the slim index.
+  * @param minCellRows after any delete, dissolve flat-IVF cells that
+  *   shrank below this ([[VectorStore.mergeAnnIndexCells]] — per-cell
+  *   probe floor reclaimed).
+  * @param lexMaxFiles after any append, rebuild the posting index once
+  *   its file count passes this (every O(batch) append adds up to
+  *   nBuckets files; the rebuild IS the index's compaction). The check
+  *   is filesystem metadata only.
+  * @param lexMaxDeadFraction after any delete, rebuild the posting
+  *   index once the tombstone-masked posting fraction passes this
+  *   (dead postings are scanned and then discarded by every query).
+  */
+case class IndexMaintenancePolicy(
+    maxCellRows: Long = 0L,
+    minCellRows: Long = 0L,
+    lexMaxFiles: Long = 0L,
+    lexMaxDeadFraction: Double = 0.0) {
+  require(maxCellRows >= 0L && minCellRows >= 0L && lexMaxFiles >= 0L,
+    "maintenance thresholds must be >= 0 (0 = off)")
+  require(lexMaxDeadFraction >= 0.0 && lexMaxDeadFraction < 1.0,
+    s"lexMaxDeadFraction must be in [0, 1), got $lexMaxDeadFraction")
+}
+
 /** One term of a conjunctive metadata filter over the doc JSON — the
   * compound-predicate surface (`lang = "en" AND score >= 0.5`, the most
   * common vector-store filter shape). Each term dispatches
@@ -1249,6 +1284,93 @@ class VectorStore private (
       case _ =>
         graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
     }
+    maybeMaintainAnnAfterAppend()
+  }
+
+  // ------------------- automatic index maintenance ----------------- //
+  //
+  // The trigger loop around the existing maintenance moves
+  // ([[rebalanceAnnIndex]], [[mergeAnnIndexCells]], [[buildLexIndex]]
+  // as posting compaction), hooked INSIDE the index lifecycle methods
+  // so every mutation path — insert/insertDF/upsert/deleteWhere*/
+  // streaming ingest — is covered without per-call-site wiring, the
+  // same choke-point placement as TombstoneStorage.maybeAutoCompact.
+  // No recursion: the triggered moves rewrite index partitions
+  // directly and never re-enter the append/delete hooks.
+
+  @volatile private var maintenance: Option[IndexMaintenancePolicy] = None
+
+  /** Opt in to threshold-driven automatic maintenance (see
+    * [[IndexMaintenancePolicy]]). In effect for this handle from now
+    * on; call [[disableAutoMaintenance]] to stop.
+    */
+  def enableAutoMaintenance(policy: IndexMaintenancePolicy): Unit =
+    maintenance = Some(policy)
+
+  def disableAutoMaintenance(): Unit = maintenance = None
+
+  private def maybeMaintainAnnAfterAppend(): Unit = maintenance.foreach { p =>
+    if (p.maxCellRows > 0L && hasAnnIndex && annKind == "ivf") {
+      val mxRow = spark.read.parquet(s"$annPath/index")
+        .groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).head()
+      if (!mxRow.isNullAt(0) && mxRow.getLong(0) > p.maxCellRows) {
+        val rep = rebalanceAnnIndex(p.maxCellRows)
+        logInfo(s"auto-maintenance: hottest cell ${mxRow.getLong(0)} rows " +
+          s"> ${p.maxCellRows}, split ${rep.splitCells} cells")
+      }
+    }
+  }
+
+  private def maybeMaintainAnnAfterDelete(): Unit = maintenance.foreach { p =>
+    if (p.minCellRows > 0L && hasAnnIndex && annKind == "ivf") {
+      val perCell = spark.read.parquet(s"$annPath/index")
+        .groupBy(col("centroid_id")).count()
+      // count non-empty cells too: merging needs >= 2 cells to move rows
+      val agg = perCell.agg(min(col("count")),
+        org.apache.spark.sql.functions.count(lit(1))).head()
+      if (!agg.isNullAt(0) && agg.getLong(1) > 1L
+          && agg.getLong(0) < p.minCellRows) {
+        val rep = mergeAnnIndexCells(p.minCellRows)
+        logInfo(s"auto-maintenance: coldest cell ${agg.getLong(0)} rows " +
+          s"< ${p.minCellRows}, dissolved ${rep.mergedCells} cells")
+      }
+    }
+  }
+
+  private def maybeMaintainLexAfterAppend(): Unit = maintenance.foreach { p =>
+    if (p.lexMaxFiles > 0L && hasLexIndex) {
+      val pp = new Path(graft.operators.LexIndex.postingsPath(lexRoot))
+      val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var nFiles = 0L
+      val it = fs.listFiles(pp, true)
+      while (it.hasNext && nFiles <= p.lexMaxFiles) {
+        if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+      }
+      if (nFiles > p.lexMaxFiles) {
+        buildLexIndex()
+        logInfo(s"auto-maintenance: posting index passed ${p.lexMaxFiles} " +
+          "files, rebuilt (compaction)")
+      }
+    }
+  }
+
+  private def maybeMaintainLexAfterDelete(): Unit = maintenance.foreach { p =>
+    if (p.lexMaxDeadFraction > 0.0 && hasLexIndex) {
+      val post = spark.read
+        .parquet(graft.operators.LexIndex.postingsPath(lexRoot))
+        .select($"id", col(GenCol))
+      val total = post.count()
+      if (total > 0L) {
+        val live = annTombstoneMask(post).count()
+        val dead = (total - live).toDouble / total
+        if (dead > p.lexMaxDeadFraction) {
+          buildLexIndex()
+          logInfo(f"auto-maintenance: dead posting fraction $dead%.3f > " +
+            s"${p.lexMaxDeadFraction}, rebuilt posting index")
+        }
+      }
+    }
   }
 
   /** Post-delete index maintenance: on the tombstone layout the query-
@@ -1262,6 +1384,7 @@ class VectorStore private (
         if (t.tombstoneCount() == 0L) rebuildAnnRowsFromCentroids()
       case _ => rebuildAnnRowsFromCentroids()
     }
+    maybeMaintainAnnAfterDelete()
   }
 
   private def annTombstoneMask: DataFrame => DataFrame = storage match {
@@ -1704,6 +1827,7 @@ class VectorStore private (
     }
     graft.operators.LexIndex.append(spark, lexRoot,
       batch.withColumn(GenCol, lit(gen)), "id", "doc", GenCol)
+    maybeMaintainLexAfterAppend()
   }
 
   private def lexAfterDelete(): Unit = if (hasLexIndex) {
@@ -1712,6 +1836,7 @@ class VectorStore private (
       case _ => true
     }
     if (rebuild) buildLexIndex()
+    else maybeMaintainLexAfterDelete()
   }
 
   /** Batched BM25 top-k over the store's docs: through the posting

