@@ -8250,7 +8250,7 @@ object SparkEntry {
           WHERE p.l1 >= 1e-6 AND p.it < 25
         ) x),
       last AS (SELECT max(it) AS mi FROM pr)
-      SELECT node, (CASE WHEN isnan(CAST((rank) AS DOUBLE)) OR abs(CAST((rank) AS DOUBLE)) >= 8e5 THEN CAST((rank) AS DOUBLE) ELSE floor(CAST((rank) AS DOUBLE) * 1e8 + 0.5) / 1e8 END) AS rank,
+      SELECT node, (CASE WHEN isnan(CAST((rank) AS DOUBLE)) OR abs(CAST((rank) AS DOUBLE)) >= 8e9 THEN CAST((rank) AS DOUBLE) ELSE floor(CAST((rank) AS DOUBLE) * 1e8 + 0.5) / 1e8 END) AS rank,
              CAST(mi AS BIGINT) AS stopped_at, mi < 25 AS converged_early
       FROM pr, last WHERE it = mi ORDER BY node""",
     "ann_ivfpq_res" ->

@@ -170,6 +170,7 @@ class VectorStore private (
     * vector_store.py:183-234). Returns the assigned ids.
     */
   def insert(vecs: Seq[Array[Float]], docs: Seq[String] = null): Seq[Long] = {
+    assertSingleWriter()
     require(vecs.nonEmpty, "insert requires at least one vector")
     vecs.zipWithIndex.foreach { case (v, i) =>
       if (v.length != dim)
@@ -251,6 +252,7 @@ class VectorStore private (
     * arrays only).
     */
   def insertDF(batch: DataFrame): Long = {
+    assertSingleWriter()
     val cols = batch.columns.toSet
     require(cols.contains("vec"), "insertDF requires a 'vec' column")
     // C1 parity (vector_store.py:34-55,104-112 + tests.py:62-160): the
@@ -316,6 +318,7 @@ class VectorStore private (
   def upsert(ids: Seq[Long], vecs: Seq[Array[Float]],
       docs: Seq[String] = null): (Long, Long) = {
     if (ids.isEmpty) return (0L, 0L)
+    assertSingleWriter()
     if (ids.size != vecs.size)
       throw new IllegalArgumentException(
         s"got ${ids.size} ids but ${vecs.size} vectors")
@@ -356,6 +359,7 @@ class VectorStore private (
     */
   def delete(ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
+    assertSingleWriter()
     val idsDf = ids.toDF("id")
     val present = table.join(broadcast(idsDf), Seq("id"), "left_semi").count()
     val distinctIds = ids.distinct.size
@@ -379,6 +383,7 @@ class VectorStore private (
     * the deleted count; deleting zero matches is a no-op.
     */
   def deleteWhere(pathSteps: Seq[String], values: Seq[Any]): Long = {
+    assertSingleWriter()
     require(pathSteps.nonEmpty, "path must have at least one step")
     val ids = docMatchIds(pathSteps, values).localCheckpoint(true)
     val n = ids.count()
@@ -604,6 +609,7 @@ class VectorStore private (
     * the per-read anti-join matters.
     */
   def compact(): Unit = {
+    assertSingleWriter()
     storage match {
       case t: TombstoneStorage =>
         t.compact()
@@ -1285,6 +1291,45 @@ class VectorStore private (
         graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
     }
     maybeMaintainAnnAfterAppend()
+  }
+
+  // ----------------------- single-writer lease --------------------- //
+  //
+  // The store is single-writer BY CONSTRUCTION in the reference (id
+  // assignment reads max(id) then appends — two steps no second writer
+  // may interleave; SURVEY §1.4) and the Spark port inherits the
+  // assumption. This makes it CHECKED instead of silent: openOrCreate
+  // claims a lease file under the root (last opener wins — the
+  // sequential-reopen pattern stays legal), and every mutating entry
+  // point verifies the lease still carries this handle's token. A
+  // second concurrently-opened writer therefore makes the FIRST handle
+  // fail fast on its next write, instead of both assigning the same
+  // ids and silently corrupting the table. Reads never check: any
+  // number of readers is fine.
+
+  private val writerToken = java.util.UUID.randomUUID().toString
+  private def leasePath = new Path(path, "_writer.lease")
+
+  private[graft] def claimWriterLease(): Unit = {
+    val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(leasePath, true)
+    try out.write(writerToken.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fail fast if another handle claimed the writer lease since this
+    * one did (the single-writer contract, checked). A missing lease
+    * (pre-lease store layout, or manually deleted) is re-claimed.
+    */
+  private def assertSingleWriter(): Unit = {
+    val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(leasePath)) { claimWriterLease(); return }
+    val in = fs.open(leasePath)
+    val held = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    if (held != writerToken)
+      throw new IllegalStateException(
+        s"single-writer violation: store at $path was opened by another " +
+        "writer handle after this one (the lease token changed). The " +
+        "newest opener owns the store; re-open to take over.")
   }
 
   // ------------------- automatic index maintenance ----------------- //
@@ -2180,6 +2225,7 @@ class VectorStore private (
     */
   def deleteWhereRange(pathSteps: Seq[String],
       lo: Option[Double], hi: Option[Double]): Long = {
+    assertSingleWriter()
     require(pathSteps.nonEmpty, "path must have at least one step")
     val ids = docMatchIdsRange(pathSteps, lo, hi).localCheckpoint(true)
     val n = ids.count()
@@ -2328,6 +2374,7 @@ class VectorStore private (
     * deleted count; zero matches is a no-op.
     */
   def deleteWhereAll(preds: Seq[DocPredicate]): Long = {
+    assertSingleWriter()
     val ids = docMatchIdsAll(preds).localCheckpoint(true)
     val n = ids.count()
     if (n > 0) {
@@ -2432,6 +2479,7 @@ class VectorStore private (
     */
   def vacuum(beforeVersion: Long): Long = storage match {
     case t: TombstoneStorage =>
+      assertSingleWriter()
       val purged = t.vacuum(beforeVersion)
       if (purged > 0) {
         rebuildAnnRowsFromCentroids()
@@ -2598,6 +2646,10 @@ object VectorStore {
       val out = fs.create(metaPath, true)
       try out.write(dim.toString.getBytes("UTF-8")) finally out.close()
     }
-    new VectorStore(spark, path, dim, storage)
+    val store = new VectorStore(spark, path, dim, storage)
+    // claim the single-writer lease: last opener owns the store, any
+    // earlier handle fails fast on its next write (see assertSingleWriter)
+    store.claimWriterLease()
+    store
   }
 }

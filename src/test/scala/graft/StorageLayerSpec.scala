@@ -185,4 +185,35 @@ class StorageLayerSpec extends SparkSuite {
       .filter(n => n.startsWith("_staging-") || n.startsWith("_old-"))
     assert(leftovers.isEmpty, s"swap debris: ${leftovers.mkString(",")}")
   }
+
+  test("single-writer lease: a second opener makes the first handle fail fast on write") {
+    import graft.store.VectorStore
+    val root = Files.createTempDirectory("graft-sl-sw").toString + "/s"
+    def vec(i: Int) = Array(i.toFloat, 0f, 1f, 2f)
+    val w1 = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    w1.insert(Seq(vec(0), vec(1)))
+    // second writer opens the SAME store: the lease moves to it
+    val w2 = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    w2.insert(Seq(vec(2)))
+    // the stale handle must fail fast on every mutation kind, BEFORE
+    // touching storage — never interleave id assignment
+    val ex = intercept[IllegalStateException](w1.insert(Seq(vec(9))))
+    assert(ex.getMessage.contains("single-writer violation"))
+    intercept[IllegalStateException](w1.delete(Seq(0L)))
+    intercept[IllegalStateException](w1.upsert(Seq(0L), Seq(vec(8))))
+    intercept[IllegalStateException](w1.deleteWhere(Seq("k"), Seq("v")))
+    intercept[IllegalStateException](w1.compact())
+    // nothing corrupted: the live handle sees exactly its own writes,
+    // contiguous ids, and keeps working
+    assert(w2.count() == 3)
+    w2.insert(Seq(vec(3)))
+    assert(w2.count() == 4)
+    // reads through the stale handle stay legal (readers never check)
+    assert(w1.count() == 4)
+    // re-opening takes the lease over cleanly
+    val w3 = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    w3.insert(Seq(vec(4)))
+    assert(w3.count() == 5)
+    intercept[IllegalStateException](w2.insert(Seq(vec(5))))
+  }
 }
