@@ -1455,6 +1455,48 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Compound-filter hybrid retrieval: the vs_hybrid_filtered journey
+    // under a TWO-term conjunction (src = "a" AND score ∈ [20, 80]) —
+    // dense candidates, BM25 statistics, and postings all restricted
+    // to rows every term matches, dispatched through BOTH sidecars and
+    // the posting index. Same integer-determined fixture (constant dl,
+    // single-term queries, tf ∈ {0,1,2}) so DuckDB replays the fusion
+    // with zero BM25 float arithmetic.
+    "vs_hybrid_multi" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_hybm_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val mid = when(col("label") % 2 === 0,
+        concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
+      val src = when(col("vec_id") % 2 === 0, lit("a")).otherwise(lit("b"))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
+            lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
+            lit(" pad\", \"src\": \""), src,
+            lit("\", \"score\": "), (col("vec_id") % 100).cast("string"),
+            lit("}")).as("doc")))
+      store.materializeDocField(Seq("src"))
+      store.materializeDocFieldNumeric(Seq("score"))
+      store.buildLexIndex()
+      store.delete(Seq(2L, 4L, 8L))
+      val qvecs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).toArray).toSeq
+      store.searchHybridAll(qvecs, Seq("w1", "w3", "v2"), k = 5,
+          preds = Seq(
+            graft.store.DocEquals(Seq("src"), Seq("a")),
+            graft.store.DocRange(Seq("score"), Some(20.0), Some(80.0))),
+          shortlist = 20)
+        .select(col("qid").cast("long").as("qid"), col("id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Time travel on the tombstone layout: populate, pin the version,
     // then delete AND upsert — the snapshot view must replay the
     // pinned state byte-for-byte (rows later deleted still present
@@ -6073,6 +6115,55 @@ object SparkEntry {
       WITH live AS (
         SELECT vec_id, embedding, label FROM embeddings
         WHERE vec_id < 500 AND vec_id % 2 = 0
+          AND vec_id NOT IN (2, 4, 8)),
+      q AS (
+        SELECT 0 AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 2
+        UNION ALL
+        SELECT 1, embedding FROM embeddings WHERE vec_id = 5
+        UNION ALL
+        SELECT 2, embedding FROM embeddings WHERE vec_id = 7),
+      den0 AS (
+        SELECT q.qid, e.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(e.embedding, q.qvec), e.vec_id)
+                 AS drank
+        FROM live e CROSS JOIN q),
+      den AS (SELECT qid, id, drank FROM den0 WHERE drank <= 20),
+      lext AS (
+        SELECT t.qid, e.vec_id AS id,
+               CASE WHEN t.qid = 0 AND e.label % 7 = 1
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 1 AND e.label % 7 = 3
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 2 AND e.vec_id % 5 = 2 THEN 1
+                    ELSE 0 END AS tf
+        FROM live e CROSS JOIN (VALUES (0), (1), (2)) AS t(qid)),
+      lexr AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY tf DESC, id)
+                 AS lrank
+        FROM lext WHERE tf > 0),
+      lex AS (SELECT qid, id, lrank FROM lexr WHERE lrank <= 20),
+      contrib AS (
+        SELECT qid, id, 1.0 / (60.0 + CAST(drank AS DOUBLE)) AS c FROM den
+        UNION ALL
+        SELECT qid, id, 1.0 / (60.0 + CAST(lrank AS DOUBLE)) AS c FROM lex),
+      fused AS (SELECT qid, id, sum(c) AS rrf FROM contrib GROUP BY qid, id),
+      rk AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+                 AS rank
+        FROM fused)
+      SELECT CAST(qid AS BIGINT) AS qid, id, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // Same replay with the conjunctive live filter (src = 'a' means
+    // even vec_id; score = vec_id % 100 in [20, 80]).
+    "vs_hybrid_multi" -> """
+      WITH live AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < 500 AND vec_id % 2 = 0
+          AND vec_id % 100 BETWEEN 20 AND 80
           AND vec_id NOT IN (2, 4, 8)),
       q AS (
         SELECT 0 AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 2

@@ -1772,31 +1772,46 @@ class VectorStore private (
       k: Int, shortlist: Int = 100, nProbe: Int = 8, k0: Int = 60,
       pathSteps: Seq[String] = Seq.empty,
       values: Seq[Any] = Seq.empty): DataFrame = {
+    require(pathSteps.nonEmpty || values.isEmpty,
+      "values given without pathSteps — pass both or neither")
+    searchHybridCore(queries, textQueries, k, shortlist, nProbe, k0,
+      if (pathSteps.nonEmpty) Some(docMatchIds(pathSteps, values)) else None)
+  }
+
+  /** Compound-filter hybrid retrieval: [[searchHybrid]] restricted to
+    * the CONJUNCTION of `preds` — both shortlists (dense candidates,
+    * BM25 statistics and postings) see only the rows every term
+    * matches, each materialized term through its own pushed sidecar
+    * scan (see [[docMatchIdsAll]]).
+    */
+  def searchHybridAll(queries: Seq[Array[Float]], textQueries: Seq[String],
+      k: Int, preds: Seq[DocPredicate], shortlist: Int = 100,
+      nProbe: Int = 8, k0: Int = 60): DataFrame =
+    searchHybridCore(queries, textQueries, k, shortlist, nProbe, k0,
+      Some(docMatchIdsAll(preds)))
+
+  private def searchHybridCore(queries: Seq[Array[Float]],
+      textQueries: Seq[String], k: Int, shortlist: Int, nProbe: Int,
+      k0: Int, matchIds: Option[DataFrame]): DataFrame = {
     require(queries.size == textQueries.size,
       s"got ${queries.size} vector queries but ${textQueries.size} text queries")
     require(queries.nonEmpty, "need at least one query")
     if (k <= 0)
       throw new IllegalArgumentException(s"k must be a positive integer, got $k")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    require(pathSteps.nonEmpty || values.isEmpty,
-      "values given without pathSteps — pass both or neither")
     queries.zipWithIndex.foreach { case (q, i) =>
       if (q.length != dim)
         throw new IllegalArgumentException(
           s"query $i has dimension ${q.length}, store dimension is $dim")
     }
-    val filtered = pathSteps.nonEmpty
-    // both shortlists are restricted to live rows matching the JSON-
-    // path predicate: dense pre-filters (distances only on survivors),
-    // lexical fits BM25 stats on the matching sub-corpus — "search for
-    // X restricted to source=wiki" means wiki-relative relevance, and
-    // k fills from filtered survivors only
+    // both shortlists are restricted to live rows matching the
+    // predicate id set: dense pre-filters (distances only on
+    // survivors), lexical fits BM25 stats on the matching sub-corpus —
+    // "search for X restricted to source=wiki" means wiki-relative
+    // relevance, and k fills from filtered survivors only
     val docsAll = table.select($"id", $"doc")
-    val docsProj =
-      if (!filtered) docsAll
-      else docsAll.filter(
-        get_json_object($"doc", "$." + pathSteps.mkString("."))
-          .isin(values.map(_.toString): _*))
+    val docsProj = matchIds.fold(docsAll)(ids =>
+      docsAll.join(ids, Seq("id"), "left_semi"))
     val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
     val cap = math.min(shortlist.toLong, docsProj.count()).toInt
     if (cap == 0)
@@ -1806,12 +1821,13 @@ class VectorStore private (
         .select(lit(0).as("qid"), lit(0L).as("id"),
           lit(0.0).as("rrf"), lit(0).as("rank")).limit(0)
     val dense =
-      (if (filtered) {
-        if (hasAnnIndex) searchApproxWhereDF(qdf, cap, nProbe, pathSteps, values)
-        else searchWhereDF(qdf, cap, pathSteps, values)
-      } else {
-        if (hasAnnIndex) searchApproxDF(qdf, cap, nProbe)
-        else searchDF(qdf, cap)
+      (matchIds match {
+        case Some(ids) =>
+          if (hasAnnIndex) searchApproxMatchDF(qdf, cap, nProbe, ids, 0)
+          else searchWhereMatchDF(qdf, cap, ids)
+        case None =>
+          if (hasAnnIndex) searchApproxDF(qdf, cap, nProbe)
+          else searchDF(qdf, cap)
       }).select(col("qid").cast("int").as("qid"), col("id"),
         col("rn").cast("int").as("rank"))
     val termsByQid = textQueries.zipWithIndex.map { case (text, i) =>
@@ -1830,8 +1846,7 @@ class VectorStore private (
     val lexical = (
       if (hasLexIndex)
         graft.operators.LexIndex.search(spark, lexRoot, termsByQid, cap,
-          annTombstoneMask,
-          if (filtered) Some(docMatchIds(pathSteps, values)) else None)
+          annTombstoneMask, matchIds)
       else
         graft.operators.Bm25.topKBatch(docsProj, "id", "doc", termsByQid, cap))
       .select(col("qid").cast("int").as("qid"), col("id"),

@@ -265,6 +265,41 @@ class DocIndexSpec extends SparkSuite {
       store.queryByDocAllDF(Seq(DocEquals(Seq.empty, Seq("1")))))
   }
 
+  test("compound hybrid retrieval: both modalities restricted to the conjunction") {
+    import graft.store.{DocEquals, DocRange}
+    val store = mkStore("hymulti")
+    store.insert((0 until 30).map(vec),
+      (0 until 30).map(i =>
+        s"""{"g": "${i % 3}", "score": ${i * 10}, "t": "w${i % 4} common"}"""))
+    val preds = Seq(
+      DocEquals(Seq("g"), Seq("1")),
+      DocRange(Seq("score"), Some(40.0), None))
+    val matching = (0 until 30)
+      .filter(i => i % 3 == 1 && i * 10 >= 40).map(_.toLong).toSet
+    def fused() = store.searchHybridAll(
+        Seq(vec(7), vec(13)), Seq("common w1", "w2 common"), k = 5, preds)
+      .select($"qid", $"id", $"rank").as[(Int, Long, Int)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    val scan = fused()
+    assert(scan.nonEmpty)
+    assert(scan.map(_._2).forall(matching.contains),
+      s"hybrid leaked rows outside the conjunction: ${scan.map(_._2)}")
+    // dispatch parity: sidecars + posting index give the same fusion
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("score"))
+    store.buildLexIndex()
+    assert(fused() == scan,
+      "indexed dispatch must fuse identically to the scan dispatch")
+    // and through the ANN index (full probe keeps the dense side exact)
+    store.buildAnnIndex(nCentroids = 2, iters = 1, seedRounds = 0)
+    val approx = store.searchHybridAll(
+        Seq(vec(7), vec(13)), Seq("common w1", "w2 common"), k = 5, preds,
+        nProbe = 2)
+      .select($"qid", $"id", $"rank").as[(Int, Long, Int)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(approx == scan, "full-probe indexed hybrid must match exact")
+  }
+
   test("stale _staging dirs from a crashed rebuild are not fields and get swept") {
     val store = mkStore("staging")
     seed(store, 6)
