@@ -1484,6 +1484,36 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       "deleted rows must not resurface through the merged layout")
   }
 
+  test("auto-maintenance fires inside streaming ingest batches, search stays exact") {
+    import graft.store.IndexMaintenancePolicy
+    val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
+    def vec(i: Int) = Array((i % 9).toFloat, (i / 9 % 9).toFloat, 1f, 0f)
+    s.insert((0 until 60).map(vec))
+    s.buildAnnIndex(nCentroids = 2, iters = 2, seedRounds = 0)
+    s.enableAutoMaintenance(IndexMaintenancePolicy(maxCellRows = 50))
+    // five micro-batches through the foreachBatch body: the split must
+    // fire INSIDE applyIngestBatch -> insertDF, no manual call anywhere
+    val ck = Files.createTempDirectory("graft-am-ck").toString
+    import org.apache.spark.sql.functions.{array, col, lit}
+    (0 until 5).foreach { b =>
+      val batch = spark.range(b * 20, b * 20 + 20)
+        .select(array((col("id") % 9).cast("float"),
+          ((col("id") / 9) % 9).cast("float"), lit(1f), lit(0f)).as("vec"),
+          col("id").as("ord"))
+      assert(s.applyIngestBatch(batch, b.toLong, ck, Seq(col("ord"))))
+    }
+    assert(s.count() == 160)
+    val st = s.annIndexStats()
+    assert(st.nCells > 2, "split must have fired during streaming ingest")
+    assert(st.maxCellRows <= 50, s"cap violated: ${st.maxCellRows}")
+    // full probe over the maintained layout = exact brute force
+    val got = s.searchApprox(Seq(vec(5)), k = 4, nProbe = 64)
+      .head.map(_.id)
+    s.disableAutoMaintenance()
+    val brute = s.search(Seq(vec(5)), k = 4).head.map(_.id)
+    assert(got == brute, s"$got vs $brute")
+  }
+
   test("auto-maintenance: posting-index rebuild fires on file count and dead fraction") {
     import graft.store.IndexMaintenancePolicy
     val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
