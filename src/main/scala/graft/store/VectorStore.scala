@@ -66,16 +66,24 @@ case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: D
   * @param lexMaxDeadFraction after any delete, rebuild the posting
   *   index once the tombstone-masked posting fraction passes this
   *   (dead postings are scanned and then discarded by every query).
+  * @param docMaxDeadFraction after any delete, rebuild every
+  *   materialized doc-field sidecar (string and numeric) once the
+  *   masked row fraction of the FIRST sidecar passes this — sidecars
+  *   share the table's tombstone set, so one measurement speaks for
+  *   all of them.
   */
 case class IndexMaintenancePolicy(
     maxCellRows: Long = 0L,
     minCellRows: Long = 0L,
     lexMaxFiles: Long = 0L,
-    lexMaxDeadFraction: Double = 0.0) {
+    lexMaxDeadFraction: Double = 0.0,
+    docMaxDeadFraction: Double = 0.0) {
   require(maxCellRows >= 0L && minCellRows >= 0L && lexMaxFiles >= 0L,
     "maintenance thresholds must be >= 0 (0 = off)")
   require(lexMaxDeadFraction >= 0.0 && lexMaxDeadFraction < 1.0,
     s"lexMaxDeadFraction must be in [0, 1), got $lexMaxDeadFraction")
+  require(docMaxDeadFraction >= 0.0 && docMaxDeadFraction < 1.0,
+    s"docMaxDeadFraction must be in [0, 1), got $docMaxDeadFraction")
 }
 
 /** One term of a conjunctive metadata filter over the doc JSON — the
@@ -1400,6 +1408,33 @@ class VectorStore private (
     }
   }
 
+  private def maybeMaintainDocIdxAfterDelete(): Unit =
+    maintenance.foreach { p =>
+      if (p.docMaxDeadFraction > 0.0) {
+        val fields = materializedDocFields
+        val numFields = materializedNumericDocFields
+        // one sidecar's masked fraction speaks for all: they share the
+        // table's tombstone set row-for-row
+        val probe = fields.headOption.map(docIdxDir)
+          .orElse(numFields.headOption.map(docIdxNumDir))
+        probe.foreach { dir =>
+          val side = spark.read.parquet(dir.toString)
+            .select($"id", col(GenCol))
+          val total = side.count()
+          if (total > 0L) {
+            val dead = (total - annTombstoneMask(side).count()).toDouble / total
+            if (dead > p.docMaxDeadFraction) {
+              fields.foreach(materializeDocField)
+              numFields.foreach(materializeDocFieldNumeric)
+              logInfo(f"auto-maintenance: dead sidecar fraction $dead%.3f > " +
+                s"${p.docMaxDeadFraction}, rebuilt ${fields.size} string and " +
+                s"${numFields.size} numeric doc-field sidecars")
+            }
+          }
+        }
+      }
+    }
+
   private def maybeMaintainLexAfterDelete(): Unit = maintenance.foreach { p =>
     if (p.lexMaxDeadFraction > 0.0 && hasLexIndex) {
       val post = spark.read
@@ -2166,7 +2201,7 @@ class VectorStore private (
       if (rebuild) {
         fields.foreach(materializeDocField)
         numFields.foreach(materializeDocFieldNumeric)
-      }
+      } else maybeMaintainDocIdxAfterDelete()
     }
   }
 

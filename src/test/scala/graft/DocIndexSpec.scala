@@ -265,6 +265,57 @@ class DocIndexSpec extends SparkSuite {
       store.queryByDocAllDF(Seq(DocEquals(Seq.empty, Seq("1")))))
   }
 
+  test("auto-maintenance rebuilds doc sidecars past the dead-fraction threshold") {
+    import graft.store.IndexMaintenancePolicy
+    val store = mkStore("amdoc")
+    seed(store, 30)
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("g"))
+    def deadRows(dir: String): Long = {
+      val side = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(store.path, dir).toString)
+      side.count() - store.queryByDocDF(Seq("g"), Seq("0", "1", "2")).count()
+    }
+    // no policy: deletes leave masked rows in the sidecars
+    store.delete(Seq(0L, 1L))
+    assert(deadRows("docidx/g") == 2, "masked rows expected without a policy")
+    // policy on: the next delete crosses 20% dead and rebuilds BOTH
+    // sidecar families (string + numeric)
+    store.enableAutoMaintenance(IndexMaintenancePolicy(docMaxDeadFraction = 0.2))
+    store.delete((2L until 10L))
+    assert(deadRows("docidx/g") == 0, "string sidecar must be rebuilt")
+    assert(deadRows("docidx_num/g") == 0, "numeric sidecar must be rebuilt")
+    store.disableAutoMaintenance()
+    // indexed route still agrees with the scan route after the rebuild
+    val idx = store.queryByDoc(Seq("g"), Seq("1")).map(_.id)
+    store.dropDocField(Seq("g"))
+    assert(store.queryByDoc(Seq("g"), Seq("1")).map(_.id) == idx)
+  }
+
+  test("approx compound search: full probe equals the exact compound ranking") {
+    import graft.store.{DocEquals, DocRange}
+    val store = mkStore("apxmulti")
+    store.insert((0 until 40).map(vec),
+      (0 until 40).map(i => s"""{"g": "${i % 3}", "score": ${i * 5}}"""))
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("score"))
+    store.buildAnnIndex(nCentroids = 4, iters = 2, seedRounds = 0)
+    store.delete(Seq(4L, 7L))
+    val preds = Seq(
+      DocEquals(Seq("g"), Seq("1", "2")),
+      DocRange(Seq("score"), Some(25.0), Some(150.0)))
+    val qs = Seq((0L, vec(9)), (1L, vec(21))).toDF("qid", "qvec")
+    val approx = store.searchApproxWhereAllDF(qs, k = 4, nProbe = 4, preds)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val exact = store.searchWhereAllDF(qs, k = 4, preds)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(approx == exact, s"full probe must be exact: $approx vs $exact")
+    assert(approx.nonEmpty && approx.map(_._2).forall(id =>
+      id % 3 != 0 && id * 5 >= 25 && id * 5 <= 150 && id != 4L && id != 7L))
+  }
+
   test("compound hybrid retrieval: both modalities restricted to the conjunction") {
     import graft.store.{DocEquals, DocRange}
     val store = mkStore("hymulti")
