@@ -71,19 +71,28 @@ case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: D
   *   masked row fraction of the FIRST sidecar passes this — sidecars
   *   share the table's tombstone set, so one measurement speaks for
   *   all of them.
+  * @param quantizedRebuildImbalance after any append to a QUANTIZED
+  *   layout (SQ/PQ/BQ — kinds the in-place split cannot serve because
+  *   codes are grid/codebook/cell-relative), retrain the index via its
+  *   persisted build recipe once max-cell/mean-cell imbalance passes
+  *   this (e.g. 4.0). The flat layout uses `maxCellRows` instead —
+  *   splitting only the hot cells is strictly cheaper there.
   */
 case class IndexMaintenancePolicy(
     maxCellRows: Long = 0L,
     minCellRows: Long = 0L,
     lexMaxFiles: Long = 0L,
     lexMaxDeadFraction: Double = 0.0,
-    docMaxDeadFraction: Double = 0.0) {
+    docMaxDeadFraction: Double = 0.0,
+    quantizedRebuildImbalance: Double = 0.0) {
   require(maxCellRows >= 0L && minCellRows >= 0L && lexMaxFiles >= 0L,
     "maintenance thresholds must be >= 0 (0 = off)")
   require(lexMaxDeadFraction >= 0.0 && lexMaxDeadFraction < 1.0,
     s"lexMaxDeadFraction must be in [0, 1), got $lexMaxDeadFraction")
   require(docMaxDeadFraction >= 0.0 && docMaxDeadFraction < 1.0,
     s"docMaxDeadFraction must be in [0, 1), got $docMaxDeadFraction")
+  require(quantizedRebuildImbalance == 0.0 || quantizedRebuildImbalance >= 1.0,
+    s"quantizedRebuildImbalance must be 0 (off) or >= 1, got $quantizedRebuildImbalance")
 }
 
 /** One term of a conjunctive metadata filter over the doc JSON — the
@@ -812,6 +821,75 @@ class VectorStore private (
     // path and expect a `codes` column) or stale aux state behind
     writeAnnKindMarker("ivf")
     clearAnnAux(keep = "")
+    writeBuildMeta(Map("builder" -> "ivf", "nCentroids" -> nCentroids,
+      "iters" -> iters, "seedRounds" -> seedRounds, "metric" -> metric))
+  }
+
+  // Self-describing build recipe: the builder and its hyperparameters,
+  // persisted beside the layout so [[rebuildAnnIndex]] (and the
+  // quantized auto-maintenance trigger) can replay the EXACT build on
+  // the current live rows without the caller re-supplying arguments —
+  // the same one-source-of-truth move as the metric/kind markers.
+  private def buildMetaPath = new Path(annPath, "build.meta")
+
+  private def writeBuildMeta(kv: Map[String, Any]): Unit = {
+    val out = annFs.create(buildMetaPath, true)
+    val body = kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBuildMeta(): Option[Map[String, String]] =
+    if (!annFs.exists(buildMetaPath)) None
+    else {
+      val in = annFs.open(buildMetaPath)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(body.split("\n").filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap)
+    }
+
+  /** Re-run the index's OWN build recipe on the current live rows —
+    * the full-retrain maintenance move for layouts the in-place
+    * rebalance/merge cannot serve (quantized codes are grid/codebook/
+    * cell-relative; cosine cells are angular). Hyperparameters come
+    * from the persisted `build.meta`; pre-recipe layouts fall back to
+    * (centroid count, default iters) with a warning.
+    */
+  def rebuildAnnIndex(): Unit = {
+    require(hasAnnIndex, "no ANN index to rebuild — buildAnnIndex first")
+    readBuildMeta() match {
+      case Some(m) => m("builder") match {
+        case "ivf" => buildAnnIndex(m("nCentroids").toInt, m("iters").toInt,
+          m("seedRounds").toInt, m.getOrElse("metric", "l2"))
+        case "ivfsq" => buildAnnIndexSq(m("nCentroids").toInt,
+          m("iters").toInt, m("seedRounds").toInt,
+          m.getOrElse("clipQuantile", "0.0").toDouble)
+        case "ivfbq" => buildAnnIndexBq(m("nCentroids").toInt,
+          m("iters").toInt, m("seedRounds").toInt)
+        case "ivfpq" => buildAnnIndexPq(m("nCells").toInt, m("m").toInt,
+          m("k").toInt, m("iters").toInt,
+          residual = m.getOrElse("residual", "false").toBoolean,
+          opq = m.getOrElse("opq", "false").toBoolean,
+          opqSweeps = m.getOrElse("opqSweeps", "2").toInt)
+        case other => throw new IllegalStateException(
+          s"unknown builder '$other' in $buildMetaPath")
+      }
+      case None =>
+        val nc = spark.read.parquet(s"$annPath/centroids").count().toInt
+        logWarning(s"no build recipe at $buildMetaPath (pre-recipe " +
+          s"layout) — rebuilding kind '$annKind' with $nc cells and " +
+          "default training arguments")
+        annKind match {
+          case "ivf" => buildAnnIndex(nc, metric = annMetric)
+          case "ivfsq" => buildAnnIndexSq(nc)
+          case "ivfbq" => buildAnnIndexBq(nc)
+          case pq if pq.startsWith("ivfpq") =>
+            val cb = graft.operators.Pq.readCodebook(spark, s"$annPath/codebook")
+            buildAnnIndexPq(nc, cb.m, cb.k,
+              residual = pq == "ivfpq_res", opq = pq == "ivfpq_opq")
+          case other => throw new IllegalStateException(
+            s"unknown index kind '$other'")
+        }
+    }
   }
 
   /** Split oversized index cells in place (see
@@ -832,7 +910,7 @@ class VectorStore private (
       s"rebalance supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
     val rep = graft.operators.Ann.rebalanceIvfCells(spark, annPath, "id", "vec",
       maxCellRows, iters)
-    if (rep.splitCells > 0) dropStaleSuperQuantizer()
+    if (rep.splitCells > 0) refreshSuperQuantizerAfterCellRewrite()
     rep
   }
 
@@ -851,20 +929,24 @@ class VectorStore private (
       s"merge supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
     val rep = graft.operators.Ann.mergeIvfCells(spark, annPath, "id", "vec",
       minCellRows)
-    if (rep.mergedCells > 0) dropStaleSuperQuantizer()
+    if (rep.mergedCells > 0) refreshSuperQuantizerAfterCellRewrite()
     rep
   }
 
   /** The routing table maps cells that no longer exist after a
-    * rebalance/merge rewrote the centroid table — drop it rather than
-    * misroute; rebuilding is a k-means over √C rows.
+    * rebalance/merge rewrote the centroid table — REBUILD it in place
+    * at the same super-cell count rather than misroute (or silently
+    * drop hierarchical routing): the retrain is a k-means over √C
+    * rows, trivially cheap next to the cell rewrite that triggered it.
     */
-  private def dropStaleSuperQuantizer(): Unit = {
+  private def refreshSuperQuantizerAfterCellRewrite(): Unit = {
     val p = new Path(s"$annPath/super")
     if (annFs.exists(p)) {
-      annFs.delete(p, true)
-      logWarning(s"dropped stale super quantizer at $p after a cell-set " +
-        "rewrite - call buildAnnSuperQuantizer to restore hierarchical routing")
+      val nSuper = spark.read.parquet(s"$annPath/super/centroids")
+        .count().toInt
+      graft.operators.Ann.buildSuperQuantizer(spark, annPath, nSuper)
+      logInfo(s"rebuilt the super quantizer ($nSuper super-cells) over " +
+        "the rewritten cell set")
     }
   }
 
@@ -950,6 +1032,9 @@ class VectorStore private (
     graft.operators.Sq.writeParams(spark, s"$annPath/sq", params)
     writeAnnKindMarker("ivfsq")
     clearAnnAux(keep = "sq")
+    writeBuildMeta(Map("builder" -> "ivfsq", "nCentroids" -> nCentroids,
+      "iters" -> iters, "seedRounds" -> seedRounds,
+      "clipQuantile" -> clipQuantile))
   }
 
   /** IVF-BQ index through the store facade (pgvector binary-quantize
@@ -981,6 +1066,8 @@ class VectorStore private (
     graft.operators.Bq.writeParams(spark, s"$annPath/bq", params)
     writeAnnKindMarker("ivfbq")
     clearAnnAux(keep = "bq")
+    writeBuildMeta(Map("builder" -> "ivfbq", "nCentroids" -> nCentroids,
+      "iters" -> iters, "seedRounds" -> seedRounds))
   }
 
   /** The persisted ANN index's metric ("l2" | "cosine"); "l2" when no
@@ -1070,6 +1157,9 @@ class VectorStore private (
     writeAnnKindMarker(
       if (residual) "ivfpq_res" else if (opq) "ivfpq_opq" else "ivfpq")
     clearAnnAux(keep = if (opq) "codebook+opq" else "codebook")
+    writeBuildMeta(Map("builder" -> "ivfpq", "nCells" -> nCells,
+      "m" -> m, "k" -> k, "iters" -> iters, "residual" -> residual,
+      "opq" -> opq, "opqSweeps" -> opqSweeps))
   }
 
   /** True when the persisted index is PQ-compressed (raw or residual). */
@@ -1371,6 +1461,21 @@ class VectorStore private (
         val rep = rebalanceAnnIndex(p.maxCellRows)
         logInfo(s"auto-maintenance: hottest cell ${mxRow.getLong(0)} rows " +
           s"> ${p.maxCellRows}, split ${rep.splitCells} cells")
+      }
+    }
+    if (p.quantizedRebuildImbalance > 0.0 && hasAnnIndex
+        && annKind != "ivf") {
+      val agg = spark.read.parquet(s"$annPath/index")
+        .groupBy(col("centroid_id")).count()
+        .agg(max(col("count")), avg(col("count"))).head()
+      if (!agg.isNullAt(0)) {
+        val imb = agg.getLong(0) / math.max(agg.getDouble(1), 1e-12)
+        if (imb > p.quantizedRebuildImbalance) {
+          rebuildAnnIndex()
+          logInfo(f"auto-maintenance: quantized '$annKind' imbalance " +
+            f"$imb%.2f > ${p.quantizedRebuildImbalance}, retrained via " +
+            "the persisted build recipe")
+        }
       }
     }
   }

@@ -499,12 +499,15 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     // full routing degenerates to exact; the tombstone masks through it
     assert(hierIds(vecs(3), 5, 4, 2) == exactIds(vecs(3), 5))
     assert(!hierIds(vecs(7), 5, 4, 2).contains(7L))
-    // a rebalance rewrites the cell set → the routing is dropped, the
-    // hier path errors until rebuilt, and a rebuild restores it
+    // a rebalance rewrites the cell set → the routing is REBUILT in
+    // place at the same super count (never left stale, never dropped):
+    // the hier path keeps working against the new cells with no manual
+    // call
     s.rebalanceAnnIndex(maxCellRows = 8, iters = 2)
-    intercept[IllegalArgumentException](hierIds(vecs(3), 5, 64, 2))
-    s.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
     assert(hierIds(vecs(3), 5, 64, 2) == exactIds(vecs(3), 5))
+    val routed = spark.read.parquet(s"$dir/ann/super/routing").count()
+    assert(routed == s.annIndexStats().nCells,
+      "refreshed routing must cover every post-rewrite cell")
     // quantized kinds are rejected
     s.buildAnnIndexPq(nCells = 2, m = 2, k = 4, iters = 1)
     intercept[IllegalArgumentException](s.buildAnnSuperQuantizer(2))
@@ -1482,6 +1485,55 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
       s.searchApprox(qs, 5, nProbe = 64).map(_.map(r => r.id)))
     assert(afterMerge.head.map(_._1).forall(id => id % 2 == 1),
       "deleted rows must not resurface through the merged layout")
+  }
+
+  test("rebuildAnnIndex replays the persisted build recipe; quantized auto-rebuild fires") {
+    import graft.store.IndexMaintenancePolicy
+    val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
+    def vec(i: Int) = Array((i % 7).toFloat, (i / 7).toFloat, 1f, 0f)
+    s.insert((0 until 50).map(vec))
+    s.buildAnnIndexSq(nCentroids = 3, iters = 2, seedRounds = 0)
+    val qs = Seq(vec(5), vec(30))
+    def full() = s.searchApprox(qs, k = 4, nProbe = 64).map(_.map(_.id))
+    val before = full()
+    // recipe replay: same kind, same cell count, same full-probe result
+    s.rebuildAnnIndex()
+    assert(s.annKind == "ivfsq")
+    assert(s.annIndexStats().nCells == 3)
+    assert(full() == before, "recipe replay must preserve full-probe results")
+    // quantized auto-rebuild: drifted appends skew one cell; the policy
+    // must RETRAIN (codes are grid-relative, no in-place split exists)
+    s.enableAutoMaintenance(
+      IndexMaintenancePolicy(quantizedRebuildImbalance = 2.0))
+    s.insert((0 until 60).map(i => Array(50f, 50f, 1f, 0f).map(_ + i * 0.01f)))
+    val st = s.annIndexStats()
+    s.disableAutoMaintenance()
+    assert(st.imbalance <= 2.5,
+      s"quantized retrain must have fired: imbalance ${st.imbalance}")
+    assert(full().head.nonEmpty)
+  }
+
+  test("super quantizer is rebuilt, not dropped, when maintenance rewrites cells") {
+    import spark.implicits._
+    val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
+    def vec(i: Int) = Array((i % 8).toFloat, (i / 8).toFloat, 0f, 1f)
+    s.insert((0 until 80).map(vec))
+    s.buildAnnIndex(nCentroids = 4, iters = 2, seedRounds = 0)
+    s.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
+    val rep = s.rebalanceAnnIndex(maxCellRows = 15, iters = 2)
+    assert(rep.splitCells > 0, "fixture must actually split")
+    // routing survived the rewrite: hierarchical search works and the
+    // full-routing degenerate equals exact
+    val got = s.searchApproxHierDF(
+        Seq((0L, vec(9))).toDF("qid", "qvec"), k = 4,
+        nProbe = 64, superProbe = 2)
+      .select($"id").as[Long].collect().toSeq
+    val exact = s.search(Seq(vec(9)), k = 4).head.map(_.id)
+    assert(got == exact, s"$got vs $exact")
+    // the routed cell set is the POST-rewrite one
+    val routed = spark.read.parquet(s"$dir/ann/super/routing").count()
+    assert(routed == s.annIndexStats().nCells,
+      "routing must cover every post-rewrite cell")
   }
 
   test("auto-maintenance fires inside streaming ingest batches, search stays exact") {
