@@ -970,7 +970,25 @@ class VectorStore private (
     * nCells degenerate to the exact flat search.
     */
   def searchApproxHierDF(queries: DataFrame, k: Int, nProbe: Int,
-      superProbe: Int): DataFrame = {
+      superProbe: Int): DataFrame =
+    searchApproxHierMatchDF(queries, k, nProbe, superProbe, None)
+
+  /** Compound-filter hierarchically-routed search: the
+    * [[searchApproxWhereAllDF]] composition on the routed probe path —
+    * the 100 TB serving shape (√C-cell index needs the super router;
+    * real queries carry metadata filters). Same probe-coverage caveat
+    * as the flat filtered search: survivors outside the routed probe
+    * set under-fill k — raise `nProbe`/`superProbe` for very selective
+    * filters.
+    */
+  def searchApproxHierAllDF(queries: DataFrame, k: Int, nProbe: Int,
+      superProbe: Int, preds: Seq[DocPredicate]): DataFrame =
+    searchApproxHierMatchDF(queries, k, nProbe, superProbe,
+      Some(docMatchIdsAll(preds)))
+
+  private def searchApproxHierMatchDF(queries: DataFrame, k: Int,
+      nProbe: Int, superProbe: Int,
+      matchIds: Option[DataFrame]): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(hasAnnIndex, "no ANN index - buildAnnIndex first")
     require(annKind == "ivf",
@@ -978,9 +996,14 @@ class VectorStore private (
     require(graft.operators.Ann.hasSuperQuantizer(spark, annPath),
       "no super quantizer - buildAnnSuperQuantizer first (and rebuild " +
         "it after any rebalance/merge/retrain)")
+    val rowFilter: DataFrame => DataFrame = matchIds match {
+      case Some(ids) => df =>
+        annTombstoneMask(df).join(ids, Seq("id"), "left_semi")
+      case None => annTombstoneMask
+    }
     graft.operators.Ann.ivfSearchL2PrunedHier(spark, annPath, "id", "vec",
       queries.select(col("qid"), col("qvec")), "qid", "qvec", k, nProbe,
-      superProbe, rowFilter = annTombstoneMask)
+      superProbe, rowFilter = rowFilter)
   }
 
   /** Delete any quantizer aux dirs a PREVIOUS build persisted except

@@ -316,6 +316,32 @@ class DocIndexSpec extends SparkSuite {
       id % 3 != 0 && id * 5 >= 25 && id * 5 <= 150 && id != 4L && id != 7L))
   }
 
+  test("compound filter composes with hierarchical routing (full routing = exact)") {
+    import graft.store.{DocEquals, DocRange}
+    val store = mkStore("hiermulti")
+    store.insert((0 until 48).map(vec),
+      (0 until 48).map(i => s"""{"g": "${i % 2}", "score": ${i * 2}}"""))
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("score"))
+    store.buildAnnIndex(nCentroids = 4, iters = 2, seedRounds = 0)
+    store.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
+    store.delete(Seq(3L, 5L))
+    val preds = Seq(
+      DocEquals(Seq("g"), Seq("1")),
+      DocRange(Seq("score"), Some(10.0), Some(80.0)))
+    val qs = Seq((0L, vec(11)), (1L, vec(33))).toDF("qid", "qvec")
+    val hier = store.searchApproxHierAllDF(qs, k = 4, nProbe = 4,
+        superProbe = 2, preds)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val exact = store.searchWhereAllDF(qs, k = 4, preds)
+      .select($"qid", $"id", $"rn").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(hier == exact, s"full routing must be exact: $hier vs $exact")
+    assert(hier.nonEmpty && hier.map(_._2).forall(id =>
+      id % 2 == 1 && id * 2 >= 10 && id * 2 <= 80 && id != 3L && id != 5L))
+  }
+
   test("compound hybrid retrieval: both modalities restricted to the conjunction") {
     import graft.store.{DocEquals, DocRange}
     val store = mkStore("hymulti")
