@@ -1370,6 +1370,65 @@ object SparkEntry {
         .orderBy("n_probe")
     }),
 
+    // chooseConfig over a REAL measured frontier: per-arm recall@5 and
+    // rows-scanned from a persisted IVF store, then the sweep-reader's
+    // question — "cheapest arm still hitting 0.9" — answered by
+    // Ann.chooseConfig. DuckDB replays everything downstream of the
+    // k-means fit from the persisted centroid contract (the vs_ann_tune
+    // pattern): truth, assignment, probe ranking, per-arm recall,
+    // scanned sums, the means, and the argmin with its tie rules.
+    "ir_ann_choose" -> ((s, dir) => {
+      val root = s"$scratchRoot/ir_choose_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
+      val qs = emb.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = store.searchDF(qs, 5).select(col("qid"), col("id"))
+        .localCheckpoint(true)
+      val cents = s.read.parquet(s"$root/ann/centroids")
+      val cellSizes = s.read.parquet(s"$root/ann/index")
+        .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("csz"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cdist"), col("centroid_id"))
+      val probeRank = qs.crossJoin(broadcast(cents
+          .select(col("centroid_id").cast("long").as("centroid_id"),
+            col("centroid"))))
+        .withColumn("cdist",
+          graft.functions.l2_distance(col("qvec"), col("centroid")))
+        .withColumn("crank", row_number().over(wq))
+        .join(broadcast(cellSizes), Seq("centroid_id"))
+        .localCheckpoint(true)
+      val frontier = Seq(1, 2, 4, 8).map { pp =>
+        val hits = store.searchApproxDF(qs, k = 5, nProbe = pp)
+          .select(col("qid"), col("id"))
+          .join(truth, Seq("qid", "id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        val scanned = probeRank.filter(col("crank") <= pp)
+          .groupBy("qid").agg(sum(col("csz")).as("scanned"))
+        qs.select(col("qid"))
+          .join(hits, Seq("qid"), "left")
+          .join(scanned, Seq("qid"))
+          .select(lit(f"ivf_p$pp").as("config"), col("qid"),
+            (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall"),
+            col("scanned"))
+      }.reduce(_ unionAll _).localCheckpoint(true)
+      val pick = Ann.chooseConfig(frontier, minRecall = 0.9)
+        .select(col("config")).head().getString(0)
+      frontier.groupBy("config")
+        .agg(hround(avg(col("recall")), 4).as("mean_recall"),
+          hround(avg(col("scanned")), 4).as("mean_scanned"))
+        .withColumn("chosen", col("config") === lit(pick))
+        .orderBy("config")
+    }),
+
     // Diversified retrieval through the store: exact shortlist over
     // the live (post-delete) rows, then per-query greedy MMR. DuckDB
     // replays the shortlist AND the whole greedy recursion with
@@ -5921,6 +5980,71 @@ object SparkEntry {
     // exactly (tf DESC, id) whatever ln() returns, so the oracle never
     // computes a BM25 score; RRF reciprocals of integer ranks are
     // engine-exact IEEE ops.
+    // Full frontier + argmin replay from the persisted centroid
+    // contract (the vs_ann_tune pattern without the early stop).
+    "ir_ann_choose" -> raw"""
+      WITH c AS (
+        SELECT centroid_id, centroid
+        FROM read_parquet('$scratchRoot/ir_choose_store/ann/centroids/*.parquet')),
+      live AS (SELECT vec_id AS id, embedding AS vec
+               FROM embeddings WHERE vec_id < 500),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id % 50 = 7),
+      exact AS (
+        SELECT qid, id FROM (
+          SELECT q.qid, l.id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(l.vec, q.qvec), l.id) AS rn
+          FROM live l CROSS JOIN q) WHERE rn <= 5),
+      assign AS (
+        SELECT id, vec, centroid_id FROM (
+          SELECT l.id, l.vec, c.centroid_id,
+                 row_number() OVER (PARTITION BY l.id
+                   ORDER BY list_distance(l.vec, c.centroid), c.centroid_id)
+                   AS arn
+          FROM live l CROSS JOIN c) WHERE arn = 1),
+      csz AS (SELECT centroid_id, count(*) AS n FROM assign
+              GROUP BY centroid_id),
+      prank AS (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(q.qvec, c.centroid), c.centroid_id)
+                 AS prn
+        FROM q CROSS JOIN c),
+      arms(p) AS (VALUES (1), (2), (4), (8)),
+      probed AS (
+        SELECT a.p, pr.qid, s.id,
+               row_number() OVER (PARTITION BY a.p, pr.qid
+                 ORDER BY list_distance(s.vec, q.qvec), s.id) AS rn
+        FROM arms a
+        JOIN prank pr ON pr.prn <= a.p
+        JOIN assign s ON s.centroid_id = pr.centroid_id
+        JOIN q ON q.qid = pr.qid),
+      hitc AS (
+        SELECT pp.p, pp.qid, CAST(count(*) AS DOUBLE) AS hits
+        FROM (SELECT p, qid, id FROM probed WHERE rn <= 5) pp
+        JOIN exact e ON e.qid = pp.qid AND e.id = pp.id
+        GROUP BY pp.p, pp.qid),
+      scn AS (
+        SELECT a.p, pr.qid, sum(z.n) AS scanned
+        FROM arms a
+        JOIN prank pr ON pr.prn <= a.p
+        JOIN csz z ON z.centroid_id = pr.centroid_id
+        GROUP BY a.p, pr.qid),
+      perq AS (
+        SELECT s.p, s.qid, coalesce(h.hits, 0e0) / 5e0 AS recall, s.scanned
+        FROM scn s LEFT JOIN hitc h ON h.p = s.p AND h.qid = s.qid),
+      agg AS (SELECT p, avg(recall) AS mr,
+                     avg(CAST(scanned AS DOUBLE)) AS ms
+              FROM perq GROUP BY p),
+      pick AS (SELECT p FROM agg WHERE mr >= 0.9e0
+               ORDER BY ms ASC, mr DESC, p ASC LIMIT 1)
+      SELECT 'ivf_p' || CAST(p AS VARCHAR) AS config,
+             ${graft.functions.hroundSql("mr", 4)} AS mean_recall,
+             ${graft.functions.hroundSql("ms", 4)} AS mean_scanned,
+             p = (SELECT p FROM pick) AS chosen
+      FROM agg ORDER BY config""",
+
     "vs_ann_tune" -> raw"""
       WITH c AS (
         SELECT centroid_id, centroid
