@@ -1259,6 +1259,43 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Compound filter THROUGH the hierarchical router: the same
+    // two-term conjunction dispatched under super-cell routing, at
+    // full routing (superProbe = nSuper, nProbe = nCells) so the
+    // result degenerates to the exact filtered ranking DuckDB replays
+    // brute-force — through a delete (mask composes under routing and
+    // the predicate semi-join) and a post-build append.
+    "vs_hier_filtered" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_hierf_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
+            lit("\", \"score\": "), (col("vec_id") % 100).cast("string"),
+            lit("}")).as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.materializeDocFieldNumeric(Seq("score"))
+      store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
+      store.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
+      store.delete(Seq(1L, 7L, 13L))
+      val v9 = emb.filter(col("vec_id") === 9)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      store.insert(Seq(v9), Seq("{\"g\": \"1\", \"score\": 40}")) // id 500
+      val qs = emb.filter(col("vec_id").isin(2, 5, 7))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      store.searchApproxHierAllDF(qs, k = 5, nProbe = 8, superProbe = 2,
+          Seq(graft.store.DocEquals(Seq("g"), Seq("1")),
+            graft.store.DocRange(Seq("score"), Some(20.0), Some(80.0))))
+        .select(col("qid").cast("long").as("qid"), col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rn")
+    }),
+
     // Compound metadata filter: `g = "1" AND score ∈ [20, 80]` — the
     // two-term conjunction every real vector-db filter takes (category
     // AND threshold) — dispatched as two INTERSECTING materialized
@@ -5949,6 +5986,34 @@ object SparkEntry {
         FROM scored)
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist,
              CAST(0 AS BIGINT) AS over_cap, CAST(1 AS BIGINT) AS split_fired
+      FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Routed compound replay: base minus deletes plus the appended row
+    // (id 500: vec_id 9's vector, g=1, score=40 — IN the match set);
+    // full routing degenerates to the exact filtered ranking.
+    "vs_hier_filtered" -> """
+      WITH base AS (
+        SELECT e.vec_id AS id, e.embedding AS vec,
+               CAST(e.label % 3 AS VARCHAR) AS g, e.vec_id % 100 AS score
+        FROM embeddings e WHERE e.vec_id < 500),
+      appended AS (
+        SELECT 500 AS id,
+               (SELECT embedding FROM embeddings WHERE vec_id = 9) AS vec,
+               '1' AS g, 40 AS score),
+      live AS (
+        SELECT * FROM base WHERE id NOT IN (1, 7, 13)
+        UNION ALL SELECT * FROM appended),
+      m AS (SELECT id, vec FROM live WHERE g = '1' AND score BETWEEN 20 AND 80),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5, 7)),
+      scored AS (
+        SELECT q.qid, m.id, list_distance(m.vec, q.qvec) AS distance
+        FROM m CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM scored)
+      SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
 
     "vs_filtered_multi" -> """
