@@ -1259,6 +1259,42 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Exclusion (blocklist) predicate: set-COMPLEMENT semantics — a
+    // row whose doc lacks the path survives the exclusion (a missing
+    // lang is "not spanish") — dispatched as an anti-join against the
+    // positive term's pushed sidecar scan, composed with a range term
+    // and a delete. DuckDB replays the complement as id NOT IN the
+    // positive match set.
+    "vs_filtered_not" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_fnot_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      // every 10th row LACKS the g field entirely — the complement
+      // must keep those
+      val doc = when(col("vec_id") % 10 === 0,
+          concat(lit("{\"score\": "), (col("vec_id") % 100).cast("string"),
+            lit("}")))
+        .otherwise(concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
+          lit("\", \"score\": "), (col("vec_id") % 100).cast("string"),
+          lit("}")))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"), doc.as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.materializeDocFieldNumeric(Seq("score"))
+      store.delete(Seq(22L, 30L, 41L))
+      store.queryByDocAllDF(Seq(
+          graft.store.DocRange(Seq("score"), Some(20.0), Some(60.0)),
+          graft.store.DocNotEquals(Seq("g"), Seq("0", "2"))))
+        .select(col("id"),
+          get_json_object(col("doc"), "$.g").as("g"),
+          get_json_object(col("doc"), "$.score").cast("long").as("score"))
+        .orderBy("id")
+    }),
+
     // Compound filter THROUGH the hierarchical router: the same
     // two-term conjunction dispatched under super-cell routing, at
     // full routing (superProbe = nSuper, nProbe = nCells) so the
@@ -5987,6 +6023,21 @@ object SparkEntry {
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist,
              CAST(0 AS BIGINT) AS over_cap, CAST(1 AS BIGINT) AS split_fired
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "vs_filtered_not" -> """
+      WITH base AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id % 10 = 0 THEN NULL
+                    ELSE CAST(e.label % 3 AS VARCHAR) END AS g,
+               e.vec_id % 100 AS score
+        FROM embeddings e WHERE e.vec_id < 500),
+      live AS (SELECT * FROM base WHERE id NOT IN (22, 30, 41)),
+      pos AS (SELECT id FROM live WHERE g IN ('0', '2'))
+      SELECT id, g, CAST(score AS BIGINT) AS score
+      FROM live
+      WHERE score BETWEEN 20 AND 60
+        AND id NOT IN (SELECT id FROM pos)
+      ORDER BY id""",
 
     // Routed compound replay: base minus deletes plus the appended row
     // (id 500: vec_id 9's vector, g=1, score=40 — IN the match set);

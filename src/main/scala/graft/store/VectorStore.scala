@@ -119,6 +119,17 @@ case class DocEquals(pathSteps: Seq[String], values: Seq[Any])
 case class DocRange(pathSteps: Seq[String], lo: Option[Double],
     hi: Option[Double]) extends DocPredicate
 
+/** SET-COMPLEMENT exclusion — the blocklist term ("exclude
+  * source=spam"): keeps every live row that does NOT match
+  * `DocEquals(pathSteps, values)`, INCLUDING rows whose doc lacks the
+  * path entirely (complement semantics, not SQL ternary logic — a
+  * missing `lang` is "not spanish"). Dispatched as an anti-join
+  * against the positive term's id set, so the sidecar pushdown is
+  * identical to the equality term it negates.
+  */
+case class DocNotEquals(pathSteps: Seq[String], values: Seq[Any])
+  extends DocPredicate
+
 /** Spark-native re-implementation of the reference engine's single-table
   * vector store (reference: vector_store.py:29-404).
   *
@@ -2427,6 +2438,7 @@ class VectorStore private (
   private def predIndexed(pred: DocPredicate): Boolean = pred match {
     case DocEquals(p, _) => hasDocIndex(p)
     case DocRange(p, _, _) => hasDocIndexNumeric(p)
+    case DocNotEquals(p, _) => hasDocIndex(p)
   }
 
   /** The predicate's filter over its sidecar's `value` column. */
@@ -2435,6 +2447,8 @@ class VectorStore private (
     case DocRange(_, lo, hi) =>
       Seq(lo.map(col("value") >= _), hi.map(col("value") <= _))
         .flatten.reduce(_ && _)
+    case _: DocNotEquals => throw new IllegalStateException(
+      "exclusions dispatch as anti-joins, never as sidecar filters")
   }
 
   /** The predicate's filter over the raw doc column — the scan route,
@@ -2446,6 +2460,8 @@ class VectorStore private (
     case DocRange(p, lo, hi) =>
       val v = docValue(p).cast("double")
       Seq(lo.map(v >= _), hi.map(v <= _)).flatten.reduce(_ && _)
+    case _: DocNotEquals => throw new IllegalStateException(
+      "exclusions dispatch as anti-joins, never as scan filters")
   }
 
   /** Matching LIVE ids for a CONJUNCTION of metadata terms — the
@@ -2465,13 +2481,21 @@ class VectorStore private (
           require(lo.nonEmpty || hi.nonEmpty, "need at least one bound")
         case DocEquals(_, vs) =>
           require(vs.nonEmpty, "need at least one value")
+        case DocNotEquals(_, vs) =>
+          require(vs.nonEmpty, "need at least one value")
       }
     }
-    val (indexed, scanned) = preds.partition(predIndexed)
+    // negated terms apply as anti-joins AGAINST the positive
+    // intersection (or the full live id set when every term is an
+    // exclusion) — complement semantics: a row missing the path never
+    // matches the positive form, so the exclusion keeps it
+    val (negated, positive) = preds.partition(_.isInstanceOf[DocNotEquals])
+    val (indexed, scanned) = positive.partition(predIndexed)
     val sidecarFrames = indexed.map { pr =>
       val dir = pr match {
         case DocEquals(p, _) => docIdxDir(p)
         case DocRange(p, _, _) => docIdxNumDir(p)
+        case _: DocNotEquals => throw new IllegalStateException("unreachable")
       }
       annTombstoneMask(spark.read.parquet(dir.toString))
         .filter(predSidecarFilter(pr))
@@ -2482,8 +2506,13 @@ class VectorStore private (
       else Some(table
         .filter(scanned.map(predScanFilter).reduce(_ && _))
         .select($"id"))
-    (sidecarFrames ++ scanFrame)
-      .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
+    val base = (sidecarFrames ++ scanFrame)
+      .reduceOption((a, b) => a.join(b, Seq("id"), "left_semi"))
+      .getOrElse(table.select($"id"))
+    negated.foldLeft(base) { (acc, pr) =>
+      val DocNotEquals(p, vs) = pr: @unchecked
+      acc.join(docMatchIds(p, vs), Seq("id"), "left_anti")
+    }
   }
 
   /** Matching live ROWS for a JSON-path filter — [[docMatchIds]]

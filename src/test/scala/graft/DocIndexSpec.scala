@@ -316,6 +316,50 @@ class DocIndexSpec extends SparkSuite {
       id % 3 != 0 && id * 5 >= 25 && id * 5 <= 150 && id != 4L && id != 7L))
   }
 
+  test("exclusion predicates: complement semantics, anti-join dispatch, sidecar reuse") {
+    import graft.store.{DocEquals, DocNotEquals, DocRange}
+    val store = mkStore("notmulti")
+    // one row (id 20) lacks 'g' entirely — the complement must KEEP it
+    store.insert((0 until 21).map(vec),
+      (0 until 20).map(i => s"""{"g": "${i % 3}", "score": ${i * 10}}""")
+        :+ """{"score": 55}""")
+    def ids(preds: Seq[graft.store.DocPredicate]) =
+      store.queryByDocAllDF(preds).select($"id").as[Long]
+        .collect().sorted.toSeq
+    // pure exclusion: every live row not matching g=1, INCLUDING the
+    // path-less row
+    val not1 = ids(Seq(DocNotEquals(Seq("g"), Seq("1"))))
+    assert(not1 == (0L until 21L).filterNot(i => i < 20 && i % 3 == 1),
+      s"$not1")
+    assert(not1.contains(20L), "path-less row must survive the exclusion")
+    // mixed: range AND exclusion
+    val mixed = ids(Seq(
+      DocRange(Seq("score"), Some(30.0), Some(120.0)),
+      DocNotEquals(Seq("g"), Seq("0"))))
+    // id 20: score 55 in range, no 'g' → survives the exclusion too
+    val expect = (0 until 20)
+      .filter(i => i * 10 >= 30 && i * 10 <= 120 && i % 3 != 0)
+      .map(_.toLong) :+ 20L
+    assert(mixed == expect, s"$mixed vs $expect")
+    // materialized dispatch: same answers, exclusion rides the sidecar
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("score"))
+    assert(ids(Seq(DocNotEquals(Seq("g"), Seq("1")))) == not1)
+    val plan = store.queryByDocAllDF(Seq(
+        DocRange(Seq("score"), Some(30.0), Some(120.0)),
+        DocNotEquals(Seq("g"), Seq("0"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("get_json_object"),
+      s"indexed exclusion must not parse JSON:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"exclusion must dispatch as an anti-join:\n$plan")
+    // delete composes
+    store.delete(Seq(expect.head))
+    assert(ids(Seq(
+      DocRange(Seq("score"), Some(30.0), Some(120.0)),
+      DocNotEquals(Seq("g"), Seq("0")))) == expect.drop(1))
+  }
+
   test("compound filter composes with hierarchical routing (full routing = exact)") {
     import graft.store.{DocEquals, DocRange}
     val store = mkStore("hiermulti")
