@@ -2087,6 +2087,25 @@ class VectorStore private (
       graft.operators.Bm25.topKBatch(
         table.select($"id", $"doc"), "id", "doc", queries, k)
 
+  /** Compound-filter lexical retrieval: BM25 over ONLY the rows every
+    * predicate term matches — retrieval AND statistics (N, avgdl, df)
+    * fit on the conjunction sub-corpus ("wiki-relative relevance", the
+    * same contract as the single-path filtered hybrid). The id set
+    * composes as a semi-join on the postings and the doc-length stats
+    * on the indexed route, and pre-filters the scan route.
+    */
+  def searchLexAllDF(queries: Seq[(Long, Seq[String])], k: Int,
+      preds: Seq[DocPredicate]): DataFrame = {
+    val ids = docMatchIdsAll(preds)
+    if (hasLexIndex)
+      graft.operators.LexIndex.search(spark, lexRoot, queries, k,
+        annTombstoneMask, Some(ids))
+    else
+      graft.operators.Bm25.topKBatch(
+        table.join(ids, Seq("id"), "left_semi").select($"id", $"doc"),
+        "id", "doc", queries, k)
+  }
+
   /** Snapshot-export the WHOLE store — data, tombstones, version
     * counter, ANN/lex/doc-field sidecars, dim marker — to `destPath`
     * (a file-level recursive copy; single-writer contract: run it when

@@ -193,6 +193,40 @@ class LexIndexSpec extends SparkSuite {
       "marker-less window must degrade to an unpruned but correct scan")
   }
 
+  test("compound-filtered lexical search: stats fit on the conjunction sub-corpus") {
+    import graft.store.{DocEquals, DocNotEquals}
+    val store = mkStore("lexmulti")
+    store.insert((0 until 30).map(vec),
+      (0 until 30).map { i =>
+        val words = docText(i).split("\"")(3)
+        s"""{"t": "$words", "src": "${if (i % 2 == 0) "a" else "b"}", "q": "${i % 5}"}"""
+      })
+    val preds = Seq(
+      DocEquals(Seq("src"), Seq("a")),
+      DocNotEquals(Seq("q"), Seq("0")))
+    def ranked2(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"id", $"bm25", $"rank")
+        .as[(Long, Long, Double, Int)].collect()
+        .sortBy(r => (r._1, r._4)).toSeq
+    // scan route over the conjunction sub-corpus is the truth
+    val sub = store.queryByDocAllDF(preds).select($"id", $"doc")
+    val truth = ranked2(graft.operators.Bm25.topKBatch(sub, "id", "doc",
+      queries, 5))
+    assert(truth.nonEmpty)
+    assert(ranked2(store.searchLexAllDF(queries, 5, preds)) == truth,
+      "scan dispatch must fit on the sub-corpus")
+    // posting index + sidecar dispatch: identical ranking
+    store.buildLexIndex()
+    store.materializeDocField(Seq("src"))
+    store.materializeDocField(Seq("q"))
+    assert(ranked2(store.searchLexAllDF(queries, 5, preds)) == truth,
+      "indexed dispatch must fit on the sub-corpus")
+    // survivors only: every hit satisfies the conjunction
+    val hits = store.searchLexAllDF(queries, 5, preds)
+      .select($"id").as[Long].collect().toSet
+    assert(hits.forall(id => id % 2 == 0 && id % 5 != 0), s"$hits")
+  }
+
   private def storeLexRoot(store: VectorStore): String =
     new org.apache.hadoop.fs.Path(store.path, "lex").toString
 }
