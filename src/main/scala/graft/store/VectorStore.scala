@@ -1793,13 +1793,38 @@ class VectorStore private (
     */
   def searchParentDocsDF(queries: DataFrame, k: Int,
       parentPath: Seq[String], chunksPerQuery: Int, nProbe: Int = 0,
-      pool: String = "max", refine: Int = 0): DataFrame = {
+      pool: String = "max", refine: Int = 0): DataFrame =
+    searchParentDocsMatchDF(queries, k, parentPath, chunksPerQuery,
+      nProbe, pool, refine, None)
+
+  /** Compound-filter parent retrieval: the chunk shortlist is
+    * restricted to chunks every predicate term matches ("RAG over
+    * en-language wiki chunks"), then the standard per-parent rollup —
+    * chunk-level filtering, so a parent ranks only on its MATCHING
+    * chunks.
+    */
+  def searchParentDocsAllDF(queries: DataFrame, k: Int,
+      parentPath: Seq[String], chunksPerQuery: Int,
+      preds: Seq[DocPredicate], nProbe: Int = 0,
+      pool: String = "max", refine: Int = 0): DataFrame =
+    searchParentDocsMatchDF(queries, k, parentPath, chunksPerQuery,
+      nProbe, pool, refine, Some(docMatchIdsAll(preds)))
+
+  private def searchParentDocsMatchDF(queries: DataFrame, k: Int,
+      parentPath: Seq[String], chunksPerQuery: Int, nProbe: Int,
+      pool: String, refine: Int, matchIds: Option[DataFrame]): DataFrame = {
     require(parentPath.nonEmpty, "parentPath must have at least one step")
     require(chunksPerQuery >= 1,
       s"chunksPerQuery must be >= 1, got $chunksPerQuery")
-    val hits =
-      if (nProbe >= 1) searchApproxDF(queries, chunksPerQuery, nProbe, refine)
-      else searchDF(queries, chunksPerQuery)
+    val hits = matchIds match {
+      case Some(ids) =>
+        if (nProbe >= 1)
+          searchApproxMatchDF(queries, chunksPerQuery, nProbe, ids, refine)
+        else searchWhereMatchDF(queries, chunksPerQuery, ids)
+      case None =>
+        if (nProbe >= 1) searchApproxDF(queries, chunksPerQuery, nProbe, refine)
+        else searchDF(queries, chunksPerQuery)
+    }
     val scored = hits.join(parentFrame(parentPath), Seq("id"))
       .withColumn("_score", -col("distance").cast("double"))
     graft.operators.Evaluation.docTopKFromChunks(

@@ -421,6 +421,42 @@ class DocIndexSpec extends SparkSuite {
     assert(approx == scan, "full-probe indexed hybrid must match exact")
   }
 
+  test("compound-filtered parent retrieval ranks parents on matching chunks only") {
+    import graft.store.{DocEquals, DocRange}
+    val store = mkStore("parmulti")
+    // 8 parents x 4 chunks; chunk metadata: lang alternates, pos = chunk idx
+    store.insert((0 until 32).map(vec),
+      (0 until 32).map(i =>
+        s"""{"p": ${i / 4}, "lang": "${if (i % 2 == 0) "en" else "de"}", "pos": ${i % 4}}"""))
+    val preds = Seq(
+      DocEquals(Seq("lang"), Seq("en")),
+      DocRange(Seq("pos"), Some(0.0), Some(2.0)))
+    val qs = Seq((0L, vec(13))).toDF("qid", "qvec")
+    val got = store.searchParentDocsAllDF(qs, k = 3, Seq("p"),
+        chunksPerQuery = 32, preds)
+      .select($"qid", $"parent", $"rank").as[(Long, Long, Int)]
+      .collect().sortBy(_._3).toSeq
+    assert(got.nonEmpty)
+    // truth: per-parent best chunk among MATCHING chunks (even id, pos<=2)
+    val matching = (0 until 32).filter(i => i % 2 == 0 && i % 4 <= 2)
+    def l2(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum)
+    val best = matching.groupBy(_ / 4).map { case (p, chunks) =>
+      p.toLong -> chunks.map(c => l2(vec(c), vec(13))).min }
+    val expect = best.toSeq.sortBy { case (p, d) => (d, p) }
+      .take(3).map(_._1)
+    assert(got.map(_._2) == expect, s"${got.map(_._2)} vs $expect")
+    // indexed dispatch parity
+    store.materializeDocField(Seq("lang"))
+    store.materializeDocFieldNumeric(Seq("pos"))
+    val idx = store.searchParentDocsAllDF(qs, k = 3, Seq("p"),
+        chunksPerQuery = 32, preds)
+      .select($"qid", $"parent", $"rank").as[(Long, Long, Int)]
+      .collect().sortBy(_._3).toSeq
+    assert(idx == got)
+  }
+
   test("stale _staging dirs from a crashed rebuild are not fields and get swept") {
     val store = mkStore("staging")
     seed(store, 6)
