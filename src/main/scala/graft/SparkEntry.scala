@@ -1259,6 +1259,41 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Disjunction predicate: (g = "1" OR score >= 90) AND src = "a" —
+    // the OR dispatches as a DISTINCT UNION of its members' pushed
+    // sidecar scans, then intersects into the conjunction chain like
+    // any other term. Through a delete; DuckDB replays the boolean
+    // algebra directly.
+    "vs_filtered_or" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_for_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
+            lit("\", \"score\": "), (col("vec_id") % 100).cast("string"),
+            lit(", \"src\": \""),
+            when(col("vec_id") % 2 === 0, "a").otherwise("b"),
+            lit("\"}")).as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.materializeDocFieldNumeric(Seq("score"))
+      store.materializeDocField(Seq("src"))
+      store.delete(Seq(12L, 36L, 90L))
+      store.queryByDocAllDF(Seq(
+          graft.store.DocAnyOf(Seq(
+            graft.store.DocEquals(Seq("g"), Seq("1")),
+            graft.store.DocRange(Seq("score"), Some(90.0), None))),
+          graft.store.DocEquals(Seq("src"), Seq("a"))))
+        .select(col("id"),
+          get_json_object(col("doc"), "$.g").as("g"),
+          get_json_object(col("doc"), "$.score").cast("long").as("score"))
+        .orderBy("id")
+    }),
+
     // Exclusion (blocklist) predicate: set-COMPLEMENT semantics — a
     // row whose doc lacks the path survives the exclusion (a missing
     // lang is "not spanish") — dispatched as an anti-join against the
@@ -6023,6 +6058,18 @@ object SparkEntry {
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist,
              CAST(0 AS BIGINT) AS over_cap, CAST(1 AS BIGINT) AS split_fired
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "vs_filtered_or" -> """
+      WITH live AS (
+        SELECT e.vec_id AS id, CAST(e.label % 3 AS VARCHAR) AS g,
+               e.vec_id % 100 AS score,
+               CASE WHEN e.vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS src
+        FROM embeddings e
+        WHERE e.vec_id < 500 AND e.vec_id NOT IN (12, 36, 90))
+      SELECT id, g, CAST(score AS BIGINT) AS score
+      FROM live
+      WHERE (g = '1' OR score >= 90) AND src = 'a'
+      ORDER BY id""",
 
     "vs_filtered_not" -> """
       WITH base AS (

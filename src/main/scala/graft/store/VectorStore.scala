@@ -130,6 +130,20 @@ case class DocRange(pathSteps: Seq[String], lo: Option[Double],
 case class DocNotEquals(pathSteps: Seq[String], values: Seq[Any])
   extends DocPredicate
 
+/** Disjunction term inside the conjunction — `(lang = "en" OR
+  * score >= 90) AND source = "web"` shapes. Matches rows satisfying
+  * AT LEAST ONE member; dispatched as the DISTINCT UNION of the
+  * members' id sets (each member through its own sidecar scan when
+  * materialized), then intersected into the enclosing chain like any
+  * other term. Members must be positive forms ([[DocEquals]] /
+  * [[DocRange]] / nested [[DocAnyOf]]): an exclusion inside an OR is
+  * almost always a mis-stated blocklist — write it as a top-level
+  * [[DocNotEquals]] instead.
+  */
+case class DocAnyOf(members: Seq[DocPredicate]) extends DocPredicate {
+  def pathSteps: Seq[String] = members.flatMap(_.pathSteps)
+}
+
 /** Spark-native re-implementation of the reference engine's single-table
   * vector store (reference: vector_store.py:29-404).
   *
@@ -2483,6 +2497,7 @@ class VectorStore private (
     case DocEquals(p, _) => hasDocIndex(p)
     case DocRange(p, _, _) => hasDocIndexNumeric(p)
     case DocNotEquals(p, _) => hasDocIndex(p)
+    case _: DocAnyOf => false // dispatched per member, never as one scan
   }
 
   /** The predicate's filter over its sidecar's `value` column. */
@@ -2493,6 +2508,8 @@ class VectorStore private (
         .flatten.reduce(_ && _)
     case _: DocNotEquals => throw new IllegalStateException(
       "exclusions dispatch as anti-joins, never as sidecar filters")
+    case _: DocAnyOf => throw new IllegalStateException(
+      "disjunctions dispatch per member, never as one sidecar filter")
   }
 
   /** The predicate's filter over the raw doc column — the scan route,
@@ -2506,6 +2523,8 @@ class VectorStore private (
       Seq(lo.map(v >= _), hi.map(v <= _)).flatten.reduce(_ && _)
     case _: DocNotEquals => throw new IllegalStateException(
       "exclusions dispatch as anti-joins, never as scan filters")
+    case _: DocAnyOf => throw new IllegalStateException(
+      "disjunctions dispatch per member, never as one scan filter")
   }
 
   /** Matching LIVE ids for a CONJUNCTION of metadata terms — the
@@ -2516,30 +2535,71 @@ class VectorStore private (
     * column-pruned table scan carrying their ANDed JSON filters, so a
     * query with three unindexed terms still reads the table once.
     */
+  private def validatePredicate(pr: DocPredicate): Unit = pr match {
+    case DocRange(p, lo, hi) =>
+      require(p.nonEmpty, "path must have at least one step")
+      require(lo.nonEmpty || hi.nonEmpty, "need at least one bound")
+    case DocEquals(p, vs) =>
+      require(p.nonEmpty, "path must have at least one step")
+      require(vs.nonEmpty, "need at least one value")
+    case DocNotEquals(p, vs) =>
+      require(p.nonEmpty, "path must have at least one step")
+      require(vs.nonEmpty, "need at least one value")
+    case DocAnyOf(ms) =>
+      require(ms.nonEmpty, "DocAnyOf needs at least one member")
+      require(!ms.exists(_.isInstanceOf[DocNotEquals]),
+        "exclusions inside a disjunction are not supported — state the " +
+          "blocklist as a top-level DocNotEquals term")
+      ms.foreach(validatePredicate)
+  }
+
+  /** The DISTINCT-union id frame of a disjunction: indexed members
+    * read their own pushed sidecar scans; ALL unmaterialized members
+    * fold into one table scan carrying their ORed filters (same
+    * one-scan discipline as the conjunction's fold); nested
+    * disjunctions recurse.
+    */
+  private def docAnyOfIds(members: Seq[DocPredicate]): DataFrame = {
+    val (nested, flat) = members.partition(_.isInstanceOf[DocAnyOf])
+    val (indexed, scanned) = flat.partition(predIndexed)
+    val sidecarFrames = indexed.map { pr =>
+      val dir = pr match {
+        case DocEquals(p, _) => docIdxDir(p)
+        case DocRange(p, _, _) => docIdxNumDir(p)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      annTombstoneMask(spark.read.parquet(dir.toString))
+        .filter(predSidecarFilter(pr))
+        .select($"id")
+    }
+    val scanFrame =
+      if (scanned.isEmpty) None
+      else Some(table
+        .filter(scanned.map(predScanFilter).reduce(_ || _))
+        .select($"id"))
+    val nestedFrames = nested.map {
+      case DocAnyOf(ms) => docAnyOfIds(ms)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    (sidecarFrames ++ scanFrame ++ nestedFrames)
+      .reduce(_ unionAll _).distinct()
+  }
+
   private def docMatchIdsAll(preds: Seq[DocPredicate]): DataFrame = {
     require(preds.nonEmpty, "need at least one predicate")
-    preds.foreach { pr =>
-      require(pr.pathSteps.nonEmpty, "path must have at least one step")
-      pr match {
-        case DocRange(_, lo, hi) =>
-          require(lo.nonEmpty || hi.nonEmpty, "need at least one bound")
-        case DocEquals(_, vs) =>
-          require(vs.nonEmpty, "need at least one value")
-        case DocNotEquals(_, vs) =>
-          require(vs.nonEmpty, "need at least one value")
-      }
-    }
+    preds.foreach(validatePredicate)
     // negated terms apply as anti-joins AGAINST the positive
     // intersection (or the full live id set when every term is an
     // exclusion) — complement semantics: a row missing the path never
     // matches the positive form, so the exclusion keeps it
-    val (negated, positive) = preds.partition(_.isInstanceOf[DocNotEquals])
+    val (negated, rest) = preds.partition(_.isInstanceOf[DocNotEquals])
+    val (anyOfs, positive) = rest.partition(_.isInstanceOf[DocAnyOf])
     val (indexed, scanned) = positive.partition(predIndexed)
     val sidecarFrames = indexed.map { pr =>
       val dir = pr match {
         case DocEquals(p, _) => docIdxDir(p)
         case DocRange(p, _, _) => docIdxNumDir(p)
-        case _: DocNotEquals => throw new IllegalStateException("unreachable")
+        case _ => throw new IllegalStateException("unreachable")
       }
       annTombstoneMask(spark.read.parquet(dir.toString))
         .filter(predSidecarFilter(pr))
@@ -2550,7 +2610,11 @@ class VectorStore private (
       else Some(table
         .filter(scanned.map(predScanFilter).reduce(_ && _))
         .select($"id"))
-    val base = (sidecarFrames ++ scanFrame)
+    val anyFrames = anyOfs.map {
+      case DocAnyOf(ms) => docAnyOfIds(ms)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val base = (sidecarFrames ++ scanFrame ++ anyFrames)
       .reduceOption((a, b) => a.join(b, Seq("id"), "left_semi"))
       .getOrElse(table.select($"id"))
     negated.foldLeft(base) { (acc, pr) =>

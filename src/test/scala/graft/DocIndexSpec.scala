@@ -360,6 +360,53 @@ class DocIndexSpec extends SparkSuite {
       DocNotEquals(Seq("g"), Seq("0")))) == expect.drop(1))
   }
 
+  test("disjunction predicates: union dispatch, one scan for unindexed members, nesting") {
+    import graft.store.{DocAnyOf, DocEquals, DocNotEquals, DocRange}
+    val store = mkStore("ormulti")
+    store.insert((0 until 24).map(vec),
+      (0 until 24).map(i =>
+        s"""{"g": "${i % 3}", "score": ${i * 10}, "src": "${if (i % 2 == 0) "a" else "b"}"}"""))
+    def ids(preds: Seq[graft.store.DocPredicate]) =
+      store.queryByDocAllDF(preds).select($"id").as[Long]
+        .collect().sorted.toSeq
+    // (g = 1 OR score >= 180) AND src = a
+    val preds = Seq(
+      DocAnyOf(Seq(DocEquals(Seq("g"), Seq("1")),
+        DocRange(Seq("score"), Some(180.0), None))),
+      DocEquals(Seq("src"), Seq("a")))
+    val expect = (0 until 24)
+      .filter(i => (i % 3 == 1 || i * 10 >= 180) && i % 2 == 0)
+      .map(_.toLong)
+    assert(ids(preds) == expect, s"${ids(preds)} vs $expect")
+    // materialized dispatch parity (both OR members + the AND term)
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("score"))
+    store.materializeDocField(Seq("src"))
+    assert(ids(preds) == expect, "indexed union must agree with scan")
+    val plan = store.queryByDocAllDF(preds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("get_json_object"),
+      s"indexed disjunction must not parse JSON:\n$plan")
+    // nested OR + exclusion composes
+    val nested = Seq(
+      DocAnyOf(Seq(
+        DocAnyOf(Seq(DocEquals(Seq("g"), Seq("0")))),
+        DocRange(Seq("score"), Some(200.0), None))),
+      DocNotEquals(Seq("src"), Seq("b")))
+    val expect2 = (0 until 24)
+      .filter(i => (i % 3 == 0 || i * 10 >= 200) && i % 2 == 0)
+      .map(_.toLong)
+    assert(ids(nested) == expect2, s"${ids(nested)} vs $expect2")
+    // guards: empty OR, exclusion inside OR
+    intercept[IllegalArgumentException](ids(Seq(DocAnyOf(Seq.empty))))
+    intercept[IllegalArgumentException](ids(Seq(DocAnyOf(Seq(
+      DocNotEquals(Seq("g"), Seq("1")))))))
+    // no double counting: a row matching BOTH members appears once
+    val both = ids(Seq(DocAnyOf(Seq(
+      DocEquals(Seq("src"), Seq("a")), DocEquals(Seq("g"), Seq("0"))))))
+    assert(both.distinct == both)
+  }
+
   test("compound filter composes with hierarchical routing (full routing = exact)") {
     import graft.store.{DocEquals, DocRange}
     val store = mkStore("hiermulti")
