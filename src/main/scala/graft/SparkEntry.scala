@@ -1259,6 +1259,33 @@ object SparkEntry {
         .orderBy("qid", "rn")
     }),
 
+    // Metadata-field histogram: value distribution of a JSON path over
+    // the live rows through the pushed sidecar scan (missing-path rows
+    // report as the NULL bucket — itself a curation signal), across a
+    // delete and an upsert that MOVES a row between buckets.
+    "vs_doc_histogram" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_hist_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      // every 7th row lacks the field -> NULL bucket
+      val doc = when(col("vec_id") % 7 === 0, lit("{}"))
+        .otherwise(concat(lit("{\"g\": \""),
+          (col("label") % 4).cast("string"), lit("\"}")))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"), doc.as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.delete(Seq(3L, 14L, 25L))
+      val v9 = T(s, dir, "embeddings").filter(col("vec_id") === 9)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      store.upsert(Seq(10L), Seq(v9), Seq("{\"g\": \"9\"}"))
+      store.docFieldHistogramDF(Seq("g"))
+        .orderBy(col("value").asc_nulls_first)
+    }),
+
     // Disjunction predicate: (g = "1" OR score >= 90) AND src = "a" —
     // the OR dispatches as a DISTINCT UNION of its members' pushed
     // sidecar scans, then intersects into the conjunction chain like
@@ -6058,6 +6085,18 @@ object SparkEntry {
       SELECT qid, id, rn, (CASE WHEN isnan(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(distance AS DOUBLE)) AS DOUBLE)) >= 8e13 THEN CAST((CAST(distance AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(distance AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END) AS dist,
              CAST(0 AS BIGINT) AS over_cap, CAST(1 AS BIGINT) AS split_fired
       FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "vs_doc_histogram" -> """
+      WITH base AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id % 7 = 0 THEN NULL
+                    ELSE CAST(e.label % 4 AS VARCHAR) END AS g
+        FROM embeddings e WHERE e.vec_id < 500),
+      live AS (
+        SELECT id, CASE WHEN id = 10 THEN '9' ELSE g END AS g
+        FROM base WHERE id NOT IN (3, 14, 25))
+      SELECT g AS value, count(*) AS n
+      FROM live GROUP BY g ORDER BY g NULLS FIRST""",
 
     "vs_filtered_or" -> """
       WITH live AS (

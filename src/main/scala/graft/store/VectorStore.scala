@@ -2668,6 +2668,24 @@ class VectorStore private (
     docMatchRows(pathSteps, values)
   }
 
+  /** Value histogram of a JSON path over the LIVE rows — the curation
+    * dashboard's "distribution of lang / source / label across the
+    * corpus" in one aggregate. Through the materialized sidecar when
+    * one exists (a slim pushed scan — the table's doc column is never
+    * parsed), else the extraction scan. Rows whose doc lacks the path
+    * report as the NULL value row ("how many docs are missing lang" is
+    * itself a curation signal). Returns (value, n).
+    */
+  def docFieldHistogramDF(pathSteps: Seq[String]): DataFrame = {
+    require(pathSteps.nonEmpty, "path must have at least one step")
+    (if (hasDocIndex(pathSteps))
+      annTombstoneMask(spark.read.parquet(docIdxDir(pathSteps).toString))
+        .select(col("value"))
+    else table.select(docValue(pathSteps).as("value")))
+      .groupBy(col("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+  }
+
   /** Conjunctive metadata filter: live rows satisfying EVERY term —
     * `lang = "en" AND score >= 0.5` as
     * `Seq(DocEquals(Seq("lang"), Seq("en")),
