@@ -71,6 +71,11 @@ case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: D
   *   masked row fraction of the FIRST sidecar passes this — sidecars
   *   share the table's tombstone set, so one measurement speaks for
   *   all of them.
+  * @param docMaxFiles after any append, rebuild ALL doc-field
+  *   sidecars once the file count of the largest sidecar passes this
+  *   (every O(batch) insert appends one file per materialized field;
+  *   the rebuild is the sidecar's compaction, same as the posting
+  *   index's). Filesystem metadata only.
   * @param quantizedRebuildImbalance after any append to a QUANTIZED
   *   layout (SQ/PQ/BQ — kinds the in-place split cannot serve because
   *   codes are grid/codebook/cell-relative), retrain the index via its
@@ -84,8 +89,10 @@ case class IndexMaintenancePolicy(
     lexMaxFiles: Long = 0L,
     lexMaxDeadFraction: Double = 0.0,
     docMaxDeadFraction: Double = 0.0,
+    docMaxFiles: Long = 0L,
     quantizedRebuildImbalance: Double = 0.0) {
-  require(maxCellRows >= 0L && minCellRows >= 0L && lexMaxFiles >= 0L,
+  require(maxCellRows >= 0L && minCellRows >= 0L && lexMaxFiles >= 0L
+      && docMaxFiles >= 0L,
     "maintenance thresholds must be >= 0 (0 = off)")
   require(lexMaxDeadFraction >= 0.0 && lexMaxDeadFraction < 1.0,
     s"lexMaxDeadFraction must be in [0, 1), got $lexMaxDeadFraction")
@@ -1544,6 +1551,30 @@ class VectorStore private (
     }
   }
 
+  private def maybeMaintainDocIdxAfterAppend(): Unit =
+    maintenance.foreach { p =>
+      if (p.docMaxFiles > 0L) {
+        val fields = materializedDocFields
+        val numFields = materializedNumericDocFields
+        def files(dir: Path): Long = {
+          var n = 0L
+          val it = docIdxFs.listFiles(dir, true)
+          while (it.hasNext && n <= p.docMaxFiles) {
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+          }
+          n
+        }
+        val worst = (fields.map(docIdxDir) ++ numFields.map(docIdxNumDir))
+          .map(files).maxOption.getOrElse(0L)
+        if (worst > p.docMaxFiles) {
+          fields.foreach(materializeDocField)
+          numFields.foreach(materializeDocFieldNumeric)
+          logInfo(s"auto-maintenance: a doc sidecar passed ${p.docMaxFiles} " +
+            "files, rebuilt all sidecars (compaction)")
+        }
+      }
+    }
+
   private def maybeMaintainLexAfterAppend(): Unit = maintenance.foreach { p =>
     if (p.lexMaxFiles > 0L && hasLexIndex) {
       val pp = new Path(graft.operators.LexIndex.postingsPath(lexRoot))
@@ -2379,6 +2410,7 @@ class VectorStore private (
           .withColumn(GenCol, lit(gen))
           .write.mode("append").parquet(docIdxNumDir(steps).toString)
       }
+      maybeMaintainDocIdxAfterAppend()
     }
   }
 

@@ -468,6 +468,35 @@ class DocIndexSpec extends SparkSuite {
     assert(approx == scan, "full-probe indexed hybrid must match exact")
   }
 
+  test("auto-maintenance compacts doc sidecars past the file-count cap") {
+    import graft.store.IndexMaintenancePolicy
+    val store = mkStore("amdocf")
+    seed(store, 12)
+    store.materializeDocField(Seq("g"))
+    def sidecarFiles(): Long = {
+      val dir = new org.apache.hadoop.fs.Path(store.path, "docidx/g")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var n = 0L
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val base = sidecarFiles()
+    store.enableAutoMaintenance(IndexMaintenancePolicy(docMaxFiles = base + 2))
+    (0 until 4).foreach(b =>
+      store.insert(Seq(vec(50 + b)), Seq(docJson(b % 3, "x"))))
+    val after = sidecarFiles()
+    store.disableAutoMaintenance()
+    assert(after <= base + 3,
+      s"file-count compaction must have fired: $base -> $after")
+    // indexed route still exact over everything ingested
+    val idx = store.queryByDoc(Seq("g"), Seq("1")).map(_.id)
+    store.dropDocField(Seq("g"))
+    assert(store.queryByDoc(Seq("g"), Seq("1")).map(_.id) == idx)
+  }
+
   test("compound-filtered parent retrieval ranks parents on matching chunks only") {
     import graft.store.{DocEquals, DocRange}
     val store = mkStore("parmulti")
