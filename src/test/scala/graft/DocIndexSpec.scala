@@ -533,6 +533,57 @@ class DocIndexSpec extends SparkSuite {
     assert(idx == got)
   }
 
+  test("predicate algebra vs a reference evaluator over random trees (seeded)") {
+    import graft.store.{DocAnyOf, DocEquals, DocNotEquals, DocPredicate, DocRange}
+    val store = mkStore("randpred")
+    // fields: a ∈ {0..3} (every 6th doc LACKS it), b numeric
+    val docs: Seq[Map[String, String]] = (0 until 40).map { i =>
+      val base = Map("b" -> (i * 3 % 50).toString)
+      if (i % 6 == 0) base else base + ("a" -> (i % 4).toString)
+    }
+    store.insert((0 until 40).map(vec),
+      docs.map(m => m.map { case (k, v) =>
+        if (k == "a") s""""$k": "$v"""" else s""""$k": $v"""
+      }.mkString("{", ", ", "}")))
+    store.materializeDocField(Seq("a"))
+    store.materializeDocFieldNumeric(Seq("b"))
+    // reference evaluator (string compare for a, double compare for b —
+    // the documented dispatch semantics)
+    def eval(pr: DocPredicate, d: Map[String, String]): Boolean = pr match {
+      case DocEquals(p, vs) =>
+        d.get(p.head).exists(v => vs.map(_.toString).contains(v))
+      case DocNotEquals(p, vs) => !eval(DocEquals(p, vs), d)
+      case DocRange(p, lo, hi) =>
+        d.get(p.head).map(_.toDouble)
+          .exists(x => lo.forall(x >= _) && hi.forall(x <= _))
+      case DocAnyOf(ms) => ms.exists(eval(_, d))
+    }
+    val rnd = new scala.util.Random(1234L)
+    def leaf(): DocPredicate =
+      if (rnd.nextBoolean())
+        DocEquals(Seq("a"),
+          Seq.fill(rnd.nextInt(2) + 1)(rnd.nextInt(5).toString).distinct)
+      else {
+        val lo = rnd.nextInt(50).toDouble
+        DocRange(Seq("b"), Some(lo), Some(lo + rnd.nextInt(30) + 1))
+      }
+    def tree(depth: Int): DocPredicate =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else DocAnyOf(Seq.fill(rnd.nextInt(2) + 2)(tree(depth - 1)))
+    (0 until 12).foreach { case_ =>
+      val conj = Seq.fill(rnd.nextInt(2) + 1)(tree(2)) ++
+        (if (rnd.nextBoolean())
+          Seq(DocNotEquals(Seq("a"), Seq(rnd.nextInt(4).toString)))
+        else Seq.empty)
+      val got = store.queryByDocAllDF(conj).select($"id").as[Long]
+        .collect().sorted.toSeq
+      val want = docs.zipWithIndex
+        .filter { case (d, _) => conj.forall(eval(_, d)) }
+        .map(_._2.toLong)
+      assert(got == want, s"case $case_: preds=$conj\n got=$got\nwant=$want")
+    }
+  }
+
   test("stale _staging dirs from a crashed rebuild are not fields and get swept") {
     val store = mkStore("staging")
     seed(store, 6)
