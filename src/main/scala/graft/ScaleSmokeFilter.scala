@@ -69,6 +69,20 @@ object ScaleSmokeFilter {
     println(f"SMOKE compound dispatch speedup: ${tScan / tIdx}%.2fx " +
       "(bytes ratio is the scale story: full ~1KB-doc table scan vs " +
       "two 3-column sidecars)")
+    // ids-only shape (the deleteWhereAll / aggregation input): no row
+    // materialization diluting the filter cost — the table is touched
+    // only for its 8-byte id column, so the doc parse IS the delta
+    def qStats(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = store.docFieldHistogramDF(Seq("lang")).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val tHistIdx = (0 until 3).map(_ => qStats()._2).min
+    store.dropDocField(Seq("lang"))
+    store.dropDocFieldNumeric(Seq("score"))
+    val tHistScan = (0 until 3).map(_ => qStats()._2).min
+    println(f"SMOKE histogram (ids-only shape): scan ${tHistScan}%.2f s vs " +
+      f"sidecar ${tHistIdx}%.2f s = ${tHistScan / tHistIdx}%.2fx")
     spark.stop()
   }
 }

@@ -1513,6 +1513,32 @@ class VectorStoreParitySpec extends SparkSuite with BeforeAndAfterEach {
     assert(full().head.nonEmpty)
   }
 
+  test("rebuildAnnIndex replays PQ and OPQ recipes (kind, hyperparams, results)") {
+    val s = VectorStore.openOrCreate(spark, dir, 8, tombstoneDeletes = true)
+    def vec(i: Int) = Array.tabulate(8)(j =>
+      (i % 5).toFloat * 2 + (if (j == i % 8) 1f else 0f) + i * 0.01f)
+    s.insert((0 until 60).map(vec))
+    s.buildAnnIndexPq(nCells = 3, m = 2, k = 4, iters = 1, opq = true,
+      opqSweeps = 1)
+    assert(s.annKind == "ivfpq_opq")
+    val qs = Seq(vec(7), vec(31))
+    // full probe + full refine = exact whatever the codebook, so the
+    // before/after comparison is decided by real results, not fp luck
+    def full() = s.searchApprox(qs, k = 4, nProbe = 3, refine = 60)
+      .map(_.map(_.id))
+    val before = full()
+    s.rebuildAnnIndex()
+    assert(s.annKind == "ivfpq_opq", "recipe must preserve the OPQ kind")
+    assert(s.annIndexStats().nCells == 3)
+    assert(full() == before)
+    // residual recipe round-trips too
+    s.buildAnnIndexPq(nCells = 3, m = 2, k = 4, iters = 1, residual = true)
+    val beforeRes = full()
+    s.rebuildAnnIndex()
+    assert(s.annKind == "ivfpq_res")
+    assert(full() == beforeRes)
+  }
+
   test("super quantizer is rebuilt, not dropped, when maintenance rewrites cells") {
     import spark.implicits._
     val s = VectorStore.openOrCreate(spark, dir, 4, tombstoneDeletes = true)
