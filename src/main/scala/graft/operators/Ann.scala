@@ -504,16 +504,39 @@ object Ann {
     */
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+      newBatch: DataFrame, idCol: String, vecCol: String,
+      countCells: Boolean = false): Array[(Long, Long)] = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val assigned =
       if (readIvfMetric(spark, path) == "cosine")
         assignCosine(newBatch, idCol, vecCol, centroids)
       else assign(newBatch, idCol, vecCol, centroids)
-    assigned
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/index")
+    writeAssignedBatch(assigned, path, countCells)
   }
+
+  /** Append an assigned batch under its `centroid_id=` partitions,
+    * optionally returning the batch's per-cell row counts — the
+    * O(batch) delta incremental maintenance stats consume (counted
+    * from the SAME cached frame the write then reads, so the
+    * assignment projection runs once, never O(index) anything).
+    */
+  private[graft] def writeAssignedBatch(assigned: DataFrame, path: String,
+      countCells: Boolean): Array[(Long, Long)] =
+    if (!countCells) {
+      assigned.write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$path/index")
+      Array.empty
+    } else {
+      val cached = assigned.persist()
+      try {
+        val deltas = cached
+          .groupBy(col("centroid_id").cast("long").as("c")).count()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        cached.write.mode("append").partitionBy("centroid_id")
+          .parquet(s"$path/index")
+        deltas
+      } finally cached.unpersist()
+    }
 
   /** What [[rebalanceIvfCells]] did: how many oversized cells split
     * (across all rounds), how many sub-cells replaced them.

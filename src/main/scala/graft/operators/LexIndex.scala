@@ -65,6 +65,49 @@ object LexIndex {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  // Exact posting-table data-file count, maintained by append-side
+  // bookkeeping: the build lists its own output ONCE (noise next to
+  // the O(corpus) build), every append stages its files and counts
+  // them as it moves them in (O(batch files) metadata), so the store's
+  // file-count maintenance trigger never walks the index's listing per
+  // micro-batch. Legacy layouts without the marker pay one listing on
+  // first read.
+  private def nfilesPath(root: String) = new Path(root, "nfiles")
+
+  /** Current parquet file count of the posting table (bookkept). */
+  def fileCount(spark: SparkSession, root: String): Long = {
+    val p = nfilesPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } else {
+      val n = listPostingFiles(spark, root)
+      writeNfiles(spark, root, n)
+      n
+    }
+  }
+
+  private def listPostingFiles(spark: SparkSession, root: String): Long = {
+    val pp = new Path(postingsPath(root))
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pp)) 0L
+    else {
+      var n = 0L
+      val it = fs.listFiles(pp, true)
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
+  private def writeNfiles(spark: SparkSession, root: String, n: Long): Unit = {
+    val p = nfilesPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   private def bucketOf(term: Column, n: Int): Column =
     pmod(xxhash64(term), lit(n.toLong))
 
@@ -135,18 +178,48 @@ object LexIndex {
       .parquet(postingsPath(root))
     doclens.write.mode("overwrite").parquet(doclensPath(root))
     writeBuckets(spark, root, buckets)
+    // reset the file-count bookkeeping from the rebuilt layout, and
+    // clear crash debris from any append that died mid-stage
+    val rootP = new Path(root)
+    val rootFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rootFs.listStatus(rootP).map(_.getPath)
+      .filter(_.getName.startsWith("_postings-append-"))
+      .foreach(p => try rootFs.delete(p, true)
+        catch { case _: java.io.IOException => })
+    writeNfiles(spark, root, listPostingFiles(spark, root))
   }
 
-  /** O(batch) append — the insert-path hook. */
+  /** O(batch) append — the insert-path hook. Postings are staged then
+    * moved into their bucket partitions so the file-count bookkeeping
+    * stays EXACT without listing the index (same visibility contract
+    * as a plain append-mode write: a crash mid-append loses the batch
+    * from the sidecar either way, and the next rebuild re-lists).
+    */
   def append(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, textCol: String, genCol: String): Unit = {
     val buckets = readBuckets(spark, root)
     require(buckets >= 1, s"no bucket marker under $root — build first")
     val (postings, doclens) = indexRows(batch, idCol, textCol, genCol)
+    val pp = new Path(postingsPath(root))
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root,
+      s"_postings-append-${java.util.UUID.randomUUID()}")
     postings.withColumn("bucket", bucketOf(col("term"), buckets))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(postingsPath(root))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    var added = 0L
+    fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).foreach { d =>
+        val dest = new Path(pp, d.getName)
+        if (!fs.exists(dest)) fs.mkdirs(dest)
+        fs.listStatus(d).map(_.getPath).foreach { f =>
+          if (f.getName.endsWith(".parquet")) added += 1
+          fs.rename(f, new Path(dest, f.getName))
+        }
+      }
+    fs.delete(staging, true)
     doclens.write.mode("append").parquet(doclensPath(root))
+    if (added > 0L) writeNfiles(spark, root, fileCount(spark, root) + added)
   }
 
   /** Batched BM25 top-k from the index — no corpus text is read.

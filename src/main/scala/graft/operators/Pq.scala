@@ -386,13 +386,14 @@ object Pq {
     * generation) ride along into the layout.
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+      path: String, newBatch: DataFrame, idCol: String, vecCol: String,
+      countCells: Boolean = false): Array[(Long, Long)] = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val cb = readCodebook(spark, s"$path/codebook")
-    encode(Ann.assign(newBatch, idCol, vecCol, centroids), vecCol, "codes", cb)
-      .drop(vecCol)
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/index")
+    Ann.writeAssignedBatch(
+      encode(Ann.assign(newBatch, idCol, vecCol, centroids), vecCol, "codes", cb)
+        .drop(vecCol),
+      path, countCells)
   }
 
   // ------------------------ residual IVF-PQ --------------------------- //
@@ -510,13 +511,14 @@ object Pq {
     * the persisted coarse centroids and codebook.
     */
   def appendToIvfPqIndexResidual(spark: org.apache.spark.sql.SparkSession,
-      path: String, newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+      path: String, newBatch: DataFrame, idCol: String, vecCol: String,
+      countCells: Boolean = false): Array[(Long, Long)] = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val cb = readCodebook(spark, s"$path/codebook")
-    encodeResidualAssigned(Ann.assign(newBatch, idCol, vecCol, centroids),
-        vecCol, "codes", centroids, cb)
-      .drop(vecCol)
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/index")
+    Ann.writeAssignedBatch(
+      encodeResidualAssigned(Ann.assign(newBatch, idCol, vecCol, centroids),
+          vecCol, "codes", centroids, cb)
+        .drop(vecCol),
+      path, countCells)
   }
 }

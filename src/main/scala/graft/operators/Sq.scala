@@ -152,13 +152,14 @@ object Sq {
     * effect — the [[Pq.appendToIvfPqIndex]] contract).
     */
   def appendToIvfSqIndex(spark: SparkSession, path: String,
-      newBatch: DataFrame, idCol: String, vecCol: String): Unit = {
+      newBatch: DataFrame, idCol: String, vecCol: String,
+      countCells: Boolean = false): Array[(Long, Long)] = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val params = readParams(spark, s"$path/sq")
-    Ann.assign(newBatch, idCol, vecCol, centroids)
-      .withColumn("codes", encodeCol(col(vecCol), params))
-      .drop(vecCol)
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/index")
+    Ann.writeAssignedBatch(
+      Ann.assign(newBatch, idCol, vecCol, centroids)
+        .withColumn("codes", encodeCol(col(vecCol), params))
+        .drop(vecCol),
+      path, countCells)
   }
 }

@@ -855,6 +855,8 @@ class VectorStore private (
     clearAnnAux(keep = "")
     writeBuildMeta(Map("builder" -> "ivf", "nCentroids" -> nCentroids,
       "iters" -> iters, "seedRounds" -> seedRounds, "metric" -> metric))
+    writeMaintMeta(Map.empty) // a fresh recipe resets any retrain cooldown
+    refreshAnnCellStatsAfterRewrite()
   }
 
   // Self-describing build recipe: the builder and its hyperparameters,
@@ -865,9 +867,18 @@ class VectorStore private (
   private def buildMetaPath = new Path(annPath, "build.meta")
 
   private def writeBuildMeta(kv: Map[String, Any]): Unit = {
-    val out = annFs.create(buildMetaPath, true)
+    // staging + rename: a crash mid-write must never leave a TRUNCATED
+    // recipe behind (a half-written key set would send rebuildAnnIndex
+    // down the recipe path missing hyperparameters)
+    val staging = new Path(annPath,
+      s"_build.meta.staging-${java.util.UUID.randomUUID()}")
+    val out = annFs.create(staging, true)
     val body = kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (annFs.exists(buildMetaPath)) annFs.delete(buildMetaPath, false)
+    if (!annFs.rename(staging, buildMetaPath))
+      throw new java.io.IOException(
+        s"writeBuildMeta: could not activate $staging")
   }
 
   private def readBuildMeta(): Option[Map[String, String]] =
@@ -888,28 +899,52 @@ class VectorStore private (
     */
   def rebuildAnnIndex(): Unit = {
     require(hasAnnIndex, "no ANN index to rebuild — buildAnnIndex first")
-    readBuildMeta() match {
-      case Some(m) => m("builder") match {
-        case "ivf" => buildAnnIndex(m("nCentroids").toInt, m("iters").toInt,
-          m("seedRounds").toInt, m.getOrElse("metric", "l2"))
-        case "ivfsq" => buildAnnIndexSq(m("nCentroids").toInt,
-          m("iters").toInt, m("seedRounds").toInt,
-          m.getOrElse("clipQuantile", "0.0").toDouble)
-        case "ivfbq" => buildAnnIndexBq(m("nCentroids").toInt,
-          m("iters").toInt, m("seedRounds").toInt)
-        case "ivfpq" => buildAnnIndexPq(m("nCells").toInt, m("m").toInt,
-          m("k").toInt, m("iters").toInt,
-          residual = m.getOrElse("residual", "false").toBoolean,
-          opq = m.getOrElse("opq", "false").toBoolean,
-          opqSweeps = m.getOrElse("opqSweeps", "2").toInt)
+    // parse the recipe FIRST (a truncated/malformed meta map — crash
+    // debris — degrades to the pre-recipe fallback below, never a bare
+    // NoSuchElementException), invoke the builder OUTSIDE the parse
+    // guard so genuine build failures surface unswallowed
+    val recipe: Option[() => Unit] = readBuildMeta().flatMap { m =>
+      try Some(m("builder") match {
+        case "ivf" =>
+          val (nc, it, sr) = (m("nCentroids").toInt, m("iters").toInt,
+            m("seedRounds").toInt)
+          val me = m.getOrElse("metric", "l2")
+          () => buildAnnIndex(nc, it, sr, me)
+        case "ivfsq" =>
+          val (nc, it, sr) = (m("nCentroids").toInt, m("iters").toInt,
+            m("seedRounds").toInt)
+          val cq = m.getOrElse("clipQuantile", "0.0").toDouble
+          () => buildAnnIndexSq(nc, it, sr, cq)
+        case "ivfbq" =>
+          val (nc, it, sr) = (m("nCentroids").toInt, m("iters").toInt,
+            m("seedRounds").toInt)
+          () => buildAnnIndexBq(nc, it, sr)
+        case "ivfpq" =>
+          val (nc, mm, kk, it) = (m("nCells").toInt, m("m").toInt,
+            m("k").toInt, m("iters").toInt)
+          val res = m.getOrElse("residual", "false").toBoolean
+          val opq = m.getOrElse("opq", "false").toBoolean
+          val sweeps = m.getOrElse("opqSweeps", "2").toInt
+          () => buildAnnIndexPq(nc, mm, kk, it, residual = res, opq = opq,
+            opqSweeps = sweeps)
         case other => throw new IllegalStateException(
           s"unknown builder '$other' in $buildMetaPath")
+      }) catch {
+        case e @ (_: NoSuchElementException | _: NumberFormatException
+            | _: IllegalArgumentException) =>
+          logWarning(s"malformed build recipe at $buildMetaPath " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — treating " +
+            "it like a missing recipe")
+          None
       }
+    }
+    recipe match {
+      case Some(run) => run()
       case None =>
         val nc = spark.read.parquet(s"$annPath/centroids").count().toInt
-        logWarning(s"no build recipe at $buildMetaPath (pre-recipe " +
-          s"layout) — rebuilding kind '$annKind' with $nc cells and " +
-          "default training arguments")
+        logWarning(s"no usable build recipe at $buildMetaPath (pre-recipe " +
+          s"layout, or crash debris) — rebuilding kind '$annKind' with " +
+          s"$nc cells and default training arguments")
         annKind match {
           case "ivf" => buildAnnIndex(nc, metric = annMetric)
           case "ivfsq" => buildAnnIndexSq(nc)
@@ -942,7 +977,10 @@ class VectorStore private (
       s"rebalance supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
     val rep = graft.operators.Ann.rebalanceIvfCells(spark, annPath, "id", "vec",
       maxCellRows, iters)
-    if (rep.splitCells > 0) refreshSuperQuantizerAfterCellRewrite()
+    if (rep.splitCells > 0) {
+      refreshSuperQuantizerAfterCellRewrite()
+      refreshAnnCellStatsAfterRewrite()
+    }
     rep
   }
 
@@ -961,7 +999,10 @@ class VectorStore private (
       s"merge supports the flat 'ivf' layout; a '$annKind' index rebuilds instead")
     val rep = graft.operators.Ann.mergeIvfCells(spark, annPath, "id", "vec",
       minCellRows)
-    if (rep.mergedCells > 0) refreshSuperQuantizerAfterCellRewrite()
+    if (rep.mergedCells > 0) {
+      refreshSuperQuantizerAfterCellRewrite()
+      refreshAnnCellStatsAfterRewrite()
+    }
     rep
   }
 
@@ -974,11 +1015,16 @@ class VectorStore private (
   private def refreshSuperQuantizerAfterCellRewrite(): Unit = {
     val p = new Path(s"$annPath/super")
     if (annFs.exists(p)) {
-      val nSuper = spark.read.parquet(s"$annPath/super/centroids")
+      val persisted = spark.read.parquet(s"$annPath/super/centroids")
         .count().toInt
+      // a merge can dissolve cells BELOW the persisted super count —
+      // clamp so the retrain never runs k-means with k > point count
+      // (e.g. 1 surviving cell with nSuper=2)
+      val nCells = spark.read.parquet(s"$annPath/centroids").count().toInt
+      val nSuper = math.max(1, math.min(persisted, nCells))
       graft.operators.Ann.buildSuperQuantizer(spark, annPath, nSuper)
-      logInfo(s"rebuilt the super quantizer ($nSuper super-cells) over " +
-        "the rewritten cell set")
+      logInfo(s"rebuilt the super quantizer ($nSuper super-cells, " +
+        s"persisted $persisted, $nCells cells) over the rewritten cell set")
     }
   }
 
@@ -1090,6 +1136,8 @@ class VectorStore private (
     writeBuildMeta(Map("builder" -> "ivfsq", "nCentroids" -> nCentroids,
       "iters" -> iters, "seedRounds" -> seedRounds,
       "clipQuantile" -> clipQuantile))
+    writeMaintMeta(Map.empty) // a fresh recipe resets any retrain cooldown
+    refreshAnnCellStatsAfterRewrite()
   }
 
   /** IVF-BQ index through the store facade (pgvector binary-quantize
@@ -1123,6 +1171,8 @@ class VectorStore private (
     clearAnnAux(keep = "bq")
     writeBuildMeta(Map("builder" -> "ivfbq", "nCentroids" -> nCentroids,
       "iters" -> iters, "seedRounds" -> seedRounds))
+    writeMaintMeta(Map.empty) // a fresh recipe resets any retrain cooldown
+    refreshAnnCellStatsAfterRewrite()
   }
 
   /** The persisted ANN index's metric ("l2" | "cosine"); "l2" when no
@@ -1215,6 +1265,8 @@ class VectorStore private (
     writeBuildMeta(Map("builder" -> "ivfpq", "nCells" -> nCells,
       "m" -> m, "k" -> k, "iters" -> iters, "residual" -> residual,
       "opq" -> opq, "opqSweeps" -> opqSweeps))
+    writeMaintMeta(Map.empty) // a fresh recipe resets any retrain cooldown
+    refreshAnnCellStatsAfterRewrite()
   }
 
   /** True when the persisted index is PQ-compressed (raw or residual). */
@@ -1414,6 +1466,7 @@ class VectorStore private (
       throw new java.io.IOException(s"could not clear $annIndexPath")
     if (!annFs.rename(new Path(staged), annIndexPath))
       throw new java.io.IOException(s"could not activate rebuilt index at $annIndexPath")
+    refreshAnnCellStatsAfterRewrite()
   }
 
   /** Append freshly-written rows (id, vec) to the index at their
@@ -1425,24 +1478,35 @@ class VectorStore private (
       case _ => 0L
     }
     val batch = rows.select($"id", $"vec").withColumn(GenCol, lit(gen))
-    annKind match {
+    // per-cell assignment counts are collected from the append's own
+    // cached batch ONLY when a policy consumes them — the delta that
+    // keeps the maintenance stats exact without any index-size job
+    val wantCounts = maintenance.isDefined
+    val deltas = annKind match {
       case "ivfpq_res" =>
-        graft.operators.Pq.appendToIvfPqIndexResidual(spark, annPath, batch, "id", "vec")
+        graft.operators.Pq.appendToIvfPqIndexResidual(spark, annPath, batch,
+          "id", "vec", wantCounts)
       case "ivfpq" =>
-        graft.operators.Pq.appendToIvfPqIndex(spark, annPath, batch, "id", "vec")
+        graft.operators.Pq.appendToIvfPqIndex(spark, annPath, batch,
+          "id", "vec", wantCounts)
       case "ivfpq_opq" =>
         // rotate the fresh batch into index space with the PERSISTED
         // rotation, then the standard O(batch) PQ append
         val aMat = graft.operators.Opq.readRotation(spark, s"$annPath/opq")
         graft.operators.Pq.appendToIvfPqIndex(spark, annPath,
-          batch.withColumn("vec", mat_vec($"vec", aMat)), "id", "vec")
+          batch.withColumn("vec", mat_vec($"vec", aMat)), "id", "vec",
+          wantCounts)
       case "ivfsq" =>
-        graft.operators.Sq.appendToIvfSqIndex(spark, annPath, batch, "id", "vec")
+        graft.operators.Sq.appendToIvfSqIndex(spark, annPath, batch,
+          "id", "vec", wantCounts)
       case "ivfbq" =>
-        graft.operators.Bq.appendToIvfBqIndex(spark, annPath, batch, "id", "vec")
+        graft.operators.Bq.appendToIvfBqIndex(spark, annPath, batch,
+          "id", "vec", wantCounts)
       case _ =>
-        graft.operators.Ann.appendToIvfIndex(spark, annPath, batch, "id", "vec")
+        graft.operators.Ann.appendToIvfIndex(spark, annPath, batch,
+          "id", "vec", wantCounts)
     }
+    if (wantCounts) bumpAnnCellStats(deltas)
     maybeMaintainAnnAfterAppend()
   }
 
@@ -1451,38 +1515,76 @@ class VectorStore private (
   // The store is single-writer BY CONSTRUCTION in the reference (id
   // assignment reads max(id) then appends — two steps no second writer
   // may interleave; SURVEY §1.4) and the Spark port inherits the
-  // assumption. This makes it CHECKED instead of silent: openOrCreate
-  // claims a lease file under the root (last opener wins — the
-  // sequential-reopen pattern stays legal), and every mutating entry
-  // point verifies the lease still carries this handle's token. A
-  // second concurrently-opened writer therefore makes the FIRST handle
+  // assumption. This makes it CHECKED instead of silent: a handle
+  // claims a lease file under the root ON ITS FIRST MUTATION (opening
+  // a handle purely to read never touches the lease, so reporting/
+  // diagnostic opens cannot invalidate a live writer), last claimer
+  // wins — the sequential-reopen pattern stays legal — and every
+  // mutating entry point verifies the lease still carries this
+  // handle's token. A second writer therefore makes the FIRST handle
   // fail fast on its next write, instead of both assigning the same
   // ids and silently corrupting the table. Reads never check: any
   // number of readers is fine.
+  //
+  // The claim itself is fenced: the lease file is written via
+  // create-no-overwrite and read back, so of two RACING claimers
+  // exactly one reads its own token and proceeds — the other fails at
+  // claim time instead of both "re-claiming a missing lease" and
+  // writing concurrently. The residual window is BEST-EFFORT and
+  // documented: a mutation verifies the token BEFORE it runs, so a
+  // second writer whose claim lands between that check and the
+  // mutation's storage commit still interleaves that one batch (the
+  // stale handle then fails on its NEXT write). A filesystem-lock-free
+  // lease cannot close that window completely; the contract here is
+  // fail-fast detection, not mutual exclusion.
 
   private val writerToken = java.util.UUID.randomUUID().toString
   private def leasePath = new Path(path, "_writer.lease")
+  @volatile private var leaseClaimed = false
 
+  private def readLeaseToken(fs: org.apache.hadoop.fs.FileSystem): Option[String] =
+    if (!fs.exists(leasePath)) None
+    else {
+      val in = fs.open(leasePath)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+
+  /** Take the writer lease over (last claimer wins): remove the
+    * current holder's lease, create ours no-overwrite, then VERIFY by
+    * reading back — a racer that lost the create sees the winner's
+    * token and throws here instead of proceeding to write.
+    */
   private[graft] def claimWriterLease(): Unit = {
     val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(leasePath, true)
-    try out.write(writerToken.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(leasePath)) fs.delete(leasePath, false)
+    try {
+      val out = fs.create(leasePath, false)
+      try out.write(writerToken.getBytes("UTF-8")) finally out.close()
+    } catch {
+      // another claimer's create won the race — the verify below fails
+      case _: java.io.IOException =>
+    }
+    if (!readLeaseToken(fs).contains(writerToken))
+      throw new IllegalStateException(
+        s"single-writer violation: lost the writer-lease claim race on " +
+        s"$path to another handle. The winning claimer owns the store; " +
+        "re-open (or retry the mutation) to take over.")
+    leaseClaimed = true
   }
 
   /** Fail fast if another handle claimed the writer lease since this
-    * one did (the single-writer contract, checked). A missing lease
-    * (pre-lease store layout, or manually deleted) is re-claimed.
+    * one did (the single-writer contract, checked). The FIRST mutation
+    * through this handle claims the lease (reads never do); a missing
+    * lease (pre-lease layout, or manually deleted) is re-claimed.
     */
   private def assertSingleWriter(): Unit = {
     val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(leasePath)) { claimWriterLease(); return }
-    val in = fs.open(leasePath)
-    val held = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    if (held != writerToken)
+    if (!leaseClaimed || !fs.exists(leasePath)) { claimWriterLease(); return }
+    if (!readLeaseToken(fs).contains(writerToken))
       throw new IllegalStateException(
-        s"single-writer violation: store at $path was opened by another " +
+        s"single-writer violation: store at $path was claimed by another " +
         "writer handle after this one (the lease token changed). The " +
-        "newest opener owns the store; re-open to take over.")
+        "newest claimer owns the store; re-open to take over.")
   }
 
   // ------------------- automatic index maintenance ----------------- //
@@ -1500,36 +1602,171 @@ class VectorStore private (
 
   /** Opt in to threshold-driven automatic maintenance (see
     * [[IndexMaintenancePolicy]]). In effect for this handle from now
-    * on; call [[disableAutoMaintenance]] to stop.
+    * on; call [[disableAutoMaintenance]] to stop. Enabling seeds the
+    * persisted per-cell stats once (one aggregate over the slim index)
+    * so every later append pays only its own O(batch) delta — no
+    * per-mutation job ever scales with the index again.
     */
-  def enableAutoMaintenance(policy: IndexMaintenancePolicy): Unit =
+  def enableAutoMaintenance(policy: IndexMaintenancePolicy): Unit = {
     maintenance = Some(policy)
+    if (hasAnnIndex && readAnnCellStats().isEmpty) recomputeAnnCellStats()
+  }
 
   def disableAutoMaintenance(): Unit = maintenance = None
 
-  private def maybeMaintainAnnAfterAppend(): Unit = maintenance.foreach { p =>
-    if (p.maxCellRows > 0L && hasAnnIndex && annKind == "ivf") {
-      val mxRow = spark.read.parquet(s"$annPath/index")
-        .groupBy(col("centroid_id")).count()
-        .agg(max(col("count"))).head()
-      if (!mxRow.isNullAt(0) && mxRow.getLong(0) > p.maxCellRows) {
-        val rep = rebalanceAnnIndex(p.maxCellRows)
-        logInfo(s"auto-maintenance: hottest cell ${mxRow.getLong(0)} rows " +
-          s"> ${p.maxCellRows}, split ${rep.splitCells} cells")
-      }
+  // -------------------- incremental index stats -------------------- //
+  //
+  // The maintenance triggers' source of truth: per-cell index row
+  // counts persisted as a tiny text table beside the layout, updated
+  // O(batch) from each append's own assignment counts (the append
+  // computes them anyway) and left untouched by tombstone deletes
+  // (index rows don't move). The full `groupBy(centroid_id).count()`
+  // aggregate runs ONLY when the rows themselves were rewritten —
+  // build/rebuild/rebalance/merge/compaction — where it is noise next
+  // to the rewrite. A trigger check is therefore pure driver-side
+  // arithmetic over O(cells) numbers: an append with a policy enabled
+  // runs NO job proportional to index size unless a trigger fires.
+
+  private def annCellStatsPath = new Path(annPath, "cellstats")
+
+  private def readAnnCellStats(): Option[Map[Long, Long]] =
+    if (!annFs.exists(annCellStatsPath)) None
+    else {
+      val in = annFs.open(annCellStatsPath)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(body.split("\n").iterator.filter(_.contains("\t")).map { l =>
+        val Array(c, n) = l.split("\t", 2); c.toLong -> n.toLong
+      }.toMap)
     }
-    if (p.quantizedRebuildImbalance > 0.0 && hasAnnIndex
-        && annKind != "ivf") {
-      val agg = spark.read.parquet(s"$annPath/index")
-        .groupBy(col("centroid_id")).count()
-        .agg(max(col("count")), avg(col("count"))).head()
-      if (!agg.isNullAt(0)) {
-        val imb = agg.getLong(0) / math.max(agg.getDouble(1), 1e-12)
-        if (imb > p.quantizedRebuildImbalance) {
-          rebuildAnnIndex()
-          logInfo(f"auto-maintenance: quantized '$annKind' imbalance " +
-            f"$imb%.2f > ${p.quantizedRebuildImbalance}, retrained via " +
-            "the persisted build recipe")
+
+  private def writeAnnCellStats(m: Map[Long, Long]): Unit = {
+    val staging = new Path(annPath,
+      s"_cellstats.staging-${java.util.UUID.randomUUID()}")
+    val body = m.toSeq.sorted.map { case (c, n) => s"$c\t$n" }.mkString("\n")
+    val out = annFs.create(staging, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (annFs.exists(annCellStatsPath)) annFs.delete(annCellStatsPath, false)
+    if (!annFs.rename(staging, annCellStatsPath))
+      throw new java.io.IOException(s"could not activate $staging")
+  }
+
+  /** The one O(index) stats path: recount every cell from the index
+    * rows and persist. Runs at policy enable and after full row
+    * rewrites — never per mutation.
+    */
+  private[graft] def recomputeAnnCellStats(): Map[Long, Long] = {
+    val m = spark.read.parquet(s"$annPath/index")
+      .groupBy(col("centroid_id").cast("long").as("c")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    writeAnnCellStats(m)
+    m
+  }
+
+  /** Fold an append's per-cell assignment counts into the persisted
+    * stats — O(batch) input, O(cells) state, zero Spark jobs. A
+    * missing stats file (pre-stats layout, policy enabled mid-flight)
+    * recounts once; the recount runs AFTER the append landed, so the
+    * deltas are already included and must not be re-added.
+    */
+  private def bumpAnnCellStats(deltas: Array[(Long, Long)]): Unit =
+    if (deltas.nonEmpty) readAnnCellStats() match {
+      case Some(cur) =>
+        val m = scala.collection.mutable.Map.empty[Long, Long] ++= cur
+        deltas.foreach { case (c, n) => m(c) = m.getOrElse(c, 0L) + n }
+        writeAnnCellStats(m.toMap)
+      case None => recomputeAnnCellStats()
+    }
+
+  /** Row rewrites (build/rebuild/rebalance/merge/compaction refresh)
+    * invalidate the per-cell stats; with an active policy they are
+    * recounted immediately (the rewrite was O(index) anyway) so the
+    * next O(batch) append stays job-free.
+    */
+  private def refreshAnnCellStatsAfterRewrite(): Unit = {
+    if (annFs.exists(annCellStatsPath))
+      annFs.delete(annCellStatsPath, false)
+    if (maintenance.isDefined && hasAnnIndex) recomputeAnnCellStats()
+  }
+
+  /** Stats for a trigger decision: the persisted table, or ONE recount
+    * for layouts that predate it.
+    */
+  private def annCellStatsForTriggers(): Map[Long, Long] =
+    readAnnCellStats().getOrElse(recomputeAnnCellStats())
+
+  // Cooldown marker for the quantized-imbalance retrain: when a
+  // policy-triggered full retrain does NOT bring the imbalance under
+  // the threshold (the skew is inherent to the data distribution, not
+  // centroid drift), the post-rebuild imbalance is recorded here and
+  // the trigger stays suppressed until the observed imbalance exceeds
+  // it again (the data actually got worse) — without this, EVERY
+  // append above the threshold re-fires a synchronous O(corpus)
+  // retrain that cannot help (the `frozen` discipline
+  // rebalanceIvfCells applies to unsplittable cells, applied to the
+  // retrain trigger).
+  private def maintMetaPath = new Path(annPath, "maint.meta")
+
+  private def readMaintMeta(): Map[String, String] =
+    if (!annFs.exists(maintMetaPath)) Map.empty
+    else {
+      val in = annFs.open(maintMetaPath)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      body.split("\n").filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    }
+
+  private def writeMaintMeta(kv: Map[String, String]): Unit =
+    if (kv.isEmpty) {
+      if (annFs.exists(maintMetaPath)) annFs.delete(maintMetaPath, false)
+    } else {
+      val out = annFs.create(maintMetaPath, true)
+      val body = kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+
+  private def maybeMaintainAnnAfterAppend(): Unit = maintenance.foreach { p =>
+    if ((p.maxCellRows > 0L || p.quantizedRebuildImbalance > 0.0)
+        && hasAnnIndex) {
+      val stats = annCellStatsForTriggers()
+      if (stats.nonEmpty) {
+        if (p.maxCellRows > 0L && annKind == "ivf") {
+          val mx = stats.values.max
+          if (mx > p.maxCellRows) {
+            val rep = rebalanceAnnIndex(p.maxCellRows)
+            logInfo(s"auto-maintenance: hottest cell $mx rows " +
+              s"> ${p.maxCellRows}, split ${rep.splitCells} cells")
+          }
+        }
+        if (p.quantizedRebuildImbalance > 0.0 && annKind != "ivf") {
+          val imb = stats.values.max /
+            math.max(stats.values.sum.toDouble / stats.size, 1e-12)
+          val frozenAt = readMaintMeta().get("quantFrozenImbalance")
+            .flatMap(_.toDoubleOption)
+          if (imb > p.quantizedRebuildImbalance) {
+            // 25% headroom over the frozen value: appends into the hot
+            // cell nudge the ratio up a hair per batch, which must not
+            // defeat the cooldown — only a materially worse skew
+            // (data actually changed) earns another retrain attempt
+            if (frozenAt.exists(f => imb <= f * 1.25)) {
+              logInfo(f"auto-maintenance: quantized '$annKind' imbalance " +
+                f"$imb%.2f > ${p.quantizedRebuildImbalance} but a previous " +
+                f"retrain converged at ${frozenAt.get}%.2f — trigger " +
+                "suppressed (inherent skew, a retrain cannot help)")
+            } else {
+              rebuildAnnIndex()
+              val after = annCellStatsForTriggers()
+              val newImb =
+                if (after.isEmpty) 0.0
+                else after.values.max /
+                  math.max(after.values.sum.toDouble / after.size, 1e-12)
+              if (newImb > p.quantizedRebuildImbalance)
+                writeMaintMeta(Map("quantFrozenImbalance" -> newImb.toString))
+              else writeMaintMeta(Map.empty)
+              logInfo(f"auto-maintenance: quantized '$annKind' imbalance " +
+                f"$imb%.2f > ${p.quantizedRebuildImbalance}, retrained via " +
+                f"the persisted build recipe (now $newImb%.2f)")
+            }
+          }
         }
       }
     }
@@ -1537,15 +1774,14 @@ class VectorStore private (
 
   private def maybeMaintainAnnAfterDelete(): Unit = maintenance.foreach { p =>
     if (p.minCellRows > 0L && hasAnnIndex && annKind == "ivf") {
-      val perCell = spark.read.parquet(s"$annPath/index")
-        .groupBy(col("centroid_id")).count()
-      // count non-empty cells too: merging needs >= 2 cells to move rows
-      val agg = perCell.agg(min(col("count")),
-        org.apache.spark.sql.functions.count(lit(1))).head()
-      if (!agg.isNullAt(0) && agg.getLong(1) > 1L
-          && agg.getLong(0) < p.minCellRows) {
+      // per-cell INDEX rows: tombstone deletes leave them unchanged,
+      // so the persisted stats are still exact here (a compaction that
+      // rewrote the rows refreshed them on its own path)
+      val stats = annCellStatsForTriggers()
+      // merging needs >= 2 non-empty cells to move rows
+      if (stats.size > 1 && stats.values.min < p.minCellRows) {
         val rep = mergeAnnIndexCells(p.minCellRows)
-        logInfo(s"auto-maintenance: coldest cell ${agg.getLong(0)} rows " +
+        logInfo(s"auto-maintenance: coldest cell ${stats.values.min} rows " +
           s"< ${p.minCellRows}, dissolved ${rep.mergedCells} cells")
       }
     }
@@ -1556,16 +1792,10 @@ class VectorStore private (
       if (p.docMaxFiles > 0L) {
         val fields = materializedDocFields
         val numFields = materializedNumericDocFields
-        def files(dir: Path): Long = {
-          var n = 0L
-          val it = docIdxFs.listFiles(dir, true)
-          while (it.hasNext && n <= p.docMaxFiles) {
-            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-          }
-          n
-        }
+        // bookkept per-sidecar counts (append-side, exact) — tiny
+        // marker reads, never a per-append recursive walk
         val worst = (fields.map(docIdxDir) ++ numFields.map(docIdxNumDir))
-          .map(files).maxOption.getOrElse(0L)
+          .map(sidecarFileCount).maxOption.getOrElse(0L)
         if (worst > p.docMaxFiles) {
           fields.foreach(materializeDocField)
           numFields.foreach(materializeDocFieldNumeric)
@@ -1577,14 +1807,9 @@ class VectorStore private (
 
   private def maybeMaintainLexAfterAppend(): Unit = maintenance.foreach { p =>
     if (p.lexMaxFiles > 0L && hasLexIndex) {
-      val pp = new Path(graft.operators.LexIndex.postingsPath(lexRoot))
-      val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var nFiles = 0L
-      val it = fs.listFiles(pp, true)
-      while (it.hasNext && nFiles <= p.lexMaxFiles) {
-        if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
-      }
-      if (nFiles > p.lexMaxFiles) {
+      // bookkept count (append-side, exact) — one tiny marker read,
+      // never a per-append walk of the posting table's listing
+      if (graft.operators.LexIndex.fileCount(spark, lexRoot) > p.lexMaxFiles) {
         buildLexIndex()
         logInfo(s"auto-maintenance: posting index passed ${p.lexMaxFiles} " +
           "files, rebuilt (compaction)")
@@ -2401,17 +2626,72 @@ class VectorStore private (
         case _ => 0L
       }
       fields.foreach { steps =>
-        batch.select($"id", docValue(steps).as("value"))
-          .withColumn(GenCol, lit(gen))
-          .write.mode("append").parquet(docIdxDir(steps).toString)
+        sidecarAppendCounted(
+          batch.select($"id", docValue(steps).as("value"))
+            .withColumn(GenCol, lit(gen)),
+          docIdxRoot, docIdxDir(steps))
       }
       numFields.foreach { steps =>
-        batch.select($"id", docValue(steps).cast("double").as("value"))
-          .withColumn(GenCol, lit(gen))
-          .write.mode("append").parquet(docIdxNumDir(steps).toString)
+        sidecarAppendCounted(
+          batch.select($"id", docValue(steps).cast("double").as("value"))
+            .withColumn(GenCol, lit(gen)),
+          docIdxNumRoot, docIdxNumDir(steps))
       }
       maybeMaintainDocIdxAfterAppend()
     }
+  }
+
+  // Exact per-sidecar data-file bookkeeping: a `_nfiles` marker INSIDE
+  // each field dir (underscore-prefixed, so parquet readers ignore it,
+  // and a rebuild's dir swap naturally discards it) maintained by the
+  // staged appends below. The file-count maintenance trigger then
+  // reads a handful of tiny markers instead of recursively walking
+  // every sidecar's listing on every ingest batch.
+  private def sidecarNfilesPath(dir: Path) = new Path(dir, "_nfiles")
+
+  private def sidecarFileCount(dir: Path): Long = {
+    val p = sidecarNfilesPath(dir)
+    if (docIdxFs.exists(p)) {
+      val in = docIdxFs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } else {
+      // legacy / freshly-rebuilt dir: one listing seeds the marker
+      var n = 0L
+      val it = docIdxFs.listFiles(dir, true)
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      writeSidecarFileCount(dir, n)
+      n
+    }
+  }
+
+  private def writeSidecarFileCount(dir: Path, n: Long): Unit = {
+    val out = docIdxFs.create(sidecarNfilesPath(dir), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Staged O(batch) sidecar append: write under a root-level staging
+    * dir (skipped and reaped by [[listSidecarFields]] if a crash
+    * orphans it), move the data files in, bump the dir's bookkeeping
+    * marker by the EXACT count moved. Same visibility contract as a
+    * plain append-mode write — a crash mid-append loses the batch from
+    * the sidecar either way, and the next rebuild resets everything.
+    */
+  private def sidecarAppendCounted(frame: DataFrame, root: Path,
+      dir: Path): Unit = {
+    val before = sidecarFileCount(dir) // seed the marker BEFORE the move
+    val staging = new Path(root,
+      s"_staging-append-${java.util.UUID.randomUUID()}")
+    frame.write.mode("overwrite").parquet(staging.toString)
+    var added = 0L
+    docIdxFs.listStatus(staging).map(_.getPath).foreach { f =>
+      if (f.getName.endsWith(".parquet")) {
+        added += 1
+        docIdxFs.rename(f, new Path(dir, f.getName))
+      }
+    }
+    docIdxFs.delete(staging, true)
+    if (added > 0L) writeSidecarFileCount(dir, before + added)
   }
 
   /** Post-delete sidecar maintenance — the [[annAfterDelete]] contract:
@@ -3011,10 +3291,9 @@ object VectorStore {
       val out = fs.create(metaPath, true)
       try out.write(dim.toString.getBytes("UTF-8")) finally out.close()
     }
-    val store = new VectorStore(spark, path, dim, storage)
-    // claim the single-writer lease: last opener owns the store, any
-    // earlier handle fails fast on its next write (see assertSingleWriter)
-    store.claimWriterLease()
-    store
+    // the single-writer lease is claimed LAZILY on the first mutation
+    // (see assertSingleWriter): a handle opened purely to read never
+    // invalidates a live writer's lease
+    new VectorStore(spark, path, dim, storage)
   }
 }

@@ -216,4 +216,51 @@ class StorageLayerSpec extends SparkSuite {
     assert(w3.count() == 5)
     intercept[IllegalStateException](w2.insert(Seq(vec(5))))
   }
+
+  test("read-only opens never claim the lease: a writer survives any number of them") {
+    import graft.store.VectorStore
+    val root = Files.createTempDirectory("graft-sl-ro").toString + "/s"
+    def vec(i: Int) = Array(i.toFloat, 0f, 1f, 2f)
+    val writer = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    writer.insert(Seq(vec(0), vec(1)))
+    // diagnostic/reporting opens between the writer's batches: reads
+    // only, so the writer's lease must stay untouched
+    val r1 = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    assert(r1.count() == 2)
+    assert(r1.head(1).head.id == 0L)
+    writer.insert(Seq(vec(2))) // previously threw: r1's open stole the lease
+    val r2 = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    assert(r2.stats().nLive == 3)
+    writer.delete(Seq(0L))
+    writer.upsert(Seq(1L), Seq(vec(9)))
+    assert(writer.count() == 2)
+    // the lease moves only when a second handle MUTATES
+    r2.insert(Seq(vec(5)))
+    val ex = intercept[IllegalStateException](writer.insert(Seq(vec(6))))
+    assert(ex.getMessage.contains("single-writer violation"))
+    assert(r2.count() == 3)
+  }
+
+  test("lease claim is fenced: the claimer verifies its own token after the write") {
+    import graft.store.VectorStore
+    val root = Files.createTempDirectory("graft-sl-fence").toString + "/s"
+    def vec(i: Int) = Array(i.toFloat, 0f, 1f, 2f)
+    val w1 = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    w1.insert(Seq(vec(0)))
+    // simulate the check-then-act interleaving the fence closes: a
+    // missing lease (manual delete — both handles would have "re-
+    // claimed" it under the old code) is re-claimed by whichever handle
+    // writes first; the OTHER handle's claim then reads a foreign token
+    // and fails at claim time, never proceeding to write
+    val lease = new Path(root, "_writer.lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lease, false)
+    val w2 = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    w2.insert(Seq(vec(1))) // re-claims the missing lease
+    val ex = intercept[IllegalStateException](w1.insert(Seq(vec(2))))
+    assert(ex.getMessage.contains("single-writer violation"))
+    assert(w2.count() == 2)
+    // ids stayed contiguous through the takeover — nothing interleaved
+    assert(w2.head(10).map(_.id) == Seq(0L, 1L))
+  }
 }
