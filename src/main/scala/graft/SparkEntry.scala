@@ -1357,6 +1357,57 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Existence predicates: `DocExists` (has the field) composed with a
+    // numeric range, and `DocMissing` (lacks it — the curation shape
+    // "drop rows with no license field"), both through the materialized
+    // sidecar's pushed IS [NOT] NULL scan, through a delete AND an
+    // upsert that moves a row from missing to present. Every 4th row
+    // lacks the field; every 8th carries an explicit JSON null —
+    // extraction NULL either way, so both count as missing (the scan
+    // route's get_json_object semantics, replayed by DuckDB's
+    // json_extract_string).
+    "vs_filtered_exists" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_fex_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val doc = when(col("vec_id") % 8 === 0,
+          concat(lit("{\"lic\": null, \"score\": "),
+            (col("vec_id") % 100).cast("string"), lit("}")))
+        .when(col("vec_id") % 4 === 0,
+          concat(lit("{\"score\": "),
+            (col("vec_id") % 100).cast("string"), lit("}")))
+        .otherwise(concat(lit("{\"lic\": \"l"),
+          (col("label") % 3).cast("string"),
+          lit("\", \"score\": "), (col("vec_id") % 100).cast("string"),
+          lit("}")))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"), doc.as("doc")))
+      store.materializeDocField(Seq("lic"))
+      store.materializeDocFieldNumeric(Seq("score"))
+      store.delete(Seq(3L, 8L, 21L))
+      // id 16 was a JSON-null (missing) row — the upsert gives it a
+      // license, moving it across the existence boundary
+      val v499 = emb.filter(col("vec_id") === 499)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      store.upsert(Seq(16L), Seq(v499), Seq("{\"lic\": \"l9\", \"score\": 16}"))
+      val has = store.queryByDocAllDF(Seq(
+          graft.store.DocExists(Seq("lic")),
+          graft.store.DocRange(Seq("score"), Some(20.0), Some(60.0))))
+        .select(col("id"), get_json_object(col("doc"), "$.lic").as("lic"),
+          get_json_object(col("doc"), "$.score").cast("long").as("score"),
+          lit("has").as("which"))
+      val none = store.queryByDocAllDF(Seq(
+          graft.store.DocMissing(Seq("lic"))))
+        .select(col("id"), get_json_object(col("doc"), "$.lic").as("lic"),
+          get_json_object(col("doc"), "$.score").cast("long").as("score"),
+          lit("none").as("which"))
+      has.unionAll(none).orderBy("which", "id")
+    }),
+
     // Compound filter THROUGH the hierarchical router: the same
     // two-term conjunction dispatched under super-cell routing, at
     // full routing (superProbe = nSuper, nProbe = nCells) so the
@@ -6124,6 +6175,29 @@ object SparkEntry {
       WHERE score BETWEEN 20 AND 60
         AND id NOT IN (SELECT id FROM pos)
       ORDER BY id""",
+
+    // Existence replay: lic extracts NULL for both the structurally
+    // missing field (vec_id % 4 = 0) and the explicit JSON null
+    // (vec_id % 8 = 0); the upsert moves id 16 from missing to l9.
+    "vs_filtered_exists" -> """
+      WITH base AS (
+        SELECT e.vec_id AS id,
+               CASE WHEN e.vec_id % 4 = 0 THEN NULL
+                    ELSE 'l' || CAST(e.label % 3 AS VARCHAR) END AS lic,
+               e.vec_id % 100 AS score
+        FROM embeddings e WHERE e.vec_id < 500),
+      live AS (
+        SELECT * FROM base WHERE id NOT IN (3, 8, 21, 16)
+        UNION ALL SELECT 16 AS id, 'l9' AS lic, 16 AS score),
+      has AS (
+        SELECT id, lic, CAST(score AS BIGINT) AS score, 'has' AS which
+        FROM live WHERE lic IS NOT NULL AND score BETWEEN 20 AND 60),
+      none AS (
+        SELECT id, lic, CAST(score AS BIGINT) AS score, 'none' AS which
+        FROM live WHERE lic IS NULL)
+      SELECT * FROM has
+      UNION ALL SELECT * FROM none
+      ORDER BY which, id""",
 
     // Routed compound replay: base minus deletes plus the appended row
     // (id 500: vec_id 9's vector, g=1, score=40 — IN the match set);

@@ -151,6 +151,24 @@ case class DocAnyOf(members: Seq[DocPredicate]) extends DocPredicate {
   def pathSteps: Seq[String] = members.flatMap(_.pathSteps)
 }
 
+/** EXISTENCE term — "has field X" ("keep only rows that carry a
+  * license field"): matches live rows whose doc extraction at `$.path`
+  * is non-NULL. A positive form: dispatches through the materialized
+  * string sidecar's non-NULL scan when one exists (the sidecar stores
+  * exactly the extraction, every live row present), the extraction
+  * scan otherwise; composes inside [[DocAnyOf]] like any other
+  * positive term.
+  */
+case class DocExists(pathSteps: Seq[String]) extends DocPredicate
+
+/** The complement — "lacks field X" ("drop rows with no license
+  * field", the NULL bucket [[VectorStore.docFieldHistogramDF]] shows):
+  * matches live rows whose extraction at `$.path` IS NULL. Also a
+  * positive selection (the sidecar carries the NULL rows too), so it
+  * dispatches as a pushed IS NULL sidecar scan — no anti-join needed.
+  */
+case class DocMissing(pathSteps: Seq[String]) extends DocPredicate
+
 /** Spark-native re-implementation of the reference engine's single-table
   * vector store (reference: vector_store.py:29-404).
   *
@@ -2809,6 +2827,8 @@ class VectorStore private (
     case DocEquals(p, _) => hasDocIndex(p)
     case DocRange(p, _, _) => hasDocIndexNumeric(p)
     case DocNotEquals(p, _) => hasDocIndex(p)
+    case DocExists(p) => hasDocIndex(p)
+    case DocMissing(p) => hasDocIndex(p)
     case _: DocAnyOf => false // dispatched per member, never as one scan
   }
 
@@ -2818,6 +2838,8 @@ class VectorStore private (
     case DocRange(_, lo, hi) =>
       Seq(lo.map(col("value") >= _), hi.map(col("value") <= _))
         .flatten.reduce(_ && _)
+    case _: DocExists => col("value").isNotNull
+    case _: DocMissing => col("value").isNull
     case _: DocNotEquals => throw new IllegalStateException(
       "exclusions dispatch as anti-joins, never as sidecar filters")
     case _: DocAnyOf => throw new IllegalStateException(
@@ -2833,6 +2855,8 @@ class VectorStore private (
     case DocRange(p, lo, hi) =>
       val v = docValue(p).cast("double")
       Seq(lo.map(v >= _), hi.map(v <= _)).flatten.reduce(_ && _)
+    case DocExists(p) => docValue(p).isNotNull
+    case DocMissing(p) => docValue(p).isNull
     case _: DocNotEquals => throw new IllegalStateException(
       "exclusions dispatch as anti-joins, never as scan filters")
     case _: DocAnyOf => throw new IllegalStateException(
@@ -2857,6 +2881,10 @@ class VectorStore private (
     case DocNotEquals(p, vs) =>
       require(p.nonEmpty, "path must have at least one step")
       require(vs.nonEmpty, "need at least one value")
+    case DocExists(p) =>
+      require(p.nonEmpty, "path must have at least one step")
+    case DocMissing(p) =>
+      require(p.nonEmpty, "path must have at least one step")
     case DocAnyOf(ms) =>
       require(ms.nonEmpty, "DocAnyOf needs at least one member")
       require(!ms.exists(_.isInstanceOf[DocNotEquals]),
@@ -2878,6 +2906,8 @@ class VectorStore private (
       val dir = pr match {
         case DocEquals(p, _) => docIdxDir(p)
         case DocRange(p, _, _) => docIdxNumDir(p)
+        case DocExists(p) => docIdxDir(p)
+        case DocMissing(p) => docIdxDir(p)
         case _ => throw new IllegalStateException("unreachable")
       }
       annTombstoneMask(spark.read.parquet(dir.toString))
@@ -2911,6 +2941,8 @@ class VectorStore private (
       val dir = pr match {
         case DocEquals(p, _) => docIdxDir(p)
         case DocRange(p, _, _) => docIdxNumDir(p)
+        case DocExists(p) => docIdxDir(p)
+        case DocMissing(p) => docIdxDir(p)
         case _ => throw new IllegalStateException("unreachable")
       }
       annTombstoneMask(spark.read.parquet(dir.toString))

@@ -534,7 +534,8 @@ class DocIndexSpec extends SparkSuite {
   }
 
   test("predicate algebra vs a reference evaluator over random trees (seeded)") {
-    import graft.store.{DocAnyOf, DocEquals, DocNotEquals, DocPredicate, DocRange}
+    import graft.store.{DocAnyOf, DocEquals, DocExists, DocMissing,
+      DocNotEquals, DocPredicate, DocRange}
     val store = mkStore("randpred")
     // fields: a ∈ {0..3} (every 6th doc LACKS it), b numeric
     val docs: Seq[Map[String, String]] = (0 until 40).map { i =>
@@ -556,17 +557,21 @@ class DocIndexSpec extends SparkSuite {
       case DocRange(p, lo, hi) =>
         d.get(p.head).map(_.toDouble)
           .exists(x => lo.forall(x >= _) && hi.forall(x <= _))
+      case DocExists(p) => d.contains(p.head)
+      case DocMissing(p) => !d.contains(p.head)
       case DocAnyOf(ms) => ms.exists(eval(_, d))
     }
     val rnd = new scala.util.Random(1234L)
-    def leaf(): DocPredicate =
-      if (rnd.nextBoolean())
+    def leaf(): DocPredicate = rnd.nextInt(4) match {
+      case 0 =>
         DocEquals(Seq("a"),
           Seq.fill(rnd.nextInt(2) + 1)(rnd.nextInt(5).toString).distinct)
-      else {
+      case 1 =>
         val lo = rnd.nextInt(50).toDouble
         DocRange(Seq("b"), Some(lo), Some(lo + rnd.nextInt(30) + 1))
-      }
+      case 2 => DocExists(Seq("a"))
+      case _ => DocMissing(Seq("a"))
+    }
     def tree(depth: Int): DocPredicate =
       if (depth == 0 || rnd.nextInt(3) == 0) leaf()
       else DocAnyOf(Seq.fill(rnd.nextInt(2) + 2)(tree(depth - 1)))
@@ -582,6 +587,47 @@ class DocIndexSpec extends SparkSuite {
         .map(_._2.toLong)
       assert(got == want, s"case $case_: preds=$conj\n got=$got\nwant=$want")
     }
+  }
+
+  test("existence predicates: sidecar ≡ scan, JSON null counts as missing, lifecycle") {
+    import graft.store.{DocAnyOf, DocEquals, DocExists, DocMissing, DocRange}
+    val store = mkStore("exists")
+    // every 4th doc lacks "lic"; every 8th carries an explicit JSON
+    // null there (extraction NULL either way — "missing" semantics,
+    // matching the scan route and the DuckDB oracle)
+    def doc(i: Int): String =
+      if (i % 8 == 0) s"""{"lic": null, "x": $i}"""
+      else if (i % 4 == 0) s"""{"x": $i}"""
+      else s"""{"lic": "l${i % 3}", "x": $i}"""
+    store.insert((0 until 40).map(vec), (0 until 40).map(doc))
+    def ids(preds: Seq[graft.store.DocPredicate]): Seq[Long] =
+      store.queryByDocAllDF(preds).select($"id").as[Long].collect().sorted.toSeq
+    val wantHas = (0 until 40).filterNot(i => i % 4 == 0).map(_.toLong)
+    val wantNot = (0 until 40).filter(i => i % 4 == 0).map(_.toLong)
+    assert(ids(Seq(DocExists(Seq("lic")))) == wantHas, "scan route: exists")
+    assert(ids(Seq(DocMissing(Seq("lic")))) == wantNot, "scan route: missing")
+    // sidecar route must agree exactly (includes the JSON-null rows)
+    store.materializeDocField(Seq("lic"))
+    assert(ids(Seq(DocExists(Seq("lic")))) == wantHas, "sidecar: exists")
+    assert(ids(Seq(DocMissing(Seq("lic")))) == wantNot, "sidecar: missing")
+    // composes through AND / OR / NOT like any positive term
+    store.materializeDocFieldNumeric(Seq("x"))
+    val both = ids(Seq(DocExists(Seq("lic")),
+      DocRange(Seq("x"), Some(10.0), Some(29.0))))
+    assert(both == (10 until 30).filterNot(_ % 4 == 0).map(_.toLong))
+    val anyOf = ids(Seq(DocAnyOf(Seq(DocMissing(Seq("lic")),
+      DocEquals(Seq("lic"), Seq("l1"))))))
+    assert(anyOf == (0 until 40)
+      .filter(i => i % 4 == 0 || (i % 4 != 0 && i % 3 == 1)).map(_.toLong))
+    // lifecycle: delete + upsert keep both routes aligned
+    store.delete(Seq(0L, 1L, 4L))
+    store.upsert(Seq(8L), Seq(vec(8)), Seq("""{"lic": "l9", "x": 8}"""))
+    val afterIdx = ids(Seq(DocMissing(Seq("lic"))))
+    store.dropDocField(Seq("lic"))
+    assert(ids(Seq(DocMissing(Seq("lic")))) == afterIdx,
+      "post-lifecycle parity: sidecar vs scan")
+    assert(!afterIdx.contains(8L), "upsert must move a row OUT of missing")
+    assert(!afterIdx.contains(0L) && !afterIdx.contains(4L))
   }
 
   test("stale _staging dirs from a crashed rebuild are not fields and get swept") {
