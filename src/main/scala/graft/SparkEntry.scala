@@ -1408,6 +1408,51 @@ object SparkEntry {
       has.unionAll(none).orderBy("which", "id")
     }),
 
+    // Selectivity-adaptive filtered ANN (the pgvector/Qdrant
+    // filtered-search planning move): the SAME call on both sides of
+    // the crossover, through a delete. Selective side (4 live matches
+    // <= threshold 50) answers by exact ranking over the matched rows
+    // — the probed index is never touched (plan-asserted in
+    // DocIndexSpec); unselective side stays on the probed plan at full
+    // probe, so BOTH sides replay brute-force in DuckDB.
+    "vs_filtered_adaptive" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_fad_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      // g = "9" on exactly 5 rows (vec_id % 100 == 37), else label % 3
+      val doc = concat(lit("{\"g\": \""),
+        when(col("vec_id") % 100 === 37, lit("9"))
+          .otherwise((col("label") % 3).cast("string")),
+        lit("\", \"score\": "), (col("vec_id") % 100).cast("string"),
+        lit("}"))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"), doc.as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.materializeDocFieldNumeric(Seq("score"))
+      store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
+      store.delete(Seq(37L, 80L, 91L)) // 37 was a g="9" row
+      val qs = emb.filter(col("vec_id").isin(2, 5))
+        .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
+      val sel = store.searchApproxWhereAllDF(qs, k = 3, nProbe = 1,
+          Seq(graft.store.DocEquals(Seq("g"), Seq("9"))),
+          refine = 0, bruteForceThreshold = 50L)
+        .select(lit("sel").as("side"), col("qid").cast("long").as("qid"),
+          col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+      val unsel = store.searchApproxWhereAllDF(qs, k = 5, nProbe = 8,
+          Seq(graft.store.DocEquals(Seq("g"), Seq("1")),
+            graft.store.DocRange(Seq("score"), Some(10.0), Some(90.0))),
+          refine = 0, bruteForceThreshold = 50L)
+        .select(lit("uns").as("side"), col("qid").cast("long").as("qid"),
+          col("id"), col("rn"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+      sel.unionAll(unsel).orderBy("side", "qid", "rn")
+    }),
+
     // Compound filter THROUGH the hierarchical router: the same
     // two-term conjunction dispatched under super-cell routing, at
     // full routing (superProbe = nSuper, nProbe = nCells) so the
@@ -6175,6 +6220,39 @@ object SparkEntry {
       WHERE score BETWEEN 20 AND 60
         AND id NOT IN (SELECT id FROM pos)
       ORDER BY id""",
+
+    // Adaptive replay: both sides are exact by construction (selective
+    // = brute force over the matched rows; unselective = full probe),
+    // so ONE brute-force template serves both, parameterized by the
+    // predicate and k.
+    "vs_filtered_adaptive" -> raw"""
+      WITH base AS (
+        SELECT e.vec_id AS id, e.embedding AS vec,
+               CASE WHEN e.vec_id % 100 = 37 THEN '9'
+                    ELSE CAST(e.label % 3 AS VARCHAR) END AS g,
+               e.vec_id % 100 AS score
+        FROM embeddings e WHERE e.vec_id < 500),
+      live AS (SELECT * FROM base WHERE id NOT IN (37, 80, 91)),
+      q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id IN (2, 5)),
+      selm AS (SELECT id, vec FROM live WHERE g = '9'),
+      selr AS (
+        SELECT 'sel' AS side, qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM (SELECT q.qid, m.id, list_distance(m.vec, q.qvec) AS distance
+              FROM selm m CROSS JOIN q)),
+      unsm AS (SELECT id, vec FROM live
+               WHERE g = '1' AND score BETWEEN 10 AND 90),
+      unsr AS (
+        SELECT 'uns' AS side, qid, id, distance,
+               row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS rn
+        FROM (SELECT q.qid, m.id, list_distance(m.vec, q.qvec) AS distance
+              FROM unsm m CROSS JOIN q))
+      SELECT side, qid, id, rn,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM (SELECT * FROM selr WHERE rn <= 3
+            UNION ALL SELECT * FROM unsr WHERE rn <= 5)
+      ORDER BY side, qid, rn""",
 
     // Existence replay: lic extracts NULL for both the structurally
     // missing field (vec_id % 4 = 0) and the explicit JSON null

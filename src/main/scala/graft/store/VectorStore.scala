@@ -1078,9 +1078,14 @@ class VectorStore private (
     * filters.
     */
   def searchApproxHierAllDF(queries: DataFrame, k: Int, nProbe: Int,
-      superProbe: Int, preds: Seq[DocPredicate]): DataFrame =
-    searchApproxHierMatchDF(queries, k, nProbe, superProbe,
-      Some(docMatchIdsAll(preds)))
+      superProbe: Int, preds: Seq[DocPredicate],
+      bruteForceThreshold: Long = 0L): DataFrame =
+    if (bruteForceThreshold <= 0L)
+      searchApproxHierMatchDF(queries, k, nProbe, superProbe,
+        Some(docMatchIdsAll(preds)))
+    else adaptiveFiltered(queries, k, preds, bruteForceThreshold) { ids =>
+      searchApproxHierMatchDF(queries, k, nProbe, superProbe, Some(ids))
+    }
 
   private def searchApproxHierMatchDF(queries: DataFrame, k: Int,
       nProbe: Int, superProbe: Int,
@@ -2017,10 +2022,62 @@ class VectorStore private (
     * set is the CONJUNCTION of `preds` (each term through its own
     * pushed sidecar scan when materialized — see [[docMatchIdsAll]]),
     * then the same probed/quantized search over the survivors.
+    *
+    * `bruteForceThreshold` (0 = off) makes the dispatch
+    * SELECTIVITY-AWARE, the pgvector/Qdrant filtered-search planning
+    * move: the matched-id count is already one aggregate over the
+    * pushed sidecar scans, and when it comes in at or under the
+    * threshold the probed index is skipped entirely — the matched rows
+    * are ranked EXACTLY (recall 1.0, float32 distances, the
+    * [[searchWhereAllDF]] plan shape), which is both cheaper than
+    * probing once survivors are scarce and immune to the
+    * probe-coverage recall caveat above. On quantized layouts the
+    * selective side returns exact distances where the probed side
+    * returns ADC/SQDC approximations — the refine-degenerate contract.
     */
   def searchApproxWhereAllDF(queries: DataFrame, k: Int, nProbe: Int,
-      preds: Seq[DocPredicate], refine: Int = 0): DataFrame =
-    searchApproxMatchDF(queries, k, nProbe, docMatchIdsAll(preds), refine)
+      preds: Seq[DocPredicate], refine: Int = 0,
+      bruteForceThreshold: Long = 0L): DataFrame =
+    if (bruteForceThreshold <= 0L)
+      searchApproxMatchDF(queries, k, nProbe, docMatchIdsAll(preds), refine)
+    else adaptiveFiltered(queries, k, preds, bruteForceThreshold) { ids =>
+      searchApproxMatchDF(queries, k, nProbe, ids, refine)
+    }
+
+  /** Count the conjunction's matched ids once (materialized, so both
+    * the count and the chosen path reuse the same scan), then either
+    * rank them exactly (selective side — never touches the index) or
+    * hand them to the probed plan.
+    */
+  private def adaptiveFiltered(queries: DataFrame, k: Int,
+      preds: Seq[DocPredicate], threshold: Long)(
+      probed: DataFrame => DataFrame): DataFrame = {
+    val ids = docMatchIdsAll(preds).localCheckpoint(true)
+    val n = ids.count()
+    if (n <= threshold) {
+      logInfo(s"filtered search: $n matched ids <= threshold $threshold — " +
+        "exact ranking over the survivors, index untouched")
+      bruteForceOverMatched(queries, k, ids)
+    } else probed(ids)
+  }
+
+  /** Exact metric-aware ranking over ONLY the matched live rows, in
+    * the probed paths' output schema (float32 distances, (distance,
+    * id) tie-break): the selective arm of the adaptive dispatch.
+    */
+  private def bruteForceOverMatched(queries: DataFrame, k: Int,
+      matchIds: DataFrame): DataFrame = {
+    val cosine = hasAnnIndex && annMetric == "cosine"
+    val scored = indexDf
+      .join(matchIds, Seq("id"), "left_semi")
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .withColumn("distance",
+        if (cosine) lit(1.0f) - graft.functions.cosine_similarity($"vec", $"qvec")
+        else l2_distance($"vec", $"qvec"))
+      .select($"qid", $"id", $"distance")
+    graft.operators.SimilarityJoin.topKByDistance(
+      scored, "qid", "id", "distance", k)
+  }
 
   private def searchApproxMatchDF(queries: DataFrame, k: Int, nProbe: Int,
       matchIds: DataFrame, refine: Int): DataFrame = {

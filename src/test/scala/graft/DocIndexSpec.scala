@@ -630,6 +630,56 @@ class DocIndexSpec extends SparkSuite {
     assert(!afterIdx.contains(0L) && !afterIdx.contains(4L))
   }
 
+  test("adaptive filtered ANN: selective side skips the index (plan-asserted), both sides exact") {
+    import graft.store.{DocEquals, DocRange}
+    val store = mkStore("adaptive")
+    // 200 rows; g = "9" on exactly 4 rows (selective), g = "0" on ~1/3
+    // of the corpus (unselective); score = i % 50
+    def doc(i: Int): String = {
+      val g = if (i % 50 == 7) "9" else (i % 3).toString
+      s"""{"g": "$g", "score": ${i % 50}}"""
+    }
+    def v(i: Int) = Array((i % 11).toFloat, (i / 11).toFloat, (i % 7).toFloat, 1f)
+    store.insert((0 until 200).map(v), (0 until 200).map(doc))
+    store.materializeDocField(Seq("g"))
+    store.materializeDocFieldNumeric(Seq("score"))
+    store.buildAnnIndex(nCentroids = 4, iters = 2, seedRounds = 0)
+    store.delete(Seq(7L)) // one of the g="9" rows
+    val qs = Seq((0L, v(13)), (1L, v(101))).toDF("qid", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"id", $"rn").as[(Long, Long, Int)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    // SELECTIVE: 3 live matches <= threshold -> exact arm, NO index scan
+    val sel = store.searchApproxWhereAllDF(qs, k = 2, nProbe = 1,
+      Seq(DocEquals(Seq("g"), Seq("9"))), refine = 0,
+      bruteForceThreshold = 10L)
+    assert(!sel.queryExecution.executedPlan.toString.contains("ann/index"),
+      "selective side must never touch the probed index")
+    assert(rows(sel) ==
+      rows(store.searchWhereAllDF(qs, k = 2, Seq(DocEquals(Seq("g"), Seq("9"))))),
+      "selective arm must equal the exact filtered ranking")
+    // UNSELECTIVE: far above threshold -> probed arm (full probe = exact)
+    val unsel = store.searchApproxWhereAllDF(qs, k = 5, nProbe = 4,
+      Seq(DocEquals(Seq("g"), Seq("0")),
+        DocRange(Seq("score"), Some(0.0), Some(49.0))),
+      refine = 0, bruteForceThreshold = 10L)
+    assert(unsel.queryExecution.executedPlan.toString.contains("ann/index"),
+      "unselective side must keep the probed plan")
+    assert(rows(unsel) ==
+      rows(store.searchWhereAllDF(qs, k = 5,
+        Seq(DocEquals(Seq("g"), Seq("0")),
+          DocRange(Seq("score"), Some(0.0), Some(49.0))))),
+      "full-probe arm must equal the exact filtered ranking")
+    // the hier-routed variant dispatches identically
+    store.buildAnnSuperQuantizer(nSuper = 2, iters = 2)
+    val selH = store.searchApproxHierAllDF(qs, k = 2, nProbe = 1,
+      superProbe = 1, Seq(DocEquals(Seq("g"), Seq("9"))),
+      bruteForceThreshold = 10L)
+    assert(!selH.queryExecution.executedPlan.toString.contains("ann/index"))
+    assert(rows(selH) ==
+      rows(store.searchWhereAllDF(qs, k = 2, Seq(DocEquals(Seq("g"), Seq("9"))))))
+  }
+
   test("stale _staging dirs from a crashed rebuild are not fields and get swept") {
     val store = mkStore("staging")
     seed(store, 6)
