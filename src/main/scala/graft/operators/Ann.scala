@@ -379,10 +379,12 @@ object Ann {
     */
   def ivfBuild(
       df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 5): (DataFrame, DataFrame) = {
+      nCentroids: Int, iters: Int = 5,
+      seedRounds: Int = 2): (DataFrame, DataFrame) = {
     // the centroid array never leaves the driver: assign directly from
     // it rather than round-tripping through a DataFrame + collect
-    val cents = kmeansCore(df, idCol, vecCol, nCentroids, iters, l2Score, identity)
+    val cents = kmeansCore(df, idCol, vecCol, nCentroids, iters, l2Score,
+      identity, seedRounds = seedRounds)
     (assignTo(df, vecCol, cents, l2Score), centsToDF(df, cents))
   }
 
