@@ -4864,6 +4864,24 @@ object SparkEntry {
     // the whole greedy recursion (upgrade from the former constant
     // self-consistency oracle; the λ=1 degeneracy and driver≡
     // distributed invariants live in AnnSpec).
+    // NN-Descent k-NN graph (Dong et al., WWW 2011): iterative
+    // neighbor-of-neighbor refinement as bounded equi-joins — the batch
+    // primitive graph-ANN builds start from. On the 8-dim fixture
+    // (real locality) the descent CONVERGES TO THE EXACT 5-NN GRAPH
+    // (per-node recall 1.0, KnnGraphSpec), so DuckDB replays plain
+    // brute force; buildK = 24 is the paper's K-vs-k quality knob.
+    "ann_knn_graph" -> ((s, dir) => {
+      val pts = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 8).as("vec"))
+      val rep = graft.operators.KnnGraph.nnDescent(pts, "id", "vec",
+        k = 5, buildK = 24)
+      rep.graph
+        .select(col("id"), col("nbr"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("id", "rank")
+    }),
+
     "ann_mmr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -8966,6 +8984,24 @@ object SparkEntry {
       FROM qgrid g LEFT JOIN perq p ON g.config = p.config AND g.qid = p.qid
       JOIN cost c ON c.config = g.config AND c.qid = g.qid
       ORDER BY g.config, g.qid""",
+    // converged NN-Descent on the locality-bearing fixture IS the
+    // exact graph — the oracle is plain brute force
+    "ann_knn_graph" -> raw"""
+      WITH e AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id < 300),
+      scored AS (
+        SELECT a.id, b.id AS nbr, list_distance(a.vec, b.vec) AS distance
+        FROM e a JOIN e b ON a.id <> b.id),
+      ranked AS (
+        SELECT id, nbr, distance,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY distance, nbr) AS rank
+        FROM scored)
+      SELECT id, nbr, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
+
     "ann_hard_negatives" -> """
       WITH q AS (
         SELECT vec_id AS qid, embedding AS qvec, label AS qlabel

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.l2_distance
+
+/** Batch k-NN-graph construction by NN-Descent (Dong, Moses & Li,
+  * "Efficient k-nearest neighbor graph construction for generic
+  * similarity measures", WWW 2011) — the standard all-pairs-free
+  * primitive behind graph-ANN serving handoffs (NSG/Vamana builds
+  * start from one) and similarity-graph analyses (components /
+  * clustering over the `gr_*` family).
+  *
+  * The idea: a neighbor of a neighbor is likely a neighbor. Start from
+  * an arbitrary k-neighbor list per node, then repeatedly (a) form the
+  * GENERAL neighborhood of each node (its list plus everyone who lists
+  * it, each side capped at k by (distance, id)), (b) propose every
+  * pair that co-occurs in some node's general neighborhood and
+  * involves at least one NEW entry (the incremental-search flag from
+  * §2.3 of the paper — converged regions stop generating work), (c)
+  * score proposals and fold them into each endpoint's top-k. Stop when
+  * an iteration changes nothing (or `maxIters` hits).
+  *
+  * Spark shape — everything is equi-joins and bounded per-node state,
+  * no crossJoin anywhere: per node the general neighborhood is ≤ 2k
+  * rows, so one iteration proposes ≤ n·(2k)² candidate edges, each
+  * scored once per appearance after a distinct. Vectors travel only
+  * through two id-equi-joins per iteration (8-byte keys otherwise);
+  * per-iteration lineage is cut with an eager localCheckpoint, the
+  * driver holding nothing but the update count. Empty-convergence is
+  * detected by that count, so converged corpora pay one no-op
+  * iteration.
+  *
+  * Determinism: the seed graph links each node to the k nodes that
+  * follow it in xxhash64-scrambled order (a data-dependent but
+  * RNG-free spread), every top-k ranks by (float32 L2, id), and
+  * proposals dedupe before scoring — same input, same graph, every
+  * run.
+  *
+  * Returns (id, nbr, distance float32, rank 1..k) — exactly k rows per
+  * node for corpora with > k nodes. At convergence on well-behaved
+  * data this IS the exact k-NN graph (gated EXACT against the
+  * brute-force oracle); like every NN-Descent it is formally a local
+  * optimum, so `maxIters` bounds the work either way.
+  */
+object KnnGraph {
+
+  case class Report(graph: DataFrame, iterations: Int, converged: Boolean)
+
+  /** @param buildK the neighbor-list width the DESCENT maintains
+    *   (>= k; 0 = auto, max(2k, k+8)). NN-Descent's recall knob: wider
+    *   lists widen each general neighborhood, which is what rescues
+    *   concentrated high-dimensional data from early local optima —
+    *   the paper's K vs the output k. Output is always top-k.
+    */
+  def nnDescent(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIters: Int = 25, buildK: Int = 0): Report = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    val spark = df.sparkSession
+    val points = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec")).localCheckpoint(true)
+    val n = points.count()
+    require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
+    val kb = math.min(n - 1,
+      (if (buildK > 0) buildK else math.max(2 * k, k + 8)).toLong).toInt
+
+    def dist(a: String, b: String) = l2_distance(col(a), col(b))
+
+    // seed: k successors in xxhash64-scrambled id order (cyclic) — a
+    // deterministic spread with no RNG and no dense-rank window over
+    // the whole corpus (zipWithIndex is one pass, order fixed by the
+    // scramble sort)
+    val scrambled = points.select(col("id"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    val posDF = {
+      import spark.implicits._
+      scrambled.rdd.map(_.getLong(0)).zipWithIndex()
+        .toDF("id", "pos").localCheckpoint(true)
+    }
+    val seedEdges = (1 to kb).map { j =>
+      posDF.select(col("id"), ((col("pos") + j) % n).as("pos2"))
+        .join(posDF.select(col("pos").as("pos2"), col("id").as("nbr")),
+          Seq("pos2"))
+        .select(col("id"), col("nbr"))
+    }.reduce(_ unionAll _)
+
+    def score(edges: DataFrame): DataFrame = edges
+      .join(points, Seq("id"))
+      .join(points.select(col("id").as("nbr"), col("vec").as("nvec")),
+        Seq("nbr"))
+      .select(col("id"), col("nbr"), dist("vec", "nvec").as("distance"))
+
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("distance"), col("nbr"))
+
+    // current graph: (id, nbr, distance, new) — 'new' marks entries
+    // that joined the list this iteration (only they generate proposals)
+    var graph = score(seedEdges)
+      .withColumn("rank", row_number().over(wk)).filter(col("rank") <= kb)
+      .drop("rank")
+      .withColumn("new", lit(true))
+      .localCheckpoint(true)
+
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      iters += 1
+      // general neighborhood: forward list + reverse edges capped at k
+      // per node — flags travel so a proposal fires only when at least
+      // one side is fresh
+      val fwd = graph.select(col("id").as("pivot"), col("nbr").as("node"),
+        col("new"))
+      val rev = graph.select(col("nbr").as("pivot"), col("id").as("node"),
+          col("distance"), col("new"))
+        .withColumn("rr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("pivot")
+            .orderBy(col("distance"), col("node"))))
+        .filter(col("rr") <= kb)
+        .select(col("pivot"), col("node"), col("new"))
+      val general = fwd.unionAll(rev)
+        .groupBy(col("pivot"), col("node"))
+        .agg(max(col("new")).as("new"))
+      val a = general.select(col("pivot"), col("node").as("u"),
+        col("new").as("nu"))
+      val b = general.select(col("pivot"), col("node").as("v"),
+        col("new").as("nv"))
+      val proposals = a.join(b, Seq("pivot"))
+        .filter(col("u") =!= col("v"))
+        .filter(col("nu") || col("nv"))
+        .select(col("u").as("id"), col("v").as("nbr"))
+        .distinct()
+      val scored = score(proposals)
+      // fold proposals into each endpoint's list; an entry is NEW when
+      // it was not in the previous top-k
+      val merged = graph.select(col("id"), col("nbr"), col("distance"),
+          lit(false).as("fresh"))
+        .unionAll(scored.withColumn("fresh", lit(true)))
+        .groupBy(col("id"), col("nbr"))
+        .agg(min(col("distance")).as("distance"),
+          min(col("fresh")).as("fresh")) // in both => not fresh
+        .withColumn("rank", row_number().over(wk)).filter(col("rank") <= kb)
+        .drop("rank")
+        .withColumnRenamed("fresh", "new")
+        .localCheckpoint(true) // eager: safe to drop the previous one
+      val updates = merged.filter(col("new")).count()
+      if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
+        println(s"nnDescent iter $iters: $updates updates")
+      org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(graph)
+      graph = merged
+      converged = updates == 0L
+    }
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(posDF)
+    val out = graph
+      .withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+      .select(col("id"), col("nbr"), col("distance"), col("rank"))
+    Report(out, iters, converged)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KnnGraph, SimilarityJoin}
+
+/** NN-Descent k-NN graph (Dong et al., WWW 2011): equi-join-only
+  * refinement must converge to the EXACT k-NN graph on well-behaved
+  * fixtures, deterministically, with bounded per-node state.
+  */
+class KnnGraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb(n: Int, dims: Int = 64) =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") < n)
+      .select(col("vec_id").as("id"),
+        (if (dims >= 64) col("embedding")
+         else slice(col("embedding"), 1, dims)).as("vec"))
+
+  private def bruteGraph(df: org.apache.spark.sql.DataFrame, k: Int) =
+    SimilarityJoin.knnL2(
+        df.select(col("id").as("nbr"), col("vec")), "nbr", "vec",
+        df.select(col("id").as("qid"), col("vec").as("qvec")),
+        "qid", "qvec", k + 1)
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("distance"), col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("nbr"), col("rank"))
+
+  test("converges to the exact k-NN graph on an 8-dim embedding fixture") {
+    // 8-dim slices carry real locality (neighbor-of-neighbor works);
+    // buildK = 24 is the paper's K-vs-k quality knob at FAISS-like width
+    val pts = emb(300, dims = 8)
+    val rep = KnnGraph.nnDescent(pts, "id", "vec", k = 5, buildK = 24)
+    assert(rep.converged, s"must converge (ran ${rep.iterations} iters)")
+    assert(rep.iterations < 25, "convergence must beat the iteration cap")
+    val got = rep.graph.select($"id", $"nbr", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = bruteGraph(pts, 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got.size == 300 * 5)
+    assert(got == want, "converged graph must equal brute-force k-NN")
+  }
+
+  test("high recall even on iid-random 64-dim (NN-Descent's worst case)") {
+    // the raw testdata embeddings have NO cluster structure (same-label
+    // and cross-label mean L2 agree to 0.3%) — distance concentration
+    // starves neighbor-of-neighbor locality, the documented hard case.
+    // The descent must still converge and land high recall with the
+    // default list width.
+    val pts = emb(200)
+    val rep = KnnGraph.nnDescent(pts, "id", "vec", k = 5)
+    assert(rep.converged)
+    val got = rep.graph.select($"id", $"nbr").as[(Long, Long)]
+      .collect().toSet
+    val want = bruteGraph(pts, 5).select($"id", $"nbr")
+      .as[(Long, Long)].collect().toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9 on the hard fixture")
+  }
+
+  test("deterministic across runs; k rows per node; self never appears") {
+    val pts = emb(80)
+    val r1 = KnnGraph.nnDescent(pts, "id", "vec", k = 4)
+    val r2 = KnnGraph.nnDescent(pts, "id", "vec", k = 4)
+    val g1 = r1.graph.collect().map(_.toString).sorted.toSeq
+    assert(g1 == r2.graph.collect().map(_.toString).sorted.toSeq)
+    val perNode = r1.graph.groupBy("id").count().select("count")
+      .as[Long].collect().toSet
+    assert(perNode == Set(4L))
+    assert(r1.graph.filter($"id" === $"nbr").count() == 0L)
+  }
+
+  test("needs more than k nodes") {
+    val pts = emb(4)
+    intercept[IllegalArgumentException](
+      KnnGraph.nnDescent(pts, "id", "vec", k = 5))
+  }
+}
