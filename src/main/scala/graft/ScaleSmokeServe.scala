@@ -158,16 +158,22 @@ object ScaleSmokeServe {
       DocRange(Seq("score"), Some(42.0), None))
     store.searchApproxHierAllDF(qs, k = 10, nProbe = 4, superProbe = 2,
       selPreds).count() // warm
+    var nProbed = 0L
+    var nAdaptive = 0L
     val (_, wProbed) = timed("selective filter, probed plan") {
-      store.searchApproxHierAllDF(qs, k = 10, nProbe = 4, superProbe = 2,
-        selPreds).count()
+      nProbed = store.searchApproxHierAllDF(qs, k = 10, nProbe = 4,
+        superProbe = 2, selPreds).count()
     }
     val (_, wAdaptive) = timed("selective filter, adaptive (exact arm)") {
-      store.searchApproxHierAllDF(qs, k = 10, nProbe = 4, superProbe = 2,
-        selPreds, bruteForceThreshold = 20000L).count()
+      nAdaptive = store.searchApproxHierAllDF(qs, k = 10, nProbe = 4,
+        superProbe = 2, selPreds, bruteForceThreshold = 20000L).count()
     }
     println(f"SMOKE adaptive speedup on 0.06%%-selective filter: " +
       f"${wProbed / wAdaptive}%.2fx")
+    println(s"SMOKE result fill: probed $nProbed rows vs adaptive " +
+      s"$nAdaptive rows (${qs.count() * 10} requested) — the probed plan " +
+      "under-fills k whenever survivors fall outside the routed probe set; " +
+      "the adaptive arm is recall 1.0 by construction")
     store.disableAutoMaintenance()
     spark.stop()
   }
