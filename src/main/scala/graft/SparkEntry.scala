@@ -3424,6 +3424,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Similarity-graph clustering FROM the NN-Descent primitive: the
+    // k-NN graph (exact on this fixture — ann_knn_graph) thresholded at
+    // tau = 0.2 becomes an undirected similarity graph whose connected
+    // components are embedding clusters (large/small-star O(log n)
+    // rounds) — the consumer the graph primitive exists for. DuckDB
+    // replays brute 5-NN + threshold + 24 unrolled min-label
+    // propagation steps (fixpoint at 11 on this fixture; propagation is
+    // idempotent past it). Both engines compare the float32 distance
+    // WIDENED TO DOUBLE against the 0.2 literal, so the edge set is
+    // bit-identical.
+    "gr_knn_components" -> ((s, dir) => {
+      val pts = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 8).as("vec"))
+      val rep = graft.operators.KnnGraph.nnDescent(pts, "id", "vec",
+        k = 5, buildK = 24)
+      val edges = rep.graph
+        .filter(col("distance").cast("double") <= 0.2)
+        .select(col("id").as("a_id"), col("nbr").as("b_id"))
+      operators.Dedup.connectedComponents(
+          pts.select(col("id").as("doc_id")), "doc_id", edges)
+        .orderBy("id")
+    }),
+
     // Modularity of two labelings over the closed-form chain graph:
     // the true 10-chains score Q = 0.98, a scrambled mod-7 labeling
     // goes NEGATIVE (every edge crosses) — the pair demonstrates the
@@ -8149,6 +8173,37 @@ object SparkEntry {
     "gr_components" -> """
       SELECT doc_id AS id, (doc_id // 10) * 10 AS comp
       FROM documents ORDER BY id""",
+    // brute 5-NN graph + tau threshold + 24 min-label propagation
+    // steps (UNION ALL + counter: DuckDB's recursive UNION skips its
+    // dedup; final SELECT takes the it = 24 generation — idempotent at
+    // the fixpoint, reached at 11 on this fixture)
+    "gr_knn_components" -> """
+      WITH RECURSIVE e AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id < 300),
+      scored AS (
+        SELECT a.id, b.id AS nbr, list_distance(a.vec, b.vec) AS d
+        FROM e a JOIN e b ON a.id <> b.id),
+      ranked AS (
+        SELECT id, nbr, d,
+               row_number() OVER (PARTITION BY id ORDER BY d, nbr) AS rk
+        FROM scored),
+      ed AS (SELECT id AS u, nbr AS v FROM ranked
+             WHERE rk <= 5 AND CAST(d AS DOUBLE) <= 0.2),
+      und AS (SELECT DISTINCT u, v FROM
+              (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed)),
+      lp AS (
+        SELECT id AS node, id AS lbl, 0 AS it FROM e
+        UNION ALL
+        SELECT l.node,
+               least(min(l.lbl), coalesce(min(n.lbl), min(l.lbl))) AS lbl,
+               l.it + 1 AS it
+        FROM lp l
+        LEFT JOIN und ON und.u = l.node
+        LEFT JOIN lp n ON n.node = und.v
+        WHERE l.it < 24
+        GROUP BY l.node, l.it)
+      SELECT node AS id, lbl AS comp FROM lp WHERE it = 24 ORDER BY id""",
     // 6 unrolled peels (the graph stabilizes in 4 at sf0.01 and sf0.1;
     // peeling is idempotent at the fixpoint, so unroll ≥ fixpoint ≡
     // Spark's run-to-stable loop). All counts integer-exact.
