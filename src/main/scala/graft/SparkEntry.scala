@@ -4906,6 +4906,28 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // Incremental graph maintenance: a converged 250-node graph folds
+    // in a 50-node batch WITHOUT a from-scratch restart (prior entries
+    // enter not-fresh — converged regions generate no proposals until
+    // a new node reaches them) and converges to the SAME fixpoint as
+    // the union build: the exact 5-NN graph, so the oracle is the
+    // identical brute-force replay over the union corpus.
+    "ann_knn_graph_append" -> ((s, dir) => {
+      val all = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 8).as("vec"))
+      val base = all.filter(col("id") < 250)
+      val batch = all.filter(col("id") >= 250)
+      val g0 = graft.operators.KnnGraph.nnDescent(base, "id", "vec",
+        k = 5, buildK = 24)
+      val rep = graft.operators.KnnGraph.nnDescentAppend(base, g0.graph,
+        batch, "id", "vec", k = 5, buildK = 24)
+      rep.graph
+        .select(col("id"), col("nbr"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("id", "rank")
+    }),
+
     "ann_mmr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -9042,6 +9064,24 @@ object SparkEntry {
     // converged NN-Descent on the locality-bearing fixture IS the
     // exact graph — the oracle is plain brute force
     "ann_knn_graph" -> raw"""
+      WITH e AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id < 300),
+      scored AS (
+        SELECT a.id, b.id AS nbr, list_distance(a.vec, b.vec) AS distance
+        FROM e a JOIN e b ON a.id <> b.id),
+      ranked AS (
+        SELECT id, nbr, distance,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY distance, nbr) AS rank
+        FROM scored)
+      SELECT id, nbr, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
+
+    // append-converged ≡ union brute force — same replay as
+    // ann_knn_graph (that is the point of the gate)
+    "ann_knn_graph_append" -> raw"""
       WITH e AS (
         SELECT vec_id AS id, embedding[1:8] AS vec
         FROM embeddings WHERE vec_id < 300),

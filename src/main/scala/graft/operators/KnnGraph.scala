@@ -15,28 +15,28 @@ import graft.functions.l2_distance
   * The idea: a neighbor of a neighbor is likely a neighbor. Start from
   * an arbitrary k-neighbor list per node, then repeatedly (a) form the
   * GENERAL neighborhood of each node (its list plus everyone who lists
-  * it, each side capped at k by (distance, id)), (b) propose every
-  * pair that co-occurs in some node's general neighborhood and
-  * involves at least one NEW entry (the incremental-search flag from
-  * §2.3 of the paper — converged regions stop generating work), (c)
-  * score proposals and fold them into each endpoint's top-k. Stop when
-  * an iteration changes nothing (or `maxIters` hits).
+  * it, each side capped at the list width by (distance, id)), (b)
+  * propose every pair that co-occurs in some node's general
+  * neighborhood and involves at least one NEW entry (the
+  * incremental-search flag from §2.3 of the paper — converged regions
+  * stop generating work), (c) score proposals and fold them into each
+  * endpoint's top list. Stop when an iteration changes nothing (or
+  * `maxIters` hits).
   *
   * Spark shape — everything is equi-joins and bounded per-node state,
-  * no crossJoin anywhere: per node the general neighborhood is ≤ 2k
-  * rows, so one iteration proposes ≤ n·(2k)² candidate edges, each
-  * scored once per appearance after a distinct. Vectors travel only
-  * through two id-equi-joins per iteration (8-byte keys otherwise);
-  * per-iteration lineage is cut with an eager localCheckpoint, the
-  * driver holding nothing but the update count. Empty-convergence is
-  * detected by that count, so converged corpora pay one no-op
-  * iteration.
+  * no crossJoin anywhere: per node the general neighborhood is ≤
+  * 2·buildK rows, so one iteration proposes ≤ n·(2·buildK)² candidate
+  * edges, each scored once per appearance after a distinct. Vectors
+  * travel only through two id-equi-joins per iteration (8-byte keys
+  * otherwise); per-iteration lineage is cut with an eager
+  * localCheckpoint and the PREVIOUS checkpoint is unpersisted, so long
+  * runs stay flat. Empty-convergence is detected by the update count,
+  * so converged corpora pay one no-op iteration.
   *
-  * Determinism: the seed graph links each node to the k nodes that
-  * follow it in xxhash64-scrambled order (a data-dependent but
-  * RNG-free spread), every top-k ranks by (float32 L2, id), and
-  * proposals dedupe before scoring — same input, same graph, every
-  * run.
+  * Determinism: the seed graph links each node to its successors in
+  * xxhash64-scrambled order (a data-dependent but RNG-free spread),
+  * every top-k ranks by (float32 L2, id), and proposals dedupe before
+  * scoring — same input, same graph, every run.
   *
   * Returns (id, nbr, distance float32, rank 1..k) — exactly k rows per
   * node for corpora with > k nodes. At convergence on well-behaved
@@ -58,56 +58,116 @@ object KnnGraph {
       maxIters: Int = 25, buildK: Int = 0): Report = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
-    val spark = df.sparkSession
     val points = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec")).localCheckpoint(true)
     val n = points.count()
     require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
-    val kb = math.min(n - 1,
+    val kb = effectiveBuildK(k, buildK, n)
+    val init = scoreEdges(points,
+        seedEdges(points.select(col("id")), points.select(col("id")), kb))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
+      .drop("rank")
+      .withColumn("new", lit(true))
+    descend(points, init, k, kb, maxIters)
+  }
+
+  /** O(batch)-seeded INCREMENTAL maintenance: fold `newBatch` into an
+    * already-built graph without restarting the descent from scratch —
+    * the 100 TB posture (a corpus-scale graph is maintained, not
+    * rebuilt per ingest). The prior graph's entries enter the descent
+    * NOT-fresh (converged regions generate no proposals until a new
+    * node reaches them through a reverse edge); only the new nodes are
+    * seeded (scrambled-order successors over the UNION corpus) and
+    * marked fresh, so the first iterations' work scales with the batch
+    * and its neighborhoods, not the corpus. Old nodes adopt new
+    * neighbors through the same general-neighborhood propagation (a
+    * new node listing an old one puts itself in that node's reverse
+    * set). Converges to the same fixpoint as a from-scratch build on
+    * well-behaved data (gated EXACT against the union brute force).
+    *
+    * `priorGraph` is a previous [[Report.graph]] (or any (id, nbr,
+    * distance) edge set over `oldPoints`).
+    */
+  def nnDescentAppend(oldPoints: DataFrame, priorGraph: DataFrame,
+      newBatch: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIters: Int = 25, buildK: Int = 0): Report = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    val old = oldPoints.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val fresh = newBatch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val points = old.unionAll(fresh).localCheckpoint(true)
+    val n = points.count()
+    require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
+    val kb = effectiveBuildK(k, buildK, n)
+    val prior = priorGraph.select(col("id").cast("long").as("id"),
+        col("nbr").cast("long").as("nbr"),
+        col("distance").cast("float").as("distance"))
+      .withColumn("new", lit(false))
+    val newSeeds = scoreEdges(points,
+        seedEdges(fresh.select(col("id")), points.select(col("id")), kb))
+      .withColumn("new", lit(true))
+    val init = prior.unionAll(newSeeds)
+      .groupBy(col("id"), col("nbr"))
+      .agg(min(col("distance")).as("distance"), max(col("new")).as("new"))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
+      .drop("rank")
+    descend(points, init, k, kb, maxIters)
+  }
+
+  private def effectiveBuildK(k: Int, buildK: Int, n: Long): Int =
+    math.min(n - 1,
       (if (buildK > 0) buildK else math.max(2 * k, k + 8)).toLong).toInt
 
-    def dist(a: String, b: String) = l2_distance(col(a), col(b))
+  private def wTop = org.apache.spark.sql.expressions.Window
+    .partitionBy("id").orderBy(col("distance"), col("nbr"))
 
-    // seed: k successors in xxhash64-scrambled id order (cyclic) — a
-    // deterministic spread with no RNG and no dense-rank window over
-    // the whole corpus (zipWithIndex is one pass, order fixed by the
-    // scramble sort)
-    val scrambled = points.select(col("id"))
+  /** Seed edges: for every id in `ids`, its `kb` successors among
+    * `targets` in xxhash64-scrambled order (cyclic over the targets) —
+    * a deterministic RNG-free spread, one zipWithIndex pass, no
+    * corpus-wide dense-rank window.
+    */
+  private def seedEdges(ids: DataFrame, targets: DataFrame,
+      kb: Int): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val posDF = targets.select(col("id"))
       .orderBy(xxhash64(col("id")), col("id"))
-    val posDF = {
-      import spark.implicits._
-      scrambled.rdd.map(_.getLong(0)).zipWithIndex()
-        .toDF("id", "pos").localCheckpoint(true)
-    }
-    val seedEdges = (1 to kb).map { j =>
-      posDF.select(col("id"), ((col("pos") + j) % n).as("pos2"))
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .toDF("id", "pos").localCheckpoint(true)
+    val m = posDF.count()
+    val srcPos = posDF.join(ids, Seq("id"), "left_semi")
+    val out = (1 to kb).map { j =>
+      srcPos.select(col("id"), ((col("pos") + j) % m).as("pos2"))
         .join(posDF.select(col("pos").as("pos2"), col("id").as("nbr")),
           Seq("pos2"))
+        .filter(col("id") =!= col("nbr"))
         .select(col("id"), col("nbr"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(posDF)
+    out
+  }
 
-    def score(edges: DataFrame): DataFrame = edges
+  private def scoreEdges(points: DataFrame, edges: DataFrame): DataFrame =
+    edges
       .join(points, Seq("id"))
       .join(points.select(col("id").as("nbr"), col("vec").as("nvec")),
         Seq("nbr"))
-      .select(col("id"), col("nbr"), dist("vec", "nvec").as("distance"))
+      .select(col("id"), col("nbr"),
+        l2_distance(col("vec"), col("nvec")).as("distance"))
 
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("distance"), col("nbr"))
-
-    // current graph: (id, nbr, distance, new) — 'new' marks entries
-    // that joined the list this iteration (only they generate proposals)
-    var graph = score(seedEdges)
-      .withColumn("rank", row_number().over(wk)).filter(col("rank") <= kb)
-      .drop("rank")
-      .withColumn("new", lit(true))
-      .localCheckpoint(true)
-
+  /** The shared descent loop over an initial (id, nbr, distance, new)
+    * graph whose list width is `kb`; returns the top-k projection.
+    */
+  private def descend(points: DataFrame, init: DataFrame, k: Int, kb: Int,
+      maxIters: Int): Report = {
+    var graph = init.localCheckpoint(true)
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
       iters += 1
-      // general neighborhood: forward list + reverse edges capped at k
+      // general neighborhood: forward list + reverse edges capped at kb
       // per node — flags travel so a proposal fires only when at least
       // one side is fresh
       val fwd = graph.select(col("id").as("pivot"), col("nbr").as("node"),
@@ -131,16 +191,16 @@ object KnnGraph {
         .filter(col("nu") || col("nv"))
         .select(col("u").as("id"), col("v").as("nbr"))
         .distinct()
-      val scored = score(proposals)
+      val scored = scoreEdges(points, proposals)
       // fold proposals into each endpoint's list; an entry is NEW when
-      // it was not in the previous top-k
+      // it was not in the previous top list
       val merged = graph.select(col("id"), col("nbr"), col("distance"),
           lit(false).as("fresh"))
         .unionAll(scored.withColumn("fresh", lit(true)))
         .groupBy(col("id"), col("nbr"))
         .agg(min(col("distance")).as("distance"),
           min(col("fresh")).as("fresh")) // in both => not fresh
-        .withColumn("rank", row_number().over(wk)).filter(col("rank") <= kb)
+        .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
         .drop("rank")
         .withColumnRenamed("fresh", "new")
         .localCheckpoint(true) // eager: safe to drop the previous one
@@ -151,9 +211,8 @@ object KnnGraph {
       graph = merged
       converged = updates == 0L
     }
-    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(posDF)
     val out = graph
-      .withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
       .select(col("id"), col("nbr"), col("distance"), col("rank"))
     Report(out, iters, converged)
   }

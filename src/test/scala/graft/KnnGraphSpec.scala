@@ -62,6 +62,27 @@ class KnnGraphSpec extends SparkSuite {
     assert(recall >= 0.9, f"recall $recall%.3f < 0.9 on the hard fixture")
   }
 
+  test("incremental append converges to the exact union graph") {
+    val all = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), slice(col("embedding"), 1, 8).as("vec"))
+    val base = all.filter($"id" < 250)
+    val batch = all.filter($"id" >= 250)
+    val g0 = KnnGraph.nnDescent(base, "id", "vec", k = 5, buildK = 24)
+    assert(g0.converged)
+    val rep = KnnGraph.nnDescentAppend(base, g0.graph, batch,
+      "id", "vec", k = 5, buildK = 24)
+    assert(rep.converged,
+      s"append must converge (ran ${rep.iterations} iters)")
+    val got = rep.graph.select($"id", $"nbr", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = bruteGraph(all, 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got.size == 300 * 5)
+    assert(got == want,
+      "appended graph must equal the from-scratch brute-force union graph")
+  }
+
   test("deterministic across runs; k rows per node; self never appears") {
     val pts = emb(80)
     val r1 = KnnGraph.nnDescent(pts, "id", "vec", k = 4)
