@@ -4913,11 +4913,11 @@ object SparkEntry {
     // the union build: the exact 5-NN graph, so the oracle is the
     // identical brute-force replay over the union corpus.
     "ann_knn_graph_append" -> ((s, dir) => {
-      val all = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val all = T(s, dir, "embeddings").filter(col("vec_id") < 200)
         .select(col("vec_id").as("id"),
           slice(col("embedding"), 1, 8).as("vec"))
-      val base = all.filter(col("id") < 250)
-      val batch = all.filter(col("id") >= 250)
+      val base = all.filter(col("id") < 150)
+      val batch = all.filter(col("id") >= 150)
       val g0 = graft.operators.KnnGraph.nnDescent(base, "id", "vec",
         k = 5, buildK = 24)
       val rep = graft.operators.KnnGraph.nnDescentAppend(base, g0.graph,
@@ -9084,7 +9084,7 @@ object SparkEntry {
     "ann_knn_graph_append" -> raw"""
       WITH e AS (
         SELECT vec_id AS id, embedding[1:8] AS vec
-        FROM embeddings WHERE vec_id < 300),
+        FROM embeddings WHERE vec_id < 200),
       scored AS (
         SELECT a.id, b.id AS nbr, list_distance(a.vec, b.vec) AS distance
         FROM e a JOIN e b ON a.id <> b.id),
