@@ -4928,6 +4928,29 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // Graph-ANN serving: batch greedy beam search over the built k-NN
+    // graph (the HNSW/Vamana walk on a flat graph, one hop per Spark
+    // job for the whole query batch) — out-of-corpus queries, ef = 32,
+    // deterministic entry points. On this fixture the beam-served
+    // top-5 equals brute force exactly (KnnGraphSpec), so the oracle
+    // is the plain brute replay.
+    "ann_knn_graph_search" -> ((s, dir) => {
+      val pts = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"),
+          slice(col("embedding"), 1, 8).as("vec"))
+      val g = graft.operators.KnnGraph.nnDescent(pts, "id", "vec",
+        k = 5, buildK = 24).graph
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id") >= 300 && col("vec_id") < 315)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      graft.operators.KnnGraph.searchGraph(pts, g, qs, "qid", "qvec",
+          k = 5, ef = 32)
+        .select(col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    }),
+
     "ann_mmr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -9096,6 +9119,27 @@ object SparkEntry {
       SELECT id, nbr, rank,
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
+
+    // beam-served ≡ brute force for the held-out queries on this
+    // fixture (exactness spec-pinned; the oracle replays brute force)
+    "ann_knn_graph_search" -> raw"""
+      WITH e AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id < 200),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id >= 300 AND vec_id < 315),
+      scored AS (
+        SELECT q.qid, e.id, list_distance(e.vec, q.qvec) AS distance
+        FROM e CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY distance, id) AS rank
+        FROM scored)
+      SELECT qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
 
     "ann_hard_negatives" -> """
       WITH q AS (

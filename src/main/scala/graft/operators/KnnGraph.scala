@@ -116,6 +116,85 @@ object KnnGraph {
     descend(points, init, k, kb, maxIters)
   }
 
+  /** Batch greedy beam search over a built k-NN graph — the
+    * HNSW/Vamana-style serving walk on a flat graph, run for a whole
+    * query BATCH at once (each iteration expands every query's
+    * frontier in the same jobs; Spark amortizes the hop across the
+    * batch instead of walking queries one by one):
+    *
+    *  1. every query starts at the same `nEntries` deterministic entry
+    *     nodes (scrambled-order heads — the RNG-free spread);
+    *  2. each hop expands the UNSEEN neighbors (graph treated
+    *     undirected — reverse edges double the out-degree and rescue
+    *     greedy walks from directed dead ends) of the nodes that
+    *     entered the beam last hop, scores them against the query, and
+    *     keeps the best `ef` visited per query;
+    *  3. stops when no unseen candidate makes any query's beam (or
+    *     `maxHops`).
+    *
+    * Per-query state is bounded by `ef`; a hop's candidate volume by
+    * |frontier| × 2·degree; vectors travel through one id join per
+    * hop. `ef` is the recall knob (ef ≥ corpus degenerates to exact on
+    * a connected graph). Returns (qid, id, distance float32, rank
+    * 1..k).
+    */
+  def searchGraph(points: DataFrame, graph: DataFrame, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int, ef: Int,
+      nEntries: Int = 4, maxHops: Int = 30): DataFrame = {
+    require(k >= 1 && ef >= k, s"need ef ($ef) >= k ($k) >= 1")
+    require(nEntries >= 1, s"nEntries must be >= 1, got $nEntries")
+    val pts = points.select(col("id").cast("long").as("id"), col("vec"))
+      .localCheckpoint(true)
+    val qs = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qvecCol).as("qvec")).localCheckpoint(true)
+    val und = graph.select(col("id").cast("long").as("node"),
+        col("nbr").cast("long").as("cand"))
+      .unionAll(graph.select(col("nbr").cast("long").as("node"),
+        col("id").cast("long").as("cand")))
+      .distinct().localCheckpoint(true)
+    val entries = pts.select(col("id"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(nEntries)
+    def scoreCands(cands: DataFrame): DataFrame = cands
+      .join(pts, Seq("id"))
+      .join(qs, Seq("qid"))
+      .select(col("qid"), col("id"),
+        l2_distance(col("vec"), col("qvec")).as("distance"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("distance"), col("id"))
+    var visited = scoreCands(
+        qs.select(col("qid")).crossJoin(entries))
+      .withColumn("new", lit(true))
+      .localCheckpoint(true)
+    var hops = 0
+    var done = false
+    while (hops < maxHops && !done) {
+      hops += 1
+      val frontier = visited.filter(col("new"))
+        .select(col("qid"), col("id").as("node"))
+      val unseen = frontier.join(und, Seq("node"))
+        .select(col("qid"), col("cand").as("id")).distinct()
+        .join(visited.select(col("qid"), col("id")),
+          Seq("qid", "id"), "left_anti")
+      val merged = visited.select(col("qid"), col("id"), col("distance"),
+          lit(false).as("fresh"))
+        .unionAll(scoreCands(unseen).withColumn("fresh", lit(true)))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= ef)
+        .drop("rn")
+        .withColumnRenamed("fresh", "new")
+        .localCheckpoint(true)
+      val grew = merged.filter(col("new")).count()
+      if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
+        println(s"searchGraph hop $hops: $grew beam entries")
+      org.apache.spark.sql.graftshim.GraftShim
+        .unpersistLocalCheckpoint(visited)
+      visited = merged
+      done = grew == 0L
+    }
+    visited
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("distance"), col("rank"))
+  }
+
   private def effectiveBuildK(k: Int, buildK: Int, n: Long): Int =
     math.min(n - 1,
       (if (buildK > 0) buildK else math.max(2 * k, k + 8)).toLong).toInt

@@ -83,6 +83,42 @@ class KnnGraphSpec extends SparkSuite {
       "appended graph must equal the from-scratch brute-force union graph")
   }
 
+  test("beam search over the graph serves out-of-corpus queries exactly at moderate ef") {
+    val pts = emb(300, dims = 8)
+    val g = KnnGraph.nnDescent(pts, "id", "vec", k = 5, buildK = 24).graph
+    val qs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") >= 300 && col("vec_id") < 320)
+      .select(col("vec_id").as("qid"), slice(col("embedding"), 1, 8).as("qvec"))
+    val got = KnnGraph.searchGraph(pts, g, qs, "qid", "qvec",
+        k = 5, ef = 32)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = SimilarityJoin.knnL2(
+        pts.select(col("id"), col("vec")), "id", "vec",
+        qs, "qid", "qvec", 5)
+      .select($"qid", col("id"), $"rn".cast("int"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got.size == 20 * 5)
+    assert(got == want, "beam-served top-5 must equal brute force at ef=32")
+  }
+
+  test("beam search with ef >= n on a connected graph is exact by construction") {
+    val pts = emb(120, dims = 8)
+    val g = KnnGraph.nnDescent(pts, "id", "vec", k = 5, buildK = 24).graph
+    val qs = pts.limit(6)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = KnnGraph.searchGraph(pts, g, qs, "qid", "qvec",
+        k = 3, ef = 120, nEntries = 1)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = SimilarityJoin.knnL2(
+        pts.select(col("id"), col("vec")), "id", "vec",
+        qs, "qid", "qvec", 3)
+      .select($"qid", col("id"), $"rn".cast("int"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == want)
+  }
+
   test("deterministic across runs; k rows per node; self never appears") {
     val pts = emb(80)
     val r1 = KnnGraph.nnDescent(pts, "id", "vec", k = 4)
