@@ -63,11 +63,13 @@ object KnnGraph {
     val n = points.count()
     require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
     val kb = effectiveBuildK(k, buildK, n)
-    val init = scoreEdges(points,
-        seedEdges(points.select(col("id")), points.select(col("id")), kb))
+    val seeds = seedEdges(points.select(col("id")), points.select(col("id")), kb)
+    val init = scoreEdges(points, seeds)
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
       .drop("rank")
       .withColumn("new", lit(true))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(seeds)
     descend(points, init, k, kb, maxIters)
   }
 
@@ -105,14 +107,15 @@ object KnnGraph {
         col("nbr").cast("long").as("nbr"),
         col("distance").cast("float").as("distance"))
       .withColumn("new", lit(false))
-    val newSeeds = scoreEdges(points,
-        seedEdges(fresh.select(col("id")), points.select(col("id")), kb))
-      .withColumn("new", lit(true))
-    val init = prior.unionAll(newSeeds)
+    val seeds = seedEdges(fresh.select(col("id")), points.select(col("id")), kb)
+    val init = prior.unionAll(
+        scoreEdges(points, seeds).withColumn("new", lit(true)))
       .groupBy(col("id"), col("nbr"))
       .agg(min(col("distance")).as("distance"), max(col("new")).as("new"))
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
       .drop("rank")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(seeds)
     descend(points, init, k, kb, maxIters)
   }
 
@@ -190,6 +193,9 @@ object KnnGraph {
       visited = merged
       done = grew == 0L
     }
+    // only the final beam checkpoint backs the returned frame
+    for (aux <- Seq(pts, qs, und))
+      org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(aux)
     visited
       .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("distance"), col("rank"))
@@ -239,9 +245,15 @@ object KnnGraph {
   /** The shared descent loop over an initial (id, nbr, distance, new)
     * graph whose list width is `kb`; returns the top-k projection.
     */
+  /** `init` must already be an EAGER localCheckpoint (the loop
+    * unpersists the previous generation each iteration, init
+    * included); every auxiliary checkpoint except the returned final
+    * graph is dropped before returning — gates that build many graphs
+    * must not accumulate cached blocks.
+    */
   private def descend(points: DataFrame, init: DataFrame, k: Int, kb: Int,
       maxIters: Int): Report = {
-    var graph = init.localCheckpoint(true)
+    var graph = init
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
@@ -290,6 +302,9 @@ object KnnGraph {
       graph = merged
       converged = updates == 0L
     }
+    // the final graph checkpoint backs the returned frame and stays;
+    // the points checkpoint backed only the loop's scoring joins
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(points)
     val out = graph
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
       .select(col("id"), col("nbr"), col("distance"), col("rank"))
