@@ -168,6 +168,11 @@ object KnnGraph {
         qs.select(col("qid")).crossJoin(entries))
       .withColumn("new", lit(true))
       .localCheckpoint(true)
+    // the seen set is SEPARATE from the beam: a node evicted from the
+    // top-ef beam must stay ineligible for re-proposal (it can never
+    // re-enter — the ef-th distance only tightens), otherwise later
+    // hops re-score evicted nodes every time a frontier touches them
+    var seen = visited.select(col("qid"), col("id")).localCheckpoint(true)
     var hops = 0
     var done = false
     while (hops < maxHops && !done) {
@@ -176,8 +181,8 @@ object KnnGraph {
         .select(col("qid"), col("id").as("node"))
       val unseen = frontier.join(und, Seq("node"))
         .select(col("qid"), col("cand").as("id")).distinct()
-        .join(visited.select(col("qid"), col("id")),
-          Seq("qid", "id"), "left_anti")
+        .join(seen, Seq("qid", "id"), "left_anti")
+        .localCheckpoint(true) // consumed twice: scoring + seen fold
       val merged = visited.select(col("qid"), col("id"), col("distance"),
           lit(false).as("fresh"))
         .unionAll(scoreCands(unseen).withColumn("fresh", lit(true)))
@@ -185,16 +190,18 @@ object KnnGraph {
         .drop("rn")
         .withColumnRenamed("fresh", "new")
         .localCheckpoint(true)
+      val nextSeen = seen.unionAll(unseen).localCheckpoint(true)
       val grew = merged.filter(col("new")).count()
       if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
         println(s"searchGraph hop $hops: $grew beam entries")
-      org.apache.spark.sql.graftshim.GraftShim
-        .unpersistLocalCheckpoint(visited)
+      for (old <- Seq(visited, seen, unseen))
+        org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(old)
       visited = merged
+      seen = nextSeen
       done = grew == 0L
     }
     // only the final beam checkpoint backs the returned frame
-    for (aux <- Seq(pts, qs, und))
+    for (aux <- Seq(pts, qs, und, seen))
       org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(aux)
     visited
       .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)

@@ -214,7 +214,13 @@ object LexIndex {
         if (!fs.exists(dest)) fs.mkdirs(dest)
         fs.listStatus(d).map(_.getPath).foreach { f =>
           if (f.getName.endsWith(".parquet")) added += 1
-          fs.rename(f, new Path(dest, f.getName))
+          // Hadoop rename signals failure by RETURNING false — an
+          // unchecked call would silently drop the posting file while
+          // `added` still counts it (queries then silently miss the
+          // batch); throw like writeBuildMeta's activation rename
+          if (!fs.rename(f, new Path(dest, f.getName)))
+            throw new java.io.IOException(
+              s"lex append: could not move $f into $dest")
         }
       }
     fs.delete(staging, true)

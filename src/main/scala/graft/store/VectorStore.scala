@@ -884,19 +884,41 @@ class VectorStore private (
   // the same one-source-of-truth move as the metric/kind markers.
   private def buildMetaPath = new Path(annPath, "build.meta")
 
+  /** Activate a staged marker file over its destination in ONE rename
+    * (FileContext rename with OVERWRITE) — delete-then-rename leaves a
+    * crash window with NO file at all, which downstream readers treat
+    * as "pre-recipe layout" and silently fall back to defaults. Where
+    * an FS genuinely cannot overwrite-rename, the delete+rename
+    * fallback keeps the old (accepted, logged) window.
+    */
+  private def activateMarker(staging: Path, dest: Path): Unit =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dest.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(staging, dest,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        logWarning(s"FS for $dest lacks overwrite-rename — falling back " +
+          "to delete+rename (non-atomic: a crash between the two leaves " +
+          "no marker, and the next reader takes the missing-file path)")
+        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(staging, dest))
+          throw new java.io.IOException(s"could not activate $staging")
+    }
+
   private def writeBuildMeta(kv: Map[String, Any]): Unit = {
-    // staging + rename: a crash mid-write must never leave a TRUNCATED
-    // recipe behind (a half-written key set would send rebuildAnnIndex
-    // down the recipe path missing hyperparameters)
+    // staging + atomic activation: a crash mid-write must never leave
+    // a TRUNCATED recipe behind (a half-written key set would send
+    // rebuildAnnIndex down the recipe path missing hyperparameters),
+    // and the overwrite-rename closes the no-file window too
     val staging = new Path(annPath,
       s"_build.meta.staging-${java.util.UUID.randomUUID()}")
     val out = annFs.create(staging, true)
     val body = kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (annFs.exists(buildMetaPath)) annFs.delete(buildMetaPath, false)
-    if (!annFs.rename(staging, buildMetaPath))
-      throw new java.io.IOException(
-        s"writeBuildMeta: could not activate $staging")
+    activateMarker(staging, buildMetaPath)
   }
 
   private def readBuildMeta(): Option[Map[String, String]] =
@@ -1502,9 +1524,13 @@ class VectorStore private (
     }
     val batch = rows.select($"id", $"vec").withColumn(GenCol, lit(gen))
     // per-cell assignment counts are collected from the append's own
-    // cached batch ONLY when a policy consumes them — the delta that
-    // keeps the maintenance stats exact without any index-size job
-    val wantCounts = maintenance.isDefined
+    // cached batch whenever a policy consumes them OR a persisted
+    // stats table exists — the latter keeps the table exact across a
+    // disable/re-enable cycle (and across handles that never enabled
+    // maintenance): without it, appends with maintenance off would
+    // skip the O(batch) bump while enableAutoMaintenance only recounts
+    // when the file is MISSING, leaving triggers on undercounted cells
+    val wantCounts = maintenance.isDefined || annFs.exists(annCellStatsPath)
     val deltas = annKind match {
       case "ivfpq_res" =>
         graft.operators.Pq.appendToIvfPqIndexResidual(spark, annPath, batch,
@@ -1580,18 +1606,30 @@ class VectorStore private (
   private[graft] def claimWriterLease(): Unit = {
     val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(leasePath)) fs.delete(leasePath, false)
+    // keep the create failure: a transient FS error (permissions,
+    // quota) must surface as the CAUSE, not be misdiagnosed as a lost
+    // claim race by the verify below
+    var createFailure: Option[java.io.IOException] = None
     try {
       val out = fs.create(leasePath, false)
       try out.write(writerToken.getBytes("UTF-8")) finally out.close()
     } catch {
       // another claimer's create won the race — the verify below fails
-      case _: java.io.IOException =>
+      case e: java.io.IOException => createFailure = Some(e)
     }
-    if (!readLeaseToken(fs).contains(writerToken))
-      throw new IllegalStateException(
+    if (!readLeaseToken(fs).contains(writerToken)) {
+      val ex = new IllegalStateException(
         s"single-writer violation: lost the writer-lease claim race on " +
-        s"$path to another handle. The winning claimer owns the store; " +
-        "re-open (or retry the mutation) to take over.")
+        s"$path to another handle" +
+        createFailure.fold("")(e =>
+          s" (lease create failed: ${e.getMessage} — if that error is " +
+          "not a plain already-exists, suspect an FS fault, not a " +
+          "racing writer)") +
+        ". The winning claimer owns the store; re-open (or retry the " +
+        "mutation) to take over.")
+      createFailure.foreach(ex.initCause)
+      throw ex
+    }
     leaseClaimed = true
   }
 
@@ -1668,9 +1706,7 @@ class VectorStore private (
     val body = m.toSeq.sorted.map { case (c, n) => s"$c\t$n" }.mkString("\n")
     val out = annFs.create(staging, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (annFs.exists(annCellStatsPath)) annFs.delete(annCellStatsPath, false)
-    if (!annFs.rename(staging, annCellStatsPath))
-      throw new java.io.IOException(s"could not activate $staging")
+    activateMarker(staging, annCellStatsPath)
   }
 
   /** The one O(index) stats path: recount every cell from the index
@@ -2762,7 +2798,12 @@ class VectorStore private (
     docIdxFs.listStatus(staging).map(_.getPath).foreach { f =>
       if (f.getName.endsWith(".parquet")) {
         added += 1
-        docIdxFs.rename(f, new Path(dir, f.getName))
+        // rename returns false on failure — unchecked, a failed move
+        // silently drops the sidecar file while the marker still
+        // counts it; throw like writeBuildMeta's activation rename
+        if (!docIdxFs.rename(f, new Path(dir, f.getName)))
+          throw new java.io.IOException(
+            s"sidecar append: could not move $f into $dir")
       }
     }
     docIdxFs.delete(staging, true)

@@ -114,6 +114,34 @@ class MaintenanceStatsSpec extends SparkSuite {
     s.disableAutoMaintenance()
   }
 
+  test("cell stats stay exact across a disable/re-enable cycle with interleaved appends") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("reenable"), 4,
+      tombstoneDeletes = true)
+    s.insert((0 until 300).map(vec))
+    s.buildAnnIndex(nCentroids = 4, iters = 2, seedRounds = 0)
+    s.enableAutoMaintenance(IndexMaintenancePolicy(maxCellRows = 1000000L))
+    s.disableAutoMaintenance()
+    // appends with maintenance OFF must still keep the persisted table
+    // exact (r12 advice: enable only recounts when the file is MISSING,
+    // so a skipped bump here would leave triggers undercounted forever)
+    s.insert((300 until 420).map(vec))
+    s.enableAutoMaintenance(IndexMaintenancePolicy(maxCellRows = 1000000L))
+    val p = new Path(s.path, "ann/cellstats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val persisted = body.split("\n").filter(_.contains("\t")).map { l =>
+      val Array(c, cn) = l.split("\t", 2); c.toLong -> cn.toLong
+    }.toMap
+    val actual = spark.read.parquet(s"${s.path}/ann/index")
+      .groupBy(org.apache.spark.sql.functions
+        .col("centroid_id").cast("long")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(persisted == actual,
+      "stats must reflect appends made while maintenance was disabled")
+    s.disableAutoMaintenance()
+  }
+
   test("quantized retrain cooldown: inherent skew fires ONE retrain, then suppresses") {
     val s = VectorStore.openOrCreate(spark, mkRoot("cooldown"), 4,
       tombstoneDeletes = true)
