@@ -208,6 +208,31 @@ object SparkEntry {
         hround(col("distance").cast("double"), 4).as("dist"))
       .orderBy("qid", "rn")
 
+  /** The graph gates' shared 8-dim NN-Descent fixture, built ONCE per
+    * process per (dir, size, k, buildK): the descent is deterministic
+    * (same input → same converged graph), so `ann_knn_graph`,
+    * `gr_knn_components`, `ann_knn_graph_search`, and
+    * `ann_knn_graph_delete` reuse one checkpointed build instead of
+    * four (`ann_knn_graph_append` keeps its OWN two descents — the
+    * incremental fold IS that gate — but seeds the 200-node entry for
+    * whoever runs later, since the fold provably converges to the same
+    * fixpoint).
+    */
+  private val graphMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def graphFixture(s: SparkSession, dir: String,
+      maxId: Int): DataFrame =
+    T(s, dir, "embeddings").filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("id"),
+        slice(col("embedding"), 1, 8).as("vec"))
+
+  private def memoGraph(s: SparkSession, dir: String, maxId: Int,
+      k: Int, buildK: Int): DataFrame =
+    graphMemo.computeIfAbsent(s"$dir/$maxId/$k/$buildK", _ =>
+      graft.operators.KnnGraph.nnDescent(graphFixture(s, dir, maxId),
+        "id", "vec", k, buildK = buildK).graph)
+
   private val knnOracle: String = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
     scored AS (
@@ -1785,6 +1810,53 @@ object SparkEntry {
         .select(col("qid").cast("long").as("qid"), col("id"),
           col("rank").cast("long").as("rank"))
         .orderBy("qid", "rank")
+    }),
+
+    // Selectivity-adaptive HYBRID (r12 verdict #4): the dense arm of
+    // the fused retrieval dispatched through the same
+    // bruteForceThreshold switch as vs_filtered_adaptive, through a
+    // delete. Selective side: 4 live g="9" matches <= threshold 50,
+    // served at nProbe = 1 — the probed arm would under-fill the dense
+    // shortlist from one cell, so the gate only matches the oracle if
+    // the exact dispatch actually fires (non-vacuous). Unselective
+    // side stays probed at full probe (degenerates to exact). Equal
+    // token counts per doc keep the BM25 rank integer-determined, as
+    // in vs_hybrid.
+    "vs_hybrid_adaptive" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_hyba_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val mid = when(col("label") % 2 === 0,
+        concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
+      val grp = when(col("vec_id") % 100 === 37, lit("9"))
+        .otherwise((col("label") % 3).cast("string"))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec"),
+          concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
+            lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
+            lit(" pad\", \"g\": \""), grp, lit("\"}")).as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
+      store.buildLexIndex()
+      store.delete(Seq(37L, 80L)) // 37 was a g="9" row
+      val qvecs = emb.filter(col("vec_id").isin(2, 5))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).toArray).toSeq
+      val sel = store.searchHybridAll(qvecs, Seq("w1", "v2"), k = 3,
+          preds = Seq(graft.store.DocEquals(Seq("g"), Seq("9"))),
+          shortlist = 10, nProbe = 1, bruteForceThreshold = 50L)
+        .select(lit("sel").as("side"), col("qid").cast("long").as("qid"),
+          col("id"), col("rank").cast("long").as("rank"))
+      val uns = store.searchHybridAll(qvecs, Seq("w1", "v2"), k = 5,
+          preds = Seq(graft.store.DocEquals(Seq("g"), Seq("1"))),
+          shortlist = 20, nProbe = 8, bruteForceThreshold = 50L)
+        .select(lit("uns").as("side"), col("qid").cast("long").as("qid"),
+          col("id"), col("rank").cast("long").as("rank"))
+      sel.unionAll(uns).orderBy("side", "qid", "rank")
     }),
 
     // Time travel on the tombstone layout: populate, pin the version,
@@ -3435,12 +3507,8 @@ object SparkEntry {
     // WIDENED TO DOUBLE against the 0.2 literal, so the edge set is
     // bit-identical.
     "gr_knn_components" -> ((s, dir) => {
-      val pts = T(s, dir, "embeddings").filter(col("vec_id") < 300)
-        .select(col("vec_id").as("id"),
-          slice(col("embedding"), 1, 8).as("vec"))
-      val rep = graft.operators.KnnGraph.nnDescent(pts, "id", "vec",
-        k = 5, buildK = 24)
-      val edges = rep.graph
+      val pts = graphFixture(s, dir, 300)
+      val edges = memoGraph(s, dir, 300, k = 5, buildK = 24)
         .filter(col("distance").cast("double") <= 0.2)
         .select(col("id").as("a_id"), col("nbr").as("b_id"))
       operators.Dedup.connectedComponents(
@@ -4895,12 +4963,7 @@ object SparkEntry {
     // (per-node recall 1.0, KnnGraphSpec), so DuckDB replays plain
     // brute force; buildK = 24 is the paper's K-vs-k quality knob.
     "ann_knn_graph" -> ((s, dir) => {
-      val pts = T(s, dir, "embeddings").filter(col("vec_id") < 300)
-        .select(col("vec_id").as("id"),
-          slice(col("embedding"), 1, 8).as("vec"))
-      val rep = graft.operators.KnnGraph.nnDescent(pts, "id", "vec",
-        k = 5, buildK = 24)
-      rep.graph
+      memoGraph(s, dir, 300, k = 5, buildK = 24)
         .select(col("id"), col("nbr"), col("rank"),
           hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("id", "rank")
@@ -4913,15 +4976,17 @@ object SparkEntry {
     // the union build: the exact 5-NN graph, so the oracle is the
     // identical brute-force replay over the union corpus.
     "ann_knn_graph_append" -> ((s, dir) => {
-      val all = T(s, dir, "embeddings").filter(col("vec_id") < 200)
-        .select(col("vec_id").as("id"),
-          slice(col("embedding"), 1, 8).as("vec"))
+      val all = graphFixture(s, dir, 200)
       val base = all.filter(col("id") < 150)
       val batch = all.filter(col("id") >= 150)
       val g0 = graft.operators.KnnGraph.nnDescent(base, "id", "vec",
         k = 5, buildK = 24)
       val rep = graft.operators.KnnGraph.nnDescentAppend(base, g0.graph,
         batch, "id", "vec", k = 5, buildK = 24)
+      // the fold converges to the union fixpoint (the gate asserts it
+      // against the union brute force) — seed the shared fixture so a
+      // later graph gate skips its descent
+      graphMemo.putIfAbsent(s"$dir/200/5/24", rep.graph)
       rep.graph
         .select(col("id"), col("nbr"), col("rank"),
           hround(col("distance").cast("double"), 4).as("dist"))
@@ -4935,17 +5000,72 @@ object SparkEntry {
     // top-5 equals brute force exactly (KnnGraphSpec), so the oracle
     // is the plain brute replay.
     "ann_knn_graph_search" -> ((s, dir) => {
-      val pts = T(s, dir, "embeddings").filter(col("vec_id") < 200)
-        .select(col("vec_id").as("id"),
-          slice(col("embedding"), 1, 8).as("vec"))
-      val g = graft.operators.KnnGraph.nnDescent(pts, "id", "vec",
-        k = 5, buildK = 24).graph
+      val pts = graphFixture(s, dir, 200)
+      val g = memoGraph(s, dir, 200, k = 5, buildK = 24)
       val qs = T(s, dir, "embeddings")
         .filter(col("vec_id") >= 300 && col("vec_id") < 315)
         .select(col("vec_id").as("qid"),
           slice(col("embedding"), 1, 8).as("qvec"))
       graft.operators.KnnGraph.searchGraph(pts, g, qs, "qid", "qvec",
           k = 5, ef = 32)
+        .select(col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Graph DELETE maintenance on the persisted layout: build (from
+    // the shared fixture), remove 6 nodes via deleteAndRepair —
+    // affected survivors (the dead nodes' rev sets, a bucket-pruned
+    // lookup) re-search the masked graph seeded from their surviving
+    // lists + entry medoids + the dead region's fringe. The repaired
+    // graph must equal the brute-force 5-NN graph OVER THE SURVIVORS
+    // exactly, which DuckDB replays independently.
+    "ann_knn_graph_delete" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"$scratchRoot/knn_graph_delete"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val pts = graphFixture(s, dir, 200).withColumn("gen", lit(0L))
+      graft.operators.KnnGraphIndex.write(s, root, pts,
+        memoGraph(s, dir, 200, k = 5, buildK = 24),
+        k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+      graft.operators.KnnGraphIndex.deleteAndRepair(s, root,
+        Seq(7L, 42L, 99L, 123L, 150L, 188L).toDF("id"))
+      graft.operators.KnnGraphIndex.edges(s, root)
+        .select(col("id"), col("nbr"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("id", "rank")
+    }),
+
+    // The k-NN graph as a STORE index family (r12 verdict #1): built
+    // through the VectorStore lifecycle, served from the persisted
+    // layout (medoid entries + bucket-pruned hops — no O(n)/O(E) prep,
+    // plan-asserted in GraphIndexSpec), THROUGH a delete (tombstone
+    // mask + edge repair) and a post-build append (nnDescentAppend
+    // fold, touched-buckets-only rewrite). Serving equals brute force
+    // over the final live rows, which DuckDB replays: ids 0..199 are
+    // vec_id order, the appended batch takes ids 200.. in vec_id
+    // order, deleted ids drop out.
+    "vs_graph_search" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_graph_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings")
+      store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
+        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
+      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+      store.delete(Seq(10L, 77L, 150L))
+      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
+        .orderBy("vec_id").coalesce(1)
+        .select(slice(col("embedding"), 1, 8).as("vec")))
+      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 312)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      store.searchGraphDF(qs, k = 5, ef = 48)
         .select(col("qid"), col("id"), col("rank"),
           hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("qid", "rank")
@@ -6806,6 +6926,105 @@ object SparkEntry {
         FROM fused)
       SELECT CAST(qid AS BIGINT) AS qid, id, CAST(rank AS BIGINT) AS rank
       FROM rk WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // Adaptive hybrid: the same RRF replay on BOTH sides of the
+    // crossover. Selective side (g = '9', 4 live rows): the gate
+    // serves it at nProbe = 1, so it matches this exact replay ONLY if
+    // the bruteForceThreshold dispatch skipped the probed arm.
+    // Unselective side (g = '1') runs at full probe = exact. tf logic
+    // as in vs_hybrid: 'w1' matches label%7=1 (tf 2 when label even,
+    // else 1), 'v2' matches vec_id%5=2 (tf 1); dl constant.
+    "vs_hybrid_adaptive" -> """
+      WITH q AS (
+        SELECT 0 AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 2
+        UNION ALL
+        SELECT 1, embedding FROM embeddings WHERE vec_id = 5),
+      live_sel AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < 500 AND vec_id % 100 = 37
+          AND vec_id NOT IN (37, 80)),
+      live_uns AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < 500 AND label % 3 = 1 AND vec_id % 100 <> 37
+          AND vec_id NOT IN (37, 80)),
+      den_sel AS (
+        SELECT qid, id, drank FROM (
+          SELECT q.qid, e.vec_id AS id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(e.embedding, q.qvec), e.vec_id)
+                   AS drank
+          FROM live_sel e CROSS JOIN q)
+        WHERE drank <= 4),
+      den_uns AS (
+        SELECT qid, id, drank FROM (
+          SELECT q.qid, e.vec_id AS id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(e.embedding, q.qvec), e.vec_id)
+                   AS drank
+          FROM live_uns e CROSS JOIN q)
+        WHERE drank <= 20),
+      tf_sel AS (
+        SELECT t.qid, e.vec_id AS id,
+               CASE WHEN t.qid = 0 AND e.label % 7 = 1
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 1 AND e.vec_id % 5 = 2 THEN 1
+                    ELSE 0 END AS tf
+        FROM live_sel e CROSS JOIN (VALUES (0), (1)) AS t(qid)),
+      tf_uns AS (
+        SELECT t.qid, e.vec_id AS id,
+               CASE WHEN t.qid = 0 AND e.label % 7 = 1
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 1 AND e.vec_id % 5 = 2 THEN 1
+                    ELSE 0 END AS tf
+        FROM live_uns e CROSS JOIN (VALUES (0), (1)) AS t(qid)),
+      lex_sel AS (
+        SELECT qid, id, lrank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY tf DESC, id)
+                   AS lrank
+          FROM tf_sel WHERE tf > 0)
+        WHERE lrank <= 4),
+      lex_uns AS (
+        SELECT qid, id, lrank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY tf DESC, id)
+                   AS lrank
+          FROM tf_uns WHERE tf > 0)
+        WHERE lrank <= 20),
+      fused_sel AS (
+        SELECT qid, id, sum(c) AS rrf FROM (
+          SELECT qid, id, 1.0 / (60.0 + CAST(drank AS DOUBLE)) AS c
+          FROM den_sel
+          UNION ALL
+          SELECT qid, id, 1.0 / (60.0 + CAST(lrank AS DOUBLE)) AS c
+          FROM lex_sel)
+        GROUP BY qid, id),
+      fused_uns AS (
+        SELECT qid, id, sum(c) AS rrf FROM (
+          SELECT qid, id, 1.0 / (60.0 + CAST(drank AS DOUBLE)) AS c
+          FROM den_uns
+          UNION ALL
+          SELECT qid, id, 1.0 / (60.0 + CAST(lrank AS DOUBLE)) AS c
+          FROM lex_uns)
+        GROUP BY qid, id),
+      out_sel AS (
+        SELECT 'sel' AS side, qid, id, rank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+                   AS rank
+          FROM fused_sel)
+        WHERE rank <= 3),
+      out_uns AS (
+        SELECT 'uns' AS side, qid, id, rank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+                   AS rank
+          FROM fused_uns)
+        WHERE rank <= 5)
+      SELECT side, CAST(qid AS BIGINT) AS qid, id,
+             CAST(rank AS BIGINT) AS rank
+      FROM (SELECT * FROM out_sel UNION ALL SELECT * FROM out_uns)
+      ORDER BY side, qid, rank""",
     // Independent Indel-distance replay (vector_store.py:377-387
     // semantics): LCS by the classic O(n·m) DP, run as a recursive CTE
     // over doc-character index i, each step folding the next DP row with
@@ -9132,6 +9351,56 @@ object SparkEntry {
       scored AS (
         SELECT q.qid, e.id, list_distance(e.vec, q.qvec) AS distance
         FROM e CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY distance, id) AS rank
+        FROM scored)
+      SELECT qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // repaired-after-delete ≡ brute force over the SURVIVORS — the
+    // oracle knows nothing about the repair mechanics, it just
+    // recomputes the survivor 5-NN graph
+    "ann_knn_graph_delete" -> raw"""
+      WITH e AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings
+        WHERE vec_id < 200
+          AND vec_id NOT IN (7, 42, 99, 123, 150, 188)),
+      scored AS (
+        SELECT a.id, b.id AS nbr, list_distance(a.vec, b.vec) AS distance
+        FROM e a JOIN e b ON a.id <> b.id),
+      ranked AS (
+        SELECT id, nbr, distance,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY distance, nbr) AS rank
+        FROM scored)
+      SELECT id, nbr, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
+
+    // store-lifecycle graph serving ≡ brute force over the final live
+    // rows: ids 0..199 in vec_id order minus the deleted {10, 77,
+    // 150}, plus the appended batch (vec_id 400..414) at ids 200.. in
+    // vec_id order
+    "vs_graph_search" -> raw"""
+      WITH base AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings
+        WHERE vec_id < 200 AND vec_id NOT IN (10, 77, 150)),
+      appended AS (
+        SELECT 199 + row_number() OVER (ORDER BY vec_id) AS id,
+               embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 415),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id >= 300 AND vec_id < 312),
+      scored AS (
+        SELECT q.qid, c.id, list_distance(c.vec, q.qvec) AS distance
+        FROM corpus c CROSS JOIN q),
       ranked AS (
         SELECT qid, id, distance,
                row_number() OVER (PARTITION BY qid

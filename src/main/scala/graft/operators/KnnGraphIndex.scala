@@ -1,0 +1,565 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
+
+import graft.functions.l2_distance
+
+/** Persisted k-NN-graph index layout — the graph-ANN twin of the IVF
+  * layout in [[Ann.writeIvfIndex]], built so SERVING never pays
+  * corpus-sized prep (the round-12 finding against the standalone
+  * [[KnnGraph.searchGraph]], which re-derived the undirected adjacency
+  * — an O(E) shuffle — and re-scanned all ids for entry points on
+  * every call).
+  *
+  * Layout under `<root>/`:
+  *
+  *   - `nodes/` — ONE parquet table partitioned by
+  *     `bucket = pmod(xxhash64(id), nBuckets)`, one row per node:
+  *     `(id, vec, gen, fwd: array<struct<nbr,dist>>, rev: array<long>)`.
+  *     `fwd` is the node's own k-NN list in rank order; `rev` is the
+  *     exact set of nodes whose lists contain it. This is the
+  *     DiskANN-style node record (Subramanya et al., NeurIPS'19):
+  *     vector and adjacency co-located, so a beam hop is two
+  *     BUCKET-PRUNED id lookups (expand the frontier's lists, fetch
+  *     candidate vectors) — reads bounded by the hop's touched
+  *     buckets, never by n or E. Keeping `fwd` and `rev` separate
+  *     (instead of one undirected set) is what makes maintenance
+  *     O(diff): a list change updates `fwd` at one node and `rev` at
+  *     the symmetric-difference partners, with no membership-count
+  *     ambiguity.
+  *   - `entries` — text file of entry-point ids: K-MEANS MEDOIDS
+  *     (nearest real row to each of `nEntries` cluster centers), so
+  *     beams start near every region of the corpus instead of at
+  *     arbitrary scrambled-order heads. Materialized AT BUILD.
+  *   - `meta` — build recipe (`k`, `buildK`, `maxIters`, `nBuckets`,
+  *     `nEntries`) so incremental appends replay the descent with the
+  *     recorded hyperparameters.
+  *
+  * Maintenance (the [[graft.store.VectorStore]] ingest contract):
+  *
+  *   - append: [[KnnGraph.nnDescentAppend]] folds the batch into the
+  *     persisted graph (O(batch)-seeded descent), then ONLY the
+  *     buckets whose rows changed are rewritten (Spark dynamic
+  *     partition overwrite) — list diffs drive `fwd` updates at
+  *     changed nodes and `rev` updates at their diff partners.
+  *   - delete: affected nodes (exactly `rev` of the dead — a
+  *     bucket-pruned lookup, never an O(E) reverse scan) drop dead
+  *     entries and RE-SEARCH the masked graph seeded from their own
+  *     surviving lists plus the entry medoids, keeping the beam's
+  *     top-k as the repaired list (the FreshDiskANN §4 repair shape:
+  *     O(affected × beam), not a from-scratch descent). Dead node
+  *     rows are removed; every `rev` that referenced them is cleaned
+  *     through the same diff machinery.
+  *
+  * Gen discipline: rows carry the store's write-generation so serving
+  * composes the same `data.gen < tomb.gen` tombstone mask as every
+  * other derived structure (repair removes dead rows eagerly; the mask
+  * covers the window in between, and crash debris).
+  */
+object KnnGraphIndex {
+
+  /** Build recipe + layout shape, persisted at `<root>/meta`. */
+  case class Meta(k: Int, buildK: Int, maxIters: Int, nBuckets: Int,
+      nEntries: Int)
+
+  private def nodesPath(root: String) = s"$root/nodes"
+  private def metaPath(root: String) = new Path(root, "meta")
+  private def entriesPath(root: String) = new Path(root, "entries")
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketOf(c: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(c), lit(nBuckets.toLong))
+
+  private val FwdType = "array<struct<nbr:bigint,dist:float>>"
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(new Path(nodesPath(root)))
+
+  def drop(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (f.exists(p) && !f.delete(p, true))
+      throw new java.io.IOException(s"could not drop graph index at $root")
+  }
+
+  def readMeta(spark: SparkSession, root: String): Meta = {
+    val f = fs(spark, root)
+    val in = f.open(metaPath(root))
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val m = body.split("\n").filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    Meta(m("k").toInt, m("buildK").toInt, m("maxIters").toInt,
+      m("nBuckets").toInt, m("nEntries").toInt)
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit = {
+    val body = s"k=${m.k}\nbuildK=${m.buildK}\nmaxIters=${m.maxIters}\n" +
+      s"nBuckets=${m.nBuckets}\nnEntries=${m.nEntries}"
+    val out = fs(spark, root).create(metaPath(root), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readEntries(spark: SparkSession, root: String): Seq[Long] = {
+    val in = fs(spark, root).open(entriesPath(root))
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).toSeq
+  }
+
+  private def writeEntries(spark: SparkSession, root: String,
+      ids: Seq[Long]): Unit = {
+    val out = fs(spark, root).create(entriesPath(root), true)
+    try out.write(ids.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Entry-point medoids: the nearest REAL row to each of `nEntries`
+    * k-means centers (cheap sample-seeded training — entry quality
+    * needs coverage, not converged clustering). Deterministic.
+    */
+  private def pickMedoids(points: DataFrame, nEntries: Int,
+      n: Long): Seq[Long] = {
+    val kk = math.min(nEntries.toLong, n).toInt
+    val cents = Ann.kmeans(points, "id", "vec", kk, iters = 3,
+      seedRounds = 0)
+    Ann.assign(points, "id", "vec", cents)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("d", l2_distance(col("vec"), col("centroid")))
+      .groupBy(col("centroid_id"))
+      .agg(min(struct(col("d"), col("id"))).as("m"))
+      .select(col("m.id"))
+      .collect().map(_.getLong(0)).toSeq.distinct
+  }
+
+  /** Fit the graph over `points` (`id`, `vec`, `gen`) and persist the
+    * full layout. Returns the descent report (for callers that assert
+    * convergence).
+    */
+  def build(spark: SparkSession, root: String, points: DataFrame,
+      k: Int, buildK: Int = 0, maxIters: Int = 25, nEntries: Int = 4,
+      nBuckets: Int = 16): KnnGraph.Report = {
+    val pts = points.select(col("id").cast("long").as("id"), col("vec"),
+      col("gen").cast("long").as("gen")).localCheckpoint(true)
+    val rep = KnnGraph.nnDescent(pts.select(col("id"), col("vec")),
+      "id", "vec", k, maxIters, buildK)
+    write(spark, root, pts, rep.graph, k, buildK, maxIters, nEntries,
+      nBuckets)
+    GraftShim.unpersistLocalCheckpoint(rep.graph)
+    GraftShim.unpersistLocalCheckpoint(pts)
+    // the descent's checkpoint is released above (layout builds must
+    // not accumulate cached blocks); the report's graph re-reads the
+    // just-persisted artifact instead
+    rep.copy(graph = edges(spark, root))
+  }
+
+  /** Persist a layout from an ALREADY-BUILT (id, nbr, distance, rank)
+    * graph over `points` (`id`, `vec`, `gen`) — [[build]] minus the
+    * descent, for callers that hold a converged graph.
+    */
+  def write(spark: SparkSession, root: String, points: DataFrame,
+      graph: DataFrame, k: Int, buildK: Int = 0, maxIters: Int = 25,
+      nEntries: Int = 4, nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(nEntries >= 1, s"nEntries must be >= 1, got $nEntries")
+    val pts = points.select(col("id").cast("long").as("id"), col("vec"),
+      col("gen").cast("long").as("gen")).localCheckpoint(true)
+    val n = pts.count()
+    val meta = Meta(k, buildK, maxIters, nBuckets, nEntries)
+    val rows = assembleRows(pts, graph, meta)
+    // stage → swap: a crash mid-build must not leave a half-written
+    // layout where a previous one served queries
+    val f = fs(spark, root)
+    val staged = s"$root/_nodes-staging"
+    rows.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    val dest = new Path(nodesPath(root))
+    if (f.exists(dest) && !f.delete(dest, true))
+      throw new java.io.IOException(s"could not clear $dest")
+    if (!f.rename(new Path(staged), dest))
+      throw new java.io.IOException(s"could not activate $staged")
+    writeEntries(spark, root, pickMedoids(pts, nEntries, n))
+    writeMeta(spark, root, meta)
+    GraftShim.unpersistLocalCheckpoint(pts)
+  }
+
+  /** Node rows from a point set and a (id, nbr, distance, rank) edge
+    * set: fwd lists in rank order, exact rev sets.
+    */
+  private def assembleRows(pts: DataFrame, g: DataFrame,
+      meta: Meta): DataFrame = {
+    val fwd = g.groupBy(col("id")).agg(
+      transform(
+        array_sort(collect_list(struct(col("rank"), col("nbr"),
+          col("distance")))),
+        t => struct(t("nbr").as("nbr"),
+          t("distance").cast("float").as("dist"))).as("fwd"))
+    val rev = g.select(col("nbr").as("id"), col("id").as("src"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("src"))).as("rev"))
+    pts.join(fwd, Seq("id"), "left").join(rev, Seq("id"), "left")
+      .select(col("id"), col("vec"), col("gen"),
+        coalesce(col("fwd"), array().cast(FwdType)).as("fwd"),
+        coalesce(col("rev"), array().cast("array<bigint>")).as("rev"),
+        bucketOf(col("id"), meta.nBuckets).as("bucket"))
+  }
+
+  /** The node rows of `ids`, read with source-level partition pruning:
+    * one tiny job collects the DISTINCT BUCKETS of `ids` (≤ nBuckets
+    * values — never the ids themselves), then the scan touches only
+    * those partitions.
+    */
+  private def lookup(spark: SparkSession, root: String, meta: Meta,
+      ids: DataFrame): DataFrame = {
+    val buckets = ids.select(bucketOf(col("id"), meta.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    if (buckets.isEmpty)
+      spark.read.parquet(nodesPath(root)).limit(0)
+    else
+      spark.read.parquet(nodesPath(root))
+        .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+        .join(broadcast(ids.select(col("id"))), Seq("id"), "left_semi")
+  }
+
+  /** All rows of the touched buckets (a rewrite must carry its whole
+    * partition).
+    */
+  private def bucketRows(spark: SparkSession, root: String,
+      buckets: Array[Long]): DataFrame =
+    if (buckets.isEmpty) spark.read.parquet(nodesPath(root)).limit(0)
+    else spark.read.parquet(nodesPath(root))
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+
+  /** The directed graph as (id, nbr, distance, rank) — exploded fwd
+    * lists (the [[KnnGraph.Report.graph]] shape; also the append
+    * path's prior).
+    */
+  def edges(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(nodesPath(root))
+      .select(col("id"), posexplode(col("fwd")).as(Seq("pos", "f")))
+      .select(col("id"), col("f.nbr").as("nbr"),
+        col("f.dist").as("distance"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** Batch beam search against the persisted layout — same walk as
+    * [[KnnGraph.searchGraph]] with serving-shaped IO: entry points are
+    * the persisted medoids (a file read, no O(n) scan), and each hop's
+    * expansion + vector fetch are bucket-pruned node lookups (no
+    * undirected-adjacency derivation — `fwd ∪ rev` IS the undirected
+    * neighborhood, materialized at build). `rowMask` composes the
+    * store's tombstone mask over candidate rows (applied BEFORE
+    * scoring, so dead nodes neither rank nor expand). Returns
+    * (qid, id, distance float, rank 1..k).
+    */
+  def search(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, ef: Int, maxHops: Int = 30,
+      rowMask: DataFrame => DataFrame = identity): DataFrame = {
+    val meta = readMeta(spark, root)
+    val qs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+      .localCheckpoint(true)
+    val entryIds = readEntries(spark, root)
+    val seeds = qs.select(col("qid"))
+      .crossJoin(broadcast(idsToDF(spark, entryIds)))
+    val out = searchCore(spark, root, meta, qs, seeds, k, ef, maxHops,
+      rowMask, excludeSelf = false)
+    GraftShim.unpersistLocalCheckpoint(qs)
+    out
+  }
+
+  private def idsToDF(spark: SparkSession, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  /** The shared beam loop: per-query state bounded by `ef`, per-hop IO
+    * bounded by the frontier's touched buckets. `seeds` is (qid, id);
+    * `excludeSelf` drops qid == id candidates (the repair path, where
+    * queries ARE nodes re-finding their own neighborhoods).
+    */
+  private def searchCore(spark: SparkSession, root: String, meta: Meta,
+      qs: DataFrame, seeds: DataFrame, k: Int, ef: Int, maxHops: Int,
+      rowMask: DataFrame => DataFrame, excludeSelf: Boolean): DataFrame = {
+    require(k >= 1 && ef >= k, s"need ef ($ef) >= k ($k) >= 1")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("distance"), col("id"))
+    def maskSelf(pairs: DataFrame): DataFrame =
+      if (excludeSelf) pairs.filter(col("qid") =!= col("id")) else pairs
+    def scoreCands(pairs: DataFrame): DataFrame = {
+      val vecs = rowMask(
+        lookup(spark, root, meta, pairs.select(col("id")).distinct())
+          .select(col("id"), col("vec"), col("gen")))
+      pairs.join(vecs.select(col("id"), col("vec")), Seq("id"))
+        .join(qs, Seq("qid"))
+        .select(col("qid"), col("id"),
+          l2_distance(col("vec"), col("qvec")).as("distance"))
+    }
+    val seed = maskSelf(seeds.select(col("qid"), col("id")).distinct())
+      .localCheckpoint(true)
+    var beam = scoreCands(seed).withColumn("new", lit(true))
+      .localCheckpoint(true)
+    // seen holds every PROPOSED pair (masked seeds included — a dead
+    // seed must not be re-proposed), separate from the beam: evicted
+    // nodes can never re-enter (the ef-th distance only tightens)
+    var seen = seed
+    var hops = 0
+    var done = false
+    while (hops < maxHops && !done) {
+      hops += 1
+      val frontier = beam.filter(col("new")).select(col("qid"), col("id"))
+      val fNodes = lookup(spark, root, meta,
+          frontier.select(col("id")).distinct())
+        .select(col("id"),
+          concat(transform(col("fwd"), f => f("nbr")), col("rev")).as("out"))
+      val unseen = maskSelf(
+          frontier.join(fNodes, Seq("id"))
+            .select(col("qid"), explode(col("out")).as("id")).distinct())
+        .join(seen, Seq("qid", "id"), "left_anti")
+        .localCheckpoint(true) // consumed twice: scoring + seen fold
+      val merged = beam.select(col("qid"), col("id"), col("distance"),
+          lit(false).as("fresh"))
+        .unionAll(scoreCands(unseen).withColumn("fresh", lit(true)))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= ef)
+        .drop("rn")
+        .withColumnRenamed("fresh", "new")
+        .localCheckpoint(true)
+      val nextSeen = seen.unionAll(unseen).localCheckpoint(true)
+      val grew = merged.filter(col("new")).count()
+      for (old <- Seq(beam, seen, unseen))
+        GraftShim.unpersistLocalCheckpoint(old)
+      beam = merged
+      seen = nextSeen
+      done = grew == 0L
+    }
+    GraftShim.unpersistLocalCheckpoint(seen)
+    beam
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("distance"), col("rank"))
+  }
+
+  /** Fold `batch` (`id`, `vec`, `gen`) into the persisted graph:
+    * [[KnnGraph.nnDescentAppend]] with the recorded recipe, then a
+    * TOUCHED-BUCKETS-ONLY rewrite (list diffs → fwd at changed nodes,
+    * rev at diff partners; dynamic partition overwrite).
+    */
+  def append(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    val meta = readMeta(spark, root)
+    val b = batch.select(col("id").cast("long").as("id"), col("vec"),
+      col("gen").cast("long").as("gen")).localCheckpoint(true)
+    if (b.isEmpty) { GraftShim.unpersistLocalCheckpoint(b); return }
+    val nodes = spark.read.parquet(nodesPath(root))
+    val prior = edges(spark, root).localCheckpoint(true)
+    val rep = KnnGraph.nnDescentAppend(nodes.select(col("id"), col("vec")),
+      prior, b.select(col("id"), col("vec")), "id", "vec", meta.k,
+      meta.maxIters, meta.buildK)
+    applyListChanges(spark, root, meta, rep.graph, prior, newRows = b,
+      removedIds = None)
+    GraftShim.unpersistLocalCheckpoint(rep.graph)
+    GraftShim.unpersistLocalCheckpoint(prior)
+    GraftShim.unpersistLocalCheckpoint(b)
+  }
+
+  /** Remove `deadIds` and repair the survivors' lists. Affected nodes
+    * are EXACTLY the dead rows' `rev` sets (bucket-pruned lookup);
+    * each drops its dead entries and re-searches the masked graph
+    * seeded from its surviving list plus the entry medoids — beam
+    * cost per affected node, never a corpus-wide descent. (Unaffected
+    * lists stay exact by construction: a deletion only removes
+    * competitors, so a list containing no dead entry is still its
+    * node's exact top-k over the survivors.)
+    */
+  def deleteAndRepair(spark: SparkSession, root: String,
+      deadIds: DataFrame, rowMask: DataFrame => DataFrame = identity,
+      ef: Int = 0, maxHops: Int = 30): Unit = {
+    val meta = readMeta(spark, root)
+    val dead = deadIds.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val deadRows = lookup(spark, root, meta, dead)
+      .select(col("id"), col("fwd"), col("rev")).localCheckpoint(true)
+    if (deadRows.isEmpty) {
+      GraftShim.unpersistLocalCheckpoint(dead)
+      GraftShim.unpersistLocalCheckpoint(deadRows)
+      return
+    }
+    val affectedIds = deadRows.select(explode(col("rev")).as("id"))
+      .distinct().join(dead, Seq("id"), "left_anti").localCheckpoint(true)
+    val affRows = lookup(spark, root, meta, affectedIds)
+      .select(col("id"), col("vec"), col("fwd")).localCheckpoint(true)
+    // prior pairs that must disappear or survive: affected lists plus
+    // the dead nodes' own lists (whose reverse entries need cleanup)
+    val affPairs = affRows
+      .select(col("id"), explode(col("fwd")).as("f"))
+      .select(col("id"), col("f.nbr").as("nbr"))
+    val deadPairs = deadRows
+      .select(col("id"), explode(col("fwd")).as("f"))
+      .select(col("id"), col("f.nbr").as("nbr"))
+    val priorPairs = affPairs.unionAll(deadPairs).localCheckpoint(true)
+    val repaired =
+      if (affRows.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("nbr"),
+          lit(0f).as("distance"), lit(0).as("rank")).limit(0)
+      else {
+        val qs = affRows.select(col("id").as("qid"), col("vec").as("qvec"))
+          .localCheckpoint(true)
+        // seeds: the node's own surviving neighbors + the medoids —
+        // the beam restarts where the list was already good
+        val live = idsToDF(spark, readEntries(spark, root))
+          .join(broadcast(dead), Seq("id"), "left_anti")
+        // ... plus the dead REGION's surviving fringe, seeded
+        // pairwise: survivors whose only path to each other ran
+        // THROUGH dead nodes (a dead hub, or a chain of deads in one
+        // batch) are unreachable by any walk of the masked graph, so
+        // group the dead into connected components (over dead–dead
+        // edges — O(batch-neighborhood), never the corpus) and let
+        // every component's fringe members seed each other. Capped
+        // per component (hash order, deterministic): a hub with a
+        // 10^5-node fringe must not explode into 10^10 seed pairs —
+        // beyond the cap the entry medoids carry reachability.
+        val deadPartners = deadRows.select(col("id"),
+            explode(concat(transform(col("fwd"), f => f("nbr")),
+              col("rev"))).as("p"))
+        val deadDead = deadPartners
+          .join(broadcast(dead.select(col("id").as("p"))), Seq("p"))
+          .select(col("id").as("a_id"), col("p").as("b_id"))
+        val comps = Dedup.connectedComponents(dead, "id", deadDead)
+        val fringe = deadPartners
+          .join(broadcast(dead.select(col("id").as("p"))), Seq("p"),
+            "left_anti")
+          .join(comps, Seq("id"))
+          .select(col("comp"), col("p").as("id")).distinct()
+        val fringeCapped = fringe
+          .withColumn("fr", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("comp")
+              .orderBy(xxhash64(col("id")), col("id"))))
+          .filter(col("fr") <= 128).drop("fr")
+        val fringeSeeds = fringeCapped
+          .join(fringe.select(col("comp"), col("id").as("qid")),
+            Seq("comp"))
+          .select(col("qid"), col("id"))
+          .join(affectedIds.select(col("id").as("qid")), Seq("qid"),
+            "left_semi")
+        val seeds = affPairs
+          .join(broadcast(dead.select(col("id").as("nbr"))), Seq("nbr"),
+            "left_anti")
+          .select(col("id").as("qid"), col("nbr").as("id"))
+          .unionAll(qs.select(col("qid")).crossJoin(broadcast(live)))
+          .unionAll(fringeSeeds)
+        val maskDead: DataFrame => DataFrame = df =>
+          rowMask(df).join(broadcast(dead), Seq("id"), "left_anti")
+        val effEf = if (ef > 0) ef
+          else math.max(32, 4 * meta.k)
+        val out = searchCore(spark, root, meta, qs, seeds, meta.k, effEf,
+          maxHops, maskDead, excludeSelf = true)
+          .select(col("qid").as("id"), col("id").as("nbr"),
+            col("distance"), col("rank"))
+          .localCheckpoint(true)
+        GraftShim.unpersistLocalCheckpoint(qs)
+        out
+      }
+    applyListChanges(spark, root, meta, repaired, priorPairs,
+      newRows = null, removedIds = Some(dead))
+    // entry hygiene: drop dead medoids; re-pick when coverage thinned
+    val liveEntries = {
+      val deadSet = dead.collect().map(_.getLong(0)).toSet
+      readEntries(spark, root).filterNot(deadSet)
+    }
+    if (liveEntries.size < math.max(1, meta.nEntries / 2)) {
+      val pts = spark.read.parquet(nodesPath(root))
+        .select(col("id"), col("vec"))
+      val n = pts.count()
+      if (n > 0)
+        writeEntries(spark, root, pickMedoids(pts, meta.nEntries, n))
+    } else writeEntries(spark, root, liveEntries)
+    for (df <- Seq(dead, deadRows, affectedIds, affRows, priorPairs,
+        repaired))
+      GraftShim.unpersistLocalCheckpoint(df)
+  }
+
+  /** The shared touched-buckets rewrite. `newG` holds the NEW lists
+    * (id, nbr, distance[, rank]) for every node whose list may have
+    * changed; `prior` the old (id, nbr) pairs of the same scope (full
+    * graph on append, affected ∪ dead lists on delete). Only buckets
+    * owning a changed row are rewritten (dynamic partition overwrite);
+    * buckets left EMPTY by removals are dropped explicitly (dynamic
+    * overwrite cannot write an empty partition).
+    */
+  private def applyListChanges(spark: SparkSession, root: String,
+      meta: Meta, newG: DataFrame, prior: DataFrame, newRows: DataFrame,
+      removedIds: Option[DataFrame]): Unit = {
+    val np = newG.select(col("id"), col("nbr"))
+    val pp = prior.select(col("id"), col("nbr"))
+    val added = np.except(pp).localCheckpoint(true)   // x now lists y
+    val removed = pp.except(np).localCheckpoint(true) // x dropped y
+    val changedIds = added.select(col("id"))
+      .unionAll(removed.select(col("id"))).distinct()
+    val partnerIds = added.select(col("nbr").as("id"))
+      .unionAll(removed.select(col("nbr").as("id"))).distinct()
+    val extraIds = Seq(
+      Option(newRows).map(_.select(col("id"))),
+      removedIds.map(_.select(col("id")))).flatten
+    val touchedIds = extraIds
+      .foldLeft(changedIds.unionAll(partnerIds))(_ unionAll _)
+      .distinct().localCheckpoint(true)
+    if (touchedIds.isEmpty) {
+      for (df <- Seq(added, removed, touchedIds))
+        GraftShim.unpersistLocalCheckpoint(df)
+      return
+    }
+    val buckets = touchedIds
+      .select(bucketOf(col("id"), meta.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val oldRows = bucketRows(spark, root, buckets)
+      .select(col("id"), col("vec"), col("gen"), col("fwd"), col("rev"))
+    val base = Option(newRows) match {
+      case Some(nr) =>
+        oldRows.unionByName(nr.select(col("id"), col("vec"), col("gen"))
+          .withColumn("fwd", array().cast(FwdType))
+          .withColumn("rev", array().cast("array<bigint>")))
+      case None => oldRows
+    }
+    val newFwd = newG
+      .join(changedIds, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(
+        transform(
+          array_sort(collect_list(struct(col("distance"), col("nbr")))),
+          t => struct(t("nbr").as("nbr"),
+            t("distance").cast("float").as("dist"))).as("nf"))
+    val revAdd = added.select(col("nbr").as("id"), col("id").as("src"))
+      .groupBy(col("id")).agg(collect_set(col("src")).as("adds"))
+    val revDel = removed.select(col("nbr").as("id"), col("id").as("src"))
+      .groupBy(col("id")).agg(collect_set(col("src")).as("dels"))
+    val masked = removedIds match {
+      case Some(r) => base.join(broadcast(r), Seq("id"), "left_anti")
+      case None => base
+    }
+    val updated = masked
+      .join(newFwd, Seq("id"), "left")
+      .join(revAdd, Seq("id"), "left")
+      .join(revDel, Seq("id"), "left")
+      .select(col("id"), col("vec"), col("gen"),
+        coalesce(col("nf"), col("fwd")).as("fwd"),
+        array_sort(array_union(
+          array_except(col("rev"),
+            coalesce(col("dels"), array().cast("array<bigint>"))),
+          coalesce(col("adds"), array().cast("array<bigint>")))).as("rev"),
+        bucketOf(col("id"), meta.nBuckets).as("bucket"))
+      .localCheckpoint(true)
+    val written = updated.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(nodesPath(root))
+    // removals can empty a bucket; dynamic overwrite leaves its old
+    // files behind, so drop those partitions here
+    val f = fs(spark, root)
+    buckets.filterNot(written).foreach { bkt =>
+      val dir = new Path(nodesPath(root), s"bucket=$bkt")
+      if (f.exists(dir) && !f.delete(dir, true))
+        throw new java.io.IOException(s"could not drop emptied $dir")
+    }
+    for (df <- Seq(added, removed, touchedIds, updated))
+      GraftShim.unpersistLocalCheckpoint(df)
+  }
+}

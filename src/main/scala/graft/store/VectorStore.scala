@@ -64,13 +64,18 @@ case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: D
   *   nBuckets files; the rebuild IS the index's compaction). The check
   *   is filesystem metadata only.
   * @param lexMaxDeadFraction after any delete, rebuild the posting
-  *   index once the tombstone-masked posting fraction passes this
-  *   (dead postings are scanned and then discarded by every query).
+  *   index once the fraction of its DOCS tombstoned since the last
+  *   rebuild passes this (dead rows' postings are scanned and then
+  *   discarded by every query). Measured from bookkept (total, dead)
+  *   counters folded O(batch) per mutation — never a per-delete
+  *   posting scan; each dead doc drags its own postings, so the doc
+  *   fraction tracks the posting fraction.
   * @param docMaxDeadFraction after any delete, rebuild every
   *   materialized doc-field sidecar (string and numeric) once the
-  *   masked row fraction of the FIRST sidecar passes this — sidecars
-  *   share the table's tombstone set, so one measurement speaks for
-  *   all of them.
+  *   fraction of table rows tombstoned since the last family rebuild
+  *   passes this — sidecars share the table's tombstone set, so the
+  *   bookkept table-level counters (folded O(batch) per mutation)
+  *   speak for all of them.
   * @param docMaxFiles after any append, rebuild ALL doc-field
   *   sidecars once the file count of the largest sidecar passes this
   *   (every O(batch) insert appends one file per materialized field;
@@ -260,8 +265,9 @@ class VectorStore private (
       VectorStore.schema)
     storage.append(df)
     annAppend(df)
-    docIdxAppend(df)
-    lexAppend(df)
+    graphAppend(df)
+    docIdxAppend(df, ids.size.toLong)
+    lexAppend(df, ids.size.toLong)
     refreshIndex()
     ids
   }
@@ -366,8 +372,9 @@ class VectorStore private (
       val n = df.count()
       storage.append(df)
       annAppend(df)
-      docIdxAppend(df)
-      lexAppend(df)
+      graphAppend(df)
+      docIdxAppend(df, n)
+      lexAppend(df, n)
       refreshIndex()
       n
     } finally df.unpersist()
@@ -406,15 +413,16 @@ class VectorStore private (
       }
     val idsDf = ids.toDF("id")
     val replaced = table.join(broadcast(idsDf), Seq("id"), "left_semi").count()
-    if (replaced > 0) { storage.delete(idsDf); annAfterDelete(); docIdxAfterDelete(); lexAfterDelete() }
+    if (replaced > 0) { storage.delete(idsDf); annAfterDelete(); graphAfterDelete(idsDf); docIdxAfterDelete(replaced); lexAfterDelete(replaced) }
     val rows = ids.lazyZip(vecs).lazyZip(effDocs).map((i, v, d) => Row(i, v.toSeq, d))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
       VectorStore.schema)
     storage.append(df)
     annAppend(df)
-    docIdxAppend(df)
-    lexAppend(df)
+    graphAppend(df)
+    docIdxAppend(df, ids.size.toLong)
+    lexAppend(df, ids.size.toLong)
     refreshIndex()
     (replaced, ids.size - replaced)
   }
@@ -434,7 +442,8 @@ class VectorStore private (
       logWarning(s"delete: ${distinctIds - present} of $distinctIds ids not present in store")
     storage.delete(idsDf)
     annAfterDelete()
-    docIdxAfterDelete(); lexAfterDelete()
+    graphAfterDelete(idsDf)
+    docIdxAfterDelete(present); lexAfterDelete(present)
     refreshIndex()
     present
   }
@@ -457,7 +466,8 @@ class VectorStore private (
     if (n > 0) {
       storage.delete(ids)
       annAfterDelete()
-      docIdxAfterDelete(); lexAfterDelete()
+      graphAfterDelete(ids)
+      docIdxAfterDelete(n); lexAfterDelete(n)
       refreshIndex()
     }
     n
@@ -685,6 +695,7 @@ class VectorStore private (
         rebuildAnnRowsFromCentroids()
         materializedDocFields.foreach(materializeDocField)
         materializedNumericDocFields.foreach(materializeDocFieldNumeric)
+        resetDeadStatsAfterRewrite(docDeadStatsPath)
         if (hasLexIndex) buildLexIndex()
       case _ => ()
     }
@@ -1671,6 +1682,16 @@ class VectorStore private (
   def enableAutoMaintenance(policy: IndexMaintenancePolicy): Unit = {
     maintenance = Some(policy)
     if (hasAnnIndex && readAnnCellStats().isEmpty) recomputeAnnCellStats()
+    // dead-fraction counters seed once here (exact: live + pending
+    // tombstones) so every later delete pays only a marker write
+    if (policy.docMaxDeadFraction > 0.0
+        && (materializedDocFields.nonEmpty
+          || materializedNumericDocFields.nonEmpty)
+        && readDeadStats(docDeadStatsPath).isEmpty)
+      seedDeadStats(docDeadStatsPath)
+    if (policy.lexMaxDeadFraction > 0.0 && hasLexIndex
+        && readDeadStats(lexDeadStatsPath).isEmpty)
+      seedDeadStats(lexDeadStatsPath)
   }
 
   def disableAutoMaintenance(): Unit = maintenance = None
@@ -1876,28 +1897,97 @@ class VectorStore private (
     }
   }
 
+  // ------------------ dead-fraction bookkeeping ------------------- //
+  //
+  // The delete-side twin of the cellstats pattern (r12 verdict #2):
+  // the dead-fraction triggers used to run TWO index-sized count jobs
+  // per delete. Instead, each family persists a tiny (total, dead)
+  // counter pair — appends fold their own batch size into `total`,
+  // deletes fold their own tombstoned-row count into `dead`, and a
+  // full family rebuild resets to (live, 0). A trigger check is then
+  // pure driver arithmetic over two numbers. The fraction measures the
+  // TABLE rows tombstoned since the family's last rebuild — the same
+  // "one measurement speaks for all sidecars" approximation the old
+  // probe-based check made (per-field sidecars, and posting rows per
+  // doc, track the table's tombstone set). Seeding (at policy enable,
+  // or lazily at the first stats-less check) charges one tombstone-log
+  // count + one table count — never again per mutation.
+
+  // markers live at the STORE root, not inside the family dirs:
+  // listSidecarFields treats docidx/* entries as field names, and the
+  // posting layout owns lex/* — a marker inside either would read back
+  // as a phantom field / posting artifact
+  private def docDeadStatsPath = new Path(path, "_docidx.deadstats")
+  private def lexDeadStatsPath = new Path(path, "_lex.deadstats")
+
+  private def readDeadStats(p: Path): Option[(Long, Long)] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val m = body.split("\n").filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toLong }
+        .toMap
+      Some((m.getOrElse("total", 0L), m.getOrElse("dead", 0L)))
+    }
+  }
+
+  private def writeDeadStats(p: Path, total: Long, dead: Long): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(p.getParent,
+      s"_deadstats.staging-${java.util.UUID.randomUUID()}")
+    val out = fs.create(staging, true)
+    try out.write(s"total=$total\ndead=$dead".getBytes("UTF-8"))
+    finally out.close()
+    activateMarker(staging, p)
+  }
+
+  /** Exact-at-seed: live rows plus the pending tombstone count (rows
+    * masked in the sidecars but not yet folded), so deletes that
+    * PREDATE the seed still count toward the fraction.
+    */
+  private def seedDeadStats(p: Path): (Long, Long) = {
+    val tomb = storage match {
+      case t: TombstoneStorage => t.tombstoneCount()
+      case _ => 0L
+    }
+    val stats = (table.count() + tomb, tomb)
+    writeDeadStats(p, stats._1, stats._2)
+    stats
+  }
+
+  /** Fold a mutation's own counts — no Spark job, maintained whenever
+    * the file exists (the cellstats discipline: surviving a policy
+    * disable/re-enable cycle).
+    */
+  private def bumpDeadStats(p: Path, dTotal: Long, dDead: Long): Unit =
+    if (dTotal != 0L || dDead != 0L) readDeadStats(p).foreach {
+      case (t, d) => writeDeadStats(p, t + dTotal, d + dDead)
+    }
+
+  /** A family rebuild folded its masked rows away: reset to (live, 0)
+    * — the count is noise next to the rebuild that just ran.
+    */
+  private def resetDeadStatsAfterRewrite(p: Path): Unit =
+    if (readDeadStats(p).isDefined) writeDeadStats(p, table.count(), 0L)
+
   private def maybeMaintainDocIdxAfterDelete(): Unit =
     maintenance.foreach { p =>
       if (p.docMaxDeadFraction > 0.0) {
         val fields = materializedDocFields
         val numFields = materializedNumericDocFields
-        // one sidecar's masked fraction speaks for all: they share the
-        // table's tombstone set row-for-row
-        val probe = fields.headOption.map(docIdxDir)
-          .orElse(numFields.headOption.map(docIdxNumDir))
-        probe.foreach { dir =>
-          val side = spark.read.parquet(dir.toString)
-            .select($"id", col(GenCol))
-          val total = side.count()
-          if (total > 0L) {
-            val dead = (total - annTombstoneMask(side).count()).toDouble / total
-            if (dead > p.docMaxDeadFraction) {
-              fields.foreach(materializeDocField)
-              numFields.foreach(materializeDocFieldNumeric)
-              logInfo(f"auto-maintenance: dead sidecar fraction $dead%.3f > " +
-                s"${p.docMaxDeadFraction}, rebuilt ${fields.size} string and " +
-                s"${numFields.size} numeric doc-field sidecars")
-            }
+        if (fields.nonEmpty || numFields.nonEmpty) {
+          val (total, dead) = readDeadStats(docDeadStatsPath)
+            .getOrElse(seedDeadStats(docDeadStatsPath))
+          if (total > 0L && dead.toDouble / total > p.docMaxDeadFraction) {
+            fields.foreach(materializeDocField)
+            numFields.foreach(materializeDocFieldNumeric)
+            resetDeadStatsAfterRewrite(docDeadStatsPath)
+            logInfo(f"auto-maintenance: dead sidecar fraction " +
+              f"${dead.toDouble / total}%.3f > ${p.docMaxDeadFraction}, " +
+              s"rebuilt ${fields.size} string and ${numFields.size} " +
+              "numeric doc-field sidecars")
           }
         }
       }
@@ -1905,18 +1995,13 @@ class VectorStore private (
 
   private def maybeMaintainLexAfterDelete(): Unit = maintenance.foreach { p =>
     if (p.lexMaxDeadFraction > 0.0 && hasLexIndex) {
-      val post = spark.read
-        .parquet(graft.operators.LexIndex.postingsPath(lexRoot))
-        .select($"id", col(GenCol))
-      val total = post.count()
-      if (total > 0L) {
-        val live = annTombstoneMask(post).count()
-        val dead = (total - live).toDouble / total
-        if (dead > p.lexMaxDeadFraction) {
-          buildLexIndex()
-          logInfo(f"auto-maintenance: dead posting fraction $dead%.3f > " +
-            s"${p.lexMaxDeadFraction}, rebuilt posting index")
-        }
+      val (total, dead) = readDeadStats(lexDeadStatsPath)
+        .getOrElse(seedDeadStats(lexDeadStatsPath))
+      if (total > 0L && dead.toDouble / total > p.lexMaxDeadFraction) {
+        buildLexIndex()
+        logInfo(f"auto-maintenance: dead doc fraction " +
+          f"${dead.toDouble / total}%.3f > ${p.lexMaxDeadFraction}, " +
+          "rebuilt posting index")
       }
     }
   }
@@ -2351,11 +2436,13 @@ class VectorStore private (
   def searchHybrid(queries: Seq[Array[Float]], textQueries: Seq[String],
       k: Int, shortlist: Int = 100, nProbe: Int = 8, k0: Int = 60,
       pathSteps: Seq[String] = Seq.empty,
-      values: Seq[Any] = Seq.empty): DataFrame = {
+      values: Seq[Any] = Seq.empty,
+      bruteForceThreshold: Long = 0L): DataFrame = {
     require(pathSteps.nonEmpty || values.isEmpty,
       "values given without pathSteps — pass both or neither")
     searchHybridCore(queries, textQueries, k, shortlist, nProbe, k0,
-      if (pathSteps.nonEmpty) Some(docMatchIds(pathSteps, values)) else None)
+      if (pathSteps.nonEmpty) Some(docMatchIds(pathSteps, values)) else None,
+      bruteForceThreshold)
   }
 
   /** Compound-filter hybrid retrieval: [[searchHybrid]] restricted to
@@ -2364,15 +2451,29 @@ class VectorStore private (
     * matches, each materialized term through its own pushed sidecar
     * scan (see [[docMatchIdsAll]]).
     */
+  /** `bruteForceThreshold` (0 = off) dispatches the DENSE arm through
+    * the same selectivity-aware switch as [[searchApproxWhereAllDF]]:
+    * the matched-id count is already computed here (it caps the
+    * shortlist), so when it comes in at or under the threshold the
+    * probed index is skipped and the dense shortlist ranks the
+    * survivors EXACTLY — a selective filter under hybrid serving fills
+    * k with recall 1.0 instead of re-creating the probe-coverage
+    * under-fill the adaptive single-arm search already fixed.
+    */
   def searchHybridAll(queries: Seq[Array[Float]], textQueries: Seq[String],
       k: Int, preds: Seq[DocPredicate], shortlist: Int = 100,
-      nProbe: Int = 8, k0: Int = 60): DataFrame =
+      nProbe: Int = 8, k0: Int = 60,
+      bruteForceThreshold: Long = 0L): DataFrame =
     searchHybridCore(queries, textQueries, k, shortlist, nProbe, k0,
-      Some(docMatchIdsAll(preds)))
+      Some(docMatchIdsAll(preds)), bruteForceThreshold)
 
   private def searchHybridCore(queries: Seq[Array[Float]],
       textQueries: Seq[String], k: Int, shortlist: Int, nProbe: Int,
-      k0: Int, matchIds: Option[DataFrame]): DataFrame = {
+      k0: Int, matchIds0: Option[DataFrame],
+      bruteForceThreshold: Long = 0L): DataFrame = {
+    // the match-id set feeds the shortlist cap, the dense arm, and the
+    // lexical semi-joins — materialize it once
+    val matchIds = matchIds0.map(_.localCheckpoint(true))
     require(queries.size == textQueries.size,
       s"got ${queries.size} vector queries but ${textQueries.size} text queries")
     require(queries.nonEmpty, "need at least one query")
@@ -2393,7 +2494,8 @@ class VectorStore private (
     val docsProj = matchIds.fold(docsAll)(ids =>
       docsAll.join(ids, Seq("id"), "left_semi"))
     val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qvec")
-    val cap = math.min(shortlist.toLong, docsProj.count()).toInt
+    val matched = docsProj.count()
+    val cap = math.min(shortlist.toLong, matched).toInt
     if (cap == 0)
       // empty store (or a predicate matching nothing): a well-typed
       // empty fused frame, not a crash inside the shortlist builders
@@ -2403,7 +2505,13 @@ class VectorStore private (
     val dense =
       (matchIds match {
         case Some(ids) =>
-          if (hasAnnIndex) searchApproxMatchDF(qdf, cap, nProbe, ids, 0)
+          if (hasAnnIndex && bruteForceThreshold > 0L
+              && matched <= bruteForceThreshold) {
+            logInfo(s"hybrid dense arm: $matched matched ids <= threshold " +
+              s"$bruteForceThreshold — exact ranking over the survivors, " +
+              "index untouched")
+            bruteForceOverMatched(qdf, cap, ids)
+          } else if (hasAnnIndex) searchApproxMatchDF(qdf, cap, nProbe, ids, 0)
           else searchWhereMatchDF(qdf, cap, ids)
         case None =>
           if (hasAnnIndex) searchApproxDF(qdf, cap, nProbe)
@@ -2454,29 +2562,36 @@ class VectorStore private (
   def hasLexIndex: Boolean = graft.operators.LexIndex.exists(spark, lexRoot)
 
   /** Build (or rebuild) the posting index over the live rows. */
-  def buildLexIndex(): Unit =
+  def buildLexIndex(): Unit = {
     graft.operators.LexIndex.build(spark, lexRoot, liveWithGen,
       "id", "doc", GenCol)
+    resetDeadStatsAfterRewrite(lexDeadStatsPath)
+  }
 
   def dropLexIndex(): Unit = graft.operators.LexIndex.drop(spark, lexRoot)
 
-  private def lexAppend(batch: DataFrame): Unit = if (hasLexIndex) {
-    val gen = storage match {
-      case t: TombstoneStorage => t.currentVersion()
-      case _ => 0L
+  private def lexAppend(batch: DataFrame, batchRows: Long): Unit =
+    if (hasLexIndex) {
+      bumpDeadStats(lexDeadStatsPath, dTotal = batchRows, dDead = 0L)
+      val gen = storage match {
+        case t: TombstoneStorage => t.currentVersion()
+        case _ => 0L
+      }
+      graft.operators.LexIndex.append(spark, lexRoot,
+        batch.withColumn(GenCol, lit(gen)), "id", "doc", GenCol)
+      maybeMaintainLexAfterAppend()
     }
-    graft.operators.LexIndex.append(spark, lexRoot,
-      batch.withColumn(GenCol, lit(gen)), "id", "doc", GenCol)
-    maybeMaintainLexAfterAppend()
-  }
 
-  private def lexAfterDelete(): Unit = if (hasLexIndex) {
+  private def lexAfterDelete(deleted: Long): Unit = if (hasLexIndex) {
     val rebuild = storage match {
       case t: TombstoneStorage => t.tombstoneCount() == 0L
       case _ => true
     }
     if (rebuild) buildLexIndex()
-    else maybeMaintainLexAfterDelete()
+    else {
+      bumpDeadStats(lexDeadStatsPath, dTotal = 0L, dDead = deleted)
+      maybeMaintainLexAfterDelete()
+    }
   }
 
   /** Batched BM25 top-k over the store's docs: through the posting
@@ -2511,6 +2626,103 @@ class VectorStore private (
         table.join(ids, Seq("id"), "left_semi").select($"id", $"doc"),
         "id", "doc", queries, k)
   }
+
+  // --------------------- k-NN-graph index ------------------------- //
+  //
+  // The graph-ANN index family (see [[graft.operators.KnnGraphIndex]]):
+  // a persisted NN-Descent graph under `<path>/graph` — node records
+  // (vector + fwd/rev adjacency) bucketed by id hash so a serving hop
+  // is two bucket-pruned lookups, entry-point MEDOIDS materialized at
+  // build. Same lifecycle contract as the IVF layouts: inserts fold
+  // the batch in via the O(batch)-seeded incremental descent (only
+  // touched buckets rewritten), deletes remove the dead nodes and
+  // repair exactly the survivors that listed them (their `rev` sets —
+  // a pruned lookup) by a masked beam re-search, and serving composes
+  // the storage layer's tombstone mask over candidates, so a delete is
+  // visible in the next search even before its repair lands.
+
+  private def graphRoot: String = new Path(path, "graph").toString
+
+  def hasKnnGraph: Boolean =
+    graft.operators.KnnGraphIndex.exists(spark, graphRoot)
+
+  /** Adapt [[annTombstoneMask]] (keyed on the internal gen column) to
+    * the graph layout's `gen`-named rows.
+    */
+  private def graphRowMask: DataFrame => DataFrame = df =>
+    annTombstoneMask(df.withColumnRenamed("gen", GenCol))
+      .withColumnRenamed(GenCol, "gen")
+
+  /** Fit the k-NN graph over the current live rows and persist it
+    * under `<path>/graph`. Subsequent writes maintain it incrementally
+    * (see the contract above); rebuilding is this same call.
+    *
+    * @param k        the served neighbor-list width
+    * @param buildK   the descent's list width (0 = auto; the NN-Descent
+    *                 recall knob — see [[graft.operators.KnnGraph.nnDescent]])
+    * @param nEntries entry-point medoids persisted for serving
+    * @param nBuckets id-hash partitions of the node table; size so one
+    *                 bucket's rows fit an executor scan (at 100 TB this
+    *                 is thousands; tests use a handful)
+    */
+  def buildKnnGraph(k: Int, buildK: Int = 0, maxIters: Int = 25,
+      nEntries: Int = 4, nBuckets: Int = 16): Unit = {
+    graft.operators.KnnGraphIndex.build(spark, graphRoot,
+      liveWithGen.select($"id", $"vec", col(GenCol).as("gen")),
+      k, buildK, maxIters, nEntries, nBuckets)
+    ()
+  }
+
+  def dropKnnGraph(): Unit =
+    graft.operators.KnnGraphIndex.drop(spark, graphRoot)
+
+  /** The persisted graph as (id, nbr, distance, rank) — live lists
+    * only (tombstone-masked like every read surface).
+    */
+  def knnGraphEdgesDF: DataFrame = {
+    require(hasKnnGraph,
+      s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
+    val live = graphRowMask(
+      spark.read.parquet(s"$graphRoot/nodes")
+        .select($"id", col("gen"))).select($"id")
+    graft.operators.KnnGraphIndex.edges(spark, graphRoot)
+      .join(live, Seq("id"), "left_semi")
+  }
+
+  /** Graph-ANN serving (`qid`, `qvec` → `qid`, `id`, `distance`,
+    * `rank`): batch greedy beam search over the PERSISTED layout —
+    * entry medoids from the built artifact (no O(n) scan), hops as
+    * bucket-pruned lookups (no O(E) adjacency derivation), tombstoned
+    * rows masked before they can rank or expand. `ef` is the recall
+    * knob (≥ k; 0 = auto `max(32, 4k)`).
+    */
+  def searchGraphDF(queries: DataFrame, k: Int, ef: Int = 0,
+      maxHops: Int = 30): DataFrame = {
+    require(hasKnnGraph,
+      s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
+    val effEf = if (ef > 0) ef else math.max(32, 4 * k)
+    graft.operators.KnnGraphIndex.search(spark, graphRoot,
+      queries.select(col("qid"), col("qvec")), k, effEf, maxHops,
+      graphRowMask)
+  }
+
+  /** O(batch) graph maintenance on insert — the [[annAppend]] twin. */
+  private def graphAppend(rows: DataFrame): Unit = if (hasKnnGraph) {
+    val gen = storage match {
+      case t: TombstoneStorage => t.currentVersion()
+      case _ => 0L
+    }
+    graft.operators.KnnGraphIndex.append(spark, graphRoot,
+      rows.select($"id", $"vec").withColumn("gen", lit(gen)))
+  }
+
+  /** Post-delete graph maintenance: drop the dead nodes and repair the
+    * survivors that listed them (O(affected × beam) — see
+    * [[graft.operators.KnnGraphIndex.deleteAndRepair]]).
+    */
+  private def graphAfterDelete(ids: DataFrame): Unit = if (hasKnnGraph)
+    graft.operators.KnnGraphIndex.deleteAndRepair(spark, graphRoot, ids,
+      graphRowMask)
 
   /** Snapshot-export the WHOLE store — data, tombstones, version
     * counter, ANN/lex/doc-field sidecars, dim marker — to `destPath`
@@ -2728,10 +2940,11 @@ class VectorStore private (
     * (the [[annAppend]] placement — the append already bumped the
     * version, so the batch rows carry the current one).
     */
-  private def docIdxAppend(batch: DataFrame): Unit = {
+  private def docIdxAppend(batch: DataFrame, batchRows: Long): Unit = {
     val fields = materializedDocFields
     val numFields = materializedNumericDocFields
     if (fields.nonEmpty || numFields.nonEmpty) {
+      bumpDeadStats(docDeadStatsPath, dTotal = batchRows, dDead = 0L)
       val gen = storage match {
         case t: TombstoneStorage => t.currentVersion()
         case _ => 0L
@@ -2815,7 +3028,7 @@ class VectorStore private (
     * deleted rows UNLESS this delete folded the tombstones (compaction),
     * and the plain layout has no mask, so both rebuild.
     */
-  private def docIdxAfterDelete(): Unit = {
+  private def docIdxAfterDelete(deleted: Long): Unit = {
     val fields = materializedDocFields
     val numFields = materializedNumericDocFields
     if (fields.nonEmpty || numFields.nonEmpty) {
@@ -2826,7 +3039,11 @@ class VectorStore private (
       if (rebuild) {
         fields.foreach(materializeDocField)
         numFields.foreach(materializeDocFieldNumeric)
-      } else maybeMaintainDocIdxAfterDelete()
+        resetDeadStatsAfterRewrite(docDeadStatsPath)
+      } else {
+        bumpDeadStats(docDeadStatsPath, dTotal = 0L, dDead = deleted)
+        maybeMaintainDocIdxAfterDelete()
+      }
     }
   }
 
@@ -2907,7 +3124,8 @@ class VectorStore private (
     if (n > 0) {
       storage.delete(ids)
       annAfterDelete()
-      docIdxAfterDelete(); lexAfterDelete()
+      graphAfterDelete(ids)
+      docIdxAfterDelete(n); lexAfterDelete(n)
       refreshIndex()
     }
     n
@@ -3155,7 +3373,8 @@ class VectorStore private (
     if (n > 0) {
       storage.delete(ids)
       annAfterDelete()
-      docIdxAfterDelete(); lexAfterDelete()
+      graphAfterDelete(ids)
+      docIdxAfterDelete(n); lexAfterDelete(n)
       refreshIndex()
     }
     n
@@ -3260,6 +3479,7 @@ class VectorStore private (
         rebuildAnnRowsFromCentroids()
         materializedDocFields.foreach(materializeDocField)
         materializedNumericDocFields.foreach(materializeDocFieldNumeric)
+        resetDeadStatsAfterRewrite(docDeadStatsPath)
         if (hasLexIndex) buildLexIndex()
       }
       refreshIndex()

@@ -1,0 +1,241 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KnnGraph, KnnGraphIndex, SimilarityJoin}
+import graft.store.VectorStore
+
+/** The persisted k-NN-graph index family: built artifacts (bucketed
+  * node records, medoid entries) must serve without corpus-sized prep,
+  * stay EXACT through the store's ingest/delete lifecycle, and repair
+  * deletions at O(affected × beam) cost.
+  */
+class GraphIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-gi-$tag").toString + "/s"
+
+  private def emb8(lo: Int, hi: Int): DataFrame =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("id"), slice(col("embedding"), 1, 8).as("vec"))
+
+  private def bruteGraph(df: DataFrame, k: Int): DataFrame =
+    SimilarityJoin.knnL2(
+        df.select(col("id").as("nbr"), col("vec")), "nbr", "vec",
+        df.select(col("id").as("qid"), col("vec").as("qvec")),
+        "qid", "qvec", k + 1)
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("distance"), col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("nbr"), col("rank"))
+
+  private def bruteSearch(corpus: DataFrame, qs: DataFrame,
+      k: Int): Set[(Long, Long, Int)] =
+    SimilarityJoin.knnL2(corpus, "id", "vec", qs, "qid", "qvec", k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("distance"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select(col("id"), col("nbr"), col("rank").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+
+  private def recordsReadDuring(body: => Unit): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          total.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var prev = -1L; var stable = 0; var tries = 0
+      while (stable < 3 && tries < 100) {
+        Thread.sleep(100)
+        val cur = total.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        tries += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    total.get
+  }
+
+  test("store lifecycle: build, serve exact, delete+repair exact, append exact") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("life"), 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 200)
+    s.insertDF(base.orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+    assert(s.hasKnnGraph)
+    // ids assigned 0..199 in vec_id order, so the store table == base
+    assert(edgeSet(s.knnGraphEdgesDF) == edgeSet(
+      bruteGraph(base, 5).select(col("id"), col("nbr"), col("rank"))),
+      "built graph must equal the brute-force 5-NN graph")
+    val qs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") >= 300 && col("vec_id") < 312)
+      .select(col("vec_id").as("qid"), slice(col("embedding"), 1, 8).as("qvec"))
+    val corpus0 = base.select(col("id"), col("vec"))
+    assert(edgeSet(s.searchGraphDF(qs, k = 5, ef = 32)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("rank")))
+      == bruteSearch(corpus0, qs, 5),
+      "persisted serving must equal brute force")
+    // delete: dead nodes leave the layout, survivors' lists repair
+    val dead = Seq(3L, 57L, 121L, 150L)
+    s.delete(dead)
+    val survivors = base.filter(!col("id").isin(dead: _*))
+    assert(edgeSet(s.knnGraphEdgesDF) == edgeSet(bruteGraph(survivors, 5)),
+      "repaired graph must equal the survivor brute-force graph")
+    assert(edgeSet(s.searchGraphDF(qs, k = 5, ef = 32)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("rank")))
+      == bruteSearch(survivors, qs, 5),
+      "post-delete serving must equal survivor brute force")
+    // append: ids 200.. assigned to vec_id 400..420 in order
+    val batch = emb8(400, 420)
+    s.insertDF(batch.orderBy("id").coalesce(1).select(col("vec")))
+    val renum = batch.orderBy("id")
+      .withColumn("id2", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))) + 199L)
+      .select(col("id2").as("id"), col("vec"))
+    val after = survivors.unionByName(renum)
+    assert(edgeSet(s.knnGraphEdgesDF) == edgeSet(bruteGraph(after, 5)),
+      "post-append graph must equal the union brute-force graph")
+    assert(edgeSet(s.searchGraphDF(qs, k = 5, ef = 32)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("rank")))
+      == bruteSearch(after, qs, 5),
+      "post-append serving must equal union brute force")
+  }
+
+  test("upsert replaces a node's vector in the graph exactly") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("ups"), 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 150)
+    s.insertDF(base.orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 4, buildK = 24, nEntries = 3, nBuckets = 4)
+    val v = emb8(450, 451).select(col("vec")).head().getSeq[Float](0).toArray
+    s.upsert(Seq(42L), Seq(v))
+    val after = base.filter(col("id") =!= 42L)
+      .unionByName(Seq((42L, v.toSeq)).toDF("id", "vec"))
+    assert(edgeSet(s.knnGraphEdgesDF) == edgeSet(bruteGraph(after, 4)),
+      "upsert must move the node to its new neighborhood")
+  }
+
+  test("serving IO is bucket-pruned: no O(n) entry scan, no O(E) adjacency derivation") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("io"), 8,
+      tombstoneDeletes = true)
+    val n = 2000
+    val base = spark.range(n).select(col("id"),
+      array((0 until 8).map(d =>
+        (pmod(xxhash64(col("id") * (d + 3)), lit(1000)) / lit(100.0))
+          .cast("float")): _*).as("vec"))
+    s.insertDF(base.orderBy("id").coalesce(4).select(col("vec")))
+    // few descent iterations: serving-cost shape does not depend on
+    // graph quality, and the full descent on 2k iid rows is test noise
+    s.buildKnnGraph(k = 4, buildK = 8, maxIters = 3, nEntries = 2,
+      nBuckets = 128)
+    val qs = Seq((0L, (0 until 8).map(_ => 1.0f))).toDF("qid", "qvec")
+    s.searchGraphDF(qs, k = 4, ef = 6, maxHops = 8).collect() // warm
+    val reads = recordsReadDuring {
+      s.searchGraphDF(qs, k = 4, ef = 6, maxHops = 8).collect()
+    }
+    // a full-scan-per-hop design reads >= hops * n node rows and the
+    // r12 standalone operator paid an O(E) distinct + O(n) entry scan
+    // before the first hop; the pruned path touches only the frontier's
+    // buckets (~ef buckets of n/128 rows per lookup)
+    assert(reads < 3L * n,
+      s"one bounded-beam serving call read $reads records on a $n-row " +
+        "store — serving prep is scanning the corpus")
+  }
+
+  test("medoid entries beat scrambled-order heads where coverage matters (clustered), tie within noise on iid") {
+    // Clustered corpus: 4 well-separated regions. Scrambled-order heads
+    // are placement-blind (4 pseudorandom ids rarely cover 4 regions);
+    // k-means medoids cover every region BY CONSTRUCTION, so a tight
+    // beam (ef = k) from medoids must not lose, and on this fixture
+    // wins outright.
+    def clustered(n: Int): DataFrame =
+      spark.range(n).select(col("id"),
+        array((0 until 8).map { d =>
+          val base = (col("id") % 4) * lit(50.0) * lit(if (d % 2 == 0) 1 else -1)
+          (base + (pmod(xxhash64(col("id") * (d + 7)), lit(100)) / lit(25.0)))
+            .cast("float")
+        }: _*).as("vec"))
+    val pts = clustered(200)
+    val qs = clustered(260).filter(col("id") >= 200)
+      .select((col("id") + 1000L).as("qid"), col("vec").as("qvec"))
+    def recall(pts: DataFrame, qs: DataFrame, hits: DataFrame): Double = {
+      val truth = bruteSearch(pts, qs, 5).map(t => (t._1, t._2))
+      val got = hits.select(col("qid"), col("id"))
+        .as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val root = mkRoot("medoid")
+    val rep = KnnGraphIndex.build(spark, root,
+      pts.withColumn("gen", lit(0L)), k = 5, buildK = 24, nEntries = 4,
+      nBuckets = 8)
+    val fromMedoids = recall(pts, qs,
+      KnnGraphIndex.search(spark, root, qs, k = 5, ef = 5))
+    val fromHeads = recall(pts, qs,
+      KnnGraph.searchGraph(pts, rep.graph, qs, "qid", "qvec", k = 5,
+        ef = 5, nEntries = 4))
+    assert(fromMedoids >= fromHeads,
+      f"medoid entries recall $fromMedoids%.3f < scrambled heads $fromHeads%.3f")
+    assert(fromMedoids > 0.9,
+      f"medoid recall $fromMedoids%.3f should be near-exact with per-region entries")
+    // iid worst case (no structure for entries to exploit): medoids
+    // must TIE within noise — never a regression
+    val iid = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val iidQs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") >= 300 && col("vec_id") < 360)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val root2 = mkRoot("medoid-iid")
+    val rep2 = KnnGraphIndex.build(spark, root2,
+      iid.withColumn("gen", lit(0L)), k = 5, buildK = 24, nEntries = 4,
+      nBuckets = 8)
+    val m2 = recall(iid, iidQs,
+      KnnGraphIndex.search(spark, root2, iidQs, k = 5, ef = 5))
+    val h2 = recall(iid, iidQs,
+      KnnGraph.searchGraph(iid, rep2.graph, iidQs, "qid", "qvec", k = 5,
+        ef = 5, nEntries = 4))
+    assert(m2 >= h2 - 0.05,
+      f"iid: medoid recall $m2%.3f regressed past noise vs heads $h2%.3f")
+  }
+
+  test("deleting ids absent from the graph is a no-op; emptied buckets vanish") {
+    val root = mkRoot("edge")
+    val pts = emb8(0, 60).withColumn("gen", lit(0L))
+    KnnGraphIndex.build(spark, root, pts, k = 3, buildK = 12,
+      nEntries = 2, nBuckets = 4)
+    val before = edgeSet(KnnGraphIndex.edges(spark, root))
+    KnnGraphIndex.deleteAndRepair(spark, root,
+      Seq(9999L, 8888L).toDF("id"))
+    assert(edgeSet(KnnGraphIndex.edges(spark, root)) == before,
+      "absent ids must not disturb the graph")
+    // wipe an entire bucket's nodes: its partition directory must go
+    val nodes = spark.read.parquet(s"$root/nodes")
+    val victims = nodes.filter(col("bucket") === 0).select(col("id"))
+      .as[Long].collect().toSeq
+    assert(victims.nonEmpty)
+    KnnGraphIndex.deleteAndRepair(spark, root, victims.toDF("id"))
+    val p = new org.apache.hadoop.fs.Path(s"$root/nodes/bucket=0")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(p), "an emptied bucket partition must be dropped")
+    val left = emb8(0, 60).filter(!col("id").isin(victims: _*))
+    assert(edgeSet(KnnGraphIndex.edges(spark, root))
+      == edgeSet(bruteGraph(left, 3)),
+      "repair across an emptied bucket must stay exact")
+  }
+}

@@ -77,6 +77,36 @@ class MaintenanceStatsSpec extends SparkSuite {
         "a maintenance check is scanning the index per mutation")
   }
 
+  test("policy-on delete runs no sidecar-size job when no trigger fires") {
+    // r12 verdict #2: the dead-fraction triggers used to run two
+    // O(sidecar) counts per delete; they must now be pure marker
+    // arithmetic folded from the delete's own tombstoned count.
+    val s = VectorStore.openOrCreate(spark, mkRoot("delnojob"), 4,
+      tombstoneDeletes = true)
+    val n = 6000
+    s.insert((0 until n).map(vec),
+      (0 until n).map(i => s"""{"g": "${i % 3}", "t": "w${i % 5} pad"}"""))
+    s.materializeDocField(Seq("g"))
+    s.buildLexIndex()
+    s.delete(Seq(0L)) // warm both delete shapes
+    val off = recordsReadDuring { s.delete(Seq(1L)) }
+    // thresholds no realistic delete reaches: triggers never fire
+    s.enableAutoMaintenance(IndexMaintenancePolicy(
+      lexMaxDeadFraction = 0.99, docMaxDeadFraction = 0.99))
+    s.delete(Seq(2L)) // warm: dead-stats seeded at enable
+    val on = recordsReadDuring { s.delete(Seq(3L)) }
+    s.disableAutoMaintenance()
+    assert(on <= off + 500L,
+      s"policy-on delete read $on records vs $off with the policy off — " +
+        "a dead-fraction check is scanning a sidecar per delete")
+    // and the counters actually drive the trigger: crossing the
+    // threshold still rebuilds (exactness of the fraction is asserted
+    // by the existing DocIndexSpec/ParitySpec trigger tests)
+    val stats = new Path(s.path, "_docidx.deadstats")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(stats), "enable must seed the dead-stats counters")
+  }
+
   test("persisted cell stats stay exact through append/delete/rebalance/merge") {
     val s = VectorStore.openOrCreate(spark, mkRoot("exact"), 4,
       tombstoneDeletes = true)
