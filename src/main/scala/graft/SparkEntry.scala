@@ -5071,6 +5071,47 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Filtered graph serving with the adaptive dispatch — the graph
+    // family reaches the same filter surface as the IVF ladder.
+    // Selective side (2 live g="9" matches <= threshold 50): exact
+    // ranking, graph untouched. Unselective side (g="1", ~1/3 of the
+    // corpus): the beam walks the UNFILTERED graph while only matching
+    // live rows rank (the HNSW-filter discipline) — at ef = 64 on this
+    // fixture the filtered top-5 equals the filtered brute force both
+    // sides replay in DuckDB. Through a delete (37 was a g="9" row).
+    "vs_graph_filtered" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_graphf_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 260)
+      val grp = when(col("vec_id") % 100 === 37, lit("9"))
+        .otherwise((col("label") % 3).cast("string"))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(slice(col("embedding"), 1, 8).as("vec"),
+          concat(lit("{\"g\": \""), grp, lit("\"}")).as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+      store.delete(Seq(37L, 150L))
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id").isin(300, 305))
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      val sel = store.searchGraphWhereAllDF(qs, k = 3,
+          Seq(graft.store.DocEquals(Seq("g"), Seq("9"))),
+          ef = 64, bruteForceThreshold = 50L)
+        .select(lit("sel").as("side"), col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+      val uns = store.searchGraphWhereAllDF(qs, k = 5,
+          Seq(graft.store.DocEquals(Seq("g"), Seq("1"))),
+          ef = 64, bruteForceThreshold = 50L)
+        .select(lit("uns").as("side"), col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+      sel.unionAll(uns).orderBy("side", "qid", "rank")
+    }),
+
     "ann_mmr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -9409,6 +9450,40 @@ object SparkEntry {
       SELECT qid, id, rank,
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // filtered graph serving ≡ filtered brute force on BOTH sides of
+    // the adaptive crossover (the oracle is dispatch-blind): g = '9'
+    // means vec_id%100 = 37, g = '1' means label%3 = 1 on the
+    // non-overridden rows; {37, 150} deleted
+    "vs_graph_filtered" -> raw"""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec, label
+        FROM embeddings
+        WHERE vec_id < 260 AND vec_id NOT IN (37, 150)),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id IN (300, 305)),
+      sel AS (
+        SELECT 'sel' AS side, qid, id, rank, distance FROM (
+          SELECT q.qid, c.id,
+                 list_distance(c.vec, q.qvec) AS distance,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(c.vec, q.qvec), c.id) AS rank
+          FROM corpus c CROSS JOIN q WHERE c.id % 100 = 37)
+        WHERE rank <= 3),
+      uns AS (
+        SELECT 'uns' AS side, qid, id, rank, distance FROM (
+          SELECT q.qid, c.id,
+                 list_distance(c.vec, q.qvec) AS distance,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(c.vec, q.qvec), c.id) AS rank
+          FROM corpus c CROSS JOIN q
+          WHERE c.label % 3 = 1 AND c.id % 100 <> 37)
+        WHERE rank <= 5)
+      SELECT side, qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM (SELECT * FROM sel UNION ALL SELECT * FROM uns)
+      ORDER BY side, qid, rank""",
 
     "ann_hard_negatives" -> """
       WITH q AS (

@@ -254,9 +254,16 @@ object KnnGraphIndex {
     * scoring, so dead nodes neither rank nor expand). Returns
     * (qid, id, distance float, rank 1..k).
     */
+  /** `resultMask` (filtered graph search, the HNSW-filter discipline):
+    * the WALK traverses the unfiltered graph — restricting traversal
+    * to a filtered subgraph disconnects it under moderate selectivity
+    * — while only rows passing the mask are eligible to RANK; the
+    * per-query result state stays k-bounded (truncated each hop).
+    */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, ef: Int, maxHops: Int = 30,
-      rowMask: DataFrame => DataFrame = identity): DataFrame = {
+      rowMask: DataFrame => DataFrame = identity,
+      resultMask: Option[DataFrame => DataFrame] = None): DataFrame = {
     val meta = readMeta(spark, root)
     val qs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
       .localCheckpoint(true)
@@ -264,7 +271,7 @@ object KnnGraphIndex {
     val seeds = qs.select(col("qid"))
       .crossJoin(broadcast(idsToDF(spark, entryIds)))
     val out = searchCore(spark, root, meta, qs, seeds, k, ef, maxHops,
-      rowMask, excludeSelf = false)
+      rowMask, excludeSelf = false, resultMask = resultMask)
     GraftShim.unpersistLocalCheckpoint(qs)
     out
   }
@@ -281,7 +288,8 @@ object KnnGraphIndex {
     */
   private def searchCore(spark: SparkSession, root: String, meta: Meta,
       qs: DataFrame, seeds: DataFrame, k: Int, ef: Int, maxHops: Int,
-      rowMask: DataFrame => DataFrame, excludeSelf: Boolean): DataFrame = {
+      rowMask: DataFrame => DataFrame, excludeSelf: Boolean,
+      resultMask: Option[DataFrame => DataFrame] = None): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef ($ef) >= k ($k) >= 1")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("distance"), col("id"))
@@ -296,10 +304,25 @@ object KnnGraphIndex {
         .select(col("qid"), col("id"),
           l2_distance(col("vec"), col("qvec")).as("distance"))
     }
+    // k-truncated running result set for filtered search (None = the
+    // beam itself is the result)
+    def fold(hits: DataFrame, scored: DataFrame): DataFrame =
+      // re-project after the mask: a semi-join on `id` moves that
+      // column first, and unionAll is positional
+      hits.unionAll(resultMask.get(scored)
+          .select(col("qid"), col("id"), col("distance")))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= k)
+        .drop("rn").localCheckpoint(true)
     val seed = maskSelf(seeds.select(col("qid"), col("id")).distinct())
       .localCheckpoint(true)
-    var beam = scoreCands(seed).withColumn("new", lit(true))
+    val seedScored = scoreCands(seed).localCheckpoint(true)
+    var beam = seedScored.withColumn("new", lit(true))
       .localCheckpoint(true)
+    var hits: DataFrame = resultMask match {
+      case Some(_) => fold(seedScored.limit(0), seedScored)
+      case None => null
+    }
+    GraftShim.unpersistLocalCheckpoint(seedScored)
     // seen holds every PROPOSED pair (masked seeds included — a dead
     // seed must not be re-proposed), separate from the beam: evicted
     // nodes can never re-enter (the ef-th distance only tightens)
@@ -318,23 +341,33 @@ object KnnGraphIndex {
             .select(col("qid"), explode(col("out")).as("id")).distinct())
         .join(seen, Seq("qid", "id"), "left_anti")
         .localCheckpoint(true) // consumed twice: scoring + seen fold
+      val scored = scoreCands(unseen).localCheckpoint(true)
       val merged = beam.select(col("qid"), col("id"), col("distance"),
           lit(false).as("fresh"))
-        .unionAll(scoreCands(unseen).withColumn("fresh", lit(true)))
+        .unionAll(scored.withColumn("fresh", lit(true)))
         .withColumn("rn", row_number().over(wq)).filter(col("rn") <= ef)
         .drop("rn")
         .withColumnRenamed("fresh", "new")
         .localCheckpoint(true)
       val nextSeen = seen.unionAll(unseen).localCheckpoint(true)
+      if (resultMask.isDefined) {
+        val nextHits = fold(hits, scored)
+        GraftShim.unpersistLocalCheckpoint(hits)
+        hits = nextHits
+      }
       val grew = merged.filter(col("new")).count()
-      for (old <- Seq(beam, seen, unseen))
+      for (old <- Seq(beam, seen, unseen, scored))
         GraftShim.unpersistLocalCheckpoint(old)
       beam = merged
       seen = nextSeen
       done = grew == 0L
     }
     GraftShim.unpersistLocalCheckpoint(seen)
-    beam
+    val ranked = resultMask match {
+      case Some(_) => hits
+      case None => beam
+    }
+    ranked
       .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("distance"), col("rank"))
   }
@@ -460,11 +493,12 @@ object KnnGraphIndex {
       }
     applyListChanges(spark, root, meta, repaired, priorPairs,
       newRows = null, removedIds = Some(dead))
-    // entry hygiene: drop dead medoids; re-pick when coverage thinned
-    val liveEntries = {
-      val deadSet = dead.collect().map(_.getLong(0)).toSet
-      readEntries(spark, root).filterNot(deadSet)
-    }
+    // entry hygiene: drop dead medoids; re-pick when coverage thinned.
+    // The dead set stays distributed (a retention sweep can carry 10^8
+    // ids) — only the nEntries-sized survivor list is collected.
+    val liveEntries = idsToDF(spark, readEntries(spark, root))
+      .join(dead, Seq("id"), "left_anti")
+      .collect().map(_.getLong(0)).toSeq
     if (liveEntries.size < math.max(1, meta.nEntries / 2)) {
       val pts = spark.read.parquet(nodesPath(root))
         .select(col("id"), col("vec"))

@@ -2706,6 +2706,51 @@ class VectorStore private (
       graphRowMask)
   }
 
+  /** Filtered graph serving — [[searchGraphDF]] restricted to the
+    * CONJUNCTION of `preds` with the same selectivity-aware dispatch
+    * as [[searchApproxWhereAllDF]]: at or under `bruteForceThreshold`
+    * matched ids the survivors are ranked EXACTLY (recall 1.0, the
+    * graph untouched); above it the beam walks the UNFILTERED graph
+    * (restricting traversal to the filtered subgraph would disconnect
+    * it — the HNSW-filter discipline) while only matching live rows
+    * rank, with per-query result state k-bounded. Returns (qid, id,
+    * distance, rank).
+    */
+  def searchGraphWhereAllDF(queries: DataFrame, k: Int,
+      preds: Seq[DocPredicate], ef: Int = 0,
+      bruteForceThreshold: Long = 0L, maxHops: Int = 30): DataFrame = {
+    require(hasKnnGraph,
+      s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
+    val ids = docMatchIdsAll(preds).localCheckpoint(true)
+    val selective = bruteForceThreshold > 0L && {
+      val n = ids.count()
+      if (n <= bruteForceThreshold)
+        logInfo(s"filtered graph search: $n matched ids <= threshold " +
+          s"$bruteForceThreshold — exact ranking over the survivors, " +
+          "graph untouched")
+      n <= bruteForceThreshold
+    }
+    if (selective) {
+      // L2 always: the graph family ranks by L2 (unlike
+      // bruteForceOverMatched, whose metric follows the IVF index)
+      val scored = indexDf
+        .join(ids, Seq("id"), "left_semi")
+        .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+        .withColumn("distance", l2_distance($"vec", $"qvec"))
+        .select($"qid", $"id", $"distance")
+      graft.operators.SimilarityJoin
+        .topKByDistance(scored, "qid", "id", "distance", k)
+        .withColumnRenamed("rn", "rank")
+        .select(col("qid"), col("id"), col("distance"), col("rank"))
+    } else {
+      val effEf = if (ef > 0) ef else math.max(32, 4 * k)
+      graft.operators.KnnGraphIndex.search(spark, graphRoot,
+        queries.select(col("qid"), col("qvec")), k, effEf, maxHops,
+        graphRowMask,
+        resultMask = Some(df => df.join(ids, Seq("id"), "left_semi")))
+    }
+  }
+
   /** O(batch) graph maintenance on insert — the [[annAppend]] twin. */
   private def graphAppend(rows: DataFrame): Unit = if (hasKnnGraph) {
     val gen = storage match {

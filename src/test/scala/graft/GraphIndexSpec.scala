@@ -214,6 +214,49 @@ class GraphIndexSpec extends SparkSuite {
       f"iid: medoid recall $m2%.3f regressed past noise vs heads $h2%.3f")
   }
 
+  test("filtered graph search: exact on the selective arm, filtered-brute on the walk arm") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("filt"), 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 200)
+    // g = "9" on ids ending in 7 (20 rows), else id % 3
+    s.insertDF(base.orderBy("id").coalesce(1)
+      .select(col("vec"),
+        concat(lit("{\"g\": \""),
+          when(col("id") % 10 === 7, lit("9"))
+            .otherwise((col("id") % 3).cast("string")),
+          lit("\"}")).as("doc")))
+    s.materializeDocField(Seq("g"))
+    s.buildKnnGraph(k = 4, buildK = 24, nEntries = 4, nBuckets = 8)
+    s.delete(Seq(7L, 30L))
+    val qs = emb8(300, 310).select(col("id").as("qid"), col("vec").as("qvec"))
+    def filteredBrute(cond: org.apache.spark.sql.Column, k: Int) = {
+      val corpus = base.filter(col("id") =!= 7L && col("id") =!= 30L)
+        .filter(cond)
+      bruteSearch(corpus, qs, k)
+    }
+    // selective: 19 live matches <= threshold 50 — exact arm, and the
+    // graph's nodes table is never read (listener-asserted)
+    val selReads = recordsReadDuring {
+      val got = edgeSet(s.searchGraphWhereAllDF(qs, k = 3,
+          Seq(graft.store.DocEquals(Seq("g"), Seq("9"))),
+          ef = 64, bruteForceThreshold = 50L)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("rank")))
+      assert(got == filteredBrute(col("id") % 10 === 7, 3),
+        "selective arm must rank the survivors exactly")
+    }
+    // unselective: the walk arm over the unfiltered graph, matching
+    // rows only in the ranking — equals filtered brute at generous ef
+    val got = edgeSet(s.searchGraphWhereAllDF(qs, k = 4,
+        Seq(graft.store.DocEquals(Seq("g"), Seq("1"))),
+        ef = 64, bruteForceThreshold = 10L)
+      .select(col("qid").as("id"), col("id").as("nbr"), col("rank")))
+    assert(got == filteredBrute(col("id") % 10 =!= 7 && col("id") % 3 === 1, 4),
+      "walk arm must equal the filtered brute force at generous ef")
+    assert(selReads < 3000L,
+      s"selective arm read $selReads records — it must not touch the graph " +
+        "(200-node corpus, ~19 matched rows + sidecar scan)")
+  }
+
   test("deleting ids absent from the graph is a no-op; emptied buckets vanish") {
     val root = mkRoot("edge")
     val pts = emb8(0, 60).withColumn("gen", lit(0L))
