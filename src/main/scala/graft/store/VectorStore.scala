@@ -2751,7 +2751,38 @@ class VectorStore private (
     }
   }
 
-  /** O(batch) graph maintenance on insert — the [[annAppend]] twin. */
+  /** Graph layout shape for monitoring — the [[annIndexStats]] twin. */
+  def knnGraphStats(): (Long, Long, Int, Int) = {
+    require(hasKnnGraph,
+      s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
+    val meta = graft.operators.KnnGraphIndex.readMeta(spark, graphRoot)
+    val nodes = spark.read.parquet(s"$graphRoot/nodes")
+      .agg(org.apache.spark.sql.functions.count(lit(1)),
+        sum(size(col("fwd")))).head()
+    (nodes.getLong(0), nodes.getLong(1), meta.nBuckets,
+      graft.operators.KnnGraphIndex.readEntries(spark, graphRoot).size)
+  }
+
+  /** Re-fit the graph over the current live rows with its PERSISTED
+    * recipe — the [[rebuildAnnIndex]] twin (recall decayed after heavy
+    * churn, or a fresh converged baseline before a big ingest).
+    */
+  def rebuildKnnGraph(): Unit = {
+    require(hasKnnGraph,
+      s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
+    val m = graft.operators.KnnGraphIndex.readMeta(spark, graphRoot)
+    buildKnnGraph(m.k, m.buildK, m.maxIters, m.nEntries, m.nBuckets)
+  }
+
+  /** O(batch) graph maintenance on insert — the [[annAppend]] twin.
+    *
+    * Scale note: the incremental descent's WORK is seeded by the batch
+    * (prior entries enter not-fresh), but each iteration's scoring
+    * joins read corpus-scale frames — on a graph-bearing store, ingest
+    * should arrive in meaningful batches (micro-batch streaming, bulk
+    * loads), not row-at-a-time; degenerate single-row appends pay the
+    * same per-iteration fixed costs a thousand-row batch amortizes.
+    */
   private def graphAppend(rows: DataFrame): Unit = if (hasKnnGraph) {
     val gen = storage match {
       case t: TombstoneStorage => t.currentVersion()

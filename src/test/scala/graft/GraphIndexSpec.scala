@@ -257,6 +257,23 @@ class GraphIndexSpec extends SparkSuite {
         "(200-node corpus, ~19 matched rows + sidecar scan)")
   }
 
+  test("stats and recipe rebuild: knnGraphStats shape, rebuildKnnGraph re-fits exactly") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("stats"), 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 120)
+    s.insertDF(base.orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 4, buildK = 16, nEntries = 3, nBuckets = 4)
+    val (n, e, b, ent) = s.knnGraphStats()
+    assert(n == 120 && e == 120L * 4 && b == 4 && ent == 3)
+    s.delete(Seq(5L, 44L))
+    s.rebuildKnnGraph()
+    val (n2, _, b2, _) = s.knnGraphStats()
+    assert(n2 == 118 && b2 == 4, "rebuild must re-fit over live rows with the recipe")
+    assert(edgeSet(s.knnGraphEdgesDF) ==
+      edgeSet(bruteGraph(base.filter(!col("id").isin(5L, 44L)), 4)),
+      "recipe rebuild must converge to the survivor brute-force graph")
+  }
+
   test("deleting ids absent from the graph is a no-op; emptied buckets vanish") {
     val root = mkRoot("edge")
     val pts = emb8(0, 60).withColumn("gen", lit(0L))
