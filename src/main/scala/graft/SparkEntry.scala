@@ -1859,6 +1859,50 @@ object SparkEntry {
       sel.unionAll(uns).orderBy("side", "qid", "rank")
     }),
 
+    // Hybrid retrieval on a GRAPH-ONLY store (no IVF index): the dense
+    // shortlist dispatches through the persisted k-NN graph — 'all'
+    // side walks the graph unfiltered (beam top-20 ≡ exact top-20 at
+    // ef = 80 on this fixture), 'sel' side routes a 3-match filter
+    // through the adaptive escape hatch (exact L2 over survivors,
+    // graph untouched). Through a delete (graph repair + tombstone
+    // mask). Previously a graph-bearing store fell back to an O(n)
+    // exact scan per hybrid batch. Equal token counts per doc keep the
+    // BM25 rank integer-determined, as in vs_hybrid.
+    "vs_hybrid_graph" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_hybg_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val mid = when(col("label") % 2 === 0,
+        concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
+      val grp = when(col("vec_id") % 50 === 37, lit("9"))
+        .otherwise((col("label") % 3).cast("string"))
+      store.insertDF(emb.orderBy("vec_id").coalesce(1)
+        .select(slice(col("embedding"), 1, 8).as("vec"),
+          concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
+            lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
+            lit(" pad\", \"g\": \""), grp, lit("\"}")).as("doc")))
+      store.materializeDocField(Seq("g"))
+      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+      store.delete(Seq(37L, 80L)) // 37 was a g="9" row
+      val qvecs = emb.filter(col("vec_id").isin(2, 5))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).toArray.take(8)).toSeq
+      val all = store.searchHybrid(qvecs, Seq("w1", "v2"), k = 5,
+          shortlist = 20)
+        .select(lit("all").as("side"), col("qid").cast("long").as("qid"),
+          col("id"), col("rank").cast("long").as("rank"))
+      val sel = store.searchHybridAll(qvecs, Seq("w1", "v2"), k = 3,
+          preds = Seq(graft.store.DocEquals(Seq("g"), Seq("9"))),
+          shortlist = 10, bruteForceThreshold = 50L)
+        .select(lit("sel").as("side"), col("qid").cast("long").as("qid"),
+          col("id"), col("rank").cast("long").as("rank"))
+      all.unionAll(sel).orderBy("side", "qid", "rank")
+    }),
+
     // Time travel on the tombstone layout: populate, pin the version,
     // then delete AND upsert — the snapshot view must replay the
     // pinned state byte-for-byte (rows later deleted still present
@@ -5112,6 +5156,40 @@ object SparkEntry {
       sel.unionAll(uns).orderBy("side", "qid", "rank")
     }),
 
+    // Churn-triggered graph auto-maintenance (the staleness policy):
+    // 50 appended rows over a 100-row build = 0.5 > the 0.4 threshold,
+    // so the policy rebuilds the graph with its persisted recipe and
+    // re-bases the counters — the (n_at_build, churned) columns equal
+    // the oracle's (150, 0) constants ONLY if the trigger actually
+    // fired (an un-maintained store would carry (100, 50)). Serving
+    // after the rebuild equals brute force over all 150 live rows.
+    "vs_graph_maintain" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_graphm_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings")
+      store.insertDF(emb.filter(col("vec_id") < 100).orderBy("vec_id")
+        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
+      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+      store.enableAutoMaintenance(
+        graft.store.IndexMaintenancePolicy(graphMaxChurnFraction = 0.4))
+      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .orderBy("vec_id").coalesce(1)
+        .select(slice(col("embedding"), 1, 8).as("vec")))
+      val (nAtBuild, churned) = store.knnGraphChurn()
+      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 308)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      store.searchGraphDF(qs, k = 5, ef = 48)
+        .select(col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"),
+          lit(nAtBuild).as("n_at_build"), lit(churned).as("churned"))
+        .orderBy("qid", "rank")
+    }),
+
     "ann_mmr" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
@@ -7065,6 +7143,99 @@ object SparkEntry {
       SELECT side, CAST(qid AS BIGINT) AS qid, id,
              CAST(rank AS BIGINT) AS rank
       FROM (SELECT * FROM out_sel UNION ALL SELECT * FROM out_uns)
+      ORDER BY side, qid, rank""",
+
+    // graph-only hybrid ≡ exact dense ranks fused with the
+    // integer-determined BM25 ranks — the oracle is dispatch-blind
+    // (it never sees the graph walk or the adaptive switch): 'all'
+    // unfiltered over the 198 live rows, 'sel' over the 3 live g="9"
+    // rows; {37, 80} deleted
+    "vs_hybrid_graph" -> """
+      WITH q AS (
+        SELECT 0 AS qid, embedding[1:8] AS qvec FROM embeddings WHERE vec_id = 2
+        UNION ALL
+        SELECT 1, embedding[1:8] FROM embeddings WHERE vec_id = 5),
+      live AS (
+        SELECT vec_id, embedding[1:8] AS vec, label FROM embeddings
+        WHERE vec_id < 200 AND vec_id NOT IN (37, 80)),
+      live_sel AS (SELECT * FROM live WHERE vec_id % 50 = 37),
+      den_all AS (
+        SELECT qid, id, drank FROM (
+          SELECT q.qid, e.vec_id AS id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(e.vec, q.qvec), e.vec_id)
+                   AS drank
+          FROM live e CROSS JOIN q)
+        WHERE drank <= 20),
+      den_sel AS (
+        SELECT qid, id, drank FROM (
+          SELECT q.qid, e.vec_id AS id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_distance(e.vec, q.qvec), e.vec_id)
+                   AS drank
+          FROM live_sel e CROSS JOIN q)
+        WHERE drank <= 3),
+      tf_all AS (
+        SELECT t.qid, e.vec_id AS id,
+               CASE WHEN t.qid = 0 AND e.label % 7 = 1
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 1 AND e.vec_id % 5 = 2 THEN 1
+                    ELSE 0 END AS tf
+        FROM live e CROSS JOIN (VALUES (0), (1)) AS t(qid)),
+      tf_sel AS (
+        SELECT t.qid, e.vec_id AS id,
+               CASE WHEN t.qid = 0 AND e.label % 7 = 1
+                    THEN (CASE WHEN e.label % 2 = 0 THEN 2 ELSE 1 END)
+                    WHEN t.qid = 1 AND e.vec_id % 5 = 2 THEN 1
+                    ELSE 0 END AS tf
+        FROM live_sel e CROSS JOIN (VALUES (0), (1)) AS t(qid)),
+      lex_all AS (
+        SELECT qid, id, lrank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY tf DESC, id)
+                   AS lrank
+          FROM tf_all WHERE tf > 0)
+        WHERE lrank <= 20),
+      lex_sel AS (
+        SELECT qid, id, lrank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY tf DESC, id)
+                   AS lrank
+          FROM tf_sel WHERE tf > 0)
+        WHERE lrank <= 3),
+      fused_all AS (
+        SELECT qid, id, sum(c) AS rrf FROM (
+          SELECT qid, id, 1.0 / (60.0 + CAST(drank AS DOUBLE)) AS c
+          FROM den_all
+          UNION ALL
+          SELECT qid, id, 1.0 / (60.0 + CAST(lrank AS DOUBLE)) AS c
+          FROM lex_all)
+        GROUP BY qid, id),
+      fused_sel AS (
+        SELECT qid, id, sum(c) AS rrf FROM (
+          SELECT qid, id, 1.0 / (60.0 + CAST(drank AS DOUBLE)) AS c
+          FROM den_sel
+          UNION ALL
+          SELECT qid, id, 1.0 / (60.0 + CAST(lrank AS DOUBLE)) AS c
+          FROM lex_sel)
+        GROUP BY qid, id),
+      out_all AS (
+        SELECT 'all' AS side, qid, id, rank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+                   AS rank
+          FROM fused_all)
+        WHERE rank <= 5),
+      out_sel AS (
+        SELECT 'sel' AS side, qid, id, rank FROM (
+          SELECT qid, id,
+                 row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id)
+                   AS rank
+          FROM fused_sel)
+        WHERE rank <= 3)
+      SELECT side, CAST(qid AS BIGINT) AS qid, id,
+             CAST(rank AS BIGINT) AS rank
+      FROM (SELECT * FROM out_all UNION ALL SELECT * FROM out_sel)
       ORDER BY side, qid, rank""",
     // Independent Indel-distance replay (vector_store.py:377-387
     // semantics): LCS by the classic O(n·m) DP, run as a recursive CTE
@@ -9484,6 +9655,36 @@ object SparkEntry {
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM (SELECT * FROM sel UNION ALL SELECT * FROM uns)
       ORDER BY side, qid, rank""",
+
+    // churn-policy lifecycle ≡ brute force over all 150 live rows,
+    // with the staleness counters pinned at the POST-REBUILD values:
+    // (150, 0) only holds if the 0.5-churn append actually triggered
+    // the recipe rebuild
+    "vs_graph_maintain" -> raw"""
+      WITH base AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id < 100),
+      appended AS (
+        SELECT 99 + row_number() OVER (ORDER BY vec_id) AS id,
+               embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id >= 300 AND vec_id < 308),
+      scored AS (
+        SELECT q.qid, c.id, list_distance(c.vec, q.qvec) AS distance
+        FROM corpus c CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY distance, id) AS rank
+        FROM scored)
+      SELECT qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist,
+             CAST(150 AS BIGINT) AS n_at_build,
+             CAST(0 AS BIGINT) AS churned
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
 
     "ann_hard_negatives" -> """
       WITH q AS (

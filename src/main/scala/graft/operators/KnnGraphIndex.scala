@@ -61,13 +61,17 @@ import graft.functions.l2_distance
   */
 object KnnGraphIndex {
 
-  /** Build recipe + layout shape, persisted at `<root>/meta`. */
+  /** Build recipe + layout shape, persisted at `<root>/meta`.
+    * `nAtBuild` is the row count at the last FULL build — the
+    * denominator of the staleness fraction (0 on pre-churn layouts).
+    */
   case class Meta(k: Int, buildK: Int, maxIters: Int, nBuckets: Int,
-      nEntries: Int)
+      nEntries: Int, nAtBuild: Long = 0L)
 
   private def nodesPath(root: String) = s"$root/nodes"
   private def metaPath(root: String) = new Path(root, "meta")
   private def entriesPath(root: String) = new Path(root, "entries")
+  private def churnPath(root: String) = new Path(root, "churn")
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -94,15 +98,62 @@ object KnnGraphIndex {
     val m = body.split("\n").filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
     Meta(m("k").toInt, m("buildK").toInt, m("maxIters").toInt,
-      m("nBuckets").toInt, m("nEntries").toInt)
+      m("nBuckets").toInt, m("nEntries").toInt,
+      m.getOrElse("nAtBuild", "0").toLong)
   }
 
   private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit = {
     val body = s"k=${m.k}\nbuildK=${m.buildK}\nmaxIters=${m.maxIters}\n" +
-      s"nBuckets=${m.nBuckets}\nnEntries=${m.nEntries}"
+      s"nBuckets=${m.nBuckets}\nnEntries=${m.nEntries}\n" +
+      s"nAtBuild=${m.nAtBuild}"
     val out = fs(spark, root).create(metaPath(root), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
+
+  /** Rows churned (appended + deleted) into the layout since the last
+    * full [[write]] — the staleness numerator, folded O(batch) per
+    * mutation (the cellstats pattern: each mutation already holds its
+    * own batch, so the bump never scans the layout). Missing file = 0
+    * (fresh build, or a pre-churn layout).
+    */
+  def readChurn(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    if (!f.exists(churnPath(root))) 0L
+    else {
+      val in = f.open(churnPath(root))
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      body.trim.toLong
+    }
+  }
+
+  private def writeChurn(spark: SparkSession, root: String,
+      v: Long): Unit = {
+    // staged + atomic activation (the store's writeBuildMeta pattern):
+    // a torn counter would silently disable or misfire the staleness
+    // trigger; where the FS lacks overwrite-rename the delete+rename
+    // window degrades to an UNDER-counted churn (missing file reads 0),
+    // which delays — never corrupts — the rebuild
+    val staging = new Path(root,
+      s"_churn.staging-${java.util.UUID.randomUUID()}")
+    val out = fs(spark, root).create(staging, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        churnPath(root).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(staging, churnPath(root),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        val f = fs(spark, root)
+        if (f.exists(churnPath(root))) f.delete(churnPath(root), false)
+        if (!f.rename(staging, churnPath(root)))
+          throw new java.io.IOException(s"could not activate $staging")
+    }
+  }
+
+  private def bumpChurn(spark: SparkSession, root: String,
+      delta: Long): Unit =
+    if (delta > 0L) writeChurn(spark, root, readChurn(spark, root) + delta)
 
   def readEntries(spark: SparkSession, root: String): Seq[Long] = {
     val in = fs(spark, root).open(entriesPath(root))
@@ -169,7 +220,7 @@ object KnnGraphIndex {
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val n = pts.count()
-    val meta = Meta(k, buildK, maxIters, nBuckets, nEntries)
+    val meta = Meta(k, buildK, maxIters, nBuckets, nEntries, nAtBuild = n)
     val rows = assembleRows(pts, graph, meta)
     // stage → swap: a crash mid-build must not leave a half-written
     // layout where a previous one served queries
@@ -183,6 +234,7 @@ object KnnGraphIndex {
       throw new java.io.IOException(s"could not activate $staged")
     writeEntries(spark, root, pickMedoids(pts, nEntries, n))
     writeMeta(spark, root, meta)
+    writeChurn(spark, root, 0L) // full build = fresh staleness baseline
     GraftShim.unpersistLocalCheckpoint(pts)
   }
 
@@ -389,6 +441,7 @@ object KnnGraphIndex {
       meta.maxIters, meta.buildK)
     applyListChanges(spark, root, meta, rep.graph, prior, newRows = b,
       removedIds = None)
+    bumpChurn(spark, root, b.count()) // checkpointed batch — O(batch)
     GraftShim.unpersistLocalCheckpoint(rep.graph)
     GraftShim.unpersistLocalCheckpoint(prior)
     GraftShim.unpersistLocalCheckpoint(b)
@@ -493,6 +546,8 @@ object KnnGraphIndex {
       }
     applyListChanges(spark, root, meta, repaired, priorPairs,
       newRows = null, removedIds = Some(dead))
+    // staleness: only rows the layout actually held count as churn
+    bumpChurn(spark, root, deadRows.count())
     // entry hygiene: drop dead medoids; re-pick when coverage thinned.
     // The dead set stays distributed (a retention sweep can carry 10^8
     // ids) — only the nEntries-sized survivor list is collected.

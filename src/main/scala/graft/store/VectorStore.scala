@@ -87,6 +87,16 @@ case class DocSearchRecord(id: Long, vec: Array[Float], doc: String, distance: D
   *   persisted build recipe once max-cell/mean-cell imbalance passes
   *   this (e.g. 4.0). The flat layout uses `maxCellRows` instead —
   *   splitting only the hot cells is strictly cheaper there.
+  * @param graphMaxChurnFraction after any append or delete on a
+  *   graph-bearing store, rebuild the k-NN graph via its persisted
+  *   recipe ([[VectorStore.rebuildKnnGraph]]) once rows churned since
+  *   the last FULL build exceed this fraction of the rows AT that
+  *   build (e.g. 0.5). Incremental folds and edge repair keep every
+  *   touched list locally correct, but under sustained churn the
+  *   entry medoids drift off-center and appended regions accumulate
+  *   fold-order dependence — the rebuild restores a converged
+  *   baseline. Bookkept O(batch) per mutation (the cellstats
+  *   pattern); the trigger check itself reads two marker files.
   */
 case class IndexMaintenancePolicy(
     maxCellRows: Long = 0L,
@@ -95,7 +105,8 @@ case class IndexMaintenancePolicy(
     lexMaxDeadFraction: Double = 0.0,
     docMaxDeadFraction: Double = 0.0,
     docMaxFiles: Long = 0L,
-    quantizedRebuildImbalance: Double = 0.0) {
+    quantizedRebuildImbalance: Double = 0.0,
+    graphMaxChurnFraction: Double = 0.0) {
   require(maxCellRows >= 0L && minCellRows >= 0L && lexMaxFiles >= 0L
       && docMaxFiles >= 0L,
     "maintenance thresholds must be >= 0 (0 = off)")
@@ -105,6 +116,8 @@ case class IndexMaintenancePolicy(
     s"docMaxDeadFraction must be in [0, 1), got $docMaxDeadFraction")
   require(quantizedRebuildImbalance == 0.0 || quantizedRebuildImbalance >= 1.0,
     s"quantizedRebuildImbalance must be 0 (off) or >= 1, got $quantizedRebuildImbalance")
+  require(graphMaxChurnFraction >= 0.0,
+    s"graphMaxChurnFraction must be >= 0 (0 = off), got $graphMaxChurnFraction")
 }
 
 /** One term of a conjunctive metadata filter over the doc JSON — the
@@ -2414,7 +2427,8 @@ class VectorStore private (
   }
 
   /** Store-level hybrid retrieval: a dense shortlist (approximate via
-    * the IVF index when one exists, exact otherwise) and a BM25
+    * the IVF index when one exists, else the k-NN graph when one is
+    * built, exact otherwise) and a BM25
     * lexical shortlist over the stored doc strings, fused by
     * reciprocal-rank fusion — `rrf = Σ 1/(k0 + rank)` over the two
     * runs, ties by id. The reference ships both modalities separately
@@ -2502,19 +2516,28 @@ class VectorStore private (
       return spark.emptyDataFrame
         .select(lit(0).as("qid"), lit(0L).as("id"),
           lit(0.0).as("rrf"), lit(0).as("rank")).limit(0)
+    // dense-arm dispatch: IVF when built (probed, or exact under the
+    // adaptive threshold), else the k-NN graph when built (beam walk
+    // with the id set as a result mask — same adaptive escape hatch:
+    // a selective filter would under-fill the k-bounded walk results,
+    // so at/below the threshold the survivors rank exactly; the graph
+    // family is always L2, which is what bruteForceOverMatched
+    // computes on a no-IVF store), else exact scan
     val dense =
       (matchIds match {
         case Some(ids) =>
-          if (hasAnnIndex && bruteForceThreshold > 0L
+          if ((hasAnnIndex || hasKnnGraph) && bruteForceThreshold > 0L
               && matched <= bruteForceThreshold) {
             logInfo(s"hybrid dense arm: $matched matched ids <= threshold " +
               s"$bruteForceThreshold — exact ranking over the survivors, " +
               "index untouched")
             bruteForceOverMatched(qdf, cap, ids)
           } else if (hasAnnIndex) searchApproxMatchDF(qdf, cap, nProbe, ids, 0)
+          else if (hasKnnGraph) graphShortlist(qdf, cap, Some(ids))
           else searchWhereMatchDF(qdf, cap, ids)
         case None =>
           if (hasAnnIndex) searchApproxDF(qdf, cap, nProbe)
+          else if (hasKnnGraph) graphShortlist(qdf, cap, None)
           else searchDF(qdf, cap)
       }).select(col("qid").cast("int").as("qid"), col("id"),
         col("rn").cast("int").as("rank"))
@@ -2751,6 +2774,22 @@ class VectorStore private (
     }
   }
 
+  /** Dense shortlist from the graph layout for the hybrid fuser —
+    * [[searchGraphDF]] with an optional id-set result mask (the
+    * HNSW-filter discipline: the walk traverses the unfiltered graph,
+    * only matching live rows rank), rn-shaped like the IVF arms.
+    */
+  private def graphShortlist(queries: DataFrame, cap: Int,
+      ids: Option[DataFrame]): DataFrame = {
+    val effEf = math.max(32, 4 * cap)
+    graft.operators.KnnGraphIndex.search(spark, graphRoot,
+        queries.select(col("qid"), col("qvec")), cap, effEf, 30,
+        graphRowMask,
+        resultMask = ids.map(i => (df: DataFrame) =>
+          df.join(i, Seq("id"), "left_semi")))
+      .withColumnRenamed("rank", "rn")
+  }
+
   /** Graph layout shape for monitoring — the [[annIndexStats]] twin. */
   def knnGraphStats(): (Long, Long, Int, Int) = {
     require(hasKnnGraph,
@@ -2790,15 +2829,52 @@ class VectorStore private (
     }
     graft.operators.KnnGraphIndex.append(spark, graphRoot,
       rows.select($"id", $"vec").withColumn("gen", lit(gen)))
+    maybeMaintainGraphAfterWrite()
   }
 
   /** Post-delete graph maintenance: drop the dead nodes and repair the
     * survivors that listed them (O(affected × beam) — see
     * [[graft.operators.KnnGraphIndex.deleteAndRepair]]).
     */
-  private def graphAfterDelete(ids: DataFrame): Unit = if (hasKnnGraph)
+  private def graphAfterDelete(ids: DataFrame): Unit = if (hasKnnGraph) {
     graft.operators.KnnGraphIndex.deleteAndRepair(spark, graphRoot, ids,
       graphRowMask)
+    maybeMaintainGraphAfterWrite()
+  }
+
+  /** Staleness counters for the graph layout: (rows at the last full
+    * build, rows churned since) — the numerator/denominator of
+    * [[IndexMaintenancePolicy.graphMaxChurnFraction]], exposed for
+    * monitoring. Two marker-file reads, no jobs.
+    */
+  def knnGraphChurn(): (Long, Long) = {
+    require(hasKnnGraph,
+      s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
+    (graft.operators.KnnGraphIndex.readMeta(spark, graphRoot).nAtBuild,
+      graft.operators.KnnGraphIndex.readChurn(spark, graphRoot))
+  }
+
+  /** Churn-triggered graph rebuild (the annAutoMaintain twin for the
+    * graph family): fires after any mutation a graph-bearing store
+    * folds incrementally, replaying the persisted recipe once the
+    * churn fraction passes the policy threshold. The check is two
+    * marker-file reads; the rebuild resets the baseline.
+    */
+  private def maybeMaintainGraphAfterWrite(): Unit = maintenance.foreach { p =>
+    if (p.graphMaxChurnFraction > 0.0 && hasKnnGraph) {
+      val nAtBuild =
+        graft.operators.KnnGraphIndex.readMeta(spark, graphRoot).nAtBuild
+      if (nAtBuild > 0L) {
+        val churned = graft.operators.KnnGraphIndex.readChurn(spark, graphRoot)
+        if (churned.toDouble / nAtBuild > p.graphMaxChurnFraction) {
+          logInfo(s"auto-maintenance: $churned rows churned since the " +
+            s"graph build over $nAtBuild (> ${p.graphMaxChurnFraction}) " +
+            "— rebuilding the k-NN graph with its persisted recipe")
+          rebuildKnnGraph()
+        }
+      }
+    }
+  }
 
   /** Snapshot-export the WHOLE store — data, tombstones, version
     * counter, ANN/lex/doc-field sidecars, dim marker — to `destPath`

@@ -274,6 +274,54 @@ class GraphIndexSpec extends SparkSuite {
       "recipe rebuild must converge to the survivor brute-force graph")
   }
 
+  test("churn bookkeeping: O(batch) counters, rebuild resets the baseline") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("churn"), 8,
+      tombstoneDeletes = true)
+    s.insertDF(emb8(0, 100).orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 4, buildK = 16, nEntries = 3, nBuckets = 4)
+    assert(s.knnGraphChurn() == (100L, 0L), "fresh build = zero churn")
+    s.insertDF(emb8(400, 420).orderBy("id").coalesce(1).select(col("vec")))
+    assert(s.knnGraphChurn() == (100L, 20L), "append bumps by batch size")
+    s.delete(Seq(3L, 50L, 107L))
+    assert(s.knnGraphChurn() == (100L, 23L), "delete bumps by dead count")
+    s.delete(Seq(9999L)) // id the graph never held
+    assert(s.knnGraphChurn() == (100L, 23L),
+      "absent ids are not churn — only rows the layout actually held")
+    s.rebuildKnnGraph()
+    assert(s.knnGraphChurn() == (117L, 0L),
+      "rebuild re-bases nAtBuild at the live count and resets churn")
+  }
+
+  test("graphMaxChurnFraction policy: below threshold folds, crossing rebuilds") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("policy"), 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 100)
+    s.insertDF(base.orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 4, buildK = 16, nEntries = 3, nBuckets = 4)
+    s.enableAutoMaintenance(
+      graft.store.IndexMaintenancePolicy(graphMaxChurnFraction = 0.3))
+    // 10/100 = 0.1 <= 0.3: the incremental fold stands, churn persists
+    s.insertDF(emb8(400, 410).orderBy("id").coalesce(1).select(col("vec")))
+    assert(s.knnGraphChurn() == (100L, 10L),
+      "below threshold the policy must not rebuild")
+    // +25 → 35/100 > 0.3: the trigger fires, re-basing at 135 live rows
+    s.insertDF(emb8(410, 435).orderBy("id").coalesce(1).select(col("vec")))
+    assert(s.knnGraphChurn() == (135L, 0L),
+      "crossing the threshold must rebuild with the persisted recipe")
+    // the rebuilt graph IS the converged brute-force graph
+    val all = base.unionAll(emb8(400, 435))
+      .orderBy("id").coalesce(1).select(col("vec"))
+      .withColumn("id", monotonically_increasing_id())
+      .select(col("id"), col("vec"))
+    assert(edgeSet(s.knnGraphEdgesDF) == edgeSet(bruteGraph(all, 4)),
+      "post-trigger graph must equal the brute-force graph over live rows")
+    // delete-side churn reaches the same trigger: 41/135 > 0.3
+    val dead = (0L until 41L).toSeq
+    s.delete(dead)
+    assert(s.knnGraphChurn() == (94L, 0L),
+      "delete-side crossing must rebuild over the survivors")
+  }
+
   test("deleting ids absent from the graph is a no-op; emptied buckets vanish") {
     val root = mkRoot("edge")
     val pts = emb8(0, 60).withColumn("gen", lit(0L))
