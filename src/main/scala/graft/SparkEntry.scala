@@ -5156,6 +5156,36 @@ object SparkEntry {
       sel.unionAll(uns).orderBy("side", "qid", "rank")
     }),
 
+    // Cosine graph family: the layout records its metric, and every
+    // serving walk + incremental fold + repair ranks by 1 − cos —
+    // through a delete and a post-build append (the vs_graph_search
+    // lifecycle under the other metric; angle ordering differs from L2
+    // on these unnormalized vectors, so an L2 graph would hash-miss).
+    "vs_graph_cosine" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_graphc_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings")
+      store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
+        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
+      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8,
+        metric = "cosine")
+      store.delete(Seq(10L, 77L, 150L))
+      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
+        .orderBy("vec_id").coalesce(1)
+        .select(slice(col("embedding"), 1, 8).as("vec")))
+      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 312)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      store.searchGraphDF(qs, k = 5, ef = 48)
+        .select(col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    }),
+
     // Churn-triggered graph auto-maintenance (the staleness policy):
     // 50 appended rows over a 100-row build = 0.5 > the 0.4 threshold,
     // so the policy rebuilds the graph with its persisted recipe and
@@ -9655,6 +9685,34 @@ object SparkEntry {
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM (SELECT * FROM sel UNION ALL SELECT * FROM uns)
       ORDER BY side, qid, rank""",
+
+    // cosine store-lifecycle graph serving ≡ 1 − cos brute force over
+    // the final live rows (same corpus arithmetic as vs_graph_search)
+    "vs_graph_cosine" -> raw"""
+      WITH base AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings
+        WHERE vec_id < 200 AND vec_id NOT IN (10, 77, 150)),
+      appended AS (
+        SELECT 199 + row_number() OVER (ORDER BY vec_id) AS id,
+               embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 415),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id >= 300 AND vec_id < 312),
+      scored AS (
+        SELECT q.qid, c.id,
+               1.0 - list_cosine_similarity(c.vec, q.qvec) AS distance
+        FROM corpus c CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY distance, id) AS rank
+        FROM scored)
+      SELECT qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
 
     // churn-policy lifecycle ≡ brute force over all 150 live rows,
     // with the staleness counters pinned at the POST-REBUILD values:

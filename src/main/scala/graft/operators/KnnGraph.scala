@@ -48,6 +48,22 @@ object KnnGraph {
 
   case class Report(graph: DataFrame, iterations: Int, converged: Boolean)
 
+  /** Distance kernel shared by the descent and every serving walk:
+    * L2, or cosine DISTANCE `1 − cos` (both float32 codegen
+    * expressions; the subtraction keeps smaller-is-better, so every
+    * ranking window and beam truncation is metric-blind).
+    */
+  private[graft] def distExpr(metric: String,
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (metric == "cosine")
+      (lit(1f) - graft.functions.cosine_similarity(a, b)).cast("float")
+    else l2_distance(a, b)
+
+  private[graft] def requireMetric(metric: String): Unit =
+    require(metric == "l2" || metric == "cosine",
+      s"metric must be 'l2' or 'cosine', got '$metric'")
+
   /** @param buildK the neighbor-list width the DESCENT maintains
     *   (>= k; 0 = auto, max(2k, k+8)). NN-Descent's recall knob: wider
     *   lists widen each general neighborhood, which is what rescues
@@ -55,22 +71,24 @@ object KnnGraph {
     *   the paper's K vs the output k. Output is always top-k.
     */
   def nnDescent(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxIters: Int = 25, buildK: Int = 0): Report = {
+      maxIters: Int = 25, buildK: Int = 0,
+      metric: String = "l2"): Report = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    requireMetric(metric)
     val points = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec")).localCheckpoint(true)
     val n = points.count()
     require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
     val kb = effectiveBuildK(k, buildK, n)
     val seeds = seedEdges(points.select(col("id")), points.select(col("id")), kb)
-    val init = scoreEdges(points, seeds)
+    val init = scoreEdges(points, seeds, metric)
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
       .drop("rank")
       .withColumn("new", lit(true))
       .localCheckpoint(true)
     org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(seeds)
-    descend(points, init, k, kb, maxIters)
+    descend(points, init, k, kb, maxIters, metric)
   }
 
   /** O(batch)-seeded INCREMENTAL maintenance: fold `newBatch` into an
@@ -92,9 +110,11 @@ object KnnGraph {
     */
   def nnDescentAppend(oldPoints: DataFrame, priorGraph: DataFrame,
       newBatch: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxIters: Int = 25, buildK: Int = 0): Report = {
+      maxIters: Int = 25, buildK: Int = 0,
+      metric: String = "l2"): Report = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    requireMetric(metric)
     val old = oldPoints.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"))
     val fresh = newBatch.select(col(idCol).cast("long").as("id"),
@@ -109,14 +129,14 @@ object KnnGraph {
       .withColumn("new", lit(false))
     val seeds = seedEdges(fresh.select(col("id")), points.select(col("id")), kb)
     val init = prior.unionAll(
-        scoreEdges(points, seeds).withColumn("new", lit(true)))
+        scoreEdges(points, seeds, metric).withColumn("new", lit(true)))
       .groupBy(col("id"), col("nbr"))
       .agg(min(col("distance")).as("distance"), max(col("new")).as("new"))
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
       .drop("rank")
       .localCheckpoint(true)
     org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(seeds)
-    descend(points, init, k, kb, maxIters)
+    descend(points, init, k, kb, maxIters, metric)
   }
 
   /** Batch greedy beam search over a built k-NN graph — the
@@ -171,8 +191,12 @@ object KnnGraph {
     // the seen set is SEPARATE from the beam: a node evicted from the
     // top-ef beam must stay ineligible for re-proposal (it can never
     // re-enter — the ef-th distance only tightens), otherwise later
-    // hops re-score evicted nodes every time a frontier touches them
-    var seen = visited.select(col("qid"), col("id")).localCheckpoint(true)
+    // hops re-score evicted nodes every time a frontier touches them.
+    // Per-hop CHECKPOINTED DELTAS unioned lazily for the anti-join —
+    // re-materializing the whole set each hop pays O(total-seen)
+    // writes per tail hop (see KnnGraphIndex.searchCore)
+    var seenParts: List[DataFrame] =
+      List(visited.select(col("qid"), col("id")).localCheckpoint(true))
     var hops = 0
     var done = false
     while (hops < maxHops && !done) {
@@ -181,7 +205,7 @@ object KnnGraph {
         .select(col("qid"), col("id").as("node"))
       val unseen = frontier.join(und, Seq("node"))
         .select(col("qid"), col("cand").as("id")).distinct()
-        .join(seen, Seq("qid", "id"), "left_anti")
+        .join(seenParts.reduce(_ unionAll _), Seq("qid", "id"), "left_anti")
         .localCheckpoint(true) // consumed twice: scoring + seen fold
       val merged = visited.select(col("qid"), col("id"), col("distance"),
           lit(false).as("fresh"))
@@ -190,18 +214,16 @@ object KnnGraph {
         .drop("rn")
         .withColumnRenamed("fresh", "new")
         .localCheckpoint(true)
-      val nextSeen = seen.unionAll(unseen).localCheckpoint(true)
+      seenParts = unseen :: seenParts // already checkpointed above
       val grew = merged.filter(col("new")).count()
       if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
         println(s"searchGraph hop $hops: $grew beam entries")
-      for (old <- Seq(visited, seen, unseen))
-        org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(old)
+      org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(visited)
       visited = merged
-      seen = nextSeen
       done = grew == 0L
     }
     // only the final beam checkpoint backs the returned frame
-    for (aux <- Seq(pts, qs, und, seen))
+    for (aux <- Seq(pts, qs, und) ++ seenParts)
       org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(aux)
     visited
       .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
@@ -241,13 +263,14 @@ object KnnGraph {
     out
   }
 
-  private def scoreEdges(points: DataFrame, edges: DataFrame): DataFrame =
+  private def scoreEdges(points: DataFrame, edges: DataFrame,
+      metric: String = "l2"): DataFrame =
     edges
       .join(points, Seq("id"))
       .join(points.select(col("id").as("nbr"), col("vec").as("nvec")),
         Seq("nbr"))
       .select(col("id"), col("nbr"),
-        l2_distance(col("vec"), col("nvec")).as("distance"))
+        distExpr(metric, col("vec"), col("nvec")).as("distance"))
 
   /** The shared descent loop over an initial (id, nbr, distance, new)
     * graph whose list width is `kb`; returns the top-k projection.
@@ -259,7 +282,7 @@ object KnnGraph {
     * must not accumulate cached blocks.
     */
   private def descend(points: DataFrame, init: DataFrame, k: Int, kb: Int,
-      maxIters: Int): Report = {
+      maxIters: Int, metric: String = "l2"): Report = {
     var graph = init
     var iters = 0
     var converged = false
@@ -289,7 +312,7 @@ object KnnGraph {
         .filter(col("nu") || col("nv"))
         .select(col("u").as("id"), col("v").as("nbr"))
         .distinct()
-      val scored = scoreEdges(points, proposals)
+      val scored = scoreEdges(points, proposals, metric)
       // fold proposals into each endpoint's list; an entry is NEW when
       // it was not in the previous top list
       val merged = graph.select(col("id"), col("nbr"), col("distance"),

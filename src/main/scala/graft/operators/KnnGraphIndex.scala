@@ -35,8 +35,9 @@ import graft.functions.l2_distance
   *     beams start near every region of the corpus instead of at
   *     arbitrary scrambled-order heads. Materialized AT BUILD.
   *   - `meta` — build recipe (`k`, `buildK`, `maxIters`, `nBuckets`,
-  *     `nEntries`) so incremental appends replay the descent with the
-  *     recorded hyperparameters.
+  *     `nEntries`, `metric` l2|cosine) so incremental appends replay
+  *     the descent with the recorded hyperparameters and every serving
+  *     walk ranks by the metric the graph was BUILT under.
   *
   * Maintenance (the [[graft.store.VectorStore]] ingest contract):
   *
@@ -66,7 +67,7 @@ object KnnGraphIndex {
     * denominator of the staleness fraction (0 on pre-churn layouts).
     */
   case class Meta(k: Int, buildK: Int, maxIters: Int, nBuckets: Int,
-      nEntries: Int, nAtBuild: Long = 0L)
+      nEntries: Int, nAtBuild: Long = 0L, metric: String = "l2")
 
   private def nodesPath(root: String) = s"$root/nodes"
   private def metaPath(root: String) = new Path(root, "meta")
@@ -99,13 +100,14 @@ object KnnGraphIndex {
       .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
     Meta(m("k").toInt, m("buildK").toInt, m("maxIters").toInt,
       m("nBuckets").toInt, m("nEntries").toInt,
-      m.getOrElse("nAtBuild", "0").toLong)
+      m.getOrElse("nAtBuild", "0").toLong,
+      m.getOrElse("metric", "l2"))
   }
 
   private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit = {
     val body = s"k=${m.k}\nbuildK=${m.buildK}\nmaxIters=${m.maxIters}\n" +
       s"nBuckets=${m.nBuckets}\nnEntries=${m.nEntries}\n" +
-      s"nAtBuild=${m.nAtBuild}"
+      s"nAtBuild=${m.nAtBuild}\nmetric=${m.metric}"
     val out = fs(spark, root).create(metaPath(root), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -174,13 +176,19 @@ object KnnGraphIndex {
     * needs coverage, not converged clustering). Deterministic.
     */
   private def pickMedoids(points: DataFrame, nEntries: Int,
-      n: Long): Seq[Long] = {
+      n: Long, metric: String): Seq[Long] = {
     val kk = math.min(nEntries.toLong, n).toInt
-    val cents = Ann.kmeans(points, "id", "vec", kk, iters = 3,
-      seedRounds = 0)
-    Ann.assign(points, "id", "vec", cents)
+    val cosine = metric == "cosine"
+    val cents =
+      if (cosine) Ann.kmeansCosine(points, "id", "vec", kk, iters = 3,
+        seedRounds = 0)
+      else Ann.kmeans(points, "id", "vec", kk, iters = 3, seedRounds = 0)
+    val assigned =
+      if (cosine) Ann.assignCosine(points, "id", "vec", cents)
+      else Ann.assign(points, "id", "vec", cents)
+    assigned
       .join(broadcast(cents), Seq("centroid_id"))
-      .withColumn("d", l2_distance(col("vec"), col("centroid")))
+      .withColumn("d", KnnGraph.distExpr(metric, col("vec"), col("centroid")))
       .groupBy(col("centroid_id"))
       .agg(min(struct(col("d"), col("id"))).as("m"))
       .select(col("m.id"))
@@ -193,13 +201,13 @@ object KnnGraphIndex {
     */
   def build(spark: SparkSession, root: String, points: DataFrame,
       k: Int, buildK: Int = 0, maxIters: Int = 25, nEntries: Int = 4,
-      nBuckets: Int = 16): KnnGraph.Report = {
+      nBuckets: Int = 16, metric: String = "l2"): KnnGraph.Report = {
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val rep = KnnGraph.nnDescent(pts.select(col("id"), col("vec")),
-      "id", "vec", k, maxIters, buildK)
+      "id", "vec", k, maxIters, buildK, metric)
     write(spark, root, pts, rep.graph, k, buildK, maxIters, nEntries,
-      nBuckets)
+      nBuckets, metric)
     GraftShim.unpersistLocalCheckpoint(rep.graph)
     GraftShim.unpersistLocalCheckpoint(pts)
     // the descent's checkpoint is released above (layout builds must
@@ -214,13 +222,15 @@ object KnnGraphIndex {
     */
   def write(spark: SparkSession, root: String, points: DataFrame,
       graph: DataFrame, k: Int, buildK: Int = 0, maxIters: Int = 25,
-      nEntries: Int = 4, nBuckets: Int = 16): Unit = {
+      nEntries: Int = 4, nBuckets: Int = 16, metric: String = "l2"): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(nEntries >= 1, s"nEntries must be >= 1, got $nEntries")
+    KnnGraph.requireMetric(metric)
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val n = pts.count()
-    val meta = Meta(k, buildK, maxIters, nBuckets, nEntries, nAtBuild = n)
+    val meta = Meta(k, buildK, maxIters, nBuckets, nEntries, nAtBuild = n,
+      metric = metric)
     val rows = assembleRows(pts, graph, meta)
     // stage → swap: a crash mid-build must not leave a half-written
     // layout where a previous one served queries
@@ -232,7 +242,7 @@ object KnnGraphIndex {
       throw new java.io.IOException(s"could not clear $dest")
     if (!f.rename(new Path(staged), dest))
       throw new java.io.IOException(s"could not activate $staged")
-    writeEntries(spark, root, pickMedoids(pts, nEntries, n))
+    writeEntries(spark, root, pickMedoids(pts, nEntries, n, metric))
     writeMeta(spark, root, meta)
     writeChurn(spark, root, 0L) // full build = fresh staleness baseline
     GraftShim.unpersistLocalCheckpoint(pts)
@@ -354,7 +364,8 @@ object KnnGraphIndex {
       pairs.join(vecs.select(col("id"), col("vec")), Seq("id"))
         .join(qs, Seq("qid"))
         .select(col("qid"), col("id"),
-          l2_distance(col("vec"), col("qvec")).as("distance"))
+          KnnGraph.distExpr(meta.metric, col("vec"), col("qvec"))
+            .as("distance"))
     }
     // k-truncated running result set for filtered search (None = the
     // beam itself is the result)
@@ -377,8 +388,13 @@ object KnnGraphIndex {
     GraftShim.unpersistLocalCheckpoint(seedScored)
     // seen holds every PROPOSED pair (masked seeds included — a dead
     // seed must not be re-proposed), separate from the beam: evicted
-    // nodes can never re-enter (the ef-th distance only tightens)
-    var seen = seed
+    // nodes can never re-enter (the ef-th distance only tightens).
+    // Kept as a list of per-hop CHECKPOINTED DELTAS unioned lazily for
+    // the anti-join — re-materializing the whole set each hop made
+    // every tail hop pay O(total-seen) writes (the 1M repair probe's
+    // dominant tail cost); the delta layout pays O(new) writes and a
+    // cached read of the parts
+    var seenParts: List[DataFrame] = List(seed)
     var hops = 0
     var done = false
     while (hops < maxHops && !done) {
@@ -391,7 +407,7 @@ object KnnGraphIndex {
       val unseen = maskSelf(
           frontier.join(fNodes, Seq("id"))
             .select(col("qid"), explode(col("out")).as("id")).distinct())
-        .join(seen, Seq("qid", "id"), "left_anti")
+        .join(seenParts.reduce(_ unionAll _), Seq("qid", "id"), "left_anti")
         .localCheckpoint(true) // consumed twice: scoring + seen fold
       val scored = scoreCands(unseen).localCheckpoint(true)
       val merged = beam.select(col("qid"), col("id"), col("distance"),
@@ -401,20 +417,21 @@ object KnnGraphIndex {
         .drop("rn")
         .withColumnRenamed("fresh", "new")
         .localCheckpoint(true)
-      val nextSeen = seen.unionAll(unseen).localCheckpoint(true)
+      seenParts = unseen :: seenParts // already checkpointed above
       if (resultMask.isDefined) {
         val nextHits = fold(hits, scored)
         GraftShim.unpersistLocalCheckpoint(hits)
         hits = nextHits
       }
       val grew = merged.filter(col("new")).count()
-      for (old <- Seq(beam, seen, unseen, scored))
+      if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
+        println(s"searchCore hop $hops: $grew beam entries")
+      for (old <- Seq(beam, scored))
         GraftShim.unpersistLocalCheckpoint(old)
       beam = merged
-      seen = nextSeen
       done = grew == 0L
     }
-    GraftShim.unpersistLocalCheckpoint(seen)
+    seenParts.foreach(GraftShim.unpersistLocalCheckpoint)
     val ranked = resultMask match {
       case Some(_) => hits
       case None => beam
@@ -438,7 +455,7 @@ object KnnGraphIndex {
     val prior = edges(spark, root).localCheckpoint(true)
     val rep = KnnGraph.nnDescentAppend(nodes.select(col("id"), col("vec")),
       prior, b.select(col("id"), col("vec")), "id", "vec", meta.k,
-      meta.maxIters, meta.buildK)
+      meta.maxIters, meta.buildK, meta.metric)
     applyListChanges(spark, root, meta, rep.graph, prior, newRows = b,
       removedIds = None)
     bumpChurn(spark, root, b.count()) // checkpointed batch — O(batch)
@@ -489,8 +506,14 @@ object KnnGraphIndex {
       else {
         val qs = affRows.select(col("id").as("qid"), col("vec").as("qvec"))
           .localCheckpoint(true)
-        // seeds: the node's own surviving neighbors + the medoids —
-        // the beam restarts where the list was already good
+        // seeds: the node's own surviving neighbors — the beam
+        // restarts where the list was already good (the FreshDiskANN
+        // local-repair shape). Entry medoids seed ONLY orphans (every
+        // listed neighbor dead): a medoid cross-seed on every query
+        // makes each repair walk re-approach its node from across the
+        // corpus — near-maxHops of full-frontier hops per batch (the
+        // 1M smoke read ~100M records for 200 deletions), for beams
+        // that local seeds converge in a handful of hops
         val live = idsToDF(spark, readEntries(spark, root))
           .join(broadcast(dead), Seq("id"), "left_anti")
         // ... plus the dead REGION's surviving fringe, seeded
@@ -524,18 +547,35 @@ object KnnGraphIndex {
           .join(fringe.select(col("comp"), col("id").as("qid")),
             Seq("comp"))
           .select(col("qid"), col("id"))
+          // a self-pair is no seed (searchCore masks it) — dropping it
+          // HERE keeps the orphan detection below honest: a fringe
+          // whose only member is the query itself must fall through to
+          // the medoid seeds
+          .filter(col("qid") =!= col("id"))
           .join(affectedIds.select(col("id").as("qid")), Seq("qid"),
             "left_semi")
-        val seeds = affPairs
+        val survivingSeeds = affPairs
           .join(broadcast(dead.select(col("id").as("nbr"))), Seq("nbr"),
             "left_anti")
           .select(col("id").as("qid"), col("nbr").as("id"))
-          .unionAll(qs.select(col("qid")).crossJoin(broadcast(live)))
+        val orphanQids = qs.select(col("qid"))
+          .join(survivingSeeds.select(col("qid")), Seq("qid"), "left_anti")
+          .join(fringeSeeds.select(col("qid")), Seq("qid"), "left_anti")
+        val seeds = survivingSeeds
+          .unionAll(orphanQids.crossJoin(broadcast(live)))
           .unionAll(fringeSeeds)
         val maskDead: DataFrame => DataFrame = df =>
           rowMask(df).join(broadcast(dead), Seq("id"), "left_anti")
+        // repair beams start AT the node's surviving neighborhood (its
+        // own list + the dead region's fringe) — a wide exploratory ef
+        // mostly churns beam slots k+1.. with marginal candidates the
+        // batch hop loop then pays a full union-frontier hop each to
+        // admit (the 1M probe ran to the 30-hop cap at ef = 4k, ~90%
+        // of the repair wall). k + 8 slack absorbs the replacement
+        // candidates; long-run recall decay under sustained churn is
+        // the churn-policy rebuild's job, not the per-delete repair's
         val effEf = if (ef > 0) ef
-          else math.max(32, 4 * meta.k)
+          else math.max(16, meta.k + 8)
         val out = searchCore(spark, root, meta, qs, seeds, meta.k, effEf,
           maxHops, maskDead, excludeSelf = true)
           .select(col("qid").as("id"), col("id").as("nbr"),
@@ -559,7 +599,8 @@ object KnnGraphIndex {
         .select(col("id"), col("vec"))
       val n = pts.count()
       if (n > 0)
-        writeEntries(spark, root, pickMedoids(pts, meta.nEntries, n))
+        writeEntries(spark, root,
+          pickMedoids(pts, meta.nEntries, n, meta.metric))
     } else writeEntries(spark, root, liveEntries)
     for (df <- Seq(dead, deadRows, affectedIds, affRows, priorPairs,
         repaired))

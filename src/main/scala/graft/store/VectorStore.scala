@@ -2201,7 +2201,11 @@ class VectorStore private (
     */
   private def bruteForceOverMatched(queries: DataFrame, k: Int,
       matchIds: DataFrame): DataFrame = {
-    val cosine = hasAnnIndex && annMetric == "cosine"
+    // metric follows whichever index would have served the probed arm:
+    // IVF when built, else the k-NN graph (its layout records one)
+    val cosine =
+      if (hasAnnIndex) annMetric == "cosine"
+      else hasKnnGraph && knnGraphMetric == "cosine"
     val scored = indexDf
       .join(matchIds, Seq("id"), "left_semi")
       .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
@@ -2689,11 +2693,21 @@ class VectorStore private (
     *                 is thousands; tests use a handful)
     */
   def buildKnnGraph(k: Int, buildK: Int = 0, maxIters: Int = 25,
-      nEntries: Int = 4, nBuckets: Int = 16): Unit = {
+      nEntries: Int = 4, nBuckets: Int = 16,
+      metric: String = "l2"): Unit = {
     graft.operators.KnnGraphIndex.build(spark, graphRoot,
       liveWithGen.select($"id", $"vec", col(GenCol).as("gen")),
-      k, buildK, maxIters, nEntries, nBuckets)
+      k, buildK, maxIters, nEntries, nBuckets, metric)
     ()
+  }
+
+  /** The persisted graph's metric ("l2" | "cosine"); "l2" when the
+    * layout predates the metric marker — the only metric it can carry.
+    */
+  def knnGraphMetric: String = {
+    require(hasKnnGraph,
+      s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
+    graft.operators.KnnGraphIndex.readMeta(spark, graphRoot).metric
   }
 
   def dropKnnGraph(): Unit =
@@ -2754,12 +2768,13 @@ class VectorStore private (
       n <= bruteForceThreshold
     }
     if (selective) {
-      // L2 always: the graph family ranks by L2 (unlike
-      // bruteForceOverMatched, whose metric follows the IVF index)
+      // rank by the graph's metric (the layout records it), so both
+      // dispatch arms order identically
       val scored = indexDf
         .join(ids, Seq("id"), "left_semi")
         .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
-        .withColumn("distance", l2_distance($"vec", $"qvec"))
+        .withColumn("distance", graft.operators.KnnGraph.distExpr(
+          knnGraphMetric, $"vec", $"qvec"))
         .select($"qid", $"id", $"distance")
       graft.operators.SimilarityJoin
         .topKByDistance(scored, "qid", "id", "distance", k)
@@ -2810,7 +2825,8 @@ class VectorStore private (
     require(hasKnnGraph,
       s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
     val m = graft.operators.KnnGraphIndex.readMeta(spark, graphRoot)
-    buildKnnGraph(m.k, m.buildK, m.maxIters, m.nEntries, m.nBuckets)
+    buildKnnGraph(m.k, m.buildK, m.maxIters, m.nEntries, m.nBuckets,
+      m.metric)
   }
 
   /** O(batch) graph maintenance on insert — the [[annAppend]] twin.

@@ -274,6 +274,60 @@ class GraphIndexSpec extends SparkSuite {
       "recipe rebuild must converge to the survivor brute-force graph")
   }
 
+  test("cosine graph family: build, serve, delete+repair, append all rank by 1 − cos") {
+    val s = VectorStore.openOrCreate(spark, mkRoot("cos"), 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 120)
+    s.insertDF(base.orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 4, buildK = 16, nEntries = 3, nBuckets = 4,
+      metric = "cosine")
+    assert(s.knnGraphMetric == "cosine")
+    s.delete(Seq(8L, 61L))
+    s.insertDF(emb8(400, 410).orderBy("id").coalesce(1).select(col("vec")))
+    val live = base.filter(!col("id").isin(8L, 61L))
+      .unionAll(emb8(400, 410)
+        .orderBy("id").coalesce(1).select(col("vec"))
+        .withColumn("id", monotonically_increasing_id() + 120L)
+        .select(col("id"), col("vec")))
+      .localCheckpoint(true)
+    val qs = emb8(300, 306)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = s.searchGraphDF(qs, k = 4, ef = 64)
+      .select(col("qid"), col("id"), col("rank").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    val want = live
+      .crossJoin(broadcast(qs))
+      .withColumn("d", lit(1f) - graft.functions
+        .cosine_similarity(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d"), col("id"))))
+      .filter(col("rank") <= 4)
+      .select(col("qid"), col("id"), col("rank").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want,
+      "cosine graph serving through delete + append must equal 1 − cos brute force")
+  }
+
+  test("orphan repair: a node whose ENTIRE list died re-enters via medoid seeds, exactly") {
+    val root = mkRoot("orphan")
+    val pts = emb8(0, 80).withColumn("gen", lit(0L))
+    KnnGraphIndex.build(spark, root, pts, k = 3, buildK = 12,
+      nEntries = 3, nBuckets = 4)
+    // victim: every neighbor of node 11's list dies in one batch — 11
+    // keeps NO surviving seed, and (unless its dead neighbors' fringe
+    // happens to include it pairwise with itself only) depends on the
+    // medoid fallback for reachability
+    val victims = KnnGraphIndex.edges(spark, root)
+      .filter(col("id") === 11L).select(col("nbr")).as[Long].collect().toSeq
+    assert(victims.size == 3)
+    KnnGraphIndex.deleteAndRepair(spark, root, victims.toDF("id"))
+    val left = emb8(0, 80).filter(!col("id").isin(victims: _*))
+    assert(edgeSet(KnnGraphIndex.edges(spark, root))
+      == edgeSet(bruteGraph(left, 3)),
+      "orphaned-list repair must still converge to the survivor brute-force graph")
+  }
+
   test("churn bookkeeping: O(batch) counters, rebuild resets the baseline") {
     val s = VectorStore.openOrCreate(spark, mkRoot("churn"), 8,
       tombstoneDeletes = true)
