@@ -5156,6 +5156,38 @@ object SparkEntry {
       sel.unionAll(uns).orderBy("side", "qid", "rank")
     }),
 
+    // PQ-coded graph serving (the DiskANN shape): the walk scores on
+    // the co-located m=4 codes (column pruning keeps the 8-dim vector
+    // out of traversal IO — plan-asserted by bytes in GraphIndexSpec),
+    // the final beam refines on full vectors — so the served top-5 is
+    // EXACT on this fixture and the oracle replays plain brute force,
+    // blind to the quantization. Through a delete + append (appended
+    // rows encoded with the persisted codebook).
+    "vs_graph_pq" -> ((s, dir) => {
+      val root = s"$scratchRoot/vs_graphpq_store"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings")
+      store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
+        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
+      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8,
+        pqM = 4)
+      store.delete(Seq(10L, 77L, 150L))
+      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
+        .orderBy("vec_id").coalesce(1)
+        .select(slice(col("embedding"), 1, 8).as("vec")))
+      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 312)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      store.searchGraphDF(qs, k = 5, ef = 48)
+        .select(col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    }),
+
     // Cosine graph family: the layout records its metric, and every
     // serving walk + incremental fold + repair ranks by 1 − cos —
     // through a delete and a post-build append (the vs_graph_search
@@ -9685,6 +9717,33 @@ object SparkEntry {
              ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
       FROM (SELECT * FROM sel UNION ALL SELECT * FROM uns)
       ORDER BY side, qid, rank""",
+
+    // PQ-coded serving refines exactly on this fixture — the oracle
+    // is the SAME brute force as vs_graph_search (quantization-blind)
+    "vs_graph_pq" -> raw"""
+      WITH base AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings
+        WHERE vec_id < 200 AND vec_id NOT IN (10, 77, 150)),
+      appended AS (
+        SELECT 199 + row_number() OVER (ORDER BY vec_id) AS id,
+               embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 415),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id >= 300 AND vec_id < 312),
+      scored AS (
+        SELECT q.qid, c.id, list_distance(c.vec, q.qvec) AS distance
+        FROM corpus c CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY distance, id) AS rank
+        FROM scored)
+      SELECT qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
 
     // cosine store-lifecycle graph serving ≡ 1 − cos brute force over
     // the final live rows (same corpus arithmetic as vs_graph_search)

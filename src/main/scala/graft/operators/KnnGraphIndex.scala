@@ -67,12 +67,14 @@ object KnnGraphIndex {
     * denominator of the staleness fraction (0 on pre-churn layouts).
     */
   case class Meta(k: Int, buildK: Int, maxIters: Int, nBuckets: Int,
-      nEntries: Int, nAtBuild: Long = 0L, metric: String = "l2")
+      nEntries: Int, nAtBuild: Long = 0L, metric: String = "l2",
+      pqM: Int = 0)
 
   private def nodesPath(root: String) = s"$root/nodes"
   private def metaPath(root: String) = new Path(root, "meta")
   private def entriesPath(root: String) = new Path(root, "entries")
   private def churnPath(root: String) = new Path(root, "churn")
+  private def pqPath(root: String) = s"$root/pq_codebook"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -101,13 +103,14 @@ object KnnGraphIndex {
     Meta(m("k").toInt, m("buildK").toInt, m("maxIters").toInt,
       m("nBuckets").toInt, m("nEntries").toInt,
       m.getOrElse("nAtBuild", "0").toLong,
-      m.getOrElse("metric", "l2"))
+      m.getOrElse("metric", "l2"),
+      m.getOrElse("pqM", "0").toInt)
   }
 
   private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit = {
     val body = s"k=${m.k}\nbuildK=${m.buildK}\nmaxIters=${m.maxIters}\n" +
       s"nBuckets=${m.nBuckets}\nnEntries=${m.nEntries}\n" +
-      s"nAtBuild=${m.nAtBuild}\nmetric=${m.metric}"
+      s"nAtBuild=${m.nAtBuild}\nmetric=${m.metric}\npqM=${m.pqM}"
     val out = fs(spark, root).create(metaPath(root), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -201,13 +204,14 @@ object KnnGraphIndex {
     */
   def build(spark: SparkSession, root: String, points: DataFrame,
       k: Int, buildK: Int = 0, maxIters: Int = 25, nEntries: Int = 4,
-      nBuckets: Int = 16, metric: String = "l2"): KnnGraph.Report = {
+      nBuckets: Int = 16, metric: String = "l2",
+      pqM: Int = 0): KnnGraph.Report = {
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val rep = KnnGraph.nnDescent(pts.select(col("id"), col("vec")),
       "id", "vec", k, maxIters, buildK, metric)
     write(spark, root, pts, rep.graph, k, buildK, maxIters, nEntries,
-      nBuckets, metric)
+      nBuckets, metric, pqM)
     GraftShim.unpersistLocalCheckpoint(rep.graph)
     GraftShim.unpersistLocalCheckpoint(pts)
     // the descent's checkpoint is released above (layout builds must
@@ -222,16 +226,38 @@ object KnnGraphIndex {
     */
   def write(spark: SparkSession, root: String, points: DataFrame,
       graph: DataFrame, k: Int, buildK: Int = 0, maxIters: Int = 25,
-      nEntries: Int = 4, nBuckets: Int = 16, metric: String = "l2"): Unit = {
+      nEntries: Int = 4, nBuckets: Int = 16, metric: String = "l2",
+      pqM: Int = 0): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(nEntries >= 1, s"nEntries must be >= 1, got $nEntries")
     KnnGraph.requireMetric(metric)
+    require(pqM == 0 || metric == "l2",
+      "PQ-coded traversal requires the l2 metric (cosine corpora: " +
+      "normalize the vectors and build l2)")
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val n = pts.count()
     val meta = Meta(k, buildK, maxIters, nBuckets, nEntries, nAtBuild = n,
-      metric = metric)
-    val rows = assembleRows(pts, graph, meta)
+      metric = metric, pqM = pqM)
+    // the DiskANN trade: co-locate a PQ code with each node record so
+    // the WALK scores on codes (column-pruned reads — the d-dim float
+    // vector never travels during traversal) and only the final beam
+    // refines on full vectors
+    val cb =
+      if (pqM > 0) {
+        val dim = pts.select(size(col("vec"))).head().getInt(0)
+        // 16 codes/subspace (4-bit PQ, the DiskANN traversal regime):
+        // enough to steer the walk — the refine re-ranks exactly — and
+        // the m x k literal-argmin encode stays inside whole-stage
+        // codegen (64+ codes blew past janino's method limit and fell
+        // back to interpreted row-at-a-time encode, the wrong build
+        // cost at corpus scale)
+        val kCodes = math.min(16L, n).toInt
+        val fitted = Pq.fit(pts, "id", "vec", dim, pqM, kCodes)
+        Pq.writeCodebook(spark, pqPath(root), fitted)
+        Some(fitted)
+      } else None
+    val rows = assembleRows(pts, graph, meta, cb)
     // stage → swap: a crash mid-build must not leave a half-written
     // layout where a previous one served queries
     val f = fs(spark, root)
@@ -252,7 +278,7 @@ object KnnGraphIndex {
     * set: fwd lists in rank order, exact rev sets.
     */
   private def assembleRows(pts: DataFrame, g: DataFrame,
-      meta: Meta): DataFrame = {
+      meta: Meta, cb: Option[Pq.PqCodebook]): DataFrame = {
     val fwd = g.groupBy(col("id")).agg(
       transform(
         array_sort(collect_list(struct(col("rank"), col("nbr"),
@@ -262,11 +288,13 @@ object KnnGraphIndex {
     val rev = g.select(col("nbr").as("id"), col("id").as("src"))
       .groupBy(col("id"))
       .agg(array_sort(collect_set(col("src"))).as("rev"))
-    pts.join(fwd, Seq("id"), "left").join(rev, Seq("id"), "left")
+    val joined = pts.join(fwd, Seq("id"), "left").join(rev, Seq("id"), "left")
+    val base = joined
       .select(col("id"), col("vec"), col("gen"),
         coalesce(col("fwd"), array().cast(FwdType)).as("fwd"),
         coalesce(col("rev"), array().cast("array<bigint>")).as("rev"),
         bucketOf(col("id"), meta.nBuckets).as("bucket"))
+    cb.fold(base)(c => Pq.encode(base, "vec", "codes", c))
   }
 
   /** The node rows of `ids`, read with source-level partition pruning:
@@ -343,6 +371,16 @@ object KnnGraphIndex {
     ids.toDF("id")
   }
 
+  /** The PQ walk's scoring projection — the traversal reads (id,
+    * codes, gen), never the d-dim vector (column pruning reaches the
+    * scan; plan-asserted in GraphIndexSpec). Package-visible so the
+    * spec asserts the REAL code path's ReadSchema.
+    */
+  private[graft] def codeNodes(spark: SparkSession, root: String,
+      meta: Meta, ids: DataFrame): DataFrame =
+    lookup(spark, root, meta, ids)
+      .select(col("id"), col("codes"), col("gen"))
+
   /** The shared beam loop: per-query state bounded by `ef`, per-hop IO
     * bounded by the frontier's touched buckets. `seeds` is (qid, id);
     * `excludeSelf` drops qid == id candidates (the repair path, where
@@ -351,13 +389,22 @@ object KnnGraphIndex {
   private def searchCore(spark: SparkSession, root: String, meta: Meta,
       qs: DataFrame, seeds: DataFrame, k: Int, ef: Int, maxHops: Int,
       rowMask: DataFrame => DataFrame, excludeSelf: Boolean,
-      resultMask: Option[DataFrame => DataFrame] = None): DataFrame = {
+      resultMask: Option[DataFrame => DataFrame] = None,
+      forceExact: Boolean = false): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef ($ef) >= k ($k) >= 1")
+    // PQ-coded traversal (the DiskANN serve shape): hops score on the
+    // co-located codes — the lookup reads (id, codes, gen), column
+    // pruning keeps the d-dim vector out of traversal IO entirely —
+    // and the FINAL beam refines on full vectors (one pruned lookup of
+    // ef rows/query). forceExact opts out (the repair path: repaired
+    // lists are store state, they must carry exact distances)
+    val cb = if (meta.pqM > 0 && !forceExact)
+      Some(Pq.readCodebook(spark, pqPath(root))) else None
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("distance"), col("id"))
     def maskSelf(pairs: DataFrame): DataFrame =
       if (excludeSelf) pairs.filter(col("qid") =!= col("id")) else pairs
-    def scoreCands(pairs: DataFrame): DataFrame = {
+    def exactScore(pairs: DataFrame): DataFrame = {
       val vecs = rowMask(
         lookup(spark, root, meta, pairs.select(col("id")).distinct())
           .select(col("id"), col("vec"), col("gen")))
@@ -367,14 +414,28 @@ object KnnGraphIndex {
           KnnGraph.distExpr(meta.metric, col("vec"), col("qvec"))
             .as("distance"))
     }
-    // k-truncated running result set for filtered search (None = the
-    // beam itself is the result)
+    def scoreCands(pairs: DataFrame): DataFrame = cb match {
+      case Some(c) =>
+        val nodes = rowMask(
+          codeNodes(spark, root, meta, pairs.select(col("id")).distinct()))
+        pairs.join(nodes.select(col("id"), col("codes")), Seq("id"))
+          .join(qs, Seq("qid"))
+          .select(col("qid"), col("id"),
+            graft.functions.l2_distance(col("qvec"),
+              Pq.reconstructCol(col("codes"), c)).as("distance"))
+      case None => exactScore(pairs)
+    }
+    // running result set for filtered search (None = the beam itself
+    // is the result): k-truncated exact, ef-truncated under PQ (the
+    // approximate walk order needs slack for the refine to re-rank)
+    val hitsWidth = if (cb.isDefined) ef else k
     def fold(hits: DataFrame, scored: DataFrame): DataFrame =
       // re-project after the mask: a semi-join on `id` moves that
       // column first, and unionAll is positional
       hits.unionAll(resultMask.get(scored)
           .select(col("qid"), col("id"), col("distance")))
-        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= k)
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= hitsWidth)
         .drop("rn").localCheckpoint(true)
     val seed = maskSelf(seeds.select(col("qid"), col("id")).distinct())
       .localCheckpoint(true)
@@ -436,7 +497,18 @@ object KnnGraphIndex {
       case Some(_) => hits
       case None => beam
     }
-    ranked
+    // the refine must materialize INSIDE the walk scope: it references
+    // qs (and the beam/hits checkpoint), which callers release right
+    // after searchCore returns — the checkpoint swap keeps the
+    // returned frame self-contained, as the exact path's beam is
+    val rankable =
+      if (cb.isDefined) {
+        val refined = exactScore(ranked.select(col("qid"), col("id")))
+          .localCheckpoint(true)
+        GraftShim.unpersistLocalCheckpoint(ranked)
+        refined
+      } else ranked
+    rankable
       .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("distance"), col("rank"))
   }
@@ -577,7 +649,7 @@ object KnnGraphIndex {
         val effEf = if (ef > 0) ef
           else math.max(16, meta.k + 8)
         val out = searchCore(spark, root, meta, qs, seeds, meta.k, effEf,
-          maxHops, maskDead, excludeSelf = true)
+          maxHops, maskDead, excludeSelf = true, forceExact = true)
           .select(col("qid").as("id"), col("id").as("nbr"),
             col("distance"), col("rank"))
           .localCheckpoint(true)
@@ -640,13 +712,20 @@ object KnnGraphIndex {
     val buckets = touchedIds
       .select(bucketOf(col("id"), meta.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0))
-    val oldRows = bucketRows(spark, root, buckets)
-      .select(col("id"), col("vec"), col("gen"), col("fwd"), col("rev"))
+    val cb = if (meta.pqM > 0)
+      Some(Pq.readCodebook(spark, pqPath(root))) else None
+    val dataCols = Seq(col("id"), col("vec"), col("gen"), col("fwd"),
+      col("rev")) ++ cb.map(_ => col("codes"))
+    val oldRows = bucketRows(spark, root, buckets).select(dataCols: _*)
     val base = Option(newRows) match {
       case Some(nr) =>
-        oldRows.unionByName(nr.select(col("id"), col("vec"), col("gen"))
+        val plain = nr.select(col("id"), col("vec"), col("gen"))
           .withColumn("fwd", array().cast(FwdType))
-          .withColumn("rev", array().cast("array<bigint>")))
+          .withColumn("rev", array().cast("array<bigint>"))
+        // appended rows get their codes from the PERSISTED codebook —
+        // the recipe replay, same as the descent hyperparameters
+        oldRows.unionByName(
+          cb.fold(plain)(c => Pq.encode(plain, "vec", "codes", c)))
       case None => oldRows
     }
     val newFwd = newG
@@ -668,13 +747,14 @@ object KnnGraphIndex {
       .join(newFwd, Seq("id"), "left")
       .join(revAdd, Seq("id"), "left")
       .join(revDel, Seq("id"), "left")
-      .select(col("id"), col("vec"), col("gen"),
+      .select(Seq(col("id"), col("vec"), col("gen"),
         coalesce(col("nf"), col("fwd")).as("fwd"),
         array_sort(array_union(
           array_except(col("rev"),
             coalesce(col("dels"), array().cast("array<bigint>"))),
-          coalesce(col("adds"), array().cast("array<bigint>")))).as("rev"),
-        bucketOf(col("id"), meta.nBuckets).as("bucket"))
+          coalesce(col("adds"), array().cast("array<bigint>")))).as("rev"))
+        ++ cb.map(_ => col("codes"))
+        :+ bucketOf(col("id"), meta.nBuckets).as("bucket"): _*)
       .localCheckpoint(true)
     val written = updated.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSet

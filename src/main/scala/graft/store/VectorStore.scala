@@ -2691,13 +2691,18 @@ class VectorStore private (
     * @param nBuckets id-hash partitions of the node table; size so one
     *                 bucket's rows fit an executor scan (at 100 TB this
     *                 is thousands; tests use a handful)
+    * @param pqM      > 0 co-locates an m-subspace PQ code with each
+    *                 node record (the DiskANN serve shape): the walk
+    *                 scores on codes — column pruning keeps the d-dim
+    *                 vector out of traversal IO — and the final beam
+    *                 refines on full vectors; l2 only
     */
   def buildKnnGraph(k: Int, buildK: Int = 0, maxIters: Int = 25,
       nEntries: Int = 4, nBuckets: Int = 16,
-      metric: String = "l2"): Unit = {
+      metric: String = "l2", pqM: Int = 0): Unit = {
     graft.operators.KnnGraphIndex.build(spark, graphRoot,
       liveWithGen.select($"id", $"vec", col(GenCol).as("gen")),
-      k, buildK, maxIters, nEntries, nBuckets, metric)
+      k, buildK, maxIters, nEntries, nBuckets, metric, pqM)
     ()
   }
 
@@ -2826,7 +2831,7 @@ class VectorStore private (
       s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
     val m = graft.operators.KnnGraphIndex.readMeta(spark, graphRoot)
     buildKnnGraph(m.k, m.buildK, m.maxIters, m.nEntries, m.nBuckets,
-      m.metric)
+      m.metric, m.pqM)
   }
 
   /** O(batch) graph maintenance on insert — the [[annAppend]] twin.

@@ -274,6 +274,66 @@ class GraphIndexSpec extends SparkSuite {
       "recipe rebuild must converge to the survivor brute-force graph")
   }
 
+  test("PQ-coded graph: high-recall lifecycle through delete + append; walk scans read codes, never the vector") {
+    // 64-dim so the vector column dominates row size — the bytes-read
+    // comparison then reflects column pruning, not noise
+    def emb64(lo: Int, hi: Int): DataFrame =
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def mkStore(tag: String, pqM: Int): VectorStore = {
+      val s = VectorStore.openOrCreate(spark, mkRoot(tag), 64,
+        tombstoneDeletes = true)
+      s.insertDF(emb64(0, 250).orderBy("id").coalesce(1).select(col("vec")))
+      // modest maxIters: serving exactness rides on the WIDE walk +
+      // exact refine, not on a fully converged graph — two full 64-dim
+      // descents are test noise
+      s.buildKnnGraph(k = 5, buildK = 16, maxIters = 8, nEntries = 4,
+        nBuckets = 8, pqM = pqM)
+      s
+    }
+    val pq = mkStore("pq", pqM = 8)
+    val plain = mkStore("plainpq", pqM = 0)
+    pq.delete(Seq(10L, 77L))
+    pq.insertDF(emb64(500, 510).orderBy("id").coalesce(1).select(col("vec")))
+    val qs = emb64(450, 460)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .localCheckpoint(true)
+    val live = emb64(0, 250).filter(!col("id").isin(10L, 77L))
+      .unionAll(emb64(500, 510)
+        .orderBy("id").coalesce(1).select(col("vec"))
+        .withColumn("id", monotonically_increasing_id() + 250L)
+        .select(col("id"), col("vec")))
+    // 4-bit codes on 64 raw dims distort real distances — a badly
+    // coded true neighbor can sit past the ADC-ranked beam edge, where
+    // the exact refine cannot recover it. That is inherent PQ-traversal
+    // behavior (production systems buy exactness back with OPQ or more
+    // bits), so the 64-dim assertion is HIGH RECALL; byte-for-byte
+    // exactness is the near-lossless gate fixture's job (vs_graph_pq:
+    // 8-dim, 2-dim subspaces)
+    val got = pq.searchGraphDF(qs, k = 5, ef = 128)
+      .select(col("qid"), col("id"))
+      .as[(Long, Long)].collect().toSet
+    val want = bruteSearch(live, qs, 5).map { case (q, i, _) => (q, i) }
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9,
+      s"PQ walk + exact refine recall@5 $recall < 0.9 vs brute force")
+    // IO shape, asserted on the REAL scoring projection (the walk's
+    // codeNodes path): the scan's ReadSchema must carry codes and not
+    // the d-dim vector — column pruning is what makes PQ traversal
+    // cheap at scale (codes are 21x smaller than vec on this layout;
+    // bytes-read is blind at fixture size, footer overhead dominates)
+    val meta = KnnGraphIndex.readMeta(spark, pq.path + "/graph")
+    assert(meta.pqM == 8, "layout must record its PQ recipe")
+    val scorePlan = KnnGraphIndex.codeNodes(spark, pq.path + "/graph",
+        meta, Seq(1L, 2L).toDF("id"))
+      .queryExecution.executedPlan.toString
+    assert(scorePlan.contains("codes"),
+      s"scoring scan must read codes:\n$scorePlan")
+    assert(!scorePlan.contains("vec"),
+      s"scoring scan must NOT read the vector column:\n$scorePlan")
+  }
+
   test("cosine graph family: build, serve, delete+repair, append all rank by 1 − cos") {
     val s = VectorStore.openOrCreate(spark, mkRoot("cos"), 8,
       tombstoneDeletes = true)
