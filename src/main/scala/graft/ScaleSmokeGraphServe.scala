@@ -120,6 +120,51 @@ object ScaleSmokeGraphServe {
     println(s"SMOKE persisted-serve records read: $persistedReads " +
       s"(corpus $nRows; a full-scan-per-hop design reads >= hops x n)")
 
+    // PQ-coded layout over the same graph (pqM = 4 on 16 dims): the
+    // walk's scoring scans read codes, not vectors — at 1M rows the
+    // files are big enough for column pruning to show up in bytes
+    def bytesRead(body: => Unit): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            total.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1L; var stable = 0; var tries = 0
+        while (stable < 3 && tries < 60) {
+          Thread.sleep(100)
+          val cur = total.get
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          tries += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      total.get
+    }
+    timed("persist PQ-coded layout (pqM=4)") {
+      graft.operators.KnnGraphIndex.write(spark, s"$base/graph_pq",
+        pts.withColumn("gen", lit(0L)), scored, k = k, buildK = 2 * k,
+        nEntries = 8, nBuckets = 512, pqM = 4)
+    }
+    graft.operators.KnnGraphIndex.search(spark, s"$base/graph_pq", qs,
+      k = k, ef = 64, maxHops = 12).count() // warm
+    val pqBytes = bytesRead {
+      timed("PQ-coded serve 64 queries ef=64") {
+        graft.operators.KnnGraphIndex.search(spark, s"$base/graph_pq", qs,
+          k = k, ef = 64, maxHops = 12).count()
+      }
+    }
+    val plainBytes = bytesRead {
+      timed("full-vector serve 64 queries ef=64 (bytes control)") {
+        graft.operators.KnnGraphIndex.search(spark, s"$base/graph", qs,
+          k = k, ef = 64, maxHops = 12).count()
+      }
+    }
+    println(s"SMOKE serve bytes read: pq=$pqBytes plain=$plainBytes")
+
     // standalone operator on the same graph: pays the O(E) undirected
     // distinct + O(n) entry scan before the first hop — the round-12
     // perf-weak this layout closes

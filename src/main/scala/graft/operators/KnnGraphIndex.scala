@@ -35,9 +35,14 @@ import graft.functions.l2_distance
   *     beams start near every region of the corpus instead of at
   *     arbitrary scrambled-order heads. Materialized AT BUILD.
   *   - `meta` — build recipe (`k`, `buildK`, `maxIters`, `nBuckets`,
-  *     `nEntries`, `metric` l2|cosine) so incremental appends replay
-  *     the descent with the recorded hyperparameters and every serving
-  *     walk ranks by the metric the graph was BUILT under.
+  *     `nEntries`, `metric` l2|cosine, `pqM`) so incremental appends
+  *     replay the descent with the recorded hyperparameters and every
+  *     serving walk ranks by the metric the graph was BUILT under.
+  *   - `pq_codebook/` (when `pqM` > 0) — per-subspace PQ codebooks;
+  *     node records then carry a `codes` column and the WALK scores on
+  *     codes (column-pruned scans — the d-dim vector never travels
+  *     during traversal, the DiskANN trade), with the final beam
+  *     refined on full vectors.
   *
   * Maintenance (the [[graft.store.VectorStore]] ingest contract):
   *
