@@ -120,9 +120,12 @@ object ScaleSmokeGraphServe {
     println(s"SMOKE persisted-serve records read: $persistedReads " +
       s"(corpus $nRows; a full-scan-per-hop design reads >= hops x n)")
 
-    // PQ-coded layout over the same graph (pqM = 4 on 16 dims): the
-    // walk's scoring scans read codes, not vectors — at 1M rows the
-    // files are big enough for column pruning to show up in bytes
+    // PQ-coded traversal tier — at 16 dims the vector column (64 B)
+    // is SMALLER than the adjacency payload, so PQ cannot pay there
+    // (measured: pq read 1.24x MORE bytes than plain at this dim);
+    // the DiskANN trade exists for EMBEDDING dims, where the vector
+    // dominates the node record. Own 1M x 128-dim corpus, same ring
+    // adjacency, plain-vs-pq serve compared on bytes and wall.
     def bytesRead(body: => Unit): Long = {
       val total = new java.util.concurrent.atomic.AtomicLong(0L)
       val l = new org.apache.spark.scheduler.SparkListener {
@@ -144,26 +147,62 @@ object ScaleSmokeGraphServe {
       } finally spark.sparkContext.removeSparkListener(l)
       total.get
     }
-    timed("persist PQ-coded layout (pqM=4)") {
-      graft.operators.KnnGraphIndex.write(spark, s"$base/graph_pq",
-        pts.withColumn("gen", lit(0L)), scored, k = k, buildK = 2 * k,
-        nEntries = 8, nBuckets = 512, pqM = 4)
+    val dimBig = 128
+    val vecsBig = spark.range(nRows)
+      .select(col("id"), (col("id") % nClusters).as("cell"))
+      .withColumn("vec", transform(sequence(lit(0), lit(dimBig - 1)),
+        d => (col("cell") * lit(37) % lit(509)).cast("float")
+          * when(d % 3 === 0, 1f).otherwise(-0.5f)
+          + (pmod(xxhash64(col("id"), d), lit(1000)) / lit(250.0))
+            .cast("float")))
+      .select(col("id"), col("vec"))
+    timed("synthesize 1M x 128-dim vectors") {
+      vecsBig.write.mode("overwrite").parquet(s"$base/vecs128")
     }
-    graft.operators.KnnGraphIndex.search(spark, s"$base/graph_pq", qs,
-      k = k, ef = 64, maxHops = 12).count() // warm
-    val pqBytes = bytesRead {
-      timed("PQ-coded serve 64 queries ef=64") {
-        graft.operators.KnnGraphIndex.search(spark, s"$base/graph_pq", qs,
-          k = k, ef = 64, maxHops = 12).count()
-      }
+    val ptsBig = spark.read.parquet(s"$base/vecs128")
+    val scoredBig = fwd
+      .join(ptsBig, Seq("id"))
+      .join(ptsBig.select(col("id").as("nbr"), col("vec").as("nvec")),
+        Seq("nbr"))
+      .select(col("id"), col("nbr"),
+        graft.functions.l2_distance(col("vec"), col("nvec")).as("distance"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("distance"), col("nbr"))))
+      .localCheckpoint(true)
+    timed("persist 128-dim plain layout") {
+      graft.operators.KnnGraphIndex.write(spark, s"$base/graph128",
+        ptsBig.withColumn("gen", lit(0L)), scoredBig, k = k, buildK = 2 * k,
+        nEntries = 8, nBuckets = 512)
     }
+    timed("persist 128-dim PQ layout (pqM=16)") {
+      graft.operators.KnnGraphIndex.write(spark, s"$base/graph128_pq",
+        ptsBig.withColumn("gen", lit(0L)), scoredBig, k = k, buildK = 2 * k,
+        nEntries = 8, nBuckets = 512, pqM = 16)
+    }
+    org.apache.spark.sql.graftshim.GraftShim
+      .unpersistLocalCheckpoint(scoredBig)
+    val qsBig = spark.range(64).select(
+      (col("id") + 7L).as("qid"),
+      transform(sequence(lit(0), lit(dimBig - 1)),
+        d => ((col("id") * lit(37) % lit(509))).cast("float")
+          * when(d % 3 === 0, 1f).otherwise(-0.5f)).as("qvec"))
+      .localCheckpoint(true)
+    def serveBig(root: String): Unit =
+      graft.operators.KnnGraphIndex.search(spark, root, qsBig,
+        k = k, ef = 64, maxHops = 12).count()
+    serveBig(s"$base/graph128"); serveBig(s"$base/graph128_pq") // warm
     val plainBytes = bytesRead {
-      timed("full-vector serve 64 queries ef=64 (bytes control)") {
-        graft.operators.KnnGraphIndex.search(spark, s"$base/graph", qs,
-          k = k, ef = 64, maxHops = 12).count()
+      timed("128-dim full-vector serve 64 queries") {
+        serveBig(s"$base/graph128")
       }
     }
-    println(s"SMOKE serve bytes read: pq=$pqBytes plain=$plainBytes")
+    val pqBytes = bytesRead {
+      timed("128-dim PQ-coded serve 64 queries") {
+        serveBig(s"$base/graph128_pq")
+      }
+    }
+    println(s"SMOKE 128-dim serve bytes read: pq=$pqBytes plain=$plainBytes")
 
     // standalone operator on the same graph: pays the O(E) undirected
     // distinct + O(n) entry scan before the first hop — the round-12

@@ -710,9 +710,26 @@ class VectorStore private (
         materializedNumericDocFields.foreach(materializeDocFieldNumeric)
         resetDeadStatsAfterRewrite(docDeadStatsPath)
         if (hasLexIndex) buildLexIndex()
+        reconcileGraphAfterPurge()
       case _ => ()
     }
     refreshIndex()
+  }
+
+  /** Crash-debris reconcile for the graph layout after tombstones are
+    * purged (compact/vacuum): a delete whose tombstone landed but
+    * whose graph repair did not was hidden by the gen mask — which the
+    * purge just cleared. Remove any graph row absent from the live
+    * table (O(debris); normally empty — the anti-join is one pass over
+    * the node ids, no vectors travel).
+    */
+  private def reconcileGraphAfterPurge(): Unit = if (hasKnnGraph) {
+    val debris = spark.read.parquet(s"$graphRoot/nodes")
+      .select($"id")
+      .join(storage.read().select($"id"), Seq("id"), "left_anti")
+    if (!debris.isEmpty)
+      graft.operators.KnnGraphIndex.deleteAndRepair(spark, graphRoot,
+        debris)
   }
 
   /** Select by ids, ascending id; unknown ids silently absent (reference:
@@ -3654,6 +3671,7 @@ class VectorStore private (
         materializedNumericDocFields.foreach(materializeDocFieldNumeric)
         resetDeadStatsAfterRewrite(docDeadStatsPath)
         if (hasLexIndex) buildLexIndex()
+        reconcileGraphAfterPurge()
       }
       refreshIndex()
       purged

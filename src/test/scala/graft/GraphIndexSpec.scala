@@ -436,6 +436,27 @@ class GraphIndexSpec extends SparkSuite {
       "delete-side crossing must rebuild over the survivors")
   }
 
+  test("compact reconciles graph crash debris (rows the live table lacks)") {
+    val root = mkRoot("debris")
+    val s = VectorStore.openOrCreate(spark, root, 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 80)
+    s.insertDF(base.orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 3, buildK = 12, nEntries = 2, nBuckets = 4)
+    // plant debris: a graph row the table never held — the shape a
+    // crash between tombstone append and graph repair leaves behind
+    // (normally hidden by the gen mask, which compaction clears)
+    val ghost = emb8(500, 501)
+      .select(lit(9999L).as("id"), col("vec"), lit(0L).as("gen"))
+    KnnGraphIndex.append(spark, s"$root/graph", ghost)
+    s.compact()
+    val ids = spark.read.parquet(s"$root/graph/nodes")
+      .select(col("id")).as[Long].collect().toSet
+    assert(!ids.contains(9999L), "compaction must remove graph debris")
+    assert(edgeSet(s.knnGraphEdgesDF) == edgeSet(bruteGraph(base, 3)),
+      "post-reconcile graph must equal brute force over the live rows")
+  }
+
   test("deleting ids absent from the graph is a no-op; emptied buckets vanish") {
     val root = mkRoot("edge")
     val pts = emb8(0, 60).withColumn("gen", lit(0L))
