@@ -258,7 +258,14 @@ object KnnGraphIndex {
         // back to interpreted row-at-a-time encode, the wrong build
         // cost at corpus scale)
         val kCodes = math.min(16L, n).toInt
-        val fitted = Pq.fit(pts, "id", "vec", dim, pqM, kCodes)
+        // train on a bounded hash-ordered sample (the FAISS recipe):
+        // Pq.fit's Lloyd iterations scan the frame it is given — the
+        // full corpus made the 1M layout build pay 423 s of codebook
+        // training for statistics a 16k sample carries
+        val fitSample = pts
+          .orderBy(xxhash64(col("id"), lit(77L)), col("id"))
+          .limit(math.max(16384, 1024 * pqM))
+        val fitted = Pq.fit(fitSample, "id", "vec", dim, pqM, kCodes)
         Pq.writeCodebook(spark, pqPath(root), fitted)
         Some(fitted)
       } else None
