@@ -357,4 +357,42 @@ object Kernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Per-subspace PQ code assignment over a FLAT codebook
+    * (`cb((s*k + c)*subDim + j)` = component `j` of code `c` in
+    * subspace `s`): for each of the `m` subspaces, the argmin code by
+    * float32-accumulated squared L2, ties to the LOWER code (the
+    * struct-min tie rule of the literal-argmin encode). A loop kernel
+    * — not an expression tree — because a k=256 codebook unrolled as
+    * m×k literal structs blows past janino's method-size limit and
+    * drops the whole encode projection to interpreted row-at-a-time
+    * evaluation, the wrong build cost at corpus scale. The codebook
+    * rides the codegen as a reference object (bounded plan state:
+    * `m·k·subDim` floats).
+    */
+  def pqEncode(v: ArrayData, cb: Array[Float], m: Int, k: Int,
+      subDim: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Float.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * subDim
+        var d = 0f
+        var j = 0
+        while (j < subDim) {
+          val t = v.getFloat(s * subDim + j) - cb(base + j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

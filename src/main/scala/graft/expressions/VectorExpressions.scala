@@ -115,3 +115,29 @@ case class MatVec(child: Expression, mat: Array[Array[Float]])
   override def prettyName: String = "mat_vec"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Flat-codebook PQ code assignment ([[Kernels.pqEncode]]) — the
+  * encode projection for codebooks too wide to unroll as literal
+  * argmin structs (k=256 blew janino's method limit and fell back to
+  * interpreted eval). The codebook is a codegen reference object, the
+  * same bounded-plan-state move as [[MatVec]]. Not SQL-registered
+  * (codebook literals have no SQL syntax); construct via
+  * [[graft.functions.pq_encode]].
+  */
+case class PqEncodeCodes(child: Expression, cb: Array[Float], m: Int,
+    k: Int, subDim: Int)
+    extends UnaryExpression with org.apache.spark.sql.graftshim.GraftImplicitCasts {
+  require(m >= 1 && k >= 1 && subDim >= 1 && cb.length == m * k * subDim,
+    s"flat codebook must hold m*k*subDim floats (m=$m k=$k subDim=$subDim)")
+  override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.pqEncode(vec.asInstanceOf[ArrayData], cb, m, k, subDim)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeCb", cb, "float[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.Kernels.pqEncode($v, $ref, $m, $k, $subDim)")
+  }
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

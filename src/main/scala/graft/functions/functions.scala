@@ -32,6 +32,12 @@ object functions {
     */
   def mat_vec(v: Column, mat: Array[Array[Float]]): Column = c(MatVec(e(v), mat))
 
+  /** PQ codes over a flat codebook — the loop-kernel encode for wide
+    * (k > 16) codebooks; see [[graft.expressions.PqEncodeCodes]].
+    */
+  def pq_encode(v: Column, cb: Array[Float], m: Int, k: Int,
+      subDim: Int): Column = c(PqEncodeCodes(e(v), cb, m, k, subDim))
+
   /** rapidfuzz `fuzz.ratio`-compatible normalized Indel similarity ∈ [0,100]. */
   def indel_similarity(a: Column, b: Column): Column = c(IndelSimilarity(e(a), e(b)))
 

@@ -14,10 +14,14 @@ import graft.functions.l2_distance
   * — an O(E) shuffle — and re-scanned all ids for entry points on
   * every call).
   *
-  * Layout under `<root>/`:
+  * Layout under `<root>/` (every heavy artifact VERSION-SUFFIXED, the
+  * `meta` manifest the single commit point — see "Crash discipline"):
   *
-  *   - `nodes/` — ONE parquet table partitioned by
-  *     `bucket = pmod(xxhash64(id), nBuckets)`, one row per node:
+  *   - `nodes-v<N>/` — ONE parquet table partitioned by
+  *     `bucket = pmod(xxhash64(id), nBuckets)`, EXACTLY ONE id-sorted
+  *     file per bucket (serve lookups pay one parquet footer per
+  *     touched bucket, not one per shuffle task that happened to hold
+  *     rows of it), one row per node:
   *     `(id, vec, gen, fwd: array<struct<nbr,dist>>, rev: array<long>)`.
   *     `fwd` is the node's own k-NN list in rank order; `rev` is the
   *     exact set of nodes whose lists contain it. This is the
@@ -30,19 +34,39 @@ import graft.functions.l2_distance
   *     O(diff): a list change updates `fwd` at one node and `rev` at
   *     the symmetric-difference partners, with no membership-count
   *     ambiguity.
-  *   - `entries` — text file of entry-point ids: K-MEANS MEDOIDS
+  *   - `entries-v<N>` — text file of entry-point ids: K-MEANS MEDOIDS
   *     (nearest real row to each of `nEntries` cluster centers), so
   *     beams start near every region of the corpus instead of at
   *     arbitrary scrambled-order heads. Materialized AT BUILD.
   *   - `meta` — build recipe (`k`, `buildK`, `maxIters`, `nBuckets`,
-  *     `nEntries`, `metric` l2|cosine, `pqM`) so incremental appends
-  *     replay the descent with the recorded hyperparameters and every
-  *     serving walk ranks by the metric the graph was BUILT under.
-  *   - `pq_codebook/` (when `pqM` > 0) — per-subspace PQ codebooks;
-  *     node records then carry a `codes` column and the WALK scores on
+  *     `nEntries`, `metric` l2|cosine, `pqM`, `pqBits`, `opq`) plus the
+  *     layout version `ver`, so incremental appends replay the descent
+  *     with the recorded hyperparameters and every serving walk ranks
+  *     by the metric the graph was BUILT under.
+  *   - `pq_codebook-v<N>/` (when `pqM` > 0) — per-subspace PQ
+  *     codebooks (`pqBits` 4 → 16 codes/subspace, 8 → 256); node
+  *     records then carry a `codes` column and the WALK scores on
   *     codes (column-pruned scans — the d-dim vector never travels
   *     during traversal, the DiskANN trade), with the final beam
   *     refined on full vectors.
+  *   - `opq-v<N>/` (when `opq`) — the OPQ rotation (Ge et al.,
+  *     CVPR'13) trained on the fit sample; codes encode `A·vec`,
+  *     serving rotates the query before ADC, and the stored vector —
+  *     hence the exact refine — stays UNROTATED.
+  *
+  * Crash discipline (stage → commit): a rebuild writes `nodes`,
+  * `pq_codebook`, `opq`, and `entries` under the NEXT version suffix
+  * while the previous version keeps serving, then atomically renames
+  * the new `meta` into place — the ONLY activation step. A crash
+  * anywhere before that rename leaves the old meta pointing at the
+  * old, mutually-consistent artifact set; it can never serve old node
+  * codes against a new codebook (or a pqM>0 meta over codeless nodes),
+  * which the previous overwrite-in-place codebook write allowed.
+  * Superseded version dirs are swept best-effort AFTER the commit — a
+  * failed sweep leaves garbage for the next rebuild's sweep, never an
+  * inconsistent layout, because every reader resolves paths through
+  * the committed meta. Legacy layouts (`ver = 0`, unsuffixed paths)
+  * stay readable; their first rebuild migrates them to `v1`.
   *
   * Maintenance (the [[graft.store.VectorStore]] ingest contract):
   *
@@ -70,16 +94,23 @@ object KnnGraphIndex {
   /** Build recipe + layout shape, persisted at `<root>/meta`.
     * `nAtBuild` is the row count at the last FULL build — the
     * denominator of the staleness fraction (0 on pre-churn layouts).
+    * `ver` names the artifact set this meta commits (0 = legacy
+    * unsuffixed paths).
     */
   case class Meta(k: Int, buildK: Int, maxIters: Int, nBuckets: Int,
       nEntries: Int, nAtBuild: Long = 0L, metric: String = "l2",
-      pqM: Int = 0)
+      pqM: Int = 0, pqBits: Int = 4, opq: Boolean = false, ver: Long = 0L)
 
-  private def nodesPath(root: String) = s"$root/nodes"
+  private def nodesPath(root: String, m: Meta) =
+    if (m.ver == 0L) s"$root/nodes" else s"$root/nodes-v${m.ver}"
+  private def pqPath(root: String, m: Meta) =
+    if (m.ver == 0L) s"$root/pq_codebook" else s"$root/pq_codebook-v${m.ver}"
+  private def opqPath(root: String, m: Meta) = s"$root/opq-v${m.ver}"
+  private def entriesPath(root: String, m: Meta) =
+    if (m.ver == 0L) new Path(root, "entries")
+    else new Path(root, s"entries-v${m.ver}")
   private def metaPath(root: String) = new Path(root, "meta")
-  private def entriesPath(root: String) = new Path(root, "entries")
   private def churnPath(root: String) = new Path(root, "churn")
-  private def pqPath(root: String) = s"$root/pq_codebook"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,8 +120,14 @@ object KnnGraphIndex {
 
   private val FwdType = "array<struct<nbr:bigint,dist:float>>"
 
-  def exists(spark: SparkSession, root: String): Boolean =
-    fs(spark, root).exists(new Path(nodesPath(root)))
+  /** A layout exists when a committed meta names a readable node
+    * table; staged-but-uncommitted builds (crash debris) don't count.
+    */
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    f.exists(metaPath(root)) &&
+      f.exists(new Path(nodesPath(root, readMeta(spark, root))))
+  }
 
   def drop(spark: SparkSession, root: String): Unit = {
     val f = fs(spark, root)
@@ -98,6 +135,17 @@ object KnnGraphIndex {
     if (f.exists(p) && !f.delete(p, true))
       throw new java.io.IOException(s"could not drop graph index at $root")
   }
+
+  /** The committed node table, resolved through the meta manifest —
+    * external readers must use this (or [[nodesDir]]) rather than a
+    * hardcoded `nodes/`, which is version-suffixed.
+    */
+  def nodesDF(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(nodesPath(root, readMeta(spark, root)))
+
+  /** The committed node table's directory (spec/diagnostic use). */
+  private[graft] def nodesDir(spark: SparkSession, root: String): String =
+    nodesPath(root, readMeta(spark, root))
 
   def readMeta(spark: SparkSession, root: String): Meta = {
     val f = fs(spark, root)
@@ -109,16 +157,44 @@ object KnnGraphIndex {
       m("nBuckets").toInt, m("nEntries").toInt,
       m.getOrElse("nAtBuild", "0").toLong,
       m.getOrElse("metric", "l2"),
-      m.getOrElse("pqM", "0").toInt)
+      m.getOrElse("pqM", "0").toInt,
+      m.getOrElse("pqBits", "4").toInt,
+      m.getOrElse("opq", "false").toBoolean,
+      m.getOrElse("ver", "0").toLong)
   }
 
-  private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit = {
-    val body = s"k=${m.k}\nbuildK=${m.buildK}\nmaxIters=${m.maxIters}\n" +
-      s"nBuckets=${m.nBuckets}\nnEntries=${m.nEntries}\n" +
-      s"nAtBuild=${m.nAtBuild}\nmetric=${m.metric}\npqM=${m.pqM}"
-    val out = fs(spark, root).create(metaPath(root), true)
+  /** Staged write + atomic rename of a small marker file — the
+    * activation primitive for `meta`, `entries`, and `churn` (a torn
+    * marker must never be readable). Where the FS lacks
+    * overwrite-rename, the delete+rename window degrades to a MISSING
+    * file, which every reader treats as the conservative case.
+    */
+  private def writeFileAtomic(spark: SparkSession, root: String,
+      dest: Path, body: String): Unit = {
+    val staging = new Path(root,
+      s"_${dest.getName}.staging-${java.util.UUID.randomUUID()}")
+    val out = fs(spark, root).create(staging, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dest.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(staging, dest,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        val f = fs(spark, root)
+        if (f.exists(dest)) f.delete(dest, false)
+        if (!f.rename(staging, dest))
+          throw new java.io.IOException(s"could not activate $staging")
+    }
   }
+
+  private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit =
+    writeFileAtomic(spark, root, metaPath(root),
+      s"k=${m.k}\nbuildK=${m.buildK}\nmaxIters=${m.maxIters}\n" +
+        s"nBuckets=${m.nBuckets}\nnEntries=${m.nEntries}\n" +
+        s"nAtBuild=${m.nAtBuild}\nmetric=${m.metric}\npqM=${m.pqM}\n" +
+        s"pqBits=${m.pqBits}\nopq=${m.opq}\nver=${m.ver}")
 
   /** Rows churned (appended + deleted) into the layout since the last
     * full [[write]] — the staleness numerator, folded O(batch) per
@@ -137,47 +213,40 @@ object KnnGraphIndex {
   }
 
   private def writeChurn(spark: SparkSession, root: String,
-      v: Long): Unit = {
-    // staged + atomic activation (the store's writeBuildMeta pattern):
-    // a torn counter would silently disable or misfire the staleness
-    // trigger; where the FS lacks overwrite-rename the delete+rename
-    // window degrades to an UNDER-counted churn (missing file reads 0),
-    // which delays — never corrupts — the rebuild
-    val staging = new Path(root,
-      s"_churn.staging-${java.util.UUID.randomUUID()}")
-    val out = fs(spark, root).create(staging, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        churnPath(root).toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(staging, churnPath(root),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException =>
-        val f = fs(spark, root)
-        if (f.exists(churnPath(root))) f.delete(churnPath(root), false)
-        if (!f.rename(staging, churnPath(root)))
-          throw new java.io.IOException(s"could not activate $staging")
-    }
-  }
+      v: Long): Unit =
+    // staged + atomic activation: a torn counter would silently
+    // disable or misfire the staleness trigger; a torn-window MISSING
+    // file reads 0, which delays — never corrupts — the rebuild
+    writeFileAtomic(spark, root, churnPath(root), v.toString)
 
+  /** Read-modify-write on the churn counter — correct under the
+    * store's SINGLE-WRITER contract (every caller sits inside a
+    * mutation that holds the writer lease, including the compact-time
+    * reconcile, which routes through [[deleteAndRepair]] under the
+    * same lease). Two genuinely concurrent mutators could lose an
+    * increment, which would UNDER-count churn and delay the staleness
+    * rebuild — the same degradation the missing-file case documents —
+    * but that topology already violates the layout's write contract.
+    */
   private def bumpChurn(spark: SparkSession, root: String,
       delta: Long): Unit =
     if (delta > 0L) writeChurn(spark, root, readChurn(spark, root) + delta)
 
-  def readEntries(spark: SparkSession, root: String): Seq[Long] = {
-    val in = fs(spark, root).open(entriesPath(root))
+  def readEntries(spark: SparkSession, root: String): Seq[Long] =
+    readEntries(spark, root, readMeta(spark, root))
+
+  private def readEntries(spark: SparkSession, root: String,
+      meta: Meta): Seq[Long] = {
+    val in = fs(spark, root).open(entriesPath(root, meta))
     val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .map(_.toLong).toSeq
   }
 
-  private def writeEntries(spark: SparkSession, root: String,
-      ids: Seq[Long]): Unit = {
-    val out = fs(spark, root).create(entriesPath(root), true)
-    try out.write(ids.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeEntries(spark: SparkSession, root: String, meta: Meta,
+      ids: Seq[Long]): Unit =
+    writeFileAtomic(spark, root, entriesPath(root, meta),
+      ids.sorted.mkString("\n"))
 
   /** Entry-point medoids: the nearest REAL row to each of `nEntries`
     * k-means centers (cheap sample-seeded training — entry quality
@@ -210,13 +279,13 @@ object KnnGraphIndex {
   def build(spark: SparkSession, root: String, points: DataFrame,
       k: Int, buildK: Int = 0, maxIters: Int = 25, nEntries: Int = 4,
       nBuckets: Int = 16, metric: String = "l2",
-      pqM: Int = 0): KnnGraph.Report = {
+      pqM: Int = 0, pqBits: Int = 4, opq: Boolean = false): KnnGraph.Report = {
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val rep = KnnGraph.nnDescent(pts.select(col("id"), col("vec")),
       "id", "vec", k, maxIters, buildK, metric)
     write(spark, root, pts, rep.graph, k, buildK, maxIters, nEntries,
-      nBuckets, metric, pqM)
+      nBuckets, metric, pqM, pqBits, opq)
     GraftShim.unpersistLocalCheckpoint(rep.graph)
     GraftShim.unpersistLocalCheckpoint(pts)
     // the descent's checkpoint is released above (layout builds must
@@ -232,32 +301,43 @@ object KnnGraphIndex {
   def write(spark: SparkSession, root: String, points: DataFrame,
       graph: DataFrame, k: Int, buildK: Int = 0, maxIters: Int = 25,
       nEntries: Int = 4, nBuckets: Int = 16, metric: String = "l2",
-      pqM: Int = 0): Unit = {
+      pqM: Int = 0, pqBits: Int = 4, opq: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(nEntries >= 1, s"nEntries must be >= 1, got $nEntries")
     KnnGraph.requireMetric(metric)
     require(pqM == 0 || metric == "l2",
       "PQ-coded traversal requires the l2 metric (cosine corpora: " +
       "normalize the vectors and build l2)")
+    require(pqBits == 4 || pqBits == 8,
+      s"pqBits must be 4 or 8, got $pqBits")
+    require(!opq || pqM > 0, "opq requires a PQ-coded layout (pqM > 0)")
+    val f = fs(spark, root)
+    // stage → commit: every artifact lands under the NEXT version
+    // suffix while the previous version keeps serving; writeMeta at
+    // the end is the single atomic activation (see the crash
+    // discipline in the object scaladoc)
+    val newVer =
+      (if (f.exists(metaPath(root))) readMeta(spark, root).ver else 0L) + 1L
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val n = pts.count()
     val meta = Meta(k, buildK, maxIters, nBuckets, nEntries, nAtBuild = n,
-      metric = metric, pqM = pqM)
+      metric = metric, pqM = pqM, pqBits = pqBits, opq = opq, ver = newVer)
     // the DiskANN trade: co-locate a PQ code with each node record so
     // the WALK scores on codes (column-pruned reads — the d-dim float
     // vector never travels during traversal) and only the final beam
     // refines on full vectors
-    val cb =
+    val (cb, rot) =
       if (pqM > 0) {
         val dim = pts.select(size(col("vec"))).head().getInt(0)
-        // 16 codes/subspace (4-bit PQ, the DiskANN traversal regime):
-        // enough to steer the walk — the refine re-ranks exactly — and
-        // the m x k literal-argmin encode stays inside whole-stage
-        // codegen (64+ codes blew past janino's method limit and fell
-        // back to interpreted row-at-a-time encode, the wrong build
-        // cost at corpus scale)
-        val kCodes = math.min(16L, n).toInt
+        // 4-bit = 16 codes/subspace (the DiskANN traversal regime):
+        // enough to steer the walk — the refine re-ranks exactly.
+        // 8-bit = 256 codes buys back code-space fidelity on real
+        // high-dim embeddings (where 4-bit distortion prunes true
+        // neighbors before the refine can see them) for 2× the code
+        // bytes; both encode tiers stay inside whole-stage codegen
+        // (literal argmin at 16, the pqEncode loop kernel at 256)
+        val kCodes = math.min(if (pqBits == 8) 256L else 16L, n).toInt
         // train on a bounded hash-ordered sample (the FAISS recipe):
         // Pq.fit's Lloyd iterations scan the frame it is given — the
         // full corpus made the 1M layout build pay 423 s of codebook
@@ -265,32 +345,71 @@ object KnnGraphIndex {
         val fitSample = pts
           .orderBy(xxhash64(col("id"), lit(77L)), col("id"))
           .limit(math.max(16384, 1024 * pqM))
-        val fitted = Pq.fit(fitSample, "id", "vec", dim, pqM, kCodes)
-        Pq.writeCodebook(spark, pqPath(root), fitted)
-        Some(fitted)
-      } else None
-    val rows = assembleRows(pts, graph, meta, cb)
-    // stage → swap: a crash mid-build must not leave a half-written
-    // layout where a previous one served queries
-    val f = fs(spark, root)
-    val staged = s"$root/_nodes-staging"
-    rows.write.mode("overwrite").partitionBy("bucket").parquet(staged)
-    val dest = new Path(nodesPath(root))
-    if (f.exists(dest) && !f.delete(dest, true))
-      throw new java.io.IOException(s"could not clear $dest")
-    if (!f.rename(new Path(staged), dest))
-      throw new java.io.IOException(s"could not activate $staged")
-    writeEntries(spark, root, pickMedoids(pts, nEntries, n, metric))
-    writeMeta(spark, root, meta)
+          .localCheckpoint(true)
+        // OPQ (Ge et al., CVPR'13): learn an orthogonal rotation on
+        // the same sample, encode A·vec, rotate queries at serve time;
+        // the STORED vector stays raw so the exact refine is untouched
+        val rotOpt =
+          if (opq) {
+            val aMat = Opq.trainRotation(fitSample, "id", "vec", dim,
+              pqM, kCodes, iters = 3)
+            Opq.writeRotation(spark, opqPath(root, meta), aMat)
+            Some(aMat)
+          } else None
+        val fitIn = rotOpt.fold(fitSample)(a =>
+          fitSample.withColumn("vec",
+            graft.functions.mat_vec(col("vec"), a)))
+        val fitted = Pq.fit(fitIn, "id", "vec", dim, pqM, kCodes)
+        Pq.writeCodebook(spark, pqPath(root, meta), fitted)
+        GraftShim.unpersistLocalCheckpoint(fitSample)
+        (Some(fitted), rotOpt)
+      } else (None, None)
+    val rows = assembleRows(pts, graph, meta, cb, rot)
+    // exactly one id-sorted file per bucket: a serve lookup pays one
+    // parquet footer/page-index per touched bucket instead of one per
+    // shuffle task that held rows of it (the r13 PQ-negative's
+    // attribution: per-file overhead dominated serve IO). Explicit
+    // partition count so AQE cannot coalesce buckets together.
+    rows.repartition(meta.nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(nodesPath(root, meta))
+    writeEntries(spark, root, meta, pickMedoids(pts, nEntries, n, metric))
+    writeMeta(spark, root, meta) // THE commit point
     writeChurn(spark, root, 0L) // full build = fresh staleness baseline
+    cleanupStaleVersions(spark, root, newVer)
     GraftShim.unpersistLocalCheckpoint(pts)
   }
 
+  /** Best-effort sweep of superseded version dirs (and pre-versioning
+    * legacy artifacts) after a successful commit. A failed delete
+    * leaves garbage the next rebuild re-sweeps — never inconsistency:
+    * readers resolve every path through the committed meta.
+    */
+  private def cleanupStaleVersions(spark: SparkSession, root: String,
+      keep: Long): Unit = {
+    val f = fs(spark, root)
+    val keepNames = Set(s"nodes-v$keep", s"pq_codebook-v$keep",
+      s"opq-v$keep", s"entries-v$keep")
+    val versioned = "^(nodes|pq_codebook|opq|entries)-v[0-9]+$".r
+    val legacy = Set("nodes", "pq_codebook", "entries", "_nodes-staging")
+    try {
+      f.listStatus(new Path(root)).foreach { st =>
+        val nm = st.getPath.getName
+        val stale = (versioned.findFirstIn(nm).isDefined &&
+          !keepNames.contains(nm)) || legacy.contains(nm)
+        if (stale) f.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** Node rows from a point set and a (id, nbr, distance, rank) edge
-    * set: fwd lists in rank order, exact rev sets.
+    * set: fwd lists in rank order, exact rev sets. PQ codes encode the
+    * (optionally OPQ-rotated) vector; the stored `vec` stays raw.
     */
   private def assembleRows(pts: DataFrame, g: DataFrame,
-      meta: Meta, cb: Option[Pq.PqCodebook]): DataFrame = {
+      meta: Meta, cb: Option[Pq.PqCodebook],
+      rot: Option[Array[Array[Float]]]): DataFrame = {
     val fwd = g.groupBy(col("id")).agg(
       transform(
         array_sort(collect_list(struct(col("rank"), col("nbr"),
@@ -306,41 +425,71 @@ object KnnGraphIndex {
         coalesce(col("fwd"), array().cast(FwdType)).as("fwd"),
         coalesce(col("rev"), array().cast("array<bigint>")).as("rev"),
         bucketOf(col("id"), meta.nBuckets).as("bucket"))
-    cb.fold(base)(c => Pq.encode(base, "vec", "codes", c))
+    cb.fold(base)(c => encodeCodes(base, c, rot))
   }
 
+  /** Append the `codes` column: PQ codes of the (OPQ-rotated, when the
+    * layout says so) vector.
+    */
+  private def encodeCodes(df: DataFrame, cb: Pq.PqCodebook,
+      rot: Option[Array[Array[Float]]]): DataFrame = rot match {
+    case Some(a) =>
+      Pq.encode(
+        df.withColumn("_rvec", graft.functions.mat_vec(col("vec"), a)),
+        "_rvec", "codes", cb).drop("_rvec")
+    case None => Pq.encode(df, "vec", "codes", cb)
+  }
+
+  /** Ids-per-lookup bound under which the id set itself is pushed into
+    * the scan as an IN-list (bounded driver state; beam frontiers and
+    * repair batches under it skip the broadcast-semi-join stage and
+    * let the source prune on the id column of the id-sorted bucket
+    * files). Above it — retention sweeps can carry 10^8 dead ids —
+    * the distributed semi-join path stands.
+    */
+  private val IdPushdownLimit = 8192
+
   /** The node rows of `ids`, read with source-level partition pruning:
-    * one tiny job collects the DISTINCT BUCKETS of `ids` (≤ nBuckets
-    * values — never the ids themselves), then the scan touches only
-    * those partitions.
+    * the scan touches only the DISTINCT BUCKETS of `ids` (≤ nBuckets
+    * partition values). Bounded id sets additionally push the id
+    * IN-list into the scan; unbounded ones keep a broadcast semi-join.
     */
   private def lookup(spark: SparkSession, root: String, meta: Meta,
       ids: DataFrame): DataFrame = {
-    val buckets = ids.select(bucketOf(col("id"), meta.nBuckets).as("b"))
-      .distinct().collect().map(_.getLong(0))
-    if (buckets.isEmpty)
-      spark.read.parquet(nodesPath(root)).limit(0)
-    else
-      spark.read.parquet(nodesPath(root))
-        .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+    val nodes = spark.read.parquet(nodesPath(root, meta))
+    val bounded = ids.select(col("id")).distinct()
+      .limit(IdPushdownLimit + 1).collect().map(_.getLong(0))
+    if (bounded.isEmpty) nodes.limit(0)
+    else if (bounded.length <= IdPushdownLimit) {
+      val buckets = idsToDF(spark, bounded.toIndexedSeq)
+        .select(bucketOf(col("id"), meta.nBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0))
+      nodes.filter(col("bucket").isin(buckets.toIndexedSeq: _*) &&
+        col("id").isin(bounded.toIndexedSeq: _*))
+    } else {
+      val buckets = ids.select(bucketOf(col("id"), meta.nBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0))
+      nodes.filter(col("bucket").isin(buckets.toIndexedSeq: _*))
         .join(broadcast(ids.select(col("id"))), Seq("id"), "left_semi")
+    }
   }
 
   /** All rows of the touched buckets (a rewrite must carry its whole
     * partition).
     */
-  private def bucketRows(spark: SparkSession, root: String,
-      buckets: Array[Long]): DataFrame =
-    if (buckets.isEmpty) spark.read.parquet(nodesPath(root)).limit(0)
-    else spark.read.parquet(nodesPath(root))
-      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+  private def bucketRows(spark: SparkSession, root: String, meta: Meta,
+      buckets: Array[Long]): DataFrame = {
+    val nodes = spark.read.parquet(nodesPath(root, meta))
+    if (buckets.isEmpty) nodes.limit(0)
+    else nodes.filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+  }
 
   /** The directed graph as (id, nbr, distance, rank) — exploded fwd
     * lists (the [[KnnGraph.Report.graph]] shape; also the append
     * path's prior).
     */
   def edges(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(nodesPath(root))
+    nodesDF(spark, root)
       .select(col("id"), posexplode(col("fwd")).as(Seq("pos", "f")))
       .select(col("id"), col("f.nbr").as("nbr"),
         col("f.dist").as("distance"),
@@ -369,7 +518,7 @@ object KnnGraphIndex {
     val meta = readMeta(spark, root)
     val qs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
       .localCheckpoint(true)
-    val entryIds = readEntries(spark, root)
+    val entryIds = readEntries(spark, root, meta)
     val seeds = qs.select(col("qid"))
       .crossJoin(broadcast(idsToDF(spark, entryIds)))
     val out = searchCore(spark, root, meta, qs, seeds, k, ef, maxHops,
@@ -411,7 +560,15 @@ object KnnGraphIndex {
     // ef rows/query). forceExact opts out (the repair path: repaired
     // lists are store state, they must carry exact distances)
     val cb = if (meta.pqM > 0 && !forceExact)
-      Some(Pq.readCodebook(spark, pqPath(root))) else None
+      Some(Pq.readCodebook(spark, pqPath(root, meta))) else None
+    // OPQ layouts score in the rotated space: codes encode A·vec, so
+    // the query rotates once (a projection over the bounded qs frame);
+    // the refine ranks raw vec against raw qvec as always
+    val qRot: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (cb.isDefined && meta.opq) {
+        val a = Opq.readRotation(spark, opqPath(root, meta))
+        q => graft.functions.mat_vec(q, a)
+      } else identity
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("distance"), col("id"))
     def maskSelf(pairs: DataFrame): DataFrame =
@@ -433,7 +590,7 @@ object KnnGraphIndex {
         pairs.join(nodes.select(col("id"), col("codes")), Seq("id"))
           .join(qs, Seq("qid"))
           .select(col("qid"), col("id"),
-            graft.functions.l2_distance(col("qvec"),
+            graft.functions.l2_distance(qRot(col("qvec")),
               Pq.reconstructCol(col("codes"), c)).as("distance"))
       case None => exactScore(pairs)
     }
@@ -535,7 +692,7 @@ object KnnGraphIndex {
     val b = batch.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     if (b.isEmpty) { GraftShim.unpersistLocalCheckpoint(b); return }
-    val nodes = spark.read.parquet(nodesPath(root))
+    val nodes = spark.read.parquet(nodesPath(root, meta))
     val prior = edges(spark, root).localCheckpoint(true)
     val rep = KnnGraph.nnDescentAppend(nodes.select(col("id"), col("vec")),
       prior, b.select(col("id"), col("vec")), "id", "vec", meta.k,
@@ -598,7 +755,7 @@ object KnnGraphIndex {
         // corpus — near-maxHops of full-frontier hops per batch (the
         // 1M smoke read ~100M records for 200 deletions), for beams
         // that local seeds converge in a handful of hops
-        val live = idsToDF(spark, readEntries(spark, root))
+        val live = idsToDF(spark, readEntries(spark, root, meta))
           .join(broadcast(dead), Seq("id"), "left_anti")
         // ... plus the dead REGION's surviving fringe, seeded
         // pairwise: survivors whose only path to each other ran
@@ -675,17 +832,17 @@ object KnnGraphIndex {
     // entry hygiene: drop dead medoids; re-pick when coverage thinned.
     // The dead set stays distributed (a retention sweep can carry 10^8
     // ids) — only the nEntries-sized survivor list is collected.
-    val liveEntries = idsToDF(spark, readEntries(spark, root))
+    val liveEntries = idsToDF(spark, readEntries(spark, root, meta))
       .join(dead, Seq("id"), "left_anti")
       .collect().map(_.getLong(0)).toSeq
     if (liveEntries.size < math.max(1, meta.nEntries / 2)) {
-      val pts = spark.read.parquet(nodesPath(root))
+      val pts = spark.read.parquet(nodesPath(root, meta))
         .select(col("id"), col("vec"))
       val n = pts.count()
       if (n > 0)
-        writeEntries(spark, root,
+        writeEntries(spark, root, meta,
           pickMedoids(pts, meta.nEntries, n, meta.metric))
-    } else writeEntries(spark, root, liveEntries)
+    } else writeEntries(spark, root, meta, liveEntries)
     for (df <- Seq(dead, deadRows, affectedIds, affRows, priorPairs,
         repaired))
       GraftShim.unpersistLocalCheckpoint(df)
@@ -695,9 +852,10 @@ object KnnGraphIndex {
     * (id, nbr, distance[, rank]) for every node whose list may have
     * changed; `prior` the old (id, nbr) pairs of the same scope (full
     * graph on append, affected ∪ dead lists on delete). Only buckets
-    * owning a changed row are rewritten (dynamic partition overwrite);
-    * buckets left EMPTY by removals are dropped explicitly (dynamic
-    * overwrite cannot write an empty partition).
+    * owning a changed row are rewritten (dynamic partition overwrite,
+    * one id-sorted file per rewritten bucket); buckets left EMPTY by
+    * removals are dropped explicitly (dynamic overwrite cannot write
+    * an empty partition).
     */
   private def applyListChanges(spark: SparkSession, root: String,
       meta: Meta, newG: DataFrame, prior: DataFrame, newRows: DataFrame,
@@ -725,19 +883,22 @@ object KnnGraphIndex {
       .select(bucketOf(col("id"), meta.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0))
     val cb = if (meta.pqM > 0)
-      Some(Pq.readCodebook(spark, pqPath(root))) else None
+      Some(Pq.readCodebook(spark, pqPath(root, meta))) else None
+    val rot = if (meta.pqM > 0 && meta.opq)
+      Some(Opq.readRotation(spark, opqPath(root, meta))) else None
     val dataCols = Seq(col("id"), col("vec"), col("gen"), col("fwd"),
       col("rev")) ++ cb.map(_ => col("codes"))
-    val oldRows = bucketRows(spark, root, buckets).select(dataCols: _*)
+    val oldRows = bucketRows(spark, root, meta, buckets).select(dataCols: _*)
     val base = Option(newRows) match {
       case Some(nr) =>
         val plain = nr.select(col("id"), col("vec"), col("gen"))
           .withColumn("fwd", array().cast(FwdType))
           .withColumn("rev", array().cast("array<bigint>"))
-        // appended rows get their codes from the PERSISTED codebook —
-        // the recipe replay, same as the descent hyperparameters
+        // appended rows get their codes from the PERSISTED codebook
+        // (and rotation) — the recipe replay, same as the descent
+        // hyperparameters
         oldRows.unionByName(
-          cb.fold(plain)(c => Pq.encode(plain, "vec", "codes", c)))
+          cb.fold(plain)(c => encodeCodes(plain, c, rot)))
       case None => oldRows
     }
     val newFwd = newG
@@ -770,14 +931,19 @@ object KnnGraphIndex {
       .localCheckpoint(true)
     val written = updated.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSet
-    updated.write.mode("overwrite")
+    // keep the one-id-sorted-file-per-bucket invariant through
+    // rewrites: a touched bucket's file count must not grow with the
+    // number of shuffle tasks that happened to hold its rows
+    updated.repartition(meta.nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(nodesPath(root))
+      .partitionBy("bucket").parquet(nodesPath(root, meta))
     // removals can empty a bucket; dynamic overwrite leaves its old
     // files behind, so drop those partitions here
     val f = fs(spark, root)
     buckets.filterNot(written).foreach { bkt =>
-      val dir = new Path(nodesPath(root), s"bucket=$bkt")
+      val dir = new Path(nodesPath(root, meta), s"bucket=$bkt")
       if (f.exists(dir) && !f.delete(dir, true))
         throw new java.io.IOException(s"could not drop emptied $dir")
     }

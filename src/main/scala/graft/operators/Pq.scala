@@ -35,6 +35,23 @@ object Pq {
     require(centroids.length == m && centroids.forall(_.length == k),
       "codebook shape must be m x k")
     def subDim: Int = dim / m
+    /** The `(s*k + c)*subDim + j` flat layout [[Kernels.pqEncode]]
+      * reads — one contiguous float array as codegen reference state.
+      */
+    def flat: Array[Float] = {
+      val out = new Array[Float](m * k * subDim)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) {
+          System.arraycopy(centroids(s)(c), 0, out, (s * k + c) * subDim,
+            subDim)
+          c += 1
+        }
+        s += 1
+      }
+      out
+    }
   }
 
   /** Fit per-subspace codebooks with the shared Lloyd semantics (seeds
@@ -76,17 +93,28 @@ object Pq {
     (0 until iters).foreach { _ =>
       // per row, for every subspace: (sub, nearest code, subvector) —
       // the encode argmin (ties to the lower code via struct order,
-      // as assignTo ties to the lower centroid id)
+      // as assignTo ties to the lower centroid id). Wide codebooks
+      // (k > 16) take the loop kernel like [[encode]] — the literal
+      // unroll blows janino at k = 256 and drops the whole Lloyd scan
+      // to interpreted eval
+      val kernelCodes =
+        if (k > 16) Some(graft.functions.pq_encode(col(vecCol),
+          PqCodebook(dim, m, k, cents).flat, m, k, subDim))
+        else None
       val assigned = array((0 until m).map { s =>
         val sub = slice(col(vecCol), s * subDim + 1, subDim)
         struct(
           lit(s).as("s"),
-          array_min(array(cents(s).indices.map { c =>
-            struct(Ann.l2Score(sub, cents(s)(c)).as("d"), lit(c).as("code"))
-          }: _*)).getField("code").as("code"),
+          kernelCodes.map(_ => element_at(col("_pqfit_codes"), s + 1))
+            .getOrElse(
+              array_min(array(cents(s).indices.map { c =>
+                struct(Ann.l2Score(sub, cents(s)(c)).as("d"),
+                  lit(c).as("code"))
+              }: _*)).getField("code")).as("code"),
           sub.as("sub"))
       }: _*)
-      val means = df.select(explode(assigned).as("a"))
+      val base = kernelCodes.fold(df)(cc => df.withColumn("_pqfit_codes", cc))
+      val means = base.select(explode(assigned).as("a"))
         .groupBy(col("a.s").as("s"), col("a.code").as("code"))
         .agg(array((0 until subDim).map(i =>
           avg(element_at(col("a.sub"), i + 1)).cast("float")): _*).as("mean"))
@@ -100,11 +128,22 @@ object Pq {
   }
 
   /** Append `outCol`: the `m` nearest-subcentroid codes as
-    * `array<int>`. Pure projection — per subspace an argmin over `k`
-    * literal (distance, code) structs, the [[Ann]] assign pattern.
+    * `array<int>`. Pure projection. Two regimes, same tie rule (lower
+    * code on equal distance): narrow codebooks (k ≤ 16) keep the
+    * literal-argmin expression — per subspace an argmin over `k`
+    * literal (distance, code) structs, the [[Ann]] assign pattern,
+    * bit-identical to every artifact built before the kernel existed —
+    * while wide codebooks (k = 256, the 8-bit tier) dispatch to the
+    * [[graft.expressions.Kernels.pqEncode]] loop kernel: unrolled as
+    * literals they blow janino's method-size limit and the whole
+    * projection silently drops to interpreted row-at-a-time eval.
     */
   def encode(df: DataFrame, vecCol: String, outCol: String,
       cb: PqCodebook): DataFrame = {
+    if (cb.k > 16)
+      return df.withColumn(outCol,
+        graft.functions.pq_encode(col(vecCol), cb.flat, cb.m, cb.k,
+          cb.subDim))
     val codes = array((0 until cb.m).map { s =>
       val sub = slice(col(vecCol), s * cb.subDim + 1, cb.subDim)
       array_min(array((0 until cb.k).map { c =>

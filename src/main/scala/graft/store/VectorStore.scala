@@ -724,7 +724,7 @@ class VectorStore private (
     * the node ids, no vectors travel).
     */
   private def reconcileGraphAfterPurge(): Unit = if (hasKnnGraph) {
-    val debris = spark.read.parquet(s"$graphRoot/nodes")
+    val debris = graft.operators.KnnGraphIndex.nodesDF(spark, graphRoot)
       .select($"id")
       .join(storage.read().select($"id"), Seq("id"), "left_anti")
     if (!debris.isEmpty)
@@ -2541,9 +2541,11 @@ class VectorStore private (
     // adaptive threshold), else the k-NN graph when built (beam walk
     // with the id set as a result mask — same adaptive escape hatch:
     // a selective filter would under-fill the k-bounded walk results,
-    // so at/below the threshold the survivors rank exactly; the graph
-    // family is always L2, which is what bruteForceOverMatched
-    // computes on a no-IVF store), else exact scan
+    // so at/below the threshold the survivors rank exactly; the
+    // escape hatch ranks by the index's RECORDED metric — the IVF
+    // metric when an IVF index exists, else the graph layout's
+    // l2|cosine — so both dispatch arms order identically), else
+    // exact scan
     val dense =
       (matchIds match {
         case Some(ids) =>
@@ -2713,15 +2715,40 @@ class VectorStore private (
     *                 scores on codes — column pruning keeps the d-dim
     *                 vector out of traversal IO — and the final beam
     *                 refines on full vectors; l2 only
+    * @param pqBits   code width per subspace: 4 (16 codes — the cheap
+    *                 traversal steer) or 8 (256 codes — buys back
+    *                 code-space fidelity on real high-dim embeddings
+    *                 where 4-bit distortion prunes true neighbors
+    *                 before the refine sees them)
+    * @param opq      learn an OPQ rotation on the fit sample and
+    *                 encode rotated vectors (queries rotate at serve
+    *                 time; the stored vector — and the exact refine —
+    *                 stay raw); requires pqM > 0
     */
   def buildKnnGraph(k: Int, buildK: Int = 0, maxIters: Int = 25,
       nEntries: Int = 4, nBuckets: Int = 16,
-      metric: String = "l2", pqM: Int = 0): Unit = {
+      metric: String = "l2", pqM: Int = 0, pqBits: Int = 4,
+      opq: Boolean = false): Unit = {
     graft.operators.KnnGraphIndex.build(spark, graphRoot,
       liveWithGen.select($"id", $"vec", col(GenCol).as("gen")),
-      k, buildK, maxIters, nEntries, nBuckets, metric, pqM)
+      k, buildK, maxIters, nEntries, nBuckets, metric, pqM, pqBits, opq)
     ()
   }
+
+  /** [[buildKnnGraph]] minus the descent: persist the layout from an
+    * ALREADY-CONVERGED (id, nbr, distance, rank) graph over the
+    * current live rows — for callers that hold one (a prior
+    * [[knnGraphEdgesDF]], a shared fixture build). The graph's ids
+    * must be the store's live ids; its distances must be `metric`'s.
+    */
+  def buildKnnGraphFrom(graph: DataFrame, k: Int, buildK: Int = 0,
+      maxIters: Int = 25, nEntries: Int = 4, nBuckets: Int = 16,
+      metric: String = "l2", pqM: Int = 0, pqBits: Int = 4,
+      opq: Boolean = false): Unit =
+    graft.operators.KnnGraphIndex.write(spark, graphRoot,
+      liveWithGen.select($"id", $"vec", col(GenCol).as("gen")),
+      graph, k, buildK, maxIters, nEntries, nBuckets, metric, pqM,
+      pqBits, opq)
 
   /** The persisted graph's metric ("l2" | "cosine"); "l2" when the
     * layout predates the metric marker — the only metric it can carry.
@@ -2742,7 +2769,7 @@ class VectorStore private (
     require(hasKnnGraph,
       s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
     val live = graphRowMask(
-      spark.read.parquet(s"$graphRoot/nodes")
+      graft.operators.KnnGraphIndex.nodesDF(spark, graphRoot)
         .select($"id", col("gen"))).select($"id")
     graft.operators.KnnGraphIndex.edges(spark, graphRoot)
       .join(live, Seq("id"), "left_semi")
@@ -2832,7 +2859,7 @@ class VectorStore private (
     require(hasKnnGraph,
       s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
     val meta = graft.operators.KnnGraphIndex.readMeta(spark, graphRoot)
-    val nodes = spark.read.parquet(s"$graphRoot/nodes")
+    val nodes = graft.operators.KnnGraphIndex.nodesDF(spark, graphRoot)
       .agg(org.apache.spark.sql.functions.count(lit(1)),
         sum(size(col("fwd")))).head()
     (nodes.getLong(0), nodes.getLong(1), meta.nBuckets,
@@ -2848,7 +2875,7 @@ class VectorStore private (
       s"no k-NN graph at $graphRoot — call buildKnnGraph() first")
     val m = graft.operators.KnnGraphIndex.readMeta(spark, graphRoot)
     buildKnnGraph(m.k, m.buildK, m.maxIters, m.nEntries, m.nBuckets,
-      m.metric, m.pqM)
+      m.metric, m.pqM, m.pqBits, m.opq)
   }
 
   /** O(batch) graph maintenance on insert — the [[annAppend]] twin.

@@ -450,7 +450,7 @@ class GraphIndexSpec extends SparkSuite {
       .select(lit(9999L).as("id"), col("vec"), lit(0L).as("gen"))
     KnnGraphIndex.append(spark, s"$root/graph", ghost)
     s.compact()
-    val ids = spark.read.parquet(s"$root/graph/nodes")
+    val ids = KnnGraphIndex.nodesDF(spark, s"$root/graph")
       .select(col("id")).as[Long].collect().toSet
     assert(!ids.contains(9999L), "compaction must remove graph debris")
     assert(edgeSet(s.knnGraphEdgesDF) == edgeSet(bruteGraph(base, 3)),
@@ -468,12 +468,13 @@ class GraphIndexSpec extends SparkSuite {
     assert(edgeSet(KnnGraphIndex.edges(spark, root)) == before,
       "absent ids must not disturb the graph")
     // wipe an entire bucket's nodes: its partition directory must go
-    val nodes = spark.read.parquet(s"$root/nodes")
+    val nodes = KnnGraphIndex.nodesDF(spark, root)
     val victims = nodes.filter(col("bucket") === 0).select(col("id"))
       .as[Long].collect().toSeq
     assert(victims.nonEmpty)
     KnnGraphIndex.deleteAndRepair(spark, root, victims.toDF("id"))
-    val p = new org.apache.hadoop.fs.Path(s"$root/nodes/bucket=0")
+    val p = new org.apache.hadoop.fs.Path(
+      KnnGraphIndex.nodesDir(spark, root), "bucket=0")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(p), "an emptied bucket partition must be dropped")
     val left = emb8(0, 60).filter(!col("id").isin(victims: _*))
