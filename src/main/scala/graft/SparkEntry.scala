@@ -228,10 +228,58 @@ object SparkEntry {
         slice(col("embedding"), 1, 8).as("vec"))
 
   private def memoGraph(s: SparkSession, dir: String, maxId: Int,
-      k: Int, buildK: Int): DataFrame =
-    graphMemo.computeIfAbsent(s"$dir/$maxId/$k/$buildK", _ =>
+      k: Int, buildK: Int, metric: String = "l2"): DataFrame =
+    graphMemo.computeIfAbsent(s"$dir/$maxId/$k/$buildK/$metric", _ =>
       graft.operators.KnnGraph.nnDescent(graphFixture(s, dir, maxId),
-        "id", "vec", k, buildK = buildK).graph)
+        "id", "vec", k, buildK = buildK, metric = metric).graph)
+
+  /** Scratch stores shared across gates within one battery process
+    * (the descent-memo move, r12 #6, applied to the store-lifecycle
+    * graph gates per the r13 verdict: each gate was paying its own
+    * insert + descent + repair + fold on a 200-row fixture — ~150 s of
+    * per-iteration job overhead per battery, not a scale signal).
+    * Values are store roots; the builder runs AT MOST ONCE per
+    * process, so min-of-reps benching times the SERVE arm.
+    */
+  private val storeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memoStore(s: SparkSession, dir: String, name: String)(
+      build: String => Unit): String =
+    storeMemo.computeIfAbsent(s"$dir/$name", _ => {
+      // the path carries the sf-dir hash: one process CAN run gates
+      // over two data dirs (entry + verify), and those must not share
+      // a store
+      val root = s"$scratchRoot/${name}_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      build(root)
+      root
+    })
+
+  /** THE shared graph-store lifecycle (the vs_graph_search
+    * arithmetic): insert the 200-row 8-dim fixture (ids 0..199 in
+    * vec_id order), persist the graph from the memoized descent,
+    * delete {10, 77, 150} (edge repair + tombstones), append the 15
+    * rows of vec_id 400..415 as ids 200.. (incremental fold). The
+    * plain-serve, PQ-re-encode, and hybrid gates all read from here —
+    * their DuckDB oracles replay this same id arithmetic.
+    */
+  private def sharedGraphStore(s: SparkSession, dir: String): String =
+    memoStore(s, dir, "vs_graph_store") { root =>
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val emb = T(s, dir, "embeddings")
+      store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
+        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
+      store.buildKnnGraphFrom(memoGraph(s, dir, 200, k = 5, buildK = 24),
+        k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+      store.delete(Seq(10L, 77L, 150L))
+      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
+        .orderBy("vec_id").coalesce(1)
+        .select(slice(col("embedding"), 1, 8).as("vec")))
+    }
 
   private val knnOracle: String = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
@@ -1869,25 +1917,29 @@ object SparkEntry {
     // exact scan per hybrid batch. Equal token counts per doc keep the
     // BM25 rank integer-determined, as in vs_hybrid.
     "vs_hybrid_graph" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_hybg_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = memoStore(s, dir, "vs_hybg_store") { root =>
+        val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+          tombstoneDeletes = true)
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val mid = when(col("label") % 2 === 0,
+          concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
+        val grp = when(col("vec_id") % 50 === 37, lit("9"))
+          .otherwise((col("label") % 3).cast("string"))
+        store.insertDF(emb.orderBy("vec_id").coalesce(1)
+          .select(slice(col("embedding"), 1, 8).as("vec"),
+            concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
+              lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
+              lit(" pad\", \"g\": \""), grp, lit("\"}")).as("doc")))
+        store.materializeDocField(Seq("g"))
+        // same 200-row 8-dim corpus as the descent memo (docs don't
+        // enter the descent)
+        store.buildKnnGraphFrom(memoGraph(s, dir, 200, k = 5, buildK = 24),
+          k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+        store.delete(Seq(37L, 80L)) // 37 was a g="9" row
+      }
       val store = graft.store.VectorStore.openOrCreate(s, root, 8,
         tombstoneDeletes = true)
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 200)
-      val mid = when(col("label") % 2 === 0,
-        concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
-      val grp = when(col("vec_id") % 50 === 37, lit("9"))
-        .otherwise((col("label") % 3).cast("string"))
-      store.insertDF(emb.orderBy("vec_id").coalesce(1)
-        .select(slice(col("embedding"), 1, 8).as("vec"),
-          concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
-            lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
-            lit(" pad\", \"g\": \""), grp, lit("\"}")).as("doc")))
-      store.materializeDocField(Seq("g"))
-      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
-      store.delete(Seq(37L, 80L)) // 37 was a g="9" row
       val qvecs = emb.filter(col("vec_id").isin(2, 5))
         .orderBy("vec_id").collect()
         .map(_.getSeq[Float](1).toArray.take(8)).toSeq
@@ -5030,7 +5082,7 @@ object SparkEntry {
       // the fold converges to the union fixpoint (the gate asserts it
       // against the union brute force) — seed the shared fixture so a
       // later graph gate skips its descent
-      graphMemo.putIfAbsent(s"$dir/200/5/24", rep.graph)
+      graphMemo.putIfAbsent(s"$dir/200/5/24/l2", rep.graph)
       rep.graph
         .select(col("id"), col("nbr"), col("rank"),
           hround(col("distance").cast("double"), 4).as("dist"))
@@ -5066,20 +5118,40 @@ object SparkEntry {
     // exactly, which DuckDB replays independently.
     "ann_knn_graph_delete" -> ((s, dir) => {
       import s.implicits._
-      val root = s"$scratchRoot/knn_graph_delete"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      val pts = graphFixture(s, dir, 200).withColumn("gen", lit(0L))
-      graft.operators.KnnGraphIndex.write(s, root, pts,
-        memoGraph(s, dir, 200, k = 5, buildK = 24),
-        k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
-      graft.operators.KnnGraphIndex.deleteAndRepair(s, root,
-        Seq(7L, 42L, 99L, 123L, 150L, 188L).toDF("id"))
+      val root = memoStore(s, dir, "knn_graph_delete") { root =>
+        val pts = graphFixture(s, dir, 200).withColumn("gen", lit(0L))
+        graft.operators.KnnGraphIndex.write(s, root, pts,
+          memoGraph(s, dir, 200, k = 5, buildK = 24),
+          k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+        graft.operators.KnnGraphIndex.deleteAndRepair(s, root,
+          Seq(7L, 42L, 99L, 123L, 150L, 188L).toDF("id"))
+      }
       graft.operators.KnnGraphIndex.edges(s, root)
         .select(col("id"), col("nbr"), col("rank"),
           hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("id", "rank")
+    }),
+
+    // The persisted serving path as a DIRECT operator gate (r13
+    // verdict #6): KnnGraphIndex.search against a written layout —
+    // medoid entries from the artifact, bucket-pruned hops — without
+    // the store wrapper (vs_graph_search covers that route). Oracle:
+    // plain brute force over the 200-row fixture, blind to the walk.
+    "ann_graph_serve" -> ((s, dir) => {
+      val root = memoStore(s, dir, "ann_graph_serve") { root =>
+        val pts = graphFixture(s, dir, 200).withColumn("gen", lit(0L))
+        graft.operators.KnnGraphIndex.write(s, root, pts,
+          memoGraph(s, dir, 200, k = 5, buildK = 24),
+          k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+      }
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id") >= 340 && col("vec_id") < 356)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      graft.operators.KnnGraphIndex.search(s, root, qs, k = 5, ef = 32)
+        .select(col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rank")
     }),
 
     // The k-NN graph as a STORE index family (r12 verdict #1): built
@@ -5092,21 +5164,10 @@ object SparkEntry {
     // vec_id order, the appended batch takes ids 200.. in vec_id
     // order, deleted ids drop out.
     "vs_graph_search" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_graph_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
-        tombstoneDeletes = true)
-      val emb = T(s, dir, "embeddings")
-      store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
-        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
-      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
-      store.delete(Seq(10L, 77L, 150L))
-      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
-        .orderBy("vec_id").coalesce(1)
-        .select(slice(col("embedding"), 1, 8).as("vec")))
-      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 312)
+      val store = graft.store.VectorStore.openOrCreate(s,
+        sharedGraphStore(s, dir), 8, tombstoneDeletes = true)
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id") >= 300 && col("vec_id") < 312)
         .select(col("vec_id").as("qid"),
           slice(col("embedding"), 1, 8).as("qvec"))
       store.searchGraphDF(qs, k = 5, ef = 48)
@@ -5124,21 +5185,24 @@ object SparkEntry {
     // fixture the filtered top-5 equals the filtered brute force both
     // sides replay in DuckDB. Through a delete (37 was a g="9" row).
     "vs_graph_filtered" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_graphf_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = memoStore(s, dir, "vs_graphf_store") { root =>
+        val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+          tombstoneDeletes = true)
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") < 260)
+        val grp = when(col("vec_id") % 100 === 37, lit("9"))
+          .otherwise((col("label") % 3).cast("string"))
+        store.insertDF(emb.orderBy("vec_id").coalesce(1)
+          .select(slice(col("embedding"), 1, 8).as("vec"),
+            concat(lit("{\"g\": \""), grp, lit("\"}")).as("doc")))
+        store.materializeDocField(Seq("g"))
+        // same 260-row 8-dim corpus as the graphFixture memo (docs
+        // don't enter the descent)
+        store.buildKnnGraphFrom(memoGraph(s, dir, 260, k = 5, buildK = 24),
+          k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+        store.delete(Seq(37L, 150L))
+      }
       val store = graft.store.VectorStore.openOrCreate(s, root, 8,
         tombstoneDeletes = true)
-      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 260)
-      val grp = when(col("vec_id") % 100 === 37, lit("9"))
-        .otherwise((col("label") % 3).cast("string"))
-      store.insertDF(emb.orderBy("vec_id").coalesce(1)
-        .select(slice(col("embedding"), 1, 8).as("vec"),
-          concat(lit("{\"g\": \""), grp, lit("\"}")).as("doc")))
-      store.materializeDocField(Seq("g"))
-      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
-      store.delete(Seq(37L, 150L))
       val qs = T(s, dir, "embeddings")
         .filter(col("vec_id").isin(300, 305))
         .select(col("vec_id").as("qid"),
@@ -5161,25 +5225,49 @@ object SparkEntry {
     // out of traversal IO — plan-asserted by bytes in GraphIndexSpec),
     // the final beam refines on full vectors — so the served top-5 is
     // EXACT on this fixture and the oracle replays plain brute force,
-    // blind to the quantization. Through a delete + append (appended
-    // rows encoded with the persisted codebook).
+    // blind to the quantization. The store is a CLONE of the shared
+    // lifecycle store (post delete + append) with its graph re-encoded
+    // pqM=4 from the already-repaired edges — the r13-verdict
+    // memoization; the incremental encode-through-mutation paths
+    // (appended rows coded with the persisted codebook, repair on a
+    // coded layout) are spec-covered in GraphIndexSpec.
     "vs_graph_pq" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_graphpq_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = memoStore(s, dir, "vs_graphpq_store") { root =>
+        val base = graft.store.VectorStore.openOrCreate(s,
+          sharedGraphStore(s, dir), 8, tombstoneDeletes = true)
+        val cl = base.cloneTo(root)
+        cl.buildKnnGraphFrom(cl.knnGraphEdgesDF, k = 5, buildK = 24,
+          nEntries = 4, nBuckets = 8, pqM = 4)
+      }
       val store = graft.store.VectorStore.openOrCreate(s, root, 8,
         tombstoneDeletes = true)
-      val emb = T(s, dir, "embeddings")
-      store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
-        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
-      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8,
-        pqM = 4)
-      store.delete(Seq(10L, 77L, 150L))
-      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
-        .orderBy("vec_id").coalesce(1)
-        .select(slice(col("embedding"), 1, 8).as("vec")))
-      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 312)
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id") >= 300 && col("vec_id") < 312)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 8).as("qvec"))
+      store.searchGraphDF(qs, k = 5, ef = 48)
+        .select(col("qid"), col("id"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    }),
+
+    // 8-bit OPQ variant of the PQ walk (r13 verdict #4): 256 codes per
+    // subspace through the pq_encode loop kernel, codes over the
+    // OPQ-rotated vectors, queries rotated at serve time, exact refine
+    // on raw vectors — same dispatch-blind brute-force oracle, so the
+    // row set must equal vs_graph_search's at different query ids.
+    "vs_graph_pq8" -> ((s, dir) => {
+      val root = memoStore(s, dir, "vs_graphpq8_store") { root =>
+        val base = graft.store.VectorStore.openOrCreate(s,
+          sharedGraphStore(s, dir), 8, tombstoneDeletes = true)
+        val cl = base.cloneTo(root)
+        cl.buildKnnGraphFrom(cl.knnGraphEdgesDF, k = 5, buildK = 24,
+          nEntries = 4, nBuckets = 8, pqM = 4, pqBits = 8, opq = true)
+      }
+      val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+        tombstoneDeletes = true)
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id") >= 320 && col("vec_id") < 332)
         .select(col("vec_id").as("qid"),
           slice(col("embedding"), 1, 8).as("qvec"))
       store.searchGraphDF(qs, k = 5, ef = 48)
@@ -5194,22 +5282,29 @@ object SparkEntry {
     // lifecycle under the other metric; angle ordering differs from L2
     // on these unnormalized vectors, so an L2 graph would hash-miss).
     "vs_graph_cosine" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_graphc_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      // the cosine DELETE-repair and APPEND-fold stay in this gate
+      // (they are its point: every arm ranks by 1 − cos), but the
+      // store builds once per battery and its initial descent comes
+      // from the cosine memo — the r13-verdict memoization
+      val root = memoStore(s, dir, "vs_graphc_store") { root =>
+        val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+          tombstoneDeletes = true)
+        val emb = T(s, dir, "embeddings")
+        store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
+          .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
+        store.buildKnnGraphFrom(
+          memoGraph(s, dir, 200, k = 5, buildK = 24, metric = "cosine"),
+          k = 5, buildK = 24, nEntries = 4, nBuckets = 8,
+          metric = "cosine")
+        store.delete(Seq(10L, 77L, 150L))
+        store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
+          .orderBy("vec_id").coalesce(1)
+          .select(slice(col("embedding"), 1, 8).as("vec")))
+      }
       val store = graft.store.VectorStore.openOrCreate(s, root, 8,
         tombstoneDeletes = true)
-      val emb = T(s, dir, "embeddings")
-      store.insertDF(emb.filter(col("vec_id") < 200).orderBy("vec_id")
-        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
-      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8,
-        metric = "cosine")
-      store.delete(Seq(10L, 77L, 150L))
-      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 415)
-        .orderBy("vec_id").coalesce(1)
-        .select(slice(col("embedding"), 1, 8).as("vec")))
-      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 312)
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id") >= 300 && col("vec_id") < 312)
         .select(col("vec_id").as("qid"),
           slice(col("embedding"), 1, 8).as("qvec"))
       store.searchGraphDF(qs, k = 5, ef = 48)
@@ -5226,23 +5321,30 @@ object SparkEntry {
     // fired (an un-maintained store would carry (100, 50)). Serving
     // after the rebuild equals brute force over all 150 live rows.
     "vs_graph_maintain" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_graphm_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      // the policy-triggered REBUILD happens inside the memoized
+      // lifecycle (its descent is the gate's point — no memo there);
+      // the initial 100-row build comes from the descent memo, and
+      // the post-trigger counters persist as layout markers the
+      // reopened store reads back per rep
+      val root = memoStore(s, dir, "vs_graphm_store") { root =>
+        val store = graft.store.VectorStore.openOrCreate(s, root, 8,
+          tombstoneDeletes = true)
+        val emb = T(s, dir, "embeddings")
+        store.insertDF(emb.filter(col("vec_id") < 100).orderBy("vec_id")
+          .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
+        store.buildKnnGraphFrom(memoGraph(s, dir, 100, k = 5, buildK = 24),
+          k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
+        store.enableAutoMaintenance(
+          graft.store.IndexMaintenancePolicy(graphMaxChurnFraction = 0.4))
+        store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .orderBy("vec_id").coalesce(1)
+          .select(slice(col("embedding"), 1, 8).as("vec")))
+      }
       val store = graft.store.VectorStore.openOrCreate(s, root, 8,
         tombstoneDeletes = true)
-      val emb = T(s, dir, "embeddings")
-      store.insertDF(emb.filter(col("vec_id") < 100).orderBy("vec_id")
-        .coalesce(1).select(slice(col("embedding"), 1, 8).as("vec")))
-      store.buildKnnGraph(k = 5, buildK = 24, nEntries = 4, nBuckets = 8)
-      store.enableAutoMaintenance(
-        graft.store.IndexMaintenancePolicy(graphMaxChurnFraction = 0.4))
-      store.insertDF(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
-        .orderBy("vec_id").coalesce(1)
-        .select(slice(col("embedding"), 1, 8).as("vec")))
       val (nAtBuild, churned) = store.knnGraphChurn()
-      val qs = emb.filter(col("vec_id") >= 300 && col("vec_id") < 308)
+      val qs = T(s, dir, "embeddings")
+        .filter(col("vec_id") >= 300 && col("vec_id") < 308)
         .select(col("vec_id").as("qid"),
           slice(col("embedding"), 1, 8).as("qvec"))
       store.searchGraphDF(qs, k = 5, ef = 48)
@@ -9733,6 +9835,55 @@ object SparkEntry {
       q AS (
         SELECT vec_id AS qid, embedding[1:8] AS qvec
         FROM embeddings WHERE vec_id >= 300 AND vec_id < 312),
+      scored AS (
+        SELECT q.qid, c.id, list_distance(c.vec, q.qvec) AS distance
+        FROM corpus c CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY distance, id) AS rank
+        FROM scored)
+      SELECT qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // 8-bit OPQ serving refines exactly too — same quantization-blind
+    // brute force, different query ids
+    "vs_graph_pq8" -> raw"""
+      WITH base AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings
+        WHERE vec_id < 200 AND vec_id NOT IN (10, 77, 150)),
+      appended AS (
+        SELECT 199 + row_number() OVER (ORDER BY vec_id) AS id,
+               embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id >= 400 AND vec_id < 415),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id >= 320 AND vec_id < 332),
+      scored AS (
+        SELECT q.qid, c.id, list_distance(c.vec, q.qvec) AS distance
+        FROM corpus c CROSS JOIN q),
+      ranked AS (
+        SELECT qid, id, distance,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY distance, id) AS rank
+        FROM scored)
+      SELECT qid, id, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // direct persisted-serving gate ≡ plain brute force over the
+    // unmutated 200-row fixture (dispatch-blind, like every graph
+    // oracle)
+    "ann_graph_serve" -> raw"""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id < 200),
+      q AS (
+        SELECT vec_id AS qid, embedding[1:8] AS qvec
+        FROM embeddings WHERE vec_id >= 340 AND vec_id < 356),
       scored AS (
         SELECT q.qid, c.id, list_distance(c.vec, q.qvec) AS distance
         FROM corpus c CROSS JOIN q),
