@@ -334,6 +334,99 @@ class GraphIndexSpec extends SparkSuite {
       s"scoring scan must NOT read the vector column:\n$scorePlan")
   }
 
+  test("stage→commit: crash debris from an interrupted rebuild never serves; the next rebuild clobbers and sweeps it") {
+    val root = mkRoot("crash")
+    val pts = emb8(0, 150).withColumn("gen", lit(0L))
+    KnnGraphIndex.build(spark, root, pts, k = 4, buildK = 16,
+      nEntries = 3, nBuckets = 4, pqM = 4)
+    val qs = emb8(300, 306).select(col("id").as("qid"), col("vec").as("qvec"))
+    val want = bruteSearch(emb8(0, 150), qs, 4)
+    def served(): Set[(Long, Long, Int)] = edgeSet(
+      KnnGraphIndex.search(spark, root, qs, k = 4, ef = 32)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("rank")))
+    assert(served() == want, "v1 serving must equal brute force")
+    // simulate a rebuild that crashed after staging artifacts but
+    // BEFORE the meta commit: junk v2 dirs appear beside the live v1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (junk <- Seq("nodes-v2/bucket=0", "pq_codebook-v2"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$junk"))
+    val m1 = KnnGraphIndex.readMeta(spark, root)
+    assert(m1.ver == 1L, "fresh build commits v1")
+    assert(served() == want,
+      "uncommitted v2 debris must be invisible — readers resolve " +
+        "through the committed meta")
+    // the next rebuild takes the v2 slot, clobbering the debris, and
+    // sweeps v1 after its commit
+    KnnGraphIndex.build(spark, root, pts, k = 4, buildK = 16,
+      nEntries = 3, nBuckets = 4, pqM = 4)
+    val m2 = KnnGraphIndex.readMeta(spark, root)
+    assert(m2.ver == 2L, "rebuild commits the next version")
+    assert(served() == want, "v2 serving must equal brute force")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/nodes-v1")),
+      "superseded version dirs are swept after the commit")
+  }
+
+  test("8-bit codes beat 4-bit at a tight walk budget on 64 dims; OPQ lifecycle stays exact through delete + append") {
+    def emb64(lo: Int, hi: Int): DataFrame =
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pts = emb64(0, 250).withColumn("gen", lit(0L))
+      .localCheckpoint(true)
+    // ONE descent feeds both layouts — the comparison isolates the
+    // code width
+    val g = KnnGraph.nnDescent(pts.select(col("id"), col("vec")),
+      "id", "vec", k = 5, maxIters = 8, buildK = 16).graph
+    val qs = emb64(450, 470)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .localCheckpoint(true)
+    val want = bruteSearch(emb64(0, 250), qs, 5).map(t => (t._1, t._2))
+    def recallAt(pqBits: Int): Double = {
+      val root = mkRoot(s"bits$pqBits")
+      KnnGraphIndex.write(spark, root, pts, g, k = 5, buildK = 16,
+        nEntries = 4, nBuckets = 8, pqM = 8, pqBits = pqBits)
+      // tight budget: a small ef leaves the refine little slack to
+      // recover a badly-coded true neighbor the ADC walk ranked past
+      // the beam edge — exactly where code fidelity shows. Measured
+      // sweep on this fixture (ef = 5/8/16/24): 4-bit 0.23/0.35/0.57/
+      // 0.68, 8-bit 0.53/0.65/0.82/0.88 — 8-bit dominates at every
+      // budget; ef = 16 carries the widest stable gap
+      val got = KnnGraphIndex.search(spark, root, qs, k = 5, ef = 16)
+        .select(col("qid"), col("id"))
+        .as[(Long, Long)].collect().toSet
+      got.intersect(want).size.toDouble / want.size
+    }
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    assert(r8 >= r4 + 0.1,
+      f"8-bit recall $r8%.3f must clearly beat 4-bit $r4%.3f at fixed ef" +
+        " — the extra code bits exist to buy back walk fidelity")
+    assert(r8 >= 0.75,
+      f"8-bit recall $r8%.3f too low at ef = 16 on 64 dims")
+    // OPQ lifecycle through the store: rotation trained at build,
+    // appended rows encoded as A·vec with the PERSISTED rotation +
+    // codebook, queries rotated at serve — exact on the 8-dim fixture
+    val s = VectorStore.openOrCreate(spark, mkRoot("opq"), 8,
+      tombstoneDeletes = true)
+    val base = emb8(0, 150)
+    s.insertDF(base.orderBy("id").coalesce(1).select(col("vec")))
+    s.buildKnnGraph(k = 4, buildK = 16, nEntries = 3, nBuckets = 4,
+      pqM = 4, pqBits = 8, opq = true)
+    s.delete(Seq(9L, 58L))
+    s.insertDF(emb8(400, 410).orderBy("id").coalesce(1).select(col("vec")))
+    val live = base.filter(!col("id").isin(9L, 58L))
+      .unionByName(emb8(400, 410)
+        .orderBy("id").coalesce(1).select(col("vec"))
+        .withColumn("id", monotonically_increasing_id() + 150L)
+        .select(col("id"), col("vec")))
+    val qs8 = emb8(300, 308).select(col("id").as("qid"), col("vec").as("qvec"))
+    assert(edgeSet(s.searchGraphDF(qs8, k = 4, ef = 48)
+        .select(col("qid").as("id"), col("id").as("nbr"), col("rank")))
+      == bruteSearch(live, qs8, 4),
+      "OPQ serving through delete + append must equal brute force")
+  }
+
   test("cosine graph family: build, serve, delete+repair, append all rank by 1 − cos") {
     val s = VectorStore.openOrCreate(spark, mkRoot("cos"), 8,
       tombstoneDeletes = true)
@@ -386,6 +479,67 @@ class GraphIndexSpec extends SparkSuite {
     assert(edgeSet(KnnGraphIndex.edges(spark, root))
       == edgeSet(bruteGraph(left, 3)),
       "orphaned-list repair must still converge to the survivor brute-force graph")
+  }
+
+  test("multi-node delete repair IO is O(affected × beam), not corpus × hops") {
+    // clustered corpus (real distance gradient — repair beams seeded
+    // from surviving lists converge locally, the FreshDiskANN shape
+    // the 100k smoke measured at 0.24 s/node)
+    val n = 2000
+    def clustered(lo: Int, hi: Int): DataFrame =
+      spark.range(lo, hi).select(col("id"),
+        array((0 until 8).map { d =>
+          val base = (col("id") % 8) * lit(40.0) * lit(if (d % 2 == 0) 1 else -1)
+          (base + (pmod(xxhash64(col("id") * (d + 7)), lit(100)) / lit(20.0)))
+            .cast("float")
+        }: _*).as("vec"))
+    val rootBig = mkRoot("multidel-big")
+    val rep = KnnGraphIndex.build(spark, rootBig,
+      clustered(0, n).withColumn("gen", lit(0L)),
+      k = 4, buildK = 8, maxIters = 4, nEntries = 4, nBuckets = 128)
+    // identical second layout (no second descent — write replays the
+    // converged graph) for the small-batch control
+    val rootSmall = mkRoot("multidel-small")
+    KnnGraphIndex.write(spark, rootSmall,
+      clustered(0, n).withColumn("gen", lit(0L)), rep.graph,
+      k = 4, buildK = 8, maxIters = 4, nEntries = 4, nBuckets = 128)
+    // 25 scattered deletions in ONE batch vs a 4-node control: a
+    // corpus×hops repair (the pre-r13 medoid-cross-seed shape) reads
+    // ~maxHops × corpus REGARDLESS of batch size — both batches would
+    // measure alike — while the local repair's IO follows the
+    // affected set (dead × (k + rev) beam queries), so the small batch
+    // must read WELL under half of the big one. (Absolute records-read
+    // is mushy at fixture scale: checkpoint-block re-reads and
+    // diff-machinery frames dominate; the DIFFERENTIAL isolates the
+    // repair shape. The absolute serve bound lives in the serving-IO
+    // test; the absolute repair walls live in SCALE.md's 100k/1M
+    // smokes: 0.24 s/node converged, bucket-pruned throughout.)
+    val dead25 = (0 until 25).map(i => (i * 79 + 13).toLong % n)
+    val readsBig = recordsReadDuring {
+      KnnGraphIndex.deleteAndRepair(spark, rootBig, dead25.toDF("id"))
+    }
+    val readsSmall = recordsReadDuring {
+      KnnGraphIndex.deleteAndRepair(spark, rootSmall,
+        dead25.take(4).toDF("id"))
+    }
+    assert(readsSmall * 2 < readsBig,
+      s"4-node repair read $readsSmall vs 25-node $readsBig — repair " +
+        "IO is not following the affected set (corpus×hops shape?)")
+    // structural repair invariants (exactness-vs-brute-force lives in
+    // the CONVERGED-fixture tests — lifecycle, orphan, emptied-bucket;
+    // this build is deliberately under-converged at maxIters = 4, so
+    // its fixpoint is not the brute-force graph): dead rows gone, no
+    // surviving list references a dead node, every survivor keeps a
+    // full k-list
+    val e = KnnGraphIndex.edges(spark, rootBig).localCheckpoint(true)
+    assert(e.filter(col("id").isin(dead25: _*)).isEmpty,
+      "dead nodes must leave the layout")
+    assert(e.filter(col("nbr").isin(dead25: _*)).isEmpty,
+      "no repaired list may still reference a dead node")
+    val widths = e.groupBy(col("id")).count()
+      .select(min(col("count")), max(col("count"))).head()
+    assert(widths.getLong(0) == 4L && widths.getLong(1) == 4L,
+      s"every survivor must keep a full 4-list, got $widths")
   }
 
   test("churn bookkeeping: O(batch) counters, rebuild resets the baseline") {
