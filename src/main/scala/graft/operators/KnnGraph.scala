@@ -143,7 +143,17 @@ object KnnGraph {
     * HNSW/Vamana-style serving walk on a flat graph, run for a whole
     * query BATCH at once (each iteration expands every query's
     * frontier in the same jobs; Spark amortizes the hop across the
-    * batch instead of walking queries one by one):
+    * batch instead of walking queries one by one).
+    *
+    * This is the IN-MEMORY arm: it takes the graph as a frame and pays
+    * an O(E) undirected-adjacency derivation + O(n) entry selection
+    * per call — right for one-shot searches over a graph you already
+    * hold. The SERVING entry point is the persisted
+    * [[KnnGraphIndex.search]] (via `VectorStore.searchGraphDF`): built
+    * medoid entries, bucket-pruned hops, no per-call prep — at the 1M
+    * smoke it reads ~35× fewer records per batch than this operator.
+    *
+    * The walk:
     *
     *  1. every query starts at the same `nEntries` deterministic entry
     *     nodes (scrambled-order heads — the RNG-free spread);

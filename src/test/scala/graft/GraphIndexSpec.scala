@@ -156,6 +156,19 @@ class GraphIndexSpec extends SparkSuite {
     assert(reads < 3L * n,
       s"one bounded-beam serving call read $reads records on a $n-row " +
         "store — serving prep is scanning the corpus")
+    // per-file overhead invariant (r13's measured serve-IO bottleneck:
+    // each touched bucket paid one footer/page-index PER SHUFFLE TASK
+    // that held rows of it): every bucket dir is exactly one file
+    val nd = new org.apache.hadoop.fs.Path(
+      KnnGraphIndex.nodesDir(spark, s"${s.path}/graph"))
+    val fs = nd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileCounts = fs.listStatus(nd)
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .map(b => fs.listStatus(b.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+    assert(fileCounts.nonEmpty && fileCounts.forall(_ == 1),
+      s"every bucket must hold exactly one id-sorted file, got " +
+        s"${fileCounts.mkString(",")}")
   }
 
   test("medoid entries beat scrambled-order heads where coverage matters (clustered), tie within noise on iid") {
