@@ -118,6 +118,18 @@ object KnnGraphIndex {
   private def bucketOf(c: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(c), lit(nBuckets.toLong))
 
+  /** Driver-side twin of [[bucketOf]] for ids already collected —
+    * `xxhash64(longCol)` IS `XXH64.hashLong(v, seed = 42)` and `pmod`
+    * IS `floorMod`, so a bounded lookup derives its touched buckets
+    * with zero jobs (spec-asserted equal to the column form). A hash
+    * divergence here would mis-prune every lookup and fail every
+    * exactness gate, which is the regression net.
+    */
+  private[graft] def bucketOfDriver(id: Long, nBuckets: Int): Long =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+      nBuckets.toLong)
+
   private val FwdType = "array<struct<nbr:bigint,dist:float>>"
 
   /** A layout exists when a committed meta names a readable node
@@ -456,21 +468,33 @@ object KnnGraphIndex {
     */
   private def lookup(spark: SparkSession, root: String, meta: Meta,
       ids: DataFrame): DataFrame = {
-    val nodes = spark.read.parquet(nodesPath(root, meta))
     val bounded = ids.select(col("id")).distinct()
       .limit(IdPushdownLimit + 1).collect().map(_.getLong(0))
-    if (bounded.isEmpty) nodes.limit(0)
-    else if (bounded.length <= IdPushdownLimit) {
-      val buckets = idsToDF(spark, bounded.toIndexedSeq)
-        .select(bucketOf(col("id"), meta.nBuckets).as("b"))
-        .distinct().collect().map(_.getLong(0))
-      nodes.filter(col("bucket").isin(buckets.toIndexedSeq: _*) &&
-        col("id").isin(bounded.toIndexedSeq: _*))
-    } else {
+    if (bounded.length <= IdPushdownLimit)
+      lookupCollected(spark, root, meta, bounded)
+    else {
+      val nodes = spark.read.parquet(nodesPath(root, meta))
       val buckets = ids.select(bucketOf(col("id"), meta.nBuckets).as("b"))
         .distinct().collect().map(_.getLong(0))
       nodes.filter(col("bucket").isin(buckets.toIndexedSeq: _*))
         .join(broadcast(ids.select(col("id"))), Seq("id"), "left_semi")
+    }
+  }
+
+  /** [[lookup]] for an ALREADY-COLLECTED bounded id set: buckets derive
+    * on the driver ([[bucketOfDriver]]) and both filters push into the
+    * scan — zero preparatory jobs. The beam loop collects each hop's
+    * frontier once anyway (it doubles as the termination check), so
+    * serving hops take this path.
+    */
+  private def lookupCollected(spark: SparkSession, root: String,
+      meta: Meta, ids: Array[Long]): DataFrame = {
+    val nodes = spark.read.parquet(nodesPath(root, meta))
+    if (ids.isEmpty) nodes.limit(0)
+    else {
+      val buckets = ids.map(bucketOfDriver(_, meta.nBuckets)).distinct
+      nodes.filter(col("bucket").isin(buckets.toIndexedSeq: _*) &&
+        col("id").isin(ids.toIndexedSeq: _*))
     }
   }
 
@@ -625,13 +649,24 @@ object KnnGraphIndex {
     // dominant tail cost); the delta layout pays O(new) writes and a
     // cached read of the parts
     var seenParts: List[DataFrame] = List(seed)
+    // one frontier-id collect per hop serves THREE roles: the loop's
+    // termination check (empty frontier = no beam entry was fresh —
+    // what the old per-hop count() job measured), the expansion
+    // lookup's pushed id list, and its driver-derived bucket set —
+    // replacing three preparatory jobs per hop with one
+    def frontIdsOf(b: DataFrame): Array[Long] =
+      b.filter(col("new")).select(col("id")).distinct()
+        .limit(IdPushdownLimit + 1).collect().map(_.getLong(0))
+    var frontIds = frontIdsOf(beam)
     var hops = 0
-    var done = false
-    while (hops < maxHops && !done) {
+    while (hops < maxHops && frontIds.nonEmpty) {
       hops += 1
       val frontier = beam.filter(col("new")).select(col("qid"), col("id"))
-      val fNodes = lookup(spark, root, meta,
-          frontier.select(col("id")).distinct())
+      val fLookup =
+        if (frontIds.length <= IdPushdownLimit)
+          lookupCollected(spark, root, meta, frontIds)
+        else lookup(spark, root, meta, frontier.select(col("id")).distinct())
+      val fNodes = fLookup
         .select(col("id"),
           concat(transform(col("fwd"), f => f("nbr")), col("rev")).as("out"))
       val unseen = maskSelf(
@@ -653,13 +688,12 @@ object KnnGraphIndex {
         GraftShim.unpersistLocalCheckpoint(hits)
         hits = nextHits
       }
-      val grew = merged.filter(col("new")).count()
-      if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
-        println(s"searchCore hop $hops: $grew beam entries")
       for (old <- Seq(beam, scored))
         GraftShim.unpersistLocalCheckpoint(old)
       beam = merged
-      done = grew == 0L
+      frontIds = frontIdsOf(beam)
+      if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
+        println(s"searchCore hop $hops: ${frontIds.length} fresh beam ids")
     }
     seenParts.foreach(GraftShim.unpersistLocalCheckpoint)
     val ranked = resultMask match {

@@ -33,6 +33,36 @@ class CodegenStrictSpec extends SparkSuite {
     }
   }
 
+  test("pq_encode loop kernel under strict codegen (the k=256 tier the literal unroll could not survive)") {
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // m=2 subspaces, k=256 codes, subDim=2: codebook centroid c of
+      // subspace s is (s*1000 + c, s*1000 + c) — every subvector's
+      // nearest code is its own rounded value, checked row-wise
+      val flat = Array.tabulate(2 * 256 * 2)(i =>
+        ((i / 2) % 256 + (i / 512) * 1000).toFloat)
+      val out = Seq((7f, 7.2f, 31f, 30.9f), (255f, 255f, 0.1f, 0f))
+        .toDF("a", "b", "c", "d")
+        .select(graft.functions.pq_encode(
+          array(col("a"), col("b"),
+            col("c") + 1000f, col("d") + 1000f), flat, 2, 256, 2).as("codes"))
+        .as[Seq[Int]].collect()
+      assert(out.toSeq == Seq(Seq(7, 31), Seq(255, 0)),
+        s"pq_encode argmin wrong: ${out.toSeq}")
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("blob codec expressions under strict codegen") {
     val conf = spark.conf
     conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

@@ -72,6 +72,18 @@ class GraphIndexSpec extends SparkSuite {
     total.get
   }
 
+  test("driver-side bucket hash equals the layout's xxhash64 bucketing") {
+    // lookups derive touched buckets on the driver (zero-job pruning);
+    // a divergence from the column form would mis-prune every lookup
+    val rows = spark.range(-500, 500)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(64L)).as("b"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (id, b) =>
+      assert(KnnGraphIndex.bucketOfDriver(id, 64) == b,
+        s"driver bucket of $id diverges from xxhash64 column form")
+    }
+  }
+
   test("store lifecycle: build, serve exact, delete+repair exact, append exact") {
     val s = VectorStore.openOrCreate(spark, mkRoot("life"), 8,
       tombstoneDeletes = true)
