@@ -1871,26 +1871,27 @@ object SparkEntry {
     // token counts per doc keep the BM25 rank integer-determined, as
     // in vs_hybrid.
     "vs_hybrid_adaptive" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_hyba_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = memoStore(s, dir, "vs_hyba_store") { root =>
+        val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+          tombstoneDeletes = true)
+        val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+        val mid = when(col("label") % 2 === 0,
+          concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
+        val grp = when(col("vec_id") % 100 === 37, lit("9"))
+          .otherwise((col("label") % 3).cast("string"))
+        store.insertDF(emb.orderBy("vec_id").coalesce(1)
+          .select(col("embedding").as("vec"),
+            concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
+              lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
+              lit(" pad\", \"g\": \""), grp, lit("\"}")).as("doc")))
+        store.materializeDocField(Seq("g"))
+        store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
+        store.buildLexIndex()
+        store.delete(Seq(37L, 80L)) // 37 was a g="9" row
+      }
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
-      val mid = when(col("label") % 2 === 0,
-        concat(lit("w"), (col("label") % 7).cast("string"))).otherwise(lit("zz"))
-      val grp = when(col("vec_id") % 100 === 37, lit("9"))
-        .otherwise((col("label") % 3).cast("string"))
-      store.insertDF(emb.orderBy("vec_id").coalesce(1)
-        .select(col("embedding").as("vec"),
-          concat(lit("{\"t\": \"pad w"), (col("label") % 7).cast("string"),
-            lit(" "), mid, lit(" v"), (col("vec_id") % 5).cast("string"),
-            lit(" pad\", \"g\": \""), grp, lit("\"}")).as("doc")))
-      store.materializeDocField(Seq("g"))
-      store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
-      store.buildLexIndex()
-      store.delete(Seq(37L, 80L)) // 37 was a g="9" row
       val qvecs = emb.filter(col("vec_id").isin(2, 5))
         .orderBy("vec_id").collect()
         .map(_.getSeq[Float](1).toArray).toSeq

@@ -464,7 +464,14 @@ object Ann {
       metric: String = "l2"): Unit = {
     require(metric == "l2" || metric == "cosine",
       s"metric must be 'l2' or 'cosine', got '$metric'")
-    indexed.write.mode("overwrite").partitionBy("centroid_id")
+    // one file per cell: repartition guarantees a cell lands wholly in
+    // one task, so a probe pays one parquet footer per probed cell
+    // instead of one per shuffle task that held rows of it (the same
+    // per-file overhead the graph layout measured as its serve-IO
+    // bottleneck at 512 buckets × 32 files)
+    indexed.repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // self-describing layout: searches and appends dispatch on the
@@ -677,6 +684,8 @@ object Ann {
       val survivorsDF = survivors.toSeq.toDF("centroid_id", "centroid")
       val staging = s"$path/index_merge_staging"
       assign(moving, idCol, vecCol, survivorsDF)
+        .repartition(col("centroid_id"))
+        .sortWithinPartitions(col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
       fs.listStatus(new org.apache.hadoop.fs.Path(staging))
         .filter(_.getPath.getName.startsWith("centroid_id="))
@@ -781,6 +790,8 @@ object Ann {
     assignSub(hotRows)
       .withColumn("_new_cid", newCidExpr)
       .select(keep.map(col) :+ col("_new_cid").as("centroid_id"): _*)
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -173,7 +173,14 @@ object LexIndex {
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(mp)) fs.delete(mp, false)
     val (postings, doclens) = indexRows(docs, idCol, textCol, genCol)
+    // one TERM-SORTED file per bucket: searches push the query terms
+    // as an IN-list into the scan, so sorted postings let parquet's
+    // row-group/page statistics prune within the bucket — and a
+    // q-term lookup pays one footer per touched bucket instead of one
+    // per shuffle task that held rows of it
     postings.withColumn("bucket", bucketOf(col("term"), buckets))
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(root))
     doclens.write.mode("overwrite").parquet(doclensPath(root))
@@ -205,6 +212,8 @@ object LexIndex {
     val staging = new Path(root,
       s"_postings-append-${java.util.UUID.randomUUID()}")
     postings.withColumn("bucket", bucketOf(col("term"), buckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(staging.toString)
     var added = 0L

@@ -1547,6 +1547,8 @@ class VectorStore private (
         graft.operators.Ann.assignCosine(proj, "id", "vec", cents)
       else graft.operators.Ann.assign(proj, "id", "vec", cents)
     assigned
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
     if (!annFs.delete(annIndexPath, true) && annFs.exists(annIndexPath))
       throw new java.io.IOException(s"could not clear $annIndexPath")
