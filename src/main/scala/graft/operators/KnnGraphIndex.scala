@@ -468,10 +468,18 @@ object KnnGraphIndex {
     */
   private def lookup(spark: SparkSession, root: String, meta: Meta,
       ids: DataFrame): DataFrame = {
-    val bounded = ids.select(col("id")).distinct()
+    // probe with a RAW limit (CollectLimit early-exits; a distinct()
+    // here would full-shuffle a 10^8-id retention sweep before the
+    // limit could apply). The pushdown is taken only when the RAW
+    // count fits the probe — that proves the sample is the WHOLE
+    // frame (dedup after, on the driver); a larger frame with few
+    // distinct ids merely loses the pushdown, never rows. Callers
+    // pass distinct frames, so the raw count is the distinct count
+    // in practice.
+    val raw = ids.select(col("id"))
       .limit(IdPushdownLimit + 1).collect().map(_.getLong(0))
-    if (bounded.length <= IdPushdownLimit)
-      lookupCollected(spark, root, meta, bounded)
+    if (raw.length <= IdPushdownLimit)
+      lookupCollected(spark, root, meta, raw.distinct)
     else {
       val nodes = spark.read.parquet(nodesPath(root, meta))
       val buckets = ids.select(bucketOf(col("id"), meta.nBuckets).as("b"))
