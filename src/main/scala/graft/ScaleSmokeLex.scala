@@ -104,6 +104,51 @@ object ScaleSmokeLex {
         store2.queryByDocDF(Seq("src"), Seq(s"s${i * 7}")).count()
       }
     }
+
+    // ---- zipfian-vocab tier (r14 verdict #7): the 31-word corpus
+    // above is the posting index's documented WORST case (every
+    // posting spans every page, nothing prunes). This tier is the
+    // regime the index EXISTS for: 100k docs over a ~5000-term
+    // log-uniform (zipf-like) vocabulary, queries weighted toward the
+    // tail — queried postings are a sliver of the corpus, and the
+    // one-term-sorted-file-per-bucket layout turns the pushed term
+    // IN-list into page pruning with most pages skipped.
+    val root4 = s"$base/store_zipf"
+    val p4 = new org.apache.hadoop.fs.Path(root4)
+    if (fs.exists(p4)) fs.delete(p4, true)
+    val store4 = graft.store.VectorStore.openOrCreate(spark, root4, 4,
+      tombstoneDeletes = true)
+    val vocabN = 5000
+    // deterministic zipf-ish draw per (doc, slot): u ~ U(0,1) from the
+    // hash, rank = floor(exp(u·ln V)) → P(rank) ∝ 1/rank (log-uniform)
+    def zterm(slot: Int) = concat(lit("z"),
+      floor(exp((pmod(xxhash64(col("doc_id"), lit(slot)), lit(100000))
+        / lit(100000.0)) * lit(math.log(vocabN.toDouble)))).cast("long")
+        .cast("string"))
+    timed("zipf store insert 100k docs (8 terms each, V=5000)") {
+      store4.insertDF(big.select(col("doc_id")).select(
+        array(lit(0f), lit(1f), lit(2f), lit(3f)).as("vec"),
+        concat(lit("{\"t\": \""),
+          concat_ws(" ", (0 until 8).map(zterm): _*),
+          lit("\"}")).as("doc")))
+    }
+    // 100 queries, 3 terms each, skewed to the TAIL (the selective
+    // regime): ranks ~ 500 + 37·i cover z500..z4200
+    val zQueries: Seq[(Long, Seq[String])] = (0 until 100).map { i =>
+      i.toLong -> Seq(s"z${500 + 37 * i}", s"z${40 + i}", s"z${1000 + 31 * i}")
+    }
+    timed("zipf scan route: 100-q BM25 batch (tokenize corpus)") {
+      println(s"SMOKE   rows: ${store4.searchLexDF(zQueries, 10).count()}")
+    }
+    timed("zipf buildLexIndex 100k") { store4.buildLexIndex() }
+    val zpost = spark.read.parquet(s"$root4/lex/postings")
+    println(s"SMOKE zipf posting rows: ${zpost.count()}")
+    timed("zipf indexed route: 100-q BM25 batch (cold)") {
+      println(s"SMOKE   rows: ${store4.searchLexDF(zQueries, 10).count()}")
+    }
+    timed("zipf indexed route: 100-q BM25 batch (repeat)") {
+      println(s"SMOKE   rows: ${store4.searchLexDF(zQueries, 10).count()}")
+    }
     spark.stop()
   }
 }

@@ -258,6 +258,30 @@ object SparkEntry {
       root
     })
 
+  /** [[memoStore]] for gates whose DuckDB oracle READS the persisted
+    * layout: the oracle SQL is a static string, so the root must stay
+    * un-hashed. Correctness across data dirs is kept by REBUILDING in
+    * place when a different dir asks for the same store (the memo maps
+    * store name → the dir it was built from).
+    */
+  private val fixedStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memoStoreFixed(s: SparkSession, dir: String, name: String)(
+      build: String => Unit): String = {
+    val root = s"$scratchRoot/$name"
+    fixedStoreMemo.compute(name, (_, prev) =>
+      if (prev == dir) dir
+      else {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        build(root)
+        dir
+      })
+    root
+  }
+
   /** THE shared graph-store lifecycle (the vs_graph_search
     * arithmetic): insert the 200-row 8-dim fixture (ids 0..199 in
     * vec_id order), persist the graph from the memoized descent,
@@ -1655,16 +1679,21 @@ object SparkEntry {
     // truth, assignment, per-query probe ranking, per-arm top-k,
     // recall, and the early-stop cut.
     "vs_ann_tune" -> ((s, dir) => {
-      val root = s"$scratchRoot/vs_tune_store"
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      // store memoized (the vs_graph_* move): the gate's operator under
+      // test is tuneNProbe — the insert + index build is shared fixture
+      // prep, not the measurement. Fixed path: the oracle reads the
+      // persisted centroid contract from it.
+      val root = memoStoreFixed(s, dir, "vs_tune_store") { root =>
+        val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+          tombstoneDeletes = true)
+        store.insertDF(T(s, dir, "embeddings").filter(col("vec_id") < 500)
+          .orderBy("vec_id").coalesce(1)
+          .select(col("embedding").as("vec")))
+        store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
+      }
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
-      store.insertDF(emb.orderBy("vec_id").coalesce(1)
-        .select(col("embedding").as("vec")))
-      store.buildAnnIndex(nCentroids = 8, iters = 2, seedRounds = 0)
       val qs = emb.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val (_, frontier) = store.tuneNProbe(qs, k = 5,
@@ -4865,13 +4894,39 @@ object SparkEntry {
       // Hierarchical routing: persist the shared layout once, route
       // queries through 3 super-cells (superProbe 1), probe 4 cells
       val ivfPath = s"$annSweepDir/ivf"
-      // one file per cell: the partitioned write otherwise fans every
-      // shuffle partition into every cell dir (8 x 32 small files)
-      Ann.writeIvfIndex(indexed.repartition(8, col("centroid_id")),
-        cents, ivfPath)
+      // one file per cell via writeIvfIndex's own consolidation shuffle
+      // (the old caller-side repartition made it shuffle twice)
+      Ann.writeIvfIndex(indexed, cents, ivfPath)
       Ann.buildSuperQuantizer(s, ivfPath, nSuper = 3, iters = 2)
-      // (config, truth family, ranked run) — a 14-branch union is the
-      // POINT here (fourteen different operators under test), not a
+      // ---- graph arms (r14 verdict #2): the persisted k-NN-graph
+      // family joins the frontier so Ann.chooseConfig can recommend it.
+      // Layouts are built ONCE per battery (memoStore) through the
+      // SHARDED cold-build path (buildSharded: coarse k-means shards,
+      // shard-local descent, merge, bounded polish) — the build a user
+      // at corpus scale would run; the ef ladder + PQ8 arms then serve
+      // from the committed artifacts with per-query scanned counts
+      // from the walk's own seen set (searchWithCost).
+      val gRoot = memoStore(s, dir, "ann_sweep_graph") { root =>
+        val pts = emb.select(col("vec_id").as("id"),
+          col("embedding").as("vec")).withColumn("gen", lit(0L))
+        operators.KnnGraphIndex.buildSharded(s, s"$root/plain", pts,
+          k = 10, nShards = 8, buildK = 20, nEntries = 4, nBuckets = 8,
+          replicas = 2, shardIters = 6, polishIters = 2)
+        val g = operators.KnnGraphIndex.edges(s, s"$root/plain")
+        operators.KnnGraphIndex.write(s, s"$root/pq8", pts, g,
+          k = 10, buildK = 20, nEntries = 4, nBuckets = 8,
+          pqM = 8, pqBits = 8)
+      }
+      val (gr16, gc16) = operators.KnnGraphIndex.searchWithCost(s,
+        s"$gRoot/plain", qs, k = kk, ef = 16)
+      val (gr32, gc32) = operators.KnnGraphIndex.searchWithCost(s,
+        s"$gRoot/plain", qs, k = kk, ef = 32)
+      val (grp32, gcp32) = operators.KnnGraphIndex.searchWithCost(s,
+        s"$gRoot/pq8", qs, k = kk, ef = 32)
+      def graphArm(df: DataFrame): DataFrame =
+        df.select(col("qid"), col("id").as("vec_id"), col("rank").as("rn"))
+      // (config, truth family, ranked run) — a 17-branch union is the
+      // POINT here (seventeen different operators under test), not a
       // per-query plan smell. Hamming sign-sketches approximate ANGULAR
       // distance, so that arm is scored against the cosine truth; the
       // rescore arm re-ranks its Hamming shortlist with EXACT L2, so
@@ -4905,7 +4960,10 @@ object SparkEntry {
             k = kk)),
           ("hier_s1_p4", "l2", Ann.ivfSearchL2PrunedHier(s, ivfPath,
             "vec_id", "embedding", qs, "qid", "qvec", k = kk, nProbe = 4,
-            superProbe = 1)))
+            superProbe = 1)),
+          ("graph_ef16", "l2", graphArm(gr16)),
+          ("graph_ef32", "l2", graphArm(gr32)),
+          ("graph_pq8_ef32", "l2", graphArm(grp32)))
       val run = runs.map { case (cfg, _, df) =>
         df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
           col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
@@ -5006,6 +5064,15 @@ object SparkEntry {
           lit(nAll).as("scanned")))
         .unionAll(qs.select(lit("rescore_s40").as("config"), col("qid"),
           (lit(nAll) + lit(40L)).as("scanned")))
+        // graph arms: the walk's own seen-set size per query — distinct
+        // candidates actually scored, the same "rows whose distance was
+        // computed" currency as the probed-cell sums above
+        .unionAll(gc16.select(lit("graph_ef16").as("config"), col("qid"),
+          col("scanned")))
+        .unionAll(gc32.select(lit("graph_ef32").as("config"), col("qid"),
+          col("scanned")))
+        .unionAll(gcp32.select(lit("graph_pq8_ef32").as("config"),
+          col("qid"), col("scanned")))
       cost.write.mode("overwrite").parquet(s"$annSweepDir/cost.parquet")
       val persistedCost = s.read.parquet(s"$annSweepDir/cost.parquet")
       // ---- ONE truth pass, ONE metric pass (r11 verdict #5): each
@@ -5066,6 +5133,22 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // SHARDED cold build (the DiskANN/Vamana sharded recipe as descent
+    // machinery: coarse k-means shards → shard-local descent over
+    // surrogate ids → merge → warm global polish): on the
+    // locality-bearing fixture the polish converges to the SAME
+    // fixpoint as the single-shot build — the exact 5-NN graph — so
+    // the oracle is plain brute force, blind to the sharding.
+    "ann_knn_graph_sharded" -> ((s, dir) => {
+      val rep = graft.operators.KnnGraph.nnDescentSharded(
+        graphFixture(s, dir, 300), "id", "vec", k = 5, nShards = 4,
+        buildK = 24)
+      rep.graph
+        .select(col("id"), col("nbr"), col("rank"),
+          hround(col("distance").cast("double"), 4).as("dist"))
+        .orderBy("id", "rank")
+    }),
+
     // Incremental graph maintenance: a converged 250-node graph folds
     // in a 50-node batch WITHOUT a from-scratch restart (prior entries
     // enter not-fresh — converged regions generate no proposals until
@@ -5076,14 +5159,16 @@ object SparkEntry {
       val all = graphFixture(s, dir, 200)
       val base = all.filter(col("id") < 150)
       val batch = all.filter(col("id") >= 150)
-      val g0 = graft.operators.KnnGraph.nnDescent(base, "id", "vec",
-        k = 5, buildK = 24)
+      // the arm's POINT is the live fold below; the base build it needs
+      // as a prerequisite warm-starts from the battery's memoized union
+      // descent restricted to the base ids (same vectors ⇒ prior
+      // distances valid; the restriction-damaged lists repair in the
+      // warm descent's first iteration) — r14 verdict #4, halving the
+      // arm without touching what it proves
+      val g0 = graft.operators.KnnGraph.nnDescentWarm(base, "id", "vec",
+        memoGraph(s, dir, 200, k = 5, buildK = 24), k = 5, buildK = 24)
       val rep = graft.operators.KnnGraph.nnDescentAppend(base, g0.graph,
         batch, "id", "vec", k = 5, buildK = 24)
-      // the fold converges to the union fixpoint (the gate asserts it
-      // against the union brute force) — seed the shared fixture so a
-      // later graph gate skips its descent
-      graphMemo.putIfAbsent(s"$dir/200/5/24/l2", rep.graph)
       rep.graph
         .select(col("id"), col("nbr"), col("rank"),
           hround(col("distance").cast("double"), 4).as("dist"))
@@ -9683,6 +9768,24 @@ object SparkEntry {
     // converged NN-Descent on the locality-bearing fixture IS the
     // exact graph — the oracle is plain brute force
     "ann_knn_graph" -> raw"""
+      WITH e AS (
+        SELECT vec_id AS id, embedding[1:8] AS vec
+        FROM embeddings WHERE vec_id < 300),
+      scored AS (
+        SELECT a.id, b.id AS nbr, list_distance(a.vec, b.vec) AS distance
+        FROM e a JOIN e b ON a.id <> b.id),
+      ranked AS (
+        SELECT id, nbr, distance,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY distance, nbr) AS rank
+        FROM scored)
+      SELECT id, nbr, rank,
+             ${graft.functions.hroundSql("CAST(distance AS DOUBLE)", 4)} AS dist
+      FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
+
+    // sharded-build-converged ≡ single-shot fixpoint ≡ brute force on
+    // the locality fixture — the oracle is blind to the sharding
+    "ann_knn_graph_sharded" -> raw"""
       WITH e AS (
         SELECT vec_id AS id, embedding[1:8] AS vec
         FROM embeddings WHERE vec_id < 300),

@@ -459,9 +459,17 @@ object Ann {
     * written PARTITIONED BY `centroid_id`, so a probe that touches
     * nProbe of k cells reads nProbe/k of the data at the source (see
     * [[ivfSearchL2Pruned]]), not a full scan followed by a filter.
+    *
+    * `consolidate = false` skips the one-file-per-cell shuffle — the
+    * ESCAPE for build-once-probe-once layouts (swept sweep/tune
+    * candidates, whose single probe can never amortize the extra
+    * staging shuffle; adjudicated at +6–10% on rebuild-heavy gates).
+    * Every SERVING path — the store facade, rebalance/merge renames —
+    * keeps the default: a layout probed more than a handful of times
+    * pays per-file footer overhead on every probe, forever.
     */
   def writeIvfIndex(indexed: DataFrame, centroids: DataFrame, path: String,
-      metric: String = "l2"): Unit = {
+      metric: String = "l2", consolidate: Boolean = true): Unit = {
     require(metric == "l2" || metric == "cosine",
       s"metric must be 'l2' or 'cosine', got '$metric'")
     // one file per cell: repartition guarantees a cell lands wholly in
@@ -469,9 +477,12 @@ object Ann {
     // instead of one per shuffle task that held rows of it (the same
     // per-file overhead the graph layout measured as its serve-IO
     // bottleneck at 512 buckets × 32 files)
-    indexed.repartition(col("centroid_id"))
-      .sortWithinPartitions(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
+    val staged =
+      if (consolidate)
+        indexed.repartition(col("centroid_id"))
+          .sortWithinPartitions(col("centroid_id"))
+      else indexed
+    staged.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // self-describing layout: searches and appends dispatch on the

@@ -139,6 +139,201 @@ object KnnGraph {
     descend(points, init, k, kb, maxIters, metric)
   }
 
+  /** SHARDED build — the public DiskANN/Vamana sharded-build recipe
+    * (Subramanya et al., NeurIPS'19 §4.3: partition with a coarse
+    * k-means, build per shard, merge the per-shard lists) re-expressed
+    * in the descent's own machinery, for corpora where a cold global
+    * descent pays 15–20 full-volume iterations:
+    *
+    *  1. coarse geometry: a cheap k-means (`nShards` centers, coverage
+    *     not convergence) assigns every point to its `replicas`
+    *     nearest cells;
+    *  2. shard-local descent: ONE run of the shared [[descend]] loop
+    *     over surrogate node ids seeded with PER-SHARD scrambled
+    *     rings — proposals propagate only through existing
+    *     neighborhoods, so shard-locality holds by construction (no
+    *     shard column in any join), every shard advances in the same
+    *     Spark jobs, and small-diameter shards converge in a fraction
+    *     of the global iteration count (the k-means pre-localization
+    *     is a far better init than a global scrambled ring);
+    *  3. merge: per-shard lists union per underlying node
+    *     (min-distance dedupe) — with `replicas` ≥ 2 boundary nodes
+    *     already carry cross-shard edges (the DiskANN overlap);
+    *  4. stitch: [[nnDescentWarm]] polish — the merged graph enters a
+    *     global descent all-fresh, so boundary-damaged neighborhoods
+    *     repair in a couple of global iterations instead of a cold
+    *     run's ten-plus, and the result converges to the same fixpoint
+    *     as a single-shot build on well-behaved data (gated EXACT).
+    *
+    * `shardIters` 0 = `maxIters`; `polishIters` 0 = polish to
+    * convergence (`maxIters`), negative = SKIP the polish (cost
+    * probes; the merged graph is then returned top-k with shard-local
+    * quality only — boundary recall is whatever the overlap bought,
+    * and nodes in singleton shards may be missing entirely).
+    */
+  def nnDescentSharded(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nShards: Int, maxIters: Int = 25, buildK: Int = 0,
+      metric: String = "l2", replicas: Int = 2, shardIters: Int = 0,
+      polishIters: Int = 0): Report = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(replicas >= 1 && replicas <= 4,
+      s"replicas must be in 1..4, got $replicas")
+    require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    requireMetric(metric)
+    val shim = org.apache.spark.sql.graftshim.GraftShim
+    val points = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec")).localCheckpoint(true)
+    val n = points.count()
+    require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
+    val kb = effectiveBuildK(k, buildK, n)
+    val kCells = math.min(nShards.toLong, n).toInt
+    val cents =
+      if (metric == "cosine") Ann.kmeansCosine(points, "id", "vec", kCells,
+        iters = 3, seedRounds = 0)
+      else Ann.kmeans(points, "id", "vec", kCells, iters = 3, seedRounds = 0)
+    val rr = math.min(replicas, kCells)
+    // each point's `rr` nearest cells; slot 0 = primary. The surrogate
+    // id (id·replicas + slot) is UNIQUE per (id, slot) — decoding goes
+    // through the sidMap join below, never arithmetic
+    val assigned = SimilarityJoin.topKByDistance(
+        points.crossJoin(broadcast(cents))
+          .withColumn("cd", distExpr(metric, col("vec"), col("centroid")))
+          .select(col("id"), col("centroid_id"), col("cd")),
+        "id", "centroid_id", "cd", rr)
+      .select(col("centroid_id").as("shard"), col("id"),
+        (col("rn") - 1).cast("long").as("slot"))
+    val surro = assigned.join(points, Seq("id"))
+      .select((col("id") * lit(replicas.toLong) + col("slot")).as("sid"),
+        col("shard"), col("id").as("uid"), col("vec"))
+      .localCheckpoint(true)
+    val sidMap = surro.select(col("sid"), col("uid"))
+    // descend unpersists the point frame it is handed (plan-walk over
+    // LogicalRDDs) — give it its OWN checkpoint so surro (backing
+    // sidMap, which the merge reads AFTER the descent) survives
+    val surroPts = surro.select(col("sid").as("id"), col("vec"))
+      .localCheckpoint(true)
+    val seeds = seedEdgesSharded(
+      surro.select(col("shard"), col("sid").as("id")), kb)
+    val init = scoreEdges(surroPts, seeds, metric)
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
+      .drop("rank")
+      .withColumn("new", lit(true))
+      .localCheckpoint(true)
+    shim.unpersistLocalCheckpoint(seeds)
+    // k = kb here: the merge wants the FULL list width, the final
+    // top-k cut happens after the polish
+    val shardRep = descend(surroPts, init, kb, kb,
+      if (shardIters > 0) shardIters else maxIters, metric)
+    val merged = shardRep.graph
+      .join(sidMap, shardRep.graph("id") === sidMap("sid"))
+      .select(col("uid").as("id"), col("nbr"), col("distance"))
+      .join(sidMap.select(col("sid").as("nbr"), col("uid").as("nuid")),
+        Seq("nbr"))
+      .select(col("id"), col("nuid").as("nbr"), col("distance"))
+      .filter(col("id") =!= col("nbr"))
+      .groupBy(col("id"), col("nbr"))
+      .agg(min(col("distance")).as("distance"))
+    val rep =
+      if (polishIters < 0) {
+        val g = merged
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= k)
+          .localCheckpoint(true)
+        Report(g, shardRep.iterations, shardRep.converged)
+      } else {
+        val r = nnDescentWarm(points, "id", "vec", merged,
+          k = k, maxIters = if (polishIters > 0) polishIters else maxIters,
+          buildK = buildK, metric = metric)
+        r.copy(iterations = shardRep.iterations + r.iterations)
+      }
+    for (aux <- Seq(points, surro, shardRep.graph))
+      shim.unpersistLocalCheckpoint(aux)
+    rep
+  }
+
+  /** Per-shard scrambled seed rings over (shard, id): each node links
+    * to its `kb` successors in xxhash64-scrambled order WITHIN ITS
+    * SHARD (cyclic) — [[seedEdges]] with the ring per shard. Shards
+    * smaller than kb+1 wrap (deduped); singletons yield no edges.
+    */
+  private def seedEdgesSharded(assigned: DataFrame, kb: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(xxhash64(col("id")), col("id"))
+    val pos = assigned.select(col("shard"), col("id"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .localCheckpoint(true)
+    val sizes = pos.groupBy(col("shard")).agg(count(lit(1)).as("m"))
+    val withM = pos.join(broadcast(sizes), Seq("shard"))
+    val out = (1 to kb).map { j =>
+      withM.select(col("shard"), col("id"),
+          pmod(col("pos") + j, col("m")).as("pos2"))
+        .join(pos.select(col("shard"), col("pos").as("pos2"),
+          col("id").as("nbr")), Seq("shard", "pos2"))
+        .filter(col("id") =!= col("nbr"))
+        .select(col("id"), col("nbr"))
+    }.reduce(_ unionAll _).distinct().localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(pos)
+    out
+  }
+
+  /** WARM-STARTED build: the descent over `df` initialized from a
+    * prior edge set instead of scrambled-order seeds — for callers
+    * holding a converged graph of a closely-related corpus (a superset
+    * whose restriction to the current ids is near-correct, or a
+    * sharded build's stitched merge). Prior edges are restricted to
+    * the current id set ON BOTH ENDPOINTS and their recorded distances
+    * reused verbatim (the caller's contract: same vectors, same
+    * metric); nodes the restriction under-fills below `buildK` get the
+    * cold start's scrambled-order seed padding. Every initial edge
+    * enters FRESH, so the first iteration re-proposes through every
+    * neighborhood (restriction damage repairs), after which a
+    * near-correct prior converges in a couple of iterations instead of
+    * the cold start's ten-plus — same fixpoint, descent cost
+    * proportional to how wrong the prior was.
+    */
+  def nnDescentWarm(df: DataFrame, idCol: String, vecCol: String,
+      priorGraph: DataFrame, k: Int, maxIters: Int = 25, buildK: Int = 0,
+      metric: String = "l2"): Report = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    requireMetric(metric)
+    val points = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec")).localCheckpoint(true)
+    val n = points.count()
+    require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
+    val kb = effectiveBuildK(k, buildK, n)
+    val ids = points.select(col("id"))
+    val prior = priorGraph.select(col("id").cast("long").as("id"),
+        col("nbr").cast("long").as("nbr"),
+        col("distance").cast("float").as("distance"))
+      .join(ids, Seq("id"), "left_semi")
+      .join(ids.select(col("id").as("nbr")), Seq("nbr"), "left_semi")
+    val underFilled = ids.join(
+      prior.groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= kb).select(col("id")),
+      Seq("id"), "left_anti")
+    val seeds = seedEdges(underFilled, ids, kb)
+    // thin global bridge ring: a warm prior can be DISCONNECTED (e.g.
+    // per-shard merges with no overlap) and neighbor-of-neighbor can
+    // never cross a component gap on its own — min(4, kb) scrambled
+    // global successors per node restore the cold start's connectivity
+    // guarantee at a fraction of its seed volume
+    val bridges = seedEdges(ids, ids, math.min(4, kb))
+    val init = prior
+      .unionAll(scoreEdges(points,
+        seeds.unionAll(bridges).distinct(), metric))
+      .groupBy(col("id"), col("nbr"))
+      .agg(min(col("distance")).as("distance"))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
+      .drop("rank")
+      .withColumn("new", lit(true))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(seeds)
+    org.apache.spark.sql.graftshim.GraftShim.unpersistLocalCheckpoint(bridges)
+    descend(points, init, k, kb, maxIters, metric)
+  }
+
   /** Batch greedy beam search over a built k-NN graph — the
     * HNSW/Vamana-style serving walk on a flat graph, run for a whole
     * query BATCH at once (each iteration expands every query's

@@ -52,7 +52,14 @@ import graft.functions.l2_distance
   *   - `opq-v<N>/` (when `opq`) — the OPQ rotation (Ge et al.,
   *     CVPR'13) trained on the fit sample; codes encode `A·vec`,
   *     serving rotates the query before ADC, and the stored vector —
-  *     hence the exact refine — stays UNROTATED.
+  *     hence the exact refine — stays UNROTATED. WHEN IT PAYS: the
+  *     rotation buys recall only where dimensions are correlated /
+  *     anisotropically mixed (real text-embedding output usually is;
+  *     the spec's correlated fixture shows +0.05..0.2 recall at 4-bit)
+  *     — on near-iid dims it measurably buys nothing (the r14 sweep:
+  *     +0.00 at 8-bit) and costs a rotation per fit and per query, so
+  *     leave it off unless a PCA spectrum or a recall probe says the
+  *     corpus has structure to align.
   *
   * Crash discipline (stage → commit): a rebuild writes `nodes`,
   * `pq_codebook`, `opq`, and `entries` under the NEXT version suffix
@@ -62,11 +69,14 @@ import graft.functions.l2_distance
   * old, mutually-consistent artifact set; it can never serve old node
   * codes against a new codebook (or a pqM>0 meta over codeless nodes),
   * which the previous overwrite-in-place codebook write allowed.
-  * Superseded version dirs are swept best-effort AFTER the commit — a
-  * failed sweep leaves garbage for the next rebuild's sweep, never an
-  * inconsistent layout, because every reader resolves paths through
-  * the committed meta. Legacy layouts (`ver = 0`, unsuffixed paths)
-  * stay readable; their first rebuild migrates them to `v1`.
+  * Superseded version dirs are swept best-effort AFTER the commit
+  * with a ONE-GENERATION grace window (committing vN sweeps vN-2 and
+  * older; vN-1 keeps serving any in-flight walk that resolved the old
+  * meta) — a failed sweep leaves garbage for the next rebuild's
+  * sweep, never an inconsistent layout, because every reader resolves
+  * paths through the committed meta. Legacy layouts (`ver = 0`,
+  * unsuffixed paths) stay readable; their first rebuild migrates them
+  * to `v1`.
   *
   * Maintenance (the [[graft.store.VectorStore]] ingest contract):
   *
@@ -134,11 +144,16 @@ object KnnGraphIndex {
 
   /** A layout exists when a committed meta names a readable node
     * table; staged-but-uncommitted builds (crash debris) don't count.
+    * TOTAL predicate: a torn or corrupt meta (pre-versioning layouts
+    * were written with a plain non-atomic create, so that debris can
+    * exist) reads as `false` — every dispatch site treats this as a
+    * boolean probe, never an exception channel.
     */
   def exists(spark: SparkSession, root: String): Boolean = {
     val f = fs(spark, root)
     f.exists(metaPath(root)) &&
-      f.exists(new Path(nodesPath(root, readMeta(spark, root))))
+      (try f.exists(new Path(nodesPath(root, readMeta(spark, root))))
+       catch { case scala.util.control.NonFatal(_) => false })
   }
 
   def drop(spark: SparkSession, root: String): Unit = {
@@ -159,10 +174,27 @@ object KnnGraphIndex {
   private[graft] def nodesDir(spark: SparkSession, root: String): String =
     nodesPath(root, readMeta(spark, root))
 
-  def readMeta(spark: SparkSession, root: String): Meta = {
+  /** Read a marker file, falling back to its `.prev` parking copy when
+    * the primary is missing — the recovery path for a crash inside
+    * [[writeFileAtomic]]'s non-overwrite-rename fallback (the live file
+    * is parked at the prev name before the swap, so the torn window
+    * leaves the PREVIOUS content readable instead of orphaning the
+    * layout).
+    */
+  private def readSmallFile(spark: SparkSession, root: String,
+      dest: Path): String = {
     val f = fs(spark, root)
-    val in = f.open(metaPath(root))
-    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val prev = prevPath(root, dest)
+    val p = if (!f.exists(dest) && f.exists(prev)) prev else dest
+    val in = f.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def prevPath(root: String, dest: Path) =
+    new Path(root, s"_${dest.getName}.prev")
+
+  def readMeta(spark: SparkSession, root: String): Meta = {
+    val body = readSmallFile(spark, root, metaPath(root))
     val m = body.split("\n").filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
     Meta(m("k").toInt, m("buildK").toInt, m("maxIters").toInt,
@@ -178,8 +210,14 @@ object KnnGraphIndex {
   /** Staged write + atomic rename of a small marker file — the
     * activation primitive for `meta`, `entries`, and `churn` (a torn
     * marker must never be readable). Where the FS lacks
-    * overwrite-rename, the delete+rename window degrades to a MISSING
-    * file, which every reader treats as the conservative case.
+    * overwrite-rename, the fallback PARKS the live file at a `.prev`
+    * name (one atomic rename), swaps the staging in (another), then
+    * drops the parking copy. A crash between the renames leaves the
+    * destination MISSING but the parked copy intact, and every reader
+    * routes through [[readSmallFile]]'s prev fallback — so for `meta`
+    * the torn window serves the PREVIOUS committed layout rather than
+    * orphaning an intact one (churn/entries degrade the same way:
+    * stale-read, never unreadable).
     */
   private def writeFileAtomic(spark: SparkSession, root: String,
       dest: Path, body: String): Unit = {
@@ -195,9 +233,16 @@ object KnnGraphIndex {
     } catch {
       case _: UnsupportedOperationException =>
         val f = fs(spark, root)
-        if (f.exists(dest)) f.delete(dest, false)
-        if (!f.rename(staging, dest))
+        val prev = prevPath(root, dest)
+        if (f.exists(prev)) f.delete(prev, false)
+        val had = f.exists(dest)
+        if (had && !f.rename(dest, prev))
+          throw new java.io.IOException(s"could not park $dest")
+        if (!f.rename(staging, dest)) {
+          if (had) f.rename(prev, dest) // best-effort restore
           throw new java.io.IOException(s"could not activate $staging")
+        }
+        if (had) f.delete(prev, false)
     }
   }
 
@@ -216,12 +261,9 @@ object KnnGraphIndex {
     */
   def readChurn(spark: SparkSession, root: String): Long = {
     val f = fs(spark, root)
-    if (!f.exists(churnPath(root))) 0L
-    else {
-      val in = f.open(churnPath(root))
-      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      body.trim.toLong
-    }
+    if (!f.exists(churnPath(root)) &&
+        !f.exists(prevPath(root, churnPath(root)))) 0L
+    else readSmallFile(spark, root, churnPath(root)).trim.toLong
   }
 
   private def writeChurn(spark: SparkSession, root: String,
@@ -249,8 +291,7 @@ object KnnGraphIndex {
 
   private def readEntries(spark: SparkSession, root: String,
       meta: Meta): Seq[Long] = {
-    val in = fs(spark, root).open(entriesPath(root, meta))
-    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val body = readSmallFile(spark, root, entriesPath(root, meta))
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .map(_.toLong).toSeq
   }
@@ -303,6 +344,31 @@ object KnnGraphIndex {
     // the descent's checkpoint is released above (layout builds must
     // not accumulate cached blocks); the report's graph re-reads the
     // just-persisted artifact instead
+    rep.copy(graph = edges(spark, root))
+  }
+
+  /** [[build]] with the SHARDED descent ([[KnnGraph.nnDescentSharded]]
+    * — coarse k-means partition, shard-local descent, merge, warm
+    * global polish): the cold-build path for corpora where a global
+    * descent's iteration count is the wall. Same layout, same serving
+    * contract; on well-behaved data the polish converges to the same
+    * fixpoint as [[build]].
+    */
+  def buildSharded(spark: SparkSession, root: String, points: DataFrame,
+      k: Int, nShards: Int, buildK: Int = 0, maxIters: Int = 25,
+      nEntries: Int = 4, nBuckets: Int = 16, metric: String = "l2",
+      pqM: Int = 0, pqBits: Int = 4, opq: Boolean = false,
+      replicas: Int = 2, shardIters: Int = 0,
+      polishIters: Int = 0): KnnGraph.Report = {
+    val pts = points.select(col("id").cast("long").as("id"), col("vec"),
+      col("gen").cast("long").as("gen")).localCheckpoint(true)
+    val rep = KnnGraph.nnDescentSharded(pts.select(col("id"), col("vec")),
+      "id", "vec", k, nShards, maxIters, buildK, metric, replicas,
+      shardIters, polishIters)
+    write(spark, root, pts, rep.graph, k, buildK, maxIters, nEntries,
+      nBuckets, metric, pqM, pqBits, opq)
+    GraftShim.unpersistLocalCheckpoint(rep.graph)
+    GraftShim.unpersistLocalCheckpoint(pts)
     rep.copy(graph = edges(spark, root))
   }
 
@@ -394,22 +460,42 @@ object KnnGraphIndex {
   }
 
   /** Best-effort sweep of superseded version dirs (and pre-versioning
-    * legacy artifacts) after a successful commit. A failed delete
-    * leaves garbage the next rebuild re-sweeps — never inconsistency:
-    * readers resolve every path through the committed meta.
+    * legacy artifacts) after a successful commit of version `keep`.
+    * A failed delete leaves garbage the next rebuild re-sweeps — never
+    * inconsistency: readers resolve every path through the committed
+    * meta.
+    *
+    * Grace window: version `keep - 1` is RETAINED and swept only at
+    * the commit of `keep + 1` — an in-flight search that resolved the
+    * superseded meta (the beam loop runs many actions over lazily-read
+    * node/codebook paths) keeps a consistent artifact set for one full
+    * rebuild cycle instead of hitting FileNotFoundException mid-walk.
+    * Two consecutive rebuilds inside one walk still race it; that
+    * topology needs external read-fencing, not a deeper window.
+    *
+    * Also swept: `_*.staging-<uuid>` files (writeFileAtomic debris
+    * from a crash before its rename — never referenced by a committed
+    * meta, so always safe) and `_*.prev` parking copies (only live
+    * inside the fallback swap, which the single-writer contract
+    * serializes against this sweep; the freshly-committed files all
+    * exist here).
     */
   private def cleanupStaleVersions(spark: SparkSession, root: String,
       keep: Long): Unit = {
     val f = fs(spark, root)
-    val keepNames = Set(s"nodes-v$keep", s"pq_codebook-v$keep",
-      s"opq-v$keep", s"entries-v$keep")
+    val keepNames = (for {
+      v <- Seq(keep, keep - 1L) if v >= 1L
+      n <- Seq("nodes", "pq_codebook", "opq", "entries")
+    } yield s"$n-v$v").toSet
     val versioned = "^(nodes|pq_codebook|opq|entries)-v[0-9]+$".r
     val legacy = Set("nodes", "pq_codebook", "entries", "_nodes-staging")
     try {
       f.listStatus(new Path(root)).foreach { st =>
         val nm = st.getPath.getName
+        val debris = nm.startsWith("_") &&
+          (nm.contains(".staging-") || nm.endsWith(".prev"))
         val stale = (versioned.findFirstIn(nm).isDefined &&
-          !keepNames.contains(nm)) || legacy.contains(nm)
+          !keepNames.contains(nm)) || legacy.contains(nm) || debris
         if (stale) f.delete(st.getPath, true)
       }
     } catch { case _: java.io.IOException => () }
@@ -452,12 +538,19 @@ object KnnGraphIndex {
     case None => Pq.encode(df, "vec", "codes", cb)
   }
 
-  /** Ids-per-lookup bound under which the id set itself is pushed into
-    * the scan as an IN-list (bounded driver state; beam frontiers and
-    * repair batches under it skip the broadcast-semi-join stage and
-    * let the source prune on the id column of the id-sorted bucket
-    * files). Above it — retention sweeps can carry 10^8 dead ids —
-    * the distributed semi-join path stands.
+  /** Ids-per-lookup bound under which the id set itself becomes a
+    * literal `isin` filter on the scan (bounded driver state; beam
+    * frontiers and repair batches under it skip the broadcast-semi-
+    * join stage entirely). What the SOURCE actually receives depends
+    * on `spark.sql.parquet.pushdown.inFilterThreshold` (default 10):
+    * above it, parquet gets the list's MIN/MAX as a range predicate —
+    * which the id-SORTED one-file-per-bucket layout turns into page
+    * pruning (the row groups outside the frontier's id range never
+    * decode) — and the literal IN list still evaluates post-scan
+    * inside whole-stage codegen. So the win here is sorted-file range
+    * pruning plus a skipped join stage, not per-value parquet
+    * filtering. Above the bound — retention sweeps can carry 10^8
+    * dead ids — the distributed semi-join path stands.
     */
   private val IdPushdownLimit = 8192
 
@@ -490,10 +583,12 @@ object KnnGraphIndex {
   }
 
   /** [[lookup]] for an ALREADY-COLLECTED bounded id set: buckets derive
-    * on the driver ([[bucketOfDriver]]) and both filters push into the
-    * scan — zero preparatory jobs. The beam loop collects each hop's
-    * frontier once anyway (it doubles as the termination check), so
-    * serving hops take this path.
+    * on the driver ([[bucketOfDriver]]), the bucket filter prunes
+    * partitions at planning time, and the id list reaches the parquet
+    * source as a range predicate over the sorted files (see
+    * [[IdPushdownLimit]]) — zero preparatory jobs. The beam loop
+    * collects each hop's frontier once anyway (it doubles as the
+    * termination check), so serving hops take this path.
     */
   private def lookupCollected(spark: SparkSession, root: String,
       meta: Meta, ids: Array[Long]): DataFrame = {
@@ -553,10 +648,32 @@ object KnnGraphIndex {
     val entryIds = readEntries(spark, root, meta)
     val seeds = qs.select(col("qid"))
       .crossJoin(broadcast(idsToDF(spark, entryIds)))
-    val out = searchCore(spark, root, meta, qs, seeds, k, ef, maxHops,
+    val (out, _) = searchCore(spark, root, meta, qs, seeds, k, ef, maxHops,
       rowMask, excludeSelf = false, resultMask = resultMask)
     GraftShim.unpersistLocalCheckpoint(qs)
     out
+  }
+
+  /** [[search]] plus the walk's per-query COST frame `(qid, scanned)`:
+    * the number of DISTINCT candidates the beam scored (the seen set —
+    * seeds, every proposed expansion). This is the graph arm's row on
+    * a recall-vs-cost frontier (`ir_ann_sweep`), directly comparable
+    * to the IVF arms' probed-cell row counts: both count candidate
+    * rows whose distance to the query was computed.
+    */
+  def searchWithCost(spark: SparkSession, root: String,
+      queries: DataFrame, k: Int, ef: Int,
+      maxHops: Int = 30): (DataFrame, DataFrame) = {
+    val meta = readMeta(spark, root)
+    val qs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+      .localCheckpoint(true)
+    val entryIds = readEntries(spark, root, meta)
+    val seeds = qs.select(col("qid"))
+      .crossJoin(broadcast(idsToDF(spark, entryIds)))
+    val (out, cost) = searchCore(spark, root, meta, qs, seeds, k, ef,
+      maxHops, identity, excludeSelf = false, wantCost = true)
+    GraftShim.unpersistLocalCheckpoint(qs)
+    (out, cost.get)
   }
 
   private def idsToDF(spark: SparkSession, ids: Seq[Long]): DataFrame = {
@@ -574,6 +691,15 @@ object KnnGraphIndex {
     lookup(spark, root, meta, ids)
       .select(col("id"), col("codes"), col("gen"))
 
+  /** Hops the last [[search]] walk on this thread executed — lets the
+    * jobs-per-hop spec (GraphIndexSpec) divide a listener's job count
+    * by the REAL hop count instead of maxHops. The bound that matters
+    * at cluster latency is driver round-trips per hop; wall clock on a
+    * shared box cannot lock it (box noise swamped the round-14
+    * measurement), a job count can.
+    */
+  private[graft] val lastSearchHops = new ThreadLocal[Int]
+
   /** The shared beam loop: per-query state bounded by `ef`, per-hop IO
     * bounded by the frontier's touched buckets. `seeds` is (qid, id);
     * `excludeSelf` drops qid == id candidates (the repair path, where
@@ -583,7 +709,8 @@ object KnnGraphIndex {
       qs: DataFrame, seeds: DataFrame, k: Int, ef: Int, maxHops: Int,
       rowMask: DataFrame => DataFrame, excludeSelf: Boolean,
       resultMask: Option[DataFrame => DataFrame] = None,
-      forceExact: Boolean = false): DataFrame = {
+      forceExact: Boolean = false,
+      wantCost: Boolean = false): (DataFrame, Option[DataFrame]) = {
     require(k >= 1 && ef >= k, s"need ef ($ef) >= k ($k) >= 1")
     // PQ-coded traversal (the DiskANN serve shape): hops score on the
     // co-located codes — the lookup reads (id, codes, gen), column
@@ -703,7 +830,18 @@ object KnnGraphIndex {
       if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))
         println(s"searchCore hop $hops: ${frontIds.length} fresh beam ids")
     }
+    // the cost frame folds BEFORE the seen deltas release: seen parts
+    // are disjoint by construction (each hop anti-joins the prior
+    // parts), so the count per qid is exactly the distinct candidates
+    // scored for it
+    val costOpt =
+      if (wantCost)
+        Some(seenParts.reduce(_ unionAll _)
+          .groupBy(col("qid")).agg(count(lit(1)).as("scanned"))
+          .localCheckpoint(true))
+      else None
     seenParts.foreach(GraftShim.unpersistLocalCheckpoint)
+    lastSearchHops.set(hops)
     val ranked = resultMask match {
       case Some(_) => hits
       case None => beam
@@ -719,9 +857,10 @@ object KnnGraphIndex {
         GraftShim.unpersistLocalCheckpoint(ranked)
         refined
       } else ranked
-    rankable
+    (rankable
       .withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("distance"), col("rank"))
+      .select(col("qid"), col("id"), col("distance"), col("rank")),
+      costOpt)
   }
 
   /** Fold `batch` (`id`, `vec`, `gen`) into the persisted graph:
@@ -860,7 +999,7 @@ object KnnGraphIndex {
         val effEf = if (ef > 0) ef
           else math.max(16, meta.k + 8)
         val out = searchCore(spark, root, meta, qs, seeds, meta.k, effEf,
-          maxHops, maskDead, excludeSelf = true, forceExact = true)
+          maxHops, maskDead, excludeSelf = true, forceExact = true)._1
           .select(col("qid").as("id"), col("id").as("nbr"),
             col("distance"), col("rank"))
           .localCheckpoint(true)

@@ -82,6 +82,123 @@ class AnnSpec extends SparkSuite {
       s"expected an IN partition filter on centroid_id in:\n$plan")
   }
 
+  test("serving IVF layouts hold exactly one file per cell; the consolidate=false escape stays correct") {
+    def cellFiles(path: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path, "index")
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("centroid_id="))
+        .map { d =>
+          val fs2 = java.nio.file.Files.list(d)
+          try d.getFileName.toString ->
+            fs2.iterator().asScala.count(_.toString.endsWith(".parquet"))
+          finally fs2.close()
+        }.toMap
+      finally s.close()
+    }
+    // many input partitions, so an unconsolidated write WOULD fan out
+    val (indexed, centroids) = Ann.ivfBuild(emb.repartition(16),
+      "vec_id", "embedding", nCentroids = 4, iters = 2)
+    val served = java.nio.file.Files
+      .createTempDirectory("graft-ivf-cons").toString
+    Ann.writeIvfIndex(indexed, centroids, served)
+    assert(cellFiles(served).values.forall(_ == 1),
+      s"serving layout must hold ONE file per cell (a probe pays one " +
+        s"footer per probed cell), got ${cellFiles(served)}")
+    // the escape for build-once-probe-once sweep candidates: skips the
+    // consolidation shuffle, must stay READ-identical
+    val swept = java.nio.file.Files
+      .createTempDirectory("graft-ivf-nocons").toString
+    Ann.writeIvfIndex(indexed, centroids, swept, consolidate = false)
+    val a = Ann.ivfSearchL2Pruned(spark, served, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 2)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val b = Ann.ivfSearchL2Pruned(spark, swept, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 2)
+      .select($"qid", $"vec_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(a == b, "consolidation is a FILE-layout property — results " +
+      "must be identical either way")
+  }
+
+  test("chooseConfig recommends the graph arm when it dominates the frontier at the target recall") {
+    // locality-bearing 8-dim corpus, held-out queries — a mini
+    // ir_ann_sweep with an IVF probe ladder AND a persisted-graph arm
+    // on the same frontier (r14 verdict #2: the chooser must be able
+    // to answer "build the graph" when the graph wins)
+    val pts = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 450)
+      .select($"vec_id".as("id"), slice($"embedding", 1, 8).as("vec"))
+      .localCheckpoint(true)
+    val qs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" >= 450 && $"vec_id" < 460)
+      .select($"vec_id".as("qid"), slice($"embedding", 1, 8).as("qvec"))
+      .localCheckpoint(true)
+    val kk = 5
+    val truth = SimilarityJoin.knnL2(pts, "id", "vec", qs, "qid", "qvec", kk)
+      .select($"qid", $"id").localCheckpoint(true)
+    val (indexed, cents) = Ann.ivfBuild(pts, "id", "vec",
+      nCentroids = 4, iters = 2)
+    val cellSizes = indexed.groupBy($"centroid_id")
+      .agg(count(lit(1)).as("csz"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy($"cdist", $"centroid_id")
+    val probeRank = qs.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        graft.functions.l2_distance($"qvec", $"centroid"))
+      .withColumn("crank", row_number().over(wq))
+      .join(broadcast(cellSizes), Seq("centroid_id"))
+      .localCheckpoint(true)
+    def armRow(config: String, hits: org.apache.spark.sql.DataFrame,
+        scanned: org.apache.spark.sql.DataFrame) =
+      qs.select($"qid")
+        .join(hits, Seq("qid"), "left")
+        .join(scanned, Seq("qid"))
+        .select(lit(config).as("config"), $"qid",
+          (coalesce($"hits", lit(0L)) / lit(kk.toDouble)).as("recall"),
+          $"scanned")
+    val ivfArms = Seq(1, 2, 4).map { p =>
+      val hits = Ann.ivfSearchL2(indexed, "id", "vec", cents,
+          qs, "qid", "qvec", k = kk, nProbe = p)
+        .select($"qid", $"id")
+        .join(truth, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      val scanned = probeRank.filter($"crank" <= p)
+        .groupBy("qid").agg(sum($"csz").as("scanned"))
+      armRow(f"ivf_p$p", hits, scanned)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-choose-graph").toString + "/g"
+    graft.operators.KnnGraphIndex.build(spark, root,
+      pts.withColumn("gen", lit(0L)), k = kk, buildK = 24,
+      nEntries = 4, nBuckets = 8)
+    val (gres, gcost) = graft.operators.KnnGraphIndex.searchWithCost(
+      spark, root, qs, k = kk, ef = 32)
+    val gHits = gres.select($"qid", $"id")
+      .join(truth, Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    val graphArm = armRow("graph_ef32", gHits, gcost)
+    val frontier = (ivfArms :+ graphArm).reduce(_ unionAll _)
+      .localCheckpoint(true)
+    // fixture precondition, asserted so the test cannot go vacuous:
+    // the graph walk is exact here (beam-served == brute on locality
+    // fixtures) and scores fewer candidates than the full probe
+    val means = frontier.groupBy("config")
+      .agg(avg($"recall").as("r"), avg($"scanned").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(means("graph_ef32")._1 >= 0.999,
+      s"graph arm must be exact on this fixture, got ${means("graph_ef32")}")
+    val qualifying = means.filter(_._2._1 >= 0.999)
+    assert(qualifying.minBy(_._2._2)._1 == "graph_ef32",
+      s"fixture must make the graph dominate at recall 1.0: $means")
+    val pick = Ann.chooseConfig(frontier, minRecall = 0.999)
+      .select($"config").head().getString(0)
+    assert(pick == "graph_ef32",
+      s"chooser must recommend the dominating graph arm, picked $pick " +
+        s"from $means")
+  }
+
   test("appendToIvfIndex: O(batch) file append, appended rows searchable, cells correct") {
     val base = emb.filter($"vec_id" < 400)
     val rest = emb.filter($"vec_id" >= 400)

@@ -45,6 +45,67 @@ class KnnGraphSpec extends SparkSuite {
     assert(got == want, "converged graph must equal brute-force k-NN")
   }
 
+  test("warm start from a superset's graph: same fixpoint, fewer iterations") {
+    val all = emb(200, dims = 8)
+    val base = all.filter(col("id") < 150)
+    val union = KnnGraph.nnDescent(all, "id", "vec", k = 5, buildK = 24)
+    assert(union.converged)
+    // the union graph restricted to base ids is a near-correct prior:
+    // the warm descent must repair the truncation damage and converge
+    // to the EXACT base graph, in fewer iterations than a cold build
+    val warm = KnnGraph.nnDescentWarm(base, "id", "vec", union.graph,
+      k = 5, buildK = 24)
+    assert(warm.converged,
+      s"warm build must converge (ran ${warm.iterations})")
+    val got = warm.graph.select($"id", $"nbr", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val want = bruteGraph(base, 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == want, "warm-started graph must equal brute-force k-NN")
+    val cold = KnnGraph.nnDescent(base, "id", "vec", k = 5, buildK = 24)
+    assert(warm.iterations < cold.iterations,
+      s"warm (${warm.iterations}) must beat cold (${cold.iterations}) " +
+        "iterations — otherwise the prior bought nothing")
+  }
+
+  test("sharded build converges to the single-shot fixpoint; shard phase alone carries most of the recall") {
+    val pts = emb(300, dims = 8)
+    val want = bruteGraph(pts, 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // the full recipe: k-means shards, shard-local descent, merge,
+    // warm global polish — must land the EXACT graph (the same
+    // fixpoint nnDescent converges to on this fixture)
+    val rep = KnnGraph.nnDescentSharded(pts, "id", "vec", k = 5,
+      nShards = 4, buildK = 24)
+    assert(rep.converged, s"sharded build must converge (${rep.iterations})")
+    val got = rep.graph.select($"id", $"nbr", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == want, "sharded build must equal brute-force k-NN")
+    // replicas = 1: the merged prior is shard-DISCONNECTED, so this
+    // exercises the polish's global bridge seeds (without them,
+    // neighbor-of-neighbor can never cross a component gap and the
+    // cross-shard edges are unreachable)
+    val rep1 = KnnGraph.nnDescentSharded(pts, "id", "vec", k = 5,
+      nShards = 4, buildK = 24, replicas = 1)
+    assert(rep1.converged)
+    val got1 = rep1.graph.select($"id", $"nbr", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got1 == want,
+      "no-overlap sharded build must still reach the fixpoint " +
+        "(bridge seeds restore connectivity)")
+    // skip-polish probe: the merged shard-local graph alone (replicas=2
+    // overlap, no global pass) must already carry high recall — that
+    // is what makes the polish cheap
+    val noPolish = KnnGraph.nnDescentSharded(pts, "id", "vec", k = 5,
+      nShards = 4, buildK = 24, replicas = 2, polishIters = -1)
+    val np = noPolish.graph.select($"id", $"nbr").as[(Long, Long)]
+      .collect().toSet
+    val wantPairs = want.map(t => (t._1, t._2)).toSet
+    val recall = np.intersect(wantPairs).size.toDouble / wantPairs.size
+    assert(recall >= 0.8,
+      f"merged shard graphs should carry most recall pre-polish, got $recall%.3f")
+  }
+
   test("high recall even on iid-random 64-dim (NN-Descent's worst case)") {
     // the raw testdata embeddings have NO cluster structure (same-label
     // and cross-label mean L2 agree to 0.3%) — distance concentration
