@@ -83,16 +83,61 @@ object ScaleSmokeGraphBuild {
       val r1 = sampledRecall(pts, rep1.graph, 200)
       println(f"SMOKE single-shot: iters=${rep1.iterations} " +
         f"converged=${rep1.converged} recall=$r1%.4f")
-      val (rep2, w2) = timed("sharded build @100k (32 shards, polish)") {
+      val (rep2, w2) = timed("sharded build @100k (32 shards, overlap=2)") {
+        operators.KnnGraph.nnDescentSharded(pts, "id", "vec", k = k,
+          nShards = 32, maxIters = 15, buildK = 32, replicas = 2,
+          shardIters = 6, polishIters = 3)
+      }
+      val r2 = sampledRecall(pts, rep2.graph, 200)
+      println(f"SMOKE sharded r2:  iters=${rep2.iterations} " +
+        f"converged=${rep2.converged} recall=$r2%.4f")
+      println(f"SMOKE 100k wall ratio sharded-r2/single = ${w2 / w1}%.3f, " +
+        f"recall delta = ${r2 - r1}%+.4f")
+      val (rep3, w3) = timed("sharded build @100k (32 shards, no overlap)") {
         operators.KnnGraph.nnDescentSharded(pts, "id", "vec", k = k,
           nShards = 32, maxIters = 15, buildK = 32, replicas = 1,
           shardIters = 6, polishIters = 3)
       }
-      val r2 = sampledRecall(pts, rep2.graph, 200)
-      println(f"SMOKE sharded:     iters=${rep2.iterations} " +
-        f"converged=${rep2.converged} recall=$r2%.4f")
-      println(f"SMOKE 100k wall ratio sharded/single = ${w2 / w1}%.3f, " +
-        f"recall delta = ${r2 - r1}%+.4f")
+      val r3 = sampledRecall(pts, rep3.graph, 200)
+      println(f"SMOKE sharded r1:  iters=${rep3.iterations} " +
+        f"converged=${rep3.converged} recall=$r3%.4f")
+      println(f"SMOKE 100k wall ratio sharded-r1/single = ${w3 / w1}%.3f, " +
+        f"recall delta = ${r3 - r1}%+.4f")
+    }
+
+    // parameter probe: one sharded arm at 100k, knobs via env —
+    // GRAFT_KNNGRAPH_DEBUG=1 prints the per-phase split
+    if (tiers("probe")) {
+      synth(100000L, 256, s"$base/vecs100k")
+      val pts = spark.read.parquet(s"$base/vecs100k")
+      val ns = sys.env.getOrElse("SPARK_GRAFT_NSHARDS", "32").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "1").toInt
+      val skb = sys.env.getOrElse("SPARK_GRAFT_SHARD_BUILDK", "0").toInt
+      val si = sys.env.getOrElse("SPARK_GRAFT_SHARD_ITERS", "6").toInt
+      val pi = sys.env.getOrElse("SPARK_GRAFT_POLISH_ITERS", "3").toInt
+      val (rep, w) = timed(
+          s"probe sharded @100k ns=$ns r=$reps skb=$skb si=$si pi=$pi") {
+        operators.KnnGraph.nnDescentSharded(pts, "id", "vec", k = k,
+          nShards = ns, maxIters = 15, buildK = 32, replicas = reps,
+          shardIters = si, polishIters = pi, shardBuildK = skb)
+      }
+      val r = sampledRecall(pts, rep.graph, 200)
+      println(f"SMOKE probe: iters=${rep.iterations} recall=$r%.4f " +
+        f"wall=$w%.1f s")
+    }
+
+    // the honest 1M baseline the sharded comparison hinges on: the
+    // single-shot descent, same recipe as the 100k tier
+    if (tiers("1msingle")) {
+      synth(1000000L, 1024, s"$base/vecs1m")
+      val pts = spark.read.parquet(s"$base/vecs1m")
+      val (rep, w) = timed("single-shot nnDescent @1M (r11 recipe)") {
+        operators.KnnGraph.nnDescent(pts, "id", "vec", k = k,
+          maxIters = 15, buildK = 32)
+      }
+      val r = sampledRecall(pts, rep.graph, 2000)
+      println(f"SMOKE 1M single-shot: iters=${rep.iterations} " +
+        f"converged=${rep.converged} recall=$r%.4f wall=$w%.1f s")
     }
 
     if (tiers("1m")) {
@@ -102,11 +147,17 @@ object ScaleSmokeGraphBuild {
       val pts = spark.read.parquet(s"$base/vecs1m")
         .withColumn("gen", lit(0L))
       val root = s"$base/layout1m"
-      val (rep, wb) = timed("sharded buildSharded @1M (128 shards)") {
+      val ns = sys.env.getOrElse("SPARK_GRAFT_NSHARDS", "128").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "1").toInt
+      val skb = sys.env.getOrElse("SPARK_GRAFT_SHARD_BUILDK", "0").toInt
+      val si = sys.env.getOrElse("SPARK_GRAFT_SHARD_ITERS", "6").toInt
+      val pi = sys.env.getOrElse("SPARK_GRAFT_POLISH_ITERS", "3").toInt
+      val (rep, wb) = timed(
+          s"sharded buildSharded @1M ns=$ns r=$reps skb=$skb si=$si pi=$pi") {
         operators.KnnGraphIndex.buildSharded(spark, root, pts,
-          k = k, nShards = 128, buildK = 32, maxIters = 15,
-          nEntries = 16, nBuckets = 512, replicas = 1,
-          shardIters = 6, polishIters = 3)
+          k = k, nShards = ns, buildK = 32, maxIters = 15,
+          nEntries = 16, nBuckets = 512, replicas = reps,
+          shardIters = si, polishIters = pi, shardBuildK = skb)
       }
       println(f"SMOKE 1M build: iters=${rep.iterations} " +
         f"converged=${rep.converged} wall=$wb%.1f s " +

@@ -174,24 +174,41 @@ object KnnGraph {
   def nnDescentSharded(df: DataFrame, idCol: String, vecCol: String,
       k: Int, nShards: Int, maxIters: Int = 25, buildK: Int = 0,
       metric: String = "l2", replicas: Int = 2, shardIters: Int = 0,
-      polishIters: Int = 0): Report = {
+      polishIters: Int = 0, shardBuildK: Int = 0): Report = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(replicas >= 1 && replicas <= 4,
       s"replicas must be in 1..4, got $replicas")
     require(buildK == 0 || buildK >= k, s"buildK ($buildK) must be >= k ($k)")
+    require(shardBuildK == 0 || shardBuildK >= k,
+      s"shardBuildK ($shardBuildK) must be >= k ($k)")
     requireMetric(metric)
+    val debug = sys.env.contains("GRAFT_KNNGRAPH_DEBUG")
+    var tLast = System.nanoTime()
+    def mark(label: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"nnDescentSharded $label%-16s ${(now - tLast) / 1e9}%8.2f s")
+      tLast = now
+    }
     val shim = org.apache.spark.sql.graftshim.GraftShim
     val points = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec")).localCheckpoint(true)
     val n = points.count()
     require(n > k, s"k-NN graph needs more than k=$k nodes, got $n")
     val kb = effectiveBuildK(k, buildK, n)
+    // the shard phase may run NARROWER lists than the polish (the
+    // classic coarse-build / fine-refine split): per-iteration
+    // proposal volume is ∝ kb², so shardBuildK = 20 vs 32 runs the
+    // dominant phase at 0.4× the volume and lets the full-width polish
+    // recover list quality
+    val kbS = effectiveBuildK(k,
+      if (shardBuildK > 0) shardBuildK else kb, n)
     val kCells = math.min(nShards.toLong, n).toInt
     val cents =
       if (metric == "cosine") Ann.kmeansCosine(points, "id", "vec", kCells,
         iters = 3, seedRounds = 0)
       else Ann.kmeans(points, "id", "vec", kCells, iters = 3, seedRounds = 0)
+    mark("kmeans")
     val rr = math.min(replicas, kCells)
     // each point's `rr` nearest cells; slot 0 = primary. The surrogate
     // id (id·replicas + slot) is UNIQUE per (id, slot) — decoding goes
@@ -213,18 +230,21 @@ object KnnGraph {
     // sidMap, which the merge reads AFTER the descent) survives
     val surroPts = surro.select(col("sid").as("id"), col("vec"))
       .localCheckpoint(true)
+    mark("assign+surro")
     val seeds = seedEdgesSharded(
-      surro.select(col("shard"), col("sid").as("id")), kb)
+      surro.select(col("shard"), col("sid").as("id")), kbS)
     val init = scoreEdges(surroPts, seeds, metric)
-      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kb)
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kbS)
       .drop("rank")
       .withColumn("new", lit(true))
       .localCheckpoint(true)
     shim.unpersistLocalCheckpoint(seeds)
-    // k = kb here: the merge wants the FULL list width, the final
-    // top-k cut happens after the polish
-    val shardRep = descend(surroPts, init, kb, kb,
+    mark("seeds+init")
+    // k = kbS here: the merge wants the FULL shard-phase list width,
+    // the final top-k cut happens after the polish
+    val shardRep = descend(surroPts, init, kbS, kbS,
       if (shardIters > 0) shardIters else maxIters, metric)
+    mark("shard descend")
     val merged = shardRep.graph
       .join(sidMap, shardRep.graph("id") === sidMap("sid"))
       .select(col("uid").as("id"), col("nbr"), col("distance"))
@@ -247,6 +267,7 @@ object KnnGraph {
           buildK = buildK, metric = metric)
         r.copy(iterations = shardRep.iterations + r.iterations)
       }
+    mark("merge+polish")
     for (aux <- Seq(points, surro, shardRep.graph))
       shim.unpersistLocalCheckpoint(aux)
     rep

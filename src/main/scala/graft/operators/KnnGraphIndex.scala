@@ -359,12 +359,12 @@ object KnnGraphIndex {
       nEntries: Int = 4, nBuckets: Int = 16, metric: String = "l2",
       pqM: Int = 0, pqBits: Int = 4, opq: Boolean = false,
       replicas: Int = 2, shardIters: Int = 0,
-      polishIters: Int = 0): KnnGraph.Report = {
+      polishIters: Int = 0, shardBuildK: Int = 0): KnnGraph.Report = {
     val pts = points.select(col("id").cast("long").as("id"), col("vec"),
       col("gen").cast("long").as("gen")).localCheckpoint(true)
     val rep = KnnGraph.nnDescentSharded(pts.select(col("id"), col("vec")),
       "id", "vec", k, nShards, maxIters, buildK, metric, replicas,
-      shardIters, polishIters)
+      shardIters, polishIters, shardBuildK)
     write(spark, root, pts, rep.graph, k, buildK, maxIters, nEntries,
       nBuckets, metric, pqM, pqBits, opq)
     GraftShim.unpersistLocalCheckpoint(rep.graph)
