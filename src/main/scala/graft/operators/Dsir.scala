@@ -151,8 +151,16 @@ object Dsir {
       salt: String = "dsir", roundDigits: Int = 6,
       outCol: String = "dsir_logw"): DataFrame = {
     require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    // (id, logw) projection materialized ONCE: the max pass and the
+    // A-ES race both consume the scored frame, and without the
+    // checkpoint each re-runs the n-gram hashing kernel over every
+    // text (the select path paid the scoring scan twice). Two slim
+    // columns, so the checkpoint is k-independent metadata-sized
+    // relative to the corpus.
     val scored = scoreAgainst(raw, target, textCol, outCol)
       .withColumn(outCol, hround(col(outCol), roundDigits))
+      .select(col(idCol), col(outCol))
+      .localCheckpoint(true)
     val mxRow = scored.agg(max(col(outCol))).collect()(0)
     require(!mxRow.isNullAt(0),
       "DSIR select: raw corpus is empty (or every text is NULL) — " +

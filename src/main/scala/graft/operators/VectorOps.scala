@@ -194,7 +194,18 @@ object VectorOps {
       case Some(f) => Sampling.hashSample(qsAll, "_qid", f, sampleSalt)
       case None => qsAll
     }
-    val nn = SimilarityJoin.knnL2(df, idCol, vecCol, qs, "_qid", "_qvec", k = 3)
+    // aggregator top-k (guide §2.3 "aggregate before you shuffle"): the
+    // window form shuffles every scored (n × q) row to rank it; the
+    // UDAF reduces each map partition to ≤ 3 candidates per query
+    // before the exchange, so shuffle volume is partitions × q × 3,
+    // independent of n. Semantics identical to the window variant
+    // (ascending (dist, id), SQL NaN/-0.0 ordering); the distance
+    // arrives as double, which the MLE cast to double anyway.
+    val scored = df
+      .crossJoin(broadcast(qs))
+      .withColumn("distance", graft.functions.l2_distance(col(vecCol), col("_qvec")))
+      .select(col("_qid"), col(idCol), col("distance"))
+    val nn = TopKAggregator.topKRows(scored, "_qid", idCol, "distance", k = 3)
       .filter(col(idCol) =!= col("_qid"))   // drop self-match
       .withColumn("_rn2",
         org.apache.spark.sql.functions.row_number().over(

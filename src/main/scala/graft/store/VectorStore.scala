@@ -241,10 +241,35 @@ class VectorStore private (
 
   private def table: DataFrame = storage.read()
 
-  def count(): Long = table.count()
+  /** Live row count, cached in the handle under the same
+    * single-writer reasoning as [[maxIdCache]] — and unlike the max,
+    * every mutation knows its exact delta (inserts +n, deletes
+    * −present, upserts +new-only), so the cache never needs
+    * invalidation once primed.
+    */
+  private var liveCountCache: Option[Long] = None
 
-  private def maxId(): Long =
-    table.agg(max($"id")).as[Option[Long]].head().getOrElse(-1L)
+  def count(): Long = liveCountCache.getOrElse {
+    val n = table.count()
+    liveCountCache = Some(n)
+    n
+  }
+
+  /** Live max-id, cached in the handle: the single-writer contract
+    * (see [[assertSingleWriter]]) means no other handle can move it
+    * underneath us, so inserts maintain it arithmetically (one fewer
+    * Spark job per insert — per MICRO-BATCH on the streaming ingest
+    * path) and only deletes invalidate it (deleting the current max
+    * row must let the next insert re-read the live max, which may
+    * have dropped — the id-reuse hole semantics, R4).
+    */
+  private var maxIdCache: Option[Long] = None
+
+  private def maxId(): Long = maxIdCache.getOrElse {
+    val m = table.agg(max($"id")).as[Option[Long]].head().getOrElse(-1L)
+    maxIdCache = Some(m)
+    m
+  }
 
   /** `ORDER BY id LIMIT n` (reference: vector_store.py:144-161). */
   def head(n: Int = 5): Seq[SelectRecord] =
@@ -277,6 +302,8 @@ class VectorStore private (
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
       VectorStore.schema)
     storage.append(df)
+    maxIdCache = Some(start + vecs.size - 1)
+    liveCountCache = liveCountCache.map(_ + vecs.size)
     annAppend(df)
     graphAppend(df)
     docIdxAppend(df, ids.size.toLong)
@@ -384,6 +411,8 @@ class VectorStore private (
     try {
       val n = df.count()
       storage.append(df)
+      maxIdCache = Some(start + n - 1)
+      liveCountCache = liveCountCache.map(_ + n)
       annAppend(df)
       graphAppend(df)
       docIdxAppend(df, n)
@@ -432,6 +461,10 @@ class VectorStore private (
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
       VectorStore.schema)
     storage.append(df)
+    // every id this batch touched (replaced OR new) is now live, so
+    // the live max can only grow: the cached high-water stays exact
+    maxIdCache = maxIdCache.map(m => math.max(m, ids.max))
+    liveCountCache = liveCountCache.map(_ + (ids.size - replaced))
     annAppend(df)
     graphAppend(df)
     docIdxAppend(df, ids.size.toLong)
@@ -454,6 +487,8 @@ class VectorStore private (
     if (present < distinctIds)
       logWarning(s"delete: ${distinctIds - present} of $distinctIds ids not present in store")
     storage.delete(idsDf)
+    maxIdCache = None // the deleted set may have contained the live max
+    liveCountCache = liveCountCache.map(_ - present)
     annAfterDelete()
     graphAfterDelete(idsDf)
     docIdxAfterDelete(present); lexAfterDelete(present)
@@ -478,6 +513,8 @@ class VectorStore private (
     val n = ids.count()
     if (n > 0) {
       storage.delete(ids)
+      maxIdCache = None // the matched set may have contained the live max
+      liveCountCache = liveCountCache.map(_ - n)
       annAfterDelete()
       graphAfterDelete(ids)
       docIdxAfterDelete(n); lexAfterDelete(n)
@@ -3342,6 +3379,8 @@ class VectorStore private (
     val n = ids.count()
     if (n > 0) {
       storage.delete(ids)
+      maxIdCache = None // the matched set may have contained the live max
+      liveCountCache = liveCountCache.map(_ - n)
       annAfterDelete()
       graphAfterDelete(ids)
       docIdxAfterDelete(n); lexAfterDelete(n)
@@ -3591,6 +3630,8 @@ class VectorStore private (
     val n = ids.count()
     if (n > 0) {
       storage.delete(ids)
+      maxIdCache = None // the matched set may have contained the live max
+      liveCountCache = liveCountCache.map(_ - n)
       annAfterDelete()
       graphAfterDelete(ids)
       docIdxAfterDelete(n); lexAfterDelete(n)
