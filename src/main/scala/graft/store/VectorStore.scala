@@ -242,10 +242,13 @@ class VectorStore private (
   private def table: DataFrame = storage.read()
 
   /** Live row count, cached in the handle under the same
-    * single-writer reasoning as [[maxIdCache]] — and unlike the max,
-    * every mutation knows its exact delta (inserts +n, deletes
-    * −present, upserts +new-only), so the cache never needs
-    * invalidation once primed.
+    * single-writer reasoning as [[maxIdCache]]: every mutation knows
+    * its exact delta (inserts +n, deletes −present, upserts
+    * +new-only). Trusted only while this handle has been the
+    * CONTINUOUS lease holder since priming — both caches are dropped
+    * whenever the handle (re)claims the lease and whenever it detects
+    * it lost the lease (see [[invalidateHandleCaches]]), because a
+    * value primed while another handle held the lease can be stale.
     */
   private var liveCountCache: Option[Long] = None
 
@@ -255,15 +258,29 @@ class VectorStore private (
     n
   }
 
-  /** Live max-id, cached in the handle: the single-writer contract
-    * (see [[assertSingleWriter]]) means no other handle can move it
-    * underneath us, so inserts maintain it arithmetically (one fewer
-    * Spark job per insert — per MICRO-BATCH on the streaming ingest
-    * path) and only deletes invalidate it (deleting the current max
-    * row must let the next insert re-read the live max, which may
-    * have dropped — the id-reuse hole semantics, R4).
+  /** Live max-id, cached in the handle: while this handle holds the
+    * single-writer lease (see [[assertSingleWriter]]) no other handle
+    * can move it underneath us, so inserts maintain it arithmetically
+    * (one fewer Spark job per insert — per MICRO-BATCH on the
+    * streaming ingest path) and deletes invalidate it (deleting the
+    * current max row must let the next insert re-read the live max,
+    * which may have dropped — the id-reuse hole semantics, R4). A
+    * value primed BEFORE this handle claimed the lease is untrusted:
+    * the claim drops it (see [[invalidateHandleCaches]]), otherwise a
+    * reader-primed handle that later takes the lease could compute
+    * `start = staleMax + 1` and assign colliding ids.
     */
   private var maxIdCache: Option[Long] = None
+
+  /** Drop the handle-level derived caches (live count, max id). Called
+    * on every lease (re)claim and on detected lease loss: the caches
+    * are only sound while this handle's token has been the continuous
+    * lease holder since they were primed.
+    */
+  private def invalidateHandleCaches(): Unit = {
+    maxIdCache = None
+    liveCountCache = None
+  }
 
   private def maxId(): Long = maxIdCache.getOrElse {
     val m = table.agg(max($"id")).as[Option[Long]].head().getOrElse(-1L)
@@ -1684,6 +1701,10 @@ class VectorStore private (
     * token and throws here instead of proceeding to write.
     */
   private[graft] def claimWriterLease(): Unit = {
+    // anything primed before this handle held the lease may be stale
+    // (another writer could have mutated in between) — drop it before
+    // the first lease-protected read re-primes it
+    invalidateHandleCaches()
     val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(leasePath)) fs.delete(leasePath, false)
     // keep the create failure: a transient FS error (permissions,
@@ -1721,11 +1742,16 @@ class VectorStore private (
   private def assertSingleWriter(): Unit = {
     val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!leaseClaimed || !fs.exists(leasePath)) { claimWriterLease(); return }
-    if (!readLeaseToken(fs).contains(writerToken))
+    if (!readLeaseToken(fs).contains(writerToken)) {
+      // this handle lost the lease: its derived caches may already be
+      // stale (the new writer has been mutating), so drop them before
+      // failing fast — later reads through this handle stay live-exact
+      invalidateHandleCaches()
       throw new IllegalStateException(
         s"single-writer violation: store at $path was claimed by another " +
         "writer handle after this one (the lease token changed). The " +
         "newest claimer owns the store; re-open to take over.")
+    }
   }
 
   // ------------------- automatic index maintenance ----------------- //

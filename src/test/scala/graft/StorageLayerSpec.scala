@@ -263,4 +263,27 @@ class StorageLayerSpec extends SparkSuite {
     // ids stayed contiguous through the takeover — nothing interleaved
     assert(w2.head(10).map(_.id) == Seq(0L, 1L))
   }
+
+  test("handle caches primed before a lease claim are dropped at the claim: no id collision, live-exact count") {
+    import graft.store.VectorStore
+    val root = Files.createTempDirectory("graft-sl-stale").toString + "/s"
+    def vec(i: Int) = Array(i.toFloat, 0f, 1f, 2f)
+    val writer = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    writer.insert(Seq(vec(0), vec(1), vec(2))) // ids 0,1,2 — writer holds the lease
+    // a reader handle primes its count/max caches WITHOUT the lease
+    val r = VectorStore.openOrCreate(spark, root, 4, tombstoneDeletes = true)
+    assert(r.stats().nLive == 3) // primes count=3, max=2 in r
+    // the original writer moves both underneath the reader
+    writer.insert(Seq(vec(3), vec(4))) // ids 3,4 — live max is now 4
+    writer.delete(Seq(0L))             // live count is now 4
+    // the reader now mutates: its first mutation claims the lease,
+    // which must drop the stale primes — a stale max would assign
+    // colliding ids (start = 2+1 = 3, already taken)
+    val newIds = r.insert(Seq(vec(5)))
+    assert(newIds == Seq(5L), s"stale maxId cache produced colliding ids: $newIds")
+    // count must be live-exact, not stale-prime + arithmetic delta
+    assert(r.count() == 5)
+    // and the table holds exactly the distinct live ids — no collision
+    assert(r.head(10).map(_.id) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
