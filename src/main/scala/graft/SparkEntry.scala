@@ -294,16 +294,49 @@ object SparkEntry {
     root
   }
 
-  /** ir_ann_sweep's deterministic half, built ONCE per battery — the
-    * graph arms' memoStore move completed: every index build, all 17
-    * checkpointed ranked runs, the per-(config, qid) cost axis, and
-    * both exact truths. The sweep's live surface per invocation is
-    * its MEASUREMENT half (persist run/cost for the oracle replay,
-    * rankedMetrics, frontier join).
+  /** Memoize an expensive PRE-MUTATION store lifecycle once per
+    * battery ([[memoStoreFixed]] semantics), then hand every
+    * invocation a FRESH private copy of it at the gate's fixed live
+    * root. The gate's named mutation (vacuum / rebalance / merge /
+    * auto-maintain trigger / clone / predicate delete) then runs LIVE
+    * on the copy on every invocation — the bench times the operator,
+    * the fixture prep is amortized. The copy is a raw recursive
+    * filesystem copy (a few hundred KB at gate scale; no Spark jobs),
+    * so the live arm's first job is the mutation itself.
+    */
+  private def memoPreState(s: SparkSession, dir: String, name: String)(
+      build: String => Unit): String = {
+    val pre = memoStoreFixed(s, dir, s"${name}_pre")(build)
+    val live = s"$scratchRoot/$name"
+    val conf = s.sparkContext.hadoopConfiguration
+    val lp = new org.apache.hadoop.fs.Path(live)
+    val fs = lp.getFileSystem(conf)
+    if (fs.exists(lp)) fs.delete(lp, true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(pre), fs, lp,
+      /* deleteSource = */ false, conf)
+    live
+  }
+
+  /** ir_ann_sweep's INDEX BUILDS and exact truths, built ONCE per
+    * battery (fixture prep): the coarse assignment, the PQ / residual
+    * / SQ / OPQ codebooks and encoded frames, the persisted BQ / hier
+    * / graph layouts, both exact truths, and the structural half of
+    * the cost axis. The 17 ranked SEARCHES are the sweep's operator
+    * under test and run LIVE on every invocation (r15 verdict #2),
+    * together with the run/cost persist for the oracle replay and the
+    * rankedMetrics + frontier join.
     */
   private case class SweepFixture(
-      runUnion: DataFrame, costUnion: DataFrame,
-      truthL2: DataFrame, truthCos: DataFrame)
+      indexed: DataFrame, cents: DataFrame,
+      ipq: DataFrame, cb: operators.Pq.PqCodebook,
+      ipqr: DataFrame, cbr: operators.Pq.PqCodebook,
+      sqIndexed: DataFrame,
+      iopq: DataFrame, centsRot: DataFrame, cbOpq: operators.Pq.PqCodebook,
+      qArr: Seq[(Long, Array[Float])], qArrRot: Seq[(Long, Array[Float])],
+      gRoot: String, bqPath: String, ivfPath: String,
+      truthL2: DataFrame, truthCos: DataFrame,
+      costBase: DataFrame)
 
   /** config → exact-truth family for every sweep arm, in arm order.
     * Hamming sign-sketches approximate ANGULAR distance, so those
@@ -711,11 +744,11 @@ object SparkEntry {
     // DuckDB computes from the source slice (the vs_stats pattern).
     "vs_vacuum" -> ((s, dir) => {
       import s.implicits._
-      // lifecycle memoized — see vs_ann_search: the vacuum journey's
-      // mid-lifecycle observations are output literals, captured in
-      // [[gateMemoVals]]; the live arm re-reads the POST-vacuum store
-      // (count / tombstones / floor / final snapshot)
-      val root = memoStoreFixed(s, dir, "vs_vac_store") { root =>
+      // PRE-vacuum lifecycle memoized (fixture prep); the VACUUM — the
+      // operator this gate is named for — runs LIVE on a fresh copy
+      // every invocation, so the bench times the purge itself (r15
+      // verdict #2: operator live, fixture memoized)
+      val root = memoPreState(s, dir, "vs_vac_store") { root =>
         val store = graft.store.VectorStore.openOrCreate(s, root, 64,
           tombstoneDeletes = true)
         val emb = T(s, dir, "embeddings").filter(col("vec_id") < 400)
@@ -725,20 +758,15 @@ object SparkEntry {
         val v9 = emb.filter(col("vec_id") === 9)
           .select("embedding").head().getSeq[Float](0).toArray
         store.upsert(Seq(5L), Seq(v9))         // v3 tomb + v4 row
-        val purged1 = store.vacuum(2L)
-        val oldSnapshotFails =
-          try { store.snapshotAt(1L).count(); false }
-          catch { case _: IllegalArgumentException => true }
-        val snapV3 = store.snapshotAt(3L).count()
-        val purged2 = store.vacuum(99L)        // clamps to v4
-        gateMemoVals.put("vs_vac_obs",
-          (purged1, purged2, oldSnapshotFails, snapV3))
       }
-      val (purged1, purged2, oldSnapshotFails, snapV3) =
-        gateMemoVals.get("vs_vac_obs")
-          .asInstanceOf[(Long, Long, Boolean, Long)]
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
+      val purged1 = store.vacuum(2L)
+      val oldSnapshotFails =
+        try { store.snapshotAt(1L).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      val snapV3 = store.snapshotAt(3L).count()
+      val purged2 = store.vacuum(99L)        // clamps to v4
       Seq((store.count(), purged1, purged2, store.stats().nTombstones,
           store.snapshotFloor.get, oldSnapshotFails, snapV3,
           store.snapshotAt(4L).count()))
@@ -955,32 +983,32 @@ object SparkEntry {
     // over_cap (cells above the cap counted from the index partitions
     // on disk) pins the rebalance contract itself.
     "vs_ann_rebalance" -> ((s, dir) => {
-      // lifecycle memoized — see vs_ann_search; the eager post-
-      // rebalance cap audit is a literal in the OUTPUT, so the build
-      // deposits it in [[gateMemoVals]] for later invocations
-      val root = memoStoreFixed(s, dir, "vs_reb_store") { root =>
+      // insert + coarse build memoized (fixture prep); the REBALANCE
+      // — the operator this gate is named for — plus its cap audit and
+      // the post-rebalance delete/append run LIVE on a fresh copy
+      // every invocation (r15 verdict #2)
+      val root = memoPreState(s, dir, "vs_reb_store") { root =>
         val store = graft.store.VectorStore.openOrCreate(s, root, 64,
           tombstoneDeletes = true)
         val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
         store.insertDF(emb.orderBy("vec_id").coalesce(1)
           .select(col("embedding").as("vec")))
         store.buildAnnIndex(nCentroids = 4, iters = 1, seedRounds = 0)
-        store.rebalanceAnnIndex(maxCellRows = 60, iters = 2)
-        // cap audit taken EAGERLY at the post-rebalance snapshot (the
-        // later append may legitimately push a cell back over the cap)
-        gateMemoVals.put("vs_reb_over_cap", s.read.parquet(s"$root/ann/index")
-          .groupBy("centroid_id").count()
-          .agg(sum(when(col("count") > 60, 1).otherwise(0)))
-          .head().getLong(0))
-        store.delete(Seq(1L, 2L, 3L))
-        val v7 = emb.filter(col("vec_id") === 7)
-          .select("embedding").head().getSeq[Float](0).toArray
-        store.insert(Seq(v7)) // id 500, appended to the rebalanced cells
       }
-      val overCap = gateMemoVals.get("vs_reb_over_cap").asInstanceOf[Long]
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
+      store.rebalanceAnnIndex(maxCellRows = 60, iters = 2)
+      // cap audit taken EAGERLY at the post-rebalance snapshot (the
+      // later append may legitimately push a cell back over the cap)
+      val overCap = s.read.parquet(s"$root/ann/index")
+        .groupBy("centroid_id").count()
+        .agg(sum(when(col("count") > 60, 1).otherwise(0)))
+        .head().getLong(0)
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.delete(Seq(1L, 2L, 3L))
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.insert(Seq(v7)) // id 500, appended to the rebalanced cells
       val qs = emb.filter(col("vec_id").isin(2, 7, 11))
         .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
       store.searchApproxDF(qs, k = 5, nProbe = 64)
@@ -999,10 +1027,12 @@ object SparkEntry {
     // results are maintenance-invariant: full probe stays the exact
     // brute-force ranking DuckDB replays with no quantizer state.
     "vs_auto_maintain" -> ((s, dir) => {
-      // lifecycle memoized — see vs_ann_search; the in-insert trigger
-      // firing IS the memoized prefix (it runs inside the second
-      // insertDF), and its stats snapshot lands in [[gateMemoVals]]
-      val root = memoStoreFixed(s, dir, "vs_am_store") { root =>
+      // insert 300 + coarse build memoized (fixture prep); the
+      // TRIGGERED MAINTENANCE — the operator this gate is named for,
+      // firing inside the second insertDF — runs LIVE on a fresh copy
+      // every invocation, with its stats snapshot and the delete
+      // (r15 verdict #2)
+      val root = memoPreState(s, dir, "vs_am_store") { root =>
         val store = graft.store.VectorStore.openOrCreate(s, root, 64,
           tombstoneDeletes = true)
         val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
@@ -1010,20 +1040,18 @@ object SparkEntry {
           .orderBy("vec_id").coalesce(1)
           .select(col("embedding").as("vec")))
         store.buildAnnIndex(nCentroids = 2, iters = 1, seedRounds = 0)
-        store.enableAutoMaintenance(
-          graft.store.IndexMaintenancePolicy(maxCellRows = 120))
-        // this append crosses the cap inside insertDF — no manual call
-        store.insertDF(emb.filter(col("vec_id") >= 300)
-          .orderBy("vec_id").coalesce(1)
-          .select(col("embedding").as("vec")))
-        gateMemoVals.put("vs_am_stats", store.annIndexStats())
-        store.delete(Seq(1L, 2L, 3L))
       }
-      val st = gateMemoVals.get("vs_am_stats")
-        .asInstanceOf[graft.store.AnnIndexStats]
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.enableAutoMaintenance(
+        graft.store.IndexMaintenancePolicy(maxCellRows = 120))
+      // this append crosses the cap inside insertDF — no manual call
+      store.insertDF(emb.filter(col("vec_id") >= 300)
+        .orderBy("vec_id").coalesce(1)
+        .select(col("embedding").as("vec")))
+      val st = store.annIndexStats()
+      store.delete(Seq(1L, 2L, 3L))
       val qs = emb.filter(col("vec_id").isin(2, 7, 11))
         .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
       store.searchApproxDF(qs, k = 5, nProbe = 64)
@@ -1042,26 +1070,27 @@ object SparkEntry {
     // the brute-force oracle). Tombstones mask and appends land
     // through the merged centroid set.
     "vs_ann_merge" -> ((s, dir) => {
-      // lifecycle memoized — see vs_ann_search; the merge report's
-      // surviving-cell count is an output literal → [[gateMemoVals]]
-      val root = memoStoreFixed(s, dir, "vs_mrg_store") { root =>
+      // insert + build memoized (fixture prep); the MERGE — the
+      // operator this gate is named for — plus the delete before it
+      // and the append after it run LIVE on a fresh copy every
+      // invocation (r15 verdict #2)
+      val root = memoPreState(s, dir, "vs_mrg_store") { root =>
         val store = graft.store.VectorStore.openOrCreate(s, root, 64,
           tombstoneDeletes = true)
         val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
         store.insertDF(emb.orderBy("vec_id").coalesce(1)
           .select(col("embedding").as("vec")))
         store.buildAnnIndex(nCentroids = 8, iters = 1, seedRounds = 0)
-        store.delete(Seq(1L, 2L, 3L))
-        val rep = store.mergeAnnIndexCells(minCellRows = 1000)
-        gateMemoVals.put("vs_mrg_cells", rep.survivingCells.toLong)
-        val v7 = emb.filter(col("vec_id") === 7)
-          .select("embedding").head().getSeq[Float](0).toArray
-        store.insert(Seq(v7)) // id 500, appended to the merged cell
       }
-      val nCells = gateMemoVals.get("vs_mrg_cells").asInstanceOf[Long]
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
       val emb = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+      store.delete(Seq(1L, 2L, 3L))
+      val rep = store.mergeAnnIndexCells(minCellRows = 1000)
+      val nCells = rep.survivingCells.toLong
+      val v7 = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      store.insert(Seq(v7)) // id 500, appended to the merged cell
       val qs = emb.filter(col("vec_id").isin(2, 7, 11))
         .select(col("vec_id").cast("int").as("qid"), col("embedding").as("qvec"))
       store.searchApproxDF(qs, k = 5, nProbe = 1)
@@ -1199,14 +1228,11 @@ object SparkEntry {
     // sidecars), then mutate the ORIGINAL — the clone must hold the
     // at-copy state, independent of later writes. Closed-form replay.
     "vs_clone" -> ((s, dir) => {
-      // lifecycle memoized — see vs_ann_search: the clone + the
-      // post-clone mutation both land in the prefix; the live arm
-      // reads the CLONE (whose at-copy isolation is the contract)
-      val root = memoStoreFixed(s, dir, "vs_cl_store") { root =>
-        val dst = s"$scratchRoot/vs_cl_dst"
-        val dp = new org.apache.hadoop.fs.Path(dst)
-        val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(dp)) fs.delete(dp, true)
+      // insert + delete memoized (fixture prep); the CLONE — the
+      // operator this gate is named for — and the post-clone mutation
+      // that must not leak into it run LIVE on a fresh copy every
+      // invocation (r15 verdict #2)
+      val root = memoPreState(s, dir, "vs_cl_store") { root =>
         val store = graft.store.VectorStore.openOrCreate(s, root, 64,
           tombstoneDeletes = true)
         store.insertDF(T(s, dir, "embeddings").filter(col("vec_id") < 300)
@@ -1215,11 +1241,17 @@ object SparkEntry {
             concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
               lit("\"}")).as("doc")))
         store.delete(Seq(1L, 2L))
-        store.cloneTo(dst)
-        store.delete(Seq(10L, 11L)) // post-clone writes must not leak in
       }
-      val clone = graft.store.VectorStore.openOrCreate(s,
-        s"$scratchRoot/vs_cl_dst", 64, tombstoneDeletes = true)
+      val dst = s"$scratchRoot/vs_cl_dst"
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dp)) fs.delete(dp, true)
+      val store = graft.store.VectorStore.openOrCreate(s, root, 64,
+        tombstoneDeletes = true)
+      store.cloneTo(dst)
+      store.delete(Seq(10L, 11L)) // post-clone writes must not leak in
+      val clone = graft.store.VectorStore.openOrCreate(s, dst, 64,
+        tombstoneDeletes = true)
       clone.toDF
         .select(col("id"), get_json_object(col("doc"), "$.g").as("g"))
         .orderBy("id")
@@ -1229,9 +1261,11 @@ object SparkEntry {
     // with delete — the retention/GDPR shape where the matching id set
     // never visits the driver. DuckDB replays survivor rows directly.
     "vs_delete_where" -> ((s, dir) => {
-      // lifecycle memoized — see vs_ann_search; live arm = the
-      // survivor scan
-      val root = memoStoreFixed(s, dir, "vs_dw_store") { root =>
+      // insert memoized (fixture prep); the PREDICATE DELETE — the
+      // operator this gate is named for — runs LIVE on a fresh copy
+      // every invocation, followed by the survivor scan (r15 verdict
+      // #2)
+      val root = memoPreState(s, dir, "vs_dw_store") { root =>
         val store = graft.store.VectorStore.openOrCreate(s, root, 64,
           tombstoneDeletes = true)
         store.insertDF(T(s, dir, "embeddings").filter(col("vec_id") < 400)
@@ -1239,10 +1273,10 @@ object SparkEntry {
           .select(col("embedding").as("vec"),
             concat(lit("{\"g\": \""), (col("label") % 3).cast("string"),
               lit("\"}")).as("doc")))
-        store.deleteWhere(Seq("g"), Seq("1"))
       }
       val store = graft.store.VectorStore.openOrCreate(s, root, 64,
         tombstoneDeletes = true)
+      store.deleteWhere(Seq("g"), Seq("1"))
       store.toDF
         .select(col("id"), get_json_object(col("doc"), "$.g").as("g"))
         .orderBy("id")
@@ -4994,19 +5028,15 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val kk = 10
-      // ---- the deterministic half memoized ONCE per battery (the
-      // graph arms' memoStore move, completed): every index build,
-      // all 17 ranked runs, the per-(config, qid) cost axis, and both
-      // exact truths are pure functions of the fixture and are
-      // checkpointed on first use. What stays LIVE on every
-      // invocation is the sweep's own measurement surface — persist
-      // the run/cost frames (the oracle replays the whole metric half
-      // from exactly these files), re-read them, and run the single
-      // rankedMetrics DAG + the frontier join. The per-arm search
-      // kernels keep their own dedicated live gates (ann_ivf_*,
-      // ann_lsh_*, ann_hamming, ann_graph_serve, vs_ann_*…) — the
-      // sweep's unique surface is the measurement, not a 17th re-run
-      // of each kernel.
+      // ---- the INDEX BUILDS memoized ONCE per battery: the coarse
+      // assignment, every codebook fit, the persisted BQ/hier/graph
+      // layouts, both exact truths, and the structural cost axis are
+      // pure functions of the fixture and are checkpointed on first
+      // use. The 17 ranked SEARCHES are the sweep's operator under
+      // test and run LIVE on every invocation (r15 verdict #2 —
+      // "the searches ARE the sweep"), as do the run/cost persist
+      // (the oracle replays the whole metric half from exactly those
+      // files) and the rankedMetrics DAG + frontier join.
       val fx = sweepFixtureMemo.computeIfAbsent(dir, _ => {
         // ONE materialized coarse assignment serves every IVF-family
         // arm: a dozen downstream plans (PQ/OPQ/SQ fits, BQ write,
@@ -5015,26 +5045,32 @@ object SparkEntry {
         // cheap one-job seeding tier — right for a bounded study whose
         // oracle recomputes every metric from the persisted run
         // whatever the cell geometry.
-        val (indexed0, cents) =
+        val (indexed0, cents0) =
           Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8, iters = 2,
             seedRounds = 0)
         val indexed = indexed0.localCheckpoint(true)
+        val cents = cents0.localCheckpoint(true)
         val qArr = qs.collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         // BOTH PQ arms share the coarse quantizer already built above —
-        // one k-means build serves every IVF-family arm in the sweep
-        val (ipq, cb) = operators.Pq.pqFromIvf(indexed,
+        // one k-means build serves every IVF-family arm in the sweep.
+        // The encoded frames are checkpointed: encoding is build work,
+        // the live searches must pay only their own scan.
+        val (ipq0, cb) = operators.Pq.pqFromIvf(indexed,
           "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
-        val (ipqr, cbr) = operators.Pq.pqResidualFromIvf(indexed, cents,
+        val ipq = ipq0.localCheckpoint(true)
+        val (ipqr0, cbr) = operators.Pq.pqResidualFromIvf(indexed, cents,
           "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+        val ipqr = ipqr0.localCheckpoint(true)
         // SQ8: identical IVF geometry, rows ranked by DEQUANTIZED L2
         // (the store's refine-free SQDC semantics)
         val sqParams = operators.Sq.fit(emb, "embedding", 64)
         val sqIndexed = indexed.withColumn("embedding",
           operators.Sq.decodeCol(
             operators.Sq.encodeCol(col("embedding"), sqParams), sqParams))
-        // BQ: packed sign bits over the same cells, hamming shortlist
-        // of 40 then the MANDATORY exact re-rank (pgvector BQ+rescore)
+          .localCheckpoint(true)
+        // BQ: packed sign bits over the same cells — layout persisted
+        // here; the hamming shortlist + exact re-rank run live
         val bqPath = s"$annSweepDir/bq"
         val bqParams = operators.Bq.fit(emb, "embedding", 64)
         operators.Bq.writeParams(s, s"$bqPath/bq", bqParams)
@@ -5045,18 +5081,6 @@ object SparkEntry {
           .repartition(8, col("centroid_id"))
           .write.mode("overwrite").partitionBy("centroid_id")
           .parquet(s"$bqPath/index")
-        val bqRun = {
-          val short = operators.Bq.ivfBqSearch(s, bqPath, qs, "qid", "qvec",
-            shortK = 40, nProbe = 4)
-          SimilarityJoin.topKByDistance(
-            short.select(col("qid"), col("id").as("vec_id"))
-              .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-              .join(broadcast(qs), Seq("qid"))
-              .withColumn("distance",
-                graft.functions.l2_distance(col("embedding"), col("qvec")))
-              .select(col("qid"), col("vec_id"), col("distance")),
-            "qid", "vec_id", "distance", kk)
-        }
         // OPQ: rotation trained in one sweep; L2 is rotation-invariant,
         // so the SAME coarse assignment (indexed.centroid_id) and the
         // SAME probe ranking hold in the rotated space — only the PQ
@@ -5066,9 +5090,10 @@ object SparkEntry {
         val indexedRot = indexed.withColumn("embedding",
           graft.functions.mat_vec(col("embedding"), rot))
         val centsRot = cents.withColumn("centroid",
-          graft.functions.mat_vec(col("centroid"), rot))
-        val (iopq, cbOpq) = operators.Pq.pqFromIvf(indexedRot,
+          graft.functions.mat_vec(col("centroid"), rot)).localCheckpoint(true)
+        val (iopq0, cbOpq) = operators.Pq.pqFromIvf(indexedRot,
           "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+        val iopq = iopq0.localCheckpoint(true)
         val qArrRot = qArr.map { case (qid, v) =>
           (qid, operators.Opq.rotate(rot, v)) }
         // Hierarchical routing layout persisted once; one file per
@@ -5096,55 +5121,6 @@ object SparkEntry {
             k = 10, buildK = 20, nEntries = 4, nBuckets = 8,
             pqM = 8, pqBits = 8)
         }
-        val (gr16, gc16) = operators.KnnGraphIndex.searchWithCost(s,
-          s"$gRoot/plain", qs, k = kk, ef = 16)
-        val (gr32, gc32) = operators.KnnGraphIndex.searchWithCost(s,
-          s"$gRoot/plain", qs, k = kk, ef = 32)
-        val (grp32, gcp32) = operators.KnnGraphIndex.searchWithCost(s,
-          s"$gRoot/pq8", qs, k = kk, ef = 32)
-        def graphArm(df: DataFrame): DataFrame =
-          df.select(col("qid"), col("id").as("vec_id"), col("rank").as("rn"))
-        // (config, ranked run) — a 17-branch union is the POINT here
-        // (seventeen different operators under test), not a per-query
-        // plan smell. The config → truth-family mapping lives in
-        // [[sweepFamilies]].
-        val runs: Seq[(String, DataFrame)] =
-          Seq(
-            ("lsh_b6", Ann.lshCosineTopK(emb, "vec_id", "embedding",
-              qs, "qid", "qvec", k = kk, dim = 64, nBits = 6)),
-            ("hamming_b64", Ann.hammingTopK(emb, "vec_id", "embedding",
-              qs, "qid", "qvec", dim = 64, k = kk)),
-            ("rescore_s40", Ann.hammingRescoreTopK(emb, "vec_id",
-              "embedding", qs, "qid", "qvec", dim = 64, shortlist = 40,
-              k = kk))) ++
-          Seq(1, 2, 4, 8).map(p => (f"ivf_p$p",
-            Ann.ivfSearchL2(indexed, "vec_id", "embedding", cents,
-              qs, "qid", "qvec", k = kk, nProbe = p))) ++
-          Seq(
-            ("ivfpq_p4", operators.Pq.ivfPqSearch(ipq, "vec_id", "codes",
-              cents, cb, qArr, k = kk, nProbe = 4)),
-            ("ivfpq_res_p4", operators.Pq.ivfPqSearchResidual(ipqr,
-              "vec_id", "codes", cents, cbr, qArr, k = kk, nProbe = 4)),
-            ("sq8_p4", Ann.ivfSearchL2(sqIndexed, "vec_id", "embedding",
-              cents, qs, "qid", "qvec", k = kk, nProbe = 4)),
-            ("bq_p4_r40", bqRun),
-            ("opq_p4", operators.Pq.ivfPqSearch(iopq, "vec_id", "codes",
-              centsRot, cbOpq, qArrRot, k = kk, nProbe = 4)),
-            ("mrl_p16_s40", Ann.matryoshkaRescoreTopK(emb, "vec_id",
-              "embedding", qs, "qid", "qvec", prefixDim = 16, shortlist = 40,
-              k = kk)),
-            ("hier_s1_p4", Ann.ivfSearchL2PrunedHier(s, ivfPath,
-              "vec_id", "embedding", qs, "qid", "qvec", k = kk, nProbe = 4,
-              superProbe = 1)),
-            ("graph_ef16", graphArm(gr16)),
-            ("graph_ef32", graphArm(gr32)),
-            ("graph_pq8_ef32", graphArm(grp32)))
-        require(runs.map(_._1) == sweepFamilies.map(_._1),
-          "sweep arms and sweepFamilies must stay in lockstep")
-        val runUnion = runs.map { case (cfg, df) =>
-          df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
-            col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
-        }.reduce(_ unionAll _).localCheckpoint(true)
         // ---- cost axis (r7 verdict #4): candidate rows scored per
         // (config, qid), so the sweep emits the recall-vs-COST
         // frontier instead of recall alone. Exact integer counts from
@@ -5180,7 +5156,7 @@ object SparkEntry {
           .withColumn("cumsz", sum(col("csz")).over(wcum))
           .select(col("qid"), col("crank"), col("cumsz"))
           .localCheckpoint(true)
-        val costUnion = (Seq(1, 2, 4, 8).map(pp => (f"ivf_p$pp", pp, 0L)) ++
+        val costBase = (Seq(1, 2, 4, 8).map(pp => (f"ivf_p$pp", pp, 0L)) ++
             Seq(("ivfpq_p4", 4, 0L), ("ivfpq_res_p4", 4, 0L),
               ("sq8_p4", 4, 0L), ("opq_p4", 4, 0L),
               ("bq_p4_r40", 4, 40L))).map { case (cfg, pp, extra) =>
@@ -5239,12 +5215,6 @@ object SparkEntry {
             lit(nAll).as("scanned")))
           .unionAll(qs.select(lit("rescore_s40").as("config"), col("qid"),
             (lit(nAll) + lit(40L)).as("scanned")))
-          .unionAll(gc16.select(lit("graph_ef16").as("config"), col("qid"),
-            col("scanned")))
-          .unionAll(gc32.select(lit("graph_ef32").as("config"), col("qid"),
-            col("scanned")))
-          .unionAll(gcp32.select(lit("graph_pq8_ef32").as("config"),
-            col("qid"), col("scanned")))
           .localCheckpoint(true)
         // ---- ONE truth pass each (r11 verdict #5), checkpointed
         val truthL2 = SimilarityJoin.knnL2(emb, "vec_id", "embedding",
@@ -5253,15 +5223,86 @@ object SparkEntry {
         val truthCos = SimilarityJoin.knnCosine(emb, "vec_id", "embedding",
             qs, "qid", "qvec", kk).select(col("qid"), col("vec_id"))
           .localCheckpoint(true)
-        SweepFixture(runUnion, costUnion, truthL2, truthCos)
+        SweepFixture(indexed, cents, ipq, cb, ipqr, cbr, sqIndexed,
+          iopq, centsRot, cbOpq, qArr, qArrRot, gRoot, bqPath, ivfPath,
+          truthL2, truthCos, costBase)
       })
-      // ---- LIVE measurement half: persist exactly what the oracle
-      // replays, re-read it, and run the single rankedMetrics DAG —
-      // each exact truth replicated per arm under a composite
-      // (config|qid) key so all 17 arms score through one join.
-      fx.runUnion.write.mode("overwrite").parquet(s"$annSweepDir/run.parquet")
+      // ---- LIVE half: the 17 ranked searches (the operators under
+      // test), the run/cost persist the oracle replays, and the single
+      // rankedMetrics DAG — each exact truth replicated per arm under
+      // a composite (config|qid) key so all 17 arms score through one
+      // join.
+      val bqRun = {
+        val short = operators.Bq.ivfBqSearch(s, fx.bqPath, qs, "qid", "qvec",
+          shortK = 40, nProbe = 4)
+        SimilarityJoin.topKByDistance(
+          short.select(col("qid"), col("id").as("vec_id"))
+            .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .join(broadcast(qs), Seq("qid"))
+            .withColumn("distance",
+              graft.functions.l2_distance(col("embedding"), col("qvec")))
+            .select(col("qid"), col("vec_id"), col("distance")),
+          "qid", "vec_id", "distance", kk)
+      }
+      val (gr16, gc16) = operators.KnnGraphIndex.searchWithCost(s,
+        s"${fx.gRoot}/plain", qs, k = kk, ef = 16)
+      val (gr32, gc32) = operators.KnnGraphIndex.searchWithCost(s,
+        s"${fx.gRoot}/plain", qs, k = kk, ef = 32)
+      val (grp32, gcp32) = operators.KnnGraphIndex.searchWithCost(s,
+        s"${fx.gRoot}/pq8", qs, k = kk, ef = 32)
+      def graphArm(df: DataFrame): DataFrame =
+        df.select(col("qid"), col("id").as("vec_id"), col("rank").as("rn"))
+      // (config, ranked run) — a 17-branch union is the POINT here
+      // (seventeen different operators under test), not a per-query
+      // plan smell. The config → truth-family mapping lives in
+      // [[sweepFamilies]].
+      val runs: Seq[(String, DataFrame)] =
+        Seq(
+          ("lsh_b6", Ann.lshCosineTopK(emb, "vec_id", "embedding",
+            qs, "qid", "qvec", k = kk, dim = 64, nBits = 6)),
+          ("hamming_b64", Ann.hammingTopK(emb, "vec_id", "embedding",
+            qs, "qid", "qvec", dim = 64, k = kk)),
+          ("rescore_s40", Ann.hammingRescoreTopK(emb, "vec_id",
+            "embedding", qs, "qid", "qvec", dim = 64, shortlist = 40,
+            k = kk))) ++
+        Seq(1, 2, 4, 8).map(p => (f"ivf_p$p",
+          Ann.ivfSearchL2(fx.indexed, "vec_id", "embedding", fx.cents,
+            qs, "qid", "qvec", k = kk, nProbe = p))) ++
+        Seq(
+          ("ivfpq_p4", operators.Pq.ivfPqSearch(fx.ipq, "vec_id", "codes",
+            fx.cents, fx.cb, fx.qArr, k = kk, nProbe = 4)),
+          ("ivfpq_res_p4", operators.Pq.ivfPqSearchResidual(fx.ipqr,
+            "vec_id", "codes", fx.cents, fx.cbr, fx.qArr, k = kk, nProbe = 4)),
+          ("sq8_p4", Ann.ivfSearchL2(fx.sqIndexed, "vec_id", "embedding",
+            fx.cents, qs, "qid", "qvec", k = kk, nProbe = 4)),
+          ("bq_p4_r40", bqRun),
+          ("opq_p4", operators.Pq.ivfPqSearch(fx.iopq, "vec_id", "codes",
+            fx.centsRot, fx.cbOpq, fx.qArrRot, k = kk, nProbe = 4)),
+          ("mrl_p16_s40", Ann.matryoshkaRescoreTopK(emb, "vec_id",
+            "embedding", qs, "qid", "qvec", prefixDim = 16, shortlist = 40,
+            k = kk)),
+          ("hier_s1_p4", Ann.ivfSearchL2PrunedHier(s, fx.ivfPath,
+            "vec_id", "embedding", qs, "qid", "qvec", k = kk, nProbe = 4,
+            superProbe = 1)),
+          ("graph_ef16", graphArm(gr16)),
+          ("graph_ef32", graphArm(gr32)),
+          ("graph_pq8_ef32", graphArm(grp32)))
+      require(runs.map(_._1) == sweepFamilies.map(_._1),
+        "sweep arms and sweepFamilies must stay in lockstep")
+      val runUnion = runs.map { case (cfg, df) =>
+        df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
+          col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
+      }.reduce(_ unionAll _)
+      val costUnion = fx.costBase
+        .unionAll(gc16.select(lit("graph_ef16").as("config"), col("qid"),
+          col("scanned")))
+        .unionAll(gc32.select(lit("graph_ef32").as("config"), col("qid"),
+          col("scanned")))
+        .unionAll(gcp32.select(lit("graph_pq8_ef32").as("config"),
+          col("qid"), col("scanned")))
+      runUnion.write.mode("overwrite").parquet(s"$annSweepDir/run.parquet")
       val persisted = s.read.parquet(s"$annSweepDir/run.parquet")
-      fx.costUnion.write.mode("overwrite").parquet(s"$annSweepDir/cost.parquet")
+      costUnion.write.mode("overwrite").parquet(s"$annSweepDir/cost.parquet")
       val persistedCost = s.read.parquet(s"$annSweepDir/cost.parquet")
       val truthAll = sweepFamilies.map { case (cfg, fam) =>
         (if (fam == "cos") fx.truthCos else fx.truthL2)
@@ -5335,26 +5376,28 @@ object SparkEntry {
     // the union build: the exact 5-NN graph, so the oracle is the
     // identical brute-force replay over the union corpus.
     "ann_knn_graph_append" -> ((s, dir) => {
-      // fold memoized per battery (the ann_knn_graph_delete precedent:
-      // its repair runs once inside memoStore). The base build
+      // the BASE graph is fixture prep, memoized per battery: it
       // warm-starts from the battery's memoized union descent
       // restricted to the base ids (same vectors ⇒ prior distances
       // valid; the restriction-damaged lists repair in the warm
-      // descent's first iteration) — r14 verdict #4.
-      // the union descent is resolved BEFORE the fold memo's closure —
+      // descent's first iteration) — r14 verdict #4. The FOLD — the
+      // incremental maintenance this gate is named for — runs LIVE on
+      // every invocation (r15 verdict #2: the r14 instruction to keep
+      // the fold live stands).
+      // the union descent is resolved BEFORE the base memo's closure —
       // computeIfAbsent must not re-enter the same map (recursive
       // update)
       val union = memoGraph(s, dir, 200, k = 5, buildK = 24)
-      val g = graphMemo.computeIfAbsent(s"$dir/200/5/24/l2/appendfold", _ => {
-        val all = graphFixture(s, dir, 200)
-        val base = all.filter(col("id") < 150)
-        val batch = all.filter(col("id") >= 150)
-        val g0 = graft.operators.KnnGraph.nnDescentWarm(base, "id", "vec",
-          union, k = 5, buildK = 24)
-        graft.operators.KnnGraph.nnDescentAppend(base, g0.graph,
+      val g0 = graphMemo.computeIfAbsent(s"$dir/150/5/24/l2/appendbase", _ =>
+        graft.operators.KnnGraph.nnDescentWarm(
+          graphFixture(s, dir, 200).filter(col("id") < 150), "id", "vec",
+          union, k = 5, buildK = 24).graph)
+      val all = graphFixture(s, dir, 200)
+      val base = all.filter(col("id") < 150)
+      val batch = all.filter(col("id") >= 150)
+      graft.operators.KnnGraph.nnDescentAppend(base, g0,
           batch, "id", "vec", k = 5, buildK = 24).graph
-      })
-      g.select(col("id"), col("nbr"), col("rank"),
+        .select(col("id"), col("nbr"), col("rank"),
           hround(col("distance").cast("double"), 4).as("dist"))
         .orderBy("id", "rank")
     }),
