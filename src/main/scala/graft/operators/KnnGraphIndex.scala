@@ -559,8 +559,18 @@ object KnnGraphIndex {
     * partition values). Bounded id sets additionally push the id
     * IN-list into the scan; unbounded ones keep a broadcast semi-join.
     */
+  /** The committed node table resolved ONCE for a whole walk/repair:
+    * every hop's lookup filters this shared relation instead of
+    * re-running `spark.read.parquet` (file listing + footer/schema
+    * resolution) per hop — the fixed per-hop driver overhead the r15
+    * verdict flagged on the `vs_graph_*` serve residue.
+    */
+  private def nodesRel(spark: SparkSession, root: String,
+      meta: Meta): DataFrame =
+    spark.read.parquet(nodesPath(root, meta))
+
   private def lookup(spark: SparkSession, root: String, meta: Meta,
-      ids: DataFrame): DataFrame = {
+      nodes: DataFrame, ids: DataFrame): DataFrame = {
     // probe with a RAW limit (CollectLimit early-exits; a distinct()
     // here would full-shuffle a 10^8-id retention sweep before the
     // limit could apply). The pushdown is taken only when the RAW
@@ -572,9 +582,8 @@ object KnnGraphIndex {
     val raw = ids.select(col("id"))
       .limit(IdPushdownLimit + 1).collect().map(_.getLong(0))
     if (raw.length <= IdPushdownLimit)
-      lookupCollected(spark, root, meta, raw.distinct)
+      lookupCollected(nodes, meta, raw.distinct)
     else {
-      val nodes = spark.read.parquet(nodesPath(root, meta))
       val buckets = ids.select(bucketOf(col("id"), meta.nBuckets).as("b"))
         .distinct().collect().map(_.getLong(0))
       nodes.filter(col("bucket").isin(buckets.toIndexedSeq: _*))
@@ -590,9 +599,8 @@ object KnnGraphIndex {
     * collects each hop's frontier once anyway (it doubles as the
     * termination check), so serving hops take this path.
     */
-  private def lookupCollected(spark: SparkSession, root: String,
+  private def lookupCollected(nodes: DataFrame,
       meta: Meta, ids: Array[Long]): DataFrame = {
-    val nodes = spark.read.parquet(nodesPath(root, meta))
     if (ids.isEmpty) nodes.limit(0)
     else {
       val buckets = ids.map(bucketOfDriver(_, meta.nBuckets)).distinct
@@ -688,7 +696,11 @@ object KnnGraphIndex {
     */
   private[graft] def codeNodes(spark: SparkSession, root: String,
       meta: Meta, ids: DataFrame): DataFrame =
-    lookup(spark, root, meta, ids)
+    codeNodesRel(spark, root, meta, nodesRel(spark, root, meta), ids)
+
+  private def codeNodesRel(spark: SparkSession, root: String, meta: Meta,
+      nodes: DataFrame, ids: DataFrame): DataFrame =
+    lookup(spark, root, meta, nodes, ids)
       .select(col("id"), col("codes"), col("gen"))
 
   /** Hops the last [[search]] walk on this thread executed — lets the
@@ -712,6 +724,11 @@ object KnnGraphIndex {
       forceExact: Boolean = false,
       wantCost: Boolean = false): (DataFrame, Option[DataFrame]) = {
     require(k >= 1 && ef >= k, s"need ef ($ef) >= k ($k) >= 1")
+    // ONE resolved node relation for the whole walk: every hop's
+    // expansion lookup, scoring lookup, and the final refine filter
+    // this shared frame instead of paying a fresh file-listing +
+    // schema resolution per hop
+    val nodesR = nodesRel(spark, root, meta)
     // PQ-coded traversal (the DiskANN serve shape): hops score on the
     // co-located codes — the lookup reads (id, codes, gen), column
     // pruning keeps the d-dim vector out of traversal IO entirely —
@@ -734,7 +751,7 @@ object KnnGraphIndex {
       if (excludeSelf) pairs.filter(col("qid") =!= col("id")) else pairs
     def exactScore(pairs: DataFrame): DataFrame = {
       val vecs = rowMask(
-        lookup(spark, root, meta, pairs.select(col("id")).distinct())
+        lookup(spark, root, meta, nodesR, pairs.select(col("id")).distinct())
           .select(col("id"), col("vec"), col("gen")))
       pairs.join(vecs.select(col("id"), col("vec")), Seq("id"))
         .join(qs, Seq("qid"))
@@ -745,7 +762,8 @@ object KnnGraphIndex {
     def scoreCands(pairs: DataFrame): DataFrame = cb match {
       case Some(c) =>
         val nodes = rowMask(
-          codeNodes(spark, root, meta, pairs.select(col("id")).distinct()))
+          codeNodesRel(spark, root, meta, nodesR,
+            pairs.select(col("id")).distinct()))
         pairs.join(nodes.select(col("id"), col("codes")), Seq("id"))
           .join(qs, Seq("qid"))
           .select(col("qid"), col("id"),
@@ -799,8 +817,9 @@ object KnnGraphIndex {
       val frontier = beam.filter(col("new")).select(col("qid"), col("id"))
       val fLookup =
         if (frontIds.length <= IdPushdownLimit)
-          lookupCollected(spark, root, meta, frontIds)
-        else lookup(spark, root, meta, frontier.select(col("id")).distinct())
+          lookupCollected(nodesR, meta, frontIds)
+        else lookup(spark, root, meta, nodesR,
+          frontier.select(col("id")).distinct())
       val fNodes = fLookup
         .select(col("id"),
           concat(transform(col("fwd"), f => f("nbr")), col("rev")).as("out"))
@@ -901,7 +920,8 @@ object KnnGraphIndex {
     val meta = readMeta(spark, root)
     val dead = deadIds.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true)
-    val deadRows = lookup(spark, root, meta, dead)
+    val nodesR = nodesRel(spark, root, meta)
+    val deadRows = lookup(spark, root, meta, nodesR, dead)
       .select(col("id"), col("fwd"), col("rev")).localCheckpoint(true)
     if (deadRows.isEmpty) {
       GraftShim.unpersistLocalCheckpoint(dead)
@@ -910,7 +930,7 @@ object KnnGraphIndex {
     }
     val affectedIds = deadRows.select(explode(col("rev")).as("id"))
       .distinct().join(dead, Seq("id"), "left_anti").localCheckpoint(true)
-    val affRows = lookup(spark, root, meta, affectedIds)
+    val affRows = lookup(spark, root, meta, nodesR, affectedIds)
       .select(col("id"), col("vec"), col("fwd")).localCheckpoint(true)
     // prior pairs that must disappear or survive: affected lists plus
     // the dead nodes' own lists (whose reverse entries need cleanup)
