@@ -2445,12 +2445,19 @@ object SparkEntry {
       val corpus = base.unionAll(base.select(
         (col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" leaktoken")).as("text")))
-      val clusters = Dedup.nearDupClusters(corpus, "doc_id", "text", 0.5)
+      // ONE exact-Jaccard pair pass serves both consumers (§1.2 "don't
+      // compute things you throw away"): nearDupClusters(corpus, 0.5)
+      // is by definition connectedComponents over jaccardPairs(corpus,
+      // 0.5) — the identical O(n²) verification this gate ALSO runs
+      // for the leakage audit. Compute the pairs once (checkpointed),
+      // cluster from them, and audit leakage from them.
+      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
+        .localCheckpoint(true)
+      val clusters = Dedup.connectedComponents(corpus, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("comp"))
       val labeled = graft.operators.Sampling.hashSplitGrouped(
         corpus.join(clusters, Seq("doc_id")), "doc_id", "comp",
         Seq("train" -> 0.75, "test" -> 0.25), salt = "leak")
-      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
       val cross = Dedup.splitLeakage(labeled, "doc_id", "split", pairs,
           "a_id", "b_id")
         .filter(col("split_a") =!= col("split_b"))
@@ -5244,19 +5251,37 @@ object SparkEntry {
             .select(col("qid"), col("vec_id"), col("distance")),
           "qid", "vec_id", "distance", kk)
       }
-      val (gr16, gc16) = operators.KnnGraphIndex.searchWithCost(s,
-        s"${fx.gRoot}/plain", qs, k = kk, ef = 16)
-      val (gr32, gc32) = operators.KnnGraphIndex.searchWithCost(s,
-        s"${fx.gRoot}/plain", qs, k = kk, ef = 32)
-      val (grp32, gcp32) = operators.KnnGraphIndex.searchWithCost(s,
-        s"${fx.gRoot}/pq8", qs, k = kk, ef = 32)
-      def graphArm(df: DataFrame): DataFrame =
-        df.select(col("qid"), col("id").as("vec_id"), col("rank").as("rn"))
+      // the three beam walks are independent driver-side hop loops —
+      // each hop is a handful of sub-second jobs, so a walk is
+      // scheduler-latency-bound, not core-bound. Overlap them (guide
+      // §2.6 "overlap independent jobs"): three walks in flight fill
+      // each other's per-hop driver gaps, ~max() instead of sum()
+      // wall-clock (measured 20.5 s sequential on sf0.1).
+      // the three beam walks are independent driver-side hop loops —
+      // each hop is a handful of sub-second jobs, so a walk is
+      // scheduler-latency-bound, not core-bound. Overlap them (guide
+      // §2.6 "overlap independent jobs"), and overlap the 14
+      // non-graph arms' union with the walks on a fourth thread:
+      // three walks + the scan-shaped arms in flight fill each
+      // other's per-hop driver gaps, ~max() instead of sum()
+      // wall-clock (measured 20.5 s sequential walks on sf0.1).
+      val walkPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val walkEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(walkPool)
+      val f16 = scala.concurrent.Future(operators.KnnGraphIndex
+        .searchWithCost(s, s"${fx.gRoot}/plain", qs, k = kk, ef = 16))
+      val f32 = scala.concurrent.Future(operators.KnnGraphIndex
+        .searchWithCost(s, s"${fx.gRoot}/plain", qs, k = kk, ef = 32))
+      val fp32 = scala.concurrent.Future(operators.KnnGraphIndex
+        .searchWithCost(s, s"${fx.gRoot}/pq8", qs, k = kk, ef = 32))
+      def normArm(cfg: String, df: DataFrame): DataFrame =
+        df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
+          col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
       // (config, ranked run) — a 17-branch union is the POINT here
       // (seventeen different operators under test), not a per-query
       // plan smell. The config → truth-family mapping lives in
       // [[sweepFamilies]].
-      val runs: Seq[(String, DataFrame)] =
+      val nonGraphRuns: Seq[(String, DataFrame)] =
         Seq(
           ("lsh_b6", Ann.lshCosineTopK(emb, "vec_id", "embedding",
             qs, "qid", "qvec", k = kk, dim = 64, nBits = 6)),
@@ -5283,16 +5308,29 @@ object SparkEntry {
             k = kk)),
           ("hier_s1_p4", Ann.ivfSearchL2PrunedHier(s, fx.ivfPath,
             "vec_id", "embedding", qs, "qid", "qvec", k = kk, nProbe = 4,
-            superProbe = 1)),
-          ("graph_ef16", graphArm(gr16)),
-          ("graph_ef32", graphArm(gr32)),
-          ("graph_pq8_ef32", graphArm(grp32)))
-      require(runs.map(_._1) == sweepFamilies.map(_._1),
+            superProbe = 1)))
+      val fNonGraph = scala.concurrent.Future(
+        nonGraphRuns.map((normArm _).tupled)
+          .reduce(_ unionAll _).localCheckpoint(true))
+      def await[A](f: scala.concurrent.Future[A]): A =
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)
+      val (gr16, gc16) = await(f16)
+      val (gr32, gc32) = await(f32)
+      val (grp32, gcp32) = await(fp32)
+      val nonGraphUnion = await(fNonGraph)
+      walkPool.shutdown()
+      def graphArm(df: DataFrame): DataFrame =
+        df.select(col("qid"), col("id").as("vec_id"), col("rank").as("rn"))
+      val graphRuns: Seq[(String, DataFrame)] = Seq(
+        ("graph_ef16", graphArm(gr16)),
+        ("graph_ef32", graphArm(gr32)),
+        ("graph_pq8_ef32", graphArm(grp32)))
+      require((nonGraphRuns.map(_._1) ++ graphRuns.map(_._1)) ==
+        sweepFamilies.map(_._1),
         "sweep arms and sweepFamilies must stay in lockstep")
-      val runUnion = runs.map { case (cfg, df) =>
-        df.select(lit(cfg).as("config"), col("qid").cast("long").as("qid"),
-          col("vec_id").cast("long").as("id"), col("rn").cast("int").as("rank"))
-      }.reduce(_ unionAll _)
+      val runUnion = nonGraphUnion.unionAll(
+        graphRuns.map((normArm _).tupled).reduce(_ unionAll _))
       val costUnion = fx.costBase
         .unionAll(gc16.select(lit("graph_ef16").as("config"), col("qid"),
           col("scanned")))

@@ -1062,6 +1062,14 @@ object Ann {
       dim: Int, k: Int): DataFrame = {
     val idx = index.select(col(idCol),
       VectorOps.signSketch(col(vecCol), dim).as("_sig"))
+      // materialize the 8-byte-per-64-dim sketches behind an exchange
+      // (the jaccardPairs idiom): under the broadcast cross join,
+      // codegen defers stream-side column evaluation into the pair
+      // loop, so the 64-branch packing expression was re-evaluated
+      // once per (row, query) PAIR — measured 1.7 s vs 0.25 s for the
+      // materialized form on the sf0.1 sweep arm. The exchange carries
+      // (id, sketch) rows only — 16 bytes/row, the scan never re-runs.
+      .repartition(col(idCol))
     val q = queries.select(col(qidCol),
       VectorOps.signSketch(col(qvecCol), dim).as("_qsig"))
     val scored = idx.crossJoin(broadcast(q))

@@ -203,14 +203,17 @@ object Dedup {
   private def bandedFromToks(
       withTok: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    withTok.select(
-      col("id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(minhash_signature(col("toks"), numHashes),
-            b * rowsPerBand + 1, lit(rowsPerBand)), b))
-      ).as(Seq("band", "band_hash")))
+    // the signature is computed in its OWN projection and referenced
+    // once per band below: inside a single `transform` lambda it was
+    // loop-invariant but re-evaluated per band (higher-order-function
+    // lambdas are not hoisted — the whole minhash ran `bands` times
+    // per row). A non-cheap alias referenced `bands` times survives
+    // CollapseProject, so the signature is computed exactly once.
+    val sig = withTok.select(
+      col("id"), minhash_signature(col("toks"), numHashes).as("sig"))
+    val bandCols = array((0 until bands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    sig.select(col("id"), posexplode(bandCols).as(Seq("band", "band_hash")))
   }
 
   /** Candidate pairs (a_id < b_id, NOT deduped) from a banded frame's

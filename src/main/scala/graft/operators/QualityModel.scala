@@ -90,22 +90,32 @@ object QualityModel {
       while (it < iters) {
         val model = Model(nFeatures, bias, w)
         val p = scoreCol(col("fs"), model)
-        val scored = feats.select(col("y"), col("fs"), p.as("p"),
-          (p - col("y")).as("r"))
-        // scalar pass: n, Σr (bias gradient), mean log-loss
         val eps = 1e-12
-        val Array(nRows, rSum, loss) = scored.agg(
-          count(lit(1)).cast("double"),
-          sum(col("r")),
-          avg(-(col("y") * log(col("p") + lit(eps)) +
-            (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + lit(eps)))))
-          .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
-        // per-feature gradient: Σ over docs containing f of r
-        val grad = scored.select(col("r"), explode(col("fs")).as("f"))
-          .groupBy("f").agg(sum(col("r")).as("g"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1))
+        val scored = feats.select(col("y"), col("fs"), p.as("p"),
+          (p - col("y")).as("r"),
+          (-(col("y") * log(p + lit(eps)) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - p + lit(eps)))).as("l"))
+        // ONE aggregation job per iteration (was two): a sentinel
+        // feature −1 rides every row's explode, so its group carries
+        // the scalar pass (n = count, Σr = bias gradient, Σl = loss)
+        // while the real feature groups carry the per-feature gradient
+        // — each iteration compiles and schedules one plan, not two
+        // (both embedded the 4096-double weight literal).
+        val rows = scored
+          .select(col("r"), col("l"),
+            explode(concat(array(lit(-1)), col("fs"))).as("f"))
+          .groupBy("f").agg(sum(col("r")).as("g"),
+            count(lit(1)).as("c"), sum(col("l")).as("ls"))
+          .collect()
+        val sentinel = rows.find(_.getInt(0) == -1).get
+        val nRows = sentinel.getLong(2).toDouble
+        val rSum = sentinel.getDouble(1)
+        val loss = sentinel.getDouble(3) / nRows
         val w2 = w.clone()
-        grad.foreach { case (f, g) => w2(f) -= lr * g / nRows }
+        rows.foreach { r =>
+          val f = r.getInt(0)
+          if (f >= 0) w2(f) -= lr * r.getDouble(1) / nRows
+        }
         bias -= lr * rSum / nRows
         w = w2
         losses += loss

@@ -139,6 +139,16 @@ object TrainingDataPipeline {
     val sampled =
       if (cfg.sampleFraction >= 1.0) cleaned
       else Sampling.hashSample(cleaned, idCol, cfg.sampleFraction, cfg.salt + "|sample")
-    Sampling.hashSplit(sampled, idCol, cfg.testFraction, cfg.salt + "|split")
+    // hashSplit returns two filters over the SAME frame; without a
+    // persist each side re-executes the whole pipeline above (quality
+    // scan → dedup → clustering → decontamination) — the classic
+    // recompute-vs-persist call (guide §5): the survivors are reused
+    // twice and recomputing them costs the full pipeline, so cache the
+    // one materialization both splits read. MEMORY_AND_DISK (not a
+    // lineage-truncating localCheckpoint): spills instead of OOMing on
+    // a real corpus and keeps fault tolerance.
+    val materialized = sampled.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Sampling.hashSplit(materialized, idCol, cfg.testFraction, cfg.salt + "|split")
   }
 }
