@@ -785,14 +785,24 @@ object KnnGraphIndex {
         .drop("rn").localCheckpoint(true)
     val seed = maskSelf(seeds.select(col("qid"), col("id")).distinct())
       .localCheckpoint(true)
-    val seedScored = scoreCands(seed).localCheckpoint(true)
+    // the scored frame gets its own checkpoint ONLY when the filtered
+    // path consumes it twice (beam + hits fold); on the plain walk the
+    // beam checkpoint materializes it once — a separate checkpoint
+    // would be a wasted driver round trip per hop (the walk is
+    // scheduler-latency-bound: 5 round trips/hop before this change)
+    val seedScored =
+      if (resultMask.isDefined) scoreCands(seed).localCheckpoint(true)
+      else scoreCands(seed)
     var beam = seedScored.withColumn("new", lit(true))
       .localCheckpoint(true)
     var hits: DataFrame = resultMask match {
       case Some(_) => fold(seedScored.limit(0), seedScored)
       case None => null
     }
-    GraftShim.unpersistLocalCheckpoint(seedScored)
+    // only release a frame we actually checkpointed: on a
+    // non-checkpointed frame, unpersistLocalCheckpoint walks the
+    // LINEAGE and would release the live seed/qs checkpoints inside it
+    if (resultMask.isDefined) GraftShim.unpersistLocalCheckpoint(seedScored)
     // seen holds every PROPOSED pair (masked seeds included — a dead
     // seed must not be re-proposed), separate from the beam: evicted
     // nodes can never re-enter (the ef-th distance only tightens).
@@ -828,7 +838,11 @@ object KnnGraphIndex {
             .select(col("qid"), explode(col("out")).as("id")).distinct())
         .join(seenParts.reduce(_ unionAll _), Seq("qid", "id"), "left_anti")
         .localCheckpoint(true) // consumed twice: scoring + seen fold
-      val scored = scoreCands(unseen).localCheckpoint(true)
+      // checkpoint the hop's scored frame only when the hits fold is a
+      // second consumer (filtered path) — see seedScored above
+      val scored =
+        if (resultMask.isDefined) scoreCands(unseen).localCheckpoint(true)
+        else scoreCands(unseen)
       val merged = beam.select(col("qid"), col("id"), col("distance"),
           lit(false).as("fresh"))
         .unionAll(scored.withColumn("fresh", lit(true)))
@@ -842,8 +856,10 @@ object KnnGraphIndex {
         GraftShim.unpersistLocalCheckpoint(hits)
         hits = nextHits
       }
-      for (old <- Seq(beam, scored))
-        GraftShim.unpersistLocalCheckpoint(old)
+      GraftShim.unpersistLocalCheckpoint(beam)
+      // scored is only its own checkpoint on the filtered path — see
+      // the release guard above seedScored
+      if (resultMask.isDefined) GraftShim.unpersistLocalCheckpoint(scored)
       beam = merged
       frontIds = frontIdsOf(beam)
       if (sys.env.contains("GRAFT_KNNGRAPH_DEBUG"))

@@ -410,7 +410,16 @@ class VectorStore private (
         batch.select(vecExpr.as("vec"), coalesce($"doc", lit("{}")).as("doc"))
       else batch.select(vecExpr.as("vec"), lit("{}").as("doc"))
     val start = maxId() + 1
-    val assigned = withDoc
+    // contiguous (partition, offset)-ordered id assignment WITHOUT the
+    // old `.rdd.zipWithIndex` round-trip: the RDD path deserialized
+    // every row to external objects and re-serialized them through
+    // createDataFrame — pure overhead on the per-micro-batch streaming
+    // ingest path. monotonically_increasing_id encodes
+    // (partitionId << 33 | offset); one tiny per-partition count job
+    // (the same job zipWithIndex ran internally) yields both the
+    // cumulative id bases and n, so the old separate count() job is
+    // folded away and the whole assignment stays in codegen.
+    val pre = withDoc
       .select($"vec", $"doc") // vecExpr already produced float32
       // per-row dimension guard evaluated inside the write job (no extra
       // pass) — mirrors the driver-side insert validation
@@ -418,15 +427,28 @@ class VectorStore private (
         assert_true(size($"vec") === dim,
           lit(s"insertDF: vector dimension must be $dim")))
       .drop("_dim_ok")
-      .rdd.zipWithIndex()
-      .map { case (r, i) => Row(start + i, r.getSeq[Float](0), r.getString(1)) }
-    // persist: count() and append() must see the SAME materialization —
-    // re-running zipWithIndex lineage twice would double the compute and
-    // could assign different ids for non-deterministic inputs
-    val df = spark.createDataFrame(assigned, VectorStore.schema)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mono", monotonically_increasing_id())
+      // persist: the offsets job and append() must see the SAME
+      // materialization — re-running the lineage twice would double
+      // the compute and could assign different ids for
+      // non-deterministic inputs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = df.count()
+      val partCounts = pre.groupBy($"_pid")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("_c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = partCounts.map(_._2).sum
+      val bases: Map[Int, Long] = {
+        var acc = 0L
+        partCounts.map { case (pid, c) =>
+          val b = acc; acc += c; pid -> b
+        }.toMap
+      }
+      val df = pre.select(
+        (lit(start) + element_at(typedLit(bases), $"_pid") +
+          ($"_mono" - ($"_pid".cast("long") * lit(1L << 33)))).as("id"),
+        $"vec", $"doc")
       storage.append(df)
       maxIdCache = Some(start + n - 1)
       liveCountCache = liveCountCache.map(_ + n)
@@ -436,7 +458,7 @@ class VectorStore private (
       lexAppend(df, n)
       refreshIndex()
       n
-    } finally df.unpersist()
+    } finally pre.unpersist()
   }
 
   /** Upsert: replace-or-insert by EXPLICIT id — beyond-reference API
@@ -595,7 +617,11 @@ class VectorStore private (
     } else {
       val ordered =
         if (orderCols.isEmpty) batch
-        else batch.orderBy(orderCols: _*).coalesce(1)
+        // equivalent to orderBy(...).coalesce(1) — a single output
+        // partition sorted in place — but skips the global sort's
+        // range-partitioning SAMPLING job and exchange, a fixed
+        // per-micro-batch cost on this hot path
+        else batch.coalesce(1).sortWithinPartitions(orderCols: _*)
       insertDF(ordered)
       recordCommittedBatch(cp, batchId)
       true
@@ -741,7 +767,8 @@ class VectorStore private (
       // pre-applied order and make id assignment nondeterministic
       val survivors =
         if (orderCols.isEmpty) deduped
-        else deduped.orderBy(orderCols: _*).coalesce(1)
+        // single-partition in-place sort — see applyIngestBatch
+        else deduped.coalesce(1).sortWithinPartitions(orderCols: _*)
       if (!survivors.isEmpty) insertDF(survivors)
       recordCommittedBatch(cp, batchId)
       true
