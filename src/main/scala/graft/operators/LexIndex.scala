@@ -178,12 +178,20 @@ object LexIndex {
     // row-group/page statistics prune within the bucket — and a
     // q-term lookup pays one footer per touched bucket instead of one
     // per shuffle task that held rows of it
+    // the postings and doc-length tables are independent writes over
+    // the same (lazily shared) tokenize pass — overlap them (§2.6):
+    // the doclens job back-fills executors the postings shuffle's tail
+    // leaves idle
+    val doclensJob = scala.concurrent.Future(
+      doclens.write.mode("overwrite").parquet(doclensPath(root)))(
+      scala.concurrent.ExecutionContext.global)
     postings.withColumn("bucket", bucketOf(col("term"), buckets))
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(postingsPath(root))
-    doclens.write.mode("overwrite").parquet(doclensPath(root))
+    scala.concurrent.Await.result(doclensJob,
+      scala.concurrent.duration.Duration.Inf)
     writeBuckets(spark, root, buckets)
     // reset the file-count bookkeeping from the rebuilt layout, and
     // clear crash debris from any append that died mid-stage
@@ -211,11 +219,19 @@ object LexIndex {
     val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(root,
       s"_postings-append-${java.util.UUID.randomUUID()}")
+    // overlap the two independent per-batch writes (§2.6) — on the
+    // streaming ingest path this is one of the micro-batch's fixed
+    // driver round trips
+    val doclensJob = scala.concurrent.Future(
+      doclens.write.mode("append").parquet(doclensPath(root)))(
+      scala.concurrent.ExecutionContext.global)
     postings.withColumn("bucket", bucketOf(col("term"), buckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(staging.toString)
+    scala.concurrent.Await.result(doclensJob,
+      scala.concurrent.duration.Duration.Inf)
     var added = 0L
     fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.startsWith("bucket=")).foreach { d =>
@@ -233,7 +249,6 @@ object LexIndex {
         }
       }
     fs.delete(staging, true)
-    doclens.write.mode("append").parquet(doclensPath(root))
     if (added > 0L) writeNfiles(spark, root, fileCount(spark, root) + added)
   }
 
@@ -269,13 +284,6 @@ object LexIndex {
     // stats: N and avgdl over the (masked, filtered) doc-length table —
     // one aggregate row; df per query term from the pruned posting scan
     val dls = restrict(mask(spark.read.parquet(doclensPath(root))))
-    val statsRow = dls.agg(count(lit(1)), avg(col("dl"))).head()
-    val n = statsRow.getLong(0)
-    val empty = Seq.empty[(Long, Long, Double, Int)]
-      .toDF("qid", "id", "bm25", "rank")
-    if (n == 0L) return empty
-    val avgdl = statsRow.getDouble(1)
-    val avgdlSafe = if (avgdl <= 0.0) 1.0 else avgdl
     val nBuckets = readBuckets(spark, root)
     val qBuckets = if (nBuckets >= 1)
       termBuckets(spark, allTerms, nBuckets) else Seq.empty
@@ -287,9 +295,23 @@ object LexIndex {
     else postRaw
     val post = restrict(mask(postPruned))
       .filter(col("term").isin(allTerms: _*)) // pushed into the scan
+    // the two preparatory driver actions read independent tables
+    // (doc lengths vs pruned postings) — overlap them (§2.6) instead
+    // of paying two serial round trips per search
+    val statsJob = scala.concurrent.Future(
+      dls.agg(count(lit(1)), avg(col("dl"))).head())(
+      scala.concurrent.ExecutionContext.global)
     val dfByTerm = post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val statsRow = scala.concurrent.Await.result(statsJob,
+      scala.concurrent.duration.Duration.Inf)
+    val n = statsRow.getLong(0)
+    val empty = Seq.empty[(Long, Long, Double, Int)]
+      .toDF("qid", "id", "bm25", "rank")
+    if (n == 0L) return empty
+    val avgdl = statsRow.getDouble(1)
+    val avgdlSafe = if (avgdl <= 0.0) 1.0 else avgdl
     val termIdx = allTerms.zipWithIndex.toMap
     // (term, _ti) relation: maps posting rows into scorePairs' sparse
     // pair shape without a plan-sized literal per term

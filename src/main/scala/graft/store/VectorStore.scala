@@ -381,7 +381,26 @@ class VectorStore private (
     * Dataset — the reference has no analogue (its API is driver-side
     * arrays only).
     */
-  def insertDF(batch: DataFrame): Long = {
+  /** Run `body` with a session conf pinned, restoring after. */
+  private def withSessionConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  def insertDF(batch: DataFrame): Long = withSessionConf(
+      // AQE has nothing to re-plan on the insert path at ANY scale —
+      // its exchanges (the per-partition offsets groupBy, the posting
+      // bucket repartition) are bounded by the batch's own partition
+      // count and the write reads the batch cache with no exchange —
+      // while its per-stage query-stage materialization DOUBLES the
+      // driver round trips of every job here. On the streaming ingest
+      // path that is a fixed per-micro-batch tax: 4-batch stream
+      // 4.6 -> 3.8 s at sf0.1 with AQE pinned off for the insert.
+      "spark.sql.adaptive.enabled", "false") {
     assertSingleWriter()
     val cols = batch.columns.toSet
     require(cols.contains("vec"), "insertDF requires a 'vec' column")
