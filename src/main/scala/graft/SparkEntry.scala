@@ -4655,8 +4655,12 @@ object SparkEntry {
     // (mean/stddev z masks its own outliers).
     "st_mad" -> ((s, dir) => {
       val ev = events(s, dir).filter(col("value").isNotNull)
+      // ONE madStats pass serves both the reported stats row and the
+      // scaling constants — robustScale would re-run the two exact-
+      // quantile pipelines a second time (§1.2)
       val stats = operators.Outliers.madStats(ev, "value")
-      val outl = operators.Outliers.robustScale(ev, "value")
+      val outl = operators.Outliers
+        .robustScaleFromStats(ev, "value", stats.head())
         .agg(count(when(abs(col("robust_z")) > 3.5, 1)).as("n_outliers"))
       stats.crossJoin(outl).select(col("n"),
         hround(col("median"), 6).as("median"),

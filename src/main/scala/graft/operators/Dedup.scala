@@ -633,12 +633,18 @@ object Dedup {
     // confirm-nothing-changed round a before/after set compare needs.
     def isStarFixpoint(): Boolean = {
       if (edgeCount == 0) return true
-      val r = edges.agg(
-        count(lit(1)).as("n"), countDistinct(col("u")).as("nu")).head()
-      r.getLong(0) == r.getLong(1) &&
-        edges.select(col("u"))
-          .join(edges.select(col("v").as("u")), Seq("u"), "left_semi")
-          .isEmpty
+      // ONE aggregation job for both conditions (was an agg + a
+      // semi-join isEmpty — two serial jobs per round): per-id member/
+      // root flags from a two-branch union, then n (Σ member rows),
+      // nu (ids appearing as a member), and the member∩root count
+      val r = edges.select(col("u").as("id"), lit(1L).as("m"), lit(0L).as("r"))
+        .unionAll(edges.select(col("v").as("id"), lit(0L).as("m"), lit(1L).as("r")))
+        .groupBy("id").agg(sum(col("m")).as("mu"), sum(col("r")).as("rv"))
+        .agg(sum(col("mu")).as("n"),
+          count(when(col("mu") > 0, 1)).as("nu"),
+          count(when(col("mu") > 0 && col("rv") > 0, 1)).as("both"))
+        .head()
+      r.getLong(0) == r.getLong(1) && r.getLong(2) == 0L
     }
     var converged = isStarFixpoint()
     var rounds = 0

@@ -90,11 +90,25 @@ object Outliers {
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
       .filter(!isnan(col("_x")) && !isnan(col("_y")))
-    val ranked = joinMidranks(
-      joinMidranks(d, "_x", "_rx", nBuckets, targetPerBucket),
-      "_y", "_ry", nBuckets, targetPerBucket)
-    ranked.agg(count(lit(1)).as("n"),
-      corr(col("_rx"), col("_ry")).as("spearman"))
+      // four consumers below (each rank frame's valueCounts + both join
+      // probes) re-scanned the source per use — persist the slim
+      // (x, y) projection once (16 B/row, spills at scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the nested form — joinMidranks(joinMidranks(d, x), y) — ranked y
+    // over the x-joined frame; the x-rank join is 1:1 (one rank row per
+    // distinct value), so ranking y directly over d is row-identical
+    // and lets both rank frames derive from the SAME persisted scan
+    val ranksX = midranks(d, "_x", "_rx", nBuckets, targetPerBucket)
+    val ranksY = midranks(d, "_y", "_ry", nBuckets, targetPerBucket)
+    val row = d.join(ranksX, Seq("_x")).join(ranksY, Seq("_y"))
+      .agg(count(lit(1)).as("n"), corr(col("_rx"), col("_ry")).as("spearman"))
+      .head()
+    d.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((row.getLong(0),
+        if (row.isNullAt(1)) Option.empty[Double] else Some(row.getDouble(1))))
+      .toDF("n", "spearman")
   }
 
   /** Hard ceiling on dynamic bucket counts: the per-bucket base-offset
@@ -185,15 +199,22 @@ object Outliers {
 
   /** Join per-row midranks of `vCol` onto `d` as `outCol` (bucketed
     * two-level prefix sum; see [[spearman]]). */
-  private def joinMidranks(d: DataFrame, vCol: String, outCol: String,
+  /** (value, midrank) frame for one column — the join-free half of
+    * [[joinMidranks]], for callers that attach several rank columns to
+    * one shared scan.
+    */
+  private def midranks(d: DataFrame, vCol: String, outCol: String,
       nBuckets: Int,
-      targetPerBucket: Long = DefaultTargetPerBucket): DataFrame = {
-    val ranks = valueCounts(d, vCol, nBuckets, targetPerBucket)
+      targetPerBucket: Long = DefaultTargetPerBucket): DataFrame =
+    valueCounts(d, vCol, nBuckets, targetPerBucket)
       .select(col(vCol),
         (col("_below").cast("double")
           + (col("_cnt") + lit(1L)).cast("double") / 2.0).as(outCol))
-    d.join(ranks, Seq(vCol))
-  }
+
+  private def joinMidranks(d: DataFrame, vCol: String, outCol: String,
+      nBuckets: Int,
+      targetPerBucket: Long = DefaultTargetPerBucket): DataFrame =
+    d.join(midranks(d, vCol, outCol, nBuckets, targetPerBucket), Seq(vCol))
 
   /** EXACT interpolated quantiles (type 7 / `quantile_cont`: position
     * p·(n-1), linear interpolation between the straddling order
@@ -459,13 +480,21 @@ object Outliers {
     * consistency constant. NULL z when MAD is 0 (over half the values
     * identical) or the column is empty. */
   def robustScale(df: DataFrame, vCol: String, outCol: String = "robust_z",
-      nBuckets: Int = 1024): DataFrame = {
-    val s = madStats(df, vCol, nBuckets).head()
-    if (s.isNullAt(1) || s.getDouble(2) == 0.0)
+      nBuckets: Int = 1024): DataFrame =
+    robustScaleFromStats(df, vCol, madStats(df, vCol, nBuckets).head(), outCol)
+
+  /** [[robustScale]] from an already-computed [[madStats]] row — for
+    * callers that also report the stats and would otherwise pay the
+    * two exact-quantile passes twice.
+    */
+  def robustScaleFromStats(df: DataFrame, vCol: String,
+      stats: org.apache.spark.sql.Row,
+      outCol: String = "robust_z"): DataFrame = {
+    if (stats.isNullAt(1) || stats.getDouble(2) == 0.0)
       return df.withColumn(outCol, lit(null).cast("double"))
     df.withColumn(outCol,
-      (col(vCol).cast("double") - lit(s.getDouble(1)))
-        / lit(1.4826 * s.getDouble(2)))
+      (col(vCol).cast("double") - lit(stats.getDouble(1)))
+        / lit(1.4826 * stats.getDouble(2)))
   }
 
   def percentileTiers(

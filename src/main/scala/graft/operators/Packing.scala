@@ -37,10 +37,17 @@ object Packing {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
     val nTok = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    // base is consumed TWICE below (the per-bucket window and the
+    // bucket-totals aggregate) — without a checkpoint each consumer
+    // re-runs the upstream tokenize (and whatever the caller stacked
+    // before it, e.g. pp_redact_pack's PII regex pass) over the full
+    // corpus. The checkpointed frame is three longs per row, so the
+    // materialization is tiny next to the text pass it halves.
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
       nTok.as("n_tokens"),
       intDiv(col(idCol).cast("long"), bucketSize).as("_bkt"))
+      .localCheckpoint(true)
 
     val local = base.withColumn("_local_end",
       sum(col("n_tokens")).over(Window.partitionBy("_bkt").orderBy("doc_id")))
